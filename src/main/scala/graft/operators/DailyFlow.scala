@@ -1,0 +1,84 @@
+package graft.operators
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.config.EngineConfig
+import graft.sources.IngestionEngine
+
+/**
+ * Daily batch-incremental orchestration
+ * (reference: motor_ingesta/flujo_diario.py:27-74).
+ *
+ * Per daily file: ingest (flatten + coerce) → UTC enrich → detect the
+ * file's date from the data (`first()`, single-date-file contract) →
+ * read the previous day's partition of the output table (table missing
+ * ⇒ no previous data; table present but partition empty ⇒ the union
+ * path still runs, faithfully preserving the reference's semantics) →
+ * `unionByName(allowMissingColumns)` so yesterday's rows (which carry
+ * `_next` columns) and today's (which don't) align → materialize to a
+ * provisional table (a lineage barrier: the final write overwrites a
+ * table the plan would otherwise still be reading) → recompute
+ * next-flight intervals over the stitched 2-day frame, fixing
+ * yesterday's boundary NULLs → dynamic-partition-overwrite only the
+ * affected `FlightDate` partitions → drop the provisional table.
+ *
+ * Scale: the previous-day read is partition-pruned; the stitch frame is
+ * ≤2 days regardless of table size; the final write repartitions by the
+ * partition column for file-count control and overwrites only 1–2
+ * partitions dynamically.
+ */
+class DailyFlow(val config: EngineConfig) {
+
+  private val engine = new IngestionEngine(config)
+  private val ProvisionalTable = "tabla_provisional"
+
+  /** Process one daily JSON file end-to-end into the output table. */
+  def processDaily(spark: SparkSession, dataFile: String): Unit = {
+    // Dynamic overwrite + NULL-on-malformed parse semantics, matching
+    // the reference's per-write option + non-ANSI runtime.
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    val ingested = engine.ingestFile(spark, dataFile).cache()
+    val withUtc = Enrich.addUtcTime(ingested, Enrich.loadTimezones(spark))
+
+    // Action #1: day detection from the data itself (single-date-file
+    // contract — reference: flujo_diario.py:40-41).
+    val today = withUtc.select("FlightDate").head().getDate(0).toLocalDate
+    val prevDay = today.minusDays(1)
+
+    val previous: Option[DataFrame] = readPreviousDay(spark, prevDay)
+
+    val frame = previous match {
+      case Some(prev) =>
+        val unioned = prev.unionByName(withUtc, allowMissingColumns = true)
+        // Materialization barrier (reference: flujo_diario.py:52-53).
+        unioned.write.mode("overwrite").saveAsTable(ProvisionalTable)
+        spark.read.table(ProvisionalTable)
+      case None => withUtc
+    }
+
+    val withIntervals = Enrich.addIntervals(frame)
+
+    withIntervals
+      .repartition(config.outputPartitions, col("FlightDate"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("FlightDate")
+      .saveAsTable(config.outputTable)
+
+    spark.sql(s"DROP TABLE IF EXISTS $ProvisionalTable")
+    ingested.unpersist()
+  }
+
+  /** Previous-day partition scan; table-missing ⇒ None
+    * (reference: flujo_diario.py:43-47). */
+  private def readPreviousDay(
+      spark: SparkSession, prevDay: LocalDate): Option[DataFrame] =
+    if (!spark.catalog.tableExists(config.outputTable)) None
+    else Some(
+      spark.read.table(config.outputTable)
+        .where(col("FlightDate") === lit(java.sql.Date.valueOf(prevDay))))
+}

@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.config.{ColumnSpec, EngineConfig}
+import graft.operators.DailyFlow
+
+/** Daily batch-incremental orchestration: two consecutive daily files,
+  * cross-day boundary fix via union + re-window
+  * (reference: flujo_diario.py:27-74; notebook cells 13-16). */
+class DailyFlowSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val cfg = EngineConfig(
+    data_columns = Seq(
+      ColumnSpec("FlightDate", "date", Some("Flight date")),
+      ColumnSpec("Reporting_Airline", "string", Some("Carrier")),
+      ColumnSpec("Origin", "string", Some("Origin IATA")),
+      ColumnSpec("DepTime", "int", Some("Local departure HHmm"))),
+    output_table = Some("flights_test"),
+    output_partitions = Some(2))
+
+  private def writeDay(name: String, rows: Seq[String]): String = {
+    val dir = Files.createTempDirectory("graft-daily")
+    val f = dir.resolve(name)
+    Files.writeString(f, rows.mkString("\n"))
+    f.toString
+  }
+
+  test("two-day flow stitches boundary intervals across days") {
+    val day1 = writeDay("d1.json", Seq(
+      """{"FlightDate": "2024-03-01", "Reporting_Airline": "AA", "Origin": "JFK", "DepTime": 900}""",
+      """{"FlightDate": "2024-03-01", "Reporting_Airline": "DL", "Origin": "JFK", "DepTime": 1100}"""))
+    val day2 = writeDay("d2.json", Seq(
+      """{"FlightDate": "2024-03-02", "Reporting_Airline": "UA", "Origin": "JFK", "DepTime": 800}"""))
+
+    val flow = new DailyFlow(cfg)
+    flow.processDaily(spark, day1)
+
+    val afterDay1 = spark.read.table("flights_test")
+    assert(afterDay1.count() === 2)
+    // last flight of day 1 has no successor yet
+    val d1last = afterDay1.orderBy(desc("FlightTime")).head()
+    assert(d1last.isNullAt(d1last.fieldIndex("diff_next")))
+
+    flow.processDaily(spark, day2)
+    val afterDay2 = spark.read.table("flights_test")
+    assert(afterDay2.count() === 3)
+
+    // boundary fix: day-1 11:00 EST flight now points at day-2 08:00
+    val fixed = afterDay2
+      .where(col("FlightDate") === lit("2024-03-01").cast("date")
+        && col("DepTime") === 1100)
+      .head()
+    assert(fixed.getAs[String]("Reporting_Airline_next") === "UA")
+    // 2024-03-01 11:00 EST -> 2024-03-02 08:00 EST = 21h = 75600 s
+    assert(fixed.getAs[Long]("diff_next") === 75600L)
+
+    spark.sql("DROP TABLE IF EXISTS flights_test")
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Flatten
+
+/** Port of the reference's flatten unit test plus edge semantics
+  * (reference: tests/test_ingesta.py:10-26; SURVEY.md §1.2, §2.2 P1). */
+class FlattenSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("nested struct + array flattens to leaf columns, array explodes rows") {
+    val schema = StructType(Seq(
+      StructField("tupla", StructType(Seq(
+        StructField("a1", StringType), StructField("a2", StringType),
+        StructField("a3", StringType), StructField("a4", StringType)))),
+      StructField("nombre", StringType),
+      StructField("edad", LongType),
+      StructField("amigos", ArrayType(StructType(Seq(
+        StructField("b1", StringType), StructField("b2", StringType)))))))
+    val row = Row(Row("1", "2", "3", "4"), "Ana", 40L,
+      Seq(Row("x", "y"), Row("z", "w")))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(row)), schema)
+
+    val flat = Flatten.flatten(df)
+    assert(flat.columns.toSet ===
+      Set("a1", "a2", "a3", "a4", "nombre", "edad", "b1", "b2"))
+    assert(flat.count() === 2) // 2-element array explodes to 2 rows
+  }
+
+  test("explode drops rows with null or empty arrays (inner semantics)") {
+    val df = Seq(
+      ("keep", Seq(1, 2)),
+      ("empty", Seq.empty[Int]),
+    ).toDF("k", "arr")
+      .union(Seq(("null", null.asInstanceOf[Seq[Int]])).toDF("k", "arr"))
+    val flat = Flatten.flatten(df)
+    assert(flat.columns.toSet === Set("k", "arr"))
+    assert(flat.select("k").as[String].collect().toSet === Set("keep"))
+    assert(flat.count() === 2)
+  }
+
+  test("map columns are dropped (reference dispatch contract)") {
+    val df = Seq((1L, Map("a" -> 1))).toDF("id", "m")
+    val flat = Flatten.flatten(df)
+    assert(flat.columns.toSeq === Seq("id"))
+  }
+
+  test("deeply nested structures flatten level by level to unique leaves") {
+    val df = Seq((1L, "x")).toDF("id", "v").select(
+      col("id"),
+      struct(
+        struct(
+          struct(col("v").as("deep"), lit(2L).as("n")).as("inner"),
+          lit("m").as("mid")).as("middle"),
+        lit("o").as("outer")).as("nest"))
+    val flat = Flatten.flatten(df)
+    assert(flat.columns.toSet === Set("id", "deep", "n", "mid", "outer"))
+    assert(!flat.schema.fields.exists(f =>
+      f.dataType.isInstanceOf[StructType] || f.dataType.isInstanceOf[ArrayType]))
+    assert(flat.count() === 1)
+  }
+}
