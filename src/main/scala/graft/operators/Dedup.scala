@@ -1,0 +1,211 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operator family for large-scale text corpora — the
+ * LLM-training-pipeline extension of the engine (north star; no
+ * counterpart in the reference, which is purely relational ETL).
+ *
+ * Every operator here is built bucketed-by-design so the same plan
+ * holds at 100 TB:
+ *   - exact dedup shuffles once on the content hash;
+ *   - MinHash signatures are computed with H parallel min-aggregates
+ *     (map-side partial aggregation ⇒ shuffle volume is O(docs × H),
+ *     not O(shingles × H));
+ *   - LSH candidate generation self-joins on the (band, signature)
+ *     bucket key — never an all-pairs cross join;
+ *   - exact n-gram Jaccard runs only over the LSH-bounded candidate
+ *     set.
+ * All hashing is md5-based (codegen'd built-in) so results are
+ * portable to the DuckDB oracle; no UDFs anywhere.
+ */
+object Dedup {
+
+  /**
+   * Exact content dedup: group rows by md5(textCol), keep the row with
+   * the minimum idCol per group, and append `n_copies` (group size).
+   *
+   * Scale: one hash exchange on the content hash; both window
+   * functions share that single partitioning. Content hashes are
+   * uniformly distributed, so no skew handling is needed.
+   */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val byHash = Window.partitionBy(col("__content_hash"))
+    val pick = byHash.orderBy(col(idCol).asc)
+    df.withColumn("__content_hash", md5(col(textCol)))
+      .withColumn("__rn", row_number().over(pick))
+      .withColumn("n_copies", count(lit(1)).over(byHash))
+      .where(col("__rn") === 1)
+      .drop("__content_hash", "__rn")
+  }
+
+  /**
+   * Distinct word `n`-gram shingles: one `(idCol, shingle)` row per
+   * distinct shingle. Documents with fewer than `n` tokens produce no
+   * rows (explode-drops-empty semantics, consistent with the oracle's
+   * empty generate_series).
+   */
+  def shingles(
+      df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val w = split(col(textCol), " ")
+    val starts = when(size(w) >= n, sequence(lit(0), size(w) - n))
+      .otherwise(array().cast("array<int>"))
+    val sh = transform(starts, i => concat_ws(" ", slice(w, i + 1, lit(n))))
+    df.select(col(idCol), explode(array_distinct(sh)).as("shingle"))
+  }
+
+  /**
+   * Per-document MinHash signature vector: `sig[k] = min over shingles
+   * of md5("k:" || shingle)` (lexicographic min of hex strings — a
+   * portable, uniformly distributed stand-in for seeded integer hash
+   * permutations).
+   *
+   * Scale: a SINGLE groupBy(id) with `numHashes` min-aggregates —
+   * map-side partial aggregation collapses each partition to one row
+   * per (doc, hash) before the exchange, so shuffle volume is
+   * O(docs × H) regardless of shingle count.
+   */
+  def minhashSignatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 8,
+      shingleSize: Int = 3): DataFrame = {
+    val sh = shingles(df, idCol, textCol, shingleSize)
+    val mins = (0 until numHashes).map { k =>
+      min(md5(concat(lit(s"$k:"), col("shingle")))).as(s"__mh$k")
+    }
+    sh.groupBy(col(idCol))
+      .agg(mins.head, mins.tail: _*)
+      .select(
+        col(idCol),
+        array((0 until numHashes).map(k => col(s"__mh$k")): _*).as("sig"))
+  }
+
+  /**
+   * LSH banding: split each signature into `numBands` contiguous bands
+   * of `rowsPerBand` hashes; emit one `(idCol, band, band_sig)` row per
+   * band, where `band_sig` joins the band's hashes with "|".
+   */
+  def lshBands(sigs: DataFrame, idCol: String, rowsPerBand: Int): DataFrame = {
+    val bandArr = transform(
+      sequence(lit(0), (size(col("sig")) / rowsPerBand).cast("int") - 1),
+      i => array_join(slice(col("sig"), i * rowsPerBand + 1, lit(rowsPerBand)), "|"))
+    sigs.select(col(idCol), posexplode(bandArr).as(Seq("band", "band_sig")))
+  }
+
+  /**
+   * LSH candidate pairs with estimated Jaccard: documents sharing any
+   * band signature become a candidate `(doc_a < doc_b)` pair;
+   * `n_match`/`est_jaccard` count equal positions across the two full
+   * signature vectors.
+   *
+   * Scale: the pair generation shuffles on the (band, band_sig) bucket
+   * key — cost O(docs × bands) plus the within-bucket pair expansion
+   * (bounded by bucket sizes, which LSH keeps small for any non-
+   * pathological corpus; a giant bucket means the docs really are
+   * near-identical and belongs in dedup output anyway). Signature
+   * subtrees on both join sides are identical, so Spark's
+   * ReuseExchange evaluates the expensive aggregation once.
+   */
+  def minhashCandidates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 2,
+      shingleSize: Int = 3): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleSize)
+    val bands = lshBands(sigs, idCol, rowsPerBand)
+    val a = bands.select(
+      col("band"), col("band_sig"), col(idCol).as("doc_a"))
+    val b = bands.select(
+      col("band"), col("band_sig"), col(idCol).as("doc_b"))
+    val cand = a.join(b, Seq("band", "band_sig"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sa = sigs.select(col(idCol).as("doc_a"), col("sig").as("__sig_a"))
+    val sb = sigs.select(col(idCol).as("doc_b"), col("sig").as("__sig_b"))
+    val nMatch = size(filter(
+      zip_with(col("__sig_a"), col("__sig_b"), (x, y) => x === y),
+      m => m))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .select(
+        col("doc_a"), col("doc_b"),
+        nMatch.cast("long").as("n_match"),
+        (nMatch.cast("double") / numHashes).as("est_jaccard"))
+  }
+
+  /**
+   * Exact n-gram Jaccard over the LSH candidate set: |A∩B| via a
+   * shingle-keyed join restricted to candidate pairs, |A∪B| from the
+   * per-doc shingle counts. Output: (doc_a, doc_b, n_common, jaccard).
+   *
+   * Scale: the expensive exact comparison runs ONLY over candidates —
+   * O(candidates × shingles-per-doc) — the canonical
+   * cheap-filter-then-exact-verify pipeline shape.
+   */
+  def ngramJaccard(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 2,
+      shingleSize: Int = 3): DataFrame = {
+    val cand = minhashCandidates(
+      df, idCol, textCol, numHashes, rowsPerBand, shingleSize)
+      .select("doc_a", "doc_b")
+    val sh = shingles(df, idCol, textCol, shingleSize)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+    val inter = cand
+      .join(sh.select(col(idCol).as("doc_a"), col("shingle")), "doc_a")
+      .join(sh.select(col(idCol).as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col(idCol).as("doc_a"), col("__n").as("__na")), "doc_a")
+      .join(sizes.select(col(idCol).as("doc_b"), col("__n").as("__nb")), "doc_b")
+      .select(
+        col("doc_a"), col("doc_b"), col("n_common"),
+        (col("n_common").cast("double") /
+          (col("__na") + col("__nb") - col("n_common"))).as("jaccard"))
+  }
+
+  /**
+   * SimHash 64-bit fingerprint over distinct whitespace tokens,
+   * returned as a 64-char '0'/'1' string (bit j at position j).
+   *
+   * Each token hashes once to md5; bit j of the fingerprint is the
+   * sign of Σ_tokens (2·bit_j(md5(token)) − 1), where bit_j reads the
+   * j-th bit of the first 16 hex chars (4 bits per char, LSB-first
+   * within a char). Ties (Σ = 0) resolve to '0'.
+   *
+   * Scale: computed entirely with higher-order functions inside the
+   * row — ZERO shuffle, whole-stage-codegen'd; each token is md5'd
+   * once. (At extreme scale a global distinct-token dictionary join
+   * would amortize hashing across repeated tokens; unnecessary until
+   * token reuse across rows dominates.)
+   */
+  def simhash(textCol: Column): Column = {
+    val hashes = transform(array_distinct(split(textCol, " ")), t => md5(t))
+    val bits = transform(
+      sequence(lit(0), lit(63)),
+      j => {
+        val hexChar = (j / 4).cast("int") + 1
+        val bitPos = j % 4
+        val tally = aggregate(
+          hashes, lit(0),
+          (acc, h) => {
+            val c = ascii(h.substr(hexChar, lit(1)))
+            val v = when(c <= 57, c - 48).otherwise(c - 87)
+            val bit = (v / pow(lit(2.0), bitPos)).cast("int") % 2
+            acc + (bit * 2 - 1)
+          })
+        when(tally > 0, "1").otherwise("0")
+      })
+    array_join(bits, "")
+  }
+}

@@ -1,0 +1,165 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/**
+ * LLM-training-data pipeline query registry: dedup, similarity
+ * search, text analysis, multimodal — the north-star operator
+ * families layered on the relational core (no counterpart in the
+ * reference engine). Each query is paired with a DuckDB oracle in
+ * `oracles`; both sides share md5-based portable hashing and
+ * deterministic total ORDER BY.
+ */
+object PipelineQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.sources.Tables.load(s, dir, name)
+
+  /** `documents` plus exact duplicates injected deterministically
+    * (every 50th doc re-appears with doc_id + 100000), so exact-dedup
+    * has real work on the otherwise duplicate-free synthetic corpus. */
+  private def docsWithDups(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select("doc_id", "text")
+    d.unionByName(
+      d.where(col("doc_id") % 50 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact content dedup: one shuffle on md5(text), keep min doc_id.
+    "q15_exact_dedup" -> ((s, dir) => {
+      Dedup.exact(docsWithDups(s, dir), "text", "doc_id")
+        .select("doc_id", "n_copies")
+        .orderBy("doc_id")
+    }),
+
+    // MinHash/LSH near-dup candidates (8 hashes, 4 bands of 2) with
+    // signature-estimated Jaccard. Bucketed band self-join, never
+    // all-pairs.
+    "q16_minhash_pairs" -> ((s, dir) => {
+      Dedup.minhashCandidates(
+          t(s, dir, "documents"), "doc_id", "text",
+          numHashes = 8, rowsPerBand = 2, shingleSize = 3)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Exact word-3-gram Jaccard verification over the LSH candidates.
+    "q17_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccard(
+          t(s, dir, "documents"), "doc_id", "text",
+          numHashes = 8, rowsPerBand = 2, shingleSize = 3)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // SimHash 64-bit fingerprints — shuffle-free, codegen'd.
+    "q18_simhash" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simhash(col("text")).as("fingerprint"))
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q15_exact_dedup" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 50 = 0
+        |), g AS (
+        |  SELECT doc_id,
+        |    count(*) OVER (PARTITION BY md5(text)) AS n_copies,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM all_docs
+        |)
+        |SELECT doc_id, n_copies FROM g WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q16_minhash_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), idx AS (
+        |  SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i FROM toks
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM idx
+        |), mh AS (
+        |  SELECT doc_id, s.seed,
+        |    min(md5(CAST(s.seed AS VARCHAR) || ':' || shingle)) AS mh
+        |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0,7)) AS seed) s
+        |  GROUP BY doc_id, s.seed
+        |), bands AS (
+        |  SELECT doc_id, seed // 2 AS band, string_agg(mh, '|' ORDER BY seed) AS sig
+        |  FROM mh GROUP BY doc_id, seed // 2
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a
+        |  JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        |)
+        |SELECT c.doc_a, c.doc_b,
+        |  CAST(count(*) FILTER (ma.mh = mb.mh) AS BIGINT) AS n_match,
+        |  CAST(count(*) FILTER (ma.mh = mb.mh) AS DOUBLE) / 8.0 AS est_jaccard
+        |FROM cand c
+        |JOIN mh ma ON ma.doc_id = c.doc_a
+        |JOIN mh mb ON mb.doc_id = c.doc_b AND mb.seed = ma.seed
+        |GROUP BY c.doc_a, c.doc_b
+        |ORDER BY c.doc_a, c.doc_b""".stripMargin,
+
+    "q17_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), idx AS (
+        |  SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i FROM toks
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM idx
+        |), mh AS (
+        |  SELECT doc_id, s.seed,
+        |    min(md5(CAST(s.seed AS VARCHAR) || ':' || shingle)) AS mh
+        |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0,7)) AS seed) s
+        |  GROUP BY doc_id, s.seed
+        |), bands AS (
+        |  SELECT doc_id, seed // 2 AS band, string_agg(mh, '|' ORDER BY seed) AS sig
+        |  FROM mh GROUP BY doc_id, seed // 2
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a
+        |  JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT c.doc_a, c.doc_b, count(*) AS i
+        |  FROM cand c
+        |  JOIN sh sa ON sa.doc_id = c.doc_a
+        |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+        |  GROUP BY c.doc_a, c.doc_b
+        |)
+        |SELECT i.doc_a, i.doc_b, CAST(i.i AS BIGINT) AS n_common,
+        |  CAST(i.i AS DOUBLE) / (za.n + zb.n - i.i) AS jaccard
+        |FROM inter i
+        |JOIN sizes za ON za.doc_id = i.doc_a
+        |JOIN sizes zb ON zb.doc_id = i.doc_b
+        |ORDER BY i.doc_a, i.doc_b""".stripMargin,
+
+    "q18_simhash" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents
+        |), th AS (
+        |  SELECT doc_id, md5(tok) AS h FROM toks
+        |), bits AS (
+        |  SELECT doc_id, j.j,
+        |    CASE WHEN ascii(substr(h, 1 + (j.j // 4), 1)) <= 57
+        |         THEN ascii(substr(h, 1 + (j.j // 4), 1)) - 48
+        |         ELSE ascii(substr(h, 1 + (j.j // 4), 1)) - 87 END AS v
+        |  FROM th CROSS JOIN (SELECT unnest(generate_series(0,63)) AS j) j
+        |), contrib AS (
+        |  SELECT doc_id, j,
+        |    SUM(2 * ((v // CAST(POWER(2, j % 4) AS INT)) % 2) - 1) AS s
+        |  FROM bits GROUP BY doc_id, j
+        |)
+        |SELECT doc_id,
+        |  string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j)
+        |    AS fingerprint
+        |FROM contrib GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  )
+}

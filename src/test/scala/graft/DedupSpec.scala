@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+/** Unit tests for the dedup operator family (exact, MinHash/LSH,
+  * n-gram Jaccard, SimHash) on small hand-built corpora with
+  * hand-checkable goldens. */
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"), // near dup of 1
+    (4L, "completely different words appear in this one here now")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id per content group with n_copies") {
+    val out = Dedup.exact(corpus, "text", "doc_id")
+      .select("doc_id", "n_copies").orderBy("doc_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 2L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("shingles: distinct word n-grams; short docs drop out") {
+    val df = Seq((1L, "a b c d"), (2L, "a b")).toDF("doc_id", "text")
+    val sh = Dedup.shingles(df, "doc_id", "text", 3)
+      .as[(Long, String)].collect().toSet
+    assert(sh === Set((1L, "a b c"), (1L, "b c d"))) // doc 2: no rows
+  }
+
+  test("minhash signatures: identical docs get identical signatures") {
+    val sigs = Dedup.minhashSignatures(corpus, "doc_id", "text", 8, 3)
+      .select("doc_id", "sig").as[(Long, Seq[String])]
+      .collect().toMap
+    assert(sigs(1L) === sigs(2L))
+    assert(sigs(1L) !== sigs(4L))
+    assert(sigs(1L).length === 8)
+    // near-dup shares most minhashes with its source
+    assert(sigs(1L).zip(sigs(3L)).count { case (a, b) => a == b } >= 4)
+  }
+
+  test("LSH candidates find the exact and near pair, not the outlier") {
+    val cand = Dedup.minhashCandidates(corpus, "doc_id", "text", 8, 2, 3)
+      .select("doc_a", "doc_b", "n_match", "est_jaccard")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(cand.contains((1L, 2L)))
+    assert(cand((1L, 2L)) === ((8L, 1.0)))
+    assert(!cand.keySet.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("exact n-gram Jaccard on candidates: dup=1.0, near-dup correct") {
+    val j = Dedup.ngramJaccard(corpus, "doc_id", "text", 8, 2, 3)
+      .select("doc_a", "doc_b", "n_common", "jaccard")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(j((1L, 2L)) === ((7L, 1.0)))
+    // docs 1 and 3 share 6 of their 7 3-shingles -> J = 6/8
+    j.get((1L, 3L)).foreach { case (common, jac) =>
+      assert(common === 6L)
+      assert(jac === 6.0 / 8.0)
+    }
+  }
+
+  test("simhash: 64-bit fingerprint, equal for dups, near for near-dups") {
+    val fp = corpus
+      .select(col("doc_id"), Dedup.simhash(col("text")).as("fp"))
+      .as[(Long, String)].collect().toMap
+    assert(fp.values.forall(f => f.length == 64 && f.forall(c => c == '0' || c == '1')))
+    assert(fp(1L) === fp(2L))
+    def hamming(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    assert(hamming(fp(1L), fp(3L)) < hamming(fp(1L), fp(4L)))
+  }
+}
