@@ -1,0 +1,163 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over embedding columns (`array<float>`) — the
+ * approximate-nearest-neighbor extension of the engine (north star;
+ * no counterpart in the reference).
+ *
+ * All vector math is built from codegen'd higher-order functions
+ * (`zip_with`/`aggregate`) in DOUBLE precision — no UDFs — so the
+ * arithmetic is portable to the DuckDB oracle. Dot products
+ * accumulate left-to-right (sequential IEEE sum), deterministic
+ * across runs.
+ */
+object Similarity {
+
+  /** Cast an array<float> column to array<double>. */
+  def toDoubleVec(v: Column): Column = transform(v, _.cast("double"))
+
+  /** Sequential dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+
+  /** L2 norm. */
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
+  /**
+   * Exact cosine top-k: for each probe vector, the k nearest corpus
+   * vectors by cosine similarity (self-matches excluded; ties broken
+   * by ascending corpus id).
+   *
+   * Output: (probe_id, vec_id, rank, cosine).
+   *
+   * Scale: the probe side is broadcast (probe sets are small by
+   * definition), so the corpus is scanned once with no shuffle for
+   * the scoring pass. Top-k is TWO-PHASE: a per-Spark-partition
+   * group-collect keeps only k rows per (probe, partition) — map-side
+   * partial aggregation — so the exchange moves O(partitions × probes
+   * × k) rows, not O(corpus × probes). The final window ranks that
+   * bounded set. This plan survives a 100× corpus: the shuffle volume
+   * is independent of corpus size.
+   */
+  def cosineTopK(
+      corpus: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val c = corpus.select(
+      col(idCol).as("vec_id"), toDoubleVec(col(vecCol)).as("__v"))
+      .withColumn("__vnorm", norm(col("__v")))
+    val p = probes.select(
+      col(idCol).as("probe_id"), toDoubleVec(col(vecCol)).as("__p"))
+      .withColumn("__pnorm", norm(col("__p")))
+    val scored = c.crossJoin(broadcast(p))
+      .where(col("vec_id") =!= col("probe_id"))
+      .withColumn(
+        "__cos",
+        dot(col("__v"), col("__p")) / (col("__vnorm") * col("__pnorm")))
+      .select("probe_id", "vec_id", "__cos")
+
+    // Phase 1: per-partition top-k (negated cosine => ascending struct
+    // sort == descending cosine, id tiebreak). Bounded memory per
+    // group: collect_list holds one partition's candidates only.
+    val local = scored
+      .withColumn("__pid", spark_partition_id())
+      .groupBy("probe_id", "__pid")
+      .agg(
+        slice(
+          sort_array(collect_list(struct(
+            (-col("__cos")).as("neg"),
+            col("vec_id").as("vec_id"),
+            col("__cos").as("cos")))),
+          1, k).as("__top"))
+      .select(col("probe_id"), explode(col("__top")).as("__t"))
+      .select(
+        col("probe_id"),
+        col("__t.vec_id").as("vec_id"),
+        col("__t.cos").as("__cos"))
+
+    // Phase 2: global rank over the bounded candidate set.
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("__cos").desc, col("vec_id").asc)
+    local
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(
+        col("probe_id"), col("vec_id"), col("rank"),
+        col("__cos").as("cosine"))
+  }
+
+  /**
+   * Signed-random-projection LSH bucket key: `numPlanes` Rademacher
+   * (±1) hyperplanes derived portably from md5 — component (p, d) is
+   * +1 when the first hex digit of md5("p:d") is < 8, else −1 — so
+   * any engine can reproduce the same buckets with no shared state.
+   * The bucket is the concatenated sign bits of the projections.
+   *
+   * Scale: computed entirely within the row (zero shuffle); the
+   * downstream group-by-bucket is the only exchange, keyed by a
+   * short string. This is the 100 TB path: exact cosine runs only
+   * within buckets, never across the full corpus.
+   */
+  def srpBucket(vecCol: Column, numPlanes: Int): Column = {
+    val v = toDoubleVec(vecCol)
+    val dims = sequence(lit(0), size(v) - 1)
+    val bits = transform(
+      sequence(lit(0), lit(numPlanes - 1)),
+      p => {
+        val proj = aggregate(
+          zip_with(v, dims, (x, d) => {
+            val c = ascii(substring(
+              md5(concat(p.cast("string"), lit(":"), d.cast("string"))), 1, 1))
+            val hexVal = when(c <= 57, c - 48).otherwise(c - 87)
+            x * when(hexVal < 8, 1.0).otherwise(-1.0)
+          }),
+          lit(0.0), _ + _)
+        when(proj > 0, "1").otherwise("0")
+      })
+    array_join(bits, "")
+  }
+
+  /**
+   * Bucketed near-duplicate candidates: vectors sharing an SRP bucket
+   * form (a < b) pairs scored with exact cosine; pairs at or above
+   * `minCosine` survive.
+   *
+   * Output: (vec_a, vec_b, cosine).
+   *
+   * Scale: the self-join shuffles on the bucket key — O(n · 1) rows
+   * each side — and the quadratic pair expansion is confined to
+   * within-bucket groups (expected size n / 2^numPlanes). The
+   * all-pairs cross join never happens.
+   */
+  def lshNearDup(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numPlanes: Int,
+      minCosine: Double): DataFrame = {
+    val withBucket = corpus.select(
+      col(idCol).as("id"),
+      toDoubleVec(col(vecCol)).as("__v"),
+      srpBucket(col(vecCol), numPlanes).as("__bucket"))
+      .withColumn("__norm", norm(col("__v")))
+    val a = withBucket.select(
+      col("__bucket"), col("id").as("vec_a"),
+      col("__v").as("__va"), col("__norm").as("__na"))
+    val b = withBucket.select(
+      col("__bucket"), col("id").as("vec_b"),
+      col("__v").as("__vb"), col("__norm").as("__nb"))
+    a.join(b, Seq("__bucket"))
+      .where(col("vec_a") < col("vec_b"))
+      .withColumn(
+        "cosine",
+        dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+      .where(col("cosine") >= minCosine)
+      .select("vec_a", "vec_b", "cosine")
+  }
+}

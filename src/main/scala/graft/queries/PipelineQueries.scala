@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.Dedup
+import graft.operators.{Dedup, Similarity}
 
 /**
  * LLM-training-data pipeline query registry: dedup, similarity
@@ -59,6 +59,36 @@ object PipelineQueries {
       t(s, dir, "documents")
         .select(col("doc_id"), Dedup.simhash(col("text")).as("fingerprint"))
         .orderBy("doc_id")
+    }),
+
+    // Brute-force cosine top-k: 5 probes, k=10, two-phase partial
+    // top-k (shuffle volume independent of corpus size).
+    "q19_cosine_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.cosineTopK(
+          e, e.where(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("probe_id", "rank")
+    }),
+
+    // SRP-LSH bucket assignment (8 md5-derived Rademacher planes) —
+    // the scale path for ANN: per-row compute, no shuffle.
+    "q20_ann_buckets" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .select(
+          col("vec_id"),
+          Similarity.srpBucket(col("embedding"), numPlanes = 8).as("bucket"))
+        .orderBy("vec_id")
+    }),
+
+    // Bucketed embedding near-dup: exact cosine only within SRP
+    // buckets (never all-pairs), threshold 0.35.
+    "q21_embed_neardup" -> ((s, dir) => {
+      Similarity.lshNearDup(
+          t(s, dir, "embeddings"), "vec_id", "embedding",
+          numPlanes = 8, minCosine = 0.35)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("vec_a", "vec_b")
     })
   )
 
@@ -160,6 +190,94 @@ object PipelineQueries {
         |SELECT doc_id,
         |  string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j)
         |    AS fingerprint
-        |FROM contrib GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM contrib GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q19_cosine_topk" ->
+      """WITH el AS (
+        |  SELECT vec_id, generate_subscripts(embedding,1) AS d,
+        |         unnest(embedding)::DOUBLE AS x
+        |  FROM embeddings
+        |), nrm AS (
+        |  SELECT vec_id, sqrt(SUM(x*x)) AS n FROM el GROUP BY vec_id
+        |), pr AS (
+        |  SELECT vec_id AS probe_id, d, x FROM el WHERE vec_id < 5
+        |), dots AS (
+        |  SELECT p.probe_id, e.vec_id, SUM(p.x * e.x) AS dp
+        |  FROM pr p JOIN el e ON e.d = p.d AND e.vec_id <> p.probe_id
+        |  GROUP BY 1, 2
+        |), cs AS (
+        |  SELECT d.probe_id, d.vec_id, d.dp / (np.n * nv.n) AS cosine
+        |  FROM dots d
+        |  JOIN nrm np ON np.vec_id = d.probe_id
+        |  JOIN nrm nv ON nv.vec_id = d.vec_id
+        |)
+        |SELECT probe_id, vec_id, CAST(rank AS INT) AS rank,
+        |  round(cosine, 6) AS cosine
+        |FROM (
+        |  SELECT probe_id, vec_id, cosine,
+        |    row_number() OVER (PARTITION BY probe_id
+        |                       ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM cs)
+        |WHERE rank <= 10
+        |ORDER BY probe_id, rank""".stripMargin,
+
+    "q20_ann_buckets" ->
+      """WITH el AS (
+        |  SELECT vec_id, generate_subscripts(embedding,1)-1 AS d,
+        |         unnest(embedding)::DOUBLE AS x
+        |  FROM embeddings
+        |), comp AS (
+        |  SELECT vec_id, p.p,
+        |    SUM(x * CASE WHEN (
+        |      CASE WHEN ascii(substr(md5(CAST(p.p AS VARCHAR) || ':' || CAST(d AS VARCHAR)),1,1)) <= 57
+        |           THEN ascii(substr(md5(CAST(p.p AS VARCHAR) || ':' || CAST(d AS VARCHAR)),1,1)) - 48
+        |           ELSE ascii(substr(md5(CAST(p.p AS VARCHAR) || ':' || CAST(d AS VARCHAR)),1,1)) - 87
+        |      END) < 8 THEN 1.0 ELSE -1.0 END) AS s
+        |  FROM el CROSS JOIN (SELECT unnest(generate_series(0,7)) AS p) p
+        |  GROUP BY vec_id, p.p
+        |)
+        |SELECT vec_id,
+        |  string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY p)
+        |    AS bucket
+        |FROM comp GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "q21_embed_neardup" ->
+      """WITH el AS (
+        |  SELECT vec_id, generate_subscripts(embedding,1)-1 AS d,
+        |         unnest(embedding)::DOUBLE AS x
+        |  FROM embeddings
+        |), comp AS (
+        |  SELECT vec_id, p.p,
+        |    SUM(x * CASE WHEN (
+        |      CASE WHEN ascii(substr(md5(CAST(p.p AS VARCHAR) || ':' || CAST(d AS VARCHAR)),1,1)) <= 57
+        |           THEN ascii(substr(md5(CAST(p.p AS VARCHAR) || ':' || CAST(d AS VARCHAR)),1,1)) - 48
+        |           ELSE ascii(substr(md5(CAST(p.p AS VARCHAR) || ':' || CAST(d AS VARCHAR)),1,1)) - 87
+        |      END) < 8 THEN 1.0 ELSE -1.0 END) AS s
+        |  FROM el CROSS JOIN (SELECT unnest(generate_series(0,7)) AS p) p
+        |  GROUP BY vec_id, p.p
+        |), buckets AS (
+        |  SELECT vec_id,
+        |    string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY p)
+        |      AS bucket
+        |  FROM comp GROUP BY vec_id
+        |), nrm AS (
+        |  SELECT vec_id, sqrt(SUM(x*x)) AS n FROM el GROUP BY vec_id
+        |), pairs AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM buckets a
+        |  JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |), dots AS (
+        |  SELECT p.vec_a, p.vec_b, SUM(ea.x * eb.x) AS dp
+        |  FROM pairs p
+        |  JOIN el ea ON ea.vec_id = p.vec_a
+        |  JOIN el eb ON eb.vec_id = p.vec_b AND eb.d = ea.d
+        |  GROUP BY 1, 2
+        |)
+        |SELECT d.vec_a, d.vec_b, round(d.dp/(na.n*nb.n), 6) AS cosine
+        |FROM dots d
+        |JOIN nrm na ON na.vec_id = d.vec_a
+        |JOIN nrm nb ON nb.vec_id = d.vec_b
+        |WHERE d.dp/(na.n*nb.n) >= 0.35
+        |ORDER BY vec_a, vec_b""".stripMargin
   )
 }

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+
+/** Unit tests for similarity search: cosine math goldens, two-phase
+  * top-k vs a naive reference, and SRP-LSH bucket invariants. */
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)), // near vec 0
+    (2L, Array(0.0f, 1.0f, 0.0f)), // orthogonal to vec 0
+    (3L, Array(-1.0f, 0.0f, 0.0f)), // opposite of vec 0
+    (4L, Array(2.0f, 0.0f, 0.0f)) // same direction as vec 0, scaled
+  ).toDF("vec_id", "embedding")
+
+  test("cosine golden values: identical direction 1, orthogonal 0, opposite -1") {
+    val out = Similarity.cosineTopK(
+      vecs, vecs.where($"vec_id" === 0), "vec_id", "embedding", k = 4)
+      .select("vec_id", "rank", "cosine")
+      .as[(Long, Int, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(4L)._2 === 1.0) // scaled copy: cosine exactly 1
+    assert(out(2L)._2 === 0.0)
+    assert(out(3L)._2 === -1.0)
+    assert(out(4L)._1 === 1) // rank 1: cosine 1.0
+    assert(out(3L)._1 === 4) // rank 4 (last): cosine -1
+    assert(math.abs(out(1L)._2 - 0.9 / math.sqrt(0.82)) < 1e-6)
+  }
+
+  test("two-phase top-k truncates to k with deterministic tiebreak") {
+    val out = Similarity.cosineTopK(
+      vecs, vecs.where($"vec_id" < 2), "vec_id", "embedding", k = 2)
+    val byProbe = out.select("probe_id", "vec_id", "rank")
+      .as[(Long, Long, Int)].collect().groupBy(_._1)
+    assert(byProbe.keySet === Set(0L, 1L))
+    assert(byProbe.values.forall(_.length == 2))
+    assert(byProbe(0L).map(_._2).toSet === Set(4L, 1L)) // nearest two to vec 0
+  }
+
+  test("SRP buckets: scaled copies share a bucket, opposites do not") {
+    val b = vecs
+      .select($"vec_id", Similarity.srpBucket($"embedding", 8).as("bucket"))
+      .as[(Long, String)].collect().toMap
+    assert(b.values.forall(s => s.length == 8 && s.forall(c => c == '0' || c == '1')))
+    assert(b(0L) === b(4L)) // scaling never changes projection signs
+    assert(b(0L) !== b(3L)) // negation flips every non-zero sign
+  }
+
+  test("lshNearDup finds the scaled pair with cosine 1.0, never cross-bucket") {
+    val out = Similarity.lshNearDup(vecs, "vec_id", "embedding", 8, 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out.contains((0L, 4L)))
+    assert(out((0L, 4L)) === 1.0)
+    assert(!out.contains((0L, 3L))) // opposite: different bucket
+  }
+}
