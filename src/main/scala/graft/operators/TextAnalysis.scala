@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis column functions for corpus curation: token counting,
+ * lexical-quality features, n-gram-heuristic language ID, and
+ * document fingerprinting — the text-statistics extension of the
+ * engine (north star; no counterpart in the reference).
+ *
+ * Everything is a pure Column expression over built-ins (split /
+ * filter / regexp_* higher-order functions): per-row compute, zero
+ * shuffle, whole-stage codegen — the per-document cost is constant,
+ * so the operators scale linearly with the corpus.
+ */
+object TextAnalysis {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Count of tokens matching a regex pattern — a BPE-ish "word or
+    * number or symbol run" tokenizer when used with
+    * `"[a-z]+|[0-9]+|[^a-z0-9 ]+"`. */
+  def regexTokenCount(text: Column, pattern: String): Column =
+    regexp_count(text, lit(pattern))
+
+  /** How many of the doc's tokens appear in `vocab` (with repeats). */
+  def vocabHits(text: Column, vocab: Seq[String]): Column =
+    size(filter(tokens(text), t => array_contains(array(vocab.map(lit): _*), t)))
+
+  /** Type-token ratio (lexical diversity): distinct / total tokens. */
+  def typeTokenRatio(text: Column): Column =
+    size(array_distinct(tokens(text))).cast("double") / tokenCount(text)
+
+  /** Stopword-profile language ID: score each candidate language by
+    * stopword hits; argmax with a fixed preference order on ties,
+    * `"und"` (undetermined) when nothing matches. The profiles are
+    * standard high-frequency function words — the classic cheap
+    * n-gram/stopword heuristic for corpus routing. */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "se"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "den", "ein"))
+
+  def langId(text: Column): Column = {
+    val hits = langProfiles.map { case (l, vocab) => l -> vocabHits(text, vocab) }
+    // argmax in declaration order: earlier languages win ties.
+    hits.foldRight(lit("und")) { case ((l, h), els) =>
+      val beatsLater = hits.dropWhile(_._1 != l).drop(1)
+        .map(_._2).foldLeft(lit(true))((acc, other) => acc && h >= other)
+      when(h > 0 && beatsLater, l).otherwise(els)
+    }
+  }
+
+  /** Canonical document fingerprint: md5 of the lower-cased,
+    * whitespace-collapsed, trimmed text — the exact-dedup key that is
+    * robust to case and spacing noise. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+}

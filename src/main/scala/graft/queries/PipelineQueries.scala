@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Similarity, TextAnalysis}
 
 /**
  * LLM-training-data pipeline query registry: dedup, similarity
@@ -89,6 +89,68 @@ object PipelineQueries {
           numPlanes = 8, minCosine = 0.35)
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("vec_a", "vec_b")
+    }),
+
+    // Per-language corpus statistics (counts exact; avg from exact
+    // integer sums).
+    "q22_text_stats" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_chars").as("total_chars"),
+          sum(TextAnalysis.tokenCount(col("text"))).as("total_tokens"),
+          (sum("n_chars").cast("double") / count(lit(1))).as("avg_chars"),
+          countDistinct("source").as("n_sources"))
+        .orderBy("lang")
+    }),
+
+    // Per-document quality features: lexical diversity, stopword
+    // ratio, mean token length, composite score.
+    "q23_quality_score" -> ((s, dir) => {
+      val nTok = TextAnalysis.tokenCount(col("text"))
+      val ttr = TextAnalysis.typeTokenRatio(col("text"))
+      val stopRatio = TextAnalysis.vocabHits(
+        col("text"), Seq("the", "a", "of", "and", "is", "to"))
+        .cast("double") / nTok
+      val meanTokLen =
+        (length(col("text")) - (nTok - 1)).cast("double") / nTok
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          nTok.as("n_tokens"),
+          length(col("text")).as("n_chars"),
+          round(ttr, 6).as("ttr"),
+          round(stopRatio, 6).as("stop_ratio"),
+          round(meanTokLen, 6).as("mean_tok_len"),
+          round(ttr * 0.5 + (lit(1.0) - stopRatio) * 0.5, 6).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // Stopword-profile language ID (argmax with declaration-order
+    // tiebreak) — the classic cheap corpus-routing heuristic.
+    "q24_lang_id" -> ((s, dir) => {
+      val hits = TextAnalysis.langProfiles.map { case (l, vocab) =>
+        TextAnalysis.vocabHits(col("text"), vocab).as(s"${l}_hits")
+      }
+      t(s, dir, "documents")
+        .select(
+          col("doc_id") +: hits :+
+            TextAnalysis.langId(col("text")).as("predicted"): _*)
+        .orderBy("doc_id")
+    }),
+
+    // Token counting (whitespace + BPE-ish regex) and canonical
+    // normalized-text fingerprint.
+    "q25_token_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("ws_tokens"),
+          TextAnalysis.regexTokenCount(
+            col("text"), "[a-z]+|[0-9]+|[^a-z0-9 ]+").as("regex_tokens"),
+          TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")
     })
   )
 
@@ -278,6 +340,66 @@ object PipelineQueries {
         |JOIN nrm na ON na.vec_id = d.vec_a
         |JOIN nrm nb ON nb.vec_id = d.vec_b
         |WHERE d.dp/(na.n*nb.n) >= 0.35
-        |ORDER BY vec_a, vec_b""".stripMargin
+        |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "q22_text_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+        |  count(DISTINCT source) AS n_sources
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q23_quality_score" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        |    CAST(length(text) AS INT) AS n_chars,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS n_distinct,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> list_contains(['the','a','of','and','is','to'], t))) AS DOUBLE)
+        |      AS n_stop
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_tokens, n_chars,
+        |  round(n_distinct / n_tokens, 6) AS ttr,
+        |  round(n_stop / n_tokens, 6) AS stop_ratio,
+        |  round(CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens, 6)
+        |    AS mean_tok_len,
+        |  round((n_distinct / n_tokens) * 0.5 + (1.0 - n_stop / n_tokens) * 0.5, 6)
+        |    AS quality
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q24_lang_id" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> list_contains(['the','a','of','and','is','to','in','it'], t))) AS INT) AS en_hits,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> list_contains(['el','la','de','que','y','en','los','se'], t))) AS INT) AS es_hits,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> list_contains(['le','la','de','et','les','des','un','une'], t))) AS INT) AS fr_hits,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> list_contains(['der','die','und','das','ist','von','den','ein'], t))) AS INT) AS de_hits
+        |  FROM documents
+        |)
+        |SELECT doc_id, en_hits, es_hits, fr_hits, de_hits,
+        |  CASE
+        |    WHEN en_hits > 0 AND en_hits >= es_hits AND en_hits >= fr_hits
+        |         AND en_hits >= de_hits THEN 'en'
+        |    WHEN es_hits > 0 AND es_hits >= fr_hits AND es_hits >= de_hits
+        |         THEN 'es'
+        |    WHEN fr_hits > 0 AND fr_hits >= de_hits THEN 'fr'
+        |    WHEN de_hits > 0 THEN 'de'
+        |    ELSE 'und' END AS predicted
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q25_token_fingerprint" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]+')) AS INT)
+        |    AS regex_tokens,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

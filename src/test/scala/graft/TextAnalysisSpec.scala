@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextAnalysis
+
+/** Goldens for the text-analysis column functions. */
+class TextAnalysisSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def one(text: String) = Seq(Tuple1(text)).toDF("text")
+
+  test("token counting: whitespace and regex tokenizers") {
+    val df = one("the cat sat on 42 mats!")
+      .select(
+        TextAnalysis.tokenCount($"text").as("ws"),
+        TextAnalysis.regexTokenCount($"text", "[a-z]+|[0-9]+|[^a-z0-9 ]+").as("rx"))
+    val r = df.as[(Int, Int)].head()
+    assert(r._1 === 6)
+    assert(r._2 === 7) // "the","cat","sat","on","42","mats","!"
+  }
+
+  test("type-token ratio and vocab hits") {
+    val r = one("a b a c")
+      .select(
+        TextAnalysis.typeTokenRatio($"text").as("ttr"),
+        TextAnalysis.vocabHits($"text", Seq("a", "c")).as("hits"))
+      .as[(Double, Int)].head()
+    assert(r._1 === 0.75) // 3 distinct / 4 tokens
+    assert(r._2 === 3) // a, a, c
+  }
+
+  test("language ID picks the dominant stopword profile") {
+    val cases = Seq(
+      "the cat is on the mat and it is fine" -> "en",
+      "el perro y la casa de que se ve en la calle" -> "es",
+      "der hund und die katze ist von den leuten ein tier" -> "de",
+      "xyzzy plugh quux" -> "und")
+    cases.foreach { case (text, expected) =>
+      val got = one(text).select(TextAnalysis.langId($"text")).as[String].head()
+      assert(got === expected, s"for: $text")
+    }
+  }
+
+  test("fingerprint is case/whitespace-insensitive, content-sensitive") {
+    def fp(s: String) =
+      one(s).select(TextAnalysis.fingerprint($"text")).as[String].head()
+    assert(fp("Hello  World") === fp("  hello world "))
+    assert(fp("hello world") !== fp("hello mars"))
+  }
+}
