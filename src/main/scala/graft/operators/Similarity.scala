@@ -92,35 +92,44 @@ object Similarity {
         col("__cos").as("cosine"))
   }
 
+  /** Rademacher hyperplane component (p, d): +1 when the first hex
+    * digit of md5("p:d") is < 8, else −1 — a portable derivation any
+    * engine (and the DuckDB oracle) reproduces with no shared state. */
+  private def srpSign(p: Int, d: Int): Double = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p:$d".getBytes("UTF-8"))
+    if (((digest(0) >> 4) & 0xf) < 8) 1.0 else -1.0
+  }
+
   /**
    * Signed-random-projection LSH bucket key: `numPlanes` Rademacher
-   * (±1) hyperplanes derived portably from md5 — component (p, d) is
-   * +1 when the first hex digit of md5("p:d") is < 8, else −1 — so
-   * any engine can reproduce the same buckets with no shared state.
-   * The bucket is the concatenated sign bits of the projections.
+   * (±1) hyperplanes; the bucket is the concatenated sign bits of the
+   * projections.
+   *
+   * The hyperplane matrix is DATA-INDEPENDENT, so it is precomputed
+   * driver-side (one md5 per (plane, dim), ~8×1024 total) and shipped
+   * into the plan as an array literal — the per-row cost is a pure
+   * multiply-add, not numPlanes × dims md5 calls (a ~500× hashing
+   * saving per row at 64 dims / 8 planes).
    *
    * Scale: computed entirely within the row (zero shuffle); the
    * downstream group-by-bucket is the only exchange, keyed by a
    * short string. This is the 100 TB path: exact cosine runs only
-   * within buckets, never across the full corpus.
+   * within buckets, never across the full corpus. Vectors wider than
+   * `maxDims` would be silently truncated by the slice — raise
+   * `maxDims` for such corpora (literal cost is one flat double
+   * array per plane).
    */
-  def srpBucket(vecCol: Column, numPlanes: Int): Column = {
+  def srpBucket(vecCol: Column, numPlanes: Int, maxDims: Int = 1024): Column = {
     val v = toDoubleVec(vecCol)
-    val dims = sequence(lit(0), size(v) - 1)
-    val bits = transform(
-      sequence(lit(0), lit(numPlanes - 1)),
-      p => {
-        val proj = aggregate(
-          zip_with(v, dims, (x, d) => {
-            val c = ascii(substring(
-              md5(concat(p.cast("string"), lit(":"), d.cast("string"))), 1, 1))
-            val hexVal = when(c <= 57, c - 48).otherwise(c - 87)
-            x * when(hexVal < 8, 1.0).otherwise(-1.0)
-          }),
-          lit(0.0), _ + _)
-        when(proj > 0, "1").otherwise("0")
-      })
-    array_join(bits, "")
+    val bits = (0 until numPlanes).map { p =>
+      val planeSigns = typedLit((0 until maxDims).map(d => srpSign(p, d)))
+      val proj = aggregate(
+        zip_with(v, slice(planeSigns, lit(1), size(v)), _ * _),
+        lit(0.0), _ + _)
+      when(proj > 0, "1").otherwise("0")
+    }
+    concat(bits: _*)
   }
 
   /**

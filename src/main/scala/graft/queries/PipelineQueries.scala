@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /**
  * LLM-training-data pipeline query registry: dedup, similarity
@@ -54,10 +54,12 @@ object PipelineQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
-    // SimHash 64-bit fingerprints — shuffle-free, codegen'd.
+    // SimHash 64-bit fingerprints — shuffle-free, via the custom
+    // codegen'd Catalyst expression (bit-identical to the HOF
+    // formulation and the DuckDB oracle).
     "q18_simhash" -> ((s, dir) => {
       t(s, dir, "documents")
-        .select(col("doc_id"), Dedup.simhash(col("text")).as("fingerprint"))
+        .select(col("doc_id"), Dedup.simhashFast(col("text")).as("fingerprint"))
         .orderBy("doc_id")
     }),
 
@@ -151,6 +153,39 @@ object PipelineQueries {
             col("text"), "[a-z]+|[0-9]+|[^a-z0-9 ]+").as("regex_tokens"),
           TextAnalysis.fingerprint(col("text")).as("fingerprint"))
         .orderBy("doc_id")
+    }),
+
+    // Multimodal binary columns: payload digests, base64/hex peeks,
+    // typed media metadata + aspect-preserving resize arithmetic —
+    // all codegen'd binary built-ins, zero shuffle.
+    "q26_binary_stats" -> ((s, dir) => {
+      val m = Multimodal.synthesize(t(s, dir, "documents"), "doc_id", "text")
+      val rd = Multimodal.resizeDims(col("media"), maxDim = 128)
+      m.select(
+          col("doc_id"),
+          col("media.format").as("format"),
+          col("media.width").as("width"),
+          col("media.height").as("height"),
+          Multimodal.nBytes(col("payload")).as("n_bytes"),
+          Multimodal.sha256Hex(col("payload")).as("sha256"),
+          Multimodal.md5Hex(col("payload")).as("md5"),
+          Multimodal.b64(col("payload")).substr(1, 24).as("b64_head"),
+          Multimodal.hexHead(col("payload"), 8).as("hex_head"),
+          rd.getField("out_w").as("out_w"),
+          rd.getField("out_h").as("out_h"))
+        .orderBy("doc_id")
+    }),
+
+    // Frame sampling over binary payloads (video-chunking shape):
+    // 32-byte frames at stride 64 via sequence + posexplode + substr.
+    "q27_frame_sample" -> ((s, dir) => {
+      val m = Multimodal.synthesize(t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.frames(m, "doc_id", "payload", frameSize = 32, stride = 64)
+        .select(
+          col("doc_id"), col("frame_idx"),
+          Multimodal.nBytes(col("frame")).as("frame_bytes"),
+          hex(col("frame")).as("frame_hex"))
+        .orderBy("doc_id", "frame_idx")
     })
   )
 
@@ -400,6 +435,36 @@ object PipelineQueries {
         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]+')) AS INT)
         |    AS regex_tokens,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q26_binary_stats" ->
+      """SELECT doc_id,
+        |  ['png','jpeg','webp'][CAST(doc_id % 3 + 1 AS INT)] AS format,
+        |  CAST(64 * (doc_id % 4 + 1) AS INT) AS width,
+        |  CAST(64 * (doc_id % 3 + 1) AS INT) AS height,
+        |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |  sha256(text) AS sha256,
+        |  md5(text) AS md5,
+        |  substr(base64(encode(text)), 1, 24) AS b64_head,
+        |  hex(encode(substr(text, 1, 8))) AS hex_head,
+        |  CAST(floor(64*(doc_id%4+1) * least(1.0,
+        |    128.0/greatest(64*(doc_id%4+1), 64*(doc_id%3+1)))) AS INT) AS out_w,
+        |  CAST(floor(64*(doc_id%3+1) * least(1.0,
+        |    128.0/greatest(64*(doc_id%4+1), 64*(doc_id%3+1)))) AS INT) AS out_h
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q27_frame_sample" ->
+      """WITH pos AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(1, length(text), 64)) AS p,
+        |    generate_subscripts(generate_series(1, length(text), 64), 1) - 1
+        |      AS frame_idx
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+        |  CAST(octet_length(encode(substr(text, CAST(p AS INT), 32))) AS INT)
+        |    AS frame_bytes,
+        |  hex(encode(substr(text, CAST(p AS INT), 32))) AS frame_hex
+        |FROM pos ORDER BY doc_id, frame_idx""".stripMargin
   )
 }

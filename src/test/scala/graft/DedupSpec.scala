@@ -76,4 +76,18 @@ class DedupSpec extends AnyFunSuite {
     def hamming(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
     assert(hamming(fp(1L), fp(3L)) < hamming(fp(1L), fp(4L)))
   }
+
+  test("simhashFast (codegen'd expression) is bit-identical to the HOF reference") {
+    val edgeCases = Seq(
+      (100L, "single"),
+      (101L, "double  space trailing "), // empty tokens from split(-1)
+      (102L, "a b c a b c repeated tokens")
+    ).toDF("doc_id", "text")
+    val both = corpus.unionByName(edgeCases)
+      .select(
+        Dedup.simhash(col("text")).as("ref"),
+        Dedup.simhashFast(col("text")).as("fast"))
+      .as[(String, String)].collect()
+    both.foreach { case (ref, fast) => assert(ref === fast) }
+  }
 }

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Multimodal
+
+/** Unit tests for multimodal binary-column handling: payload
+  * synthesis, digests, frame slicing, resize arithmetic, and the
+  * batched decode-stub plumbing (schema / determinism / batch shape). */
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "abcd"),
+    (1L, "hello world, a somewhat longer payload for slicing tests"),
+    (2L, "")
+  ).toDF("doc_id", "text")
+
+  test("synthesize: payload is UTF-8 bytes, media struct typed and deterministic") {
+    val m = Multimodal.synthesize(docs, "doc_id", "text")
+    assert(m.schema("payload").dataType.typeName === "binary")
+    val row = m.where($"doc_id" === 1).select("media.format", "media.width", "media.height")
+      .as[(String, Int, Int)].head()
+    assert(row === (("jpeg", 128, 128))) // id 1: format idx 2, 64*(1%4+1), 64*(1%3+1)
+    val bytes = m.where($"doc_id" === 0).select("payload").as[Array[Byte]].head()
+    assert(bytes.toSeq === "abcd".getBytes("UTF-8").toSeq)
+  }
+
+  test("digests and peeks match java.security golden values") {
+    val m = Multimodal.synthesize(docs, "doc_id", "text")
+    val (sha, md, b64head, hexhead, n) = m.where($"doc_id" === 0)
+      .select(
+        Multimodal.sha256Hex($"payload"),
+        Multimodal.md5Hex($"payload"),
+        Multimodal.b64($"payload"),
+        Multimodal.hexHead($"payload", 2),
+        Multimodal.nBytes($"payload"))
+      .as[(String, String, String, String, Int)].head()
+    val jd = java.security.MessageDigest.getInstance("SHA-256")
+      .digest("abcd".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(sha === jd)
+    assert(md === "e2fc714c4727ee9395f324cd2e7f331f") // md5("abcd")
+    assert(b64head === "YWJjZA==")
+    assert(hexhead === "6162") // 'a','b'
+    assert(n === 4)
+  }
+
+  test("frames: stride/size slicing, 0-based frame_idx, short tail frame") {
+    val m = Multimodal.synthesize(docs.where($"doc_id" === 1), "doc_id", "text")
+    val out = Multimodal.frames(m, "doc_id", "payload", frameSize = 16, stride = 20)
+      .select($"frame_idx", length($"frame").cast("int"))
+      .as[(Int, Int)].collect().sortBy(_._1)
+    // payload is 56 bytes → starts at 1, 21, 41 → 16-byte frames each
+    assert(out.map(_._1).toSeq === Seq(0, 1, 2))
+    assert(out.map(_._2).toSeq === Seq(16, 16, 16))
+  }
+
+  test("frames: empty payload emits no frames (sequence 1..0 edge)") {
+    val m = Multimodal.synthesize(docs.where($"doc_id" === 2), "doc_id", "text")
+    assert(Multimodal.frames(m, "doc_id", "payload", 16, 20).count() === 0)
+  }
+
+  test("resizeDims: aspect preserved, never upscales") {
+    val meta = Seq((256, 128), (100, 50), (64, 192)).toDF("width", "height")
+      .select(struct($"width", $"height").as("media"))
+    val out = meta.select(Multimodal.resizeDims($"media", 128).as("r"))
+      .select("r.out_w", "r.out_h").as[(Int, Int)].collect().toSeq
+    assert(out === Seq((128, 64), (100, 50), (42, 128)))
+  }
+
+  test("decodeFeaturesStub: fixed-dim schema, deterministic, partition-local") {
+    val m = Multimodal.synthesize(docs, "doc_id", "text").repartition(2)
+    val f1 = Multimodal.decodeFeaturesStub(m, "doc_id", "payload", dim = 8, batchSize = 2)
+    assert(f1.schema("features").dataType.simpleString === "array<float>")
+    val rows = f1.as[(Long, Array[Float])].collect().sortBy(_._1)
+    assert(rows.length === 3)
+    assert(rows.forall(_._2.length == 8))
+    assert(rows.forall(_._2.forall(v => v >= 0.0f && v <= 1.0f)))
+    // Deterministic across runs and partitionings.
+    val f2 = Multimodal.decodeFeaturesStub(
+      m.repartition(3), "doc_id", "payload", 8, 64)
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    assert(rows.map(_._2.toSeq).toSeq === f2.map(_._2.toSeq).toSeq)
+    // Empty payload row yields all-zero features, no crash.
+    assert(rows.head._1 === 0L)
+    assert(rows.last._2.forall(_ === 0.0f))
+  }
+}
