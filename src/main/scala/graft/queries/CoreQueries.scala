@@ -215,6 +215,26 @@ object CoreQueries {
         ColumnSpec("l_quantity", "double", Some("Quantity"))))
       new IngestionEngine(cfg).coerce(t(s, dir, "lineitem"))
         .orderBy("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+    }),
+
+    // S1→P1→P2 end-to-end: schema-inferred nested-JSON scan →
+    // recursive flatten (struct star-expand + array explode, which
+    // drops empty-array rows) → config coercion with try_cast
+    // NULL-on-malformed. The committed fixture exercises every edge:
+    // sibling struct + array, empty array, bad int, bad date.
+    "q29_json_ingest" -> ((s, _) => {
+      val cfg = EngineConfig.fromFile("/root/repo/fixtures/ingest_config.json")
+      new IngestionEngine(cfg)
+        .ingestFile(s, "/root/repo/fixtures/ingest_sample.json")
+        .orderBy("flight_id", "leg_no")
+    }),
+
+    // S2→P2: header + schema-inferred CSV scan → same coercion.
+    "q30_csv_ingest" -> ((s, _) => {
+      val cfg = EngineConfig.fromFile("/root/repo/fixtures/ingest_config.json")
+      new IngestionEngine(cfg)
+        .ingestCsvFile(s, "/root/repo/fixtures/ingest_sample.csv")
+        .orderBy("flight_id", "leg_no")
     })
   )
 
@@ -346,6 +366,30 @@ object CoreQueries {
         |  CAST(l_shipdate AS DATE) AS l_shipdate,
         |  l_quantity
         |FROM lineitem
-        |ORDER BY l_orderkey, l_linenumber, l_shipdate, l_quantity""".stripMargin
+        |ORDER BY l_orderkey, l_linenumber, l_shipdate, l_quantity""".stripMargin,
+
+    "q29_json_ingest" ->
+      """WITH flat AS (
+        |  SELECT flight_id, origin.code AS code, origin.city AS city,
+        |         unnest(legs, recursive := true),
+        |         fdate, cancelled, delay
+        |  FROM read_json_auto('/root/repo/fixtures/ingest_sample.json')
+        |)
+        |SELECT CAST(flight_id AS INT) AS flight_id, code, city,
+        |  CAST(leg_no AS INT) AS leg_no, CAST(dist AS INT) AS dist,
+        |  TRY_CAST(fdate AS DATE) AS fdate,
+        |  CAST(cancelled AS BOOLEAN) AS cancelled,
+        |  TRY_CAST(delay AS INT) AS delay
+        |FROM flat ORDER BY flight_id, leg_no""".stripMargin,
+
+    "q30_csv_ingest" ->
+      """SELECT CAST(flight_id AS INT) AS flight_id, code, city,
+        |  CAST(leg_no AS INT) AS leg_no, CAST(dist AS INT) AS dist,
+        |  TRY_CAST(fdate AS DATE) AS fdate,
+        |  CAST(cancelled AS BOOLEAN) AS cancelled,
+        |  TRY_CAST(delay AS INT) AS delay
+        |FROM read_csv('/root/repo/fixtures/ingest_sample.csv',
+        |              header=true, all_varchar=true)
+        |ORDER BY flight_id, leg_no""".stripMargin
   )
 }
