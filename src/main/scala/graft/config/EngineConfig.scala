@@ -34,8 +34,13 @@ case class EngineConfig(
     output_table: Option[String] = None,
     output_partitions: Option[Int] = None) {
   def dataColumns: Seq[ColumnSpec] = data_columns
-  def outputTable: String = output_table.getOrElse("default.flights")
-  def outputPartitions: Int = output_partitions.getOrElse(10)
+  /** Required for sink flows; fails fast like the reference's raw
+    * config["output_table"] lookup (flujo_diario.py:62-67). */
+  def outputTable: String = output_table.getOrElse(
+    throw new IllegalArgumentException(
+      "output_table missing from engine config"))
+  /** Reference default: 1 (config/config.json:96 overrides to 10). */
+  def outputPartitions: Int = output_partitions.getOrElse(1)
 }
 
 object EngineConfig {

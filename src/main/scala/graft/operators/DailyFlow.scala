@@ -27,8 +27,14 @@ import graft.sources.IngestionEngine
  *
  * Scale: the previous-day read is partition-pruned; the stitch frame is
  * ≤2 days regardless of table size; the final write repartitions by the
- * partition column for file-count control and overwrites only 1–2
- * partitions dynamically.
+ * partition column for file-count control and — once the table exists —
+ * goes through `insertInto` with dynamic partition overwrite, so only
+ * the 1–2 affected `FlightDate` partitions are replaced and all older
+ * partitions survive. (`saveAsTable(mode=overwrite)` would drop and
+ * recreate the WHOLE table regardless of partitionOverwriteMode — a
+ * latent data-loss bug in the reference's flujo_diario.py:60-68 that
+ * this rebuild deliberately fixes; guarded by the 3-day retention
+ * test in DailyFlowSpec.)
  */
 class DailyFlow(val config: EngineConfig) {
 
@@ -37,10 +43,6 @@ class DailyFlow(val config: EngineConfig) {
 
   /** Process one daily JSON file end-to-end into the output table. */
   def processDaily(spark: SparkSession, dataFile: String): Unit = {
-    // Dynamic overwrite + NULL-on-malformed parse semantics, matching
-    // the reference's per-write option + non-ANSI runtime.
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-
     val ingested = engine.ingestFile(spark, dataFile).cache()
     val withUtc = Enrich.addUtcTime(ingested, Enrich.loadTimezones(spark))
 
@@ -60,14 +62,38 @@ class DailyFlow(val config: EngineConfig) {
       case None => withUtc
     }
 
-    val withIntervals = Enrich.addIntervals(frame)
-
-    withIntervals
+    // Reference schema parity: the lead-carrier column is named
+    // `Airline_next` (agregaciones.py:72).
+    val withIntervals = Enrich
+      .addIntervals(frame, carrierNextCol = Some("Airline_next"))
       .repartition(config.outputPartitions, col("FlightDate"))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("FlightDate")
-      .saveAsTable(config.outputTable)
+
+    val out = config.outputTable
+    if (spark.catalog.tableExists(out)) {
+      // Dynamic overwrite replaces ONLY the partitions present in the
+      // frame. insertInto ignores writer options (V1 catalog path), so
+      // the session conf governs — set it for this write, restoring
+      // the caller's value after. insertInto is position-based, so
+      // align to the table's column order (partition column last).
+      val modeKey = "spark.sql.sources.partitionOverwriteMode"
+      val prevMode = spark.conf.getOption(modeKey)
+      spark.conf.set(modeKey, "dynamic")
+      try {
+        val tableCols = spark.table(out).columns.toIndexedSeq
+        withIntervals
+          .select(tableCols.map(col): _*)
+          .write.mode("overwrite")
+          .insertInto(out)
+      } finally prevMode match {
+        case Some(v) => spark.conf.set(modeKey, v)
+        case None    => spark.conf.unset(modeKey)
+      }
+    } else {
+      withIntervals
+        .write.mode("overwrite")
+        .partitionBy("FlightDate")
+        .saveAsTable(out)
+    }
 
     spark.sql(s"DROP TABLE IF EXISTS $ProvisionalTable")
     ingested.unpersist()

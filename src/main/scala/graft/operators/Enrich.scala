@@ -32,13 +32,44 @@ object Enrich {
     require(in != null, s"classpath resource $TzResource missing")
     val src = scala.io.Source.fromInputStream(in, "UTF-8")
     try {
-      val rows = src.getLines().drop(1).map { line =>
-        // Simple quoted-CSV: "AAA","Pacific/Tahiti","Hawaiian Standard Time"
-        val parts = line.split("\",\"").map(_.stripPrefix("\"").stripSuffix("\""))
-        (parts(0), parts(1))
+      val rows = src.getLines().drop(1).zipWithIndex.flatMap {
+        case (line, _) if line.trim.isEmpty => None
+        case (line, i) =>
+          val parts = parseCsvLine(line)
+          require(
+            parts.length >= 2,
+            s"timezones.csv line ${i + 2}: expected >=2 fields, got: $line")
+          Some((parts(0), parts(1)))
       }.toVector
       rows.toDF("iata_code", "iana_tz")
     } finally src.close()
+  }
+
+  /** Minimal RFC-4180 field split: quoted fields may contain commas
+    * and doubled quotes. (Driver-side on an 8.8k-row packaged dim —
+    * a LocalRelation beats shipping a temp file to executors.) */
+  private[operators] def parseCsvLine(line: String): Vector[String] = {
+    val fields = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var inQuotes = false
+    var i = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (inQuotes) {
+        if (c == '"') {
+          if (i + 1 < line.length && line.charAt(i + 1) == '"') {
+            cur.append('"'); i += 1
+          } else inQuotes = false
+        } else cur.append(c)
+      } else c match {
+        case '"' => inQuotes = true
+        case ',' => fields += cur.result(); cur.clear()
+        case other => cur.append(other)
+      }
+      i += 1
+    }
+    fields += cur.result()
+    fields.result()
   }
 
   /**
@@ -87,6 +118,12 @@ object Enrich {
    * deterministic when timestamps collide; pass Nil for the
    * reference's nondeterministic-tie behavior.
    *
+   * `carrierNextCol` names the lead-carrier output column; default is
+   * the derived `<carrier>_next`. The reference hardcodes
+   * `Airline_next` even though its input column is
+   * `Reporting_Airline` (agregaciones.py:72) — DailyFlow passes that
+   * explicitly for schema parity.
+   *
    * Scale: one hash exchange on `partitionCol` + in-partition sort —
    * the minimal physical plan for this semantics. Skewed keys (a
    * mega-airport) are bounded by per-key cardinality, not table size,
@@ -97,12 +134,15 @@ object Enrich {
       partitionCol: String = "Origin",
       timeCol: String = "FlightTime",
       carrierCol: String = "Reporting_Airline",
-      tieBreak: Seq[String] = Nil): DataFrame = {
+      tieBreak: Seq[String] = Nil,
+      carrierNextCol: Option[String] = None): DataFrame = {
     val order: Seq[Column] = col(timeCol).asc +: tieBreak.map(col(_).asc)
     val w = Window.partitionBy(partitionCol).orderBy(order: _*)
     val nextTime = s"${timeCol}_next"
     df.withColumn(nextTime, lead(col(timeCol), 1).over(w))
-      .withColumn(s"${carrierCol}_next", lead(col(carrierCol), 1).over(w))
+      .withColumn(
+        carrierNextCol.getOrElse(s"${carrierCol}_next"),
+        lead(col(carrierCol), 1).over(w))
       .withColumn(
         "diff_next",
         (col(nextTime).cast("long") - col(timeCol).cast("long")).cast("bigint"))

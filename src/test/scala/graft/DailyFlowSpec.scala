@@ -55,10 +55,37 @@ class DailyFlowSpec extends AnyFunSuite {
       .where(col("FlightDate") === lit("2024-03-01").cast("date")
         && col("DepTime") === 1100)
       .head()
-    assert(fixed.getAs[String]("Reporting_Airline_next") === "UA")
+    assert(fixed.getAs[String]("Airline_next") === "UA") // reference naming (agregaciones.py:72)
     // 2024-03-01 11:00 EST -> 2024-03-02 08:00 EST = 21h = 75600 s
     assert(fixed.getAs[Long]("diff_next") === 75600L)
 
     spark.sql("DROP TABLE IF EXISTS flights_test")
+  }
+
+  test("three-day flow retains untouched partitions (dynamic overwrite, not truncate)") {
+    val cfg3 = cfg.copy(output_table = Some("flights_test3"))
+    val flow = new DailyFlow(cfg3)
+    def day(n: Int, dep: Int) = writeDay(s"d$n.json", Seq(
+      s"""{"FlightDate": "2024-03-0$n", "Reporting_Airline": "AA", "Origin": "JFK", "DepTime": $dep}"""))
+
+    flow.processDaily(spark, day(1, 900))
+    flow.processDaily(spark, day(2, 1000))
+    flow.processDaily(spark, day(3, 1100))
+
+    val table = spark.read.table("flights_test3")
+    // Day 3 stitches days 2+3 only; day 1's partition must SURVIVE —
+    // saveAsTable(overwrite) would have truncated it (the reference's
+    // latent flujo_diario.py:60-68 bug, deliberately fixed here).
+    val dates = table.select("FlightDate").distinct()
+      .collect().map(_.getDate(0).toString).sorted.toSeq
+    assert(dates === Seq("2024-03-01", "2024-03-02", "2024-03-03"))
+    assert(table.count() === 3)
+
+    // And the day-1→day-2 boundary fix from the day-2 run is intact.
+    val d1 = table.where(col("FlightDate") === lit("2024-03-01").cast("date")).head()
+    assert(d1.getAs[String]("Airline_next") === "AA")
+    assert(d1.getAs[Long]("diff_next") === 90000L) // 09:00 -> next day 10:00 EST = 25h
+
+    spark.sql("DROP TABLE IF EXISTS flights_test3")
   }
 }
