@@ -42,8 +42,18 @@ class DailyFlow(val config: EngineConfig) {
   private val ProvisionalTable = "tabla_provisional"
 
   /** Process one daily JSON file end-to-end into the output table. */
-  def processDaily(spark: SparkSession, dataFile: String): Unit = {
-    val ingested = engine.ingestFile(spark, dataFile).cache()
+  def processDaily(spark: SparkSession, dataFile: String): Unit =
+    processIngested(spark, engine.ingestFile(spark, dataFile))
+
+  /**
+   * Core of the daily flow over an already-ingested (flattened +
+   * coerced) frame — shared by the batch path above and the
+   * Structured Streaming skin
+   * ([[graft.streaming.StreamingDailyFlow]]), whose `foreachBatch`
+   * hands each landing file's micro-batch here.
+   */
+  def processIngested(spark: SparkSession, frame0: DataFrame): Unit = {
+    val ingested = frame0.cache()
     val withUtc = Enrich.addUtcTime(ingested, Enrich.loadTimezones(spark))
 
     // Action #1: day detection from the data itself (single-date-file
@@ -94,6 +104,10 @@ class DailyFlow(val config: EngineConfig) {
         .partitionBy("FlightDate")
         .saveAsTable(out)
     }
+
+    // Dynamic overwrite replaces partition files in place; invalidate
+    // any cached file listings other readers of the table may hold.
+    spark.catalog.refreshTable(out)
 
     spark.sql(s"DROP TABLE IF EXISTS $ProvisionalTable")
     ingested.unpersist()
