@@ -59,16 +59,43 @@ object Dedup {
 
   /**
    * Per-document MinHash signature vector: `sig[k] = min over shingles
-   * of md5("k:" || shingle)` (lexicographic min of hex strings — a
-   * portable, uniformly distributed stand-in for seeded integer hash
-   * permutations).
+   * of the 60-bit numeric prefix of md5("k:" || shingle)` — the first
+   * 15 hex chars parsed base-16 — a portable, uniformly distributed
+   * stand-in for seeded integer hash permutations that any engine
+   * (and the DuckDB oracle: `CAST('0x' || substr(md5(..),1,15) AS
+   * BIGINT)`) reproduces exactly.
    *
-   * Scale: a SINGLE groupBy(id) with `numHashes` min-aggregates —
-   * map-side partial aggregation collapses each partition to one row
-   * per (doc, hash) before the exchange, so shuffle volume is
-   * O(docs × H) regardless of shingle count.
+   * Scale: computed entirely inside the scan projection by the
+   * custom codegen'd expression [[graft.functions.MinHashSig]] —
+   * ZERO shuffle; signature generation costs no exchange at any
+   * corpus size. Docs with fewer than `shingleSize` tokens are
+   * dropped (they have no shingles), matching the aggregation
+   * formulation and the oracle.
    */
   def minhashSignatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 8,
+      shingleSize: Int = 3): DataFrame =
+    df.select(
+        col(idCol),
+        graft.functions.MinHashSig(col(textCol), numHashes, shingleSize).as("sig"))
+      .where(col("sig").isNotNull)
+
+  /**
+   * Pure-built-in reference formulation of [[minhashSignatures]]
+   * (bit-identical output, cross-checked in DedupSpec): explode
+   * shingles, then a SINGLE groupBy(id) with `numHashes`
+   * min-aggregates — map-side partial aggregation collapses each
+   * partition to one row per (doc, hash) before the exchange, so
+   * shuffle volume is O(docs × H) regardless of shingle count. The
+   * LONG min metric matters: `min` over a fixed-width numeric gets
+   * HashAggregate's mutable-buffer fast path, where min over md5 hex
+   * STRINGS falls back to SortAggregate and drags two full sorts of
+   * the shingle stream into the plan.
+   */
+  def minhashSignaturesAgg(
       df: DataFrame,
       idCol: String,
       textCol: String,
@@ -76,7 +103,8 @@ object Dedup {
       shingleSize: Int = 3): DataFrame = {
     val sh = shingles(df, idCol, textCol, shingleSize)
     val mins = (0 until numHashes).map { k =>
-      min(md5(concat(lit(s"$k:"), col("shingle")))).as(s"__mh$k")
+      min(conv(substring(md5(concat(lit(s"$k:"), col("shingle"))), 1, 15), 16, 10)
+        .cast("long")).as(s"__mh$k")
     }
     sh.groupBy(col(idCol))
       .agg(mins.head, mins.tail: _*)
@@ -87,14 +115,21 @@ object Dedup {
 
   /**
    * LSH banding: split each signature into `numBands` contiguous bands
-   * of `rowsPerBand` hashes; emit one `(idCol, band, band_sig)` row per
-   * band, where `band_sig` joins the band's hashes with "|".
+   * of `rowsPerBand` hashes; emit one `(idCol, sig, band, band_sig)`
+   * row per band, where `band_sig` joins the band's hashes with "|".
+   * The full signature rides along so candidate generation can score
+   * pairs without re-joining back to the signature table.
    */
   def lshBands(sigs: DataFrame, idCol: String, rowsPerBand: Int): DataFrame = {
     val bandArr = transform(
       sequence(lit(0), (size(col("sig")) / rowsPerBand).cast("int") - 1),
-      i => array_join(slice(col("sig"), i * rowsPerBand + 1, lit(rowsPerBand)), "|"))
-    sigs.select(col(idCol), posexplode(bandArr).as(Seq("band", "band_sig")))
+      i => array_join(
+        transform(
+          slice(col("sig"), i * rowsPerBand + 1, lit(rowsPerBand)),
+          _.cast("string")),
+        "|"))
+    sigs.select(
+      col(idCol), col("sig"), posexplode(bandArr).as(Seq("band", "band_sig")))
   }
 
   /**
@@ -107,9 +142,16 @@ object Dedup {
    * key — cost O(docs × bands) plus the within-bucket pair expansion
    * (bounded by bucket sizes, which LSH keeps small for any non-
    * pathological corpus; a giant bucket means the docs really are
-   * near-identical and belongs in dedup output anyway). Signature
-   * subtrees on both join sides are identical, so Spark's
-   * ReuseExchange evaluates the expensive aggregation once.
+   * near-identical and belongs in dedup output anyway). The signature
+   * table is consumed FOUR times (both band-join sides + both
+   * sig-lookup sides). Measured trade-off: recomputing it (default)
+   * beats pinning via `localCheckpoint` — the checkpoint severs
+   * lineage/statistics and the downstream joins lose their broadcast
+   * plans, costing more than the recompute saves (the per-hash metric
+   * is a cheap numeric min). `materializeSigs` remains available for
+   * corpora where signature computation dominates; a multi-query
+   * production pipeline would stage signatures to a real table
+   * instead.
    */
   def minhashCandidates(
       df: DataFrame,
@@ -117,26 +159,33 @@ object Dedup {
       textCol: String,
       numHashes: Int = 8,
       rowsPerBand: Int = 2,
-      shingleSize: Int = 3): DataFrame = {
-    val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleSize)
+      shingleSize: Int = 3,
+      materializeSigs: Boolean = false): DataFrame = {
+    val sigs0 = minhashSignatures(df, idCol, textCol, numHashes, shingleSize)
+    val sigs = if (materializeSigs) sigs0.localCheckpoint() else sigs0
     val bands = lshBands(sigs, idCol, rowsPerBand)
+    // Signatures ride the band rows, so the bucket self-join yields
+    // scored pairs directly — no sig-lookup joins, and the signature
+    // pipeline is evaluated twice (the two join sides), not four
+    // times. A pair matching in several bands collapses in the
+    // distinct (signatures are functionally dependent on the ids).
     val a = bands.select(
-      col("band"), col("band_sig"), col(idCol).as("doc_a"))
+      col("band"), col("band_sig"),
+      col(idCol).as("doc_a"), col("sig").as("__sig_a"))
     val b = bands.select(
-      col("band"), col("band_sig"), col(idCol).as("doc_b"))
-    val cand = a.join(b, Seq("band", "band_sig"))
+      col("band"), col("band_sig"),
+      col(idCol).as("doc_b"), col("sig").as("__sig_b"))
+    val pairs = a.join(b, Seq("band", "band_sig"))
       .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    val sa = sigs.select(col(idCol).as("doc_a"), col("sig").as("__sig_a"))
-    val sb = sigs.select(col(idCol).as("doc_b"), col("sig").as("__sig_b"))
+      .select("doc_a", "doc_b", "__sig_a", "__sig_b")
+      .distinct()
     val nMatch = size(filter(
       zip_with(col("__sig_a"), col("__sig_b"), (x, y) => x === y),
       m => m))
-    cand.join(sa, "doc_a").join(sb, "doc_b")
-      .select(
-        col("doc_a"), col("doc_b"),
-        nMatch.cast("long").as("n_match"),
-        (nMatch.cast("double") / numHashes).as("est_jaccard"))
+    pairs.select(
+      col("doc_a"), col("doc_b"),
+      nMatch.cast("long").as("n_match"),
+      (nMatch.cast("double") / numHashes).as("est_jaccard"))
   }
 
   /**

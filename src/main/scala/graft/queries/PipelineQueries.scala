@@ -212,11 +212,14 @@ object PipelineQueries {
         |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM idx
         |), mh AS (
         |  SELECT doc_id, s.seed,
-        |    min(md5(CAST(s.seed AS VARCHAR) || ':' || shingle)) AS mh
+        |    min(CAST(('0x' || substr(
+        |      md5(CAST(s.seed AS VARCHAR) || ':' || shingle), 1, 15)) AS BIGINT))
+        |      AS mh
         |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0,7)) AS seed) s
         |  GROUP BY doc_id, s.seed
         |), bands AS (
-        |  SELECT doc_id, seed // 2 AS band, string_agg(mh, '|' ORDER BY seed) AS sig
+        |  SELECT doc_id, seed // 2 AS band,
+        |    string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed) AS sig
         |  FROM mh GROUP BY doc_id, seed // 2
         |), cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -241,11 +244,14 @@ object PipelineQueries {
         |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM idx
         |), mh AS (
         |  SELECT doc_id, s.seed,
-        |    min(md5(CAST(s.seed AS VARCHAR) || ':' || shingle)) AS mh
+        |    min(CAST(('0x' || substr(
+        |      md5(CAST(s.seed AS VARCHAR) || ':' || shingle), 1, 15)) AS BIGINT))
+        |      AS mh
         |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0,7)) AS seed) s
         |  GROUP BY doc_id, s.seed
         |), bands AS (
-        |  SELECT doc_id, seed // 2 AS band, string_agg(mh, '|' ORDER BY seed) AS sig
+        |  SELECT doc_id, seed // 2 AS band,
+        |    string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed) AS sig
         |  FROM mh GROUP BY doc_id, seed // 2
         |), cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

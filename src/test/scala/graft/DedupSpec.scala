@@ -77,6 +77,19 @@ class DedupSpec extends AnyFunSuite {
     assert(hamming(fp(1L), fp(3L)) < hamming(fp(1L), fp(4L)))
   }
 
+  test("MinHashSig expression is bit-identical to the aggregation reference") {
+    val fast = graft.operators.Dedup
+      .minhashSignatures(corpus, "doc_id", "text", 8, 3)
+      .as[(Long, Seq[Long])].collect().toMap
+    val ref = graft.operators.Dedup
+      .minhashSignaturesAgg(corpus, "doc_id", "text", 8, 3)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(fast === ref)
+    // A doc with fewer than shingleSize tokens is dropped by both.
+    val tiny = Seq((9L, "one two")).toDF("doc_id", "text")
+    assert(graft.operators.Dedup.minhashSignatures(tiny, "doc_id", "text", 8, 3).count() === 0)
+  }
+
   test("simhashFast (codegen'd expression) is bit-identical to the HOF reference") {
     val edgeCases = Seq(
       (100L, "single"),
