@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/**
+ * SQL surface for the engine's custom Catalyst expressions:
+ *
+ *   - `graft_simhash64(text)` → 64-char '0'/'1' SimHash fingerprint
+ *   - `graft_minhash_sig(text, numHashes, shingleSize)` → array<bigint>
+ *     MinHash signature (numHashes/shingleSize must be int literals —
+ *     they parameterize the generated code)
+ *
+ * Two wiring paths, same builders:
+ *   - [[GraftFunctions.register]] installs into a live session's
+ *     function registry (idempotent);
+ *   - [[GraftExtensions]] is a `spark.sql.extensions` entry point
+ *     (`--conf spark.sql.extensions=graft.functions.GraftExtensions`)
+ *     for cluster-wide installation at session build time.
+ */
+object GraftFunctions {
+
+  private def intLit(e: Expression, arg: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$arg must be an integer literal, got: $other")
+  }
+
+  /** (name, info, builder) triples for every custom function. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (
+      FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "graft_simhash64(text) takes 1 argument")
+        SimHash64(exprs.head)
+      }),
+    (
+      FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash_sig"),
+      (exprs: Seq[Expression]) => {
+        require(
+          exprs.length == 3,
+          "graft_minhash_sig(text, numHashes, shingleSize) takes 3 arguments")
+        MinHashSig(
+          exprs.head,
+          intLit(exprs(1), "numHashes"),
+          intLit(exprs(2), "shingleSize"))
+      }))
+
+  /** Install into a live session (idempotent; replaces old builders). */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(ident, info, builder)
+    }
+}
+
+/** `spark.sql.extensions` entry point injecting the custom functions
+  * into every session built with these extensions. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.functions.foreach { case (ident, info, builder) =>
+      ext.injectFunction((ident, info, builder))
+    }
+}

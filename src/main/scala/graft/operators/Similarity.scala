@@ -133,6 +133,107 @@ object Similarity {
   }
 
   /**
+   * Deterministic IVF coarse centroids: the `nlist` lowest-id corpus
+   * vectors, collected to the driver (bounded: nlist × dims doubles —
+   * the same footprint a broadcast join would ship). A production
+   * deployment trains real k-means centroids offline on a sample and
+   * ships them exactly like this — the assignment/search plumbing
+   * below is unchanged by centroid quality.
+   */
+  def ivfSeeds(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int): Seq[Seq[Double]] = {
+    corpus.select(col(idCol), toDoubleVec(col(vecCol)))
+      .orderBy(col(idCol)).limit(nlist)
+      .collect()
+      .map(_.getSeq[Double](1).toVector)
+      .toSeq
+  }
+
+  /** Cosine of `v` against literal centroid `c` (both array<double>). */
+  private def cosAgainst(v: Column, c: Seq[Double]): Column = {
+    val cl = typedLit(c)
+    val cn = math.sqrt(c.map(x => x * x).sum)
+    dot(v, cl) / (norm(v) * lit(cn))
+  }
+
+  /**
+   * IVF cell assignment: index of the centroid with the highest
+   * cosine (ties → lowest index). Pure per-row projection against
+   * the literal centroid matrix — zero shuffle at any corpus size.
+   */
+  def ivfCell(vecCol: Column, seeds: Seq[Seq[Double]]): Column = {
+    val v = toDoubleVec(vecCol)
+    seeds.zipWithIndex.drop(1).foldLeft(
+      struct(cosAgainst(v, seeds.head).as("c"), lit(0).as("cell"))) {
+      case (best, (s, i)) =>
+        val c = cosAgainst(v, s)
+        when(c > best.getField("c"), struct(c.as("c"), lit(i).as("cell")))
+          .otherwise(best)
+    }.getField("cell")
+  }
+
+  /**
+   * IVF (inverted-file) approximate nearest neighbors: the corpus is
+   * partitioned into `nlist` Voronoi cells by [[ivfCell]]; each probe
+   * searches exactly its `nprobe` closest cells with exact cosine and
+   * keeps top-k (self-matches excluded, ties by ascending id).
+   *
+   * Output: (probe_id, vec_id, rank, cosine).
+   *
+   * Scale: cell assignment is shuffle-free projection; the probe→cell
+   * fan-out is broadcast (probes × nprobe rows); the only exchange
+   * hashes corpus rows by cell key, and each probe scans ~nprobe/nlist
+   * of the corpus instead of all of it — the IVF recall/cost dial.
+   */
+  def ivfSearch(
+      corpus: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int,
+      nprobe: Int,
+      k: Int): DataFrame = {
+    val seeds = ivfSeeds(corpus, idCol, vecCol, nlist)
+    val c = corpus.select(
+      col(idCol).as("vec_id"), toDoubleVec(col(vecCol)).as("__v"))
+      .withColumn("__cell", ivfCell(col("__v"), seeds))
+      .withColumn("__vnorm", norm(col("__v")))
+
+    // Probe side: rank all cells per probe, keep the nprobe closest
+    // (sort_array on (neg-cosine, cell) structs = descending cosine,
+    // ascending cell on ties).
+    val cellScores = array(seeds.zipWithIndex.map { case (s, i) =>
+      struct(
+        (-(dot(col("__p"), typedLit(s)) /
+          (col("__pnorm") * lit(math.sqrt(s.map(x => x * x).sum))))).as("neg"),
+        lit(i).as("cell"))
+    }: _*)
+    val p = probes.select(
+      col(idCol).as("probe_id"), toDoubleVec(col(vecCol)).as("__p"))
+      .withColumn("__pnorm", norm(col("__p")))
+      .withColumn(
+        "__cell",
+        explode(transform(
+          slice(sort_array(cellScores), 1, nprobe),
+          s => s.getField("cell"))))
+
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("__cos").desc, col("vec_id").asc)
+    c.join(broadcast(p), Seq("__cell"))
+      .where(col("vec_id") =!= col("probe_id"))
+      .withColumn(
+        "__cos",
+        dot(col("__v"), col("__p")) / (col("__vnorm") * col("__pnorm")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(
+        col("probe_id"), col("vec_id"), col("rank"), col("__cos").as("cosine"))
+  }
+
+  /**
    * Bucketed near-duplicate candidates: vectors sharing an SRP bucket
    * form (a < b) pairs scored with exact cosine; pairs at or above
    * `minCosine` survive.

@@ -93,6 +93,19 @@ object PipelineQueries {
         .orderBy("vec_a", "vec_b")
     }),
 
+    // IVF approximate nearest neighbors: 8 Voronoi cells from
+    // deterministic coarse centroids, each probe searches its 2
+    // closest cells exactly — the recall/cost dial of inverted-file
+    // ANN (vs q20/q21's hash-bucket LSH).
+    "q31_ivf_search" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfSearch(
+          e, e.where(col("vec_id") < 3), "vec_id", "embedding",
+          nlist = 8, nprobe = 2, k = 5)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("probe_id", "rank")
+    }),
+
     // Per-language corpus statistics (counts exact; avg from exact
     // integer sums).
     "q22_text_stats" -> ((s, dir) => {
@@ -382,6 +395,59 @@ object PipelineQueries {
         |JOIN nrm nb ON nb.vec_id = d.vec_b
         |WHERE d.dp/(na.n*nb.n) >= 0.35
         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "q31_ivf_search" ->
+      """WITH el AS (
+        |  SELECT vec_id, generate_subscripts(embedding,1) AS d,
+        |         unnest(embedding)::DOUBLE AS x
+        |  FROM embeddings
+        |), nrm AS (
+        |  SELECT vec_id, sqrt(SUM(x*x)) AS n FROM el GROUP BY vec_id
+        |), seed_ids AS (
+        |  SELECT vec_id AS cell_vid,
+        |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
+        |  FROM embeddings ORDER BY vec_id LIMIT 8
+        |), scell AS (
+        |  SELECT s.cell, e.d, e.x, n.n
+        |  FROM seed_ids s JOIN el e ON e.vec_id = s.cell_vid
+        |  JOIN nrm n ON n.vec_id = s.cell_vid
+        |), vc AS (
+        |  SELECT e.vec_id, s.cell, SUM(e.x * s.x) / (nv.n * any_value(s.n)) AS cos
+        |  FROM el e JOIN scell s ON s.d = e.d
+        |  JOIN nrm nv ON nv.vec_id = e.vec_id
+        |  GROUP BY e.vec_id, s.cell, nv.n
+        |), assign AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS rn
+        |    FROM vc) WHERE rn = 1
+        |), pcells AS (
+        |  SELECT vec_id AS probe_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS rn
+        |    FROM vc WHERE vec_id < 3) WHERE rn <= 2
+        |), cand AS (
+        |  SELECT p.probe_id, a.vec_id
+        |  FROM pcells p JOIN assign a ON a.cell = p.cell
+        |  WHERE a.vec_id <> p.probe_id
+        |), dots AS (
+        |  SELECT c.probe_id, c.vec_id, SUM(ep.x * ev.x) AS dp
+        |  FROM cand c
+        |  JOIN el ep ON ep.vec_id = c.probe_id
+        |  JOIN el ev ON ev.vec_id = c.vec_id AND ev.d = ep.d
+        |  GROUP BY c.probe_id, c.vec_id
+        |)
+        |SELECT probe_id, vec_id, CAST(rank AS INT) AS rank,
+        |  round(cosine, 6) AS cosine
+        |FROM (
+        |  SELECT d.probe_id, d.vec_id, d.dp / (np.n * nv.n) AS cosine,
+        |    row_number() OVER (PARTITION BY d.probe_id
+        |                       ORDER BY d.dp / (np.n * nv.n) DESC, d.vec_id) AS rank
+        |  FROM dots d
+        |  JOIN nrm np ON np.vec_id = d.probe_id
+        |  JOIN nrm nv ON nv.vec_id = d.vec_id)
+        |WHERE rank <= 5
+        |ORDER BY probe_id, rank""".stripMargin,
 
     "q22_text_stats" ->
       """SELECT lang, count(*) AS n_docs,

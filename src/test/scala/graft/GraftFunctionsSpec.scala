@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftFunctions
+import graft.operators.Dedup
+
+/** SQL registration of the custom Catalyst expressions: runtime
+  * registry install + extensions entry point. */
+class GraftFunctionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("graft_simhash64 callable from SQL, matches the Column API") {
+    GraftFunctions.register(spark)
+    Seq((1L, "spark native engine"), (2L, "another doc entirely"))
+      .toDF("doc_id", "text").createOrReplaceTempView("fn_docs")
+    val viaSql = spark.sql(
+      "SELECT doc_id, graft_simhash64(text) AS fp FROM fn_docs")
+      .as[(Long, String)].collect().toMap
+    val viaCol = spark.table("fn_docs")
+      .select(col("doc_id"), Dedup.simhashFast(col("text")).as("fp"))
+      .as[(Long, String)].collect().toMap
+    assert(viaSql === viaCol)
+    assert(viaSql(1L).length === 64)
+  }
+
+  test("graft_minhash_sig callable from SQL; non-literal params rejected") {
+    GraftFunctions.register(spark)
+    Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+      .createOrReplaceTempView("fn_docs2")
+    val sig = spark.sql(
+      "SELECT graft_minhash_sig(text, 4, 3) AS sig FROM fn_docs2")
+      .as[Seq[Long]].head()
+    assert(sig.length === 4)
+    assert(sig.forall(_ >= 0L)) // 60-bit prefixes are non-negative
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_minhash_sig(text, doc_id, 3) FROM fn_docs2")
+        .collect()
+    }
+    assert(err.getMessage.contains("integer literal")
+      || err.getCause != null)
+  }
+
+  test("GraftExtensions injects both functions without error") {
+    new graft.functions.GraftExtensions().apply(new SparkSessionExtensions)
+  }
+}

@@ -52,6 +52,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(b(0L) !== b(3L)) // negation flips every non-zero sign
   }
 
+  test("ivfSearch: cell-restricted exact search finds in-cell neighbors") {
+    // nlist=2 seeds are vecs 0 and 1 (lowest ids): cell 0 ≈ x-axis,
+    // cell 1 ≈ still x-dominated — with nprobe=1 each probe searches
+    // exactly one Voronoi cell.
+    val out = Similarity.ivfSearch(
+      vecs, vecs.where($"vec_id" === 0), "vec_id", "embedding",
+      nlist = 2, nprobe = 1, k = 3)
+      .select("vec_id", "rank", "cosine")
+      .as[(Long, Int, Double)].collect().sortBy(_._2)
+    // Probe 0's own cell contains the scaled copy (vec 4): rank 1, cos 1.
+    assert(out.head._1 === 4L && out.head._3 === 1.0)
+    assert(out.forall(_._3 >= -1.0) && out.forall(_._3 <= 1.0))
+    // Self-match excluded.
+    assert(!out.exists(_._1 == 0L))
+  }
+
+  test("ivfSeeds returns the nlist lowest-id vectors as double centroids") {
+    val seeds = Similarity.ivfSeeds(vecs, "vec_id", "embedding", 2)
+    assert(seeds === Seq(Seq(1.0, 0.0, 0.0), Seq(0.9, 0.1, 0.0).map(_.toFloat.toDouble)))
+  }
+
   test("lshNearDup finds the scaled pair with cosine 1.0, never cross-bucket") {
     val out = Similarity.lshNearDup(vecs, "vec_id", "embedding", 8, 0.5)
       .as[(Long, Long, Double)].collect()
