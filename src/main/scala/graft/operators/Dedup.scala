@@ -78,10 +78,14 @@ object Dedup {
       textCol: String,
       numHashes: Int = 8,
       shingleSize: Int = 3): DataFrame =
-    df.select(
+    // Shingle-less docs are excluded with a CHEAP token-count
+    // predicate, not `sig.isNotNull`: a filter on the sig expression
+    // gets pushed into the scan (InferFiltersFromConstraints), where
+    // it would run the whole MinHash kernel a second time per row.
+    df.where(size(split(col(textCol), " ", -1)) >= shingleSize)
+      .select(
         col(idCol),
         graft.functions.MinHashSig(col(textCol), numHashes, shingleSize).as("sig"))
-      .where(col("sig").isNotNull)
 
   /**
    * Pure-built-in reference formulation of [[minhashSignatures]]

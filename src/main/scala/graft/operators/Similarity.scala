@@ -17,15 +17,27 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
-  /** Cast an array<float> column to array<double>. */
-  def toDoubleVec(v: Column): Column = transform(v, _.cast("double"))
+  /**
+   * Cast an array<float> column to array<double>.
+   *
+   * NON-NULLABLE by construction (null vectors → empty array via
+   * coalesce): several operators below use derived vector/norm
+   * columns in join conditions, and Catalyst's
+   * InferFiltersFromConstraints turns those into `IsNotNull(<derived
+   * expr>)` filters PUSHED INTO THE SCAN — evaluating the whole
+   * interpreted higher-order expression a second time per row. A
+   * non-nullable expression makes the inferred constraint fold away
+   * entirely. Same trick on [[norm]], [[srpBucket]] and `ivfCell`.
+   */
+  def toDoubleVec(v: Column): Column =
+    coalesce(transform(v, _.cast("double")), typedLit(Seq.empty[Double]))
 
   /** Sequential dot product of two array<double> columns. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
 
-  /** L2 norm. */
-  def norm(v: Column): Column = sqrt(dot(v, v))
+  /** L2 norm (non-nullable; see [[toDoubleVec]]). */
+  def norm(v: Column): Column = coalesce(sqrt(dot(v, v)), lit(0.0))
 
   /**
    * Exact cosine top-k: for each probe vector, the k nearest corpus
@@ -152,28 +164,35 @@ object Similarity {
       .toSeq
   }
 
-  /** Cosine of `v` against literal centroid `c` (both array<double>). */
-  private def cosAgainst(v: Column, c: Seq[Double]): Column = {
-    val cl = typedLit(c)
-    val cn = math.sqrt(c.map(x => x * x).sum)
-    dot(v, cl) / (norm(v) * lit(cn))
-  }
+  /**
+   * Per-seed ranking array of (neg-score, cell) structs; sorting it
+   * ascending orders cells by descending cosine with ascending-cell
+   * tiebreak. The score is dot(v, c)/|c| — the row's own norm |v| is
+   * a positive per-row constant, so dropping it changes no ordering
+   * (and saves an extra dot product per seed). Built as a flat array
+   * so each seed's score appears in the plan exactly once — an
+   * argmax built by folding when/otherwise would nest the
+   * accumulator in both branches and grow the expression tree
+   * exponentially in nlist.
+   */
+  private def cellRanking(v: Column, seeds: Seq[Seq[Double]]): Column =
+    array(seeds.zipWithIndex.map { case (s, i) =>
+      struct(
+        (-(dot(v, typedLit(s)) / lit(math.sqrt(s.map(x => x * x).sum)))).as("neg"),
+        lit(i).as("cell"))
+    }: _*)
 
   /**
    * IVF cell assignment: index of the centroid with the highest
    * cosine (ties → lowest index). Pure per-row projection against
    * the literal centroid matrix — zero shuffle at any corpus size.
+   * Non-nullable (see [[toDoubleVec]]).
    */
-  def ivfCell(vecCol: Column, seeds: Seq[Seq[Double]]): Column = {
-    val v = toDoubleVec(vecCol)
-    seeds.zipWithIndex.drop(1).foldLeft(
-      struct(cosAgainst(v, seeds.head).as("c"), lit(0).as("cell"))) {
-      case (best, (s, i)) =>
-        val c = cosAgainst(v, s)
-        when(c > best.getField("c"), struct(c.as("c"), lit(i).as("cell")))
-          .otherwise(best)
-    }.getField("cell")
-  }
+  def ivfCell(vecCol: Column, seeds: Seq[Seq[Double]]): Column =
+    coalesce(
+      element_at(sort_array(cellRanking(toDoubleVec(vecCol), seeds)), 1)
+        .getField("cell"),
+      lit(-1))
 
   /**
    * IVF (inverted-file) approximate nearest neighbors: the corpus is
@@ -202,22 +221,14 @@ object Similarity {
       .withColumn("__cell", ivfCell(col("__v"), seeds))
       .withColumn("__vnorm", norm(col("__v")))
 
-    // Probe side: rank all cells per probe, keep the nprobe closest
-    // (sort_array on (neg-cosine, cell) structs = descending cosine,
-    // ascending cell on ties).
-    val cellScores = array(seeds.zipWithIndex.map { case (s, i) =>
-      struct(
-        (-(dot(col("__p"), typedLit(s)) /
-          (col("__pnorm") * lit(math.sqrt(s.map(x => x * x).sum))))).as("neg"),
-        lit(i).as("cell"))
-    }: _*)
+    // Probe side: rank all cells per probe, keep the nprobe closest.
     val p = probes.select(
       col(idCol).as("probe_id"), toDoubleVec(col(vecCol)).as("__p"))
       .withColumn("__pnorm", norm(col("__p")))
       .withColumn(
         "__cell",
         explode(transform(
-          slice(sort_array(cellScores), 1, nprobe),
+          slice(sort_array(cellRanking(col("__p"), seeds)), 1, nprobe),
           s => s.getField("cell"))))
 
     val w = Window.partitionBy("probe_id")
