@@ -235,6 +235,25 @@ object CoreQueries {
       new IngestionEngine(cfg)
         .ingestCsvFile(s, "/root/repo/fixtures/ingest_sample.csv")
         .orderBy("flight_id", "leg_no")
+    }),
+
+    // Skew-salted equi-join: hot keys on the fact side spread over 8
+    // salt buckets, dim side replicated 8× — row-identical to the
+    // plain join (which is exactly what the oracle runs), only the
+    // partitioning changes.
+    "q32_salted_join" -> ((s, dir) => {
+      val dec = (c: String) => col(c).cast("decimal(12,2)")
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.operators.Skew.saltedEquiJoin(
+          li, ord, Seq("l_orderkey"), saltParts = 8,
+          saltSource = col("l_linenumber"))
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("n_lines"),
+          sum(dec("l_extendedprice")).cast("double").as("total_price"))
+        .orderBy("o_orderpriority")
     })
   )
 
@@ -390,6 +409,14 @@ object CoreQueries {
         |  TRY_CAST(delay AS INT) AS delay
         |FROM read_csv('/root/repo/fixtures/ingest_sample.csv',
         |              header=true, all_varchar=true)
-        |ORDER BY flight_id, leg_no""".stripMargin
+        |ORDER BY flight_id, leg_no""".stripMargin,
+
+    "q32_salted_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS total_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin
   )
 }

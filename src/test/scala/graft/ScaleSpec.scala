@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Skew
+
+/** Scale-readiness mechanics: skew salting (row-identical to plain
+  * ops, partitioning spread) and bucketed co-located joins (no
+  * exchange in the plan). */
+class ScaleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("saltedEquiJoin is row-identical to the plain join") {
+    val large = (1 to 500).map(i => (i % 3L, i.toLong, i * 2.0))
+      .toDF("key", "line", "amount") // 3 hot keys
+    val small = Seq((0L, "a"), (1L, "b"), (2L, "c")).toDF("key", "tag")
+    val salted = Skew.saltedEquiJoin(large, small, Seq("key"), 8, col("line"))
+      .orderBy("key", "line")
+      .collect()
+    val plain = large.join(small, "key").orderBy("key", "line").collect()
+    assert(salted.toSeq === plain.toSeq)
+  }
+
+  test("saltedEquiJoin spreads a hot key over multiple salt buckets") {
+    val large = (1 to 100).map(i => (7L, i.toLong)).toDF("key", "line")
+    val nSalts = large
+      .withColumn("__salt", pmod(hash(col("line")), lit(8)))
+      .select("__salt").distinct().count()
+    assert(nSalts > 4) // one hot key spreads across most of 8 buckets
+  }
+
+  test("saltedAggregate matches the plain aggregation") {
+    val df = (1 to 300).map(i => (i % 2L, i.toLong, i.toDouble))
+      .toDF("key", "line", "v")
+    val out = Skew.saltedAggregate(
+      df, Seq("key"), col("line"), 8,
+      partials = Seq(sum("v").as("s"), count(lit(1)).as("c")),
+      finals = Seq(
+        sum("s").cast("double").as("total"), sum("c").as("n")))
+      .orderBy("key")
+      .as[(Long, Double, Long)].collect().toSeq
+    val plain = df.groupBy("key")
+      .agg(sum("v").cast("double").as("total"), count(lit(1)).as("n"))
+      .orderBy("key")
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(out === plain)
+  }
+
+  test("bucketed tables co-locate the join: zero shuffle exchanges") {
+    val n = 1000
+    (1 to n).map(i => (i.toLong, i * 10.0)).toDF("k", "a")
+      .write.mode("overwrite").bucketBy(4, "k").sortBy("k")
+      .saveAsTable("bkt_a")
+    (1 to n).map(i => (i.toLong, s"v$i")).toDF("k", "b")
+      .write.mode("overwrite").bucketBy(4, "k").sortBy("k")
+      .saveAsTable("bkt_b")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+      assert(joined.count() === n)
+      val executed = joined.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case other => other
+      }
+      val shuffles = executed.collect { case e: ShuffleExchangeExec => e }
+      assert(shuffles.isEmpty,
+        s"bucketed join should not shuffle, found: $shuffles")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS bkt_a")
+      spark.sql("DROP TABLE IF EXISTS bkt_b")
+    }
+  }
+}
