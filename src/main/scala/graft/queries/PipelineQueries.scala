@@ -168,6 +168,26 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Content-defined chunking (Karp–Rabin rolling hash, custom
+    // codegen'd kernel): chunk boundaries re-align after insertions,
+    // so per-chunk hashes fingerprint documents robustly against
+    // shifted content. Zero shuffle; fan-out bounded by text size /
+    // expected chunk length.
+    "q33_rolling_chunks" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"), col("text"),
+          posexplode(graft.functions.RollingChunks(col("text"), 16, 32)))
+        .select(
+          col("doc_id"),
+          col("pos").as("chunk_idx"),
+          col("col.start").as("start"),
+          col("col.len").as("len"),
+          md5(col("text").substr(col("col.start"), col("col.len")))
+            .as("chunk_hash"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // Multimodal binary columns: payload digests, base64/hex peeks,
     // typed media metadata + aspect-preserving resize arithmetic —
     // all codegen'd binary built-ins, zero shuffle.
@@ -508,6 +528,47 @@ object PipelineQueries {
         |    AS regex_tokens,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q33_rolling_chunks" ->
+      """WITH RECURSIVE pows(k, v) AS (
+        |  SELECT 0, CAST(1 AS BIGINT)
+        |  UNION ALL
+        |  SELECT k + 1, v * 257 % 1000000007 FROM pows WHERE k < 15
+        |), pos AS (
+        |  SELECT doc_id, text, unnest(generate_series(16, length(text))) AS p
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id, text, p,
+        |    SUM((ascii(substr(text, CAST(p - 16 + 1 + j.j AS INT), 1))) * pw.v)
+        |      % 1000000007 AS hv
+        |  FROM pos
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) j
+        |  JOIN pows pw ON pw.k = 15 - j.j
+        |  GROUP BY doc_id, text, p
+        |), cuts AS (
+        |  SELECT doc_id, text, CAST(p AS INT) AS cut FROM h WHERE hv % 32 = 0
+        |), spans AS (
+        |  SELECT doc_id, text,
+        |    coalesce(lag(cut) OVER (PARTITION BY doc_id ORDER BY cut) + 1, 1)
+        |      AS start,
+        |    cut AS fin
+        |  FROM cuts
+        |  UNION ALL
+        |  SELECT d.doc_id, d.text, coalesce(mx.m + 1, 1) AS start,
+        |    length(d.text) AS fin
+        |  FROM documents d
+        |  LEFT JOIN (SELECT doc_id, max(cut) AS m FROM cuts GROUP BY doc_id) mx
+        |    ON mx.doc_id = d.doc_id
+        |  WHERE coalesce(mx.m, 0) < length(d.text)
+        |)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start) - 1
+        |    AS INT) AS chunk_idx,
+        |  CAST(start AS INT) AS start, CAST(fin - start + 1 AS INT) AS len,
+        |  md5(substr(text, CAST(start AS INT), CAST(fin - start + 1 AS INT)))
+        |    AS chunk_hash
+        |FROM spans
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q26_binary_stats" ->
       """SELECT doc_id,

@@ -90,6 +90,40 @@ class DedupSpec extends AnyFunSuite {
     assert(graft.operators.Dedup.minhashSignatures(tiny, "doc_id", "text", 8, 3).count() === 0)
   }
 
+  test("rolling chunks: contiguous full coverage, stable under prefix edits") {
+    import graft.functions.RollingChunks
+    val base = "the quick brown fox jumps over the lazy dog and then " * 8
+    val edited = "XY " + base // insertion at the front
+    val df = Seq((1L, base), (2L, edited), (3L, ""), (4L, "tiny"))
+      .toDF("doc_id", "text")
+    val chunks = df.select(
+        $"doc_id", $"text",
+        posexplode(RollingChunks($"text", 16, 32)))
+      .select($"doc_id", $"pos", $"col.start", $"col.len",
+        md5($"text".substr($"col.start", $"col.len")).as("h"))
+      .as[(Long, Int, Int, Int, String)].collect()
+      .groupBy(_._1)
+
+    // Spans are contiguous from 1 and cover the whole text.
+    for ((id, sp) <- chunks; sorted = sp.sortBy(_._2)) {
+      assert(sorted.head._3 === 1)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 === a._3 + a._4); case _ =>
+      }
+      val text = if (id == 1) base else if (id == 2) edited else "tiny"
+      assert(sorted.map(_._4).sum === text.length)
+    }
+    assert(!chunks.contains(3L)) // empty text -> no chunks
+    assert(chunks(4L).length === 1) // shorter than window -> one tail chunk
+
+    // Content-defined boundaries: after the first re-synced cut, the
+    // edited doc shares most chunk hashes with the original.
+    val h1 = chunks(1L).map(_._5).toSet
+    val h2 = chunks(2L).map(_._5).toSet
+    val shared = h1.intersect(h2).size
+    assert(shared >= h1.size - 2, s"only $shared of ${h1.size} chunks survived the edit")
+  }
+
   test("simhashFast (codegen'd expression) is bit-identical to the HOF reference") {
     val edgeCases = Seq(
       (100L, "single"),
