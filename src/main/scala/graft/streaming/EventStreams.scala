@@ -1,0 +1,112 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One closed user session: [start, end] with its event count. */
+case class Session(key: Long, start: Timestamp, end: Timestamp, nEvents: Int)
+
+/** Accumulating state for an open session. */
+case class SessionState(startMs: Long, lastMs: Long, n: Int)
+
+/**
+ * Streaming analytics over event streams — the watermarked /
+ * stateful half of the engine's streaming surface (the daily-flow
+ * skin in [[StreamingDailyFlow]] covers the file-batch half).
+ *
+ * Scale: both operators key state by the stream's natural key; state
+ * stores partition by key across executors, and the watermark bounds
+ * state size — windows older than the delay are finalized and
+ * dropped, sessions time out `gap` after their last event.
+ */
+object EventStreams {
+
+  /**
+   * Watermarked sliding-window counts per key: the canonical
+   * `groupBy(window(...))` aggregation. With OutputMode.Append the
+   * sink receives each (window, key) row exactly once, after the
+   * watermark passes the window end; state for closed windows is
+   * dropped.
+   */
+  def windowedCounts(
+      events: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      windowDur: String,
+      slideDur: String,
+      watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDur, slideDur), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col(keyCol), col("n_events"))
+
+  /**
+   * Gap-based sessionization via `flatMapGroupsWithState` with
+   * event-time timeout: events for a key belong to one session while
+   * consecutive gaps stay ≤ `gapSeconds`; a session closes (and is
+   * emitted exactly once) when a larger gap appears in the data or
+   * the watermark passes last-event + gap.
+   */
+  def sessionize(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      gapSeconds: Long,
+      watermarkDelay: String): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapSeconds * 1000L
+
+    // Project/cast BEFORE the watermark: a projection on top of
+    // withWatermark produces fresh attributes without the watermark
+    // tag, and event-time timeout then fails analysis.
+    val typed = events
+      .select(
+        col(keyCol).cast("long").as("key"),
+        col(tsCol).cast("timestamp").as("ts"))
+      .withWatermark("ts", watermarkDelay)
+      .as[(Long, Timestamp)]
+
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, rows: Iterator[(Long, Timestamp)],
+            state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(
+              key, new Timestamp(s.startMs), new Timestamp(s.lastMs), s.n))
+          } else {
+            val times = rows.map(_._2.getTime).toArray.sorted
+            var open = state.getOption
+            val closed = Seq.newBuilder[Session]
+            times.foreach { t =>
+              open match {
+                case Some(s) if t - s.lastMs <= gapMs =>
+                  open = Some(s.copy(lastMs = math.max(s.lastMs, t), n = s.n + 1))
+                case Some(s) =>
+                  closed += Session(
+                    key, new Timestamp(s.startMs), new Timestamp(s.lastMs), s.n)
+                  open = Some(SessionState(t, t, 1))
+                case None =>
+                  open = Some(SessionState(t, t, 1))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStreams
+
+/** Watermarked windowed aggregation + stateful gap sessionization
+  * over MemoryStream micro-batches. */
+class EventStreamsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  test("windowedCounts finalizes windows exactly once after the watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val counts = EventStreams.windowedCounts(
+      input.toDF.toDF("user_id", "ts"),
+      "ts", "user_id", "10 seconds", "10 seconds", "5 seconds")
+    val q = counts.writeStream
+      .format("memory").queryName("win_counts").outputMode("append").start()
+    try {
+      input.addData((1L, ts(1)), (1L, ts(4)), (2L, ts(8)))
+      q.processAllAvailable()
+      // Watermark still at 8-5=3s: window [0,10) not finalized yet.
+      assert(spark.table("win_counts").count() === 0)
+      input.addData((1L, ts(30))) // watermark -> 25s, finalizes [0,10)
+      q.processAllAvailable()
+      val rows = spark.table("win_counts")
+        .select("user_id", "n_events").as[(Long, Long)].collect().toSet
+      assert(rows === Set((1L, 2L), (2L, 1L)))
+    } finally q.stop()
+  }
+
+  test("sessionize closes sessions on in-batch gaps and on event-time timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val sessions = EventStreams.sessionize(
+      input.toDF.toDF("user_id", "ts"),
+      "user_id", "ts", gapSeconds = 10, watermarkDelay = "0 seconds")
+    val q = sessions.writeStream
+      .format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      // User 1: two events 4s apart (one session), then a 100s gap
+      // inside the same batch -> first session closes in-batch.
+      // (Events start at 1s: a row exactly at the initial epoch-0
+      // watermark would be dropped as late.)
+      input.addData((1L, ts(1)), (1L, ts(5)), (1L, ts(105)))
+      q.processAllAvailable()
+      val inBatch = spark.table("sessions")
+        .as[graft.streaming.Session].collect()
+      assert(inBatch.length === 1)
+      assert(inBatch.head.key === 1L)
+      assert(inBatch.head.nEvents === 2)
+      assert(inBatch.head.start === ts(1) && inBatch.head.end === ts(5))
+
+      // Advance the watermark far past 105+gap -> open session times out.
+      input.addData((2L, ts(500)))
+      q.processAllAvailable()
+      input.addData((2L, ts(600))) // next batch sees the new watermark
+      q.processAllAvailable()
+      val all = spark.table("sessions").as[graft.streaming.Session].collect()
+      val timedOut = all.find(s => s.key == 1L && s.nEvents == 1)
+      assert(timedOut.isDefined, s"open session should have timed out: ${all.toSeq}")
+      assert(timedOut.get.start === ts(105) && timedOut.get.end === ts(105))
+    } finally q.stop()
+  }
+}
