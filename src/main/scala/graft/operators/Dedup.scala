@@ -193,13 +193,18 @@ object Dedup {
   }
 
   /**
-   * Exact n-gram Jaccard over the LSH candidate set: |A∩B| via a
-   * shingle-keyed join restricted to candidate pairs, |A∪B| from the
-   * per-doc shingle counts. Output: (doc_a, doc_b, n_common, jaccard).
+   * Exact n-gram Jaccard over the LSH candidate set: the two texts
+   * join onto each candidate pair and the custom codegen'd kernel
+   * [[graft.functions.NGramJaccardSim]] compares shingle sets in-row.
+   * Output: (doc_a, doc_b, n_common, jaccard).
    *
    * Scale: the expensive exact comparison runs ONLY over candidates —
-   * O(candidates × shingles-per-doc) — the canonical
-   * cheap-filter-then-exact-verify pipeline shape.
+   * O(candidates × text-length) — the canonical cheap-filter-then-
+   * exact-verify pipeline shape. The per-pair kernel replaces the
+   * exploded-shingle formulation (three O(shingles) Generates plus
+   * shingle-keyed shuffles); the candidate set is small by
+   * construction, so the two text-lookup joins are the only data
+   * movement.
    */
   def ngramJaccard(
       df: DataFrame,
@@ -211,20 +216,17 @@ object Dedup {
     val cand = minhashCandidates(
       df, idCol, textCol, numHashes, rowsPerBand, shingleSize)
       .select("doc_a", "doc_b")
-    val sh = shingles(df, idCol, textCol, shingleSize)
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
-    val inter = cand
-      .join(sh.select(col(idCol).as("doc_a"), col("shingle")), "doc_a")
-      .join(sh.select(col(idCol).as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("n_common"))
-    inter
-      .join(sizes.select(col(idCol).as("doc_a"), col("__n").as("__na")), "doc_a")
-      .join(sizes.select(col(idCol).as("doc_b"), col("__n").as("__nb")), "doc_b")
+    val ta = df.select(col(idCol).as("doc_a"), col(textCol).as("__ta"))
+    val tb = df.select(col(idCol).as("doc_b"), col(textCol).as("__tb"))
+    cand.join(ta, "doc_a").join(tb, "doc_b")
       .select(
-        col("doc_a"), col("doc_b"), col("n_common"),
-        (col("n_common").cast("double") /
-          (col("__na") + col("__nb") - col("n_common"))).as("jaccard"))
+        col("doc_a"), col("doc_b"),
+        graft.functions.NGramJaccardSim(
+          col("__ta"), col("__tb"), shingleSize).as("__j"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        col("__j.n_common").cast("long").as("n_common"),
+        col("__j.jaccard").as("jaccard"))
   }
 
   /**
