@@ -168,6 +168,31 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // End-to-end curation pipeline — the operator families composed
+    // the way a training-data pipeline uses them: exact dedup (keep
+    // min id, count copies) → language keep-list → quality gate
+    // (token count + stopword ratio) → canonical fingerprints.
+    "q34_curation_pipeline" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+      val withDups = base.unionByName(
+        base.where(col("doc_id") % 50 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000))
+      val nTok = TextAnalysis.tokenCount(col("text"))
+      val stopRatio = TextAnalysis.vocabHits(
+        col("text"), Seq("the", "a", "of", "and", "is", "to"))
+        .cast("double") / nTok
+      Dedup.exact(withDups, "text", "doc_id")
+        .where(col("lang").isin("en", "es", "de"))
+        .withColumn("n_tokens", nTok)
+        .withColumn("stop_ratio", round(stopRatio, 6))
+        .where(col("n_tokens") >= 30 && col("stop_ratio") <= 0.12)
+        .select(
+          col("doc_id"), col("lang"), col("n_copies"),
+          col("n_tokens"), col("stop_ratio"),
+          TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")
+    }),
+
     // Content-defined chunking (Karp–Rabin rolling hash, custom
     // codegen'd kernel): chunk boundaries re-align after insertions,
     // so per-chunk hashes fingerprint documents robustly against
@@ -528,6 +553,32 @@ object PipelineQueries {
         |    AS regex_tokens,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q34_curation_pipeline" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text, lang FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text, lang FROM documents
+        |  WHERE doc_id % 50 = 0
+        |), g AS (
+        |  SELECT doc_id, text, lang,
+        |    count(*) OVER (PARTITION BY md5(text)) AS n_copies,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM all_docs
+        |), f AS (
+        |  SELECT doc_id, lang, CAST(n_copies AS BIGINT) AS n_copies,
+        |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+        |    round(CAST(len(list_filter(string_split(text, ' '),
+        |      t -> list_contains(['the','a','of','and','is','to'], t)))
+        |      AS DOUBLE) / len(string_split(text, ' ')), 6) AS stop_ratio,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |      AS fingerprint
+        |  FROM g WHERE rn = 1 AND lang IN ('en', 'es', 'de')
+        |)
+        |SELECT doc_id, lang, n_copies, n_tokens, stop_ratio, fingerprint
+        |FROM f
+        |WHERE n_tokens >= 30 AND stop_ratio <= 0.12
+        |ORDER BY doc_id""".stripMargin,
 
     "q33_rolling_chunks" ->
       """WITH RECURSIVE pows(k, v) AS (
