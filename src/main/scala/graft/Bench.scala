@@ -37,7 +37,10 @@ object Bench {
     }
     val results = qs.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
+      try exec(fn(spark, sfDir)) catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
 

@@ -10,8 +10,14 @@ import org.apache.spark.sql.types.IntegerType
  *
  *   - `graft_simhash64(text)` → 64-char '0'/'1' SimHash fingerprint
  *   - `graft_minhash_sig(text, numHashes, shingleSize)` → array<bigint>
- *     MinHash signature (numHashes/shingleSize must be int literals —
- *     they parameterize the generated code)
+ *     MinHash signature
+ *   - `graft_ngram_jaccard(a, b, n)` → struct<n_common:int,
+ *     jaccard:double> exact word n-gram similarity
+ *   - `graft_rolling_chunks(text, windowSize, divisor)` →
+ *     array<struct<start:int, len:int>> content-defined chunk spans
+ *
+ * Integer parameters must be int literals — they parameterize the
+ * generated code.
  *
  * Two wiring paths, same builders:
  *   - [[GraftFunctions.register]] installs into a live session's
@@ -49,6 +55,27 @@ object GraftFunctions {
           exprs.head,
           intLit(exprs(1), "numHashes"),
           intLit(exprs(2), "shingleSize"))
+      }),
+    (
+      FunctionIdentifier("graft_ngram_jaccard"),
+      new ExpressionInfo(classOf[NGramJaccardSim].getName, "graft_ngram_jaccard"),
+      (exprs: Seq[Expression]) => {
+        require(
+          exprs.length == 3,
+          "graft_ngram_jaccard(a, b, n) takes 3 arguments")
+        NGramJaccardSim(exprs.head, exprs(1), intLit(exprs(2), "n"))
+      }),
+    (
+      FunctionIdentifier("graft_rolling_chunks"),
+      new ExpressionInfo(classOf[RollingChunks].getName, "graft_rolling_chunks"),
+      (exprs: Seq[Expression]) => {
+        require(
+          exprs.length == 3,
+          "graft_rolling_chunks(text, windowSize, divisor) takes 3 arguments")
+        RollingChunks(
+          exprs.head,
+          intLit(exprs(1), "windowSize"),
+          intLit(exprs(2), "divisor"))
       }))
 
   /** Install into a live session (idempotent; replaces old builders). */

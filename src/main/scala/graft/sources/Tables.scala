@@ -23,6 +23,9 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     // Runtime-settable legacy conf; harmless when already set.
+    // Deliberately NOT save/restored: the returned plan is lazy and
+    // re-consults the conf at execution, so restoring it here would
+    // break every DataFrame this function has ever returned.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     nanoCols.getOrElse(name, Nil).foldLeft(df) { (d, c) =>

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, size}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.GraftFunctions
@@ -44,7 +44,20 @@ class GraftFunctionsSpec extends AnyFunSuite {
       || err.getCause != null)
   }
 
-  test("GraftExtensions injects both functions without error") {
+  test("graft_ngram_jaccard and graft_rolling_chunks callable from SQL") {
+    GraftFunctions.register(spark)
+    val (common, jac) = spark.sql(
+      "SELECT graft_ngram_jaccard('a b c d', 'a b c e', 3) AS j")
+      .select("j.n_common", "j.jaccard").as[(Int, Double)].head()
+    assert(common === 1) // shares only "a b c"
+    assert(jac === 1.0 / 3) // union of {abc,bcd} and {abc,bce} has 3
+    val chunks = spark.sql(
+      "SELECT graft_rolling_chunks('short text', 16, 32) AS c")
+      .select(size(col("c"))).as[Int].head()
+    assert(chunks === 1) // shorter than window -> single tail chunk
+  }
+
+  test("GraftExtensions injects all functions without error") {
     new graft.functions.GraftExtensions().apply(new SparkSessionExtensions)
   }
 }
