@@ -132,9 +132,22 @@ object Similarity {
    * `maxDims` for such corpora (literal cost is one flat double
    * array per plane).
    */
-  def srpBucket(vecCol: Column, numPlanes: Int, maxDims: Int = 1024): Column = {
+  /** Fast path: all `numTables` SRP buckets in one codegen'd kernel
+    * pass ([[graft.functions.SrpBuckets]]); bit-identical to mapping
+    * [[srpBucket]] over the tables (cross-checked in SimilaritySpec). */
+  def srpBucketsFast(vecCol: Column, numPlanes: Int, numTables: Int): Column =
+    graft.functions.SrpBuckets(vecCol, numPlanes, numTables)
+
+  /** Pure-built-in reference formulation of one SRP bucket (table
+    * `planeOffset / numPlanes` of [[srpBucketsFast]]). */
+  def srpBucket(
+      vecCol: Column,
+      numPlanes: Int,
+      planeOffset: Int = 0,
+      maxDims: Int = 1024): Column = {
     val v = toDoubleVec(vecCol)
-    val bits = (0 until numPlanes).map { p =>
+    val bits = (0 until numPlanes).map { i =>
+      val p = planeOffset + i
       val planeSigns = typedLit((0 until maxDims).map(d => srpSign(p, d)))
       val proj = aggregate(
         zip_with(v, slice(planeSigns, lit(1), size(v)), _ * _),
@@ -142,6 +155,50 @@ object Similarity {
       when(proj > 0, "1").otherwise("0")
     }
     concat(bits: _*)
+  }
+
+  /**
+   * Multi-table SRP-LSH near-duplicate candidates: `numTables`
+   * independent hash tables (table t uses planes
+   * [t·numPlanes, (t+1)·numPlanes)); vectors sharing a bucket in ANY
+   * table become candidates, scored with exact cosine. The standard
+   * recall dial for hash-based ANN: single-table miss probability
+   * (1 − s^k) drops to (1 − s^k)^L with L tables.
+   *
+   * Output: (vec_a, vec_b, cosine), distinct across tables.
+   *
+   * Scale: (table, bucket) rows explode O(n·L); the self-join
+   * shuffles on the (table, bucket) key; vectors ride the rows so
+   * scoring needs no lookup joins, and the distinct collapses
+   * cross-table duplicates before the threshold filter.
+   */
+  def lshNearDupMulti(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numPlanes: Int,
+      numTables: Int,
+      minCosine: Double): DataFrame = {
+    val buckets = srpBucketsFast(col(vecCol), numPlanes, numTables)
+    val tabbed = corpus.select(
+      col(idCol).as("id"), toDoubleVec(col(vecCol)).as("__v"),
+      posexplode(buckets).as(Seq("__table", "__bucket")))
+      .withColumn("__norm", norm(col("__v")))
+    val a = tabbed.select(
+      col("__table"), col("__bucket"), col("id").as("vec_a"),
+      col("__v").as("__va"), col("__norm").as("__na"))
+    val b = tabbed.select(
+      col("__table"), col("__bucket"), col("id").as("vec_b"),
+      col("__v").as("__vb"), col("__norm").as("__nb"))
+    a.join(b, Seq("__table", "__bucket"))
+      .where(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b", "__va", "__vb", "__na", "__nb")
+      .distinct()
+      .withColumn(
+        "cosine",
+        dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+      .where(coalesce(col("cosine"), lit(-2.0)) >= minCosine)
+      .select("vec_a", "vec_b", "cosine")
   }
 
   /**
@@ -265,7 +322,7 @@ object Similarity {
     val withBucket = corpus.select(
       col(idCol).as("id"),
       toDoubleVec(col(vecCol)).as("__v"),
-      srpBucket(col(vecCol), numPlanes).as("__bucket"))
+      element_at(srpBucketsFast(col(vecCol), numPlanes, 1), 1).as("__bucket"))
       .withColumn("__norm", norm(col("__v")))
     val a = withBucket.select(
       col("__bucket"), col("id").as("vec_a"),

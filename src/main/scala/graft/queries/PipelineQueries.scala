@@ -79,7 +79,8 @@ object PipelineQueries {
       t(s, dir, "embeddings")
         .select(
           col("vec_id"),
-          Similarity.srpBucket(col("embedding"), numPlanes = 8).as("bucket"))
+          element_at(Similarity.srpBucketsFast(col("embedding"), 8, 1), 1)
+            .as("bucket"))
         .orderBy("vec_id")
     }),
 
@@ -89,6 +90,18 @@ object PipelineQueries {
       Similarity.lshNearDup(
           t(s, dir, "embeddings"), "vec_id", "embedding",
           numPlanes = 8, minCosine = 0.35)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("vec_a", "vec_b")
+    }),
+
+    // Multi-table SRP-LSH near-dup: 4 independent 8-plane tables —
+    // a shared bucket in ANY table makes a candidate. Finds 17 pairs
+    // at sf0.01 where the single-table q21 finds 3: the recall dial
+    // of hash-based ANN.
+    "q35_lsh_multitable" -> ((s, dir) => {
+      Similarity.lshNearDupMulti(
+          t(s, dir, "embeddings"), "vec_id", "embedding",
+          numPlanes = 8, numTables = 4, minCosine = 0.35)
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("vec_a", "vec_b")
     }),
@@ -427,6 +440,46 @@ object PipelineQueries {
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
         |  FROM buckets a
         |  JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |), dots AS (
+        |  SELECT p.vec_a, p.vec_b, SUM(ea.x * eb.x) AS dp
+        |  FROM pairs p
+        |  JOIN el ea ON ea.vec_id = p.vec_a
+        |  JOIN el eb ON eb.vec_id = p.vec_b AND eb.d = ea.d
+        |  GROUP BY 1, 2
+        |)
+        |SELECT d.vec_a, d.vec_b, round(d.dp/(na.n*nb.n), 6) AS cosine
+        |FROM dots d
+        |JOIN nrm na ON na.vec_id = d.vec_a
+        |JOIN nrm nb ON nb.vec_id = d.vec_b
+        |WHERE d.dp/(na.n*nb.n) >= 0.35
+        |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "q35_lsh_multitable" ->
+      """WITH el AS (
+        |  SELECT vec_id, generate_subscripts(embedding,1)-1 AS d,
+        |         unnest(embedding)::DOUBLE AS x
+        |  FROM embeddings
+        |), comp AS (
+        |  SELECT vec_id, p.p,
+        |    SUM(x * CASE WHEN (
+        |      CASE WHEN ascii(substr(md5(CAST(p.p AS VARCHAR) || ':' || CAST(d AS VARCHAR)),1,1)) <= 57
+        |           THEN ascii(substr(md5(CAST(p.p AS VARCHAR) || ':' || CAST(d AS VARCHAR)),1,1)) - 48
+        |           ELSE ascii(substr(md5(CAST(p.p AS VARCHAR) || ':' || CAST(d AS VARCHAR)),1,1)) - 87
+        |      END) < 8 THEN 1.0 ELSE -1.0 END) AS s
+        |  FROM el CROSS JOIN (SELECT unnest(generate_series(0,31)) AS p) p
+        |  GROUP BY vec_id, p.p
+        |), buckets AS (
+        |  SELECT vec_id, CAST(p // 8 AS INT) AS tbl,
+        |    string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY p)
+        |      AS bucket
+        |  FROM comp GROUP BY vec_id, p // 8
+        |), nrm AS (
+        |  SELECT vec_id, sqrt(SUM(x*x)) AS n FROM el GROUP BY vec_id
+        |), pairs AS (
+        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM buckets a
+        |  JOIN buckets b ON a.tbl = b.tbl AND a.bucket = b.bucket
+        |    AND a.vec_id < b.vec_id
         |), dots AS (
         |  SELECT p.vec_a, p.vec_b, SUM(ea.x * eb.x) AS dp
         |  FROM pairs p

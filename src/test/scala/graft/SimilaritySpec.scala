@@ -73,6 +73,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(seeds === Seq(Seq(1.0, 0.0, 0.0), Seq(0.9, 0.1, 0.0).map(_.toFloat.toDouble)))
   }
 
+  test("SrpBuckets kernel is bit-identical to the HOF srpBucket per table") {
+    val out = vecs.select(
+      $"vec_id",
+      Similarity.srpBucketsFast($"embedding", 8, 3).as("fast"),
+      org.apache.spark.sql.functions.array(
+        Similarity.srpBucket($"embedding", 8, 0),
+        Similarity.srpBucket($"embedding", 8, 8),
+        Similarity.srpBucket($"embedding", 8, 16)).as("ref"))
+      .as[(Long, Seq[String], Seq[String])].collect()
+    out.foreach { case (_, fast, ref) => assert(fast === ref) }
+  }
+
+  test("lshNearDupMulti is a recall superset of the single-table variant") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val single = pairs(Similarity.lshNearDup(vecs, "vec_id", "embedding", 8, 0.5))
+    val multi = pairs(Similarity.lshNearDupMulti(vecs, "vec_id", "embedding", 8, 4, 0.5))
+    assert(single.subsetOf(multi)) // table 0 of multi IS the single table
+    assert(multi.contains((0L, 4L))) // scaled copy always shares every bucket
+  }
+
   test("lshNearDup finds the scaled pair with cosine 1.0, never cross-bucket") {
     val out = Similarity.lshNearDup(vecs, "vec_id", "embedding", 8, 0.5)
       .as[(Long, Long, Double)].collect()
