@@ -88,4 +88,23 @@ class DailyFlowSpec extends AnyFunSuite {
 
     spark.sql("DROP TABLE IF EXISTS flights_test3")
   }
+
+  test("skipped day: table exists but previous partition empty still runs the union path") {
+    // Reference wart preserved faithfully (SURVEY §3.1 step 4): a
+    // present-but-empty previous partition is NOT treated as missing.
+    val cfgS = cfg.copy(output_table = Some("flights_test_skip"))
+    val flow = new DailyFlow(cfgS)
+    flow.processDaily(spark, writeDay("d1.json", Seq(
+      """{"FlightDate": "2024-03-01", "Reporting_Airline": "AA", "Origin": "JFK", "DepTime": 900}""")))
+    // Day 3 arrives; day 2's partition is empty.
+    flow.processDaily(spark, writeDay("d3.json", Seq(
+      """{"FlightDate": "2024-03-03", "Reporting_Airline": "UA", "Origin": "JFK", "DepTime": 800}""")))
+    val table = spark.read.table("flights_test_skip")
+    assert(table.count() === 2) // both days retained
+    // No cross-day stitch happened (prev partition was empty), so
+    // day 1's last flight keeps its NULL interval.
+    val d1 = table.where(col("FlightDate") === lit("2024-03-01").cast("date")).head()
+    assert(d1.isNullAt(d1.fieldIndex("diff_next")))
+    spark.sql("DROP TABLE IF EXISTS flights_test_skip")
+  }
 }

@@ -44,6 +44,16 @@ class IngestionSpec extends AnyFunSuite {
       === "How many relatives of that kind")
   }
 
+  test("config column missing from the input raises an analysis error (reference contract)") {
+    import spark.implicits._
+    val engine = new IngestionEngine(cfg)
+    val noJob = Seq(("Ada", "niece", 3)).toDF("name", "relation", "num")
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      engine.coerce(noJob).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("job"))
+  }
+
   test("malformed values coerce to NULL, not error (non-ANSI parity)") {
     val dir = Files.createTempDirectory("graft-bad")
     val f = dir.resolve("bad.json")
