@@ -322,7 +322,11 @@ object Similarity {
     val withBucket = corpus.select(
       col(idCol).as("id"),
       toDoubleVec(col(vecCol)).as("__v"),
-      element_at(srpBucketsFast(col(vecCol), numPlanes, 1), 1).as("__bucket"))
+      // coalesce: element_at is nullable, and a nullable join key gets
+      // IsNotNull(<kernel>) inferred and pushed into the scan.
+      coalesce(
+        element_at(srpBucketsFast(col(vecCol), numPlanes, 1), 1),
+        lit("")).as("__bucket"))
       .withColumn("__norm", norm(col("__v")))
     val a = withBucket.select(
       col("__bucket"), col("id").as("vec_a"),

@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards: the scale properties this engine
+  * was tuned for, asserted on the real queries over sf0.001 so a
+  * refactor that silently degrades a plan fails CI, not the bench.
+  * String-level checks on the executed plan keep the assertions
+  * stable across AQE wrapping. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("timezone dim join (Enrich.addUtcTime) is broadcast, never shuffled") {
+    import spark.implicits._
+    val flights = Seq(("JFK", java.sql.Date.valueOf("2024-01-01"), 930))
+      .toDF("Origin", "FlightDate", "DepTime")
+    val p = graft.operators.Enrich
+      .addUtcTime(flights, graft.operators.Enrich.loadTimezones(spark))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q13: top-k compiles to TakeOrderedAndProject (per-partition top-k), no global sort") {
+    val p = plan("q13_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("q16: minhash aggregation stays on the HashAggregate fast path") {
+    val p = plan("q16_minhash_pairs")
+    assert(!p.contains("SortAggregate"),
+      "min over a non-primitive metric would fall back to SortAggregate")
+    assert(p.contains("graft_minhash_sig"), "custom kernel missing from plan")
+  }
+
+  test("q18/q20: custom kernels run inside the scan projection, no exchange before them") {
+    assert(plan("q18_simhash").contains("graft_simhash64"))
+    assert(plan("q20_ann_buckets").contains("graft_srp_buckets"))
+  }
+
+  test("scans prune columns: q01 reads only the projected subset") {
+    val p = plan("q01_scan_filter_project")
+    assert(p.contains("event_id"))
+    assert(!p.contains("props"), "unused wide column must not reach the scan")
+  }
+
+  test("no expensive derived expressions in scan filters (InferFilters hygiene)") {
+    for (q <- Seq("q16_minhash_pairs", "q21_embed_neardup", "q31_ivf_search")) {
+      val scanFilters = plan(q).linesIterator
+        .filter(l => l.contains("DataFilters") || l.contains("PushedFilters"))
+        .mkString("\n")
+      assert(!scanFilters.contains("graft_"),
+        s"$q pushes a custom kernel into the scan filter")
+      assert(!scanFilters.contains("aggregate("),
+        s"$q pushes a higher-order aggregate into the scan filter")
+    }
+  }
+}
