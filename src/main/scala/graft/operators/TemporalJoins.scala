@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Time-series join operators Spark lacks natively — built by
+ * composing existing operators (the brief's preference (a)), so
+ * Catalyst plans and scales them like any other shuffle/window work.
+ */
+object TemporalJoins {
+
+  /**
+   * As-of join: for each left row, the values of the LATEST right row
+   * with `right.ts <= left.ts` within the same key (NULLs when no
+   * right row precedes the left row).
+   *
+   * Implementation: tag both sides, union by name, and take
+   * `last(value, ignoreNulls)` over a per-key window ordered by
+   * (ts, side) — right rows sort before left rows at equal
+   * timestamps, so a same-instant right row IS visible to the left
+   * row (ts ≤ semantics, matching DuckDB's ASOF JOIN). Left rows
+   * carry NULL in the right-value columns, so `ignoreNulls` skips
+   * them and each left row sees exactly the most recent right value.
+   *
+   * Scale: ONE shuffle (the window's hash partition by key) over
+   * left+right combined — the same cost as a plain window; no
+   * range-condition nested-loop join anywhere. Right rows must be
+   * unique per (key, ts); pre-aggregate otherwise.
+   */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    val l = left.withColumn("__side", lit(1))
+    val r = right
+      .select((keyCol +: tsCol +: valueCols).map(col): _*)
+      .withColumn("__side", lit(0))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = valueCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.where(col("__side") === 1).drop("__side")
+  }
+
+  /**
+   * Range (interval) join: left point rows matched to right interval
+   * rows with `start <= point < end`, equi-keyed.
+   *
+   * Implementation: intervals explode into fixed-width bins
+   * (`binWidth`, same unit as the point column), points map to their
+   * bin, and the join runs on (key, bin) followed by the exact range
+   * predicate. This turns an otherwise nested-loop range condition
+   * into an equi-shuffle whose fan-out is interval-length/binWidth.
+   *
+   * Scale: pick `binWidth` near the typical interval length — the
+   * bin explosion is then O(1) per interval and each point probes
+   * one bucket. A plain `ts BETWEEN start AND end` join compiles to
+   * BroadcastNestedLoopJoin, which is O(n·m) and unrunnable at scale.
+   */
+  def rangeJoin(
+      points: DataFrame,
+      intervals: DataFrame,
+      keyCol: String,
+      pointCol: String,
+      startCol: String,
+      endCol: String,
+      binWidth: Long): DataFrame = {
+    val binned = intervals.withColumn(
+      "__bin",
+      explode(sequence(
+        floor(col(startCol) / binWidth).cast("long"),
+        floor((col(endCol) - 1) / binWidth).cast("long"))))
+    val p = points.withColumn(
+      "__bin", floor(col(pointCol) / binWidth).cast("long"))
+    p.join(binned, Seq(keyCol, "__bin"))
+      .where(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
+      .drop("__bin")
+  }
+}

@@ -237,6 +237,43 @@ object CoreQueries {
         .orderBy("flight_id", "leg_no")
     }),
 
+    // As-of join (operator Spark lacks natively): each event picks up
+    // the latest prior "update" row per user — composed as tagged
+    // union + ignoreNulls last() over one per-key window; a single
+    // shuffle, no range nested-loop.
+    "q36_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val updates = ev.where(col("event_id") % 20 === 0)
+        .groupBy("user_id", "ts")
+        .agg(max("event_id").as("upd_id"))
+      graft.operators.TemporalJoins.asofJoin(
+          ev.select("event_id", "user_id", "ts"),
+          updates, "user_id", "ts", Seq("upd_id"))
+        .select("event_id", "user_id", "ts", "upd_id")
+        .orderBy("event_id")
+    }),
+
+    // Range (interval) join via bin bucketing: points probe 1-hour
+    // interval buckets on an equi-key instead of a nested-loop range
+    // condition.
+    "q37_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val points = ev.select(
+        col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("__p"))
+      val intervals = ev.where(col("event_id") % 25 === 0)
+        .select(
+          col("user_id"),
+          unix_micros(col("ts")).as("__s"),
+          (unix_micros(col("ts")) + 3600000000L).as("__e"),
+          col("event_id").as("iv_id"))
+      graft.operators.TemporalJoins.rangeJoin(
+          points, intervals, "user_id", "__p", "__s", "__e",
+          binWidth = 3600000000L)
+        .select("event_id", "user_id", "iv_id")
+        .orderBy("event_id", "iv_id")
+    }),
+
     // Skew-salted equi-join: hot keys on the fact side spread over 8
     // salt buckets, dim side replicated 8× — row-identical to the
     // plain join (which is exactly what the oracle runs), only the
@@ -410,6 +447,27 @@ object CoreQueries {
         |FROM read_csv('/root/repo/fixtures/ingest_sample.csv',
         |              header=true, all_varchar=true)
         |ORDER BY flight_id, leg_no""".stripMargin,
+
+    "q36_asof_join" ->
+      """WITH updates AS (
+        |  SELECT user_id, ts, max(event_id) AS upd_id
+        |  FROM events WHERE event_id % 20 = 0 GROUP BY user_id, ts
+        |)
+        |SELECT e.event_id, e.user_id, e.ts, u.upd_id
+        |FROM events e ASOF LEFT JOIN updates u
+        |  ON e.user_id = u.user_id AND e.ts >= u.ts
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q37_range_join" ->
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 3600000000 AS e2,
+        |         event_id AS iv_id
+        |  FROM events WHERE event_id % 25 = 0
+        |)
+        |SELECT p.event_id, p.user_id, iv.iv_id
+        |FROM events p JOIN iv ON p.user_id = iv.user_id
+        |  AND epoch_us(p.ts) >= iv.s AND epoch_us(p.ts) < iv.e2
+        |ORDER BY p.event_id, iv.iv_id""".stripMargin,
 
     "q32_salted_join" ->
       """SELECT o_orderpriority, COUNT(*) AS n_lines,

@@ -1,0 +1,58 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TemporalJoins
+
+/** As-of and range joins composed from shuffle/window primitives. */
+class TemporalJoinsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  test("asofJoin picks the latest right row at-or-before each left ts, per key") {
+    val trades = Seq(
+      (1L, ts(10), "t1"), (1L, ts(20), "t2"), (1L, ts(5), "t0"),
+      (2L, ts(10), "t3")
+    ).toDF("key", "ts", "trade")
+    val quotes = Seq(
+      (1L, ts(8), 100.0), (1L, ts(10), 101.0), (1L, ts(15), 102.0),
+      (2L, ts(30), 200.0)
+    ).toDF("key", "ts", "px")
+    val out = TemporalJoins.asofJoin(trades, quotes, "key", "ts", Seq("px"))
+      .select("trade", "px").as[(String, Option[Double])].collect().toMap
+    assert(out("t0") === None) // no quote at or before 5
+    assert(out("t1") === Some(101.0)) // same-instant quote visible (ts <=)
+    assert(out("t2") === Some(102.0)) // latest prior, not first
+    assert(out("t3") === None) // key 2's only quote is later
+  }
+
+  test("rangeJoin matches points to [start,end) intervals across bin boundaries") {
+    val points = Seq((1L, 5L, "p5"), (1L, 10L, "p10"), (1L, 99L, "p99"), (2L, 5L, "q5"))
+      .toDF("key", "t", "p")
+    val intervals = Seq(
+      (1L, 0L, 10L, "i1"), // [0,10): p5 only (10 excluded)
+      (1L, 8L, 100L, "i2"), // spans many bins: p10, p99
+      (2L, 0L, 4L, "i3") // q5 outside
+    ).toDF("key", "s", "e", "iv")
+    val out = TemporalJoins.rangeJoin(points, intervals, "key", "t", "s", "e", binWidth = 7L)
+      .select("p", "iv").as[(String, String)].collect().toSet
+    assert(out === Set(("p5", "i1"), ("p10", "i2"), ("p99", "i2")))
+  }
+
+  test("rangeJoin equals the naive range-predicate join on random data") {
+    val points = (1 to 200).map(i => (i % 5L, (i * 13 % 97).toLong, i)).toDF("key", "t", "pid")
+    val intervals = (1 to 40).map(i => (i % 5L, (i * 7 % 80).toLong, (i * 7 % 80 + i % 15).toLong, i))
+      .toDF("key", "s", "e", "iv")
+    val fast = TemporalJoins.rangeJoin(points, intervals, "key", "t", "s", "e", 8L)
+      .select("pid", "iv").as[(Int, Int)].collect().toSet
+    val naive = points.join(intervals, Seq("key"))
+      .where($"t" >= $"s" && $"t" < $"e")
+      .select("pid", "iv").as[(Int, Int)].collect().toSet
+    assert(fast === naive)
+  }
+}
