@@ -48,6 +48,24 @@ object EventStreams {
         col(keyCol), col("n_events"))
 
   /**
+   * Streaming exact deduplication: across all micro-batches, only the
+   * FIRST row per content hash (md5 of `textCol`) is emitted —
+   * dedup-at-ingest for a continuously arriving corpus. Built on
+   * Spark's `dropDuplicates` streaming state; with a watermark column
+   * present, `withWatermark` upstream bounds the state store the same
+   * way it bounds windows.
+   *
+   * Scale: state is one entry per distinct content hash, partitioned
+   * by hash across executors — the streaming analogue of
+   * [[graft.operators.Dedup.exact]]'s single hash exchange.
+   */
+  def streamingExactDedup(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .withColumn("__content_hash", md5(col(textCol)))
+      .dropDuplicates("__content_hash")
+      .drop("__content_hash")
+
+  /**
    * Gap-based sessionization via `flatMapGroupsWithState` with
    * event-time timeout: events for a key belong to one session while
    * consecutive gaps stay ≤ `gapSeconds`; a session closes (and is

@@ -36,6 +36,25 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingExactDedup suppresses duplicate content across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val deduped = EventStreams.streamingExactDedup(
+      input.toDF.toDF("doc_id", "text"), "text")
+    val q = deduped.writeStream
+      .format("memory").queryName("stream_dedup").outputMode("append").start()
+    try {
+      input.addData((1L, "alpha"), (2L, "beta"), (3L, "alpha"))
+      q.processAllAvailable()
+      input.addData((4L, "beta"), (5L, "gamma")) // beta already seen in batch 1
+      q.processAllAvailable()
+      val rows = spark.table("stream_dedup")
+        .as[(Long, String)].collect().sortBy(_._1)
+      assert(rows.map(_._2).toSeq === Seq("alpha", "beta", "gamma"))
+      assert(rows.map(_._1).toSet.intersect(Set(3L, 4L)) === Set.empty)
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions on in-batch gaps and on event-time timeout") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp)]
