@@ -62,4 +62,29 @@ object TextAnalysis {
     * robust to case and spacing noise. */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /**
+   * Benchmark decontamination: ids of `docs` rows sharing at least
+   * one distinct word `n`-gram with any `benchmark` document — the
+   * standard n-gram-overlap check for keeping evaluation data out of
+   * training corpora.
+   *
+   * Scale: benchmark sets are small relative to the corpus, so the
+   * distinct benchmark-shingle side broadcasts and the semi-join
+   * runs in the corpus scan stage — no corpus shuffle; output is the
+   * (small) contaminated-id set.
+   */
+  def contaminatedIds(
+      docs: org.apache.spark.sql.DataFrame,
+      benchmark: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): org.apache.spark.sql.DataFrame = {
+    val docShingles = Dedup.shingles(docs, idCol, textCol, n)
+    val benchShingles = Dedup.shingles(benchmark, idCol, textCol, n)
+      .select("shingle").distinct()
+    docShingles
+      .join(benchShingles, Seq("shingle"), "left_semi")
+      .select(idCol).distinct()
+  }
 }

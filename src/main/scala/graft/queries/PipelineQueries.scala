@@ -181,6 +181,30 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Corpus-level top document-frequency bigrams — the heavy-hitter
+    // aggregation shape: distinct-per-doc shingles, partial-combined
+    // count, per-partition top-k (TakeOrderedAndProject).
+    "q38_top_ngrams" -> ((s, dir) => {
+      Dedup.shingles(t(s, dir, "documents"), "doc_id", "text", n = 2)
+        .groupBy("shingle")
+        .agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("shingle").asc)
+        .limit(50)
+        .select(col("shingle").as("ngram"), col("df"))
+    }),
+
+    // Benchmark decontamination: docs sharing any distinct 4-gram
+    // with the benchmark slice (doc_id % 100 = 0) are flagged — the
+    // standard eval-contamination check, as a broadcast semi-join.
+    "q39_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.contaminatedIds(
+          docs.where(col("doc_id") % 100 =!= 0),
+          docs.where(col("doc_id") % 100 === 0),
+          "doc_id", "text", n = 4)
+        .orderBy("doc_id")
+    }),
+
     // End-to-end curation pipeline — the operator families composed
     // the way a training-data pipeline uses them: exact dedup (keep
     // min id, count copies) → language keep-list → quality gate
@@ -606,6 +630,34 @@ object PipelineQueries {
         |    AS regex_tokens,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q38_top_ngrams" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), idx AS (
+        |  SELECT doc_id, w, unnest(generate_series(1, len(w)-1)) AS i FROM toks
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] AS ngram FROM idx
+        |)
+        |SELECT ngram, count(*) AS df FROM sh GROUP BY ngram
+        |ORDER BY df DESC, ngram LIMIT 50""".stripMargin,
+
+    "q39_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), idx AS (
+        |  SELECT doc_id, w, unnest(generate_series(1, len(w)-3)) AS i FROM toks
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS shingle
+        |  FROM idx
+        |), bench AS (
+        |  SELECT DISTINCT shingle FROM sh WHERE doc_id % 100 = 0
+        |)
+        |SELECT DISTINCT s.doc_id
+        |FROM sh s JOIN bench b USING (shingle)
+        |WHERE s.doc_id % 100 <> 0
+        |ORDER BY doc_id""".stripMargin,
 
     "q34_curation_pipeline" ->
       """WITH all_docs AS (
