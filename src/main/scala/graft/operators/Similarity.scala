@@ -302,6 +302,58 @@ object Similarity {
   }
 
   /**
+   * Scalar int8 quantization of an embedding column: per-vector
+   * affine codes `q = floor((x − min)/scale + 0.5)` with
+   * `scale = (max − min)/255` — the standard storage-compression
+   * step for embedding corpora (4× smaller than float32; dequantize
+   * as `min + q·scale`). Returns struct(minv, scale, codes) where
+   * codes is array<int> in [0, 255]; constant vectors get scale 0
+   * and all-zero codes.
+   *
+   * `floor(x + 0.5)` rather than round(): round-half semantics
+   * differ across engines (half-up vs half-even), floor does not —
+   * the DuckDB oracle reproduces codes exactly.
+   *
+   * DataFrame-level on purpose: the per-row stats (min/scale) must be
+   * hoisted into their own multi-referenced aliases so each evaluates
+   * ONCE per row — referencing `array_min(v)` inside the per-element
+   * lambda re-evaluates it per element (O(d²); measured 19s vs <1s
+   * at sf0.1), and CollapseProject would inline a single-use alias
+   * right back into the lambda. Multi-referenced non-cheap aliases
+   * are kept as a projection boundary by Catalyst.
+   *
+   * Scale: pure per-row projections, zero shuffle.
+   */
+  def quantizeInt8(
+      df: DataFrame, vecCol: String, outCol: String = "quant"): DataFrame = {
+    val staged = df
+      .withColumn("__qv", toDoubleVec(col(vecCol)))
+      .withColumn("__qmin", array_min(col("__qv")))
+      .withColumn("__qscale", (array_max(col("__qv")) - col("__qmin")) / 255.0)
+    staged
+      .withColumn(
+        outCol,
+        struct(
+          col("__qmin").as("minv"),
+          col("__qscale").as("scale"),
+          transform(
+            col("__qv"),
+            x => when(col("__qscale") === 0.0, lit(0))
+              .otherwise(floor((x - col("__qmin")) / col("__qscale") + 0.5)
+                .cast("int"))).as("codes")))
+      .drop("__qv", "__qmin", "__qscale")
+  }
+
+  /** Max absolute reconstruction error of [[quantizeInt8]] codes. */
+  def dequantMaxErr(vecCol: Column, quant: Column): Column = {
+    val v = toDoubleVec(vecCol)
+    val recon = transform(
+      quant.getField("codes"),
+      q => quant.getField("minv") + q * quant.getField("scale"))
+    array_max(zip_with(v, recon, (x, r) => abs(x - r)))
+  }
+
+  /**
    * Bucketed near-duplicate candidates: vectors sharing an SRP bucket
    * form (a < b) pairs scored with exact cosine; pairs at or above
    * `minCosine` survive.

@@ -181,6 +181,23 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Scalar int8 quantization of embeddings (4× storage compression):
+    // per-vector affine codes + reconstruction-error audit, all
+    // shuffle-free per-row math.
+    "q40_quantize_embeddings" -> ((s, dir) => {
+      Similarity.quantizeInt8(t(s, dir, "embeddings"), "embedding", "__q")
+        .select(
+          col("vec_id"),
+          round(col("__q.minv"), 6).as("minv"),
+          round(col("__q.scale"), 6).as("scale"),
+          array_min(col("__q.codes")).as("q_min"),
+          array_max(col("__q.codes")).as("q_max"),
+          round(Similarity.dequantMaxErr(col("embedding"), col("__q")), 6)
+            .as("max_err"),
+          element_at(col("__q.codes"), 1).as("first_code"))
+        .orderBy("vec_id")
+    }),
+
     // Corpus-level top document-frequency bigrams — the heavy-hitter
     // aggregation shape: distinct-per-doc shingles, partial-combined
     // count, per-partition top-k (TakeOrderedAndProject).
@@ -203,6 +220,24 @@ object PipelineQueries {
           docs.where(col("doc_id") % 100 === 0),
           "doc_id", "text", n = 4)
         .orderBy("doc_id")
+    }),
+
+    // Deterministic stratified train/val split: assignment from the
+    // content-independent id hash (first md5 hex < 'c' → ~75% train),
+    // reproducible on any engine with no RNG state; per-language
+    // counts audit the stratification.
+    "q41_stratified_split" -> ((s, dir) => {
+      val split = when(
+        substring(md5(col("doc_id").cast("string")), 1, 1) < "c", "train")
+        .otherwise("val")
+      t(s, dir, "documents")
+        .withColumn("split", split)
+        .groupBy("lang", "split")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          min("doc_id").as("min_id"),
+          sum("n_chars").as("total_chars"))
+        .orderBy("lang", "split")
     }),
 
     // End-to-end curation pipeline — the operator families composed
@@ -631,6 +666,28 @@ object PipelineQueries {
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "q40_quantize_embeddings" ->
+      """WITH el AS (
+        |  SELECT vec_id, generate_subscripts(embedding,1) AS d,
+        |         unnest(embedding)::DOUBLE AS x
+        |  FROM embeddings
+        |), stats AS (
+        |  SELECT vec_id, min(x) AS minv, (max(x) - min(x)) / 255.0 AS scale
+        |  FROM el GROUP BY vec_id
+        |), codes AS (
+        |  SELECT e.vec_id, e.d, e.x, s.minv, s.scale,
+        |    CASE WHEN s.scale = 0 THEN 0
+        |         ELSE CAST(floor((e.x - s.minv) / s.scale + 0.5) AS INT) END AS q
+        |  FROM el e JOIN stats s ON s.vec_id = e.vec_id
+        |)
+        |SELECT vec_id,
+        |  round(any_value(minv), 6) AS minv,
+        |  round(any_value(scale), 6) AS scale,
+        |  min(q) AS q_min, max(q) AS q_max,
+        |  round(max(abs(x - (minv + q * scale))), 6) AS max_err,
+        |  CAST(first(q ORDER BY d) AS INT) AS first_code
+        |FROM codes GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
     "q38_top_ngrams" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -658,6 +715,17 @@ object PipelineQueries {
         |FROM sh s JOIN bench b USING (shingle)
         |WHERE s.doc_id % 100 <> 0
         |ORDER BY doc_id""".stripMargin,
+
+    "q41_stratified_split" ->
+      """SELECT lang,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+        |       THEN 'train' ELSE 'val' END AS split,
+        |  count(*) AS n_docs,
+        |  min(doc_id) AS min_id,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents
+        |GROUP BY lang, split
+        |ORDER BY lang, split""".stripMargin,
 
     "q34_curation_pipeline" ->
       """WITH all_docs AS (
