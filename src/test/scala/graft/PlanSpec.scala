@@ -48,8 +48,8 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("props"), "unused wide column must not reach the scan")
   }
 
-  test("no expensive derived expressions in scan filters (InferFilters hygiene)") {
-    for (q <- Seq("q16_minhash_pairs", "q21_embed_neardup", "q31_ivf_search")) {
+  test("no expensive derived expressions in scan filters, ANY query (InferFilters hygiene)") {
+    for (q <- SparkEntry.queries.keys.toSeq.sorted) {
       val scanFilters = plan(q).linesIterator
         .filter(l => l.contains("DataFilters") || l.contains("PushedFilters"))
         .mkString("\n")
