@@ -44,11 +44,20 @@ object Dedup {
 
   /**
    * Distinct word `n`-gram shingles: one `(idCol, shingle)` row per
-   * distinct shingle. Documents with fewer than `n` tokens produce no
-   * rows (explode-drops-empty semantics, consistent with the oracle's
-   * empty generate_series).
+   * distinct shingle, via the codegen'd
+   * [[graft.functions.ShingleArray]] kernel. Documents with fewer
+   * than `n` tokens produce no rows (explode-drops-empty semantics,
+   * consistent with the oracle's empty generate_series).
    */
   def shingles(
+      df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    df.select(
+      col(idCol),
+      explode(graft.functions.ShingleArray(col(textCol), n)).as("shingle"))
+
+  /** Pure-built-in reference formulation of [[shingles]]
+    * (element-identical, cross-checked in DedupSpec). */
+  def shinglesHof(
       df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
     val w = split(col(textCol), " ")
     val starts = when(size(w) >= n, sequence(lit(0), size(w) - n))

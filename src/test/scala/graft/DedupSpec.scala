@@ -77,6 +77,19 @@ class DedupSpec extends AnyFunSuite {
     assert(hamming(fp(1L), fp(3L)) < hamming(fp(1L), fp(4L)))
   }
 
+  test("ShingleArray kernel is element-identical to the HOF shingles") {
+    val edge = corpus.unionByName(Seq(
+      (200L, "a b"), // fewer than n tokens
+      (201L, "x y z x y z x y z") // repeated shingles
+    ).toDF("doc_id", "text"))
+    val fast = graft.operators.Dedup.shingles(edge, "doc_id", "text", 3)
+      .as[(Long, String)].collect().sorted.toSeq
+    val ref = graft.operators.Dedup.shinglesHof(edge, "doc_id", "text", 3)
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(fast === ref)
+    assert(!fast.exists(_._1 == 200L)) // short doc emits no rows
+  }
+
   test("MinHashSig expression is bit-identical to the aggregation reference") {
     val fast = graft.operators.Dedup
       .minhashSignatures(corpus, "doc_id", "text", 8, 3)
