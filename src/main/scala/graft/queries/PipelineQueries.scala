@@ -240,6 +240,62 @@ object PipelineQueries {
         .orderBy("lang", "split")
     }),
 
+    // Per-language quota sampling (data mixing): keep a document when
+    // its deterministic id-hash fraction falls under the language's
+    // quota — reproducible downsampling with no RNG state, the
+    // training-mixture primitive.
+    "q42_quota_sample" -> ((s, dir) => {
+      import s.implicits._
+      val quotas = Seq(
+        ("en", 0.5), ("es", 0.8), ("de", 0.8), ("fr", 0.3), ("zh", 0.1))
+        .toDF("lang", "p")
+      val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double") / 4294967296.0
+      t(s, dir, "documents")
+        .withColumn("u", u)
+        .join(broadcast(quotas), "lang")
+        .where(col("u") < col("p"))
+        .select(col("doc_id"), col("lang"), round(col("u"), 6).as("u"))
+        .orderBy("doc_id")
+    }),
+
+    // Gopher-style repetition signals: duplicate 2-/3-gram fractions
+    // per document (high values flag boilerplate/spam) — distinct
+    // counts from the shingle kernel, totals from token arithmetic.
+    "q43_repetition" -> ((s, dir) => {
+      val w = split(col("text"), " ")
+      val total2 = (size(w) - 1).cast("int")
+      val total3 = (size(w) - 2).cast("int")
+      val dup2 = lit(1.0) -
+        size(graft.functions.ShingleArray(col("text"), 2)).cast("double") / total2
+      val dup3 = lit(1.0) -
+        size(graft.functions.ShingleArray(col("text"), 3)).cast("double") / total3
+      t(s, dir, "documents")
+        .where(size(w) >= 3)
+        .select(
+          col("doc_id"),
+          round(dup2, 6).as("dup_2gram_frac"),
+          round(dup3, 6).as("dup_3gram_frac"),
+          (dup2 > 0.5).as("repetitive"))
+        .orderBy("doc_id")
+    }),
+
+    // Per-label embedding centroids: mean-pooled vectors via explode +
+    // two-level aggregation (partial sums map-side combined) — the
+    // cluster-summary shape for embedding corpora.
+    "q44_label_centroids" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("d", "x")))
+        .groupBy("label", "d")
+        .agg((sum(col("x").cast("double")) / count(lit(1))).as("c"))
+        .groupBy("label")
+        .agg(
+          count(lit(1)).cast("int").as("dims"),
+          round(sqrt(sum(col("c") * col("c"))), 6).as("centroid_norm"),
+          round(min_by(col("c"), col("d")), 6).as("dim0"))
+        .orderBy("label")
+    }),
+
     // End-to-end curation pipeline — the operator families composed
     // the way a training-data pipeline uses them: exact dedup (keep
     // min id, count copies) → language keep-list → quality gate
@@ -715,6 +771,57 @@ object PipelineQueries {
         |FROM sh s JOIN bench b USING (shingle)
         |WHERE s.doc_id % 100 <> 0
         |ORDER BY doc_id""".stripMargin,
+
+    "q42_quota_sample" ->
+      """WITH frac AS (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      / 4294967296.0 AS u
+        |  FROM documents
+        |), quota AS (
+        |  SELECT * FROM (VALUES ('en', 0.5), ('es', 0.8), ('de', 0.8),
+        |                        ('fr', 0.3), ('zh', 0.1)) AS q(lang, p)
+        |)
+        |SELECT f.doc_id, f.lang, round(f.u, 6) AS u
+        |FROM frac f JOIN quota q ON q.lang = f.lang
+        |WHERE f.u < q.p
+        |ORDER BY f.doc_id""".stripMargin,
+
+    "q43_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), f AS (
+        |  SELECT doc_id,
+        |    CAST(len(w) - 1 AS INT) AS total_2g,
+        |    CAST(len(list_distinct([w[i] || ' ' || w[i+1]
+        |      FOR i IN generate_series(1, len(w)-1)])) AS INT) AS distinct_2g,
+        |    CAST(len(w) - 2 AS INT) AS total_3g,
+        |    CAST(len(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |      FOR i IN generate_series(1, len(w)-2)])) AS INT) AS distinct_3g
+        |  FROM t WHERE len(w) >= 3
+        |)
+        |SELECT doc_id,
+        |  round(1.0 - CAST(distinct_2g AS DOUBLE)/total_2g, 6)
+        |    AS dup_2gram_frac,
+        |  round(1.0 - CAST(distinct_3g AS DOUBLE)/total_3g, 6)
+        |    AS dup_3gram_frac,
+        |  CAST(1.0 - CAST(distinct_2g AS DOUBLE)/total_2g > 0.5 AS BOOLEAN)
+        |    AS repetitive
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q44_label_centroids" ->
+      """WITH el AS (
+        |  SELECT label, vec_id, generate_subscripts(embedding,1) AS d,
+        |         unnest(embedding)::DOUBLE AS x
+        |  FROM embeddings
+        |), cen AS (
+        |  SELECT label, d, SUM(x) / count(*) AS c FROM el GROUP BY label, d
+        |)
+        |SELECT label,
+        |  CAST(count(*) AS INT) AS dims,
+        |  round(sqrt(SUM(c*c)), 6) AS centroid_norm,
+        |  round(first(c ORDER BY d), 6) AS dim0
+        |FROM cen GROUP BY label ORDER BY label""".stripMargin,
 
     "q41_stratified_split" ->
       """SELECT lang,
