@@ -296,6 +296,27 @@ object PipelineQueries {
         .orderBy("label")
     }),
 
+    // Sequence packing (pretraining batch prep): contiguous-fill
+    // assignment of documents to fixed-capacity token bins via a
+    // per-language running-token window — each language's stream
+    // packs independently (bounded window state; a global pack would
+    // range-repartition then offset per-partition bins).
+    "q45_sequence_packing" -> ((s, dir) => {
+      val cap = 2000
+      val nTok = TextAnalysis.tokenCount(col("text"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      t(s, dir, "documents")
+        .withColumn("n_tokens", nTok)
+        .withColumn("__run", sum(col("n_tokens")).over(w))
+        .select(
+          col("doc_id"), col("lang"), col("n_tokens"),
+          floor((col("__run") - col("n_tokens")).cast("double") / cap)
+            .cast("int").as("bin"))
+        .orderBy("doc_id")
+    }),
+
     // End-to-end curation pipeline — the operator families composed
     // the way a training-data pipeline uses them: exact dedup (keep
     // min id, count copies) → language keep-list → quality gate
@@ -771,6 +792,18 @@ object PipelineQueries {
         |FROM sh s JOIN bench b USING (shingle)
         |WHERE s.doc_id % 100 <> 0
         |ORDER BY doc_id""".stripMargin,
+
+    "q45_sequence_packing" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+        |  FROM documents
+        |)
+        |SELECT doc_id, lang, n_tokens,
+        |  CAST(floor(CAST(SUM(n_tokens) OVER (PARTITION BY lang
+        |      ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens
+        |    AS DOUBLE) / 2000) AS INT) AS bin
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     "q42_quota_sample" ->
       """WITH frac AS (

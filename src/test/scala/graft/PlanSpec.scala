@@ -14,6 +14,10 @@ class PlanSpec extends AnyFunSuite {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
 
+  test("every registered query has a paired DuckDB oracle") {
+    assert(SparkEntry.queries.keySet === SparkEntry.oracleSql.keySet)
+  }
+
   test("timezone dim join (Enrich.addUtcTime) is broadcast, never shuffled") {
     import spark.implicits._
     val flights = Seq(("JFK", java.sql.Date.valueOf("2024-01-01"), 930))
