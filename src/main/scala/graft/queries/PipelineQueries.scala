@@ -296,6 +296,38 @@ object PipelineQueries {
         .orderBy("label")
     }),
 
+    // PII redaction: email addresses replaced with a tag before any
+    // text leaves the pipeline (deterministic PII injected on every
+    // 40th doc so the scrub demonstrably fires; the synthetic corpus
+    // itself is PII-free). Counts + post-scrub fingerprints audit it.
+    "q46_pii_redact" -> ((s, dir) => {
+      val emailRe = "[a-z0-9.]+@[a-z0-9.]+"
+      val injected = when(
+        col("doc_id") % 40 === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com now")))
+        .otherwise(col("text"))
+      t(s, dir, "documents")
+        .withColumn("__t", injected)
+        .select(
+          col("doc_id"),
+          size(split(col("__t"), emailRe)).minus(1).as("n_emails"),
+          md5(regexp_replace(col("__t"), emailRe, "<EMAIL>"))
+            .as("redacted_hash"))
+        .orderBy("doc_id")
+    }),
+
+    // JSON-path extraction over semi-structured event payloads
+    // (get_json_object + cast), filter pushed over the extracted key.
+    "q47_json_extract" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .where(col("k") >= 80)
+        .orderBy("event_id")
+    }),
+
     // Sequence packing (pretraining batch prep): contiguous-fill
     // assignment of documents to fixed-capacity token bins via a
     // per-language running-token window — each language's stream
@@ -792,6 +824,29 @@ object PipelineQueries {
         |FROM sh s JOIN bench b USING (shingle)
         |WHERE s.doc_id % 100 <> 0
         |ORDER BY doc_id""".stripMargin,
+
+    "q46_pii_redact" ->
+      """WITH inj AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 40 = 0
+        |         THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |              || '@example.com now'
+        |         ELSE text END AS t
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[a-z0-9.]+@[a-z0-9.]+')) AS INT)
+        |    AS n_emails,
+        |  md5(regexp_replace(t, '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'))
+        |    AS redacted_hash
+        |FROM inj ORDER BY doc_id""".stripMargin,
+
+    "q47_json_extract" ->
+      """SELECT event_id,
+        |  CAST(json_extract(props, '$.k') AS INT) AS k
+        |FROM events
+        |WHERE CAST(json_extract(props, '$.k') AS INT) >= 80
+        |ORDER BY event_id""".stripMargin,
 
     "q45_sequence_packing" ->
       """WITH f AS (
