@@ -35,10 +35,12 @@ object Bench {
     qs.foreach { case (_, fn) => // warmup pass, untimed
       try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
+    val failures = Seq.newBuilder[String]
     val results = qs.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try exec(fn(spark, sfDir)) catch {
         case e: Throwable =>
+          failures += name
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       name -> (System.nanoTime() - t0) / 1e9
@@ -47,8 +49,11 @@ object Bench {
     val qJson = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // Failures carry a marker in the JSON itself — a broken query's
+    // near-zero wall time must not read as a speedup downstream.
+    val failJson = failures.result().map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"failures":$failJson,"sf":"$sfDir"}"""
     println(line)
     try {
       Files.createDirectories(Paths.get("target"))

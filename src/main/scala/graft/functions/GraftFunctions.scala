@@ -15,6 +15,9 @@ import org.apache.spark.sql.types.IntegerType
  *     jaccard:double> exact word n-gram similarity
  *   - `graft_rolling_chunks(text, windowSize, divisor)` →
  *     array<struct<start:int, len:int>> content-defined chunk spans
+ *   - `graft_srp_buckets(vec, numPlanes, numTables)` →
+ *     array<string> SRP-LSH bucket per table
+ *   - `graft_shingles(text, n)` → array<string> distinct word n-grams
  *
  * Integer parameters must be int literals — they parameterize the
  * generated code.
@@ -76,6 +79,27 @@ object GraftFunctions {
           exprs.head,
           intLit(exprs(1), "windowSize"),
           intLit(exprs(2), "divisor"))
+      }),
+    (
+      FunctionIdentifier("graft_srp_buckets"),
+      new ExpressionInfo(classOf[SrpBuckets].getName, "graft_srp_buckets"),
+      (exprs: Seq[Expression]) => {
+        require(
+          exprs.length == 3,
+          "graft_srp_buckets(vec, numPlanes, numTables) takes 3 arguments")
+        SrpBuckets(
+          exprs.head,
+          intLit(exprs(1), "numPlanes"),
+          intLit(exprs(2), "numTables"))
+      }),
+    (
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[ShingleArray].getName, "graft_shingles"),
+      (exprs: Seq[Expression]) => {
+        require(
+          exprs.length == 2,
+          "graft_shingles(text, n) takes 2 arguments")
+        ShingleArray(exprs.head, intLit(exprs(1), "n"))
       }))
 
   /** Install into a live session (idempotent; replaces old builders). */

@@ -11,18 +11,26 @@ import org.apache.spark.unsafe.types.UTF8String
 /**
  * Karp–Rabin content-defined chunking kernel.
  *
- * A window of `windowSize` bytes rolls over the text; position i
- * (1-based, i ≥ windowSize) is a cut point when the window hash
- * h(i) = Σ_j byte(i−windowSize+1+j)·B^(windowSize−1−j) mod M
+ * A window of `windowSize` CODEPOINTS rolls over the text; position
+ * i (1-based, i ≥ windowSize) is a cut point when the window hash
+ * h(i) = Σ_j cp(i−windowSize+1+j)·B^(windowSize−1−j) mod M
  * satisfies h(i) % divisor == 0. Chunks are the spans between cuts
  * (a cut ends its chunk at i); the tail span is always emitted.
- * B = 257, M = 1_000_000_007 — small enough that B·M stays in a
- * 64-bit long, and reproducible in any engine with 64-bit integer
- * arithmetic (the DuckDB oracle recomputes h per position from
- * scratch; this kernel rolls it in O(1) per byte).
+ * B = 257, M = 1_000_000_007 — small enough that every intermediate
+ * (h·B + cp ≤ ~2.6e11) stays in a 64-bit long, and reproducible in
+ * any engine with 64-bit integer arithmetic (the DuckDB oracle
+ * recomputes h per position from scratch via `ascii(substr(...))`,
+ * which is codepoint-valued; this kernel rolls it in O(1) per
+ * codepoint).
+ *
+ * Positions/lengths are Unicode codepoints — the unit BOTH engines'
+ * `substr`/`length` count — so the spans slice correctly on
+ * non-ASCII text (a byte-based kernel would misalign every chunk
+ * after the first multi-byte character; for pure-ASCII text the two
+ * are identical).
  *
  * Content-defined boundaries make chunk identity robust to
- * insertions: bytes after an edit re-align to the same cuts, so
+ * insertions: content after an edit re-aligns to the same cuts, so
  * chunk-level dedup (hash each chunk) survives shifted content —
  * the fingerprinting shape rsync/LBFS introduced.
  *
@@ -34,11 +42,11 @@ object RollingChunksImpl {
   private val M = 1000000007L
 
   def chunks(text: UTF8String, windowSize: Int, divisor: Int): ArrayData = {
-    val bytes = text.getBytes
-    val n = bytes.length
+    val cps = text.toString.codePoints().toArray
+    val n = cps.length
     val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
     if (n == 0) return new GenericArrayData(Array.empty[Any])
-    // B^(windowSize-1) mod M, for removing the outgoing byte.
+    // B^(windowSize-1) mod M, for removing the outgoing codepoint.
     var bPow = 1L
     var i = 1
     while (i < windowSize) { bPow = bPow * B % M; i += 1 }
@@ -46,9 +54,9 @@ object RollingChunksImpl {
     var chunkStart = 1
     i = 0
     while (i < n) {
-      val c = bytes(i) & 0xffL
+      val c = cps(i).toLong
       if (i >= windowSize) {
-        val out_ = bytes(i - windowSize) & 0xffL
+        val out_ = cps(i - windowSize).toLong
         h = (h - out_ * bPow % M + M) % M
       }
       h = (h * B + c) % M

@@ -39,7 +39,10 @@ object SrpBucketsImpl {
 
   def buckets(vec: ArrayData, elemIsFloat: Boolean, numPlanes: Int,
       numTables: Int): ArrayData = {
-    val n = vec.numElements()
+    // Dims beyond the sign matrix are ignored (projection onto the
+    // first MaxDims axes) — matching the HOF reference, which slices
+    // both operands to the same width.
+    val n = math.min(vec.numElements(), MaxDims)
     val v = new Array[Double](n)
     var d = 0
     while (d < n) {

@@ -48,12 +48,20 @@ object Similarity {
    *
    * Scale: the probe side is broadcast (probe sets are small by
    * definition), so the corpus is scanned once with no shuffle for
-   * the scoring pass. Top-k is TWO-PHASE: a per-Spark-partition
-   * group-collect keeps only k rows per (probe, partition) — map-side
-   * partial aggregation — so the exchange moves O(partitions × probes
-   * × k) rows, not O(corpus × probes). The final window ranks that
-   * bounded set. This plan survives a 100× corpus: the shuffle volume
-   * is independent of corpus size.
+   * the scoring pass. The `row_number() <= k` filter compiles to
+   * Spark's WindowGroupLimit with a PARTIAL pass before the window's
+   * exchange — per-partition top-k map-side — so the shuffle moves
+   * O(partitions × probes × k) rows, not O(corpus × probes), and the
+   * plan survives a 100× corpus. (An earlier hand-rolled
+   * collect_list/slice "two-phase" formulation did NOT bound the
+   * shuffle: the slice ran in the final aggregate after the exchange
+   * shipped full candidate lists. PlanSpec now asserts the partial
+   * group limit is present.) Zero-norm vectors yield 0/0 = NaN
+   * cosine, which Spark orders ABOVE every number — the rank key maps
+   * NaN to null and sorts nulls last, so degenerate vectors can never
+   * displace real neighbors (a filter on the derived norm would get
+   * pushed into the scan and double-evaluate it; ordering keys are
+   * not pushable).
    */
   def cosineTopK(
       corpus: DataFrame,
@@ -74,29 +82,11 @@ object Similarity {
         dot(col("__v"), col("__p")) / (col("__vnorm") * col("__pnorm")))
       .select("probe_id", "vec_id", "__cos")
 
-    // Phase 1: per-partition top-k (negated cosine => ascending struct
-    // sort == descending cosine, id tiebreak). Bounded memory per
-    // group: collect_list holds one partition's candidates only.
-    val local = scored
-      .withColumn("__pid", spark_partition_id())
-      .groupBy("probe_id", "__pid")
-      .agg(
-        slice(
-          sort_array(collect_list(struct(
-            (-col("__cos")).as("neg"),
-            col("vec_id").as("vec_id"),
-            col("__cos").as("cos")))),
-          1, k).as("__top"))
-      .select(col("probe_id"), explode(col("__top")).as("__t"))
-      .select(
-        col("probe_id"),
-        col("__t.vec_id").as("vec_id"),
-        col("__t.cos").as("__cos"))
-
-    // Phase 2: global rank over the bounded candidate set.
     val w = Window.partitionBy("probe_id")
-      .orderBy(col("__cos").desc, col("vec_id").asc)
-    local
+      .orderBy(
+        when(!isnan(col("__cos")), col("__cos")).desc_nulls_last,
+        col("vec_id").asc)
+    scored
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(
@@ -139,18 +129,24 @@ object Similarity {
     graft.functions.SrpBuckets(vecCol, numPlanes, numTables)
 
   /** Pure-built-in reference formulation of one SRP bucket (table
-    * `planeOffset / numPlanes` of [[srpBucketsFast]]). */
+    * `planeOffset / numPlanes` of [[srpBucketsFast]]). Vectors wider
+    * than `maxDims` project onto the first `maxDims` axes — both
+    * operands sliced to the same width, matching the kernel (an
+    * unsliced zip_with would null-pad the shorter side and poison the
+    * sum instead). */
   def srpBucket(
       vecCol: Column,
       numPlanes: Int,
       planeOffset: Int = 0,
       maxDims: Int = 1024): Column = {
-    val v = toDoubleVec(vecCol)
+    val v0 = toDoubleVec(vecCol)
+    val width = least(size(v0), lit(maxDims))
+    val v = slice(v0, lit(1), width)
     val bits = (0 until numPlanes).map { i =>
       val p = planeOffset + i
       val planeSigns = typedLit((0 until maxDims).map(d => srpSign(p, d)))
       val proj = aggregate(
-        zip_with(v, slice(planeSigns, lit(1), size(v)), _ * _),
+        zip_with(v, slice(planeSigns, lit(1), width), _ * _),
         lit(0.0), _ + _)
       when(proj > 0, "1").otherwise("0")
     }
@@ -197,7 +193,8 @@ object Similarity {
       .withColumn(
         "cosine",
         dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
-      .where(coalesce(col("cosine"), lit(-2.0)) >= minCosine)
+      .where(coalesce(col("cosine"), lit(-2.0)) >= minCosine
+        && !isnan(col("cosine")))
       .select("vec_a", "vec_b", "cosine")
   }
 
@@ -289,7 +286,9 @@ object Similarity {
           s => s.getField("cell"))))
 
     val w = Window.partitionBy("probe_id")
-      .orderBy(col("__cos").desc, col("vec_id").asc)
+      .orderBy(
+        when(!isnan(col("__cos")), col("__cos")).desc_nulls_last,
+        col("vec_id").asc)
     c.join(broadcast(p), Seq("__cell"))
       .where(col("vec_id") =!= col("probe_id"))
       .withColumn(
@@ -391,7 +390,9 @@ object Similarity {
       .withColumn(
         "cosine",
         dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
-      .where(col("cosine") >= minCosine)
+      // !isnan: zero-norm pairs produce NaN, and Spark orders NaN
+      // above every number, so NaN >= threshold is TRUE.
+      .where(col("cosine") >= minCosine && !isnan(col("cosine")))
       .select("vec_a", "vec_b", "cosine")
   }
 }

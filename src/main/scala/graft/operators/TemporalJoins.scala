@@ -17,17 +17,20 @@ object TemporalJoins {
    * right row precedes the left row).
    *
    * Implementation: tag both sides, union by name, and take
-   * `last(value, ignoreNulls)` over a per-key window ordered by
+   * `last(row-struct, ignoreNulls)` over a per-key window ordered by
    * (ts, side) — right rows sort before left rows at equal
    * timestamps, so a same-instant right row IS visible to the left
-   * row (ts ≤ semantics, matching DuckDB's ASOF JOIN). Left rows
-   * carry NULL in the right-value columns, so `ignoreNulls` skips
-   * them and each left row sees exactly the most recent right value.
+   * row (ts ≤ semantics, matching DuckDB's ASOF JOIN). Right values
+   * ride in a STRUCT (non-null whenever a right row exists), so
+   * `ignoreNulls` skips only left rows — a matched right row whose
+   * value is itself NULL yields NULL, not a stale older value (the
+   * naive per-value `last(value, ignoreNulls)` gets this wrong).
    *
    * Scale: ONE shuffle (the window's hash partition by key) over
    * left+right combined — the same cost as a plain window; no
    * range-condition nested-loop join anywhere. Right rows must be
-   * unique per (key, ts); pre-aggregate otherwise.
+   * unique per (key, ts); pre-aggregate otherwise. `valueCols` must
+   * not collide with left-side column names.
    */
   def asofJoin(
       left: DataFrame,
@@ -35,18 +38,26 @@ object TemporalJoins {
       keyCol: String,
       tsCol: String,
       valueCols: Seq[String]): DataFrame = {
+    val collisions = valueCols.toSet.intersect(left.columns.toSet)
+    require(
+      collisions.isEmpty,
+      s"asofJoin valueCols collide with left columns: $collisions — " +
+        "rename the right-side value columns first")
     val l = left.withColumn("__side", lit(1))
-    val r = right
-      .select((keyCol +: tsCol +: valueCols).map(col): _*)
-      .withColumn("__side", lit(0))
+    val r = right.select(
+      col(keyCol), col(tsCol),
+      struct(valueCols.map(col): _*).as("__rrow"),
+      lit(0).as("__side"))
     val unioned = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(keyCol)
       .orderBy(col(tsCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = valueCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    val filled = unioned.withColumn(
+      "__rrow", last(col("__rrow"), ignoreNulls = true).over(w))
+    val extracted = valueCols.foldLeft(filled) { (df, c) =>
+      df.withColumn(c, col("__rrow").getField(c))
     }
-    filled.where(col("__side") === 1).drop("__side")
+    extracted.where(col("__side") === 1).drop("__side", "__rrow")
   }
 
   /**

@@ -20,9 +20,13 @@ object PipelineQueries {
 
   /** `documents` plus exact duplicates injected deterministically
     * (every 50th doc re-appears with doc_id + 100000), so exact-dedup
-    * has real work on the otherwise duplicate-free synthetic corpus. */
-  private def docsWithDups(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents").select("doc_id", "text")
+    * has real work on the otherwise duplicate-free synthetic corpus.
+    * The single source of the injection rule — q15 and q34 (and their
+    * oracles) must stay in sync through it. */
+  private def docsWithDups(
+      s: SparkSession, dir: String,
+      cols: Seq[String] = Seq("doc_id", "text")): DataFrame = {
+    val d = t(s, dir, "documents").select(cols.map(col): _*)
     d.unionByName(
       d.where(col("doc_id") % 50 === 0)
         .withColumn("doc_id", col("doc_id") + 100000))
@@ -354,10 +358,7 @@ object PipelineQueries {
     // min id, count copies) → language keep-list → quality gate
     // (token count + stopword ratio) → canonical fingerprints.
     "q34_curation_pipeline" -> ((s, dir) => {
-      val base = t(s, dir, "documents")
-      val withDups = base.unionByName(
-        base.where(col("doc_id") % 50 === 0)
-          .withColumn("doc_id", col("doc_id") + 100000))
+      val withDups = docsWithDups(s, dir, Seq("doc_id", "text", "lang"))
       val nTok = TextAnalysis.tokenCount(col("text"))
       val stopRatio = TextAnalysis.vocabHits(
         col("text"), Seq("the", "a", "of", "and", "is", "to"))

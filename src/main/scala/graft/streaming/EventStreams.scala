@@ -50,20 +50,31 @@ object EventStreams {
   /**
    * Streaming exact deduplication: across all micro-batches, only the
    * FIRST row per content hash (md5 of `textCol`) is emitted —
-   * dedup-at-ingest for a continuously arriving corpus. Built on
-   * Spark's `dropDuplicates` streaming state; with a watermark column
-   * present, `withWatermark` upstream bounds the state store the same
-   * way it bounds windows.
+   * dedup-at-ingest for a continuously arriving corpus.
    *
-   * Scale: state is one entry per distinct content hash, partitioned
-   * by hash across executors — the streaming analogue of
-   * [[graft.operators.Dedup.exact]]'s single hash exchange.
+   * State honesty: global `dropDuplicates` keeps ONE STATE ENTRY PER
+   * DISTINCT HASH FOREVER — a watermark does NOT evict it unless the
+   * event-time column is part of the dedup key. That is the right
+   * trade for bounded backfills and exact global dedup; for unbounded
+   * streams set `withinWatermark = true` (requires `withWatermark`
+   * upstream), which uses `dropDuplicatesWithinWatermark` — state is
+   * evicted once the watermark passes, deduping only against content
+   * seen within the watermark delay.
+   *
+   * Scale: state partitioned by hash across executors — the streaming
+   * analogue of [[graft.operators.Dedup.exact]]'s single hash
+   * exchange.
    */
-  def streamingExactDedup(docs: DataFrame, textCol: String): DataFrame =
-    docs
-      .withColumn("__content_hash", md5(col(textCol)))
-      .dropDuplicates("__content_hash")
-      .drop("__content_hash")
+  def streamingExactDedup(
+      docs: DataFrame,
+      textCol: String,
+      withinWatermark: Boolean = false): DataFrame = {
+    val hashed = docs.withColumn("__content_hash", md5(col(textCol)))
+    val deduped =
+      if (withinWatermark) hashed.dropDuplicatesWithinWatermark("__content_hash")
+      else hashed.dropDuplicates("__content_hash")
+    deduped.drop("__content_hash")
+  }
 
   /**
    * Gap-based sessionization via `flatMapGroupsWithState` with

@@ -57,6 +57,20 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(chunks === 1) // shorter than window -> single tail chunk
   }
 
+  test("graft_srp_buckets and graft_shingles callable from SQL") {
+    GraftFunctions.register(spark)
+    Seq((1L, Array(1.0f, 0.0f, 0.0f), "a b c d"))
+      .toDF("id", "vec", "text").createOrReplaceTempView("fn_vecs")
+    val buckets = spark.sql(
+      "SELECT graft_srp_buckets(vec, 8, 2) AS b FROM fn_vecs")
+      .as[Seq[String]].head()
+    assert(buckets.length === 2)
+    assert(buckets.forall(b => b.length == 8 && b.forall(c => c == '0' || c == '1')))
+    val sh = spark.sql("SELECT graft_shingles(text, 2) AS s FROM fn_vecs")
+      .as[Seq[String]].head()
+    assert(sh === Seq("a b", "b c", "c d"))
+  }
+
   test("GraftExtensions injects all functions without error") {
     new graft.functions.GraftExtensions().apply(new SparkSessionExtensions)
   }

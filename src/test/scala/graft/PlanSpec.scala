@@ -34,6 +34,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("q19: rank<=k gets a PARTIAL WindowGroupLimit before the exchange") {
+    val p = plan("q19_cosine_topk")
+    assert(p.contains("WindowGroupLimit"),
+      "per-partition top-k must bound the shuffle (collect_list two-phase did not)")
+    assert(p.contains("Partial"))
+  }
+
   test("q16: minhash aggregation stays on the HashAggregate fast path") {
     val p = plan("q16_minhash_pairs")
     assert(!p.contains("SortAggregate"),

@@ -31,6 +31,26 @@ class TemporalJoinsSpec extends AnyFunSuite {
     assert(out("t3") === None) // key 2's only quote is later
   }
 
+  test("asofJoin: matched right row with NULL value yields NULL, not a stale value") {
+    val trades = Seq((1L, ts(25), "t")).toDF("key", "ts", "trade")
+    val quotes = Seq(
+      (1L, ts(10), Some(100.0)),
+      (1L, ts(20), None) // latest quote carries NULL px
+    ).toDF("key", "ts", "px")
+    val out = TemporalJoins.asofJoin(trades, quotes, "key", "ts", Seq("px"))
+      .select("px").as[Option[Double]].head()
+    assert(out === None) // DuckDB ASOF semantics: the matched row's NULL
+  }
+
+  test("asofJoin rejects valueCols colliding with left columns") {
+    val l = Seq((1L, ts(1), 9.0)).toDF("key", "ts", "px")
+    val r = Seq((1L, ts(1), 1.0)).toDF("key", "ts", "px")
+    val err = intercept[IllegalArgumentException] {
+      TemporalJoins.asofJoin(l, r, "key", "ts", Seq("px"))
+    }
+    assert(err.getMessage.contains("collide"))
+  }
+
   test("rangeJoin matches points to [start,end) intervals across bin boundaries") {
     val points = Seq((1L, 5L, "p5"), (1L, 10L, "p10"), (1L, 99L, "p99"), (2L, 5L, "q5"))
       .toDF("key", "t", "p")
