@@ -49,11 +49,24 @@ object Bench {
     val qJson = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // The round-1 BASELINE covered q01–q14 only; expose that subset's
+    // subtotal so the baseline ratio stays apples-to-apples as the
+    // registry grows (34 queries were added after the baseline was
+    // fixed).
+    val baselineSubtotal = results
+      .filter { case (k, _) => k.take(3) match {
+        case s if s.startsWith("q0") => true
+        case "q10" | "q11" | "q12" | "q13" | "q14" => true
+        case _ => false
+      } }
+      .map(_._2).sum
     // Failures carry a marker in the JSON itself — a broken query's
     // near-zero wall time must not read as a speedup downstream.
     val failJson = failures.result().map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,"failures":$failJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,""" +
+        s""""baseline14_subtotal":$baselineSubtotal,"n_queries":${results.size},""" +
+        s""""failures":$failJson,"sf":"$sfDir"}"""
     println(line)
     try {
       Files.createDirectories(Paths.get("target"))

@@ -239,6 +239,113 @@ object Dedup {
   }
 
   /**
+   * Near-duplicate clusters from verified pairs: connected components
+   * over the (doc_a, doc_b) edge set via iterative min-label
+   * propagation — each node's label converges to the smallest doc id
+   * reachable from it, so "keep the cluster representative" is
+   * `where(id === cluster)`. This is the step that turns pairwise
+   * near-dup evidence into actual dedup decisions (a pair list alone
+   * over-deletes chains: A~B, B~C must keep ONE of {A,B,C}, not
+   * drop both B and C's partners independently).
+   *
+   * Output: (id, cluster) for every node appearing in an edge.
+   *
+   * Scale, two regimes: near-dup edge sets are SMALL BY CONSTRUCTION
+   * (bounded by the true near-duplicate count), so up to
+   * `driverMaxEdges` the edges collect to the driver — the same
+   * footprint broadcasting them would cost — and a path-compressed
+   * union-find labels them in microseconds; the iterative
+   * min-label-propagation path below handles edge sets too large to
+   * collect (one edge-set join + aggregation per round, rounds =
+   * graph diameter, `maxIter` hard stop; convergence from the label
+   * SUM — labels only decrease, so an unchanged sum is a fixpoint).
+   * The classic large-graph refinement (alternating large/small-star
+   * a la Connected Components in MapReduce) only pays off beyond
+   * that.
+   */
+  def nearDupClusters(
+      pairs: DataFrame,
+      maxIter: Int = 20,
+      driverMaxEdges: Long = 4000000): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    // Cached: the size probe and the collect/iteration share one
+    // materialization of the (expensive) candidate pipeline.
+    val canonical = pairs
+      .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .distinct()
+      .cache()
+    if (canonical.count() <= driverMaxEdges) {
+      val edgeList =
+        try canonical.as[(Long, Long)].collect()
+        finally canonical.unpersist()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != r) {
+          val nxt = parent.getOrElse(c, c); parent(c) = r; c = nxt
+        }
+        r
+      }
+      edgeList.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { // union by min id: representative = smallest
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      parent.keys.toSeq.sorted
+        .map(id => (id, find(id)))
+        .toDF("id", "cluster")
+    } else iterativeClusters(canonical, maxIter)
+  }
+
+  /** Distributed fallback of [[nearDupClusters]] for edge sets too
+    * large to collect. */
+  private[graft] def iterativeClusters(
+      pairs: DataFrame, maxIter: Int): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .cache()
+    var prevSum = labels.agg(sum("cluster")).head().getLong(0)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(
+          labels.select(col("id").as("dst"), col("cluster").as("__nl")),
+          "dst")
+        .groupBy("src")
+        .agg(min("__nl").as("__minNeighbor"))
+        .select(col("src").as("id"), col("__minNeighbor"))
+      val next = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(
+          col("id"),
+          least(
+            col("cluster"),
+            coalesce(col("__minNeighbor"), col("cluster"))).as("cluster"))
+        .cache()
+      val nextSum = next.agg(sum("cluster")).head().getLong(0)
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /**
    * SimHash 64-bit fingerprint over distinct whitespace tokens,
    * returned as a 64-char '0'/'1' string (bit j at position j).
    *

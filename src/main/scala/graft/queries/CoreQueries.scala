@@ -274,8 +274,8 @@ object CoreQueries {
         .orderBy("event_id", "iv_id")
     }),
 
-    // Skew-salted equi-join: hot keys on the fact side spread over 4
-    // salt buckets, dim side replicated 4× — row-identical to the
+    // Skew-salted equi-join: hot keys on the fact side spread over 2
+    // salt buckets, dim side replicated 2× — row-identical to the
     // plain join (which is exactly what the oracle runs), only the
     // partitioning changes.
     "q32_salted_join" -> ((s, dir) => {
@@ -284,7 +284,7 @@ object CoreQueries {
       val ord = t(s, dir, "orders")
         .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
       graft.operators.Skew.saltedEquiJoin(
-          li, ord, Seq("l_orderkey"), saltParts = 4,
+          li, ord, Seq("l_orderkey"), saltParts = 2,
           saltSource = col("l_linenumber"))
         .groupBy("o_orderpriority")
         .agg(

@@ -58,6 +58,19 @@ object PipelineQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Near-dup clusters: signature-strong pairs (>= 7 of 8 min-hash
+    // positions agree) → connected components via min-label
+    // propagation — the step that turns pairwise evidence into
+    // per-cluster keep/drop decisions.
+    "q48_dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.minhashCandidates(
+          t(s, dir, "documents"), "doc_id", "text",
+          numHashes = 8, rowsPerBand = 2, shingleSize = 3)
+        .where(col("n_match") >= 7)
+      Dedup.nearDupClusters(pairs)
+        .orderBy("id")
+    }),
+
     // SimHash 64-bit fingerprints — shuffle-free, via the custom
     // codegen'd Catalyst expression (bit-identical to the HOF
     // formulation and the DuckDB oracle).
@@ -512,6 +525,48 @@ object PipelineQueries {
         |JOIN sizes za ON za.doc_id = i.doc_a
         |JOIN sizes zb ON zb.doc_id = i.doc_b
         |ORDER BY i.doc_a, i.doc_b""".stripMargin,
+
+    "q48_dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), idx AS (
+        |  SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i FROM toks
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM idx
+        |), mh AS (
+        |  SELECT doc_id, s.seed,
+        |    min(CAST(('0x' || substr(
+        |      md5(CAST(s.seed AS VARCHAR) || ':' || shingle), 1, 15)) AS BIGINT))
+        |      AS mh
+        |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0,7)) AS seed) s
+        |  GROUP BY doc_id, s.seed
+        |), bands AS (
+        |  SELECT doc_id, seed // 2 AS band,
+        |    string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed) AS sig
+        |  FROM mh GROUP BY doc_id, seed // 2
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a
+        |  JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        |), strong AS (
+        |  SELECT c.doc_a, c.doc_b
+        |  FROM cand c
+        |  JOIN mh ma ON ma.doc_id = c.doc_a
+        |  JOIN mh mb ON mb.doc_id = c.doc_b AND mb.seed = ma.seed
+        |  GROUP BY c.doc_a, c.doc_b
+        |  HAVING count(*) FILTER (ma.mh = mb.mh) >= 7
+        |), edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM strong
+        |  UNION
+        |  SELECT doc_b, doc_a FROM strong
+        |), reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+        |), nodes AS (SELECT DISTINCT src AS id FROM edges)
+        |SELECT n.id, least(n.id, min(r.dst)) AS cluster
+        |FROM nodes n LEFT JOIN reach r ON r.src = n.id
+        |GROUP BY n.id ORDER BY n.id""".stripMargin,
 
     "q18_simhash" ->
       """WITH toks AS (

@@ -103,6 +103,26 @@ class DedupSpec extends AnyFunSuite {
     assert(graft.operators.Dedup.minhashSignatures(tiny, "doc_id", "text", 8, 3).count() === 0)
   }
 
+  test("nearDupClusters: chains collapse to one min-id cluster; islands stay apart") {
+    // Chain 1-2-3 (no direct 1-3 edge), pair 10-11, chain 20-21-22-23.
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (10L, 11L), (21L, 20L), (21L, 22L), (23L, 22L)
+    ).toDF("doc_a", "doc_b")
+    val expected = Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L)
+    // Driver union-find path (default for bounded edge sets)...
+    val out = graft.operators.Dedup.nearDupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out === expected)
+    assert(out.count { case (id, c) => id == c } === 3)
+    // ...and the distributed label-propagation path agree exactly.
+    val iter = graft.operators.Dedup.iterativeClusters(pairs, maxIter = 20)
+      .as[(Long, Long)].collect().toMap
+    assert(iter === expected)
+  }
+
   test("rolling chunks: contiguous full coverage, stable under prefix edits") {
     import graft.functions.RollingChunks
     val base = "the quick brown fox jumps over the lazy dog and then " * 8
