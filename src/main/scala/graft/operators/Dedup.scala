@@ -134,6 +134,7 @@ object Dedup {
    * pairs without re-joining back to the signature table.
    */
   def lshBands(sigs: DataFrame, idCol: String, rowsPerBand: Int): DataFrame = {
+    require(rowsPerBand >= 1, s"rowsPerBand must be >= 1, got $rowsPerBand")
     val bandArr = transform(
       sequence(lit(0), (size(col("sig")) / rowsPerBand).cast("int") - 1),
       i => array_join(
@@ -174,6 +175,12 @@ object Dedup {
       rowsPerBand: Int = 2,
       shingleSize: Int = 3,
       materializeSigs: Boolean = false): DataFrame = {
+    // A signature shorter than one band would make lshBands' band-index
+    // sequence descend (sequence(0, -1)) and slice garbage — reject the
+    // misconfiguration up front instead.
+    require(
+      numHashes >= rowsPerBand,
+      s"numHashes ($numHashes) must be >= rowsPerBand ($rowsPerBand)")
     val sigs0 = minhashSignatures(df, idCol, textCol, numHashes, shingleSize)
     val sigs = if (materializeSigs) sigs0.localCheckpoint() else sigs0
     val bands = lshBands(sigs, idCol, rowsPerBand)
@@ -300,7 +307,13 @@ object Dedup {
       parent.keys.toSeq.sorted
         .map(id => (id, find(id)))
         .toDF("id", "cluster")
-    } else iterativeClusters(canonical, maxIter)
+    } else {
+      // iterativeClusters returns a localCheckpoint'd result (lineage
+      // severed), so the upstream cache can be dropped immediately —
+      // without this the canonical cache stayed pinned for the session.
+      try iterativeClusters(canonical, maxIter)
+      finally canonical.unpersist()
+    }
   }
 
   /** Distributed fallback of [[nearDupClusters]] for edge sets too
@@ -341,8 +354,13 @@ object Dedup {
       labels = next
       i += 1
     }
+    // Sever the iterative lineage (maxIter joins deep) so BOTH working
+    // caches can be released here — returning the cached `labels`
+    // directly would pin its blocks for the rest of the session.
+    val out = labels.localCheckpoint()
+    labels.unpersist()
     edges.unpersist()
-    labels
+    out
   }
 
   /**

@@ -83,11 +83,17 @@ object TemporalJoins {
       startCol: String,
       endCol: String,
       binWidth: Long): DataFrame = {
-    val binned = intervals.withColumn(
-      "__bin",
-      explode(sequence(
-        floor(col(startCol) / binWidth).cast("long"),
-        floor((col(endCol) - 1) / binWidth).cast("long"))))
+    // Malformed intervals (end <= start) would make `sequence` infer a
+    // descending step and explode a potentially huge (or over-limit)
+    // array; they can never match the exact predicate anyway, so drop
+    // them before binning.
+    val binned = intervals
+      .where(col(endCol) > col(startCol))
+      .withColumn(
+        "__bin",
+        explode(sequence(
+          floor(col(startCol) / binWidth).cast("long"),
+          floor((col(endCol) - 1) / binWidth).cast("long"))))
     val p = points.withColumn(
       "__bin", floor(col(pointCol) / binWidth).cast("long"))
     p.join(binned, Seq(keyCol, "__bin"))

@@ -137,6 +137,9 @@ object CoreQueries {
     // J1: fact→dim left join + agg. No broadcast hint: `part` grows
     // with the data, so a forced broadcast is a scale-killer at 100×;
     // AQE still picks broadcast-hash when the build side is small.
+    // The key keeps its historical "_broadcast" name ONLY for baseline
+    // continuity (BENCH_r01/BASELINE track it) — the plan is NOT a
+    // forced broadcast; at scale AQE may legitimately choose SMJ.
     "q09_join_broadcast" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       val p = t(s, dir, "part")

@@ -1061,6 +1061,12 @@ object PipelineQueries {
         |    128.0/greatest(64*(doc_id%4+1), 64*(doc_id%3+1)))) AS INT) AS out_h
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // NOTE (oracle fidelity): the Spark side slices the binary payload
+    // by BYTES (substr/length on BinaryType) while this oracle slices
+    // the source TEXT by characters and then encodes — identical only
+    // because the synthetic corpus is pure ASCII (1 byte = 1 char). On
+    // non-ASCII data the byte-wise Spark semantics are the intended
+    // contract (frames address media payloads, not code points).
     "q27_frame_sample" ->
       """WITH pos AS (
         |  SELECT doc_id, text,
