@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{CoreQueries, PipelineQueries}
+import graft.queries.{CoreQueries, PipelineQueries, RelationalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -13,10 +13,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries ++ PipelineQueries.queries
+    CoreQueries.queries ++ PipelineQueries.queries ++
+      RelationalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracles ++ PipelineQueries.oracles
+    CoreQueries.oracles ++ PipelineQueries.oracles ++
+      RelationalQueries.oracles
 }

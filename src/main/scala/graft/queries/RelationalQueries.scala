@@ -1,0 +1,518 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Relational breadth pack (round 3): multi-dimensional aggregation
+ * (rollup / cube / grouping sets), pivot, set operations, the ranking
+ * window family, explicit window frames (rows + range), SQL-surface
+ * subqueries (correlated EXISTS + scalar), exact percentiles,
+ * conditional / distinct aggregation, ordered array aggregation, and
+ * sketch audits (HLL distinct, approx-percentile, mergeable HLL
+ * union).
+ *
+ * Every query pairs with a DuckDB oracle. Parity rules (see
+ * `.claude/skills/verify`): deterministic total ORDER BY both sides,
+ * decimal-accumulated sums cast to DOUBLE, aligned column names and
+ * integer widths, NULLS FIRST made explicit where rollup/cube emit
+ * subtotal rows.
+ *
+ * Scale notes are per-query; the common theme: grouping-set families
+ * are single-shuffle (Spark expands grouping sets BEFORE the exchange
+ * with partial aggregation per set), window families shuffle once per
+ * partitioning, sketches replace exact-distinct shuffles with
+ * mergeable fixed-size state.
+ */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.sources.Tables.load(s, dir, name)
+
+  private def dec(c: String) = col(c).cast("decimal(14,2)")
+
+  /** orders ⋈ customer ⋈ nation ⋈ region with region/nation names. */
+  private def ordersGeo(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(n, c("c_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ROLLUP (region → nation → grand total) revenue. One shuffle:
+    // Expand emits one row per grouping set pre-exchange and partial
+    // aggregation combines map-side, so the subtotal levels do NOT
+    // multiply shuffle volume by re-scanning. grouping_id()
+    // disambiguates subtotal NULLs from (hypothetical) NULL keys.
+    "q49_rollup_revenue" -> ((s, dir) => {
+      // rollup MUST take bare Column refs here: the String overload
+      // resolves via Dataset.col, whose dataset-id metadata the rollup
+      // Expand then duplicates — tripping DetectAmbiguousSelfJoin on
+      // any multi-join input. The pre-select states the pruned set.
+      val g = ordersGeo(s, dir)
+        .select(col("r_name"), col("n_name"), col("o_totalprice"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(
+          sum(dec("o_totalprice")).cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"),
+          grouping_id().as("gid"))
+      // Sort via g's OWN attributes: a bare col("r_name") after
+      // rollup+agg is flagged ambiguous (pre- vs post-aggregate
+      // lineage under dataset-id tagging).
+      g.orderBy(
+        g("gid"), g("r_name").asc_nulls_first, g("n_name").asc_nulls_first)
+    }),
+
+    // CUBE over (returnflag, linestatus): all four grouping sets in a
+    // single-shuffle plan (same Expand mechanics as rollup).
+    "q50_cube_returns" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec("l_quantity")).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping_id().as("gid"))
+        .orderBy(
+          col("gid"),
+          col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
+    // Explicit GROUPING SETS: the two single-dimension marginals plus
+    // the grand total, skipping the full cross product a cube would
+    // also compute.
+    "q51_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec("l_extendedprice")).cast("double").as("sum_price"),
+          count(lit(1)).as("n"),
+          grouping_id().as("gid"))
+        .orderBy(
+          col("gid"),
+          col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
+    // Pivot order-priority counts per nation. Explicit pivot values
+    // keep the plan a single pass (no values-discovery job) and make
+    // the output schema static — required for both the oracle pairing
+    // and any production sink. Absent cells are 0, not NULL.
+    "q52_pivot_priority" -> ((s, dir) => {
+      val pivotVals =
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      ordersGeo(s, dir)
+        .groupBy("n_name")
+        .pivot("o_orderpriority", pivotVals)
+        .agg(count(lit(1)))
+        .na.fill(0, pivotVals)
+        .orderBy("n_name")
+    }),
+
+    // INTERSECT / EXCEPT (distinct set semantics both engines):
+    // urgent-order customers split by whether they also have a
+    // finished ('F') order.
+    "q53_set_ops" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val urgent = o.where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      val finished = o.where(col("o_orderstatus") === "F")
+        .select(col("o_custkey"))
+      urgent.intersect(finished).withColumn("tag", lit("both"))
+        .unionByName(
+          urgent.except(finished).withColumn("tag", lit("urgent_only")))
+        .orderBy("tag", "o_custkey")
+    }),
+
+    // Ranking family. Two windows over ONE partitioning (quantity
+    // ties are real): row_number/ntile need the fully tiebroken order
+    // (they are positional — nondeterministic under ties), while
+    // rank/dense_rank/percent_rank/cume_dist hang off the value-only
+    // order (deterministic under ties BY DEFINITION — and tie-broken
+    // windows would degenerate them into row_number). Both windows
+    // share the single hash-exchange on l_returnflag.
+    "q54_rank_family" -> ((s, dir) => {
+      val wDet = Window.partitionBy("l_returnflag")
+        .orderBy(
+          col("l_quantity").desc, col("l_orderkey"), col("l_linenumber"))
+      val wVal = Window.partitionBy("l_returnflag")
+        .orderBy(col("l_quantity").desc)
+      t(s, dir, "lineitem")
+        .select(
+          col("l_returnflag"), col("l_orderkey"),
+          col("l_linenumber"), col("l_quantity"),
+          row_number().over(wDet).as("rn"),
+          ntile(3).over(wDet).as("bucket"),
+          rank().over(wVal).as("rnk"),
+          dense_rank().over(wVal).as("drnk"),
+          round(percent_rank().over(wVal), 6).as("pr"),
+          round(cume_dist().over(wVal), 6).as("cd"))
+        .where(col("rn") <= 8)
+        .orderBy("l_returnflag", "rn")
+    }),
+
+    // Explicit frames: running total (rows unbounded-preceding),
+    // moving window (rows 2-preceding), and a value-range frame (30
+    // days of epoch seconds — range frames bound by VALUE, so they
+    // stay deterministic under order ties where row frames would
+    // not). The moving average divides an exact decimal sum by the
+    // frame count in DOUBLE, so both engines run the identical IEEE
+    // division.
+    "q55_window_frames" -> ((s, dir) => {
+      val epoch = unix_timestamp(col("o_orderdate"))
+      val wRun = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wMov = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(-2, Window.currentRow)
+      val wRange = Window.partitionBy("o_custkey")
+        .orderBy(epoch)
+        .rangeBetween(-2592000L, Window.currentRow)
+      t(s, dir, "orders")
+        .where(col("o_custkey") <= 200)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          sum(dec("o_totalprice")).over(wRun).cast("double").as("run_total"),
+          round(
+            sum(dec("o_totalprice")).over(wMov).cast("double") /
+              count(lit(1)).over(wMov),
+            6).as("mov_avg"),
+          count(lit(1)).over(wRange).as("n_30d"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // SQL surface: correlated EXISTS (→ planned as a left-semi join)
+    // + correlated scalar subquery (→ aggregated + re-joined by
+    // Catalyst's decorrelation — NOT a per-row loop). The scalar
+    // threshold divides an exact decimal sum by a count in DOUBLE for
+    // cross-engine determinism.
+    "q56_sql_subqueries" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderpriority = '1-URGENT')
+          AND c_acctbal > (
+            SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(14,2))) AS DOUBLE)
+                     / COUNT(*)
+            FROM customer c2
+            WHERE c2.c_nationkey = c.c_nationkey)
+        ORDER BY c_custkey""")
+    }),
+
+    // Exact interpolated percentiles per group (percentile() =
+    // continuous (n-1)·p interpolation, the same contract as DuckDB's
+    // quantile_cont). Exact percentile needs the full sorted group —
+    // the 100 TB path is q62's approx_percentile sketch; this query
+    // is the ground-truth surface.
+    "q57_percentile_groups" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("qty_p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 6)
+            .as("price_p90"),
+          round(expr("median(l_discount)"), 6).as("disc_med"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Conditional aggregation: count_if / filtered decimal sums — the
+    // one-pass replacement for N filtered scans.
+    "q58_conditional_agg" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          expr("count_if(value > 50)").as("n_high"),
+          sum(when(col("value") > 50, col("value").cast("decimal(14,2)"))
+            .otherwise(lit(0).cast("decimal(14,2)")))
+            .cast("double").as("sum_high"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
+    // Distinct aggregation: two COUNT(DISTINCT) + a SUM(DISTINCT) in
+    // one GROUP BY — Spark plans multi-distinct via a single Expand +
+    // two-level aggregate (one extra shuffle, not one per distinct).
+    "q59_distinct_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          sum_distinct(col("l_quantity").cast("decimal(14,2)"))
+            .cast("double").as("sum_dist_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Ordered array aggregation: collect_set is order-nondeterministic
+    // across partitions, so the contract REQUIRES the array_sort
+    // before any comparison/serialization (same rule as DuckDB's
+    // list(DISTINCT ...) needing list_sort). Joined to a string so the
+    // oracle compare is value-typed.
+    "q60_array_agg" -> ((s, dir) => {
+      t(s, dir, "events")
+        .where(col("user_id") <= 300)
+        .groupBy("user_id")
+        .agg(
+          array_join(array_sort(collect_set(col("event_type"))), ",")
+            .as("types"),
+          countDistinct(col("event_type")).as("n_types"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
+    // HLL sketch audit: approx_count_distinct (HLL++, deterministic
+    // for fixed data) vs exact per group; the oracle pins the exact
+    // count and asserts the ±5% envelope HOLDS (ok must be true). At
+    // 100 TB the sketch path replaces the exact-distinct shuffle of
+    // every (group, key) pair with fixed-size mergeable state.
+    "q61_hll_audit" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val approx = o.groupBy("o_orderpriority")
+        // rsd 1%: the default 5% leaves no headroom against a 5%
+        // audit envelope (one group missed it at sf0.01).
+        .agg(approx_count_distinct(col("o_custkey"), 0.01).as("approx_n"))
+      val exact = o.groupBy("o_orderpriority")
+        .agg(countDistinct(col("o_custkey")).as("exact_n"))
+      exact.join(approx, "o_orderpriority")
+        .select(
+          col("o_orderpriority"),
+          col("exact_n"),
+          (abs(col("approx_n") - col("exact_n")) <=
+            col("exact_n") * 0.05).as("ok"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Approx-percentile sketch audit (same pattern as q61): the
+    // KLL-style sketch estimate must land within 1% of q57's exact
+    // percentile; the oracle pins exact + the envelope.
+    "q62_quantile_audit" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 6)
+            .as("exact_p50"),
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)")
+            .as("__approx"))
+        .select(
+          col("l_returnflag"), col("exact_p50"),
+          (abs(col("__approx") - col("exact_p50")) <=
+            abs(col("exact_p50")) * 0.01).as("ok"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Mergeable-sketch distinct: per-nation HLL sketches unioned into
+    // a global estimate (hll_sketch_agg → hll_union_agg →
+    // hll_sketch_estimate) — the partial-aggregate shape that lets
+    // 1000 executors each ship ~1.5 KB instead of re-shuffling raw
+    // keys for a global COUNT(DISTINCT). Audited against the exact
+    // global count.
+    "q63_sketch_merge" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val perNation = c.groupBy("c_nationkey")
+        .agg(expr("hll_sketch_agg(c_custkey)").as("__sk"))
+      val merged = perNation
+        .agg(expr("hll_sketch_estimate(hll_union_agg(__sk))").as("__est"))
+      val exact = c.agg(countDistinct(col("c_custkey")).as("exact_n"))
+      exact.crossJoin(merged)
+        .select(
+          col("exact_n"),
+          (abs(col("__est") - col("exact_n")) <=
+            col("exact_n") * 0.05).as("ok"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "q49_rollup_revenue" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_orders,
+        |  GROUPING(r_name, n_name) AS gid
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY gid, r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
+    "q50_cube_returns" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n,
+        |  GROUPING(l_returnflag, l_linestatus) AS gid
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q51_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+        |    AS sum_price,
+        |  COUNT(*) AS n,
+        |  GROUPING(l_returnflag, l_linestatus) AS gid
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q52_pivot_priority" ->
+      """SELECT n_name,
+        |  COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS "1-URGENT",
+        |  COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS "2-HIGH",
+        |  COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS "3-MEDIUM",
+        |  COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED')
+        |    AS "4-NOT SPECIFIED",
+        |  COUNT(*) FILTER (o_orderpriority = '5-LOW') AS "5-LOW"
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+
+    "q53_set_ops" ->
+      """WITH urgent AS (
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |finished AS (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |SELECT o_custkey, 'both' AS tag
+        |FROM (SELECT o_custkey FROM urgent
+        |      INTERSECT SELECT o_custkey FROM finished)
+        |UNION ALL
+        |SELECT o_custkey, 'urgent_only' AS tag
+        |FROM (SELECT o_custkey FROM urgent
+        |      EXCEPT SELECT o_custkey FROM finished)
+        |ORDER BY tag, o_custkey""".stripMargin,
+
+    "q54_rank_family" ->
+      """SELECT * FROM (
+  -- INT casts: DuckDB's ranking functions return BIGINT, Spark's
+        |  -- return INT — align widths to Spark.
+        |  SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+        |    CAST(ROW_NUMBER() OVER w_det AS INT) AS rn,
+        |    CAST(NTILE(3) OVER w_det AS INT) AS bucket,
+        |    CAST(RANK() OVER w_val AS INT) AS rnk,
+        |    CAST(DENSE_RANK() OVER w_val AS INT) AS drnk,
+        |    ROUND(PERCENT_RANK() OVER w_val, 6) AS pr,
+        |    ROUND(CUME_DIST() OVER w_val, 6) AS cd
+        |  FROM lineitem
+        |  WINDOW
+        |    w_det AS (PARTITION BY l_returnflag
+        |              ORDER BY l_quantity DESC, l_orderkey, l_linenumber),
+        |    w_val AS (PARTITION BY l_returnflag ORDER BY l_quantity DESC))
+        |WHERE rn <= 8
+        |ORDER BY l_returnflag, rn""".stripMargin,
+
+    "q55_window_frames" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER w_run AS DOUBLE)
+        |    AS run_total,
+        |  ROUND(
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER w_mov AS DOUBLE)
+        |      / COUNT(*) OVER w_mov, 6) AS mov_avg,
+        |  COUNT(*) OVER w_range AS n_30d
+        |FROM orders
+        |WHERE o_custkey <= 200
+        |WINDOW
+        |  w_run AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  w_mov AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+        |  w_range AS (PARTITION BY o_custkey
+        |              ORDER BY CAST(FLOOR(EPOCH(o_orderdate)) AS BIGINT)
+        |              RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q56_sql_subqueries" ->
+      """SELECT c_custkey, c_name, c_acctbal
+        |FROM customer c
+        |WHERE EXISTS (
+        |    SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_orderpriority = '1-URGENT')
+        |  AND c_acctbal > (
+        |    SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(14,2))) AS DOUBLE)
+        |             / COUNT(*)
+        |    FROM customer c2
+        |    WHERE c2.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q57_percentile_groups" ->
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(l_quantity, 0.5), 6) AS qty_p50,
+        |  ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS price_p90,
+        |  ROUND(median(l_discount), 6) AS disc_med
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q58_conditional_agg" ->
+      """SELECT event_type,
+        |  COUNT(*) FILTER (value > 50) AS n_high,
+        |  CAST(COALESCE(SUM(CAST(value AS DECIMAL(14,2)))
+        |    FILTER (value > 50), 0) AS DOUBLE) AS sum_high,
+        |  COUNT(*) AS n
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q59_distinct_agg" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps,
+        |  CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE)
+        |    AS sum_dist_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q60_array_agg" ->
+      """SELECT user_id,
+        |  array_to_string(list_sort(list(DISTINCT event_type)), ',')
+        |    AS types,
+        |  COUNT(DISTINCT event_type) AS n_types,
+        |  COUNT(*) AS n_events
+        |FROM events
+        |WHERE user_id <= 300
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    // Sketch audits: the oracle pins the EXACT value and asserts the
+    // error envelope held (ok = true for every group) — the sketch
+    // estimate itself is engine-specific and not oracle-portable.
+    "q61_hll_audit" ->
+      """SELECT o_orderpriority,
+        |  COUNT(DISTINCT o_custkey) AS exact_n,
+        |  TRUE AS ok
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q62_quantile_audit" ->
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS exact_p50,
+        |  TRUE AS ok
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q63_sketch_merge" ->
+      """SELECT COUNT(DISTINCT c_custkey) AS exact_n, TRUE AS ok
+        |FROM customer""".stripMargin
+  )
+}
