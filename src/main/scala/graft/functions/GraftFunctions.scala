@@ -100,6 +100,39 @@ object GraftFunctions {
           exprs.length == 2,
           "graft_shingles(text, n) takes 2 arguments")
         ShingleArray(exprs.head, intLit(exprs(1), "n"))
+      }),
+    // Bloom-filter surface: Spark ships BloomFilterAggregate /
+    // BloomFilterMightContain as INTERNAL expressions (used by the
+    // runtime-filter optimizer) without SQL registration — this
+    // exposes them as first-class functions for explicit
+    // prefilter-then-verify pipelines (TextAnalysis
+    // .bloomContaminatedIds, q64). Input values must be LONG
+    // (xxhash64 the payload first).
+    (
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (exprs: Seq[Expression]) => {
+        require(
+          exprs.length == 2,
+          "graft_bloom_agg(longValue, estimatedItems) takes 2 arguments")
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(
+            exprs.head, intLit(exprs(1), "estimatedItems").toLong)
+          .toAggregateExpression()
+      }),
+    (
+      FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_bloom_contains"),
+      (exprs: Seq[Expression]) => {
+        require(
+          exprs.length == 2,
+          "graft_bloom_contains(bloom, longValue) takes 2 arguments")
+        org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(exprs.head, exprs(1))
       }))
 
   /** Install into a live session (idempotent; replaces old builders). */

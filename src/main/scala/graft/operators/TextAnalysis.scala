@@ -87,4 +87,69 @@ object TextAnalysis {
       .join(benchShingles, Seq("shingle"), "left_semi")
       .select(idCol).distinct()
   }
+
+  /**
+   * Bloom-prefiltered decontamination — same contract as
+   * [[contaminatedIds]] (exact result, no false positives in the
+   * output) via a different physical strategy:
+   *
+   *   1. the benchmark shingles aggregate into ONE Bloom filter
+   *      (mergeable fixed-size state, built with map-side partials);
+   *   2. the bloom broadcasts (O(bits), independent of benchmark
+   *      text volume) and prefilters the corpus shingle stream
+   *      inside its scan stage;
+   *   3. only bloom-passing shingles reach the exact semi-join that
+   *      removes Bloom false positives (a Bloom filter has NO false
+   *      negatives, so prefiltering loses nothing).
+   *
+   * Scale: [[contaminatedIds]] broadcasts the full distinct benchmark
+   * shingle set — fine for small eval suites, unworkable when the
+   * benchmark side is tens of GB. Here the broadcast payload is the
+   * fixed-size bloom and the semi-join shuffles only the (tiny)
+   * candidate stream — the runtime-filter pattern Spark applies to
+   * joins, made explicit as an operator.
+   */
+  def bloomContaminatedIds(
+      docs: org.apache.spark.sql.DataFrame,
+      benchmark: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      estimatedItems: Long = 1000000L): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.GraftBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, ExprId, NamedExpression, ScalarSubquery}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.plans.logical.HintInfo
+
+    val docShingles = Dedup.shingles(docs, idCol, textCol, n)
+    val benchShingles = Dedup.shingles(benchmark, idCol, textCol, n)
+      .select("shingle").distinct()
+    // might_contain requires its bloom side to be a CONSTANT or a
+    // scalar subquery — the same shape Spark's InjectRuntimeFilter
+    // builds internally: the one-row bloom aggregation plan rides as
+    // a subquery whose result broadcasts with the task binaries.
+    val bloomPlan = benchShingles.agg(
+      column(new BloomFilterAggregate(
+        expression(xxhash64(col("shingle"))),
+        estimatedItems).toAggregateExpression()).as("__bloom"))
+      .queryExecution.analyzed
+    val bloomSubquery = ScalarSubquery(
+      bloomPlan,
+      Seq.empty[org.apache.spark.sql.catalyst.expressions.Expression],
+      NamedExpression.newExprId,
+      Seq.empty[org.apache.spark.sql.catalyst.expressions.Expression],
+      Option.empty[HintInfo],
+      Option.empty[Boolean],
+      Option.empty[Boolean])
+    val candidates = docShingles
+      .where(column(BloomFilterMightContain(
+        bloomSubquery,
+        expression(xxhash64(col("shingle"))))))
+      .select(col(idCol), col("shingle"))
+    // Exact verify WITHOUT a broadcast hint: the point of the bloom
+    // is that this shuffle only ever sees bloom-passing shingles.
+    candidates
+      .join(benchShingles, Seq("shingle"), "left_semi")
+      .select(idCol).distinct()
+  }
 }

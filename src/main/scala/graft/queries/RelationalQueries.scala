@@ -315,6 +315,22 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     }),
 
+    // Bloom-prefiltered benchmark decontamination: the benchmark
+    // 4-gram set compresses into ONE mergeable Bloom filter that
+    // broadcasts at O(bits) and prefilters the corpus shingle stream
+    // in-scan; the exact semi-join then sees only bloom-passing
+    // shingles (no false negatives ⇒ exact result; false positives
+    // die in the verify join). The broadcast-the-raw-shingles
+    // formulation is q39 — this is its big-benchmark-side scale path.
+    "q64_bloom_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.TextAnalysis.bloomContaminatedIds(
+          docs.where(col("doc_id") % 50 =!= 0),
+          docs.where(col("doc_id") % 50 === 0),
+          "doc_id", "text", n = 4)
+        .orderBy("doc_id")
+    }),
+
     // Mergeable-sketch distinct: per-nation HLL sketches unioned into
     // a global estimate (hll_sketch_agg → hll_union_agg →
     // hll_sketch_estimate) — the partial-aggregate shape that lets
@@ -513,6 +529,25 @@ object RelationalQueries {
 
     "q63_sketch_merge" ->
       """SELECT COUNT(DISTINCT c_custkey) AS exact_n, TRUE AS ok
-        |FROM customer""".stripMargin
+        |FROM customer""".stripMargin,
+
+    // Oracle is the EXACT n-gram-overlap contamination set — the
+    // bloom is an internal prefilter with no effect on the result.
+    "q64_bloom_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), idx AS (
+        |  SELECT doc_id, w, unnest(generate_series(1, len(w)-3)) AS i FROM toks
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS shingle
+        |  FROM idx
+        |), bench AS (
+        |  SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0
+        |)
+        |SELECT DISTINCT s.doc_id
+        |FROM sh s JOIN bench b USING (shingle)
+        |WHERE s.doc_id % 50 <> 0
+        |ORDER BY doc_id""".stripMargin
   )
 }

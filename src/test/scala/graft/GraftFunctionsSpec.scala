@@ -74,4 +74,27 @@ class GraftFunctionsSpec extends AnyFunSuite {
   test("GraftExtensions injects all functions without error") {
     new graft.functions.GraftExtensions().apply(new SparkSessionExtensions)
   }
+
+  test("graft_bloom_agg / graft_bloom_contains from SQL: no false negatives") {
+    GraftFunctions.register(spark)
+    spark.range(0, 500).createOrReplaceTempView("bloom_in")
+    // Every inserted member MUST be found (bloom has no false negatives).
+    val misses = spark.sql(
+      """SELECT count(*) AS missed FROM bloom_in
+        |WHERE NOT graft_bloom_contains(
+        |  (SELECT graft_bloom_agg(xxhash64(CAST(id AS STRING)), 10000)
+        |   FROM bloom_in),
+        |  xxhash64(CAST(id AS STRING)))""".stripMargin)
+      .as[Long].head()
+    assert(misses === 0L)
+    // And the filter rejects essentially all of a disjoint probe set.
+    val hits = spark.sql(
+      """SELECT count(*) AS hit FROM (SELECT id + 1000000 AS pid FROM bloom_in)
+        |WHERE graft_bloom_contains(
+        |  (SELECT graft_bloom_agg(xxhash64(CAST(id AS STRING)), 10000)
+        |   FROM bloom_in),
+        |  xxhash64(CAST(pid AS STRING)))""".stripMargin)
+      .as[Long].head()
+    assert(hits < 25) // ~3% fpp envelope on 500 probes
+  }
 }

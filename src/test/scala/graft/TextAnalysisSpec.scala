@@ -50,4 +50,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(fp("Hello  World") === fp("  hello world "))
     assert(fp("hello world") !== fp("hello mars"))
   }
+
+  test("bloomContaminatedIds equals the broadcast semi-join result") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven"),
+      (3L, "alpha beta gamma delta unrelated tail"),
+      (4L, "totally different content here now")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "alpha beta gamma delta"),
+      (101L, "nine ten eleven twelve")
+    ).toDF("doc_id", "text")
+    val plain = TextAnalysis
+      .contaminatedIds(docs, bench, "doc_id", "text", n = 4)
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    val bloom = TextAnalysis
+      .bloomContaminatedIds(docs, bench, "doc_id", "text", n = 4)
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(bloom === plain)
+    assert(plain === Seq(1L, 3L))
+  }
 }
