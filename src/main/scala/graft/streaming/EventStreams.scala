@@ -77,6 +77,45 @@ object EventStreams {
   }
 
   /**
+   * Watermarked stream-stream interval join: each left event pairs
+   * with the right events for the same key whose timestamp falls in
+   * `[leftTs - maxDelaySeconds, leftTs]` — attribution-style
+   * enrichment (click ← preceding impressions) across two live
+   * streams.
+   *
+   * Both sides carry watermarks and the join condition bounds the
+   * time distance, so each side's buffered state is evicted once the
+   * other side's watermark passes the reach of its range — state is
+   * O(rate × (delay + maxDelay)) per key, never unbounded. An
+   * unbounded-state stream-stream join (no time bound) is refused by
+   * Spark in append mode for exactly this reason.
+   *
+   * Column contract: right columns are emitted with a `right_`
+   * prefix; pass disjoint names for everything but `keyCol`.
+   */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTsCol: String,
+      rightTsCol: String,
+      maxDelaySeconds: Long,
+      watermarkDelay: String): DataFrame = {
+    val l = left.withWatermark(leftTsCol, watermarkDelay)
+    val r = right
+      .withColumnsRenamed(
+        right.columns.filter(_ != keyCol).map(c => c -> s"right_$c").toMap)
+      .withWatermark(s"right_$rightTsCol", watermarkDelay)
+    val rightTs = col(s"right_$rightTsCol")
+    l.join(
+      r,
+      l(keyCol) === r(keyCol) &&
+        rightTs >= l(leftTsCol) - expr(s"INTERVAL $maxDelaySeconds SECONDS") &&
+        rightTs <= l(leftTsCol))
+      .drop(r(keyCol))
+  }
+
+  /**
    * Gap-based sessionization via `flatMapGroupsWithState` with
    * event-time timeout: events for a key belong to one session while
    * consecutive gaps stay ≤ `gapSeconds`; a session closes (and is

@@ -88,4 +88,33 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(timedOut.get.start === ts(105) && timedOut.get.end === ts(105))
     } finally q.stop()
   }
+
+  test("intervalJoin pairs events within the delay bound, drops stale state") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val imps = MemoryStream[(Long, Timestamp, String)]
+    val joined = EventStreams.intervalJoin(
+      clicks.toDF.toDF("user_id", "click_ts"),
+      imps.toDF.toDF("user_id", "imp_ts", "campaign"),
+      keyCol = "user_id", leftTsCol = "click_ts", rightTsCol = "imp_ts",
+      maxDelaySeconds = 10, watermarkDelay = "5 seconds")
+    val q = joined.writeStream
+      .format("memory").queryName("ij_out").outputMode("append").start()
+    try {
+      imps.addData((1L, ts(100), "camp_a"), (1L, ts(85), "camp_old"),
+        (2L, ts(101), "camp_b"))
+      clicks.addData((1L, ts(105)), (2L, ts(120)))
+      q.processAllAvailable()
+      // Advance both watermarks so in-range pairs finalize.
+      imps.addData((9L, ts(200), "camp_z"))
+      clicks.addData((9L, ts(200)))
+      q.processAllAvailable()
+      val rows = spark.table("ij_out")
+        .select("user_id", "right_campaign").as[(Long, String)]
+        .collect().toSet
+      // user 1: imp@100 within [95,105] joins; imp@85 is outside.
+      // user 2: imp@101 outside [110,120]. user 9: exact-time match.
+      assert(rows === Set((1L, "camp_a"), (9L, "camp_z")))
+    } finally q.stop()
+  }
 }
