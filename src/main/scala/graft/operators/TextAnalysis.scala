@@ -108,6 +108,12 @@ object TextAnalysis {
    * fixed-size bloom and the semi-join shuffles only the (tiny)
    * candidate stream — the runtime-filter pattern Spark applies to
    * joins, made explicit as an operator.
+   *
+   * The benchmark shingle pipeline evaluates twice (bloom build +
+   * verify side) — the same recompute-over-pin trade measured for
+   * [[Dedup.minhashCandidates]]: the benchmark side is the SMALL side
+   * by contract, and severing lineage costs downstream plans their
+   * statistics.
    */
   def bloomContaminatedIds(
       docs: org.apache.spark.sql.DataFrame,
