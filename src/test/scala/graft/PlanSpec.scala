@@ -70,4 +70,34 @@ class PlanSpec extends AnyFunSuite {
         s"$q pushes a higher-order aggregate into the scan filter")
     }
   }
+
+  test("q49/q50/q51: grouping-set families are single-Expand single-shuffle") {
+    for (q <- Seq("q49_rollup_revenue", "q50_cube_returns", "q51_grouping_sets")) {
+      val p = plan(q)
+      assert(p.contains("Expand"), s"$q: grouping sets must plan via Expand")
+      // exactly one pre-agg hash exchange on the grouping keys: the
+      // Expand feeds partial aggregation BEFORE the exchange.
+      val aggExchanges = p.linesIterator
+        .filter(l => l.contains("Exchange hashpartitioning") &&
+          l.contains("spark_grouping_id"))
+        .size
+      assert(aggExchanges === 1, s"$q: expected 1 grouping exchange, plan:\n$p")
+    }
+  }
+
+  test("q54: both rank windows share ONE exchange on the partition key") {
+    val p = plan("q54_rank_family")
+    val exchanges = p.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning(l_returnflag"))
+      .size
+    assert(exchanges === 1, s"two windows over one partitioning must share the exchange:\n$p")
+  }
+
+  test("q64: bloom builds with map-side partials and no forced broadcast hint") {
+    val p = plan("q64_bloom_decontaminate")
+    assert(p.contains("partial_bloom_filter_agg"),
+      "bloom must partial-aggregate map-side (mergeable sketch)")
+    assert(p.contains("might_contain") || p.contains("BloomFilterMightContain"),
+      "bloom prefilter missing from the corpus scan side")
+  }
 }
