@@ -331,6 +331,45 @@ object RelationalQueries {
         .orderBy("doc_id")
     }),
 
+    // Tokenizer vocabulary build + corpus encoding — the
+    // tokenize-to-ids step of a training pipeline: top-V tokens by
+    // (frequency, token) become ids 0..V-1; every document re-emits
+    // as its id sequence (-1 = OOV) plus an OOV count.
+    // Scale: the frequency count partial-aggregates map-side;
+    // TakeOrderedAndProject bounds the top-V selection (no global
+    // sort); the id-assignment window runs over V rows only; the
+    // vocab then BROADCASTS to the encode join (V is small by
+    // construction), so encoding is scan-stage work plus one shuffle
+    // by doc_id to reassemble sequences.
+    "q65_vocab_encode" -> ((s, dir) => {
+      val V = 500
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), col("pos"), col("col").as("token"))
+      val vocab = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token").asc)
+        .limit(V)
+        .select(
+          col("token"),
+          (row_number().over(
+            Window.orderBy(col("cnt").desc, col("token").asc)) - 1)
+            .as("token_id"))
+      val encoded = toks
+        .join(broadcast(vocab), Seq("token"), "left")
+        .select(
+          col("doc_id"), col("pos"),
+          coalesce(col("token_id"), lit(-1)).as("tid"))
+      encoded.groupBy("doc_id")
+        .agg(
+          concat_ws(",",
+            transform(
+              array_sort(collect_list(struct(col("pos"), col("tid")))),
+              e => e.getField("tid").cast("string"))).as("ids"),
+          sum(when(col("tid") === -1, 1).otherwise(0)).as("n_oov"),
+          count(lit(1)).as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // Mergeable-sketch distinct: per-nation HLL sketches unioned into
     // a global estimate (hll_sketch_agg → hll_union_agg →
     // hll_sketch_estimate) — the partial-aggregate shape that lets
@@ -548,6 +587,29 @@ object RelationalQueries {
         |SELECT DISTINCT s.doc_id
         |FROM sh s JOIN bench b USING (shingle)
         |WHERE s.doc_id % 50 <> 0
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "q65_vocab_encode" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS token,
+        |    generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents
+        |), freq AS (
+        |  SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token
+        |), vocab AS (
+        |  SELECT token,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) - 1 AS INT)
+        |      AS token_id
+        |  FROM freq ORDER BY cnt DESC, token LIMIT 500
+        |), enc AS (
+        |  SELECT t.doc_id, t.pos, COALESCE(v.token_id, -1) AS tid
+        |  FROM toks t LEFT JOIN vocab v USING (token)
+        |)
+        |SELECT doc_id,
+        |  string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos) AS ids,
+        |  CAST(SUM(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  COUNT(*) AS n_tokens
+        |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }
