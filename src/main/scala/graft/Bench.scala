@@ -32,18 +32,14 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
-    qs.foreach { case (_, fn) => // warmup pass, untimed
-      try exec(fn(spark, sfDir)) catch { case _: Throwable => () }
-    }
-    // Drop anything the warmup pass left in the block manager and
-    // settle the heap, so the timed passes start from a clean JVM.
-    spark.catalog.clearCache()
-    System.gc()
     // Two timed passes, min per query: a single pass conflates query
     // cost with transient machine noise (GC, page cache, co-tenant
     // load) — BENCH_r02 recorded 15.6s for a 0.3s query that way. The
     // min of two full passes is still honest end-to-end wall clock
-    // (each pass executes the complete physical plan via noop sink).
+    // (each pass executes the complete physical plan via noop sink),
+    // and pass 1 doubles as the JIT/codegen warmup (the min all but
+    // always comes from pass 2), so total wall time matches the old
+    // warmup+timed scheme.
     val failures = scala.collection.mutable.LinkedHashSet.empty[String]
     def timedPass(): Seq[(String, Double)] = qs.map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -55,6 +51,10 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     val pass1 = timedPass()
+    // Drop anything pass 1 leaked into the block manager and settle
+    // the heap so the clean pass starts from a quiet JVM.
+    spark.catalog.clearCache()
+    System.gc()
     val pass2 = timedPass()
     val results = pass1.zip(pass2).map { case ((n, a), (_, b)) =>
       n -> math.min(a, b)

@@ -370,6 +370,25 @@ object RelationalQueries {
         .orderBy("doc_id")
     }),
 
+    // Schema-typed JSON parse (JsonToStructs — the typed counterpart
+    // of q47's string-path get_json_object): props parse once into a
+    // struct in the scan stage; downstream references are ordinary
+    // column accesses, not repeated JSON walks.
+    "q66_json_typed_agg" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(
+          col("event_type"),
+          from_json(
+            col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT")).as("p"))
+        .groupBy("event_type")
+        .agg(
+          sum(col("p.k").cast("long")).as("sum_k"),
+          count(col("p.k")).as("n_k"),
+          max(col("p.k")).as("max_k"))
+        .orderBy("event_type")
+    }),
+
     // Mergeable-sketch distinct: per-nation HLL sketches unioned into
     // a global estimate (hll_sketch_agg → hll_union_agg →
     // hll_sketch_estimate) — the partial-aggregate shape that lets
@@ -610,6 +629,15 @@ object RelationalQueries {
         |  string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos) AS ids,
         |  CAST(SUM(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
         |  COUNT(*) AS n_tokens
-        |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q66_json_typed_agg" ->
+      """SELECT event_type,
+        |  CAST(SUM(CAST(props->>'k' AS INT)) AS BIGINT) AS sum_k,
+        |  COUNT(CAST(props->>'k' AS INT)) AS n_k,
+        |  MAX(CAST(props->>'k' AS INT)) AS max_k
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin
   )
 }
