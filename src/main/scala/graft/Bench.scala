@@ -40,15 +40,21 @@ object Bench {
     // and pass 1 doubles as the JIT/codegen warmup (the min all but
     // always comes from pass 2), so total wall time matches the old
     // warmup+timed scheme.
-    val failures = scala.collection.mutable.LinkedHashSet.empty[String]
-    def timedPass(): Seq[(String, Double)] = qs.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try exec(fn(spark, sfDir)) catch {
-        case e: Throwable =>
-          failures += name
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+    // Per-pass (time, succeeded): the min must range over SUCCESSFUL
+    // passes only — a transient failure's time-to-exception would
+    // otherwise report as the query's official time — and a query is
+    // only a failure when NO pass produced a valid measurement.
+    def timedPass(): Seq[(String, Double, Boolean)] = qs.map {
+      case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { exec(fn(spark, sfDir)); true }
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              false
+          }
+        (name, (System.nanoTime() - t0) / 1e9, ok)
     }
     val pass1 = timedPass()
     // Drop anything pass 1 leaked into the block manager and settle
@@ -56,9 +62,17 @@ object Bench {
     spark.catalog.clearCache()
     System.gc()
     val pass2 = timedPass()
-    val results = pass1.zip(pass2).map { case ((n, a), (_, b)) =>
-      n -> math.min(a, b)
+    val merged = pass1.zip(pass2).map { case ((n, a, okA), (_, b, okB)) =>
+      val t = (okA, okB) match {
+        case (true, true)  => math.min(a, b)
+        case (true, false) => a
+        case (false, true) => b
+        case _             => math.min(a, b) // both failed; flagged below
+      }
+      (n, t, okA || okB)
     }
+    val results = merged.map { case (n, t, _) => n -> t }
+    val failures = merged.collect { case (n, _, false) => n }
 
     val qJson = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -37,6 +37,16 @@ object GraftFunctions {
       s"$arg must be an integer literal, got: $other")
   }
 
+  /** Int OR bigint literal — for parameters whose underlying
+    * expression takes a Long (SQL integer literals above 2^31 parse
+    * as LongType). */
+  private def longLit(e: Expression, arg: String): Long = e match {
+    case Literal(v: Int, IntegerType) => v.toLong
+    case Literal(v: Long, org.apache.spark.sql.types.LongType) => v
+    case other => throw new IllegalArgumentException(
+      s"$arg must be an integer or bigint literal, got: $other")
+  }
+
   /** (name, info, builder) triples for every custom function. */
   val functions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
@@ -107,7 +117,11 @@ object GraftFunctions {
     // exposes them as first-class functions for explicit
     // prefilter-then-verify pipelines (TextAnalysis
     // .bloomContaminatedIds, q64). Input values must be LONG
-    // (xxhash64 the payload first).
+    // (xxhash64 the payload first). NOTE: the aggregate SILENTLY
+    // clamps to spark.sql.optimizer.runtime.bloomFilter.maxNumItems/
+    // maxNumBits (defaults 4M/64M) — raise those confs before
+    // building a larger bloom, or fpp degrades invisibly (the Scala
+    // path, bloomContaminatedIds, does this automatically).
     (
       FunctionIdentifier("graft_bloom_agg"),
       new ExpressionInfo(
@@ -119,7 +133,7 @@ object GraftFunctions {
           "graft_bloom_agg(longValue, estimatedItems) takes 2 arguments")
         new org.apache.spark.sql.catalyst.expressions.aggregate
           .BloomFilterAggregate(
-            exprs.head, intLit(exprs(1), "estimatedItems").toLong)
+            exprs.head, longLit(exprs(1), "estimatedItems"))
           .toAggregateExpression()
       }),
     (

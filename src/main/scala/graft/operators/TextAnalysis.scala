@@ -130,6 +130,19 @@ object TextAnalysis {
     val docShingles = Dedup.shingles(docs, idCol, textCol, n)
     val benchShingles = Dedup.shingles(benchmark, idCol, textCol, n)
       .select("shingle").distinct()
+    // BloomFilterAggregate SILENTLY clamps its size to the
+    // runtime-filter confs (default 4M items / 64M bits) at
+    // construction time. A clamped bloom stays CORRECT but its fpp
+    // degrades toward 1 and the prefilter stops filtering — the
+    // failure mode is invisible. Raise the caps to the requested
+    // build size (≈10 bits/item ⇒ ~1% fpp) before constructing.
+    val spark = docs.sparkSession
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    if (spark.conf.get(itemsKey).toLong < estimatedItems)
+      spark.conf.set(itemsKey, estimatedItems)
+    if (spark.conf.get(bitsKey).toLong < estimatedItems * 10L)
+      spark.conf.set(bitsKey, estimatedItems * 10L)
     // might_contain requires its bloom side to be a CONSTANT or a
     // scalar subquery — the same shape Spark's InjectRuntimeFilter
     // builds internally: the one-row bloom aggregation plan rides as
