@@ -111,6 +111,13 @@ object GraftFunctions {
           "graft_shingles(text, n) takes 2 arguments")
         ShingleArray(exprs.head, intLit(exprs(1), "n"))
       }),
+    (
+      FunctionIdentifier("graft_vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "graft_vec_dot"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "graft_vec_dot(a, b) takes 2 arguments")
+        VecDot(exprs.head, exprs(1))
+      }),
     // Bloom-filter surface: Spark ships BloomFilterAggregate /
     // BloomFilterMightContain as INTERNAL expressions (used by the
     // runtime-filter optimizer) without SQL registration — this

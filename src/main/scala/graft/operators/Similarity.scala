@@ -32,8 +32,14 @@ object Similarity {
   def toDoubleVec(v: Column): Column =
     coalesce(transform(v, _.cast("double")), typedLit(Seq.empty[Double]))
 
-  /** Sequential dot product of two array<double> columns. */
-  def dot(a: Column, b: Column): Column =
+  /** Sequential dot product of two array<double> columns — the
+    * codegen'd [[graft.functions.VecDot]] kernel (HOFs are
+    * CodegenFallback; this is the family's hottest per-row op). */
+  def dot(a: Column, b: Column): Column = graft.functions.VecDot(a, b)
+
+  /** Pure-HOF reference formulation of [[dot]] — bit-identical
+    * (same sequential IEEE fold), cross-checked in SimilaritySpec. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
 
   /** L2 norm (non-nullable; see [[toDoubleVec]]). */

@@ -102,4 +102,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out((0L, 4L)) === 1.0)
     assert(!out.contains((0L, 3L))) // opposite: different bucket
   }
+
+  test("VecDot kernel is bit-identical to the HOF reference, incl. edge cases") {
+    val rng = new scala.util.Random(7)
+    val rows = (1 to 200).map { i =>
+      (i.toLong, Array.fill(64)(rng.nextDouble() * 2 - 1),
+        Array.fill(64)(rng.nextDouble() * 2 - 1))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val cmp = df.select(
+      Similarity.dot(col("a"), col("b")).as("k"),
+      Similarity.dotHof(col("a"), col("b")).as("h"))
+      .collect()
+    cmp.foreach(r => assert(r.getDouble(0) === r.getDouble(1))) // bitwise
+    // Length mismatch -> NULL on both paths.
+    val mm = Seq((Array(1.0, 2.0), Array(1.0, 2.0, 3.0)))
+      .toDF("a", "b")
+      .select(
+        Similarity.dot(col("a"), col("b")).as("k"),
+        Similarity.dotHof(col("a"), col("b")).as("h"))
+      .head()
+    assert(mm.isNullAt(0) && mm.isNullAt(1))
+    // Float input path (raw embeddings without toDoubleVec).
+    val fl = Seq((Array(1.0f, 2.0f), Array(3.0, 4.0)))
+      .toDF("a", "b")
+      .select(graft.functions.VecDot(col("a"), col("b")).as("k"))
+      .head().getDouble(0)
+    assert(fl === 11.0)
+  }
 }
