@@ -370,6 +370,41 @@ object RelationalQueries {
         .orderBy("doc_id")
     }),
 
+    // FULL OUTER equi-join — snapshot reconciliation (the one outer
+    // variant the join family lacked): rows from either side survive,
+    // provenance tagged. Shuffle-hash/SMJ both sides; no broadcast
+    // (full outer cannot build-broadcast in Spark).
+    "q67_full_outer" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val a = o.where(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice").as("price_a"))
+      val b = o.where(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_totalprice").as("price_b"))
+      a.join(b, Seq("o_orderkey"), "full_outer")
+        .select(
+          col("o_orderkey"),
+          when(col("price_a").isNotNull && col("price_b").isNotNull, "both")
+            .when(col("price_a").isNotNull, "a_only")
+            .otherwise("b_only").as("side"),
+          coalesce(col("price_a"), col("price_b")).as("price"))
+        .orderBy("o_orderkey")
+    }),
+
+    // Null-preserving flatten: explode_outer keeps rows whose array is
+    // empty (NULL token) — the data-completeness counterpart of the
+    // reference's row-dropping inner explode (SURVEY P1 semantics
+    // note). Long tokens (>8 chars) make some documents legitimately
+    // empty.
+    "q68_flatten_outer" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          explode_outer(
+            filter(split(col("text"), " "), tok => length(tok) > 8))
+            .as("token"))
+        .orderBy(col("doc_id"), col("token").asc_nulls_first)
+    }),
+
     // Schema-typed JSON parse (JsonToStructs — the typed counterpart
     // of q47's string-path get_json_object): props parse once into a
     // struct in the scan stage; downstream references are ordinary
@@ -630,6 +665,33 @@ object RelationalQueries {
         |  CAST(SUM(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
         |  COUNT(*) AS n_tokens
         |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q67_full_outer" ->
+      """WITH a AS (
+        |  SELECT o_orderkey, o_totalprice AS price_a
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |b AS (
+        |  SELECT o_orderkey, o_totalprice AS price_b
+        |  FROM orders WHERE o_orderkey % 3 = 0)
+        |SELECT o_orderkey,
+        |  CASE WHEN price_a IS NOT NULL AND price_b IS NOT NULL THEN 'both'
+        |       WHEN price_a IS NOT NULL THEN 'a_only'
+        |       ELSE 'b_only' END AS side,
+        |  COALESCE(price_a, price_b) AS price
+        |FROM a FULL JOIN b USING (o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // DuckDB's unnest drops empty lists; the [NULL] substitution
+    // emulates Spark's explode_outer row-preserving semantics.
+    "q68_flatten_outer" ->
+      """WITH l AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> len(t) > 8) AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  unnest(CASE WHEN len(toks) = 0 THEN [NULL] ELSE toks END) AS token
+        |FROM l
+        |ORDER BY doc_id, token NULLS FIRST""".stripMargin,
 
     "q66_json_typed_agg" ->
       """SELECT event_type,
