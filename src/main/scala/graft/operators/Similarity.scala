@@ -225,6 +225,93 @@ object Similarity {
   }
 
   /**
+   * Distributed k-means (Lloyd's) centroid training over the corpus —
+   * the "train real centroids offline" step [[ivfSeeds]] defers to,
+   * producing exactly the `Seq[Seq[Double]]` the IVF plumbing
+   * consumes.
+   *
+   * Per iteration: one shuffle. Assignment is a per-row projection
+   * against the literal centroid matrix (same flat-ranking-array
+   * shape as [[cellRanking]], euclidean metric — argmin of
+   * |c|² − 2·v·c since |v|² is a per-row constant); the mean
+   * recompute is posexplode → groupBy(cell, dim) → avg, which
+   * partial-aggregates map-side so the exchange carries
+   * O(cells × dims × partitions), independent of corpus size. The
+   * k × dims centroid matrix round-trips through the driver each
+   * iteration — the standard k-means control loop (the data never
+   * does). Deterministic: init from [[ivfSeeds]] (lowest ids), empty
+   * cells keep their previous centroid, fixed iteration/tolerance
+   * stop.
+   *
+   * Scale: train on a SAMPLE (pass `corpus.sample(...)` or a
+   * hash-bounded slice) — centroid quality needs thousands of points
+   * per cell, not the full 100 TB corpus; the full corpus only ever
+   * sees the final literal matrix via [[ivfCell]].
+   */
+  def trainCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      maxIter: Int = 10,
+      tol: Double = 1e-9): Seq[Seq[Double]] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val first = ivfSeeds(corpus, idCol, vecCol, 1)
+    require(first.nonEmpty, "corpus has no vectors to train on")
+    val dims = first.head.length
+    val vecs = corpus
+      .select(col(idCol).as("__id"), toDoubleVec(col(vecCol)).as("__v"))
+      .where(size(col("__v")) === dims)
+      .cache()
+    try {
+      // Farthest-point (maximin) init — the deterministic k-means++
+      // variant: each next seed maximizes its distance to the chosen
+      // set (lowest id breaks ties). Naive lowest-id seeding collapses
+      // when ids correlate with clusters (all k seeds in one cluster →
+      // Lloyd's converges to a split-one-merge-rest local optimum).
+      val seeds = scala.collection.mutable.ArrayBuffer(first.head)
+      while (seeds.size < k) {
+        val minDist = array_min(array(seeds.toSeq.map { c =>
+          lit(c.map(x => x * x).sum) - lit(2.0) * dot(col("__v"), typedLit(c))
+        }: _*))
+        val far = vecs
+          .orderBy(minDist.desc, col("__id").asc)
+          .select("__v").limit(1).collect()
+        seeds += far.head.getSeq[Double](0).toVector
+      }
+      var centroids: Seq[Seq[Double]] = seeds.toSeq
+      var iter = 0
+      var shift = Double.MaxValue
+      while (iter < maxIter && shift > tol) {
+        val ranking = array(centroids.zipWithIndex.map { case (c, i) =>
+          struct(
+            (lit(c.map(x => x * x).sum) - lit(2.0) * dot(col("__v"), typedLit(c)))
+              .as("d"),
+            lit(i).as("cell"))
+        }: _*)
+        val assigned = vecs.select(
+          element_at(sort_array(ranking), 1).getField("cell").as("__cell"),
+          col("__v"))
+        val sums = assigned
+          .select(col("__cell"), posexplode(col("__v")).as(Seq("__pos", "__x")))
+          .groupBy("__cell", "__pos")
+          .agg(avg(col("__x")).as("__mean"))
+          .collect()
+        val next = Array.tabulate(k)(i => centroids(i).toArray)
+        sums.foreach { r =>
+          next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
+        }
+        shift = centroids.zip(next).map { case (a, b) =>
+          a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+        }.max
+        centroids = next.map(_.toSeq).toSeq
+        iter += 1
+      }
+      centroids
+    } finally vecs.unpersist()
+  }
+
+  /**
    * Per-seed ranking array of (neg-score, cell) structs; sorting it
    * ascending orders cells by descending cosine with ascending-cell
    * tiebreak. The score is dot(v, c)/|c| — the row's own norm |v| is

@@ -130,4 +130,42 @@ class SimilaritySpec extends AnyFunSuite {
       .head().getDouble(0)
     assert(fl === 11.0)
   }
+
+  test("trainCentroids recovers separated blob centers deterministically") {
+    val rng = new scala.util.Random(11)
+    val centers = Seq(
+      Array(5.0, 0.0, 0.0, 0.0),
+      Array(0.0, 5.0, 0.0, 0.0),
+      Array(0.0, 0.0, 5.0, 0.0))
+    val pts = for {
+      (c, ci) <- centers.zipWithIndex
+      j <- 0 until 60
+    } yield (ci * 60L + j,
+      c.map(x => (x + rng.nextGaussian() * 0.1).toFloat))
+    val df = pts.toDF("vec_id", "embedding")
+
+    val trained = Similarity.trainCentroids(
+      df, "vec_id", "embedding", k = 3, maxIter = 15)
+    assert(trained.length === 3)
+    // Every true center has a trained centroid within 0.15 (far below
+    // the 5.0 inter-center distance).
+    centers.foreach { c =>
+      val best = trained.map(t =>
+        math.sqrt(t.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum)).min
+      assert(best < 0.15, s"no trained centroid near ${c.toSeq}: $trained")
+    }
+    // Determinism: same input, same result.
+    val again = Similarity.trainCentroids(
+      df, "vec_id", "embedding", k = 3, maxIter = 15)
+    assert(again === trained)
+  }
+
+  test("trainCentroids tolerates k above the natural cluster count") {
+    val df = (0 until 40)
+      .map(i => (i.toLong, Array.fill(3)((i % 2).toFloat)))
+      .toDF("vec_id", "embedding")
+    val trained = Similarity.trainCentroids(
+      df, "vec_id", "embedding", k = 5, maxIter = 5)
+    assert(trained.length === 5) // empty cells keep their seed centroid
+  }
 }
