@@ -9,6 +9,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** One closed user session: [start, end] with its event count. */
 case class Session(key: Long, start: Timestamp, end: Timestamp, nEvents: Int)
 
+/** Misra–Gries summary held per heavy-hitter shard. */
+case class HHState(counters: Map[String, Long])
+
+/** One heavy-hitter estimate row emitted after a micro-batch. */
+case class HeavyHitter(shard: Int, token: String, est: Long)
+
 /** Accumulating state for an open session. */
 case class SessionState(startMs: Long, lastMs: Long, n: Int)
 
@@ -74,6 +80,63 @@ object EventStreams {
       if (withinWatermark) hashed.dropDuplicatesWithinWatermark("__content_hash")
       else hashed.dropDuplicates("__content_hash")
     deduped.drop("__content_hash")
+  }
+
+  /**
+   * Streaming heavy hitters: a Misra–Gries summary per shard,
+   * maintained across micro-batches with `flatMapGroupsWithState`.
+   *
+   * Tokens hash to `numShards` state keys; each shard keeps at most
+   * `capacity` counters (the classic decrement-on-overflow summary),
+   * so TOTAL state is O(numShards × capacity) — constant for the
+   * life of the stream, where an exact streaming groupBy-count grows
+   * with distinct tokens forever. After each batch a shard re-emits
+   * its current summary (update semantics; readers take the latest
+   * row per (shard, token) and sum over shards).
+   *
+   * Guarantee (per Misra–Gries, per shard): any token whose true
+   * count in the shard exceeds shardN/capacity survives, and its
+   * estimate undercounts by at most shardN/capacity. Sharding keeps
+   * the per-key state-store entry small AND spreads the fold across
+   * executors — one global summary would serialize every token
+   * through a single state key.
+   */
+  def streamingHeavyHitters(
+      tokens: DataFrame,
+      tokenCol: String,
+      capacity: Int,
+      numShards: Int): Dataset[HeavyHitter] = {
+    require(capacity >= 1 && numShards >= 1,
+      s"capacity ($capacity) and numShards ($numShards) must be >= 1")
+    val spark = tokens.sparkSession
+    import spark.implicits._
+    tokens
+      .select(
+        pmod(xxhash64(col(tokenCol)), lit(numShards)).cast("int").as("shard"),
+        col(tokenCol).cast("string").as("token"))
+      .as[(Int, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[HHState, HeavyHitter](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (shard: Int, rows: Iterator[(Int, String)], state: GroupState[HHState]) =>
+          val counters = scala.collection.mutable.Map.empty[String, Long] ++=
+            state.getOption.map(_.counters).getOrElse(Map.empty)
+          rows.foreach { case (_, tok) =>
+            counters.get(tok) match {
+              case Some(c) => counters(tok) = c + 1
+              case None if counters.size < capacity => counters(tok) = 1L
+              case None => // decrement step: all counters shed one
+                counters.keys.toSeq.foreach { k =>
+                  val c = counters(k) - 1
+                  if (c <= 0) counters.remove(k) else counters(k) = c
+                }
+            }
+          }
+          state.update(HHState(counters.toMap))
+          counters.iterator
+            .map { case (tok, c) => HeavyHitter(shard, tok, c) }
+            .toSeq.sortBy(h => (-h.est, h.token)).iterator
+      }
   }
 
   /**

@@ -117,4 +117,31 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(rows === Set((1L, "camp_a"), (9L, "camp_z")))
     } finally q.stop()
   }
+
+  test("streamingHeavyHitters keeps hot tokens across batches in bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val hh = EventStreams.streamingHeavyHitters(
+      input.toDF.toDF("token"), "token", capacity = 8, numShards = 2)
+    val q = hh.writeStream
+      .format("memory").queryName("hh_out").outputMode("update").start()
+    try {
+      input.addData(Seq.fill(30)("hot") ++ (1 to 10).map(i => s"rare$i"): _*)
+      q.processAllAvailable()
+      input.addData(Seq.fill(25)("hot") ++ (11 to 20).map(i => s"rare$i"): _*)
+      q.processAllAvailable()
+      // Latest estimate per (shard, token) — memory sink appends each
+      // update, so take the max batch's rows via last occurrence.
+      val rows = spark.table("hh_out")
+        .groupBy("shard", "token")
+        .agg(org.apache.spark.sql.functions.max("est").as("est"))
+        .collect()
+      val hot = rows.filter(_.getString(1) == "hot").map(_.getLong(2)).sum
+      // True count 55; Misra-Gries undercount bounded by N/capacity.
+      assert(hot >= 55 - (75 / 8) && hot <= 55)
+      // State bound: no shard reports more than capacity tokens.
+      val perShard = rows.groupBy(_.getInt(0)).map(_._2.length)
+      assert(perShard.forall(_ <= 8))
+    } finally q.stop()
+  }
 }
