@@ -370,6 +370,38 @@ object RelationalQueries {
         .orderBy("doc_id")
     }),
 
+    // UNPIVOT (melt) — the inverse of q52's pivot: per-returnflag
+    // aggregate metrics unpivot into (metric, value) rows. Narrow
+    // Expand over the aggregated frame; no extra shuffle.
+    "q69_unpivot" -> ((s, dir) => {
+      val agg = t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          sum(dec("l_quantity")).cast("double").as("qty"),
+          sum(dec("l_extendedprice")).cast("double").as("price"),
+          sum(dec("l_discount")).cast("double").as("disc"))
+      agg.unpivot(
+          Array(col("l_returnflag")),
+          Array(col("qty"), col("price"), col("disc")),
+          "metric", "value")
+        .orderBy("l_returnflag", "metric")
+    }),
+
+    // Time-bucketed aggregation: date_trunc day/hour rollups of the
+    // event stream — the partition-friendly time dimension every
+    // telemetry pipeline groups by. Bucketing is a scan-stage
+    // projection; one aggregation shuffle.
+    "q70_time_buckets" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(
+          date_trunc("day", col("ts")).as("day"),
+          hour(col("ts")).as("hr"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(14,2)")).cast("double").as("sum_v"))
+        .orderBy("day", "hr")
+    }),
+
     // FULL OUTER equi-join — snapshot reconciliation (the one outer
     // variant the join family lacked): rows from either side survive,
     // provenance tagged. Shuffle-hash/SMJ both sides; no broadcast
@@ -665,6 +697,28 @@ object RelationalQueries {
         |  CAST(SUM(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
         |  COUNT(*) AS n_tokens
         |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q69_unpivot" ->
+      """WITH agg AS (
+        |  SELECT l_returnflag,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS qty,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE)
+        |      AS price,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(14,2))) AS DOUBLE) AS disc
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, metric, value
+        |FROM agg
+        |UNPIVOT (value FOR metric IN (qty, price, disc))
+        |ORDER BY l_returnflag, metric""".stripMargin,
+
+    "q70_time_buckets" ->
+      """SELECT date_trunc('day', ts) AS day,
+        |  CAST(EXTRACT(hour FROM ts) AS INT) AS hr,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sum_v
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY day, hr""".stripMargin,
 
     "q67_full_outer" ->
       """WITH a AS (
