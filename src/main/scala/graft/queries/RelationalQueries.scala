@@ -281,18 +281,19 @@ object RelationalQueries {
     // 100 TB the sketch path replaces the exact-distinct shuffle of
     // every (group, key) pair with fixed-size mergeable state.
     "q61_hll_audit" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
-      val approx = o.groupBy("o_orderpriority")
-        // rsd 1%: the default 5% leaves no headroom against a 5%
-        // audit envelope (one group missed it at sf0.01).
-        .agg(approx_count_distinct(col("o_custkey"), 0.01).as("approx_n"))
-      val exact = o.groupBy("o_orderpriority")
-        .agg(countDistinct(col("o_custkey")).as("exact_n"))
-      exact.join(approx, "o_orderpriority")
+      // ONE grouped aggregation carries both the exact distinct and
+      // the HLL estimate (a separate agg + join would scan and
+      // shuffle twice). rsd 1%: the default 5% leaves no headroom
+      // against a 5% audit envelope (one group missed it at sf0.01).
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          countDistinct(col("o_custkey")).as("exact_n"),
+          approx_count_distinct(col("o_custkey"), 0.01).as("__approx"))
         .select(
           col("o_orderpriority"),
           col("exact_n"),
-          (abs(col("approx_n") - col("exact_n")) <=
+          (abs(col("__approx") - col("exact_n")) <=
             col("exact_n") * 0.05).as("ok"))
         .orderBy("o_orderpriority")
     }),
