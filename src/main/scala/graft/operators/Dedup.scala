@@ -43,6 +43,58 @@ object Dedup {
   }
 
   /**
+   * Sub-document (chunk-level) dedup — the FineWeb-style boilerplate
+   * remover: split each document into consecutive `chunkTokens`-token
+   * chunks, deduplicate chunks GLOBALLY (first occurrence by
+   * (doc id, position) wins), and reassemble each document from its
+   * surviving chunks in original order.
+   *
+   * Output: one row per input doc — `n_chunks`, `n_kept`, and
+   * `kept_text` ('' when every chunk was seen earlier, e.g. full
+   * duplicates). Documents never disappear: the keep/drop decision is
+   * folded into ONE per-doc aggregate (conditional collect_list skips
+   * nulls), so no re-join with the input is needed.
+   *
+   * Scale: two exchanges — one on the chunk text for the global
+   * first-occurrence window (uniform: chunk content hashes spread
+   * evenly; heavy boilerplate chunks are exactly what the operator
+   * removes and bound each window partition at the duplicate count),
+   * one on the doc id for reassembly. Per-doc state is the doc's own
+   * chunk list — bounded by document size, not corpus size.
+   */
+  def chunkDedup(
+      df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 10): DataFrame = {
+    val ct = lit(chunkTokens)
+    val chunks = df
+      .select(col(idCol), split(col(textCol), " ").as("toks"))
+      .select(
+        col(idCol),
+        posexplode(
+          transform(
+            // last chunk index = floor((len-1)/chunkTokens); split('')
+            // still yields [""] so len >= 1 always.
+            sequence(
+              lit(0),
+              floor((size(col("toks")) - 1) / ct.cast("double")).cast("int")),
+            c => array_join(slice(col("toks"), c * ct + 1, ct), " ")))
+          .as(Seq("pos", "chunk")))
+    val firstSeen = Window.partitionBy(col("chunk"))
+      .orderBy(col(idCol), col("pos"))
+    chunks
+      .withColumn("__keep", row_number().over(firstSeen) === 1)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            sort_array(collect_list(when(col("__keep"), struct(col("pos"), col("chunk"))))),
+            s => s.getField("chunk")),
+          " ").as("kept_text"))
+  }
+
+  /**
    * Distinct word `n`-gram shingles: one `(idCol, shingle)` row per
    * distinct shingle, via the codegen'd
    * [[graft.functions.ShingleArray]] kernel. Documents with fewer

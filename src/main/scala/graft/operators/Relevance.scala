@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus-relevance scoring: TF-IDF term weighting and BM25 document
+ * ranking, plus token-distribution entropy as a quality signal —
+ * standard statistical-relevance operators for training-data curation
+ * (north-star text-analysis family; no counterpart in the reference
+ * engine, which is purely relational ETL).
+ *
+ * Scale posture (100 TB corpus):
+ *  - the (doc, token) frequency table is built with ONE map-side
+ *    partial-aggregated shuffle keyed by (doc, token);
+ *  - document length rides through the explode into the same
+ *    aggregate, and per-doc reductions (entropy, BM25 sums) group by
+ *    the doc key — every downstream key is either (doc, token) or
+ *    doc, so no stage ever re-keys on an unbounded derived value;
+ *  - document frequency aggregates to vocabulary cardinality (sub-
+ *    linear in corpus size) and joins back on the token key — AQE
+ *    broadcasts it when small, shuffle-joins otherwise; no forced
+ *    broadcast of a data-scaled side;
+ *  - corpus scalars (N, avgdl) ride as one-row cross joins
+ *    (broadcast-nested-loop of a single row), never `.collect()`.
+ */
+object Relevance {
+
+  /** One row per (doc, token): occurrence count `tf` plus the doc's
+    * token length `dl`. `dl` rides through the explode and reduces
+    * with `max` inside the SAME aggregate — re-deriving it with a
+    * per-doc window here would cost a second exchange (hash(doc,tok)
+    * does not co-locate rows by doc alone). */
+  def termFrequencies(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), split(col(textCol), " ").as("toks"))
+      .select(col(idCol), size(col("toks")).as("dl"), explode(col("toks")).as("tok"))
+      .groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+
+  /**
+   * TF-IDF weights: normalized term frequency (tf/dl) times
+   * ln(N/df). Returns the top `k` terms per document by weight
+   * (ties broken by token ascending), weight rounded to 6 dp for
+   * cross-engine comparison.
+   */
+  def tfidfTopK(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val tf = termFrequencies(docs, idCol, textCol)
+    val dfT = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    val weighted = tf
+      .join(dfT, "tok")
+      .crossJoin(n)
+      .withColumn(
+        "tfidf",
+        col("tf").cast("double") / col("dl") * log(col("n_docs").cast("double") / col("df")))
+    weighted
+      .withColumn(
+        "rank",
+        row_number().over(
+          Window.partitionBy(idCol).orderBy(col("tfidf").desc, col("tok"))))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("tok"), round(col("tfidf"), 6).as("tfidf"))
+  }
+
+  /**
+   * BM25 ranking of documents against a bag of query terms
+   * (k1 = 1.2, b = 0.75, idf = ln(1 + (N - df + 0.5)/(df + 0.5))).
+   * Only documents containing at least one query term score (the
+   * rest are irrelevant by construction). Returns the top `k` docs
+   * by score descending, doc id ascending on ties.
+   *
+   * The query-term filter lands on the (doc, token) stream before
+   * any join, so the scored stream is bounded by |terms| * |docs|
+   * regardless of vocabulary size.
+   */
+  def bm25TopK(
+      docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tf = termFrequencies(docs, idCol, textCol)
+    val dfT = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val corpus = docs.select(
+      count(lit(1)).as("n_docs"),
+      avg(size(split(col(textCol), " "))).as("avgdl"))
+    val matched = tf.where(col("tok").isin(terms: _*))
+    val perTerm = matched
+      .join(dfT.where(col("tok").isin(terms: _*)), "tok")
+      .crossJoin(corpus)
+      .withColumn(
+        "idf",
+        log(lit(1.0) +
+          (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn(
+        "contrib",
+        col("idf") * (col("tf") * (lit(k1) + 1.0)) /
+          (col("tf") + lit(k1) *
+            (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+    // Top-k FIRST (TakeOrderedAndProject: per-partition heads, no
+    // global sort), then the ranking window runs over k rows only —
+    // a global row_number over every scored doc would funnel the
+    // whole result through one partition at scale.
+    perTerm
+      .groupBy(col(idCol))
+      .agg(sum("contrib").as("score"), count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+      .withColumn(
+        "rank",
+        row_number().over(Window.orderBy(col("score").desc, col(idCol))))
+      .select(col(idCol), col("rank"), col("n_terms"),
+        round(col("score"), 6).as("score"))
+  }
+
+  /**
+   * Shannon entropy of each document's token distribution (natural
+   * log): H = ln(n) - (1/n) * sum(tf * ln(tf)) — the algebraic
+   * rearrangement that needs only per-(doc,token) counts, so the
+   * whole operator is the tf shuffle plus one per-doc reduction.
+   * Low entropy flags repetitive/templated text (quality signal).
+   */
+  def tokenEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    termFrequencies(docs, idCol, textCol)
+      .groupBy(col(idCol))
+      .agg(
+        sum("tf").as("n_tokens"),
+        sum(col("tf").cast("double") * log(col("tf").cast("double"))).as("s"))
+      .select(
+        col(idCol),
+        col("n_tokens"),
+        round(log(col("n_tokens").cast("double")) - col("s") / col("n_tokens"), 6)
+          .as("entropy"))
+  }
+}

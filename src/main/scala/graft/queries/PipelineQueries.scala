@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Relevance, Similarity, TextAnalysis}
 
 /**
  * LLM-training-data pipeline query registry: dedup, similarity
@@ -69,6 +69,41 @@ object PipelineQueries {
         .where(col("n_match") >= 7)
       Dedup.nearDupClusters(pairs)
         .orderBy("id")
+    }),
+
+    // TF-IDF top-3 terms per document. One (doc,tok) tf shuffle, a
+    // vocabulary-sized df join (AQE-broadcast when small), a one-row
+    // corpus-count cross join, and a per-doc bounded ranking window.
+    "q71_tfidf" -> ((s, dir) => {
+      Relevance.tfidfTopK(t(s, dir, "documents"), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rank")
+    }),
+
+    // Sub-document chunk dedup (FineWeb-style boilerplate removal):
+    // 10-token chunks deduplicated globally by first occurrence,
+    // documents reassembled from surviving chunks. Runs over the
+    // dup-injected corpus so full-duplicate docs dedup to ''.
+    "q73_chunk_dedup" -> ((s, dir) => {
+      Dedup.chunkDedup(docsWithDups(s, dir), "doc_id", "text",
+          chunkTokens = 10)
+        .orderBy("doc_id")
+    }),
+
+    // BM25 top-20 documents for a 3-term query. The term filter lands
+    // on the tf stream pre-join, so scored volume is |terms|·|docs|;
+    // top-k via TakeOrderedAndProject, ranking window over k rows.
+    "q74_bm25" -> ((s, dir) => {
+      Relevance.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+          terms = Seq("spark", "vector", "window"), k = 20)
+        .orderBy("rank")
+    }),
+
+    // Token-distribution Shannon entropy per doc (repetitive-text
+    // quality signal): tf shuffle + one per-doc reduction via
+    // H = ln(n) - Σ tf·ln(tf) / n.
+    "q75_entropy" -> ((s, dir) => {
+      Relevance.tokenEntropy(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
     }),
 
     // SimHash 64-bit fingerprints — shuffle-free, via the custom
@@ -567,6 +602,105 @@ object PipelineQueries {
         |SELECT n.id, least(n.id, min(r.dst)) AS cluster
         |FROM nodes n LEFT JOIN reach r ON r.src = n.id
         |GROUP BY n.id ORDER BY n.id""".stripMargin,
+
+    "q71_tfidf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok, COUNT(*) AS tf, MAX(dl) AS dl FROM (
+        |    SELECT doc_id, len(string_split(text, ' ')) AS dl,
+        |           unnest(string_split(text, ' ')) AS tok
+        |    FROM documents)
+        |  GROUP BY doc_id, tok
+        |), dft AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |w AS (
+        |  SELECT tf.doc_id, tf.tok,
+        |    CAST(tf.tf AS DOUBLE) / tf.dl
+        |      * ln(CAST(n.n_docs AS DOUBLE) / dft.df) AS tfidf
+        |  FROM tf JOIN dft USING (tok) CROSS JOIN n
+        |)
+        |SELECT doc_id, CAST(rank AS INT) AS rank, tok,
+        |  round(tfidf, 6) AS tfidf
+        |FROM (
+        |  SELECT doc_id, tok, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY tfidf DESC, tok) AS rank
+        |  FROM w)
+        |WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
+
+    "q73_chunk_dedup" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 50 = 0
+        |), toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM all_docs
+        |), ch0 AS (
+        |  SELECT doc_id, tk,
+        |    unnest(generate_series(
+        |      0, CAST(floor((len(tk) - 1) / 10.0) AS INT))) AS pos
+        |  FROM toks
+        |), chunks AS (
+        |  SELECT doc_id, pos,
+        |    array_to_string(tk[pos*10+1 : pos*10+10], ' ') AS chunk
+        |  FROM ch0
+        |), ranked AS (
+        |  SELECT doc_id, pos, chunk,
+        |    row_number() OVER (PARTITION BY chunk
+        |                       ORDER BY doc_id, pos) AS rn
+        |  FROM chunks
+        |)
+        |SELECT doc_id, COUNT(*) AS n_chunks,
+        |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk END,
+        |                      ' ' ORDER BY pos), '') AS kept_text
+        |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q74_bm25" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok, COUNT(*) AS tf, MAX(dl) AS dl FROM (
+        |    SELECT doc_id, len(string_split(text, ' ')) AS dl,
+        |           unnest(string_split(text, ' ')) AS tok
+        |    FROM documents)
+        |  GROUP BY doc_id, tok
+        |), dft AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+        |c AS (
+        |  SELECT COUNT(*) AS n_docs,
+        |    AVG(len(string_split(text, ' '))) AS avgdl
+        |  FROM documents
+        |), m AS (
+        |  SELECT tf.doc_id, tf.tf, tf.dl, dft.df
+        |  FROM tf JOIN dft USING (tok)
+        |  WHERE tf.tok IN ('spark', 'vector', 'window')
+        |), sc AS (
+        |  SELECT doc_id,
+        |    SUM(ln(1.0 + (c.n_docs - df + 0.5) / (df + 0.5))
+        |        * (tf * (1.2 + 1.0))
+        |        / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / c.avgdl))) AS score,
+        |    COUNT(*) AS n_terms
+        |  FROM m CROSS JOIN c GROUP BY doc_id
+        |)
+        |SELECT doc_id, CAST(rank AS INT) AS rank, n_terms,
+        |  round(score, 6) AS score
+        |FROM (
+        |  SELECT doc_id, n_terms, score,
+        |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        |  FROM sc)
+        |WHERE rank <= 20
+        |ORDER BY rank""".stripMargin,
+
+    "q75_entropy" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok, COUNT(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents)
+        |  GROUP BY doc_id, tok
+        |)
+        |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |  round(ln(CAST(SUM(tf) AS DOUBLE))
+        |        - SUM(CAST(tf AS DOUBLE) * ln(CAST(tf AS DOUBLE)))
+        |          / CAST(SUM(tf) AS DOUBLE), 6) AS entropy
+        |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q18_simhash" ->
       """WITH toks AS (

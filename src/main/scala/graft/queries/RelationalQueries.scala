@@ -403,6 +403,18 @@ object RelationalQueries {
         .orderBy("day", "hr")
     }),
 
+    // Gaps-and-islands sessionization: per-user sessions split on
+    // >30-min inactivity gaps, one row per session with exact-µs
+    // bounds. One hash exchange on user_id serves the lag window, the
+    // running-sum window, AND the final aggregate (hash(user) already
+    // co-locates each (user, session) group).
+    "q72_sessionize" -> ((s, dir) => {
+      graft.operators.Sessionize.sessionStats(
+          t(s, dir, "events"), "user_id", "ts", "event_id",
+          gapSeconds = 1800L)
+        .orderBy("user_id", "session_seq")
+    }),
+
     // FULL OUTER equi-join — snapshot reconciliation (the one outer
     // variant the join family lacked): rows from either side survive,
     // provenance tagged. Shuffle-hash/SMJ both sides; no broadcast
@@ -720,6 +732,31 @@ object RelationalQueries {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY day, hr""".stripMargin,
+
+    "q72_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_ts
+        |  FROM events
+        |), f AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN prev_ts IS NOT NULL
+        |          AND date_diff('microsecond', prev_ts, ts) > 1800000000
+        |         THEN 1 ELSE 0 END AS gap_open
+        |  FROM e
+        |), g AS (
+        |  SELECT user_id, ts,
+        |    SUM(gap_open) OVER (PARTITION BY user_id
+        |                        ORDER BY ts, event_id) + 1 AS session_seq
+        |  FROM f
+        |)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |  COUNT(*) AS n_events,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  date_diff('microsecond', MIN(ts), MAX(ts)) AS dur_us
+        |FROM g GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
 
     "q67_full_outer" ->
       """WITH a AS (

@@ -157,6 +157,26 @@ class DedupSpec extends AnyFunSuite {
     assert(shared >= h1.size - 2, s"only $shared of ${h1.size} chunks survived the edit")
   }
 
+  test("chunkDedup: global first-occurrence by (id, pos); full dups empty out") {
+    // chunk size 2: doc 1 = [a b][c d]; doc 2 = full dup of 1 -> '';
+    // doc 3 shares [a b] (dropped) but keeps its own tail [x y];
+    // doc 4 = 3 tokens -> 2 chunks, short last chunk [z].
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "a b c d"),
+      (3L, "a b x y"),
+      (4L, "q r z")
+    ).toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(docs, "doc_id", "text", chunkTokens = 2)
+      .select("doc_id", "n_chunks", "n_kept", "kept_text")
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(out === Set(
+      (1L, 2L, 2L, "a b c d"),
+      (2L, 2L, 0L, ""),
+      (3L, 2L, 1L, "x y"),
+      (4L, 2L, 2L, "q r z")))
+  }
+
   test("simhashFast (codegen'd expression) is bit-identical to the HOF reference") {
     val edgeCases = Seq(
       (100L, "single"),

@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Relevance
+
+/** Hand-checkable goldens for the corpus-relevance operators
+  * (TF-IDF, BM25, token entropy). */
+class RelevanceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // 3 docs; "cat" in all (idf 0), "dog" in one, "fish" in one.
+  private val corpus = Seq(
+    (1L, "cat dog dog"),
+    (2L, "cat fish"),
+    (3L, "cat cat cat")
+  ).toDF("doc_id", "text")
+
+  test("termFrequencies: (doc, tok) counts with doc length") {
+    val tf = Relevance.termFrequencies(corpus, "doc_id", "text")
+      .as[(Long, String, Long, Int)].collect().toSet
+    assert(tf === Set(
+      (1L, "cat", 1L, 3), (1L, "dog", 2L, 3),
+      (2L, "cat", 1L, 2), (2L, "fish", 1L, 2),
+      (3L, "cat", 3L, 3)))
+  }
+
+  test("tfidf: corpus-wide term weighs zero, rare term wins") {
+    val rows = Relevance.tfidfTopK(corpus, "doc_id", "text", k = 1)
+      .select("doc_id", "tok", "tfidf")
+      .as[(Long, String, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // doc 1: dog tfidf = 2/3 * ln(3/1); cat = 1/3 * ln(3/3) = 0
+    assert(rows(1L)._1 === "dog")
+    assert(math.abs(rows(1L)._2 - 2.0 / 3 * math.log(3.0)) < 1e-6)
+    // doc 2: fish = 1/2 * ln(3)
+    assert(rows(2L)._1 === "fish")
+    assert(math.abs(rows(2L)._2 - 0.5 * math.log(3.0)) < 1e-6)
+    // doc 3: only "cat", tfidf 0, still ranked (top-1 per doc)
+    assert(rows(3L)._1 === "cat")
+    assert(rows(3L)._2 === 0.0)
+  }
+
+  test("bm25: doc with more query-term mass ranks first; non-matching doc absent") {
+    val out = Relevance.bm25TopK(corpus, "doc_id", "text",
+        terms = Seq("dog", "fish"), k = 10)
+      .select("doc_id", "rank", "n_terms", "score")
+      .as[(Long, Int, Long, Double)].collect()
+    assert(out.map(_._1).toSeq === Seq(1L, 2L)) // doc 3 has neither term
+    assert(out.head._2 === 1)
+    // hand-computed: idf = ln(1 + (3 - 1 + 0.5)/(1 + 0.5)) = ln(8/3)
+    // doc1 dog: tf=2, dl=3, avgdl=8/3
+    //   contrib = idf * 2*2.2 / (2 + 1.2*(0.25 + 0.75*3/(8/3)))
+    val idf = math.log(1 + 2.5 / 1.5)
+    val d1 = idf * (2 * 2.2) / (2 + 1.2 * (0.25 + 0.75 * 3 / (8.0 / 3)))
+    assert(math.abs(out(0)._4 - (math.rint(d1 * 1e6) / 1e6)) < 1e-9)
+  }
+
+  test("entropy: uniform tokens = ln(n); single repeated token = 0") {
+    val docs = Seq(
+      (1L, "a b c d"), // uniform over 4 -> ln(4)
+      (2L, "x x x x") // degenerate -> 0
+    ).toDF("doc_id", "text")
+    val e = Relevance.tokenEntropy(docs, "doc_id", "text")
+      .select("doc_id", "entropy").as[(Long, Double)].collect().toMap
+    assert(math.abs(e(1L) - math.log(4.0)) < 1e-6)
+    assert(e(2L) === 0.0)
+  }
+}
