@@ -487,6 +487,103 @@ object RelationalQueries {
           col("exact_n"),
           (abs(col("__est") - col("exact_n")) <=
             col("exact_n") * 0.05).as("ok"))
+    }),
+
+    // Strict-order conversion funnel (view → click → purchase within
+    // 7 days): |steps| user-key joins of shrinking frames, each step
+    // pre-filtered to its event type before joining.
+    "q76_funnel" -> ((s, dir) => {
+      graft.operators.Funnel.funnel(
+        t(s, dir, "events"), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), windowSeconds = 7L * 24 * 3600)
+    }),
+
+    // Weekly cohort retention: signup-week cohorts × activity-week
+    // offsets, distinct users per cell. Both exchanges key on user.
+    "q77_retention" -> ((s, dir) => {
+      graft.operators.Funnel.retention(
+          t(s, dir, "events"), "user_id", "ts", "event_type",
+          cohortType = "signup", maxWeeks = 5)
+        .orderBy("cohort_week", "week_offset")
+    }),
+
+    // Calendar gap-fill + forward-fill of each user's daily purchase
+    // total: per-key sequence() densify (span from the key's own
+    // min/max day), left join, last(ignoreNulls) running fill.
+    "q78_gap_fill" -> ((s, dir) => {
+      val series = t(s, dir, "events")
+        .where(col("event_type") === "purchase")
+        .groupBy(
+          col("user_id"), col("ts").cast("date").as("day"))
+        .agg(sum(col("value").cast("decimal(14,2)")).cast("double").as("v"))
+      graft.operators.TimeSeries.gapFillDaily(series, "user_id", "day", "v")
+        .orderBy("user_id", "day")
+    }),
+
+    // Blocked fuzzy matching over DISTINCT part names: collapse the
+    // 100 TB side to distinct entities first (candidate volume ∝
+    // vocabulary, not rows), block on the last name token, pair at
+    // levenshtein ≤ 2 via the early-exit 3-arg form.
+    "q79_fuzzy_blocked" -> ((s, dir) => {
+      val names = t(s, dir, "part")
+        .groupBy(col("p_name"))
+        .agg(min(col("p_partkey")).as("rep_id"), count(lit(1)).as("n_rows"))
+      graft.operators.Fuzzy.blockedPairs(
+          names.select(col("rep_id").as("id"), col("p_name").as("nm")),
+          "id", "nm",
+          blockKey = element_at(split(col("nm"), " "), -1), maxDist = 2)
+        .orderBy("name_a", "name_b")
+    }),
+
+    // CDC changelog apply (MERGE semantics): synthetic upserts (price
+    // doubled on keys ≡3 mod 100), inserts (shifted keys ≡7), deletes
+    // (keys ≡11) applied to the orders snapshot — one anti-join
+    // shuffle on the merge key plus the upsert union.
+    "q80_merge_changelog" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val key = col("o_orderkey")
+      val changes = base.where(key % 100 === 3)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("op", lit("U"))
+        .unionByName(base.where(key % 100 === 7)
+          .withColumn("o_orderkey", key + 10000000L)
+          .withColumn("op", lit("U")))
+        .unionByName(base.where(key % 100 === 11)
+          .withColumn("op", lit("D")))
+      graft.operators.Merge.applyChangelog(
+          base, changes, Seq("o_orderkey"), "op")
+        .orderBy("o_orderkey")
+    }),
+
+    // Per-group argmin/argmax (first/last event per user) via
+    // min_by/max_by — single partial-agg shuffle, no sort, no window;
+    // (user_id, ts) is unique so the selection is deterministic.
+    "q81_argmax" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          min_by(col("event_type"), col("ts")).as("first_type"),
+          min(col("ts")).as("first_ts"),
+          max_by(col("event_type"), col("ts")).as("last_type"),
+          max(col("ts")).as("last_ts"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
+    // Fixed-width histogram of event value per type (bucket = floor
+    // (v/25)): single partial-agg shuffle on (type, bucket); bucket
+    // count is bounded by the value range, independent of data size.
+    "q82_histogram" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(
+          col("event_type"),
+          floor(col("value") / 25.0).cast("int").as("bucket"))
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("value")).as("lo"),
+          max(col("value")).as("hi"))
+        .orderBy("event_type", "bucket")
     })
   )
 
@@ -792,6 +889,112 @@ object RelationalQueries {
         |  MAX(CAST(props->>'k' AS INT)) AS max_k
         |FROM events
         |GROUP BY event_type
-        |ORDER BY event_type""".stripMargin
+        |ORDER BY event_type""".stripMargin,
+
+    "q76_funnel" ->
+      """WITH s0 AS (
+        |  SELECT user_id, min(ts) AS t0 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), s1 AS (
+        |  SELECT e.user_id, min(e.ts) AS t1, min(s0.t0) AS t0
+        |  FROM events e JOIN s0 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s0.t0
+        |    AND epoch_us(e.ts) <= epoch_us(s0.t0) + 604800000000
+        |  GROUP BY 1
+        |), s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2
+        |  FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s1.t1
+        |    AND epoch_us(e.ts) <= epoch_us(s1.t0) + 604800000000
+        |  GROUP BY 1
+        |)
+        |SELECT * FROM (
+        |  SELECT 0 AS step, 'view' AS event_type,
+        |    (SELECT count(*) FROM s0) AS n_users
+        |  UNION ALL SELECT 1, 'click', (SELECT count(*) FROM s1)
+        |  UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s2))
+        |ORDER BY step""".stripMargin,
+
+    "q77_retention" ->
+      """WITH cohorts AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1
+        |)
+        |SELECT c.cohort_week,
+        |  CAST(date_diff('day', c.cohort_week,
+        |                 date_trunc('week', e.ts)) / 7 AS INT) AS week_offset,
+        |  count(DISTINCT e.user_id) AS n_users
+        |FROM events e JOIN cohorts c USING (user_id)
+        |WHERE date_diff('day', c.cohort_week, date_trunc('week', e.ts))
+        |      BETWEEN 0 AND 35
+        |GROUP BY 1, 2
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    "q78_gap_fill" ->
+      """WITH s AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS v
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+        |), span AS (
+        |  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM s GROUP BY 1
+        |), cal AS (
+        |  SELECT user_id,
+        |    CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM span
+        |)
+        |SELECT c.user_id, c.day, s.v, s.v IS NOT NULL AS observed,
+        |  last_value(s.v IGNORE NULLS)
+        |    OVER (PARTITION BY c.user_id ORDER BY c.day) AS filled
+        |FROM cal c LEFT JOIN s USING (user_id, day)
+        |ORDER BY user_id, day""".stripMargin,
+
+    "q79_fuzzy_blocked" ->
+      """WITH names AS (
+        |  SELECT p_name AS nm, min(p_partkey) AS id FROM part GROUP BY 1
+        |), blocked AS (
+        |  SELECT a.id AS id_a, a.nm AS name_a, b.id AS id_b, b.nm AS name_b,
+        |    CAST(levenshtein(a.nm, b.nm) AS INT) AS dist
+        |  FROM names a JOIN names b
+        |    ON string_split(a.nm, ' ')[-1] = string_split(b.nm, ' ')[-1]
+        |   AND a.id < b.id
+        |)
+        |SELECT * FROM blocked WHERE dist BETWEEN 1 AND 2
+        |ORDER BY name_a, name_b""".stripMargin,
+
+    "q80_merge_changelog" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |), changes AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice,
+        |    'U' AS op FROM base WHERE o_orderkey % 100 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, o_totalprice, 'U'
+        |  FROM base WHERE o_orderkey % 100 = 7
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_totalprice, 'D'
+        |  FROM base WHERE o_orderkey % 100 = 11
+        |)
+        |SELECT * FROM (
+        |  SELECT b.* FROM base b
+        |  WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM changes)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_totalprice
+        |  FROM changes WHERE op = 'U')
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q81_argmax" ->
+      """SELECT user_id,
+        |  arg_min(event_type, ts) AS first_type, min(ts) AS first_ts,
+        |  arg_max(event_type, ts) AS last_type, max(ts) AS last_ts,
+        |  count(*) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q82_histogram" ->
+      """SELECT event_type,
+        |  CAST(floor(value / 25.0) AS INT) AS bucket,
+        |  count(*) AS n, min(value) AS lo, max(value) AS hi
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY event_type, bucket""".stripMargin
   )
 }

@@ -1,0 +1,69 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Funnel
+
+/** Goldens for the event-analytics operators (funnel, retention). */
+class FunnelSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("funnel: strict order and conversion window both enforced") {
+    // u1 converts fully; u2 clicked BEFORE viewing (order violation);
+    // u3 purchases outside the 1h window; u4 never clicks.
+    val events = Seq(
+      ("u1", ts("2024-01-01 10:00:00"), "view"),
+      ("u1", ts("2024-01-01 10:05:00"), "click"),
+      ("u1", ts("2024-01-01 10:10:00"), "purchase"),
+      ("u2", ts("2024-01-01 09:00:00"), "click"),
+      ("u2", ts("2024-01-01 09:30:00"), "view"),
+      ("u3", ts("2024-01-01 08:00:00"), "view"),
+      ("u3", ts("2024-01-01 08:10:00"), "click"),
+      ("u3", ts("2024-01-01 09:30:00"), "purchase"), // 90 min > 1h window
+      ("u4", ts("2024-01-01 07:00:00"), "view")
+    ).toDF("user_id", "ts", "event_type")
+    val out = Funnel.funnel(events, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), windowSeconds = 3600L)
+      .as[(Int, String, Long)].collect().toSeq
+    assert(out === Seq((0, "view", 4L), (1, "click", 2L), (2, "purchase", 1L)))
+  }
+
+  test("funnel: later in-window event still converts after an early miss") {
+    // First click is before the view; a second click after it counts.
+    val events = Seq(
+      ("u", ts("2024-01-01 10:00:00"), "click"),
+      ("u", ts("2024-01-01 11:00:00"), "view"),
+      ("u", ts("2024-01-01 11:30:00"), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val out = Funnel.funnel(events, "user_id", "ts", "event_type",
+        Seq("view", "click"), windowSeconds = 3600L)
+      .as[(Int, String, Long)].collect().toSeq
+    assert(out === Seq((0, "view", 1L), (1, "click", 1L)))
+  }
+
+  test("retention: cohort week from first signup; offsets count distinct users") {
+    // 2024-01-01 is a Monday. u1 signs up week 0, active weeks 0 and 2;
+    // u2 signs up week 0, active week 0 only; u3 signs up week 2.
+    val events = Seq(
+      ("u1", ts("2024-01-02 10:00:00"), "signup"),
+      ("u1", ts("2024-01-16 10:00:00"), "click"),
+      ("u2", ts("2024-01-03 10:00:00"), "signup"),
+      ("u3", ts("2024-01-17 10:00:00"), "signup"),
+      ("u3", ts("2024-01-18 10:00:00"), "view")
+    ).toDF("user_id", "ts", "event_type")
+    val out = Funnel.retention(events, "user_id", "ts", "event_type",
+        cohortType = "signup", maxWeeks = 5)
+      .orderBy("cohort_week", "week_offset")
+      .select("cohort_week", "week_offset", "n_users")
+      .as[(java.sql.Date, Int, Long)].collect().toSeq
+    assert(out === Seq(
+      (java.sql.Date.valueOf("2024-01-01"), 0, 2L),
+      (java.sql.Date.valueOf("2024-01-01"), 2, 1L),
+      (java.sql.Date.valueOf("2024-01-15"), 0, 1L)))
+  }
+}
