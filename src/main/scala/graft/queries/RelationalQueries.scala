@@ -281,14 +281,20 @@ object RelationalQueries {
     // 100 TB the sketch path replaces the exact-distinct shuffle of
     // every (group, key) pair with fixed-size mergeable state.
     "q61_hll_audit" -> ((s, dir) => {
-      // ONE grouped aggregation carries both the exact distinct and
-      // the HLL estimate (a separate agg + join would scan and
-      // shuffle twice). rsd 1%: the default 5% leaves no headroom
-      // against a 5% audit envelope (one group missed it at sf0.01).
+      // Dedup FIRST, then count + sketch the already-distinct rows:
+      // HLL is duplicate-insensitive, so the estimate is identical,
+      // but mixing countDistinct and approx_count_distinct in one
+      // aggregate makes the distinct-rewrite carry a 13 KB rsd-1%
+      // sketch per (group, key) pair through a 4-level plan (5.2s at
+      // sf0.1; this shape is 4x faster and sketches only per group).
+      // rsd 1%: the default 5% leaves no headroom against a 5% audit
+      // envelope (one group missed it at sf0.01).
       t(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_custkey"))
+        .distinct()
         .groupBy("o_orderpriority")
         .agg(
-          countDistinct(col("o_custkey")).as("exact_n"),
+          count(lit(1)).as("exact_n"),
           approx_count_distinct(col("o_custkey"), 0.01).as("__approx"))
         .select(
           col("o_orderpriority"),
@@ -557,8 +563,10 @@ object RelationalQueries {
     }),
 
     // Per-group argmin/argmax (first/last event per user) via
-    // min_by/max_by — single partial-agg shuffle, no sort, no window;
-    // (user_id, ts) is unique so the selection is deterministic.
+    // min_by/max_by — single partial-agg shuffle, no window; the String
+    // payload forces SortAggregate (hash agg needs fixed-width buffers)
+    // but map-side combine still bounds the shuffle to one row per
+    // (partition, user). (user_id, ts) is unique → deterministic.
     "q81_argmax" -> ((s, dir) => {
       t(s, dir, "events")
         .groupBy(col("user_id"))

@@ -100,4 +100,56 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("might_contain") || p.contains("BloomFilterMightContain"),
       "bloom prefilter missing from the corpus scan side")
   }
+
+  test("q72: ONE user-key exchange serves lag window, running sum, and session aggregate") {
+    val p = plan("q72_sessionize")
+    val exchanges = p.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning(user_id"))
+      .size
+    assert(exchanges === 1,
+      s"sessionize must reuse the user partitioning end-to-end:\n$p")
+  }
+
+  test("q78: gap-fill join and forward-fill window share the key exchange") {
+    val p = plan("q78_gap_fill")
+    // span agg + densify/fill side: user_id exchanges must not
+    // multiply per stage (join + window reuse one partitioning).
+    val exchanges = p.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning(user_id"))
+      .size
+    assert(exchanges <= 3,
+      s"gap-fill grew extra user_id exchanges:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q80: merge plans one anti-join on the key, no full-outer, no window") {
+    val p = plan("q80_merge_changelog")
+    assert(p.contains("LeftAnti"), s"merge must anti-join the touched keys:\n$p")
+    assert(!p.contains("FullOuter"))
+    assert(!p.toLowerCase.contains("window"))
+  }
+
+  test("q81: argmax is one partial-agg shuffle with map-side combine, no window") {
+    // min_by/max_by hold the String payload in the agg buffer, so Spark
+    // plans SortAggregate (hash agg needs mutable fixed-width buffers) —
+    // that's fine; what must hold at scale is ONE exchange fed by a
+    // map-side partial aggregate, and no ranking-window detour.
+    val p = plan("q81_argmax")
+    assert(p.contains("partial_min_by"),
+      "argmax must combine map-side before the shuffle")
+    val exchanges = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning(user_id")).size
+    assert(exchanges === 1, s"argmax must shuffle user_id exactly once:\n$p")
+    assert(!p.toLowerCase.contains("window"),
+      "argmax must be a plain aggregate, not a ranking window")
+  }
+
+  test("q76: funnel step frames filter by event type BEFORE any join") {
+    val p = plan("q76_funnel")
+    val pushed = p.linesIterator
+      .filter(l => l.contains("PushedFilters") && l.contains("event_type"))
+      .size
+    assert(pushed >= 3,
+      s"each funnel step must push its type filter into the scan:\n$p")
+  }
 }
