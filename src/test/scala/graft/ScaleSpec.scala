@@ -50,6 +50,52 @@ class ScaleSpec extends AnyFunSuite {
     assert(out === plain)
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in final plan)") {
+    // The complement of saltedEquiJoin: when the hot key is NOT known
+    // ahead of time, the engine's posture is to let AQE detect and
+    // split the oversized shuffle partition. Thresholds are shrunk so
+    // the sf-test-sized hot key (one key carrying ~all rows) trips
+    // the same detection that a 100 TB hot key would trip at defaults.
+    val saved = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    def restore(): Unit = saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+      val pad = "x" * 64
+      val large = (1 to 40000).map(i => (0L, i.toLong, pad))
+        .toDF("key", "line", "pad") // one hot key = one fat partition
+      val right = (0 to 3).map(i => (i.toLong, s"tag$i")).toDF("key", "tag")
+      val joined = large.join(right, "key")
+      // collect() (not count()) so THIS QueryExecution runs and its
+      // AdaptiveSparkPlanExec finalizes — count() builds a separate one.
+      assert(joined.collect().length === 40000)
+      val finalPlan = joined.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+        case other => other.toString
+      }
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not mark the skewed join split:\n$finalPlan")
+    } finally restore()
+  }
+
   test("bucketed tables co-locate the join: zero shuffle exchanges") {
     val n = 1000
     (1 to n).map(i => (i.toLong, i * 10.0)).toDF("k", "a")
