@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.Layout
+
+/** Data-layout operators: Z-value correctness, range-disjoint file
+  * footprints, and the actual skipping win — a Z-ordered layout
+  * touches a fraction of the files a single-key sort touches for a
+  * secondary-dimension predicate. */
+class LayoutSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(name).toString
+
+  test("zorder2 interleaves bits (known Morton codes)") {
+    // z(x=0b11, y=0b00) = 0b1010; z(0b01, 0b01)=0b11; z(3,3)=0b1111
+    val out = Seq((3, 0), (1, 1), (3, 3), (0, 0), (2, 1))
+      .toDF("a", "b")
+      .select(Layout.zorder2(col("a"), col("b"), 4).as("z"))
+      .as[Long].collect().toSeq
+    assert(out === Seq(10L, 3L, 15L, 0L, 9L))
+  }
+
+  test("zorder2 is monotone-safe at the domain edge (31 bits, no overflow)") {
+    val m = (1L << 31) - 1
+    val z = Seq((m, m)).toDF("a", "b")
+      .select(Layout.zorder2(col("a"), col("b"), 31).as("z"))
+      .as[Long].head()
+    assert(z === (1L << 62) - 1) // all 62 low bits set, sign bit clear
+    assert(z > 0)
+  }
+
+  test("rangeSortedWrite: every output file owns a disjoint key range") {
+    val dest = tmp("layout-range")
+    val df = (1 to 20000).map(i => ((i * 2654435761L) % 10007, i.toLong))
+      .toDF("k", "v") // writer sees keys in scrambled order
+    Layout.rangeSortedWrite(df, dest, Seq("k"), numFiles = 8)
+    val ranges = Layout.fileRanges(spark.read.parquet(dest), "k")
+      .as[(String, Long, Long)].collect().sortBy(_._2)
+    assert(ranges.length === 8)
+    ranges.sliding(2).foreach {
+      case Array((_, _, hiPrev), (_, loNext, _)) =>
+        assert(hiPrev <= loNext,
+          s"file ranges overlap: hi=$hiPrev vs next lo=$loNext")
+      case _ =>
+    }
+    // narrow footprints: each file spans ~1/8 of the domain, not all of it
+    val spans = ranges.map { case (_, lo, hi) => hi - lo }
+    assert(spans.max < 10007 / 4, s"file span too wide: ${spans.max}")
+  }
+
+  test("zorder layout prunes a secondary-dimension box query; x-sort does not") {
+    val grid = for { x <- 0 until 64; y <- 0 until 64 } yield (x, y)
+    val df = grid.toDF("x", "y")
+    val zDest = tmp("layout-z")
+    val xDest = tmp("layout-x")
+    Layout.zorderWrite(df, zDest, "x", "y", numFiles = 16, bits = 6)
+    Layout.rangeSortedWrite(df, xDest, Seq("x"), numFiles = 16)
+
+    def filesTouched(path: String): Long =
+      spark.read.parquet(path)
+        .where(col("y") < 8) // predicate on the SECONDARY dimension
+        .select(input_file_name()).distinct().count()
+
+    val zFiles = filesTouched(zDest)
+    val xFiles = filesTouched(xDest)
+    assert(xFiles === 16, "x-sorted layout scatters y across every file")
+    assert(zFiles <= 8,
+      s"z-ordered layout should confine y<8 to few files, touched $zFiles")
+  }
+}
