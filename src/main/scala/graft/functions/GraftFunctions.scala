@@ -154,6 +154,20 @@ object GraftFunctions {
           "graft_bloom_contains(bloom, longValue) takes 2 arguments")
         org.apache.spark.sql.catalyst.expressions
           .BloomFilterMightContain(exprs.head, exprs(1))
+      }),
+    // Count-min probe side: Spark registers count_min_sketch (the
+    // build aggregate) in SQL but ships no in-plan estimator — the
+    // sketch is unusable without collect(). graft_cms_estimate(cms,
+    // item) closes the loop; pair it with a scalar subquery over the
+    // aggregate, same shape as graft_bloom_contains (q83).
+    (
+      FunctionIdentifier("graft_cms_estimate"),
+      new ExpressionInfo(classOf[CmsEstimate].getName, "graft_cms_estimate"),
+      (exprs: Seq[Expression]) => {
+        require(
+          exprs.length == 2,
+          "graft_cms_estimate(cms, item) takes 2 arguments")
+        CmsEstimate(exprs.head, exprs(1))
       }))
 
   /** Install into a live session (idempotent; replaces old builders). */

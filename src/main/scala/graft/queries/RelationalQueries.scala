@@ -592,6 +592,51 @@ object RelationalQueries {
           min(col("value")).as("lo"),
           max(col("value")).as("hi"))
         .orderBy("event_type", "bucket")
+    }),
+
+    // Count-min sketch frequency audit — 4th sketch family member
+    // (exact+envelope pattern of q61/q62): ONE mergeable CMS over the
+    // event stream rides a scalar subquery (the constant-or-subquery
+    // shape of q64's bloom) and is probed in-plan by the custom
+    // graft_cms_estimate expression — Spark ships only the build
+    // aggregate, so without it the sketch needs a driver collect().
+    // CMS never undercounts, and overcounts by ≤ eps·N at the built
+    // confidence: ok pins est into [exact, exact + ceil(eps·N)].
+    // The total-N normalizer comes from a window over the ALREADY
+    // AGGREGATED frame (one row per event type), not a second scan.
+    "q83_cms_audit" -> ((s, dir) => {
+      import org.apache.spark.sql.GraftBridge.{column, expression}
+      import org.apache.spark.sql.catalyst.expressions.{Literal, NamedExpression, ScalarSubquery}
+      import org.apache.spark.sql.catalyst.expressions.aggregate.CountMinSketchAgg
+      import org.apache.spark.sql.catalyst.plans.logical.HintInfo
+      val eps = 1e-4
+      val ev = t(s, dir, "events")
+      val cmsPlan = ev.agg(
+        column(new CountMinSketchAgg(
+            expression(col("event_type")),
+            Literal(eps), Literal(0.99), Literal(42))
+          .toAggregateExpression()).as("__cms"))
+        .queryExecution.analyzed
+      val cmsSubquery = ScalarSubquery(
+        cmsPlan,
+        Seq.empty[org.apache.spark.sql.catalyst.expressions.Expression],
+        NamedExpression.newExprId,
+        Seq.empty[org.apache.spark.sql.catalyst.expressions.Expression],
+        Option.empty[HintInfo],
+        Option.empty[Boolean],
+        Option.empty[Boolean])
+      ev.groupBy("event_type")
+        .agg(count(lit(1)).as("exact_n"))
+        .withColumn("__est", column(graft.functions.CmsEstimate(
+          cmsSubquery, expression(col("event_type")))))
+        .withColumn("__n_total",
+          sum(col("exact_n")).over(Window.partitionBy(lit(0))))
+        .select(
+          col("event_type"), col("exact_n"),
+          (col("__est") >= col("exact_n") &&
+            col("__est") <= col("exact_n") +
+              ceil(col("__n_total") * eps).cast("long")).as("ok"))
+        .orderBy("event_type")
     })
   )
 
@@ -1003,6 +1048,12 @@ object RelationalQueries {
         |  count(*) AS n, min(value) AS lo, max(value) AS hi
         |FROM events
         |GROUP BY 1, 2
-        |ORDER BY event_type, bucket""".stripMargin
+        |ORDER BY event_type, bucket""".stripMargin,
+
+    // The sketch itself is not reproducible in DuckDB; the oracle
+    // pins the exact counts and demands the envelope verdict hold.
+    "q83_cms_audit" ->
+      """SELECT event_type, count(*) AS exact_n, TRUE AS ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -97,4 +97,31 @@ class GraftFunctionsSpec extends AnyFunSuite {
       .as[Long].head()
     assert(hits < 25) // ~3% fpp envelope on 500 probes
   }
+
+  test("graft_cms_estimate probes count_min_sketch in-plan: never under, eps-bounded over") {
+    GraftFunctions.register(spark)
+    // Skewed stream: value v appears v times, v in 1..60 (1830 rows).
+    spark.range(1, 61)
+      .selectExpr("explode(sequence(1, id)) AS n", "CAST(id AS STRING) AS k")
+      .createOrReplaceTempView("cms_in")
+    val rows = spark.sql(
+      """SELECT k, count(*) AS exact_n,
+        |  graft_cms_estimate(
+        |    (SELECT count_min_sketch(k, 0.001d, 0.99d, 7) FROM cms_in),
+        |    k) AS est
+        |FROM cms_in GROUP BY k""".stripMargin)
+      .as[(String, Long, Long)].collect()
+    assert(rows.length === 60)
+    rows.foreach { case (k, exact, est) =>
+      assert(est >= exact, s"CMS undercounted $k: $est < $exact")
+      assert(est <= exact + 2, s"CMS overcount for $k beyond eps*N: $est vs $exact")
+    }
+    // Long item path: same contract on a bigint column.
+    val longEst = spark.sql(
+      """SELECT graft_cms_estimate(
+        |  (SELECT count_min_sketch(CAST(n AS BIGINT), 0.001d, 0.99d, 7)
+        |   FROM cms_in), CAST(1 AS BIGINT))""".stripMargin)
+      .as[Long].head()
+    assert(longEst >= 60L) // n=1 appears once per of the 60 groups
+  }
 }
