@@ -474,6 +474,46 @@ object PipelineQueries {
           Multimodal.nBytes(col("frame")).as("frame_bytes"),
           hex(col("frame")).as("frame_hex"))
         .orderBy("doc_id", "frame_idx")
+    }),
+
+    // Training-mixture sampling to a token budget: q42's quota
+    // primitive with the rates COMPUTED, not given — per-source
+    // acceptance rate = min(1, budget·share / observed tokens), then
+    // the deterministic id-hash sample at that rate. Mixture weights
+    // derive from the source id (scale-free; no hardcoded source
+    // list). Two scans of documents (one to size the sources, one to
+    // sample) with the rate table — O(sources) rows — broadcast back;
+    // the weight normalizer is a window over that already-aggregated
+    // frame. All float math is exact-integer sums then one fixed
+    // mult/div chain, so both engines bit-agree at the rate boundary.
+    "q84_mixture_sample" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 15000.0
+      val docs = t(s, dir, "documents")
+        .select(
+          col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("tok"))
+      val w = (regexp_extract(col("source"), "(\\d+)$", 1).cast("int") % 4
+        + 1).cast("double")
+      val rates = docs.groupBy("source")
+        .agg(sum(col("tok")).as("tok_s"))
+        .withColumn("w", w)
+        .withColumn("wsum", sum(col("w")).over(Window.partitionBy(lit(0))))
+        .select(
+          col("source"),
+          least(lit(1.0), lit(budget) * col("w") / col("wsum") / col("tok_s"))
+            .as("rate"))
+      val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double") / 4294967296.0
+      docs
+        .join(broadcast(rates), "source")
+        .where(u < col("rate"))
+        .groupBy(col("source"), col("rate"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("tok")).as("tok_kept"))
+        .select(
+          col("source"), round(col("rate"), 6).as("rate"),
+          col("n_kept"), col("tok_kept"))
+        .orderBy("source")
     })
   )
 
@@ -1213,6 +1253,30 @@ object PipelineQueries {
         |  CAST(octet_length(encode(substr(text, CAST(p AS INT), 32))) AS INT)
         |    AS frame_bytes,
         |  hex(encode(substr(text, CAST(p AS INT), 32))) AS frame_hex
-        |FROM pos ORDER BY doc_id, frame_idx""".stripMargin
+        |FROM pos ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "q84_mixture_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+        |  FROM documents
+        |), t AS (
+        |  SELECT source, CAST(SUM(tok) AS BIGINT) AS tok_s,
+        |    CAST(CAST(regexp_extract(source, '(\d+)$', 1) AS INT) % 4 + 1
+        |      AS DOUBLE) AS w
+        |  FROM d GROUP BY source
+        |), r AS (
+        |  SELECT source,
+        |    least(1.0, 15000.0 * w / (SELECT SUM(w) FROM t) / tok_s) AS rate
+        |  FROM t
+        |), kept AS (
+        |  SELECT d.source, r.rate, d.tok
+        |  FROM d JOIN r ON r.source = d.source
+        |  WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+        |          AS BIGINT) / 4294967296.0 < r.rate
+        |)
+        |SELECT source, round(rate, 6) AS rate, count(*) AS n_kept,
+        |  CAST(SUM(tok) AS BIGINT) AS tok_kept
+        |FROM kept GROUP BY source, rate ORDER BY source""".stripMargin
   )
 }
