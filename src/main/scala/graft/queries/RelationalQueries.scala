@@ -637,6 +637,24 @@ object RelationalQueries {
             col("__est") <= col("exact_n") +
               ceil(col("__n_total") * eps).cast("long")).as("ok"))
         .orderBy("event_type")
+    }),
+
+    // One-pass data-quality audit (Deequ-style expectations): four
+    // constraints share a SINGLE scan+aggregate of orders — N rules,
+    // one pass, vs the naive one-job-per-rule validator — plus one
+    // anti-join row for referential integrity (not expressible as a
+    // child-side scalar). The range rule is deliberately tight enough
+    // to FAIL so the report's ok=false path is oracle-pinned too.
+    "q85_quality_audit" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      graft.operators.Quality.audit(orders, Seq(
+          graft.operators.Quality.notNull("o_orderdate"),
+          graft.operators.Quality.unique("o_orderkey"),
+          graft.operators.Quality.inRange("o_totalprice", 0.0, 400000.0),
+          graft.operators.Quality.minRows(1L)))
+        .unionByName(graft.operators.Quality.refIntegrity(
+          orders, "o_custkey", t(s, dir, "customer"), "c_custkey"))
+        .orderBy("check_name")
     })
   )
 
@@ -1054,6 +1072,41 @@ object RelationalQueries {
     // pins the exact counts and demands the envelope verdict hold.
     "q83_cms_audit" ->
       """SELECT event_type, count(*) AS exact_n, TRUE AS ok
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q85_quality_audit" ->
+      """WITH orphans AS (
+        |  SELECT COUNT(*) AS n FROM orders o
+        |  LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |    ON o.o_custkey = c.c_custkey
+        |  WHERE c.c_custkey IS NULL
+        |)
+        |SELECT * FROM (
+        |  SELECT 'not_null:o_orderdate' AS check_name,
+        |    round(CAST(AVG(CASE WHEN o_orderdate IS NULL THEN 1.0
+        |      ELSE 0.0 END) AS DOUBLE), 6) AS metric,
+        |    AVG(CASE WHEN o_orderdate IS NULL THEN 1.0 ELSE 0.0 END) = 0.0
+        |      AS ok
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'unique:o_orderkey',
+        |    round(CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS DOUBLE), 6),
+        |    COUNT(*) - COUNT(DISTINCT o_orderkey) = 0
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'range:o_totalprice[0.0,400000.0]',
+        |    round(CAST(SUM(CASE WHEN o_totalprice < 0.0
+        |      OR o_totalprice > 400000.0 THEN 1 ELSE 0 END) AS DOUBLE), 6),
+        |    SUM(CASE WHEN o_totalprice < 0.0 OR o_totalprice > 400000.0
+        |      THEN 1 ELSE 0 END) = 0
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'min_rows:1', round(CAST(COUNT(*) AS DOUBLE), 6),
+        |    COUNT(*) >= 1
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'fk:o_custkey', round(CAST(n AS DOUBLE), 6), n = 0
+        |  FROM orphans
+        |) ORDER BY check_name""".stripMargin
   )
 }
