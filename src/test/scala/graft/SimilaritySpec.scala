@@ -131,6 +131,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(fl === 11.0)
   }
 
+  test("IVF recall audit vs brute force: nprobe=nlist is EXACT, half-probe recall holds") {
+    // The quantitative claim behind the ANN path: searching every
+    // cell must reproduce brute force row-for-row (same tiebreak), and
+    // the actual recall/cost dial (nprobe < nlist) must retain most
+    // neighbors on the real embeddings table — measured, not assumed.
+    val dir = "/root/testdata/sf0.001"
+    val corpus = graft.sources.Tables.load(spark, dir, "embeddings")
+    val probes = corpus.where(col("vec_id") < 5)
+    val k = 10
+
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("probe_id").cast("long"), col("vec_id").cast("long"))
+        .as[(Long, Long)].collect().toSet
+
+    val exact = pairs(graft.operators.Similarity
+      .cosineTopK(corpus, probes, "vec_id", "embedding", k))
+    assert(exact.size === 5 * k)
+
+    val allCells = pairs(graft.operators.Similarity
+      .ivfSearch(corpus, probes, "vec_id", "embedding",
+        nlist = 8, nprobe = 8, k = k))
+    assert(allCells === exact,
+      "IVF with nprobe = nlist must degenerate to exact search")
+
+    val half = pairs(graft.operators.Similarity
+      .ivfSearch(corpus, probes, "vec_id", "embedding",
+        nlist = 8, nprobe = 4, k = k))
+    val recall = exact.intersect(half).size.toDouble / exact.size
+    assert(recall >= 0.5, f"IVF nprobe=4/8 recall $recall%.2f below floor")
+  }
+
   test("trainCentroids recovers separated blob centers deterministically") {
     val rng = new scala.util.Random(11)
     val centers = Seq(
