@@ -116,6 +116,22 @@ class ScaleSpec extends AnyFunSuite {
       val shuffles = executed.collect { case e: ShuffleExchangeExec => e }
       assert(shuffles.isEmpty,
         s"bucketed join should not shuffle, found: $shuffles")
+      // Bucket pruning: an equality filter on the bucket key must scan
+      // ONE bucket, not all four — at 100 TB that's a 4× (or
+      // buckets×) scan reduction for point lookups, visible in the
+      // scan node's "SelectedBucketsCount: 1 out of 4". The planner's
+      // auto-bucketed-scan turns bucketed reading OFF for filter-only
+      // queries (no exchange to elide) and drops the pruning with it,
+      // so pin it on for the point lookup.
+      val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+      val prevAuto = spark.conf.get(autoKey)
+      spark.conf.set(autoKey, "false")
+      try {
+        val pointPlan = spark.table("bkt_a").where(col("k") === 7L)
+          .queryExecution.executedPlan.toString
+        assert(pointPlan.contains("SelectedBucketsCount: 1 out of 4"),
+          s"bucket pruning missing from point-lookup scan:\n$pointPlan")
+      } finally spark.conf.set(autoKey, prevAuto)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.sql("DROP TABLE IF EXISTS bkt_a")
