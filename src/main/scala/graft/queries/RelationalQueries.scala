@@ -655,6 +655,18 @@ object RelationalQueries {
         .unionByName(graft.operators.Quality.refIntegrity(
           orders, "o_custkey", t(s, dir, "customer"), "c_custkey"))
         .orderBy("check_name")
+    }),
+
+    // One-pass numeric dataset profile (describe/summary surface):
+    // 7 stats × 3 columns over ONE scan+aggregate; mean/std are
+    // decimal-accumulated then finished in a fixed double-op order,
+    // so the oracle pins them exactly (plain avg/stddev over doubles
+    // is partition-order-dependent and never hash-stable).
+    "q86_profile" -> ((s, dir) => {
+      graft.operators.Profile.numeric(
+          t(s, dir, "orders"),
+          Seq("o_custkey", "o_totalprice", "o_orderkey"))
+        .orderBy("col_name", "stat")
     })
   )
 
@@ -1107,6 +1119,78 @@ object RelationalQueries {
         |  UNION ALL
         |  SELECT 'fk:o_custkey', round(CAST(n AS DOUBLE), 6), n = 0
         |  FROM orphans
-        |) ORDER BY check_name""".stripMargin
+        |) ORDER BY check_name""".stripMargin,
+
+    // Mirrors Profile.numeric exactly: decimal(18,2) accumulation,
+    // then the identical double-op sequence for mean/std.
+    "q86_profile" ->
+      """WITH agg AS (
+        |  SELECT
+        |    CAST(COUNT(o_custkey) AS DOUBLE) AS "o_custkey|count",
+        |    CAST(COUNT(*) - COUNT(o_custkey) AS DOUBLE) AS "o_custkey|nulls",
+        |    CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) AS "o_custkey|distinct",
+        |    CAST(MIN(CAST(o_custkey AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS "o_custkey|min",
+        |    CAST(MAX(CAST(o_custkey AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS "o_custkey|max",
+        |    CAST(SUM(CAST(o_custkey AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS "o_custkey|sum",
+        |    CAST(SUM(CAST(o_custkey AS DECIMAL(18,2))
+        |           * CAST(o_custkey AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS "o_custkey|sumsq",
+        |    CAST(COUNT(o_totalprice) AS DOUBLE) AS "o_totalprice|count",
+        |    CAST(COUNT(*) - COUNT(o_totalprice) AS DOUBLE)
+        |      AS "o_totalprice|nulls",
+        |    CAST(COUNT(DISTINCT o_totalprice) AS DOUBLE)
+        |      AS "o_totalprice|distinct",
+        |    CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS "o_totalprice|min",
+        |    CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS "o_totalprice|max",
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS "o_totalprice|sum",
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))
+        |           * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS "o_totalprice|sumsq",
+        |    CAST(COUNT(o_orderkey) AS DOUBLE) AS "o_orderkey|count",
+        |    CAST(COUNT(*) - COUNT(o_orderkey) AS DOUBLE)
+        |      AS "o_orderkey|nulls",
+        |    CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE)
+        |      AS "o_orderkey|distinct",
+        |    CAST(MIN(CAST(o_orderkey AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS "o_orderkey|min",
+        |    CAST(MAX(CAST(o_orderkey AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS "o_orderkey|max",
+        |    CAST(SUM(CAST(o_orderkey AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS "o_orderkey|sum",
+        |    CAST(SUM(CAST(o_orderkey AS DECIMAL(18,2))
+        |           * CAST(o_orderkey AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS "o_orderkey|sumsq"
+        |  FROM orders
+        |), stats AS (
+        |  SELECT split_part(k, '|', 1) AS col_name, v,
+        |    split_part(k, '|', 2) AS raw_stat
+        |  FROM (UNPIVOT agg ON COLUMNS(*) INTO NAME k VALUE v)
+        |), wide AS (
+        |  SELECT col_name,
+        |    MAX(CASE WHEN raw_stat = 'count' THEN v END) AS cnt,
+        |    MAX(CASE WHEN raw_stat = 'nulls' THEN v END) AS nulls,
+        |    MAX(CASE WHEN raw_stat = 'distinct' THEN v END) AS dst,
+        |    MAX(CASE WHEN raw_stat = 'min' THEN v END) AS mn,
+        |    MAX(CASE WHEN raw_stat = 'max' THEN v END) AS mx,
+        |    MAX(CASE WHEN raw_stat = 'sum' THEN v END) AS s1,
+        |    MAX(CASE WHEN raw_stat = 'sumsq' THEN v END) AS s2
+        |  FROM stats GROUP BY col_name
+        |)
+        |SELECT col_name, stat, round(value, 6) AS value FROM (
+        |  SELECT col_name, 'count' AS stat, cnt AS value FROM wide
+        |  UNION ALL SELECT col_name, 'nulls', nulls FROM wide
+        |  UNION ALL SELECT col_name, 'distinct', dst FROM wide
+        |  UNION ALL SELECT col_name, 'min', mn FROM wide
+        |  UNION ALL SELECT col_name, 'max', mx FROM wide
+        |  UNION ALL SELECT col_name, 'mean', s1 / cnt FROM wide
+        |  UNION ALL SELECT col_name, 'std',
+        |    sqrt(greatest((s2 - s1 * s1 / cnt) / (cnt - 1), 0.0)) FROM wide
+        |) ORDER BY col_name, stat""".stripMargin
   )
 }
