@@ -261,6 +261,75 @@ object Dedup {
   }
 
   /**
+   * Incremental (cross-corpus) near-dup candidates: LSH band join of
+   * an INCOMING batch against the EXISTING corpus, emitting only
+   * (new, old) pairs — never new×new or old×old. This is the
+   * ingestion-time dedup shape: each arriving batch pays
+   * O(batch × bands) band rows against the corpus's banded
+   * signatures, not a self-join of the unioned whole; at 100 TB the
+   * corpus side's signatures are computed once (persist them — the
+   * band table IS the dedup index, a few hundred bytes per doc) and
+   * every batch joins against the same bucketed layout.
+   *
+   * Output: (new_id, old_id, n_match, est_jaccard), one row per
+   * candidate pair.
+   */
+  def crossCorpusCandidates(
+      existing: DataFrame,
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 2,
+      shingleSize: Int = 3): DataFrame = {
+    require(
+      numHashes >= rowsPerBand,
+      s"numHashes ($numHashes) must be >= rowsPerBand ($rowsPerBand)")
+    def banded(df: DataFrame, side: String) =
+      lshBands(
+        minhashSignatures(df, idCol, textCol, numHashes, shingleSize),
+        idCol, rowsPerBand)
+        .select(
+          col("band"), col("band_sig"),
+          col(idCol).as(s"${side}_id"), col("sig").as(s"__sig_$side"))
+    val pairs = banded(incoming, "new")
+      .join(banded(existing, "old"), Seq("band", "band_sig"))
+      .select("new_id", "old_id", "__sig_new", "__sig_old")
+      .distinct()
+    val nMatch = size(filter(
+      zip_with(col("__sig_new"), col("__sig_old"), (x, y) => x === y),
+      m => m))
+    pairs.select(
+      col("new_id"), col("old_id"),
+      nMatch.cast("long").as("n_match"),
+      (nMatch.cast("double") / numHashes).as("est_jaccard"))
+  }
+
+  /**
+   * Ingestion-time dedup: the incoming rows whose estimated Jaccard
+   * against EVERY existing document stays below `minEstJaccard` —
+   * i.e. the batch minus its near-duplicates of the corpus, via one
+   * anti-join on the matched new-ids.
+   */
+  def dedupAgainst(
+      existing: DataFrame,
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String,
+      minEstJaccard: Double = 0.5,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 2,
+      shingleSize: Int = 3): DataFrame = {
+    val matched = crossCorpusCandidates(
+        existing, incoming, idCol, textCol,
+        numHashes, rowsPerBand, shingleSize)
+      .where(col("est_jaccard") >= minEstJaccard)
+      .select(col("new_id").as(idCol))
+      .distinct()
+    incoming.join(matched, Seq(idCol), "left_anti")
+  }
+
+  /**
    * Exact n-gram Jaccard over the LSH candidate set: the two texts
    * join onto each candidate pair and the custom codegen'd kernel
    * [[graft.functions.NGramJaccardSim]] compares shingle sets in-row.

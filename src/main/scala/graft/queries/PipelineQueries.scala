@@ -514,6 +514,26 @@ object PipelineQueries {
           col("source"), round(col("rate"), 6).as("rate"),
           col("n_kept"), col("tok_kept"))
         .orderBy("source")
+    }),
+
+    // Ingestion-time incremental dedup: an incoming batch — ten exact
+    // re-sends of corpus docs (caught: identical signatures) plus ten
+    // word-reversed variants (novel shingles, survive) — LSH-band-
+    // joins against the EXISTING corpus only (new×old pairs, never a
+    // self-join of the union), and survivors anti-join out. The
+    // corpus-side band table is the persistent dedup index at scale.
+    "q87_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val incoming = docs.where(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+        .unionByName(docs.where(col("doc_id") % 50 === 25)
+          .select(
+            (col("doc_id") + 200000L).as("doc_id"),
+            concat_ws(" ", reverse(split(col("text"), " "))).as("text")))
+      Dedup.dedupAgainst(docs, incoming, "doc_id", "text",
+          minEstJaccard = 0.5)
+        .select("doc_id")
+        .orderBy("doc_id")
     })
   )
 
@@ -1277,6 +1297,60 @@ object PipelineQueries {
         |)
         |SELECT source, round(rate, 6) AS rate, count(*) AS n_kept,
         |  CAST(SUM(tok) AS BIGINT) AS tok_kept
-        |FROM kept GROUP BY source, rate ORDER BY source""".stripMargin
+        |FROM kept GROUP BY source, rate ORDER BY source""".stripMargin,
+
+    // Same seeded-md5 minhash machinery as q16, run over BOTH corpora;
+    // candidates restricted to new×old; survivors anti-join out.
+    "q87_incremental_dedup" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |), inc AS (
+        |  SELECT doc_id + 100000 AS doc_id, text FROM docs
+        |  WHERE doc_id % 50 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000,
+        |    array_to_string(list_reverse(string_split(text, ' ')), ' ')
+        |  FROM docs WHERE doc_id % 50 = 25
+        |), both_sides AS (
+        |  SELECT 'old' AS side, doc_id, text FROM docs
+        |  UNION ALL
+        |  SELECT 'new', doc_id, text FROM inc
+        |), toks AS (
+        |  SELECT side, doc_id, string_split(text, ' ') AS w FROM both_sides
+        |), idx AS (
+        |  SELECT side, doc_id, w, unnest(generate_series(1, len(w)-2)) AS i
+        |  FROM toks
+        |), sh AS (
+        |  SELECT DISTINCT side, doc_id,
+        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        |  FROM idx
+        |), mh AS (
+        |  SELECT side, doc_id, s.seed,
+        |    min(CAST(('0x' || substr(
+        |      md5(CAST(s.seed AS VARCHAR) || ':' || shingle), 1, 15)) AS BIGINT))
+        |      AS mh
+        |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0,7)) AS seed) s
+        |  GROUP BY side, doc_id, s.seed
+        |), bands AS (
+        |  SELECT side, doc_id, seed // 2 AS band,
+        |    string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed) AS sig
+        |  FROM mh GROUP BY side, doc_id, seed // 2
+        |), cand AS (
+        |  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+        |  FROM bands n
+        |  JOIN bands o ON n.band = o.band AND n.sig = o.sig
+        |    AND n.side = 'new' AND o.side = 'old'
+        |), matched AS (
+        |  SELECT DISTINCT c.new_id
+        |  FROM cand c
+        |  JOIN mh ma ON ma.side = 'new' AND ma.doc_id = c.new_id
+        |  JOIN mh mb ON mb.side = 'old' AND mb.doc_id = c.old_id
+        |    AND mb.seed = ma.seed
+        |  GROUP BY c.new_id, c.old_id
+        |  HAVING CAST(count(*) FILTER (ma.mh = mb.mh) AS DOUBLE) / 8.0 >= 0.5
+        |)
+        |SELECT doc_id FROM inc
+        |WHERE doc_id NOT IN (SELECT new_id FROM matched)
+        |ORDER BY doc_id""".stripMargin
   )
 }
