@@ -144,6 +144,39 @@ class PlanSpec extends AnyFunSuite {
       "argmax must be a plain aggregate, not a ranking window")
   }
 
+  test("q84: the O(sources) rate table broadcasts back to the sampling scan") {
+    val p = plan("q84_mixture_sample")
+    assert(p.contains("BroadcastHashJoin"),
+      s"rates must broadcast, not shuffle the documents scan:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q85/q86: N audit rules / N column profiles share ONE aggregation pass") {
+    // q85: orders is scanned once for the 4-rule audit and once for the
+    // FK anti-join — exactly 2 scans, however many rules are declared.
+    val audit = plan("q85_quality_audit")
+    val orderScans = audit.linesIterator
+      .filter(l => l.contains("FileScan parquet") && l.contains("orders.parquet"))
+      .size
+    assert(orderScans === 2,
+      s"audit must not scan once per rule, saw $orderScans orders scans:\n$audit")
+    // q86: 7 stats x 3 columns ride one scan; the multi-distinct plans
+    // as a single Expand, not one aggregation pass per column.
+    val prof = plan("q86_profile")
+    assert(prof.linesIterator.count(_.contains("FileScan parquet")) === 1,
+      s"profile must be one-pass:\n$prof")
+    assert(prof.linesIterator.count(_.trim.startsWith("+- Expand")) <= 1,
+      s"multi-distinct must plan one Expand:\n$prof")
+  }
+
+  test("q87: cross-corpus dedup joins band buckets, never all-pairs") {
+    val p = plan("q87_incremental_dedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"band join degenerated to all-pairs:\n$p")
+    assert(p.contains("band"), "band-bucket key missing from the plan")
+  }
+
   test("q76: funnel step frames filter by event type BEFORE any join") {
     val p = plan("q76_funnel")
     val pushed = p.linesIterator
