@@ -5,7 +5,7 @@ import java.io.ByteArrayInputStream
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.types.{BinaryType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{BinaryType, ByteType, DataType, IntegerType, LongType, ShortType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.sketch.CountMinSketch
 
@@ -20,9 +20,9 @@ import org.apache.spark.util.sketch.CountMinSketch
  * same constant-or-subquery shape as `BloomFilterMightContain`) and
  * frequencies are estimated distributively, no driver round-trip.
  *
- * Items must be LONG or STRING — the two CountMinSketchAgg input
- * classes used here; strings probe via the identical byte path the
- * aggregate used to add them (`UTF8String.getBytes`). CMS guarantees
+ * Items may be any integral type (all hash through the aggregate's
+ * addLong path) or STRING, which probes via the identical byte path
+ * the aggregate used to add it (`UTF8String.getBytes`). CMS guarantees
  * estimate ≥ true count, and ≤ true + eps·N with the configured
  * confidence — the q83 audit pins both sides.
  *
@@ -36,12 +36,17 @@ case class CmsEstimate(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
 
   override def checkInputDataTypes(): TypeCheckResult = {
+    // Accept every item class the build aggregate accepts: integral
+    // types all hash through the same addLong path, so an INT-built
+    // sketch probes correctly with any integral item.
+    val integral = Seq(ByteType, ShortType, IntegerType, LongType)
     if (left.dataType != BinaryType)
       TypeCheckResult.TypeCheckFailure(
         s"sketch operand must be BINARY, got ${left.dataType.sql}")
-    else if (right.dataType != LongType && right.dataType != StringType)
+    else if (!integral.contains(right.dataType) &&
+        right.dataType != StringType)
       TypeCheckResult.TypeCheckFailure(
-        s"item operand must be BIGINT or STRING, got ${right.dataType.sql}")
+        s"item operand must be integral or STRING, got ${right.dataType.sql}")
     else TypeCheckResult.TypeCheckSuccess
   }
 
@@ -63,7 +68,8 @@ case class CmsEstimate(left: Expression, right: Expression)
   override protected def nullSafeEval(sketchBytes: Any, item: Any): Any = {
     val sketch = sketchFor(sketchBytes.asInstanceOf[Array[Byte]])
     item match {
-      case l: java.lang.Long => sketch.estimateCount(l)
+      case n: java.lang.Number =>
+        sketch.estimateCount(java.lang.Long.valueOf(n.longValue))
       case s: UTF8String => sketch.estimateCount(s.getBytes)
     }
   }

@@ -219,6 +219,40 @@ object Dedup {
    * production pipeline would stage signatures to a real table
    * instead.
    */
+  /** Reject band misconfigurations up front: a signature shorter than
+    * one band would make lshBands' band-index sequence descend
+    * (sequence(0, -1)) and slice garbage, and a remainder would leave
+    * trailing hashes out of every band while still counting them in
+    * the est_jaccard denominator — recall silently below the
+    * configured bands, scores silently biased low. */
+  private def requireBandConfig(numHashes: Int, rowsPerBand: Int): Unit = {
+    require(
+      numHashes >= rowsPerBand,
+      s"numHashes ($numHashes) must be >= rowsPerBand ($rowsPerBand)")
+    require(
+      numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a multiple of rowsPerBand " +
+        s"($rowsPerBand): a remainder would exclude trailing hashes " +
+        "from banding but not from scoring")
+  }
+
+  /** Estimated-Jaccard scoring of banded candidate pairs carrying
+    * both signatures: shared by the self-join and cross-corpus paths
+    * so score semantics can never diverge between them. */
+  private def scorePairs(
+      pairs: DataFrame,
+      lId: String, rId: String,
+      lSig: String, rSig: String,
+      numHashes: Int): DataFrame = {
+    val nMatch = size(filter(
+      zip_with(col(lSig), col(rSig), (x, y) => x === y),
+      m => m))
+    pairs.select(
+      col(lId), col(rId),
+      nMatch.cast("long").as("n_match"),
+      (nMatch.cast("double") / numHashes).as("est_jaccard"))
+  }
+
   def minhashCandidates(
       df: DataFrame,
       idCol: String,
@@ -227,12 +261,7 @@ object Dedup {
       rowsPerBand: Int = 2,
       shingleSize: Int = 3,
       materializeSigs: Boolean = false): DataFrame = {
-    // A signature shorter than one band would make lshBands' band-index
-    // sequence descend (sequence(0, -1)) and slice garbage — reject the
-    // misconfiguration up front instead.
-    require(
-      numHashes >= rowsPerBand,
-      s"numHashes ($numHashes) must be >= rowsPerBand ($rowsPerBand)")
+    requireBandConfig(numHashes, rowsPerBand)
     val sigs0 = minhashSignatures(df, idCol, textCol, numHashes, shingleSize)
     val sigs = if (materializeSigs) sigs0.localCheckpoint() else sigs0
     val bands = lshBands(sigs, idCol, rowsPerBand)
@@ -251,13 +280,7 @@ object Dedup {
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b", "__sig_a", "__sig_b")
       .distinct()
-    val nMatch = size(filter(
-      zip_with(col("__sig_a"), col("__sig_b"), (x, y) => x === y),
-      m => m))
-    pairs.select(
-      col("doc_a"), col("doc_b"),
-      nMatch.cast("long").as("n_match"),
-      (nMatch.cast("double") / numHashes).as("est_jaccard"))
+    scorePairs(pairs, "doc_a", "doc_b", "__sig_a", "__sig_b", numHashes)
   }
 
   /**
@@ -282,9 +305,7 @@ object Dedup {
       numHashes: Int = 8,
       rowsPerBand: Int = 2,
       shingleSize: Int = 3): DataFrame = {
-    require(
-      numHashes >= rowsPerBand,
-      s"numHashes ($numHashes) must be >= rowsPerBand ($rowsPerBand)")
+    requireBandConfig(numHashes, rowsPerBand)
     def banded(df: DataFrame, side: String) =
       lshBands(
         minhashSignatures(df, idCol, textCol, numHashes, shingleSize),
@@ -296,13 +317,7 @@ object Dedup {
       .join(banded(existing, "old"), Seq("band", "band_sig"))
       .select("new_id", "old_id", "__sig_new", "__sig_old")
       .distinct()
-    val nMatch = size(filter(
-      zip_with(col("__sig_new"), col("__sig_old"), (x, y) => x === y),
-      m => m))
-    pairs.select(
-      col("new_id"), col("old_id"),
-      nMatch.cast("long").as("n_match"),
-      (nMatch.cast("double") / numHashes).as("est_jaccard"))
+    scorePairs(pairs, "new_id", "old_id", "__sig_new", "__sig_old", numHashes)
   }
 
   /**

@@ -33,6 +33,13 @@ object Layout {
    * non-negative integer columns: bit i of `b` lands at position 2i,
    * bit i of `a` at position 2i+1. Pure codegen'd bit arithmetic —
    * a flat OR chain of 2·bits masked shifts, no UDF.
+   *
+   * CONTRACT: both inputs must lie in [0, 2^bits) — bits above the
+   * window are masked off, so out-of-domain keys silently collapse
+   * onto the same Z-prefix and the clustering (hence file pruning)
+   * quietly degrades. [[zorderWrite]] validates the domain before
+   * writing; call sites using this column directly must either size
+   * `bits` to the key domain or pre-normalize (rank / divide) keys.
    */
   def zorder2(a: Column, b: Column, bits: Int = 16): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
@@ -75,6 +82,19 @@ object Layout {
       dimB: String,
       numFiles: Int,
       bits: Int = 16): Unit = {
+    // Domain check BEFORE the rewrite: out-of-window or negative keys
+    // would silently destroy the clustering this operator exists to
+    // provide (high bits are masked off). One column-pruned min/max
+    // scan — noise next to the full rewrite that follows.
+    val lim = 1L << bits
+    val Array(loA, hiA, loB, hiB) = df.agg(
+        min(col(dimA).cast("long")), max(col(dimA).cast("long")),
+        min(col(dimB).cast("long")), max(col(dimB).cast("long")))
+      .head().toSeq.map(v => if (v == null) 0L else v.asInstanceOf[Long])
+      .toArray
+    require(loA >= 0 && loB >= 0 && hiA < lim && hiB < lim,
+      s"zorderWrite($dimA in [$loA,$hiA], $dimB in [$loB,$hiB]) outside " +
+        s"[0, $lim): raise `bits` or pre-normalize the keys")
     df.withColumn("__zval", zorder2(col(dimA), col(dimB), bits))
       .repartitionByRange(numFiles, col("__zval"))
       .sortWithinPartitions("__zval")

@@ -46,7 +46,12 @@ object Profile {
       val cnt = col(s"${c}__count")
       val s1 = col(s"${c}__sum")
       val s2 = col(s"${c}__sumsq")
-      val variance = (s2 - s1 * s1 / cnt) / (cnt - 1)
+      // cnt <= 1 would divide 0.0/0.0 → NaN (and Spark's greatest
+      // treats NaN as largest, so it would survive the clamp); pin
+      // the degenerate case to 0.0 — also what the SQL formulation
+      // yields via NULL propagation, keeping oracle parity.
+      val variance = when(cnt > 1.0, (s2 - s1 * s1 / cnt) / (cnt - 1))
+        .otherwise(lit(0.0))
       Seq(
         ("count", cnt),
         ("nulls", col(s"${c}__nulls")),

@@ -28,10 +28,12 @@ object Quality {
     avg(when(col(c).isNull, 1.0).otherwise(0.0)),
     _ === 0.0)
 
-  /** Duplicate-key count: rows minus distinct keys (pass: zero). */
+  /** Duplicate-key count: non-null keys minus distinct keys (pass:
+    * zero). NULL keys are the not-null check's business — counting
+    * them here would flag a nullable-but-duplicate-free column. */
   def unique(c: String): Check = Check(
     s"unique:$c",
-    count(lit(1)) - countDistinct(col(c)),
+    count(col(c)) - countDistinct(col(c)),
     _ === 0.0)
 
   /** Rows with `c` outside [lo, hi] (pass: zero). NULLs are the

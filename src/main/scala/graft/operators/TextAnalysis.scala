@@ -122,10 +122,9 @@ object TextAnalysis {
       textCol: String,
       n: Int,
       estimatedItems: Long = 1000000L): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.GraftBridge.{column, expression}
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, ExprId, NamedExpression, ScalarSubquery}
+    import org.apache.spark.sql.GraftBridge.{column, expression, scalarSubquery}
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    import org.apache.spark.sql.catalyst.plans.logical.HintInfo
 
     val docShingles = Dedup.shingles(docs, idCol, textCol, n)
     val benchShingles = Dedup.shingles(benchmark, idCol, textCol, n)
@@ -147,19 +146,10 @@ object TextAnalysis {
     // scalar subquery — the same shape Spark's InjectRuntimeFilter
     // builds internally: the one-row bloom aggregation plan rides as
     // a subquery whose result broadcasts with the task binaries.
-    val bloomPlan = benchShingles.agg(
+    val bloomSubquery = scalarSubquery(benchShingles.agg(
       column(new BloomFilterAggregate(
         expression(xxhash64(col("shingle"))),
-        estimatedItems).toAggregateExpression()).as("__bloom"))
-      .queryExecution.analyzed
-    val bloomSubquery = ScalarSubquery(
-      bloomPlan,
-      Seq.empty[org.apache.spark.sql.catalyst.expressions.Expression],
-      NamedExpression.newExprId,
-      Seq.empty[org.apache.spark.sql.catalyst.expressions.Expression],
-      Option.empty[HintInfo],
-      Option.empty[Boolean],
-      Option.empty[Boolean])
+        estimatedItems).toAggregateExpression()).as("__bloom")))
     val candidates = docShingles
       .where(column(BloomFilterMightContain(
         bloomSubquery,

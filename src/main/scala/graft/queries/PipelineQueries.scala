@@ -486,6 +486,9 @@ object PipelineQueries {
     // the weight normalizer is a window over that already-aggregated
     // frame. All float math is exact-integer sums then one fixed
     // mult/div chain, so both engines bit-agree at the rate boundary.
+    // A source with no trailing digits gets NULL weight → NULL rate →
+    // dropped, on BOTH sides (Spark's cast NULLs; the oracle uses
+    // TRY_CAST so DuckDB NULLs instead of erroring).
     "q84_mixture_sample" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val budget = 15000.0
@@ -1282,7 +1285,7 @@ object PipelineQueries {
         |  FROM documents
         |), t AS (
         |  SELECT source, CAST(SUM(tok) AS BIGINT) AS tok_s,
-        |    CAST(CAST(regexp_extract(source, '(\d+)$', 1) AS INT) % 4 + 1
+        |    CAST(TRY_CAST(regexp_extract(source, '(\d+)$', 1) AS INT) % 4 + 1
         |      AS DOUBLE) AS w
         |  FROM d GROUP BY source
         |), r AS (

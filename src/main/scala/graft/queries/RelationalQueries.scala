@@ -291,6 +291,10 @@ object RelationalQueries {
       // envelope (one group missed it at sf0.01).
       t(s, dir, "orders")
         .select(col("o_orderpriority"), col("o_custkey"))
+        // countDistinct (the semantics being replaced) excludes NULL
+        // keys; the dedup-first rewrite must too, or a NULL custkey
+        // would count as one extra "distinct" customer per group.
+        .where(col("o_custkey").isNotNull)
         .distinct()
         .groupBy("o_orderpriority")
         .agg(
@@ -605,26 +609,16 @@ object RelationalQueries {
     // The total-N normalizer comes from a window over the ALREADY
     // AGGREGATED frame (one row per event type), not a second scan.
     "q83_cms_audit" -> ((s, dir) => {
-      import org.apache.spark.sql.GraftBridge.{column, expression}
-      import org.apache.spark.sql.catalyst.expressions.{Literal, NamedExpression, ScalarSubquery}
+      import org.apache.spark.sql.GraftBridge.{column, expression, scalarSubquery}
+      import org.apache.spark.sql.catalyst.expressions.Literal
       import org.apache.spark.sql.catalyst.expressions.aggregate.CountMinSketchAgg
-      import org.apache.spark.sql.catalyst.plans.logical.HintInfo
       val eps = 1e-4
       val ev = t(s, dir, "events")
-      val cmsPlan = ev.agg(
+      val cmsSubquery = scalarSubquery(ev.agg(
         column(new CountMinSketchAgg(
             expression(col("event_type")),
             Literal(eps), Literal(0.99), Literal(42))
-          .toAggregateExpression()).as("__cms"))
-        .queryExecution.analyzed
-      val cmsSubquery = ScalarSubquery(
-        cmsPlan,
-        Seq.empty[org.apache.spark.sql.catalyst.expressions.Expression],
-        NamedExpression.newExprId,
-        Seq.empty[org.apache.spark.sql.catalyst.expressions.Expression],
-        Option.empty[HintInfo],
-        Option.empty[Boolean],
-        Option.empty[Boolean])
+          .toAggregateExpression()).as("__cms")))
       ev.groupBy("event_type")
         .agg(count(lit(1)).as("exact_n"))
         .withColumn("__est", column(graft.functions.CmsEstimate(
@@ -1102,8 +1096,9 @@ object RelationalQueries {
         |  FROM orders
         |  UNION ALL
         |  SELECT 'unique:o_orderkey',
-        |    round(CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS DOUBLE), 6),
-        |    COUNT(*) - COUNT(DISTINCT o_orderkey) = 0
+        |    round(CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey)
+        |      AS DOUBLE), 6),
+        |    COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) = 0
         |  FROM orders
         |  UNION ALL
         |  SELECT 'range:o_totalprice[0.0,400000.0]',

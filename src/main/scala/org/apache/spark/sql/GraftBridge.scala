@@ -14,4 +14,20 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Wrap a one-row DataFrame's plan as a scalar subquery expression —
+    * the constant-or-subquery shape `BloomFilterMightContain` /
+    * `graft_cms_estimate` demand for their sketch operand (the same
+    * plan shape Spark's InjectRuntimeFilter builds internally). Kept
+    * here so the internal constructor's arity — which has already
+    * changed across Spark versions — is patched in ONE place. */
+  def scalarSubquery(df: Dataset[_]): Expression =
+    catalyst.expressions.ScalarSubquery(
+      df.queryExecution.analyzed,
+      Seq.empty[Expression],
+      catalyst.expressions.NamedExpression.newExprId,
+      Seq.empty[Expression],
+      Option.empty[catalyst.plans.logical.HintInfo],
+      Option.empty[Boolean],
+      Option.empty[Boolean])
 }
