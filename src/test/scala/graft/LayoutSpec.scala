@@ -53,6 +53,19 @@ class LayoutSpec extends AnyFunSuite {
     assert(spans.max < 10007 / 4, s"file span too wide: ${spans.max}")
   }
 
+  test("zorderWrite rejects keys outside [0, 2^bits) instead of silently truncating") {
+    val dest = tmp("layout-reject")
+    val tooWide = Seq((70000, 1), (2, 3)).toDF("a", "b") // 70000 >= 2^16
+    val ex = intercept[IllegalArgumentException] {
+      Layout.zorderWrite(tooWide, dest, "a", "b", numFiles = 2, bits = 16)
+    }
+    assert(ex.getMessage.contains("outside"))
+    val negative = Seq((-1, 1)).toDF("a", "b")
+    intercept[IllegalArgumentException] {
+      Layout.zorderWrite(negative, dest, "a", "b", numFiles = 2, bits = 16)
+    }
+  }
+
   test("zorder layout prunes a secondary-dimension box query; x-sort does not") {
     val grid = for { x <- 0 until 64; y <- 0 until 64 } yield (x, y)
     val df = grid.toDF("x", "y")
