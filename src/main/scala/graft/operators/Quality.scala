@@ -66,6 +66,56 @@ object Quality {
       .select("r.*")
   }
 
+  /**
+   * Distribution drift between two snapshots of the same column:
+   * per-bucket Population Stability Index contributions,
+   * `(p − q)·ln(p/q)` over fixed-width buckets of [lo, hi) (out-of-
+   * range values clamp into the edge buckets; `eps` floors empty-
+   * bucket shares so the log stays finite). Total PSI is the sum of
+   * `psi_contrib`; > 0.2 is the conventional "investigate" line.
+   *
+   * Scale: one partial-aggregated bucket count per side — the bucket
+   * expression is pure projection, the joined frame is nBuckets rows,
+   * and the share normalizer is a window over that already-aggregated
+   * frame. Fixed buckets (not quantiles) keep the two sides
+   * independent: snapshots can be bucketed on different days/clusters
+   * and compared later from their counts alone.
+   */
+  def driftPsi(
+      baseline: DataFrame,
+      current: DataFrame,
+      c: String,
+      lo: Double,
+      hi: Double,
+      nBuckets: Int,
+      eps: Double = 1e-6): DataFrame = {
+    require(nBuckets >= 2, s"need at least 2 buckets, got $nBuckets")
+    require(hi > lo, s"empty bucket range [$lo, $hi)")
+    val width = (hi - lo) / nBuckets
+    def bucketed(df: DataFrame, n: String) =
+      df.select(
+        least(
+          greatest(floor((col(c) - lo) / width), lit(0.0)),
+          lit((nBuckets - 1).toDouble)).cast("int").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as(n))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(lit(0))
+    val joined = bucketed(baseline, "n_base")
+      .join(bucketed(current, "n_cur"), Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("n_base", "n_cur"))
+    val p = greatest(
+      col("n_base").cast("double") / sum("n_base").over(w).cast("double"),
+      lit(eps))
+    val q = greatest(
+      col("n_cur").cast("double") / sum("n_cur").over(w).cast("double"),
+      lit(eps))
+    joined
+      .select(
+        col("bucket"), col("n_base"), col("n_cur"),
+        round((p - q) * log(p / q), 6).as("psi_contrib"))
+      .orderBy("bucket")
+  }
+
   /** Referential integrity `child.key → parent.pkey` as one report
     * row: anti-join counts orphans (pass: zero). The parent side is
     * deduplicated to its key column before the join. */

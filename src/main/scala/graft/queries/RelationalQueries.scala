@@ -651,6 +651,21 @@ object RelationalQueries {
         .orderBy("check_name")
     }),
 
+    // Distribution drift (PSI) between two snapshots — the monitoring
+    // member of the governance trio (q85 audit, q86 profile): even/odd
+    // orderkey halves stand in for yesterday/today; per-bucket
+    // (p−q)·ln(p/q) contributions over 20 fixed-width price buckets.
+    // ln-of-ratio survives the 6-dp round across engines (the q75
+    // entropy precedent); bucket counts and shares are exact-integer
+    // math in a fixed op order.
+    "q88_drift_psi" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      graft.operators.Quality.driftPsi(
+        o.where(col("o_orderkey") % 2 === 0),
+        o.where(col("o_orderkey") % 2 === 1),
+        "o_totalprice", lo = 0.0, hi = 500000.0, nBuckets = 20)
+    }),
+
     // One-pass numeric dataset profile (describe/summary surface):
     // 7 stats × 3 columns over ONE scan+aggregate; mean/std are
     // decimal-accumulated then finished in a fixed double-op order,
@@ -1115,6 +1130,33 @@ object RelationalQueries {
         |  SELECT 'fk:o_custkey', round(CAST(n AS DOUBLE), 6), n = 0
         |  FROM orphans
         |) ORDER BY check_name""".stripMargin,
+
+    "q88_drift_psi" ->
+      """WITH bb AS (
+        |  SELECT CAST(least(greatest(
+        |      floor((o_totalprice - 0.0) / 25000.0), 0.0), 19.0) AS INT)
+        |    AS bucket, count(*) AS n_base
+        |  FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1
+        |), cb AS (
+        |  SELECT CAST(least(greatest(
+        |      floor((o_totalprice - 0.0) / 25000.0), 0.0), 19.0) AS INT)
+        |    AS bucket, count(*) AS n_cur
+        |  FROM orders WHERE o_orderkey % 2 = 1 GROUP BY 1
+        |), j AS (
+        |  SELECT COALESCE(bb.bucket, cb.bucket) AS bucket,
+        |    COALESCE(n_base, 0) AS n_base, COALESCE(n_cur, 0) AS n_cur
+        |  FROM bb FULL OUTER JOIN cb ON bb.bucket = cb.bucket
+        |), t AS (
+        |  SELECT bucket, n_base, n_cur,
+        |    greatest(CAST(n_base AS DOUBLE)
+        |      / CAST((SELECT SUM(n_base) FROM j) AS DOUBLE), 1e-6) AS p,
+        |    greatest(CAST(n_cur AS DOUBLE)
+        |      / CAST((SELECT SUM(n_cur) FROM j) AS DOUBLE), 1e-6) AS q
+        |  FROM j
+        |)
+        |SELECT bucket, n_base, n_cur,
+        |  round((p - q) * ln(p / q), 6) AS psi_contrib
+        |FROM t ORDER BY bucket""".stripMargin,
 
     // Mirrors Profile.numeric exactly: decimal(18,2) accumulation,
     // then the identical double-op sequence for mean/std.
