@@ -53,6 +53,26 @@ class LayoutSpec extends AnyFunSuite {
     assert(spans.max < 10007 / 4, s"file span too wide: ${spans.max}")
   }
 
+  test("zorder2 round-trips: de-interleaving the z-value recovers both keys") {
+    val rnd = new scala.util.Random(42)
+    val cases = Seq.fill(200)((rnd.nextInt(1 << 16), rnd.nextInt(1 << 16)))
+    val zs = cases.toDF("a", "b")
+      .select(col("a"), col("b"), Layout.zorder2(col("a"), col("b"), 16).as("z"))
+      .as[(Int, Int, Long)].collect()
+    def deinterleave(z: Long): (Long, Long) = {
+      var a = 0L; var b = 0L
+      (0 until 16).foreach { i =>
+        b |= ((z >> (2 * i)) & 1L) << i
+        a |= ((z >> (2 * i + 1)) & 1L) << i
+      }
+      (a, b)
+    }
+    zs.foreach { case (a, b, z) =>
+      assert(deinterleave(z) === ((a.toLong, b.toLong)),
+        s"z=$z does not decode to ($a, $b)")
+    }
+  }
+
   test("zorderWrite rejects keys outside [0, 2^bits) instead of silently truncating") {
     val dest = tmp("layout-reject")
     val tooWide = Seq((70000, 1), (2, 3)).toDF("a", "b") // 70000 >= 2^16

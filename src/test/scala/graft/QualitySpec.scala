@@ -31,6 +31,22 @@ class QualitySpec extends AnyFunSuite {
     assert(!row.getBoolean(2))
   }
 
+  test("driftPsi: identical snapshots score ~0; a shifted snapshot scores big") {
+    val base = (1 to 2000).map(i => (i % 100).toDouble).toDF("v")
+    val same = (1 to 2000).map(i => (i % 100).toDouble).toDF("v")
+    val shifted = (1 to 2000).map(i => 50.0 + (i % 100) / 2.0).toDF("v")
+    def total(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame): Double =
+      Quality.driftPsi(a, b, "v", 0.0, 100.0, 10)
+        .agg(sum("psi_contrib")).as[Double].head()
+    assert(math.abs(total(base, same)) < 1e-9)
+    assert(total(base, shifted) > 0.2,
+      "a halved-range shift must cross the conventional 0.2 alert line")
+    // every bucket present even when one side is empty there
+    assert(Quality.driftPsi(base, shifted, "v", 0.0, 100.0, 10)
+      .count() === 10)
+  }
+
   test("profiler: single-row column yields std 0.0, not NaN") {
     val df = Seq((7L)).toDF("x")
     val stats = Profile.numeric(df, Seq("x"))
