@@ -205,6 +205,45 @@ object Similarity {
   }
 
   /**
+   * Incremental (cross-corpus) embedding near-dups: SRP bucket join
+   * of an INCOMING batch against the EXISTING corpus — the vector-
+   * modality counterpart of `Dedup.crossCorpusCandidates`. Only
+   * (new, old) pairs form; the corpus pays its bucket projection
+   * once per batch (persist the bucketed frame to amortize — it is
+   * the embedding dedup index), and in-bucket expansion is
+   * ~batch·n/2^planes per table, never batch×corpus.
+   *
+   * Output: (new_id, old_id, cosine) for pairs at or above
+   * `minCosine`; NaN (zero-norm) pairs are dropped.
+   */
+  def crossCorpusNearDups(
+      existing: DataFrame,
+      incoming: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numPlanes: Int,
+      numTables: Int,
+      minCosine: Double): DataFrame = {
+    def tabbed(df: DataFrame, side: String) =
+      df.select(
+        col(idCol).as(s"${side}_id"),
+        toDoubleVec(col(vecCol)).as(s"__v$side"),
+        posexplode(srpBucketsFast(col(vecCol), numPlanes, numTables))
+          .as(Seq("__table", "__bucket")))
+        .withColumn(s"__n$side", norm(col(s"__v$side")))
+    tabbed(incoming, "new")
+      .join(tabbed(existing, "old"), Seq("__table", "__bucket"))
+      .select("new_id", "old_id", "__vnew", "__vold", "__nnew", "__nold")
+      .distinct()
+      .withColumn(
+        "cosine",
+        dot(col("__vnew"), col("__vold")) / (col("__nnew") * col("__nold")))
+      .where(coalesce(col("cosine"), lit(-2.0)) >= minCosine
+        && !isnan(col("cosine")))
+      .select("new_id", "old_id", "cosine")
+  }
+
+  /**
    * Deterministic IVF coarse centroids: the `nlist` lowest-id corpus
    * vectors, collected to the driver (bounded: nlist × dims doubles —
    * the same footprint a broadcast join would ship). A production

@@ -537,6 +537,28 @@ object PipelineQueries {
           minEstJaccard = 0.5)
         .select("doc_id")
         .orderBy("doc_id")
+    }),
+
+    // Vector-modality counterpart of q87: an incoming embedding batch
+    // — fifty exact re-sends (same vector, caught at cosine 1.0 in
+    // their SRP bucket) plus fifty negated vectors (opposite bucket,
+    // no candidate) — bucket-joins against the EXISTING corpus only.
+    // One SRP bucket exchange; in-bucket expansion ~batch·n/2^planes.
+    "q89_cross_embed_neardup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val incoming = emb.where(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+        .unionByName(emb.where(col("vec_id") % 10 === 5)
+          .select(
+            (col("vec_id") + 20000L).as("vec_id"),
+            transform(col("embedding"), x => -x).as("embedding")))
+      Similarity.crossCorpusNearDups(
+          emb, incoming, "vec_id", "embedding",
+          numPlanes = 8, numTables = 1, minCosine = 0.35)
+        .select(
+          col("new_id"), col("old_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("new_id", "old_id")
     })
   )
 
@@ -1354,6 +1376,74 @@ object PipelineQueries {
         |)
         |SELECT doc_id FROM inc
         |WHERE doc_id NOT IN (SELECT new_id FROM matched)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // q20/q21's seeded-md5 SRP machinery over both corpora; pairs
+    // restricted to new×old buckets.
+    "q89_cross_embed_neardup" ->
+      """WITH emb AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |), inc AS (
+        |  SELECT vec_id + 10000 AS vec_id, embedding FROM emb
+        |  WHERE vec_id % 10 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 20000, list_transform(embedding, x -> -x)
+        |  FROM emb WHERE vec_id % 10 = 5
+        |), el_old AS (
+        |  SELECT vec_id, generate_subscripts(embedding,1)-1 AS d,
+        |    unnest(embedding)::DOUBLE AS x
+        |  FROM emb
+        |), el_new AS (
+        |  SELECT vec_id, generate_subscripts(embedding,1)-1 AS d,
+        |    unnest(embedding)::DOUBLE AS x
+        |  FROM inc
+        |), comp_old AS (
+        |  SELECT vec_id, p.p,
+        |    SUM(x * CASE WHEN (
+        |      CASE WHEN ascii(substr(md5(CAST(p.p AS VARCHAR) || ':' || CAST(d AS VARCHAR)),1,1)) <= 57
+        |           THEN ascii(substr(md5(CAST(p.p AS VARCHAR) || ':' || CAST(d AS VARCHAR)),1,1)) - 48
+        |           ELSE ascii(substr(md5(CAST(p.p AS VARCHAR) || ':' || CAST(d AS VARCHAR)),1,1)) - 87
+        |      END) < 8 THEN 1.0 ELSE -1.0 END) AS s
+        |  FROM el_old CROSS JOIN (SELECT unnest(generate_series(0,7)) AS p) p
+        |  GROUP BY vec_id, p.p
+        |), comp_new AS (
+        |  SELECT vec_id, p.p,
+        |    SUM(x * CASE WHEN (
+        |      CASE WHEN ascii(substr(md5(CAST(p.p AS VARCHAR) || ':' || CAST(d AS VARCHAR)),1,1)) <= 57
+        |           THEN ascii(substr(md5(CAST(p.p AS VARCHAR) || ':' || CAST(d AS VARCHAR)),1,1)) - 48
+        |           ELSE ascii(substr(md5(CAST(p.p AS VARCHAR) || ':' || CAST(d AS VARCHAR)),1,1)) - 87
+        |      END) < 8 THEN 1.0 ELSE -1.0 END) AS s
+        |  FROM el_new CROSS JOIN (SELECT unnest(generate_series(0,7)) AS p) p
+        |  GROUP BY vec_id, p.p
+        |), b_old AS (
+        |  SELECT vec_id,
+        |    string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY p)
+        |      AS bucket
+        |  FROM comp_old GROUP BY vec_id
+        |), b_new AS (
+        |  SELECT vec_id,
+        |    string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY p)
+        |      AS bucket
+        |  FROM comp_new GROUP BY vec_id
+        |), nrm_old AS (
+        |  SELECT vec_id, sqrt(SUM(x*x)) AS n FROM el_old GROUP BY vec_id
+        |), nrm_new AS (
+        |  SELECT vec_id, sqrt(SUM(x*x)) AS n FROM el_new GROUP BY vec_id
+        |), pairs AS (
+        |  SELECT n.vec_id AS new_id, o.vec_id AS old_id
+        |  FROM b_new n JOIN b_old o ON n.bucket = o.bucket
+        |), dots AS (
+        |  SELECT p.new_id, p.old_id, SUM(ea.x * eb.x) AS dp
+        |  FROM pairs p
+        |  JOIN el_new ea ON ea.vec_id = p.new_id
+        |  JOIN el_old eb ON eb.vec_id = p.old_id AND eb.d = ea.d
+        |  GROUP BY 1, 2
+        |)
+        |SELECT d.new_id, d.old_id, round(d.dp/(nn.n*no.n), 6) AS cosine
+        |FROM dots d
+        |JOIN nrm_new nn ON nn.vec_id = d.new_id
+        |JOIN nrm_old no ON no.vec_id = d.old_id
+        |WHERE d.dp/(nn.n*no.n) >= 0.35
+        |ORDER BY new_id, old_id""".stripMargin
   )
 }
