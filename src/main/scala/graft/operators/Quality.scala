@@ -69,10 +69,16 @@ object Quality {
   /**
    * Distribution drift between two snapshots of the same column:
    * per-bucket Population Stability Index contributions,
-   * `(p − q)·ln(p/q)` over fixed-width buckets of [lo, hi) (out-of-
-   * range values clamp into the edge buckets; `eps` floors empty-
-   * bucket shares so the log stays finite). Total PSI is the sum of
-   * `psi_contrib`; > 0.2 is the conventional "investigate" line.
+   * `(p − q)·ln(p/q)` over fixed-width buckets of [lo, hi). Out-of-
+   * range values clamp into the edge buckets; NULLs are excluded
+   * (they are the not-null check's business, like the rest of this
+   * family). `eps` floors every share below it — primarily the
+   * empty-bucket case, so the log stays finite; pick eps below
+   * 1/snapshot-rows if tiny REAL shares must not be inflated. An
+   * empty snapshot contributes share 0.0 (floored to eps) in every
+   * bucket — deterministic "maximal drift" rather than NULL/NaN
+   * division noise. Total PSI is the sum of `psi_contrib`; > 0.2 is
+   * the conventional "investigate" line.
    *
    * Scale: one partial-aggregated bucket count per side — the bucket
    * expression is pure projection, the joined frame is nBuckets rows,
@@ -93,22 +99,28 @@ object Quality {
     require(hi > lo, s"empty bucket range [$lo, $hi)")
     val width = (hi - lo) / nBuckets
     def bucketed(df: DataFrame, n: String) =
-      df.select(
-        least(
-          greatest(floor((col(c) - lo) / width), lit(0.0)),
-          lit((nBuckets - 1).toDouble)).cast("int").as("bucket"))
+      df.where(col(c).isNotNull) // NULL must not masquerade as bucket 0
+        .select(
+          least(
+            greatest(floor((col(c) - lo) / width), lit(0.0)),
+            lit((nBuckets - 1).toDouble)).cast("int").as("bucket"))
         .groupBy("bucket").agg(count(lit(1)).as(n))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(lit(0))
     val joined = bucketed(baseline, "n_base")
       .join(bucketed(current, "n_cur"), Seq("bucket"), "full_outer")
       .na.fill(0L, Seq("n_base", "n_cur"))
-    val p = greatest(
-      col("n_base").cast("double") / sum("n_base").over(w).cast("double"),
-      lit(eps))
-    val q = greatest(
-      col("n_cur").cast("double") / sum("n_cur").over(w).cast("double"),
-      lit(eps))
+    // Empty-side totals would divide 0/0 (NULL here, NaN in plain SQL
+    // engines — divergent); pin the share to 0.0 so the eps floor
+    // takes over deterministically.
+    def share(n: String): Column = {
+      val tot = sum(n).over(w).cast("double")
+      greatest(
+        when(tot > 0.0, col(n).cast("double") / tot).otherwise(lit(0.0)),
+        lit(eps))
+    }
+    val p = share("n_base")
+    val q = share("n_cur")
     joined
       .select(
         col("bucket"), col("n_base"), col("n_cur"),

@@ -192,17 +192,30 @@ object Similarity {
     val b = tabbed.select(
       col("__table"), col("__bucket"), col("id").as("vec_b"),
       col("__v").as("__vb"), col("__norm").as("__nb"))
-    a.join(b, Seq("__table", "__bucket"))
-      .where(col("vec_a") < col("vec_b"))
-      .select("vec_a", "vec_b", "__va", "__vb", "__na", "__nb")
+    scoreBucketPairs(
+      a.join(b, Seq("__table", "__bucket"))
+        .where(col("vec_a") < col("vec_b")),
+      "vec_a", "vec_b", "__va", "__vb", "__na", "__nb", minCosine)
+  }
+
+  /** Cosine scoring + threshold/NaN filtering of bucket-joined pairs
+    * — shared by the self-join and cross-corpus paths so score and
+    * zero-norm semantics can never diverge between them. */
+  private def scoreBucketPairs(
+      pairs: DataFrame,
+      lId: String, rId: String,
+      lVec: String, rVec: String,
+      lNorm: String, rNorm: String,
+      minCosine: Double): DataFrame =
+    pairs
+      .select(lId, rId, lVec, rVec, lNorm, rNorm)
       .distinct()
       .withColumn(
         "cosine",
-        dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+        dot(col(lVec), col(rVec)) / (col(lNorm) * col(rNorm)))
       .where(coalesce(col("cosine"), lit(-2.0)) >= minCosine
         && !isnan(col("cosine")))
-      .select("vec_a", "vec_b", "cosine")
-  }
+      .select(lId, rId, "cosine")
 
   /**
    * Incremental (cross-corpus) embedding near-dups: SRP bucket join
@@ -231,16 +244,10 @@ object Similarity {
         posexplode(srpBucketsFast(col(vecCol), numPlanes, numTables))
           .as(Seq("__table", "__bucket")))
         .withColumn(s"__n$side", norm(col(s"__v$side")))
-    tabbed(incoming, "new")
-      .join(tabbed(existing, "old"), Seq("__table", "__bucket"))
-      .select("new_id", "old_id", "__vnew", "__vold", "__nnew", "__nold")
-      .distinct()
-      .withColumn(
-        "cosine",
-        dot(col("__vnew"), col("__vold")) / (col("__nnew") * col("__nold")))
-      .where(coalesce(col("cosine"), lit(-2.0)) >= minCosine
-        && !isnan(col("cosine")))
-      .select("new_id", "old_id", "cosine")
+    scoreBucketPairs(
+      tabbed(incoming, "new")
+        .join(tabbed(existing, "old"), Seq("__table", "__bucket")),
+      "new_id", "old_id", "__vnew", "__vold", "__nnew", "__nold", minCosine)
   }
 
   /**

@@ -894,7 +894,7 @@ object PipelineQueries {
         |FROM dots d
         |JOIN nrm na ON na.vec_id = d.vec_a
         |JOIN nrm nb ON nb.vec_id = d.vec_b
-        |WHERE d.dp/(na.n*nb.n) >= 0.35
+        |WHERE na.n > 0 AND nb.n > 0 AND d.dp/(na.n*nb.n) >= 0.35
         |ORDER BY vec_a, vec_b""".stripMargin,
 
     "q35_lsh_multitable" ->
@@ -934,7 +934,7 @@ object PipelineQueries {
         |FROM dots d
         |JOIN nrm na ON na.vec_id = d.vec_a
         |JOIN nrm nb ON nb.vec_id = d.vec_b
-        |WHERE d.dp/(na.n*nb.n) >= 0.35
+        |WHERE na.n > 0 AND nb.n > 0 AND d.dp/(na.n*nb.n) >= 0.35
         |ORDER BY vec_a, vec_b""".stripMargin,
 
     "q31_ivf_search" ->
@@ -1443,7 +1443,7 @@ object PipelineQueries {
         |FROM dots d
         |JOIN nrm_new nn ON nn.vec_id = d.new_id
         |JOIN nrm_old no ON no.vec_id = d.old_id
-        |WHERE d.dp/(nn.n*no.n) >= 0.35
+        |WHERE nn.n > 0 AND no.n > 0 AND d.dp/(nn.n*no.n) >= 0.35
         |ORDER BY new_id, old_id""".stripMargin
   )
 }

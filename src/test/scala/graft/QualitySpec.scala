@@ -47,6 +47,20 @@ class QualitySpec extends AnyFunSuite {
       .count() === 10)
   }
 
+  test("driftPsi excludes NULLs and survives an empty side deterministically") {
+    val base = Seq(Some(10.0), Some(20.0), Some(30.0), None).toDF("v")
+    val cur = Seq(Some(10.0), None, None).toDF("v")
+    val out = Quality.driftPsi(base, cur, "v", 0.0, 100.0, 10).collect()
+    assert(out.map(_.getLong(1)).sum === 3, "NULL must not count as bucket 0")
+    assert(out.map(_.getLong(2)).sum === 1)
+    val empty = Quality
+      .driftPsi(base, cur.where(lit(false)), "v", 0.0, 100.0, 10)
+      .collect()
+    assert(empty.nonEmpty)
+    assert(empty.forall(r => !r.isNullAt(3) && !r.getDouble(3).isNaN),
+      "empty snapshot must yield finite eps-floored contributions")
+  }
+
   test("profiler: single-row column yields std 0.0, not NaN") {
     val df = Seq((7L)).toDF("x")
     val stats = Profile.numeric(df, Seq("x"))
