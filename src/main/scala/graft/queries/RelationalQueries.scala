@@ -651,6 +651,37 @@ object RelationalQueries {
         .orderBy("check_name")
     }),
 
+    // Cumulative distinct users by day — the time-series composition
+    // of the sketch family: per-day HLL sketches running-merge via a
+    // window (the 100 TB path: day sketches persist as O(KB) state and
+    // any cumulative/rolling range re-merges WITHOUT rescanning the
+    // fact), audited against the exact answer computed by the
+    // first-day trick — cum_users(d) = running sum of per-day NEW
+    // users (one user-key shuffle) — no expanding re-aggregation of
+    // the fact either. Both windows run over the per-day frame
+    // (bounded by the calendar, hence the safe global orderBy); the
+    // O(days²) running sketch re-merge is bounded the same way.
+    "q90_cumulative_users" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      val newU = ev.groupBy("user_id").agg(min("day").as("day"))
+        .groupBy("day").agg(count(lit(1)).as("new_users"))
+      val byDay = ev.groupBy("day")
+        .agg(hll_sketch_agg(col("user_id"), lit(14)).as("__sk"))
+      val wRun = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byDay.join(newU, Seq("day"), "left")
+        .na.fill(0L, Seq("new_users"))
+        .withColumn("cum_users", sum("new_users").over(wRun))
+        .withColumn("__est",
+          hll_sketch_estimate(hll_union_agg(col("__sk")).over(wRun)))
+        .select(
+          col("day"), col("cum_users"),
+          (abs(col("__est") - col("cum_users")) <=
+            col("cum_users") * 0.05).as("ok"))
+        .orderBy("day")
+    }),
+
     // Distribution drift (PSI) between two snapshots — the monitoring
     // member of the governance trio (q85 audit, q86 profile): even/odd
     // orderkey halves stand in for yesterday/today; per-bucket
@@ -1130,6 +1161,26 @@ object RelationalQueries {
         |  SELECT 'fk:o_custkey', round(CAST(n AS DOUBLE), 6), n = 0
         |  FROM orphans
         |) ORDER BY check_name""".stripMargin,
+
+    // The running HLL union is not reproducible in DuckDB; the oracle
+    // pins the exact cumulative counts and demands the audit hold.
+    "q90_cumulative_users" ->
+      """WITH ev AS (
+        |  SELECT date_trunc('day', ts) AS day, user_id FROM events
+        |), fd AS (
+        |  SELECT user_id, min(day) AS day FROM ev GROUP BY 1
+        |), nu AS (
+        |  SELECT day, count(*) AS new_users FROM fd GROUP BY 1
+        |), days AS (
+        |  SELECT DISTINCT day FROM ev
+        |)
+        |SELECT d.day,
+        |  CAST(SUM(COALESCE(nu.new_users, 0))
+        |    OVER (ORDER BY d.day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS cum_users,
+        |  TRUE AS ok
+        |FROM days d LEFT JOIN nu ON nu.day = d.day
+        |ORDER BY d.day""".stripMargin,
 
     "q88_drift_psi" ->
       """WITH bb AS (
