@@ -651,6 +651,24 @@ object RelationalQueries {
         .orderBy("check_name")
     }),
 
+    // Behavioral transition matrix (clickstream Markov counts): per
+    // user, each consecutive event-type pair — lag over the SAME
+    // user-key exchange the sessionize family uses, then one bounded
+    // aggregation (|types|² groups at most). (ts, event_id) tiebreak
+    // makes the sequence — hence the matrix — deterministic.
+    "q91_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(
+          col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .where(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("prev_type", "next_type")
+    }),
+
     // Cumulative distinct users by day — the time-series composition
     // of the sketch family: per-day HLL sketches running-merge via a
     // window (the 100 TB path: day sketches persist as O(KB) state and
@@ -1161,6 +1179,17 @@ object RelationalQueries {
         |  SELECT 'fk:o_custkey', round(CAST(n AS DOUBLE), 6), n = 0
         |  FROM orphans
         |) ORDER BY check_name""".stripMargin,
+
+    "q91_transitions" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events
+        |)
+        |SELECT prev_type, event_type AS next_type, count(*) AS n
+        |FROM o WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // The running HLL union is not reproducible in DuckDB; the oracle
     // pins the exact cumulative counts and demands the audit hold.
