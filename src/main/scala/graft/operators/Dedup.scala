@@ -397,14 +397,21 @@ object Dedup {
    * (bounded by the true near-duplicate count), so up to
    * `driverMaxEdges` the edges collect to the driver — the same
    * footprint broadcasting them would cost — and a path-compressed
-   * union-find labels them in microseconds; the iterative
-   * min-label-propagation path below handles edge sets too large to
-   * collect (one edge-set join + aggregation per round, rounds =
-   * graph diameter, `maxIter` hard stop; convergence from the label
-   * SUM — labels only decrease, so an unchanged sum is a fixpoint).
-   * The classic large-graph refinement (alternating large/small-star
-   * a la Connected Components in MapReduce) only pays off beyond
-   * that.
+   * union-find labels them in microseconds; the alternating
+   * large-star/small-star contraction below (the published MapReduce
+   * CC algorithm — converges in O(log n) rounds regardless of graph
+   * diameter) handles edge sets too large to collect.
+   *
+   * The driver regime decides its own applicability with a SINGLE
+   * action: `limit(driverMaxEdges + 1).collect()` — if the result
+   * fits, it IS the complete edge set, so the candidate pipeline runs
+   * exactly once (the previous cache + count + collect triple paid a
+   * cache materialization and an extra job for nothing — measured
+   * 1.60s vs 1.36s on the q48 pipeline at sf0.1). The beyond-driver
+   * regime pays the probe as one extra pipeline pass before the
+   * cached contraction loop — acceptable because crossing it means
+   * >`driverMaxEdges` genuine near-dup pairs, where the contraction
+   * rounds dominate the probe.
    */
   def nearDupClusters(
       pairs: DataFrame,
@@ -412,16 +419,13 @@ object Dedup {
       driverMaxEdges: Long = 4000000): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    // Cached: the size probe and the collect/iteration share one
-    // materialization of the (expensive) candidate pipeline.
     val canonical = pairs
       .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
       .distinct()
-      .cache()
-    if (canonical.count() <= driverMaxEdges) {
-      val edgeList =
-        try canonical.as[(Long, Long)].collect()
-        finally canonical.unpersist()
+    val cap = math.min(driverMaxEdges, Int.MaxValue - 2L).toInt
+    val probe = canonical.limit(cap + 1).as[(Long, Long)].collect()
+    if (probe.length <= cap) {
+      val edgeList = probe
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -444,16 +448,141 @@ object Dedup {
         .map(id => (id, find(id)))
         .toDF("id", "cluster")
     } else {
-      // iterativeClusters returns a localCheckpoint'd result (lineage
-      // severed), so the upstream cache can be dropped immediately —
-      // without this the canonical cache stayed pinned for the session.
-      try iterativeClusters(canonical, maxIter)
-      finally canonical.unpersist()
+      // Cached: the contraction loop's symmetric union reads the
+      // (expensive) candidate pipeline twice per materialization.
+      // starContractClusters returns a localCheckpoint'd result
+      // (lineage severed), so the cache drops immediately after.
+      val cached = canonical.cache()
+      try starContractClusters(cached, maxIter)
+      finally cached.unpersist()
     }
   }
 
-  /** Distributed fallback of [[nearDupClusters]] for edge sets too
-    * large to collect. */
+  /**
+   * Distributed connected components via alternating large-star /
+   * small-star contraction ("Connected Components in MapReduce and
+   * Beyond", Kiveris et al.): each round rewires every node's larger
+   * neighbors (large-star) then its smaller neighbors (small-star)
+   * onto the local minimum, contracting components toward stars
+   * centered at their global minimum in **O(log n) rounds regardless
+   * of graph diameter** — the property min-label propagation lacks
+   * (rounds = diameter there; a pathological duplicate-chain at scale
+   * would crawl).
+   *
+   * Output: (id, cluster) for every node in the edge set, cluster =
+   * the component's minimum id — identical to the driver union-find.
+   *
+   * Scale: each round is two self-contained aggregate+join stages
+   * over the current edge set, which only shrinks toward one edge per
+   * non-root node; state per round is O(edges), never per-component.
+   * Convergence is detected from (count, Σsrc, Σdst) stability —
+   * endpoints only ever decrease toward component minima, so a fully
+   * unchanged triple is a fixpoint of the deterministic round
+   * function; `maxIter` remains the hard stop.
+   */
+  private[graft] def starContractClusters(
+      pairs: DataFrame, maxIter: Int): DataFrame =
+    starContractRounds(pairs, maxIter)._1
+
+  /** [[starContractClusters]] plus the number of contraction rounds
+    * actually run — exposed so tests can pin the O(log n) bound. */
+  private[graft] def starContractRounds(
+      pairs: DataFrame, maxIter: Int): (DataFrame, Int) = {
+    val spark = pairs.sparkSession
+
+    // One round of large-star then small-star. Edges are kept
+    // max→min oriented ("u" > "v") between rounds.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("u"), col("v"))
+        .unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      // m(u) = min(N(u) ∪ {u})
+      val m = sym.groupBy("u").agg(min("v").as("__mn"))
+        .select(col("u"), least(col("u"), col("__mn")).as("__m"))
+      // connect every LARGER neighbor of u to m(u)
+      sym.where(col("v") > col("u"))
+        .join(m, "u")
+        .select(col("v").as("u"), col("__m").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // orient max→min; all neighbors in this view are < u
+      val dir = e.select(
+          greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+      val m = dir.groupBy("u").agg(min("v").as("__m"))
+      // connect u and every smaller neighbor except m itself to m(u)
+      val viaNeighbors = dir.join(m, "u")
+        .where(col("v") =!= col("__m"))
+        .select(col("v").as("u"), col("__m").as("v"))
+      val self = m.select(col("u"), col("__m").as("v"))
+      viaNeighbors.unionByName(self)
+        .where(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    // Each round references the previous edge set ~4× (symmetric
+    // union + aggregate join on both stars), so a cache alone leaves
+    // the LOGICAL plan growing ~4^rounds — analysis/explain blows up
+    // long before execution does. localCheckpoint (eager) severs the
+    // lineage every round, keeping the plan O(1) per round; the
+    // superseded round's checkpoint blocks are freed immediately via
+    // GraftBridge.freeLocalCheckpoint (Dataset.unpersist is a no-op
+    // on checkpoint persistence).
+    var edges = pairs
+      .select(
+        greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    def signature(e: DataFrame): (Long, Long, Long) = {
+      val r = e.agg(
+        count(lit(1)), coalesce(sum("u"), lit(0L)),
+        coalesce(sum("v"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    var prev = signature(edges)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val sig = signature(next)
+      converged = sig == prev
+      prev = sig
+      org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(edges)
+      edges = next
+      i += 1
+    }
+    // At the fixpoint every component is a star (leaf → min-root), so
+    // labels read straight off the edges; the min-aggregate also
+    // makes a maxIter-truncated stop degrade gracefully (best label
+    // reached) instead of emitting conflicting rows. Nodes that only
+    // ever appeared in self-pairs (doc_a == doc_b) have no surviving
+    // edge — the left join against the input's node set restores
+    // them as their own singleton cluster, matching the union-find.
+    val labels = edges.select(col("u").as("id"), col("v").as("cluster"))
+      .unionByName(edges.select(col("v").as("id"), col("v").as("cluster")))
+      .groupBy("id").agg(min("cluster").as("cluster"))
+    val nodes = pairs.select(col("doc_a").as("id"))
+      .unionByName(pairs.select(col("doc_b").as("id")))
+      .distinct()
+    val out = nodes.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+      // Sever the iterative lineage so the working caches can be
+      // released here rather than pinning blocks for the session.
+      .localCheckpoint()
+    org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(edges)
+    (out, i)
+  }
+
+  /** Min-label-propagation reference formulation of distributed
+    * connected components (rounds = graph diameter — superseded in
+    * the [[nearDupClusters]] production path by the O(log n)-round
+    * [[starContractClusters]]; kept as an independent cross-check,
+    * parity-asserted in DedupSpec). */
   private[graft] def iterativeClusters(
       pairs: DataFrame, maxIter: Int): DataFrame = {
     val edges = pairs

@@ -30,4 +30,18 @@ object GraftBridge {
       Option.empty[catalyst.plans.logical.HintInfo],
       Option.empty[Boolean],
       Option.empty[Boolean])
+
+  /** Deterministically free the blocks behind a `localCheckpoint`'d
+    * DataFrame. `Dataset.unpersist()` only consults the CacheManager,
+    * which knows nothing about checkpoint persistence (it lives at
+    * the RDD level inside the plan's `LogicalRDD`), so without this a
+    * superseded checkpoint lingers until driver GC + ContextCleaner
+    * get around to it — executor memory held hostage to driver GC
+    * timing. Iterative algorithms call this on round N's frame once
+    * round N+1 has materialized. */
+  def freeLocalCheckpoint(df: Dataset[_]): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

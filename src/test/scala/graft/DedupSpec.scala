@@ -117,10 +117,64 @@ class DedupSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(out === expected)
     assert(out.count { case (id, c) => id == c } === 3)
-    // ...and the distributed label-propagation path agree exactly.
+    // ...and both distributed formulations agree exactly.
     val iter = graft.operators.Dedup.iterativeClusters(pairs, maxIter = 20)
       .as[(Long, Long)].collect().toMap
     assert(iter === expected)
+    val star = graft.operators.Dedup
+      .starContractClusters(
+        pairs.select($"doc_a".cast("long"), $"doc_b".cast("long")),
+        maxIter = 20)
+      .as[(Long, Long)].collect().toMap
+    assert(star === expected)
+  }
+
+  test("starContractClusters: 128-node path converges in O(log n) rounds, not diameter") {
+    // A single path 0-1-2-...-127: the worst case for min-label
+    // propagation (needs ~diameter = 127 rounds). Star contraction
+    // must collapse it to cluster 0 well inside a logarithmic round
+    // budget — this is the scale guarantee for pathological
+    // duplicate-chains at 100 TB.
+    val n = 128
+    val pairs = (0 until n - 1).map(i => (i.toLong, i + 1L))
+      .toDF("doc_a", "doc_b")
+    val (out, rounds) = graft.operators.Dedup
+      .starContractRounds(pairs, maxIter = 20)
+    val labels = out.as[(Long, Long)].collect().toMap
+    assert(labels.size === n)
+    assert(labels.values.forall(_ == 0L), s"non-zero labels: ${labels.filter(_._2 != 0L)}")
+    assert(rounds <= 12, s"path-128 took $rounds rounds (diameter-bound behavior)")
+
+    // Self-pair-only nodes survive as singleton clusters (union-find parity).
+    val selfy = Seq((5L, 5L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val selfOut = graft.operators.Dedup
+      .starContractClusters(selfy, maxIter = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(selfOut === Map(5L -> 5L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("starContractClusters: random-graph parity with driver union-find") {
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+    val pairs = edges.toDF("doc_a", "doc_b")
+    // Driver union-find ground truth (nearDupClusters with everything
+    // under the probe cap takes that path). The driver path is a
+    // single collect — it must leave NO cached RDDs behind.
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
+    val uf = graft.operators.Dedup.nearDupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(spark.sparkContext.getPersistentRDDs.size === persistedBefore,
+      "driver-path nearDupClusters leaked a cached RDD")
+    val star = graft.operators.Dedup
+      .starContractClusters(
+        pairs.select($"doc_a".cast("long"), $"doc_b".cast("long")),
+        maxIter = 30)
+      .as[(Long, Long)].collect().toMap
+    assert(star === uf)
+    // The star path's working caches are all released; only the
+    // returned frame's localCheckpoint block may remain.
+    assert(spark.sparkContext.getPersistentRDDs.size <= persistedBefore + 1,
+      "starContractClusters leaked working caches")
   }
 
   test("rolling chunks: contiguous full coverage, stable under prefix edits") {
