@@ -526,18 +526,30 @@ object Dedup {
     // Each round references the previous edge set ~4× (symmetric
     // union + aggregate join on both stars), so a cache alone leaves
     // the LOGICAL plan growing ~4^rounds — analysis/explain blows up
-    // long before execution does. localCheckpoint (eager) severs the
-    // lineage every round, keeping the plan O(1) per round; the
-    // superseded round's checkpoint blocks are freed immediately via
-    // GraftBridge.freeLocalCheckpoint (Dataset.unpersist is a no-op
-    // on checkpoint persistence).
-    var edges = pairs
+    // long before execution does. A checkpoint (eager) severs the
+    // lineage every round, keeping the plan O(1) per round.
+    //
+    // Durability: localCheckpoint blocks die with their executor and
+    // BY DESIGN cannot be recomputed (lineage severed) — on a real
+    // cluster one lost executor kills an O(log n)-round job. When the
+    // caller has set a checkpoint dir (`sc.setCheckpointDir`), every
+    // round barrier is a RELIABLE checkpoint instead: round state
+    // lives in the fault-tolerant FS and survives executor loss.
+    // local[32] (and the sbt suite) runs the localCheckpoint fast
+    // path; cluster deployments opt into durability with one line.
+    // Reliable-mode checkpoint files are reclaimed by the caller
+    // dropping the checkpoint dir (or
+    // spark.cleaner.referenceTracking.cleanCheckpoints=true); the
+    // freeLocalCheckpoint calls below are block-level and no-op there.
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    def barrier(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    var edges = barrier(pairs
       .select(
         greatest(col("doc_a"), col("doc_b")).as("u"),
         least(col("doc_a"), col("doc_b")).as("v"))
       .where(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
     def signature(e: DataFrame): (Long, Long, Long) = {
       val r = e.agg(
         count(lit(1)), coalesce(sum("u"), lit(0L)),
@@ -548,7 +560,7 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val next = barrier(smallStar(largeStar(edges)))
       val sig = signature(next)
       converged = sig == prev
       prev = sig
@@ -556,6 +568,16 @@ object Dedup {
       edges = next
       i += 1
     }
+    if (!converged)
+      // A maxIter-truncated run degrades GRACEFULLY (best label
+      // reached, no conflicting rows — see the label read below) but
+      // one component split across cluster ids means silent
+      // under-deduplication; make that observable, not silent.
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"starContractClusters stopped at maxIter=$maxIter " +
+          "without converging; labels may be non-minimal " +
+          "(one component split across several cluster ids). " +
+          "Re-run with a larger maxIter.")
     // At the fixpoint every component is a star (leaf → min-root), so
     // labels read straight off the edges; the min-aggregate also
     // makes a maxIter-truncated stop degrade gracefully (best label
@@ -569,11 +591,11 @@ object Dedup {
     val nodes = pairs.select(col("doc_a").as("id"))
       .unionByName(pairs.select(col("doc_b").as("id")))
       .distinct()
-    val out = nodes.join(labels, Seq("id"), "left")
-      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
-      // Sever the iterative lineage so the working caches can be
-      // released here rather than pinning blocks for the session.
-      .localCheckpoint()
+    // The final barrier severs the iterative lineage so the working
+    // caches can be released here rather than pinning blocks for the
+    // session.
+    val out = barrier(nodes.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster")))
     org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(edges)
     (out, i)
   }

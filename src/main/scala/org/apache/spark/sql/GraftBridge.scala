@@ -38,9 +38,15 @@ object GraftBridge {
     * superseded checkpoint lingers until driver GC + ContextCleaner
     * get around to it — executor memory held hostage to driver GC
     * timing. Iterative algorithms call this on round N's frame once
-    * round N+1 has materialized. */
+    * round N+1 has materialized.
+    *
+    * Contract: `df` must ITSELF be the checkpoint — only a root
+    * `LogicalRDD` is unpersisted. Matching anywhere deeper would free
+    * the only data copy of any OTHER live checkpointed frame embedded
+    * in a derived plan (lineage is truncated, so its blocks are
+    * unrecoverable), a footgun this root-only match rules out. */
   def freeLocalCheckpoint(df: Dataset[_]): Unit =
-    df.queryExecution.analyzed.foreach {
+    df.queryExecution.analyzed match {
       case lr: execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
       case _ => ()
     }

@@ -153,6 +153,25 @@ class DedupSpec extends AnyFunSuite {
     assert(selfOut === Map(5L -> 5L, 7L -> 7L, 8L -> 7L))
   }
 
+  /** Poll until the set of persisted RDD ids NEWLY created since
+    * `before` shrinks to ≤ `allowed`, tolerating the in-flight async
+    * work this census must not race: `unpersist(blocking = false)`
+    * calls issued by the code under test and ContextCleaner activity
+    * reclaiming EARLIER tests' blocks (disappearances of pre-existing
+    * ids are ignored entirely — only ids this call created count). */
+  private def assertNoNewPersistedRdds(
+      before: Set[Int], allowed: Int, what: String): Unit = {
+    val sc = spark.sparkContext
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    var leaked = sc.getPersistentRDDs.keySet.toSet -- before
+    while (leaked.size > allowed && System.nanoTime() < deadline) {
+      Thread.sleep(50)
+      leaked = sc.getPersistentRDDs.keySet.toSet -- before
+    }
+    assert(leaked.size <= allowed,
+      s"$what leaked persisted RDD ids $leaked (allowed $allowed)")
+  }
+
   test("starContractClusters: random-graph parity with driver union-find") {
     val rnd = new scala.util.Random(42)
     val edges = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
@@ -160,11 +179,11 @@ class DedupSpec extends AnyFunSuite {
     // Driver union-find ground truth (nearDupClusters with everything
     // under the probe cap takes that path). The driver path is a
     // single collect — it must leave NO cached RDDs behind.
-    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
+    val beforeUf = spark.sparkContext.getPersistentRDDs.keySet.toSet
     val uf = graft.operators.Dedup.nearDupClusters(pairs)
       .as[(Long, Long)].collect().toMap
-    assert(spark.sparkContext.getPersistentRDDs.size === persistedBefore,
-      "driver-path nearDupClusters leaked a cached RDD")
+    assertNoNewPersistedRdds(beforeUf, 0, "driver-path nearDupClusters")
+    val beforeStar = spark.sparkContext.getPersistentRDDs.keySet.toSet
     val star = graft.operators.Dedup
       .starContractClusters(
         pairs.select($"doc_a".cast("long"), $"doc_b".cast("long")),
@@ -173,8 +192,32 @@ class DedupSpec extends AnyFunSuite {
     assert(star === uf)
     // The star path's working caches are all released; only the
     // returned frame's localCheckpoint block may remain.
-    assert(spark.sparkContext.getPersistentRDDs.size <= persistedBefore + 1,
-      "starContractClusters leaked working caches")
+    assertNoNewPersistedRdds(beforeStar, 1, "starContractClusters")
+  }
+
+  test("starContractRounds: reliable checkpoint barrier when a checkpoint dir is set") {
+    // On a real cluster localCheckpoint blocks die with their executor
+    // and cannot be recomputed; setting a checkpoint dir must switch
+    // every round barrier to a reliable FS checkpoint with identical
+    // results. (The dir stays set for the rest of this suite's JVM —
+    // harmless: it only changes which barrier starContractRounds picks.)
+    // NOT deleted afterwards: sc.checkpointDir cannot be unset, and a
+    // dangling dir would crash any later reliable checkpoint in this
+    // JVM. A few KB in the test tmpdir is the cheaper trade.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val pairs = (0 until 63).map(i => (i.toLong, i + 1L))
+      .toDF("doc_a", "doc_b")
+    val (out, rounds) = graft.operators.Dedup
+      .starContractRounds(pairs, maxIter = 20)
+    val labels = out.as[(Long, Long)].collect().toMap
+    assert(labels.size === 64)
+    assert(labels.values.forall(_ == 0L))
+    assert(rounds <= 12)
+    // Reliable round state actually landed in the fault-tolerant dir.
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    assert(files > 0, "no reliable checkpoint files were written")
   }
 
   test("rolling chunks: contiguous full coverage, stable under prefix edits") {
