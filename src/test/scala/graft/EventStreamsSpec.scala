@@ -118,6 +118,78 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("parity: streamingExactDedup keeps exactly Dedup.exact's survivors") {
+    // Strongest correctness signal available for the streaming family:
+    // run the SAME corpus through the streaming dedup (3 micro-batches,
+    // ids arriving in order so first-seen == min-id) and the batch
+    // operator, and demand row-identical survivors.
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(7)
+    val texts = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta")
+    val corpus = (1L to 60L).map(i => (i, texts(rnd.nextInt(texts.size))))
+    val input = MemoryStream[(Long, String)]
+    val deduped = EventStreams.streamingExactDedup(
+      input.toDF.toDF("doc_id", "text"), "text")
+    val q = deduped.writeStream
+      .format("memory").queryName("parity_dedup").outputMode("append").start()
+    try {
+      corpus.grouped(20).foreach { batch =>
+        input.addData(batch: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("parity_dedup")
+        .as[(Long, String)].collect().toSet
+      val batch = graft.operators.Dedup
+        .exact(corpus.toDF("doc_id", "text"), "text", "doc_id")
+        .select("doc_id", "text").as[(Long, String)].collect().toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("parity: streaming sessionize matches batch Sessionize.sessionStats") {
+    // Same events through the stateful streaming sessionizer (all real
+    // events in one batch, then two far-future flusher batches so every
+    // open session times out) and the batch gaps-and-islands operator.
+    // Closed sessions must be row-identical: (key, start, end, count).
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(11)
+    val events = for {
+      user <- 1L to 5L
+      // Cumulative gaps straddle the 10s threshold on both sides,
+      // including the == boundary (gap must be STRICTLY > to split).
+      t <- Iterator.iterate(1L + rnd.nextInt(5))(
+        _ + Seq(2L, 5L, 10L, 11L, 30L)(rnd.nextInt(5))).take(25).toSeq
+    } yield (user, ts(t))
+    val flushKey = 99L
+
+    val input = MemoryStream[(Long, Timestamp)]
+    val sessions = EventStreams.sessionize(
+      input.toDF.toDF("user_id", "ts"),
+      "user_id", "ts", gapSeconds = 10, watermarkDelay = "0 seconds")
+    val q = sessions.writeStream
+      .format("memory").queryName("parity_sessions").outputMode("append").start()
+    try {
+      input.addData(events: _*)
+      q.processAllAvailable()
+      input.addData((flushKey, ts(100000))) // watermark past every last+gap
+      q.processAllAvailable()
+      input.addData((flushKey, ts(200000))) // next batch fires the timeouts
+      q.processAllAvailable()
+      val streamed = spark.table("parity_sessions")
+        .as[graft.streaming.Session].collect()
+        .filter(_.key != flushKey)
+        .map(s => (s.key, s.start, s.end, s.nEvents.toLong)).toSet
+      val batch = graft.operators.Sessionize
+        .sessionStats(events.toDF("user_id", "ts"),
+          "user_id", "ts", tieCol = "ts", gapSeconds = 10)
+        .select("user_id", "session_start", "session_end", "n_events")
+        .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty && streamed.size >= 5)
+    } finally q.stop()
+  }
+
   test("streamingHeavyHitters keeps hot tokens across batches in bounded state") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[String]
