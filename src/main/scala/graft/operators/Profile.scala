@@ -19,23 +19,30 @@ import org.apache.spark.sql.types.DecimalType
  * this shape is bit-reproducible across engines and partitionings
  * for any column exactly representable at `scale` (integers, money).
  *
- * Scale: one partial-aggregated pass; the multi-distinct plans as a
- * single Expand (the q59 multi-distinct shape), so distinct counts
- * add one reshuffle level, not one pass per column. For 100 TB
- * profiling where exact distinct is not required, swap
- * `countDistinct` for `approx_count_distinct` — the rest of the
- * plan is unchanged.
+ * Scale: one partial-aggregated pass. With exact distinct counts
+ * (`approxDistinct = false`, the oracle-pinnable default) the
+ * multi-distinct plans as a single Expand (the q59 multi-distinct
+ * shape) — ONE reshuffle level, but the Expand multiplies scanned
+ * rows by the number of profiled columns. `approxDistinct = true` is
+ * the 100 TB path: HLL++ sketches (rsd 1%) are plain mergeable
+ * aggregates, so the Expand disappears and the whole profile is a
+ * single partial-combined pass regardless of column count; every
+ * other statistic is unchanged.
  */
 object Profile {
 
-  def numeric(df: DataFrame, cols: Seq[String], scale: Int = 2): DataFrame = {
+  def numeric(df: DataFrame, cols: Seq[String], scale: Int = 2,
+      approxDistinct: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "need at least one column to profile")
     def d(c: String) = col(c).cast(DecimalType(18, scale))
+    def distinctAgg(c: String) =
+      if (approxDistinct) approx_count_distinct(col(c), rsd = 0.01)
+      else countDistinct(col(c))
     val metrics = cols.flatMap { c =>
       Seq(
         count(col(c)).cast("double").as(s"${c}__count"),
         (count(lit(1)) - count(col(c))).cast("double").as(s"${c}__nulls"),
-        countDistinct(col(c)).cast("double").as(s"${c}__distinct"),
+        distinctAgg(c).cast("double").as(s"${c}__distinct"),
         min(d(c)).cast("double").as(s"${c}__min"),
         max(d(c)).cast("double").as(s"${c}__max"),
         sum(d(c)).cast("double").as(s"${c}__sum"),

@@ -45,22 +45,38 @@ object RelationalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // ROLLUP (region → nation → grand total) revenue. One shuffle:
-    // Expand emits one row per grouping set pre-exchange and partial
-    // aggregation combines map-side, so the subtotal levels do NOT
-    // multiply shuffle volume by re-scanning. grouping_id()
-    // disambiguates subtotal NULLs from (hypothetical) NULL keys.
+    // ROLLUP (region → nation → grand total) revenue. The FACT is
+    // pre-aggregated to one (custkey, revenue, n_orders) row BEFORE
+    // the dim joins, so the rollup Expand (which multiplies its input
+    // by #grouping-sets) consumes customer-cardinality input, not
+    // orders-cardinality — at 100 TB that divides the Expand+exchange
+    // volume by the orders-per-customer factor. The custkey pre-agg
+    // partial-combines map-side; sums stay DECIMAL-exact until the
+    // final cast. grouping_id() disambiguates subtotal NULLs from
+    // (hypothetical) NULL keys.
     "q49_rollup_revenue" -> ((s, dir) => {
+      val byCust = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(
+          sum(dec("o_totalprice")).as("cust_rev"),
+          count(lit(1)).as("cust_orders"))
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
       // rollup MUST take bare Column refs here: the String overload
       // resolves via Dataset.col, whose dataset-id metadata the rollup
       // Expand then duplicates — tripping DetectAmbiguousSelfJoin on
       // any multi-join input. The pre-select states the pruned set.
-      val g = ordersGeo(s, dir)
-        .select(col("r_name"), col("n_name"), col("o_totalprice"))
+      val g = byCust
+        .join(c, byCust("o_custkey") === c("c_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .select(col("r_name"), col("n_name"),
+          col("cust_rev"), col("cust_orders"))
         .rollup(col("r_name"), col("n_name"))
         .agg(
-          sum(dec("o_totalprice")).cast("double").as("revenue"),
-          count(lit(1)).as("n_orders"),
+          sum(col("cust_rev")).cast("double").as("revenue"),
+          sum(col("cust_orders")).as("n_orders"),
           grouping_id().as("gid"))
       // Sort via g's OWN attributes: a bare col("r_name") after
       // rollup+agg is flagged ambiguous (pre- vs post-aggregate

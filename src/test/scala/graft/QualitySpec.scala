@@ -70,4 +70,31 @@ class QualitySpec extends AnyFunSuite {
     assert(stats("std") === 0.0, "degenerate variance must pin to 0.0")
     assert(!stats.values.exists(_.isNaN))
   }
+
+  test("profiler approxDistinct: no Expand in the plan, sketch-exact at small cardinality") {
+    // Exact multi-distinct plans an Expand multiplying scanned rows by
+    // the number of profiled columns; the 100 TB path must not.
+    val df = (1L to 400L).map(i => (i % 37, i % 11, i.toDouble))
+      .toDF("a", "b", "c")
+    val approx = Profile.numeric(df, Seq("a", "b", "c"), approxDistinct = true)
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"),
+      s"approx profile must be a single pass with no Expand:\n$plan")
+    val exactPlan = Profile.numeric(df, Seq("a", "b", "c"))
+      .queryExecution.executedPlan.toString
+    assert(exactPlan.contains("Expand"),
+      "exact multi-distinct is expected to plan via Expand (control)")
+    // Every non-distinct stat is computed identically; distinct is a
+    // sketch estimate — demand it inside a 2% envelope (2× the rsd).
+    val ax = approx.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val ex = Profile.numeric(df, Seq("a", "b", "c")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val (dist, rest) = ax.partition(_._1._2 == "distinct")
+    assert(rest === ex.filter(_._1._2 != "distinct"))
+    dist.foreach { case (k, est) =>
+      assert(math.abs(est - ex(k)) <= math.max(1.0, 0.02 * ex(k)),
+        s"$k: approx $est vs exact ${ex(k)} outside 2% envelope")
+    }
+  }
 }
