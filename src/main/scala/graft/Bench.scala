@@ -91,10 +91,36 @@ object Bench {
     // Failures carry a marker in the JSON itself — a broken query's
     // near-zero wall time must not read as a speedup downstream.
     val failJson = failures.toSeq.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Regression tripwire: compare per-query times against the
+    // committed previous round (BENCH_BASELINE.json, refreshed each
+    // round) and flag loudly. The measured run-to-run envelope on
+    // second-tier queries is ±50%, so only a >1.5× slowdown that is
+    // ALSO >300ms absolute trips — small queries jitter across that
+    // ratio on machine noise alone. Advisory (stderr + JSON field),
+    // never a nonzero exit: the driver must still get its metric line.
+    val prevPath =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "BENCH_BASELINE.json")
+    val regressions: Seq[String] =
+      if (!Files.exists(Paths.get(prevPath))) Nil
+      else {
+        val prev = """"(q\d[^"]*)":([0-9.eE+-]+)""".r
+          .findAllMatchIn(Files.readString(Paths.get(prevPath)))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        results.flatMap { case (n, t) =>
+          prev.get(n).collect {
+            case p if t > p * 1.5 && t - p > 0.3 =>
+              System.err.println(
+                f"[bench] TRIPWIRE $n%s: $t%.2fs vs prev $p%.2fs (${t / p}%.2fx)")
+              n
+          }
+        }
+      }
+    val regJson = regressions.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,""" +
         s""""baseline14_subtotal":$baselineSubtotal,"n_queries":${results.size},""" +
-        s""""timing":"min_of_2_passes","failures":$failJson,"sf":"$sfDir"}"""
+        s""""timing":"min_of_2_passes","failures":$failJson,""" +
+        s""""regressions":$regJson,"sf":"$sfDir"}"""
     println(line)
     try {
       Files.createDirectories(Paths.get("target"))
