@@ -132,4 +132,56 @@ object Relevance {
         round(log(col("n_tokens").cast("double")) - col("s") / col("n_tokens"), 6)
           .as("entropy"))
   }
+
+  /**
+   * Bigram language-model quality scoring (CCNet-style perplexity
+   * filtering): train add-one-smoothed bigram MLE counts on the
+   * corpus itself, then score every document by its mean log bigram
+   * probability and the corresponding perplexity —
+   * P(b|a) = (C(a,b) + 1) / (C(a) + V), V = distinct successor
+   * tokens. Templated/natural text scores low perplexity against a
+   * model trained on the same corpus; gibberish and boilerplate-
+   * stripped fragments score high — the classic LM quality dial.
+   *
+   * Docs with fewer than two tokens emit no bigrams and drop out.
+   *
+   * Scale: the bigram frame is ONE explode off the scan (no
+   * self-join); model tables aggregate to distinct-bigram /
+   * distinct-token cardinality — Zipf-sublinear in corpus size — and
+   * join back on uniform bigram keys (the stopword-skewed context
+   * join is AQE's skew-join case); V rides as a one-row cross join,
+   * never a collect. At 100 TB the standard deployment prunes the
+   * model to top-V bigrams and broadcasts it; the full-model join
+   * here is the exact-oracle formulation.
+   */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val pairs = docs
+      .select(col(idCol), split(col(textCol), " ").as("t"))
+      .where(size(col("t")) >= 2)
+      // sequence(1, 0) would DESCEND ([1,0]) rather than empty — the
+      // size guard above keeps every sequence ascending.
+      .select(col(idCol), explode(expr(
+        "transform(sequence(1, size(t) - 1), " +
+          "i -> struct(element_at(t, i) AS a, element_at(t, i + 1) AS b))"))
+        .as("bg"))
+      .select(col(idCol), col("bg.a").as("a"), col("bg.b").as("b"))
+    val bg = pairs.groupBy("a", "b").agg(count(lit(1)).as("cab"))
+    val ctx = pairs.groupBy("a").agg(count(lit(1)).as("ca"))
+    val voc = pairs.agg(countDistinct(col("b")).as("v"))
+    val scored = pairs
+      .join(bg, Seq("a", "b"))
+      .join(ctx, Seq("a"))
+      .crossJoin(voc)
+      .withColumn("lp",
+        log((col("cab").cast("double") + 1.0) /
+          (col("ca").cast("double") + col("v").cast("double"))))
+    scored
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum("lp").as("slp"))
+      .select(
+        col(idCol),
+        col("n_bigrams"),
+        round(col("slp") / col("n_bigrams"), 6).as("avg_logp"),
+        round(exp(-col("slp") / col("n_bigrams")), 6).as("ppl"))
+  }
 }

@@ -106,6 +106,15 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Bigram LM quality scoring (CCNet-style perplexity filtering):
+    // corpus-trained add-one-smoothed bigram model, per-doc mean log
+    // probability + perplexity. Model tables are Zipf-bounded; the
+    // bigram frame is one explode off the scan.
+    "q92_lm_perplexity" -> ((s, dir) => {
+      Relevance.bigramLogProb(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // SimHash 64-bit fingerprints — shuffle-free, via the custom
     // codegen'd Catalyst expression (bit-identical to the HOF
     // formulation and the DuckDB oracle).
@@ -786,6 +795,36 @@ object PipelineQueries {
         |        - SUM(CAST(tf AS DOUBLE) * ln(CAST(tf AS DOUBLE)))
         |          / CAST(SUM(tf) AS DOUBLE), 6) AS entropy
         |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q92_lm_perplexity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2
+        |), idx AS (
+        |  SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        |  FROM toks
+        |), pairs AS (
+        |  SELECT doc_id, t[i] AS a, t[i + 1] AS b FROM idx
+        |), bg AS (
+        |  SELECT a, b, COUNT(*) AS cab FROM pairs GROUP BY a, b
+        |), ctx AS (
+        |  SELECT a, COUNT(*) AS ca FROM pairs GROUP BY a
+        |), voc AS (
+        |  SELECT COUNT(DISTINCT b) AS v FROM pairs
+        |)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  round(SUM(ln((CAST(cab AS DOUBLE) + 1.0)
+        |              / (CAST(ca AS DOUBLE) + CAST(v AS DOUBLE))))
+        |        / COUNT(*), 6) AS avg_logp,
+        |  round(exp(-SUM(ln((CAST(cab AS DOUBLE) + 1.0)
+        |                   / (CAST(ca AS DOUBLE) + CAST(v AS DOUBLE))))
+        |            / COUNT(*)), 6) AS ppl
+        |FROM pairs
+        |JOIN bg USING (a, b)
+        |JOIN ctx USING (a)
+        |CROSS JOIN voc
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "q18_simhash" ->
       """WITH toks AS (

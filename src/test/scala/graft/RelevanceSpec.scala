@@ -67,4 +67,26 @@ class RelevanceSpec extends AnyFunSuite {
     assert(math.abs(e(1L) - math.log(4.0)) < 1e-6)
     assert(e(2L) === 0.0)
   }
+
+  test("bigram LM: hand-computed smoothed log-probs; short docs drop out") {
+    // Corpus bigrams: d1 -> (a,b),(b,a),(a,b); d2 -> (a,b).
+    // C(a,b)=3, C(b,a)=1; C(a)=3, C(b)=1; V = |{a,b}| = 2.
+    // P(b|a) = (3+1)/(3+2) = 0.8; P(a|b) = (1+1)/(1+2) = 2/3.
+    val docs = Seq(
+      (1L, "a b a b"),
+      (2L, "a b"),
+      (3L, "c") // single token: no bigrams, dropped
+    ).toDF("doc_id", "text")
+    val out = Relevance.bigramLogProb(docs, "doc_id", "text")
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out.keySet === Set(1L, 2L))
+    val d1avg = (2 * math.log(0.8) + math.log(2.0 / 3)) / 3
+    assert(out(1L)._1 === 3L)
+    assert(math.abs(out(1L)._2 - d1avg) < 1e-6)
+    assert(math.abs(out(1L)._3 - math.exp(-d1avg)) < 1e-5)
+    assert(out(2L)._1 === 1L)
+    assert(math.abs(out(2L)._2 - math.log(0.8)) < 1e-6)
+    assert(math.abs(out(2L)._3 - 1.25) < 1e-6)
+  }
 }
