@@ -440,6 +440,58 @@ object Similarity {
   }
 
   /**
+   * SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup:
+   * Data-efficient learning at web-scale through semantic
+   * deduplication", 2023): partition the corpus into `nlist` Voronoi
+   * cells, then WITHIN each cell suppress every vector whose cosine
+   * to a lower-id cell-mate reaches `minCosine` — one survivor per
+   * semantic near-dup group, chosen deterministically (min id).
+   *
+   * Output: (vec_id, cell, dup_of, is_kept) where `dup_of` is the
+   * LOWEST suppressing cell-mate id (NULL for kept rows).
+   *
+   * Scale: this is exactly the published algorithm's shape — the
+   * quadratic pairwise compare is confined to a cell, so cost is
+   * Σ |cell|² not n²; `nlist` is the dial that keeps cells bounded as
+   * the corpus grows (SemDeDup used k≈110k for LAION-440M, cells of
+   * ~4k). Cell assignment is a shuffle-free projection against
+   * literal centroids; the only exchange hashes by cell key. Skewed
+   * cells are AQE's skew-join case; a production run trains centroids
+   * offline ([[trainCentroids]]) sized so cells fit comfortably.
+   */
+  def semanticDedup(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int,
+      minCosine: Double): DataFrame = {
+    val seeds = ivfSeeds(corpus, idCol, vecCol, nlist)
+    val c = corpus
+      .select(col(idCol).as("vec_id"), toDoubleVec(col(vecCol)).as("__v"))
+      .withColumn("__cell", ivfCell(col("__v"), seeds))
+      .withColumn("__norm", norm(col("__v")))
+    val x = c.select(
+      col("__cell"), col("vec_id").as("__xid"),
+      col("__v").as("__xv"), col("__norm").as("__xn"))
+    val y = c.select(
+      col("__cell"), col("vec_id").as("__yid"),
+      col("__v").as("__yv"), col("__norm").as("__yn"))
+    // Lower-id neighbor wins: y is suppressed by the smallest x in
+    // its cell with cos(x, y) >= minCosine.
+    val dups = x.join(y, Seq("__cell"))
+      .where(col("__xid") < col("__yid"))
+      .where(
+        dot(col("__xv"), col("__yv")) / (col("__xn") * col("__yn"))
+          >= minCosine)
+      .groupBy(col("__yid").as("vec_id"))
+      .agg(min(col("__xid")).as("dup_of"))
+    c.join(dups, Seq("vec_id"), "left")
+      .select(
+        col("vec_id"), col("__cell").as("cell"), col("dup_of"),
+        col("dup_of").isNull.as("is_kept"))
+  }
+
+  /**
    * Scalar int8 quantization of an embedding column: per-vector
    * affine codes `q = floor((x − min)/scale + 0.5)` with
    * `scale = (max − min)/255` — the standard storage-compression

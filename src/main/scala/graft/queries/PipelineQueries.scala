@@ -180,6 +180,15 @@ object PipelineQueries {
         .orderBy("probe_id", "rank")
     }),
 
+    // SemDeDup semantic deduplication: Voronoi-cell partition, then
+    // within-cell cosine suppression keeping the min id per semantic
+    // group — pairwise work confined to cells (Σ|cell|², never n²).
+    "q93_semantic_dedup" -> ((s, dir) => {
+      Similarity.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+          nlist = 8, minCosine = 0.35)
+        .orderBy("vec_id")
+    }),
+
     // Per-language corpus statistics (counts exact; avg from exact
     // integer sums).
     "q22_text_stats" -> ((s, dir) => {
@@ -1028,6 +1037,54 @@ object PipelineQueries {
         |  JOIN nrm nv ON nv.vec_id = d.vec_id)
         |WHERE rank <= 5
         |ORDER BY probe_id, rank""".stripMargin,
+
+    "q93_semantic_dedup" ->
+      """WITH el AS (
+        |  SELECT vec_id, generate_subscripts(embedding,1) AS d,
+        |         unnest(embedding)::DOUBLE AS x
+        |  FROM embeddings
+        |), nrm AS (
+        |  SELECT vec_id, sqrt(SUM(x*x)) AS n FROM el GROUP BY vec_id
+        |), seed_ids AS (
+        |  SELECT vec_id AS cell_vid,
+        |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
+        |  FROM embeddings ORDER BY vec_id LIMIT 8
+        |), scell AS (
+        |  SELECT s.cell, e.d, e.x, n.n
+        |  FROM seed_ids s JOIN el e ON e.vec_id = s.cell_vid
+        |  JOIN nrm n ON n.vec_id = s.cell_vid
+        |), vc AS (
+        |  SELECT e.vec_id, s.cell, SUM(e.x * s.x) / (nv.n * any_value(s.n)) AS cos
+        |  FROM el e JOIN scell s ON s.d = e.d
+        |  JOIN nrm nv ON nv.vec_id = e.vec_id
+        |  GROUP BY e.vec_id, s.cell, nv.n
+        |), assign AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS rn
+        |    FROM vc) WHERE rn = 1
+        |), pairs AS (
+        |  SELECT ax.vec_id AS xid, ay.vec_id AS yid
+        |  FROM assign ax JOIN assign ay
+        |    ON ax.cell = ay.cell AND ax.vec_id < ay.vec_id
+        |), dots AS (
+        |  SELECT p.yid, p.xid, SUM(ex.x * ey.x) AS dp
+        |  FROM pairs p
+        |  JOIN el ex ON ex.vec_id = p.xid
+        |  JOIN el ey ON ey.vec_id = p.yid AND ey.d = ex.d
+        |  GROUP BY p.yid, p.xid
+        |), dup AS (
+        |  SELECT d.yid AS vec_id, MIN(d.xid) AS dup_of
+        |  FROM dots d
+        |  JOIN nrm nx ON nx.vec_id = d.xid
+        |  JOIN nrm ny ON ny.vec_id = d.yid
+        |  WHERE d.dp / (nx.n * ny.n) >= 0.35
+        |  GROUP BY d.yid
+        |)
+        |SELECT a.vec_id, CAST(a.cell AS INT) AS cell, dup.dup_of,
+        |  dup.dup_of IS NULL AS is_kept
+        |FROM assign a LEFT JOIN dup ON dup.vec_id = a.vec_id
+        |ORDER BY a.vec_id""".stripMargin,
 
     "q22_text_stats" ->
       """SELECT lang, count(*) AS n_docs,

@@ -199,4 +199,29 @@ class SimilaritySpec extends AnyFunSuite {
       df, "vec_id", "embedding", k = 5, maxIter = 5)
     assert(trained.length === 5) // empty cells keep their seed centroid
   }
+
+  test("semanticDedup: min-id survivor per within-cell cosine group") {
+    // Single cell (nlist=1). v2 duplicates v1 exactly; v3's cosine to
+    // v1 is 0.9/0.90554 ≈ 0.9938 ≥ 0.95; v4 is orthogonal and kept.
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f)),
+      (3L, Array(0.9f, 0.1f)),
+      (4L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity
+      .semanticDedup(df, "vec_id", "embedding", nlist = 1, minCosine = 0.95)
+      .select("vec_id", "dup_of", "is_kept")
+      .as[(Long, Option[Long], Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) === ((None, true)))
+    assert(out(2L) === ((Some(1L), false)))
+    assert(out(3L) === ((Some(1L), false)))
+    assert(out(4L) === ((None, true)))
+    // Threshold above every cross-pair cosine keeps everything.
+    val all = Similarity
+      .semanticDedup(df, "vec_id", "embedding", nlist = 1, minCosine = 1.01)
+      .where(col("is_kept")).count()
+    assert(all === 4)
+  }
 }
