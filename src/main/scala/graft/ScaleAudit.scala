@@ -53,7 +53,8 @@ object ScaleAudit {
     "q31_ivf_search", "q36_asof_join", "q48_dedup_clusters",
     "q49_rollup_revenue", "q54_rank_family", "q59_distinct_agg",
     "q71_tfidf", "q72_sessionize", "q80_merge_changelog",
-    "q86_profile", "q87_incremental_dedup", "q90_cumulative_users")
+    "q86_profile", "q87_incremental_dedup", "q90_cumulative_users",
+    "q92_lm_perplexity", "q93_semantic_dedup")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
