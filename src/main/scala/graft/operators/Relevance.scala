@@ -138,8 +138,9 @@ object Relevance {
    * filtering): train add-one-smoothed bigram MLE counts on the
    * corpus itself, then score every document by its mean log bigram
    * probability and the corresponding perplexity —
-   * P(b|a) = (C(a,b) + 1) / (C(a) + V), V = distinct successor
-   * tokens. Templated/natural text scores low perplexity against a
+   * P(b|a) = (C(a,b) + 1) / (C(a) + V), V = the context vocabulary
+   * (distinct tokens with at least one successor). Templated/natural
+   * text scores low perplexity against a
    * model trained on the same corpus; gibberish and boilerplate-
    * stripped fragments score high — the classic LM quality dial.
    *
@@ -166,11 +167,19 @@ object Relevance {
         .as("bg"))
       .select(col(idCol), col("bg.a").as("a"), col("bg.b").as("b"))
     val bg = pairs.groupBy("a", "b").agg(count(lit(1)).as("cab"))
-    val ctx = pairs.groupBy("a").agg(count(lit(1)).as("ca"))
-    val voc = pairs.agg(countDistinct(col("b")).as("v"))
+    // Context totals C(a) = Σ_b C(a,b) ride a WINDOW over the
+    // Zipf-bounded bigram table — not a second aggregation of the
+    // corpus-sized pairs frame. (Deriving them via bg.groupBy looks
+    // free but is not: without a cache the registry query would
+    // re-execute the bigram subtree per statistic, and exchange reuse
+    // cannot dedupe it — the HOF lambda ids inside defeat plan
+    // canonicalization; measured, not guessed.) One (a,b)-keyed model
+    // join then carries BOTH statistics to the scoring pass.
+    val model = bg.withColumn(
+      "ca", sum(col("cab")).over(Window.partitionBy(col("a"))))
+    val voc = pairs.agg(countDistinct(col("a")).as("v"))
     val scored = pairs
-      .join(bg, Seq("a", "b"))
-      .join(ctx, Seq("a"))
+      .join(model, Seq("a", "b"))
       .crossJoin(voc)
       .withColumn("lp",
         log((col("cab").cast("double") + 1.0) /

@@ -819,7 +819,7 @@ object PipelineQueries {
         |), ctx AS (
         |  SELECT a, COUNT(*) AS ca FROM pairs GROUP BY a
         |), voc AS (
-        |  SELECT COUNT(DISTINCT b) AS v FROM pairs
+        |  SELECT COUNT(DISTINCT a) AS v FROM pairs
         |)
         |SELECT doc_id, COUNT(*) AS n_bigrams,
         |  round(SUM(ln((CAST(cab AS DOUBLE) + 1.0)

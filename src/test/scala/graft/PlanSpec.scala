@@ -85,6 +85,26 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q92: context totals are a window over the model, not a corpus re-aggregation") {
+    // C(a) must ride a window over the Zipf-bounded bigram table;
+    // corpus scans are bounded at 3 (bigram build, vocab scalar,
+    // scoring join). Exchange reuse CANNOT collapse duplicated model
+    // subtrees here (HOF lambda ids defeat canonicalization), so an
+    // extra per-statistic aggregation means an extra corpus pass.
+    val p = plan("q92_lm_perplexity")
+    assert(p.contains("Window"),
+      s"C(a) must be a window over the bigram table:\n$p")
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans <= 3,
+      s"corpus must be scanned at most 3 times, saw $scans:\n$p")
+  }
+
+  test("q93: semantic dedup joins on the cell key, never a cartesian") {
+    val p = plan("q93_semantic_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"within-cell pairing must be an equi-join on the cell key:\n$p")
+  }
+
   test("q54: both rank windows share ONE exchange on the partition key") {
     val p = plan("q54_rank_family")
     val exchanges = p.linesIterator

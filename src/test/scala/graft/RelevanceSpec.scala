@@ -70,7 +70,7 @@ class RelevanceSpec extends AnyFunSuite {
 
   test("bigram LM: hand-computed smoothed log-probs; short docs drop out") {
     // Corpus bigrams: d1 -> (a,b),(b,a),(a,b); d2 -> (a,b).
-    // C(a,b)=3, C(b,a)=1; C(a)=3, C(b)=1; V = |{a,b}| = 2.
+    // C(a,b)=3, C(b,a)=1; C(a)=3, C(b)=1; V = |contexts {a,b}| = 2.
     // P(b|a) = (3+1)/(3+2) = 0.8; P(a|b) = (1+1)/(1+2) = 2/3.
     val docs = Seq(
       (1L, "a b a b"),
