@@ -100,6 +100,53 @@ object Similarity {
         col("__cos").as("cosine"))
   }
 
+  /**
+   * Hard-negative mining for contrastive training (DPR/SimCSE-style
+   * retriever data prep): for each probe, the `k` MOST-similar corpus
+   * vectors carrying a DIFFERENT label — the negatives closest to the
+   * decision boundary, where the gradient signal lives. Same
+   * bounded-shuffle shape as [[cosineTopK]] (broadcast probes,
+   * per-partition partial top-k before the window exchange), with the
+   * label-inequality predicate applied BEFORE scoring so same-label
+   * candidates never even reach the dot product. Rows with a NULL
+   * label drop out on either side (null-safe inequality would mine
+   * "unknown" as negative — wrong default for training data).
+   *
+   * Output: (probe_id, vec_id, label, rank, cosine).
+   */
+  def hardNegatives(
+      corpus: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int): DataFrame = {
+    val c = corpus.select(
+      col(idCol).as("vec_id"), col(labelCol).as("label"),
+      toDoubleVec(col(vecCol)).as("__v"))
+      .withColumn("__vnorm", norm(col("__v")))
+    val p = probes.select(
+      col(idCol).as("probe_id"), col(labelCol).as("__plabel"),
+      toDoubleVec(col(vecCol)).as("__p"))
+      .withColumn("__pnorm", norm(col("__p")))
+    val scored = c.crossJoin(broadcast(p))
+      .where(col("label") =!= col("__plabel"))
+      .withColumn(
+        "__cos",
+        dot(col("__v"), col("__p")) / (col("__vnorm") * col("__pnorm")))
+      .select("probe_id", "vec_id", "label", "__cos")
+    val w = Window.partitionBy("probe_id")
+      .orderBy(
+        when(!isnan(col("__cos")), col("__cos")).desc_nulls_last,
+        col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(
+        col("probe_id"), col("vec_id"), col("label"), col("rank"),
+        col("__cos").as("cosine"))
+  }
+
   /** Rademacher hyperplane component (p, d): +1 when the first hex
     * digit of md5("p:d") is < 8, else −1 — a portable derivation any
     * engine (and the DuckDB oracle) reproduces with no shared state. */

@@ -180,6 +180,18 @@ object PipelineQueries {
         .orderBy("probe_id", "rank")
     }),
 
+    // Hard-negative mining (contrastive training data prep): per
+    // probe, the 10 most-similar corpus vectors with a DIFFERENT
+    // label — broadcast probes, partial top-k bounds the shuffle.
+    "q94_hard_negatives" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.hardNegatives(
+          e, e.where(col("vec_id") < 5), "vec_id", "embedding", "label",
+          k = 10)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("probe_id", "rank")
+    }),
+
     // SemDeDup semantic deduplication: Voronoi-cell partition, then
     // within-cell cosine suppression keeping the min id per semantic
     // group — pairwise work confined to cells (Σ|cell|², never n²).
@@ -1036,6 +1048,42 @@ object PipelineQueries {
         |  JOIN nrm np ON np.vec_id = d.probe_id
         |  JOIN nrm nv ON nv.vec_id = d.vec_id)
         |WHERE rank <= 5
+        |ORDER BY probe_id, rank""".stripMargin,
+
+    "q94_hard_negatives" ->
+      """WITH el AS (
+        |  SELECT vec_id, generate_subscripts(embedding,1) AS d,
+        |         unnest(embedding)::DOUBLE AS x
+        |  FROM embeddings
+        |), nrm AS (
+        |  SELECT vec_id, sqrt(SUM(x*x)) AS n FROM el GROUP BY vec_id
+        |), lab AS (
+        |  SELECT vec_id, label FROM embeddings
+        |), pr AS (
+        |  SELECT e.vec_id AS probe_id, l.label AS plabel, e.d, e.x
+        |  FROM el e JOIN lab l ON l.vec_id = e.vec_id
+        |  WHERE e.vec_id < 5
+        |), dots AS (
+        |  SELECT p.probe_id, e.vec_id, SUM(p.x * e.x) AS dp
+        |  FROM pr p
+        |  JOIN lab cl ON cl.label IS NOT NULL AND cl.label <> p.plabel
+        |  JOIN el e ON e.vec_id = cl.vec_id AND e.d = p.d
+        |  GROUP BY 1, 2
+        |), cs AS (
+        |  SELECT d.probe_id, d.vec_id, cl.label, d.dp / (np.n * nv.n) AS cosine
+        |  FROM dots d
+        |  JOIN lab cl ON cl.vec_id = d.vec_id
+        |  JOIN nrm np ON np.vec_id = d.probe_id
+        |  JOIN nrm nv ON nv.vec_id = d.vec_id
+        |)
+        |SELECT probe_id, vec_id, label, CAST(rank AS INT) AS rank,
+        |  round(cosine, 6) AS cosine
+        |FROM (
+        |  SELECT probe_id, vec_id, label, cosine,
+        |    row_number() OVER (PARTITION BY probe_id
+        |                       ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM cs)
+        |WHERE rank <= 10
         |ORDER BY probe_id, rank""".stripMargin,
 
     "q93_semantic_dedup" ->

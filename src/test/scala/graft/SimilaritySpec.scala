@@ -200,6 +200,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(trained.length === 5) // empty cells keep their seed centroid
   }
 
+  test("hardNegatives: top-k closest OTHER-label vectors; same/null labels excluded") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f), Some(0)),
+      (2L, Array(1.0f, 0.0f), Some(0)), // same label: excluded despite cos 1.0
+      (3L, Array(0.95f, 0.05f), Some(1)), // hard negative -> rank 1
+      (4L, Array(0.0f, 1.0f), Some(1)), // orthogonal negative -> rank 2
+      (5L, Array(1.0f, 0.0f), None) // NULL label: never mined
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(
+        df, df.where(col("vec_id") === 1), "vec_id", "embedding", "label",
+        k = 2)
+      .select("probe_id", "vec_id", "label", "rank")
+      .as[(Long, Long, Int, Int)].collect().toSeq.sortBy(_._4)
+    assert(out === Seq((1L, 3L, 1, 1), (1L, 4L, 1, 2)))
+  }
+
   test("semanticDedup: min-id survivor per within-cell cosine group") {
     // Single cell (nlist=1). v2 duplicates v1 exactly; v3's cosine to
     // v1 is 0.9/0.90554 ≈ 0.9938 ≥ 0.95; v4 is orthogonal and kept.
