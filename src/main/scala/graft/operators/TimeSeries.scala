@@ -45,4 +45,45 @@ object TimeSeries {
       .withColumn("observed", col(valueCol).isNotNull)
       .withColumn("filled", last(col(valueCol), ignoreNulls = true).over(w))
   }
+
+  /**
+   * Rolling z-score anomaly detection: each point scores against the
+   * mean/std of its `lookback` strictly-PRECEDING points (a frame
+   * containing the current row dilutes the very spike being tested),
+   * flagged when |z| ≥ `threshold`. Points without a full lookback
+   * (series warmup) and zero-variance frames emit NULL z and are
+   * never flagged — no early-series or constant-series false alarms.
+   *
+   * Mean/variance use the explicit sum/sumsq formulation (population
+   * variance) rather than built-in `stddev` — Bessel conventions
+   * differ across engines, sum/sumsq does not.
+   *
+   * Scale: ONE exchange on the key; per-key state is the lookback
+   * frame (O(lookback) rows), so memory is bounded per key regardless
+   * of series length. Keying by a bounded-cardinality column (e.g.
+   * event type) would funnel whole types through single partitions —
+   * key by the natural high-cardinality series id (user, device).
+   */
+  def rollingZScore(
+      series: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      valueCol: String, lookback: Int, threshold: Double): DataFrame = {
+    require(lookback >= 2, s"lookback must be >= 2, got $lookback")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(-lookback, -1)
+    val x = col(valueCol).cast("double")
+    val staged = series
+      .withColumn("n_prev", count(x).over(w))
+      .withColumn("__s", sum(x).over(w))
+      .withColumn("__s2", sum(x * x).over(w))
+    val m = col("__s") / col("n_prev")
+    val variance = (col("__s2") - col("__s") * col("__s") / col("n_prev")) /
+      col("n_prev")
+    val std = sqrt(greatest(variance, lit(0.0)))
+    staged
+      .withColumn("z",
+        when(col("n_prev") === lookback && std > 0.0, round((x - m) / std, 6)))
+      .withColumn("is_anomaly", coalesce(abs(col("z")) >= threshold, lit(false)))
+      .drop("__s", "__s2")
+  }
 }

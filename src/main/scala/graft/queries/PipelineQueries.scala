@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Relevance, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Relevance, Similarity, TextAnalysis, TimeSeries}
 
 /**
  * LLM-training-data pipeline query registry: dedup, similarity
@@ -178,6 +178,18 @@ object PipelineQueries {
           nlist = 8, nprobe = 2, k = 5)
         .withColumn("cosine", round(col("cosine"), 6))
         .orderBy("probe_id", "rank")
+    }),
+
+    // Rolling z-score anomaly detection per user: each value scored
+    // against its 10 strictly-preceding points; one user-key
+    // exchange, O(lookback) state per key.
+    "q95_rolling_zscore" -> ((s, dir) => {
+      TimeSeries.rollingZScore(
+          t(s, dir, "events").select("event_id", "user_id", "ts", "value"),
+          "user_id", "ts", "event_id", "value",
+          lookback = 10, threshold = 3.0)
+        .select("event_id", "user_id", "n_prev", "z", "is_anomaly")
+        .orderBy("event_id")
     }),
 
     // Hard-negative mining (contrastive training data prep): per
@@ -1049,6 +1061,28 @@ object PipelineQueries {
         |  JOIN nrm nv ON nv.vec_id = d.vec_id)
         |WHERE rank <= 5
         |ORDER BY probe_id, rank""".stripMargin,
+
+    "q95_rolling_zscore" ->
+      """WITH w AS (
+        |  SELECT event_id, user_id, value,
+        |    COUNT(value) OVER win AS n_prev,
+        |    SUM(value) OVER win AS s,
+        |    SUM(value * value) OVER win AS s2
+        |  FROM events
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+        |), z AS (
+        |  SELECT event_id, user_id, n_prev,
+        |    CASE WHEN n_prev = 10
+        |          AND sqrt(greatest((s2 - s * s / n_prev) / n_prev, 0)) > 0
+        |         THEN round((value - s / n_prev)
+        |              / sqrt(greatest((s2 - s * s / n_prev) / n_prev, 0)), 6)
+        |    END AS z
+        |  FROM w
+        |)
+        |SELECT event_id, user_id, CAST(n_prev AS BIGINT) AS n_prev, z,
+        |  COALESCE(abs(z) >= 3.0, false) AS is_anomaly
+        |FROM z ORDER BY event_id""".stripMargin,
 
     "q94_hard_negatives" ->
       """WITH el AS (

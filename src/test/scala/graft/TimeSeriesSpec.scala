@@ -39,4 +39,33 @@ class TimeSeriesSpec extends AnyFunSuite {
     val n = TimeSeries.gapFillDaily(series, "k", "day", "v").count()
     assert(n === 2) // not densified onto each other's span
   }
+
+  test("rollingZScore: spike flags against preceding frame; warmup and flat frames never do") {
+    // key 1 values 1,2,1,2,100 (lookback 3, threshold 2):
+    //  rows 1-3: n_prev < 3 -> NULL z;
+    //  row 4 (value 2): frame [1,2,1] m=4/3 std=sqrt(2/9) -> z≈1.41, no flag;
+    //  row 5 (100): frame [2,1,2] -> z≈208, flagged.
+    // key 2: constant series -> zero variance, NULL z, never flagged.
+    val rows = Seq(
+      (1L, 1L, 1.0), (2L, 1L, 2.0), (3L, 1L, 1.0), (4L, 1L, 2.0),
+      (5L, 1L, 100.0),
+      (6L, 2L, 7.0), (7L, 2L, 7.0), (8L, 2L, 7.0), (9L, 2L, 7.0)
+    ).map { case (i, k, v) =>
+      (i, k, new java.sql.Timestamp(i * 60000L), v)
+    }.toDF("event_id", "user_id", "ts", "value")
+    val out = TimeSeries
+      .rollingZScore(rows, "user_id", "ts", "event_id", "value",
+        lookback = 3, threshold = 2.0)
+      .select("event_id", "z", "is_anomaly")
+      .as[(Long, Option[Double], Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert((1L to 3L).forall(i => out(i) === ((None, false))))
+    val m4 = 4.0 / 3; val std4 = math.sqrt(2.0 / 9)
+    assert(out(4L)._1.isDefined)
+    assert(math.abs(out(4L)._1.get - (2.0 - m4) / std4) < 1e-5)
+    assert(out(4L)._2 === false)
+    assert(out(5L)._2 === true)
+    assert(out(5L)._1.get > 100)
+    (6L to 9L).foreach(i => assert(out(i) === ((None, false))))
+  }
 }
