@@ -54,7 +54,8 @@ object ScaleAudit {
     "q49_rollup_revenue", "q54_rank_family", "q59_distinct_agg",
     "q71_tfidf", "q72_sessionize", "q80_merge_changelog",
     "q86_profile", "q87_incremental_dedup", "q90_cumulative_users",
-    "q92_lm_perplexity", "q93_semantic_dedup")
+    "q92_lm_perplexity", "q93_semantic_dedup", "q94_hard_negatives",
+    "q95_rolling_zscore")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
