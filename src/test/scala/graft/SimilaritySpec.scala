@@ -216,6 +216,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out === Seq((1L, 3L, 1, 1), (1L, 4L, 1, 2)))
   }
 
+  test("hardNegatives: random-input parity with driver-side brute force") {
+    val rnd = new scala.util.Random(19)
+    val vecs = (1L to 60L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2 - 1), rnd.nextInt(4)))
+    val df = vecs.toDF("vec_id", "embedding", "label")
+    val k = 5
+    val out = Similarity.hardNegatives(
+        df, df.where(col("vec_id") <= 3), "vec_id", "embedding", "label", k)
+      .select("probe_id", "vec_id", "rank")
+      .as[(Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    vecs.take(3).foreach { case (pid, pv, pl) =>
+      val expect = vecs
+        .filter(_._3 != pl)
+        .map { case (id, v, _) => (id, cos(pv, v)) }
+        .sortBy { case (id, c) => (-c, id) }
+        .take(k).map(_._1)
+      assert(out(pid) === expect, s"probe $pid")
+    }
+  }
+
   test("semanticDedup: min-id survivor per within-cell cosine group") {
     // Single cell (nlist=1). v2 duplicates v1 exactly; v3's cosine to
     // v1 is 0.9/0.90554 ≈ 0.9938 ≥ 0.95; v4 is orthogonal and kept.

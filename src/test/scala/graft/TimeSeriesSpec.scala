@@ -40,6 +40,35 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(n === 2) // not densified onto each other's span
   }
 
+  test("rollingZScore: random-series parity with driver-side sliding stats") {
+    val rnd = new scala.util.Random(23)
+    val rows = for (k <- 1L to 4L; i <- 0 until 50) yield
+      (k * 1000 + i, k, new java.sql.Timestamp((k * 100000 + i) * 60000L),
+        rnd.nextDouble() * 10)
+    val lookback = 7
+    val out = TimeSeries
+      .rollingZScore(rows.toDF("event_id", "user_id", "ts", "value"),
+        "user_id", "ts", "event_id", "value", lookback, threshold = 2.0)
+      .select("event_id", "z")
+      .as[(Long, Option[Double])].collect().toMap
+    for ((_, series) <- rows.groupBy(_._2); idx <- series.indices) {
+      val (eid, _, _, x) = series(idx)
+      val frame = series.slice(math.max(0, idx - lookback), idx).map(_._4)
+      val expect =
+        if (frame.length < lookback) None
+        else {
+          val m = frame.sum / frame.length
+          val v = (frame.map(d => d * d).sum - frame.sum * frame.sum / frame.length) / frame.length
+          val std = math.sqrt(math.max(v, 0.0))
+          if (std > 0) Some((x - m) / std) else None
+        }
+      (out(eid), expect) match {
+        case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-5, s"event $eid")
+        case (a, b) => assert(a.isEmpty === b.isEmpty, s"event $eid: $a vs $b")
+      }
+    }
+  }
+
   test("rollingZScore: spike flags against preceding frame; warmup and flat frames never do") {
     // key 1 values 1,2,1,2,100 (lookback 3, threshold 2):
     //  rows 1-3: n_prev < 3 -> NULL z;
