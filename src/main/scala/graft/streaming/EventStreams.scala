@@ -18,6 +18,14 @@ case class HeavyHitter(shard: Int, token: String, est: Long)
 /** Accumulating state for an open session. */
 case class SessionState(startMs: Long, lastMs: Long, n: Int)
 
+/** Ring buffer of the last `lookback` values for one z-score key. */
+case class ZState(ring: Vector[Double])
+
+/** One scored point from the streaming rolling z-score. */
+case class ZScored(
+    key: Long, ts: Timestamp, value: Double, nPrev: Int,
+    z: Option[Double], isAnomaly: Boolean)
+
 /**
  * Streaming analytics over event streams — the watermarked /
  * stateful half of the engine's streaming surface (the daily-flow
@@ -176,6 +184,70 @@ object EventStreams {
         rightTs >= l(leftTsCol) - expr(s"INTERVAL $maxDelaySeconds SECONDS") &&
         rightTs <= l(leftTsCol))
       .drop(r(keyCol))
+  }
+
+  /**
+   * Streaming rolling z-score anomaly detection — the stateful
+   * counterpart of [[graft.operators.TimeSeries.rollingZScore]]: each
+   * point scores against the mean/std (population, sum/sumsq) of the
+   * `lookback` values that PRECEDED it for its key, flagged when
+   * |z| ≥ `threshold`; warmup (fewer than `lookback` predecessors)
+   * and zero-variance frames emit None and never flag.
+   *
+   * State per key is a ring buffer of exactly `lookback` doubles —
+   * constant for the stream's lifetime. Rows are processed in
+   * event-time order WITHIN each micro-batch; an in-order source
+   * therefore reproduces the batch operator row-for-row
+   * (parity-asserted in EventStreamsSpec). A late event that arrives
+   * after later points were already scored is scored against the
+   * values seen so far — the frames it "should" have joined are
+   * already emitted and are not revised (document the source's
+   * ordering guarantees accordingly).
+   */
+  def streamingRollingZScore(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String,
+      valueCol: String,
+      lookback: Int,
+      threshold: Double): Dataset[ZScored] = {
+    require(lookback >= 2, s"lookback must be >= 2, got $lookback")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(
+        col(keyCol).cast("long").as("key"),
+        col(tsCol).cast("timestamp").as("ts"),
+        col(tieCol).cast("long").as("tie"),
+        col(valueCol).cast("double").as("x"))
+      .as[(Long, Timestamp, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[ZState, ZScored](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Timestamp, Long, Double)],
+            state: GroupState[ZState]) =>
+          var ring = state.getOption.map(_.ring).getOrElse(Vector.empty)
+          val out = rows.toSeq
+            .sortBy { case (_, ts, tie, _) => (ts.getTime, tie) }
+            .map { case (_, ts, _, x) =>
+              val scored =
+                if (ring.length < lookback) ZScored(key, ts, x, ring.length, None, false)
+                else {
+                  val n = ring.length
+                  val s = ring.sum
+                  val s2 = ring.map(d => d * d).sum
+                  val std = math.sqrt(math.max((s2 - s * s / n) / n, 0.0))
+                  val z = if (std > 0) Some((x - s / n) / std) else None
+                  ZScored(key, ts, x, n, z,
+                    z.exists(v => math.abs(v) >= threshold))
+                }
+              ring = (ring :+ x).takeRight(lookback)
+              scored
+            }
+          state.update(ZState(ring))
+          out.iterator
+      }
   }
 
   /**

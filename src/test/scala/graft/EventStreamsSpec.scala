@@ -190,6 +190,44 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("parity: streamingRollingZScore matches batch TimeSeries.rollingZScore") {
+    // Same in-order series through the stateful streaming scorer
+    // (3 micro-batches, frames straddling batch boundaries) and the
+    // batch window operator: n_prev, z (to 1e-6), and flags must
+    // agree row-for-row.
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(29)
+    val rows = for (k <- 1L to 3L; i <- 0 until 30) yield
+      (k * 1000 + i, k, ts(k * 10000 + i * 60), rnd.nextDouble() * 10)
+    val input = MemoryStream[(Long, Long, Timestamp, Double)]
+    val scored = EventStreams.streamingRollingZScore(
+      input.toDF.toDF("event_id", "user_id", "ts", "value"),
+      "user_id", "ts", "event_id", "value", lookback = 7, threshold = 2.0)
+    val q = scored.writeStream
+      .format("memory").queryName("parity_zscore").outputMode("append").start()
+    try {
+      rows.grouped(30).foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      val streamed = spark.table("parity_zscore")
+        .as[graft.streaming.ZScored].collect()
+        .map(r => (r.key, r.ts) -> ((r.nPrev.toLong, r.z, r.isAnomaly))).toMap
+      val batch = graft.operators.TimeSeries
+        .rollingZScore(rows.toDF("event_id", "user_id", "ts", "value"),
+          "user_id", "ts", "event_id", "value", lookback = 7, threshold = 2.0)
+        .select("user_id", "ts", "n_prev", "z", "is_anomaly")
+        .as[(Long, Timestamp, Long, Option[Double], Boolean)].collect()
+      assert(batch.length === streamed.size)
+      batch.foreach { case (k, t, n, z, flag) =>
+        val (sn, sz, sflag) = streamed((k, t))
+        assert(sn === n, s"($k,$t) n_prev")
+        (sz, z) match {
+          case (Some(a), Some(b)) => assert(math.abs(a - b) < 1e-6, s"($k,$t) z")
+          case (a, b) => assert(a.isEmpty === b.isEmpty, s"($k,$t) z: $a vs $b")
+        }
+        assert(sflag === flag, s"($k,$t) flag")
+      }
+    } finally q.stop()
+  }
+
   test("streamingHeavyHitters keeps hot tokens across batches in bounded state") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[String]
