@@ -68,4 +68,35 @@ object Skew {
       .groupBy(keyCols: _*)
       .agg(finals.head, finals.tail: _*)
   }
+
+  /**
+   * Join-key skew diagnostic — the measurement that feeds
+   * [[saltedEquiJoin]]'s `saltParts` dial: the `topK` hottest keys
+   * with their row count, share of the table, multiple over a
+   * perfectly uniform key (share × distinct keys), and the salt
+   * factor that would spread that key back to uniform-reducer load
+   * (`ceil(multiple)`, min 1).
+   *
+   * Scale: one partial-combined count per key, a one-row totals frame
+   * cross-joined (never collected), and TakeOrderedAndProject bounds
+   * the result at `topK` — no global sort, no driver materialization
+   * of the key histogram. Run it on a sample for a quick look; exact
+   * on the full table is one aggregation pass.
+   */
+  def skewProbe(df: DataFrame, keyCol: String, topK: Int): DataFrame = {
+    val counts = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n_rows"))
+    val totals = df.agg(
+      count(lit(1)).as("__total"),
+      countDistinct(col(keyCol)).as("__distinct"))
+    val mult = col("n_rows") * col("__distinct") / col("__total")
+    counts.crossJoin(totals)
+      .orderBy(col("n_rows").desc, col("key").asc)
+      .limit(topK)
+      .select(
+        col("key"), col("n_rows"),
+        round(col("n_rows").cast("double") / col("__total"), 6).as("share"),
+        round(mult, 3).as("uniform_multiple"),
+        greatest(ceil(mult), lit(1L)).as("suggested_salt"))
+  }
 }

@@ -294,6 +294,14 @@ object CoreQueries {
           count(lit(1)).as("n_lines"),
           sum(dec("l_extendedprice")).cast("double").as("total_price"))
         .orderBy("o_orderpriority")
+    }),
+
+    // Join-key skew diagnostic: the top-20 hottest user keys with
+    // their uniform-load multiple and the salt factor that feeds
+    // q32's saltedEquiJoin — measure the skew, then turn the dial.
+    "q96_skew_probe" -> ((s, dir) => {
+      graft.operators.Skew.skewProbe(t(s, dir, "events"), "user_id", topK = 20)
+        .orderBy(col("n_rows").desc, col("key"))
     })
   )
 
@@ -478,6 +486,22 @@ object CoreQueries {
         |    AS total_price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q96_skew_probe" ->
+      """WITH c AS (
+        |  SELECT user_id AS key, COUNT(*) AS n_rows FROM events GROUP BY 1
+        |), t AS (
+        |  SELECT COUNT(*) AS total, COUNT(DISTINCT user_id) AS nd FROM events
+        |), top AS (
+        |  SELECT key, n_rows FROM c ORDER BY n_rows DESC, key LIMIT 20
+        |)
+        |SELECT key, n_rows,
+        |  round(CAST(n_rows AS DOUBLE) / total, 6) AS share,
+        |  round(CAST(n_rows AS DOUBLE) * nd / total, 3) AS uniform_multiple,
+        |  CAST(greatest(ceil(CAST(n_rows AS DOUBLE) * nd / total), 1)
+        |       AS BIGINT) AS suggested_salt
+        |FROM top CROSS JOIN t
+        |ORDER BY n_rows DESC, key""".stripMargin
   )
 }

@@ -138,4 +138,20 @@ class ScaleSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS bkt_b")
     }
   }
+
+  test("skewProbe: hot key tops the report with the salt factor that flattens it") {
+    // 12 rows over 4 keys (uniform load = 3): "a"×8 needs salt 3,
+    // everything else fits one reducer.
+    val df = (Seq.fill(8)("a") ++ Seq.fill(2)("b") ++ Seq("c", "d"))
+      .toDF("k")
+    val out = Skew.skewProbe(df, "k", topK = 2)
+      .as[(String, Long, Double, Double, Long)].collect()
+    assert(out.length === 2)
+    assert(out(0) === (("a", 8L, 0.666667, 2.667, 3L)))
+    assert(out(1) === (("b", 2L, 0.166667, 0.667, 1L)))
+    // TakeOrderedAndProject bounds the report — no global sort.
+    val p = Skew.skewProbe(df, "k", topK = 2)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }
