@@ -54,4 +54,47 @@ object Sessionize {
         max(col(tsCol)).as("session_end"))
       .withColumn("dur_us",
         unix_micros(col("session_end")) - unix_micros(col("session_start")))
+
+  /**
+   * Telemetry debounce: collapse bursts of repeated (key…) events
+   * into one row per burst — the first event (by time, `tieCol`
+   * tiebreak) plus the count it suppressed. A burst extends while
+   * consecutive same-key events stay ≤ `windowSeconds` apart (the
+   * gaps-and-islands rule, so a long chain of double-fires collapses
+   * to ONE kept event, not one per window hop). The standard fix for
+   * client SDKs double-firing instrumentation events.
+   *
+   * Output: keyCols…, burst_seq (1-based per key), kept `tieCol`,
+   * first/last timestamps, n_events (suppressed = n_events − 1).
+   *
+   * Scale: ONE hash exchange on the composite key serves the lag
+   * window, the burst running sum, and the per-burst aggregate
+   * (hash(keys) already co-locates burst groups). Per-key state is
+   * that key's sort, bounded by per-key traffic; timestamps compare
+   * in exact integer microseconds.
+   */
+  def debounce(
+      events: DataFrame, keyCols: Seq[String], tsCol: String,
+      tieCol: String, windowSeconds: Long): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    val keys = keyCols.map(col)
+    val w = Window.partitionBy(keys: _*).orderBy(col(tsCol), col(tieCol))
+    val us = unix_micros(col(tsCol))
+    val bursts = events
+      .withColumn("__new_burst",
+        when(us - lag(us, 1).over(w) > windowSeconds * 1000000L, 1L)
+          .otherwise(lit(0L)))
+      .withColumn("burst_seq", sum(col("__new_burst")).over(w) + lit(1L))
+    bursts
+      .groupBy((keys :+ col("burst_seq")): _*)
+      .agg(
+        // Lexicographic struct-min picks the first (ts, tie) pair in
+        // ONE aggregate — a per-burst row_number window would force a
+        // second sort for the same answer.
+        min(struct(col(tsCol), col(tieCol))).getField(tieCol)
+          .as(s"kept_$tieCol"),
+        min(col(tsCol)).as("first_ts"),
+        max(col(tsCol)).as("last_ts"),
+        count(lit(1)).as("n_events"))
+  }
 }

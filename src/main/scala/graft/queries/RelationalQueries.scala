@@ -441,6 +441,17 @@ object RelationalQueries {
         .orderBy("user_id", "session_seq")
     }),
 
+    // Telemetry debounce: bursts of repeated (user, type) events
+    // within 5 minutes collapse to one kept row (+ suppressed count);
+    // one composite-key exchange serves both windows and the
+    // aggregate — the sessionize shape with a struct-min first-pick.
+    "q97_debounce" -> ((s, dir) => {
+      graft.operators.Sessionize.debounce(
+          t(s, dir, "events"), Seq("user_id", "event_type"),
+          "ts", "event_id", windowSeconds = 300L)
+        .orderBy("user_id", "event_type", "burst_seq")
+    }),
+
     // FULL OUTER equi-join — snapshot reconciliation (the one outer
     // variant the join family lacked): rows from either side survive,
     // provenance tagged. Shuffle-hash/SMJ both sides; no broadcast
@@ -1011,6 +1022,35 @@ object RelationalQueries {
         |  date_diff('microsecond', MIN(ts), MAX(ts)) AS dur_us
         |FROM g GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+
+    "q97_debounce" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id, event_type
+        |                  ORDER BY ts, event_id) AS prev_ts
+        |  FROM events
+        |), f AS (
+        |  SELECT user_id, event_type, event_id, ts,
+        |    CASE WHEN prev_ts IS NOT NULL
+        |          AND date_diff('microsecond', prev_ts, ts) > 300000000
+        |         THEN 1 ELSE 0 END AS nb
+        |  FROM e
+        |), g AS (
+        |  SELECT user_id, event_type, event_id, ts,
+        |    SUM(nb) OVER (PARTITION BY user_id, event_type
+        |                  ORDER BY ts, event_id) + 1 AS burst_seq
+        |  FROM f
+        |), r AS (
+        |  SELECT *, row_number() OVER (
+        |      PARTITION BY user_id, event_type, burst_seq
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM g
+        |)
+        |SELECT user_id, event_type, CAST(burst_seq AS BIGINT) AS burst_seq,
+        |  MIN(CASE WHEN rn = 1 THEN event_id END) AS kept_event_id,
+        |  MIN(ts) AS first_ts, MAX(ts) AS last_ts, COUNT(*) AS n_events
+        |FROM r GROUP BY user_id, event_type, burst_seq
+        |ORDER BY user_id, event_type, burst_seq""".stripMargin,
 
     "q67_full_outer" ->
       """WITH a AS (

@@ -48,4 +48,28 @@ class SessionizeSpec extends AnyFunSuite {
       ("a", 2L, 1L, 0L),
       ("b", 1L, 1L, 0L)))
   }
+
+  test("debounce: chained double-fires collapse to one kept event per burst") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // Key (u1, click): events at 0,5,9,14s with a 10s window chain
+    // into ONE burst (every consecutive gap <= 10) even though 14s is
+    // past the first event's window — the gaps-and-islands rule. A
+    // 30s gap then opens burst 2. Different type/user never mix.
+    val df = Seq(
+      (1L, 1L, "click", ts(0)), (2L, 1L, "click", ts(5)),
+      (3L, 1L, "click", ts(9)), (4L, 1L, "click", ts(14)),
+      (5L, 1L, "click", ts(45)),
+      (6L, 1L, "view", ts(1)),
+      (7L, 2L, "click", ts(2))
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val out = Sessionize
+      .debounce(df, Seq("user_id", "event_type"), "ts", "event_id", 10L)
+      .select("user_id", "event_type", "burst_seq", "kept_event_id", "n_events")
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    assert(out === Set(
+      (1L, "click", 1L, 1L, 4L), // 3 suppressed double-fires
+      (1L, "click", 2L, 5L, 1L),
+      (1L, "view", 1L, 6L, 1L),
+      (2L, "click", 1L, 7L, 1L)))
+  }
 }
