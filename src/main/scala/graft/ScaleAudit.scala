@@ -55,7 +55,7 @@ object ScaleAudit {
     "q71_tfidf", "q72_sessionize", "q80_merge_changelog",
     "q86_profile", "q87_incremental_dedup", "q90_cumulative_users",
     "q92_lm_perplexity", "q93_semantic_dedup", "q94_hard_negatives",
-    "q95_rolling_zscore")
+    "q95_rolling_zscore", "q96_skew_probe", "q97_debounce")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
