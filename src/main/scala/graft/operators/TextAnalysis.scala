@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -160,5 +160,36 @@ object TextAnalysis {
     candidates
       .join(benchShingles, Seq("shingle"), "left_semi")
       .select(idCol).distinct()
+  }
+
+  /**
+   * N-gram novelty scoring: per document, the fraction of its
+   * distinct word n-grams whose FIRST corpus occurrence (minimum doc
+   * id — id order standing in for arrival order) is this document.
+   * High novelty = genuinely new content; near-zero novelty = the doc
+   * re-treads earlier material — the curation dial for pruning
+   * low-contribution documents after exact/near dedup has removed
+   * the outright copies. Docs with fewer than `n` tokens emit no
+   * shingles and drop out.
+   *
+   * Scale: one (shingle) exchange for the min-doc aggregate (partial
+   * min combines map-side), one join back on the same shingle key,
+   * one per-doc reduction — shuffle volume is O(distinct (doc,
+   * shingle)) with no corpus² term anywhere. Shingle keys are text —
+   * a boilerplate shingle shared by millions of docs is a hot key;
+   * AQE's skew handling (or pre-salting the min aggregate) covers it.
+   */
+  def noveltyScore(
+      docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val sh = Dedup.shingles(docs, idCol, textCol, n)
+    val first = sh.groupBy(col("shingle")).agg(min(col(idCol)).as("__first"))
+    sh.join(first, "shingle")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("__first") === col(idCol), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_shingles"), 6))
   }
 }

@@ -180,6 +180,15 @@ object PipelineQueries {
         .orderBy("probe_id", "rank")
     }),
 
+    // N-gram novelty scoring: fraction of each doc's 3-shingles first
+    // seen in THIS doc (id = arrival order) — the post-dedup
+    // low-contribution pruning dial. One shingle exchange + min-agg
+    // + join back, no corpus-squared term.
+    "q98_novelty" -> ((s, dir) => {
+      TextAnalysis.noveltyScore(t(s, dir, "documents"), "doc_id", "text", n = 3)
+        .orderBy("doc_id")
+    }),
+
     // Rolling z-score anomaly detection per user: each value scored
     // against its 10 strictly-preceding points; one user-key
     // exchange, O(lookback) state per key.
@@ -1061,6 +1070,28 @@ object PipelineQueries {
         |  JOIN nrm nv ON nv.vec_id = d.vec_id)
         |WHERE rank <= 5
         |ORDER BY probe_id, rank""".stripMargin,
+
+    "q98_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), idx AS (
+        |  SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+        |  FROM toks
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        |  FROM idx
+        |), first AS (
+        |  SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle
+        |)
+        |SELECT s.doc_id, COUNT(*) AS n_shingles,
+        |  CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_novel,
+        |  round(CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+        |             AS DOUBLE) / COUNT(*), 6) AS novelty
+        |FROM sh s JOIN first f ON f.shingle = s.shingle
+        |GROUP BY s.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
 
     "q95_rolling_zscore" ->
       """WITH w AS (

@@ -71,4 +71,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(bloom === plain)
     assert(plain === Seq(1L, 3L))
   }
+
+  test("noveltyScore: first occurrence wins; copies score zero; short docs drop") {
+    val docs = Seq(
+      (1L, "a b c d"), // shingles {a b c, b c d}: both first here -> 1.0
+      (2L, "a b c x"), // {a b c (seen), b c x (new)} -> 0.5
+      (3L, "a b c d"), // exact re-tread of doc 1 -> 0.0
+      (4L, "q r") // < 3 tokens: no shingles, dropped
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.noveltyScore(docs, "doc_id", "text", n = 3)
+      .select("doc_id", "n_shingles", "n_novel", "novelty")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out === Map(
+      1L -> ((2L, 2L, 1.0)),
+      2L -> ((2L, 1L, 0.5)),
+      3L -> ((2L, 0L, 0.0))))
+  }
 }
