@@ -192,4 +192,34 @@ object TextAnalysis {
       .withColumn("novelty",
         round(col("n_novel").cast("double") / col("n_shingles"), 6))
   }
+
+  /**
+   * Ingestion-time cross-corpus novelty — [[noveltyScore]]'s
+   * incremental counterpart (completing the incremental trio with
+   * [[Dedup.dedupAgainst]] and `Similarity.crossCorpusNearDups`):
+   * each incoming document's fraction of distinct shingles absent
+   * from the EXISTING corpus. The arriving batch joins the corpus
+   * shingle set once — new×old, never a unioned self-join.
+   *
+   * Scale: the distinct corpus shingle frame is the persistent
+   * novelty index (build once, reuse for every arriving batch); the
+   * batch pays O(batch shingles) join rows against it on the shingle
+   * key. A left anti-ish mark via left join + NULL probe keeps one
+   * join for both counts.
+   */
+  def noveltyAgainst(
+      batch: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val bs = Dedup.shingles(batch, idCol, textCol, n)
+    val seen = Dedup.shingles(corpus, idCol, textCol, n)
+      .select(col("shingle")).distinct()
+      .withColumn("__seen", lit(1L))
+    bs.join(seen, Seq("shingle"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("__seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_shingles"), 6))
+  }
 }

@@ -189,6 +189,19 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Ingestion-time cross-corpus novelty: the arriving batch
+    // (doc_id % 10 == 0) scores against the existing corpus's
+    // shingle index — new×old join only, the incremental counterpart
+    // of q98.
+    "q99_novelty_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.noveltyAgainst(
+          docs.where(col("doc_id") % 10 === 0),
+          docs.where(col("doc_id") % 10 =!= 0),
+          "doc_id", "text", n = 3)
+        .orderBy("doc_id")
+    }),
+
     // Rolling z-score anomaly detection per user: each value scored
     // against its 10 strictly-preceding points; one user-key
     // exchange, O(lookback) state per key.
@@ -1070,6 +1083,29 @@ object PipelineQueries {
         |  JOIN nrm nv ON nv.vec_id = d.vec_id)
         |WHERE rank <= 5
         |ORDER BY probe_id, rank""".stripMargin,
+
+    "q99_novelty_incremental" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), idx AS (
+        |  SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+        |  FROM toks
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        |  FROM idx
+        |), seen AS (
+        |  SELECT DISTINCT shingle FROM sh WHERE doc_id % 10 <> 0
+        |)
+        |SELECT s.doc_id, COUNT(*) AS n_shingles,
+        |  CAST(SUM(CASE WHEN seen.shingle IS NULL THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_novel,
+        |  round(CAST(SUM(CASE WHEN seen.shingle IS NULL THEN 1 ELSE 0 END)
+        |             AS DOUBLE) / COUNT(*), 6) AS novelty
+        |FROM sh s LEFT JOIN seen ON seen.shingle = s.shingle
+        |WHERE s.doc_id % 10 = 0
+        |GROUP BY s.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
 
     "q98_novelty" ->
       """WITH toks AS (

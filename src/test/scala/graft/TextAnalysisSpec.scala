@@ -88,4 +88,22 @@ class TextAnalysisSpec extends AnyFunSuite {
       2L -> ((2L, 1L, 0.5)),
       3L -> ((2L, 0L, 0.0))))
   }
+
+  test("noveltyAgainst: batch scores only against the existing corpus") {
+    val corpus = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "a b c d"), // fully covered by corpus -> 0.0
+      (11L, "a b c x"), // {a b c seen, b c x new} -> 0.5
+      (12L, "p q r s") // nothing seen -> 1.0
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.noveltyAgainst(batch, corpus, "doc_id", "text", 3)
+      .select("doc_id", "novelty").as[(Long, Double)].collect().toMap
+    assert(out === Map(10L -> 0.0, 11L -> 0.5, 12L -> 1.0))
+    // Unlike q98's within-corpus rule, batch docs never see each
+    // other: two identical NEW docs both score 1.0 against the corpus.
+    val twins = Seq((20L, "x y z w"), (21L, "x y z w")).toDF("doc_id", "text")
+    val tw = TextAnalysis.noveltyAgainst(twins, corpus, "doc_id", "text", 3)
+      .select("doc_id", "novelty").as[(Long, Double)].collect().toMap
+    assert(tw === Map(20L -> 1.0, 21L -> 1.0))
+  }
 }
