@@ -705,4 +705,46 @@ object Dedup {
    */
   def simhashFast(textCol: Column): Column =
     graft.functions.SimHash64(textCol)
+
+  /**
+   * Train/val split-leakage audit: tag each near-dup pair with both
+   * members' split assignments and flag pairs that straddle splits —
+   * near-duplicates leaking across a train/eval boundary are silent
+   * eval contamination (the model has effectively seen the val doc),
+   * so this check belongs after every (re)split of a deduplicated
+   * corpus.
+   *
+   * `pairs` is a candidate-pair frame (`doc_a`, `doc_b` — e.g.
+   * signature-strong [[minhashCandidates]] output); `assignments`
+   * maps `idCol` → `splitCol` for every document.
+   *
+   * Scale posture: `assignments` is corpus-sized (one row per doc)
+   * while `pairs` is the bounded LSH candidate set, so the shape that
+   * matters is how many times the big table is scanned. Joining it
+   * once per side would scan it twice; instead the pairs are melted
+   * to (pair, side, id) — 2·|pairs| rows — joined against ONE
+   * assignment scan (AQE broadcasts the small melted side), then
+   * regrouped to pairs. The regroup exchange carries only the
+   * candidate set, never the corpus.
+   */
+  def splitLeakage(
+      pairs: DataFrame, assignments: DataFrame,
+      idCol: String, splitCol: String): DataFrame = {
+    val melted = pairs.select(
+      col("doc_a"), col("doc_b"),
+      explode(array(
+        struct(lit("a").as("side"), col("doc_a").as("id")),
+        struct(lit("b").as("side"), col("doc_b").as("id")))).as("m"))
+      .select(col("doc_a"), col("doc_b"),
+        col("m.side").as("side"), col("m.id").as("id"))
+    melted
+      .join(assignments.select(
+          col(idCol).as("id"), col(splitCol).as("split")),
+        Seq("id"))
+      .groupBy("doc_a", "doc_b")
+      .agg(
+        max(when(col("side") === "a", col("split"))).as("split_a"),
+        max(when(col("side") === "b", col("split"))).as("split_b"))
+      .withColumn("leaked", col("split_a") =!= col("split_b"))
+  }
 }

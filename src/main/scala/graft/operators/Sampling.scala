@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic corpus-sampling primitives (extension family; no
+ * reference counterpart — the reference ingests whole files,
+ * `motor_ingesta.py:24-44`, and never subsamples).
+ *
+ * Companion to the hash-fraction samplers (q41 split / q42 quota /
+ * q84 mixture): those keep a *rate* per group; `capPerKey` keeps a
+ * *count* per group — the web-pipeline "at most N documents per
+ * domain" dominance dial (cf. C4/Gopher per-domain caps), where a
+ * handful of giant hosts would otherwise swamp the mixture.
+ *
+ * Scale posture: selection order is a content-independent md5 of the
+ * id — reproducible on any engine, no RNG state, and uncorrelated
+ * with ingestion order (a `doc_id <= k` cap would keep whatever
+ * happened to arrive first). The rank filter compiles to Spark's
+ * WindowGroupLimit: each map task keeps only its local top-k per key
+ * BEFORE the exchange, so shuffle volume is min(|partition rows|,
+ * k·|keys per partition|) per task, never the full corpus — at 100 TB
+ * with a 10k-doc domain cap, the exchange carries ~k·|domains| rows,
+ * not 100 TB. Per-key window state after the shuffle is ≤ k rows.
+ */
+object Sampling {
+
+  /** Hash-order selection key: md5 of the id, id itself as the
+    * total-order tiebreak (md5 collisions must not make the kept set
+    * engine-dependent). */
+  private def hashOrder(idCol: Column): Column = md5(idCol.cast("string"))
+
+  /**
+   * Keep at most `k` rows per `keyCol`, chosen by deterministic
+   * id-hash order. Adds `pick_rank` (1-based rank of the kept row
+   * within its key — rank 1 is the key's canonical exemplar).
+   */
+  def capPerKey(df: DataFrame, keyCol: String, idCol: String, k: Int)
+      : DataFrame = {
+    require(k >= 1, s"capPerKey: k must be >= 1, got $k")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(hashOrder(col(idCol)), col(idCol))
+    df.withColumn("pick_rank", row_number().over(w))
+      .where(col("pick_rank") <= k)
+  }
+
+  /**
+   * Cap audit: per key, rows observed, rows a `capPerKey(k)` pass
+   * would keep, and the share surviving — the "how much does this cap
+   * actually bite, and on whom" report run before committing to a
+   * cap value. One partial-combined aggregate on the key (counts
+   * only — the cap maths is post-aggregation arithmetic on one row
+   * per key, so this is strictly cheaper than running the cap).
+   */
+  def capAudit(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"capAudit: k must be >= 1, got $k")
+    df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_rows"))
+      .select(
+        col(keyCol),
+        col("n_rows"),
+        least(col("n_rows"), lit(k.toLong)).as("n_kept"),
+        round(least(col("n_rows"), lit(k.toLong)).cast("double") /
+          col("n_rows"), 6).as("kept_share"))
+  }
+}

@@ -633,4 +633,47 @@ object Similarity {
       .where(col("cosine") >= minCosine && !isnan(col("cosine")))
       .select("vec_a", "vec_b", "cosine")
   }
+
+  /**
+   * Label-centroid similarity matrix: pairwise cosine between the
+   * mean-pooled centroids of every label pair — the embedding-space
+   * label-confusion audit (two labels whose centroids sit at cosine
+   * ≈ 1 are candidates for merging; a classifier trained on them will
+   * confuse them). Rows with NULL labels never contribute.
+   *
+   * Scale posture: the only corpus-sized work is ONE explode +
+   * partial-combined aggregate down to |labels|·dims centroid rows
+   * (map-side combine makes the exchange carry per-partition partial
+   * sums, not the corpus). Everything after — norms, the d-keyed
+   * pairwise join, the |labels|²/2 output — runs at centroid
+   * cardinality, independent of corpus size, and AQE broadcasts it.
+   * Centroids stay exploded as (label, d, c) rows end-to-end; the
+   * pairwise dot is a join on d + one more partial aggregate, so no
+   * array re-assembly or driver collect anywhere.
+   */
+  def centroidSimilarity(
+      corpus: DataFrame, labelCol: String, vecCol: String): DataFrame = {
+    val el = corpus
+      .where(col(labelCol).isNotNull)
+      .select(
+        col(labelCol).as("label"),
+        posexplode(toDoubleVec(col(vecCol))).as(Seq("d", "x")))
+    val cen = el.groupBy("label", "d")
+      .agg((sum(col("x")) / count(lit(1))).as("c"))
+    val nrm = cen.groupBy("label")
+      .agg(sqrt(sum(col("c") * col("c"))).as("n"))
+    val dots = cen.as("a")
+      .join(cen.as("b"),
+        col("a.d") === col("b.d") && col("a.label") < col("b.label"))
+      .groupBy(col("a.label").as("label_a"), col("b.label").as("label_b"))
+      .agg(sum(col("a.c") * col("b.c")).as("dp"))
+    dots
+      .join(nrm.select(col("label").as("label_a"), col("n").as("n_a")),
+        Seq("label_a"))
+      .join(nrm.select(col("label").as("label_b"), col("n").as("n_b")),
+        Seq("label_b"))
+      .select(
+        col("label_a"), col("label_b"),
+        (col("dp") / (col("n_a") * col("n_b"))).as("cosine"))
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Relevance, Similarity, TextAnalysis, TimeSeries}
+import graft.operators.{Dedup, Multimodal, Relevance, Sampling, Similarity, TextAnalysis, TimeSeries}
 
 /**
  * LLM-training-data pipeline query registry: dedup, similarity
@@ -200,6 +200,45 @@ object PipelineQueries {
           docs.where(col("doc_id") % 10 =!= 0),
           "doc_id", "text", n = 3)
         .orderBy("doc_id")
+    }),
+
+    // Label-centroid similarity matrix: pairwise cosine between
+    // mean-pooled label centroids — the label-confusion audit. One
+    // corpus pass to centroids; all pairwise work at |labels|²
+    // cardinality.
+    "q102_centroid_sim" -> ((s, dir) => {
+      Similarity.centroidSimilarity(
+          t(s, dir, "embeddings"), "label", "embedding")
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("label_a", "label_b")
+    }),
+
+    // Split-leakage audit: signature-strong near-dup pairs (q16/q48
+    // chain) tagged with both members' q41 split assignments; pairs
+    // straddling train/val are flagged eval contamination. One
+    // corpus-assignment scan via the melted-pair join.
+    "q101_split_leakage" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashCandidates(
+          docs, "doc_id", "text",
+          numHashes = 8, rowsPerBand = 2, shingleSize = 3)
+        .where(col("n_match") >= 7)
+      val assign = docs.select(
+        col("doc_id"),
+        when(substring(md5(col("doc_id").cast("string")), 1, 1) < "c",
+          "train").otherwise("val").as("split"))
+      Dedup.splitLeakage(pairs, assign, "doc_id", "split")
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Per-source document cap (domain dominance control): keep at
+    // most 8 docs per source, chosen by deterministic id-hash order —
+    // a WindowGroupLimit plan, so each map task ships ≤ 8 rows per
+    // source into the exchange.
+    "q100_source_cap" -> ((s, dir) => {
+      Sampling.capPerKey(t(s, dir, "documents"), "source", "doc_id", k = 8)
+        .select("source", "doc_id", "pick_rank", "lang")
+        .orderBy("source", "pick_rank")
     }),
 
     // Rolling z-score anomaly detection per user: each value scored
@@ -1106,6 +1145,80 @@ object PipelineQueries {
         |WHERE s.doc_id % 10 = 0
         |GROUP BY s.doc_id
         |ORDER BY s.doc_id""".stripMargin,
+
+    "q102_centroid_sim" ->
+      """WITH el AS (
+        |  SELECT label, generate_subscripts(embedding,1) AS d,
+        |         unnest(embedding)::DOUBLE AS x
+        |  FROM embeddings WHERE label IS NOT NULL
+        |), cen AS (
+        |  SELECT label, d, SUM(x) / count(*) AS c FROM el GROUP BY label, d
+        |), nrm AS (
+        |  SELECT label, sqrt(SUM(c*c)) AS n FROM cen GROUP BY label
+        |), dots AS (
+        |  SELECT a.label AS label_a, b.label AS label_b,
+        |         SUM(a.c * b.c) AS dp
+        |  FROM cen a JOIN cen b ON a.d = b.d AND a.label < b.label
+        |  GROUP BY 1, 2
+        |)
+        |SELECT d.label_a, d.label_b,
+        |  round(d.dp / (na.n * nb.n), 6) AS cosine
+        |FROM dots d
+        |JOIN nrm na ON na.label = d.label_a
+        |JOIN nrm nb ON nb.label = d.label_b
+        |ORDER BY label_a, label_b""".stripMargin,
+
+    "q101_split_leakage" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), idx AS (
+        |  SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i FROM toks
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM idx
+        |), mh AS (
+        |  SELECT doc_id, s.seed,
+        |    min(CAST(('0x' || substr(
+        |      md5(CAST(s.seed AS VARCHAR) || ':' || shingle), 1, 15)) AS BIGINT))
+        |      AS mh
+        |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0,7)) AS seed) s
+        |  GROUP BY doc_id, s.seed
+        |), bands AS (
+        |  SELECT doc_id, seed // 2 AS band,
+        |    string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed) AS sig
+        |  FROM mh GROUP BY doc_id, seed // 2
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a
+        |  JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        |), strong AS (
+        |  SELECT c.doc_a, c.doc_b
+        |  FROM cand c
+        |  JOIN mh ma ON ma.doc_id = c.doc_a
+        |  JOIN mh mb ON mb.doc_id = c.doc_b AND mb.seed = ma.seed
+        |  GROUP BY c.doc_a, c.doc_b
+        |  HAVING count(*) FILTER (ma.mh = mb.mh) >= 7
+        |), asg AS (
+        |  SELECT doc_id,
+        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+        |         THEN 'train' ELSE 'val' END AS split
+        |  FROM documents
+        |)
+        |SELECT p.doc_a, p.doc_b, a.split AS split_a, b.split AS split_b,
+        |  (a.split <> b.split) AS leaked
+        |FROM strong p
+        |JOIN asg a ON a.doc_id = p.doc_a
+        |JOIN asg b ON b.doc_id = p.doc_b
+        |ORDER BY p.doc_a, p.doc_b""".stripMargin,
+
+    "q100_source_cap" ->
+      """SELECT source, doc_id, CAST(pick_rank AS INT) AS pick_rank, lang
+        |FROM (
+        |  SELECT source, doc_id, lang,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pick_rank
+        |  FROM documents)
+        |WHERE pick_rank <= 8
+        |ORDER BY source, pick_rank""".stripMargin,
 
     "q98_novelty" ->
       """WITH toks AS (

@@ -287,4 +287,28 @@ class DedupSpec extends AnyFunSuite {
       .as[(String, String)].collect()
     both.foreach { case (ref, fast) => assert(ref === fast) }
   }
+
+  test("splitLeakage: cross-split pairs flagged; one assignment scan in the plan") {
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val assign = Seq(
+      (1L, "train"), (2L, "val"),   // leaked
+      (3L, "train"), (4L, "train"), // same split
+      (5L, "val"), (6L, "val")      // same split
+    ).toDF("doc_id", "split")
+    val out = Dedup.splitLeakage(pairs, assign, "doc_id", "split")
+      .orderBy("doc_a")
+      .as[(Long, Long, String, String, Boolean)].collect().toSeq
+    assert(out === Seq(
+      (1L, 2L, "train", "val", true),
+      (3L, 4L, "train", "train", false),
+      (5L, 6L, "val", "val", false)))
+    // The corpus-sized assignment frame must appear exactly once in
+    // the plan (melted-pair join), not once per pair side.
+    val scans = Dedup.splitLeakage(pairs, assign, "doc_id", "split")
+      .queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+          if l.output.exists(_.name == "split") => l
+      }
+    assert(scans.size === 1)
+  }
 }

@@ -266,4 +266,21 @@ class SimilaritySpec extends AnyFunSuite {
       .where(col("is_kept")).count()
     assert(all === 4)
   }
+
+  test("centroidSimilarity: hand-computed pairwise centroid cosines; null labels drop") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f), Some(0)),
+      (2L, Array(1.0f, 0.0f), Some(0)), // label 0 centroid (1, 0)
+      (3L, Array(0.0f, 1.0f), Some(1)), // label 1 centroid (0, 1)
+      (4L, Array(1.0f, 1.0f), Some(2)),
+      (5L, Array(1.0f, 1.0f), Some(2)), // label 2 centroid (1, 1)
+      (6L, Array(9.0f, 9.0f), None) // null label: excluded
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.centroidSimilarity(df, "label", "embedding")
+      .withColumn("cosine", round(col("cosine"), 6))
+      .orderBy("label_a", "label_b")
+      .as[(Int, Int, Double)].collect().toSeq
+    val r = 0.707107 // 1/sqrt(2)
+    assert(out === Seq((0, 1, 0.0), (0, 2, r), (1, 2, r)))
+  }
 }
