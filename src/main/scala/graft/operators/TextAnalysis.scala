@@ -222,4 +222,53 @@ object TextAnalysis {
       .withColumn("novelty",
         round(col("n_novel").cast("double") / col("n_shingles"), 6))
   }
+
+  /**
+   * Cross-group corpus overlap: for every pair of groups (sources,
+   * snapshots, shards), the distinct word-n-gram sets' intersection,
+   * per-side containment, and Jaccard — the "how much of source B is
+   * already in source A" report that decides whether a new corpus is
+   * worth ingesting (and in which order to dedup). Containment is
+   * directional (a 1 GB subset inside a 1 TB corpus has containment
+   * ≈ 1 FROM its side, Jaccard ≈ 0.001) — both matter.
+   *
+   * Scale: distinct (group, shingle) is one exchange; the pairwise
+   * intersection is a self-join on the SHINGLE key, so each shingle
+   * contributes only its own group-pair combinations (≤ |groups|²/2,
+   * a bounded fan-out — never a corpus×corpus join); group sizes
+   * broadcast back onto the |groups|² result. Pairs sharing nothing
+   * produce no join rows and are absent from the output. At
+   * million-group cardinality the shingle self-join fan-out term
+   * dominates — cap it upstream (per-shingle group lists) before
+   * this operator; for source/shard-level audits (≤ thousands of
+   * groups) this shape is exact and cheap.
+   */
+  def corpusOverlap(
+      docs: DataFrame, groupCol: String, textCol: String, n: Int)
+      : DataFrame = {
+    val gs = docs
+      .select(col(groupCol).as("__g"),
+        explode(graft.functions.ShingleArray(col(textCol), n)).as("shingle"))
+      .distinct()
+    val sizes = gs.groupBy(col("__g")).agg(count(lit(1)).as("n"))
+    val common = gs.as("a")
+      .join(gs.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.__g") < col("b.__g"))
+      .groupBy(col("a.__g").as("group_a"), col("b.__g").as("group_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(broadcast(sizes.select(col("__g").as("group_a"),
+        col("n").as("n_a"))), Seq("group_a"))
+      .join(broadcast(sizes.select(col("__g").as("group_b"),
+        col("n").as("n_b"))), Seq("group_b"))
+      .select(
+        col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        col("n_common"),
+        round(col("n_common").cast("double") / col("n_a"), 6)
+          .as("containment_a"),
+        round(col("n_common").cast("double") / col("n_b"), 6)
+          .as("containment_b"),
+        round(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")), 6).as("jaccard"))
+  }
 }

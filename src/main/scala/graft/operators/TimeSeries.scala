@@ -86,4 +86,52 @@ object TimeSeries {
       .withColumn("is_anomaly", coalesce(abs(col("z")) >= threshold, lit(false)))
       .drop("__s", "__s2")
   }
+
+  /**
+   * Robust outlier scoring via the modified z-score (Iglewicz &
+   * Hoaglin): per key, `0.6745 · (x − median) / MAD` where MAD is the
+   * median absolute deviation from the key's median; |score| >
+   * `threshold` (3.5 is the standard dial) flags the point. Median/
+   * MAD ignore tail mass, so — unlike the mean/std z-score — a batch
+   * of extreme points cannot drag the center toward itself and mask
+   * its own members (breakdown point 50% vs 0%).
+   *
+   * Zero-MAD keys (≥ half the points share the median value) emit
+   * NULL scores and never flag — the score is undefined there, and a
+   * division would flag every point off the median.
+   *
+   * Scale: exact two-level medians are inherently two aggregation
+   * passes over the corpus (the deviation needs the median first);
+   * both passes partial-aggregate on the key, and the per-key
+   * median/MAD tables (|keys| rows) broadcast back — no corpus-sized
+   * join. Exact `percentile` holds each key's values in the agg
+   * buffer, so at 100 TB swap both passes to `approx_percentile`
+   * (t-digest sketch, bounded state — the q57→q62 trade) via
+   * `approx = true`.
+   */
+  def madOutliers(
+      series: DataFrame, keyCol: String, valueCol: String,
+      threshold: Double = 3.5, approx: Boolean = false): DataFrame = {
+    val x = col(valueCol).cast("double")
+    val p50 =
+      if (approx) expr("approx_percentile(__p50_in, 0.5)")
+      else expr("percentile(__p50_in, 0.5)")
+    val med = series
+      .withColumn("__p50_in", x)
+      .groupBy(col(keyCol))
+      .agg(p50.as("med"))
+    val dev = series
+      .join(broadcast(med), Seq(keyCol))
+      .withColumn("__p50_in", abs(x - col("med")))
+    val mad = dev
+      .groupBy(col(keyCol))
+      .agg(p50.as("mad"))
+    val score = lit(0.6745) * (x - col("med")) / col("mad")
+    dev
+      .join(broadcast(mad), Seq(keyCol))
+      .withColumn("robust_z", when(col("mad") > 0.0, round(score, 6)))
+      .withColumn("is_outlier",
+        coalesce(abs(col("robust_z")) > threshold, lit(false)))
+      .drop("__p50_in")
+  }
 }

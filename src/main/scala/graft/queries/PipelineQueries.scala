@@ -202,6 +202,28 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Robust outlier scoring: modified z-score (median/MAD) per event
+    // type — tails can't drag the center and mask themselves, unlike
+    // mean/std. Two partial-agg passes; per-key stat tables broadcast
+    // back.
+    "q103_mad_outliers" -> ((s, dir) => {
+      TimeSeries.madOutliers(
+          t(s, dir, "events").select("event_id", "event_type", "value"),
+          "event_type", "value", threshold = 3.5)
+        .select("event_id", "event_type", "robust_z", "is_outlier")
+        .orderBy("event_id")
+    }),
+
+    // Cross-source corpus overlap: pairwise distinct-3-gram
+    // intersection, directional containment, and Jaccard between
+    // sources — the "is this corpus worth ingesting" report. One
+    // shingle-key self-join, group-pair-bounded fan-out.
+    "q104_source_overlap" -> ((s, dir) => {
+      TextAnalysis.corpusOverlap(
+          t(s, dir, "documents"), "source", "text", n = 3)
+        .orderBy("group_a", "group_b")
+    }),
+
     // Label-centroid similarity matrix: pairwise cosine between
     // mean-pooled label centroids — the label-confusion audit. One
     // corpus pass to centroids; all pairwise work at |labels|²
@@ -1145,6 +1167,56 @@ object PipelineQueries {
         |WHERE s.doc_id % 10 = 0
         |GROUP BY s.doc_id
         |ORDER BY s.doc_id""".stripMargin,
+
+    "q103_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1
+        |), dev AS (
+        |  SELECT e.event_id, e.event_type, e.value, m.med
+        |  FROM events e JOIN med m USING (event_type)
+        |), madt AS (
+        |  SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+        |  FROM dev GROUP BY 1
+        |), scored AS (
+        |  SELECT d.event_id, d.event_type,
+        |    CASE WHEN t.mad > 0
+        |         THEN round(0.6745 * (d.value - d.med) / t.mad, 6) END
+        |      AS robust_z
+        |  FROM dev d JOIN madt t USING (event_type)
+        |)
+        |SELECT event_id, event_type, robust_z,
+        |  coalesce(abs(robust_z) > 3.5, false) AS is_outlier
+        |FROM scored ORDER BY event_id""".stripMargin,
+
+    "q104_source_overlap" ->
+      """WITH toks AS (
+        |  SELECT source, string_split(text, ' ') AS w FROM documents
+        |), idx AS (
+        |  SELECT source, w, unnest(generate_series(1, len(w)-2)) AS i
+        |  FROM toks
+        |), gs AS (
+        |  SELECT DISTINCT source,
+        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        |  FROM idx
+        |), sizes AS (
+        |  SELECT source, count(*) AS n FROM gs GROUP BY 1
+        |), common AS (
+        |  SELECT a.source AS group_a, b.source AS group_b,
+        |         count(*) AS n_common
+        |  FROM gs a JOIN gs b ON a.shingle = b.shingle
+        |                     AND a.source < b.source
+        |  GROUP BY 1, 2
+        |)
+        |SELECT c.group_a, c.group_b, sa.n AS n_a, sb.n AS n_b, c.n_common,
+        |  round(CAST(c.n_common AS DOUBLE) / sa.n, 6) AS containment_a,
+        |  round(CAST(c.n_common AS DOUBLE) / sb.n, 6) AS containment_b,
+        |  round(CAST(c.n_common AS DOUBLE) / (sa.n + sb.n - c.n_common), 6)
+        |    AS jaccard
+        |FROM common c
+        |JOIN sizes sa ON sa.source = c.group_a
+        |JOIN sizes sb ON sb.source = c.group_b
+        |ORDER BY group_a, group_b""".stripMargin,
 
     "q102_centroid_sim" ->
       """WITH el AS (

@@ -106,4 +106,19 @@ class TextAnalysisSpec extends AnyFunSuite {
       .select("doc_id", "novelty").as[(Long, Double)].collect().toMap
     assert(tw === Map(20L -> 1.0, 21L -> 1.0))
   }
+
+  test("corpusOverlap: hand-computed containment/Jaccard; disjoint pairs absent") {
+    val docs = Seq(
+      ("g1", "a b c"),   // 2-shingles {a b, b c}
+      ("g1", "a b"),     // duplicate shingle within group: counted once
+      ("g2", "b c d"),   // {b c, c d}
+      ("g3", "x y")      // {x y} — shares nothing
+    ).toDF("source", "text")
+    val out = TextAnalysis.corpusOverlap(docs, "source", "text", n = 2)
+      .orderBy("group_a", "group_b")
+      .as[(String, String, Long, Long, Long, Double, Double, Double)]
+      .collect().toSeq
+    assert(out === Seq(
+      ("g1", "g2", 2L, 2L, 1L, 0.5, 0.5, 0.333333)))
+  }
 }

@@ -97,4 +97,26 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(out(5L)._1.get > 100)
     (6L to 9L).foreach(i => assert(out(i) === ((None, false))))
   }
+
+  test("madOutliers: hand-computed modified z; zero-MAD keys never flag") {
+    val rows = Seq(
+      (1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0),
+      (4L, "a", 4.0), (5L, "a", 100.0), // median 3, MAD 1
+      (6L, "b", 5.0), (7L, "b", 5.0), (8L, "b", 5.0),
+      (9L, "b", 9.0) // median 5, MAD 0 → undefined scores
+    ).toDF("event_id", "event_type", "value")
+    val out = TimeSeries.madOutliers(rows, "event_type", "value")
+      .select("event_id", "robust_z", "is_outlier")
+      .as[(Long, Option[Double], Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) === ((Some(-1.349), false)))
+    assert(out(2L) === ((Some(-0.6745), false)))
+    assert(out(3L) === ((Some(0.0), false)))
+    assert(out(4L) === ((Some(0.6745), false)))
+    assert(out(5L) === ((Some(65.4265), true))) // 0.6745 * 97
+    (6L to 9L).foreach(i => assert(out(i) === ((None, false))))
+    // A mean/std z-score at the same 3.5 dial would MISS the spike
+    // (n=5, the spike inflates std to ~43 → z ≈ 1.8): masking is the
+    // reason this operator is median-based.
+  }
 }
