@@ -55,7 +55,9 @@ object ScaleAudit {
     "q71_tfidf", "q72_sessionize", "q80_merge_changelog",
     "q86_profile", "q87_incremental_dedup", "q90_cumulative_users",
     "q92_lm_perplexity", "q93_semantic_dedup", "q94_hard_negatives",
-    "q95_rolling_zscore", "q96_skew_probe", "q97_debounce")
+    "q95_rolling_zscore", "q96_skew_probe", "q97_debounce",
+    "q100_source_cap", "q101_split_leakage", "q102_centroid_sim",
+    "q103_mad_outliers", "q104_source_overlap")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

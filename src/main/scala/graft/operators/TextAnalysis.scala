@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -243,6 +244,44 @@ object TextAnalysis {
    * this operator; for source/shard-level audits (≤ thousands of
    * groups) this shape is exact and cheap.
    */
+  /**
+   * Percentile-rank signal blending: quality signals live on
+   * incomparable scales (a token count, a ratio, a perplexity), so
+   * averaging raw values lets whichever signal has the widest range
+   * dominate. Rank-normalize instead: each signal maps to its
+   * percent_rank within the `keyCol` stratum (language — rank against
+   * your own language, not against the corpus majority language),
+   * oriented so 1.0 = good via the `higherIsBetter` flag, then the
+   * blend is the plain mean of the oriented ranks. Standard corpus-
+   * curation move for combining heterogeneous filters into ONE
+   * sampling weight.
+   *
+   * Ties break by `idCol`, making every rank deterministic (two docs
+   * with equal signal get adjacent, not equal, ranks — reproducible
+   * beats tie-fair for a sampling weight).
+   *
+   * Scale: all windows share the `keyCol` hash partitioning — ONE
+   * exchange, one sort per signal within it. Rank normalization
+   * inherently needs per-stratum order statistics; the cheaper
+   * 100 TB variant (bucketize each signal by approx_percentile edges,
+   * rank = bucket index) trades exactness for sort-free one-pass.
+   */
+  def rankBlend(
+      df: DataFrame, keyCol: String, idCol: String,
+      signals: Seq[(String, Boolean)]): DataFrame = {
+    require(signals.nonEmpty, "rankBlend: need at least one signal")
+    val ranked = signals.foldLeft(df) { case (acc, (sig, higherBetter)) =>
+      val ord =
+        if (higherBetter) Seq(col(sig).asc, col(idCol).asc)
+        else Seq(col(sig).desc, col(idCol).asc)
+      val w = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
+      acc.withColumn(s"pr_$sig", round(percent_rank().over(w), 6))
+    }
+    val blend = signals.map { case (sig, _) => col(s"pr_$sig") }
+      .reduce(_ + _) / signals.size
+    ranked.withColumn("blend", round(blend, 6))
+  }
+
   def corpusOverlap(
       docs: DataFrame, groupCol: String, textCol: String, n: Int)
       : DataFrame = {

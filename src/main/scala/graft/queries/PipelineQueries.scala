@@ -202,6 +202,50 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Quality-signal percentile blending: TTR, stopword ratio, and
+    // token count rank-normalized within each language (percent_rank,
+    // id tiebreak) and averaged into one sampling weight — signals on
+    // incomparable scales can't be averaged raw. One lang exchange
+    // serves all three rank sorts.
+    "q105_quality_blend" -> ((s, dir) => {
+      val nTok = TextAnalysis.tokenCount(col("text"))
+      val ttr = TextAnalysis.typeTokenRatio(col("text"))
+      val stopRatio = TextAnalysis.vocabHits(
+        col("text"), Seq("the", "a", "of", "and", "is", "to"))
+        .cast("double") / nTok
+      TextAnalysis.rankBlend(
+          t(s, dir, "documents").select(
+            col("doc_id"), col("lang"),
+            round(ttr, 6).as("ttr"),
+            round(stopRatio, 6).as("stop_ratio"),
+            nTok.as("n_tokens")),
+          "lang", "doc_id",
+          Seq(("ttr", true), ("stop_ratio", false), ("n_tokens", true)))
+        .select("doc_id", "lang", "pr_ttr", "pr_stop_ratio",
+          "pr_n_tokens", "blend")
+        .orderBy("doc_id")
+    }),
+
+    // Corpus growth curve (Heap's law): per doc in arrival (id)
+    // order, distinct 3-grams first seen in that doc and the running
+    // corpus total — the marginal-contribution curve that says when
+    // new data stops adding content. Running total via the bucketed
+    // two-level prefix sum, never a single-task global window over
+    // the corpus.
+    "q106_growth_curve" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val novel = Dedup.shingles(docs, "doc_id", "text", 3)
+        .groupBy("shingle").agg(min("doc_id").as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+      val base = docs.select("doc_id")
+        .join(novel, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_novel"))
+      TimeSeries.runningTotal(base, "doc_id", "n_novel",
+          bucketWidth = 1000)
+        .withColumnRenamed("running_total", "cum_distinct")
+        .orderBy("doc_id")
+    }),
+
     // Robust outlier scoring: modified z-score (median/MAD) per event
     // type — tails can't drag the center and mask themselves, unlike
     // mean/std. Two partial-agg passes; per-key stat tables broadcast
@@ -1167,6 +1211,53 @@ object PipelineQueries {
         |WHERE s.doc_id % 10 = 0
         |GROUP BY s.doc_id
         |ORDER BY s.doc_id""".stripMargin,
+
+    "q105_quality_blend" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang,
+        |    round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / len(string_split(text, ' ')), 6) AS ttr,
+        |    round(CAST(len(list_filter(string_split(text, ' '),
+        |      t -> list_contains(['the','a','of','and','is','to'], t)))
+        |      AS DOUBLE) / len(string_split(text, ' ')), 6) AS stop_ratio,
+        |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, lang,
+        |    round(percent_rank() OVER (PARTITION BY lang
+        |      ORDER BY ttr, doc_id), 6) AS pr_ttr,
+        |    round(percent_rank() OVER (PARTITION BY lang
+        |      ORDER BY stop_ratio DESC, doc_id), 6) AS pr_stop_ratio,
+        |    round(percent_rank() OVER (PARTITION BY lang
+        |      ORDER BY n_tokens, doc_id), 6) AS pr_n_tokens
+        |  FROM f
+        |)
+        |SELECT doc_id, lang, pr_ttr, pr_stop_ratio, pr_n_tokens,
+        |  round((pr_ttr + pr_stop_ratio + pr_n_tokens) / 3, 6) AS blend
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q106_growth_curve" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), idx AS (
+        |  SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i
+        |  FROM toks
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        |  FROM idx
+        |), first AS (
+        |  SELECT min(doc_id) AS doc_id FROM sh GROUP BY shingle
+        |), nov AS (
+        |  SELECT doc_id, count(*) AS n_novel FROM first GROUP BY doc_id
+        |), base AS (
+        |  SELECT d.doc_id, coalesce(n.n_novel, 0) AS n_novel
+        |  FROM documents d LEFT JOIN nov n ON n.doc_id = d.doc_id
+        |)
+        |SELECT doc_id, CAST(n_novel AS BIGINT) AS n_novel,
+        |  CAST(SUM(n_novel) OVER (ORDER BY doc_id) AS BIGINT)
+        |    AS cum_distinct
+        |FROM base ORDER BY doc_id""".stripMargin,
 
     "q103_mad_outliers" ->
       """WITH med AS (

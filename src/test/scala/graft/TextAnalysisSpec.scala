@@ -121,4 +121,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out === Seq(
       ("g1", "g2", 2L, 2L, 1L, 0.5, 0.5, 0.333333)))
   }
+
+  test("rankBlend: percent_rank orientation, per-key strata, deterministic ties") {
+    val df = Seq(
+      // en: ttr ascending 0.1 < 0.5 < 0.9; bad ("lower better") 5, 1, 3
+      (1L, "en", 0.1, 5.0), (2L, "en", 0.5, 1.0), (3L, "en", 0.9, 3.0),
+      // fr: single doc → percent_rank 0 for every signal
+      (4L, "fr", 0.7, 2.0),
+      // de: tied ttr values rank by id, not equally
+      (5L, "de", 0.4, 1.0), (6L, "de", 0.4, 2.0)
+    ).toDF("doc_id", "lang", "ttr", "bad")
+    val out = TextAnalysis.rankBlend(df, "lang", "doc_id",
+        Seq(("ttr", true), ("bad", false)))
+      .select("doc_id", "pr_ttr", "pr_bad", "blend")
+      .as[(Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) === ((0.0, 0.0, 0.0)))   // worst ttr, worst bad
+    assert(out(2L) === ((0.5, 1.0, 0.75)))
+    assert(out(3L) === ((1.0, 0.5, 0.75)))
+    assert(out(4L) === ((0.0, 0.0, 0.0)))   // singleton stratum
+    assert(out(5L) === ((0.0, 1.0, 0.5)))   // tie broken by id
+    assert(out(6L) === ((1.0, 0.0, 0.5)))
+  }
 }

@@ -119,4 +119,23 @@ class TimeSeriesSpec extends AnyFunSuite {
     // (n=5, the spike inflates std to ~43 → z ≈ 1.8): masking is the
     // reason this operator is median-based.
   }
+
+  test("runningTotal: bucketed prefix sum equals the naive global window") {
+    val rnd = new scala.util.Random(41)
+    // Sparse non-contiguous ids across many buckets, including empty ones.
+    val rows = (1 to 300).map(_ => rnd.nextInt(100000).toLong).distinct
+      .map(id => (id, (id % 7) + 1))
+    val df = rows.toDF("id", "v")
+    val out = TimeSeries.runningTotal(df, "id", "v", bucketWidth = 1000)
+      .select("id", "running_total")
+      .as[(Long, Long)].collect().toMap
+    val naive = rows.sortBy(_._1)
+      .scanLeft((0L, 0L)) { case ((_, acc), (id, v)) => (id, acc + v) }
+      .drop(1).toMap
+    assert(out === naive)
+    // Width 1 (every row its own bucket) degenerates gracefully.
+    val w1 = TimeSeries.runningTotal(df, "id", "v", bucketWidth = 1)
+      .select("id", "running_total").as[(Long, Long)].collect().toMap
+    assert(w1 === naive)
+  }
 }
