@@ -26,6 +26,18 @@ case class ZScored(
     key: Long, ts: Timestamp, value: Double, nPrev: Int,
     z: Option[Double], isAnomaly: Boolean)
 
+/** Per-key debounce state: burst counter (survives burst closes, so
+  * burst_seq matches the batch operator) + the open burst, tracked in
+  * exact integer microseconds. */
+case class DebounceState(
+    seq: Long, firstUs: Long, lastUs: Long, keptTie: Long, n: Long,
+    hasOpen: Boolean)
+
+/** One closed burst from the streaming debounce. */
+case class Burst(
+    key: String, burstSeq: Long, keptTie: Long,
+    firstTs: Timestamp, lastTs: Timestamp, nEvents: Long)
+
 /**
  * Streaming analytics over event streams — the watermarked /
  * stateful half of the engine's streaming surface (the daily-flow
@@ -247,6 +259,91 @@ object EventStreams {
             }
           state.update(ZState(ring))
           out.iterator
+      }
+  }
+
+  /**
+   * Streaming telemetry debounce — the stateful counterpart of
+   * `Sessionize.debounce` (q97): bursts of same-key events ≤
+   * `windowSeconds` apart collapse to one emitted row (first event's
+   * `tieCol` kept, suppressed count carried). A burst closes — and is
+   * emitted exactly once — when a larger gap appears in the data or
+   * the watermark passes last-event + window. In-order sources
+   * reproduce the batch operator row-for-row (EventStreamsSpec).
+   *
+   * Timestamps compare in exact integer microseconds, like the batch
+   * side — ms truncation would merge bursts the batch operator
+   * splits.
+   *
+   * State: the open burst plus a per-key burst counter. The counter
+   * outlives bursts ON PURPOSE (burst_seq must keep counting across
+   * bursts to match batch), so each key retains one ~40-byte state
+   * row for the stream's lifetime — O(distinct keys), the
+   * streamingExactDedup trade. Keys are composite-encoded by the
+   * caller (concat) — the natural key is (device, event_type), whose
+   * cardinality is bounded.
+   */
+  def streamingDebounce(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String,
+      windowSeconds: Long,
+      watermarkDelay: String): Dataset[Burst] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val windowUs = windowSeconds * 1000000L
+
+    def toUs(ts: Timestamp): Long =
+      ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
+    def toTs(us: Long): Timestamp = {
+      val t = new Timestamp(us / 1000000 * 1000)
+      t.setNanos((us % 1000000).toInt * 1000)
+      t
+    }
+    def close(key: String, s: DebounceState): Burst =
+      Burst(key, s.seq, s.keptTie, toTs(s.firstUs), toTs(s.lastUs), s.n)
+
+    // Project/cast BEFORE the watermark (see sessionize).
+    val typed = events
+      .select(
+        col(keyCol).cast("string").as("key"),
+        col(tsCol).cast("timestamp").as("ts"),
+        col(tieCol).cast("long").as("tie"))
+      .withWatermark("ts", watermarkDelay)
+      .as[(String, Timestamp, Long)]
+
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[DebounceState, Burst](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, rows: Iterator[(String, Timestamp, Long)],
+            state: GroupState[DebounceState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.update(s.copy(hasOpen = false))
+            if (s.hasOpen) Iterator(close(key, s)) else Iterator.empty
+          } else {
+            val sorted = rows.toSeq
+              .map { case (_, ts, tie) => (toUs(ts), tie) }.sorted
+            var st = state.getOption
+              .getOrElse(DebounceState(0L, 0L, 0L, 0L, 0L, hasOpen = false))
+            val out = Seq.newBuilder[Burst]
+            sorted.foreach { case (t, tie) =>
+              if (st.hasOpen && t - st.lastUs <= windowUs)
+                st = st.copy(lastUs = math.max(st.lastUs, t), n = st.n + 1)
+              else {
+                if (st.hasOpen) out += close(key, st)
+                st = DebounceState(st.seq + 1, t, t, tie, 1L, hasOpen = true)
+              }
+            }
+            state.update(st)
+            if (st.hasOpen)
+              // Round the µs deadline UP to ms so the burst can't
+              // close a fraction early.
+              state.setTimeoutTimestamp((st.lastUs + windowUs + 999) / 1000)
+            out.result().iterator
+          }
       }
   }
 

@@ -254,4 +254,51 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(perShard.forall(_ <= 8))
     } finally q.stop()
   }
+
+  test("parity: streamingDebounce matches batch Sessionize.debounce") {
+    // Same bursty per-key series through the stateful streaming
+    // debouncer (events split across two micro-batches, then two
+    // far-future flusher batches so every open burst times out) and
+    // the batch gaps-and-islands operator. Closed bursts must be
+    // row-identical: (key, burst_seq, kept tie, first, last, count).
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(17)
+    var nextId = 0L
+    val events = for {
+      k <- Seq("a", "b", "c", "d", "e")
+      t <- Iterator.iterate(1L + rnd.nextInt(5))(
+        _ + Seq(2L, 5L, 10L, 11L, 30L)(rnd.nextInt(5))).take(20).toSeq
+    } yield { nextId += 1; (k, ts(t), nextId) }
+    val flushKey = "zz"
+
+    val input = MemoryStream[(String, Timestamp, Long)]
+    val bursts = EventStreams.streamingDebounce(
+      input.toDF.toDF("k", "ts", "event_id"),
+      "k", "ts", "event_id", windowSeconds = 10,
+      watermarkDelay = "0 seconds")
+    val q = bursts.writeStream
+      .format("memory").queryName("parity_debounce")
+      .outputMode("append").start()
+    try {
+      // All real events in one batch: with a 0s watermark delay, a
+      // second batch's earlier timestamps would be late-dropped.
+      input.addData(events: _*); q.processAllAvailable()
+      input.addData((flushKey, ts(100000), 9998L)); q.processAllAvailable()
+      input.addData((flushKey, ts(200000), 9999L)); q.processAllAvailable()
+      val streamed = spark.table("parity_debounce")
+        .as[graft.streaming.Burst].collect()
+        .filter(_.key != flushKey)
+        .map(b => (b.key, b.burstSeq, b.keptTie, b.firstTs, b.lastTs,
+          b.nEvents)).toSet
+      val batch = graft.operators.Sessionize
+        .debounce(events.toDF("k", "ts", "event_id"),
+          Seq("k"), "ts", "event_id", windowSeconds = 10)
+        .select("k", "burst_seq", "kept_event_id", "first_ts", "last_ts",
+          "n_events")
+        .as[(String, Long, Long, Timestamp, Timestamp, Long)]
+        .collect().toSet
+      assert(streamed === batch)
+      assert(streamed.size >= 10) // bursts actually split per key
+    } finally q.stop()
+  }
 }
