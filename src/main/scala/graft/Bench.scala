@@ -81,12 +81,11 @@ object Bench {
     // subtotal so the baseline ratio stays apples-to-apples as the
     // registry grows (34 queries were added after the baseline was
     // fixed).
+    // Anchored regex, not a prefix match: a `k.take(3) == "q10"` test
+    // silently swept q100+ into the subtotal once the registry grew
+    // past 99 queries (measured: 17.0s vs the true 8.6s).
     val baselineSubtotal = results
-      .filter { case (k, _) => k.take(3) match {
-        case s if s.startsWith("q0") => true
-        case "q10" | "q11" | "q12" | "q13" | "q14" => true
-        case _ => false
-      } }
+      .filter { case (k, _) => k.matches("q(0[1-9]|1[0-4])_.*") }
       .map(_._2).sum
     // Failures carry a marker in the JSON itself — a broken query's
     // near-zero wall time must not read as a speedup downstream.

@@ -193,4 +193,53 @@ object Relevance {
         round(col("slp") / col("n_bigrams"), 6).as("avg_logp"),
         round(exp(-col("slp") / col("n_bigrams")), 6).as("ppl"))
   }
+
+  /**
+   * PMI collocation mining: pointwise mutual information of adjacent
+   * token pairs, `pmi(a,b) = ln( P(a,b) / (P(a)·P(b)) )` with P(a,b)
+   * over the bigram stream and P(·) over the token stream — the
+   * classic phrase-detection signal ("new york" scores high because
+   * the pair beats the independence assumption; "of the" scores ~0
+   * because both halves are everywhere). Feeds tokenizer/vocab
+   * curation: high-PMI pairs are merge candidates. `minCount` floors
+   * the pair count — PMI's known failure mode is glorifying
+   * one-off typo pairs, whose PMI is maximal.
+   *
+   * Scale: corpus-sized work is exactly two partial-combined
+   * aggregations (bigram counts, unigram counts). Everything after
+   * runs on the Zipf-bounded count tables: two token-keyed joins onto
+   * the bigram table (hot function words are AQE's skew case) and the
+   * corpus totals as one-row cross joins — the q71/q92 scalar
+   * pattern, never a collect.
+   */
+  def pmiCollocations(
+      docs: DataFrame, textCol: String, minCount: Long): DataFrame = {
+    val toks = docs
+      .select(explode(split(col(textCol), " ")).as("tok"))
+    val uni = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val n = toks.agg(count(lit(1)).as("n"))
+    val bg = docs
+      .select(split(col(textCol), " ").as("t"))
+      .where(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 1), " +
+          "i -> struct(element_at(t, i) AS a, element_at(t, i + 1) AS b))"))
+        .as("bg"))
+      .select(col("bg.a").as("a"), col("bg.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cab"))
+    // N₂ totals the FULL bigram stream — summing after the minCount
+    // cut would inflate every survivor's P(a,b).
+    val n2 = bg.agg(sum(col("cab")).as("n2"))
+    bg.where(col("cab") >= minCount)
+      .join(uni.select(col("tok").as("a"), col("c").as("ca")), Seq("a"))
+      .join(uni.select(col("tok").as("b"), col("c").as("cb")), Seq("b"))
+      .crossJoin(n).crossJoin(n2)
+      .select(
+        col("a"), col("b"), col("cab"),
+        round(log(
+          (col("cab").cast("double") / col("n2").cast("double")) /
+            ((col("ca").cast("double") / col("n").cast("double")) *
+              (col("cb").cast("double") / col("n").cast("double")))), 6)
+          .as("pmi"))
+  }
 }

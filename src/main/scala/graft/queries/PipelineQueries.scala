@@ -202,6 +202,17 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // PMI collocation mining: adjacent-pair pointwise mutual
+    // information over the corpus (count floor 5 — PMI glorifies
+    // one-off pairs otherwise) — the phrase-detection dial for
+    // tokenizer merges. Two corpus aggregations; joins run on the
+    // Zipf-bounded count tables.
+    "q107_pmi_collocations" -> ((s, dir) => {
+      Relevance.pmiCollocations(t(s, dir, "documents"), "text",
+          minCount = 5)
+        .orderBy("a", "b")
+    }),
+
     // Quality-signal percentile blending: TTR, stopword ratio, and
     // token count rank-normalized within each language (percent_rank,
     // id tiebreak) and averaged into one sampling weight — signals on
@@ -1211,6 +1222,35 @@ object PipelineQueries {
         |WHERE s.doc_id % 10 = 0
         |GROUP BY s.doc_id
         |ORDER BY s.doc_id""".stripMargin,
+
+    "q107_pmi_collocations" ->
+      """WITH toks AS (
+        |  SELECT string_split(text, ' ') AS w FROM documents
+        |), uni AS (
+        |  SELECT unnest(w) AS tok FROM toks
+        |), ucnt AS (
+        |  SELECT tok, count(*) AS c FROM uni GROUP BY 1
+        |), n AS (
+        |  SELECT count(*) AS n FROM uni
+        |), bgl AS (
+        |  SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+        |  FROM toks WHERE len(w) >= 2
+        |), bg AS (
+        |  SELECT w[i] AS a, w[i+1] AS b, count(*) AS cab
+        |  FROM bgl GROUP BY 1, 2
+        |), n2 AS (
+        |  SELECT CAST(SUM(cab) AS BIGINT) AS n2 FROM bg
+        |)
+        |SELECT bg.a, bg.b, bg.cab,
+        |  round(ln((CAST(bg.cab AS DOUBLE) / n2.n2) /
+        |    ((CAST(ua.c AS DOUBLE) / n.n) * (CAST(ub.c AS DOUBLE) / n.n))),
+        |    6) AS pmi
+        |FROM bg
+        |CROSS JOIN n CROSS JOIN n2
+        |JOIN ucnt ua ON ua.tok = bg.a
+        |JOIN ucnt ub ON ub.tok = bg.b
+        |WHERE bg.cab >= 5
+        |ORDER BY a, b""".stripMargin,
 
     "q105_quality_blend" ->
       """WITH f AS (

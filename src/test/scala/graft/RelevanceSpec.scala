@@ -89,4 +89,15 @@ class RelevanceSpec extends AnyFunSuite {
     assert(math.abs(out(2L)._2 - math.log(0.8)) < 1e-6)
     assert(math.abs(out(2L)._3 - 1.25) < 1e-6)
   }
+
+  test("pmiCollocations: hand-computed PMI; minCount floors one-off pairs") {
+    // tokens: x×3 y×2 z×1 (N=6); bigrams: (x,y)×2 (x,z)×1 (N2=3).
+    val docs = Seq((1L, "x y"), (2L, "x y"), (3L, "x z"))
+      .toDF("doc_id", "text")
+    val out = Relevance.pmiCollocations(docs, "text", minCount = 2)
+      .as[(String, String, Long, Double)].collect().toSeq
+    // pmi(x,y) = ln((2/3) / ((3/6)·(2/6))) = ln 4; (x,z) floored out,
+    // but its count still lands in N2.
+    assert(out === Seq(("x", "y", 2L, math.rint(math.log(4.0) * 1e6) / 1e6)))
+  }
 }
