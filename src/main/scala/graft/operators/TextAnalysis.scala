@@ -282,6 +282,83 @@ object TextAnalysis {
     ranked.withColumn("blend", round(blend, 6))
   }
 
+  /**
+   * KMV-sketch corpus overlap — [[corpusOverlap]]'s bounded-state
+   * 100 TB path. Each group keeps only its `k` minimum distinct
+   * shingle-hash values (KMV / bottom-k sketch; Beyer et al. 2007):
+   * the k-th smallest normalized hash U₍k₎ estimates distinct count
+   * as (k−1)/U₍k₎, the merged bottom-k of two sketches IS the
+   * bottom-k of the union, and the fraction of merged survivors
+   * present in BOTH sketches estimates Jaccard. Hashing is the
+   * engine's portable md5-prefix trick, so the sketch — and every
+   * estimate — is fully deterministic and oracle-checkable, unlike
+   * RNG-seeded sketches. Unions smaller than k are EXACT (the sketch
+   * holds the whole set; estimators switch off).
+   *
+   * Scale: the corpus-sized work is one distinct (group, hash) pass;
+   * the per-group bottom-k rank filter compiles to WindowGroupLimit
+   * (each map task forwards ≤ k rows per group). Everything pairwise
+   * runs on sketch rows — k·|groups| — never on shingle sets:
+   * O(|groups|²·k) total versus q104's shingle self-join. The sketch
+   * table is the persistent overlap index: O(k) per group, mergeable,
+   * reusable for every later pairing.
+   */
+  def kmvOverlap(
+      docs: DataFrame, groupCol: String, textCol: String, n: Int, k: Int)
+      : DataFrame = {
+    require(k >= 2, s"kmvOverlap: k must be >= 2, got $k")
+    val hashes = docs
+      .select(col(groupCol).as("__g"),
+        explode(graft.functions.ShingleArray(col(textCol), n)).as("shingle"))
+      .select(col("__g"),
+        conv(substring(md5(col("shingle")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .distinct()
+    val rk = Window.partitionBy(col("__g")).orderBy(col("h"))
+    val sk = hashes
+      .withColumn("__rk", row_number().over(rk))
+      .where(col("__rk") <= k)
+      .select(col("__g"), col("h"))
+    val pairs = sk.select(col("__g")).distinct().as("a")
+      .join(sk.select(col("__g")).distinct().as("b"),
+        col("a.__g") < col("b.__g"))
+      .select(col("a.__g").as("group_a"), col("b.__g").as("group_b"))
+    // Merged bottom-k with per-side membership: two equi-joins (one
+    // per side) + regroup — an OR-condition join would plan a
+    // nested-loop.
+    val ma = pairs
+      .join(sk.select(col("__g").as("group_a"), col("h")), Seq("group_a"))
+      .select(col("group_a"), col("group_b"), col("h"),
+        lit(1).as("ia"), lit(0).as("ib"))
+    val mb = pairs
+      .join(sk.select(col("__g").as("group_b"), col("h")), Seq("group_b"))
+      .select(col("group_a"), col("group_b"), col("h"),
+        lit(0).as("ia"), lit(1).as("ib"))
+    val merged = ma.unionByName(mb)
+      .groupBy("group_a", "group_b", "h")
+      .agg(max(col("ia")).as("in_a"), max(col("ib")).as("in_b"))
+    val kept = Window.partitionBy(col("group_a"), col("group_b"))
+      .orderBy(col("h"))
+    val M = math.pow(2, 60) // hash space: 15 hex chars = 60 bits
+    merged
+      .withColumn("__rk", row_number().over(kept))
+      .where(col("__rk") <= k)
+      .groupBy("group_a", "group_b")
+      .agg(
+        count(lit(1)).as("n_sketch"),
+        max(col("h")).as("__uk"),
+        sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L))
+          .as("n_both"))
+      .select(
+        col("group_a"), col("group_b"), col("n_sketch"), col("n_both"),
+        round(
+          when(col("n_sketch") < k, col("n_sketch").cast("double"))
+            .otherwise(lit((k - 1).toDouble) * lit(M) /
+              col("__uk").cast("double")), 2).as("est_union"),
+        round(col("n_both").cast("double") / col("n_sketch"), 6)
+          .as("est_jaccard"))
+  }
+
   def corpusOverlap(
       docs: DataFrame, groupCol: String, textCol: String, n: Int)
       : DataFrame = {

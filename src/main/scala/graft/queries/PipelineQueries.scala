@@ -202,6 +202,16 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // KMV-sketch source overlap: q104's report from bottom-128
+    // hash sketches instead of full shingle sets — O(k) state per
+    // source, deterministic md5 hashing so estimates oracle-check
+    // exactly; the persistent overlap index for 100 TB corpora.
+    "q109_kmv_overlap" -> ((s, dir) => {
+      TextAnalysis.kmvOverlap(
+          t(s, dir, "documents"), "source", "text", n = 3, k = 128)
+        .orderBy("group_a", "group_b")
+    }),
+
     // PMI collocation mining: adjacent-pair pointwise mutual
     // information over the corpus (count floor 5 — PMI glorifies
     // one-off pairs otherwise) — the phrase-detection dial for
@@ -1222,6 +1232,53 @@ object PipelineQueries {
         |WHERE s.doc_id % 10 = 0
         |GROUP BY s.doc_id
         |ORDER BY s.doc_id""".stripMargin,
+
+    "q109_kmv_overlap" ->
+      """WITH toks AS (
+        |  SELECT source, string_split(text, ' ') AS w FROM documents
+        |), idx AS (
+        |  SELECT source, w, unnest(generate_series(1, len(w) - 2)) AS i
+        |  FROM toks
+        |), sh AS (
+        |  SELECT DISTINCT source,
+        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        |  FROM idx
+        |), hd AS (
+        |  SELECT DISTINCT source,
+        |    CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h
+        |  FROM sh
+        |), sk AS (
+        |  SELECT source, h FROM (
+        |    SELECT source, h,
+        |      row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+        |    FROM hd)
+        |  WHERE rk <= 128
+        |), pairs AS (
+        |  SELECT a.source AS ga, b.source AS gb
+        |  FROM (SELECT DISTINCT source FROM sk) a
+        |  JOIN (SELECT DISTINCT source FROM sk) b ON a.source < b.source
+        |), m AS (
+        |  SELECT p.ga, p.gb, s.h,
+        |    max(CASE WHEN s.source = p.ga THEN 1 ELSE 0 END) AS in_a,
+        |    max(CASE WHEN s.source = p.gb THEN 1 ELSE 0 END) AS in_b
+        |  FROM pairs p
+        |  JOIN sk s ON s.source = p.ga OR s.source = p.gb
+        |  GROUP BY 1, 2, 3
+        |), r AS (
+        |  SELECT ga, gb, h, in_a, in_b,
+        |    row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rk
+        |  FROM m
+        |), kept AS (
+        |  SELECT ga, gb, count(*) AS n_sketch, max(h) AS uk,
+        |    CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_both
+        |  FROM r WHERE rk <= 128 GROUP BY 1, 2
+        |)
+        |SELECT ga AS group_a, gb AS group_b, n_sketch, n_both,
+        |  round(CASE WHEN n_sketch < 128 THEN CAST(n_sketch AS DOUBLE)
+        |             ELSE 127.0 * power(2, 60) / uk END, 2) AS est_union,
+        |  round(CAST(n_both AS DOUBLE) / n_sketch, 6) AS est_jaccard
+        |FROM kept ORDER BY group_a, group_b""".stripMargin,
 
     "q107_pmi_collocations" ->
       """WITH toks AS (

@@ -122,6 +122,28 @@ class TextAnalysisSpec extends AnyFunSuite {
       ("g1", "g2", 2L, 2L, 1L, 0.5, 0.5, 0.333333)))
   }
 
+  test("kmvOverlap: exact below k; estimator lands near truth above k") {
+    // Small side: union (3 distinct shingles) < k → sketch is exact.
+    val small = Seq(
+      ("g1", "a b c"), ("g2", "b c d x y z")
+    ).toDF("source", "text")
+    val s = TextAnalysis.kmvOverlap(small, "source", "text", n = 2, k = 128)
+      .as[(String, String, Long, Long, Double, Double)].collect().toSeq
+    // g1 = {a b, b c}; g2 = {b c, c d, d x, x y, y z}; union 6, both 1.
+    assert(s === Seq(("g1", "g2", 6L, 1L, 6.0, 0.166667)))
+
+    // Large side: 600+600 one-shingle docs, 300 shared → union 900,
+    // jaccard 1/3. KMV stderr ≈ 1/√k ≈ 12.5% at k=64; assert 3σ.
+    val docs = ((0 until 600).map(i => ("A", s"a$i b$i c$i")) ++
+      (300 until 900).map(i => ("B", s"a$i b$i c$i"))).toDF("source", "text")
+    val out = TextAnalysis.kmvOverlap(docs, "source", "text", n = 3, k = 64)
+      .as[(String, String, Long, Long, Double, Double)].collect().head
+    val (_, _, nSketch, _, estUnion, estJaccard) = out
+    assert(nSketch === 64L)
+    assert(estUnion > 900 * 0.6 && estUnion < 900 * 1.4, s"est_union $estUnion")
+    assert(estJaccard > 0.13 && estJaccard < 0.55, s"est_jaccard $estJaccard")
+  }
+
   test("rankBlend: percent_rank orientation, per-key strata, deterministic ties") {
     val df = Seq(
       // en: ttr ascending 0.1 < 0.5 < 0.9; bad ("lower better") 5, 1, 3
