@@ -625,6 +625,34 @@ object RelationalQueries {
         .orderBy("event_type", "bucket")
     }),
 
+    // Equi-depth histogram (q82's quantile-bucket complement): exact
+    // per-type deciles become bucket edges; counts audit the equal-
+    // depth property (skew shows up as unequal buckets even when the
+    // fixed-width picture looks flat). One edges aggregate broadcast
+    // back, one counting pass; `bucket = #edges strictly below value`
+    // is engine-portable under ties. Exact percentile holds each
+    // type's values in the agg buffer — approx_percentile is the
+    // documented 100 TB swap (q57→q62 trade).
+    "q108_equidepth_hist" -> ((s, dir) => {
+      val deciles = (1 to 9).map(_ / 10.0)
+      val edges = t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(expr(s"percentile(value, array(${deciles.mkString(",")}))")
+          .as("edges"))
+      val bucket = size(filter(col("edges"), e => col("value") > e))
+      t(s, dir, "events")
+        .join(broadcast(edges), Seq("event_type"))
+        .withColumn("bucket", bucket)
+        .groupBy("event_type", "bucket")
+        .agg(
+          count(lit(1)).as("n"),
+          round(min(when(col("bucket") > 0,
+            element_at(col("edges"), col("bucket")))), 6).as("lo_edge"),
+          round(min(when(col("bucket") < 9,
+            element_at(col("edges"), col("bucket") + 1))), 6).as("hi_edge"))
+        .orderBy("event_type", "bucket")
+    }),
+
     // Count-min sketch frequency audit — 4th sketch family member
     // (exact+envelope pattern of q61/q62): ONE mergeable CMS over the
     // event stream rides a scalar subquery (the constant-or-subquery
@@ -1192,6 +1220,27 @@ object RelationalQueries {
         |  count(*) AS n, min(value) AS lo, max(value) AS hi
         |FROM events
         |GROUP BY 1, 2
+        |ORDER BY event_type, bucket""".stripMargin,
+
+    "q108_equidepth_hist" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    quantile_cont(value,
+        |      [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS edges
+        |  FROM events GROUP BY 1
+        |), b AS (
+        |  SELECT ev.event_type,
+        |    CAST(len(list_filter(e.edges, x -> ev.value > x)) AS INT)
+        |      AS bucket,
+        |    e.edges
+        |  FROM events ev JOIN e ON e.event_type = ev.event_type
+        |)
+        |SELECT event_type, bucket, count(*) AS n,
+        |  round(min(CASE WHEN bucket > 0 THEN edges[bucket] END), 6)
+        |    AS lo_edge,
+        |  round(min(CASE WHEN bucket < 9 THEN edges[bucket + 1] END), 6)
+        |    AS hi_edge
+        |FROM b GROUP BY event_type, bucket
         |ORDER BY event_type, bucket""".stripMargin,
 
     // The sketch itself is not reproducible in DuckDB; the oracle
