@@ -57,7 +57,9 @@ object ScaleAudit {
     "q92_lm_perplexity", "q93_semantic_dedup", "q94_hard_negatives",
     "q95_rolling_zscore", "q96_skew_probe", "q97_debounce",
     "q100_source_cap", "q101_split_leakage", "q102_centroid_sim",
-    "q103_mad_outliers", "q104_source_overlap")
+    "q103_mad_outliers", "q104_source_overlap", "q105_quality_blend",
+    "q106_growth_curve", "q107_pmi_collocations", "q108_equidepth_hist",
+    "q109_kmv_overlap")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -205,4 +205,42 @@ class PlanSpec extends AnyFunSuite {
     assert(pushed >= 3,
       s"each funnel step must push its type filter into the scan:\n$p")
   }
+
+  test("q100/q109: per-key caps and bottom-k sketches bound the shuffle via WindowGroupLimit") {
+    val cap = plan("q100_source_cap")
+    assert(cap.contains("WindowGroupLimit"),
+      s"per-source cap must keep <= k rows per key map-side:\n$cap")
+    val kmv = plan("q109_kmv_overlap")
+    assert(kmv.contains("WindowGroupLimit"),
+      s"per-group bottom-k must truncate before the exchange:\n$kmv")
+    assert(!kmv.contains("CartesianProduct"),
+      "pairwise sketch work must stay on equi-joins")
+  }
+
+  test("q103: per-key median/MAD tables broadcast back, no corpus-sized join") {
+    val p = plan("q103_mad_outliers")
+    assert(p.contains("BroadcastHashJoin"),
+      s"stat tables must broadcast onto the scoring pass:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a sort-merge join here means the corpus shuffled to meet a 5-row table:\n$p")
+  }
+
+  test("q106: running total never plans a corpus-wide single-partition window") {
+    // The only global (non-partitioned) window allowed is the one over
+    // BUCKET TOTALS — its input must come from an aggregate, never
+    // directly from the corpus-sized frame.
+    val df = SparkEntry.queries("q106_growth_curve")(spark, dir)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(windows.nonEmpty, "expected the tiny bucket-offset window")
+    windows.foreach { w =>
+      val fromAgg = w.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }
+      assert(fromAgg.nonEmpty,
+        s"global window must consume bucket totals, not corpus rows:\n$w")
+    }
+  }
 }
