@@ -46,4 +46,50 @@ object Merge {
       .join(touched, keyCols, "left_anti")
       .unionByName(changes.where(col(opCol) === "U").drop(opCol))
   }
+
+  /**
+   * SCD2 history build: collapse a keyed changelog into
+   * slowly-changing-dimension type-2 validity intervals — one row per
+   * VALUE EPISODE with `valid_from` / `valid_to` (NULL = current) and
+   * an `is_current` flag. Consecutive rows carrying the SAME value
+   * are no-op updates and collapse into the open episode (a source
+   * that re-emits unchanged state every sync would otherwise mint a
+   * new version per sync); the value changing — including A→B→A —
+   * closes the episode and opens a new one with a fresh
+   * `version_seq`.
+   *
+   * `valid_to` is the next episode's `valid_from` (half-open
+   * [from, to) intervals, the join-friendly convention: an as-of
+   * probe at time t matches exactly one version via
+   * `from <= t < coalesce(to, infinity)`).
+   *
+   * Scale: ONE hash exchange on the key serves all three windows
+   * (change-detection lag, episode running sum, next-episode lead
+   * after the per-episode aggregate — same partitioning, Spark
+   * reuses it). Per-key state is that key's sort; no self-joins, no
+   * corpus-sized broadcast.
+   */
+  def scd2History(
+      changelog: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val episodes = changelog
+      .withColumn("__chg",
+        when(lag(col(valueCol), 1).over(w).isNull ||
+          lag(col(valueCol), 1).over(w) =!= col(valueCol), 1L)
+          .otherwise(0L))
+      .withColumn("version_seq", sum(col("__chg")).over(w))
+      .groupBy(col(keyCol), col("version_seq"))
+      .agg(
+        // Every row in an episode carries the identical value (that
+        // is what defines the episode), so first() is deterministic.
+        first(col(valueCol)).as(valueCol),
+        min(col(tsCol)).as("valid_from"),
+        count(lit(1)).as("n_updates"))
+    val nextFrom = Window.partitionBy(col(keyCol)).orderBy(col("version_seq"))
+    episodes
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(nextFrom))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
 }

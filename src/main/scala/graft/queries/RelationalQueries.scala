@@ -593,6 +593,19 @@ object RelationalQueries {
         .orderBy("o_orderkey")
     }),
 
+    // SCD2 history build (q80's historical counterpart): the per-user
+    // event-type changelog collapses to type-2 validity intervals —
+    // no-op repeats merge into the open episode, value changes open a
+    // new version; half-open [from, to) intervals, NULL to = current.
+    // One user-key exchange serves all three windows.
+    "q110_scd2_history" -> ((s, dir) => {
+      graft.operators.Merge.scd2History(
+          t(s, dir, "events")
+            .select("user_id", "ts", "event_id", "event_type"),
+          "user_id", "ts", "event_id", "event_type")
+        .orderBy("user_id", "version_seq")
+    }),
+
     // Per-group argmin/argmax (first/last event per user) via
     // min_by/max_by — single partial-agg shuffle, no window; the String
     // payload forces SortAggregate (hash agg needs fixed-width buffers)
@@ -625,31 +638,29 @@ object RelationalQueries {
         .orderBy("event_type", "bucket")
     }),
 
-    // Equi-depth histogram (q82's quantile-bucket complement): exact
-    // per-type deciles become bucket edges; counts audit the equal-
-    // depth property (skew shows up as unequal buckets even when the
-    // fixed-width picture looks flat). One edges aggregate broadcast
-    // back, one counting pass; `bucket = #edges strictly below value`
-    // is engine-portable under ties. Exact percentile holds each
-    // type's values in the agg buffer — approx_percentile is the
-    // documented 100 TB swap (q57→q62 trade).
+    // Equi-depth histogram (q82's quantile-bucket complement): skew
+    // shows as unequal bucket VALUE SPANS even when the fixed-width
+    // picture looks flat. Rank-based bucketing (ntile over a
+    // deterministic total order) rather than interpolated percentile
+    // edges: edges are floats whose last-ulp differences flip
+    // boundary rows across engines (measured at sf0.1 — 4 rows moved
+    // buckets); ntile is pure integer arithmetic on ranks, identical
+    // everywhere, and equal depth holds EXACTLY (buckets differ by
+    // ≤1 row). Bucket min/max are raw data values — no interpolation
+    // anywhere. One key exchange; the per-type sort is the exact-
+    // quantile price (approx_percentile bucketing is the documented
+    // 100 TB swap, q57→q62 trade).
     "q108_equidepth_hist" -> ((s, dir) => {
-      val deciles = (1 to 9).map(_ / 10.0)
-      val edges = t(s, dir, "events")
-        .groupBy(col("event_type"))
-        .agg(expr(s"percentile(value, array(${deciles.mkString(",")}))")
-          .as("edges"))
-      val bucket = size(filter(col("edges"), e => col("value") > e))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
       t(s, dir, "events")
-        .join(broadcast(edges), Seq("event_type"))
-        .withColumn("bucket", bucket)
+        .withColumn("bucket", ntile(10).over(w))
         .groupBy("event_type", "bucket")
         .agg(
           count(lit(1)).as("n"),
-          round(min(when(col("bucket") > 0,
-            element_at(col("edges"), col("bucket")))), 6).as("lo_edge"),
-          round(min(when(col("bucket") < 9,
-            element_at(col("edges"), col("bucket") + 1))), 6).as("hi_edge"))
+          min(col("value")).as("lo"),
+          max(col("value")).as("hi"))
         .orderBy("event_type", "bucket")
     }),
 
@@ -1222,24 +1233,40 @@ object RelationalQueries {
         |GROUP BY 1, 2
         |ORDER BY event_type, bucket""".stripMargin,
 
+    "q110_scd2_history" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(event_type) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id)
+        |         IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+        |  FROM events
+        |), e AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS version_seq
+        |  FROM o
+        |), ep AS (
+        |  SELECT user_id, CAST(version_seq AS BIGINT) AS version_seq,
+        |    first(event_type ORDER BY ts, event_id) AS event_type,
+        |    min(ts) AS valid_from, count(*) AS n_updates
+        |  FROM e GROUP BY 1, 2
+        |)
+        |SELECT user_id, version_seq, event_type, valid_from, n_updates,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY version_seq)
+        |    AS valid_to,
+        |  (lead(valid_from) OVER (PARTITION BY user_id ORDER BY version_seq)
+        |    IS NULL) AS is_current
+        |FROM ep ORDER BY user_id, version_seq""".stripMargin,
+
     "q108_equidepth_hist" ->
-      """WITH e AS (
-        |  SELECT event_type,
-        |    quantile_cont(value,
-        |      [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS edges
-        |  FROM events GROUP BY 1
-        |), b AS (
-        |  SELECT ev.event_type,
-        |    CAST(len(list_filter(e.edges, x -> ev.value > x)) AS INT)
-        |      AS bucket,
-        |    e.edges
-        |  FROM events ev JOIN e ON e.event_type = ev.event_type
+      """WITH b AS (
+        |  SELECT event_type, value,
+        |    CAST(ntile(10) OVER (PARTITION BY event_type
+        |      ORDER BY value, event_id) AS INT) AS bucket
+        |  FROM events
         |)
         |SELECT event_type, bucket, count(*) AS n,
-        |  round(min(CASE WHEN bucket > 0 THEN edges[bucket] END), 6)
-        |    AS lo_edge,
-        |  round(min(CASE WHEN bucket < 9 THEN edges[bucket + 1] END), 6)
-        |    AS hi_edge
+        |  min(value) AS lo, max(value) AS hi
         |FROM b GROUP BY event_type, bucket
         |ORDER BY event_type, bucket""".stripMargin,
 

@@ -51,4 +51,27 @@ class FuzzyMergeSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toSet
     assert(applied === Set((1L, "y")))
   }
+
+  test("scd2History: no-op repeats collapse; A->B->A reopens; half-open intervals chain") {
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    val log = Seq(
+      (1L, ts(10), 1L, "A"),
+      (1L, ts(20), 2L, "A"), // no-op update: same episode
+      (1L, ts(30), 3L, "B"),
+      (1L, ts(40), 4L, "A"), // value returns: NEW episode, not merged
+      (2L, ts(10), 5L, "X")  // singleton key
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = Merge.scd2History(log, "user_id", "ts", "event_id", "event_type")
+      .orderBy("user_id", "version_seq")
+      .select("user_id", "version_seq", "event_type", "valid_from",
+        "n_updates", "valid_to", "is_current")
+      .as[(Long, Long, String, java.sql.Timestamp, Long,
+        Option[java.sql.Timestamp], Boolean)]
+      .collect().toSeq
+    assert(out === Seq(
+      (1L, 1L, "A", ts(10), 2L, Some(ts(30)), false),
+      (1L, 2L, "B", ts(30), 1L, Some(ts(40)), false),
+      (1L, 3L, "A", ts(40), 1L, None, true),
+      (2L, 1L, "X", ts(10), 1L, None, true)))
+  }
 }
