@@ -31,7 +31,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val qs = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Local-iteration filter: SPARK_GRAFT_ONLY=q111 times just those
+    // (prefix match). Unset (the driver's invocation) runs everything.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val qs = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      only.forall(_.exists(n.startsWith))
+    }
     // Two timed passes, min per query: a single pass conflates query
     // cost with transient machine noise (GC, page cache, co-tenant
     // load) — BENCH_r02 recorded 15.6s for a 0.3s query that way. The

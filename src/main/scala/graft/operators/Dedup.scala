@@ -382,6 +382,90 @@ object Dedup {
   }
 
   /**
+   * EXACT set-similarity self-join via prefix filtering (the
+   * AllPairs/PPJoin candidate principle, Xiao et al., WWW'08; Bayardo
+   * et al., WWW'07): every document pair whose shingle-set Jaccard
+   * similarity is >= `threshold`, with NO false negatives — the exact
+   * complement to the probabilistic MinHash/LSH path
+   * ([[minhashCandidates]]), for when recall must be provably 1.0
+   * (e.g. legal takedown sweeps, benchmark decontamination audits).
+   *
+   * Candidate principle: order each document's shingles by global
+   * rarity (corpus document frequency asc, shingle asc — one total
+   * order shared by every document). If J(a,b) >= t then
+   * |a∩b| >= ceil(t·max(|a|,|b|)), and by the prefix-filtering lemma
+   * the first |x| - ceil(t·|x|) + 1 shingles of each side must share
+   * at least one shingle — so an equi-join on PREFIX shingles finds
+   * every qualifying pair. Prefixes are built from the corpus's
+   * RAREST shingles, so candidate volume is Σ_prefix-shingle df²
+   * concentrated where df is 1–2, never the all-pairs n².
+   *
+   * Scale: one shingle-df aggregation (map-side partial), one df
+   * lookup join (both sides of the same shingle exchange), one
+   * per-doc ranking window (keyed by doc — bounded by the doc's own
+   * shingle count), one prefix equi-join, then the codegen'd
+   * [[graft.functions.NGramJaccardSim]] exact verify over candidates
+   * only. Memory is bounded per shingle bucket; no driver state. The
+   * threshold is the scale dial: lower t lengthens prefixes
+   * (factor (1-t)·|x|), so exact joins below ~0.5 should fall back
+   * to LSH + verify.
+   */
+  def exactSimilarityJoin(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      shingleSize: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold")
+    val sh = shingles(df, idCol, textCol, shingleSize)
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+    val wDoc = Window.partitionBy(col(idCol))
+    val prefix = sh.join(dfreq, "shingle")
+      .withColumn("__pos",
+        row_number().over(wDoc.orderBy(col("__df"), col("shingle"))))
+      .withColumn("__n", count(lit(1)).over(wDoc))
+      .where(col("__pos") <=
+        col("__n") - ceil(lit(threshold) * col("__n")) + 1)
+      .select(col(idCol), col("shingle"), col("__pos"), col("__n"))
+    val a = prefix.select(col(idCol).as("doc_a"), col("shingle"),
+      col("__pos").as("__pa"), col("__n").as("__na"))
+    val b = prefix.select(col(idCol).as("doc_b"), col("shingle"),
+      col("__pos").as("__pb"), col("__n").as("__nb"))
+    // Candidate pruning beyond the prefix join (both standard, both
+    // false-negative-free):
+    //  - length filter: J>=t ⟹ min(|a|,|b|) >= t·max(|a|,|b|);
+    //  - positional filter (PPJoin): all common shingles sit at or
+    //    after this shared one in both sorted lists, so overlap <=
+    //    1 + min(|a|-pa, |b|-pb); J>=t needs overlap >=
+    //    ceil(t/(1+t)·(|a|+|b|)). A qualifying pair passes at its
+    //    FIRST shared prefix shingle, so keep-if-any-row-passes is
+    //    safe — distinct() below collapses the survivors.
+    val alpha = ceil(lit(threshold / (1.0 + threshold)) *
+      (col("__na") + col("__nb")))
+    val cand = a.join(b, "shingle")
+      .where(col("doc_a") < col("doc_b") &&
+        least(col("__na"), col("__nb")) >=
+          lit(threshold) * greatest(col("__na"), col("__nb")) &&
+        lit(1) + least(col("__na") - col("__pa"),
+          col("__nb") - col("__pb")) >= alpha)
+      .select("doc_a", "doc_b")
+      .distinct()
+    val ta = df.select(col(idCol).as("doc_a"), col(textCol).as("__ta"))
+    val tb = df.select(col(idCol).as("doc_b"), col(textCol).as("__tb"))
+    cand.join(ta, "doc_a").join(tb, "doc_b")
+      .select(
+        col("doc_a"), col("doc_b"),
+        graft.functions.NGramJaccardSim(
+          col("__ta"), col("__tb"), shingleSize).as("__j"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        col("__j.n_common").cast("long").as("n_common"),
+        col("__j.jaccard").as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /**
    * Near-duplicate clusters from verified pairs: connected components
    * over the (doc_a, doc_b) edge set via iterative min-label
    * propagation — each node's label converges to the smallest doc id

@@ -212,6 +212,18 @@ object PipelineQueries {
         .orderBy("group_a", "group_b")
     }),
 
+    // Exact set-similarity self-join (prefix filtering): every pair
+    // with shingle-Jaccard >= 0.6, provably zero false negatives —
+    // the exact-recall complement to LSH (q16/q17). Candidates come
+    // from an equi-join on each doc's rarest (1-t)·n shingles, so
+    // volume concentrates on df=1-2 shingles, never all-pairs.
+    "q111_exact_simjoin" -> ((s, dir) => {
+      Dedup.exactSimilarityJoin(
+          t(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.6, shingleSize = 3)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // PMI collocation mining: adjacent-pair pointwise mutual
     // information over the corpus (count floor 5 — PMI glorifies
     // one-off pairs otherwise) — the phrase-detection dial for
@@ -1279,6 +1291,33 @@ object PipelineQueries {
         |             ELSE 127.0 * power(2, 60) / uk END, 2) AS est_union,
         |  round(CAST(n_both AS DOUBLE) / n_sketch, 6) AS est_jaccard
         |FROM kept ORDER BY group_a, group_b""".stripMargin,
+
+    // Brute force on purpose: the oracle enumerates EVERY
+    // shingle-sharing pair (pairs sharing none have jaccard 0 < t),
+    // so a prefix-filter false negative in the Spark side would
+    // hash-mismatch — the completeness claim is checked, not assumed.
+    "q111_exact_simjoin" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), idx AS (
+        |  SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i FROM toks
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM idx
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS i
+        |  FROM sh sa
+        |  JOIN sh sb ON sb.shingle = sa.shingle AND sa.doc_id < sb.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT i.doc_a, i.doc_b, CAST(i.i AS BIGINT) AS n_common,
+        |  CAST(i.i AS DOUBLE) / (za.n + zb.n - i.i) AS jaccard
+        |FROM inter i
+        |JOIN sizes za ON za.doc_id = i.doc_a
+        |JOIN sizes zb ON zb.doc_id = i.doc_b
+        |WHERE CAST(i.i AS DOUBLE) / (za.n + zb.n - i.i) >= 0.6
+        |ORDER BY i.doc_a, i.doc_b""".stripMargin,
 
     "q107_pmi_collocations" ->
       """WITH toks AS (

@@ -311,4 +311,45 @@ class DedupSpec extends AnyFunSuite {
       }
     assert(scans.size === 1)
   }
+
+  test("exactSimilarityJoin: parity with brute force across thresholds") {
+    // 40 docs built from overlapping word windows over a 60-word
+    // alphabet: adjacent docs overlap heavily, distant docs little —
+    // a smooth jaccard spectrum, so thresholds cut at many points.
+    val vocab = (0 until 60).map(i => s"w$i")
+    val docs = (0 until 40).map { d =>
+      val words = (0 until 20).map(k => vocab((d * 3 + k * 2) % 60))
+      (d.toLong, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs, "doc_id", "text", 3)
+      .as[(Long, String)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    def brute(t: Double): Set[(Long, Long, Long)] = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      inter = (sh(a) & sh(b)).size
+      j = inter.toDouble / (sh(a).size + sh(b).size - inter)
+      if j >= t
+    } yield (a, b, inter.toLong)).toSet
+    for (t <- Seq(0.3, 0.5, 0.7, 0.9)) {
+      val got = Dedup.exactSimilarityJoin(docs, "doc_id", "text", t, 3)
+        .select("doc_a", "doc_b", "n_common")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === brute(t), s"threshold $t")
+    }
+  }
+
+  test("exactSimilarityJoin: prefix filter prunes the candidate space") {
+    // The planted corpus: only the exact pair (1,2) and near pair
+    // survive; doc 4 shares nothing. Also check the degenerate
+    // threshold=1.0 prefix (single rarest shingle) still finds the
+    // exact dup — the tightest prefix the lemma allows.
+    val out = Dedup.exactSimilarityJoin(corpus, "doc_id", "text", 1.0, 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(out === Set((1L, 2L)))
+    val out6 = Dedup.exactSimilarityJoin(corpus, "doc_id", "text", 0.6, 3)
+      .select("doc_a", "doc_b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(out6.map(p => (p._1, p._2)) === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(out6.forall(_._3 >= 0.6))
+  }
 }
