@@ -65,4 +65,40 @@ object Sampling {
         round(least(col("n_rows"), lit(k.toLong)).cast("double") /
           col("n_rows"), 6).as("kept_share"))
   }
+
+  /**
+   * Weighted sample WITHOUT replacement of exactly `k` rows,
+   * inclusion probability proportional to `weightCol` (Efraimidis &
+   * Spirakis 2006, A-Res): each row draws u ~ U(0,1) and the k
+   * largest u^(1/w) win. Selection is equivalently by
+   * es_key = ln(u)/w (monotone), which avoids pow underflow when
+   * weights are large. u derives from md5(id) — deterministic, no RNG
+   * state, so reruns and the oracle reproduce the SAME sample
+   * byte-for-byte (u = (hash64 + 0.5)/2^32 keeps u strictly inside
+   * (0,1): ln(0) would produce -Inf keys whose ordering is
+   * engine-dependent under ties).
+   *
+   * The training-mixture use case: "give me exactly N documents,
+   * longer/higher-quality ones proportionally more likely" — the
+   * exact-size counterpart to the rate-based mixture sampler (q84),
+   * which only controls the EXPECTED take.
+   *
+   * Scale: orderBy(limit k) compiles to TakeOrderedAndProject — each
+   * map task keeps its local top-k heap and a single merge of
+   * partition heads produces the result, so shuffle volume is
+   * O(partitions × k), corpus-size-independent — the same bounded
+   * mergeable-state shape as the sketches (SCALE.md). No weight
+   * normalization pass is needed: A-Res keys are scale-invariant in
+   * the weights.
+   */
+  def weightedSample(
+      df: DataFrame, idCol: String, weightCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"weightedSample: k must be >= 1, got $k")
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("double") + 0.5) / 4294967296.0
+    df.withColumn("es_key",
+        log(u) / col(weightCol).cast("double"))
+      .orderBy(col("es_key").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -340,6 +340,18 @@ object PipelineQueries {
         .orderBy("source", "pick_rank")
     }),
 
+    // Weighted sample without replacement (Efraimidis–Spirakis
+    // A-Res): exactly 100 docs, inclusion odds proportional to
+    // n_chars, deterministic md5-derived u — TakeOrderedAndProject
+    // keeps a k-heap per map task, shuffle O(partitions × k).
+    "q112_weighted_sample" -> ((s, dir) => {
+      Sampling.weightedSample(
+          t(s, dir, "documents"), "doc_id", "n_chars", k = 100)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          round(col("es_key"), 6).as("es_key"))
+        .orderBy("doc_id")
+    }),
+
     // Rolling z-score anomaly detection per user: each value scored
     // against its 10 strictly-preceding points; one user-key
     // exchange, O(lookback) state per key.
@@ -1518,6 +1530,22 @@ object PipelineQueries {
         |  FROM documents)
         |WHERE pick_rank <= 8
         |ORDER BY source, pick_rank""".stripMargin,
+
+    "q112_weighted_sample" ->
+      """WITH u AS (
+        |  SELECT doc_id, source, n_chars,
+        |    (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |       AS BIGINT) + 0.5) / 4294967296.0 AS u
+        |  FROM documents
+        |), keyed AS (
+        |  SELECT doc_id, source, n_chars,
+        |    ln(u) / CAST(n_chars AS DOUBLE) AS es_key
+        |  FROM u
+        |  ORDER BY es_key DESC, doc_id
+        |  LIMIT 100
+        |)
+        |SELECT doc_id, source, n_chars, round(es_key, 6) AS es_key
+        |FROM keyed ORDER BY doc_id""".stripMargin,
 
     "q98_novelty" ->
       """WITH toks AS (

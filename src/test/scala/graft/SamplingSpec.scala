@@ -60,4 +60,34 @@ class SamplingSpec extends AnyFunSuite {
       assert(share === math.rint(kept.toDouble / n * 1e6) / 1e6)
     }
   }
+
+  test("weightedSample: exact size, deterministic, weight-biased") {
+    // 1000 rows, two weight classes: heavy rows weigh 20x light ones.
+    // A-Res inclusion odds follow the weights, so the heavy half must
+    // dominate a 100-row sample decisively (p(this imbalance by
+    // unweighted chance) is astronomically small).
+    val rows = (1L to 1000L).map(i =>
+      (i, if (i % 2 == 0) 2000L else 100L)).toDF("doc_id", "w")
+    val out = Sampling.weightedSample(rows, "doc_id", "w", k = 100)
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(ids.size === 100)
+    val heavy = ids.count(_ % 2 == 0)
+    assert(heavy >= 75, s"heavy rows in sample: $heavy of 100")
+    // Deterministic: a rerun keeps the identical set.
+    val again = Sampling.weightedSample(rows, "doc_id", "w", k = 100)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again === ids)
+    // Monotone in k: the top-50 is a subset of the top-100.
+    val k50 = Sampling.weightedSample(rows, "doc_id", "w", k = 50)
+      .select("doc_id").as[Long].collect().toSet
+    assert(k50.subsetOf(ids))
+  }
+
+  test("weightedSample plans TakeOrderedAndProject (bounded heap, no full sort)") {
+    val rows = (1L to 100L).map(i => (i, i)).toDF("doc_id", "w")
+    val plan = Sampling.weightedSample(rows, "doc_id", "w", k = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+    assert(!plan.contains("SortExec"))
+  }
 }
