@@ -92,4 +92,45 @@ object Merge {
       .withColumn("valid_to", lead(col("valid_from"), 1).over(nextFrom))
       .withColumn("is_current", col("valid_to").isNull)
   }
+
+  /**
+   * Keyed snapshot diff — the reconciliation primitive: given two
+   * snapshots of the same keyed entity (yesterday's table vs
+   * today's, source-of-truth vs derived copy, pre- vs post-backfill),
+   * classify every key as `added` (new only), `removed` (old only),
+   * `changed` (both, any compare column differs) or `stable`. The
+   * audit behind "what did this pipeline run actually touch" and the
+   * first tool out of the box when a replica drifts.
+   *
+   * Comparison is null-safe per tuple (`<=>` over a struct of the
+   * compare columns): a NULL→value transition counts as `changed`,
+   * NULL→NULL as `stable` — matching SQL's IS NOT DISTINCT FROM,
+   * which the oracle mirrors.
+   *
+   * Scale: ONE full-outer sort-merge join on the key — both sides
+   * shuffle-partitioned by key, no window, no driver state; AQE
+   * broadcasts if either snapshot is small. Output carries both
+   * sides' compare values so downstream filters (`status = 'changed'`)
+   * need no second lookup.
+   */
+  def snapshotDiff(
+      oldDf: DataFrame, newDf: DataFrame, keyCol: String,
+      compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "snapshotDiff: compareCols is empty")
+    val o = oldDf.select(
+      col(keyCol),
+      struct(compareCols.map(col): _*).as("__old"))
+    val n = newDf.select(
+      col(keyCol),
+      struct(compareCols.map(col): _*).as("__new"))
+    val joined = o.join(n, Seq(keyCol), "full_outer")
+    val status = when(col("__old").isNull, "added")
+      .when(col("__new").isNull, "removed")
+      .when(col("__old") <=> col("__new"), "stable")
+      .otherwise("changed")
+    val oldSide = compareCols.map(c => col(s"__old.$c").as(s"old_$c"))
+    val newSide = compareCols.map(c => col(s"__new.$c").as(s"new_$c"))
+    joined.select(col(keyCol) +: status.as("status") +:
+      (oldSide ++ newSide): _*)
+  }
 }

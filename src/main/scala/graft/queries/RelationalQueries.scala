@@ -606,6 +606,32 @@ object RelationalQueries {
         .orderBy("user_id", "version_seq")
     }),
 
+    // Keyed snapshot diff (reconciliation audit): per-user activity
+    // state (event count + last value) for two adjacent weeks,
+    // full-outer joined and classified added/removed/changed/stable —
+    // "what did this week's run touch". One key-partitioned join;
+    // each snapshot is one window + one agg on the same user exchange.
+    "q113_snapshot_diff" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      def snap(lo: String, hi: String): DataFrame = {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        t(s, dir, "events")
+          .where(col("ts") >= lit(lo).cast("timestamp") &&
+            col("ts") < lit(hi).cast("timestamp"))
+          .withColumn("__rn", row_number().over(w))
+          .groupBy(col("user_id"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            max(when(col("__rn") === 1, col("value"))).as("last_value"))
+      }
+      graft.operators.Merge.snapshotDiff(
+          snap("2024-01-08 00:00:00", "2024-01-15 00:00:00"),
+          snap("2024-01-15 00:00:00", "2024-01-22 00:00:00"),
+          "user_id", Seq("n_events", "last_value"))
+        .orderBy("user_id")
+    }),
+
     // Per-group argmin/argmax (first/last event per user) via
     // min_by/max_by — single partial-agg shuffle, no window; the String
     // payload forces SortAggregate (hash agg needs fixed-width buffers)
@@ -1257,6 +1283,39 @@ object RelationalQueries {
         |  (lead(valid_from) OVER (PARTITION BY user_id ORDER BY version_seq)
         |    IS NULL) AS is_current
         |FROM ep ORDER BY user_id, version_seq""".stripMargin,
+
+    "q113_snapshot_diff" ->
+      """WITH s1 AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    max(CASE WHEN rn = 1 THEN value END) AS last_value
+        |  FROM (SELECT user_id, value, event_id,
+        |          row_number() OVER (PARTITION BY user_id
+        |            ORDER BY ts DESC, event_id DESC) AS rn
+        |        FROM events
+        |        WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+        |          AND ts <  TIMESTAMP '2024-01-15 00:00:00')
+        |  GROUP BY user_id
+        |), s2 AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    max(CASE WHEN rn = 1 THEN value END) AS last_value
+        |  FROM (SELECT user_id, value, event_id,
+        |          row_number() OVER (PARTITION BY user_id
+        |            ORDER BY ts DESC, event_id DESC) AS rn
+        |        FROM events
+        |        WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+        |          AND ts <  TIMESTAMP '2024-01-22 00:00:00')
+        |  GROUP BY user_id
+        |)
+        |SELECT COALESCE(s1.user_id, s2.user_id) AS user_id,
+        |  CASE WHEN s1.user_id IS NULL THEN 'added'
+        |       WHEN s2.user_id IS NULL THEN 'removed'
+        |       WHEN s1.n_events = s2.n_events
+        |         AND s1.last_value = s2.last_value THEN 'stable'
+        |       ELSE 'changed' END AS status,
+        |  s1.n_events AS old_n_events, s1.last_value AS old_last_value,
+        |  s2.n_events AS new_n_events, s2.last_value AS new_last_value
+        |FROM s1 FULL OUTER JOIN s2 ON s2.user_id = s1.user_id
+        |ORDER BY 1""".stripMargin,
 
     "q108_equidepth_hist" ->
       """WITH b AS (

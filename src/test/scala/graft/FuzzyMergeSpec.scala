@@ -74,4 +74,35 @@ class FuzzyMergeSpec extends AnyFunSuite {
       (1L, 3L, "A", ts(40), 1L, None, true),
       (2L, 1L, "X", ts(10), 1L, None, true)))
   }
+
+  test("snapshotDiff: added/removed/changed/stable; NULLs are null-safe") {
+    val old = Seq(
+      (1L, Some(10L), Some("a")), // stable
+      (2L, Some(20L), Some("b")), // changed (count moves)
+      (3L, Some(30L), None),      // stable with a NULL compare col
+      (4L, Some(40L), Some("d")), // removed
+      (5L, None, Some("e"))       // changed (NULL -> value)
+    ).toDF("k", "n", "v")
+    val neu = Seq(
+      (1L, Some(10L), Some("a")),
+      (2L, Some(21L), Some("b")),
+      (3L, Some(30L), None),
+      (5L, Some(5L), Some("e")),
+      (6L, Some(60L), Some("f"))  // added
+    ).toDF("k", "n", "v")
+    val out = Merge.snapshotDiff(old, neu, "k", Seq("n", "v"))
+      .orderBy("k")
+      .select("k", "status")
+      .as[(Long, String)].collect().toSeq
+    assert(out === Seq(
+      (1L, "stable"), (2L, "changed"), (3L, "stable"),
+      (4L, "removed"), (5L, "changed"), (6L, "added")))
+    // Both sides' compare values ride along for downstream filters.
+    val changed = Merge.snapshotDiff(old, neu, "k", Seq("n", "v"))
+      .where(col("status") === "changed").orderBy("k")
+      .select("k", "old_n", "new_n")
+      .as[(Long, Option[Long], Option[Long])].collect().toSeq
+    assert(changed === Seq(
+      (2L, Some(20L), Some(21L)), (5L, None, Some(5L))))
+  }
 }
