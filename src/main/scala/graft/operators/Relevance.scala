@@ -242,4 +242,47 @@ object Relevance {
               (col("cb").cast("double") / col("n").cast("double")))), 6)
           .as("pmi"))
   }
+
+  /**
+   * Vocabulary coverage curve: for each coverage target (e.g. 0.9 =
+   * "90% of all token occurrences"), the smallest frequency-ranked
+   * vocabulary that reaches it and the share that vocabulary actually
+   * covers — the tokenizer-design dial ("how big must V be before
+   * <unk> is rare"), and the empirical Zipf summary that q65's fixed
+   * V=500 choice should be read against.
+   *
+   * Scale: token counting is one map-side partial-aggregated shuffle;
+   * everything after runs on the DISTINCT-TOKEN table (Zipf-sublinear
+   * in corpus size). The rank/cumsum window is global over that
+   * vocabulary table — the same bounded single-partition window the
+   * vocab-build (q65) pays; for vocabularies beyond ~10M entries,
+   * range-partition by count first. Targets ride a broadcast
+   * nested-loop join (a handful of literal rows).
+   */
+  def vocabCoverage(
+      docs: DataFrame, textCol: String, targets: Seq[Double]): DataFrame = {
+    require(targets.nonEmpty && targets.forall(t => t > 0.0 && t <= 1.0),
+      s"vocabCoverage: targets must be in (0,1], got $targets")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = docs
+      .select(explode(split(col(textCol), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("cnt").desc, col("token"))
+    val ranked = counts.select(
+      row_number().over(w).cast("long").as("rank"),
+      sum(col("cnt")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .as("cum"))
+    val total = counts.agg(sum(col("cnt")).as("__total"))
+    val shares = ranked.crossJoin(total)
+      .select(col("rank"),
+        (col("cum").cast("double") / col("__total")).as("cum_share"))
+    shares.join(targets.toDF("target"),
+        col("cum_share") >= col("target"))
+      .groupBy("target")
+      .agg(
+        min(col("rank")).as("vocab_size"),
+        round(min_by(col("cum_share"), col("rank")), 6).as("cum_share"))
+  }
 }

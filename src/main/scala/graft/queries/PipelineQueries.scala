@@ -259,6 +259,16 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Vocabulary coverage curve: smallest frequency-ranked vocab
+    // reaching 50/75/90/99% of token occurrences — the tokenizer
+    // V dial. Token count shuffle + windows over the Zipf-bounded
+    // distinct-token table only.
+    "q114_vocab_coverage" -> ((s, dir) => {
+      Relevance.vocabCoverage(t(s, dir, "documents"), "text",
+          targets = Seq(0.5, 0.75, 0.9, 0.99))
+        .orderBy("target")
+    }),
+
     // Corpus growth curve (Heap's law): per doc in arrival (id)
     // order, distinct 3-grams first seen in that doc and the running
     // corpus total — the marginal-contribution curve that says when
@@ -1383,6 +1393,28 @@ object PipelineQueries {
         |SELECT doc_id, lang, pr_ttr, pr_stop_ratio, pr_n_tokens,
         |  round((pr_ttr + pr_stop_ratio + pr_n_tokens) / 3, 6) AS blend
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q114_vocab_coverage" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        |), c AS (
+        |  SELECT token, count(*) AS cnt FROM toks GROUP BY token
+        |), r AS (
+        |  SELECT row_number() OVER (ORDER BY cnt DESC, token) AS rank,
+        |    SUM(cnt) OVER (ORDER BY cnt DESC, token
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM c
+        |), s AS (
+        |  SELECT CAST(rank AS BIGINT) AS rank,
+        |    CAST(cum AS DOUBLE) / (SELECT SUM(cnt) FROM c) AS cum_share
+        |  FROM r
+        |), tg AS (
+        |  SELECT unnest([0.5, 0.75, 0.9, 0.99]) AS target
+        |)
+        |SELECT target, min(rank) AS vocab_size,
+        |  round(arg_min(cum_share, rank), 6) AS cum_share
+        |FROM tg JOIN s ON s.cum_share >= tg.target
+        |GROUP BY target ORDER BY target""".stripMargin,
 
     "q106_growth_curve" ->
       """WITH toks AS (

@@ -100,4 +100,16 @@ class RelevanceSpec extends AnyFunSuite {
     // but its count still lands in N2.
     assert(out === Seq(("x", "y", 2L, math.rint(math.log(4.0) * 1e6) / 1e6)))
   }
+
+  test("vocabCoverage: hand-computed curve; rank ties break by token") {
+    // Occurrences: a×5, b×3, c×1, d×1 (total 10). Ranked: a(.5),
+    // b(.8), c(.9), d(1.0) — c before d on the token tiebreak.
+    val docs = Seq((1L, "a a a b b"), (2L, "a a b c d")).toDF("doc_id", "text")
+    val out = Relevance.vocabCoverage(docs, "text",
+        targets = Seq(0.5, 0.6, 0.9, 1.0))
+      .orderBy("target")
+      .as[(Double, Long, Double)].collect().toSeq
+    assert(out === Seq(
+      (0.5, 1L, 0.5), (0.6, 2L, 0.8), (0.9, 3L, 0.9), (1.0, 4L, 1.0)))
+  }
 }
