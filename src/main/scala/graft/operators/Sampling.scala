@@ -101,4 +101,37 @@ object Sampling {
       .orderBy(col("es_key").desc, col(idCol))
       .limit(k)
   }
+
+  /**
+   * Materialize fractional epoch weights into physical row repeats:
+   * a row with `epochsCol` = e appears floor(e) times always, plus
+   * once more with probability frac(e) — decided by a deterministic
+   * md5(id) draw, so expected multiplicity is exactly e and reruns
+   * repeat the identical choice. Adds `copy_idx` (1..n). Rows with
+   * e < 1 become Bernoulli(e) downsampling; e = 0 drops the row.
+   *
+   * This is how training mixtures with per-source weights > 1
+   * ("2.3 epochs of Wikipedia") become a flat shuffled dataset: the
+   * rate-based sampler (q84) can only THIN sources; this one
+   * up-multiplies them. Pair `copy_idx` with a downstream
+   * hash-shuffle key so copies of the same doc land far apart.
+   *
+   * Scale: ZERO shuffle — the repeat decision and the
+   * sequence-explode fan-out happen inside the scan projection;
+   * output volume is Σe per row, the physically required minimum.
+   * The md5 salt ("ep:") decorrelates this draw from the id-hash
+   * draws in the split/quota/mixture samplers, so epoch residuals
+   * don't correlate with split assignment.
+   */
+  def epochRepeat(
+      df: DataFrame, idCol: String, epochsCol: String): DataFrame = {
+    val e = col(epochsCol).cast("double")
+    val u = conv(substring(
+        md5(concat(lit("ep:"), col(idCol).cast("string"))), 1, 8), 16, 10)
+      .cast("double") / 4294967296.0
+    val n = (floor(e) + when(u < e - floor(e), 1).otherwise(0)).cast("int")
+    df.withColumn("copy_idx",
+        explode(when(n >= 1, sequence(lit(1), n))
+          .otherwise(array().cast("array<int>"))))
+  }
 }

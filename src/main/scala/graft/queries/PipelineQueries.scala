@@ -362,6 +362,20 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Epoch-weighted mixture materialization: per-source epoch
+    // factors (0.5–3.5) become physical repeats — floor(e) copies
+    // plus a deterministic-hash Bernoulli(frac(e)) extra; zero
+    // shuffle, fan-out inside the scan.
+    "q115_epoch_repeat" -> ((s, dir) => {
+      val e = (regexp_extract(col("source"), "(\\d+)$", 1).cast("int") % 4)
+        .cast("double") + 0.5
+      Sampling.epochRepeat(
+          t(s, dir, "documents").withColumn("epochs", e),
+          "doc_id", "epochs")
+        .select("doc_id", "source", "epochs", "copy_idx")
+        .orderBy("doc_id", "copy_idx")
+    }),
+
     // Rolling z-score anomaly detection per user: each value scored
     // against its 10 strictly-preceding points; one user-key
     // exchange, O(lookback) state per key.
@@ -1578,6 +1592,26 @@ object PipelineQueries {
         |)
         |SELECT doc_id, source, n_chars, round(es_key, 6) AS es_key
         |FROM keyed ORDER BY doc_id""".stripMargin,
+
+    "q115_epoch_repeat" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(TRY_CAST(regexp_extract(source, '(\d+)$', 1) AS INT) % 4
+        |      AS DOUBLE) + 0.5 AS epochs,
+        |    CAST(('0x' || substr(md5('ep:' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) / 4294967296.0 AS u
+        |  FROM documents
+        |), rep AS (
+        |  SELECT doc_id, source, epochs,
+        |    CAST(floor(epochs)
+        |      + CASE WHEN u < epochs - floor(epochs) THEN 1 ELSE 0 END
+        |      AS INT) AS n
+        |  FROM d
+        |)
+        |SELECT doc_id, source, epochs,
+        |  CAST(unnest(generate_series(1, n)) AS INT) AS copy_idx
+        |FROM rep WHERE n >= 1
+        |ORDER BY doc_id, copy_idx""".stripMargin,
 
     "q98_novelty" ->
       """WITH toks AS (

@@ -83,6 +83,34 @@ class SamplingSpec extends AnyFunSuite {
     assert(k50.subsetOf(ids))
   }
 
+  test("epochRepeat: floor copies always; residual is Bernoulli(frac); e=0 drops") {
+    val rows = (1L to 2000L).map(i => (i, 2.3)).toDF("doc_id", "epochs")
+    val out = Sampling.epochRepeat(rows, "doc_id", "epochs")
+    val perDoc = out.groupBy("doc_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(perDoc.size === 2000) // floor(2.3) >= 1: every doc survives
+    assert(perDoc.values.forall(n => n == 2L || n == 3L))
+    // Expected multiplicity is exactly e: the 3-copy share estimates
+    // frac(e) = 0.3 (2000 deterministic draws, tolerance ±4 sd).
+    val three = perDoc.values.count(_ == 3L)
+    assert(math.abs(three - 600) < 4 * math.sqrt(2000 * 0.3 * 0.7), s"$three")
+    // copy_idx is dense 1..n.
+    val idx = out.where(col("doc_id") === perDoc.find(_._2 == 3L).get._1)
+      .select("copy_idx").as[Int].collect().sorted.toSeq
+    assert(idx === Seq(1, 2, 3))
+    // e = 0 drops; e in (0,1) downsamples to Bernoulli(e).
+    val down = Sampling.epochRepeat(
+      (1L to 2000L).map(i => (i, if (i <= 1000) 0.0 else 0.5))
+        .toDF("doc_id", "epochs"), "doc_id", "epochs")
+      .select("doc_id").as[Long].collect()
+    assert(down.forall(_ > 1000))
+    assert(math.abs(down.length - 500) < 4 * math.sqrt(1000 * 0.25), s"${down.length}")
+    // Deterministic: rerun reproduces the identical multiset.
+    val again = Sampling.epochRepeat(rows, "doc_id", "epochs")
+      .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    assert(again === perDoc)
+  }
+
   test("weightedSample plans TakeOrderedAndProject (bounded heap, no full sort)") {
     val rows = (1L to 100L).map(i => (i, i)).toDF("doc_id", "w")
     val plan = Sampling.weightedSample(rows, "doc_id", "w", k = 10)
