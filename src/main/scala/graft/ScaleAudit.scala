@@ -59,7 +59,9 @@ object ScaleAudit {
     "q100_source_cap", "q101_split_leakage", "q102_centroid_sim",
     "q103_mad_outliers", "q104_source_overlap", "q105_quality_blend",
     "q106_growth_curve", "q107_pmi_collocations", "q108_equidepth_hist",
-    "q109_kmv_overlap")
+    "q109_kmv_overlap", "q110_scd2_history", "q111_exact_simjoin",
+    "q112_weighted_sample", "q113_snapshot_diff", "q114_vocab_coverage",
+    "q115_epoch_repeat")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

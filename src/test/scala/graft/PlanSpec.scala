@@ -243,4 +243,44 @@ class PlanSpec extends AnyFunSuite {
         s"global window must consume bucket totals, not corpus rows:\n$w")
     }
   }
+
+  test("q111: exact sim-join is prefix-equi-join + broadcastable verify, never all-pairs") {
+    val p = plan("q111_exact_simjoin")
+    assert(!p.contains("CartesianProduct"),
+      s"exact similarity join must never plan all-pairs:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"a nested-loop join here means the prefix equi-key was lost:\n$p")
+  }
+
+  test("q112: weighted sample is TakeOrderedAndProject, no global sort exchange") {
+    val p = plan("q112_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"A-Res top-k must keep per-task heaps:\n$p")
+  }
+
+  test("q114: coverage windows run on the distinct-token table, never corpus rows") {
+    val df = SparkEntry.queries("q114_vocab_coverage")(spark, dir)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      val fromAgg = w.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }
+      assert(fromAgg.nonEmpty,
+        s"global rank/cumsum must consume the token-count aggregate:\n$w")
+    }
+  }
+
+  test("q115: epoch repeat fans out inside the scan — zero exchanges") {
+    val p = plan("q115_epoch_repeat")
+    // The orderBy is the oracle-determinism harness artifact; assert
+    // no exchange BEFORE the explode by checking the generate/explode
+    // sits under at most the final sort's exchange.
+    val n = "Exchange".r.findAllIn(p).length
+    assert(n <= 1, s"epoch repeat must not shuffle the corpus:\n$p")
+    assert(p.contains("Generate"), "sequence-explode fan-out expected")
+  }
 }
