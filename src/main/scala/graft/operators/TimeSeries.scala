@@ -176,4 +176,50 @@ object TimeSeries {
       .withColumn("running_total", col("__run") + col("__offset"))
       .drop("__bucket", "__run", "__offset")
   }
+
+  /**
+   * Peak interval concurrency (the sweep line): given one row per
+   * interval, how many intervals are simultaneously open — reported
+   * as the maximum per time bucket, plus the bucket's interval-start
+   * count. Capacity planning's first question ("how many concurrent
+   * sessions must this fleet hold"), and the validation pass behind
+   * q72's sessionization.
+   *
+   * Mechanics: each interval emits +1 at start and −1 at end on an
+   * interleaved key (2·µs for starts, 2·µs+1 for ends — CLOSED
+   * intervals: an interval occupies its end instant, so a
+   * single-event session still counts). Same-instant deltas
+   * pre-aggregate to one net row per key — all deltas on one key
+   * share a sign, so the bucket max is unaffected and the sweep
+   * becomes fully deterministic. The running sum rides the bucketed
+   * two-level prefix decomposition ([[runningTotal]]) — never a
+   * corpus-wide single-task window.
+   *
+   * Scale: one delta aggregation (map-side combined, keys =
+   * distinct instants ≤ 2·intervals), the prefix sum's two bounded
+   * windows, one final bucket aggregate. No join against the raw
+   * event table; memory per task is bounded by the bucket's
+   * distinct-instant count.
+   */
+  def peakConcurrency(
+      intervals: DataFrame, startCol: String, endCol: String,
+      bucketMicros: Long = 3600L * 1000000L): DataFrame = {
+    require(bucketMicros >= 1, s"bucketMicros must be >= 1, got $bucketMicros")
+    val starts = intervals.select(
+      (unix_micros(col(startCol)) * 2).as("__k"), lit(1L).as("__d"))
+    val ends = intervals.select(
+      (unix_micros(col(endCol)) * 2 + 1).as("__k"), lit(-1L).as("__d"))
+    val deltas = starts.unionAll(ends)
+      .groupBy(col("__k"))
+      .agg(
+        sum(col("__d")).as("__net"),
+        sum(when(col("__d") > 0, 1L).otherwise(0L)).as("__starts"))
+    runningTotal(deltas, "__k", "__net", bucketWidth = bucketMicros * 2)
+      .groupBy(timestamp_micros(
+          (floor(col("__k") / 2 / bucketMicros) * bucketMicros).cast("long"))
+        .as("bucket_start"))
+      .agg(
+        max(col("running_total")).as("peak_concurrent"),
+        sum(col("__starts")).as("n_started"))
+  }
 }

@@ -441,6 +441,20 @@ object RelationalQueries {
         .orderBy("user_id", "session_seq")
     }),
 
+    // Peak session concurrency per hour (sweep line over q72's
+    // sessions): +1/-1 deltas on an interleaved closed-interval key,
+    // same-instant nets pre-aggregated, running sum via the bucketed
+    // two-level prefix decomposition — capacity planning's "how many
+    // concurrent sessions at peak".
+    "q116_peak_concurrency" -> ((s, dir) => {
+      val sess = graft.operators.Sessionize.sessionStats(
+        t(s, dir, "events"), "user_id", "ts", "event_id",
+        gapSeconds = 1800L)
+      graft.operators.TimeSeries.peakConcurrency(
+          sess, "session_start", "session_end")
+        .orderBy("bucket_start")
+    }),
+
     // Telemetry debounce: bursts of repeated (user, type) events
     // within 5 minutes collapse to one kept row (+ suppressed count);
     // one composite-key exchange serves both windows and the
@@ -1087,6 +1101,45 @@ object RelationalQueries {
         |  date_diff('microsecond', MIN(ts), MAX(ts)) AS dur_us
         |FROM g GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+
+    "q116_peak_concurrency" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_ts
+        |  FROM events
+        |), f AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN prev_ts IS NOT NULL
+        |          AND date_diff('microsecond', prev_ts, ts) > 1800000000
+        |         THEN 1 ELSE 0 END AS gap_open
+        |  FROM e
+        |), g AS (
+        |  SELECT user_id, ts,
+        |    SUM(gap_open) OVER (PARTITION BY user_id
+        |                        ORDER BY ts, event_id) + 1 AS session_seq
+        |  FROM f
+        |), s AS (
+        |  SELECT MIN(ts) AS st, MAX(ts) AS en
+        |  FROM g GROUP BY user_id, session_seq
+        |), d AS (
+        |  SELECT epoch_us(st) * 2 AS k, 1 AS delta FROM s
+        |  UNION ALL
+        |  SELECT epoch_us(en) * 2 + 1 AS k, -1 AS delta FROM s
+        |), n AS (
+        |  SELECT k, SUM(delta) AS net,
+        |    SUM(CASE WHEN delta > 0 THEN 1 ELSE 0 END) AS starts
+        |  FROM d GROUP BY k
+        |), r AS (
+        |  SELECT k, starts,
+        |    SUM(net) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM n
+        |)
+        |SELECT make_timestamp((k // 2) // 3600000000 * 3600000000)
+        |    AS bucket_start,
+        |  CAST(MAX(run) AS BIGINT) AS peak_concurrent,
+        |  CAST(SUM(starts) AS BIGINT) AS n_started
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q97_debounce" ->
       """WITH e AS (

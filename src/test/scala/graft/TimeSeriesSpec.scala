@@ -138,4 +138,28 @@ class TimeSeriesSpec extends AnyFunSuite {
       .select("id", "running_total").as[(Long, Long)].collect().toMap
     assert(w1 === naive)
   }
+
+  test("peakConcurrency: hand-built overlap pattern; closed intervals; ties") {
+    def ts(min: Int, sec: Int = 0) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:$sec%02d")
+    val intervals = Seq(
+      (ts(0), ts(10)),  // A: 10:00-10:10
+      (ts(5), ts(20)),  // B: overlaps A -> 2 concurrent at 10:05
+      (ts(5), ts(7)),   // C: same-instant start as B -> 3 at 10:05
+      (ts(30), ts(30)), // D: zero-length (single-event session) counts 1
+      (ts(70), ts(80))  // E: next hour bucket
+    ).toDF("st", "en")
+    val out = TimeSeries.peakConcurrency(intervals, "st", "en")
+      .orderBy("bucket_start")
+      .select("peak_concurrent", "n_started")
+      .as[(Long, Long)].collect().toSeq
+    assert(out === Seq((3L, 4L), (1L, 1L)))
+    // Closed-interval semantics: an interval ending exactly when
+    // another starts overlaps it for that instant (end key 2t+1 sorts
+    // after start key 2t).
+    val touching = Seq((ts(0), ts(5)), (ts(5), ts(9))).toDF("st", "en")
+    val peak = TimeSeries.peakConcurrency(touching, "st", "en")
+      .select("peak_concurrent").as[Long].collect().toSeq
+    assert(peak === Seq(2L))
+  }
 }
