@@ -244,6 +244,52 @@ object Relevance {
   }
 
   /**
+   * Document-level co-occurrence mining (market-basket over token
+   * sets): pairs of tokens appearing together in >= `minSupport`
+   * documents, with lift = P(a,b)/(P(a)·P(b)) — association strength
+   * against independence. PMI's (q107) document-scoped sibling:
+   * collocations score ADJACENCY, this scores topical co-presence
+   * anywhere in the document.
+   *
+   * Scale — the Apriori candidate prune carries the operator: tokens
+   * below `minSupport` document frequency cannot participate in a
+   * frequent pair (support is anti-monotone), so they are dropped
+   * BEFORE the pair fan-out. The per-doc self-join then expands only
+   * frequent-token sets: fan-out is Σ_doc |frequent(doc)|², dialed by
+   * minSupport, never vocabulary². One df aggregation, one doc-keyed
+   * self-join, one pair aggregation (map-side combined); corpus size
+   * rides a one-row cross join.
+   */
+  def cooccurrencePairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      minSupport: Long): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    val toks = docs.select(
+      col(idCol).as("__doc"),
+      explode(array_distinct(split(col(textCol), " "))).as("tok"))
+    val nDocs = docs.agg(count(lit(1)).as("__n"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+      .where(col("df") >= minSupport)
+    val ft = toks.join(freq, "tok")
+    ft.select(col("__doc"), col("tok").as("tok_a"), col("df").as("__dfa"))
+      .join(ft.select(col("__doc"), col("tok").as("tok_b"),
+        col("df").as("__dfb")), "__doc")
+      .where(col("tok_a") < col("tok_b"))
+      .groupBy(col("tok_a"), col("tok_b"))
+      .agg(
+        count(lit(1)).as("n_both"),
+        max(col("__dfa")).as("df_a"),
+        max(col("__dfb")).as("df_b"))
+      .where(col("n_both") >= minSupport)
+      .crossJoin(nDocs)
+      .select(
+        col("tok_a"), col("tok_b"), col("n_both"),
+        col("df_a"), col("df_b"),
+        round(col("n_both").cast("double") * col("__n") /
+          (col("df_a") * col("df_b")), 6).as("lift"))
+  }
+
+  /**
    * Vocabulary coverage curve: for each coverage target (e.g. 0.9 =
    * "90% of all token occurrences"), the smallest frequency-ranked
    * vocabulary that reaches it and the share that vocabulary actually

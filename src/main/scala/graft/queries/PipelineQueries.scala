@@ -259,6 +259,15 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Document co-occurrence pairs (market basket): token pairs
+    // co-present in >= 300 docs with lift vs independence; Apriori
+    // 1-item prune cuts the pair fan-out before the doc self-join.
+    "q117_cooccurrence" -> ((s, dir) => {
+      Relevance.cooccurrencePairs(t(s, dir, "documents"),
+          "doc_id", "text", minSupport = 300L)
+        .orderBy("tok_a", "tok_b")
+    }),
+
     // Vocabulary coverage curve: smallest frequency-ranked vocab
     // reaching 50/75/90/99% of token occurrences — the tokenizer
     // V dial. Token count shuffle + windows over the Zipf-bounded
@@ -1407,6 +1416,28 @@ object PipelineQueries {
         |SELECT doc_id, lang, pr_ttr, pr_stop_ratio, pr_n_tokens,
         |  round((pr_ttr + pr_stop_ratio + pr_n_tokens) / 3, 6) AS blend
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q117_cooccurrence" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))
+        |    AS tok
+        |  FROM documents
+        |), freq AS (
+        |  SELECT tok, count(*) AS df FROM toks GROUP BY tok
+        |  HAVING count(*) >= 300
+        |), ft AS (
+        |  SELECT t.doc_id, t.tok, f.df FROM toks t JOIN freq f ON f.tok = t.tok
+        |), p AS (
+        |  SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS n_both,
+        |    max(a.df) AS df_a, max(b.df) AS df_b
+        |  FROM ft a JOIN ft b ON b.doc_id = a.doc_id AND a.tok < b.tok
+        |  GROUP BY 1, 2
+        |  HAVING count(*) >= 300
+        |)
+        |SELECT tok_a, tok_b, n_both, df_a, df_b,
+        |  round(CAST(n_both AS DOUBLE) * (SELECT count(*) FROM documents)
+        |        / (df_a * df_b), 6) AS lift
+        |FROM p ORDER BY tok_a, tok_b""".stripMargin,
 
     "q114_vocab_coverage" ->
       """WITH toks AS (

@@ -101,6 +101,22 @@ class RelevanceSpec extends AnyFunSuite {
     assert(out === Seq(("x", "y", 2L, math.rint(math.log(4.0) * 1e6) / 1e6)))
   }
 
+  test("cooccurrencePairs: hand-computed lift; Apriori prune; within-doc dedup") {
+    // docs: {x,y} {x,y} {x,z} {y} — df: x=3, y=3, z=1 (n=4).
+    // Pairs among support>=2 tokens: (x,y) in 2 docs.
+    // lift(x,y) = (2·4)/(3·3) = 8/9. z pruned before pairing.
+    val docs = Seq(
+      (1L, "x y x"), // repeated x counts once (set semantics)
+      (2L, "y x"), (3L, "x z"), (4L, "y")).toDF("doc_id", "text")
+    val out = Relevance.cooccurrencePairs(docs, "doc_id", "text", 2L)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    assert(out === Seq(("x", "y", 2L, 3L, 3L,
+      math.rint(8.0 / 9.0 * 1e6) / 1e6)))
+    // minSupport above every pair count -> empty, not an error.
+    assert(Relevance.cooccurrencePairs(docs, "doc_id", "text", 3L)
+      .count() === 0)
+  }
+
   test("vocabCoverage: hand-computed curve; rank ties break by token") {
     // Occurrences: a×5, b×3, c×1, d×1 (total 10). Ranked: a(.5),
     // b(.8), c(.9), d(1.0) — c before d on the token tiebreak.
