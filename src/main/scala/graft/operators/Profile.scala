@@ -76,4 +76,63 @@ object Profile {
     }
     agged.select(explode(array(rows: _*)).as("r")).select("r.*")
   }
+
+  /**
+   * Reproducible pairwise Pearson correlation matrix — every pair of
+   * `cols` in ONE scan. Co-moments (n, Σx, Σy, Σxy, Σx², Σy²)
+   * accumulate as DECIMAL(18, `scale`) products — exact, associative
+   * integer arithmetic — and only the final correlation formula runs
+   * in double, in a fixed operation order. Spark's built-in `corr`
+   * accumulates doubles and is partition-order-dependent in the last
+   * ulps; this shape is bit-reproducible across engines and
+   * partitionings (the [[numeric]] mean/std contract, extended to
+   * second cross-moments).
+   *
+   * Pairs are masked pairwise-complete: a row contributes to (a,b)
+   * only when BOTH are non-null. Degenerate pairs (n < 2 or zero
+   * variance) yield NULL, never NaN/Inf.
+   *
+   * Scale: one partial-aggregated pass for all p·(p−1)/2 pairs — no
+   * Expand, no per-pair jobs; the aggregate row is O(p²) scalars.
+   * DECIMAL(38) headroom bounds corpus size per run (~10²⁰ rows at
+   * money scale); beyond that, correlate per-shard and combine
+   * co-moments — they are plain sums.
+   */
+  def correlations(
+      df: DataFrame, cols: Seq[String], scale: Int = 2): DataFrame = {
+    require(cols.size >= 2, "need at least two columns to correlate")
+    def d(c: String) = col(c).cast(DecimalType(18, scale))
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val aggs = pairs.flatMap { case (a, b) =>
+      val both = col(a).isNotNull && col(b).isNotNull
+      val x = when(both, d(a))
+      val y = when(both, d(b))
+      Seq(
+        count(when(both, lit(1))).cast("double").as(s"__${a}__${b}__n"),
+        sum(x).cast("double").as(s"__${a}__${b}__sx"),
+        sum(y).cast("double").as(s"__${a}__${b}__sy"),
+        sum(x * y).cast("double").as(s"__${a}__${b}__sxy"),
+        sum(x * x).cast("double").as(s"__${a}__${b}__sxx"),
+        sum(y * y).cast("double").as(s"__${a}__${b}__syy"))
+    }
+    val agged = df.agg(aggs.head, aggs.tail: _*)
+    val rows = pairs.map { case (a, b) =>
+      val n = col(s"__${a}__${b}__n")
+      val sx = col(s"__${a}__${b}__sx")
+      val sy = col(s"__${a}__${b}__sy")
+      val sxy = col(s"__${a}__${b}__sxy")
+      val sxx = col(s"__${a}__${b}__sxx")
+      val syy = col(s"__${a}__${b}__syy")
+      val vx = n * sxx - sx * sx
+      val vy = n * syy - sy * sy
+      val corr = when(n >= 2.0 && vx > 0.0 && vy > 0.0,
+        round((n * sxy - sx * sy) / sqrt(vx * vy), 6))
+      struct(
+        lit(a).as("col_a"), lit(b).as("col_b"),
+        n.cast("long").as("n"), corr.as("corr"))
+    }
+    agged.select(explode(array(rows: _*)).as("r")).select("r.*")
+  }
 }

@@ -831,6 +831,17 @@ object RelationalQueries {
           t(s, dir, "orders"),
           Seq("o_custkey", "o_totalprice", "o_orderkey"))
         .orderBy("col_name", "stat")
+    }),
+
+    // Reproducible Pearson correlation matrix: all 6 pairs of 4
+    // lineitem measures in ONE scan; decimal co-moments + fixed
+    // double-op finish, so the oracle pins every coefficient exactly
+    // (built-in corr is partition-order-dependent in the last ulps).
+    "q118_correlation" -> ((s, dir) => {
+      graft.operators.Profile.correlations(
+          t(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("col_a", "col_b")
     })
   )
 
@@ -1481,6 +1492,55 @@ object RelationalQueries {
         |SELECT bucket, n_base, n_cur,
         |  round((p - q) * ln(p / q), 6) AS psi_contrib
         |FROM t ORDER BY bucket""".stripMargin,
+
+    // Mirrors Profile.correlations exactly: decimal(18,2) co-moments,
+    // then the identical double-op sequence per coefficient.
+    "q118_correlation" ->
+      """WITH d AS (
+        |  SELECT CAST(l_quantity AS DECIMAL(18,2)) AS q,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS e,
+        |    CAST(l_discount AS DECIMAL(18,2)) AS di,
+        |    CAST(l_tax AS DECIMAL(18,2)) AS tx
+        |  FROM lineitem
+        |), c AS (
+        |  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(q) AS DOUBLE) AS sx, CAST(SUM(e) AS DOUBLE) AS sy,
+        |    CAST(SUM(q*e) AS DOUBLE) AS sxy,
+        |    CAST(SUM(q*q) AS DOUBLE) AS sxx,
+        |    CAST(SUM(e*e) AS DOUBLE) AS syy FROM d
+        |  UNION ALL
+        |  SELECT 'l_quantity', 'l_discount', CAST(COUNT(*) AS DOUBLE),
+        |    CAST(SUM(q) AS DOUBLE), CAST(SUM(di) AS DOUBLE),
+        |    CAST(SUM(q*di) AS DOUBLE), CAST(SUM(q*q) AS DOUBLE),
+        |    CAST(SUM(di*di) AS DOUBLE) FROM d
+        |  UNION ALL
+        |  SELECT 'l_quantity', 'l_tax', CAST(COUNT(*) AS DOUBLE),
+        |    CAST(SUM(q) AS DOUBLE), CAST(SUM(tx) AS DOUBLE),
+        |    CAST(SUM(q*tx) AS DOUBLE), CAST(SUM(q*q) AS DOUBLE),
+        |    CAST(SUM(tx*tx) AS DOUBLE) FROM d
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', 'l_discount', CAST(COUNT(*) AS DOUBLE),
+        |    CAST(SUM(e) AS DOUBLE), CAST(SUM(di) AS DOUBLE),
+        |    CAST(SUM(e*di) AS DOUBLE), CAST(SUM(e*e) AS DOUBLE),
+        |    CAST(SUM(di*di) AS DOUBLE) FROM d
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', 'l_tax', CAST(COUNT(*) AS DOUBLE),
+        |    CAST(SUM(e) AS DOUBLE), CAST(SUM(tx) AS DOUBLE),
+        |    CAST(SUM(e*tx) AS DOUBLE), CAST(SUM(e*e) AS DOUBLE),
+        |    CAST(SUM(tx*tx) AS DOUBLE) FROM d
+        |  UNION ALL
+        |  SELECT 'l_discount', 'l_tax', CAST(COUNT(*) AS DOUBLE),
+        |    CAST(SUM(di) AS DOUBLE), CAST(SUM(tx) AS DOUBLE),
+        |    CAST(SUM(di*tx) AS DOUBLE), CAST(SUM(di*di) AS DOUBLE),
+        |    CAST(SUM(tx*tx) AS DOUBLE) FROM d
+        |)
+        |SELECT col_a, col_b, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN n >= 2 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+        |       THEN round((n*sxy - sx*sy)
+        |                  / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 6)
+        |       END AS corr
+        |FROM c ORDER BY col_a, col_b""".stripMargin,
 
     // Mirrors Profile.numeric exactly: decimal(18,2) accumulation,
     // then the identical double-op sequence for mean/std.

@@ -97,4 +97,33 @@ class QualitySpec extends AnyFunSuite {
         s"$k: approx $est vs exact ${ex(k)} outside 2% envelope")
     }
   }
+
+  test("correlations: golden signs, pairwise-complete masking, degenerate NULL") {
+    val df = Seq(
+      (1.0, 2.0, -1.0, 5.0),
+      (2.0, 4.0, -2.0, 5.0),
+      (3.0, 6.0, -3.0, 5.0),
+      (4.0, 8.0, -4.0, 5.0)
+    ).toDF("x", "y2", "neg", "const")
+    val out = Profile.correlations(df, Seq("x", "y2", "neg", "const"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    assert(out(("x", "y2")) === ((4L, Some(1.0))))   // perfect positive
+    assert(out(("x", "neg")) === ((4L, Some(-1.0)))) // perfect negative
+    assert(out(("x", "const"))._2 === None)          // zero variance -> NULL
+    // Pairwise-complete: NULLs in one column only shrink that
+    // column's pairs, with the co-moments masked consistently.
+    val withNulls = Seq(
+      (Some(1.0), Some(10.0)), (Some(2.0), Some(8.0)),
+      (Some(3.0), None), (Some(4.0), Some(4.0))
+    ).toDF("a", "b")
+    val r = Profile.correlations(withNulls, Seq("a", "b")).collect().head
+    assert(r.getLong(2) === 3L)
+    // corr over {(1,10),(2,8),(4,4)} is exactly -1 (b = 12 - 2a).
+    assert(r.getDouble(3) === -1.0)
+    // One scan, one aggregate, no Expand for any pair count.
+    val plan = Profile.correlations(df, Seq("x", "y2", "neg", "const"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"co-moments must not Expand:\n$plan")
+  }
 }
