@@ -201,6 +201,52 @@ object TimeSeries {
    * event table; memory per task is bounded by the bucket's
    * distinct-instant count.
    */
+  /**
+   * Per-key least-squares trend fit: slope and intercept of y over x
+   * within each key — "is this metric drifting, and how fast, per
+   * segment". Co-moments accumulate as exact DECIMAL sums (the
+   * [[Profile.correlations]] reproducibility contract: associative
+   * integer arithmetic, partition-order independent) and only the
+   * closed-form OLS finish runs in double, fixed op order — so every
+   * fitted coefficient is oracle-pinnable, unlike a
+   * `regr_slope`-style double accumulation.
+   *
+   * Degenerate keys (n < 2 or zero x-variance) yield NULL slope and
+   * intercept. x must be exactly representable at `xScale` (day
+   * indexes, epoch units); y is rounded into `yScale` — the fit is
+   * then EXACTLY the fit of the rounded series, reproducible
+   * anywhere.
+   *
+   * Scale: one partial-aggregated pass, one shuffle on the key; per
+   * key state is 5 scalars.
+   */
+  def trendFit(
+      df: DataFrame, keyCol: String, xCol: String, yCol: String,
+      xScale: Int = 2, yScale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val both = col(xCol).isNotNull && col(yCol).isNotNull
+    val x = when(both, col(xCol).cast(DecimalType(18, xScale)))
+    val y = when(both, col(yCol).cast(DecimalType(18, yScale)))
+    val agged = df.groupBy(col(keyCol)).agg(
+      count(when(both, lit(1))).cast("double").as("__n"),
+      sum(x).cast("double").as("__sx"),
+      sum(y).cast("double").as("__sy"),
+      sum(x * y).cast("double").as("__sxy"),
+      sum(x * x).cast("double").as("__sxx"))
+    val n = col("__n")
+    val den = n * col("__sxx") - col("__sx") * col("__sx")
+    val slope = when(n >= 2.0 && den > 0.0,
+      (n * col("__sxy") - col("__sx") * col("__sy")) / den)
+    val intercept = when(n >= 2.0 && den > 0.0,
+      (col("__sy") - ((n * col("__sxy") - col("__sx") * col("__sy")) / den)
+        * col("__sx")) / n)
+    agged.select(
+      col(keyCol),
+      n.cast("long").as("n"),
+      round(slope, 6).as("slope"),
+      round(intercept, 6).as("intercept"))
+  }
+
   def peakConcurrency(
       intervals: DataFrame, startCol: String, endCol: String,
       bucketMicros: Long = 3600L * 1000000L): DataFrame = {

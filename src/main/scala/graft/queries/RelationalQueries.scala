@@ -833,6 +833,18 @@ object RelationalQueries {
         .orderBy("col_name", "stat")
     }),
 
+    // Per-type value trend over the month (OLS slope/intercept vs
+    // day index): decimal co-moments per key, fixed double-op finish
+    // — drift-rate measurement the oracle pins exactly.
+    "q119_trend_fit" -> ((s, dir) => {
+      graft.operators.TimeSeries.trendFit(
+          t(s, dir, "events")
+            .withColumn("day", datediff(to_date(col("ts")),
+              lit("2024-01-01").cast("date")).cast("long")),
+          "event_type", "day", "value")
+        .orderBy("event_type")
+    }),
+
     // Reproducible Pearson correlation matrix: all 6 pairs of 4
     // lineitem measures in ONE scan; decimal co-moments + fixed
     // double-op finish, so the oracle pins every coefficient exactly
@@ -1492,6 +1504,29 @@ object RelationalQueries {
         |SELECT bucket, n_base, n_cur,
         |  round((p - q) * ln(p / q), 6) AS psi_contrib
         |FROM t ORDER BY bucket""".stripMargin,
+
+    // Mirrors TimeSeries.trendFit exactly: decimal co-moments per
+    // key, then the identical double-op OLS finish.
+    "q119_trend_fit" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        |      AS DECIMAL(18,2)) AS x,
+        |    CAST(value AS DECIMAL(18,6)) AS y
+        |  FROM events
+        |), c AS (
+        |  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(x*y) AS DOUBLE) AS sxy, CAST(SUM(x*x) AS DOUBLE) AS sxx
+        |  FROM d GROUP BY event_type
+        |)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN n >= 2 AND n*sxx - sx*sx > 0
+        |       THEN round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) END AS slope,
+        |  CASE WHEN n >= 2 AND n*sxx - sx*sx > 0
+        |       THEN round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx)
+        |                  / n, 6) END AS intercept
+        |FROM c ORDER BY event_type""".stripMargin,
 
     // Mirrors Profile.correlations exactly: decimal(18,2) co-moments,
     // then the identical double-op sequence per coefficient.

@@ -139,6 +139,23 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(w1 === naive)
   }
 
+  test("trendFit: exact line recovered; flat series slope 0; degenerate NULL") {
+    val df = Seq(
+      // key "up": y = 3x + 1 exactly
+      ("up", 0L, 1.0), ("up", 1L, 4.0), ("up", 2L, 7.0), ("up", 3L, 10.0),
+      // key "flat": constant
+      ("flat", 0L, 5.0), ("flat", 1L, 5.0), ("flat", 2L, 5.0),
+      // key "one": single point -> NULL fit
+      ("one", 7L, 9.0)
+    ).toDF("k", "x", "y")
+    val out = TimeSeries.trendFit(df, "k", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(out("up") === ((4L, Some(3.0), Some(1.0))))
+    assert(out("flat") === ((3L, Some(0.0), Some(5.0))))
+    assert(out("one") === ((1L, None, None)))
+  }
+
   test("peakConcurrency: hand-built overlap pattern; closed intervals; ties") {
     def ts(min: Int, sec: Int = 0) =
       java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:$sec%02d")
