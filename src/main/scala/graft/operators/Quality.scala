@@ -142,4 +142,50 @@ object Quality {
       round(col("__m"), 6).as("metric"),
       (col("__m") === 0.0).as("ok"))
   }
+
+  /**
+   * Winsorization audit: per key, the nearest-rank [loQ, hiQ]
+   * percentile edges of `valCol` and how many rows each side would
+   * clip — the "what does capping this feature actually do" report
+   * run before committing to a clip. Edges are NEAREST-RANK (the
+   * value at row ceil(q·n) of the per-key value order): pure integer
+   * rank arithmetic on raw data values, so edges are identical on
+   * every engine — interpolated percentiles differ in last-ulp float
+   * edges and flip boundary rows (the q108 lesson).
+   *
+   * Scale: ONE key exchange serves the rank window and the count;
+   * the edge extraction is a filter at two ranks per key; clip
+   * counting joins the |keys|-row edge table back broadcast. Per-key
+   * state is that key's sort — the exact-percentile price (swap in
+   * approx_percentile edges at 100 TB, the q57→q62 trade).
+   */
+  def winsorizeAudit(
+      df: DataFrame, keyCol: String, valCol: String,
+      loQ: Double = 0.01, hiQ: Double = 0.99): DataFrame = {
+    require(loQ > 0.0 && hiQ < 1.0 && loQ < hiQ,
+      s"need 0 < loQ < hiQ < 1, got ($loQ, $hiQ)")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(valCol))
+    val wAll = Window.partitionBy(col(keyCol))
+    val ranked = df
+      .where(col(valCol).isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+    val edges = ranked
+      .where(col("__rn") === greatest(lit(1L), ceil(lit(loQ) * col("__n"))) ||
+        col("__rn") === least(col("__n"), ceil(lit(hiQ) * col("__n"))))
+      .groupBy(col(keyCol))
+      .agg(min(col(valCol)).as("lo"), max(col(valCol)).as("hi"))
+    df.where(col(valCol).isNotNull)
+      .join(broadcast(edges), Seq(keyCol))
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("lo")).as("lo"),
+        max(col("hi")).as("hi"),
+        sum(when(col(valCol) < col("lo"), 1L).otherwise(0L))
+          .as("n_clip_lo"),
+        sum(when(col(valCol) > col("hi"), 1L).otherwise(0L))
+          .as("n_clip_hi"))
+  }
 }

@@ -833,6 +833,17 @@ object RelationalQueries {
         .orderBy("col_name", "stat")
     }),
 
+    // Winsorization audit: nearest-rank [p5, p95] edges of value per
+    // event type + how many rows each side would clip — integer rank
+    // arithmetic (the q108 lesson), one key exchange + a broadcast
+    // edge-table join back.
+    "q120_winsorize" -> ((s, dir) => {
+      graft.operators.Quality.winsorizeAudit(
+          t(s, dir, "events"), "event_type", "value",
+          loQ = 0.05, hiQ = 0.95)
+        .orderBy("event_type")
+    }),
+
     // Per-type value trend over the month (OLS slope/intercept vs
     // day index): decimal co-moments per key, fixed double-op finish
     // — drift-rate measurement the oracle pins exactly.
@@ -1504,6 +1515,30 @@ object RelationalQueries {
         |SELECT bucket, n_base, n_cur,
         |  round((p - q) * ln(p / q), 6) AS psi_contrib
         |FROM t ORDER BY bucket""".stripMargin,
+
+    "q120_winsorize" ->
+      """WITH r AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events WHERE value IS NOT NULL
+        |), e AS (
+        |  SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+        |  FROM r
+        |  WHERE rn = greatest(1, CAST(ceil(0.05 * n) AS BIGINT))
+        |     OR rn = least(n, CAST(ceil(0.95 * n) AS BIGINT))
+        |  GROUP BY event_type
+        |)
+        |SELECT v.event_type, count(*) AS n, MIN(e.lo) AS lo,
+        |  MAX(e.hi) AS hi,
+        |  CAST(SUM(CASE WHEN v.value < e.lo THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clip_lo,
+        |  CAST(SUM(CASE WHEN v.value > e.hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clip_hi
+        |FROM events v JOIN e ON e.event_type = v.event_type
+        |WHERE v.value IS NOT NULL
+        |GROUP BY v.event_type ORDER BY v.event_type""".stripMargin,
 
     // Mirrors TimeSeries.trendFit exactly: decimal co-moments per
     // key, then the identical double-op OLS finish.

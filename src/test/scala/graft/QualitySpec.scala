@@ -98,6 +98,20 @@ class QualitySpec extends AnyFunSuite {
     }
   }
 
+  test("winsorizeAudit: nearest-rank edges, clip counts, degenerate single row") {
+    val df = ((1 to 100).map(v => ("a", Some(v.toDouble))) ++
+      Seq(("a", None), ("b", Some(42.0)))).toDF("k", "v")
+    val out = Quality.winsorizeAudit(df, "k", "v", loQ = 0.05, hiQ = 0.95)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getLong(4), r.getLong(5)))).toMap
+    // ceil(.05*100)=5 -> lo=5.0 (4 below); ceil(.95*100)=95 -> hi=95.0
+    // (5 above). The NULL row is excluded from n.
+    assert(out("a") === ((100L, 5.0, 95.0, 4L, 5L)))
+    // Single-row key: both edges collapse to the value, nothing clips.
+    assert(out("b") === ((1L, 42.0, 42.0, 0L, 0L)))
+  }
+
   test("correlations: golden signs, pairwise-complete masking, degenerate NULL") {
     val df = Seq(
       (1.0, 2.0, -1.0, 5.0),
