@@ -159,6 +159,43 @@ object Quality {
    * state is that key's sort — the exact-percentile price (swap in
    * approx_percentile edges at 100 TB, the q57→q62 trade).
    */
+  /**
+   * Benford first-digit audit: observed leading-digit distribution
+   * of `valCol` against Benford's law (P(d) = log10(1 + 1/d)) — the
+   * classic fabricated-data / unit-mix screen for financial and
+   * telemetry magnitudes spanning several orders. Reported per digit
+   * with the chi-square contribution, so the total statistic is one
+   * SUM away.
+   *
+   * The leading digit is extracted from the value's string form
+   * (first [1-9]) — robust to scientific notation and sub-1 values,
+   * and engine-portable, unlike log10-floor arithmetic whose edge
+   * cases (powers of ten, last-ulp) flip digits.
+   *
+   * Scale: one partial-aggregated digit count (9 groups); the total
+   * rides a one-row cross join.
+   */
+  def benfordAudit(df: DataFrame, valCol: String): DataFrame = {
+    val digit = regexp_extract(col(valCol).cast("string"), "[1-9]", 0)
+    val counts = df
+      .where(col(valCol).isNotNull)
+      .select(digit.as("__d"))
+      .where(col("__d") =!= "")
+      .groupBy(col("__d").cast("int").as("digit"))
+      .agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("__t"))
+    val obs = col("n").cast("double") / col("__t")
+    val exp = log10(lit(1.0) + lit(1.0) / col("digit"))
+    // (obs-exp)² as an explicit product, not pow(x, 2): pow's
+    // correct rounding is not guaranteed identical across engines.
+    counts.crossJoin(total)
+      .select(
+        col("digit"), col("n"),
+        round(obs, 6).as("obs_share"),
+        round(exp, 6).as("exp_share"),
+        round((obs - exp) * (obs - exp) / exp, 6).as("chi2_contrib"))
+  }
+
   def winsorizeAudit(
       df: DataFrame, keyCol: String, valCol: String,
       loQ: Double = 0.01, hiQ: Double = 0.99): DataFrame = {

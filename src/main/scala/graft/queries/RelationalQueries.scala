@@ -833,6 +833,15 @@ object RelationalQueries {
         .orderBy("col_name", "stat")
     }),
 
+    // Benford first-digit audit of order totals: observed vs
+    // log10(1+1/d) with per-digit chi-square contribution — the
+    // fabricated-data screen; one 9-group aggregate.
+    "q121_benford" -> ((s, dir) => {
+      graft.operators.Quality.benfordAudit(
+          t(s, dir, "orders"), "o_totalprice")
+        .orderBy("digit")
+    }),
+
     // Winsorization audit: nearest-rank [p5, p95] edges of value per
     // event type + how many rows each side would clip — integer rank
     // arithmetic (the q108 lesson), one key exchange + a broadcast
@@ -1515,6 +1524,25 @@ object RelationalQueries {
         |SELECT bucket, n_base, n_cur,
         |  round((p - q) * ln(p / q), 6) AS psi_contrib
         |FROM t ORDER BY bucket""".stripMargin,
+
+    "q121_benford" ->
+      """WITH c AS (
+        |  SELECT CAST(regexp_extract(CAST(o_totalprice AS VARCHAR),
+        |      '[1-9]', 0) AS INT) AS digit,
+        |    count(*) AS n
+        |  FROM orders
+        |  WHERE o_totalprice IS NOT NULL
+        |    AND regexp_extract(CAST(o_totalprice AS VARCHAR), '[1-9]', 0)
+        |        <> ''
+        |  GROUP BY 1
+        |), t AS (SELECT CAST(SUM(n) AS DOUBLE) AS tot FROM c)
+        |SELECT digit, n,
+        |  round(CAST(n AS DOUBLE) / tot, 6) AS obs_share,
+        |  round(log10(1.0 + 1.0 / digit), 6) AS exp_share,
+        |  round((CAST(n AS DOUBLE) / tot - log10(1.0 + 1.0 / digit))
+        |        * (CAST(n AS DOUBLE) / tot - log10(1.0 + 1.0 / digit))
+        |        / log10(1.0 + 1.0 / digit), 6) AS chi2_contrib
+        |FROM c, t ORDER BY digit""".stripMargin,
 
     "q120_winsorize" ->
       """WITH r AS (

@@ -98,6 +98,25 @@ class QualitySpec extends AnyFunSuite {
     }
   }
 
+  test("benfordAudit: digit extraction across magnitudes; shares sum to 1") {
+    val df = Seq(123.45, 0.071, 9.9e7, 2.0, 23.0, 1000.0, 0.5, -345.0)
+      .toDF("v")
+    val out = Quality.benfordAudit(df, "v")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // leading digits: 1, 7, 9, 2, 2, 1, 5, 3 (sign ignored by [1-9])
+    assert(out === Map(1 -> 2L, 2 -> 2L, 3 -> 1L, 5 -> 1L, 7 -> 1L, 9 -> 1L))
+    val shares = Quality.benfordAudit(df, "v")
+      .agg(sum("obs_share")).collect().head.getDouble(0)
+    assert(math.abs(shares - 1.0) < 1e-9)
+    // A genuinely Benford set (powers of 2 — log10(2^i) mod 1
+    // equidistributes) scores an order of magnitude below a uniform
+    // digit mix (~0.5 chi2).
+    val pow2 = (0 until 300).map(i => math.pow(2.0, i)).toDF("v")
+    val chi2 = Quality.benfordAudit(pow2, "v")
+      .agg(sum("chi2_contrib")).collect().head.getDouble(0)
+    assert(chi2 < 0.02, s"powers of two should be near-Benford, chi2=$chi2")
+  }
+
   test("winsorizeAudit: nearest-rank edges, clip counts, degenerate single row") {
     val df = ((1 to 100).map(v => ("a", Some(v.toDouble))) ++
       Seq(("a", None), ("b", Some(42.0)))).toDF("k", "v")
