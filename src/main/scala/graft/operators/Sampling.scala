@@ -103,6 +103,32 @@ object Sampling {
   }
 
   /**
+   * Per-key weighted sample without replacement: exactly `k` rows
+   * per `keyCol` (fewer when the key has fewer rows), inclusion odds
+   * proportional to `weightCol` within the key — [[weightedSample]]'s
+   * stratified form ("100 docs per language, longer ones
+   * proportionally more likely"). Same A-Res key (ln(u)/w,
+   * md5-deterministic u), ranked per key; adds `pick_rank`.
+   *
+   * Scale: the rank filter compiles to WindowGroupLimit — each map
+   * task keeps ≤ k rows per key BEFORE the exchange, so shuffle
+   * volume is ~k·|keys| rows, corpus-size-independent (the capPerKey
+   * plan shape, weighted).
+   */
+  def weightedSamplePerKey(
+      df: DataFrame, keyCol: String, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"weightedSamplePerKey: k must be >= 1, got $k")
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("double") + 0.5) / 4294967296.0
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("es_key").desc, col(idCol))
+    df.withColumn("es_key", log(u) / col(weightCol).cast("double"))
+      .withColumn("pick_rank", row_number().over(w))
+      .where(col("pick_rank") <= k)
+  }
+
+  /**
    * Materialize fractional epoch weights into physical row repeats:
    * a row with `epochsCol` = e appears floor(e) times always, plus
    * once more with probability frac(e) — decided by a deterministic

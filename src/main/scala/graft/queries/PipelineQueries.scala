@@ -371,6 +371,17 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Stratified weighted sample: exactly 20 docs per language,
+    // inclusion odds proportional to n_chars — A-Res per key;
+    // WindowGroupLimit bounds the shuffle at k rows per key per task.
+    "q122_weighted_sample_per_key" -> ((s, dir) => {
+      Sampling.weightedSamplePerKey(
+          t(s, dir, "documents"), "lang", "doc_id", "n_chars", k = 20)
+        .select(col("lang"), col("pick_rank"), col("doc_id"),
+          col("n_chars"), round(col("es_key"), 6).as("es_key"))
+        .orderBy("lang", "pick_rank")
+    }),
+
     // Epoch-weighted mixture materialization: per-source epoch
     // factors (0.5–3.5) become physical repeats — floor(e) copies
     // plus a deterministic-hash Bernoulli(frac(e)) extra; zero
@@ -1623,6 +1634,25 @@ object PipelineQueries {
         |)
         |SELECT doc_id, source, n_chars, round(es_key, 6) AS es_key
         |FROM keyed ORDER BY doc_id""".stripMargin,
+
+    "q122_weighted_sample_per_key" ->
+      """WITH u AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |       AS BIGINT) + 0.5) / 4294967296.0 AS u
+        |  FROM documents
+        |), keyed AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    ln(u) / CAST(n_chars AS DOUBLE) AS es_key,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY ln(u) / CAST(n_chars AS DOUBLE) DESC, doc_id)
+        |      AS pick_rank
+        |  FROM u
+        |)
+        |SELECT lang, CAST(pick_rank AS INT) AS pick_rank, doc_id,
+        |  n_chars, round(es_key, 6) AS es_key
+        |FROM keyed WHERE pick_rank <= 20
+        |ORDER BY lang, pick_rank""".stripMargin,
 
     "q115_epoch_repeat" ->
       """WITH d AS (

@@ -111,6 +111,26 @@ class SamplingSpec extends AnyFunSuite {
     assert(again === perDoc)
   }
 
+  test("weightedSamplePerKey: exact k per key, weight bias within strata") {
+    val rows = (1L to 3000L).map(i =>
+      (s"k${i % 3}", i, if (i % 2 == 0) 2000L else 100L))
+      .toDF("grp", "doc_id", "w")
+    val out = Sampling.weightedSamplePerKey(rows, "grp", "doc_id", "w", 50)
+    val perKey = out.groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(perKey === Map("k0" -> 50L, "k1" -> 50L, "k2" -> 50L))
+    // Heavy rows dominate inside each stratum.
+    val heavy = out.where(col("doc_id") % 2 === 0).count()
+    assert(heavy >= 110, s"heavy rows across 150 picks: $heavy")
+    // Keys smaller than k keep everything.
+    val tiny = Seq(("a", 1L, 5L), ("a", 2L, 5L)).toDF("grp", "doc_id", "w")
+    assert(Sampling.weightedSamplePerKey(tiny, "grp", "doc_id", "w", 10)
+      .count() === 2)
+    // WindowGroupLimit bounds the shuffle.
+    val plan = Sampling.weightedSamplePerKey(rows, "grp", "doc_id", "w", 50)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"))
+  }
+
   test("weightedSample plans TakeOrderedAndProject (bounded heap, no full sort)") {
     val rows = (1L to 100L).map(i => (i, i)).toDF("doc_id", "w")
     val plan = Sampling.weightedSample(rows, "doc_id", "w", k = 10)
