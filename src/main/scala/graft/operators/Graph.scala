@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Graph analytics beyond connected components ([[Dedup]]'s
+ * large-star/small-star CC): weighted PageRank by power iteration —
+ * steady-state importance over a directed weighted graph. The
+ * behavioral use here: the event-type transition graph (q91's edges)
+ * yields the long-run share of attention each state captures, which
+ * raw counts misstate when states feed each other asymmetrically.
+ * (Extension family; the reference engine has no graph surface.)
+ *
+ * Scale posture: each iteration is ONE join of the rank vector onto
+ * the edge list (both hash-partitioned on src — co-partitioned after
+ * the first iteration) plus a partial-aggregated contribution
+ * shuffle on dst. Rank state is one row per node. Dangling mass
+ * (nodes with no out-edges) and the teleport term are scalars — a
+ * one-row cross join, never a collect. Per-round barriers reuse the
+ * CC durability contract: reliable `checkpoint()` when the caller
+ * set a checkpoint dir, `localCheckpoint()` otherwise, with the
+ * superseded round's blocks freed eagerly (GraftBridge) so a long
+ * power iteration holds exactly one round of state.
+ *
+ * The node count is the operator's only driver-side scalar (one
+ * `count()` action) — it parameterizes the teleport literal.
+ */
+object Graph {
+
+  /**
+   * Weighted PageRank: `iters` rounds of
+   * rank'(v) = (1−d)/N + d·(Σ_{u→v} rank(u)·w(u,v)/outW(u) + dang/N)
+   * where dang is the total rank parked on nodes without out-edges.
+   * Output: (node, rank) — ranks sum to 1 every round.
+   *
+   * Fixed iteration count (not a convergence test): PageRank changes
+   * are dense and geometric (contraction factor d), so ~10 rounds
+   * give ~d¹⁰ ≈ 0.2 relative residual shrink per additional round —
+   * callers pick the precision/cost point; a fixed count also keeps
+   * results engine-reproducible (a convergence test on floats is
+   * not).
+   */
+  def pageRank(
+      edges: DataFrame, srcCol: String, dstCol: String, weightCol: String,
+      damping: Double = 0.85, iters: Int = 10): DataFrame = {
+    require(damping > 0.0 && damping < 1.0,
+      s"damping must be in (0,1), got $damping")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = edges.sparkSession
+    val e = edges.select(
+      col(srcCol).as("src"), col(dstCol).as("node"),
+      col(weightCol).cast("double").as("w"))
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("node")))
+      .distinct()
+    val outW = e.groupBy("src").agg(sum(col("w")).as("ow"))
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    def barrier(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val nodesP = barrier(nodes)
+    val nN = nodesP.count().toDouble
+    var ranks = barrier(nodesP.withColumn("rank", lit(1.0 / nN)))
+    for (_ <- 1 to iters) {
+      val r = ranks.select(col("node").as("__src"), col("rank"))
+      val contribs = r
+        .join(e.join(outW, "src"), col("__src") === col("src"))
+        .select(col("node"),
+          (col("rank") * col("w") / col("ow")).as("__c"))
+        .groupBy("node").agg(sum(col("__c")).as("__contrib"))
+      val dangling = r
+        .join(outW, col("__src") === col("src"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dang"))
+      val next = barrier(nodesP
+        .join(contribs, Seq("node"), "left")
+        .crossJoin(dangling)
+        .select(col("node"),
+          (lit((1.0 - damping) / nN) + lit(damping) *
+            (coalesce(col("__contrib"), lit(0.0)) + col("__dang") / nN))
+            .as("rank")))
+      org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(ranks)
+      ranks = next
+    }
+    ranks
+  }
+}

@@ -833,6 +833,27 @@ object RelationalQueries {
         .orderBy("col_name", "stat")
     }),
 
+    // Weighted PageRank over the event-type transition graph (q91's
+    // edges): long-run attention share per state — power iteration,
+    // one co-partitioned join + one contribution shuffle per round,
+    // scalars ride one-row cross joins.
+    "q123_pagerank" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val edges = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .where(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      graft.operators.Graph.pageRank(
+          edges, "prev_type", "event_type", "n",
+          damping = 0.85, iters = 10)
+        .select(col("node"), round(col("rank"), 6).as("rank"))
+        .orderBy("node")
+    }),
+
     // Benford first-digit audit of order totals: observed vs
     // log10(1+1/d) with per-digit chi-square contribution — the
     // fabricated-data screen; one 9-group aggregate.
@@ -877,7 +898,54 @@ object RelationalQueries {
     })
   )
 
+  /** Unrolled power-iteration oracle for q123 (recursive CTEs can't
+    * aggregate in the recursive member): pr0 = 1/N, then per round
+    * the EXACT double-op sequence Graph.pageRank runs — (1−d)/N +
+    * d·(contrib + dang/N) with row-level rank·w/ow. */
+  private def pageRankOracle(iters: Int): String = {
+    val base =
+      """WITH o0 AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events
+        |), e AS MATERIALIZED (
+        |  SELECT prev_type AS src, event_type AS dst,
+        |    CAST(count(*) AS DOUBLE) AS w
+        |  FROM o0 WHERE prev_type IS NOT NULL GROUP BY 1, 2
+        |), nodes AS MATERIALIZED (
+        |  SELECT src AS node FROM e UNION SELECT dst FROM e
+        |), cnt AS MATERIALIZED (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes
+        |), ow AS MATERIALIZED (SELECT src, SUM(w) AS ow FROM e GROUP BY src
+        |), pr0 AS MATERIALIZED (
+        |  SELECT node, 1.0 / cnt.n AS rank FROM nodes, cnt)""".stripMargin
+    // AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+    // each round references the previous one twice (contributions +
+    // dangling) — inlined, the expansion re-evaluates the base window
+    // query 2^iters times.
+    val rounds = (1 to iters).map { i =>
+      s""", c$i AS MATERIALIZED (
+         |  SELECT e.dst AS node, SUM(p.rank * e.w / ow.ow) AS contrib
+         |  FROM pr${i - 1} p JOIN e ON e.src = p.node
+         |  JOIN ow ON ow.src = e.src GROUP BY e.dst
+         |), d$i AS MATERIALIZED (
+         |  SELECT COALESCE(SUM(p.rank), 0) AS dang FROM pr${i - 1} p
+         |  WHERE p.node NOT IN (SELECT src FROM ow)
+         |), pr$i AS MATERIALIZED (
+         |  SELECT n.node,
+         |    (1 - 0.85) / cnt.n
+         |      + 0.85 * (COALESCE(c.contrib, 0) + d$i.dang / cnt.n) AS rank
+         |  FROM nodes n CROSS JOIN cnt
+         |  LEFT JOIN c$i c ON c.node = n.node CROSS JOIN d$i
+         |)""".stripMargin
+    }.mkString("\n")
+    s"$base\n$rounds\nSELECT node, round(rank, 6) AS rank FROM pr$iters ORDER BY node"
+  }
+
   val oracles: Map[String, String] = Map(
+
+    "q123_pagerank" -> pageRankOracle(10),
 
     "q49_rollup_revenue" ->
       """SELECT r_name, n_name,
