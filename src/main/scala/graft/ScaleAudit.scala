@@ -61,7 +61,9 @@ object ScaleAudit {
     "q106_growth_curve", "q107_pmi_collocations", "q108_equidepth_hist",
     "q109_kmv_overlap", "q110_scd2_history", "q111_exact_simjoin",
     "q112_weighted_sample", "q113_snapshot_diff", "q114_vocab_coverage",
-    "q115_epoch_repeat")
+    "q115_epoch_repeat", "q116_peak_concurrency", "q117_cooccurrence",
+    "q118_correlation", "q119_trend_fit", "q120_winsorize",
+    "q121_benford", "q122_weighted_sample_per_key", "q123_pagerank")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
