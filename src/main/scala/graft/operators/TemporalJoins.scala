@@ -100,4 +100,46 @@ object TemporalJoins {
       .where(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop("__bin")
   }
+
+  /**
+   * Interval-overlap join: left interval rows matched to right
+   * interval rows whose half-open spans intersect
+   * (`lStart < rEnd && rStart < lEnd`) — the two-sided sibling of
+   * [[rangeJoin]] (sessions × incident windows, visits ×
+   * promotions). Unkeyed: pass a literal key column on both sides if
+   * a natural equi-key exists — it composes into the bin key.
+   *
+   * Implementation: BOTH sides explode into fixed-width bins; a pair
+   * overlapping anywhere shares the bin containing the overlap
+   * start, so the equi-join on the bin finds every pair. Each pair
+   * is emitted ONCE via the dedup condition "this bin is the overlap
+   * start's bin" — no distinct pass over the matched set, the exact
+   * predicate and dedup filter evaluate in the same stage as the
+   * join.
+   *
+   * Scale: fan-out per row is length/binWidth (pick binWidth near
+   * the typical interval length); the join is an equi-shuffle on the
+   * bin, never the BroadcastNestedLoopJoin a raw overlap predicate
+   * compiles to. Degenerate zero/negative-length intervals can never
+   * overlap under half-open semantics and are dropped before binning
+   * (descending `sequence` guard, as in [[rangeJoin]]).
+   */
+  def intervalOverlapJoin(
+      left: DataFrame, right: DataFrame,
+      lStart: String, lEnd: String,
+      rStart: String, rEnd: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth >= 1, s"binWidth must be >= 1, got $binWidth")
+    def binned(df: DataFrame, s: String, e: String): DataFrame = df
+      .where(col(e) > col(s))
+      .withColumn("__bin", explode(sequence(
+        floor(col(s) / binWidth).cast("long"),
+        floor((col(e) - 1) / binWidth).cast("long"))))
+    val overlapStart = greatest(col(lStart), col(rStart))
+    binned(left, lStart, lEnd)
+      .join(binned(right, rStart, rEnd), Seq("__bin"))
+      .where(col(lStart) < col(rEnd) && col(rStart) < col(lEnd) &&
+        col("__bin") === floor(overlapStart / binWidth).cast("long"))
+      .drop("__bin")
+  }
 }

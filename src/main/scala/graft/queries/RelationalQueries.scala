@@ -441,6 +441,33 @@ object RelationalQueries {
         .orderBy("user_id", "session_seq")
     }),
 
+    // Interval-overlap join: user sessions (q72) against nightly
+    // 02:00-04:00 maintenance windows — both sides bin-exploded,
+    // equi-join on the bin, each pair emitted once at its
+    // overlap-start bin; never a nested-loop overlap predicate.
+    "q124_interval_overlap" -> ((s, dir) => {
+      val sess = graft.operators.Sessionize.sessionStats(
+          t(s, dir, "events"), "user_id", "ts", "event_id",
+          gapSeconds = 1800L)
+        .select(col("user_id"),
+          unix_micros(col("session_start")).as("ls"),
+          (unix_micros(col("session_end")) + 1).as("le"))
+      val base = java.time.LocalDateTime
+        .parse("2024-01-01T02:00:00")
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+      val windows = s.range(30).select(
+        col("id").cast("long").as("day"),
+        (lit(base) + col("id") * 86400000000L).as("rs"),
+        (lit(base) + col("id") * 86400000000L + 7200000000L).as("re"))
+      graft.operators.TemporalJoins.intervalOverlapJoin(
+          sess, windows, "ls", "le", "rs", "re",
+          binWidth = 3600000000L)
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_sessions"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("day")
+    }),
+
     // Peak session concurrency per hour (sweep line over q72's
     // sessions): +1/-1 deltas on an interleaved closed-interval key,
     // same-instant nets pre-aggregated, running sum via the bucketed
@@ -1212,6 +1239,43 @@ object RelationalQueries {
         |  date_diff('microsecond', MIN(ts), MAX(ts)) AS dur_us
         |FROM g GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+
+    // Brute-force overlap oracle: every (session, window) pair tested
+    // directly, so a bin-dedup bug (pair emitted 0 or 2 times) in the
+    // Spark side mismatches.
+    "q124_interval_overlap" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_ts
+        |  FROM events
+        |), f AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN prev_ts IS NOT NULL
+        |          AND date_diff('microsecond', prev_ts, ts) > 1800000000
+        |         THEN 1 ELSE 0 END AS gap_open
+        |  FROM e
+        |), g AS (
+        |  SELECT user_id, ts,
+        |    SUM(gap_open) OVER (PARTITION BY user_id
+        |                        ORDER BY ts, event_id) + 1 AS session_seq
+        |  FROM f
+        |), s AS (
+        |  SELECT user_id, epoch_us(MIN(ts)) AS ls,
+        |    epoch_us(MAX(ts)) + 1 AS le
+        |  FROM g GROUP BY user_id, session_seq
+        |), w AS (
+        |  SELECT CAST(d AS BIGINT) AS day,
+        |    epoch_us(TIMESTAMP '2024-01-01 02:00:00') + d * 86400000000
+        |      AS rs,
+        |    epoch_us(TIMESTAMP '2024-01-01 02:00:00') + d * 86400000000
+        |      + 7200000000 AS re
+        |  FROM (SELECT unnest(generate_series(0, 29)) AS d)
+        |)
+        |SELECT w.day, count(*) AS n_sessions,
+        |  count(DISTINCT s.user_id) AS n_users
+        |FROM s JOIN w ON s.ls < w.re AND w.rs < s.le
+        |GROUP BY w.day ORDER BY w.day""".stripMargin,
 
     "q116_peak_concurrency" ->
       """WITH e AS (

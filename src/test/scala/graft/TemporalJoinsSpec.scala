@@ -75,4 +75,31 @@ class TemporalJoinsSpec extends AnyFunSuite {
       .select("pid", "iv").as[(Int, Int)].collect().toSet
     assert(fast === naive)
   }
+
+  test("intervalOverlapJoin: exactly once per overlapping pair, random parity") {
+    val rnd = new scala.util.Random(7)
+    val left = (1 to 120).map { i =>
+      val s = rnd.nextInt(500).toLong; (s, s + 1 + rnd.nextInt(40), i)
+    }.toDF("ls", "le", "lid")
+    val right = (1 to 60).map { i =>
+      val s = rnd.nextInt(500).toLong; (s, s + 1 + rnd.nextInt(25), i)
+    }.toDF("rs", "re", "rid")
+    // Multiset — a pair emitted twice (bin-dedup bug) must fail even
+    // if the set of pairs is right.
+    val fast = TemporalJoins
+      .intervalOverlapJoin(left, right, "ls", "le", "rs", "re", binWidth = 16L)
+      .select("lid", "rid").as[(Int, Int)].collect().toSeq.sorted
+    val naive = left.crossJoin(right)
+      .where($"ls" < $"re" && $"rs" < $"le")
+      .select("lid", "rid").as[(Int, Int)].collect().toSeq.sorted
+    assert(fast === naive)
+    assert(fast.distinct === fast, "each overlapping pair exactly once")
+    // Touching half-open intervals ([0,5) and [5,9)) do NOT overlap.
+    val a = Seq((0L, 5L, 1)).toDF("ls", "le", "lid")
+    val b = Seq((5L, 9L, 1), (4L, 9L, 2)).toDF("rs", "re", "rid")
+    val touch = TemporalJoins
+      .intervalOverlapJoin(a, b, "ls", "le", "rs", "re", binWidth = 4L)
+      .select("rid").as[Int].collect().toSeq
+    assert(touch === Seq(2))
+  }
 }
