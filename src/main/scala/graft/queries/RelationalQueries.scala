@@ -441,6 +441,38 @@ object RelationalQueries {
         .orderBy("user_id", "session_seq")
     }),
 
+    // Point-in-time dimension join (SCD2 as-of probe): every event
+    // matched to the q110 dimension version valid at its timestamp —
+    // keyed rangeJoin on (user, time bin), open versions capped at
+    // the horizon, never a nested-loop BETWEEN. The lakehouse
+    // "was-this-fact-consistent-with-its-dim-at-the-time" join.
+    "q125_temporal_dim_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val dim = graft.operators.Merge.scd2History(
+          ev.select("user_id", "ts", "event_id", "event_type"),
+          "user_id", "ts", "event_id", "event_type")
+        .select(col("user_id"),
+          unix_micros(col("valid_from")).as("vs"),
+          coalesce(unix_micros(col("valid_to")),
+            // half-open horizon cap: strictly above every event ts
+            unix_micros(lit("2024-02-01 00:00:00").cast("timestamp")))
+            .as("ve"),
+          col("version_seq"),
+          col("event_type").as("dim_type"))
+      val probes = ev.select(col("user_id"),
+        unix_micros(col("ts")).as("t"), col("event_type"))
+      graft.operators.TemporalJoins.rangeJoin(
+          probes, dim, "user_id", "t", "vs", "ve",
+          binWidth = 86400000000L)
+        .groupBy(col("version_seq"))
+        .agg(count(lit(1)).as("n_events"),
+          // every event must land in the version IT opened or rode —
+          // type agreement is the semantic as-of correctness check
+          sum(when(col("event_type") === col("dim_type"), 1L)
+            .otherwise(0L)).as("n_matching"))
+        .orderBy("version_seq")
+    }),
+
     // Interval-overlap join: user sessions (q72) against nightly
     // 02:00-04:00 maintenance windows — both sides bin-exploded,
     // equi-join on the bin, each pair emitted once at its
@@ -1239,6 +1271,39 @@ object RelationalQueries {
         |  date_diff('microsecond', MIN(ts), MAX(ts)) AS dur_us
         |FROM g GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
+
+    "q125_temporal_dim_join" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(event_type) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id)
+        |         IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+        |  FROM events
+        |), e2 AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS version_seq
+        |  FROM o
+        |), ep AS (
+        |  SELECT user_id, CAST(version_seq AS BIGINT) AS version_seq,
+        |    first(event_type ORDER BY ts, event_id) AS dim_type,
+        |    min(ts) AS valid_from
+        |  FROM e2 GROUP BY 1, 2
+        |), dim AS (
+        |  SELECT user_id, version_seq, dim_type,
+        |    epoch_us(valid_from) AS vs,
+        |    COALESCE(epoch_us(lead(valid_from) OVER (
+        |        PARTITION BY user_id ORDER BY version_seq)),
+        |      epoch_us(TIMESTAMP '2024-02-01 00:00:00')) AS ve
+        |  FROM ep
+        |)
+        |SELECT d.version_seq, count(*) AS n_events,
+        |  CAST(SUM(CASE WHEN ev.event_type = d.dim_type THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_matching
+        |FROM events ev
+        |JOIN dim d ON d.user_id = ev.user_id
+        |  AND epoch_us(ev.ts) >= d.vs AND epoch_us(ev.ts) < d.ve
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Brute-force overlap oracle: every (session, window) pair tested
     // directly, so a bin-dedup bug (pair emitted 0 or 2 times) in the

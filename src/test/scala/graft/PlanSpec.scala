@@ -274,6 +274,14 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q124: interval-overlap join is a bin equi-join, never nested-loop") {
+    val p = plan("q124_interval_overlap")
+    assert(!p.contains("CartesianProduct"),
+      s"overlap join must not plan all-pairs:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"a nested-loop join here means the bin equi-key was lost:\n$p")
+  }
+
   test("q115: epoch repeat fans out inside the scan — zero exchanges") {
     val p = plan("q115_epoch_repeat")
     // The orderBy is the oracle-determinism harness artifact; assert
