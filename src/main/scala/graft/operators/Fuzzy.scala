@@ -43,4 +43,62 @@ object Fuzzy {
       .where(col("dist").between(1, maxDist))
       .drop("__blk")
   }
+
+  /**
+   * Sorted-neighborhood matching (Hernández–Stolfo): sort the table
+   * by a cheap key, then compare each row only to its `windowSize`
+   * successors in that order — candidate volume is EXACTLY n·w,
+   * independent of block-size skew (the failure mode of
+   * [[blockedPairs]] when a block key collapses). Recall depends on
+   * the sort key putting near-duplicates adjacent — the standard
+   * multi-pass remedy is unioning runs over different keys.
+   *
+   * Distributed mechanics: a range-partitioned sort (parallel — no
+   * single-task global window), then `zipWithIndex` assigns the
+   * global sequence with one extra count job (the documented
+   * legitimate RDD drop-down: Spark has no DataFrame global-ordinal
+   * primitive that avoids a one-partition window). Neighbor pairs
+   * come from an equi-join of rank against rank+i (i ≤ w, exploded),
+   * so the candidate stage is shuffle-bounded at n·w rows; the
+   * verify kernel (n-gram Jaccard) runs only on those.
+   */
+  def sortedNeighborhood(
+      df: DataFrame, idCol: String, textCol: String, sortKey: Column,
+      windowSize: Int, threshold: Double, shingleSize: Int = 3)
+      : DataFrame = {
+    require(windowSize >= 1, s"windowSize must be >= 1, got $windowSize")
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold")
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField,
+      StructType}
+    val base = df.select(col(idCol).cast("long").as("__id"),
+      col(textCol).as("__text"), sortKey.as("__k"))
+    val sorted = base.orderBy(col("__k"), col("__id"))
+    val indexed = spark.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) =>
+        Row(i, r.getLong(0), r.getString(1)) },
+      StructType(Seq(
+        StructField("__rank", LongType, nullable = false),
+        StructField("__id", LongType),
+        StructField("__text", StringType))))
+    val a = indexed.select(col("__rank"), col("__id").as("doc_a"),
+      col("__text").as("__ta"))
+    val b = indexed
+      .withColumn("__i",
+        explode(sequence(lit(1), lit(windowSize))))
+      .select((col("__rank") - col("__i")).as("__rank"),
+        col("__id").as("doc_b"), col("__text").as("__tb"))
+    a.join(b, "__rank")
+      .select(
+        least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"),
+        graft.functions.NGramJaccardSim(
+          col("__ta"), col("__tb"), shingleSize).as("__j"))
+      .select(col("doc_a"), col("doc_b"),
+        col("__j.jaccard").as("jaccard"))
+      .where(col("jaccard") >= threshold)
+      .distinct()
+  }
 }

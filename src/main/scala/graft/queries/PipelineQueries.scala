@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, Relevance, Sampling, Similarity, TextAnalysis, TimeSeries}
+import graft.operators.{Dedup, Fuzzy, Multimodal, Relevance, Sampling, Similarity, TextAnalysis, TimeSeries}
 
 /**
  * LLM-training-data pipeline query registry: dedup, similarity
@@ -221,6 +221,18 @@ object PipelineQueries {
       Dedup.exactSimilarityJoin(
           t(s, dir, "documents"), "doc_id", "text",
           threshold = 0.6, shingleSize = 3)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // Sorted-neighborhood matching (Hernández–Stolfo): sort by a
+    // 40-char text prefix, compare each row to its 10 successors —
+    // candidate volume exactly n·w, immune to block-size skew;
+    // range-partitioned sort + zipWithIndex, never a one-task window.
+    "q126_sorted_neighborhood" -> ((s, dir) => {
+      Fuzzy.sortedNeighborhood(
+          t(s, dir, "documents"), "doc_id", "text",
+          substring(col("text"), 1, 40),
+          windowSize = 10, threshold = 0.6)
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -1368,6 +1380,41 @@ object PipelineQueries {
         |  GROUP BY 1, 2
         |)
         |SELECT i.doc_a, i.doc_b, CAST(i.i AS BIGINT) AS n_common,
+        |  CAST(i.i AS DOUBLE) / (za.n + zb.n - i.i) AS jaccard
+        |FROM inter i
+        |JOIN sizes za ON za.doc_id = i.doc_a
+        |JOIN sizes zb ON zb.doc_id = i.doc_b
+        |WHERE CAST(i.i AS DOUBLE) / (za.n + zb.n - i.i) >= 0.6
+        |ORDER BY i.doc_a, i.doc_b""".stripMargin,
+
+    "q126_sorted_neighborhood" ->
+      """WITH r AS (
+        |  SELECT doc_id, text,
+        |    row_number() OVER (ORDER BY substr(text, 1, 40), doc_id)
+        |      AS rk
+        |  FROM documents
+        |), cand AS (
+        |  SELECT least(a.doc_id, b.doc_id) AS doc_a,
+        |    greatest(a.doc_id, b.doc_id) AS doc_b,
+        |    a.text AS ta, b.text AS tb
+        |  FROM r a JOIN r b
+        |    ON b.rk > a.rk AND b.rk <= a.rk + 10
+        |), toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), idx AS (
+        |  SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i FROM toks
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM idx
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT c.doc_a, c.doc_b, count(*) AS i
+        |  FROM (SELECT DISTINCT doc_a, doc_b FROM cand) c
+        |  JOIN sh sa ON sa.doc_id = c.doc_a
+        |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+        |  GROUP BY 1, 2
+        |)
+        |SELECT i.doc_a, i.doc_b,
         |  CAST(i.i AS DOUBLE) / (za.n + zb.n - i.i) AS jaccard
         |FROM inter i
         |JOIN sizes za ON za.doc_id = i.doc_a

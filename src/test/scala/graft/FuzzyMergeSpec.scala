@@ -75,6 +75,37 @@ class FuzzyMergeSpec extends AnyFunSuite {
       (2L, 1L, "X", ts(10), 1L, None, true)))
   }
 
+  test("sortedNeighborhood: window parity with brute force; miss beyond window") {
+    // 26 docs: b..z differ from their alphabetic neighbor by one
+    // trailing token; doc 0 ("a ...") is a near-dup of doc 25 ("z ...")
+    // in CONTENT but sorts 25 ranks away — SNM must find neighbors
+    // within w and miss the far pair (the documented recall trade).
+    val base = "common shared tokens appear here in every document body"
+    val docs = (0 until 26).map { i =>
+      val c = ('a' + i).toChar
+      (i.toLong, s"$c $base tail$i")
+    }.toDF("doc_id", "text")
+    val out = Fuzzy.sortedNeighborhood(
+      docs, "doc_id", "text", substring(col("text"), 1, 40),
+      windowSize = 3, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // brute force: jaccard >= 0.5 pairs whose sort-rank distance <= 3
+    // (sort order here = doc_id order since the leading char dominates)
+    val sh = (0 until 26).map { i =>
+      val w = (s"${('a' + i).toChar} $base tail$i").split(" ")
+      i.toLong -> w.sliding(3).map(_.mkString(" ")).toSet
+    }.toMap
+    val naive = (for {
+      a <- 0L until 26L; b <- (a + 1) to math.min(a + 3, 25L)
+      inter = (sh(a) & sh(b)).size
+      j = inter.toDouble / (sh(a).size + sh(b).size - inter)
+      if j >= 0.5
+    } yield (a, b)).toSet
+    assert(out === naive)
+    assert(out.nonEmpty)
+    assert(!out.contains((0L, 25L)), "far pair must be missed by design")
+  }
+
   test("snapshotDiff: added/removed/changed/stable; NULLs are null-safe") {
     val old = Seq(
       (1L, Some(10L), Some("a")), // stable
