@@ -63,7 +63,9 @@ object ScaleAudit {
     "q112_weighted_sample", "q113_snapshot_diff", "q114_vocab_coverage",
     "q115_epoch_repeat", "q116_peak_concurrency", "q117_cooccurrence",
     "q118_correlation", "q119_trend_fit", "q120_winsorize",
-    "q121_benford", "q122_weighted_sample_per_key", "q123_pagerank")
+    "q121_benford", "q122_weighted_sample_per_key", "q123_pagerank",
+    "q124_interval_overlap", "q125_temporal_dim_join",
+    "q126_sorted_neighborhood")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -202,6 +202,58 @@ object TimeSeries {
    * distinct-instant count.
    */
   /**
+   * Two-sided CUSUM change-point detection per key (Page 1954): the
+   * sequential drift detector behind "this metric shifted off target
+   * and stayed there" — cumulative sums of deviations beyond a slack
+   * band, alarming when either side exceeds `h`, then restarting.
+   *   S⁺_t = max(0, S⁺_{t-1} + (x_t − target − slack))
+   *   S⁻_t = max(0, S⁻_{t-1} − (x_t − target) − slack)
+   * Unlike the rolling z-score (point anomalies), CUSUM accumulates
+   * SMALL persistent shifts that never individually trip a z
+   * threshold.
+   *
+   * The clamped recurrence is not window-expressible (max(0,·) breaks
+   * prefix-sum decomposition), so each key's series is scanned
+   * sequentially inside `flatMapGroups` — per-key memory is that
+   * key's event count, the sessionize/debounce state contract; keys
+   * process in parallel. Streaming counterpart:
+   * [[graft.streaming.EventStreams.streamingCusum]] (row-identical on
+   * in-order sources, parity-asserted).
+   */
+  def cusum(
+      df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      valueCol: String, target: Double, slack: Double, h: Double)
+      : DataFrame = {
+    require(slack >= 0 && h > 0, s"need slack >= 0 and h > 0: ($slack, $h)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(
+        col(keyCol).cast("long").as("key"),
+        col(tsCol).cast("timestamp").as("ts"),
+        col(tieCol).cast("long").as("tie"),
+        col(valueCol).cast("double").as("x"))
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (key, rows) =>
+        var sp = 0.0
+        var sn = 0.0
+        rows.toSeq
+          .sortBy { case (_, t, tie, _) =>
+            (t.getTime * 1000 + t.getNanos / 1000 % 1000, tie)
+          }
+          .map { case (_, t, tie, x) =>
+            sp = math.max(0.0, sp + (x - target - slack))
+            sn = math.max(0.0, sn - (x - target) - slack)
+            val alarm = sp > h || sn > h
+            val row = (key, t, tie, x, sp, sn, alarm)
+            if (alarm) { sp = 0.0; sn = 0.0 }
+            row
+          }.iterator
+      }
+      .toDF("key", "ts", "tie", "value", "s_pos", "s_neg", "alarm")
+  }
+
+  /**
    * Per-key least-squares trend fit: slope and intercept of y over x
    * within each key — "is this metric drifting, and how fast, per
    * segment". Co-moments accumulate as exact DECIMAL sums (the

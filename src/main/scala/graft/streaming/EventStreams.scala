@@ -38,6 +38,14 @@ case class Burst(
     key: String, burstSeq: Long, keptTie: Long,
     firstTs: Timestamp, lastTs: Timestamp, nEvents: Long)
 
+/** Per-key CUSUM accumulators (both one-sided sums). */
+case class CusumState(sPos: Double, sNeg: Double)
+
+/** One scored point from the streaming CUSUM detector. */
+case class CusumPoint(
+    key: Long, ts: Timestamp, tie: Long, value: Double,
+    sPos: Double, sNeg: Double, alarm: Boolean)
+
 /**
  * Streaming analytics over event streams — the watermarked /
  * stateful half of the engine's streaming surface (the daily-flow
@@ -258,6 +266,59 @@ object EventStreams {
               scored
             }
           state.update(ZState(ring))
+          out.iterator
+      }
+  }
+
+  /**
+   * Streaming two-sided CUSUM drift detection — the stateful
+   * counterpart of [[graft.operators.TimeSeries.cusum]]: per key,
+   * cumulative sums of deviations beyond the slack band, alarm when
+   * either side exceeds `h`, reset after alarm. State per key is TWO
+   * doubles — constant for the stream's lifetime, the cheapest state
+   * in the family. Rows process in event-time order within each
+   * micro-batch; in-order sources reproduce the batch operator
+   * row-for-row (parity-asserted in EventStreamsSpec). CUSUM's whole
+   * point vs the rolling z-score: a persistent small shift that no
+   * single point would flag accumulates until it alarms.
+   */
+  def streamingCusum(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String,
+      valueCol: String,
+      target: Double,
+      slack: Double,
+      h: Double): Dataset[CusumPoint] = {
+    require(slack >= 0 && h > 0, s"need slack >= 0 and h > 0: ($slack, $h)")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(
+        col(keyCol).cast("long").as("key"),
+        col(tsCol).cast("timestamp").as("ts"),
+        col(tieCol).cast("long").as("tie"),
+        col(valueCol).cast("double").as("x"))
+      .as[(Long, Timestamp, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CusumState, CusumPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Timestamp, Long, Double)],
+            state: GroupState[CusumState]) =>
+          var s = state.getOption.getOrElse(CusumState(0.0, 0.0))
+          val out = rows.toSeq
+            .sortBy { case (_, t, tie, _) =>
+              (t.getTime * 1000 + t.getNanos / 1000 % 1000, tie)
+            }
+            .map { case (_, t, tie, x) =>
+              val sp = math.max(0.0, s.sPos + (x - target - slack))
+              val sn = math.max(0.0, s.sNeg - (x - target) - slack)
+              val alarm = sp > h || sn > h
+              s = if (alarm) CusumState(0.0, 0.0) else CusumState(sp, sn)
+              CusumPoint(key, t, tie, x, sp, sn, alarm)
+            }
+          state.update(s)
           out.iterator
       }
   }

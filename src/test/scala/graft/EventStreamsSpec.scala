@@ -301,4 +301,54 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(streamed.size >= 10) // bursts actually split per key
     } finally q.stop()
   }
+
+  test("parity: streamingCusum matches batch TimeSeries.cusum; drift alarms") {
+    // Series per key: 40 on-target points then 30 points shifted by
+    // +0.8 — each shifted point is individually unremarkable, but the
+    // cumulative sum must alarm; alarms reset and re-accumulate.
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(43)
+    val rows = for (k <- 1L to 3L; i <- 0 until 70) yield {
+      val base = 10.0 + (rnd.nextDouble() - 0.5) // noise ±0.5
+      val x = if (i < 40) base else base + 0.8
+      (k * 1000 + i, k, ts(k * 100000 + i * 60), x)
+    }
+    val input = MemoryStream[(Long, Long, Timestamp, Double)]
+    val scored = EventStreams.streamingCusum(
+      input.toDF.toDF("event_id", "user_id", "ts", "value"),
+      "user_id", "ts", "event_id", "value",
+      target = 10.0, slack = 0.3, h = 4.0)
+    val q = scored.writeStream
+      .format("memory").queryName("parity_cusum")
+      .outputMode("append").start()
+    try {
+      rows.grouped(50).foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      val streamed = spark.table("parity_cusum")
+        .as[graft.streaming.CusumPoint].collect()
+        .map(p => (p.key, p.tie) -> ((p.sPos, p.sNeg, p.alarm))).toMap
+      val batch = graft.operators.TimeSeries
+        .cusum(rows.toDF("event_id", "user_id", "ts", "value"),
+          "user_id", "ts", "event_id", "value",
+          target = 10.0, slack = 0.3, h = 4.0)
+        .select("key", "tie", "s_pos", "s_neg", "alarm")
+        .as[(Long, Long, Double, Double, Boolean)].collect()
+      assert(batch.length === streamed.size)
+      batch.foreach { case (k, tie, sp, sn, alarm) =>
+        val (ssp, ssn, salarm) = streamed((k, tie))
+        assert(math.abs(ssp - sp) < 1e-9, s"($k,$tie) sPos")
+        assert(math.abs(ssn - sn) < 1e-9, s"($k,$tie) sNeg")
+        assert(salarm === alarm, s"($k,$tie) alarm")
+      }
+      // The +0.8 shift must alarm in the shifted region, and the
+      // on-target region must stay quiet for every key.
+      val alarms = batch.filter(_._5)
+        .map(r => (r._1, r._2 % 1000)).toSet // tie = k*1000 + i
+      for (k <- 1L to 3L) {
+        assert(alarms.exists { case (kk, i) => kk == k && i >= 40 },
+          s"key $k: drift never alarmed")
+        assert(!alarms.exists { case (kk, i) => kk == k && i < 40 },
+          s"key $k: false alarm before the shift")
+      }
+    } finally q.stop()
+  }
 }
