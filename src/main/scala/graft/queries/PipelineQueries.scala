@@ -224,6 +224,31 @@ object PipelineQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // LSH quality audit: band-bucket candidates (q16's dial) measured
+    // against the exact prefix-filter join's ground truth (q111,
+    // recall provably 1.0) — the report that says whether 8 hashes ×
+    // 2-row bands is ENOUGH before trusting LSH on the full corpus.
+    "q127_lsh_recall_audit" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val exact = Dedup.exactSimilarityJoin(
+          docs, "doc_id", "text", threshold = 0.6, shingleSize = 3)
+        .select("doc_a", "doc_b")
+      val cand = Dedup.minhashCandidates(
+          docs, "doc_id", "text",
+          numHashes = 8, rowsPerBand = 2, shingleSize = 3)
+        .select("doc_a", "doc_b")
+      val found = exact.intersect(cand)
+      exact.agg(count(lit(1)).as("n_true")).crossJoin(
+          cand.agg(count(lit(1)).as("n_candidates"))).crossJoin(
+          found.agg(count(lit(1)).as("n_found")))
+        .select(
+          col("n_true"), col("n_candidates"), col("n_found"),
+          round(col("n_found").cast("double") / col("n_true"), 6)
+            .as("recall"),
+          round(col("n_found").cast("double") / col("n_candidates"), 6)
+            .as("precision"))
+    }),
+
     // Sorted-neighborhood matching (Hernández–Stolfo): sort by a
     // 40-char text prefix, compare each row to its 10 successors —
     // candidate volume exactly n·w, immune to block-size skew;
@@ -1386,6 +1411,54 @@ object PipelineQueries {
         |JOIN sizes zb ON zb.doc_id = i.doc_b
         |WHERE CAST(i.i AS DOUBLE) / (za.n + zb.n - i.i) >= 0.6
         |ORDER BY i.doc_a, i.doc_b""".stripMargin,
+
+    "q127_lsh_recall_audit" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), idx AS (
+        |  SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i FROM toks
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM idx
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, count(*) AS i
+        |  FROM sh sa
+        |  JOIN sh sb ON sb.shingle = sa.shingle AND sa.doc_id < sb.doc_id
+        |  GROUP BY 1, 2
+        |), ex AS (
+        |  SELECT i.doc_a, i.doc_b FROM inter i
+        |  JOIN sizes za ON za.doc_id = i.doc_a
+        |  JOIN sizes zb ON zb.doc_id = i.doc_b
+        |  WHERE CAST(i.i AS DOUBLE) / (za.n + zb.n - i.i) >= 0.6
+        |), mh AS (
+        |  SELECT doc_id, s.seed,
+        |    min(CAST(('0x' || substr(
+        |      md5(CAST(s.seed AS VARCHAR) || ':' || shingle), 1, 15)) AS BIGINT))
+        |      AS mh
+        |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0,7)) AS seed) s
+        |  GROUP BY doc_id, s.seed
+        |), bands AS (
+        |  SELECT doc_id, seed // 2 AS band,
+        |    string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed) AS sig
+        |  FROM mh GROUP BY doc_id, seed // 2
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a
+        |  JOIN bands b ON a.band = b.band AND a.sig = b.sig
+        |    AND a.doc_id < b.doc_id
+        |), f AS (
+        |  SELECT doc_a, doc_b FROM ex
+        |  INTERSECT SELECT doc_a, doc_b FROM cand
+        |), c AS (
+        |  SELECT (SELECT count(*) FROM ex) AS n_true,
+        |    (SELECT count(*) FROM cand) AS n_candidates,
+        |    (SELECT count(*) FROM f) AS n_found
+        |)
+        |SELECT n_true, n_candidates, n_found,
+        |  round(CAST(n_found AS DOUBLE) / n_true, 6) AS recall,
+        |  round(CAST(n_found AS DOUBLE) / n_candidates, 6) AS precision
+        |FROM c""".stripMargin,
 
     "q126_sorted_neighborhood" ->
       """WITH r AS (
