@@ -224,6 +224,38 @@ object PipelineQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Dedup impact report: per source, documents surviving exact
+    // dedup and then near-dup cluster dedup (q48's reps) — the
+    // "what did deduplication actually cost each supplier" governance
+    // summary every curation run reports before committing drops.
+    "q128_dedup_impact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val exactKept = Dedup.exact(docs, "text", "doc_id")
+        .select("doc_id")
+      val strong = Dedup.minhashCandidates(
+          docs, "doc_id", "text",
+          numHashes = 8, rowsPerBand = 2, shingleSize = 3)
+        .where(col("n_match") >= 7)
+      val nearDropped = Dedup.nearDupClusters(strong)
+        .where(col("id") =!= col("cluster"))
+        .select(col("id").as("doc_id"))
+      docs.select(col("doc_id"), col("source"))
+        .join(exactKept.withColumn("__e", lit(1)), Seq("doc_id"), "left")
+        .join(nearDropped.withColumn("__nd", lit(1)), Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("__e").isNotNull, 1L).otherwise(0L))
+            .as("n_after_exact"),
+          sum(when(col("__e").isNotNull && col("__nd").isNull, 1L)
+            .otherwise(0L)).as("n_final"))
+        .select(col("source"), col("n_docs"), col("n_after_exact"),
+          col("n_final"),
+          round(col("n_final").cast("double") / col("n_docs"), 6)
+            .as("retention"))
+        .orderBy("source")
+    }),
+
     // LSH quality audit: band-bucket candidates (q16's dial) measured
     // against the exact prefix-filter join's ground truth (q111,
     // recall provably 1.0) — the report that says whether 8 hashes ×
@@ -1411,6 +1443,65 @@ object PipelineQueries {
         |JOIN sizes zb ON zb.doc_id = i.doc_b
         |WHERE CAST(i.i AS DOUBLE) / (za.n + zb.n - i.i) >= 0.6
         |ORDER BY i.doc_a, i.doc_b""".stripMargin,
+
+    "q128_dedup_impact" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), idx AS (
+        |  SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i FROM toks
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM idx
+        |), mh AS (
+        |  SELECT doc_id, s.seed,
+        |    min(CAST(('0x' || substr(
+        |      md5(CAST(s.seed AS VARCHAR) || ':' || shingle), 1, 15)) AS BIGINT))
+        |      AS mh
+        |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0,7)) AS seed) s
+        |  GROUP BY doc_id, s.seed
+        |), bands AS (
+        |  SELECT doc_id, seed // 2 AS band,
+        |    string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed) AS sig
+        |  FROM mh GROUP BY doc_id, seed // 2
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a
+        |  JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        |), strong AS (
+        |  SELECT c.doc_a, c.doc_b
+        |  FROM cand c
+        |  JOIN mh ma ON ma.doc_id = c.doc_a
+        |  JOIN mh mb ON mb.doc_id = c.doc_b AND mb.seed = ma.seed
+        |  GROUP BY c.doc_a, c.doc_b
+        |  HAVING count(*) FILTER (ma.mh = mb.mh) >= 7
+        |), edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM strong
+        |  UNION
+        |  SELECT doc_b, doc_a FROM strong
+        |), reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+        |), nodes AS (SELECT DISTINCT src AS id FROM edges
+        |), cc AS (
+        |  SELECT n.id, least(n.id, min(r.dst)) AS cluster
+        |  FROM nodes n LEFT JOIN reach r ON r.src = n.id GROUP BY n.id
+        |), exact_kept AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+        |), near_drop AS (
+        |  SELECT id AS doc_id FROM cc WHERE id <> cluster
+        |)
+        |SELECT d.source, count(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_after_exact,
+        |  CAST(SUM(CASE WHEN e.doc_id IS NOT NULL AND nd.doc_id IS NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+        |  round(CAST(SUM(CASE WHEN e.doc_id IS NOT NULL
+        |      AND nd.doc_id IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS retention
+        |FROM documents d
+        |LEFT JOIN exact_kept e ON e.doc_id = d.doc_id
+        |LEFT JOIN near_drop nd ON nd.doc_id = d.doc_id
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
     "q127_lsh_recall_audit" ->
       """WITH toks AS (
