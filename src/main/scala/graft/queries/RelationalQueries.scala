@@ -705,6 +705,28 @@ object RelationalQueries {
         .orderBy("user_id")
     }),
 
+    // Per-key mode (most frequent value, ties to the lexicographically
+    // greatest — deterministic by construction): two partial-combined
+    // aggregates, no window; max(struct(n, value)) picks the winner
+    // in one pass over the (key, value) counts.
+    "q129_mode_per_key" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("user_id"))
+        .agg(
+          max(struct(col("n"), col("event_type"))).as("__m"),
+          sum(col("n")).as("n_events"))
+        .select(
+          col("user_id"),
+          col("__m.event_type").as("mode"),
+          col("__m.n").as("mode_n"),
+          col("n_events"),
+          round(col("__m.n").cast("double") / col("n_events"), 6)
+            .as("mode_share"))
+        .orderBy("user_id")
+    }),
+
     // Per-group argmin/argmax (first/last event per user) via
     // min_by/max_by — single partial-agg shuffle, no window; the String
     // payload forces SortAggregate (hash agg needs fixed-width buffers)
@@ -1721,6 +1743,22 @@ object RelationalQueries {
         |SELECT bucket, n_base, n_cur,
         |  round((p - q) * ln(p / q), 6) AS psi_contrib
         |FROM t ORDER BY bucket""".stripMargin,
+
+    "q129_mode_per_key" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), r AS (
+        |  SELECT user_id, event_type, n,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY n DESC, event_type DESC) AS rk,
+        |    SUM(n) OVER (PARTITION BY user_id) AS n_events
+        |  FROM c
+        |)
+        |SELECT user_id, event_type AS mode, n AS mode_n,
+        |  CAST(n_events AS BIGINT) AS n_events,
+        |  round(CAST(n AS DOUBLE) / n_events, 6) AS mode_share
+        |FROM r WHERE rk = 1 ORDER BY user_id""".stripMargin,
 
     "q121_benford" ->
       """WITH c AS (
