@@ -254,6 +254,53 @@ object TimeSeries {
   }
 
   /**
+   * Per-key exponentially weighted moving average: the standard
+   * low-pass smoother (ewma_t = α·x_t + (1−α)·ewma_{t-1}, seeded at
+   * the first observation) plus the residual x − ewma_prev that
+   * anomaly dashboards chart. CUSUM ([[cusum]]) answers "did the
+   * level shift"; EWMA answers "what is the level now".
+   *
+   * The geometric recurrence is technically expressible as a
+   * weighted prefix sum, but (1−α)^t underflows and the rescaling
+   * overflows for long series — so like [[cusum]] each key scans
+   * sequentially in `flatMapGroups` (per-key memory = that key's
+   * events; keys parallel). Streaming counterpart:
+   * [[graft.streaming.EventStreams.streamingEwma]] — ONE double per
+   * key, row-identical on in-order sources (parity-asserted).
+   */
+  def ewma(
+      df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      valueCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1]: $alpha")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(
+        col(keyCol).cast("long").as("key"),
+        col(tsCol).cast("timestamp").as("ts"),
+        col(tieCol).cast("long").as("tie"),
+        col(valueCol).cast("double").as("x"))
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (key, rows) =>
+        var prev = Option.empty[Double]
+        rows.toSeq
+          .sortBy { case (_, t, tie, _) =>
+            (t.getTime * 1000 + t.getNanos / 1000 % 1000, tie)
+          }
+          .map { case (_, t, tie, x) =>
+            val e = prev match {
+              case Some(p) => alpha * x + (1 - alpha) * p
+              case None    => x
+            }
+            val resid = prev.map(x - _)
+            prev = Some(e)
+            (key, t, tie, x, e, resid)
+          }.iterator
+      }
+      .toDF("key", "ts", "tie", "value", "ewma", "residual")
+  }
+
+  /**
    * Per-key least-squares trend fit: slope and intercept of y over x
    * within each key — "is this metric drifting, and how fast, per
    * segment". Co-moments accumulate as exact DECIMAL sums (the

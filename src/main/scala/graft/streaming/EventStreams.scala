@@ -41,6 +41,15 @@ case class Burst(
 /** Per-key CUSUM accumulators (both one-sided sums). */
 case class CusumState(sPos: Double, sNeg: Double)
 
+/** Per-key EWMA state: the current smoothed level (None until the
+  * first observation seeds it). */
+case class EwmaState(level: Option[Double])
+
+/** One smoothed point from the streaming EWMA. */
+case class EwmaPoint(
+    key: Long, ts: Timestamp, tie: Long, value: Double,
+    ewma: Double, residual: Option[Double])
+
 /** One scored point from the streaming CUSUM detector. */
 case class CusumPoint(
     key: Long, ts: Timestamp, tie: Long, value: Double,
@@ -319,6 +328,55 @@ object EventStreams {
               CusumPoint(key, t, tie, x, sp, sn, alarm)
             }
           state.update(s)
+          out.iterator
+      }
+  }
+
+  /**
+   * Streaming per-key EWMA — the stateful counterpart of
+   * [[graft.operators.TimeSeries.ewma]]: one smoothed level per key
+   * (a single double), seeded at the first observation, updated
+   * α·x + (1−α)·level per event; emits the level plus the
+   * pre-update residual. In-order sources reproduce the batch
+   * operator row-for-row (parity-asserted in EventStreamsSpec).
+   */
+  def streamingEwma(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String,
+      valueCol: String,
+      alpha: Double): Dataset[EwmaPoint] = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1]: $alpha")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(
+        col(keyCol).cast("long").as("key"),
+        col(tsCol).cast("timestamp").as("ts"),
+        col(tieCol).cast("long").as("tie"),
+        col(valueCol).cast("double").as("x"))
+      .as[(Long, Timestamp, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[EwmaState, EwmaPoint](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Timestamp, Long, Double)],
+            state: GroupState[EwmaState]) =>
+          var prev = state.getOption.flatMap(_.level)
+          val out = rows.toSeq
+            .sortBy { case (_, t, tie, _) =>
+              (t.getTime * 1000 + t.getNanos / 1000 % 1000, tie)
+            }
+            .map { case (_, t, tie, x) =>
+              val e = prev match {
+                case Some(p) => alpha * x + (1 - alpha) * p
+                case None    => x
+              }
+              val resid = prev.map(x - _)
+              prev = Some(e)
+              EwmaPoint(key, t, tie, x, e, resid)
+            }
+          state.update(EwmaState(prev))
           out.iterator
       }
   }

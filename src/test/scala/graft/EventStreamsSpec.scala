@@ -302,6 +302,40 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("parity: streamingEwma matches batch TimeSeries.ewma across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(31)
+    val rows = for (k <- 1L to 2L; i <- 0 until 40) yield
+      (k * 1000 + i, k, ts(k * 50000 + i * 30), rnd.nextDouble() * 5)
+    val input = MemoryStream[(Long, Long, Timestamp, Double)]
+    val smoothed = EventStreams.streamingEwma(
+      input.toDF.toDF("event_id", "user_id", "ts", "value"),
+      "user_id", "ts", "event_id", "value", alpha = 0.3)
+    val q = smoothed.writeStream
+      .format("memory").queryName("parity_ewma").outputMode("append").start()
+    try {
+      rows.grouped(25).foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      val streamed = spark.table("parity_ewma")
+        .as[graft.streaming.EwmaPoint].collect()
+        .map(p => (p.key, p.tie) -> ((p.ewma, p.residual))).toMap
+      val batch = graft.operators.TimeSeries
+        .ewma(rows.toDF("event_id", "user_id", "ts", "value"),
+          "user_id", "ts", "event_id", "value", alpha = 0.3)
+        .select("key", "tie", "ewma", "residual")
+        .as[(Long, Long, Double, Option[Double])].collect()
+      assert(batch.length === streamed.size)
+      batch.foreach { case (k, tie, e, r) =>
+        val (se, sr) = streamed((k, tie))
+        assert(math.abs(se - e) < 1e-12, s"($k,$tie) ewma")
+        assert(sr.isDefined === r.isDefined, s"($k,$tie) residual presence")
+        for (a <- sr; b <- r) assert(math.abs(a - b) < 1e-12)
+      }
+      // First point per key seeds: ewma = value, residual absent.
+      val firsts = batch.filter(_._2 % 1000 == 0)
+      assert(firsts.nonEmpty && firsts.forall(_._4.isEmpty))
+    } finally q.stop()
+  }
+
   test("parity: streamingCusum matches batch TimeSeries.cusum; drift alarms") {
     // Series per key: 40 on-target points then 30 points shifted by
     // +0.8 — each shifted point is individually unremarkable, but the
