@@ -65,7 +65,7 @@ object ScaleAudit {
     "q118_correlation", "q119_trend_fit", "q120_winsorize",
     "q121_benford", "q122_weighted_sample_per_key", "q123_pagerank",
     "q124_interval_overlap", "q125_temporal_dim_join",
-    "q126_sorted_neighborhood")
+    "q126_sorted_neighborhood", "q128_dedup_impact", "q129_mode_per_key")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
