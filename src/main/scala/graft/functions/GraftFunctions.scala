@@ -9,6 +9,7 @@ import org.apache.spark.sql.types.IntegerType
  * SQL surface for the engine's custom Catalyst expressions:
  *
  *   - `graft_simhash64(text)` → 64-char '0'/'1' SimHash fingerprint
+ *   - `graft_jaro_winkler(a, b)` → double JW similarity (0.7-boost variant)
  *   - `graft_minhash_sig(text, numHashes, shingleSize)` → array<bigint>
  *     MinHash signature
  *   - `graft_ngram_jaccard(a, b, n)` → struct<n_common:int,
@@ -56,6 +57,13 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 1, "graft_simhash64(text) takes 1 argument")
         SimHash64(exprs.head)
+      }),
+    (
+      FunctionIdentifier("graft_jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinklerSim].getName, "graft_jaro_winkler"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "graft_jaro_winkler(a, b) takes 2 arguments")
+        JaroWinklerSim(exprs.head, exprs(1))
       }),
     (
       FunctionIdentifier("graft_minhash_sig"),

@@ -45,6 +45,31 @@ object Fuzzy {
   }
 
   /**
+   * Blocked Jaro–Winkler pairs: [[blockedPairs]]' candidate shape
+   * with the JW kernel ([[graft.functions.JaroWinklerSim]]) instead
+   * of levenshtein — the name/title matcher (prefix-weighted,
+   * transposition-tolerant) that edit distance mis-ranks. Same scale
+   * contract: candidates confined to blocks, kernel post-join in
+   * codegen, all-pairs deliberately not offered.
+   */
+  def jaroWinklerPairs(
+      df: DataFrame, idCol: String, nameCol: String,
+      blockKey: Column, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold")
+    val a = df.select(
+      col(idCol).as("id_a"), col(nameCol).as("name_a"), blockKey.as("__blk"))
+    val b = df.select(
+      col(idCol).as("id_b"), col(nameCol).as("name_b"), blockKey.as("__blk"))
+    a.join(b, "__blk")
+      .where(col("id_a") < col("id_b"))
+      .withColumn("jw",
+        graft.functions.JaroWinklerSim(col("name_a"), col("name_b")))
+      .where(col("jw") >= threshold)
+      .drop("__blk")
+  }
+
+  /**
    * Sorted-neighborhood matching (Hernández–Stolfo): sort the table
    * by a cheap key, then compare each row only to its `windowSize`
    * successors in that order — candidate volume is EXACTLY n·w,

@@ -705,6 +705,21 @@ object RelationalQueries {
         .orderBy("user_id")
     }),
 
+    // Blocked Jaro-Winkler similarity histogram over part names:
+    // candidates confined to first-word blocks, the codegen'd JW
+    // kernel scores each pair (verified bit-identical to DuckDB's
+    // jaro_winkler_similarity), and the 0.05-band histogram above 0.8
+    // bounds the output whatever the distribution.
+    "q130_jw_histogram" -> ((s, dir) => {
+      val pairs = graft.operators.Fuzzy.jaroWinklerPairs(
+          t(s, dir, "part"), "p_partkey", "p_name",
+          split(col("p_name"), " ").getItem(0), threshold = 0.8)
+      pairs
+        .groupBy((floor(col("jw") * 20) / 20.0).as("band"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("band")
+    }),
+
     // Per-key mode (most frequent value, ties to the lexicographically
     // greatest — deterministic by construction): two partial-combined
     // aggregates, no window; max(struct(n, value)) picks the winner
@@ -1743,6 +1758,18 @@ object RelationalQueries {
         |SELECT bucket, n_base, n_cur,
         |  round((p - q) * ln(p / q), 6) AS psi_contrib
         |FROM t ORDER BY bucket""".stripMargin,
+
+    "q130_jw_histogram" ->
+      """WITH p AS (
+        |  SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS blk
+        |  FROM part
+        |), j AS (
+        |  SELECT jaro_winkler_similarity(a.p_name, b.p_name) AS jw
+        |  FROM p a JOIN p b ON b.blk = a.blk AND a.p_partkey < b.p_partkey
+        |)
+        |SELECT floor(jw * 20) / 20.0 AS band, count(*) AS n_pairs
+        |FROM j WHERE jw >= 0.8
+        |GROUP BY 1 ORDER BY band""".stripMargin,
 
     "q129_mode_per_key" ->
       """WITH c AS (

@@ -124,4 +124,30 @@ class GraftFunctionsSpec extends AnyFunSuite {
       .as[Long].head()
     assert(longEst >= 60L) // n=1 appears once per of the 60 groups
   }
+
+  test("graft_jaro_winkler: literature goldens, 0.7 boost gate, SQL parity") {
+    import graft.functions.JaroWinklerSim
+    def jw(a: String, b: String): Double =
+      Seq((a, b)).toDF("a", "b")
+        .select(JaroWinklerSim(col("a"), col("b"))).as[Double].head()
+    // Classic literature values (also DuckDB-verified to 12 decimals).
+    assert(math.abs(jw("martha", "marhta") - 0.9611111111111111) < 1e-15)
+    assert(math.abs(jw("dixon", "dicksonx") - 0.8133333333333332) < 1e-12)
+    assert(math.abs(jw("jellyfish", "smellyfish") - 0.8962962962962964) < 1e-12)
+    // Boost gate: jaro <= 0.7 gets NO prefix boost (abcdef/abzzzz
+    // shares a 2-char prefix but jaro = 5/9).
+    assert(math.abs(jw("abcdef", "abzzzz") - 5.0 / 9.0) < 1e-15)
+    // Edges: both empty = 1, one empty = 0, no matches = 0,
+    // adjacent transposition outside the window = 0.
+    assert(jw("", "") === 1.0)
+    assert(jw("", "abc") === 0.0)
+    assert(jw("abc", "xyz") === 0.0)
+    assert(jw("ab", "ba") === 0.0)
+    assert(jw("same", "same") === 1.0)
+    // SQL registration matches the Column API.
+    graft.functions.GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT graft_jaro_winkler('martha', 'marhta')").as[Double].head()
+    assert(viaSql === jw("martha", "marhta"))
+  }
 }
