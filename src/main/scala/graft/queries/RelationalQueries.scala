@@ -710,13 +710,28 @@ object RelationalQueries {
     // kernel scores each pair (verified bit-identical to DuckDB's
     // jaro_winkler_similarity), and the 0.05-band histogram above 0.8
     // bounds the output whatever the distribution.
+    // The kernel is referenced ONLY in the grouping expression: a
+    // post-join `where(jw >= t)` gets pushed into the sort-merge
+    // join's extra condition, which evaluates interpreted (measured
+    // 11.8s vs 2.6s at sf0.1); the aggregate keeps it in codegen and
+    // evaluates it once per pair. Sub-threshold bands aggregate too
+    // (a handful of rows) and drop after the agg.
     "q130_jw_histogram" -> ((s, dir) => {
-      val pairs = graft.operators.Fuzzy.jaroWinklerPairs(
-          t(s, dir, "part"), "p_partkey", "p_name",
-          split(col("p_name"), " ").getItem(0), threshold = 0.8)
-      pairs
-        .groupBy((floor(col("jw") * 20) / 20.0).as("band"))
+      val p = t(s, dir, "part")
+        .where(col("p_size") <= 5)
+        .select(
+          col("p_partkey"), col("p_name"),
+          split(col("p_name"), " ").getItem(0).as("__blk"))
+      val a = p.select(col("p_partkey").as("id_a"),
+        col("p_name").as("name_a"), col("__blk"))
+      val b = p.select(col("p_partkey").as("id_b"),
+        col("p_name").as("name_b"), col("__blk"))
+      a.join(b, "__blk")
+        .where(col("id_a") < col("id_b"))
+        .groupBy((floor(graft.functions.JaroWinklerSim(
+            col("name_a"), col("name_b")) * 20) / 20.0).as("band"))
         .agg(count(lit(1)).as("n_pairs"))
+        .where(col("band") >= 0.8)
         .orderBy("band")
     }),
 
@@ -1762,7 +1777,7 @@ object RelationalQueries {
     "q130_jw_histogram" ->
       """WITH p AS (
         |  SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS blk
-        |  FROM part
+        |  FROM part WHERE p_size <= 5
         |), j AS (
         |  SELECT jaro_winkler_similarity(a.p_name, b.p_name) AS jw
         |  FROM p a JOIN p b ON b.blk = a.blk AND a.p_partkey < b.p_partkey
