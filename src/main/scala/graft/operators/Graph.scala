@@ -60,16 +60,27 @@ object Graph {
       if (reliable) df.checkpoint() else df.localCheckpoint()
     val nodesP = barrier(nodes)
     val nN = nodesP.count().toDouble
+    // Loop-invariant frames, materialized ONCE: the edge⋈out-weight
+    // normalization join (w and ow kept as separate columns so the
+    // per-round double-op sequence rank·w/ow is bit-identical to the
+    // unhoisted form and the oracle's row-level arithmetic) and the
+    // sink set (nodes with no out-edges). Before this hoist every
+    // round re-ran the edge scan and the outW groupBy twice — ~2
+    // redundant edge aggregations per iteration.
+    val eNorm = barrier(e.join(outW, "src"))
+    val sinks = barrier(nodesP
+      .join(outW, col("node") === col("src"), "left_anti")
+      .select(col("node").as("__sink")))
     var ranks = barrier(nodesP.withColumn("rank", lit(1.0 / nN)))
     for (_ <- 1 to iters) {
       val r = ranks.select(col("node").as("__src"), col("rank"))
       val contribs = r
-        .join(e.join(outW, "src"), col("__src") === col("src"))
+        .join(eNorm, col("__src") === col("src"))
         .select(col("node"),
           (col("rank") * col("w") / col("ow")).as("__c"))
         .groupBy("node").agg(sum(col("__c")).as("__contrib"))
       val dangling = r
-        .join(outW, col("__src") === col("src"), "left_anti")
+        .join(sinks, col("__src") === col("__sink"), "left_semi")
         .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dang"))
       val next = barrier(nodesP
         .join(contribs, Seq("node"), "left")
@@ -81,6 +92,8 @@ object Graph {
       org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(ranks)
       ranks = next
     }
+    org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(eNorm)
+    org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(sinks)
     ranks
   }
 }

@@ -94,9 +94,18 @@ object Profile {
    *
    * Scale: one partial-aggregated pass for all p·(p−1)/2 pairs — no
    * Expand, no per-pair jobs; the aggregate row is O(p²) scalars.
-   * DECIMAL(38) headroom bounds corpus size per run (~10²⁰ rows at
-   * money scale); beyond that, correlate per-shard and combine
-   * co-moments — they are plain sums.
+   *
+   * Headroom contract (QualitySpec-pinned): products of
+   * DECIMAL(18,s) accumulate in DECIMAL(38, 2s), so each pair needs
+   * Σx², Σy², Σ|x·y| < 10^(38−2s) — at s=2 that is 10^34, i.e.
+   * n·M² < 10^34 for values bounded by M (money-scale M=10⁶ →
+   * ~10²² rows; M=10¹⁶ overflows after ~100 rows). Past the bound
+   * the sum RAISES under the default ANSI mode (NULL with ANSI off)
+   * — it never silently corrupts. For corpora beyond the bound,
+   * correlate per-shard and combine co-moments — they are plain
+   * sums — or lower the input magnitude (the coefficient is
+   * location/scale-invariant, so pre-centering buys the headroom
+   * back).
    */
   def correlations(
       df: DataFrame, cols: Seq[String], scale: Int = 2): DataFrame = {

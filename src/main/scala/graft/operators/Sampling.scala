@@ -90,13 +90,20 @@ object Sampling {
    * mergeable-state shape as the sketches (SCALE.md). No weight
    * normalization pass is needed: A-Res keys are scale-invariant in
    * the weights.
+   *
+   * Contract: weights must be positive. Rows with NULL or w <= 0 are
+   * EXCLUDED from the sample before keying — A-Res is undefined
+   * there, and without the filter a negative w flips ln(u)/w positive
+   * so bad rows would deterministically outrank every valid row
+   * (w = 0 yields ±Inf keys).
    */
   def weightedSample(
       df: DataFrame, idCol: String, weightCol: String, k: Int): DataFrame = {
     require(k >= 1, s"weightedSample: k must be >= 1, got $k")
     val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
       .cast("double") + 0.5) / 4294967296.0
-    df.withColumn("es_key",
+    df.where(col(weightCol).cast("double") > 0)
+      .withColumn("es_key",
         log(u) / col(weightCol).cast("double"))
       .orderBy(col("es_key").desc, col(idCol))
       .limit(k)
@@ -114,6 +121,9 @@ object Sampling {
    * task keeps ≤ k rows per key BEFORE the exchange, so shuffle
    * volume is ~k·|keys| rows, corpus-size-independent (the capPerKey
    * plan shape, weighted).
+   *
+   * Same positive-weight contract as [[weightedSample]]: NULL / w <= 0
+   * rows are excluded before keying.
    */
   def weightedSamplePerKey(
       df: DataFrame, keyCol: String, idCol: String, weightCol: String,
@@ -123,7 +133,8 @@ object Sampling {
       .cast("double") + 0.5) / 4294967296.0
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col("es_key").desc, col(idCol))
-    df.withColumn("es_key", log(u) / col(weightCol).cast("double"))
+    df.where(col(weightCol).cast("double") > 0)
+      .withColumn("es_key", log(u) / col(weightCol).cast("double"))
       .withColumn("pick_rank", row_number().over(w))
       .where(col("pick_rank") <= k)
   }

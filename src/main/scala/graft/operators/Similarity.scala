@@ -332,7 +332,8 @@ object Similarity {
    * O(cells × dims × partitions), independent of corpus size. The
    * k × dims centroid matrix round-trips through the driver each
    * iteration — the standard k-means control loop (the data never
-   * does). Deterministic: init from [[ivfSeeds]] (lowest ids), empty
+   * does). Deterministic: seeded by single-pass maximin over a
+   * hash-ordered 8k candidate pool (first seed = lowest id), empty
    * cells keep their previous centroid, fixed iteration/tolerance
    * stop.
    *
@@ -357,20 +358,44 @@ object Similarity {
       .where(size(col("__v")) === dims)
       .cache()
     try {
-      // Farthest-point (maximin) init — the deterministic k-means++
-      // variant: each next seed maximizes its distance to the chosen
-      // set (lowest id breaks ties). Naive lowest-id seeding collapses
-      // when ids correlate with clusters (all k seeds in one cluster →
-      // Lloyd's converges to a split-one-merge-rest local optimum).
+      // Single-pass seeding (k-means‖-style sample-then-select): ONE
+      // distributed scan draws a deterministic hash-ordered candidate
+      // pool of 8k vectors (TakeOrderedAndProject — bounded per-task
+      // heap, no full sort, no RNG state), then farthest-point maximin
+      // runs on the DRIVER over the pool. The previous form ran the
+      // maximin directly on the corpus: k−1 SEQUENTIAL full scans
+      // (one orderBy…limit(1) per seed) — O(k) passes; this is O(1)
+      // passes in k. A uniform hash sample of 8k points hits every
+      // cluster holding ≥ 1/(8k) of the corpus mass, which preserves
+      // the anti-collapse property maximin exists for (naive lowest-id
+      // seeding collapses when ids correlate with clusters → Lloyd's
+      // lands in a split-one-merge-rest local optimum). First seed
+      // stays the lowest-id vector; pool-order breaks maximin ties —
+      // both deterministic, so reruns reproduce the exact centroids.
+      val poolSize = math.max(k * 8, 64)
+      val pool: Array[Vector[Double]] = vecs
+        .orderBy(xxhash64(col("__id").cast("string")).asc, col("__id").asc)
+        .limit(poolSize)
+        .select("__v")
+        .collect()
+        .map(_.getSeq[Double](0).toVector)
       val seeds = scala.collection.mutable.ArrayBuffer(first.head)
+      val minD = Array.fill(pool.length)(Double.MaxValue)
       while (seeds.size < k) {
-        val minDist = array_min(array(seeds.toSeq.map { c =>
-          lit(c.map(x => x * x).sum) - lit(2.0) * dot(col("__v"), typedLit(c))
-        }: _*))
-        val far = vecs
-          .orderBy(minDist.desc, col("__id").asc)
-          .select("__v").limit(1).collect()
-        seeds += far.head.getSeq[Double](0).toVector
+        val s = seeds.last
+        var best = 0
+        var bestD = -1.0
+        var i = 0
+        while (i < pool.length) {
+          var d = 0.0
+          var j = 0
+          val p = pool(i)
+          while (j < dims) { val t = p(j) - s(j); d += t * t; j += 1 }
+          if (d < minD(i)) minD(i) = d
+          if (minD(i) > bestD) { bestD = minD(i); best = i }
+          i += 1
+        }
+        seeds += pool(best)
       }
       var centroids: Seq[Seq[Double]] = seeds.toSeq
       var iter = 0

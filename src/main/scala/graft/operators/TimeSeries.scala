@@ -22,6 +22,25 @@ import org.apache.spark.sql.functions._
 object TimeSeries {
 
   /**
+   * Fail fast when a per-key scan operator is handed a key column
+   * whose long-cast would be lossy: a non-numeric string key casts to
+   * NULL, silently collapsing EVERY key into one group — wrong
+   * per-key detection with no error (ADVICE r5). Integral types only;
+   * string/decimal/double callers must pre-map their key to a long
+   * (e.g. a dictionary join or xxhash64) so the collapse is a
+   * deliberate, visible step.
+   */
+  private[graft] def requireIntegralKey(df: DataFrame, keyCol: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(keyCol).dataType
+    require(dt == ByteType || dt == ShortType || dt == IntegerType ||
+        dt == LongType,
+      s"key column '$keyCol' must be an integral type (byte/short/int/long), " +
+        s"got ${dt.simpleString}: a lossy long-cast would turn non-numeric " +
+        "keys into NULL and merge their series into one group")
+  }
+
+  /**
    * Densify `series` (one row per (key, day) — day a DateType) onto
    * each key's full daily calendar. Missing days appear with
    * `observed = false`, `valueCol` NULL, and `filled` = the most
@@ -225,6 +244,7 @@ object TimeSeries {
       valueCol: String, target: Double, slack: Double, h: Double)
       : DataFrame = {
     require(slack >= 0 && h > 0, s"need slack >= 0 and h > 0: ($slack, $h)")
+    requireIntegralKey(df, keyCol)
     val spark = df.sparkSession
     import spark.implicits._
     df.select(
@@ -272,6 +292,7 @@ object TimeSeries {
       df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
       valueCol: String, alpha: Double): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1]: $alpha")
+    requireIntegralKey(df, keyCol)
     val spark = df.sparkSession
     import spark.implicits._
     df.select(
@@ -317,7 +338,13 @@ object TimeSeries {
    * anywhere.
    *
    * Scale: one partial-aggregated pass, one shuffle on the key; per
-   * key state is 5 scalars.
+   * key state is 5 scalars. Same decimal headroom contract as
+   * [[Profile.correlations]] (QualitySpec-pinned): per key the sums
+   * accumulate in DECIMAL(38), so Σx² < 10^(38−2·xScale) and
+   * Σ|x·y| < 10^(38−xScale−yScale) — overflow RAISES under the
+   * default ANSI mode, never silently corrupts; re-index x (day
+   * index instead of epoch micros) or shard-and-combine past the
+   * bound.
    */
   def trendFit(
       df: DataFrame, keyCol: String, xCol: String, yCol: String,

@@ -1836,6 +1836,7 @@ object PipelineQueries {
         |    (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
         |       AS BIGINT) + 0.5) / 4294967296.0 AS u
         |  FROM documents
+        |  WHERE CAST(n_chars AS DOUBLE) > 0
         |), keyed AS (
         |  SELECT doc_id, source, n_chars,
         |    ln(u) / CAST(n_chars AS DOUBLE) AS es_key
@@ -1852,6 +1853,7 @@ object PipelineQueries {
         |    (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
         |       AS BIGINT) + 0.5) / 4294967296.0 AS u
         |  FROM documents
+        |  WHERE CAST(n_chars AS DOUBLE) > 0
         |), keyed AS (
         |  SELECT lang, doc_id, n_chars,
         |    ln(u) / CAST(n_chars AS DOUBLE) AS es_key,

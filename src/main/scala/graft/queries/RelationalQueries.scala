@@ -1655,7 +1655,8 @@ object RelationalQueries {
         |  CASE WHEN s1.user_id IS NULL THEN 'added'
         |       WHEN s2.user_id IS NULL THEN 'removed'
         |       WHEN s1.n_events = s2.n_events
-        |         AND s1.last_value = s2.last_value THEN 'stable'
+        |         AND s1.last_value IS NOT DISTINCT FROM s2.last_value
+        |         THEN 'stable'
         |       ELSE 'changed' END AS status,
         |  s1.n_events AS old_n_events, s1.last_value AS old_last_value,
         |  s2.n_events AS new_n_events, s2.last_value AS new_last_value

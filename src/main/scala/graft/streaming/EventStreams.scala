@@ -242,6 +242,7 @@ object EventStreams {
       lookback: Int,
       threshold: Double): Dataset[ZScored] = {
     require(lookback >= 2, s"lookback must be >= 2, got $lookback")
+    graft.operators.TimeSeries.requireIntegralKey(events, keyCol)
     val spark = events.sparkSession
     import spark.implicits._
     events
@@ -258,7 +259,13 @@ object EventStreams {
             state: GroupState[ZState]) =>
           var ring = state.getOption.map(_.ring).getOrElse(Vector.empty)
           val out = rows.toSeq
-            .sortBy { case (_, ts, tie, _) => (ts.getTime, tie) }
+            .sortBy { case (_, ts, tie, _) =>
+              // Full-microsecond key, same as streamingCusum/Ewma:
+              // ts.getTime alone is millisecond-resolution and could
+              // invert sub-ms orderings vs the batch operator's
+              // timestamp ORDER BY, breaking row-identical parity.
+              (ts.getTime * 1000 + ts.getNanos / 1000 % 1000, tie)
+            }
             .map { case (_, ts, _, x) =>
               val scored =
                 if (ring.length < lookback) ZScored(key, ts, x, ring.length, None, false)
@@ -301,6 +308,7 @@ object EventStreams {
       slack: Double,
       h: Double): Dataset[CusumPoint] = {
     require(slack >= 0 && h > 0, s"need slack >= 0 and h > 0: ($slack, $h)")
+    graft.operators.TimeSeries.requireIntegralKey(events, keyCol)
     val spark = events.sparkSession
     import spark.implicits._
     events
@@ -348,6 +356,7 @@ object EventStreams {
       valueCol: String,
       alpha: Double): Dataset[EwmaPoint] = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1]: $alpha")
+    graft.operators.TimeSeries.requireIntegralKey(events, keyCol)
     val spark = events.sparkSession
     import spark.implicits._
     events
@@ -479,6 +488,7 @@ object EventStreams {
       tsCol: String,
       gapSeconds: Long,
       watermarkDelay: String): Dataset[Session] = {
+    graft.operators.TimeSeries.requireIntegralKey(events, keyCol)
     val spark = events.sparkSession
     import spark.implicits._
     val gapMs = gapSeconds * 1000L

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Profile, Quality}
+import graft.operators.{Profile, Quality, TimeSeries}
 
 /** Governance operators: audit verdict edges (NULL keys, failing
   * rules) and profiler degenerate cases the oracle can't reach. */
@@ -158,5 +158,41 @@ class QualitySpec extends AnyFunSuite {
     val plan = Profile.correlations(df, Seq("x", "y2", "neg", "const"))
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Expand"), s"co-moments must not Expand:\n$plan")
+  }
+
+  test("correlations/trendFit: decimal co-moment overflow fails loudly, never corrupts") {
+    // Headroom contract (VERDICT r5 #5): co-moments accumulate in
+    // DECIMAL(38, 2·scale), so each pair needs Σ|x·y| < 10^(38−2s).
+    // At s=2 that is 10^34 — values near the DECIMAL(18,2) ceiling
+    // (~10^16) overflow the sum after ~100 rows. Under the session's
+    // default ANSI mode Spark must RAISE, not return a silently wrong
+    // coefficient; this pins that the failure mode is an exception,
+    // and that the documented bound is real (one magnitude below it
+    // still succeeds exactly).
+    val big = 9.0e15 // casts to DECIMAL(18,2) exactly; big² = 8.1e31
+    val n = 200 // Σx² ≈ 1.6e34 > 10^34−1 ceiling -> overflow
+    val hot = (1 to n).map(i => (big, big + i)).toDF("x", "y")
+    val e = intercept[Exception] {
+      Profile.correlations(hot, Seq("x", "y")).collect()
+    }
+    def overflowLike(t: Throwable): Boolean = {
+      val m = Option(t.getMessage).getOrElse("")
+      m.toUpperCase.contains("OVERFLOW") ||
+        m.contains("NUMERIC_VALUE_OUT_OF_RANGE") ||
+        m.contains("DECIMAL_PRECISION") ||
+        Option(t.getCause).exists(overflowLike)
+    }
+    assert(overflowLike(e), s"expected a decimal-overflow error, got: $e")
+    // One magnitude below the ceiling: exact, no overflow, corr = 1.
+    val warm = (1 to n).map(i => (9.0e14 + i, 9.0e14 + 2 * i)).toDF("x", "y")
+    val ok = Profile.correlations(warm, Seq("x", "y")).collect().head
+    assert(ok.getLong(2) === n.toLong && ok.getDouble(3) === 1.0)
+    // trendFit shares the contract: same accumulator, same failure
+    // mode (keyed, xScale=2 on the hot column).
+    val hotK = (1 to n).map(i => (1L, big, big + i)).toDF("k", "x", "y")
+    val e2 = intercept[Exception] {
+      TimeSeries.trendFit(hotK, "k", "x", "y").collect()
+    }
+    assert(overflowLike(e2), s"expected a decimal-overflow error, got: $e2")
   }
 }

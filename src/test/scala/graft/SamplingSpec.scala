@@ -83,6 +83,28 @@ class SamplingSpec extends AnyFunSuite {
     assert(k50.subsetOf(ids))
   }
 
+  test("weightedSample(PerKey): NULL / non-positive weights are excluded") {
+    // Without the guard a negative weight flips ln(u)/w positive and
+    // deterministically outranks every valid row; w=0 gives ±Inf keys
+    // (ADVICE r5). Contract: such rows never enter the sample.
+    val rows = Seq(
+      (1L, "a", java.lang.Long.valueOf(-5L)),
+      (2L, "a", java.lang.Long.valueOf(0L)),
+      (3L, "a", null.asInstanceOf[java.lang.Long]),
+      (4L, "a", java.lang.Long.valueOf(10L)),
+      (5L, "a", java.lang.Long.valueOf(20L)),
+      (6L, "b", java.lang.Long.valueOf(-1L)),
+      (7L, "b", java.lang.Long.valueOf(7L))
+    ).toDF("doc_id", "grp", "w")
+    val flat = Sampling.weightedSample(rows, "doc_id", "w", k = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(flat === Set(4L, 5L, 7L))
+    val perKey = Sampling
+      .weightedSamplePerKey(rows, "grp", "doc_id", "w", k = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(perKey === Set(4L, 5L, 7L))
+  }
+
   test("epochRepeat: floor copies always; residual is Bernoulli(frac); e=0 drops") {
     val rows = (1L to 2000L).map(i => (i, 2.3)).toDF("doc_id", "epochs")
     val out = Sampling.epochRepeat(rows, "doc_id", "epochs")

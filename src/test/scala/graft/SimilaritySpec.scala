@@ -162,6 +162,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, f"IVF nprobe=4/8 recall $recall%.2f below floor")
   }
 
+  test("trainCentroids: seeding job count is O(1) in k (single-pass pool)") {
+    // The old maximin seeding ran one full-corpus scan PER seed; the
+    // pool-based form runs a constant number of jobs regardless of k.
+    // maxIter=1 pins the Lloyd side, so any growth in job count with
+    // k would come from seeding.
+    val df = (0 until 200)
+      .map(i => (i.toLong, Array.tabulate(4)(d => (i * (d + 1) % 17).toFloat)))
+      .toDF("vec_id", "embedding")
+    def jobs(k: Int): Int = {
+      val counter = new java.util.concurrent.atomic.AtomicInteger
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          counter.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        Similarity.trainCentroids(df, "vec_id", "embedding", k, maxIter = 1)
+        // Listener events post asynchronously; give the bus a moment.
+        Thread.sleep(500)
+        counter.get()
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+    val j3 = jobs(3)
+    val j12 = jobs(12)
+    assert(j12 === j3,
+      s"seed-stage job count grew with k: k=3 -> $j3 jobs, k=12 -> $j12")
+  }
+
   test("trainCentroids recovers separated blob centers deterministically") {
     val rng = new scala.util.Random(11)
     val centers = Seq(

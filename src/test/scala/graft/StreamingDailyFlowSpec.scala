@@ -67,4 +67,78 @@ class StreamingDailyFlowSpec extends AnyFunSuite {
 
     spark.sql("DROP TABLE IF EXISTS flights_stream_test")
   }
+
+  test("3-day replay is row-identical to the batch DailyFlow; restart reprocesses nothing") {
+    import graft.operators.DailyFlow
+    val landing = Files.createTempDirectory("graft-landing3")
+    val checkpoint = Files.createTempDirectory("graft-ckpt3").toString
+
+    val days = Seq(
+      "2024-04-01" ->
+        """{"FlightDate": "2024-04-01", "Reporting_Airline": "AA", "Origin": "JFK", "DepTime": 900}
+          |{"FlightDate": "2024-04-01", "Reporting_Airline": "DL", "Origin": "JFK", "DepTime": 2330}""".stripMargin,
+      "2024-04-02" ->
+        """{"FlightDate": "2024-04-02", "Reporting_Airline": "UA", "Origin": "JFK", "DepTime": 600}
+          |{"FlightDate": "2024-04-02", "Reporting_Airline": "B6", "Origin": "JFK", "DepTime": 1815}""".stripMargin,
+      "2024-04-03" ->
+        """{"FlightDate": "2024-04-03", "Reporting_Airline": "WN", "Origin": "JFK", "DepTime": 45}""".stripMargin)
+    // Distinct mtimes pin the file source's oldest-first processing
+    // order to the calendar order the daily contract requires.
+    days.zipWithIndex.foreach { case ((day, body), i) =>
+      val f = landing.resolve(s"$day.json")
+      Files.writeString(f, body)
+      f.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+
+    def tableState(name: String): (Seq[(String, String)], Seq[Seq[Any]]) = {
+      spark.catalog.refreshTable(name)
+      val df = spark.read.table(name)
+      val fields = df.schema.fields.toSeq
+        .map(f => (f.name, f.dataType.simpleString)).sortBy(_._1)
+      val rows = df.select(df.columns.sorted.map(col).toIndexedSeq: _*)
+        .collect().map(_.toSeq).toSeq
+        .sortBy(_.map(String.valueOf).mkString("|"))
+      (fields, rows)
+    }
+
+    // Batch leg: the same three files through DailyFlow, in order.
+    val batchCfg = cfg.copy(output_table = Some("flights_batch_parity"))
+    val batchFlow = new DailyFlow(batchCfg)
+    days.foreach { case (day, _) =>
+      batchFlow.processDaily(spark, landing.resolve(s"$day.json").toString)
+    }
+
+    // Streaming leg, with a mid-replay restart: drain days 1-2, stop,
+    // then day 3 via a fresh start on the SAME checkpoint. If the
+    // restart re-ran an already-processed day, its partition rewrite
+    // would wipe that day's cross-day Airline_next/diff_next fixes —
+    // the parity assertion below would catch the corruption.
+    val streamCfg = cfg.copy(output_table = Some("flights_stream_parity"))
+    val skin = new StreamingDailyFlow(streamCfg)
+    val day3 = landing.resolve("2024-04-03.json")
+    val day3Body = days.last._2
+    Files.delete(day3)
+    skin.start(spark, landing.toString, inputSchema, checkpoint)
+      .awaitTermination()
+    Files.writeString(day3, day3Body)
+    day3.toFile.setLastModified(1700000000000L + 2 * 60000L)
+    skin.start(spark, landing.toString, inputSchema, checkpoint)
+      .awaitTermination()
+
+    val (batchSchema, batchRows) = tableState("flights_batch_parity")
+    val (streamSchema, streamRows) = tableState("flights_stream_parity")
+    assert(streamSchema === batchSchema)
+    assert(streamRows === batchRows)
+    assert(streamRows.size === 5)
+
+    // Restart with nothing new: the checkpoint's file log must skip
+    // every processed file and leave the table byte-identical.
+    skin.start(spark, landing.toString, inputSchema, checkpoint)
+      .awaitTermination()
+    val (_, afterIdle) = tableState("flights_stream_parity")
+    assert(afterIdle === streamRows)
+
+    spark.sql("DROP TABLE IF EXISTS flights_batch_parity")
+    spark.sql("DROP TABLE IF EXISTS flights_stream_parity")
+  }
 }

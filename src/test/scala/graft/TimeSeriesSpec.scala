@@ -40,6 +40,27 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(n === 2) // not densified onto each other's span
   }
 
+  test("cusum/ewma: non-integral key fails fast instead of collapsing groups") {
+    // A string key silently long-casts to NULL, merging every series
+    // into ONE group (ADVICE r5) — the operators must refuse it.
+    val bad = Seq(("u1", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      1L, 1.0)).toDF("k", "ts", "tie", "x")
+    val e1 = intercept[IllegalArgumentException] {
+      TimeSeries.cusum(bad, "k", "ts", "tie", "x",
+        target = 0.0, slack = 0.5, h = 4.0)
+    }
+    assert(e1.getMessage.contains("integral"))
+    val e2 = intercept[IllegalArgumentException] {
+      TimeSeries.ewma(bad, "k", "ts", "tie", "x", alpha = 0.3)
+    }
+    assert(e2.getMessage.contains("integral"))
+    // Integral key types still pass the guard (int, not just long).
+    val ok = Seq((1, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      1L, 1.0)).toDF("k", "ts", "tie", "x")
+    assert(TimeSeries.ewma(ok, "k", "ts", "tie", "x", alpha = 0.3)
+      .count() === 1L)
+  }
+
   test("rollingZScore: random-series parity with driver-side sliding stats") {
     val rnd = new scala.util.Random(23)
     val rows = for (k <- 1L to 4L; i <- 0 until 50) yield
