@@ -42,30 +42,14 @@ object ScaleAudit {
 
   private val STRIDE = 10000000L
 
-  /** Family-representative queries: scan, agg, window, broadcast
-    * join, multi-join, dedup (exact/LSH/verify/CC/incremental), ANN
-    * (brute/IVF), as-of, rollup, ranks, multi-distinct, TF-IDF,
-    * sessionize, CDC merge, profile, sketch. */
-  private val auditQueries = Seq(
-    "q01_scan_filter_project", "q02_agg_pricing", "q03_window_lead",
-    "q06_utc_enrichment", "q10_multi_join_revenue", "q15_exact_dedup",
-    "q16_minhash_pairs", "q17_ngram_jaccard", "q19_cosine_topk",
-    "q31_ivf_search", "q36_asof_join", "q48_dedup_clusters",
-    "q49_rollup_revenue", "q54_rank_family", "q59_distinct_agg",
-    "q71_tfidf", "q72_sessionize", "q80_merge_changelog",
-    "q86_profile", "q87_incremental_dedup", "q90_cumulative_users",
-    "q92_lm_perplexity", "q93_semantic_dedup", "q94_hard_negatives",
-    "q95_rolling_zscore", "q96_skew_probe", "q97_debounce",
-    "q100_source_cap", "q101_split_leakage", "q102_centroid_sim",
-    "q103_mad_outliers", "q104_source_overlap", "q105_quality_blend",
-    "q106_growth_curve", "q107_pmi_collocations", "q108_equidepth_hist",
-    "q109_kmv_overlap", "q110_scd2_history", "q111_exact_simjoin",
-    "q112_weighted_sample", "q113_snapshot_diff", "q114_vocab_coverage",
-    "q115_epoch_repeat", "q116_peak_concurrency", "q117_cooccurrence",
-    "q118_correlation", "q119_trend_fit", "q120_winsorize",
-    "q121_benford", "q122_weighted_sample_per_key", "q123_pagerank",
-    "q124_interval_overlap", "q125_temporal_dim_join",
-    "q126_sorted_neighborhood", "q128_dedup_impact", "q129_mode_per_key")
+  /** EVERY registered oracle query (VERDICT r5 #3 — the previous
+    * hand-picked 56 left 4 of the 5 most expensive queries without a
+    * measured slope). Derived from the registry so a new query can
+    * never silently miss the audit; numeric sort keeps the q01…q130
+    * reading order. */
+  private def auditQueries: Seq[String] =
+    SparkEntry.queries.keys.toSeq
+      .sortBy(n => (n.drop(1).takeWhile(_.isDigit).toInt, n))
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

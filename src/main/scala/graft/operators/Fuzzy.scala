@@ -17,24 +17,56 @@ import org.apache.spark.sql.functions._
  * A pathological mega-block is a key-skew problem: AQE's skew-join
  * split handles moderate cases; beyond that, re-block with a finer
  * key. All-pairs mode is deliberately not offered.
+ *
+ * CHOOSING THE KEY (audited, [[graft.BlockAudit]] / SCALE.md "Fuzzy
+ * blocking"): a fixed-vocabulary key — q130's first word of `p_name`
+ * is 8 distinct values on the synthetic corpus — has NO skew (every
+ * block ~12.5%, salt buys nothing) but block size |table|/|vocab|
+ * grows linearly with the corpus, so Σ|block|² grows QUADRATICALLY
+ * (5.0e7 candidate pairs at sf0.1 → 5.0e9 at 10×). The dial that
+ * works is a finer composite key — (first word, p_size) measured 49×
+ * fewer candidates (400 blocks, max 73 rows) — because it multiplies
+ * the block COUNT; salting only re-spreads a quadratic total.
+ * `capPerBlock` is the safety rail when the key's cardinality can't
+ * be raised further: it hard-bounds the worst block at the cost of
+ * documented recall loss.
  */
 object Fuzzy {
+
+  /**
+   * Deterministic block-size bound: keep the `cap` lowest-id rows of
+   * each block (capPerKey's WindowGroupLimit shape — each task trims
+   * to ≤ cap BEFORE the exchange). `cap <= 0` means uncapped. Pairs
+   * among dropped rows are LOST — this is the documented recall
+   * tradeoff for a hard Σ|block|² ≤ blocks·cap² worst case; prefer a
+   * finer composite key when one exists.
+   */
+  private def capped(df: DataFrame, idCol: String, cap: Int): DataFrame =
+    if (cap <= 0) df
+    else {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("__blk")).orderBy(col(idCol))
+      df.withColumn("__bn", row_number().over(w))
+        .where(col("__bn") <= cap)
+        .drop("__bn")
+    }
 
   /**
    * Near-identical pairs of `nameCol` values within blocks of
    * `blockKey`, at levenshtein distance in (0, maxDist]. Exact
    * duplicates are excluded (distance 0 — that's `Dedup.exact`'s
    * job); each unordered pair appears once (id_a < id_b).
+   * `capPerBlock` > 0 bounds every block (see [[capped]]).
    */
   def blockedPairs(
       df: DataFrame, idCol: String, nameCol: String,
-      blockKey: Column, maxDist: Int): DataFrame = {
-    val a = df.select(
-      col(idCol).as("id_a"), col(nameCol).as("name_a"),
-      blockKey.as("__blk"))
-    val b = df.select(
-      col(idCol).as("id_b"), col(nameCol).as("name_b"),
-      blockKey.as("__blk"))
+      blockKey: Column, maxDist: Int, capPerBlock: Int = 0): DataFrame = {
+    val base = capped(df.select(
+      col(idCol), col(nameCol), blockKey.as("__blk")), idCol, capPerBlock)
+    val a = base.select(
+      col(idCol).as("id_a"), col(nameCol).as("name_a"), col("__blk"))
+    val b = base.select(
+      col(idCol).as("id_b"), col(nameCol).as("name_b"), col("__blk"))
     a.join(b, "__blk")
       .where(col("id_a") < col("id_b"))
       // 3-arg levenshtein stops early past the bound: the common
@@ -50,17 +82,21 @@ object Fuzzy {
    * of levenshtein — the name/title matcher (prefix-weighted,
    * transposition-tolerant) that edit distance mis-ranks. Same scale
    * contract: candidates confined to blocks, kernel post-join in
-   * codegen, all-pairs deliberately not offered.
+   * codegen, all-pairs deliberately not offered. `capPerBlock` > 0
+   * bounds every block (see [[capped]]).
    */
   def jaroWinklerPairs(
       df: DataFrame, idCol: String, nameCol: String,
-      blockKey: Column, threshold: Double): DataFrame = {
+      blockKey: Column, threshold: Double, capPerBlock: Int = 0)
+      : DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0,1], got $threshold")
-    val a = df.select(
-      col(idCol).as("id_a"), col(nameCol).as("name_a"), blockKey.as("__blk"))
-    val b = df.select(
-      col(idCol).as("id_b"), col(nameCol).as("name_b"), blockKey.as("__blk"))
+    val base = capped(df.select(
+      col(idCol), col(nameCol), blockKey.as("__blk")), idCol, capPerBlock)
+    val a = base.select(
+      col(idCol).as("id_a"), col(nameCol).as("name_a"), col("__blk"))
+    val b = base.select(
+      col(idCol).as("id_b"), col(nameCol).as("name_b"), col("__blk"))
     a.join(b, "__blk")
       .where(col("id_a") < col("id_b"))
       .withColumn("jw",

@@ -24,6 +24,31 @@ class FuzzyMergeSpec extends AnyFunSuite {
     assert(out === Set((1L, 2L, 1), (2L, 3L, 1), (4L, 5L, 1)))
   }
 
+  test("capPerBlock bounds every block to its cap lowest ids; 0 = uncapped") {
+    // BlockAudit finding (SCALE.md "Fuzzy blocking"): fixed-vocabulary
+    // keys make Sum|block|^2 quadratic in the corpus with zero skew to
+    // salt away. The cap is the hard bound: keep the `cap` lowest-id
+    // rows per block, pairs among dropped rows are knowingly lost.
+    val df = Seq(
+      (1L, "old gear"), (2L, "cold gear"), (3L, "bold gear"),
+      (4L, "old ring"), (5L, "bold ring")
+    ).toDF("id", "nm")
+    val blk = element_at(split(col("nm"), " "), -1)
+    val capped = Fuzzy.jaroWinklerPairs(df, "id", "nm", blk,
+        threshold = 0.1, capPerBlock = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // gear block trimmed to {1,2}; ring block {4,5} already <= cap.
+    assert(capped === Set((1L, 2L), (4L, 5L)))
+    val uncapped = Fuzzy.jaroWinklerPairs(df, "id", "nm", blk,
+        threshold = 0.1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped === Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)))
+    val lev = Fuzzy.blockedPairs(df, "id", "nm", blk,
+        maxDist = 3, capPerBlock = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lev === Set((1L, 2L), (4L, 5L)))
+  }
+
   test("applyChangelog: upsert replaces, insert adds, delete removes") {
     val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
     val changes = Seq(
