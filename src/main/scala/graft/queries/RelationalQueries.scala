@@ -757,6 +757,68 @@ object RelationalQueries {
         .orderBy("user_id")
     }),
 
+    // Range-sorted layout write + read-back audit — the
+    // oracle-expressible slice of Layout.rangeSortedWrite (VERDICT r5
+    // #8: shrink the spec-only residue). Writes lineitem
+    // range-partitioned + sorted on l_orderkey to a fresh temp dir,
+    // reads the files back, and emits exactly the invariants an oracle
+    // CAN predict from the source table alone: row conservation, key
+    // span, and ZERO overlapping per-file key ranges
+    // (repartitionByRange assigns equal keys to one partition, so
+    // every file owns a disjoint range — the property min/max file
+    // skipping depends on). A writer that lost rows, mangled keys, or
+    // interleaved ranges fails the hash compare. File COUNT is a plan
+    // artifact (empty partitions legally merge) and is deliberately
+    // not part of the contract.
+    "q131_range_layout" -> ((s, dir) => {
+      val dest =
+        java.nio.file.Files.createTempDirectory("layout_q131").toString
+      val li = t(s, dir, "lineitem")
+      graft.operators.Layout.rangeSortedWrite(
+        li, dest, Seq("l_orderkey"), numFiles = 8)
+      val back = s.read.parquet(dest)
+      val ranges = graft.operators.Layout.fileRanges(back, "l_orderkey")
+      val overlaps = ranges.as("x").join(ranges.as("y"),
+          col("x.file") < col("y.file") &&
+            col("x.lo") <= col("y.hi") && col("y.lo") <= col("x.hi"))
+        .agg(count(lit(1)).as("overlap_pairs"))
+      back.agg(
+          count(lit(1)).as("total_rows"),
+          min(col("l_orderkey")).as("min_key"),
+          max(col("l_orderkey")).as("max_key"))
+        .crossJoin(overlaps)
+    }),
+
+    // Z-order layout write + read-back audit — Layout.zorderWrite's
+    // oracle slice, same contract shape as q131: row/checksum
+    // conservation plus zero overlapping per-file Z-VALUE ranges
+    // (the clustering lives in the file layout, not the schema, so
+    // the audit recomputes the Morton code on read-back with the same
+    // bit width and checks the files tile the curve disjointly).
+    // bits=31 keeps the domain check valid under ScaleAudit's
+    // key-shifted replicas (keys up to ~1e8 < 2^31).
+    "q132_zorder_layout" -> ((s, dir) => {
+      val dest =
+        java.nio.file.Files.createTempDirectory("layout_q132").toString
+      val p = t(s, dir, "part")
+      graft.operators.Layout.zorderWrite(
+        p, dest, "p_partkey", "p_size", numFiles = 8, bits = 31)
+      val back = s.read.parquet(dest)
+      val z = back.withColumn("__z", graft.operators.Layout.zorder2(
+        col("p_partkey"), col("p_size"), bits = 31))
+      val ranges = z.groupBy(input_file_name().as("file"))
+        .agg(min(col("__z")).as("lo"), max(col("__z")).as("hi"))
+      val overlaps = ranges.as("x").join(ranges.as("y"),
+          col("x.file") < col("y.file") &&
+            col("x.lo") <= col("y.hi") && col("y.lo") <= col("x.hi"))
+        .agg(count(lit(1)).as("overlap_pairs"))
+      back.agg(
+          count(lit(1)).as("total_rows"),
+          sum(col("p_partkey")).as("sum_partkey"),
+          sum(col("p_size").cast("long")).as("sum_size"))
+        .crossJoin(overlaps)
+    }),
+
     // Per-group argmin/argmax (first/last event per user) via
     // min_by/max_by — single partial-agg shuffle, no window; the String
     // payload forces SortAggregate (hash agg needs fixed-width buffers)
@@ -1786,6 +1848,22 @@ object RelationalQueries {
         |SELECT floor(jw * 20) / 20.0 AS band, count(*) AS n_pairs
         |FROM j WHERE jw >= 0.8
         |GROUP BY 1 ORDER BY band""".stripMargin,
+
+    // The overlap_pairs the Spark side MEASURES from the written files
+    // is asserted against the literal 0 the layout contract promises;
+    // rows/span/checksums are recomputed from the source table.
+    "q131_range_layout" ->
+      """SELECT CAST(count(*) AS BIGINT) AS total_rows,
+        |  min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
+        |  CAST(0 AS BIGINT) AS overlap_pairs
+        |FROM lineitem""".stripMargin,
+
+    "q132_zorder_layout" ->
+      """SELECT CAST(count(*) AS BIGINT) AS total_rows,
+        |  CAST(sum(p_partkey) AS BIGINT) AS sum_partkey,
+        |  CAST(sum(p_size) AS BIGINT) AS sum_size,
+        |  CAST(0 AS BIGINT) AS overlap_pairs
+        |FROM part""".stripMargin,
 
     "q129_mode_per_key" ->
       """WITH c AS (
