@@ -47,9 +47,15 @@ object ScaleAudit {
     * measured slope). Derived from the registry so a new query can
     * never silently miss the audit; numeric sort keeps the q01…q130
     * reading order. */
-  private def auditQueries: Seq[String] =
+  private def auditQueries: Seq[String] = {
+    // SPARK_GRAFT_ONLY=q130,q111 (prefix match) narrows a re-audit to
+    // the queries under repair — same contract as Verify/Bench.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     SparkEntry.queries.keys.toSeq
+      .filter(n => only.forall(_.exists(n.startsWith)))
       .sortBy(n => (n.drop(1).takeWhile(_.isDigit).toInt, n))
+  }
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -716,12 +716,25 @@ object RelationalQueries {
     // 11.8s vs 2.6s at sf0.1); the aggregate keeps it in codegen and
     // evaluates it once per pair. Sub-threshold bands aggregate too
     // (a handful of rows) and drop after the agg.
+    // Blocks are capped at 500 rows (lowest p_partkey first — the
+    // capPerBlock dial, mirrored in the oracle): the first word of
+    // p_name is a FIXED 8-value vocabulary (SCALE.md "Fuzzy
+    // blocking"), so uncapped pair volume grows quadratically with the
+    // corpus — ScaleAudit measured slope 29.8 at 10×. The cap is
+    // inactive at both gate scales (max slice block is ~260 rows at
+    // sf0.1, ~30 at sf0.01 — results byte-identical to the uncapped
+    // form there) and bounds the pair term to blocks·cap² beyond.
     "q130_jw_histogram" -> ((s, dir) => {
+      val capW = Window
+        .partitionBy(col("__blk")).orderBy(col("p_partkey"))
       val p = t(s, dir, "part")
         .where(col("p_size") <= 5)
         .select(
           col("p_partkey"), col("p_name"),
           split(col("p_name"), " ").getItem(0).as("__blk"))
+        .withColumn("__bn", row_number().over(capW))
+        .where(col("__bn") <= 500)
+        .drop("__bn")
       val a = p.select(col("p_partkey").as("id_a"),
         col("p_name").as("name_a"), col("__blk"))
       val b = p.select(col("p_partkey").as("id_b"),
@@ -1838,9 +1851,13 @@ object RelationalQueries {
         |FROM t ORDER BY bucket""".stripMargin,
 
     "q130_jw_histogram" ->
-      """WITH p AS (
-        |  SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS blk
+      """WITH p0 AS (
+        |  SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS blk,
+        |    row_number() OVER (PARTITION BY string_split(p_name, ' ')[1]
+        |      ORDER BY p_partkey) AS bn
         |  FROM part WHERE p_size <= 5
+        |), p AS (
+        |  SELECT p_partkey, p_name, blk FROM p0 WHERE bn <= 500
         |), j AS (
         |  SELECT jaro_winkler_similarity(a.p_name, b.p_name) AS jw
         |  FROM p a JOIN p b ON b.blk = a.blk AND a.p_partkey < b.p_partkey
