@@ -832,6 +832,49 @@ object RelationalQueries {
         .crossJoin(overlaps)
     }),
 
+    // Small-file compaction read-back audit — Compaction.compactParquet's
+    // oracle slice (same contract shape as q131): fragment lineitem
+    // into 64 deliberately-small files, compact to ~32 MiB targets,
+    // and emit what the oracle can predict from the source table —
+    // row conservation, a key checksum, and the literal promise that
+    // compaction reduced the file count. Rows lost or duplicated by
+    // the rewrite, or a compactor that fragmented further, hash-fail.
+    "q133_compaction" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("layout_q133")
+      val src = base.resolve("src").toString
+      val dest = base.resolve("dest").toString
+      t(s, dir, "lineitem").repartition(64).write
+        .mode("overwrite").parquet(src)
+      val stats = graft.operators.Compaction.compactParquet(
+        s, src, dest, targetFileBytes = 32L * 1024 * 1024)
+      s.read.parquet(dest).agg(
+          count(lit(1)).as("total_rows"),
+          sum(col("l_orderkey")).as("sum_orderkey"))
+        .withColumn("files_reduced",
+          lit(stats.filesAfter < stats.filesBefore))
+    }),
+
+    // ORC round-trip audit — FormatSources' non-parquet path gains an
+    // oracle gate: orders is written to ORC, read back, and aggregated
+    // per status (counts, decimal-accumulated price sums, date
+    // min/max); the oracle computes the identical aggregate from the
+    // parquet source, so any type mangling across the format boundary
+    // (decimals, dates, nulls) breaks the hash compare.
+    "q134_orc_roundtrip" -> ((s, dir) => {
+      val dest =
+        java.nio.file.Files.createTempDirectory("layout_q134").toString
+      graft.sources.FormatSources.writeOrc(t(s, dir, "orders"), dest)
+      graft.sources.FormatSources.readOrc(s, dest)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(12,2)")).cast("double")
+            .as("sum_price"),
+          min(col("o_orderdate")).as("min_date"),
+          max(col("o_orderdate")).as("max_date"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Per-group argmin/argmax (first/last event per user) via
     // min_by/max_by — single partial-agg shuffle, no window; the String
     // payload forces SortAggregate (hash agg needs fixed-width buffers)
@@ -1881,6 +1924,21 @@ object RelationalQueries {
         |  CAST(sum(p_size) AS BIGINT) AS sum_size,
         |  CAST(0 AS BIGINT) AS overlap_pairs
         |FROM part""".stripMargin,
+
+    "q133_compaction" ->
+      """SELECT CAST(count(*) AS BIGINT) AS total_rows,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS sum_orderkey,
+        |  TRUE AS files_reduced
+        |FROM lineitem""".stripMargin,
+
+    "q134_orc_roundtrip" ->
+      """SELECT o_orderstatus,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS sum_price,
+        |  min(o_orderdate) AS min_date, max(o_orderdate) AS max_date
+        |FROM orders
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q129_mode_per_key" ->
       """WITH c AS (
