@@ -875,6 +875,128 @@ object RelationalQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // Two-phase salted aggregation parity — Skew.saltedAggregate's
+    // oracle gate: the hot-key spreading (partial agg on (key, salt),
+    // final agg on key) must be ROW-IDENTICAL to a plain GROUP BY, and
+    // the oracle IS that plain GROUP BY. Sums accumulate in decimal so
+    // the result is independent of the salt-induced combine order
+    // (double addition is not associative; decimal is exact) — the
+    // same contract the profile/correlation queries use.
+    "q135_salted_agg" -> ((s, dir) => {
+      graft.operators.Skew.saltedAggregate(
+          t(s, dir, "events"),
+          keys = Seq("event_type"),
+          saltSource = col("event_id"),
+          saltParts = 16,
+          partials = Seq(
+            count(lit(1)).as("pn"),
+            sum(col("value").cast("decimal(18,6)")).as("ps"),
+            min(col("value")).as("pmin"),
+            max(col("value")).as("pmax")),
+          finals = Seq(
+            sum(col("pn")).as("n_events"),
+            sum(col("ps")).cast("double").as("sum_value"),
+            min(col("pmin")).as("min_value"),
+            max(col("pmax")).as("max_value")))
+        .orderBy("event_type")
+    }),
+
+    // Bucketed co-located join read-back — K6's oracle gate: customer
+    // and orders are WRITTEN as bucketed tables (bucketBy custkey, the
+    // zero-exchange join layout ScaleSpec plan-asserts), read back via
+    // the catalog, joined on the bucket key, and aggregated per market
+    // segment. Any row loss/duplication in the bucketed write path, or
+    // type mangling through the catalog round-trip, breaks the hash
+    // compare against the parquet-source oracle.
+    "q136_bucketed_join" -> ((s, dir) => {
+      // A prior run's managed-table LOCATION can outlive the
+      // in-memory catalog entry (fresh session, same warehouse dir) —
+      // overwrite alone then refuses the name; clear both first.
+      Seq("layout_q136_cust", "layout_q136_ord").foreach { name =>
+        s.sql(s"DROP TABLE IF EXISTS $name")
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), name)
+        loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(loc, true)
+      }
+      t(s, dir, "customer").write.mode("overwrite")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .saveAsTable("layout_q136_cust")
+      t(s, dir, "orders").write.mode("overwrite")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .saveAsTable("layout_q136_ord")
+      s.table("layout_q136_cust")
+        .join(
+          s.table("layout_q136_ord"),
+          col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // SQL-registration surface — X1's oracle gate: the same blocked
+    // Jaro-Winkler histogram as q130, but built ENTIRELY as a SQL
+    // string over a temp view with the kernel invoked by its
+    // REGISTERED name (GraftFunctions.register → FunctionRegistry →
+    // parser resolves `graft_jaro_winkler`), proving the SQL wiring
+    // path end-to-end against DuckDB's jaro_winkler_similarity.
+    // Same capPerBlock dial as q130 (fixed 8-word block vocabulary ⇒
+    // quadratic pair growth uncapped); the p_size = 1 slice keeps it
+    // a cheap registration probe, not a second q130.
+    "q137_sql_registration" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      t(s, dir, "part").createOrReplaceTempView("layout_q137_part")
+      s.sql(
+        """WITH p0 AS (
+          |  SELECT p_partkey, p_name, split(p_name, ' ')[0] AS blk,
+          |    row_number() OVER (PARTITION BY split(p_name, ' ')[0]
+          |      ORDER BY p_partkey) AS bn
+          |  FROM layout_q137_part WHERE p_size = 1
+          |), p AS (
+          |  SELECT p_partkey, p_name, blk FROM p0 WHERE bn <= 200
+          |), j AS (
+          |  SELECT graft_jaro_winkler(a.p_name, b.p_name) AS jw
+          |  FROM p a JOIN p b ON b.blk = a.blk
+          |    AND a.p_partkey < b.p_partkey
+          |)
+          |SELECT floor(jw * 20) / CAST(20 AS DOUBLE) AS band,
+          |  count(*) AS n_pairs
+          |FROM j WHERE jw >= 0.8
+          |GROUP BY 1 ORDER BY band""".stripMargin)
+    }),
+
+    // Text-source round-trip — S7's oracle gate: documents are flushed
+    // to newline-delimited text (one `doc_id|md5(text)|lang` line per
+    // doc — hashing makes the payload newline-safe), re-read through
+    // FormatSources.readText, parsed, and aggregated per language.
+    // Line loss, splitting corruption, or encoding mangling across the
+    // text boundary breaks the hash compare; the oracle computes the
+    // identical aggregate (DuckDB md5 = Spark md5, lowercase hex)
+    // straight from the parquet source.
+    "q138_text_roundtrip" -> ((s, dir) => {
+      val dest =
+        java.nio.file.Files.createTempDirectory("layout_q138").toString
+      t(s, dir, "documents")
+        .select(concat_ws("|",
+          col("doc_id"), md5(col("text")), col("lang")).as("value"))
+        .write.mode("overwrite").text(dest)
+      graft.sources.FormatSources.readText(s, dest)
+        .select(split(col("value"), "\\|").as("p"))
+        .select(
+          col("p").getItem(0).cast("long").as("doc_id"),
+          col("p").getItem(1).as("text_md5"),
+          col("p").getItem(2).as("lang"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("text_md5")).as("n_unique"),
+          sum(col("doc_id")).as("sum_ids"))
+        .orderBy("lang")
+    }),
+
     // Per-group argmin/argmax (first/last event per user) via
     // min_by/max_by — single partial-agg shuffle, no window; the String
     // payload forces SortAggregate (hash agg needs fixed-width buffers)
@@ -1939,6 +2061,45 @@ object RelationalQueries {
         |  min(o_orderdate) AS min_date, max(o_orderdate) AS max_date
         |FROM orders
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "q135_salted_agg" ->
+      """SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS sum_value,
+        |  min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q136_bucketed_join" ->
+      """SELECT c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q137_sql_registration" ->
+      """WITH p0 AS (
+        |  SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS blk,
+        |    row_number() OVER (PARTITION BY string_split(p_name, ' ')[1]
+        |      ORDER BY p_partkey) AS bn
+        |  FROM part WHERE p_size = 1
+        |), p AS (
+        |  SELECT p_partkey, p_name, blk FROM p0 WHERE bn <= 200
+        |), j AS (
+        |  SELECT jaro_winkler_similarity(a.p_name, b.p_name) AS jw
+        |  FROM p a JOIN p b ON b.blk = a.blk AND a.p_partkey < b.p_partkey
+        |)
+        |SELECT floor(jw * 20) / 20.0 AS band, count(*) AS n_pairs
+        |FROM j WHERE jw >= 0.8
+        |GROUP BY 1 ORDER BY band""".stripMargin,
+
+    "q138_text_roundtrip" ->
+      """SELECT lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q129_mode_per_key" ->
       """WITH c AS (
