@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{CoreQueries, PipelineQueries, RelationalQueries}
+import graft.queries.{CoreQueries, PipelineQueries, RelationalQueries, TpchQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -14,11 +14,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ PipelineQueries.queries ++
-      RelationalQueries.queries
+      RelationalQueries.queries ++ TpchQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ PipelineQueries.oracles ++
-      RelationalQueries.oracles
+      RelationalQueries.oracles ++ TpchQueries.oracles
 }

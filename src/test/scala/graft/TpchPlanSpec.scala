@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape guards for the TPC-H-adapted suite (q139–q151): the
+  * scale properties each query was written for, asserted at sf0.001
+  * so a refactor that silently degrades a plan fails CI. */
+class TpchPlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  // FormattedMode prints PushedFilters in full (simple toString
+  // truncates long filter lists mid-name).
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+
+  test("q139 (Q3): top-10 compiles to TakeOrderedAndProject; all three filters pushed") {
+    val p = plan("q139_tpch3")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not global-sort")
+    assert(p.contains("GreaterThan(l_shipdate"), "lineitem date filter must reach the scan")
+    assert(p.contains("LessThan(o_orderdate"), "orders date filter must reach the scan")
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), "segment filter must reach the scan")
+  }
+
+  test("q141 (Q6): pure scan-aggregate — every range predicate pushed, no join") {
+    val p = plan("q141_tpch6")
+    assert(!p.contains("Join"), "Q6 has no join")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"))
+    assert(p.contains("GreaterThanOrEqual(l_discount"))
+    assert(p.contains("LessThan(l_quantity"))
+    // 4-column read out of 11 — column pruning must hold.
+    assert(!p.contains("l_returnflag"), "unused columns must not reach the scan")
+  }
+
+  test("q149 (Q18): quantity HAVING pre-aggregates lineitem BELOW the order/customer joins") {
+    val p = plan("q149_tpch18")
+    // The partial_sum over l_quantity must appear, and the lineitem
+    // scan must read exactly (orderkey, quantity) — proof the agg ran
+    // before any join widened the rows.
+    assert(p.contains("partial_sum(l_quantity"))
+    assert(p.contains("struct<l_orderkey:bigint,l_quantity:double>"),
+      "lineitem scan must be pre-agg narrow (2 columns)")
+  }
+
+  test("q140/q142 (Q5/Q7): bounded dims broadcast, no SortMergeJoin at gate scale") {
+    assert(plan("q140_tpch5").contains("BroadcastHashJoin"))
+    assert(plan("q142_tpch7").contains("BroadcastHashJoin"))
+  }
+
+  test("q147 (Q15): max-revenue filter is a one-row broadcast join, not a second lineitem scan chain") {
+    val p = plan("q147_tpch15")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "scalar max must broadcast")
+    assert(!p.contains("WindowExec"), "no global window for the max")
+  }
+
+  test("q151 (Q22): recency check plans as a broadcast anti-join with the date filter pushed") {
+    val p = plan("q151_tpch22")
+    assert(p.contains("LeftAnti"))
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      "orders recency filter must reach the scan")
+  }
+}
