@@ -387,4 +387,73 @@ object TextAnalysis {
         round(col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common")), 6).as("jaccard"))
   }
+
+  /**
+   * DSIR-style importance weights for target-distribution data
+   * selection (Xie et al. 2023, "Data Selection for Language Models
+   * via Importance Resampling"): estimate `log(p_target(x) /
+   * q_raw(x))` per document under bag-of-hashed-n-grams unigram
+   * models. Documents whose hashed unigram+bigram profile looks like
+   * the target slice (`isTarget`) get positive weights; selection is
+   * then weight-ranked top-k (the zero-temperature variant, used
+   * here for oracle determinism) or Gumbel-resampled via the
+   * existing `Sampling.weightedSample` machinery with
+   * `exp(log_weight)` as the weight column.
+   *
+   * Features are md5-bucketed (`hexChars` leading hex digits ⇒
+   * 16^hexChars buckets — the paper's 10k-bucket hash table, sized
+   * down to keep the model table broadcastable and the oracle
+   * cheap); both bucket models get add-one smoothing over the FULL
+   * bucket domain so empty buckets stay defined.
+   *
+   * Scale: one corpus-sized explode (unigrams + bigrams off one
+   * split) feeding ONE (doc, bucket) shuffle with map-side combine;
+   * the bucket model is ≤16^hexChars rows — aggregated once,
+   * broadcast back; corpus totals ride a one-row cross join. Per-doc
+   * weight sums ≤16^hexChars double terms — round(6) on the output
+   * per the cross-engine float-parity contract (q92 precedent).
+   *
+   * Returns (idCol, n_grams, log_weight).
+   */
+  def dsirLogWeights(
+      docs: DataFrame, idCol: String, textCol: String, isTarget: Column,
+      hexChars: Int = 2): DataFrame = {
+    require(hexChars >= 1 && hexChars <= 8, "hexChars in [1,8]")
+    val domain = math.pow(16.0, hexChars.toDouble)
+    // Unigrams ++ bigrams off one split. sequence(1, 0) would DESCEND
+    // rather than produce empty, so the bigram leg needs the size
+    // guard (bigramLogProb precedent).
+    val grams = docs
+      .select(col(idCol), isTarget.as("__tgt"),
+        split(col(textCol), " ").as("t"))
+      .select(col(idCol), col("__tgt"), explode(when(size(col("t")) >= 2,
+        concat(col("t"), expr(
+          "transform(sequence(1, size(t) - 1), " +
+            "i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1)))")))
+        .otherwise(col("t"))).as("g"))
+      .select(col(idCol), col("__tgt"),
+        substring(md5(col("g")), 1, hexChars).as("__bk"))
+    val perDoc = grams
+      .groupBy(col(idCol), col("__bk"))
+      .agg(count(lit(1)).as("__cnt"),
+        // every gram of a doc shares the doc's target flag
+        first(col("__tgt")).as("__tgt"))
+    val model = perDoc
+      .groupBy(col("__bk"))
+      .agg(
+        sum(when(col("__tgt"), col("__cnt")).otherwise(lit(0L))).as("__ct"),
+        sum(col("__cnt")).as("__cr"))
+    val totals = model.agg(
+      sum(col("__ct")).cast("double").as("__nt"),
+      sum(col("__cr")).cast("double").as("__nr"))
+    perDoc
+      .join(broadcast(model.crossJoin(broadcast(totals))), Seq("__bk"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("__cnt")).as("n_grams"),
+        round(sum(col("__cnt").cast("double") *
+          (log((col("__ct").cast("double") + 1.0) / (col("__nt") + domain)) -
+            log((col("__cr").cast("double") + 1.0) / (col("__nr") + domain)))),
+          6).as("log_weight"))
+  }
 }

@@ -886,6 +886,20 @@ object PipelineQueries {
           col("new_id"), col("old_id"),
           round(col("cosine"), 6).as("cosine"))
         .orderBy("new_id", "old_id")
+    }),
+
+    // DSIR importance-weighted selection: hashed unigram+bigram
+    // bucket models score every doc by log(p_target/q_raw) with
+    // src0/src1 as the target slice; the 50 most target-like docs
+    // win (zero-temperature selection — Gumbel resampling composes
+    // q112's weighted sampler on exp(log_weight)). One corpus
+    // explode + one (doc,bucket) shuffle; 256-row model broadcast.
+    "q152_dsir_select" -> ((s, dir) => {
+      TextAnalysis.dsirLogWeights(
+          t(s, dir, "documents"), "doc_id", "text",
+          isTarget = col("source").isin("src0", "src1"))
+        .orderBy(col("log_weight").desc, col("doc_id"))
+        .limit(50)
     })
   )
 
@@ -2469,6 +2483,40 @@ object PipelineQueries {
         |JOIN nrm_new nn ON nn.vec_id = d.new_id
         |JOIN nrm_old no ON no.vec_id = d.old_id
         |WHERE nn.n > 0 AND no.n > 0 AND d.dp/(nn.n*no.n) >= 0.35
-        |ORDER BY new_id, old_id""".stripMargin
+        |ORDER BY new_id, old_id""".stripMargin,
+
+    "q152_dsir_select" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source IN ('src0', 'src1') AS tgt,
+        |    string_split(text, ' ') AS t
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id, tgt, unnest(t) AS g FROM toks
+        |  UNION ALL
+        |  SELECT doc_id, tgt, t[i] || ' ' || t[i + 1] AS g
+        |  FROM (SELECT doc_id, tgt, t,
+        |          unnest(generate_series(1, len(t) - 1)) AS i
+        |        FROM toks WHERE len(t) >= 2)
+        |), bk AS (
+        |  SELECT doc_id, tgt, substr(md5(g), 1, 2) AS b FROM grams
+        |), per_doc AS (
+        |  SELECT doc_id, b, tgt, COUNT(*) AS cnt FROM bk GROUP BY 1, 2, 3
+        |), model AS (
+        |  SELECT b,
+        |    SUM(CASE WHEN tgt THEN cnt ELSE 0 END) AS ct,
+        |    SUM(cnt) AS cr
+        |  FROM per_doc GROUP BY b
+        |), tot AS (
+        |  SELECT CAST(SUM(ct) AS DOUBLE) AS nt, CAST(SUM(cr) AS DOUBLE) AS nr
+        |  FROM model
+        |)
+        |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams,
+        |  round(SUM(CAST(cnt AS DOUBLE) *
+        |    (ln((CAST(ct AS DOUBLE) + 1.0) / (nt + 256.0)) -
+        |     ln((CAST(cr AS DOUBLE) + 1.0) / (nr + 256.0)))), 6) AS log_weight
+        |FROM per_doc JOIN model USING (b) CROSS JOIN tot
+        |GROUP BY doc_id
+        |ORDER BY log_weight DESC, doc_id
+        |LIMIT 50""".stripMargin
   )
 }

@@ -165,4 +165,28 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(5L) === ((0.0, 1.0, 0.5)))   // tie broken by id
     assert(out(6L) === ((1.0, 0.0, 0.5)))
   }
+
+  test("dsirLogWeights: target-like docs outrank off-target docs; weights sum over unigrams+bigrams") {
+    // Weights are likelihood-ratio SUMS over grams (doc length is a
+    // factor by construction), so ranking comparisons use EQUAL-length
+    // docs: 4 tokens ⇒ 7 grams each.
+    val docs = Seq(
+      // target slice: "alpha beta" vocabulary
+      (1L, "alpha beta alpha beta", true),
+      (2L, "beta alpha beta alpha", true),
+      // raw-only docs: half target vocab / fully disjoint vocab
+      (3L, "alpha beta zeta eta", false),
+      (4L, "zeta eta theta iota", false)
+    ).toDF("doc_id", "text", "tgt")
+    val out = TextAnalysis.dsirLogWeights(docs, "doc_id", "text", col("tgt"))
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // n_grams = tokens + bigrams = 2*len-1 for each doc
+    assert(out.values.forall(_._1 === 7L))
+    // monotone in target-vocabulary share: target doc > mixed > disjoint
+    assert(out(1L)._2 > out(3L)._2,
+      s"target ${out(1L)._2} vs mixed ${out(3L)._2}")
+    assert(out(3L)._2 > out(4L)._2,
+      s"mixed ${out(3L)._2} vs disjoint ${out(4L)._2}")
+  }
 }
