@@ -394,4 +394,72 @@ object TimeSeries {
         max(col("running_total")).as("peak_concurrent"),
         sum(col("__starts")).as("n_started"))
   }
+
+  /**
+   * Subsequence pattern search: the k sliding windows (per-key,
+   * length-m, step 1) whose z-normalized shape is closest to a query
+   * pattern in Euclidean distance — distributed whole-matching in the
+   * UCR-suite family (cf. "Time Series Similarity Search for
+   * Streaming Data in Distributed Systems", EDBT 2019). Z-norming
+   * both sides makes the match amplitude/offset-invariant: a spike
+   * from 10→30 and one from 0.1→0.3 rank identically.
+   *
+   * The window is materialized as `m` `lead()` columns off ONE window
+   * spec — a single per-key shuffle+sort computes all of them in one
+   * pass — and every statistic (μ, σ, the distance) is an EXPLICIT
+   * left-associated expression chain, so the arithmetic is a fixed
+   * IEEE op sequence: bit-reproducible across engines (the parity
+   * contract), codegen-friendly, and free of collect_list buffers.
+   * Flat windows (σ ≤ `minStd`) can't be z-normed and are skipped.
+   *
+   * Scale: one shuffle on the key (the same exchange every other
+   * per-key series op reuses), O(m) arithmetic per row with NO row
+   * multiplication (contrast the explode-m-copies formulation), and
+   * the global top-k compiles to TakeOrderedAndProject — per-task
+   * k-row heaps, never a full sort. The UCR early-abandon/LB_Keogh
+   * prunes trade branches for vector lanes, which is the wrong trade
+   * inside whole-stage codegen; at 100 TB the win is that each
+   * executor emits at most k candidate rows.
+   *
+   * Returns (keyCol, tsCol, tieCol, dist) for the k best windows,
+   * identified by their start row.
+   */
+  def patternSearch(
+      series: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      valueCol: String, pattern: Seq[Double], k: Int,
+      minStd: Double = 1e-9): DataFrame = {
+    val m = pattern.size
+    require(m >= 2, s"pattern needs >= 2 points, got $m")
+    require(k >= 1, s"k must be >= 1, got $k")
+    // Constant-folded z-norm of the pattern: SAME formula as the
+    // window side, so the oracle can repeat it literally.
+    val pMean = pattern.map(lit).reduceLeft(_ + _) / lit(m.toDouble)
+    val pVar = pattern.map(p => lit(p) * lit(p)).reduceLeft(_ + _) /
+      lit(m.toDouble) - pMean * pMean
+    val pStd = sqrt(pVar)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val vs = (0 until m).map { i =>
+      if (i == 0) col(valueCol).cast("double")
+      else lead(col(valueCol).cast("double"), i).over(w)
+    }
+    val mean = vs.reduceLeft(_ + _) / lit(m.toDouble)
+    val variance = vs.map(v => v * v).reduceLeft(_ + _) / lit(m.toDouble) -
+      mean * mean
+    val std = sqrt(greatest(variance, lit(0.0)))
+    val dist2 = pattern.indices.map { i =>
+      val d = (vs(i) - mean) / std - ((lit(pattern(i)) - pMean) / pStd)
+      d * d
+    }.reduceLeft(_ + _)
+    // One projection holds every window expression so they all land
+    // in a single WindowExec pass; the completeness/flatness filter
+    // runs above it.
+    series
+      .select(col(keyCol), col(tsCol), col(tieCol),
+        vs.last.as("__vlast"), std.as("__std"),
+        round(sqrt(dist2), 6).as("dist"))
+      .where(col("__vlast").isNotNull && col("__std") > minStd)
+      .select(col(keyCol), col(tsCol), col(tieCol), col("dist"))
+      .orderBy(col("dist"), col(keyCol), col(tieCol))
+      .limit(k)
+  }
 }

@@ -900,8 +900,63 @@ object PipelineQueries {
           isTarget = col("source").isin("src0", "src1"))
         .orderBy(col("log_weight").desc, col("doc_id"))
         .limit(50)
+    }),
+
+    // Subsequence pattern search: 25 best z-normalized matches of a
+    // spike-dip shape across every user's value series — m lead()
+    // columns off one per-key window, fixed-IEEE-op distance, global
+    // top-k via TakeOrderedAndProject. The oracle repeats the exact
+    // expression chain (generated from the same constants).
+    "q153_pattern_search" -> ((s, dir) => {
+      graft.operators.TimeSeries.patternSearch(
+          t(s, dir, "events").select("user_id", "ts", "event_id", "value"),
+          "user_id", "ts", "event_id", "value",
+          pattern = searchPattern, k = 25)
     })
   )
+
+  /** q153's query shape, shared between the operator call and the
+    * generated oracle. */
+  private val searchPattern: Seq[Double] =
+    Seq(0.0, 1.0, 3.0, 1.0, 0.0, -1.0, -3.0, -1.0)
+
+  /** Generated DuckDB oracle for q153: the SAME left-associated
+    * expression chains `TimeSeries.patternSearch` builds, emitted as
+    * SQL text so both engines run a bit-identical IEEE op sequence
+    * (explicit products, no pow; μ repeated verbatim inside σ). */
+  private def patternSearchOracle(pattern: Seq[Double], k: Int): String = {
+    val m = pattern.size
+    val lits = pattern.map(p => f"$p%.1f")
+    val vcols = (0 until m).map(i => s"v$i")
+    val leadDefs = (1 until m)
+      .map(i => s"lead(CAST(value AS DOUBLE), $i) OVER win AS v$i")
+      .mkString(", ")
+    val mu = "(" + vcols.mkString(" + ") + s") / $m.0"
+    val sum2 = "(" + vcols.map(v => s"$v * $v").mkString(" + ") + s") / $m.0"
+    val sd = s"sqrt(greatest($sum2 - ($mu) * ($mu), 0.0))"
+    val pm = "(" + lits.mkString(" + ") + s") / $m.0"
+    val ps = "sqrt((" + lits.map(l => s"$l * $l").mkString(" + ") +
+      s") / $m.0 - ($pm) * ($pm))"
+    val dist2 = pattern.indices.map { i =>
+      val d = s"((v$i - mu) / sd - (${lits(i)} - $pm) / $ps)"
+      s"$d * $d"
+    }.mkString(" + ")
+    s"""WITH w AS (
+       |  SELECT user_id, ts, event_id, CAST(value AS DOUBLE) AS v0,
+       |    $leadDefs
+       |  FROM events
+       |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |), s AS (
+       |  SELECT user_id, ts, event_id, ${vcols.mkString(", ")},
+       |    $mu AS mu, $sd AS sd
+       |  FROM w
+       |)
+       |SELECT user_id, ts, event_id, round(sqrt($dist2), 6) AS dist
+       |FROM s
+       |WHERE v${m - 1} IS NOT NULL AND sd > 1e-9
+       |ORDER BY dist, user_id, event_id
+       |LIMIT $k""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "q15_exact_dedup" ->
@@ -2517,6 +2572,8 @@ object PipelineQueries {
         |FROM per_doc JOIN model USING (b) CROSS JOIN tot
         |GROUP BY doc_id
         |ORDER BY log_weight DESC, doc_id
-        |LIMIT 50""".stripMargin
+        |LIMIT 50""".stripMargin,
+
+    "q153_pattern_search" -> patternSearchOracle(searchPattern, 25)
   )
 }

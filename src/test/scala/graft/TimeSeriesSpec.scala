@@ -200,4 +200,37 @@ class TimeSeriesSpec extends AnyFunSuite {
       .select("peak_concurrent").as[Long].collect().toSeq
     assert(peak === Seq(2L))
   }
+
+  test("patternSearch: amplitude/offset-invariant exact hit ranks first at dist 0; flat windows skipped") {
+    def ts(sec: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:00:$sec%02d")
+    val pattern = Seq(0.0, 1.0, 3.0, 1.0)
+    // key 1 embeds the pattern scaled x10 + offset 100 at position 3;
+    // key 2 is constant (flat windows must never match).
+    val noise = Seq(5.0, -2.0, 7.0)
+    val k1 = noise ++ pattern.map(_ * 10 + 100) ++ Seq(4.0, -6.0)
+    val rows =
+      k1.zipWithIndex.map { case (v, i) => (1L, ts(i), i.toLong, v) } ++
+        (0 until 8).map(i => (2L, ts(i), (100 + i).toLong, 42.0))
+    val df = rows.toDF("user_id", "t", "tie", "v")
+    val out = TimeSeries.patternSearch(
+        df, "user_id", "t", "tie", "v", pattern, k = 3)
+      .as[(Long, java.sql.Timestamp, Long, Double)].collect()
+    assert(out.head._1 === 1L)
+    assert(out.head._3 === 3L, "match must start where the copy was planted")
+    assert(out.head._4 === 0.0, "z-normed exact copy has distance 0")
+    assert(out.forall(_._1 === 1L), "flat key-2 windows must be skipped")
+  }
+
+  test("patternSearch: single WindowExec pass + TakeOrderedAndProject top-k") {
+    val df = graft.sources.Tables
+      .load(spark, "/root/testdata/sf0.001", "events")
+      .select("user_id", "ts", "event_id", "value")
+    val plan = TimeSeries.patternSearch(
+        df, "user_id", "ts", "event_id", "value",
+        Seq(0.0, 1.0, 3.0, 1.0, 0.0, -1.0, -3.0, -1.0), k = 25)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), "top-k must not global-sort")
+    assert("Window ".r.findAllIn(plan).size === 1,
+      s"all ${8} lead columns must share ONE WindowExec pass")
+  }
 }
