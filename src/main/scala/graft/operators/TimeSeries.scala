@@ -428,9 +428,38 @@ object TimeSeries {
       series: DataFrame, keyCol: String, tsCol: String, tieCol: String,
       valueCol: String, pattern: Seq[Double], k: Int,
       minStd: Double = 1e-9): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    scoredWindows(series, keyCol, tsCol, tieCol, valueCol, pattern, minStd)
+      .orderBy(col("dist"), col(keyCol), col(tieCol))
+      .limit(k)
+  }
+
+  /**
+   * Threshold variant of [[patternSearch]]: EVERY window whose
+   * z-normalized distance to the pattern is at most `maxDist` (the
+   * compare runs on the round(6) distance, so the cut is engine-
+   * reproducible). Same single-WindowExec plan; output is all hits in
+   * (key, ts, tie) order — the batch counterpart of
+   * `EventStreams.streamingPatternMatch`, parity-asserted in
+   * EventStreamsSpec.
+   */
+  def patternMatches(
+      series: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      valueCol: String, pattern: Seq[Double], maxDist: Double,
+      minStd: Double = 1e-9): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    scoredWindows(series, keyCol, tsCol, tieCol, valueCol, pattern, minStd)
+      .where(col("dist") <= maxDist)
+      .orderBy(col(keyCol), col(tsCol), col(tieCol))
+  }
+
+  /** Shared scorer for the pattern family: every complete, non-flat
+    * window as (key, ts, tie, dist). */
+  private def scoredWindows(
+      series: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      valueCol: String, pattern: Seq[Double], minStd: Double): DataFrame = {
     val m = pattern.size
     require(m >= 2, s"pattern needs >= 2 points, got $m")
-    require(k >= 1, s"k must be >= 1, got $k")
     // Constant-folded z-norm of the pattern: SAME formula as the
     // window side, so the oracle can repeat it literally.
     val pMean = pattern.map(lit).reduceLeft(_ + _) / lit(m.toDouble)
@@ -459,7 +488,5 @@ object TimeSeries {
         round(sqrt(dist2), 6).as("dist"))
       .where(col("__vlast").isNotNull && col("__std") > minStd)
       .select(col(keyCol), col(tsCol), col(tieCol), col("dist"))
-      .orderBy(col("dist"), col(keyCol), col(tieCol))
-      .limit(k)
   }
 }

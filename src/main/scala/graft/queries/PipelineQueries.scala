@@ -912,6 +912,17 @@ object PipelineQueries {
           t(s, dir, "events").select("user_id", "ts", "event_id", "value"),
           "user_id", "ts", "event_id", "value",
           pattern = searchPattern, k = 25)
+    }),
+
+    // Threshold variant (batch half of the streaming parity pair):
+    // EVERY window within z-normalized distance 1.4 of the shape, in
+    // (key, ts) order — same single-WindowExec scorer as q153, filter
+    // on the round(6) distance so the cut is engine-reproducible.
+    "q154_pattern_matches" -> ((s, dir) => {
+      graft.operators.TimeSeries.patternMatches(
+          t(s, dir, "events").select("user_id", "ts", "event_id", "value"),
+          "user_id", "ts", "event_id", "value",
+          pattern = searchPattern, maxDist = 1.4)
     })
   )
 
@@ -920,11 +931,18 @@ object PipelineQueries {
   private val searchPattern: Seq[Double] =
     Seq(0.0, 1.0, 3.0, 1.0, 0.0, -1.0, -3.0, -1.0)
 
-  /** Generated DuckDB oracle for q153: the SAME left-associated
-    * expression chains `TimeSeries.patternSearch` builds, emitted as
-    * SQL text so both engines run a bit-identical IEEE op sequence
-    * (explicit products, no pow; μ repeated verbatim inside σ). */
-  private def patternSearchOracle(pattern: Seq[Double], k: Int): String = {
+  /** Generated DuckDB oracle for q153/q154: the SAME left-associated
+    * expression chains `TimeSeries.patternSearch`/`patternMatches`
+    * build, emitted as SQL text so both engines run a bit-identical
+    * IEEE op sequence (explicit products, no pow; μ repeated verbatim
+    * inside σ). Exactly one of `limitK` (top-k mode, q153) or
+    * `maxDist` (threshold mode, q154 — the round(6) distance
+    * expression repeats verbatim in the WHERE) must be set. */
+  private def patternSearchOracle(
+      pattern: Seq[Double], limitK: Option[Int] = None,
+      maxDist: Option[Double] = None): String = {
+    require(limitK.isDefined != maxDist.isDefined,
+      "exactly one of limitK / maxDist")
     val m = pattern.size
     val lits = pattern.map(p => f"$p%.1f")
     val vcols = (0 until m).map(i => s"v$i")
@@ -954,8 +972,9 @@ object PipelineQueries {
        |SELECT user_id, ts, event_id, round(sqrt($dist2), 6) AS dist
        |FROM s
        |WHERE v${m - 1} IS NOT NULL AND sd > 1e-9
-       |ORDER BY dist, user_id, event_id
-       |LIMIT $k""".stripMargin
+       |${maxDist.map(t => s"  AND round(sqrt($dist2), 6) <= $t\n").getOrElse("")}${
+        if (limitK.isDefined) s"ORDER BY dist, user_id, event_id\nLIMIT ${limitK.get}"
+        else "ORDER BY user_id, ts, event_id"}""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
@@ -2574,6 +2593,10 @@ object PipelineQueries {
         |ORDER BY log_weight DESC, doc_id
         |LIMIT 50""".stripMargin,
 
-    "q153_pattern_search" -> patternSearchOracle(searchPattern, 25)
+    "q153_pattern_search" ->
+      patternSearchOracle(searchPattern, limitK = Some(25)),
+
+    "q154_pattern_matches" ->
+      patternSearchOracle(searchPattern, maxDist = Some(1.4))
   )
 }

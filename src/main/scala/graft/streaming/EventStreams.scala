@@ -55,6 +55,15 @@ case class CusumPoint(
     key: Long, ts: Timestamp, tie: Long, value: Double,
     sPos: Double, sNeg: Double, alarm: Boolean)
 
+/** Per-key pattern-match state: the last m−1 points (tsMicros, tie,
+  * value) — the minimum that identifies the window START row when the
+  * m-th point completes a window. */
+case class PatternState(ring: Vector[(Long, Long, Double)])
+
+/** One matched window from the streaming pattern search, keyed by its
+  * start row (same identification the batch operator emits). */
+case class PatternHit(key: Long, ts: Timestamp, tie: Long, dist: Double)
+
 /**
  * Streaming analytics over event streams — the watermarked /
  * stateful half of the engine's streaming surface (the daily-flow
@@ -536,6 +545,100 @@ object EventStreams {
             }
             closed.result().iterator
           }
+      }
+  }
+
+  /**
+   * Streaming subsequence pattern matching — the stateful counterpart
+   * of [[graft.operators.TimeSeries.patternMatches]] (the EDBT-2019
+   * streaming-similarity-search setting the batch operator cites):
+   * per key the state is ONLY the last m−1 points (ring of (tsMicros,
+   * tie, value) — O(m) per key, the minimum that can identify a
+   * completed window's START row), each arriving point completes one
+   * window, and windows whose z-normalized distance to the pattern is
+   * at most `maxDist` are emitted keyed by their start row.
+   *
+   * Parity contract: values fold in index order exactly like the
+   * batch operator's left-associated expression chain, the distance
+   * is rounded HALF_UP to 6 places (Spark `round` semantics) BEFORE
+   * the threshold compare, and rows sort by the exact-microsecond
+   * (ts, tie) key — in-order sources reproduce the batch hit set
+   * row-for-row (EventStreamsSpec).
+   */
+  def streamingPatternMatch(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String,
+      valueCol: String,
+      pattern: Seq[Double],
+      maxDist: Double,
+      minStd: Double = 1e-9): Dataset[PatternHit] = {
+    val m = pattern.size
+    require(m >= 2, s"pattern needs >= 2 points, got $m")
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    graft.operators.TimeSeries.requireIntegralKey(events, keyCol)
+    // Constant z-norm of the pattern, same fold order as the batch
+    // expression chain (Catalyst constant-folds the identical ops).
+    val pMean = pattern.reduceLeft(_ + _) / m
+    val pStd = math.sqrt(
+      pattern.map(p => p * p).reduceLeft(_ + _) / m - pMean * pMean)
+    val zp = pattern.map(p => (p - pMean) / pStd)
+    def round6(x: Double): Double =
+      BigDecimal.valueOf(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(
+        col(keyCol).cast("long").as("key"),
+        col(tsCol).cast("timestamp").as("ts"),
+        col(tieCol).cast("long").as("tie"),
+        col(valueCol).cast("double").as("x"))
+      .as[(Long, Timestamp, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[PatternState, PatternHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Timestamp, Long, Double)],
+            state: GroupState[PatternState]) =>
+          var ring = state.getOption.map(_.ring).getOrElse(Vector.empty)
+          def toUs(t: Timestamp): Long =
+            t.getTime / 1000 * 1000000L + t.getNanos / 1000
+          val out = rows.toSeq
+            .sortBy { case (_, t, tie, _) => (toUs(t), tie) }
+            .flatMap { case (_, t, tie, x) =>
+              val tUs = toUs(t)
+              val hit =
+                if (ring.length < m - 1) None
+                else {
+                  val vs = ring.map(_._3) :+ x
+                  // Same index-order folds as the batch expressions.
+                  val mean = vs.reduceLeft(_ + _) / m
+                  val std = math.sqrt(math.max(
+                    vs.map(v => v * v).reduceLeft(_ + _) / m - mean * mean,
+                    0.0))
+                  if (std <= minStd) None
+                  else {
+                    val dist2 = pattern.indices
+                      .map { i =>
+                        val d = (vs(i) - mean) / std - zp(i)
+                        d * d
+                      }
+                      .reduceLeft(_ + _)
+                    val dist = round6(math.sqrt(dist2))
+                    if (dist <= maxDist) {
+                      val (sUs, sTie, _) = ring.head
+                      val sTs = new Timestamp(sUs / 1000000 * 1000)
+                      sTs.setNanos((sUs % 1000000).toInt * 1000)
+                      Some(PatternHit(key, sTs, sTie, dist))
+                    } else None
+                  }
+                }
+              ring = (ring :+ ((tUs, tie, x))).takeRight(m - 1)
+              hit
+            }
+          state.update(PatternState(ring))
+          out.iterator
       }
   }
 }

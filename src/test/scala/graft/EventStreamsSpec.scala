@@ -385,4 +385,51 @@ class EventStreamsSpec extends AnyFunSuite {
       }
     } finally q.stop()
   }
+
+  test("parity: streamingPatternMatch matches batch TimeSeries.patternMatches") {
+    // Random series + one EXACT (scaled/offset) pattern copy per key,
+    // planted so its window STRADDLES a micro-batch boundary (the
+    // ring state must carry it across). Hit sets and distances must
+    // agree row-for-row with the batch operator.
+    implicit val sqlCtx = spark.sqlContext
+    val pattern = Seq(0.0, 2.0, 5.0, 2.0)
+    val rnd = new scala.util.Random(31)
+    val rows = (for (k <- 1L to 3L; i <- 0 until 30) yield {
+      // batches are 30-row slices of the k-interleaved sequence; the
+      // copy at i = 18..21 crosses the slice edge for some keys
+      val base = rnd.nextDouble() * 10
+      val v =
+        if (i >= 18 && i <= 21) pattern(i - 18) * (k + 1.0) + 50 * k
+        else base
+      (k * 1000 + i, k, ts(k * 10000 + i * 60), v)
+    }).toSeq
+    val input = MemoryStream[(Long, Long, Timestamp, Double)]
+    val hits = EventStreams.streamingPatternMatch(
+      input.toDF.toDF("event_id", "user_id", "ts", "value"),
+      "user_id", "ts", "event_id", "value", pattern, maxDist = 1.5)
+    val q = hits.writeStream
+      .format("memory").queryName("parity_pattern").outputMode("append").start()
+    try {
+      rows.grouped(30).foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      val streamed = spark.table("parity_pattern")
+        .as[graft.streaming.PatternHit].collect()
+        .map(h => (h.key, h.tie) -> h.dist).toMap
+      val batch = graft.operators.TimeSeries
+        .patternMatches(rows.toDF("event_id", "user_id", "ts", "value"),
+          "user_id", "ts", "event_id", "value", pattern, maxDist = 1.5)
+        .select("user_id", "event_id", "dist")
+        .as[(Long, Long, Double)].collect()
+      assert(batch.length === streamed.size, "hit SETS must agree")
+      batch.foreach { case (k, tie, d) =>
+        val sd = streamed.get((k, tie))
+        assert(sd.isDefined, s"($k,$tie) missing from stream")
+        assert(math.abs(sd.get - d) < 1e-6, s"($k,$tie) dist $sd vs $d")
+      }
+      // every key's planted copy (window start i=18 ⇒ tie=k*1000+18)
+      // must be among the hits at distance 0
+      for (k <- 1L to 3L)
+        assert(streamed.get((k, k * 1000 + 18)).exists(_ == 0.0),
+          s"key $k: planted copy not matched at dist 0")
+    } finally q.stop()
+  }
 }
