@@ -87,7 +87,13 @@ object Similarity {
         "__cos",
         dot(col("__v"), col("__p")) / (col("__vnorm") * col("__pnorm")))
       .select("probe_id", "vec_id", "__cos")
+    rankTopK(scored, k)
+  }
 
+  /** The family's shared rank-and-cut: row_number over (cosine desc
+    * with NaN→null sorted last, vec_id asc) — ONE tie rule everywhere
+    * so incremental merges re-rank identically to full recomputes. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("probe_id")
       .orderBy(
         when(!isnan(col("__cos")), col("__cos")).desc_nulls_last,
@@ -98,6 +104,39 @@ object Similarity {
       .select(
         col("probe_id"), col("vec_id"), col("rank"),
         col("__cos").as("cosine"))
+  }
+
+  /**
+   * Incremental top-k maintenance (the EDBT-2020 interactive-session
+   * setting, cf. PAPERS.md): fold a NEW vector batch into an existing
+   * per-probe top-k WITHOUT rescanning the old corpus. Because
+   * row_number's tie rule is total and shared (see [[rankTopK]]),
+   * `topk(old ∪ new) = rank(topk(old) ∪ topk(new))` EXACTLY — the
+   * q155 oracle asserts the identity against a full recompute over
+   * the union corpus.
+   *
+   * `prevTopK` must be [[cosineTopK]]-shaped with UNROUNDED cosines
+   * (round only at the output boundary, or re-ranking against fresh
+   * unrounded scores breaks ties differently).
+   *
+   * Scale: the scoring scan touches ONLY the new batch (broadcast
+   * probes, partial WindowGroupLimit — same bounded-shuffle shape as
+   * cosineTopK); the merge re-ranks probes×2k rows. At 100 TB this is
+   * the difference between an append being O(batch) and O(corpus).
+   */
+  def cosineTopKIncremental(
+      prevTopK: DataFrame,
+      newCorpus: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val fresh = cosineTopK(newCorpus, probes, idCol, vecCol, k)
+    val merged = prevTopK.select(col("probe_id"), col("vec_id"),
+        col("cosine").as("__cos"))
+      .unionByName(fresh.select(col("probe_id"), col("vec_id"),
+        col("cosine").as("__cos")))
+    rankTopK(merged, k)
   }
 
   /**

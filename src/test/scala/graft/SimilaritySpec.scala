@@ -312,4 +312,30 @@ class SimilaritySpec extends AnyFunSuite {
     val r = 0.707107 // 1/sqrt(2)
     assert(out === Seq((0, 1, 0.0), (0, 2, r), (1, 2, r)))
   }
+
+  test("cosineTopKIncremental: identity with full recompute; clones displace at rank 1") {
+    val rnd = new scala.util.Random(37)
+    def vec() = Array.fill(8)(rnd.nextFloat() * 2 - 1)
+    val old = (0L until 40L).map(i => (i, vec()))
+    // the batch: fresh randoms + an EXACT clone of probe 2
+    val fresh = (100L until 120L).map(i => (i, vec())) :+
+      ((200L, old(2)._2.clone()))
+    val oldDf = old.toDF("vec_id", "embedding")
+    val batchDf = fresh.toDF("vec_id", "embedding")
+    val probes = oldDf.where($"vec_id" < 3)
+    val k = 7
+    val prev = Similarity.cosineTopK(oldDf, probes, "vec_id", "embedding", k)
+    val inc = Similarity.cosineTopKIncremental(
+        prev, batchDf, probes, "vec_id", "embedding", k)
+      .select("probe_id", "rank", "vec_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val full = Similarity.cosineTopK(
+        oldDf.unionByName(batchDf), probes, "vec_id", "embedding", k)
+      .select("probe_id", "rank", "vec_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(inc === full, "incremental must equal full recompute exactly")
+    // probe 2's clone must take rank 1 at cosine 1.0
+    val top2 = inc.find(r => r._1 == 2L && r._2 == 1).get
+    assert(top2._3 === 200L && math.abs(top2._4 - 1.0) < 1e-9)
+  }
 }
