@@ -171,4 +171,71 @@ object Sampling {
         explode(when(n >= 1, sequence(lit(1), n))
           .otherwise(array().cast("array<int>"))))
   }
+
+  /**
+   * Temperature-scaled source mixture (the multilingual/multi-source
+   * alpha-sampling recipe, cf. mT5/XLM-R: sample source i with
+   * probability ∝ share_i^α): draw EXACTLY `totalK` rows, per-source
+   * budgets k_i ∝ (Σ weight_i)^α apportioned by largest-remainder
+   * rounding (Σ k_i = totalK exactly), rows picked per source in
+   * md5(id) hash order. α < 1 flattens the mixture toward uniform —
+   * upweighting tail sources a raw proportional draw would starve;
+   * α = 1 is proportional, α = 0 uniform.
+   *
+   * Engine-reproducible arithmetic: α is restricted to 0.5 — the one
+   * non-trivial temperature whose power is `sqrt`, correctly rounded
+   * by IEEE 754 in BOTH Spark (Math.sqrt) and the DuckDB oracle
+   * (libm sqrt), where a general `pow` is only 1-ulp-accurate and
+   * engine-dependent. The sqrt weights pass through DECIMAL(28,10)
+   * so the normalizing total is an EXACT sum (order-independent);
+   * floors/remainders are then fixed double-op chains (q118
+   * contract).
+   *
+   * Scale: budgets come from one map-combined per-source aggregate
+   * (|sources| rows, broadcast back). The per-source hash rank is
+   * pre-capped at the STATIC totalK — that filter compiles to
+   * WindowGroupLimit, so each map task ships ≤ totalK rows per
+   * source and the dynamic cut k_i ≤ totalK prunes the ≤
+   * |sources|·totalK survivors. The few-huge-keys skew of a
+   * per-source window never sees the full corpus.
+   *
+   * Returns (keyCol, idCol, pick_rank), pick_rank ∈ 1..k_i.
+   */
+  def temperatureMixture(
+      df: DataFrame, keyCol: String, idCol: String, weightCol: String,
+      totalK: Int): DataFrame = {
+    require(totalK >= 1, s"temperatureMixture: totalK >= 1, got $totalK")
+    import org.apache.spark.sql.types.DecimalType
+    val shares = df.groupBy(col(keyCol))
+      .agg(sum(col(weightCol).cast("double")).as("__cnt"))
+      .withColumn("__w",
+        sqrt(col("__cnt")).cast(DecimalType(28, 10)).cast("double"))
+    val tot = shares
+      .agg(sum(col("__w").cast(DecimalType(28, 10))).cast("double")
+        .as("__wtot"))
+    val targets = shares.crossJoin(broadcast(tot))
+      .withColumn("__target", lit(totalK.toDouble) * col("__w") / col("__wtot"))
+      .withColumn("__base", floor(col("__target")).cast("long"))
+      .withColumn("__frac", col("__target") - floor(col("__target")))
+    val extra = targets
+      .agg((lit(totalK.toLong) - sum(col("__base"))).as("__extra"))
+    val budgets = targets.crossJoin(broadcast(extra))
+      .withColumn("__fr", row_number().over(
+        Window.orderBy(col("__frac").desc, col(keyCol))))
+      .withColumn("__k",
+        col("__base") +
+          when(col("__fr") <= col("__extra"), 1L).otherwise(0L))
+      // rename the key: budgets derives from df, and joining the two
+      // lineages on the shared name trips ambiguous-reference
+      .select(col(keyCol).as("__bkey"), col("__k"))
+    // static pre-cap → WindowGroupLimit; dynamic k_i cut afterwards
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.select(col(keyCol), col(idCol))
+      .withColumn("pick_rank", row_number().over(w))
+      .where(col("pick_rank") <= totalK)
+      .join(broadcast(budgets), col(keyCol) === col("__bkey"))
+      .where(col("pick_rank") <= col("__k"))
+      .select(col(keyCol), col(idCol), col("pick_rank"))
+  }
 }

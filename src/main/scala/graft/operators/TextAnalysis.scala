@@ -456,4 +456,83 @@ object TextAnalysis {
             log((col("__cr").cast("double") + 1.0) / (col("__nr") + domain)))),
           6).as("log_weight"))
   }
+
+  /**
+   * Exact substring-span deduplication (Lee et al. 2021,
+   * "Deduplicating Training Data Makes Language Models Better"): find
+   * every token position covered by a length-`k` token n-gram that
+   * occurs at least `minCount` times ACROSS THE WHOLE CORPUS
+   * (multiplicity counts, including within one document), and remove
+   * those spans — the suffix-array ExactSubstr recipe re-expressed as
+   * a distributed n-gram pipeline. Unlike document-level dedup (q15)
+   * or chunk-identity dedup (q73), this deletes the repeated TEXT
+   * while keeping each document's unique remainder — the operator
+   * that strips boilerplate headers/footers replicated across a
+   * crawl.
+   *
+   * Mechanics: per position p, the n-gram is `slice(toks, p+1, k)` —
+   * built inside ONE `transform` lambda so the token array is never
+   * carried through the explode (O(L·k) work per doc, no O(L²)
+   * row-width blowup). Global counts flag n-grams with ≥ `minCount`
+   * occurrences; a position t is covered iff some flagged n-gram
+   * starts in [t−k+1, t] — exactly a per-doc window
+   * `max(flag) OVER (ROWS k−1 PRECEDING..CURRENT)`. Span starts
+   * (covered with an uncovered predecessor) ride the same window
+   * spec, so both passes share one per-doc shuffle+sort.
+   *
+   * Scale: shuffles carry (ngram, doc, pos) tuples, never pair-wise
+   * candidates — volume is O(total tokens), and the count aggregation
+   * map-combines on the Zipf-bounded distinct-n-gram domain. The
+   * flagged set joins back co-partitioned on the n-gram hash (big×
+   * big, AQE-broadcast when small). All-integer/string semantics —
+   * no float parity risk in the oracle.
+   *
+   * Returns (idCol, n_tokens, n_removed, n_spans, cleaned_text) with
+   * cleaned_text the kept tokens in original order ('' when the whole
+   * doc is removed).
+   */
+  def substringDedup(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minCount: Long = 2L): DataFrame = {
+    require(k >= 2, s"substringDedup: k must be >= 2, got $k")
+    require(minCount >= 2, s"substringDedup: minCount >= 2, got $minCount")
+    val pos = docs
+      .select(col(idCol),
+        expr(s"""transform(split($textCol, ' '),
+          | (tok, i) -> named_struct(
+          |   'tok', tok,
+          |   'ng', IF(i <= size(split($textCol, ' ')) - $k,
+          |            array_join(slice(split($textCol, ' '), i + 1, $k), ' '),
+          |            NULL)))""".stripMargin).as("__cells"))
+      .select(col(idCol), posexplode(col("__cells")).as(Seq("pos", "c")))
+      .select(col(idCol), col("pos"), col("c.tok").as("tok"),
+        col("c.ng").as("ng"))
+    val flagged = pos.where(col("ng").isNotNull)
+      .groupBy(col("ng")).agg(count(lit(1)).as("__cnt"))
+      .where(col("__cnt") >= minCount)
+      .select(col("ng"), lit(1).as("__flag"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val covered = pos
+      .join(flagged, Seq("ng"), "left")
+      // coalesce keeps the flag non-nullable so no IsNotNull on a
+      // derived expression leaks into the scan (plan-hygiene rule)
+      .withColumn("__f", coalesce(col("__flag"), lit(0)))
+      .withColumn("__cov",
+        max(col("__f")).over(w.rowsBetween(-(k - 1), Window.currentRow)))
+      .withColumn("__span_start",
+        when(col("__cov") === 1 &&
+          coalesce(lag(col("__cov"), 1).over(w), lit(0)) === 0, 1L)
+          .otherwise(0L))
+    covered
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("__cov").cast("long")).as("n_removed"),
+        sum(col("__span_start")).as("n_spans"),
+        array_join(
+          expr("transform(array_sort(" +
+            "collect_list(IF(__cov = 0, struct(pos, tok), NULL))), " +
+            "s -> s.tok)"),
+          " ").as("cleaned_text"))
+  }
 }

@@ -923,6 +923,49 @@ object PipelineQueries {
           t(s, dir, "events").select("user_id", "ts", "event_id", "value"),
           "user_id", "ts", "event_id", "value",
           pattern = searchPattern, maxDist = 1.4)
+    }),
+
+    // Incremental top-k maintenance: fold a new vector batch (every
+    // 7th vector re-sent under a shifted id — exact copies that MUST
+    // displace old neighbors, e.g. probe 3's clone lands at rank 1,
+    // cosine 1.0) into q19's standing top-10 by scanning ONLY the
+    // batch. The oracle recomputes top-k over the full union corpus —
+    // asserting the identity topk(old ∪ new) = rank(topk(old) ∪
+    // topk(new)) that the shared total tie rule guarantees.
+    "q155_incremental_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val probes = emb.where(col("vec_id") < 5)
+      val batch = emb.where(col("vec_id") % 7 === 3)
+        .select((col("vec_id") + 50000L).as("vec_id"), col("embedding"))
+      val prev = Similarity.cosineTopK(emb, probes, "vec_id", "embedding", 10)
+      Similarity.cosineTopKIncremental(
+          prev, batch, probes, "vec_id", "embedding", 10)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("probe_id", "rank")
+    }),
+
+    // Exact substring-span dedup (Lee et al. ExactSubstr, distributed):
+    // token positions covered by any corpus-repeated 8-gram are
+    // removed; the unique remainder survives. All-integer semantics —
+    // the oracle mirrors the n-gram/window pipeline exactly.
+    "q156_substring_dedup" -> ((s, dir) => {
+      graft.operators.TextAnalysis.substringDedup(
+          t(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", "text", k = 8, minCount = 2L)
+        .orderBy("doc_id")
+    }),
+
+    // Temperature-scaled source mixture (alpha = 0.5): exactly 200
+    // docs, per-source budgets proportional to sqrt(char mass) with
+    // largest-remainder rounding, picks in md5 hash order. sqrt is
+    // IEEE-correctly-rounded in both engines (pow is not) and the
+    // normalizing total rides DECIMAL(28,10) — the oracle repeats the
+    // identical arithmetic.
+    "q158_temperature_mixture" -> ((s, dir) => {
+      graft.operators.Sampling.temperatureMixture(
+          t(s, dir, "documents").select("source", "doc_id", "n_chars"),
+          "source", "doc_id", "n_chars", totalK = 200)
+        .orderBy("source", "pick_rank")
     })
   )
 
@@ -2597,6 +2640,121 @@ object PipelineQueries {
       patternSearchOracle(searchPattern, limitK = Some(25)),
 
     "q154_pattern_matches" ->
-      patternSearchOracle(searchPattern, maxDist = Some(1.4))
+      patternSearchOracle(searchPattern, maxDist = Some(1.4)),
+
+    // Full recompute over old ∪ new — the incremental result must
+    // equal it exactly (same total tie rule both sides).
+    "q155_incremental_topk" ->
+      """WITH uni AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 50000 AS vec_id, embedding
+        |  FROM embeddings WHERE vec_id % 7 = 3
+        |), el AS (
+        |  SELECT vec_id, generate_subscripts(embedding,1) AS d,
+        |         unnest(embedding)::DOUBLE AS x
+        |  FROM uni
+        |), nrm AS (
+        |  SELECT vec_id, sqrt(SUM(x*x)) AS n FROM el GROUP BY vec_id
+        |), pr AS (
+        |  SELECT vec_id AS probe_id, d, x FROM el WHERE vec_id < 5
+        |), dots AS (
+        |  SELECT p.probe_id, e.vec_id, SUM(p.x * e.x) AS dp
+        |  FROM pr p JOIN el e ON e.d = p.d AND e.vec_id <> p.probe_id
+        |  GROUP BY 1, 2
+        |), cs AS (
+        |  SELECT d.probe_id, d.vec_id, d.dp / (np.n * nv.n) AS cosine
+        |  FROM dots d
+        |  JOIN nrm np ON np.vec_id = d.probe_id
+        |  JOIN nrm nv ON nv.vec_id = d.vec_id
+        |)
+        |SELECT probe_id, vec_id, CAST(rank AS INT) AS rank,
+        |  round(cosine, 6) AS cosine
+        |FROM (
+        |  SELECT probe_id, vec_id, cosine,
+        |    row_number() OVER (PARTITION BY probe_id
+        |                       ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM cs)
+        |WHERE rank <= 10
+        |ORDER BY probe_id, rank""".stripMargin,
+
+    // Mirrors substringDedup: n-gram at position p = toks[p+1..p+8]
+    // (DuckDB list slice is 1-based inclusive), corpus counts with
+    // multiplicity, covered = windowed max(flag) over the k-1
+    // trailing starts, spans = covered with uncovered predecessor.
+    // string_agg skips NULL (removed) tokens; COALESCE '' matches
+    // Spark's array_join on an all-removed doc.
+    "q156_substring_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), p AS (
+        |  SELECT doc_id, pos, toks[pos + 1] AS tok,
+        |    CASE WHEN pos <= len(toks) - 8
+        |         THEN array_to_string(toks[pos + 1:pos + 8], ' ') END AS ng
+        |  FROM (SELECT doc_id, toks, unnest(range(len(toks))) AS pos FROM t)
+        |), c AS (
+        |  SELECT ng FROM p WHERE ng IS NOT NULL
+        |  GROUP BY ng HAVING count(*) >= 2
+        |), f AS (
+        |  SELECT p.doc_id, p.pos, p.tok,
+        |    CASE WHEN c.ng IS NOT NULL THEN 1 ELSE 0 END AS flag
+        |  FROM p LEFT JOIN c ON c.ng = p.ng
+        |), w AS (
+        |  SELECT *, max(flag) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS cov
+        |  FROM f
+        |), w2 AS (
+        |  SELECT *, CASE WHEN cov = 1 AND COALESCE(lag(cov) OVER (
+        |      PARTITION BY doc_id ORDER BY pos), 0) = 0
+        |    THEN 1 ELSE 0 END AS span_start
+        |  FROM w
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(cov) AS BIGINT) AS n_removed,
+        |  CAST(sum(span_start) AS BIGINT) AS n_spans,
+        |  COALESCE(string_agg(CASE WHEN cov = 0 THEN tok END, ' '
+        |    ORDER BY pos), '') AS cleaned_text
+        |FROM w2 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Mirrors temperatureMixture at alpha=0.5: sqrt weights through
+    // DECIMAL(28,10) (exact order-independent total), (200*w)/W
+    // targets, largest-remainder on (frac desc, source), md5-ordered
+    // per-source picks cut at the dynamic budget.
+    "q158_temperature_mixture" ->
+      """WITH s AS (
+        |  SELECT source, CAST(SUM(n_chars) AS DOUBLE) AS cnt
+        |  FROM documents GROUP BY source
+        |), w AS (
+        |  SELECT source,
+        |    CAST(CAST(sqrt(cnt) AS DECIMAL(28,10)) AS DOUBLE) AS w
+        |  FROM s
+        |), tot AS (
+        |  SELECT CAST(SUM(CAST(w AS DECIMAL(28,10))) AS DOUBLE) AS tw
+        |  FROM w
+        |), tg AS (
+        |  SELECT source, (200.0 * w) / tot.tw AS target FROM w, tot
+        |), fl AS (
+        |  SELECT source, CAST(floor(target) AS BIGINT) AS base,
+        |    target - floor(target) AS frac
+        |  FROM tg
+        |), r AS (
+        |  SELECT source, base,
+        |    row_number() OVER (ORDER BY frac DESC, source) AS fr
+        |  FROM fl
+        |), b AS (
+        |  SELECT source, base + CASE WHEN fr <= (SELECT 200 - SUM(base)
+        |      FROM fl) THEN 1 ELSE 0 END AS k
+        |  FROM r
+        |), ranked AS (
+        |  SELECT source, doc_id, CAST(row_number() OVER (
+        |      PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT)
+        |    AS pick_rank
+        |  FROM documents
+        |)
+        |SELECT d.source, d.doc_id, d.pick_rank
+        |FROM ranked d JOIN b ON b.source = d.source
+        |WHERE d.pick_rank <= b.k
+        |ORDER BY d.source, d.pick_rank""".stripMargin
   )
 }

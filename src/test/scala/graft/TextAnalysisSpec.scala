@@ -189,4 +189,40 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(3L)._2 > out(4L)._2,
       s"mixed ${out(3L)._2} vs disjoint ${out(4L)._2}")
   }
+
+  test("substringDedup: planted shared k-gram span removed; unique text kept") {
+    // docs 1 and 2 share an identical 10-token run (positions 2..11 in
+    // doc 1, 0..9 in doc 2); with k=4 every start inside the run is
+    // flagged, so exactly those 10 positions are covered in each doc.
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"u1 u2 $shared tail1 tail2"),
+      (2L, s"$shared z1 z2 z3"),
+      (3L, "only unique words live here nothing repeats at all"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.substringDedup(docs, "doc_id", "text",
+        k = 4, minCount = 2L)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, String)].collect()
+    assert(out(0) === ((1L, 14L, 10L, 1L, "u1 u2 tail1 tail2")))
+    assert(out(1) === ((2L, 13L, 10L, 1L, "z1 z2 z3")))
+    assert(out(2) === ((3L, 9L, 0L, 0L,
+      "only unique words live here nothing repeats at all")))
+  }
+
+  test("substringDedup: within-doc repetition counts toward minCount; short docs untouched") {
+    // doc 1 repeats its own 4-gram — multiplicity 2 within ONE doc
+    // must flag it (Lee et al. count occurrences, not documents).
+    val run = "r1 r2 r3 r4"
+    val docs = Seq(
+      (1L, s"$run mid $run end"),
+      (2L, "a b c")) // shorter than k: no n-grams, fully kept
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.substringDedup(docs, "doc_id", "text",
+        k = 4, minCount = 2L)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, String)].collect()
+    assert(out(0) === ((1L, 10L, 8L, 2L, "mid end")))
+    assert(out(1) === ((2L, 3L, 0L, 0L, "a b c")))
+  }
 }
