@@ -199,6 +199,17 @@ object Sampling {
    * |sources|·totalK survivors. The few-huge-keys skew of a
    * per-source window never sees the full corpus.
    *
+   * Weight contract (mirrors `weightedSample`): only rows with a
+   * strictly-positive, non-NULL, non-NaN weight carry mass or are
+   * pickable — a negative source total would make sqrt() NaN, and a
+   * single NULL/NaN weight would silently corrupt the DECIMAL(28,10)
+   * normalizing total and every downstream budget, so such rows are
+   * dropped at the scan. The EXACTLY-totalK guarantee additionally
+   * assumes every source holds ≥ k_i surviving rows; a source
+   * shorter than its apportioned budget under-fills it (no
+   * redistribution — budgets are fixed before the pick so the draw
+   * stays a single deterministic pass).
+   *
    * Returns (keyCol, idCol, pick_rank), pick_rank ∈ 1..k_i.
    */
   def temperatureMixture(
@@ -206,7 +217,9 @@ object Sampling {
       totalK: Int): DataFrame = {
     require(totalK >= 1, s"temperatureMixture: totalK >= 1, got $totalK")
     import org.apache.spark.sql.types.DecimalType
-    val shares = df.groupBy(col(keyCol))
+    val wd = col(weightCol).cast("double")
+    val pool = df.where(wd.isNotNull && !isnan(wd) && wd > 0d)
+    val shares = pool.groupBy(col(keyCol))
       .agg(sum(col(weightCol).cast("double")).as("__cnt"))
       .withColumn("__w",
         sqrt(col("__cnt")).cast(DecimalType(28, 10)).cast("double"))
@@ -228,10 +241,18 @@ object Sampling {
       // rename the key: budgets derives from df, and joining the two
       // lineages on the shared name trips ambiguous-reference
       .select(col(keyCol).as("__bkey"), col("__k"))
-    // static pre-cap → WindowGroupLimit; dynamic k_i cut afterwards
+    // Static pre-cap → Catalyst's InferWindowGroupLimit rewrites the
+    // rank filter into a WindowGroupLimit node (spec-asserted in
+    // SamplingSpec), so each map task ships at most totalK rows per
+    // source into the window shuffle. The post-shuffle state is
+    // bounded by |sources| · totalK rows TOTAL — |sources| is the
+    // mixture's source count (a handful), not the corpus size, so
+    // the window never materializes more than that constant number
+    // of rows regardless of corpus scale. The dynamic k_i ≤ totalK
+    // cut then prunes the survivors.
     val w = Window.partitionBy(col(keyCol))
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
-    df.select(col(keyCol), col(idCol))
+    pool.select(col(keyCol), col(idCol))
       .withColumn("pick_rank", row_number().over(w))
       .where(col("pick_rank") <= totalK)
       .join(broadcast(budgets), col(keyCol) === col("__bkey"))

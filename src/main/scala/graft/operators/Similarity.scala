@@ -569,14 +569,29 @@ object Similarity {
    * literal centroids; the only exchange hashes by cell key. Skewed
    * cells are AQE's skew-join case; a production run trains centroids
    * offline ([[trainCentroids]]) sized so cells fit comfortably.
+   *
+   * `nlist` defaults to the paper's regime, derived from the corpus:
+   * `max(1, ceil(n / targetCellSize))`, so mean cell population stays
+   * ~`targetCellSize` and total pairwise work stays ~`n ·
+   * targetCellSize` — LINEAR in the corpus — as data grows. The
+   * derivation costs one partial-aggregated count() pass; callers who
+   * already know n (or want the paper's exact k) pass `nlist =
+   * Some(k)` and skip it.
    */
   def semanticDedup(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
-      nlist: Int,
-      minCosine: Double): DataFrame = {
-    val seeds = ivfSeeds(corpus, idCol, vecCol, nlist)
+      minCosine: Double,
+      nlist: Option[Int] = None,
+      targetCellSize: Int = 64): DataFrame = {
+    require(targetCellSize >= 1,
+      s"semanticDedup: targetCellSize >= 1, got $targetCellSize")
+    val k = nlist.getOrElse {
+      math.max(1L, (corpus.count() + targetCellSize - 1) / targetCellSize)
+        .toInt
+    }
+    val seeds = ivfSeeds(corpus, idCol, vecCol, k)
     val c = corpus
       .select(col(idCol).as("vec_id"), toDoubleVec(col(vecCol)).as("__v"))
       .withColumn("__cell", ivfCell(col("__v"), seeds))

@@ -492,9 +492,11 @@ object PipelineQueries {
     // SemDeDup semantic deduplication: Voronoi-cell partition, then
     // within-cell cosine suppression keeping the min id per semantic
     // group — pairwise work confined to cells (Σ|cell|², never n²).
+    // nlist auto-dials to ceil(n/64) (500 rows → 8 at sf0.01), and
+    // the oracle derives the SAME count-based seed limit.
     "q93_semantic_dedup" -> ((s, dir) => {
       Similarity.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
-          nlist = 8, minCosine = 0.35)
+          minCosine = 0.35)
         .orderBy("vec_id")
     }),
 
@@ -987,7 +989,13 @@ object PipelineQueries {
     require(limitK.isDefined != maxDist.isDefined,
       "exactly one of limitK / maxDist")
     val m = pattern.size
-    val lits = pattern.map(p => f"$p%.1f")
+    // Full-precision literals: BigDecimal(d) goes through Double.toString,
+    // which always round-trips and always carries a decimal point (so
+    // DuckDB parses DOUBLE, not INTEGER). A fixed %.1f format would
+    // silently truncate e.g. 0.15 -> "0.1" and desync the oracle.
+    val lits = pattern.map(p => BigDecimal(p).toString)
+    require(lits.map(_.toDouble) == pattern,
+      s"patternSearchOracle: literals must round-trip, got $lits")
     val vcols = (0 until m).map(i => s"v$i")
     val leadDefs = (1 until m)
       .map(i => s"lead(CAST(value AS DOUBLE), $i) OVER win AS v$i")
@@ -2105,10 +2113,14 @@ object PipelineQueries {
         |  FROM embeddings
         |), nrm AS (
         |  SELECT vec_id, sqrt(SUM(x*x)) AS n FROM el GROUP BY vec_id
+        |), nl AS (
+        |  SELECT GREATEST(1, CAST(ceil(count(*) / 64.0) AS BIGINT)) AS nlist
+        |  FROM embeddings
         |), seed_ids AS (
-        |  SELECT vec_id AS cell_vid,
-        |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
-        |  FROM embeddings ORDER BY vec_id LIMIT 8
+        |  SELECT vec_id AS cell_vid, CAST(rn - 1 AS INT) AS cell FROM (
+        |    SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn
+        |    FROM embeddings)
+        |  WHERE rn <= (SELECT nlist FROM nl)
         |), scell AS (
         |  SELECT s.cell, e.d, e.x, n.n
         |  FROM seed_ids s JOIN el e ON e.vec_id = s.cell_vid

@@ -32,6 +32,29 @@ object RelationalQueries {
 
   private def dec(c: String) = col(c).cast("decimal(14,2)")
 
+  /** Fixed per-query scratch path under java.io.tmpdir, wiped and
+    * recreated on every use: the layout/round-trip audits (q131–q134,
+    * q138) write a full table copy per invocation, and Verify + the
+    * 2-pass Bench + ScaleAudit at two scales each re-invoke them — a
+    * fresh createTempDirectory per call would leak one table copy per
+    * run. Reusing one well-known path bounds disk to a single copy
+    * per query, ever. */
+  private def scratchDir(tag: String): java.nio.file.Path = {
+    import java.nio.file.{Files, Paths}
+    // "layout_scratch", not "graft_*": PlanSpec's scan-filter hygiene
+    // test greps plan text for `graft_` kernel names, and the scan's
+    // InMemoryFileIndex path appears in that text.
+    val base = Paths.get(
+      System.getProperty("java.io.tmpdir"), "layout_scratch", tag)
+    if (Files.exists(base)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(base).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(Files.delete(_))
+    }
+    Files.createDirectories(base)
+    base
+  }
+
   /** orders ⋈ customer ⋈ nation ⋈ region with region/nation names. */
   private def ordersGeo(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
@@ -784,8 +807,7 @@ object RelationalQueries {
     // artifact (empty partitions legally merge) and is deliberately
     // not part of the contract.
     "q131_range_layout" -> ((s, dir) => {
-      val dest =
-        java.nio.file.Files.createTempDirectory("layout_q131").toString
+      val dest = scratchDir("layout_q131").toString
       val li = t(s, dir, "lineitem")
       graft.operators.Layout.rangeSortedWrite(
         li, dest, Seq("l_orderkey"), numFiles = 8)
@@ -811,8 +833,7 @@ object RelationalQueries {
     // bits=31 keeps the domain check valid under ScaleAudit's
     // key-shifted replicas (keys up to ~1e8 < 2^31).
     "q132_zorder_layout" -> ((s, dir) => {
-      val dest =
-        java.nio.file.Files.createTempDirectory("layout_q132").toString
+      val dest = scratchDir("layout_q132").toString
       val p = t(s, dir, "part")
       graft.operators.Layout.zorderWrite(
         p, dest, "p_partkey", "p_size", numFiles = 8, bits = 31)
@@ -840,7 +861,7 @@ object RelationalQueries {
     // compaction reduced the file count. Rows lost or duplicated by
     // the rewrite, or a compactor that fragmented further, hash-fail.
     "q133_compaction" -> ((s, dir) => {
-      val base = java.nio.file.Files.createTempDirectory("layout_q133")
+      val base = scratchDir("layout_q133")
       val src = base.resolve("src").toString
       val dest = base.resolve("dest").toString
       t(s, dir, "lineitem").repartition(64).write
@@ -861,8 +882,7 @@ object RelationalQueries {
     // parquet source, so any type mangling across the format boundary
     // (decimals, dates, nulls) breaks the hash compare.
     "q134_orc_roundtrip" -> ((s, dir) => {
-      val dest =
-        java.nio.file.Files.createTempDirectory("layout_q134").toString
+      val dest = scratchDir("layout_q134").toString
       graft.sources.FormatSources.writeOrc(t(s, dir, "orders"), dest)
       graft.sources.FormatSources.readOrc(s, dest)
         .groupBy(col("o_orderstatus"))
@@ -977,8 +997,7 @@ object RelationalQueries {
     // identical aggregate (DuckDB md5 = Spark md5, lowercase hex)
     // straight from the parquet source.
     "q138_text_roundtrip" -> ((s, dir) => {
-      val dest =
-        java.nio.file.Files.createTempDirectory("layout_q138").toString
+      val dest = scratchDir("layout_q138").toString
       t(s, dir, "documents")
         .select(concat_ws("|",
           col("doc_id"), md5(col("text")), col("lang")).as("value"))

@@ -204,4 +204,45 @@ class SamplingSpec extends AnyFunSuite {
       assert(rows.map(_._3).sorted === (1 to rows.length))
     }
   }
+
+  test("temperatureMixture: corpus-side rank compiles to WindowGroupLimit") {
+    // The static `pick_rank <= totalK` pre-cap must become a
+    // WindowGroupLimit (map-side per-source top-K before the window
+    // exchange): that is the property that bounds the post-shuffle
+    // window state to |sources| * totalK rows TOTAL, independent of
+    // corpus size. Without it, the per-source window would sort the
+    // whole corpus.
+    val docs = (1 to 50).map(i => ("A", i.toLong, 1L)) ++
+      (1 to 50).map(i => ("B", 100L + i, 1L))
+    val out = Sampling.temperatureMixture(
+      docs.toDF("source", "doc_id", "n_chars"),
+      "source", "doc_id", "n_chars", totalK = 7)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected the static totalK pre-cap to plan a WindowGroupLimit:\n$plan")
+    assert(out.count() === 7)
+  }
+
+  test("temperatureMixture: NULL/NaN/non-positive weights carry no mass") {
+    // One poisoned source (NaN + negative + NULL rows) and one clean
+    // source. Without the pool guard a single NaN would poison the
+    // DECIMAL total and every budget; with it, bad-weight rows are
+    // neither mass nor pickable, and an all-bad source vanishes.
+    val rows = Seq[(String, Long, java.lang.Double)](
+      ("bad", 1L, Double.NaN), ("bad", 2L, -5.0), ("bad", 3L, null),
+      ("ok", 10L, 4.0), ("ok", 11L, 4.0), ("ok", 12L, 1.0),
+      // mixed source: only the positive row carries mass / is pickable
+      ("mix", 20L, 9.0), ("mix", 21L, Double.NaN), ("mix", 22L, -1.0))
+    val out = Sampling.temperatureMixture(
+        rows.toDF("source", "doc_id", "w"),
+        "source", "doc_id", "w", totalK = 4)
+      .as[(String, Long, Int)].collect()
+    // masses: ok=9, mix=9 -> sqrt 3/3, K=4 -> 2 + 2
+    assert(out.map(_._1).toSet === Set("ok", "mix"))
+    assert(out.count(_._1 == "ok") === 2)
+    // mix has only ONE pickable row -> under-fills its budget (the
+    // documented shortfall: budgets are fixed before the pick)
+    assert(out.filter(_._1 == "mix").map(_._2).toSeq === Seq(20L))
+    assert(!out.exists(_._1 == "bad"))
+  }
 }

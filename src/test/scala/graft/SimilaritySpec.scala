@@ -172,16 +172,29 @@ class SimilaritySpec extends AnyFunSuite {
       .toDF("vec_id", "embedding")
     def jobs(k: Int): Int = {
       val counter = new java.util.concurrent.atomic.AtomicInteger
+      val markerSeen = new java.util.concurrent.CountDownLatch(1)
       val l = new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
-            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-          counter.incrementAndGet()
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          if (js.properties != null && "graft-drain-marker" ==
+              js.properties.getProperty("spark.jobGroup.id"))
+            markerSeen.countDown()
+          else counter.incrementAndGet()
+        }
       }
       spark.sparkContext.addSparkListener(l)
       try {
         Similarity.trainCentroids(df, "vec_id", "embedding", k, maxIter = 1)
-        // Listener events post asynchronously; give the bus a moment.
-        Thread.sleep(500)
+        // Deterministic drain barrier (a fixed sleep is flaky on a
+        // loaded machine): the async listener queue delivers events
+        // in order, so once the marker job's start — enqueued AFTER
+        // every trainCentroids event — is observed, every prior
+        // JobStart has already been counted.
+        spark.sparkContext.setJobGroup("graft-drain-marker", "drain")
+        try spark.sparkContext.parallelize(0 until 1, 1).count()
+        finally spark.sparkContext.clearJobGroup()
+        assert(markerSeen.await(30, java.util.concurrent.TimeUnit.SECONDS),
+          "listener bus failed to deliver marker job start within 30s")
         counter.get()
       } finally spark.sparkContext.removeSparkListener(l)
     }
@@ -281,7 +294,8 @@ class SimilaritySpec extends AnyFunSuite {
       (4L, Array(0.0f, 1.0f))
     ).toDF("vec_id", "embedding")
     val out = Similarity
-      .semanticDedup(df, "vec_id", "embedding", nlist = 1, minCosine = 0.95)
+      .semanticDedup(df, "vec_id", "embedding", minCosine = 0.95,
+        nlist = Some(1))
       .select("vec_id", "dup_of", "is_kept")
       .as[(Long, Option[Long], Boolean)].collect()
       .map(r => r._1 -> ((r._2, r._3))).toMap
@@ -291,9 +305,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out(4L) === ((None, true)))
     // Threshold above every cross-pair cosine keeps everything.
     val all = Similarity
-      .semanticDedup(df, "vec_id", "embedding", nlist = 1, minCosine = 1.01)
+      .semanticDedup(df, "vec_id", "embedding", minCosine = 1.01,
+        nlist = Some(1))
       .where(col("is_kept")).count()
     assert(all === 4)
+  }
+
+  test("semanticDedup: auto nlist = ceil(n/targetCellSize), override wins") {
+    // 10 near-orthogonal-ish vectors, targetCellSize 4 -> nlist 3:
+    // the auto dial must produce cells 0..2 (3 distinct seed cells),
+    // matching an explicit nlist = Some(3) run exactly.
+    val df = (0 until 10)
+      .map(i => (i.toLong, Array.tabulate(4)(d => if (d == i % 4) 1.0f
+        else 0.1f * i)))
+      .toDF("vec_id", "embedding")
+    val auto = Similarity.semanticDedup(
+      df, "vec_id", "embedding", minCosine = 0.99, targetCellSize = 4)
+    val explicit = Similarity.semanticDedup(
+      df, "vec_id", "embedding", minCosine = 0.99, nlist = Some(3))
+    assert(auto.select("cell").distinct().count() === 3)
+    assert(auto.orderBy("vec_id").collect().toSeq ===
+      explicit.orderBy("vec_id").collect().toSeq)
   }
 
   test("centroidSimilarity: hand-computed pairwise centroid cosines; null labels drop") {
