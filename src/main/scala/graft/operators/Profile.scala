@@ -106,11 +106,30 @@ object Profile {
    * sums — or lower the input magnitude (the coefficient is
    * location/scale-invariant, so pre-centering buys the headroom
    * back).
+   *
+   * `preScaleExp` is the in-operator form of that escape hatch: each
+   * input is multiplied by 10^preScaleExp BEFORE decimal
+   * quantization, shifting the headroom window without changing the
+   * coefficient — Pearson is exactly invariant under a common
+   * positive scaling of both columns (the 10^2e factors cancel
+   * between numerator and √(vx·vy)). 1e16-magnitude columns at 100 TB
+   * row counts fit with preScaleExp = −10 (values land at ~1e6 →
+   * n·M² bound good for ~10²² rows again). The trade is resolution:
+   * quantization still keeps `scale` decimal digits of the SCALED
+   * value, so the smallest distinguishable input step grows to
+   * 10^(−scale−preScaleExp). Default 0 compiles to the identical
+   * expression tree as before (no cast-shape drift in pinned plans).
    */
   def correlations(
-      df: DataFrame, cols: Seq[String], scale: Int = 2): DataFrame = {
+      df: DataFrame, cols: Seq[String], scale: Int = 2,
+      preScaleExp: Int = 0): DataFrame = {
     require(cols.size >= 2, "need at least two columns to correlate")
-    def d(c: String) = col(c).cast(DecimalType(18, scale))
+    def d(c: String) =
+      if (preScaleExp == 0) col(c).cast(DecimalType(18, scale))
+      else (col(c) *
+          lit(BigDecimal(java.math.BigDecimal.ONE.scaleByPowerOfTen(
+            preScaleExp))))
+        .cast(DecimalType(18, scale))
     val pairs = for {
       i <- cols.indices; j <- (i + 1) until cols.size
     } yield (cols(i), cols(j))

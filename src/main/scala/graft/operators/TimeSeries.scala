@@ -345,14 +345,29 @@ object TimeSeries {
    * default ANSI mode, never silently corrupts; re-index x (day
    * index instead of epoch micros) or shard-and-combine past the
    * bound.
+   *
+   * `x0`/`y0` are the in-operator escape hatch for that bound: the
+   * fit runs over the CENTERED series (x−x0, y−y0), whose co-moments
+   * carry the spread's magnitude, not the level's — epoch-micro x at
+   * 1.7e15 overflows Σx² immediately, but centered at the window
+   * start it fits with room to spare. OLS slope is exactly
+   * shift-invariant, and the intercept is restored in closed form
+   * (b = b' + y0 − a·x0, double arithmetic, fixed op order) so the
+   * OUTPUT contract is unchanged: same slope, same
+   * original-coordinates intercept. Offsets must be exactly
+   * representable at their scale (like x itself). Defaults (0, 0)
+   * compile to the identical expression tree as before.
    */
   def trendFit(
       df: DataFrame, keyCol: String, xCol: String, yCol: String,
-      xScale: Int = 2, yScale: Int = 6): DataFrame = {
+      xScale: Int = 2, yScale: Int = 6,
+      x0: Double = 0.0, y0: Double = 0.0): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val both = col(xCol).isNotNull && col(yCol).isNotNull
-    val x = when(both, col(xCol).cast(DecimalType(18, xScale)))
-    val y = when(both, col(yCol).cast(DecimalType(18, yScale)))
+    def centered(c: String, off: Double) =
+      if (off == 0.0) col(c) else col(c) - lit(off)
+    val x = when(both, centered(xCol, x0).cast(DecimalType(18, xScale)))
+    val y = when(both, centered(yCol, y0).cast(DecimalType(18, yScale)))
     val agged = df.groupBy(col(keyCol)).agg(
       count(when(both, lit(1))).cast("double").as("__n"),
       sum(x).cast("double").as("__sx"),
@@ -363,9 +378,16 @@ object TimeSeries {
     val den = n * col("__sxx") - col("__sx") * col("__sx")
     val slope = when(n >= 2.0 && den > 0.0,
       (n * col("__sxy") - col("__sx") * col("__sy")) / den)
-    val intercept = when(n >= 2.0 && den > 0.0,
+    val interceptCentered = when(n >= 2.0 && den > 0.0,
       (col("__sy") - ((n * col("__sxy") - col("__sx") * col("__sy")) / den)
         * col("__sx")) / n)
+    // Restore the original-coordinates intercept from the centered
+    // fit: y − y0 = a(x − x0) + b'  ⇒  b = b' + y0 − a·x0. With the
+    // default offsets this is arithmetic on literal zeros, which
+    // ConstantFolding erases — the pre-dial expression tree exactly.
+    val intercept =
+      if (x0 == 0.0 && y0 == 0.0) interceptCentered
+      else interceptCentered + lit(y0) - slope * lit(x0)
     agged.select(
       col(keyCol),
       n.cast("long").as("n"),

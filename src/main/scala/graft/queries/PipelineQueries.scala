@@ -957,6 +957,40 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // X4's batch twin, DuckDB-pinned end-to-end: EventStreamsSpec
+    // proves streaming sessionize row-identical to EXACTLY this
+    // surface — sessionStats over (key, ts) with ties on ts — so
+    // pinning it against the oracle on the driver fixture closes the
+    // chain streaming == batch twin == DuckDB. Distinct from q72
+    // (which ties on event_id and uses the 30-min gap).
+    "q160_sessionize_twin" -> ((s, dir) => {
+      graft.operators.Sessionize.sessionStats(
+          t(s, dir, "events").select("user_id", "ts"),
+          "user_id", "ts", tieCol = "ts", gapSeconds = 600L)
+        .orderBy("user_id", "session_seq")
+    }),
+
+    // X5's batch twin, DuckDB-pinned end-to-end: EventStreamsSpec
+    // proves streamingExactDedup's survivor set row-identical to
+    // Dedup.exact's (ids arrive in order, so first-seen == min-id).
+    // This pins that survivor-ROW surface — (id, content) — on the
+    // driver fixture; q15 pins only the (id, n_copies) summary.
+    "q161_dedup_twin" -> ((s, dir) => {
+      Dedup.exact(docsWithDups(s, dir), "text", "doc_id")
+        .select(col("doc_id"), md5(col("text")).as("content_hash"))
+        .orderBy("doc_id")
+    }),
+
+    // Same scorer at a different shape: m = 12, multi-decimal pattern
+    // values — one window pass still computes all 12 lead columns,
+    // and the generated oracle carries full-precision literals.
+    "q159_pattern_m12" -> ((s, dir) => {
+      graft.operators.TimeSeries.patternSearch(
+          t(s, dir, "events").select("user_id", "ts", "event_id", "value"),
+          "user_id", "ts", "event_id", "value",
+          pattern = searchPatternM12, k = 20)
+    }),
+
     // Temperature-scaled source mixture (alpha = 0.5): exactly 200
     // docs, per-source budgets proportional to sqrt(char mass) with
     // largest-remainder rounding, picks in md5 hash order. sqrt is
@@ -975,6 +1009,13 @@ object PipelineQueries {
     * generated oracle. */
   private val searchPattern: Seq[Double] =
     Seq(0.0, 1.0, 3.0, 1.0, 0.0, -1.0, -3.0, -1.0)
+
+  /** q159's query shape — a DIFFERENT length (m = 12) with
+    * multi-decimal values, proving the generated-oracle machinery is
+    * general (lead-column fan-out, μ/σ chains, literal formatting),
+    * not tuned to q153's one 8-point one-decimal pattern. */
+  private val searchPatternM12: Seq[Double] =
+    Seq(0.0, 0.5, 1.25, 2.0, 1.25, 0.5, 0.0, -0.75, -1.5, -0.75, 0.15, 0.6)
 
   /** Generated DuckDB oracle for q153/q154: the SAME left-associated
     * expression chains `TimeSeries.patternSearch`/`patternMatches`
@@ -2653,6 +2694,46 @@ object PipelineQueries {
 
     "q154_pattern_matches" ->
       patternSearchOracle(searchPattern, maxDist = Some(1.4)),
+
+    "q159_pattern_m12" ->
+      patternSearchOracle(searchPatternM12, limitK = Some(20)),
+
+    "q160_sessionize_twin" ->
+      """WITH e AS (
+        |  SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        |  FROM events
+        |), f AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN prev_ts IS NOT NULL
+        |          AND date_diff('microsecond', prev_ts, ts) > 600000000
+        |         THEN 1 ELSE 0 END AS gap_open
+        |  FROM e
+        |), g AS (
+        |  SELECT user_id, ts,
+        |    SUM(gap_open) OVER (PARTITION BY user_id ORDER BY ts) + 1
+        |      AS session_seq
+        |  FROM f
+        |)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |  COUNT(*) AS n_events,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+        |  date_diff('microsecond', MIN(ts), MAX(ts)) AS dur_us
+        |FROM g GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
+
+    "q161_dedup_twin" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 50 = 0
+        |), g AS (
+        |  SELECT doc_id, md5(text) AS content_hash,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM all_docs
+        |)
+        |SELECT doc_id, content_hash FROM g WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
 
     // Full recompute over old ∪ new — the incremental result must
     // equal it exactly (same total tie rule both sides).

@@ -195,4 +195,39 @@ class QualitySpec extends AnyFunSuite {
     }
     assert(overflowLike(e2), s"expected a decimal-overflow error, got: $e2")
   }
+
+  test("correlations/trendFit: headroom dials make 1e16-magnitude columns succeed exactly") {
+    // The SAME series that overflow above, made usable by the
+    // documented escape hatches (VERDICT r6 #3) — not just safely
+    // fatal.
+    val n = 200
+    // correlations: preScaleExp = -10 shifts 9e15+i down to ~9e5
+    // BEFORE decimal quantization. Pearson is exactly invariant under
+    // the common scaling, and at these magnitudes the scaled values
+    // are still exact at scale 2 per 1e10 step — y = x + 1e10·i is a
+    // perfect line, corr = 1 exactly.
+    val hot = (1 to n).map(i => (9.0e15 + 1.0e10 * i, 9.0e15 + 2.0e10 * i))
+      .toDF("x", "y")
+    val ok = Profile.correlations(hot, Seq("x", "y"), preScaleExp = -10)
+      .collect().head
+    assert(ok.getLong(2) === n.toLong && ok.getDouble(3) === 1.0)
+    // trendFit: centering at the level (x0 = y0 = 9e15) fits the
+    // spread, not the level. Series: y = 2x − 9e15 at x = 9e15 + i
+    // (all offsets/steps exact doubles) → slope 2 exactly, and the
+    // restored original-coordinates intercept is −9e15.
+    val hotK = (1 to n).map(i => (1L, 9.0e15 + i, 9.0e15 + 2.0 * i))
+      .toDF("k", "x", "y")
+    val fit = TimeSeries.trendFit(hotK, "k", "x", "y",
+      x0 = 9.0e15, y0 = 9.0e15).collect().head
+    assert(fit.getLong(1) === n.toLong)
+    assert(fit.getDouble(2) === 2.0)
+    assert(fit.getDouble(3) === -9.0e15)
+    // Default dials still compile to the pre-dial expression tree:
+    // the q118/q119 oracle hashes must not move (no new Project or
+    // cast shapes in the aggregate).
+    val defPlan = Profile.correlations(hot, Seq("x", "y"))
+      .queryExecution.optimizedPlan.toString
+    assert(!defPlan.contains("* 1") && !defPlan.toLowerCase.contains("e-10"),
+      s"default preScaleExp must leave the plan untouched:\n$defPlan")
+  }
 }
