@@ -233,6 +233,11 @@ object Sampling {
     val extra = targets
       .agg((lit(totalK.toLong) - sum(col("__base"))).as("__extra"))
     val budgets = targets.crossJoin(broadcast(extra))
+      // Unpartitioned Window.orderBy is bounded BY CONSTRUCTION here:
+      // `targets` has one row per source (the groupBy above), so this
+      // single-partition rank sorts |sources| rows — the mixture's
+      // handful of corpora, never corpus rows (same bounded-global-
+      // window rule as the q65/q74 post-limit pattern).
       .withColumn("__fr", row_number().over(
         Window.orderBy(col("__frac").desc, col(keyCol))))
       .withColumn("__k",
