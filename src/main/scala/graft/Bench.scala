@@ -108,9 +108,17 @@ object Bench {
     val regressions: Seq[String] =
       if (!Files.exists(Paths.get(prevPath))) Nil
       else {
-        val prev = """"(q\d[^"]*)":([0-9.eE+-]+)""".r
+        // `:\s*` — the committed baseline may have been re-serialized
+        // by the driver with a space after the colon (python
+        // json.dump's default); the spaceless regex silently parsed
+        // ZERO entries from such a file and the tripwire was inert.
+        val prev = """"(q\d[^"]*)":\s*([0-9.eE+-]+)""".r
           .findAllMatchIn(Files.readString(Paths.get(prevPath)))
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        if (prev.isEmpty)
+          System.err.println(
+            s"[bench] WARNING: $prevPath exists but no per-query " +
+              "baselines parsed — the regression tripwire is NOT armed")
         results.flatMap { case (n, t) =>
           prev.get(n).collect {
             case p if t > p * 1.5 && t - p > 0.3 =>

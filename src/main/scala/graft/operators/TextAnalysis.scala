@@ -491,6 +491,73 @@ object TextAnalysis {
    * cleaned_text the kept tokens in original order ('' when the whole
    * doc is removed).
    */
+  /**
+   * Per-document repetition signals — the Gopher quality-filter
+   * family (Rae et al. 2021, "Scaling Language Models", Table A1):
+   * machine-generated and boilerplate text repeats itself, so the
+   * share of the document covered by its single most frequent bigram
+   * and the fraction of trigram positions whose trigram occurs more
+   * than once are strong junk predictors that plain length/stopword
+   * stats miss.
+   *
+   * Output per doc: (idCol, n_tokens, top_bigram_n,
+   * top_bigram_share, dup_trigram_pos, dup_trigram_frac) where
+   * `top_bigram_share = top_bigram_n · 2 / n_tokens` (token-mass of
+   * the modal bigram) and `dup_trigram_frac = dup_trigram_pos /
+   * (n_tokens − 2)` (fraction of trigram positions that are
+   * repeats). Degenerate docs (< 2 / < 3 tokens) score 0.0. All
+   * numerators/denominators are exact integers and only the final
+   * two ratios are doubles (round 6) — oracle-exact.
+   *
+   * Scale: tokens/sizes hoisted ONCE before the CodegenFallback
+   * transforms (the [[substringDedup]] rule); both gram lengths ride
+   * ONE posexplode and ONE (doc, n, gram) map-combined count shuffle
+   * — O(total tokens) rows, never pairwise; the per-doc rollup and
+   * the doc-sized join back are both keyed by `idCol`.
+   */
+  def repetitionSignals(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = docs
+      .select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .select(col(idCol), col("__toks"), size(col("__toks")).as("n_tokens"))
+      .select(col(idCol), col("__toks"), col("n_tokens"),
+        (col("n_tokens") - 2).as("__l2"), (col("n_tokens") - 3).as("__l3"))
+    val grams = base
+      .select(col(idCol), explode(expr(
+        """filter(concat(
+          |  transform(__toks, (t, i) -> IF(i <= __l2,
+          |    named_struct('gn', 2,
+          |      'g', array_join(slice(__toks, i + 1, 2), ' ')), NULL)),
+          |  transform(__toks, (t, i) -> IF(i <= __l3,
+          |    named_struct('gn', 3,
+          |      'g', array_join(slice(__toks, i + 1, 3), ' ')), NULL))),
+          |x -> x IS NOT NULL)""".stripMargin)).as("c"))
+      .select(col(idCol), col("c.gn").as("gn"), col("c.g").as("g"))
+    val perDoc = grams
+      .groupBy(col(idCol), col("gn"), col("g"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(
+        max(when(col("gn") === 2, col("__c")).otherwise(0L))
+          .as("__top2"),
+        sum(when(col("gn") === 3 && col("__c") >= 2, col("__c"))
+          .otherwise(0L)).as("__dup3"))
+    base.select(col(idCol), col("n_tokens"))
+      .join(perDoc, Seq(idCol), "left")
+      .withColumn("top_bigram_n", coalesce(col("__top2"), lit(0L)))
+      .withColumn("dup_trigram_pos", coalesce(col("__dup3"), lit(0L)))
+      .select(
+        col(idCol), col("n_tokens"), col("top_bigram_n"),
+        when(col("n_tokens") >= 2,
+          round(col("top_bigram_n") * lit(2.0) / col("n_tokens"), 6))
+          .otherwise(lit(0.0)).as("top_bigram_share"),
+        col("dup_trigram_pos"),
+        when(col("n_tokens") >= 3,
+          round(col("dup_trigram_pos").cast("double")
+            / (col("n_tokens") - 2), 6))
+          .otherwise(lit(0.0)).as("dup_trigram_frac"))
+  }
+
   def substringDedup(
       docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, minCount: Long = 2L): DataFrame = {

@@ -991,6 +991,15 @@ object PipelineQueries {
           pattern = searchPatternM12, k = 20)
     }),
 
+    // Gopher repetition filters: modal-bigram token share +
+    // duplicated-trigram position fraction per doc — all-integer
+    // numerators, one tagged-gram explode, one count shuffle.
+    "q162_repetition_signals" -> ((s, dir) => {
+      graft.operators.TextAnalysis.repetitionSignals(
+          t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // Temperature-scaled source mixture (alpha = 0.5): exactly 200
     // docs, per-source budgets proportional to sqrt(char mass) with
     // largest-remainder rounding, picks in md5 hash order. sqrt is
@@ -2697,6 +2706,42 @@ object PipelineQueries {
 
     "q159_pattern_m12" ->
       patternSearchOracle(searchPatternM12, limitK = Some(20)),
+
+    "q162_repetition_signals" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), b AS (
+        |  SELECT doc_id, CAST(len(w) AS INT) AS n_tokens FROM toks
+        |), g2 AS (
+        |  SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+        |  FROM (SELECT doc_id, w,
+        |          unnest(generate_series(1, len(w)-1)) AS i FROM toks)
+        |), c2 AS (
+        |  SELECT doc_id, MAX(c) AS top2 FROM (
+        |    SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2)
+        |  GROUP BY 1
+        |), g3 AS (
+        |  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |  FROM (SELECT doc_id, w,
+        |          unnest(generate_series(1, len(w)-2)) AS i FROM toks)
+        |), c3 AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup3
+        |  FROM (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2)
+        |  GROUP BY 1
+        |)
+        |SELECT b.doc_id, b.n_tokens,
+        |  COALESCE(c2.top2, 0) AS top_bigram_n,
+        |  CASE WHEN b.n_tokens >= 2
+        |       THEN round((COALESCE(c2.top2, 0) * 2.0) / b.n_tokens, 6)
+        |       ELSE 0.0 END AS top_bigram_share,
+        |  COALESCE(c3.dup3, 0) AS dup_trigram_pos,
+        |  CASE WHEN b.n_tokens >= 3
+        |       THEN round(CAST(COALESCE(c3.dup3, 0) AS DOUBLE)
+        |                  / (b.n_tokens - 2), 6)
+        |       ELSE 0.0 END AS dup_trigram_frac
+        |FROM b LEFT JOIN c2 USING (doc_id) LEFT JOIN c3 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q160_sessionize_twin" ->
       """WITH e AS (

@@ -225,4 +225,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(0) === ((1L, 10L, 8L, 2L, "mid end")))
     assert(out(1) === ((2L, 3L, 0L, 0L, "a b c")))
   }
+
+  test("repetitionSignals: hand-computed Gopher fractions; degenerate docs score 0") {
+    val docs = Seq(
+      // "a b a b a b": 6 tokens; bigrams a-b(3) b-a(2) -> top 3,
+      // share 3*2/6 = 1.0; trigrams a-b-a(2) b-a-b(2) -> all 4
+      // positions duplicated, frac 4/4 = 1.0 — pure repetition.
+      (1L, "a b a b a b"),
+      // "x y z w": all grams unique -> top bigram 1, share 2/4 = 0.5
+      // (any 4-token doc gives its modal bigram half the mass),
+      // dup trigrams 0, frac 0.
+      (2L, "x y z w"),
+      // single token: no bigrams/trigrams, both shares 0.0.
+      (3L, "solo"),
+      // two tokens: one bigram (count 1) -> share 2*1/2 = 1.0;
+      // trigram side degenerate -> 0.0.
+      (4L, "p q")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Int, Long, Double, Long, Double)].collect()
+    assert(out(0) === ((1L, 6, 3L, 1.0, 4L, 1.0)))
+    assert(out(1) === ((2L, 4, 1L, 0.5, 0L, 0.0)))
+    assert(out(2) === ((3L, 1, 0L, 0.0, 0L, 0.0)))
+    assert(out(3) === ((4L, 2, 1L, 1.0, 0L, 0.0)))
+  }
 }
