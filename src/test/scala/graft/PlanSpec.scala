@@ -291,4 +291,17 @@ class PlanSpec extends AnyFunSuite {
     assert(n <= 1, s"epoch repeat must not shuffle the corpus:\n$p")
     assert(p.contains("Generate"), "sequence-explode fan-out expected")
   }
+
+  test("q162: repetition signals count grams with map-side partials, never pairwise") {
+    val p = plan("q162_repetition_signals")
+    // One tagged-gram explode; the (doc, n, gram) count must partial-
+    // aggregate before its exchange (heavy grams combine map-side),
+    // and nothing may degenerate to an all-pairs join.
+    assert(p.contains("Generate"), "tagged-gram explode expected")
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"gram counting must map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"repetition signals must never plan all-pairs:\n$p")
+  }
 }
