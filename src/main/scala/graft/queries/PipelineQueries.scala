@@ -991,6 +991,44 @@ object PipelineQueries {
           pattern = searchPatternM12, k = 20)
     }),
 
+    // X11's batch twin, DuckDB-pinned end-to-end (the q160/q161
+    // program): EventStreamsSpec proves streamingEwma row-identical
+    // to TimeSeries.ewma; this pins the batch fold itself against a
+    // recursive-CTE oracle running the SAME IEEE op chain. alpha =
+    // 0.25 so alpha and 1-alpha are both exact binary doubles — which
+    // ALSO makes the smoothed values dyadic, so their decimal
+    // expansions routinely land exactly on ...5 at the 7th digit and
+    // round(6) tie-breaks DIFFERENTLY across engines (Spark HALF_UP
+    // on the shortest decimal repr vs DuckDB's scale-round-unscale).
+    // The outputs therefore compare on a floor grid: the folds are
+    // bit-identical, so floor(x·1e6) is the same integer in both
+    // engines — no tie to break.
+    "q163_ewma_twin" -> ((s, dir) => {
+      graft.operators.TimeSeries.ewma(
+          t(s, dir, "events"), "user_id", "ts", "event_id", "value",
+          alpha = 0.25)
+        .select(col("key"), col("ts"), col("tie"), col("value"),
+          (floor(col("ewma") * lit(1000000.0)) / lit(1000000.0))
+            .as("ewma"),
+          (floor(col("residual") * lit(1000000.0)) / lit(1000000.0))
+            .as("residual"))
+        .orderBy("key", "ts", "tie")
+    }),
+
+    // X10's batch twin, same program: Page's clamped two-sided CUSUM
+    // with alarm reset — the max(0,·) recurrence is not window-
+    // expressible, but a recursive CTE replays the identical clamped
+    // fold (all constants exact binary: 50.0 / 0.5 / 8.0).
+    "q164_cusum_twin" -> ((s, dir) => {
+      graft.operators.TimeSeries.cusum(
+          t(s, dir, "events"), "user_id", "ts", "event_id", "value",
+          target = 50.0, slack = 0.5, h = 8.0)
+        .select(col("key"), col("ts"), col("tie"), col("value"),
+          round(col("s_pos"), 6).as("s_pos"),
+          round(col("s_neg"), 6).as("s_neg"), col("alarm"))
+        .orderBy("key", "ts", "tie")
+    }),
+
     // Gopher repetition filters: modal-bigram token share +
     // duplicated-trigram position fraction per doc — all-integer
     // numerators, one tagged-gram explode, one count shuffle.
@@ -2706,6 +2744,66 @@ object PipelineQueries {
 
     "q159_pattern_m12" ->
       patternSearchOracle(searchPatternM12, limitK = Some(20)),
+
+    // Recursive CTE replays ewma's exact per-key fold (base = first
+    // row by (ts, tie), step joins rn+1). MATERIALIZED per the q123
+    // rule: the step references the base table every iteration.
+    "q163_ewma_twin" ->
+      """WITH RECURSIVE ord AS MATERIALIZED (
+        |  SELECT user_id AS key, ts, event_id AS tie,
+        |    CAST(value AS DOUBLE) AS x,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |), r AS (
+        |  SELECT key, ts, tie, x, x AS ewma,
+        |    CAST(NULL AS DOUBLE) AS residual, rn
+        |  FROM ord WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.key, o.ts, o.tie, o.x,
+        |    0.25 * o.x + 0.75 * r.ewma AS ewma,
+        |    o.x - r.ewma AS residual, o.rn
+        |  FROM r JOIN ord o ON o.key = r.key AND o.rn = r.rn + 1
+        |)
+        |SELECT key, ts, tie, x AS value,
+        |  floor(ewma * 1000000.0) / 1000000.0 AS ewma,
+        |  floor(residual * 1000000.0) / 1000000.0 AS residual
+        |FROM r ORDER BY key, ts, tie""".stripMargin,
+
+    // Same recursive replay for the clamped CUSUM fold; the carried
+    // state is the POST-reset pair (alarm zeroes both accumulators),
+    // emitted values are pre-reset — exactly the operator's contract.
+    "q164_cusum_twin" ->
+      """WITH RECURSIVE ord AS MATERIALIZED (
+        |  SELECT user_id AS key, ts, event_id AS tie,
+        |    CAST(value AS DOUBLE) AS x,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |), r AS (
+        |  SELECT key, ts, tie, x,
+        |    greatest(0.0, 0.0 + (x - 50.0 - 0.5)) AS s_pos,
+        |    greatest(0.0, 0.0 - (x - 50.0) - 0.5) AS s_neg,
+        |    (greatest(0.0, 0.0 + (x - 50.0 - 0.5)) > 8.0 OR
+        |     greatest(0.0, 0.0 - (x - 50.0) - 0.5) > 8.0) AS alarm,
+        |    rn
+        |  FROM ord WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.key, o.ts, o.tie, o.x,
+        |    greatest(0.0, (CASE WHEN r.alarm THEN 0.0 ELSE r.s_pos END)
+        |      + (o.x - 50.0 - 0.5)) AS s_pos,
+        |    greatest(0.0, (CASE WHEN r.alarm THEN 0.0 ELSE r.s_neg END)
+        |      - (o.x - 50.0) - 0.5) AS s_neg,
+        |    (greatest(0.0, (CASE WHEN r.alarm THEN 0.0 ELSE r.s_pos END)
+        |       + (o.x - 50.0 - 0.5)) > 8.0 OR
+        |     greatest(0.0, (CASE WHEN r.alarm THEN 0.0 ELSE r.s_neg END)
+        |       - (o.x - 50.0) - 0.5) > 8.0) AS alarm,
+        |    o.rn
+        |  FROM r JOIN ord o ON o.key = r.key AND o.rn = r.rn + 1
+        |)
+        |SELECT key, ts, tie, x AS value, round(s_pos, 6) AS s_pos,
+        |  round(s_neg, 6) AS s_neg, alarm
+        |FROM r ORDER BY key, ts, tie""".stripMargin,
 
     "q162_repetition_signals" ->
       """WITH toks AS (
