@@ -472,6 +472,12 @@ object TimeSeries {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     scoredWindows(series, keyCol, tsCol, tieCol, valueCol, pattern, minStd)
       .where(col("dist") <= maxDist)
+      // The global (key, ts, tie) sort is the oracle-determinism
+      // presentation order. Its range sampling re-walks the scored
+      // pipeline, but an explicit pre-sort shuffle barrier was
+      // MEASURED NOT to help here (3.25 s vs 2.8 s at sf0.1) — the
+      // extra exchange costs more than the sampling saves at these
+      // hit rates, so the plan stays minimal.
       .orderBy(col(keyCol), col(tsCol), col(tieCol))
   }
 
