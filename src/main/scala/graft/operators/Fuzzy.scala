@@ -114,14 +114,14 @@ object Fuzzy {
    * the sort key putting near-duplicates adjacent — the standard
    * multi-pass remedy is unioning runs over different keys.
    *
-   * Distributed mechanics: a range-partitioned sort (parallel — no
-   * single-task global window), then `zipWithIndex` assigns the
-   * global sequence with one extra count job (the documented
-   * legitimate RDD drop-down: Spark has no DataFrame global-ordinal
-   * primitive that avoids a one-partition window). Neighbor pairs
-   * come from an equi-join of rank against rank+i (i ≤ w, exploded),
-   * so the candidate stage is shuffle-bounded at n·w rows; the
-   * verify kernel (n-gram Jaccard) runs only on those.
+   * Distributed mechanics: the global sequence number comes from the
+   * two-level bucketed ordinal ([[Ordinals.withOrdinals]] — range
+   * buckets rank in parallel, offsets ride a `buckets`-row window),
+   * keeping the whole operator in DataFrame land and whole-stage
+   * codegen — no RDD round-trip, no single-task global window.
+   * Neighbor pairs come from an equi-join of rank against rank+i
+   * (i ≤ w, exploded), so the candidate stage is shuffle-bounded at
+   * n·w rows; the verify kernel (n-gram Jaccard) runs only on those.
    */
   def sortedNeighborhood(
       df: DataFrame, idCol: String, textCol: String, sortKey: Column,
@@ -130,20 +130,11 @@ object Fuzzy {
     require(windowSize >= 1, s"windowSize must be >= 1, got $windowSize")
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0,1], got $threshold")
-    val spark = df.sparkSession
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{LongType, StringType, StructField,
-      StructType}
     val base = df.select(col(idCol).cast("long").as("__id"),
       col(textCol).as("__text"), sortKey.as("__k"))
-    val sorted = base.orderBy(col("__k"), col("__id"))
-    val indexed = spark.createDataFrame(
-      sorted.rdd.zipWithIndex.map { case (r, i) =>
-        Row(i, r.getLong(0), r.getString(1)) },
-      StructType(Seq(
-        StructField("__rank", LongType, nullable = false),
-        StructField("__id", LongType),
-        StructField("__text", StringType))))
+    val indexed = Ordinals.withOrdinals(
+      base, Seq(col("__k"), col("__id")), "__rank", buckets = 64)
+      .select(col("__rank"), col("__id"), col("__text"))
     val a = indexed.select(col("__rank"), col("__id").as("doc_a"),
       col("__text").as("__ta"))
     val b = indexed

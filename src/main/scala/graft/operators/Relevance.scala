@@ -299,14 +299,18 @@ object Relevance {
    *
    * Scale: token counting is one map-side partial-aggregated shuffle;
    * everything after runs on the DISTINCT-TOKEN table (Zipf-sublinear
-   * in corpus size). The rank/cumsum window is global over that
-   * vocabulary table — the same bounded single-partition window the
-   * vocab-build (q65) pays; for vocabularies beyond ~10M entries,
-   * range-partition by count first. Targets ride a broadcast
-   * nested-loop join (a handful of literal rows).
+   * in corpus size). The rank/cumsum over that table rides the
+   * two-level bucketed decomposition ([[Ordinals.withOrdinals]]) —
+   * count-descending range buckets rank in parallel, only the
+   * `buckets`-row totals table crosses one tiny single-partition
+   * window — so a billion-entry vocabulary never funnels through one
+   * task (the un-partitioned `Window.orderBy` this replaces did).
+   * Targets ride a broadcast nested-loop join (a handful of literal
+   * rows).
    */
   def vocabCoverage(
-      docs: DataFrame, textCol: String, targets: Seq[Double]): DataFrame = {
+      docs: DataFrame, textCol: String, targets: Seq[Double],
+      buckets: Int = 64): DataFrame = {
     require(targets.nonEmpty && targets.forall(t => t > 0.0 && t <= 1.0),
       s"vocabCoverage: targets must be in (0,1], got $targets")
     val spark = docs.sparkSession
@@ -314,12 +318,10 @@ object Relevance {
     val counts = docs
       .select(explode(split(col(textCol), " ")).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
-    val w = Window.orderBy(col("cnt").desc, col("token"))
-    val ranked = counts.select(
-      row_number().over(w).cast("long").as("rank"),
-      sum(col("cnt")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .as("cum"))
+    val ranked = Ordinals.withOrdinals(
+      counts, Seq(col("cnt").desc, col("token")), "rank",
+      sums = Seq((col("cnt"), "cum")), buckets = buckets)
+      .select(col("rank"), col("cum"))
     val total = counts.agg(sum(col("cnt")).as("__total"))
     val shares = ranked.crossJoin(total)
       .select(col("rank"),

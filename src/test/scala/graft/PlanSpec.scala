@@ -258,19 +258,36 @@ class PlanSpec extends AnyFunSuite {
       s"A-Res top-k must keep per-task heaps:\n$p")
   }
 
-  test("q114: coverage windows run on the distinct-token table, never corpus rows") {
+  test("q114: the only un-partitioned window is over BUCKET TOTALS, never the vocab table") {
+    // Post two-level rewrite (Ordinals.withOrdinals): the vocabulary
+    // table itself must never cross an un-partitioned unbounded
+    // window — only the `buckets`-row offsets table may. Every
+    // global window's nearest aggregate must therefore group on the
+    // bucket id, not on the token.
     val df = SparkEntry.queries("q114_vocab_coverage")(spark, dir)
     val windows = df.queryExecution.optimizedPlan.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window
         if w.partitionSpec.isEmpty => w
     }
-    assert(windows.nonEmpty)
+    assert(windows.nonEmpty, "expected the tiny bucket-offset window")
     windows.foreach { w =>
-      val fromAgg = w.collectFirst {
+      val agg = w.collectFirst {
         case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
       }
-      assert(fromAgg.nonEmpty,
-        s"global rank/cumsum must consume the token-count aggregate:\n$w")
+      assert(agg.nonEmpty,
+        s"global window must consume an aggregate, not raw rows:\n$w")
+      val keys = agg.get.groupingExpressions.flatMap(_.references)
+        .map(_.name).toSet
+      assert(keys == Set("__ord_b"),
+        s"global window's aggregate must group on the bucket id, got $keys:\n$w")
+    }
+  }
+
+  test("q114/q126: two-level ordinal stays in DataFrame land — no RDD scan in the plan") {
+    for (q <- Seq("q114_vocab_coverage", "q126_sorted_neighborhood")) {
+      val p = plan(q)
+      assert(!p.contains("ExistingRDD") && !p.contains("Scan rdd"),
+        s"$q dropped out of Catalyst into an RDD:\n$p")
     }
   }
 
