@@ -23,11 +23,14 @@ import org.apache.spark.sql.types._
  * globally unique (same contract as the reference); duplicate leaves
  * surface as an AnalysisException downstream.
  *
- * Deviation (documented): when two or more array columns appear at the
- * same nesting level the reference would throw (only one generator per
- * SELECT); we explode one array per pass, which converges to the
- * cartesian product instead of failing. Single-array inputs — the only
- * case the reference supports — behave identically.
+ * Deviation (documented, opt-out): when two or more array columns
+ * appear at the same nesting level the reference would throw (only one
+ * generator per SELECT — motor_ingesta/motor_ingesta.py:53-54); by
+ * default we explode one array per pass, which converges to the
+ * cartesian product instead of failing. `strict = true` restores the
+ * reference contract and raises on the second generator. Single-array
+ * inputs — the only case the reference supports — behave identically
+ * in both modes.
  *
  * Scale note: every pass is pure plan construction; Catalyst's
  * CollapseProject fuses the stacked SELECTs, so nesting depth adds zero
@@ -43,10 +46,17 @@ object Flatten {
   }
 
   @tailrec
-  def flatten(df: DataFrame): DataFrame = {
+  def flatten(df: DataFrame, strict: Boolean = false): DataFrame = {
     val fields = df.schema.fields
     if (!fields.exists(f => isNested(f.dataType) || f.dataType.isInstanceOf[MapType])) df
     else {
+      if (strict) {
+        val arrays = fields.filter(_.dataType.isInstanceOf[ArrayType])
+        require(arrays.length <= 1,
+          "flatten(strict = true): more than one array column at the same " +
+            s"nesting level (${arrays.map(_.name).mkString(", ")}) — the " +
+            "reference allows a single generator per pass")
+      }
       // Explode at most one array per pass (generator-per-select limit).
       var explodedOne = false
       val cols: Seq[Column] = fields.toSeq.flatMap { f =>
@@ -62,7 +72,7 @@ object Flatten {
           case _ => Seq(col(quoted(f.name)))
         }
       }
-      flatten(df.select(cols: _*))
+      flatten(df.select(cols: _*), strict)
     }
   }
 

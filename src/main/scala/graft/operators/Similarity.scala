@@ -376,10 +376,16 @@ object Similarity {
    * cells keep their previous centroid, fixed iteration/tolerance
    * stop.
    *
-   * Scale: train on a SAMPLE (pass `corpus.sample(...)` or a
-   * hash-bounded slice) — centroid quality needs thousands of points
-   * per cell, not the full 100 TB corpus; the full corpus only ever
-   * sees the final literal matrix via [[ivfCell]].
+   * Scale: training is BOUNDED at `maxTrainRows` — when the corpus
+   * exceeds it, a deterministic hash slice (`xxhash64(id) mod 2²⁰ <
+   * threshold`) thins the training set to ≈ the bound before any
+   * iteration, so "train on a sample" is enforced, not just advised:
+   * centroid quality needs thousands of points per cell, not the
+   * full 100 TB corpus; the full corpus only ever sees the final
+   * literal matrix via [[ivfCell]]. The slice is a distributed
+   * filter (never a global limit), stable across reruns, and
+   * inactive on corpora at or under the bound — pass a larger bound
+   * to train on more.
    */
   def trainCentroids(
       corpus: DataFrame,
@@ -387,16 +393,35 @@ object Similarity {
       vecCol: String,
       k: Int,
       maxIter: Int = 10,
-      tol: Double = 1e-9): Seq[Seq[Double]] = {
+      tol: Double = 1e-9,
+      maxTrainRows: Long = 4L * 1000 * 1000): Seq[Seq[Double]] = {
     require(k >= 1, s"k must be >= 1, got $k")
+    require(maxTrainRows >= 1, s"maxTrainRows must be >= 1, got $maxTrainRows")
     val first = ivfSeeds(corpus, idCol, vecCol, 1)
     require(first.nonEmpty, "corpus has no vectors to train on")
     val dims = first.head.length
-    val vecs = corpus
+    val full = corpus
       .select(col(idCol).as("__id"), toDoubleVec(col(vecCol)).as("__v"))
       .where(size(col("__v")) === dims)
       .cache()
+    val n = full.count() // also warms the cache before seeding
+    val sliced = n > maxTrainRows
+    val vecs =
+      if (!sliced) full
+      else {
+        val mod = 1L << 20
+        val keep = math.max(1L, (mod * maxTrainRows) / n)
+        full.where(
+          pmod(xxhash64(col("__id").cast("string")), lit(mod)) < lit(keep))
+          .cache()
+      }
     try {
+      // When the slice dropped the corpus-lowest id, re-anchor the
+      // first seed inside the training set (identical otherwise).
+      val firstSeed: Vector[Double] =
+        if (!sliced) first.head.toVector
+        else vecs.orderBy(col("__id")).limit(1).select("__v")
+          .collect().head.getSeq[Double](0).toVector
       // Single-pass seeding (k-means‖-style sample-then-select): ONE
       // distributed scan draws a deterministic hash-ordered candidate
       // pool of 8k vectors (TakeOrderedAndProject — bounded per-task
@@ -418,7 +443,7 @@ object Similarity {
         .select("__v")
         .collect()
         .map(_.getSeq[Double](0).toVector)
-      val seeds = scala.collection.mutable.ArrayBuffer(first.head)
+      val seeds = scala.collection.mutable.ArrayBuffer[Seq[Double]](firstSeed)
       val minD = Array.fill(pool.length)(Double.MaxValue)
       while (seeds.size < k) {
         val s = seeds.last
@@ -465,7 +490,10 @@ object Similarity {
         iter += 1
       }
       centroids
-    } finally vecs.unpersist()
+    } finally {
+      if (sliced) vecs.unpersist()
+      full.unpersist()
+    }
   }
 
   /**

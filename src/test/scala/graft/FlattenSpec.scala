@@ -65,4 +65,18 @@ class FlattenSpec extends AnyFunSuite {
       f.dataType.isInstanceOf[StructType] || f.dataType.isInstanceOf[ArrayType]))
     assert(flat.count() === 1)
   }
+
+  test("strict mode: raises on two arrays at one level; default converges to cartesian") {
+    val df = Seq((1L, Seq("a", "b"), Seq(10, 20, 30))).toDF("id", "xs", "ys")
+    val flat = Flatten.flatten(df)
+    assert(flat.count() === 6, "default mode: one-array-per-pass cartesian")
+    val err = intercept[IllegalArgumentException] {
+      Flatten.flatten(df, strict = true)
+    }
+    assert(err.getMessage.contains("xs") && err.getMessage.contains("ys"))
+    // Single-array inputs behave identically in both modes.
+    val one = Seq((1L, Seq("a", "b"))).toDF("id", "xs")
+    assert(Flatten.flatten(one, strict = true).collect().toSeq ===
+      Flatten.flatten(one).collect().toSeq)
+  }
 }

@@ -370,4 +370,29 @@ class SimilaritySpec extends AnyFunSuite {
     val top2 = inc.find(r => r._1 == 2L && r._2 == 1).get
     assert(top2._3 === 200L && math.abs(top2._4 - 1.0) < 1e-9)
   }
+
+  test("trainCentroids: maxTrainRows bounds the training set deterministically") {
+    val rng = new scala.util.Random(23)
+    val pts = (0L until 300L).map(i =>
+      (i, Array.fill(4)((rng.nextGaussian()).toFloat)))
+    val df = pts.toDF("vec_id", "embedding")
+    // The bound must equal training on the explicit hash slice it defines.
+    val mod = 1L << 20
+    val keep = (mod * 120L) / 300L
+    val slice = df.where(
+      pmod(xxhash64($"vec_id".cast("string")), lit(mod)) < lit(keep))
+    assert(slice.count() < 300L, "slice must actually drop rows")
+    val bounded = Similarity.trainCentroids(
+      df, "vec_id", "embedding", k = 3, maxIter = 5, maxTrainRows = 120L)
+    val explicit = Similarity.trainCentroids(
+      slice, "vec_id", "embedding", k = 3, maxIter = 5)
+    assert(bounded === explicit,
+      "bounded training must see exactly the deterministic hash slice")
+    // Inactive at or under the bound: bit-identical to unbounded.
+    val unbounded = Similarity.trainCentroids(
+      df, "vec_id", "embedding", k = 3, maxIter = 5)
+    val atBound = Similarity.trainCentroids(
+      df, "vec_id", "embedding", k = 3, maxIter = 5, maxTrainRows = 300L)
+    assert(atBound === unbounded)
+  }
 }
