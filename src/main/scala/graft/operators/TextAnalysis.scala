@@ -503,9 +503,14 @@ object TextAnalysis {
    * Output per doc: (idCol, n_tokens, top_bigram_n,
    * top_bigram_share, dup_trigram_pos, dup_trigram_frac) where
    * `top_bigram_share = top_bigram_n · 2 / n_tokens` (token-mass of
-   * the modal bigram) and `dup_trigram_frac = dup_trigram_pos /
-   * (n_tokens − 2)` (fraction of trigram positions that are
-   * repeats). Degenerate docs (< 2 / < 3 tokens) score 0.0. All
+   * the modal bigram, OVERLAP-counted: occurrences at consecutive
+   * positions each contribute both tokens, so on degenerate
+   * single-token runs — "a a a" has the bigram "a a" twice, share
+   * 4/3 — the share EXCEEDS 1.0; it is a repetition intensity, not a
+   * bounded covered-fraction, so threshold accordingly) and
+   * `dup_trigram_frac = dup_trigram_pos / (n_tokens − 2)` (fraction
+   * of trigram positions that are repeats — this one IS bounded at
+   * 1.0). Degenerate docs (< 2 / < 3 tokens) score 0.0. All
    * numerators/denominators are exact integers and only the final
    * two ratios are doubles (round 6) — oracle-exact.
    *

@@ -354,9 +354,15 @@ object TimeSeries {
    * shift-invariant, and the intercept is restored in closed form
    * (b = b' + y0 − a·x0, double arithmetic, fixed op order) so the
    * OUTPUT contract is unchanged: same slope, same
-   * original-coordinates intercept. Offsets must be exactly
-   * representable at their scale (like x itself). Defaults (0, 0)
-   * compile to the identical expression tree as before.
+   * original-coordinates intercept. CAVEAT: the centering
+   * subtraction `col − lit(off)` runs in DOUBLE before the decimal
+   * cast, so both the offsets AND the raw inputs must be exactly
+   * representable as doubles (integral magnitude ≤ 2^53) — epoch
+   * MICROS (~1.7e15) qualify, epoch NANOS (~1.7e18) do NOT: for
+   * those the subtraction itself loses precision before quantization
+   * ever happens, and no offset choice rescues it — re-index first
+   * (divide to micros, or a day index). Defaults (0, 0) compile to
+   * the identical expression tree as before.
    */
   def trendFit(
       df: DataFrame, keyCol: String, xCol: String, yCol: String,

@@ -38,21 +38,42 @@ object RelationalQueries {
     * 2-pass Bench + ScaleAudit at two scales each re-invoke them — a
     * fresh createTempDirectory per call would leak one table copy per
     * run. Reusing one well-known path bounds disk to a single copy
-    * per query, ever. */
+    * per query PER PROCESS: the pid in the path isolates concurrent
+    * JVMs (a Bench running beside a Verify must not wipe each other's
+    * in-flight data), and the JVM-exit hook removes the process's
+    * whole subtree so the bound still holds across runs. */
   private def scratchDir(tag: String): java.nio.file.Path = {
     import java.nio.file.{Files, Paths}
     // "layout_scratch", not "graft_*": PlanSpec's scan-filter hygiene
     // test greps plan text for `graft_` kernel names, and the scan's
     // InMemoryFileIndex path appears in that text.
-    val base = Paths.get(
-      System.getProperty("java.io.tmpdir"), "layout_scratch", tag)
-    if (Files.exists(base)) {
-      import scala.jdk.CollectionConverters._
-      Files.walk(base).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount).foreach(Files.delete(_))
+    val root = Paths.get(
+      System.getProperty("java.io.tmpdir"), "layout_scratch",
+      s"pid${ProcessHandle.current().pid()}")
+    scratchExitHook.synchronized {
+      if (!scratchExitHook.contains(root)) {
+        scratchExitHook += root
+        Runtime.getRuntime.addShutdownHook(new Thread(() => wipe(root)))
+      }
     }
+    val base = root.resolve(tag)
+    wipe(base)
     Files.createDirectories(base)
     base
+  }
+
+  private val scratchExitHook =
+    scala.collection.mutable.Set.empty[java.nio.file.Path]
+
+  private def wipe(base: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.exists(base)) {
+      import scala.jdk.CollectionConverters._
+      val st = Files.walk(base)
+      try st.iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(Files.delete(_))
+      finally st.close()
+    }
   }
 
   /** orders ⋈ customer ⋈ nation ⋈ region with region/nation names. */
