@@ -981,6 +981,42 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // X3's batch twin, DuckDB-pinned end-to-end: the SAME
+    // EventStreams.windowedCounts body runs on the batch frame (the
+    // analyzer's EliminateEventTimeWatermark drops the no-op
+    // watermark), so the epoch-aligned sliding-window assignment +
+    // count the streaming sink emits is pinned against an explicit
+    // generate_series window expansion. 1h windows sliding 15min:
+    // every event lands in exactly 4 windows (w/s), all 4 valid.
+    "q165_windowed_counts_twin" -> ((s, dir) => {
+      graft.streaming.EventStreams.windowedCounts(
+          t(s, dir, "events").select("ts", "event_type"),
+          "ts", "event_type", "1 hour", "15 minutes", "10 minutes")
+        .orderBy("window_start", "event_type")
+    }),
+
+    // X7's batch twin, DuckDB-pinned end-to-end: the SAME
+    // flatMapGroupsWithState Misra-Gries fold runs in batch mode
+    // (state starts empty, one batch per shard). The gate
+    // configuration keeps capacity (2048) above the token vocabulary
+    // (user_id mod 1000 — bounded at ANY scale), where the MG
+    // guarantee makes estimates EXACT and order-independent, so the
+    // fold is oracle-expressible as a plain GROUP BY count; the
+    // decrement branch stays covered by EventStreamsSpec's bounded-
+    // state test (capacity 8), which this twin's parity test chains
+    // to the same function body.
+    "q166_heavy_hitters_twin" -> ((s, dir) => {
+      graft.streaming.EventStreams.streamingHeavyHitters(
+          t(s, dir, "events")
+            .select(pmod(col("user_id"), lit(1000)).cast("string")
+              .as("tok")),
+          "tok", capacity = 2048, numShards = 4)
+        .groupBy(col("token"))
+        .agg(sum(col("est")).as("est"))
+        .orderBy(col("est").desc, col("token"))
+        .limit(100)
+    }),
+
     // Same scorer at a different shape: m = 12, multi-decimal pattern
     // values — one window pass still computes all 12 lead columns,
     // and the generated oracle carries full-precision literals.
@@ -2877,6 +2913,35 @@ object PipelineQueries {
         |)
         |SELECT doc_id, content_hash FROM g WHERE rn = 1
         |ORDER BY doc_id""".stripMargin,
+
+    // Explicit epoch-aligned window expansion: slide 15 min, width
+    // 1 h ⇒ each event joins its 4 containing windows (all k=0..3
+    // starts floor(us/slide)·slide − k·slide satisfy ws ≤ us <
+    // ws + 1h because the in-slide remainder is < one slide).
+    "q165_windowed_counts_twin" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) AS us, event_type FROM events
+        |), w AS (
+        |  SELECT (us // 900000000) * 900000000 - k.k * 900000000 AS ws,
+        |    event_type
+        |  FROM e, generate_series(0, 3) AS k(k)
+        |)
+        |SELECT make_timestamp(ws) AS window_start,
+        |  make_timestamp(ws + 3600000000) AS window_end,
+        |  event_type, CAST(count(*) AS BIGINT) AS n_events
+        |FROM w GROUP BY 1, 2, 3
+        |ORDER BY window_start, event_type""".stripMargin,
+
+    // In the above-vocabulary capacity regime Misra-Gries is exact
+    // counting (no counter ever evicts), so the sharded stateful fold
+    // must reproduce a plain GROUP BY — top-100 by (est desc, token).
+    "q166_heavy_hitters_twin" ->
+      """SELECT CAST(user_id % 1000 AS VARCHAR) AS token,
+        |  CAST(count(*) AS BIGINT) AS est
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY est DESC, token
+        |LIMIT 100""".stripMargin,
 
     // Full recompute over old ∪ new — the incremental result must
     // equal it exactly (same total tie rule both sides).

@@ -432,4 +432,71 @@ class EventStreamsSpec extends AnyFunSuite {
           s"key $k: planted copy not matched at dist 0")
     } finally q.stop()
   }
+
+  test("parity: streaming windowedCounts matches the batch twin (q165 surface)") {
+    // The q165 oracle pins the batch fold; this chains the streaming
+    // append-mode output to the SAME function body on the same rows:
+    // every window the watermark finalizes must be row-identical to
+    // the batch row, and after the flusher advances the watermark far
+    // ahead, ALL real windows must have been finalized.
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(43)
+    val events = (1 to 400).map { i =>
+      (ts(rnd.nextInt(7200).toLong), s"k${rnd.nextInt(4)}")
+    }
+    val flushKey = "zz"
+    val input = MemoryStream[(Timestamp, String)]
+    val counts = EventStreams.windowedCounts(
+      input.toDF.toDF("ts", "event_type"),
+      "ts", "event_type", "10 minutes", "5 minutes", "1 minute")
+    val q = counts.writeStream
+      .format("memory").queryName("parity_wincounts")
+      .outputMode("append").start()
+    try {
+      input.addData(events: _*); q.processAllAvailable()
+      input.addData((ts(100000L), flushKey)); q.processAllAvailable()
+      val streamed = spark.table("parity_wincounts")
+        .as[(Timestamp, Timestamp, String, Long)].collect()
+        .filter(_._3 != flushKey).toSet
+      val batch = EventStreams.windowedCounts(
+          events.toDF("ts", "event_type"),
+          "ts", "event_type", "10 minutes", "5 minutes", "1 minute")
+        .as[(Timestamp, Timestamp, String, Long)].collect().toSet
+      assert(streamed === batch,
+        "finalized streaming windows must equal the batch twin rows")
+    } finally q.stop()
+  }
+
+  test("parity: streamingHeavyHitters matches the batch twin in the exact regime (q166 surface)") {
+    // Above-vocabulary capacity: Misra-Gries never evicts, so the
+    // multi-batch streaming fold's latest (shard, token) estimates
+    // must equal the single-batch-mode fold on the concatenation —
+    // and both must be exact counts.
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(47)
+    val batches = Seq.fill(3)((1 to 200).map(_ => s"tok${rnd.nextInt(30)}"))
+    val input = MemoryStream[String]
+    val hh = EventStreams.streamingHeavyHitters(
+      input.toDF.toDF("token"), "token", capacity = 64, numShards = 3)
+    val q = hh.writeStream
+      .format("memory").queryName("parity_hh").outputMode("update").start()
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      val streamed = spark.table("parity_hh")
+        .groupBy("shard", "token")
+        .agg(org.apache.spark.sql.functions.max("est").as("est"))
+        .as[(Int, String, Long)].collect()
+        .map { case (_, tok, est) => tok -> est }.toMap
+      val batch = EventStreams.streamingHeavyHitters(
+          batches.flatten.toDF("token"), "token",
+          capacity = 64, numShards = 3)
+        .groupBy("token")
+        .agg(org.apache.spark.sql.functions.sum("est").as("est"))
+        .as[(String, Long)].collect().toMap
+      val exact = batches.flatten.groupBy(identity).view
+        .mapValues(_.size.toLong).toMap
+      assert(streamed === exact, "streaming fold must be exact counts")
+      assert(batch === exact, "batch fold must be exact counts")
+    } finally q.stop()
+  }
 }
