@@ -19,6 +19,8 @@ import org.apache.spark.sql.types.IntegerType
  *   - `graft_srp_buckets(vec, numPlanes, numTables)` →
  *     array<string> SRP-LSH bucket per table
  *   - `graft_shingles(text, n)` → array<string> distinct word n-grams
+ *   - `graft_position_grams(text, k)` → array<struct<tok:string,
+ *     ng:string>> per-position token + full-window k-gram (NULL tail)
  *
  * Integer parameters must be int literals — they parameterize the
  * generated code.
@@ -118,6 +120,15 @@ object GraftFunctions {
           exprs.length == 2,
           "graft_shingles(text, n) takes 2 arguments")
         ShingleArray(exprs.head, intLit(exprs(1), "n"))
+      }),
+    (
+      FunctionIdentifier("graft_position_grams"),
+      new ExpressionInfo(classOf[PositionGrams].getName, "graft_position_grams"),
+      (exprs: Seq[Expression]) => {
+        require(
+          exprs.length == 2,
+          "graft_position_grams(text, k) takes 2 arguments")
+        PositionGrams(exprs.head, intLit(exprs(1), "k"))
       }),
     (
       FunctionIdentifier("graft_vec_dot"),

@@ -568,23 +568,17 @@ object TextAnalysis {
       k: Int = 8, minCount: Long = 2L): DataFrame = {
     require(k >= 2, s"substringDedup: k must be >= 2, got $k")
     require(minCount >= 2, s"substringDedup: minCount >= 2, got $minCount")
-    // Hoist the token array (and its size) into a projection BEFORE the
-    // transform: higher-order functions are CodegenFallback with no
-    // subexpression caching, so a split() referenced inside the lambda
-    // would re-tokenize the whole document per element — O(L²) token
-    // work. With __toks/__ntok materialized once, each element does
-    // O(k) (the slice+join), keeping the documented O(L·k) bound.
+    // Tagged (tok, ng) cells come from the codegen'd PositionGrams
+    // kernel: one split + one reused StringBuilder per document,
+    // inside whole-stage codegen. The equivalent higher-order
+    // transform (kept as a cross-checked reference in
+    // TextAnalysisSpec) is CodegenFallback and pays a fresh slice
+    // allocation + interpreted array_join per element, in BOTH the
+    // flag-count and cover subtrees — swapping in the kernel
+    // measured q156 7.73 s → 2.06 s (3.75×) at sf0.1 (SCALE.md).
     val pos = docs
-      .select(col(idCol), split(col(textCol), " ").as("__toks"))
-      .select(col(idCol), col("__toks"),
-        (size(col("__toks")) - k).as("__last"))
       .select(col(idCol),
-        expr(s"""transform(__toks,
-          | (tok, i) -> named_struct(
-          |   'tok', tok,
-          |   'ng', IF(i <= __last,
-          |            array_join(slice(__toks, i + 1, $k), ' '),
-          |            NULL)))""".stripMargin).as("__cells"))
+        graft.functions.PositionGrams(col(textCol), k).as("__cells"))
       .select(col(idCol), posexplode(col("__cells")).as(Seq("pos", "c")))
       .select(col(idCol), col("pos"), col("c.tok").as("tok"),
         col("c.ng").as("ng"))

@@ -250,4 +250,33 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(2) === ((3L, 1, 0L, 0.0, 0L, 0.0)))
     assert(out(3) === ((4L, 2, 1L, 1.0, 0L, 0.0)))
   }
+
+  test("PositionGrams kernel is bit-identical to the HOF reference formulation") {
+    // Random-ish texts incl. edge shapes: empty string, fewer tokens
+    // than k, exactly k, repeated/empty tokens from double spaces.
+    val texts = Seq(
+      "", "a", "a b", "one two three four five six seven eight nine",
+      "x x x x x x x x x x", "a  b   c d e f g h i",
+      (1 to 40).map(i => s"w${i % 7}").mkString(" "))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val k = 8
+    val kernel = df.select(
+        col("doc_id"),
+        graft.functions.PositionGrams(col("text"), k).as("__cells"))
+    val hof = df
+      .select(col("doc_id"), split(col("text"), " ").as("__toks"))
+      .select(col("doc_id"), col("__toks"),
+        (size(col("__toks")) - k).as("__last"))
+      .select(col("doc_id"),
+        expr(s"""transform(__toks,
+          | (tok, i) -> named_struct(
+          |   'tok', tok,
+          |   'ng', IF(i <= __last,
+          |            array_join(slice(__toks, i + 1, $k), ' '),
+          |            NULL)))""".stripMargin).as("__cells"))
+    val a = kernel.orderBy("doc_id").collect().map(_.toString)
+    val b = hof.orderBy("doc_id").collect().map(_.toString)
+    assert(a.toSeq === b.toSeq)
+  }
 }
