@@ -576,10 +576,19 @@ object TextAnalysis {
     // allocation + interpreted array_join per element, in BOTH the
     // flag-count and cover subtrees — swapping in the kernel
     // measured q156 7.73 s → 2.06 s (3.75×) at sf0.1 (SCALE.md).
+    //
+    // posexplode_OUTER + an explicit isnotnull(text) prefilter, not
+    // the inner generator: InferFiltersFromGenerate would add
+    // size(__cells) > 0 && isnotnull(__cells) above the inner form
+    // and push it into the scan — evaluating the kernel TWICE per
+    // row (the PlanSpec hygiene sweep catches exactly this). Outer
+    // generators infer no such filter, and with text non-null the
+    // cells array is never empty, so outer ≡ inner row-for-row.
     val pos = docs
+      .where(col(textCol).isNotNull)
       .select(col(idCol),
         graft.functions.PositionGrams(col(textCol), k).as("__cells"))
-      .select(col(idCol), posexplode(col("__cells")).as(Seq("pos", "c")))
+      .select(col(idCol), posexplode_outer(col("__cells")).as(Seq("pos", "c")))
       .select(col(idCol), col("pos"), col("c.tok").as("tok"),
         col("c.ng").as("ng"))
     val flagged = pos.where(col("ng").isNotNull)
