@@ -524,19 +524,20 @@ object TextAnalysis {
       docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val base = docs
       .select(col(idCol), split(col(textCol), " ").as("__toks"))
-      .select(col(idCol), col("__toks"), size(col("__toks")).as("n_tokens"))
-      .select(col(idCol), col("__toks"), col("n_tokens"),
-        (col("n_tokens") - 2).as("__l2"), (col("n_tokens") - 3).as("__l3"))
-    val grams = base
-      .select(col(idCol), explode(expr(
-        """filter(concat(
-          |  transform(__toks, (t, i) -> IF(i <= __l2,
-          |    named_struct('gn', 2,
-          |      'g', array_join(slice(__toks, i + 1, 2), ' ')), NULL)),
-          |  transform(__toks, (t, i) -> IF(i <= __l3,
-          |    named_struct('gn', 3,
-          |      'g', array_join(slice(__toks, i + 1, 3), ' ')), NULL))),
-          |x -> x IS NOT NULL)""".stripMargin)).as("c"))
+      .select(col(idCol), size(col("__toks")).as("n_tokens"))
+    // Tagged grams ride the codegen'd TaggedGrams kernel (one split +
+    // one reused StringBuilder for both gram lengths) — the
+    // equivalent HOF filter/concat/transform formulation is a
+    // CodegenFallback cross-checked reference in TextAnalysisSpec.
+    // explode_OUTER behind an isnotnull prefilter keeps
+    // InferFiltersFromGenerate from pushing the kernel into the scan
+    // (the q156 rule); gramless docs surface one all-NULL gram row,
+    // which the when()-guarded aggregates score as the same zeros
+    // the inner-explode drop produced.
+    val grams = docs
+      .where(col(textCol).isNotNull)
+      .select(col(idCol), explode_outer(
+        graft.functions.TaggedGrams(col(textCol), Seq(2, 3))).as("c"))
       .select(col(idCol), col("c.gn").as("gn"), col("c.g").as("g"))
     val perDoc = grams
       .groupBy(col(idCol), col("gn"), col("g"))

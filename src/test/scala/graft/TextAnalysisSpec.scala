@@ -279,4 +279,31 @@ class TextAnalysisSpec extends AnyFunSuite {
     val b = hof.orderBy("doc_id").collect().map(_.toString)
     assert(a.toSeq === b.toSeq)
   }
+
+  test("TaggedGrams kernel is bit-identical to the HOF reference formulation") {
+    val texts = Seq(
+      "", "a", "a b", "a b c", "x x x x x", "a  b   c d",
+      (1 to 25).map(i => s"t${i % 4}").mkString(" "))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val kernel = df.select(col("doc_id"),
+      graft.functions.TaggedGrams(col("text"), Seq(2, 3)).as("__cells"))
+    val hof = df
+      .select(col("doc_id"), split(col("text"), " ").as("__toks"))
+      .select(col("doc_id"), col("__toks"),
+        (size(col("__toks")) - 2).as("__l2"),
+        (size(col("__toks")) - 3).as("__l3"))
+      .select(col("doc_id"), expr(
+        """filter(concat(
+          |  transform(__toks, (t, i) -> IF(i <= __l2,
+          |    named_struct('gn', 2,
+          |      'g', array_join(slice(__toks, i + 1, 2), ' ')), NULL)),
+          |  transform(__toks, (t, i) -> IF(i <= __l3,
+          |    named_struct('gn', 3,
+          |      'g', array_join(slice(__toks, i + 1, 3), ' ')), NULL))),
+          |x -> x IS NOT NULL)""".stripMargin).as("__cells"))
+    val a = kernel.orderBy("doc_id").collect().map(_.toString)
+    val b = hof.orderBy("doc_id").collect().map(_.toString)
+    assert(a.toSeq === b.toSeq)
+  }
 }
