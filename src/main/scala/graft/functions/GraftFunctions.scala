@@ -21,6 +21,10 @@ import org.apache.spark.sql.types.IntegerType
  *   - `graft_shingles(text, n)` → array<string> distinct word n-grams
  *   - `graft_position_grams(text, k)` → array<struct<tok:string,
  *     ng:string>> per-position token + full-window k-gram (NULL tail)
+ *   - `graft_tagged_grams(text, n, ...)` → array<struct<gn:int,
+ *     g:string>> all word n-grams per requested length, tagged
+ *   - `graft_pair_moments(vec, scaleExp)` → array<struct<i:int,
+ *     j:int, v:long>> floor-quantized first + pair second moments
  *
  * Integer parameters must be int literals — they parameterize the
  * generated code.
@@ -129,6 +133,25 @@ object GraftFunctions {
           exprs.length == 2,
           "graft_position_grams(text, k) takes 2 arguments")
         PositionGrams(exprs.head, intLit(exprs(1), "k"))
+      }),
+    (
+      FunctionIdentifier("graft_tagged_grams"),
+      new ExpressionInfo(classOf[TaggedGrams].getName, "graft_tagged_grams"),
+      (exprs: Seq[Expression]) => {
+        require(
+          exprs.length >= 2,
+          "graft_tagged_grams(text, n, ...) takes text plus >= 1 gram length")
+        TaggedGrams(exprs.head,
+          exprs.tail.zipWithIndex.map { case (e, i) => intLit(e, s"n$i") })
+      }),
+    (
+      FunctionIdentifier("graft_pair_moments"),
+      new ExpressionInfo(classOf[PairMoments].getName, "graft_pair_moments"),
+      (exprs: Seq[Expression]) => {
+        require(
+          exprs.length == 2,
+          "graft_pair_moments(vec, scaleExp) takes 2 arguments")
+        PairMoments(exprs.head, intLit(exprs(1), "scaleExp"))
       }),
     (
       FunctionIdentifier("graft_vec_dot"),

@@ -783,4 +783,86 @@ object Similarity {
         col("label_a"), col("label_b"),
         (col("dp") / (col("n_a") * col("n_b"))).as("cosine"))
   }
+
+  /**
+   * Exact embedding covariance / correlation matrix — the whitening
+   * and PCA-preprocessing statistics the ANN / SemDeDup family
+   * consumes (decorrelating dimensions before cosine bucketing, or
+   * diagnosing collapsed / redundant embedding dimensions). One row
+   * per unordered dimension pair `i <= j` (the diagonal carries the
+   * per-dimension variances).
+   *
+   * Reproducibility contract (the [[graft.operators.Profile]]
+   * correlations recipe, floor-grid variant): components quantize to
+   * `floor(x · 10^scaleExp)` inside the codegen'd
+   * [[graft.functions.PairMoments]] kernel — floor, not HALF_UP, so
+   * no cross-engine rounding tie exists anywhere — and every
+   * co-moment accumulates as exact integers in DECIMAL(38,0)
+   * (associative, partition-order independent). Only the closed-form
+   * covariance/correlation finish runs in double, fixed op order:
+   * the reported stats are EXACTLY those of the quantized series,
+   * reproducible on any engine (the DuckDB oracle replays the
+   * identical arithmetic).
+   *
+   * Scale: the d(d+3)/2 moment fan-out happens INSIDE the scan
+   * projection and partial-aggregates map-side, so the one exchange
+   * carries O(d² × partitions) rows at any corpus size — the
+   * (vec_id)-join formulation would shuffle corpus × d component
+   * rows instead. Assumes a UNIFORM dimensionality (the embedding-
+   * column norm): each pair keeps its own n, but the closed-form
+   * finish pairs co-moments with whole-corpus first moments, so
+   * ragged vectors would bias the pairs they fall short of — filter
+   * to one dimensionality upstream if the column is mixed.
+   *
+   * Output: (dim_i, dim_j, n, cov, corr) — `cov` in original units
+   * (quantization scale divided back out), `corr` scale-free, both
+   * round(6); degenerate pairs (n < 2 or zero variance) yield NULLs.
+   */
+  def embeddingMoments(
+      corpus: DataFrame, vecCol: String, scaleExp: Int = 6): DataFrame = {
+    val moments = corpus
+      .where(col(vecCol).isNotNull)
+      .select(explode_outer(
+        graft.functions.PairMoments(col(vecCol), scaleExp)).as("m"))
+      .select(col("m.i").as("i"), col("m.j").as("j"), col("m.v").as("v"))
+      .groupBy(col("i"), col("j"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(28,0)")).as("s"))
+    // Each pair row (i, j) needs four sibling sums: sx/sxx live on
+    // rows (i,-1)/(i,i) — same LEFT dimension — and sy/syy on rows
+    // (j,-1)/(j,j) — keyed by __k2 = the row's RIGHT-side dimension
+    // (j for pairs, i for the first-moment rows). Two windows over
+    // the d²-row moments table wire them up in ONE branch — the
+    // self-join formulation re-planned the corpus subtree five times
+    // (runtime exchange reuse hid the cost, but the single-scan
+    // shape is provable statically; PlanSpec asserts it).
+    val k2 = when(col("j") === lit(-1), col("i")).otherwise(col("j"))
+    val wi = Window.partitionBy(col("i"))
+    val wk = Window.partitionBy(col("__k2"))
+    val unscale = math.pow(10.0, 2.0 * scaleExp)
+    val enriched = moments
+      .withColumn("__k2", k2)
+      .withColumn("sx",
+        max(when(col("j") === -1, col("s"))).over(wi).cast("double"))
+      .withColumn("sxx",
+        max(when(col("j") === col("i"), col("s"))).over(wi).cast("double"))
+      .withColumn("sy",
+        max(when(col("j") === -1, col("s"))).over(wk).cast("double"))
+      .withColumn("syy",
+        max(when(col("j") === col("i"), col("s"))).over(wk).cast("double"))
+      .where(col("j") >= 0)
+    val n = col("n").cast("double")
+    val sxy = col("s").cast("double")
+    val vx = n * col("sxx") - col("sx") * col("sx")
+    val vy = n * col("syy") - col("sy") * col("sy")
+    enriched.select(
+      col("i").as("dim_i"), col("j").as("dim_j"), col("n"),
+      when(col("n") >= 2,
+        round((n * sxy - col("sx") * col("sy"))
+          / (n * (n - lit(1.0))) / lit(unscale), 6)).as("cov"),
+      when(col("n") >= 2 && vx > 0.0 && vy > 0.0,
+        round((n * sxy - col("sx") * col("sy")) / sqrt(vx * vy), 6))
+        .as("corr"))
+  }
 }

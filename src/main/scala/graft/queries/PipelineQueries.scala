@@ -1017,6 +1017,16 @@ object PipelineQueries {
         .limit(100)
     }),
 
+    // V13: exact embedding covariance/correlation matrix on the
+    // floor-quantized grid — the whitening/PCA-preprocessing stats
+    // for the ANN/SemDeDup family. Kernel fan-out in-scan, one d²
+    // partial-aggregated exchange, integer co-moments in decimal.
+    "q167_embed_covariance" -> ((s, dir) => {
+      graft.operators.Similarity.embeddingMoments(
+          t(s, dir, "embeddings"), "embedding")
+        .orderBy("dim_i", "dim_j")
+    }),
+
     // Same scorer at a different shape: m = 12, multi-decimal pattern
     // values — one window pass still computes all 12 lead columns,
     // and the generated oracle carries full-precision literals.
@@ -2931,6 +2941,42 @@ object PipelineQueries {
         |  event_type, CAST(count(*) AS BIGINT) AS n_events
         |FROM w GROUP BY 1, 2, 3
         |ORDER BY window_start, event_type""".stripMargin,
+
+    // Replays the identical floor-grid integer co-moments (HUGEINT
+    // sums are exact like the engine's DECIMAL(38,0)) and the same
+    // fixed double-op finish; exact-integer → double conversion is
+    // IEEE round-to-nearest on both engines, so the values agree
+    // even past 2^53.
+    "q167_embed_covariance" ->
+      """WITH el AS (
+        |  SELECT vec_id,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS i,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+        |      AS BIGINT) AS q
+        |  FROM embeddings
+        |), sums AS (
+        |  SELECT a.i AS i, b.i AS j,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(a.q) AS DOUBLE) AS sx,
+        |    CAST(SUM(b.q) AS DOUBLE) AS sy,
+        |    CAST(SUM(a.q * b.q) AS DOUBLE) AS sxy,
+        |    CAST(SUM(a.q * a.q) AS DOUBLE) AS sxx,
+        |    CAST(SUM(b.q * b.q) AS DOUBLE) AS syy
+        |  FROM el a JOIN el b ON b.vec_id = a.vec_id AND b.i >= a.i
+        |  GROUP BY 1, 2
+        |)
+        |SELECT i AS dim_i, j AS dim_j, n,
+        |  CASE WHEN n >= 2 THEN
+        |    round((CAST(n AS DOUBLE) * sxy - sx * sy)
+        |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+        |      / 1000000000000.0, 6) END AS cov,
+        |  CASE WHEN n >= 2
+        |        AND CAST(n AS DOUBLE) * sxx - sx * sx > 0.0
+        |        AND CAST(n AS DOUBLE) * syy - sy * sy > 0.0 THEN
+        |    round((CAST(n AS DOUBLE) * sxy - sx * sy)
+        |      / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+        |           * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) END AS corr
+        |FROM sums ORDER BY dim_i, dim_j""".stripMargin,
 
     // In the above-vocabulary capacity regime Misra-Gries is exact
     // counting (no counter ever evicts), so the sharded stateful fold

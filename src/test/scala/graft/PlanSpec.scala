@@ -321,4 +321,13 @@ class PlanSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"),
       s"repetition signals must never plan all-pairs:\n$p")
   }
+
+  test("q167: moment fan-out stays in-scan — one embeddings scan, no corpus-sized join") {
+    val p = plan("q167_embed_covariance")
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans === 1, s"covariance must be one-pass over embeddings, saw $scans scans:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"d-row moment tables must broadcast, never shuffle-join:\n$p")
+    assert(p.contains("graft_pair_moments"), "kernel missing from plan")
+  }
 }

@@ -395,4 +395,37 @@ class SimilaritySpec extends AnyFunSuite {
       df, "vec_id", "embedding", k = 3, maxIter = 5, maxTrainRows = 300L)
     assert(atBound === unbounded)
   }
+
+  test("embeddingMoments: floor-grid covariance matches a driver-side exact replay") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 2.0f, -0.5f)),
+      (2L, Array(3.0f, 5.0f, 0.25f)),
+      (3L, Array(5.0f, 9.0f, -1.75f)),
+      (4L, Array(2.5f, -3.0f, 0.125f)))
+    val out = Similarity.embeddingMoments(
+        vecs.toDF("vec_id", "embedding"), "embedding")
+      .orderBy("dim_i", "dim_j")
+      .as[(Int, Int, Long, Option[Double], Option[Double])].collect()
+    assert(out.length === 6) // d(d+1)/2 for d=3
+    // Exact replay on the quantized grid.
+    val q = vecs.map(_._2.map(x => math.floor(x.toDouble * 1e6).toLong))
+    def stats(i: Int, j: Int): (Double, Double) = {
+      val n = q.length.toDouble
+      val sx = q.map(_(i)).sum.toDouble; val sy = q.map(_(j)).sum.toDouble
+      val sxy = q.map(v => v(i) * v(j)).sum.toDouble
+      val sxx = q.map(v => v(i) * v(i)).sum.toDouble
+      val syy = q.map(v => v(j) * v(j)).sum.toDouble
+      val cov = (n * sxy - sx * sy) / (n * (n - 1.0)) / 1e12
+      val corr = (n * sxy - sx * sy) /
+        math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+      (cov, corr)
+    }
+    out.foreach { case (i, j, n, cov, corr) =>
+      assert(n === 4L)
+      val (ecov, ecorr) = stats(i, j)
+      assert(math.abs(cov.get - ecov) < 1e-6, s"cov($i,$j)")
+      assert(math.abs(corr.get - ecorr) < 1e-6, s"corr($i,$j)")
+      if (i == j) assert(corr.get === 1.0, s"diagonal corr($i,$j)")
+    }
+  }
 }
