@@ -1017,6 +1017,24 @@ object PipelineQueries {
         .limit(100)
     }),
 
+    // X6's batch twin, DuckDB-pinned end-to-end: the SAME
+    // EventStreams.intervalJoin body runs on batch frames (both
+    // watermarks no-op away), pinning the key-equi + bounded-range
+    // attribution join (view <- preceding purchases within 4 h)
+    // against a plain range-predicate oracle. Column contract
+    // (right_ prefix) rides through unchanged.
+    "q168_interval_join_twin" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.streaming.EventStreams.intervalJoin(
+          ev.where(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts"), col("event_id")),
+          ev.where(col("event_type") === "view")
+            .select(col("user_id"), col("ts"), col("event_id")),
+          "user_id", "ts", "ts",
+          maxDelaySeconds = 14400, watermarkDelay = "10 minutes")
+        .orderBy("user_id", "event_id", "right_event_id")
+    }),
+
     // V13: exact embedding covariance/correlation matrix on the
     // floor-quantized grid — the whitening/PCA-preprocessing stats
     // for the ANN/SemDeDup family. Kernel fan-out in-scan, one d²
@@ -2941,6 +2959,15 @@ object PipelineQueries {
         |  event_type, CAST(count(*) AS BIGINT) AS n_events
         |FROM w GROUP BY 1, 2, 3
         |ORDER BY window_start, event_type""".stripMargin,
+
+    "q168_interval_join_twin" ->
+      """SELECT l.user_id, l.ts, l.event_id,
+        |  r.ts AS right_ts, r.event_id AS right_event_id
+        |FROM events l JOIN events r
+        |  ON r.user_id = l.user_id
+        | AND l.event_type = 'purchase' AND r.event_type = 'view'
+        | AND r.ts >= l.ts - INTERVAL 14400 SECOND AND r.ts <= l.ts
+        |ORDER BY l.user_id, l.event_id, right_event_id""".stripMargin,
 
     // Replays the identical floor-grid integer co-moments (HUGEINT
     // sums are exact like the engine's DECIMAL(38,0)) and the same

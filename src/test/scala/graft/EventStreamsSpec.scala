@@ -499,4 +499,47 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(batch === exact, "batch fold must be exact counts")
     } finally q.stop()
   }
+
+  test("parity: streaming intervalJoin matches the batch twin (q168 surface)") {
+    // Both sides stream in one batch each (in-order, within
+    // watermark reach), then flushers advance both watermarks far
+    // enough to emit every joined pair; the appended rows must equal
+    // the SAME function body on the batch frames.
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(53)
+    val lefts = (1 to 60).map(i =>
+      (rnd.nextInt(5).toLong, ts(60 + rnd.nextInt(600).toLong), 1000L + i))
+    val rights = (1 to 120).map(i =>
+      (rnd.nextInt(5).toLong, ts(rnd.nextInt(700).toLong), 2000L + i))
+    val lIn = MemoryStream[(Long, Timestamp, Long)]
+    val rIn = MemoryStream[(Long, Timestamp, Long)]
+    val joined = EventStreams.intervalJoin(
+      lIn.toDF.toDF("user_id", "ts", "event_id"),
+      rIn.toDF.toDF("user_id", "ts", "event_id"),
+      "user_id", "ts", "ts",
+      maxDelaySeconds = 120, watermarkDelay = "0 seconds")
+    val q = joined.writeStream
+      .format("memory").queryName("parity_ijoin").outputMode("append").start()
+    try {
+      lIn.addData(lefts: _*); rIn.addData(rights: _*); q.processAllAvailable()
+      lIn.addData((99L, ts(100000L), 8888L))
+      rIn.addData((99L, ts(100000L), 9999L))
+      q.processAllAvailable()
+      lIn.addData((99L, ts(200000L), 8889L))
+      rIn.addData((99L, ts(200000L), 9998L))
+      q.processAllAvailable()
+      val streamed = spark.table("parity_ijoin")
+        .as[(Long, Timestamp, Long, Timestamp, Long)].collect()
+        .filter(r => r._1 != 99L).toSet
+      val batch = EventStreams.intervalJoin(
+          lefts.toDF("user_id", "ts", "event_id"),
+          rights.toDF("user_id", "ts", "event_id"),
+          "user_id", "ts", "ts",
+          maxDelaySeconds = 120, watermarkDelay = "0 seconds")
+        .as[(Long, Timestamp, Long, Timestamp, Long)].collect().toSet
+      assert(streamed === batch,
+        "streamed joined pairs must equal the batch twin rows")
+      assert(batch.nonEmpty, "fixture must actually produce pairs")
+    } finally q.stop()
+  }
 }
