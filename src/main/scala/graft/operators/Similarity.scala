@@ -818,6 +818,123 @@ object Similarity {
    * (quantization scale divided back out), `corr` scale-free, both
    * round(6); degenerate pairs (n < 2 or zero variance) yield NULLs.
    */
+  /**
+   * Top-k principal components of the embedding distribution — the
+   * dimensionality-reduction companion to [[embeddingMoments]]
+   * (PCA-before-ANN / variance diagnostics). The EXACT floor-grid
+   * covariance matrix reduces to d(d+1)/2 rows and collects to the
+   * driver (d² doubles — the [[trainCentroids]] "only the matrix
+   * round-trips" contract); eigenpairs come from deterministic
+   * power iteration with Hotelling deflation: fixed iteration
+   * count, fixed start (the axis of largest variance, ties by
+   * lowest index), sign canonicalized (largest-|component| entry
+   * positive, ties by lowest index) — reruns reproduce the exact
+   * doubles. Returns (eigenvalue, component) pairs, eigenvalue
+   * descending; k is capped at d.
+   *
+   * Scale: the corpus is touched ONLY by embeddingMoments' one-pass
+   * kernel aggregation; everything after is O(d²·iters) driver
+   * arithmetic. Project with [[projectEmbeddings]] — components ship
+   * back as literals, the IVF-centroid deployment shape.
+   */
+  def principalComponents(
+      corpus: DataFrame, vecCol: String, k: Int,
+      iters: Int = 50, scaleExp: Int = 6): Seq[(Double, Seq[Double])] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val rows = embeddingMoments(corpus, vecCol, scaleExp)
+      .select("dim_i", "dim_j", "cov")
+      .collect()
+    require(rows.nonEmpty, "corpus has no vectors")
+    val d = rows.iterator.map(_.getInt(1)).max + 1
+    val c = Array.ofDim[Double](d, d)
+    rows.foreach { r =>
+      if (!r.isNullAt(2)) {
+        val v = r.getDouble(2)
+        c(r.getInt(0))(r.getInt(1)) = v
+        c(r.getInt(1))(r.getInt(0)) = v
+      }
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Double, Seq[Double])]
+    var comp = 0
+    while (comp < math.min(k, d)) {
+      // Deterministic start: axis of the largest remaining variance.
+      var start = 0
+      var i = 1
+      while (i < d) { if (c(i)(i) > c(start)(start)) start = i; i += 1 }
+      var x = Array.tabulate(d)(i => if (i == start) 1.0 else 0.0)
+      var it = 0
+      while (it < iters) {
+        val y = new Array[Double](d)
+        var a = 0
+        while (a < d) {
+          var s = 0.0
+          var b = 0
+          while (b < d) { s += c(a)(b) * x(b); b += 1 }
+          y(a) = s
+          a += 1
+        }
+        val nrm = math.sqrt(y.map(v => v * v).sum)
+        if (nrm == 0.0) { it = iters } // flat matrix: keep current x
+        else { x = y.map(_ / nrm); it += 1 }
+      }
+      // Rayleigh quotient = eigenvalue estimate; canonicalize sign.
+      val cx = {
+        val y = new Array[Double](d)
+        var a = 0
+        while (a < d) {
+          var s = 0.0
+          var b = 0
+          while (b < d) { s += c(a)(b) * x(b); b += 1 }
+          y(a) = s
+          a += 1
+        }
+        y
+      }
+      val lambda = x.zip(cx).map { case (a, b) => a * b }.sum
+      var big = 0
+      var i2 = 1
+      while (i2 < d) {
+        if (math.abs(x(i2)) > math.abs(x(big))) big = i2
+        i2 += 1
+      }
+      val signed = if (x(big) < 0.0) x.map(-_) else x
+      out += ((lambda, signed.toSeq))
+      // Hotelling deflation: C -= lambda v v^T.
+      var a = 0
+      while (a < d) {
+        var b = 0
+        while (b < d) {
+          c(a)(b) -= lambda * signed(a) * signed(b)
+          b += 1
+        }
+        a += 1
+      }
+      comp += 1
+    }
+    out.toSeq
+  }
+
+  /**
+   * Project embeddings onto literal component axes (from
+   * [[principalComponents]]): output keeps `idCol` plus `pc1..pcK`
+   * coordinates. The components ride into the plan as literals — the
+   * corpus is scanned once, zero shuffles, the IVF-centroid
+   * deployment shape; dot products use the codegen'd
+   * [[graft.functions.VecDot]] kernel.
+   */
+  def projectEmbeddings(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      components: Seq[Seq[Double]]): DataFrame = {
+    require(components.nonEmpty, "need at least one component")
+    val v = toDoubleVec(col(vecCol))
+    corpus.select(
+      col(idCol) +:
+      components.zipWithIndex.map { case (cvec, i) =>
+        dot(v, typedLit(cvec)).as(s"pc${i + 1}")
+      }: _*)
+  }
+
   def embeddingMoments(
       corpus: DataFrame, vecCol: String, scaleExp: Int = 6): DataFrame = {
     val moments = corpus

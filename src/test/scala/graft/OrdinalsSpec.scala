@@ -31,4 +31,30 @@ class OrdinalsSpec extends AnyFunSuite {
   test("degenerate bucket counts: 1 bucket and more buckets than rows") {
     check(1); check(200)
   }
+
+  test("randomized parity vs naive single-window rank/cumsum, many shapes") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(61)
+    for (trial <- 1 to 5) {
+      val nRows = 50 + rnd.nextInt(400)
+      val nKeys = Seq(1, 2, 5, 1000)(rnd.nextInt(4)) // heavy ties ... near-unique
+      val rows = (1 to nRows).map { i =>
+        (rnd.nextInt(nKeys).toLong, f"u$i%05d", rnd.nextInt(1000).toLong)
+      }
+      val df = rows.toDF("k", "u", "v")
+      val out = Ordinals.withOrdinals(
+          df, Seq(col("k"), col("u")), "rank",
+          sums = Seq((col("v"), "cum")), buckets = 1 + rnd.nextInt(20))
+        .select("u", "rank", "cum")
+      val w = Window.orderBy(col("k"), col("u"))
+      val naive = df.select(col("u"),
+        row_number().over(w).cast("long").as("rank"),
+        sum(col("v")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("cum"))
+      assert(out.orderBy("rank").collect().toSeq ===
+        naive.orderBy("rank").collect().toSeq, s"trial $trial (n=$nRows, keys=$nKeys)")
+    }
+  }
 }

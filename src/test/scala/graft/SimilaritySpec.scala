@@ -428,4 +428,36 @@ class SimilaritySpec extends AnyFunSuite {
       if (i == j) assert(corr.get === 1.0, s"diagonal corr($i,$j)")
     }
   }
+
+  test("principalComponents: recovers the stretch axis; projection parity; deterministic") {
+    val rnd = new scala.util.Random(67)
+    // Anisotropic blob: dominant variance along (1,1,0)/sqrt(2),
+    // small isotropic noise elsewhere.
+    val axis = Array(1.0, 1.0, 0.0).map(_ / math.sqrt(2.0))
+    val pts = (0L until 400L).map { i =>
+      val t = rnd.nextGaussian() * 3.0
+      (i, Array.tabulate(3)(d =>
+        (axis(d) * t + rnd.nextGaussian() * 0.05).toFloat))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val pcs = Similarity.principalComponents(df, "embedding", k = 2)
+    assert(pcs.length === 2)
+    val (l1, v1) = pcs.head
+    val cosAxis = v1.zip(axis).map { case (a, b) => a * b }.sum
+    assert(math.abs(cosAxis) > 0.999, s"top component $v1 vs $axis")
+    assert(l1 > 5.0 && l1 < 15.0, s"eigenvalue $l1 should be near 9")
+    assert(pcs(1)._1 < l1 / 100.0, "noise eigenvalue far below signal")
+    // Determinism: exact double equality on rerun.
+    assert(Similarity.principalComponents(df, "embedding", k = 2) === pcs)
+    // Projection parity with a driver-side dot product.
+    val proj = Similarity.projectEmbeddings(
+        df, "vec_id", "embedding", pcs.map(_._2))
+      .orderBy("vec_id")
+      .as[(Long, Double, Double)].collect()
+    pts.take(20).zip(proj.take(20)).foreach { case ((_, v), (_, p1, _)) =>
+      val expect = v.map(_.toDouble).zip(pcs.head._2)
+        .map { case (a, b) => a * b }.sum
+      assert(math.abs(p1 - expect) < 1e-9)
+    }
+  }
 }
