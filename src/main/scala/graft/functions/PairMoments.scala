@@ -31,13 +31,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, S
  * ragged dimensions are HANDLED downstream (per-pair n counts).
  */
 object PairMomentsImpl {
-  def moments(vec: ArrayData, scaleExp: Int): ArrayData = {
+  def moments(vec: ArrayData, scaleExp: Int, isDouble: Boolean): ArrayData = {
     val d = vec.numElements()
     val pow = math.pow(10.0, scaleExp)
     val q = new Array[Long](d)
     var i = 0
     while (i < d) {
-      q(i) = math.floor(vec.getFloat(i).toDouble * pow).toLong
+      val x = if (isDouble) vec.getDouble(i) else vec.getFloat(i).toDouble
+      q(i) = math.floor(x * pow).toLong
       i += 1
     }
     val out = new Array[Any](d + d * (d + 1) / 2)
@@ -65,6 +66,9 @@ object PairMomentsImpl {
 /** Native codegen'd expression wrapping [[PairMomentsImpl]]. */
 case class PairMoments(child: Expression, scaleExp: Int)
     extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.types.{DoubleType, FloatType}
+
   override def dataType: DataType = ArrayType(
     StructType(Seq(
       StructField("i", IntegerType, nullable = false),
@@ -73,12 +77,25 @@ case class PairMoments(child: Expression, scaleExp: Int)
     containsNull = false)
   override def prettyName: String = "graft_pair_moments"
 
+  private def isDouble: Boolean = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_pair_moments needs array<float> or array<double>, got " +
+        other.catalogString)
+  }
+
   override protected def nullSafeEval(input: Any): Any =
-    PairMomentsImpl.moments(input.asInstanceOf[ArrayData], scaleExp)
+    PairMomentsImpl.moments(input.asInstanceOf[ArrayData], scaleExp, isDouble)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.PairMomentsImpl.moments($c, $scaleExp)")
+      s"graft.functions.PairMomentsImpl.moments($c, $scaleExp, $isDouble)")
 
   override protected def withNewChildInternal(newChild: Expression): PairMoments =
     copy(child = newChild)

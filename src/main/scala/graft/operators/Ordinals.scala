@@ -17,17 +17,34 @@ import org.apache.spark.sql.functions._
  * so the split is skew-proof even when one leading key value
  * dominates — e.g. the Zipf `cnt=1` vocabulary tail — because the
  * tiebreaker columns keep subdividing); each bucket ranks and
- * prefix-sums internally in parallel under one exchange; per-bucket
- * totals (`buckets` rows) take EXCLUSIVE running offsets in one tiny
- * single-partition window; the offsets broadcast-join back.
+ * prefix-sums internally in parallel; per-bucket totals (`buckets`
+ * rows) take EXCLUSIVE running offsets in one tiny single-partition
+ * window; the offsets broadcast-join back. Cost honesty: the
+ * in-bucket window's ClusteredDistribution(bucket id) is NOT
+ * satisfied statically by the range partitioning, so rows cross TWO
+ * full-data exchanges (range + hash-by-bucket) — the accepted price
+ * for removing the corpus-wide single-task window; at gate scale it
+ * is a sub-second constant (SCALE.md round-8 notes).
  *
  * The bucket id is `spark_partition_id()` materialized AFTER the
  * range exchange. That is safe precisely because the expression is
  * nondeterministic-flagged: Catalyst will not push the projection
  * below the exchange, so the id read is the post-range-shuffle
- * partition — contiguous in the sort order by construction. Range
- * boundaries come from seeded deterministic sampling, so
- * re-executions and task retries agree.
+ * partition — contiguous in the sort order by construction.
+ *
+ * LOAD-BEARING REUSE: the offsets branch and the ranked branch both
+ * consume the range exchange, and RangePartitioner's sample seed
+ * derives from the materialized RDD id — two INDEPENDENT
+ * materializations could sample different bucket boundaries and
+ * silently mismatch offsets against ranks. Exchange/stage reuse
+ * (canonical-plan dedup — on by default, and structural under AQE)
+ * makes the exchange compute once; [[withOrdinals]] fails fast if
+ * both mechanisms are disabled rather than risk silent corruption.
+ *
+ * NULLs in `sums` expressions are treated as 0 (coalesced inside
+ * both levels); note a plain single-window cumsum instead yields
+ * NULL until the first non-null value — coalesce upstream if that
+ * distinction matters.
  */
 object Ordinals {
 
@@ -45,12 +62,20 @@ object Ordinals {
       sums: Seq[(Column, String)] = Nil, buckets: Int = 256): DataFrame = {
     require(order.nonEmpty, "order must name at least one sort column")
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val conf = df.sparkSession.conf
+    require(
+      conf.get("spark.sql.exchange.reuse", "true").toBoolean ||
+        conf.get("spark.sql.adaptive.enabled", "true").toBoolean,
+      "Ordinals.withOrdinals needs exchange reuse (or AQE stage reuse): " +
+        "with both disabled the two consumers of the range exchange could " +
+        "sample different bucket boundaries and silently corrupt ranks")
     val staged = df.repartitionByRange(buckets, order: _*)
       .withColumn("__ord_b", spark_partition_id())
     val overBuckets = Window.orderBy(col("__ord_b"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val totalAggs = count(lit(1)).as("__ord_n") +:
-      sums.zipWithIndex.map { case ((e, _), i) => sum(e).as(s"__ord_s$i") }
+      sums.zipWithIndex.map { case ((e, _), i) =>
+        sum(coalesce(e, lit(0))).as(s"__ord_s$i") }
     val offsets = staged
       .groupBy(col("__ord_b"))
       .agg(totalAggs.head, totalAggs.tail: _*)
@@ -69,7 +94,8 @@ object Ordinals {
         col("__ord_roff") + row_number().over(wOrd).cast("long"))
     val summed = sums.zipWithIndex.foldLeft(ranked) {
       case (acc, ((e, name), i)) =>
-        acc.withColumn(name, col(s"__ord_off$i") + sum(e).over(wCum))
+        acc.withColumn(name,
+          col(s"__ord_off$i") + sum(coalesce(e, lit(0))).over(wCum))
     }
     summed.drop(
       "__ord_b" +: "__ord_roff" +: sums.indices.map(i => s"__ord_off$i"): _*)

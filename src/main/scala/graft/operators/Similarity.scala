@@ -344,6 +344,19 @@ object Similarity {
    * ships them exactly like this — the assignment/search plumbing
    * below is unchanged by centroid quality.
    */
+  /** Deterministic hash-slice threshold for [[trainCentroids]]'
+    * train-on-a-sample bound: rows survive when `xxhash64(id) mod
+    * mod < keep`. The modulus is 2^62 so the fraction's granularity
+    * (1/mod) can never floor the kept-row count above the requested
+    * bound (a 2^20 modulus would keep ~n/2^20 rows — linear in the
+    * corpus — once n > maxRows·2^20); the product is computed in
+    * BigInt to avoid overflow. */
+  private[graft] def hashSliceKeep(n: Long, maxRows: Long): (Long, Long) = {
+    val mod = 1L << 62
+    val keep = math.max(1L, ((BigInt(mod) * maxRows) / n).toLong)
+    (mod, keep)
+  }
+
   def ivfSeeds(
       corpus: DataFrame,
       idCol: String,
@@ -377,8 +390,9 @@ object Similarity {
    * stop.
    *
    * Scale: training is BOUNDED at `maxTrainRows` — when the corpus
-   * exceeds it, a deterministic hash slice (`xxhash64(id) mod 2²⁰ <
-   * threshold`) thins the training set to ≈ the bound before any
+   * exceeds it, a deterministic hash slice (`xxhash64(id) mod 2⁶² <
+   * threshold`, [[hashSliceKeep]]) thins the training set to ≈ the
+   * bound before any
    * iteration, so "train on a sample" is enforced, not just advised:
    * centroid quality needs thousands of points per cell, not the
    * full 100 TB corpus; the full corpus only ever sees the final
@@ -409,19 +423,22 @@ object Similarity {
     val vecs =
       if (!sliced) full
       else {
-        val mod = 1L << 20
-        val keep = math.max(1L, (mod * maxTrainRows) / n)
+        val (mod, keep) = hashSliceKeep(n, maxTrainRows)
         full.where(
           pmod(xxhash64(col("__id").cast("string")), lit(mod)) < lit(keep))
           .cache()
       }
     try {
       // When the slice dropped the corpus-lowest id, re-anchor the
-      // first seed inside the training set (identical otherwise).
+      // first seed inside the training set (identical otherwise). A
+      // pathological tiny slice (small n just over the bound can hash
+      // every row above the threshold) falls back to the full corpus
+      // anchor rather than crashing.
       val firstSeed: Vector[Double] =
         if (!sliced) first.head.toVector
         else vecs.orderBy(col("__id")).limit(1).select("__v")
-          .collect().head.getSeq[Double](0).toVector
+          .collect().headOption.map(_.getSeq[Double](0).toVector)
+          .getOrElse(first.head.toVector)
       // Single-pass seeding (k-means‖-style sample-then-select): ONE
       // distributed scan draws a deterministic hash-ordered candidate
       // pool of 8k vectors (TakeOrderedAndProject — bounded per-task
@@ -797,8 +814,10 @@ object Similarity {
    * `floor(x · 10^scaleExp)` inside the codegen'd
    * [[graft.functions.PairMoments]] kernel — floor, not HALF_UP, so
    * no cross-engine rounding tie exists anywhere — and every
-   * co-moment accumulates as exact integers in DECIMAL(38,0)
-   * (associative, partition-order independent). Only the closed-form
+   * co-moment accumulates as exact integers (per-value products cast
+   * DECIMAL(28,0), far above the long kernel range; the sum carries
+   * DECIMAL(38,0) — associative, partition-order independent). Only
+   * the closed-form
    * covariance/correlation finish runs in double, fixed op order:
    * the reported stats are EXACTLY those of the quantized series,
    * reproducible on any engine (the DuckDB oracle replays the

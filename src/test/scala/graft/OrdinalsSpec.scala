@@ -57,4 +57,17 @@ class OrdinalsSpec extends AnyFunSuite {
         naive.orderBy("rank").collect().toSeq, s"trial $trial (n=$nRows, keys=$nKeys)")
     }
   }
+
+  test("null sum values are treated as 0 at both levels") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", Some(5L)), (2L, "b", None), (3L, "c", Some(3L)),
+      (4L, "d", None), (5L, "e", Some(2L))
+    ).toDF("k", "u", "v")
+    val out = Ordinals.withOrdinals(
+        df, Seq(col("k")), "rank", sums = Seq((col("v"), "cum")), buckets = 3)
+      .select("k", "rank", "cum").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._2)
+    assert(out.map(_._3).toSeq === Seq(5L, 5L, 8L, 8L, 10L))
+  }
 }

@@ -377,8 +377,7 @@ class SimilaritySpec extends AnyFunSuite {
       (i, Array.fill(4)((rng.nextGaussian()).toFloat)))
     val df = pts.toDF("vec_id", "embedding")
     // The bound must equal training on the explicit hash slice it defines.
-    val mod = 1L << 20
-    val keep = (mod * 120L) / 300L
+    val (mod, keep) = Similarity.hashSliceKeep(300L, 120L)
     val slice = df.where(
       pmod(xxhash64($"vec_id".cast("string")), lit(mod)) < lit(keep))
     assert(slice.count() < 300L, "slice must actually drop rows")
@@ -459,5 +458,17 @@ class SimilaritySpec extends AnyFunSuite {
         .map { case (a, b) => a * b }.sum
       assert(math.abs(p1 - expect) < 1e-9)
     }
+  }
+
+  test("embeddingMoments: array<double> input dispatches correctly (no float reinterpret)") {
+    val f = Seq((1L, Array(0.5f, -0.25f)), (2L, Array(1.5f, 0.75f)),
+      (3L, Array(-0.5f, 0.25f))).toDF("vec_id", "embedding")
+    val d = Seq((1L, Array(0.5, -0.25)), (2L, Array(1.5, 0.75)),
+      (3L, Array(-0.5, 0.25))).toDF("vec_id", "embedding")
+    val a = Similarity.embeddingMoments(f, "embedding")
+      .orderBy("dim_i", "dim_j").collect().map(_.toString).toSeq
+    val b = Similarity.embeddingMoments(d, "embedding")
+      .orderBy("dim_i", "dim_j").collect().map(_.toString).toSeq
+    assert(a === b, "float and exactly-representable double inputs must agree")
   }
 }
