@@ -31,8 +31,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, S
  * ragged dimensions are HANDLED downstream (per-pair n counts).
  */
 object PairMomentsImpl {
+  /** Returns null when any element is null — a vector with missing
+    * components contributes NO moments (silently reading the null
+    * slot as 0.0 would poison every pair it touches); callers treat
+    * the whole vector as excluded. */
   def moments(vec: ArrayData, scaleExp: Int, isDouble: Boolean): ArrayData = {
     val d = vec.numElements()
+    var chk = 0
+    while (chk < d) {
+      if (vec.isNullAt(chk)) return null
+      chk += 1
+    }
     val pow = math.pow(10.0, scaleExp)
     val q = new Array[Long](d)
     var i = 0
@@ -90,12 +99,19 @@ case class PairMoments(child: Expression, scaleExp: Int)
         other.catalogString)
   }
 
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(input: Any): Any =
     PairMomentsImpl.moments(input.asInstanceOf[ArrayData], scaleExp, isDouble)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c =>
-      s"graft.functions.PairMomentsImpl.moments($c, $scaleExp, $isDouble)")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.functions.PairMomentsImpl.moments(
+         |  $c, $scaleExp, $isDouble);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): PairMoments =
     copy(child = newChild)

@@ -37,9 +37,10 @@ import org.apache.spark.sql.functions._
  * derives from the materialized RDD id — two INDEPENDENT
  * materializations could sample different bucket boundaries and
  * silently mismatch offsets against ranks. Exchange/stage reuse
- * (canonical-plan dedup — on by default, and structural under AQE)
- * makes the exchange compute once; [[withOrdinals]] fails fast if
- * both mechanisms are disabled rather than risk silent corruption.
+ * (canonical-plan dedup, on by default; AQE's stage cache is gated
+ * on the SAME conf) makes the exchange compute once; [[withOrdinals]]
+ * fails fast when `spark.sql.exchange.reuse` is disabled rather than
+ * risk silent corruption.
  *
  * NULLs in `sums` expressions are treated as 0 (coalesced inside
  * both levels); note a plain single-window cumsum instead yields
@@ -62,13 +63,14 @@ object Ordinals {
       sums: Seq[(Column, String)] = Nil, buckets: Int = 256): DataFrame = {
     require(order.nonEmpty, "order must name at least one sort column")
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
-    val conf = df.sparkSession.conf
+    // AQE's stage cache is ALSO gated on exchangeReuseEnabled
+    // (AdaptiveSparkPlanExec consults the cache only under that conf),
+    // so the flag alone decides — there is no AQE fallback arm.
     require(
-      conf.get("spark.sql.exchange.reuse", "true").toBoolean ||
-        conf.get("spark.sql.adaptive.enabled", "true").toBoolean,
-      "Ordinals.withOrdinals needs exchange reuse (or AQE stage reuse): " +
-        "with both disabled the two consumers of the range exchange could " +
-        "sample different bucket boundaries and silently corrupt ranks")
+      df.sparkSession.conf.get("spark.sql.exchange.reuse", "true").toBoolean,
+      "Ordinals.withOrdinals needs spark.sql.exchange.reuse=true: with it " +
+        "disabled the two consumers of the range exchange could sample " +
+        "different bucket boundaries and silently corrupt ranks")
     val staged = df.repartitionByRange(buckets, order: _*)
       .withColumn("__ord_b", spark_partition_id())
     val overBuckets = Window.orderBy(col("__ord_b"))

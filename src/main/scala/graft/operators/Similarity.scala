@@ -419,26 +419,28 @@ object Similarity {
       .where(size(col("__v")) === dims)
       .cache()
     val n = full.count() // also warms the cache before seeding
-    val sliced = n > maxTrainRows
+    var sliced = n > maxTrainRows
     val vecs =
       if (!sliced) full
       else {
         val (mod, keep) = hashSliceKeep(n, maxTrainRows)
-        full.where(
+        val s = full.where(
           pmod(xxhash64(col("__id").cast("string")), lit(mod)) < lit(keep))
           .cache()
+        // A pathological tiny slice (small n just over the bound can
+        // hash EVERY row above the threshold) falls back to the full
+        // corpus entirely — seeds, pool, and iterations all need a
+        // non-empty training frame.
+        if (s.limit(1).count() == 0) { s.unpersist(); sliced = false; full }
+        else s
       }
     try {
       // When the slice dropped the corpus-lowest id, re-anchor the
-      // first seed inside the training set (identical otherwise). A
-      // pathological tiny slice (small n just over the bound can hash
-      // every row above the threshold) falls back to the full corpus
-      // anchor rather than crashing.
+      // first seed inside the training set (identical otherwise).
       val firstSeed: Vector[Double] =
         if (!sliced) first.head.toVector
         else vecs.orderBy(col("__id")).limit(1).select("__v")
-          .collect().headOption.map(_.getSeq[Double](0).toVector)
-          .getOrElse(first.head.toVector)
+          .collect().head.getSeq[Double](0).toVector
       // Single-pass seeding (k-means‖-style sample-then-select): ONE
       // distributed scan draws a deterministic hash-ordered candidate
       // pool of 8k vectors (TakeOrderedAndProject — bounded per-task
@@ -802,42 +804,6 @@ object Similarity {
   }
 
   /**
-   * Exact embedding covariance / correlation matrix — the whitening
-   * and PCA-preprocessing statistics the ANN / SemDeDup family
-   * consumes (decorrelating dimensions before cosine bucketing, or
-   * diagnosing collapsed / redundant embedding dimensions). One row
-   * per unordered dimension pair `i <= j` (the diagonal carries the
-   * per-dimension variances).
-   *
-   * Reproducibility contract (the [[graft.operators.Profile]]
-   * correlations recipe, floor-grid variant): components quantize to
-   * `floor(x · 10^scaleExp)` inside the codegen'd
-   * [[graft.functions.PairMoments]] kernel — floor, not HALF_UP, so
-   * no cross-engine rounding tie exists anywhere — and every
-   * co-moment accumulates as exact integers (per-value products cast
-   * DECIMAL(28,0), far above the long kernel range; the sum carries
-   * DECIMAL(38,0) — associative, partition-order independent). Only
-   * the closed-form
-   * covariance/correlation finish runs in double, fixed op order:
-   * the reported stats are EXACTLY those of the quantized series,
-   * reproducible on any engine (the DuckDB oracle replays the
-   * identical arithmetic).
-   *
-   * Scale: the d(d+3)/2 moment fan-out happens INSIDE the scan
-   * projection and partial-aggregates map-side, so the one exchange
-   * carries O(d² × partitions) rows at any corpus size — the
-   * (vec_id)-join formulation would shuffle corpus × d component
-   * rows instead. Assumes a UNIFORM dimensionality (the embedding-
-   * column norm): each pair keeps its own n, but the closed-form
-   * finish pairs co-moments with whole-corpus first moments, so
-   * ragged vectors would bias the pairs they fall short of — filter
-   * to one dimensionality upstream if the column is mixed.
-   *
-   * Output: (dim_i, dim_j, n, cov, corr) — `cov` in original units
-   * (quantization scale divided back out), `corr` scale-free, both
-   * round(6); degenerate pairs (n < 2 or zero variance) yield NULLs.
-   */
-  /**
    * Top-k principal components of the embedding distribution — the
    * dimensionality-reduction companion to [[embeddingMoments]]
    * (PCA-before-ANN / variance diagnostics). The EXACT floor-grid
@@ -874,6 +840,18 @@ object Similarity {
         c(r.getInt(1))(r.getInt(0)) = v
       }
     }
+    def matVec(x: Array[Double]): Array[Double] = {
+      val y = new Array[Double](d)
+      var a = 0
+      while (a < d) {
+        var s = 0.0
+        var b = 0
+        while (b < d) { s += c(a)(b) * x(b); b += 1 }
+        y(a) = s
+        a += 1
+      }
+      y
+    }
     val out = scala.collection.mutable.ArrayBuffer.empty[(Double, Seq[Double])]
     var comp = 0
     while (comp < math.min(k, d)) {
@@ -884,33 +862,13 @@ object Similarity {
       var x = Array.tabulate(d)(i => if (i == start) 1.0 else 0.0)
       var it = 0
       while (it < iters) {
-        val y = new Array[Double](d)
-        var a = 0
-        while (a < d) {
-          var s = 0.0
-          var b = 0
-          while (b < d) { s += c(a)(b) * x(b); b += 1 }
-          y(a) = s
-          a += 1
-        }
+        val y = matVec(x)
         val nrm = math.sqrt(y.map(v => v * v).sum)
         if (nrm == 0.0) { it = iters } // flat matrix: keep current x
         else { x = y.map(_ / nrm); it += 1 }
       }
       // Rayleigh quotient = eigenvalue estimate; canonicalize sign.
-      val cx = {
-        val y = new Array[Double](d)
-        var a = 0
-        while (a < d) {
-          var s = 0.0
-          var b = 0
-          while (b < d) { s += c(a)(b) * x(b); b += 1 }
-          y(a) = s
-          a += 1
-        }
-        y
-      }
-      val lambda = x.zip(cx).map { case (a, b) => a * b }.sum
+      val lambda = x.zip(matVec(x)).map { case (a, b) => a * b }.sum
       var big = 0
       var i2 = 1
       while (i2 < d) {
@@ -954,6 +912,47 @@ object Similarity {
       }: _*)
   }
 
+  /**
+   * Exact embedding covariance / correlation matrix — the whitening
+   * and PCA-preprocessing statistics the ANN / SemDeDup family
+   * consumes (decorrelating dimensions before cosine bucketing, or
+   * diagnosing collapsed / redundant embedding dimensions). One row
+   * per unordered dimension pair `i <= j` (the diagonal carries the
+   * per-dimension variances).
+   *
+   * Reproducibility contract (the [[graft.operators.Profile]]
+   * correlations recipe, floor-grid variant): components quantize to
+   * `floor(x · 10^scaleExp)` inside the codegen'd
+   * [[graft.functions.PairMoments]] kernel — floor, not HALF_UP, so
+   * no cross-engine rounding tie exists anywhere — and every
+   * co-moment accumulates as exact integers (per-value products cast
+   * DECIMAL(28,0), far above the long kernel range; the sum carries
+   * DECIMAL(38,0) — associative, partition-order independent). Only
+   * the closed-form
+   * covariance/correlation finish runs in double, fixed op order:
+   * the reported stats are EXACTLY those of the quantized series,
+   * reproducible on any engine (the DuckDB oracle replays the
+   * identical arithmetic).
+   *
+   * Scale: the d(d+3)/2 moment fan-out happens INSIDE the scan
+   * projection and partial-aggregates map-side, so the one exchange
+   * carries O(d² × partitions) rows at any corpus size — the
+   * (vec_id)-join formulation would shuffle corpus × d component
+   * rows instead. Assumes a UNIFORM dimensionality (the embedding-
+   * column norm): each pair keeps its own n, but the closed-form
+   * finish pairs co-moments with whole-corpus first moments, so
+   * ragged vectors would bias the pairs they fall short of — filter
+   * to one dimensionality upstream if the column is mixed.
+   *
+   * Vectors containing NULL components are EXCLUDED whole (the
+ * kernel returns null rather than silently reading a null slot as
+ * 0.0 — the oracle filters the same vectors); NULL vectors are
+ * filtered upstream.
+ *
+ * Output: (dim_i, dim_j, n, cov, corr) — `cov` in original units
+   * (quantization scale divided back out), `corr` scale-free, both
+   * round(6); degenerate pairs (n < 2 or zero variance) yield NULLs.
+   */
   def embeddingMoments(
       corpus: DataFrame, vecCol: String, scaleExp: Int = 6): DataFrame = {
     val moments = corpus

@@ -2975,12 +2975,15 @@ object PipelineQueries {
     // IEEE round-to-nearest on both engines, so the values agree
     // even past 2^53.
     "q167_embed_covariance" ->
-      """WITH el AS (
+      """WITH clean AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  WHERE len(list_filter(embedding, x -> x IS NULL)) = 0
+        |), el AS (
         |  SELECT vec_id,
         |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS i,
         |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
         |      AS BIGINT) AS q
-        |  FROM embeddings
+        |  FROM clean
         |), sums AS (
         |  SELECT a.i AS i, b.i AS j,
         |    CAST(count(*) AS BIGINT) AS n,

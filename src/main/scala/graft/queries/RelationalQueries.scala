@@ -56,21 +56,26 @@ object RelationalQueries {
         Runtime.getRuntime.addShutdownHook(new Thread(() => wipe(root)))
         // Shutdown hooks don't run on SIGKILL/OOM-kill: sweep sibling
         // pid dirs whose owner is gone, so crashed runs can't
-        // accumulate table copies forever.
+        // accumulate table copies forever. Best-effort per sibling —
+        // a concurrent sweeper racing on the same dead dir, or an
+        // undeletable foreign dir, must never fail THIS query.
         val parent = root.getParent
         if (Files.isDirectory(parent)) {
           import scala.jdk.CollectionConverters._
-          val siblings = Files.list(parent)
-          try siblings.iterator().asScala.foreach { p =>
-            val name = p.getFileName.toString
-            if (name.startsWith("pid") && p != root) {
-              val alive = name.drop(3).toLongOption.exists(pid =>
-                ProcessHandle.of(pid)
-                  .map[java.lang.Boolean](h => h.isAlive)
-                  .orElse(java.lang.Boolean.FALSE).booleanValue)
-              if (!alive) wipe(p)
-            }
-          } finally siblings.close()
+          import scala.util.Try
+          Try {
+            val siblings = Files.list(parent)
+            try siblings.iterator().asScala.foreach { p =>
+              val name = p.getFileName.toString
+              if (name.startsWith("pid") && p != root) {
+                val alive = name.drop(3).toLongOption.exists(pid =>
+                  ProcessHandle.of(pid)
+                    .map[java.lang.Boolean](h => h.isAlive)
+                    .orElse(java.lang.Boolean.FALSE).booleanValue)
+                if (!alive) Try(wipe(p))
+              }
+            } finally siblings.close()
+          }
         }
       }
     }

@@ -471,4 +471,21 @@ class SimilaritySpec extends AnyFunSuite {
       .orderBy("dim_i", "dim_j").collect().map(_.toString).toSeq
     assert(a === b, "float and exactly-representable double inputs must agree")
   }
+
+  test("embeddingMoments: vectors with NULL components are excluded whole") {
+    val rows = Seq(
+      (1L, Some(Seq(Some(1.0f), Some(2.0f)))),
+      (2L, Some(Seq(Some(3.0f), None))),      // null component -> excluded
+      (3L, Some(Seq(Some(5.0f), Some(9.0f)))),
+      (4L, None)                               // null vector -> excluded
+    ).toDF("vec_id", "embedding")
+    val clean = Seq((1L, Seq(1.0f, 2.0f)), (3L, Seq(5.0f, 9.0f)))
+      .toDF("vec_id", "embedding")
+    val a = Similarity.embeddingMoments(rows, "embedding")
+      .orderBy("dim_i", "dim_j").collect().map(_.toString).toSeq
+    val b = Similarity.embeddingMoments(clean, "embedding")
+      .orderBy("dim_i", "dim_j").collect().map(_.toString).toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
 }
