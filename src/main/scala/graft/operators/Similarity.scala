@@ -913,6 +913,31 @@ object Similarity {
   }
 
   /**
+   * PCA whitening: [[projectEmbeddings]] with each coordinate scaled
+   * by 1/√eigenvalue, so the output coordinates are decorrelated
+   * with ~unit variance — the standard preprocessing in front of
+   * cosine bucketing / euclidean ANN when raw dimensions carry wildly
+   * different scales. Takes [[principalComponents]]' output directly.
+   * Components with eigenvalue ≤ `minEigenvalue` (collapsed
+   * directions — dividing by ~0 would amplify noise unboundedly) are
+   * DROPPED, and at least one component must survive. Same scale
+   * shape as projection: literal matrix, one scan, zero shuffle.
+   */
+  def whitenEmbeddings(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      eigenpairs: Seq[(Double, Seq[Double])],
+      minEigenvalue: Double = 1e-12): DataFrame = {
+    val kept = eigenpairs.filter(_._1 > minEigenvalue)
+    require(kept.nonEmpty,
+      s"no component has eigenvalue above $minEigenvalue")
+    val scaled = kept.map { case (lambda, cvec) =>
+      val inv = 1.0 / math.sqrt(lambda)
+      cvec.map(_ * inv)
+    }
+    projectEmbeddings(corpus, idCol, vecCol, scaled)
+  }
+
+  /**
    * Exact embedding covariance / correlation matrix — the whitening
    * and PCA-preprocessing statistics the ANN / SemDeDup family
    * consumes (decorrelating dimensions before cosine bucketing, or

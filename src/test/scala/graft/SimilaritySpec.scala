@@ -488,4 +488,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(a === b)
     assert(a.nonEmpty)
   }
+
+  test("whitenEmbeddings: whitened coordinates have ~unit variance; collapsed axes drop") {
+    val rnd = new scala.util.Random(71)
+    val pts = (0L until 500L).map { i =>
+      (i, Array((rnd.nextGaussian() * 4.0).toFloat,
+        (rnd.nextGaussian() * 0.5).toFloat))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val pcs = Similarity.principalComponents(df, "embedding", k = 2)
+    val w = Similarity.whitenEmbeddings(df, "vec_id", "embedding", pcs)
+      .as[(Long, Double, Double)].collect()
+    // Eigen-decomposition is of the COVARIANCE (mean-subtracted), so
+    // variance of the whitened coordinate around its own mean ~= 1.
+    for (coord <- Seq(w.map(_._2), w.map(_._3))) {
+      val m = coord.sum / coord.length
+      val v = coord.map(x => (x - m) * (x - m)).sum / (coord.length - 1)
+      assert(math.abs(v - 1.0) < 0.15, s"whitened variance $v")
+    }
+    // A collapsed direction drops instead of amplifying noise.
+    val flat = (0L until 100L).map(i =>
+      (i, Array((rnd.nextGaussian()).toFloat, 0.0f))).toDF("vec_id", "embedding")
+    val fpcs = Similarity.principalComponents(flat, "embedding", k = 2)
+    val fw = Similarity.whitenEmbeddings(flat, "vec_id", "embedding", fpcs,
+      minEigenvalue = 1e-9)
+    assert(fw.columns.toSeq === Seq("vec_id", "pc1"), "collapsed axis must drop")
+  }
 }
