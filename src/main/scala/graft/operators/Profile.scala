@@ -163,4 +163,80 @@ object Profile {
     }
     agged.select(explode(array(rows: _*)).as("r")).select("r.*")
   }
+
+  /**
+   * Categorical×categorical association profile (the [[correlations]]
+   * complement for non-numeric columns): mutual information (natural
+   * log), Pearson chi-squared, and Cramér's V between two categorical
+   * columns, from ONE contingency pass.
+   *
+   * Rows where either side is NULL are excluded (pairwise-complete,
+   * the [[correlations]] masking rule). Chi-squared covers the FULL
+   * r×c grid including unobserved cells via the identity
+   * Σ_all (o−e)²/e = Σ_observed ((o−e)²/e − e) + n — so only observed
+   * cells are ever materialized. Cramér's V = √(χ²/(n·(min(r,c)−1))),
+   * pinned to 0.0 when either side is constant (min(r,c) = 1).
+   *
+   * Determinism contract: every per-cell term is computed from exact
+   * integer counts through a FIXED double operation order, quantized
+   * to DECIMAL(38,12), and summed exactly — so the cross-cell sum is
+   * partition-order-independent and oracle-pinnable (the repo's
+   * decimal co-moment discipline; a raw double sum would drift in the
+   * last ulps with partial-aggregation order).
+   *
+   * Scale: one partial-combined shuffle on (a, b) builds the
+   * contingency table; everything after runs at CELL cardinality
+   * (|A|·|B| rows — marginals, totals, and term sums are
+   * AQE-broadcast joins over that tiny frame). High-cardinality
+   * "categoricals" (ids, free text) make the cell table itself huge —
+   * bucket or top-K the values upstream; association measures over
+   * million-level cardinality are noise anyway.
+   */
+  def categoricalAssociation(
+      df: DataFrame, colA: String, colB: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joint = df
+      .where(col(colA).isNotNull && col(colB).isNotNull)
+      .groupBy(col(colA).as("__a"), col(colB).as("__b"))
+      .agg(count(lit(1)).as("__nab"))
+    // Marginals and the total as WINDOWS over the contingency table —
+    // a groupBy-and-join-back formulation rescans the corpus once per
+    // marginal branch (4 scans statically); windows keep it to ONE
+    // corpus scan, and all three window exchanges move only cell-
+    // cardinality rows. The un-partitioned total window is bounded by
+    // construction (|A|·|B| rows — the q90/BM25 bounded-frame rule).
+    val cells = joint
+      .withColumn("__na", sum("__nab").over(Window.partitionBy("__a")))
+      .withColumn("__nb", sum("__nab").over(Window.partitionBy("__b")))
+      .withColumn("__n", sum("__nab").over(Window.partitionBy()))
+    val nabD = col("__nab").cast("double")
+    val naD = col("__na").cast("double")
+    val nbD = col("__nb").cast("double")
+    val nD = col("__n").cast("double")
+    // Fixed double op order — mirrored verbatim in the DuckDB oracle.
+    val e = naD * nbD / nD
+    val miT = (nabD / nD) * log(nabD * nD / (naD * nbD))
+    val chiT = (nabD - e) * (nabD - e) / e - e
+    def dec(c: org.apache.spark.sql.Column) =
+      round(c, 12).cast(DecimalType(38, 12))
+    val summed = cells
+      .agg(
+        max("__n").as("__tn"),
+        countDistinct("__a").as("__tr"), countDistinct("__b").as("__tc"),
+        sum(dec(miT)).as("__mi"), sum(dec(chiT)).as("__chi"))
+    val chi2 = col("__chi").cast("double") + col("__tn").cast("double")
+    val minRc = least(col("__tr"), col("__tc"))
+    summed.select(
+      col("__tn").cast("long").as("n"),
+      col("__tr").cast("int").as("r"),
+      col("__tc").cast("int").as("c"),
+      ((col("__tr") - 1) * (col("__tc") - 1)).cast("long").as("dof"),
+      round(col("__mi").cast("double"), 6).as("mi"),
+      round(chi2, 6).as("chi2"),
+      when(minRc > 1,
+        round(sqrt(greatest(
+          chi2 / (col("__tn").cast("double") * (minRc - 1).cast("double")),
+          lit(0.0))), 6))
+        .otherwise(lit(0.0)).as("cramers_v"))
+  }
 }

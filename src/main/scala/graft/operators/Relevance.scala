@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /**
  * Corpus-relevance scoring: TF-IDF term weighting and BM25 document
@@ -332,5 +333,61 @@ object Relevance {
       .agg(
         min(col("rank")).as("vocab_size"),
         round(min_by(col("cum_share"), col("rank")), 6).as("cum_share"))
+  }
+
+  /**
+   * Reciprocal-rank-fusion of ranked retrieval lists (Cormack et al.
+   * 2009) — the standard hybrid-search combiner: fuse a sparse
+   * (BM25) and a dense (cosine top-k) ranking without score
+   * calibration, since RRF consumes only RANKS:
+   * `score(d) = Σ_lists 1/(kRrf + rank_list(d))`, missing-from-list
+   * contributes 0. Each input must carry (idCol, rank) — the shape
+   * [[bm25TopK]] and [[graft.operators.Similarity.cosineTopK]]
+   * produce (single-probe slices of the latter).
+   *
+   * Output: one row per fused candidate, the per-list ranks as
+   * `<name>_rank` columns (NULL where the list missed the doc),
+   * `rrf_score`, and the fused `rank` (score desc, id asc — the
+   * family's total tie rule), cut to top `k`.
+   *
+   * Determinism: each 1/(kRrf+rank) term quantizes to DECIMAL(38,12)
+   * before the cross-list sum, so fusion of ANY number of lists is
+   * partition-order-independent (a raw double Σ is safe only for two
+   * lists, where IEEE commutativity suffices).
+   *
+   * Scale: inputs are top-k lists — the union is ≤ Σ|lists|·k rows
+   * BY CONSTRUCTION, so the fuse groupBy, the rank window, and the
+   * final cut all run at candidate cardinality, independent of the
+   * corpus the lists were retrieved from.
+   */
+  def rrfFuse(
+      rankings: Seq[(String, DataFrame)], idCol: String,
+      k: Int, kRrf: Int = 60): DataFrame = {
+    require(rankings.size >= 2, "rrfFuse needs at least two ranked lists")
+    require(kRrf > 0, s"kRrf must be positive, got $kRrf")
+    val tagged = rankings.map { case (name, df) =>
+      df.select(
+        col(idCol), lit(name).as("__list"),
+        col("rank").cast("int").as("__r"))
+    }.reduce(_.unionByName(_))
+    val term = round(lit(1.0) / (lit(kRrf.toDouble) + col("__r").cast("double")), 12)
+      .cast(DecimalType(38, 12))
+    val perList = rankings.map { case (name, _) =>
+      max(when(col("__list") === name, col("__r"))).as(s"${name}_rank")
+    }
+    val fused = tagged
+      .groupBy(col(idCol))
+      .agg(perList.head, (perList.tail :+ sum(term).as("__rrf")): _*)
+    // Top-k FIRST (TakeOrderedAndProject), then the rank window sees
+    // k rows only — the bm25TopK discipline.
+    fused
+      .orderBy(col("__rrf").desc, col(idCol))
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("__rrf").desc, col(idCol))))
+      .select(
+        (col(idCol) +: rankings.map { case (name, _) => col(s"${name}_rank") }) ++
+          Seq(col("rank"),
+            round(col("__rrf").cast("double"), 6).as("rrf_score")): _*)
   }
 }

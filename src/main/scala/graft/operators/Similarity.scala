@@ -1025,4 +1025,42 @@ object Similarity {
         round((n * sxy - col("sx") * col("sy")) / sqrt(vx * vy), 6))
         .as("corr"))
   }
+
+  /**
+   * Dimension-truncation recall audit (Matryoshka-representation
+   * deployment check): how much of the exact cosine top-k survives
+   * when vectors are truncated to their first `dims` components —
+   * the standard question before switching ANN serving to a
+   * truncated-prefix index (smaller memory/IO per vector, same
+   * index shape). For each probe: recall@k = |topk(truncated) ∩
+   * topk(full)| / k.
+   *
+   * Both rankings run through [[cosineTopK]] — the SAME bounded
+   * WindowGroupLimit shuffle shape and the same total tie rule — so
+   * the audit's cost is two corpus scans with O(partitions × probes
+   * × k) shuffle rows each, corpus-size-independent, and the
+   * intersection join touches only probes × k rows per side. If the
+   * truncated recall is acceptable, deploy the truncation INSIDE the
+   * IVF/SRP pipeline by slicing the vector column before bucketing
+   * — this audit is the measurement that licenses it.
+   */
+  def dimTruncationRecall(
+      corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int, dims: Int): DataFrame = {
+    require(dims > 0, s"dims must be positive, got $dims")
+    def truncate(df: DataFrame) =
+      df.withColumn(vecCol, slice(col(vecCol), 1, dims))
+    val full = cosineTopK(corpus, probes, idCol, vecCol, k)
+      .select(col("probe_id"), col("vec_id"))
+    val trunc = cosineTopK(truncate(corpus), truncate(probes), idCol, vecCol, k)
+      .select(col("probe_id"), col("vec_id"), lit(1).as("__hit"))
+    full
+      .join(trunc, Seq("probe_id", "vec_id"), "left")
+      .groupBy("probe_id")
+      .agg(count(col("__hit")).as("__hits"))
+      .select(
+        col("probe_id"),
+        col("__hits").cast("int").as("hits"),
+        round(col("__hits").cast("double") / lit(k.toDouble), 6).as("recall"))
+  }
 }

@@ -620,4 +620,49 @@ object TextAnalysis {
             "s -> s.tok)"),
           " ").as("cleaned_text"))
   }
+
+  /**
+   * Sliding-window document chunking (RAG / context-window prep):
+   * split each document into overlapping token windows of `window`
+   * tokens advancing by `stride` (stride < window ⇒ the standard
+   * overlapped-chunk retrieval layout; stride == window ⇒ disjoint
+   * packing). A document with n tokens yields
+   * `1 + max(0, ceil((n - window) / stride))` chunks; the final chunk
+   * is short (it runs to the end of the document rather than padding
+   * or dropping the tail).
+   *
+   * Output: (idCol, chunk_id, chunk_tokens, chunk_text) — chunk_id is
+   * 0-based within the document, chunk_text re-joins the window's
+   * tokens with single spaces.
+   *
+   * Scale: the token array is hoisted ONCE per document, the chunk
+   * fan-out is a `sequence` explode streaming through the scan stage,
+   * and each chunk's slice/join is per-row compute — zero shuffles,
+   * whole-stage codegen, output volume = Σ chunks ≈ n_tokens/stride
+   * rows (the physically required minimum for the layout).
+   */
+  def slidingChunks(
+      docs: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window > 0, s"window must be positive, got $window")
+    require(stride > 0 && stride <= window,
+      s"stride must be in [1, window], got stride=$stride window=$window")
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .select(
+        col(idCol), col("__toks"), col("__n"),
+        explode(sequence(lit(0),
+          greatest(lit(0),
+            ceil((col("__n") - lit(window)).cast("double") / lit(stride.toDouble))
+              .cast("int")))).as("chunk_id"))
+      .select(
+        col(idCol),
+        col("chunk_id").cast("int").as("chunk_id"),
+        least(lit(window), col("__n") - col("chunk_id") * lit(stride))
+          .cast("int").as("chunk_tokens"),
+        array_join(
+          slice(col("__toks"), col("chunk_id") * lit(stride) + lit(1), lit(window)),
+          " ").as("chunk_text"))
+  }
 }

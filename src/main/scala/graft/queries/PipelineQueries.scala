@@ -1035,6 +1035,49 @@ object PipelineQueries {
         .orderBy("user_id", "event_id", "right_event_id")
     }),
 
+    // V15: hybrid sparse+dense retrieval via reciprocal-rank fusion —
+    // BM25 top-20 fused with probe-0's cosine top-20 on doc_id =
+    // vec_id (the synthetic tables are row-aligned). All post-
+    // retrieval work runs at candidate cardinality (≤ 40 rows).
+    "q169_hybrid_rrf" -> ((s, dir) => {
+      val sparse = Relevance.bm25TopK(
+          t(s, dir, "documents"), "doc_id", "text",
+          terms = Seq("spark", "vector", "window"), k = 20)
+        .select(col("doc_id"), col("rank"))
+      val e = t(s, dir, "embeddings")
+      val dense = Similarity.cosineTopK(
+          e, e.where(col("vec_id") === 0), "vec_id", "embedding", k = 20)
+        .select(col("vec_id").as("doc_id"), col("rank"))
+      Relevance.rrfFuse(
+          Seq("bm25" -> sparse, "dense" -> dense), "doc_id", k = 20)
+        // missing-from-list ranks print as 0 (keeps the gate columns
+        // non-nullable int on both engines)
+        .withColumn("bm25_rank", coalesce(col("bm25_rank"), lit(0)).cast("int"))
+        .withColumn("dense_rank", coalesce(col("dense_rank"), lit(0)).cast("int"))
+        .orderBy("rank")
+    }),
+
+    // T39: sliding-window RAG chunking — 64-token windows advancing
+    // by 32 (50% overlap). Zero shuffles: token hoist + sequence
+    // explode + per-chunk slice, all in the scan stage.
+    "q170_sliding_chunks" -> ((s, dir) => {
+      TextAnalysis.slidingChunks(
+          t(s, dir, "documents"), "doc_id", "text",
+          window = 64, stride = 32)
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+    // V16: Matryoshka dim-truncation recall audit — exact cosine
+    // top-10 at 16 of 64 dims vs full, recall@10 per probe. Two
+    // bounded WindowGroupLimit rankings + a candidate-sized join.
+    "q172_truncation_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.dimTruncationRecall(
+          e, e.where(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, dims = 16)
+        .orderBy("probe_id")
+    }),
+
     // V13: exact embedding covariance/correlation matrix on the
     // floor-quantized grid — the whitening/PCA-preprocessing stats
     // for the ANN/SemDeDup family. Kernel fan-out in-scan, one d²
@@ -3007,6 +3050,154 @@ object PipelineQueries {
         |      / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
         |           * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) END AS corr
         |FROM sums ORDER BY dim_i, dim_j""".stripMargin,
+
+    "q169_hybrid_rrf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, tok, COUNT(*) AS tf, MAX(dl) AS dl FROM (
+        |    SELECT doc_id, len(string_split(text, ' ')) AS dl,
+        |           unnest(string_split(text, ' ')) AS tok
+        |    FROM documents)
+        |  GROUP BY doc_id, tok
+        |), dft AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+        |c AS (
+        |  SELECT COUNT(*) AS n_docs,
+        |    AVG(len(string_split(text, ' '))) AS avgdl
+        |  FROM documents
+        |), m AS (
+        |  SELECT tf.doc_id, tf.tf, tf.dl, dft.df
+        |  FROM tf JOIN dft USING (tok)
+        |  WHERE tf.tok IN ('spark', 'vector', 'window')
+        |), sc AS (
+        |  SELECT doc_id,
+        |    SUM(ln(1.0 + (c.n_docs - df + 0.5) / (df + 0.5))
+        |        * (tf * (1.2 + 1.0))
+        |        / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / c.avgdl))) AS score
+        |  FROM m CROSS JOIN c GROUP BY doc_id
+        |), bm AS (
+        |  SELECT doc_id, r FROM (
+        |    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+        |    FROM sc)
+        |  WHERE r <= 20
+        |), el AS (
+        |  SELECT vec_id, generate_subscripts(embedding,1) AS d,
+        |         unnest(embedding)::DOUBLE AS x
+        |  FROM embeddings
+        |), nrm AS (
+        |  SELECT vec_id, sqrt(SUM(x*x)) AS n FROM el GROUP BY vec_id
+        |), pr AS (
+        |  SELECT vec_id AS probe_id, d, x FROM el WHERE vec_id = 0
+        |), dots AS (
+        |  SELECT p.probe_id, e.vec_id, SUM(p.x * e.x) AS dp
+        |  FROM pr p JOIN el e ON e.d = p.d AND e.vec_id <> p.probe_id
+        |  GROUP BY 1, 2
+        |), cs AS (
+        |  SELECT d.probe_id, d.vec_id, d.dp / (np.n * nv.n) AS cosine
+        |  FROM dots d
+        |  JOIN nrm np ON np.vec_id = d.probe_id
+        |  JOIN nrm nv ON nv.vec_id = d.vec_id
+        |), dn AS (
+        |  SELECT doc_id, r FROM (
+        |    SELECT vec_id AS doc_id,
+        |      row_number() OVER (ORDER BY cosine DESC, vec_id) AS r
+        |    FROM cs)
+        |  WHERE r <= 20
+        |), u AS (
+        |  SELECT COALESCE(bm.doc_id, dn.doc_id) AS doc_id,
+        |         bm.r AS br, dn.r AS dr
+        |  FROM bm FULL OUTER JOIN dn ON bm.doc_id = dn.doc_id
+        |), f AS (
+        |  SELECT doc_id, br, dr,
+        |    COALESCE(CAST(round(1.0 / (60.0 + CAST(br AS DOUBLE)), 12)
+        |      AS DECIMAL(38,12)), CAST(0 AS DECIMAL(38,12))) +
+        |    COALESCE(CAST(round(1.0 / (60.0 + CAST(dr AS DOUBLE)), 12)
+        |      AS DECIMAL(38,12)), CAST(0 AS DECIMAL(38,12))) AS rrf
+        |  FROM u
+        |)
+        |SELECT doc_id,
+        |  CAST(COALESCE(br, 0) AS INT) AS bm25_rank,
+        |  CAST(COALESCE(dr, 0) AS INT) AS dense_rank,
+        |  CAST(rank AS INT) AS rank,
+        |  round(CAST(rrf AS DOUBLE), 6) AS rrf_score
+        |FROM (
+        |  SELECT doc_id, br, dr, rrf,
+        |    row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank
+        |  FROM f)
+        |WHERE rank <= 20
+        |ORDER BY rank""".stripMargin,
+
+    "q170_sliding_chunks" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |         len(string_split(text, ' ')) AS n
+        |  FROM documents
+        |), ch AS (
+        |  SELECT doc_id, n, toks,
+        |    unnest(range(0, 1 + greatest(0,
+        |      CAST(ceil((n - 64) / 32.0) AS BIGINT)))) AS chunk_id
+        |  FROM tk
+        |)
+        |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+        |  CAST(least(64, n - chunk_id * 32) AS INT) AS chunk_tokens,
+        |  array_to_string(
+        |    list_slice(toks, chunk_id * 32 + 1, least(chunk_id * 32 + 64, n)),
+        |    ' ') AS chunk_text
+        |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q172_truncation_recall" ->
+      """WITH el AS (
+        |  SELECT vec_id, generate_subscripts(embedding,1) AS d,
+        |         unnest(embedding)::DOUBLE AS x
+        |  FROM embeddings
+        |), nrm AS (
+        |  SELECT vec_id, sqrt(SUM(x*x)) AS n FROM el GROUP BY vec_id
+        |), pr AS (
+        |  SELECT vec_id AS probe_id, d, x FROM el WHERE vec_id < 5
+        |), dots AS (
+        |  SELECT p.probe_id, e.vec_id, SUM(p.x * e.x) AS dp
+        |  FROM pr p JOIN el e ON e.d = p.d AND e.vec_id <> p.probe_id
+        |  GROUP BY 1, 2
+        |), cs AS (
+        |  SELECT d.probe_id, d.vec_id, d.dp / (np.n * nv.n) AS cosine
+        |  FROM dots d
+        |  JOIN nrm np ON np.vec_id = d.probe_id
+        |  JOIN nrm nv ON nv.vec_id = d.vec_id
+        |), full_k AS (
+        |  SELECT probe_id, vec_id FROM (
+        |    SELECT probe_id, vec_id,
+        |      row_number() OVER (PARTITION BY probe_id
+        |                         ORDER BY cosine DESC, vec_id) AS rank
+        |    FROM cs)
+        |  WHERE rank <= 10
+        |), elt AS (SELECT vec_id, d, x FROM el WHERE d <= 16
+        |), nrmt AS (
+        |  SELECT vec_id, sqrt(SUM(x*x)) AS n FROM elt GROUP BY vec_id
+        |), prt AS (
+        |  SELECT vec_id AS probe_id, d, x FROM elt WHERE vec_id < 5
+        |), dotst AS (
+        |  SELECT p.probe_id, e.vec_id, SUM(p.x * e.x) AS dp
+        |  FROM prt p JOIN elt e ON e.d = p.d AND e.vec_id <> p.probe_id
+        |  GROUP BY 1, 2
+        |), cst AS (
+        |  SELECT d.probe_id, d.vec_id, d.dp / (np.n * nv.n) AS cosine
+        |  FROM dotst d
+        |  JOIN nrmt np ON np.vec_id = d.probe_id
+        |  JOIN nrmt nv ON nv.vec_id = d.vec_id
+        |), trunc_k AS (
+        |  SELECT probe_id, vec_id FROM (
+        |    SELECT probe_id, vec_id,
+        |      row_number() OVER (PARTITION BY probe_id
+        |                         ORDER BY cosine DESC, vec_id) AS rank
+        |    FROM cst)
+        |  WHERE rank <= 10
+        |)
+        |SELECT f.probe_id,
+        |  CAST(COUNT(t.vec_id) AS INT) AS hits,
+        |  round(CAST(COUNT(t.vec_id) AS DOUBLE) / 10.0, 6) AS recall
+        |FROM full_k f
+        |LEFT JOIN trunc_k t
+        |  ON t.probe_id = f.probe_id AND t.vec_id = f.vec_id
+        |GROUP BY f.probe_id
+        |ORDER BY f.probe_id""".stripMargin,
 
     // In the above-vocabulary capacity regime Misra-Gries is exact
     // counting (no counter ever evicts), so the sharded stateful fold

@@ -1247,6 +1247,15 @@ object RelationalQueries {
         .orderBy("col_name", "stat")
     }),
 
+    // Categorical×categorical association (the correlations
+    // complement): MI, chi-squared, Cramér's V between lang and
+    // source from one contingency pass; per-cell terms quantize to
+    // decimal before the cross-cell sum (partition-order-free).
+    "q171_cat_association" -> ((s, dir) => {
+      graft.operators.Profile.categoricalAssociation(
+          t(s, dir, "documents"), "lang", "source")
+    }),
+
     // Weighted PageRank over the event-type transition graph (q91's
     // edges): long-run attention share per state — power iteration,
     // one co-partitioned join + one contribution shuffle per round,
@@ -2365,6 +2374,60 @@ object RelationalQueries {
         |  UNION ALL SELECT col_name, 'mean', s1 / cnt FROM wide
         |  UNION ALL SELECT col_name, 'std',
         |    sqrt(greatest((s2 - s1 * s1 / cnt) / (cnt - 1), 0.0)) FROM wide
-        |) ORDER BY col_name, stat""".stripMargin
+        |) ORDER BY col_name, stat""".stripMargin,
+
+    // Mirrors Profile.categoricalAssociation: identical fixed double
+    // op order per cell, DECIMAL(38,12) quantization before the sum.
+    "q171_cat_association" ->
+      """WITH jt AS (
+        |  SELECT lang AS a, source AS b, COUNT(*) AS nab
+        |  FROM documents
+        |  WHERE lang IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY 1, 2
+        |), ma AS (SELECT a, SUM(nab) AS na FROM jt GROUP BY a),
+        |mb AS (SELECT b, SUM(nab) AS nb FROM jt GROUP BY b),
+        |tot AS (
+        |  SELECT SUM(nab) AS n, COUNT(DISTINCT a) AS r,
+        |         COUNT(DISTINCT b) AS c
+        |  FROM jt
+        |), cells AS (
+        |  SELECT
+        |    CAST(round(
+        |      (CAST(jt.nab AS DOUBLE) / CAST(t.n AS DOUBLE))
+        |        * ln(CAST(jt.nab AS DOUBLE) * CAST(t.n AS DOUBLE)
+        |             / (CAST(ma.na AS DOUBLE) * CAST(mb.nb AS DOUBLE))),
+        |      12) AS DECIMAL(38,12)) AS mi_t,
+        |    CAST(round(
+        |      (CAST(jt.nab AS DOUBLE)
+        |         - CAST(ma.na AS DOUBLE) * CAST(mb.nb AS DOUBLE)
+        |           / CAST(t.n AS DOUBLE))
+        |      * (CAST(jt.nab AS DOUBLE)
+        |         - CAST(ma.na AS DOUBLE) * CAST(mb.nb AS DOUBLE)
+        |           / CAST(t.n AS DOUBLE))
+        |      / (CAST(ma.na AS DOUBLE) * CAST(mb.nb AS DOUBLE)
+        |         / CAST(t.n AS DOUBLE))
+        |      - CAST(ma.na AS DOUBLE) * CAST(mb.nb AS DOUBLE)
+        |        / CAST(t.n AS DOUBLE),
+        |      12) AS DECIMAL(38,12)) AS chi_t
+        |  FROM jt JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN tot t
+        |), agg AS (
+        |  SELECT
+        |    (SELECT CAST(n AS BIGINT) FROM tot) AS n,
+        |    (SELECT CAST(r AS INT) FROM tot) AS r,
+        |    (SELECT CAST(c AS INT) FROM tot) AS c,
+        |    SUM(mi_t) AS smi, SUM(chi_t) AS schi
+        |  FROM cells
+        |)
+        |SELECT n, r, c,
+        |  CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+        |  round(CAST(smi AS DOUBLE), 6) AS mi,
+        |  round(CAST(schi AS DOUBLE) + CAST(n AS DOUBLE), 6) AS chi2,
+        |  CASE WHEN least(r, c) > 1 THEN
+        |    round(sqrt(greatest(
+        |      (CAST(schi AS DOUBLE) + CAST(n AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) * CAST(least(r, c) - 1 AS DOUBLE)),
+        |      0.0)), 6)
+        |  ELSE 0.0 END AS cramers_v
+        |FROM agg""".stripMargin
   )
 }

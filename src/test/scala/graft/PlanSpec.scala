@@ -330,4 +330,21 @@ class PlanSpec extends AnyFunSuite {
       s"d-row moment tables must broadcast, never shuffle-join:\n$p")
     assert(p.contains("graft_pair_moments"), "kernel missing from plan")
   }
+
+  test("q170: chunk fan-out streams through the scan — no operator shuffle") {
+    val p = plan("q170_sliding_chunks")
+    // The single Exchange allowed is the oracle-determinism orderBy.
+    val n = "Exchange".r.findAllIn(p).length
+    assert(n <= 1, s"sliding chunks must not shuffle the corpus:\n$p")
+    assert(p.contains("Generate"), "sequence-explode chunk fan-out expected")
+  }
+
+  test("q171: categorical association is ONE corpus scan; marginals ride cell-sized windows") {
+    val p = plan("q171_cat_association")
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans === 1,
+      s"contingency must be one-pass (marginals-as-joins rescans 4×), saw $scans scans:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"nothing may shuffle-join at cell cardinality:\n$p")
+  }
 }

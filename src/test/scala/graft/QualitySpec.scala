@@ -230,4 +230,27 @@ class QualitySpec extends AnyFunSuite {
     assert(!defPlan.contains("* 1") && !defPlan.toLowerCase.contains("e-10"),
       s"default preScaleExp must leave the plan untouched:\n$defPlan")
   }
+
+  test("categoricalAssociation: perfect → MI=ln2, V=1; independent → 0; constant side → dof 0") {
+    val perfect = Seq(("x", "x"), ("x", "x"), ("y", "y"), ("y", "y"))
+      .toDF("a", "b")
+    val p = Profile.categoricalAssociation(perfect, "a", "b").collect()(0)
+    assert(p.getLong(0) === 4L)     // n
+    assert(p.getInt(1) === 2)       // r
+    assert(p.getInt(2) === 2)       // c
+    assert(p.getLong(3) === 1L)     // dof
+    assert(math.abs(p.getDouble(4) - math.log(2)) < 1e-6) // mi
+    assert(p.getDouble(5) === 4.0)  // chi2 = n for a perfect 2×2
+    assert(p.getDouble(6) === 1.0)  // Cramér's V
+    val indep = Seq(("x", "u"), ("x", "v"), ("y", "u"), ("y", "v"))
+      .toDF("a", "b")
+    val i = Profile.categoricalAssociation(indep, "a", "b").collect()(0)
+    assert(i.getDouble(4) === 0.0 && i.getDouble(5) === 0.0 &&
+      i.getDouble(6) === 0.0)
+    // Constant right side: min(r,c)=1 → dof 0, V pinned to 0 (not NaN).
+    val const = Seq(("x", "u"), ("y", "u"), (null, "u")).toDF("a", "b")
+    val c = Profile.categoricalAssociation(const, "a", "b").collect()(0)
+    assert(c.getLong(0) === 2L, "NULL-keyed rows are excluded")
+    assert(c.getLong(3) === 0L && c.getDouble(6) === 0.0)
+  }
 }

@@ -128,4 +128,25 @@ class RelevanceSpec extends AnyFunSuite {
     assert(out === Seq(
       (0.5, 1L, 0.5), (0.6, 2L, 0.8), (0.9, 3L, 0.9), (1.0, 4L, 1.0)))
   }
+
+  test("rrfFuse: both-lists doc wins; 1/61 beats 1/62; per-list ranks surface") {
+    val a = Seq((1L, 1), (2L, 2)).toDF("doc_id", "rank")
+    val b = Seq((2L, 1), (3L, 2)).toDF("doc_id", "rank")
+    val out = Relevance.rrfFuse(Seq("a" -> a, "b" -> b), "doc_id", k = 3)
+      .select("doc_id", "a_rank", "b_rank", "rank", "rrf_score")
+      .as[(Long, Option[Int], Option[Int], Int, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 2 in both lists: 1/(60+2) + 1/(60+1) = 0.032522 — rank 1
+    assert(out(2L)._2 === Some(2) && out(2L)._3 === Some(1))
+    assert(out(2L)._4 === 1 && out(2L)._5 === 0.032522)
+    // doc 1 only in a at rank 1 (1/61 = 0.016393) beats doc 3 only
+    // in b at rank 2 (1/62 = 0.016129)
+    assert(out(1L)._4 === 2 && out(1L)._3 === None)
+    assert(out(1L)._5 === 0.016393)
+    assert(out(3L)._4 === 3 && out(3L)._2 === None)
+    assert(out(3L)._5 === 0.016129)
+    intercept[IllegalArgumentException] {
+      Relevance.rrfFuse(Seq("a" -> a), "doc_id", k = 3)
+    }
+  }
 }

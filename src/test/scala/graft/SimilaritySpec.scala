@@ -514,4 +514,25 @@ class SimilaritySpec extends AnyFunSuite {
       minEigenvalue = 1e-9)
     assert(fw.columns.toSeq === Seq("vec_id", "pc1"), "collapsed axis must drop")
   }
+
+  test("dimTruncationRecall: prefix truncation flips the winner; full dims recall 1") {
+    val v = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.5f, 0.8660254f)), // unit; full cosine vs probe 0.5
+      (2L, Array(0.6f, -0.8f))       // unit; full cosine 0.6 → full top-1
+    ).toDF("vec_id", "embedding")
+    val probes = v.where($"vec_id" === 0)
+    // dims=1: both candidates collapse to cosine 1.0; the tie breaks
+    // to vec_id 1, but the FULL top-1 is vec_id 2 → recall 0.
+    val r1 = Similarity.dimTruncationRecall(
+        v, probes, "vec_id", "embedding", k = 1, dims = 1)
+      .select("probe_id", "hits", "recall")
+      .as[(Long, Int, Double)].collect().toSeq
+    assert(r1 === Seq((0L, 0, 0.0)))
+    // dims = full dimensionality: the audit is trivially exact.
+    val r2 = Similarity.dimTruncationRecall(
+        v, probes, "vec_id", "embedding", k = 1, dims = 2)
+      .select("recall").as[Double].collect().toSeq
+    assert(r2 === Seq(1.0))
+  }
 }

@@ -306,4 +306,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     val b = hof.orderBy("doc_id").collect().map(_.toString)
     assert(a.toSeq === b.toSeq)
   }
+
+  test("slidingChunks: overlapped layout, short tail, stride==window disjoint") {
+    val docs = Seq((1L, "a b c d e"), (2L, "a b")).toDF("doc_id", "text")
+    val out = TextAnalysis
+      .slidingChunks(docs, "doc_id", "text", window = 3, stride = 2)
+      .orderBy("doc_id", "chunk_id")
+      .select("doc_id", "chunk_id", "chunk_tokens", "chunk_text")
+      .as[(Long, Int, Int, String)].collect().toSeq
+    assert(out === Seq(
+      (1L, 0, 3, "a b c"), (1L, 1, 3, "c d e"), (2L, 0, 2, "a b")))
+    // stride == window: disjoint packing, 1-token tail survives
+    val disjoint = TextAnalysis
+      .slidingChunks(docs.where($"doc_id" === 1), "doc_id", "text",
+        window = 2, stride = 2)
+      .orderBy("chunk_id")
+      .select("chunk_id", "chunk_tokens", "chunk_text")
+      .as[(Int, Int, String)].collect().toSeq
+    assert(disjoint === Seq((0, 2, "a b"), (1, 2, "c d"), (2, 1, "e")))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.slidingChunks(docs, "doc_id", "text",
+        window = 2, stride = 3)
+    }
+  }
 }
