@@ -12,8 +12,17 @@ import org.apache.spark.sql.functions._
  * query keeps the canonical SHAPE — the join graph, aggregation
  * pattern, and predicate structure that make it a benchmark staple —
  * and substitutes surviving columns where the original filter/output
- * column is absent. Q2/Q4/Q9/Q11/Q12/Q16/Q20/Q21 need the missing
- * tables/columns structurally and are not expressible.
+ * column is absent. Round 8 completed the suite: the eight queries
+ * that need the missing tables/columns (Q2/Q4/Q9/Q11/Q12/Q16/Q20/
+ * Q21, q173–q180) run as documented SHAPE adaptations — partsupp →
+ * observed lineitem offers, the late-delivery predicates →
+ * returnflag 'R', supplier complaints → negative s_acctbal, supply
+ * cost → a constant rate of p_retailprice — preserving exactly the
+ * structures that make them benchmark staples: correlated MIN (Q2),
+ * EXISTS/NOT-EXISTS semi/anti self-joins (Q4/Q21), the
+ * HAVING-vs-global-scalar compare (Q11), NOT IN (Q16), and nested
+ * semi-joins (Q20). With Q1's pricing summary long covered by the
+ * core q12 aggregate, all 22 TPC-H query shapes now run.
  *
  * Every query pairs with a DuckDB oracle (parity rules per
  * `.claude/skills/verify`: decimal-accumulated revenue cast to
@@ -314,6 +323,215 @@ object TpchQueries {
           sum(col("c_acctbal").cast("decimal(14,2)")).cast("double")
             .as("totacctbal"))
         .orderBy("c_mktsegment")
+    }),
+
+    // TPC-H Q2 (minimum-cost supplier; partsupp → observed lineitem
+    // offers: unit cost = min l_extendedprice/l_quantity per
+    // (part, supplier)). Keeps the canonical correlated-MIN shape as
+    // its decorrelation: per-part regional min joined back on
+    // (part, cost) equality — the min IS one of the candidate
+    // doubles, so the equality is bit-safe on both engines. The
+    // offers aggregation pre-combines BELOW the dim joins; top-20
+    // compiles to TakeOrderedAndProject.
+    "q173_tpch2" -> ((s, dir) => {
+      val offers = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("l_extendedprice").cast("double") /
+          col("l_quantity").cast("double")).as("unit_cost"))
+      val eu = t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey") &&
+            col("r_name") === "EUROPE")
+        .select(col("s_suppkey"), col("s_acctbal"), col("s_name"),
+          col("n_name"))
+      val p15 = t(s, dir, "part").where(col("p_size") === 15)
+        .select(col("p_partkey"))
+      val regional = offers
+        .join(eu, col("l_suppkey") === col("s_suppkey"))
+        .join(p15, col("l_partkey") === col("p_partkey"), "left_semi")
+      // Per-part min as a WINDOW over the regional offers — the
+      // groupBy-min-join-back decorrelation evaluates the offers
+      // subtree twice (two corpus scans); the window shares one.
+      regional
+        .withColumn("__min_cost",
+          min("unit_cost").over(
+            org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")))
+        .where(col("unit_cost") === col("__min_cost"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("l_partkey").as("p_partkey"),
+          round(col("unit_cost"), 6).as("unit_cost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(20)
+    }),
+
+    // TPC-H Q4 (order-priority checking; the EXISTS late-lineitem
+    // probe → returnflag 'R', since l_commitdate/l_receiptdate are
+    // absent). The order-date range is pushed to the orders scan; the
+    // EXISTS decorrelates to a left-semi join (never a distinct +
+    // inner join — the semi dedups during the probe).
+    "q174_tpch4" -> ((s, dir) => {
+      val o = t(s, dir, "orders").where(
+        col("o_orderdate") >= ts("1997-07-01") &&
+          col("o_orderdate") < ts("1997-10-01"))
+      val flagged = t(s, dir, "lineitem")
+        .where(col("l_returnflag") === "R").select(col("l_orderkey"))
+      o.join(flagged, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // TPC-H Q9 (product-type profit; ps_supplycost → 20% of
+    // p_retailprice — a constant cost rate keeps the profit exact
+    // decimal). Five-way join star with nation broadcast; profit
+    // accumulates as exact decimals so the per-(nation, year) sums
+    // are combine-order independent.
+    "q175_tpch9" -> ((s, dir) => {
+      val p = t(s, dir, "part").where(col("p_name").startsWith("red"))
+        .select(col("p_partkey"), col("p_retailprice"))
+      val profit = revenueTerm -
+        col("l_quantity").cast("decimal(12,2)") *
+          (col("p_retailprice").cast("decimal(12,2)") *
+            lit(0.2).cast("decimal(12,2)"))
+      t(s, dir, "lineitem")
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name"),
+          year(col("o_orderdate")).cast("int").as("o_year"))
+        .agg(sum(profit).cast("double").as("sum_profit"))
+        .orderBy(col("n_name"), col("o_year").desc)
+    }),
+
+    // TPC-H Q11 (important stock; ps_supplycost·ps_availqty → revenue
+    // through one nation's suppliers, the 0.0001·SF fraction → 3× the
+    // per-part mean so the threshold AUTO-SCALES with part count).
+    // The HAVING-vs-global-scalar compares exact decimals in
+    // MULTIPLIED form (value·nparts > total·3) — no decimal division
+    // rounding on either engine, so the boundary can't flip.
+    "q176_tpch11" -> ((s, dir) => {
+      val vals = t(s, dir, "lineitem")
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey") &&
+            col("n_name") === "NATION_9")
+        .groupBy(col("l_partkey"))
+        .agg(sum(revenueTerm).as("__value"))
+      val tot = vals.agg(
+        sum(col("__value")).as("__total"), count(lit(1)).as("__nparts"))
+      vals.crossJoin(broadcast(tot))
+        .where(col("__value") * col("__nparts") >
+          col("__total") * lit(3).cast("decimal(2,0)"))
+        .select(col("l_partkey"), col("__value").cast("double").as("value"))
+        .orderBy(col("value").desc, col("l_partkey"))
+    }),
+
+    // TPC-H Q12 (shipmode priority split; l_shipmode/receipt lag →
+    // returnflag classes over one ship year). The canonical
+    // conditional-aggregation pivot: both counts ride one join + one
+    // partial-combined pass; the date range is pushed to the
+    // lineitem scan.
+    "q177_tpch12" -> ((s, dir) => {
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= ts("1997-01-01") &&
+          col("l_shipdate") < ts("1998-01-01"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!hi, 1L).otherwise(0L)).as("low_line_count"))
+        .orderBy("l_returnflag")
+    }),
+
+    // TPC-H Q16 (parts/supplier relationship; supplier "complaints" →
+    // negative s_acctbal, partsupp → observed lineitem suppliers).
+    // The NOT IN decorrelates to a left-anti join against the tiny
+    // complaint list; distinct supplier counts per (brand, type,
+    // size) partial-aggregate through Spark's single-Expand
+    // multi-distinct path.
+    "q178_tpch16" -> ((s, dir) => {
+      val complaints = t(s, dir, "supplier")
+        .where(col("s_acctbal") < 0).select(col("s_suppkey"))
+      val p = t(s, dir, "part").where(
+        col("p_brand") =!= "Brand#45" && !col("p_type").startsWith("PROMO"))
+      t(s, dir, "lineitem")
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .join(complaints, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+
+    // TPC-H Q20 (potential part promotion; availqty > half sold →
+    // DOMINANT supplier: shipped > 30% of the part's observed year
+    // volume). Nested semi-joins decorrelate outside-in: part-name
+    // semi → per-(part, supplier) quantities → per-part totals joined
+    // back — the 30% compare runs in MULTIPLIED decimal form
+    // (sq·10 > pq·3), exact on both engines.
+    "q179_tpch20" -> ((s, dir) => {
+      val redParts = t(s, dir, "part")
+        .where(col("p_name").startsWith("red")).select(col("p_partkey"))
+      val perSupp = t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= ts("1997-01-01") &&
+          col("l_shipdate") < ts("1998-01-01"))
+        .join(redParts, col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast("decimal(12,2)")).as("__sq"))
+      val perPart = perSupp
+        .groupBy(col("l_partkey").as("__pk"))
+        .agg(sum("__sq").as("__pq"))
+      val dominant = perSupp
+        .join(perPart, col("l_partkey") === col("__pk"))
+        .where(col("__sq") * lit(10).cast("decimal(2,0)") >
+          col("__pq") * lit(3).cast("decimal(2,0)"))
+        .select(col("l_suppkey"))
+      t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey") &&
+            col("n_name") === "NATION_9")
+        .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_name"), col("s_acctbal").cast("double").as("s_acctbal"))
+        .orderBy("s_name")
+    }),
+
+    // TPC-H Q21 (suppliers who kept orders waiting; the late-delivery
+    // predicate → returnflag 'R'): the EXISTS(other supplier) +
+    // NOT EXISTS(other FAILED supplier) pair decorrelates to a
+    // left-semi + left-anti self-join over the DISTINCT
+    // (order, supplier) frames — distinct-collapse first so the
+    // self-join fans out at order-supplier cardinality, not line
+    // cardinality; the F-status probe is another semi join.
+    "q180_tpch21" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+      val failed = l.where(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_suppkey")).distinct
+      val su = l.select(col("l_orderkey").as("__o2"),
+        col("l_suppkey").as("__s2")).distinct
+      val failed2 = failed.select(col("l_orderkey").as("__o3"),
+        col("l_suppkey").as("__s3"))
+      val fOrders = t(s, dir, "orders")
+        .where(col("o_orderstatus") === "F").select(col("o_orderkey"))
+      failed
+        .join(su,
+          col("l_orderkey") === col("__o2") &&
+            col("l_suppkey") =!= col("__s2"), "left_semi")
+        .join(failed2,
+          col("l_orderkey") === col("__o3") &&
+            col("l_suppkey") =!= col("__s3"), "left_anti")
+        .join(fOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
     })
   )
 
@@ -493,6 +711,146 @@ object TpchQueries {
         |    WHERE o_custkey = c_custkey
         |      AND o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY c_mktsegment
-        |ORDER BY c_mktsegment""".stripMargin
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q173_tpch2" ->
+      """WITH offers AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    MIN(CAST(l_extendedprice AS DOUBLE) / CAST(l_quantity AS DOUBLE))
+        |      AS unit_cost
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey
+        |), regional AS (
+        |  SELECT o.l_partkey, o.l_suppkey, o.unit_cost,
+        |         s.s_acctbal, s.s_name, n.n_name
+        |  FROM offers o
+        |  JOIN supplier s ON o.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |    AND r.r_name = 'EUROPE'
+        |  JOIN part p ON o.l_partkey = p.p_partkey AND p.p_size = 15
+        |), minc AS (
+        |  SELECT l_partkey AS mk, MIN(unit_cost) AS min_cost
+        |  FROM regional GROUP BY l_partkey
+        |)
+        |SELECT s_acctbal, s_name, n_name, l_partkey AS p_partkey,
+        |  round(unit_cost, 6) AS unit_cost
+        |FROM regional JOIN minc
+        |  ON l_partkey = mk AND unit_cost = min_cost
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 20""".stripMargin,
+
+    "q174_tpch4" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+        |  AND o_orderdate < TIMESTAMP '1997-10-01'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q175_tpch9" ->
+      s"""SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+         |  CAST(SUM($rev
+         |    - CAST(l_quantity AS DECIMAL(12,2))
+         |      * (CAST(p_retailprice AS DECIMAL(12,2))
+         |         * CAST(0.2 AS DECIMAL(12,2))))
+         |    AS DOUBLE) AS sum_profit
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey AND p_name LIKE 'red%'
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY n_name, year(o_orderdate)
+         |ORDER BY n_name, o_year DESC""".stripMargin,
+
+    "q176_tpch11" ->
+      s"""WITH vals AS (
+         |  SELECT l_partkey, SUM($rev) AS value
+         |  FROM lineitem
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |    AND n_name = 'NATION_9'
+         |  GROUP BY l_partkey
+         |), tot AS (
+         |  SELECT SUM(value) AS total, COUNT(*) AS nparts FROM vals
+         |)
+         |SELECT l_partkey, CAST(value AS DOUBLE) AS value
+         |FROM vals CROSS JOIN tot
+         |WHERE value * nparts > total * CAST(3 AS DECIMAL(2,0))
+         |ORDER BY value DESC, l_partkey""".stripMargin,
+
+    "q177_tpch12" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q178_tpch16" ->
+      """SELECT p_brand, p_type, p_size,
+        |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |  AND p_brand <> 'Brand#45' AND p_type NOT LIKE 'PROMO%'
+        |WHERE l_suppkey NOT IN (
+        |  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q179_tpch20" ->
+      """WITH per_supp AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sq
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'
+        |    AND l_partkey IN (
+        |      SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        |  GROUP BY l_partkey, l_suppkey
+        |), per_part AS (
+        |  SELECT l_partkey AS pk, SUM(sq) AS pq
+        |  FROM per_supp GROUP BY l_partkey
+        |), dominant AS (
+        |  SELECT DISTINCT l_suppkey
+        |  FROM per_supp JOIN per_part ON l_partkey = pk
+        |  WHERE sq * CAST(10 AS DECIMAL(2,0)) > pq * CAST(3 AS DECIMAL(2,0))
+        |)
+        |SELECT s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_9'
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM dominant)
+        |ORDER BY s_name""".stripMargin,
+
+    "q180_tpch21" ->
+      """WITH l AS (
+        |  SELECT DISTINCT l_orderkey, l_suppkey, l_returnflag FROM lineitem
+        |), failed AS (
+        |  SELECT DISTINCT l_orderkey, l_suppkey FROM l
+        |  WHERE l_returnflag = 'R'
+        |), su AS (
+        |  SELECT DISTINCT l_orderkey, l_suppkey FROM l
+        |)
+        |SELECT s_name, COUNT(*) AS numwait
+        |FROM failed f
+        |JOIN supplier ON f.l_suppkey = s_suppkey
+        |WHERE EXISTS (
+        |    SELECT 1 FROM su o WHERE o.l_orderkey = f.l_orderkey
+        |      AND o.l_suppkey <> f.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM failed o3 WHERE o3.l_orderkey = f.l_orderkey
+        |      AND o3.l_suppkey <> f.l_suppkey)
+        |  AND EXISTS (
+        |    SELECT 1 FROM orders WHERE o_orderkey = f.l_orderkey
+        |      AND o_orderstatus = 'F')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 20""".stripMargin
   )
 }

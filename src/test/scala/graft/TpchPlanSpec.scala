@@ -61,4 +61,43 @@ class TpchPlanSpec extends AnyFunSuite {
     assert(p.contains("GreaterThanOrEqual(o_orderdate"),
       "orders recency filter must reach the scan")
   }
+
+  test("q173 (Q2): correlated min rides ONE offers subtree (window, not join-back)") {
+    val p = plan("q173_tpch2")
+    assert(p.contains("TakeOrderedAndProject"), "top-20 must not global-sort")
+    val scans = "lineitem.parquet".r.findAllIn(p).length
+    assert(scans === 1,
+      s"the min-cost decorrelation must not re-evaluate offers, saw $scans lineitem scans")
+  }
+
+  test("q174 (Q4): EXISTS decorrelates to a semi join; both filters pushed") {
+    val p = plan("q174_tpch4")
+    assert(p.contains("LeftSemi"), "EXISTS must plan as left-semi")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      "order-date range must reach the orders scan")
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      "returnflag probe filter must reach the lineitem scan")
+  }
+
+  test("q176/q179 (Q11/Q20): scalar/threshold compares broadcast, never windowed or looped") {
+    for (q <- Seq("q176_tpch11", "q179_tpch20")) {
+      val p = plan(q)
+      assert(!p.contains("WindowExec"), s"$q: no global window for the scalar")
+      assert(!p.contains("CartesianProduct"), s"$q: no unbounded cartesian")
+    }
+  }
+
+  test("q178 (Q16): NOT IN is an anti join; multi-distinct is one pass") {
+    val p = plan("q178_tpch16")
+    assert(p.contains("LeftAnti"), "complaint exclusion must plan as anti join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q180 (Q21): exists/not-exists pair is semi+anti hash joins over distinct frames") {
+    val p = plan("q180_tpch21")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
+      "the EXISTS/NOT EXISTS pair must decorrelate to semi+anti joins")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"self-join residual conditions must stay on hash joins:\n$p")
+  }
 }
