@@ -105,4 +105,97 @@ object Funnel {
       .groupBy(col("cohort_week"), col("week_offset"))
       .agg(countDistinct(col(userCol)).as("n_users"))
   }
+
+  /**
+   * First- and last-touch conversion attribution: for every
+   * conversion event, the earliest and the latest touch event by the
+   * same user inside the CLOSED lookback window
+   * `[conv_ts − lookbackSeconds, conv_ts]` (both NULL when no touch
+   * qualifies). Both models ride ONE per-user RANGE-frame window pass
+   * over microsecond epochs — no self-join, no per-conversion probe;
+   * the frame's row span is bounded by the user's event density ×
+   * lookback, not their full history.
+   *
+   * Tie rule: struct (ts, event_id) min/max — total, so concurrent
+   * touches attribute deterministically on any engine.
+   *
+   * Output per conversion: (userCol, conv_id, conv_ts, value,
+   * first_touch_id, last_touch_id).
+   *
+   * Scale: one hash exchange on the user key; everything else is the
+   * windowed scan. The linear multi-touch model needs the per-pair
+   * fan-out and lives in [[linearAttribution]].
+   */
+  def touchAttribution(
+      events: DataFrame, userCol: String, tsCol: String, typeCol: String,
+      valueCol: String, idCol: String,
+      conversionType: String, touchTypes: Seq[String],
+      lookbackSeconds: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val relevant = events
+      .where(col(typeCol) === conversionType ||
+        col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol), col(tsCol), col(typeCol), col(valueCol),
+        col(idCol), unix_micros(col(tsCol)).as("__us"))
+    val w = Window.partitionBy(userCol).orderBy(col("__us"))
+      .rangeBetween(-lookbackSeconds * 1000000L, 0L)
+    val touchKey = when(col(typeCol).isin(touchTypes: _*),
+      struct(col("__us"), col(idCol)))
+    relevant
+      .withColumn("__first", min(touchKey).over(w))
+      .withColumn("__last", max(touchKey).over(w))
+      .where(col(typeCol) === conversionType)
+      .select(
+        col(userCol), col(idCol).as("conv_id"), col(tsCol).as("conv_ts"),
+        col(valueCol).as("value"),
+        col("__first").getField(idCol).as("first_touch_id"),
+        col("__last").getField(idCol).as("last_touch_id"))
+  }
+
+  /**
+   * Linear multi-touch attribution: every touch inside a
+   * conversion's closed lookback window receives an equal share of
+   * the conversion's value — credit = value / n_touches. The
+   * conversion×touch pair fan-out runs through the binned
+   * [[TemporalJoins.rangeJoin]] shape (equi-join on (user, bin) +
+   * exact range predicate), never a nested-loop; the per-conversion
+   * touch count is a window over the matched pairs, partitioned by
+   * the conversion id — state bounded by that conversion's window
+   * population.
+   *
+   * Credit determinism: value and n are exact on both engines and
+   * the single division is one IEEE op — round(6) at the boundary.
+   *
+   * Output: one row per (conversion, touch) pair — (userCol,
+   * conv_id, touch_id, touch_type, n_touches, credit). Conversions
+   * with zero qualifying touches emit nothing (their value is
+   * unattributable by definition).
+   */
+  def linearAttribution(
+      events: DataFrame, userCol: String, tsCol: String, typeCol: String,
+      valueCol: String, idCol: String,
+      conversionType: String, touchTypes: Seq[String],
+      lookbackSeconds: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lUs = lookbackSeconds * 1000000L
+    val convs = events.where(col(typeCol) === conversionType)
+      .select(col(userCol), col(idCol).as("conv_id"),
+        col(valueCol).as("__value"),
+        (unix_micros(col(tsCol)) - lUs).as("__ws"),
+        // rangeJoin is half-open [start, end); the closed window
+        // [conv−L, conv] is [conv−L, conv+1) in integral micros
+        (unix_micros(col(tsCol)) + 1L).as("__we"))
+    val touches = events.where(col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol), col(idCol).as("touch_id"),
+        col(typeCol).as("touch_type"), unix_micros(col(tsCol)).as("__ts"))
+    val pairs = TemporalJoins.rangeJoin(
+      touches, convs, userCol, "__ts", "__ws", "__we", binWidth = lUs)
+    val wc = Window.partitionBy("conv_id")
+    pairs
+      .withColumn("__n", count(lit(1)).over(wc))
+      .select(
+        col(userCol), col("conv_id"), col("touch_id"), col("touch_type"),
+        col("__n").as("n_touches"),
+        round(col("__value") / col("__n").cast("double"), 6).as("credit"))
+  }
 }

@@ -675,6 +675,33 @@ object RelationalQueries {
         Seq("view", "click", "purchase"), windowSeconds = 7L * 24 * 3600)
     }),
 
+    // E13: first/last-touch conversion attribution — one per-user
+    // RANGE-frame window pass over microsecond epochs, 24 h closed
+    // lookback, struct (ts, id) tie rule.
+    "q181_attribution" -> ((s, dir) => {
+      graft.operators.Funnel.touchAttribution(
+          t(s, dir, "events"), "user_id", "ts", "event_type",
+          "value", "event_id",
+          conversionType = "purchase", touchTypes = Seq("view", "click"),
+          lookbackSeconds = 24L * 3600)
+        // unattributed conversions print as -1 (keeps the gate
+        // columns non-nullable int64 on both engines)
+        .withColumn("first_touch_id", coalesce(col("first_touch_id"), lit(-1L)))
+        .withColumn("last_touch_id", coalesce(col("last_touch_id"), lit(-1L)))
+        .orderBy("conv_id")
+    }),
+
+    // E14: linear multi-touch attribution — binned range join
+    // (never nested-loop) + per-conversion credit split.
+    "q182_attribution_linear" -> ((s, dir) => {
+      graft.operators.Funnel.linearAttribution(
+          t(s, dir, "events"), "user_id", "ts", "event_type",
+          "value", "event_id",
+          conversionType = "purchase", touchTypes = Seq("view", "click"),
+          lookbackSeconds = 24L * 3600)
+        .orderBy("conv_id", "touch_id")
+    }),
+
     // Weekly cohort retention: signup-week cohorts × activity-week
     // offsets, distinct users per cell. Both exchanges key on user.
     "q77_retention" -> ((s, dir) => {
@@ -1833,6 +1860,58 @@ object RelationalQueries {
         |  UNION ALL SELECT 1, 'click', (SELECT count(*) FROM s1)
         |  UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s2))
         |ORDER BY step""".stripMargin,
+
+    // Mirrors Funnel.touchAttribution: RANGE frame over µs epochs,
+    // arg_min/arg_max skip non-touch rows via the NULL-val CASE,
+    // unattributed conversions pin to -1.
+    "q181_attribution" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_type, value, event_id,
+        |         epoch_us(ts) AS us
+        |  FROM events
+        |  WHERE event_type IN ('purchase', 'view', 'click')
+        |), att AS (
+        |  SELECT user_id, event_id, ts, event_type, value,
+        |    arg_min(CASE WHEN event_type IN ('view', 'click')
+        |              THEN event_id END,
+        |            CASE WHEN event_type IN ('view', 'click')
+        |              THEN us END) OVER w AS f_id,
+        |    arg_max(CASE WHEN event_type IN ('view', 'click')
+        |              THEN event_id END,
+        |            CASE WHEN event_type IN ('view', 'click')
+        |              THEN us END) OVER w AS l_id
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |               RANGE BETWEEN 86400000000 PRECEDING
+        |                 AND CURRENT ROW)
+        |)
+        |SELECT user_id, event_id AS conv_id, ts AS conv_ts, value,
+        |  COALESCE(f_id, -1) AS first_touch_id,
+        |  COALESCE(l_id, -1) AS last_touch_id
+        |FROM att WHERE event_type = 'purchase'
+        |ORDER BY conv_id""".stripMargin,
+
+    // Mirrors Funnel.linearAttribution: closed [conv−24h, conv]
+    // window pairs, per-conversion equal credit split.
+    "q182_attribution_linear" ->
+      """WITH convs AS (
+        |  SELECT user_id, event_id AS conv_id, value, epoch_us(ts) AS cs
+        |  FROM events WHERE event_type = 'purchase'
+        |), touches AS (
+        |  SELECT user_id, event_id AS touch_id, event_type AS touch_type,
+        |         epoch_us(ts) AS tus
+        |  FROM events WHERE event_type IN ('view', 'click')
+        |), pairs AS (
+        |  SELECT c.user_id, c.conv_id, c.value, t.touch_id, t.touch_type
+        |  FROM convs c JOIN touches t ON t.user_id = c.user_id
+        |    AND t.tus >= c.cs - 86400000000 AND t.tus < c.cs + 1
+        |)
+        |SELECT user_id, conv_id, touch_id, touch_type,
+        |  CAST(COUNT(*) OVER (PARTITION BY conv_id) AS BIGINT)
+        |    AS n_touches,
+        |  round(value / CAST(COUNT(*) OVER (PARTITION BY conv_id)
+        |    AS DOUBLE), 6) AS credit
+        |FROM pairs ORDER BY conv_id, touch_id""".stripMargin,
 
     "q77_retention" ->
       """WITH cohorts AS (

@@ -66,4 +66,40 @@ class FunnelSpec extends AnyFunSuite {
       (java.sql.Date.valueOf("2024-01-01"), 2, 1L),
       (java.sql.Date.valueOf("2024-01-15"), 0, 1L)))
   }
+
+  // Attribution fixture: u1 converts at 12:00 with touches at 11:00
+  // (view #1) and 11:30 (click #2); a touch at 12:01 (#3, AFTER the
+  // conversion) and one 25h earlier (#4) both fall outside the
+  // window. u2 converts with no touches at all.
+  private def attEvents = Seq(
+    ("u1", ts("2024-01-02 11:00:00"), "view", 0.0, 1L),
+    ("u1", ts("2024-01-02 11:30:00"), "click", 0.0, 2L),
+    ("u1", ts("2024-01-02 12:01:00"), "view", 0.0, 3L),
+    ("u1", ts("2024-01-01 10:59:00"), "view", 0.0, 4L),
+    ("u1", ts("2024-01-02 12:00:00"), "purchase", 90.0, 5L),
+    ("u2", ts("2024-01-02 12:00:00"), "purchase", 10.0, 6L)
+  ).toDF("user_id", "ts", "event_type", "value", "event_id")
+
+  test("touchAttribution: first/last inside the closed 24h window; no-touch conv NULLs") {
+    val out = Funnel.touchAttribution(
+        attEvents, "user_id", "ts", "event_type", "value", "event_id",
+        conversionType = "purchase", touchTypes = Seq("view", "click"),
+        lookbackSeconds = 24L * 3600)
+      .orderBy("conv_id")
+      .select("conv_id", "first_touch_id", "last_touch_id")
+      .as[(Long, Option[Long], Option[Long])].collect().toSeq
+    // #4 is 25h01m before the conversion (outside), #3 is after it.
+    assert(out === Seq((5L, Some(1L), Some(2L)), (6L, None, None)))
+  }
+
+  test("linearAttribution: equal split over qualifying touches; zero-touch conv absent") {
+    val out = Funnel.linearAttribution(
+        attEvents, "user_id", "ts", "event_type", "value", "event_id",
+        conversionType = "purchase", touchTypes = Seq("view", "click"),
+        lookbackSeconds = 24L * 3600)
+      .orderBy("touch_id")
+      .select("conv_id", "touch_id", "n_touches", "credit")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out === Seq((5L, 1L, 2L, 45.0), (5L, 2L, 2L, 45.0)))
+  }
 }
