@@ -225,4 +225,66 @@ object Quality {
         sum(when(col(valCol) > col("hi"), 1L).otherwise(0L))
           .as("n_clip_hi"))
   }
+
+  /**
+   * Exact WEIGHTED per-key quantiles (lower weighted nearest-rank):
+   * for each requested q, the smallest value whose cumulative weight
+   * (in value order) reaches q × total weight — the volume-weighted
+   * percentile ("the price below which half the QUANTITY trades",
+   * token-weighted length percentiles, byte-weighted latencies).
+   *
+   * Determinism contract: weights quantize to DECIMAL(28,6) and each
+   * q becomes an exact rational num/10^s, so the threshold test runs
+   * in MULTIPLIED integer-decimal form (cumw·den ≥ total·num) — no
+   * float cumulative sums, no division, no interpolated edges; the
+   * picked value is always an actual data value and ties in the value
+   * order cannot change it (equal values cross the threshold at the
+   * same value regardless of their internal order).
+   *
+   * Scale: the cumulative window, the per-key total, and the final
+   * aggregate all share ONE key exchange; per-key state is that key's
+   * row span (the exact-quantile price, as in [[winsorizeAudit]] —
+   * swap in approx_percentile upstream when ±ε is acceptable at
+   * 100 TB). Rows with NULL or non-positive weight carry no mass and
+   * are excluded (the Sampling guard).
+   *
+   * Output: long format — (keyCol, quantile, value, total_weight).
+   */
+  def weightedQuantiles(
+      df: DataFrame, keyCol: String, valCol: String, weightCol: String,
+      quantiles: Seq[Double]): DataFrame = {
+    require(quantiles.nonEmpty, "need at least one quantile")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val rationals = quantiles.map { q =>
+      require(q > 0.0 && q <= 1.0, s"quantiles must be in (0, 1], got $q")
+      val bd = BigDecimal(q)
+      val den = BigDecimal(10).pow(bd.scale).toLongExact
+      val num = (bd * den).toLongExact
+      (q, num, den)
+    }
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(valCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wk = Window.partitionBy(col(keyCol))
+    val prepared = df
+      .where(col(valCol).isNotNull && col(weightCol).isNotNull &&
+        col(weightCol) > 0)
+      .withColumn("__w", col(weightCol).cast(DecimalType(28, 6)))
+      .withColumn("__cw", sum(col("__w")).over(w))
+      .withColumn("__tw", sum(col("__w")).over(wk))
+    val aggs = rationals.zipWithIndex.map { case ((_, num, den), i) =>
+      min(when(col("__cw") * lit(den) >= col("__tw") * lit(num),
+        col(valCol))).as(s"__q$i")
+    } :+ max(col("__tw")).cast("double").as("__total")
+    val agged = prepared.groupBy(col(keyCol))
+      .agg(aggs.head, aggs.tail: _*)
+    val rows = rationals.zipWithIndex.map { case ((q, _, _), i) =>
+      struct(lit(q).as("quantile"), col(s"__q$i").as("value"),
+        col("__total").as("total_weight"))
+    }
+    agged
+      .select(col(keyCol), explode(array(rows: _*)).as("r"))
+      .select(col(keyCol), col("r.quantile"), col("r.value"),
+        col("r.total_weight"))
+  }
 }

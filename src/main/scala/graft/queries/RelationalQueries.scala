@@ -1324,6 +1324,17 @@ object RelationalQueries {
         .orderBy("event_type")
     }),
 
+    // Q5: exact volume-weighted price percentiles per return flag —
+    // cumulative DECIMAL weights in value order, multiplied-form
+    // rational thresholds (no division, no interpolation), one key
+    // exchange shared by both windows and the final aggregate.
+    "q183_weighted_quantiles" -> ((s, dir) => {
+      graft.operators.Quality.weightedQuantiles(
+          t(s, dir, "lineitem"), "l_returnflag", "l_extendedprice",
+          "l_quantity", quantiles = Seq(0.25, 0.5, 0.9, 0.99))
+        .orderBy("l_returnflag", "quantile")
+    }),
+
     // Per-type value trend over the month (OLS slope/intercept vs
     // day index): decimal co-moments per key, fixed double-op finish
     // — drift-rate measurement the oracle pins exactly.
@@ -2286,6 +2297,40 @@ object RelationalQueries {
         |        * (CAST(n AS DOUBLE) / tot - log10(1.0 + 1.0 / digit))
         |        / log10(1.0 + 1.0 / digit), 6) AS chi2_contrib
         |FROM c, t ORDER BY digit""".stripMargin,
+
+    // Mirrors Quality.weightedQuantiles: DECIMAL(28,6) weights,
+    // multiplied-form rational thresholds, lower nearest-rank pick.
+    "q183_weighted_quantiles" ->
+      """WITH prep AS (
+        |  SELECT l_returnflag AS k, l_extendedprice AS v,
+        |    CAST(l_quantity AS DECIMAL(28,6)) AS w
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        |    AND l_quantity > 0
+        |), cum AS (
+        |  SELECT k, v, w,
+        |    SUM(w) OVER (PARTITION BY k ORDER BY v
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING
+        |                   AND CURRENT ROW) AS cw,
+        |    SUM(w) OVER (PARTITION BY k) AS tw
+        |  FROM prep
+        |), agg AS (
+        |  SELECT k,
+        |    MIN(CASE WHEN cw * 100 >= tw * 25 THEN v END) AS q0,
+        |    MIN(CASE WHEN cw * 10 >= tw * 5 THEN v END) AS q1,
+        |    MIN(CASE WHEN cw * 10 >= tw * 9 THEN v END) AS q2,
+        |    MIN(CASE WHEN cw * 100 >= tw * 99 THEN v END) AS q3,
+        |    CAST(MAX(tw) AS DOUBLE) AS total_weight
+        |  FROM cum GROUP BY k
+        |)
+        |SELECT k AS l_returnflag, CAST(quantile AS DOUBLE) AS quantile,
+        |       value, total_weight
+        |FROM (
+        |  SELECT k, 0.25 AS quantile, q0 AS value, total_weight FROM agg
+        |  UNION ALL SELECT k, 0.5, q1, total_weight FROM agg
+        |  UNION ALL SELECT k, 0.9, q2, total_weight FROM agg
+        |  UNION ALL SELECT k, 0.99, q3, total_weight FROM agg)
+        |ORDER BY l_returnflag, quantile""".stripMargin,
 
     "q120_winsorize" ->
       """WITH r AS (

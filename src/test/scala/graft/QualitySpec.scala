@@ -253,4 +253,22 @@ class QualitySpec extends AnyFunSuite {
     assert(c.getLong(0) === 2L, "NULL-keyed rows are excluded")
     assert(c.getLong(3) === 0L && c.getDouble(6) === 0.0)
   }
+
+  test("weightedQuantiles: mass concentration moves the pick; zero weights carry no mass") {
+    val df = Seq(
+      ("a", 1.0, 1.0), ("a", 2.0, 1.0), ("a", 3.0, 1.0), ("a", 4.0, 7.0),
+      ("a", 0.0, 0.0), // zero weight: excluded
+      ("b", 1.0, 1.0), ("b", 2.0, 1.0), ("b", 3.0, 1.0), ("b", 4.0, 1.0)
+    ).toDF("k", "v", "w")
+    val out = Quality.weightedQuantiles(df, "k", "v", "w", Seq(0.25, 0.5))
+      .orderBy("k", "quantile")
+      .select("k", "quantile", "value", "total_weight")
+      .as[(String, Double, Double, Double)].collect().toSeq
+    assert(out === Seq(
+      // a: cum weights 1,2,3,10 of total 10 → q25 first cum ≥ 2.5 is
+      // value 3; q50 first cum ≥ 5 is value 4 (the mass sits there)
+      ("a", 0.25, 3.0, 10.0), ("a", 0.5, 4.0, 10.0),
+      // b: uniform weights → lower nearest-rank 1 and 2
+      ("b", 0.25, 1.0, 4.0), ("b", 0.5, 2.0, 4.0)))
+  }
 }
