@@ -1035,6 +1035,25 @@ object PipelineQueries {
         .orderBy("user_id", "event_id", "right_event_id")
     }),
 
+    // X13's batch twin (the q160/q161 program): the streaming
+    // attribution fold on the batch frame — flatMapGroupsWithState
+    // folds each user once with empty state, reproducing
+    // touchAttribution exactly; the DuckDB oracle replays the same
+    // RANGE-frame window. Unattributed ids pin to -1.
+    "q184_attribution_twin" -> ((s, dir) => {
+      graft.streaming.EventStreams.streamingAttribution(
+          t(s, dir, "events"), "user_id", "ts", "event_id",
+          "event_type", "value",
+          conversionType = "purchase", touchTypes = Seq("view", "click"),
+          lookbackSeconds = 24L * 3600)
+        .toDF()
+        .select(col("key").as("user_id"), col("ts").as("conv_ts"),
+          col("convId").as("conv_id"), col("value"),
+          coalesce(col("firstTouchId"), lit(-1L)).as("first_touch_id"),
+          coalesce(col("lastTouchId"), lit(-1L)).as("last_touch_id"))
+        .orderBy("conv_id")
+    }),
+
     // V15: hybrid sparse+dense retrieval via reciprocal-rank fusion —
     // BM25 top-20 fused with probe-0's cosine top-20 on doc_id =
     // vec_id (the synthetic tables are row-aligned). All post-
@@ -3142,6 +3161,35 @@ object PipelineQueries {
         |    list_slice(toks, chunk_id * 32 + 1, least(chunk_id * 32 + 64, n)),
         |    ' ') AS chunk_text
         |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // Identical replay to q181's oracle — the twin asserts the
+    // streaming fold reproduces the batch attribution bit-for-bit.
+    "q184_attribution_twin" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_type, value, event_id,
+        |         epoch_us(ts) AS us
+        |  FROM events
+        |  WHERE event_type IN ('purchase', 'view', 'click')
+        |), att AS (
+        |  SELECT user_id, event_id, ts, event_type, value,
+        |    arg_min(CASE WHEN event_type IN ('view', 'click')
+        |              THEN event_id END,
+        |            CASE WHEN event_type IN ('view', 'click')
+        |              THEN us END) OVER w AS f_id,
+        |    arg_max(CASE WHEN event_type IN ('view', 'click')
+        |              THEN event_id END,
+        |            CASE WHEN event_type IN ('view', 'click')
+        |              THEN us END) OVER w AS l_id
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |               RANGE BETWEEN 86400000000 PRECEDING
+        |                 AND CURRENT ROW)
+        |)
+        |SELECT user_id, event_id AS conv_id, ts AS conv_ts, value,
+        |  COALESCE(f_id, -1) AS first_touch_id,
+        |  COALESCE(l_id, -1) AS last_touch_id
+        |FROM att WHERE event_type = 'purchase'
+        |ORDER BY conv_id""".stripMargin,
 
     "q172_truncation_recall" ->
       """WITH el AS (

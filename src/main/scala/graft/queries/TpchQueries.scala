@@ -460,7 +460,12 @@ object TpchQueries {
         .where(col("s_acctbal") < 0).select(col("s_suppkey"))
       val p = t(s, dir, "part").where(
         col("p_brand") =!= "Brand#45" && !col("p_type").startsWith("PROMO"))
+      // Distinct-collapse (part, supplier) BEFORE the joins: at scale
+      // lineitem has many lines per pair, and the join + the
+      // multi-distinct Expand should fan out at PAIR cardinality,
+      // not line cardinality (the q180 distinct-frame discipline).
       t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct
         .join(p, col("l_partkey") === col("p_partkey"))
         .join(complaints, col("l_suppkey") === col("s_suppkey"), "left_anti")
         .groupBy(col("p_brand"), col("p_type"), col("p_size"))

@@ -64,6 +64,15 @@ case class PatternState(ring: Vector[(Long, Long, Double)])
   * start row (same identification the batch operator emits). */
 case class PatternHit(key: Long, ts: Timestamp, tie: Long, dist: Double)
 
+/** Per-user touch buffer for streaming attribution: (µs, id) pairs
+  * inside the lookback window, evicted on every event. */
+case class AttState(touches: Vector[(Long, Long)])
+
+/** One attributed conversion from the streaming attribution. */
+case class Attributed(
+    key: Long, ts: Timestamp, convId: Long, value: Double,
+    firstTouchId: Option[Long], lastTouchId: Option[Long])
+
 /**
  * Streaming analytics over event streams — the watermarked /
  * stateful half of the engine's streaming surface (the daily-flow
@@ -638,6 +647,70 @@ object EventStreams {
               hit
             }
           state.update(PatternState(ring))
+          out.iterator
+      }
+  }
+
+  /**
+   * Streaming first/last-touch attribution — the stateful
+   * counterpart of [[graft.operators.Funnel.touchAttribution]]:
+   * per-user state is the touch buffer INSIDE the closed lookback
+   * window `[now − lookbackSeconds, now]`, evicted on every event,
+   * so state size is bounded by event density × lookback, never the
+   * user's history. A conversion emits the buffer's (µs, id)-min and
+   * -max touch ids — the batch operator's struct tie rule exactly —
+   * at the moment it arrives (attribute-at-ingest).
+   *
+   * In-order sources reproduce the batch operator row-for-row
+   * (EventStreamsSpec parity across micro-batch splits; the batch
+   * fold itself is DuckDB-pinned by q184 — the q160/q161 twin
+   * program).
+   */
+  def streamingAttribution(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      typeCol: String,
+      valueCol: String,
+      conversionType: String,
+      touchTypes: Seq[String],
+      lookbackSeconds: Long): Dataset[Attributed] = {
+    require(lookbackSeconds > 0, s"lookback must be positive: $lookbackSeconds")
+    graft.operators.TimeSeries.requireIntegralKey(events, keyCol)
+    val lUs = lookbackSeconds * 1000000L
+    val touchSet = touchTypes.toSet
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .where(col(typeCol) === conversionType ||
+        col(typeCol).isin(touchTypes: _*))
+      .select(
+        col(keyCol).cast("long").as("key"),
+        col(tsCol).cast("timestamp").as("ts"),
+        col(idCol).cast("long").as("id"),
+        col(typeCol).cast("string").as("typ"),
+        col(valueCol).cast("double").as("value"))
+      .as[(Long, Timestamp, Long, String, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AttState, Attributed](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Timestamp, Long, String, Double)],
+            state: GroupState[AttState]) =>
+          def toUs(t: Timestamp): Long =
+            t.getTime * 1000 + t.getNanos / 1000 % 1000
+          var buf = state.getOption.map(_.touches).getOrElse(Vector.empty)
+          val out = rows.toSeq
+            .sortBy { case (_, t, id, _, _) => (toUs(t), id) }
+            .flatMap { case (_, t, id, typ, v) =>
+              val us = toUs(t)
+              buf = buf.filter(_._1 >= us - lUs) // closed-window evict
+              if (touchSet(typ)) { buf = buf :+ ((us, id)); None }
+              else Some(Attributed(
+                key, t, id, v, buf.minOption.map(_._2),
+                buf.maxOption.map(_._2)))
+            }
+          state.update(AttState(buf))
           out.iterator
       }
   }

@@ -542,4 +542,46 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(batch.nonEmpty, "fixture must actually produce pairs")
     } finally q.stop()
   }
+
+  test("parity: streamingAttribution matches batch touchAttribution across batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    // Touches and conversions interleaved per user; the batch split
+    // lands BETWEEN a touch and its conversion, so attribution must
+    // come from carried state, not the arriving micro-batch.
+    val rows = for (k <- 1L to 3L; i <- 0 until 30) yield {
+      val typ = i % 5 match {
+        case 0 | 2 => "view"
+        case 1     => "click"
+        case 3     => "purchase"
+        case 4     => "error" // filtered out by the operator
+      }
+      (k * 1000 + i, k, ts(k * 100000 + i * 1800), typ, i * 1.5)
+    }
+    val input = MemoryStream[(Long, Long, Timestamp, String, Double)]
+    val att = EventStreams.streamingAttribution(
+      input.toDF.toDF("event_id", "user_id", "ts", "event_type", "value"),
+      "user_id", "ts", "event_id", "event_type", "value",
+      conversionType = "purchase", touchTypes = Seq("view", "click"),
+      lookbackSeconds = 3600)
+    val q = att.writeStream
+      .format("memory").queryName("parity_att").outputMode("append").start()
+    try {
+      rows.grouped(17).foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      val streamed = spark.table("parity_att")
+        .as[graft.streaming.Attributed].collect()
+        .map(a => a.convId -> ((a.firstTouchId, a.lastTouchId))).toMap
+      val batch = graft.operators.Funnel.touchAttribution(
+          rows.toDF("event_id", "user_id", "ts", "event_type", "value"),
+          "user_id", "ts", "event_type", "value", "event_id",
+          conversionType = "purchase", touchTypes = Seq("view", "click"),
+          lookbackSeconds = 3600)
+        .select("conv_id", "first_touch_id", "last_touch_id")
+        .as[(Long, Option[Long], Option[Long])].collect()
+      assert(batch.length === streamed.size)
+      batch.foreach { case (cid, f, l) =>
+        assert(streamed(cid) === ((f, l)), s"conv $cid")
+      }
+      assert(batch.exists(_._2.isDefined), "fixture must attribute something")
+    } finally q.stop()
+  }
 }
