@@ -1044,6 +1044,127 @@ object Similarity {
    * IVF/SRP pipeline by slicing the vector column before bucketing
    * — this audit is the measurement that licenses it.
    */
+  /** Min-L2 code assignment against one subspace codebook: argmin of
+    * ‖v − c‖² = argmin(‖c‖² − 2·v·c) since ‖v‖² is constant per row
+    * (ties → lowest code). Pure per-row projection vs literals. */
+  private def pqCode(subVec: Column, codebook: Seq[Seq[Double]]): Column =
+    element_at(
+      sort_array(array(codebook.zipWithIndex.map { case (c, i) =>
+        struct(
+          (lit(c.map(x => x * x).sum) - lit(2.0) * dot(subVec, typedLit(c)))
+            .as("d"),
+          lit(i).as("code"))
+      }: _*)), 1).getField("code")
+
+  /**
+   * Train product-quantization codebooks: the vector space splits
+   * into `m` contiguous subspaces of dims/m components, and each
+   * subspace gets its own k-centroid codebook via the deterministic
+   * distributed Lloyd's in [[trainCentroids]] (hash-bounded training
+   * slice, farthest-point seeding — reruns reproduce exactly).
+   *
+   * m sequential trainings; train on a SAMPLE via `maxTrainRows` —
+   * the codebook is a model, not a corpus statistic. Returns
+   * codebooks(s)(c) = the c-th centroid of subspace s.
+   */
+  def trainPqCodebooks(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, maxIter: Int = 10,
+      maxTrainRows: Long = 256L * 1024): Seq[Seq[Seq[Double]]] = {
+    require(m >= 1 && k >= 2, s"need m >= 1 and k >= 2, got ($m, $k)")
+    val first = ivfSeeds(corpus, idCol, vecCol, 1)
+    require(first.nonEmpty, "corpus has no vectors to train on")
+    val dims = first.head.length
+    require(dims % m == 0, s"dims $dims must divide into m=$m subspaces")
+    val sub = dims / m
+    (0 until m).map { s =>
+      val sliced = corpus.select(
+        col(idCol),
+        slice(toDoubleVec(col(vecCol)), s * sub + 1, sub).as("__sub"))
+      trainCentroids(sliced, idCol, "__sub", k, maxIter,
+        maxTrainRows = maxTrainRows)
+    }
+  }
+
+  /**
+   * Product-quantization encoding: each vector compresses to `m`
+   * small codes (one byte each at k ≤ 256) — a 4-byte-float d-dim
+   * vector becomes m bytes, the 32×-compression regime int8 can't
+   * reach (4d → m bytes vs 4d → d). Assignment is min-L2 per
+   * subspace against the literal codebooks: pure scan projection,
+   * zero shuffle at any corpus size (the IVF-centroid deployment
+   * shape).
+   */
+  def pqEncode(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val m = codebooks.size
+    val sub = codebooks.head.head.size
+    corpus.select(
+      col(idCol),
+      array((0 until m).map { s =>
+        pqCode(
+          slice(toDoubleVec(col(vecCol)), s * sub + 1, sub),
+          codebooks(s)).cast("int")
+      }: _*).as("codes"))
+  }
+
+  /**
+   * Asymmetric-distance (ADC) top-k over PQ codes: each probe keeps
+   * its EXACT vector; per probe a (m × k) table of subspace L2²
+   * distances to every centroid is computed ONCE driver-side and
+   * broadcast, so scoring a corpus row is m table lookups — the ADC
+   * trick that makes PQ search cheap (m adds/row instead of d
+   * multiply-adds). Ranking rides the family's bounded
+   * WindowGroupLimit shape (dist asc, id tiebreak).
+   *
+   * Output: (probe_id, vec_id, rank, adc_dist) — adc_dist is the
+   * ADC approximation of ‖probe − vec‖²; audit recall against
+   * [[cosineTopK]] (or exact L2) before deploying, exactly like the
+   * IVF and truncation audits.
+   */
+  def pqAdcTopK(
+      encoded: DataFrame, idCol: String, codesCol: String,
+      codebooks: Seq[Seq[Seq[Double]]],
+      probes: Seq[(Long, Seq[Double])], k: Int): DataFrame = {
+    require(probes.nonEmpty, "need at least one probe")
+    val m = codebooks.size
+    val kCb = codebooks.head.size
+    val sub = codebooks.head.head.size
+    val probeRows = probes.map { case (pid, v) =>
+      require(v.size == m * sub,
+        s"probe $pid has ${v.size} dims, codebooks cover ${m * sub}")
+      val flat = for (s <- 0 until m; c <- 0 until kCb) yield {
+        val cent = codebooks(s)(c)
+        var d2 = 0.0
+        var j = 0
+        while (j < sub) {
+          val diff = v(s * sub + j) - cent(j)
+          d2 += diff * diff
+          j += 1
+        }
+        d2
+      }
+      (pid, flat)
+    }
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val probeDf = probeRows.toDF("probe_id", "__tab")
+    val adc = (0 until m)
+      .map(s => element_at(col("__tab"),
+        lit(s * kCb) + element_at(col(codesCol), s + 1) + lit(1)))
+      .reduce(_ + _)
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("__adc").asc, col(idCol).asc)
+    encoded
+      .crossJoin(broadcast(probeDf))
+      .withColumn("__adc", adc)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("probe_id"), col(idCol).as("vec_id"), col("rank"),
+        col("__adc").as("adc_dist"))
+  }
+
   def dimTruncationRecall(
       corpus: DataFrame, probes: DataFrame,
       idCol: String, vecCol: String, k: Int, dims: Int): DataFrame = {

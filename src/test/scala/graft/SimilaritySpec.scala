@@ -515,6 +515,43 @@ class SimilaritySpec extends AnyFunSuite {
     assert(fw.columns.toSeq === Seq("vec_id", "pc1"), "collapsed axis must drop")
   }
 
+  test("PQ: deterministic codebooks, valid codes, ADC retrieves same-blob neighbors") {
+    // Three well-separated blobs in 8 dims; 8 members each.
+    val rnd = new scala.util.Random(7)
+    val centers = Seq(
+      Array(10.0, 10, 0, 0, 0, 0, 0, 0),
+      Array(0.0, 0, 10, 10, 0, 0, 0, 0),
+      Array(0.0, 0, 0, 0, 10, 10, 0, 0))
+    val vecs = (for {
+      (c, b) <- centers.zipWithIndex
+      i <- 0 until 8
+    } yield (b * 100L + i,
+      c.map(x => (x + rnd.nextGaussian() * 0.1).toFloat))).toDF("vec_id", "embedding")
+    val cb = Similarity.trainPqCodebooks(
+      vecs, "vec_id", "embedding", m = 2, k = 4, maxIter = 8)
+    val cb2 = Similarity.trainPqCodebooks(
+      vecs, "vec_id", "embedding", m = 2, k = 4, maxIter = 8)
+    assert(cb === cb2, "codebook training must be deterministic")
+    assert(cb.size === 2 && cb.forall(_.size === 4) &&
+      cb.forall(_.forall(_.size === 4)))
+    val enc = Similarity.pqEncode(vecs, "vec_id", "embedding", cb)
+    val codes = enc.select("vec_id", "codes")
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(codes.size === 24)
+    assert(codes.values.forall(cs => cs.size === 2 &&
+      cs.forall(c => c >= 0 && c < 4)), "codes must index the codebook")
+    // ADC from one member of blob 0: every top-7 neighbor (self
+    // excluded downstream by rank semantics; here just check blob
+    // membership) must come from blob 0.
+    val probeVec = centers(0).map(_.toDouble).toSeq
+    val top = Similarity.pqAdcTopK(
+        enc, "vec_id", "codes", cb, probes = Seq((999L, probeVec)), k = 7)
+      .select("vec_id", "adc_dist").as[(Long, Double)].collect()
+    assert(top.length === 7)
+    assert(top.forall(_._1 < 100L), s"ADC must rank blob-0 members first: ${top.toSeq}")
+    assert(top.forall(_._2 < 10.0), "same-blob ADC distance stays near zero")
+  }
+
   test("dimTruncationRecall: prefix truncation flips the winner; full dims recall 1") {
     val v = Seq(
       (0L, Array(1.0f, 0.0f)),
