@@ -466,6 +466,86 @@ object Dedup {
   }
 
   /**
+   * EXACT directional containment self-join: every ordered pair
+   * (doc, container) with C(doc→container) = |Sh(doc) ∩ Sh(container)|
+   * / |Sh(doc)| >= `threshold` — "doc is (nearly) a subset of
+   * container". Jaccard ([[exactSimilarityJoin]]) misses subsumption:
+   * a paragraph quoted inside a 100× larger aggregation page has
+   * containment ≈ 1.0 but Jaccard ≈ 0.01. Containment is THE
+   * curation signal for quote farms, scraped-content aggregators,
+   * and per-chunk provenance ("which corpus doc swallowed this
+   * benchmark passage"). Output is directional — both orientations
+   * are emitted when both qualify (exact duplicates yield 1.0 each
+   * way).
+   *
+   * Candidate principle (Vernica et al., SIGMOD'10 asymmetric
+   * variant): order shingles by global rarity exactly as in
+   * [[exactSimilarityJoin]]. If C(doc→b) >= t then the overlap is
+   * >= ceil(t·|doc|), so by pigeonhole the probe doc's first
+   * |doc| - ceil(t·|doc|) + 1 rarest shingles must hit b — an
+   * equi-join of the probe PREFIX against the container's FULL
+   * posting list finds every qualifying pair with zero false
+   * negatives (the container side cannot be prefix-truncated: its
+   * overlap bound depends on the probe's size, unknown at index
+   * time — the standard asymmetric-containment cost). A necessary
+   * size filter |container| >= ceil(t·|probe|) prunes before the
+   * exact verify; the verify reuses the codegen'd
+   * [[graft.functions.NGramJaccardSim]] kernel's n_common over the
+   * probe's own distinct-shingle count.
+   *
+   * Scale: the probe prefix concentrates on df=1–2 shingles (same
+   * rarity order as D13), so candidate volume is
+   * Σ_prefix-shingle df_prefix·df_full — linear-ish in corpus size
+   * for Zipf-distributed shingles, never all-pairs. The full-side
+   * posting list is the one asymmetric overhead; at 100 TB the
+   * posting join shuffles O(total shingles) — the same order as the
+   * df aggregation already paid. Threshold is the dial: lower t
+   * lengthens probe prefixes by (1−t)·|doc|.
+   */
+  def containmentJoin(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      shingleSize: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold")
+    val sh = shingles(df, idCol, textCol, shingleSize)
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+    val wDoc = Window.partitionBy(col(idCol))
+    val probe = sh.join(dfreq, "shingle")
+      .withColumn("__pos",
+        row_number().over(wDoc.orderBy(col("__df"), col("shingle"))))
+      .withColumn("__n", count(lit(1)).over(wDoc))
+      .where(col("__pos") <=
+        col("__n") - ceil(lit(threshold) * col("__n")) + 1)
+      .select(col(idCol).as("doc"), col("shingle"), col("__n").as("__na"))
+    val index = sh.select(col(idCol).as("container"), col("shingle"))
+    val sizes = sh.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__nb"))
+      .select(col(idCol).as("container"), col("__nb"))
+    val cand = probe.join(index, "shingle")
+      .where(col("doc") =!= col("container"))
+      .select("doc", "container", "__na")
+      .distinct()
+      .join(sizes, "container")
+      .where(col("__nb") >= ceil(lit(threshold) * col("__na")))
+    val ta = df.select(col(idCol).as("doc"), col(textCol).as("__ta"))
+    val tb = df.select(col(idCol).as("container"), col(textCol).as("__tb"))
+    cand.join(ta, "doc").join(tb, "container")
+      .select(
+        col("doc"), col("container"), col("__na"),
+        graft.functions.NGramJaccardSim(
+          col("__ta"), col("__tb"), shingleSize).as("__j"))
+      .select(
+        col("doc"), col("container"),
+        col("__j.n_common").cast("long").as("n_common"),
+        (col("__j.n_common").cast("double") / col("__na"))
+          .as("containment"))
+      .where(col("containment") >= threshold)
+  }
+
+  /**
    * Near-duplicate clusters from verified pairs: connected components
    * over the (doc_a, doc_b) edge set via iterative min-label
    * propagation — each node's label converges to the smallest doc id

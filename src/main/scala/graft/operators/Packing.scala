@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Training-sequence packing: map every document onto the fixed-size
+ * context windows of a GPT-style pretraining run. The standard
+ * recipe (concat-and-chunk: concatenate all documents of a shard in
+ * a deterministic order, then cut the token stream into consecutive
+ * `budget`-token windows) is pure index arithmetic over a running
+ * token count — no bin-packing recurrence, no sequential state —
+ * which makes it both embarrassingly parallel AND oracle-checkable.
+ *
+ * Per document the operator reports its half-open global token span
+ * [tok_start, tok_end) within its shard's stream and the first/last
+ * chunk ids that span covers: `chunk_first = tok_start / budget`,
+ * `chunk_last = (tok_end - 1) / budget`, `n_chunks = last - first
+ * + 1`. `n_chunks > 1` flags documents a training run would split
+ * across context windows — the attention-boundary accounting every
+ * packing-efficiency report needs (cf. the "document packing"
+ * analyses in GPT-3 App. B and T5 §3.1.2: what fraction of examples
+ * contain a document boundary).
+ *
+ * Scale: one window pass partitioned by shard (`groupCol`) — the
+ * cumulative sum never crosses shards, so parallelism is the shard
+ * count and per-task state is one running long. Token counts ride
+ * the scan projection (`size(split(...))`, whole-stage codegen).
+ * At 100 TB the shard key is the corpus's write-partition key, so
+ * the window reuses the layout partitioning and the pass is
+ * exchange-free; a single global stream instead would need the K12
+ * two-level ordinal ([[Ordinals.withOrdinals]]) — deliberately not
+ * the default, because real pretraining shards ARE independent
+ * streams.
+ *
+ * Tokenization is whitespace `split` — the same portable stand-in
+ * the rest of the text family uses (oracle: `len(string_split)`).
+ */
+object Packing {
+
+  /**
+   * One row per document: (groupCol, idCol, n_tokens, tok_start,
+   * chunk_first, chunk_last, n_chunks), with documents ordered by
+   * `idCol` within each `groupCol` shard and chunks of exactly
+   * `budget` tokens cut from each shard's concatenated stream.
+   */
+  def concatChunks(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      textCol: String,
+      budget: Int): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+    val nTokens = size(split(col(textCol), " ")).cast("long")
+    def chunkOf(tok: Column): Column =
+      floor(tok / lit(budget.toLong)).cast("long")
+    df
+      .select(col(groupCol), col(idCol), nTokens.as("n_tokens"))
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .select(
+        col(groupCol), col(idCol), col("n_tokens"),
+        (col("__cum") - col("n_tokens")).as("tok_start"),
+        chunkOf(col("__cum") - col("n_tokens")).as("chunk_first"),
+        chunkOf(col("__cum") - 1).as("chunk_last"))
+      .withColumn(
+        "n_chunks", col("chunk_last") - col("chunk_first") + lit(1L))
+  }
+
+  /**
+   * Per-shard packing-efficiency report over [[concatChunks]]:
+   * total tokens, number of `budget`-token chunks the shard fills
+   * (`ceil(total/budget)`), tail padding wasted in the last chunk,
+   * and how many documents straddle a chunk boundary. The go/no-go
+   * numbers for choosing `budget` against a corpus's document-length
+   * distribution.
+   */
+  def packingReport(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      textCol: String,
+      budget: Int): DataFrame = {
+    concatChunks(df, groupCol, idCol, textCol, budget)
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(when(col("n_chunks") > 1, 1L).otherwise(0L))
+          .as("split_docs"))
+      .select(
+        col(groupCol), col("n_docs"), col("total_tokens"),
+        ceil(col("total_tokens").cast("double") / budget)
+          .cast("long").as("n_chunks"),
+        (ceil(col("total_tokens").cast("double") / budget)
+          .cast("long") * budget - col("total_tokens")).as("pad_tokens"),
+        col("split_docs"))
+  }
+}

@@ -264,4 +264,40 @@ object Sampling {
       .where(col("pick_rank") <= col("__k"))
       .select(col(keyCol), col(idCol), col("pick_rank"))
   }
+
+  /**
+   * Deterministic round-robin interleave order across sources — the
+   * EMISSION ORDER side of data mixing. Quota/temperature sampling
+   * (q42/q158) decides HOW MUCH of each source a training run sees;
+   * this decides WHEN: documents stream one-per-source in rotation
+   * (doc 1 of every source, then doc 2 of every source, …), so no
+   * contiguous run of the output over-represents one source and a
+   * partial epoch still consumes a balanced mixture (the
+   * shuffle-free ordering guarantee heterogeneous-corpus training
+   * recipes ask for). Sources that exhaust simply drop out of later
+   * rotations — shorter sources front-load, by construction.
+   *
+   * Output: (groupCol, idCol, pos, global_pos) where `pos` is the
+   * 1-based rank within the source (by `idCol`) and `global_pos` is
+   * the 1-based position in the interleaved stream — the
+   * lexicographic rank under (pos, groupCol, idCol).
+   *
+   * Scale: the per-source rank is a keyed window (parallel in the
+   * source partitioning); the GLOBAL rank is the K12-shape two-level
+   * bucketed ordinal ([[Ordinals.withOrdinals]]) — no corpus-wide
+   * single-task window at any size. Writing the result sorted by
+   * `global_pos` yields files a sequential trainer reads in exactly
+   * this order.
+   */
+  def interleaveOrder(
+      df: DataFrame, groupCol: String, idCol: String): DataFrame = {
+    val wSrc = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+    val withPos = df
+      .select(col(groupCol), col(idCol))
+      .withColumn("pos", row_number().over(wSrc).cast("long"))
+    Ordinals.withOrdinals(
+        withPos, Seq(col("pos"), col(groupCol), col(idCol)), "global_pos")
+      .select(col(groupCol), col(idCol), col("pos"),
+        col("global_pos").cast("long").as("global_pos"))
+  }
 }

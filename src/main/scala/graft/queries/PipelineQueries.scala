@@ -1175,6 +1175,46 @@ object PipelineQueries {
           t(s, dir, "documents").select("source", "doc_id", "n_chars"),
           "source", "doc_id", "n_chars", totalK = 200)
         .orderBy("source", "pick_rank")
+    }),
+
+    // D15: exact directional containment join at C >= 0.8 over the
+    // dup-injected corpus — probe-prefix × full-postings equi-join,
+    // size prune, codegen'd n_common verify. Catches subsumption
+    // pairs Jaccard (q111) structurally misses.
+    "q185_containment_join" -> ((s, dir) => {
+      Dedup.containmentJoin(
+          docsWithDups(s, dir), "doc_id", "text",
+          threshold = 0.8, shingleSize = 3)
+        .orderBy("doc", "container")
+    }),
+
+    // T40: GPT-style concat-and-chunk packing — each doc's half-open
+    // token span and the 512-token context windows it lands in,
+    // streams cut per source. One shard-keyed window pass, no global
+    // state.
+    "q186_pack_chunks" -> ((s, dir) => {
+      graft.operators.Packing.concatChunks(
+          t(s, dir, "documents"), "source", "doc_id", "text",
+          budget = 512)
+        .orderBy("source", "doc_id")
+    }),
+
+    // T41: per-source packing-efficiency report over q186's layout —
+    // chunk counts, tail padding, boundary-straddling docs.
+    "q187_packing_report" -> ((s, dir) => {
+      graft.operators.Packing.packingReport(
+          t(s, dir, "documents"), "source", "doc_id", "text",
+          budget = 512)
+        .orderBy("source")
+    }),
+
+    // E15: deterministic round-robin interleave order across sources
+    // — per-source rank via keyed window, global emission position
+    // via the K12 two-level bucketed ordinal (no single-task window).
+    "q188_interleave_order" -> ((s, dir) => {
+      graft.operators.Sampling.interleaveOrder(
+          t(s, dir, "documents"), "source", "doc_id")
+        .orderBy("global_pos")
     })
   )
 
@@ -3371,6 +3411,89 @@ object PipelineQueries {
         |SELECT d.source, d.doc_id, d.pick_rank
         |FROM ranked d JOIN b ON b.source = d.source
         |WHERE d.pick_rank <= b.k
-        |ORDER BY d.source, d.pick_rank""".stripMargin
+        |ORDER BY d.source, d.pick_rank""".stripMargin,
+
+    // Brute-force containment ground truth: every shingle-sharing
+    // ordered pair, overlap / probe size, no prefix shortcut — the
+    // oracle proves the prefix+size pruning loses nothing.
+    "q185_containment_join" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 50 = 0
+        |), toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM all_docs
+        |), idx AS (
+        |  SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i FROM toks
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM idx
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT sa.doc_id AS doc, sb.doc_id AS container, count(*) AS i
+        |  FROM sh sa
+        |  JOIN sh sb ON sb.shingle = sa.shingle AND sa.doc_id <> sb.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT i.doc, i.container, CAST(i.i AS BIGINT) AS n_common,
+        |  CAST(i.i AS DOUBLE) / za.n AS containment
+        |FROM inter i
+        |JOIN sizes za ON za.doc_id = i.doc
+        |WHERE CAST(i.i AS DOUBLE) / za.n >= 0.8
+        |ORDER BY doc, container""".stripMargin,
+
+    "q186_pack_chunks" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT source, doc_id, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+        |  FROM t
+        |)
+        |SELECT source, doc_id, n_tokens,
+        |  CAST(cum - n_tokens AS BIGINT) AS tok_start,
+        |  CAST((cum - n_tokens) // 512 AS BIGINT) AS chunk_first,
+        |  CAST((cum - 1) // 512 AS BIGINT) AS chunk_last,
+        |  CAST((cum - 1) // 512 - (cum - n_tokens) // 512 + 1 AS BIGINT)
+        |    AS n_chunks
+        |FROM c ORDER BY source, doc_id""".stripMargin,
+
+    "q187_packing_report" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT source, doc_id, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+        |  FROM t
+        |), d AS (
+        |  SELECT source, n_tokens,
+        |    (cum - 1) // 512 - (cum - n_tokens) // 512 + 1 AS doc_chunks
+        |  FROM c
+        |)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(ceil(CAST(SUM(n_tokens) AS DOUBLE) / 512) AS BIGINT) AS n_chunks,
+        |  CAST(CAST(ceil(CAST(SUM(n_tokens) AS DOUBLE) / 512) AS BIGINT) * 512
+        |    - SUM(n_tokens) AS BIGINT) AS pad_tokens,
+        |  CAST(SUM(CASE WHEN doc_chunks > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS split_docs
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
+
+    "q188_interleave_order" ->
+      """WITH p AS (
+        |  SELECT source, doc_id,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY source ORDER BY doc_id) AS BIGINT) AS pos
+        |  FROM documents
+        |)
+        |SELECT source, doc_id, pos,
+        |  CAST(row_number() OVER (ORDER BY pos, source, doc_id) AS BIGINT)
+        |    AS global_pos
+        |FROM p ORDER BY global_pos""".stripMargin
   )
 }

@@ -352,4 +352,48 @@ class DedupSpec extends AnyFunSuite {
     assert(out6.map(p => (p._1, p._2)) === Set((1L, 2L), (1L, 3L), (2L, 3L)))
     assert(out6.forall(_._3 >= 0.6))
   }
+
+  test("containmentJoin: parity with brute force across thresholds") {
+    // Same smooth-overlap corpus as the Jaccard parity test, PLUS a
+    // planted subsumption: doc 100 is a 6-word slice of doc 0 — high
+    // containment (its shingles all live in doc 0) but low Jaccard,
+    // the case the directional join exists for.
+    val vocab = (0 until 60).map(i => s"w$i")
+    val base = (0 until 40).map { d =>
+      val words = (0 until 20).map(k => vocab((d * 3 + k * 2) % 60))
+      (d.toLong, words.mkString(" "))
+    }
+    val docs = (base :+ (100L,
+      (0 until 6).map(k => vocab((k * 2) % 60)).mkString(" ")))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs, "doc_id", "text", 3)
+      .as[(Long, String)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    def brute(t: Double): Set[(Long, Long, Long)] = (for {
+      a <- sh.keys; b <- sh.keys if a != b
+      inter = (sh(a) & sh(b)).size
+      if inter.toDouble / sh(a).size >= t
+    } yield (a, b, inter.toLong)).toSet
+    for (t <- Seq(0.3, 0.5, 0.8, 1.0)) {
+      val got = Dedup.containmentJoin(docs, "doc_id", "text", t, 3)
+        .select("doc", "container", "n_common")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === brute(t), s"threshold $t")
+    }
+    // The planted slice is fully contained in doc 0 (containment 1.0
+    // in that direction only) — asymmetry is the point.
+    val strict = Dedup.containmentJoin(docs, "doc_id", "text", 1.0, 3)
+      .select("doc", "container").as[(Long, Long)].collect().toSet
+    assert(strict.contains((100L, 0L)))
+    assert(!strict.contains((0L, 100L)))
+  }
+
+  test("containmentJoin: exact duplicates contain each other both ways") {
+    val out = Dedup.containmentJoin(corpus, "doc_id", "text", 1.0, 3)
+      .select("doc", "container", "containment")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(out.map(p => (p._1, p._2)).intersect(
+      Set((1L, 2L), (2L, 1L))) === Set((1L, 2L), (2L, 1L)))
+    assert(out.forall(_._3 == 1.0))
+  }
 }

@@ -245,4 +245,22 @@ class SamplingSpec extends AnyFunSuite {
     assert(out.filter(_._1 == "mix").map(_._2).toSeq === Seq(20L))
     assert(!out.exists(_._1 == "bad"))
   }
+
+  test("interleaveOrder: round-robin rotation; exhausted sources drop out") {
+    // a has 3 docs, b has 2, c has 1 → rotations:
+    //   pos 1: a1 b1 c1 | pos 2: a2 b2 | pos 3: a3
+    val docs = Seq(
+      ("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 10L), ("b", 20L),
+      ("c", 100L)
+    ).toDF("source", "doc_id")
+    val out = Sampling.interleaveOrder(docs, "source", "doc_id")
+      .orderBy("global_pos")
+      .select("source", "doc_id", "pos", "global_pos")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      ("a", 1L, 1L, 1L), ("b", 10L, 1L, 2L), ("c", 100L, 1L, 3L),
+      ("a", 2L, 2L, 4L), ("b", 20L, 2L, 5L),
+      ("a", 3L, 3L, 6L)))
+  }
 }
