@@ -520,6 +520,15 @@ object Dedup {
       .where(col("__pos") <=
         col("__n") - ceil(lit(threshold) * col("__n")) + 1)
       .select(col(idCol).as("doc"), col("shingle"), col("__n").as("__na"))
+    // The container side stays the RAW posting explode, and the size
+    // prune joins AFTER the distinct pass. Two variants were measured
+    // and rejected at sf0.1 (SCALE.md "Containment join"): routing
+    // the container side through the df/window subtree for exchange
+    // reuse (column pruning specializes the branch — nothing reuses,
+    // the df join degenerates to a pointless semi-join: +0.5s), and
+    // broadcasting sizes onto the postings to prune pre-distinct
+    // (the per-posting-row broadcast probe costs more than the
+    // 310k→213k distinct reduction saves: +1.5s).
     val index = sh.select(col(idCol).as("container"), col("shingle"))
     val sizes = sh.groupBy(col(idCol))
       .agg(count(lit(1)).as("__nb"))
