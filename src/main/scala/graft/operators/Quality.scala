@@ -287,4 +287,48 @@ object Quality {
       .select(col(keyCol), col("r.quantile"), col("r.value"),
         col("r.total_weight"))
   }
+
+  /**
+   * Order-independent table content fingerprint — the data-versioning
+   * primitive: did this table (or partition) change since the last
+   * snapshot, without storing or diffing the rows? Each row hashes to
+   * the 60-bit md5 prefix of its '|'-joined column rendering (the
+   * engine's portable hash trick, reproducible by any engine), then
+   * per group the digest is (row count, XOR of hashes, exact DECIMAL
+   * sum of hashes, min, max). XOR is order- and partition-independent
+   * but blind to rows duplicated an even number of times; the decimal
+   * SUM catches exactly that case (and is overflow-free to ~10²⁰
+   * rows), so the pair together detects any single-row insert,
+   * delete, or update with probability 1 − 2⁻⁶⁰.
+   *
+   * `cols` must render identically across engines — integers,
+   * strings, dates; avoid raw doubles (engine formatting differs).
+   *
+   * Scale: ONE scan, hash computed in the projection, all five
+   * digests partial-aggregate map-side — the exchange carries
+   * |groups| rows. Fingerprint per write-partition key and a 100 TB
+   * snapshot diff becomes a |partitions|-row join of two digest
+   * tables ([[graft.operators.Merge]]'s snapshotDiff is the row-level
+   * escalation when a partition's digest moved).
+   */
+  def tableFingerprint(
+      df: DataFrame, cols: Seq[String], groupCol: String): DataFrame = {
+    require(cols.nonEmpty, "tableFingerprint: cols must be non-empty")
+    val h = conv(
+      substring(md5(concat_ws("|", cols.map(col): _*)), 1, 15), 16, 10)
+      .cast("long")
+    df.select(col(groupCol), h.as("__h"))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        expr("bit_xor(__h)").as("xor_hash"),
+        // exact decimal sum rendered as a string: engines disagree on
+        // how >64-bit numerics surface (HUGEINT vs DECIMAL vs double),
+        // digits are digits everywhere
+        sum(col("__h").cast(
+            org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("string").as("sum_hash"),
+        min(col("__h")).as("min_hash"),
+        max(col("__h")).as("max_hash"))
+  }
 }

@@ -665,4 +665,59 @@ object TextAnalysis {
           slice(col("__toks"), col("chunk_id") * lit(stride) + lit(1), lit(window)),
           " ").as("chunk_text"))
   }
+
+  /**
+   * Zipf-law fit over the corpus vocabulary: OLS of ln(count) against
+   * ln(rank) for the `topK` most frequent tokens — the corpus-health
+   * number every curation run sanity-checks (natural text slopes
+   * ≈ −1; machine-generated or template-heavy corpora flatten, and a
+   * slope drifting across snapshots flags a composition shift before
+   * any downstream metric moves). Output: one row (corpus, n_tokens
+   * = ranks fitted, slope, intercept).
+   *
+   * Cross-engine parity: ln values round to 6dp and cast to
+   * DECIMAL(18,6) BEFORE the co-moment sums — the sums are exact and
+   * partition-order-independent; the OLS finish reuses
+   * [[TimeSeries.trendFit]]'s fixed double-op sequence.
+   *
+   * Scale: one token-count shuffle (map-combined), then a bounded
+   * TakeOrderedAndProject top-K — the rank window runs AFTER
+   * `limit(topK)`, the bounded-global-window idiom (q65/q74), never
+   * over the full vocabulary. The fit itself sees `topK` rows.
+   */
+  def zipfFit(
+      docs: DataFrame, idCol: String, textCol: String,
+      topK: Int = 500): DataFrame = {
+    require(topK >= 2, s"zipfFit: topK must be >= 2, got $topK")
+    import org.apache.spark.sql.types.DecimalType
+    val counts = docs
+      .select(explode(split(col(textCol), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(topK)
+    val ranked = counts
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("token"))))
+      .select(
+        round(log(col("rank")), 6).cast(DecimalType(18, 6)).as("__x"),
+        round(log(col("cnt")), 6).cast(DecimalType(18, 6)).as("__y"))
+    val agged = ranked.agg(
+      count(lit(1)).cast("double").as("__n"),
+      sum(col("__x")).cast("double").as("__sx"),
+      sum(col("__y")).cast("double").as("__sy"),
+      sum(col("__x") * col("__y")).cast("double").as("__sxy"),
+      sum(col("__x") * col("__x")).cast("double").as("__sxx"))
+    val n = col("__n")
+    val den = n * col("__sxx") - col("__sx") * col("__sx")
+    val slope = when(n >= 2.0 && den > 0.0,
+      (n * col("__sxy") - col("__sx") * col("__sy")) / den)
+    val intercept = when(n >= 2.0 && den > 0.0,
+      (col("__sy") - ((n * col("__sxy") - col("__sx") * col("__sy")) / den)
+        * col("__sx")) / n)
+    agged.select(
+      lit("corpus").as("corpus"),
+      n.cast("long").as("n_tokens"),
+      round(slope, 6).as("slope"),
+      round(intercept, 6).as("intercept"))
+  }
 }

@@ -1215,6 +1215,27 @@ object PipelineQueries {
       graft.operators.Sampling.interleaveOrder(
           t(s, dir, "documents"), "source", "doc_id")
         .orderBy("global_pos")
+    }),
+
+    // R23: order-independent content fingerprint of lineitem per
+    // return flag — one scan, map-side-combined digests (count, XOR,
+    // exact decimal sum, min, max of 60-bit row hashes).
+    "q189_table_fingerprint" -> ((s, dir) => {
+      graft.operators.Quality.tableFingerprint(
+          t(s, dir, "lineitem"),
+          Seq("l_orderkey", "l_linenumber", "l_returnflag",
+            "l_linestatus"),
+          "l_returnflag")
+        .orderBy("l_returnflag")
+    }),
+
+    // T42: Zipf-law fit over the top-500 vocabulary — ln/ln OLS with
+    // 6dp-rounded DECIMAL co-moments (exact, order-independent sums)
+    // and the trendFit double-op finish.
+    "q190_zipf_fit" -> ((s, dir) => {
+      graft.operators.TextAnalysis.zipfFit(
+          t(s, dir, "documents"), "doc_id", "text", topK = 500)
+        .orderBy("corpus")
     })
   )
 
@@ -3494,6 +3515,51 @@ object PipelineQueries {
         |SELECT source, doc_id, pos,
         |  CAST(row_number() OVER (ORDER BY pos, source, doc_id) AS BIGINT)
         |    AS global_pos
-        |FROM p ORDER BY global_pos""".stripMargin
+        |FROM p ORDER BY global_pos""".stripMargin,
+
+    "q189_table_fingerprint" ->
+      """WITH h AS (
+        |  SELECT l_returnflag,
+        |    CAST(('0x' || substr(md5(concat_ws('|',
+        |      CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
+        |      l_returnflag, l_linestatus)), 1, 15)) AS BIGINT) AS hv
+        |  FROM lineitem
+        |)
+        |SELECT l_returnflag,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  bit_xor(hv) AS xor_hash,
+        |  CAST(CAST(SUM(CAST(hv AS DECIMAL(38,0))) AS DECIMAL(38,0))
+        |    AS VARCHAR) AS sum_hash,
+        |  min(hv) AS min_hash,
+        |  max(hv) AS max_hash
+        |FROM h GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // Mirrors TextAnalysis.zipfFit: top-500 tokens by (cnt desc,
+    // token), ln values rounded to 6dp into DECIMAL(18,6) co-moments,
+    // then trendFit's exact double-op OLS finish.
+    "q190_zipf_fit" ->
+      """WITH counts AS (
+        |  SELECT w AS token, count(*) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY w
+        |  ORDER BY cnt DESC, token LIMIT 500
+        |), ranked AS (
+        |  SELECT CAST(round(ln(row_number() OVER (
+        |      ORDER BY cnt DESC, token)), 6) AS DECIMAL(18,6)) AS x,
+        |    CAST(round(ln(cnt), 6) AS DECIMAL(18,6)) AS y
+        |  FROM counts
+        |), c AS (
+        |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(x*y) AS DOUBLE) AS sxy, CAST(SUM(x*x) AS DOUBLE) AS sxx
+        |  FROM ranked
+        |)
+        |SELECT 'corpus' AS corpus, CAST(n AS BIGINT) AS n_tokens,
+        |  CASE WHEN n >= 2 AND n*sxx - sx*sx > 0
+        |       THEN round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) END AS slope,
+        |  CASE WHEN n >= 2 AND n*sxx - sx*sx > 0
+        |       THEN round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx)
+        |                  / n, 6) END AS intercept
+        |FROM c ORDER BY corpus""".stripMargin
   )
 }

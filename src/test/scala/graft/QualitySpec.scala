@@ -271,4 +271,28 @@ class QualitySpec extends AnyFunSuite {
       // b: uniform weights → lower nearest-rank 1 and 2
       ("b", 0.25, 1.0, 4.0), ("b", 0.5, 2.0, 4.0)))
   }
+
+  test("tableFingerprint: order-independent; XOR + SUM jointly detect edits") {
+    val base = Seq(("g", 1L, "x"), ("g", 2L, "y"), ("g", 3L, "z"))
+      .toDF("grp", "id", "v")
+    def fp(df: org.apache.spark.sql.DataFrame) =
+      Quality.tableFingerprint(df, Seq("id", "v"), "grp")
+        .select("grp", "n_rows", "xor_hash", "sum_hash")
+        .as[(String, Long, Long, String)].collect().head
+    val f0 = fp(base)
+    // row order is irrelevant
+    assert(fp(base.orderBy(col("id").desc)) === f0)
+    // a single-value edit moves the XOR
+    val edited = Seq(("g", 1L, "x"), ("g", 2L, "y"), ("g", 3L, "Z"))
+      .toDF("grp", "id", "v")
+    assert(fp(edited)._3 !== f0._3)
+    // a row duplicated an EVEN number of times is invisible to XOR —
+    // the exact decimal SUM is the digest that catches it
+    val evenDup = base.unionAll(
+      Seq(("g", 1L, "x"), ("g", 1L, "x")).toDF("grp", "id", "v"))
+    val fd = fp(evenDup)
+    assert(fd._3 === f0._3)
+    assert(fd._4 !== f0._4)
+    assert(fd._2 === 5L)
+  }
 }
