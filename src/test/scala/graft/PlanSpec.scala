@@ -252,6 +252,43 @@ class PlanSpec extends AnyFunSuite {
       s"a nested-loop join here means the prefix equi-key was lost:\n$p")
   }
 
+  test("q185: containment join is prefix-postings equi-join, never all-pairs") {
+    val p = plan("q185_containment_join")
+    assert(!p.contains("CartesianProduct"),
+      s"containment join must never plan all-pairs:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"a nested-loop join here means the shingle equi-key was lost:\n$p")
+  }
+
+  test("q186/q188: packing cumsum is shard-keyed; interleave's only global window is bucket totals") {
+    // Packing: every window must partition on the shard key — a
+    // global token stream would be the single-task trap.
+    val packed = SparkEntry.queries("q186_pack_chunks")(spark, dir)
+    val globalW = packed.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(globalW.isEmpty,
+      s"concat-and-chunk packing must never cross a global window:\n$globalW")
+    // Interleave: global windows allowed ONLY over the bucket-total
+    // aggregate (the Ordinals contract, mirroring the q114 guard).
+    val inter = SparkEntry.queries("q188_interleave_order")(spark, dir)
+    val interW = inter.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(interW.nonEmpty, "expected the tiny bucket-offset window")
+    interW.foreach { w =>
+      val agg = w.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }
+      assert(agg.nonEmpty &&
+        agg.get.groupingExpressions.flatMap(_.references)
+          .map(_.name).toSet == Set("__ord_b"),
+        s"interleave's global window must consume bucket totals:\n$w")
+    }
+  }
+
   test("q112: weighted sample is TakeOrderedAndProject, no global sort exchange") {
     val p = plan("q112_weighted_sample")
     assert(p.contains("TakeOrderedAndProject"),
