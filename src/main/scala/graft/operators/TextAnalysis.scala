@@ -685,6 +685,40 @@ object TextAnalysis {
    * `limit(topK)`, the bounded-global-window idiom (q65/q74), never
    * over the full vocabulary. The fit itself sees `topK` rows.
    */
+  /**
+   * Per-group vocabulary richness: token instances, distinct
+   * vocabulary, hapax legomena (tokens occurring exactly once in the
+   * group), type-token ratio and hapax share — the lexical-diversity
+   * panel beside [[zipfFit]]'s slope: template/boilerplate sources
+   * crater TTR and hapax share long before quality scores move, and
+   * a hapax share rising across snapshots flags OCR noise / junk
+   * token injection.
+   *
+   * Scale: ONE (group, token) count shuffle (map-side combined, the
+   * T5 heavy-hitter shape), then a group-cardinality aggregate —
+   * vocabulary cardinality bounds the second pass, corpus size only
+   * the first. Ratios are single IEEE divisions rounded 6dp —
+   * oracle-exact.
+   */
+  def vocabularyRichness(
+      docs: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    docs
+      .select(col(groupCol),
+        explode(split(col(textCol), " ")).as("token"))
+      .groupBy(col(groupCol), col("token"))
+      .agg(count(lit(1)).as("__tf"))
+      .groupBy(col(groupCol))
+      .agg(
+        sum(col("__tf")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("__tf") === 1, 1L).otherwise(0L)).as("hapax"))
+      .select(
+        col(groupCol), col("n_tokens"), col("vocab"), col("hapax"),
+        round(col("vocab").cast("double") / col("n_tokens"), 6).as("ttr"),
+        round(col("hapax").cast("double") / col("vocab"), 6)
+          .as("hapax_share"))
+  }
+
   def zipfFit(
       docs: DataFrame, idCol: String, textCol: String,
       topK: Int = 500): DataFrame = {

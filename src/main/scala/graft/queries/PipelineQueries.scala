@@ -1236,6 +1236,15 @@ object PipelineQueries {
       graft.operators.TextAnalysis.zipfFit(
           t(s, dir, "documents"), "doc_id", "text", topK = 500)
         .orderBy("corpus")
+    }),
+
+    // T43: per-source vocabulary richness — instances, vocab, hapax
+    // legomena, TTR, hapax share. One (source, token) count shuffle;
+    // second pass at vocabulary cardinality.
+    "q191_vocab_richness" -> ((s, dir) => {
+      graft.operators.TextAnalysis.vocabularyRichness(
+          t(s, dir, "documents"), "source", "text")
+        .orderBy("source")
     })
   )
 
@@ -3560,6 +3569,22 @@ object PipelineQueries {
         |  CASE WHEN n >= 2 AND n*sxx - sx*sx > 0
         |       THEN round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx)
         |                  / n, 6) END AS intercept
-        |FROM c ORDER BY corpus""".stripMargin
+        |FROM c ORDER BY corpus""".stripMargin,
+
+    "q191_vocab_richness" ->
+      """WITH tf AS (
+        |  SELECT source, w AS token, count(*) AS c
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  GROUP BY source, w
+        |)
+        |SELECT source,
+        |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS vocab,
+        |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+        |  round(CAST(count(*) AS DOUBLE) / SUM(c), 6) AS ttr,
+        |  round(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / count(*), 6) AS hapax_share
+        |FROM tf GROUP BY source ORDER BY source""".stripMargin
   )
 }

@@ -714,4 +714,27 @@ object EventStreams {
           out.iterator
       }
   }
+
+  /**
+   * X14: continuously-maintained table content fingerprint — the
+   * streaming skin over [[graft.operators.Quality.tableFingerprint]],
+   * whose batch body is oracle-pinned by q189. The SAME function body
+   * runs on the streaming frame: the digest aggregates (count, XOR,
+   * exact decimal sum, min, max of 60-bit row hashes) are all
+   * commutative/associative, so Spark's streaming hash aggregate
+   * folds them incrementally across micro-batches with NO
+   * order-sensitivity — write in `complete` (or `update`) mode and
+   * every emitted row IS the fingerprint of everything ingested so
+   * far. Data-versioning-at-ingest: downstream consumers diff the
+   * latest digest row against the last committed snapshot's digest
+   * without ever re-scanning the table.
+   *
+   * State honesty: ONE digest row per group, forever — O(|groups|)
+   * state, the minimal footprint any running per-group digest can
+   * have. No watermark needed (nothing is ever evicted; eviction
+   * would change the digest's meaning).
+   */
+  def streamingFingerprint(
+      rows: DataFrame, cols: Seq[String], groupCol: String): DataFrame =
+    graft.operators.Quality.tableFingerprint(rows, cols, groupCol)
 }

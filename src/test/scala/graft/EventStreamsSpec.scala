@@ -584,4 +584,30 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(batch.exists(_._2.isDefined), "fixture must attribute something")
     } finally q.stop()
   }
+
+  test("parity: streamingFingerprint digest equals the batch twin (q189 surface)") {
+    // Three micro-batches; the complete-mode digest after the last
+    // batch must equal the batch-mode fingerprint of the whole
+    // concatenation — the digests are commutative folds, so batch
+    // boundaries cannot show through.
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(53)
+    val batches = Seq.fill(3)((1 to 100).map(_ =>
+      (s"g${rnd.nextInt(3)}", rnd.nextInt(1000).toLong, s"v${rnd.nextInt(50)}")))
+    val input = MemoryStream[(String, Long, String)]
+    val fp = EventStreams.streamingFingerprint(
+      input.toDF.toDF("grp", "id", "v"), Seq("id", "v"), "grp")
+    val q = fp.writeStream
+      .format("memory").queryName("parity_fp").outputMode("complete").start()
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      val streamed = spark.table("parity_fp")
+        .as[(String, Long, Long, String, Long, Long)].collect().toSet
+      val batch = graft.operators.Quality.tableFingerprint(
+          batches.flatten.toDF("grp", "id", "v"), Seq("id", "v"), "grp")
+        .as[(String, Long, Long, String, Long, Long)].collect().toSet
+      assert(streamed === batch,
+        "complete-mode streaming digest must equal the batch fingerprint")
+    } finally q.stop()
+  }
 }

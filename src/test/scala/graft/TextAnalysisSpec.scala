@@ -330,6 +330,18 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("vocabularyRichness: hand-computed hapax/TTR per source") {
+    val docs = Seq(
+      ("a", "x x y"), ("b", "z")
+    ).toDF("source", "text")
+    val out = TextAnalysis.vocabularyRichness(docs, "source", "text")
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(out === Seq(
+      ("a", 3L, 2L, 1L, 0.666667, 0.5),
+      ("b", 1L, 1L, 1L, 1.0, 1.0)))
+  }
+
   test("zipfFit: exact-Zipf two-token corpus fits slope -1") {
     // counts 4 and 2 at ranks 1 and 2 are exactly Zipfian with
     // exponent 1: ln(cnt) = ln(4) - 1·ln(rank). Hand-derivable with
