@@ -96,4 +96,77 @@ object Graph {
     org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(sinks)
     ranks
   }
+
+  /**
+   * G2: exact triangle counting over an undirected graph — the
+   * clustering-density number for the near-dup graph: near-duplicate
+   * edges from verified pairs (q17/q48) form cliques when a document
+   * was templated many times, and the triangle count (vs edge count)
+   * separates clique-y template families from chains of incidental
+   * pairwise overlap — the signal deciding whether cluster-level or
+   * pair-level dedup is the right eviction policy. Output: one row
+   * per node with its triangle count plus the node's degree; the
+   * global triangle total is `sum(n_triangles) / 3`.
+   *
+   * Algorithm (the standard MapReduce formulation, cf. Suri &
+   * Vassilvitskii, WWW'11 "Counting Triangles and the Curse of the
+   * Last Reducer"): canonicalize to undirected distinct edges
+   * (lo, hi); compute degrees; orient each edge from the
+   * LOWER-(degree, id) endpoint to the higher — every triangle is
+   * then counted exactly once at its lowest-ordered vertex, and the
+   * join fan-out per node is its ORIENTED out-degree, which the
+   * orientation caps at O(√m) for any degree distribution — the
+   * skew-proofing that makes the wedge join survive power-law
+   * graphs (a raw hub of degree d would otherwise fan out d²).
+   *
+   * Scale: one degree aggregation, one wedge self-join on the
+   * oriented edges' shared low vertex, one edge-existence semi-join
+   * back onto the oriented edge set, one count aggregation — all
+   * hash-partitioned equi-joins, never nested-loop; total wedge
+   * volume is Σ outDeg(v)² ≤ m^1.5 by the orientation bound.
+   */
+  def triangleCounts(
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges
+      .select(
+        least(col(srcCol), col(dstCol)).as("lo"),
+        greatest(col(srcCol), col(dstCol)).as("hi"))
+      .where(col("lo") =!= col("hi"))
+      .distinct()
+    val degrees = und.select(col("lo").as("node"))
+      .unionAll(und.select(col("hi").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    // orient by (degree, id): from the lower-ordered endpoint out
+    val withDeg = und
+      .join(degrees.select(col("node").as("lo"), col("degree").as("__dl")),
+        "lo")
+      .join(degrees.select(col("node").as("hi"), col("degree").as("__dh")),
+        "hi")
+    val oriented = withDeg.select(
+      when(col("__dl") < col("__dh") ||
+          (col("__dl") === col("__dh") && col("lo") < col("hi")),
+        col("lo")).otherwise(col("hi")).as("u"),
+      when(col("__dl") < col("__dh") ||
+          (col("__dl") === col("__dh") && col("lo") < col("hi")),
+        col("hi")).otherwise(col("lo")).as("v"))
+    // wedges at the shared low vertex u: (v, w) with v < w in the
+    // orientation order is irrelevant — dedupe by unordered pair via
+    // least/greatest so the closing edge joins canonically
+    val wedges = oriented.as("a")
+      .join(oriented.as("b"),
+        col("a.u") === col("b.u") && col("a.v") < col("b.v"))
+      .select(col("a.u").as("apex"),
+        least(col("a.v"), col("b.v")).as("lo"),
+        greatest(col("a.v"), col("b.v")).as("hi"))
+    val closing = und.select(col("lo"), col("hi"))
+    val triangles = wedges.join(closing, Seq("lo", "hi"))
+      .select(col("apex"), col("lo"), col("hi"))
+    val perNode = triangles
+      .select(explode(array(col("apex"), col("lo"), col("hi"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    degrees
+      .join(perNode, Seq("node"), "left")
+      .na.fill(0L, Seq("n_triangles"))
+      .select(col("node"), col("degree"), col("n_triangles"))
+  }
 }

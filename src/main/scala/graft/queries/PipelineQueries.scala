@@ -1245,6 +1245,19 @@ object PipelineQueries {
       graft.operators.TextAnalysis.vocabularyRichness(
           t(s, dir, "documents"), "source", "text")
         .orderBy("source")
+    }),
+
+    // G2: exact triangle counts over the q16 near-dup candidate
+    // graph — degree-ordered orientation (wedge volume ≤ m^1.5),
+    // wedge self-join + closing-edge equi-join, never nested-loop.
+    // Clique-y template families vs chains of incidental overlap.
+    "q192_triangle_counts" -> ((s, dir) => {
+      val edges = Dedup.minhashCandidates(
+          t(s, dir, "documents"), "doc_id", "text",
+          numHashes = 8, rowsPerBand = 2, shingleSize = 3)
+        .select("doc_a", "doc_b")
+      graft.operators.Graph.triangleCounts(edges, "doc_a", "doc_b")
+        .orderBy("node")
     })
   )
 
@@ -3585,6 +3598,53 @@ object PipelineQueries {
         |  round(CAST(count(*) AS DOUBLE) / SUM(c), 6) AS ttr,
         |  round(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
         |        / count(*), 6) AS hapax_share
-        |FROM tf GROUP BY source ORDER BY source""".stripMargin
+        |FROM tf GROUP BY source ORDER BY source""".stripMargin,
+
+    // Brute-force triangle ground truth over the same LSH candidate
+    // edges (q16/q128's bands CTE), no orientation shortcut — proves
+    // the degree-ordered wedge enumeration counts every triangle
+    // exactly once.
+    "q192_triangle_counts" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), idx AS (
+        |  SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i FROM toks
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM idx
+        |), mh AS (
+        |  SELECT doc_id, s.seed,
+        |    min(CAST(('0x' || substr(
+        |      md5(CAST(s.seed AS VARCHAR) || ':' || shingle), 1, 15)) AS BIGINT))
+        |      AS mh
+        |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0,7)) AS seed) s
+        |  GROUP BY doc_id, s.seed
+        |), bands AS (
+        |  SELECT doc_id, seed // 2 AS band,
+        |    string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed) AS sig
+        |  FROM mh GROUP BY doc_id, seed // 2
+        |), und AS (
+        |  SELECT DISTINCT a.doc_id AS lo, b.doc_id AS hi
+        |  FROM bands a
+        |  JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        |), deg AS (
+        |  SELECT node, count(*) AS degree FROM (
+        |    SELECT lo AS node FROM und UNION ALL SELECT hi AS node FROM und
+        |  ) GROUP BY node
+        |), tri AS (
+        |  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+        |  FROM und e1
+        |  JOIN und e2 ON e2.lo = e1.hi
+        |  JOIN und e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+        |), pn AS (
+        |  SELECT node, count(*) AS n FROM (
+        |    SELECT a AS node FROM tri
+        |    UNION ALL SELECT b AS node FROM tri
+        |    UNION ALL SELECT c AS node FROM tri
+        |  ) GROUP BY node
+        |)
+        |SELECT d.node, d.degree, CAST(coalesce(pn.n, 0) AS BIGINT)
+        |  AS n_triangles
+        |FROM deg d LEFT JOIN pn USING (node)
+        |ORDER BY node""".stripMargin
   )
 }

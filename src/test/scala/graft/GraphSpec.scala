@@ -72,4 +72,50 @@ class GraphSpec extends AnyFunSuite {
     }
     assert(leaked.size <= 2, s"leaked checkpoint RDDs: $leaked")
   }
+
+  test("triangleCounts: clique, path, and star goldens") {
+    // K4 on {1,2,3,4}: C(4,3)=4 triangles, every node in 3 of them.
+    val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b))
+      .toDF("src", "dst")
+    val outK4 = Graph.triangleCounts(k4, "src", "dst")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(outK4 === (1L to 4L).map(n => (n, 3L, 3L)).toSet)
+    // path 1-2-3-4: zero triangles, degrees 1,2,2,1
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val outPath = Graph.triangleCounts(path, "src", "dst")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(outPath === Set((1L, 1L, 0L), (2L, 2L, 0L),
+      (3L, 2L, 0L), (4L, 1L, 0L)))
+    // star: hub 0 to 5 leaves — zero triangles; the degree-ordered
+    // orientation points every edge leaf→hub, so the hub's wedge
+    // fan-out is ZERO (the skew-proofing, not just a correctness nicety)
+    val star = (1L to 5L).map(l => (0L, l)).toDF("src", "dst")
+    val outStar = Graph.triangleCounts(star, "src", "dst")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(outStar === (Set((0L, 5L, 0L)) ++ (1L to 5L).map(l => (l, 1L, 0L))))
+  }
+
+  test("triangleCounts: random-graph parity with brute force; input direction/dups ignored") {
+    val rnd = new scala.util.Random(61)
+    val raw = Seq.fill(120)((rnd.nextInt(15).toLong, rnd.nextInt(15).toLong))
+    // feed duplicated, reversed, self-loop-polluted edges
+    val edges = (raw ++ raw.map(_.swap) ++ Seq((3L, 3L))).toDF("src", "dst")
+    val und = raw.collect { case (a, b) if a != b =>
+      (math.min(a, b), math.max(a, b)) }.toSet
+    def bruteTri(n: Long): Long = {
+      val nbr = und.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val mine = nbr.getOrElse(n, Set.empty).toSeq
+      (for { i <- mine.indices; j <- i + 1 until mine.size
+        if und.contains((math.min(mine(i), mine(j)),
+          math.max(mine(i), mine(j)))) } yield 1).size.toLong
+    }
+    val got = Graph.triangleCounts(edges, "src", "dst")
+      .as[(Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (node, deg, tri) =>
+      assert(deg === und.count(e => e._1 == node || e._2 == node).toLong)
+      assert(tri === bruteTri(node), s"node $node")
+    }
+  }
 }
