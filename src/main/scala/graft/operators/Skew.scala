@@ -99,4 +99,46 @@ object Skew {
         round(mult, 3).as("uniform_multiple"),
         greatest(ceil(mult), lit(1L)).as("suggested_salt"))
   }
+
+  /**
+   * K14: exact join-size profile — BEFORE running an equi-join,
+   * compute exactly how many rows it would produce and which keys
+   * produce them: |A ⋈ B| = Σ_k cntA(k)·cntB(k). The go/no-go probe
+   * in front of any self-join or n:m join ([[skewProbe]] measures
+   * one side's skew; this measures the JOIN's blow-up, which is what
+   * actually OOMs a stage — a key holding 1% of each side contributes
+   * 0.01%·|A|·|B| pairs). Output: the `topK` keys by pair
+   * contribution with both side counts, the pair count, and its
+   * share of the total join size.
+   *
+   * Scale: the joined tables are never touched beyond ONE
+   * partial-combined count aggregation each — the profile join runs
+   * at DISTINCT-KEY cardinality, the total is a one-row cross join
+   * (the q147 broadcast idiom, never a collect), and the top-K is a
+   * TakeOrderedAndProject. Cost is two scans + key-cardinality
+   * work, independent of the hypothetical join's output size —
+   * that's the point: the 10¹²-pair join you decided not to run.
+   */
+  def joinSizeProfile(
+      left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String,
+      topK: Int = 20): DataFrame = {
+    require(topK >= 1, s"joinSizeProfile: topK must be >= 1, got $topK")
+    val cl = left.groupBy(col(leftKey).as("key"))
+      .agg(count(lit(1)).as("n_left"))
+    val cr = right.groupBy(col(rightKey).as("key"))
+      .agg(count(lit(1)).as("n_right"))
+    val contrib = cl.join(cr, "key")
+      .select(col("key"), col("n_left"), col("n_right"),
+        (col("n_left") * col("n_right")).as("pairs"))
+    val total = contrib.agg(
+      coalesce(sum(col("pairs")), lit(0L)).as("__total"))
+    contrib.crossJoin(total)
+      .orderBy(col("pairs").desc, col("key").asc)
+      .limit(topK)
+      .select(
+        col("key"), col("n_left"), col("n_right"), col("pairs"),
+        round(col("pairs").cast("double") / col("__total"), 6)
+          .as("share"))
+  }
 }

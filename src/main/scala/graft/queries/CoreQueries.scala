@@ -302,6 +302,18 @@ object CoreQueries {
     "q96_skew_probe" -> ((s, dir) => {
       graft.operators.Skew.skewProbe(t(s, dir, "events"), "user_id", topK = 20)
         .orderBy(col("n_rows").desc, col("key"))
+    }),
+
+    // K14: exact join-size profile for the lineitem self-join on
+    // l_partkey — the "how many pairs would this produce, and which
+    // keys produce them" probe run BEFORE deciding to run (or salt,
+    // or refuse) an n:m join. Two count aggs + key-cardinality join;
+    // the hypothetical join itself never runs.
+    "q193_join_size_profile" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      graft.operators.Skew.joinSizeProfile(
+          li, "l_partkey", li, "l_partkey", topK = 20)
+        .orderBy(col("pairs").desc, col("key"))
     })
   )
 
@@ -502,6 +514,19 @@ object CoreQueries {
         |  CAST(greatest(ceil(CAST(n_rows AS DOUBLE) * nd / total), 1)
         |       AS BIGINT) AS suggested_salt
         |FROM top CROSS JOIN t
-        |ORDER BY n_rows DESC, key""".stripMargin
+        |ORDER BY n_rows DESC, key""".stripMargin,
+
+    "q193_join_size_profile" ->
+      """WITH c AS (
+        |  SELECT l_partkey AS key, COUNT(*) AS n FROM lineitem GROUP BY 1
+        |), contrib AS (
+        |  SELECT key, n AS n_left, n AS n_right, n * n AS pairs FROM c
+        |), t AS (
+        |  SELECT COALESCE(SUM(pairs), 0) AS total FROM contrib
+        |)
+        |SELECT key, n_left, n_right, CAST(pairs AS BIGINT) AS pairs,
+        |  round(CAST(pairs AS DOUBLE) / total, 6) AS share
+        |FROM contrib CROSS JOIN t
+        |ORDER BY pairs DESC, key LIMIT 20""".stripMargin
   )
 }
