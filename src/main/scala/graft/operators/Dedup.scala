@@ -493,6 +493,10 @@ object Dedup {
    * [[graft.functions.NGramJaccardSim]] kernel's n_common over the
    * probe's own distinct-shingle count.
    *
+   * Documents with fewer than `shingleSize` tokens have no shingles
+   * and never appear on either side — containment over an empty set
+   * is undefined, matching D13's short-doc behavior.
+   *
    * Scale: the probe prefix concentrates on df=1–2 shingles (same
    * rarity order as D13), so candidate volume is
    * Σ_prefix-shingle df_prefix·df_full — linear-ish in corpus size

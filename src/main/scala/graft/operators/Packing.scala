@@ -53,7 +53,10 @@ object Packing {
       budget: Int): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
     val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
-    val nTokens = size(split(col(textCol), " ")).cast("long")
+    // NULL text contributes 0 tokens (a bare size(split(NULL)) would
+    // return -1 and silently corrupt every downstream span)
+    val nTokens = when(col(textCol).isNotNull,
+      size(split(col(textCol), " "))).otherwise(lit(0)).cast("long")
     def chunkOf(tok: Column): Column =
       floor(tok / lit(budget.toLong)).cast("long")
     df

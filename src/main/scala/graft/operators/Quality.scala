@@ -303,6 +303,10 @@ object Quality {
    *
    * `cols` must render identically across engines — integers,
    * strings, dates; avoid raw doubles (engine formatting differs).
+   * CAVEAT: `concat_ws` SKIPS NULLs, so (a, NULL, b) and (a, b,
+   * NULL) render identically — coalesce nullable columns with a
+   * sentinel (e.g. `coalesce(c, lit(" "))`) when NULL-position
+   * distinctions must move the digest.
    *
    * Scale: ONE scan, hash computed in the projection, all five
    * digests partial-aggregate map-side — the exchange carries

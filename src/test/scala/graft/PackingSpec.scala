@@ -43,6 +43,23 @@ class PackingSpec extends AnyFunSuite {
     assert(out === Set((1L, 0L, 0L), (2L, 1L, 1L)))
   }
 
+  test("concatChunks: NULL text is a zero-token doc, spans stay sound") {
+    val withNull = Seq(
+      ("s", 1L, Some("a b c")), ("s", 2L, None), ("s", 3L, Some("d e"))
+    ).toDF("source", "doc_id", "text")
+    val out = Packing.concatChunks(withNull, "source", "doc_id", "text", 4)
+      .select("doc_id", "n_tokens", "tok_start", "chunk_first",
+        "chunk_last", "n_chunks")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(out === Set(
+      (1L, 3L, 0L, 0L, 0L, 1L),
+      // the zero-width span sits at cursor 3 inside chunk 0 — and
+      // crucially does NOT shift doc 3's span (a -1 token count
+      // from bare size(split(NULL)) would have)
+      (2L, 0L, 3L, 0L, 0L, 1L),
+      (3L, 2L, 3L, 0L, 1L, 2L)))
+  }
+
   test("packingReport: chunk count, tail padding, split docs") {
     val out = Packing.packingReport(docs, "source", "doc_id", "text", 5)
       .select("source", "n_docs", "total_tokens", "n_chunks",
