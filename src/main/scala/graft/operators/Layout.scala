@@ -110,4 +110,38 @@ object Layout {
   def fileRanges(df: DataFrame, keyCol: String): DataFrame =
     df.groupBy(input_file_name().as("file"))
       .agg(min(col(keyCol)).as("lo"), max(col(keyCol)).as("hi"))
+
+  /**
+   * Training-shard export — the step that turns a curated corpus into
+   * the artifact a sequential trainer consumes: rows gain their
+   * round-robin interleave emission position
+   * ([[Sampling.interleaveOrder]]'s balanced-mixture order), then
+   * range-partition + sort on `global_pos` so the output files TILE
+   * the emission order (file k holds a contiguous position range
+   * entirely before file k+1's) — a trainer streams the files in
+   * name order and reads the mixture-balanced sequence with zero
+   * shuffling on its side. The written schema is the input columns
+   * plus `global_pos`.
+   *
+   * Scale: the interleave's two-level ordinal + ONE range exchange +
+   * per-partition sort (the [[rangeSortedWrite]] shape on the
+   * position key); audit with [[fileRanges]] on `global_pos`
+   * (disjoint = order tiled correctly) and
+   * [[Quality.tableFingerprint]] (content conserved through the
+   * write).
+   */
+  def interleavedShardWrite(
+      df: DataFrame,
+      destPath: String,
+      groupCol: String,
+      idCol: String,
+      numFiles: Int): Unit = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    val order = Sampling.interleaveOrder(df, groupCol, idCol)
+      .select(col(groupCol), col(idCol), col("global_pos"))
+    df.join(order, Seq(groupCol, idCol))
+      .repartitionByRange(numFiles, col("global_pos"))
+      .sortWithinPartitions("global_pos")
+      .write.mode("overwrite").parquet(destPath)
+  }
 }

@@ -1356,6 +1356,38 @@ object RelationalQueries {
           t(s, dir, "lineitem"),
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
         .orderBy("col_a", "col_b")
+    }),
+
+    // K15: training-shard export read-back audit (q131 contract
+    // shape): documents written in interleave emission order across
+    // 8 position-tiled files, then audited from the read-back alone —
+    // dense 1..n positions, zero overlapping per-file position
+    // ranges (measured, oracle pins the literal 0), and the R23
+    // content digest over (doc_id, text), which the oracle recomputes
+    // from the SOURCE table — rows lost, duplicated, or altered by
+    // the writer hash-fail.
+    "q194_shard_export" -> ((s, dir) => {
+      val dest = scratchDir("layout_q194").toString
+      val docs = t(s, dir, "documents").select("source", "doc_id", "text")
+      graft.operators.Layout.interleavedShardWrite(
+        docs, dest, "source", "doc_id", numFiles = 8)
+      val back = s.read.parquet(dest)
+      val ranges = graft.operators.Layout.fileRanges(back, "global_pos")
+      val overlaps = ranges.as("x").join(ranges.as("y"),
+          col("x.file") < col("y.file") &&
+            col("x.lo") <= col("y.hi") && col("y.lo") <= col("x.hi"))
+        .agg(count(lit(1)).as("overlap_pairs"))
+      val digest = graft.operators.Quality.tableFingerprint(
+          back.withColumn("__g", lit("all")),
+          Seq("doc_id", "text"), "__g")
+        .select(col("xor_hash"), col("sum_hash"))
+      back.agg(
+          count(lit(1)).as("total_rows"),
+          countDistinct(col("global_pos")).as("distinct_pos"),
+          min(col("global_pos")).as("min_pos"),
+          max(col("global_pos")).as("max_pos"))
+        .crossJoin(overlaps)
+        .crossJoin(digest)
     })
   )
 
@@ -2552,6 +2584,28 @@ object RelationalQueries {
         |        / (CAST(n AS DOUBLE) * CAST(least(r, c) - 1 AS DOUBLE)),
         |      0.0)), 6)
         |  ELSE 0.0 END AS cramers_v
-        |FROM agg""".stripMargin
+        |FROM agg""".stripMargin,
+
+    // Everything here derives from the SOURCE table: n rows, dense
+    // 1..n positions, the promised zero file-range overlaps, and the
+    // R23 digest over (doc_id, text) — the write path must conserve
+    // all of it bit-for-bit to hash-match.
+    "q194_shard_export" ->
+      """WITH n AS (
+        |  SELECT count(*) AS c FROM documents
+        |), h AS (
+        |  SELECT CAST(('0x' || substr(md5(concat_ws('|',
+        |    CAST(doc_id AS VARCHAR), text)), 1, 15)) AS BIGINT) AS hv
+        |  FROM documents
+        |)
+        |SELECT CAST(c AS BIGINT) AS total_rows,
+        |  CAST(c AS BIGINT) AS distinct_pos,
+        |  CAST(1 AS BIGINT) AS min_pos,
+        |  CAST(c AS BIGINT) AS max_pos,
+        |  CAST(0 AS BIGINT) AS overlap_pairs,
+        |  (SELECT bit_xor(hv) FROM h) AS xor_hash,
+        |  (SELECT CAST(CAST(SUM(CAST(hv AS DECIMAL(38,0)))
+        |     AS DECIMAL(38,0)) AS VARCHAR) FROM h) AS sum_hash
+        |FROM n""".stripMargin
   )
 }

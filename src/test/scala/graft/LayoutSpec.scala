@@ -53,6 +53,33 @@ class LayoutSpec extends AnyFunSuite {
     assert(spans.max < 10007 / 4, s"file span too wide: ${spans.max}")
   }
 
+  test("interleavedShardWrite: files tile the emission order; content conserved") {
+    val dest = tmp("layout-shard")
+    val docs = (1 to 300).map(i =>
+      (s"s${i % 3}", i.toLong, s"doc text $i")).toDF("source", "doc_id", "text")
+    Layout.interleavedShardWrite(docs, dest, "source", "doc_id", numFiles = 4)
+    val back = spark.read.parquet(dest)
+    // dense 1..n emission positions, content preserved
+    val pos = back.select("global_pos").as[Long].collect().sorted.toSeq
+    assert(pos === (1L to 300L))
+    assert(back.select("source", "doc_id", "text")
+      .as[(String, Long, String)].collect().toSet ===
+      docs.as[(String, Long, String)].collect().toSet)
+    // per-file position ranges are disjoint → a trainer reading the
+    // files sequentially sees the interleaved order end to end
+    val ranges = Layout.fileRanges(back, "global_pos")
+      .as[(String, Long, Long)].collect().sortBy(_._2)
+    ranges.sliding(2).foreach {
+      case Array((_, _, hiPrev), (_, loNext, _)) =>
+        assert(hiPrev < loNext, s"position ranges overlap: $hiPrev/$loNext")
+      case _ =>
+    }
+    // first rotation: positions 1..3 are one doc from each source
+    val first3 = back.where(col("global_pos") <= 3)
+      .select("source").as[String].collect().toSet
+    assert(first3 === Set("s0", "s1", "s2"))
+  }
+
   test("zorder2 round-trips: de-interleaving the z-value recovers both keys") {
     val rnd = new scala.util.Random(42)
     val cases = Seq.fill(200)((rnd.nextInt(1 << 16), rnd.nextInt(1 << 16)))
