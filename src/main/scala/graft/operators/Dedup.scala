@@ -410,6 +410,21 @@ object Dedup {
    * (factor (1-t)·|x|), so exact joins below ~0.5 should fall back
    * to LSH + verify.
    */
+  /** IEEE-safe pruning bounds for the prefix-filter family:
+    * `ceil(t·n)` computed naively in double can land ONE ABOVE the
+    * true minimum overlap when the product rounds up across an
+    * integer — `ceil(0.07d * 100)` is 8, yet a pair with overlap 7
+    * passes the final `overlap/n >= t` compare (7/100 rounds to the
+    * same double as 0.07) — so a bound that tight drops qualifying
+    * pairs and silently breaks the zero-false-negative guarantee.
+    * Subtracting a slack far larger than any accumulated multiply
+    * error (≤ ~1e-10 for n up to 1e6) yet far smaller than 1 makes
+    * every pruning bound err only on the LOOSE side: at worst one
+    * extra prefix shingle / candidate survives to the exact verify,
+    * which re-filters with the oracle's own ratio compare. */
+  private val PruneSlack = 1e-9
+  private def ceilLoose(x: Column): Column = ceil(x - lit(PruneSlack))
+
   def exactSimilarityJoin(
       df: DataFrame,
       idCol: String,
@@ -426,7 +441,7 @@ object Dedup {
         row_number().over(wDoc.orderBy(col("__df"), col("shingle"))))
       .withColumn("__n", count(lit(1)).over(wDoc))
       .where(col("__pos") <=
-        col("__n") - ceil(lit(threshold) * col("__n")) + 1)
+        col("__n") - ceilLoose(lit(threshold) * col("__n")) + 1)
       .select(col(idCol), col("shingle"), col("__pos"), col("__n"))
     val a = prefix.select(col(idCol).as("doc_a"), col("shingle"),
       col("__pos").as("__pa"), col("__n").as("__na"))
@@ -441,12 +456,13 @@ object Dedup {
     //    ceil(t/(1+t)·(|a|+|b|)). A qualifying pair passes at its
     //    FIRST shared prefix shingle, so keep-if-any-row-passes is
     //    safe — distinct() below collapses the survivors.
-    val alpha = ceil(lit(threshold / (1.0 + threshold)) *
+    val alpha = ceilLoose(lit(threshold / (1.0 + threshold)) *
       (col("__na") + col("__nb")))
     val cand = a.join(b, "shingle")
       .where(col("doc_a") < col("doc_b") &&
         least(col("__na"), col("__nb")) >=
-          lit(threshold) * greatest(col("__na"), col("__nb")) &&
+          lit(threshold) * greatest(col("__na"), col("__nb")) -
+            lit(PruneSlack) &&
         lit(1) + least(col("__na") - col("__pa"),
           col("__nb") - col("__pb")) >= alpha)
       .select("doc_a", "doc_b")
@@ -522,7 +538,7 @@ object Dedup {
         row_number().over(wDoc.orderBy(col("__df"), col("shingle"))))
       .withColumn("__n", count(lit(1)).over(wDoc))
       .where(col("__pos") <=
-        col("__n") - ceil(lit(threshold) * col("__n")) + 1)
+        col("__n") - ceilLoose(lit(threshold) * col("__n")) + 1)
       .select(col(idCol).as("doc"), col("shingle"), col("__n").as("__na"))
     // The container side stays the RAW posting explode, and the size
     // prune joins AFTER the distinct pass. Two variants were measured
@@ -542,7 +558,7 @@ object Dedup {
       .select("doc", "container", "__na")
       .distinct()
       .join(sizes, "container")
-      .where(col("__nb") >= ceil(lit(threshold) * col("__na")))
+      .where(col("__nb") >= ceilLoose(lit(threshold) * col("__na")))
     val ta = df.select(col(idCol).as("doc"), col(textCol).as("__ta"))
     val tb = df.select(col(idCol).as("container"), col(textCol).as("__tb"))
     cand.join(ta, "doc").join(tb, "container")

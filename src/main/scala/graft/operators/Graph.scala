@@ -149,15 +149,15 @@ object Graph {
       when(col("__dl") < col("__dh") ||
           (col("__dl") === col("__dh") && col("lo") < col("hi")),
         col("hi")).otherwise(col("lo")).as("v"))
-    // wedges at the shared low vertex u: (v, w) with v < w in the
-    // orientation order is irrelevant — dedupe by unordered pair via
-    // least/greatest so the closing edge joins canonically
+    // wedges at the shared low vertex u: a.v < b.v both dedupes the
+    // two orderings of each wedge AND canonicalizes (lo, hi) for the
+    // closing-edge join — a.v IS the smaller endpoint by the join
+    // condition, no extra comparison needed
     val wedges = oriented.as("a")
       .join(oriented.as("b"),
         col("a.u") === col("b.u") && col("a.v") < col("b.v"))
       .select(col("a.u").as("apex"),
-        least(col("a.v"), col("b.v")).as("lo"),
-        greatest(col("a.v"), col("b.v")).as("hi"))
+        col("a.v").as("lo"), col("b.v").as("hi"))
     val closing = und.select(col("lo"), col("hi"))
     val triangles = wedges.join(closing, Seq("lo", "hi"))
       .select(col("apex"), col("lo"), col("hi"))

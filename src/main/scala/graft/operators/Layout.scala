@@ -138,8 +138,16 @@ object Layout {
       numFiles: Int): Unit = {
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
     val order = Sampling.interleaveOrder(df, groupCol, idCol)
-      .select(col(groupCol), col(idCol), col("global_pos"))
-    df.join(order, Seq(groupCol, idCol))
+      .select(col(groupCol).as("__og"), col(idCol).as("__oi"),
+        col("global_pos"))
+    // NULL-SAFE join back: a plain equi-join would silently drop any
+    // row with a NULL group or id (the window still assigned it a
+    // position, so the export would lose content AND leave a hole in
+    // the 1..n tiling). (groupCol, idCol) must uniquely identify a
+    // row — duplicates would fan out.
+    df.join(order,
+        col(groupCol) <=> col("__og") && col(idCol) <=> col("__oi"))
+      .drop("__og", "__oi")
       .repartitionByRange(numFiles, col("global_pos"))
       .sortWithinPartitions("global_pos")
       .write.mode("overwrite").parquet(destPath)

@@ -66,9 +66,17 @@ object Packing {
         col(groupCol), col(idCol), col("n_tokens"),
         (col("__cum") - col("n_tokens")).as("tok_start"),
         chunkOf(col("__cum") - col("n_tokens")).as("chunk_first"),
-        chunkOf(col("__cum") - 1).as("chunk_last"))
+        // zero-token docs span NO chunks: pin chunk_last to the
+        // cursor's chunk uniformly (the raw (cum-1)/budget would go
+        // negative / off-by-one-chunk when the cursor sits exactly
+        // on a boundary) and report n_chunks = 0
+        when(col("n_tokens") === 0,
+            chunkOf(col("__cum") - col("n_tokens")))
+          .otherwise(chunkOf(col("__cum") - 1)).as("chunk_last"))
       .withColumn(
-        "n_chunks", col("chunk_last") - col("chunk_first") + lit(1L))
+        "n_chunks",
+        when(col("n_tokens") === 0, lit(0L))
+          .otherwise(col("chunk_last") - col("chunk_first") + lit(1L)))
   }
 
   /**

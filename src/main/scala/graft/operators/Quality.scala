@@ -144,22 +144,6 @@ object Quality {
   }
 
   /**
-   * Winsorization audit: per key, the nearest-rank [loQ, hiQ]
-   * percentile edges of `valCol` and how many rows each side would
-   * clip — the "what does capping this feature actually do" report
-   * run before committing to a clip. Edges are NEAREST-RANK (the
-   * value at row ceil(q·n) of the per-key value order): pure integer
-   * rank arithmetic on raw data values, so edges are identical on
-   * every engine — interpolated percentiles differ in last-ulp float
-   * edges and flip boundary rows (the q108 lesson).
-   *
-   * Scale: ONE key exchange serves the rank window and the count;
-   * the edge extraction is a filter at two ranks per key; clip
-   * counting joins the |keys|-row edge table back broadcast. Per-key
-   * state is that key's sort — the exact-percentile price (swap in
-   * approx_percentile edges at 100 TB, the q57→q62 trade).
-   */
-  /**
    * Benford first-digit audit: observed leading-digit distribution
    * of `valCol` against Benford's law (P(d) = log10(1 + 1/d)) — the
    * classic fabricated-data / unit-mix screen for financial and
@@ -196,6 +180,22 @@ object Quality {
         round((obs - exp) * (obs - exp) / exp, 6).as("chi2_contrib"))
   }
 
+  /**
+   * Winsorization audit: per key, the nearest-rank [loQ, hiQ]
+   * percentile edges of `valCol` and how many rows each side would
+   * clip — the "what does capping this feature actually do" report
+   * run before committing to a clip. Edges are NEAREST-RANK (the
+   * value at row ceil(q·n) of the per-key value order): pure integer
+   * rank arithmetic on raw data values, so edges are identical on
+   * every engine — interpolated percentiles differ in last-ulp float
+   * edges and flip boundary rows (the q108 lesson).
+   *
+   * Scale: ONE key exchange serves the rank window and the count;
+   * the edge extraction is a filter at two ranks per key; clip
+   * counting joins the |keys|-row edge table back broadcast. Per-key
+   * state is that key's sort — the exact-percentile price (swap in
+   * approx_percentile edges at 100 TB, the q57→q62 trade).
+   */
   def winsorizeAudit(
       df: DataFrame, keyCol: String, valCol: String,
       loQ: Double = 0.01, hiQ: Double = 0.99): DataFrame = {
@@ -303,10 +303,16 @@ object Quality {
    *
    * `cols` must render identically across engines — integers,
    * strings, dates; avoid raw doubles (engine formatting differs).
-   * CAVEAT: `concat_ws` SKIPS NULLs, so (a, NULL, b) and (a, b,
-   * NULL) render identically — coalesce nullable columns with a
-   * sentinel (e.g. `coalesce(c, lit(" "))`) when NULL-position
-   * distinctions must move the digest.
+   * Rows join on the \\u0001 unit separator, which free text never
+   * contains (a printable delimiter like '|' makes the rendering
+   * non-injective the moment a column contains it: ('a|b', 'c') and
+   * ('a', 'b|c') would digest identically — a probability-1 missed
+   * change, not a 2⁻⁶⁰ one). CAVEATS that remain: `concat_ws` SKIPS
+   * NULLs, so (a, NULL, b) and (a, b, NULL) render identically —
+   * coalesce nullable columns with a sentinel when NULL-position
+   * distinctions must move the digest; and data that itself contains
+   * \\u0001 re-opens the injection (length-prefix the columns if that
+   * can happen).
    *
    * Scale: ONE scan, hash computed in the projection, all five
    * digests partial-aggregate map-side — the exchange carries
@@ -319,7 +325,7 @@ object Quality {
       df: DataFrame, cols: Seq[String], groupCol: String): DataFrame = {
     require(cols.nonEmpty, "tableFingerprint: cols must be non-empty")
     val h = conv(
-      substring(md5(concat_ws("|", cols.map(col): _*)), 1, 15), 16, 10)
+      substring(md5(concat_ws("\u0001", cols.map(col): _*)), 1, 15), 16, 10)
       .cast("long")
     df.select(col(groupCol), h.as("__h"))
       .groupBy(col(groupCol))

@@ -128,17 +128,24 @@ object Skew {
       .agg(count(lit(1)).as("n_left"))
     val cr = right.groupBy(col(rightKey).as("key"))
       .agg(count(lit(1)).as("n_right"))
+    // pairs multiply + sum in DECIMAL(38,0): a Long product overflows
+    // at ~3e9 rows per side on one key — exactly the pathological
+    // join this probe exists to catch — and a wrapped-negative count
+    // would sort the most dangerous key LAST. Rendered as digits
+    // (the q189 cross-engine rule for >64-bit exact integers).
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val contrib = cl.join(cr, "key")
       .select(col("key"), col("n_left"), col("n_right"),
-        (col("n_left") * col("n_right")).as("pairs"))
+        (col("n_left").cast(dec38) * col("n_right")).as("__pairs"))
     val total = contrib.agg(
-      coalesce(sum(col("pairs")), lit(0L)).as("__total"))
+      coalesce(sum(col("__pairs")), lit(0).cast(dec38)).as("__total"))
     contrib.crossJoin(total)
-      .orderBy(col("pairs").desc, col("key").asc)
+      .orderBy(col("__pairs").desc, col("key").asc)
       .limit(topK)
       .select(
-        col("key"), col("n_left"), col("n_right"), col("pairs"),
-        round(col("pairs").cast("double") / col("__total"), 6)
-          .as("share"))
+        col("key"), col("n_left"), col("n_right"),
+        col("__pairs").cast("string").as("pairs"),
+        round(col("__pairs").cast("double") / col("__total").cast("double"),
+          6).as("share"))
   }
 }

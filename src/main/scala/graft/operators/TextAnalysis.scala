@@ -667,25 +667,6 @@ object TextAnalysis {
   }
 
   /**
-   * Zipf-law fit over the corpus vocabulary: OLS of ln(count) against
-   * ln(rank) for the `topK` most frequent tokens — the corpus-health
-   * number every curation run sanity-checks (natural text slopes
-   * ≈ −1; machine-generated or template-heavy corpora flatten, and a
-   * slope drifting across snapshots flags a composition shift before
-   * any downstream metric moves). Output: one row (corpus, n_tokens
-   * = ranks fitted, slope, intercept).
-   *
-   * Cross-engine parity: ln values round to 6dp and cast to
-   * DECIMAL(18,6) BEFORE the co-moment sums — the sums are exact and
-   * partition-order-independent; the OLS finish reuses
-   * [[TimeSeries.trendFit]]'s fixed double-op sequence.
-   *
-   * Scale: one token-count shuffle (map-combined), then a bounded
-   * TakeOrderedAndProject top-K — the rank window runs AFTER
-   * `limit(topK)`, the bounded-global-window idiom (q65/q74), never
-   * over the full vocabulary. The fit itself sees `topK` rows.
-   */
-  /**
    * Per-group vocabulary richness: token instances, distinct
    * vocabulary, hapax legomena (tokens occurring exactly once in the
    * group), type-token ratio and hapax share — the lexical-diversity
@@ -719,6 +700,25 @@ object TextAnalysis {
           .as("hapax_share"))
   }
 
+  /**
+   * Zipf-law fit over the corpus vocabulary: OLS of ln(count) against
+   * ln(rank) for the `topK` most frequent tokens — the corpus-health
+   * number every curation run sanity-checks (natural text slopes
+   * ≈ −1; machine-generated or template-heavy corpora flatten, and a
+   * slope drifting across snapshots flags a composition shift before
+   * any downstream metric moves). Output: one row (corpus, n_tokens
+   * = ranks fitted, slope, intercept).
+   *
+   * Cross-engine parity: ln values round to 6dp and cast to
+   * DECIMAL(18,6) BEFORE the co-moment sums — the sums are exact and
+   * partition-order-independent; the OLS finish reuses
+   * [[TimeSeries.trendFit]]'s fixed double-op sequence.
+   *
+   * Scale: one token-count shuffle (map-combined), then a bounded
+   * TakeOrderedAndProject top-K — the rank window runs AFTER
+   * `limit(topK)`, the bounded-global-window idiom (q65/q74), never
+   * over the full vocabulary. The fit itself sees `topK` rows.
+   */
   def zipfFit(
       docs: DataFrame, idCol: String, textCol: String,
       topK: Int = 500): DataFrame = {

@@ -520,13 +520,15 @@ object CoreQueries {
       """WITH c AS (
         |  SELECT l_partkey AS key, COUNT(*) AS n FROM lineitem GROUP BY 1
         |), contrib AS (
-        |  SELECT key, n AS n_left, n AS n_right, n * n AS pairs FROM c
+        |  SELECT key, n AS n_left, n AS n_right,
+        |    CAST(n AS DECIMAL(38,0)) * n AS p FROM c
         |), t AS (
-        |  SELECT COALESCE(SUM(pairs), 0) AS total FROM contrib
+        |  SELECT COALESCE(SUM(p), 0) AS total FROM contrib
         |)
-        |SELECT key, n_left, n_right, CAST(pairs AS BIGINT) AS pairs,
-        |  round(CAST(pairs AS DOUBLE) / total, 6) AS share
+        |SELECT key, n_left, n_right,
+        |  CAST(CAST(p AS DECIMAL(38,0)) AS VARCHAR) AS pairs,
+        |  round(CAST(p AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share
         |FROM contrib CROSS JOIN t
-        |ORDER BY pairs DESC, key LIMIT 20""".stripMargin
+        |ORDER BY p DESC, key LIMIT 20""".stripMargin
   )
 }

@@ -3498,9 +3498,11 @@ object PipelineQueries {
         |SELECT source, doc_id, n_tokens,
         |  CAST(cum - n_tokens AS BIGINT) AS tok_start,
         |  CAST((cum - n_tokens) // 512 AS BIGINT) AS chunk_first,
-        |  CAST((cum - 1) // 512 AS BIGINT) AS chunk_last,
-        |  CAST((cum - 1) // 512 - (cum - n_tokens) // 512 + 1 AS BIGINT)
-        |    AS n_chunks
+        |  CAST(CASE WHEN n_tokens = 0 THEN (cum - n_tokens) // 512
+        |            ELSE (cum - 1) // 512 END AS BIGINT) AS chunk_last,
+        |  CAST(CASE WHEN n_tokens = 0 THEN 0
+        |            ELSE (cum - 1) // 512 - (cum - n_tokens) // 512 + 1
+        |       END AS BIGINT) AS n_chunks
         |FROM c ORDER BY source, doc_id""".stripMargin,
 
     "q187_packing_report" ->
@@ -3514,7 +3516,9 @@ object PipelineQueries {
         |  FROM t
         |), d AS (
         |  SELECT source, n_tokens,
-        |    (cum - 1) // 512 - (cum - n_tokens) // 512 + 1 AS doc_chunks
+        |    CASE WHEN n_tokens = 0 THEN 0
+        |         ELSE (cum - 1) // 512 - (cum - n_tokens) // 512 + 1
+        |    END AS doc_chunks
         |  FROM c
         |)
         |SELECT source,
@@ -3542,7 +3546,7 @@ object PipelineQueries {
     "q189_table_fingerprint" ->
       """WITH h AS (
         |  SELECT l_returnflag,
-        |    CAST(('0x' || substr(md5(concat_ws('|',
+        |    CAST(('0x' || substr(md5(concat_ws(chr(1),
         |      CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
         |      l_returnflag, l_linestatus)), 1, 15)) AS BIGINT) AS hv
         |  FROM lineitem

@@ -2594,7 +2594,7 @@ object RelationalQueries {
       """WITH n AS (
         |  SELECT count(*) AS c FROM documents
         |), h AS (
-        |  SELECT CAST(('0x' || substr(md5(concat_ws('|',
+        |  SELECT CAST(('0x' || substr(md5(concat_ws(chr(1),
         |    CAST(doc_id AS VARCHAR), text)), 1, 15)) AS BIGINT) AS hv
         |  FROM documents
         |)

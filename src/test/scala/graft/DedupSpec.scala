@@ -388,6 +388,36 @@ class DedupSpec extends AnyFunSuite {
     assert(!strict.contains((0L, 100L)))
   }
 
+  test("containmentJoin: IEEE ceil boundary keeps zero false negatives") {
+    // t=0.07 with a 100-shingle probe: 0.07*100 rounds UP to
+    // 7.000000000000001 in double, so a naive ceil demands overlap 8
+    // and shortens the prefix to 93 — yet overlap 7 passes the final
+    // 7/100 >= 0.07 compare (both round to the same double). The
+    // shared shingles are engineered to be the probe's 7 MOST COMMON
+    // (df 6 vs df 1), so they sit exactly in the positions a
+    // one-short prefix drops — the regression the loose-ceil bound
+    // exists for.
+    val sRun = (1 to 9).map(i => s"s$i")
+    val probe = ((1 to 93).map(i => s"u$i") ++ sRun).mkString(" ")
+    val container = (sRun ++ Seq("v1", "v2")).mkString(" ")
+    val fillers = (3L to 6L).map(i =>
+      (i, (sRun ++ Seq(s"f${i}a", s"f${i}b")).mkString(" ")))
+    val docs = (Seq((1L, probe), (2L, container)) ++ fillers)
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs, "doc_id", "text", 3)
+      .as[(Long, String)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(sh(1L).size === 100 && (sh(1L) & sh(2L)).size === 7)
+    val got = Dedup.containmentJoin(docs, "doc_id", "text", 0.07, 3)
+      .select("doc", "container").as[(Long, Long)].collect().toSet
+    val brute = (for {
+      a <- sh.keys; b <- sh.keys if a != b
+      if (sh(a) & sh(b)).size.toDouble / sh(a).size >= 0.07
+    } yield (a, b)).toSet
+    assert(got === brute)
+    assert(got.contains((1L, 2L)), "the boundary pair must survive pruning")
+  }
+
   test("containmentJoin: exact duplicates contain each other both ways") {
     val out = Dedup.containmentJoin(corpus, "doc_id", "text", 1.0, 3)
       .select("doc", "container", "containment")

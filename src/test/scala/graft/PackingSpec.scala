@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Packing
@@ -53,11 +54,22 @@ class PackingSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
     assert(out === Set(
       (1L, 3L, 0L, 0L, 0L, 1L),
-      // the zero-width span sits at cursor 3 inside chunk 0 — and
-      // crucially does NOT shift doc 3's span (a -1 token count
-      // from bare size(split(NULL)) would have)
-      (2L, 0L, 3L, 0L, 0L, 1L),
+      // the zero-width span sits at cursor 3 inside chunk 0, spans
+      // ZERO chunks — and crucially does NOT shift doc 3's span (a
+      // -1 token count from bare size(split(NULL)) would have)
+      (2L, 0L, 3L, 0L, 0L, 0L),
       (3L, 2L, 3L, 0L, 1L, 2L)))
+    // zero-token doc whose cursor sits EXACTLY on a chunk boundary:
+    // chunk ids pin to the cursor's chunk (never negative / one
+    // short), n_chunks stays 0
+    val atBoundary = Seq(
+      ("s", 1L, Some("a b c d")), ("s", 2L, None)
+    ).toDF("source", "doc_id", "text")
+    val b = Packing.concatChunks(atBoundary, "source", "doc_id", "text", 4)
+      .where(col("doc_id") === 2L)
+      .select("tok_start", "chunk_first", "chunk_last", "n_chunks")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(b === ((4L, 1L, 1L, 0L)))
   }
 
   test("packingReport: chunk count, tail padding, split docs") {

@@ -162,16 +162,16 @@ class ScaleSpec extends AnyFunSuite {
       .toDF("k").withColumn("rid", monotonically_increasing_id())
     val prof = Skew.joinSizeProfile(left, "k", right, "k", topK = 10)
       .select("key", "n_left", "n_right", "pairs", "share")
-      .as[(String, Long, Long, Long, Double)].collect()
+      .as[(String, Long, Long, String, Double)].collect()
       .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
     // ground truth by running the join it predicts
     val actual = left.join(right, "k").groupBy("k").count()
       .as[(String, Long)].collect().toMap
     assert(prof.keySet === actual.keySet) // d and e never join
     prof.foreach { case (k, (_, _, pairs, _)) =>
-      assert(pairs === actual(k), s"key $k")
+      assert(pairs === actual(k).toString, s"key $k")
     }
-    assert(prof("a") === ((3L, 2L, 6L, 0.545455)))  // 6 of 11 total
+    assert(prof("a") === ((3L, 2L, "6", 0.545455))) // 6 of 11 total
     assert(math.abs(prof.values.map(_._4).sum - 1.0) < 1e-5)
     // profile cost is bounded: top-k via TakeOrderedAndProject
     val p = Skew.joinSizeProfile(left, "k", right, "k", topK = 2)
