@@ -289,6 +289,14 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q192: triangle wedge and closing joins stay hash equi-joins") {
+    val p = plan("q192_triangle_counts")
+    assert(!p.contains("CartesianProduct"),
+      s"triangle counting must never plan all-pairs:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"a nested-loop join here means a wedge/closing equi-key was lost:\n$p")
+  }
+
   test("q112: weighted sample is TakeOrderedAndProject, no global sort exchange") {
     val p = plan("q112_weighted_sample")
     assert(p.contains("TakeOrderedAndProject"),
