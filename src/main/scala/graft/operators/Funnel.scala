@@ -131,6 +131,8 @@ object Funnel {
       valueCol: String, idCol: String,
       conversionType: String, touchTypes: Seq[String],
       lookbackSeconds: Long): DataFrame = {
+    require(lookbackSeconds > 0,
+      s"lookback must be positive: $lookbackSeconds")
     import org.apache.spark.sql.expressions.Window
     val relevant = events
       .where(col(typeCol) === conversionType ||
@@ -176,6 +178,8 @@ object Funnel {
       valueCol: String, idCol: String,
       conversionType: String, touchTypes: Seq[String],
       lookbackSeconds: Long): DataFrame = {
+    require(lookbackSeconds > 0,
+      s"lookback must be positive: $lookbackSeconds (zero collapses every row into one range-join bin \u2014 a per-user cross join)")
     import org.apache.spark.sql.expressions.Window
     val lUs = lookbackSeconds * 1000000L
     val convs = events.where(col(typeCol) === conversionType)

@@ -365,6 +365,9 @@ object Relevance {
       k: Int, kRrf: Int = 60): DataFrame = {
     require(rankings.size >= 2, "rrfFuse needs at least two ranked lists")
     require(kRrf > 0, s"kRrf must be positive, got $kRrf")
+    require(rankings.map(_._1).distinct.size == rankings.size,
+      s"ranked-list names must be distinct (a duplicate silently merges " +
+        s"two lists under one tag): ${rankings.map(_._1)}")
     val tagged = rankings.map { case (name, df) =>
       df.select(
         col(idCol), lit(name).as("__list"),

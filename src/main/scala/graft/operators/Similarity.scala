@@ -484,14 +484,10 @@ object Similarity {
       var iter = 0
       var shift = Double.MaxValue
       while (iter < maxIter && shift > tol) {
-        val ranking = array(centroids.zipWithIndex.map { case (c, i) =>
-          struct(
-            (lit(c.map(x => x * x).sum) - lit(2.0) * dot(col("__v"), typedLit(c)))
-              .as("d"),
-            lit(i).as("cell"))
-        }: _*)
+        // Lloyd assignment IS pqCode's min-L2 argmin (‖c‖² − 2·v·c,
+        // lowest index on ties) — one expression, kept in one place
         val assigned = vecs.select(
-          element_at(sort_array(ranking), 1).getField("cell").as("__cell"),
+          pqCode(col("__v"), centroids).as("__cell"),
           col("__v"))
         val sums = assigned
           .select(col("__cell"), posexplode(col("__v")).as(Seq("__pos", "__x")))
@@ -1026,24 +1022,6 @@ object Similarity {
         .as("corr"))
   }
 
-  /**
-   * Dimension-truncation recall audit (Matryoshka-representation
-   * deployment check): how much of the exact cosine top-k survives
-   * when vectors are truncated to their first `dims` components —
-   * the standard question before switching ANN serving to a
-   * truncated-prefix index (smaller memory/IO per vector, same
-   * index shape). For each probe: recall@k = |topk(truncated) ∩
-   * topk(full)| / k.
-   *
-   * Both rankings run through [[cosineTopK]] — the SAME bounded
-   * WindowGroupLimit shuffle shape and the same total tie rule — so
-   * the audit's cost is two corpus scans with O(partitions × probes
-   * × k) shuffle rows each, corpus-size-independent, and the
-   * intersection join touches only probes × k rows per side. If the
-   * truncated recall is acceptable, deploy the truncation INSIDE the
-   * IVF/SRP pipeline by slicing the vector column before bucketing
-   * — this audit is the measurement that licenses it.
-   */
   /** Min-L2 code assignment against one subspace codebook: argmin of
     * ‖v − c‖² = argmin(‖c‖² − 2·v·c) since ‖v‖² is constant per row
     * (ties → lowest code). Pure per-row projection vs literals. */
@@ -1100,13 +1078,19 @@ object Similarity {
       codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
     val m = codebooks.size
     val sub = codebooks.head.head.size
-    corpus.select(
-      col(idCol),
-      array((0 until m).map { s =>
-        pqCode(
-          slice(toDoubleVec(col(vecCol)), s * sub + 1, sub),
-          codebooks(s)).cast("int")
-      }: _*).as("codes"))
+    corpus
+      // ragged rows drop, mirroring trainCentroids' dims filter: a
+      // short vector's sub-slice would make VecDot yield NULL, which
+      // sorts FIRST in the argmin — every ragged row would silently
+      // encode as code 0 and poison downstream ADC rankings
+      .where(size(col(vecCol)) === m * sub)
+      .select(
+        col(idCol),
+        array((0 until m).map { s =>
+          pqCode(
+            slice(toDoubleVec(col(vecCol)), s * sub + 1, sub),
+            codebooks(s)).cast("int")
+        }: _*).as("codes"))
   }
 
   /**
@@ -1165,6 +1149,29 @@ object Similarity {
         col("__adc").as("adc_dist"))
   }
 
+  /**
+   * Dimension-truncation recall audit (Matryoshka-representation
+   * deployment check): how much of the exact cosine top-k survives
+   * when vectors are truncated to their first `dims` components —
+   * the standard question before switching ANN serving to a
+   * truncated-prefix index (smaller memory/IO per vector, same
+   * index shape). For each probe: recall@k = |topk(truncated) ∩
+   * topk(full)| / k.
+   *
+   * Both rankings run through [[cosineTopK]] — the SAME bounded
+   * WindowGroupLimit shuffle shape and the same total tie rule — so
+   * the audit's cost is two corpus scans with O(partitions × probes
+   * × k) shuffle rows each, corpus-size-independent, and the
+   * intersection join touches only probes × k rows per side. If the
+   * truncated recall is acceptable, deploy the truncation INSIDE the
+   * IVF/SRP pipeline by slicing the vector column before bucketing
+   * — this audit is the measurement that licenses it.
+   *
+   * CAVEAT: `dims` at or above the vectors' true dimensionality
+   * makes the "truncated" ranking identical to the full one — the
+   * audit passes VACUOUSLY with recall 1.0. The function cannot see
+   * the vector length statically; callers must pass dims < d.
+   */
   def dimTruncationRecall(
       corpus: DataFrame, probes: DataFrame,
       idCol: String, vecCol: String, k: Int, dims: Int): DataFrame = {

@@ -3255,14 +3255,10 @@ object PipelineQueries {
         |  WHERE event_type IN ('purchase', 'view', 'click')
         |), att AS (
         |  SELECT user_id, event_id, ts, event_type, value,
-        |    arg_min(CASE WHEN event_type IN ('view', 'click')
-        |              THEN event_id END,
-        |            CASE WHEN event_type IN ('view', 'click')
-        |              THEN us END) OVER w AS f_id,
-        |    arg_max(CASE WHEN event_type IN ('view', 'click')
-        |              THEN event_id END,
-        |            CASE WHEN event_type IN ('view', 'click')
-        |              THEN us END) OVER w AS l_id
+        |    (min(CASE WHEN event_type IN ('view', 'click')
+        |              THEN {'u': us, 'i': event_id} END) OVER w).i AS f_id,
+        |    (max(CASE WHEN event_type IN ('view', 'click')
+        |              THEN {'u': us, 'i': event_id} END) OVER w).i AS l_id
         |  FROM ev
         |  WINDOW w AS (PARTITION BY user_id ORDER BY us
         |               RANGE BETWEEN 86400000000 PRECEDING

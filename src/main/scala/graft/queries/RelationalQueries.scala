@@ -1905,7 +1905,9 @@ object RelationalQueries {
         |ORDER BY step""".stripMargin,
 
     // Mirrors Funnel.touchAttribution: RANGE frame over µs epochs,
-    // arg_min/arg_max skip non-touch rows via the NULL-val CASE,
+    // min/max over a named (us, id) struct — the ENGINE's exact
+    // struct tie rule (arg_min keyed on us alone picks an arbitrary
+    // same-us touch) — NULL-val CASE skips non-touch rows,
     // unattributed conversions pin to -1.
     "q181_attribution" ->
       """WITH ev AS (
@@ -1915,14 +1917,10 @@ object RelationalQueries {
         |  WHERE event_type IN ('purchase', 'view', 'click')
         |), att AS (
         |  SELECT user_id, event_id, ts, event_type, value,
-        |    arg_min(CASE WHEN event_type IN ('view', 'click')
-        |              THEN event_id END,
-        |            CASE WHEN event_type IN ('view', 'click')
-        |              THEN us END) OVER w AS f_id,
-        |    arg_max(CASE WHEN event_type IN ('view', 'click')
-        |              THEN event_id END,
-        |            CASE WHEN event_type IN ('view', 'click')
-        |              THEN us END) OVER w AS l_id
+        |    (min(CASE WHEN event_type IN ('view', 'click')
+        |              THEN {'u': us, 'i': event_id} END) OVER w).i AS f_id,
+        |    (max(CASE WHEN event_type IN ('view', 'click')
+        |              THEN {'u': us, 'i': event_id} END) OVER w).i AS l_id
         |  FROM ev
         |  WINDOW w AS (PARTITION BY user_id ORDER BY us
         |               RANGE BETWEEN 86400000000 PRECEDING

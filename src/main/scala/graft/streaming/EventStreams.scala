@@ -700,18 +700,35 @@ object EventStreams {
           def toUs(t: Timestamp): Long =
             t.getTime * 1000 + t.getNanos / 1000 % 1000
           var buf = state.getOption.map(_.touches).getOrElse(Vector.empty)
-          val out = rows.toSeq
+          // Process per MICROSECOND group, touches before conversions:
+          // the batch twin's RANGE frame is value-based, so a touch
+          // sharing the conversion's exact microsecond is in frame
+          // REGARDLESS of event-id order — a strictly (us, id)-ordered
+          // fold would miss a same-us touch with a larger id. (Same-us
+          // pairs split ACROSS micro-batches remain the streaming
+          // residual: a conversion cannot retro-emit.)
+          val sorted = rows.toSeq
             .sortBy { case (_, t, id, _, _) => (toUs(t), id) }
-            .flatMap { case (_, t, id, typ, v) =>
-              val us = toUs(t)
-              buf = buf.filter(_._1 >= us - lUs) // closed-window evict
-              if (touchSet(typ)) { buf = buf :+ ((us, id)); None }
-              else Some(Attributed(
-                key, t, id, v, buf.minOption.map(_._2),
-                buf.maxOption.map(_._2)))
+            .toIndexedSeq
+          val out = Vector.newBuilder[Attributed]
+          var i = 0
+          while (i < sorted.length) {
+            val us = toUs(sorted(i)._2)
+            var j = i
+            while (j < sorted.length && toUs(sorted(j)._2) == us) j += 1
+            buf = buf.filter(_._1 >= us - lUs) // closed-window evict
+            sorted.slice(i, j).foreach { case (_, _, id, typ, _) =>
+              if (touchSet(typ)) buf = buf :+ ((us, id))
             }
+            sorted.slice(i, j).foreach { case (_, t, id, typ, v) =>
+              if (!touchSet(typ)) out += Attributed(
+                key, t, id, v, buf.minOption.map(_._2),
+                buf.maxOption.map(_._2))
+            }
+            i = j
+          }
           state.update(AttState(buf))
-          out.iterator
+          out.result().iterator
       }
   }
 

@@ -557,6 +557,15 @@ class EventStreamsSpec extends AnyFunSuite {
       }
       (k * 1000 + i, k, ts(k * 100000 + i * 1800), typ, i * 1.5)
     }
+    // Same-MICROSECOND collision, touch id LARGER than the conversion
+    // id: the batch RANGE frame (value-based on µs) includes the
+    // touch; a strictly (us, id)-ordered streaming fold would miss it
+    // — the regression the per-µs-group fold exists for.
+    val collided = Seq(
+      (9001L, 9L, ts(500000L), "view", 1.0),     // earlier touch
+      (9005L, 9L, ts(500100L), "purchase", 2.0), // conv at T
+      (9009L, 9L, ts(500100L), "click", 3.0))    // touch at T, id > conv
+    val rows2 = rows ++ collided
     val input = MemoryStream[(Long, Long, Timestamp, String, Double)]
     val att = EventStreams.streamingAttribution(
       input.toDF.toDF("event_id", "user_id", "ts", "event_type", "value"),
@@ -566,12 +575,12 @@ class EventStreamsSpec extends AnyFunSuite {
     val q = att.writeStream
       .format("memory").queryName("parity_att").outputMode("append").start()
     try {
-      rows.grouped(17).foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      rows2.grouped(17).foreach { b => input.addData(b: _*); q.processAllAvailable() }
       val streamed = spark.table("parity_att")
         .as[graft.streaming.Attributed].collect()
         .map(a => a.convId -> ((a.firstTouchId, a.lastTouchId))).toMap
       val batch = graft.operators.Funnel.touchAttribution(
-          rows.toDF("event_id", "user_id", "ts", "event_type", "value"),
+          rows2.toDF("event_id", "user_id", "ts", "event_type", "value"),
           "user_id", "ts", "event_type", "value", "event_id",
           conversionType = "purchase", touchTypes = Seq("view", "click"),
           lookbackSeconds = 3600)
@@ -582,6 +591,8 @@ class EventStreamsSpec extends AnyFunSuite {
         assert(streamed(cid) === ((f, l)), s"conv $cid")
       }
       assert(batch.exists(_._2.isDefined), "fixture must attribute something")
+      // the same-µs touch with the larger id must be the last touch
+      assert(streamed(9005L) === ((Some(9001L), Some(9009L))))
     } finally q.stop()
   }
 
