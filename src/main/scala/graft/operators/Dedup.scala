@@ -418,12 +418,17 @@ object Dedup {
     * same double as 0.07) — so a bound that tight drops qualifying
     * pairs and silently breaks the zero-false-negative guarantee.
     * Subtracting a slack far larger than any accumulated multiply
-    * error (≤ ~1e-10 for n up to 1e6) yet far smaller than 1 makes
-    * every pruning bound err only on the LOOSE side: at worst one
-    * extra prefix shingle / candidate survives to the exact verify,
-    * which re-filters with the oracle's own ratio compare. */
+    * error yet far smaller than 1 makes every pruning bound err only
+    * on the LOOSE side: at worst one extra prefix shingle / candidate
+    * survives to the exact verify, which re-filters with the oracle's
+    * own ratio compare. The slack is absolute + RELATIVE: a fixed
+    * 1e-9 alone stops covering the half-ulp error once t·n ≥ 2^24
+    * (ulp scales with the value; a 17M-shingle doc would re-open the
+    * false-negative hole), while x·1e-12 dominates x's half-ulp
+    * (x·2⁻⁵³) at every magnitude. */
   private val PruneSlack = 1e-9
-  private def ceilLoose(x: Column): Column = ceil(x - lit(PruneSlack))
+  private def loose(x: Column): Column = x - x * lit(1e-12) - lit(PruneSlack)
+  private def ceilLoose(x: Column): Column = ceil(loose(x))
 
   def exactSimilarityJoin(
       df: DataFrame,
@@ -461,8 +466,7 @@ object Dedup {
     val cand = a.join(b, "shingle")
       .where(col("doc_a") < col("doc_b") &&
         least(col("__na"), col("__nb")) >=
-          lit(threshold) * greatest(col("__na"), col("__nb")) -
-            lit(PruneSlack) &&
+          loose(lit(threshold) * greatest(col("__na"), col("__nb"))) &&
         lit(1) + least(col("__na") - col("__pa"),
           col("__nb") - col("__pb")) >= alpha)
       .select("doc_a", "doc_b")

@@ -142,13 +142,13 @@ object Graph {
         "lo")
       .join(degrees.select(col("node").as("hi"), col("degree").as("__dh")),
         "hi")
+    // lo < hi holds by construction (least/greatest + self-loop
+    // filter), so the (degree, id) orientation reduces to dl <= dh
     val oriented = withDeg.select(
-      when(col("__dl") < col("__dh") ||
-          (col("__dl") === col("__dh") && col("lo") < col("hi")),
-        col("lo")).otherwise(col("hi")).as("u"),
-      when(col("__dl") < col("__dh") ||
-          (col("__dl") === col("__dh") && col("lo") < col("hi")),
-        col("hi")).otherwise(col("lo")).as("v"))
+      when(col("__dl") <= col("__dh"), col("lo"))
+        .otherwise(col("hi")).as("u"),
+      when(col("__dl") <= col("__dh"), col("hi"))
+        .otherwise(col("lo")).as("v"))
     // wedges at the shared low vertex u: a.v < b.v both dedupes the
     // two orderings of each wedge AND canonicalizes (lo, hi) for the
     // closing-edge join — a.v IS the smaller endpoint by the join

@@ -137,6 +137,19 @@ object Layout {
       idCol: String,
       numFiles: Int): Unit = {
     require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    // fail fast on duplicate (group, id) keys: the join back would
+    // fan out, writing DUPLICATED training content with colliding
+    // positions — corrupt shards are strictly worse than one extra
+    // count pass on a write-path operation
+    val dup = df.agg(
+      count(lit(1)).as("__n"),
+      // struct-wrapped so NULL keys still count as distinct values
+      // (bare countDistinct skips any row with a NULL argument)
+      countDistinct(struct(col(groupCol), col(idCol))).as("__d")).head()
+    require(dup.getLong(0) == dup.getLong(1),
+      s"interleavedShardWrite: ($groupCol, $idCol) must uniquely " +
+        s"identify a row — ${dup.getLong(0)} rows, ${dup.getLong(1)} " +
+        "distinct keys")
     val order = Sampling.interleaveOrder(df, groupCol, idCol)
       .select(col(groupCol).as("__og"), col(idCol).as("__oi"),
         col("global_pos"))

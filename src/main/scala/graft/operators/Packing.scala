@@ -44,6 +44,11 @@ object Packing {
    * chunk_first, chunk_last, n_chunks), with documents ordered by
    * `idCol` within each `groupCol` shard and chunks of exactly
    * `budget` tokens cut from each shard's concatenated stream.
+   *
+   * CONTRACT: `idCol` must be unique within each shard. Duplicate
+   * ids are ORDER BY peers of the cumulative-sum's RANGE frame, so
+   * they would share one cumulative total — overlapping spans, with
+   * an equal-sized token range attributed to no document.
    */
   def concatChunks(
       df: DataFrame,

@@ -706,8 +706,8 @@ object TextAnalysis {
    * number every curation run sanity-checks (natural text slopes
    * ≈ −1; machine-generated or template-heavy corpora flatten, and a
    * slope drifting across snapshots flags a composition shift before
-   * any downstream metric moves). Output: one row (corpus, n_tokens
-   * = ranks fitted, slope, intercept).
+   * any downstream metric moves). Output: one row (corpus, n_ranks
+   * = ranks fitted = min(topK, vocabulary), slope, intercept).
    *
    * Cross-engine parity: ln values round to 6dp and cast to
    * DECIMAL(18,6) BEFORE the co-moment sums — the sums are exact and
@@ -750,7 +750,7 @@ object TextAnalysis {
         * col("__sx")) / n)
     agged.select(
       lit("corpus").as("corpus"),
-      n.cast("long").as("n_tokens"),
+      n.cast("long").as("n_ranks"),
       round(slope, 6).as("slope"),
       round(intercept, 6).as("intercept"))
   }

@@ -3576,7 +3576,7 @@ object PipelineQueries {
         |    CAST(SUM(x*y) AS DOUBLE) AS sxy, CAST(SUM(x*x) AS DOUBLE) AS sxx
         |  FROM ranked
         |)
-        |SELECT 'corpus' AS corpus, CAST(n AS BIGINT) AS n_tokens,
+        |SELECT 'corpus' AS corpus, CAST(n AS BIGINT) AS n_ranks,
         |  CASE WHEN n >= 2 AND n*sxx - sx*sx > 0
         |       THEN round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) END AS slope,
         |  CASE WHEN n >= 2 AND n*sxx - sx*sx > 0

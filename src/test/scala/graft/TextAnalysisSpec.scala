@@ -348,7 +348,7 @@ class TextAnalysisSpec extends AnyFunSuite {
     // the 6dp-rounded decimals: slope = -1, intercept = ln(4).
     val docs = Seq((1L, "a a a a b b")).toDF("doc_id", "text")
     val out = TextAnalysis.zipfFit(docs, "doc_id", "text", topK = 2)
-      .select("corpus", "n_tokens", "slope", "intercept")
+      .select("corpus", "n_ranks", "slope", "intercept")
       .as[(String, Long, Double, Double)].collect().head
     assert(out === (("corpus", 2L, -1.0, 1.386294)))
   }
@@ -356,7 +356,7 @@ class TextAnalysisSpec extends AnyFunSuite {
   test("zipfFit: flat counts give slope 0; topK caps the fit") {
     val flat = Seq((1L, "a b c d")).toDF("doc_id", "text")
     val out = TextAnalysis.zipfFit(flat, "doc_id", "text", topK = 3)
-      .select("n_tokens", "slope").as[(Long, Double)].collect().head
+      .select("n_ranks", "slope").as[(Long, Double)].collect().head
     assert(out._1 === 3L) // d drops: topK bound honored
     assert(out._2 === 0.0)
   }
