@@ -494,6 +494,18 @@ object TimeSeries {
       valueCol: String, pattern: Seq[Double], minStd: Double): DataFrame = {
     val m = pattern.size
     require(m >= 2, s"pattern needs >= 2 points, got $m")
+    // fail fast on a degenerate (constant/near-constant) pattern:
+    // its z-norm divides by ~0 and every window distance would be
+    // NaN — silently zero matches here, a NumberFormatException in
+    // the streaming twin. Checked on the COMPUTED variance (the
+    // same arithmetic the z-norm uses), not raw deviations.
+    val pVarScala = {
+      val mn = pattern.reduceLeft(_ + _) / m
+      pattern.map(p => p * p).reduceLeft(_ + _) / m - mn * mn
+    }
+    require(pVarScala > 0 && java.lang.Double.isFinite(math.sqrt(pVarScala)),
+      s"pattern must have positive variance (got $pVarScala): a " +
+        "constant pattern has no z-norm")
     // Constant-folded z-norm of the pattern: SAME formula as the
     // window side, so the oracle can repeat it literally.
     val pMean = pattern.map(lit).reduceLeft(_ + _) / lit(m.toDouble)

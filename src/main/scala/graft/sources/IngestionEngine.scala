@@ -26,9 +26,12 @@ class IngestionEngine(val config: EngineConfig) {
   def ingestFile(spark: SparkSession, path: String): DataFrame =
     coerce(Flatten.flatten(readJson(spark, path)))
 
-  /** Schema-inferred JSON scan (reference: motor_ingesta.py:32-36). */
+  /** Schema-inferred JSON scan (reference: motor_ingesta.py:32-36).
+    * The JSON source ALWAYS infers absent an explicit schema — an
+    * `inferSchema` option would be dead configuration (it belongs to
+    * the CSV source). */
   def readJson(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("inferSchema", "true").json(path)
+    spark.read.json(path)
 
   /** Header + schema-inferred CSV scan (reference: agregaciones.py:23-30). */
   def readCsv(spark: SparkSession, path: String): DataFrame =

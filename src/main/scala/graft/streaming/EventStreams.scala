@@ -15,8 +15,8 @@ case class HHState(counters: Map[String, Long])
 /** One heavy-hitter estimate row emitted after a micro-batch. */
 case class HeavyHitter(shard: Int, token: String, est: Long)
 
-/** Accumulating state for an open session. */
-case class SessionState(startMs: Long, lastMs: Long, n: Int)
+/** Accumulating state for an open session (exact microseconds). */
+case class SessionState(startUs: Long, lastUs: Long, n: Int)
 
 /** Ring buffer of the last `lookback` values for one z-score key. */
 case class ZState(ring: Vector[Double])
@@ -83,7 +83,33 @@ case class Attributed(
  * state size — windows older than the delay are finalized and
  * dropped, sessions time out `gap` after their last event.
  */
-object EventStreams {
+// Serializable because the stateful folds' closures call the shared
+// toUs/toTs/round6 helpers, capturing the module reference.
+object EventStreams extends Serializable {
+
+  /** Exact microsecond view of a Timestamp — the ONE formula every
+    * stateful operator shares (`getTime` truncates to ms and
+    * `getNanos` carries the full sub-second; an ms-truncated key
+    * merges/splits differently from the batch operators'
+    * `unix_micros`, the exact drift bug the debounce family already
+    * documents). floorDiv keeps pre-epoch timestamps consistent. */
+  private[streaming] def toUs(ts: Timestamp): Long =
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000
+
+  /** Inverse of [[toUs]], exact to the microsecond. */
+  private[streaming] def toTs(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000)
+    t.setNanos(Math.floorMod(us, 1000000L).toInt * 1000)
+    t
+  }
+
+  /** Spark `round(x, 6)` semantics (HALF_UP) — shared so every
+    * streaming score rounds exactly like its batch twin BEFORE any
+    * threshold compare (comparing raw doubles flags boundary rows
+    * differently from the batch operator). */
+  private[streaming] def round6(x: Double): Double =
+    BigDecimal.valueOf(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
 
   /**
    * Watermarked sliding-window counts per key: the canonical
@@ -166,6 +192,11 @@ object EventStreams {
     val spark = tokens.sparkSession
     import spark.implicits._
     tokens
+      // a NULL token would reach the fold (xxhash64(NULL) is the
+      // non-null seed), become an unencodable null map key in HHState
+      // and kill the query — NULLs carry no frequency signal, drop
+      // them at the scan
+      .where(col(tokenCol).isNotNull)
       .select(
         pmod(xxhash64(col(tokenCol)), lit(numShards)).cast("int").as("shard"),
         col(tokenCol).cast("string").as("token"))
@@ -187,9 +218,20 @@ object EventStreams {
                 }
             }
           }
+          // retract tokens the decrement step evicted THIS batch:
+          // readers keep the latest row per (shard, token), so a
+          // token that silently vanishes from the emissions would
+          // keep its stale pre-eviction estimate forever — an est=0
+          // row tells them to drop it. (In the exact regime —
+          // capacity >= vocabulary, the q166 oracle's pin — nothing
+          // ever evicts and no zero rows appear.)
+          val before = state.getOption.map(_.counters.keySet)
+            .getOrElse(Set.empty)
+          val evicted = before -- counters.keySet
           state.update(HHState(counters.toMap))
-          counters.iterator
-            .map { case (tok, c) => HeavyHitter(shard, tok, c) }
+          (counters.iterator
+            .map { case (tok, c) => HeavyHitter(shard, tok, c) } ++
+            evicted.iterator.map(tok => HeavyHitter(shard, tok, 0L)))
             .toSeq.sortBy(h => (-h.est, h.token)).iterator
       }
   }
@@ -282,7 +324,7 @@ object EventStreams {
               // ts.getTime alone is millisecond-resolution and could
               // invert sub-ms orderings vs the batch operator's
               // timestamp ORDER BY, breaking row-identical parity.
-              (ts.getTime * 1000 + ts.getNanos / 1000 % 1000, tie)
+              (toUs(ts), tie)
             }
             .map { case (_, ts, _, x) =>
               val scored =
@@ -292,7 +334,11 @@ object EventStreams {
                   val s = ring.sum
                   val s2 = ring.map(d => d * d).sum
                   val std = math.sqrt(math.max((s2 - s * s / n) / n, 0.0))
-                  val z = if (std > 0) Some((x - s / n) / std) else None
+                  // round-then-compare, matching the batch operator's
+                  // round((x-m)/std, 6) BEFORE the threshold test —
+                  // a raw-double compare flags boundary rows
+                  // differently from the batch twin
+                  val z = if (std > 0) Some(round6((x - s / n) / std)) else None
                   ZScored(key, ts, x, n, z,
                     z.exists(v => math.abs(v) >= threshold))
                 }
@@ -344,7 +390,7 @@ object EventStreams {
           var s = state.getOption.getOrElse(CusumState(0.0, 0.0))
           val out = rows.toSeq
             .sortBy { case (_, t, tie, _) =>
-              (t.getTime * 1000 + t.getNanos / 1000 % 1000, tie)
+              (toUs(t), tie)
             }
             .map { case (_, t, tie, x) =>
               val sp = math.max(0.0, s.sPos + (x - target - slack))
@@ -392,7 +438,7 @@ object EventStreams {
           var prev = state.getOption.flatMap(_.level)
           val out = rows.toSeq
             .sortBy { case (_, t, tie, _) =>
-              (t.getTime * 1000 + t.getNanos / 1000 % 1000, tie)
+              (toUs(t), tie)
             }
             .map { case (_, t, tie, x) =>
               val e = prev match {
@@ -440,13 +486,6 @@ object EventStreams {
     import spark.implicits._
     val windowUs = windowSeconds * 1000000L
 
-    def toUs(ts: Timestamp): Long =
-      ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
-    def toTs(us: Long): Timestamp = {
-      val t = new Timestamp(us / 1000000 * 1000)
-      t.setNanos((us % 1000000).toInt * 1000)
-      t
-    }
     def close(key: String, s: DebounceState): Burst =
       Burst(key, s.seq, s.keptTie, toTs(s.firstUs), toTs(s.lastUs), s.n)
 
@@ -509,7 +548,11 @@ object EventStreams {
     graft.operators.TimeSeries.requireIntegralKey(events, keyCol)
     val spark = events.sparkSession
     import spark.implicits._
-    val gapMs = gapSeconds * 1000L
+    // EXACT microseconds, matching the batch operator's unix_micros
+    // gap arithmetic: an ms-truncated gap would merge sessions the
+    // batch operator splits (gap 10_000_500 µs vs a 10 s threshold)
+    // and truncate session bounds on sub-ms data.
+    val gapUs = gapSeconds * 1000000L
 
     // Project/cast BEFORE the watermark: a projection on top of
     // withWatermark produces fresh attributes without the watermark
@@ -530,19 +573,17 @@ object EventStreams {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator(Session(
-              key, new Timestamp(s.startMs), new Timestamp(s.lastMs), s.n))
+            Iterator(Session(key, toTs(s.startUs), toTs(s.lastUs), s.n))
           } else {
-            val times = rows.map(_._2.getTime).toArray.sorted
+            val times = rows.map(r => toUs(r._2)).toArray.sorted
             var open = state.getOption
             val closed = Seq.newBuilder[Session]
             times.foreach { t =>
               open match {
-                case Some(s) if t - s.lastMs <= gapMs =>
-                  open = Some(s.copy(lastMs = math.max(s.lastMs, t), n = s.n + 1))
+                case Some(s) if t - s.lastUs <= gapUs =>
+                  open = Some(s.copy(lastUs = math.max(s.lastUs, t), n = s.n + 1))
                 case Some(s) =>
-                  closed += Session(
-                    key, new Timestamp(s.startMs), new Timestamp(s.lastMs), s.n)
+                  closed += Session(key, toTs(s.startUs), toTs(s.lastUs), s.n)
                   open = Some(SessionState(t, t, 1))
                 case None =>
                   open = Some(SessionState(t, t, 1))
@@ -550,7 +591,10 @@ object EventStreams {
             }
             open.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.lastMs + gapMs)
+              // timeout is an ms API: round UP so it never fires a
+              // sub-ms early
+              state.setTimeoutTimestamp(
+                Math.floorDiv(s.lastUs + gapUs, 1000L) + 1L)
             }
             closed.result().iterator
           }
@@ -590,12 +634,15 @@ object EventStreams {
     // Constant z-norm of the pattern, same fold order as the batch
     // expression chain (Catalyst constant-folds the identical ops).
     val pMean = pattern.reduceLeft(_ + _) / m
-    val pStd = math.sqrt(
-      pattern.map(p => p * p).reduceLeft(_ + _) / m - pMean * pMean)
+    val pVar = pattern.map(p => p * p).reduceLeft(_ + _) / m - pMean * pMean
+    // fail fast on a degenerate pattern (same computed-variance check
+    // as the batch twin): zp would be NaN/Inf and round6(NaN) throws
+    // INSIDE flatMapGroupsWithState, killing the whole query
+    require(pVar > 0 && java.lang.Double.isFinite(math.sqrt(pVar)),
+      s"pattern must have positive variance (got $pVar): a constant " +
+        "pattern has no z-norm")
+    val pStd = math.sqrt(pVar)
     val zp = pattern.map(p => (p - pMean) / pStd)
-    def round6(x: Double): Double =
-      BigDecimal.valueOf(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-        .toDouble
     val spark = events.sparkSession
     import spark.implicits._
     events
@@ -611,8 +658,6 @@ object EventStreams {
         (key: Long, rows: Iterator[(Long, Timestamp, Long, Double)],
             state: GroupState[PatternState]) =>
           var ring = state.getOption.map(_.ring).getOrElse(Vector.empty)
-          def toUs(t: Timestamp): Long =
-            t.getTime / 1000 * 1000000L + t.getNanos / 1000
           val out = rows.toSeq
             .sortBy { case (_, t, tie, _) => (toUs(t), tie) }
             .flatMap { case (_, t, tie, x) =>
@@ -697,8 +742,6 @@ object EventStreams {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: Long, rows: Iterator[(Long, Timestamp, Long, String, Double)],
             state: GroupState[AttState]) =>
-          def toUs(t: Timestamp): Long =
-            t.getTime * 1000 + t.getNanos / 1000 % 1000
           var buf = state.getOption.map(_.touches).getOrElse(Vector.empty)
           // Process per MICROSECOND group, touches before conversions:
           // the batch twin's RANGE frame is value-based, so a touch
@@ -720,8 +763,13 @@ object EventStreams {
             sorted.slice(i, j).foreach { case (_, _, id, typ, _) =>
               if (touchSet(typ)) buf = buf :+ ((us, id))
             }
+            // emit on the CONVERSION TYPE, not "not a touch": when
+            // conversionType is also listed in touchTypes the batch
+            // twin both buffers the event AND emits it (its own
+            // touch entry is in the RANGE frame) — an if/else here
+            // would silently emit nothing
             sorted.slice(i, j).foreach { case (_, t, id, typ, v) =>
-              if (!touchSet(typ)) out += Attributed(
+              if (typ == conversionType) out += Attributed(
                 key, t, id, v, buf.minOption.map(_._2),
                 buf.maxOption.map(_._2))
             }

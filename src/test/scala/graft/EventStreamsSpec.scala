@@ -596,6 +596,71 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionize splits on sub-millisecond gap overruns (µs arithmetic)") {
+    // gap 10s, events 10.000500s apart: ms-truncated arithmetic
+    // (10000 <= 10000) would merge; exact µs (10_000_500 > 10_000_000)
+    // must split — the batch operator's unix_micros semantics.
+    implicit val sqlCtx = spark.sqlContext
+    def tsUs(us: Long): Timestamp = {
+      val t = new Timestamp(us / 1000000 * 1000)
+      t.setNanos((us % 1000000).toInt * 1000)
+      t
+    }
+    val input = MemoryStream[(Long, Timestamp)]
+    val sessions = EventStreams.sessionize(
+      input.toDF.toDF("user_id", "ts"),
+      "user_id", "ts", gapSeconds = 10, watermarkDelay = "0 seconds")
+    val q = sessions.writeStream
+      .format("memory").queryName("subms_sessions").outputMode("append").start()
+    try {
+      input.addData((1L, tsUs(1000000L)), (1L, tsUs(11000500L)))
+      q.processAllAvailable()
+      input.addData((2L, tsUs(900000000L))); q.processAllAvailable()
+      input.addData((2L, tsUs(999000000L))); q.processAllAvailable()
+      val u1 = spark.table("subms_sessions")
+        .as[graft.streaming.Session].collect().filter(_.key == 1L)
+      assert(u1.length === 2, s"sub-ms overrun must split: ${u1.toSeq}")
+      // exact-µs bounds survive the round trip
+      assert(u1.map(_.start).toSet === Set(tsUs(1000000L), tsUs(11000500L)))
+    } finally q.stop()
+  }
+
+  test("streamingHeavyHitters: nulls dropped; evicted tokens retract with est=0") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    // capacity 2, one shard: the third distinct token triggers the
+    // decrement step and can evict a counter.
+    val hh = EventStreams.streamingHeavyHitters(
+      input.toDF.toDF("token"), "token", capacity = 2, numShards = 1)
+    val q = hh.writeStream
+      .format("memory").queryName("hh_retract").outputMode("update").start()
+    try {
+      input.addData("a", "b"); q.processAllAvailable()
+      // c decrements both a and b to 0 -> both evict; c never lands
+      input.addData("c"); q.processAllAvailable()
+      val rows = spark.table("hh_retract")
+        .as[(Int, String, Long)].collect().toSeq
+      assert(rows.filter(_._3 > 0).map(_._2).toSet === Set("a", "b"))
+      assert(rows.filter(_._3 == 0).map(_._2).toSet === Set("a", "b"),
+        s"evictions must emit est=0 retractions: $rows")
+    } finally q.stop()
+  }
+
+  test("pattern operators refuse a constant pattern instead of NaN-crashing") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, Double)]
+    intercept[IllegalArgumentException] {
+      EventStreams.streamingPatternMatch(
+        input.toDF.toDF("key", "ts", "tie", "x"),
+        "key", "ts", "tie", "x", pattern = Seq(1.0, 1.0, 1.0), maxDist = 1.0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.TimeSeries.patternMatches(
+        Seq((1L, ts(1), 1L, 2.0)).toDF("key", "ts", "tie", "x"),
+        "key", "ts", "tie", "x", pattern = Seq(5.0, 5.0), maxDist = 1.0)
+    }
+  }
+
   test("parity: streamingFingerprint digest equals the batch twin (q189 surface)") {
     // Three micro-batches; the complete-mode digest after the last
     // batch must equal the batch-mode fingerprint of the whole
