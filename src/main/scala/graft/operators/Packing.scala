@@ -45,10 +45,14 @@ object Packing {
    * `idCol` within each `groupCol` shard and chunks of exactly
    * `budget` tokens cut from each shard's concatenated stream.
    *
-   * CONTRACT: `idCol` must be unique within each shard. Duplicate
-   * ids are ORDER BY peers of the cumulative-sum's RANGE frame, so
-   * they would share one cumulative total — overlapping spans, with
-   * an equal-sized token range attributed to no document.
+   * CONTRACT (enforced): `idCol` must be unique within each shard.
+   * Duplicate ids are ORDER BY peers of the cumulative-sum's RANGE
+   * frame, so they would share one cumulative total — overlapping
+   * spans, with an equal-sized token range attributed to no document.
+   * Rather than corrupt silently, a peer-count guard (RANGE CURRENT
+   * ROW frame over the SAME window spec — no extra exchange) throws
+   * on the first duplicate, mirroring the fail-fast uniqueness
+   * require in [[Layout.interleavedShardWrite]].
    */
   def concatChunks(
       df: DataFrame,
@@ -58,6 +62,16 @@ object Packing {
       budget: Int): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
     val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+    // Peers of the RANGE CURRENT ROW frame = rows sharing this row's
+    // idCol — exactly the duplicates the contract forbids. Evaluated
+    // in the same WindowExec as the cumulative sum.
+    val wPeer = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+      .rangeBetween(Window.currentRow, Window.currentRow)
+    val dupGuard = assert_true(
+      count(lit(1)).over(wPeer) === 1,
+      concat(lit(s"Packing.concatChunks: duplicate $idCol '"),
+        col(idCol).cast("string"),
+        lit(s"' within a $groupCol shard — token spans would overlap")))
     // NULL text contributes 0 tokens (a bare size(split(NULL)) would
     // return -1 and silently corrupt every downstream span)
     val nTokens = when(col(textCol).isNotNull,
@@ -69,7 +83,11 @@ object Packing {
       .withColumn("__cum", sum(col("n_tokens")).over(w))
       .select(
         col(groupCol), col(idCol), col("n_tokens"),
-        (col("__cum") - col("n_tokens")).as("tok_start"),
+        // assert_true yields NULL when the guard holds, so the `when`
+        // passes tok_start through untouched — but keeps the guard
+        // load-bearing (an unused projection would be pruned away).
+        when(dupGuard.isNull, col("__cum") - col("n_tokens"))
+          .as("tok_start"),
         chunkOf(col("__cum") - col("n_tokens")).as("chunk_first"),
         // zero-token docs span NO chunks: pin chunk_last to the
         // cursor's chunk uniformly (the raw (cum-1)/budget would go
@@ -107,10 +125,14 @@ object Packing {
           .as("split_docs"))
       .select(
         col(groupCol), col("n_docs"), col("total_tokens"),
-        ceil(col("total_tokens").cast("double") / budget)
-          .cast("long").as("n_chunks"),
-        (ceil(col("total_tokens").cast("double") / budget)
-          .cast("long") * budget - col("total_tokens")).as("pad_tokens"),
+        // exact integer ceil-division — the double ceil(total/budget)
+        // under-counts by one chunk once total ≳ 2⁵³/budget·budget
+        // (1/budget < ulp of the quotient); `div` is long floor
+        // division, exact at any total
+        expr(s"(total_tokens + ${budget - 1}) div $budget")
+          .as("n_chunks"),
+        (expr(s"(total_tokens + ${budget - 1}) div $budget")
+          * budget - col("total_tokens")).as("pad_tokens"),
         col("split_docs"))
   }
 }

@@ -233,13 +233,19 @@ object Quality {
    * percentile ("the price below which half the QUANTITY trades",
    * token-weighted length percentiles, byte-weighted latencies).
    *
-   * Determinism contract: weights quantize to DECIMAL(28,6) and each
-   * q becomes an exact rational num/10^s, so the threshold test runs
-   * in MULTIPLIED integer-decimal form (cumw·den ≥ total·num) — no
+   * Determinism contract: weights quantize to DECIMAL(28,6) then to
+   * integral MICRO-UNITS (×10⁶, exact by construction), and each q
+   * becomes an exact rational num/10^s, so the threshold test runs in
+   * multiplied integer form over longs (cumw·den ≥ total·num) — no
    * float cumulative sums, no division, no interpolated edges; the
    * picked value is always an actual data value and ties in the value
    * order cannot change it (equal values cross the threshold at the
-   * same value regardless of their internal order).
+   * same value regardless of their internal order). Long arithmetic
+   * is the hot-path point: the compare is two 64-bit multiplies per
+   * row, not DECIMAL(38) ones (~order-of-magnitude per-row cost).
+   * Bound (ANSI throws, never corrupts): per-key weight mass must
+   * stay below 2⁶³ / 10^(6+s) ≈ 9.2·10^(12−s) units, s = the widest
+   * quantile's decimal scale — pre-normalize heavier masses.
    *
    * Scale: the cumulative window, the per-key total, and the final
    * aggregate all share ONE key exchange; per-key state is that key's
@@ -256,29 +262,35 @@ object Quality {
     require(quantiles.nonEmpty, "need at least one quantile")
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
-    val rationals = quantiles.map { q =>
+    // One COMMON denominator 10^s (s = widest quantile scale) so the
+    // row-side product cum·den is shared across quantiles.
+    val denScale = quantiles.map { q =>
       require(q > 0.0 && q <= 1.0, s"quantiles must be in (0, 1], got $q")
-      val bd = BigDecimal(q)
-      val den = BigDecimal(10).pow(bd.scale).toLongExact
-      val num = (bd * den).toLongExact
-      (q, num, den)
-    }
+      BigDecimal(q).scale
+    }.max
+    val den = BigDecimal(10).pow(denScale).toLongExact
+    val rationals = quantiles.map(q => (q, (BigDecimal(q) * den).toLongExact))
     val w = Window.partitionBy(col(keyCol)).orderBy(col(valCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wk = Window.partitionBy(col(keyCol))
     val prepared = df
       .where(col(valCol).isNotNull && col(weightCol).isNotNull &&
         col(weightCol) > 0)
-      .withColumn("__w", col(weightCol).cast(DecimalType(28, 6)))
-      .withColumn("__cw", sum(col("__w")).over(w))
-      .withColumn("__tw", sum(col("__w")).over(wk))
-    val aggs = rationals.zipWithIndex.map { case ((_, num, den), i) =>
-      min(when(col("__cw") * lit(den) >= col("__tw") * lit(num),
+      // DECIMAL cast fixes the 6dp quantization (HALF_UP), then the
+      // ×10⁶ shift is exact and lands on integral micro-units.
+      .withColumn("__wl",
+        (col(weightCol).cast(DecimalType(28, 6)) * lit(1000000L))
+          .cast("long"))
+      .withColumn("__cwl", sum(col("__wl")).over(w))
+      .withColumn("__twl", sum(col("__wl")).over(wk))
+    val aggs = rationals.zipWithIndex.map { case ((_, num), i) =>
+      min(when(col("__cwl") * lit(den) >= col("__twl") * lit(num),
         col(valCol))).as(s"__q$i")
-    } :+ max(col("__tw")).cast("double").as("__total")
+    } :+ (max(col("__twl")).cast(DecimalType(38, 6)) / lit(1000000L))
+      .cast("double").as("__total")
     val agged = prepared.groupBy(col(keyCol))
       .agg(aggs.head, aggs.tail: _*)
-    val rows = rationals.zipWithIndex.map { case ((q, _, _), i) =>
+    val rows = rationals.zipWithIndex.map { case ((q, _), i) =>
       struct(lit(q).as("quantile"), col(s"__q$i").as("value"),
         col("__total").as("total_weight"))
     }

@@ -1012,13 +1012,18 @@ object Similarity {
     val sxy = col("s").cast("double")
     val vx = n * col("sxx") - col("sx") * col("sx")
     val vy = n * col("syy") - col("sy") * col("sy")
+    // `+ 0.0` after round(): IEEE addition maps -0.0 to +0.0, so a
+    // co-moment that rounds to zero from below hashes identically to
+    // the oracle's (which applies the same normalization) — without
+    // it one signed-zero cell flips the whole-result digest.
     enriched.select(
       col("i").as("dim_i"), col("j").as("dim_j"), col("n"),
       when(col("n") >= 2,
         round((n * sxy - col("sx") * col("sy"))
-          / (n * (n - lit(1.0))) / lit(unscale), 6)).as("cov"),
+          / (n * (n - lit(1.0))) / lit(unscale), 6) + lit(0.0)).as("cov"),
       when(col("n") >= 2 && vx > 0.0 && vy > 0.0,
-        round((n * sxy - col("sx") * col("sy")) / sqrt(vx * vy), 6))
+        round((n * sxy - col("sx") * col("sy")) / sqrt(vx * vy), 6)
+          + lit(0.0))
         .as("corr"))
   }
 

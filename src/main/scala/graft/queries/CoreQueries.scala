@@ -311,9 +311,16 @@ object CoreQueries {
     // the hypothetical join itself never runs.
     "q193_join_size_profile" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
+      // `pairs` is the STRING rendering of the DECIMAL pair count
+      // (q189 >64-bit digit rule) — sort on the numeric value, not
+      // the string: lexicographic desc diverges from numeric desc the
+      // moment the top-20 counts span digit lengths ('9' > '16').
       graft.operators.Skew.joinSizeProfile(
           li, "l_partkey", li, "l_partkey", topK = 20)
-        .orderBy(col("pairs").desc, col("key"))
+        .orderBy(
+          col("pairs").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+            .desc,
+          col("key"))
     })
   )
 

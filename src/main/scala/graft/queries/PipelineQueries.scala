@@ -262,13 +262,19 @@ object PipelineQueries {
     // 2-row bands is ENOUGH before trusting LSH on the full corpus.
     "q127_lsh_recall_audit" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // Both pair-sets feed TWO consumers each (their own count and
+      // the intersect) — localCheckpoint the tiny results (tens of
+      // rows) so the prefix-filter join and the band self-join each
+      // run exactly once instead of per-consumer.
       val exact = Dedup.exactSimilarityJoin(
           docs, "doc_id", "text", threshold = 0.6, shingleSize = 3)
         .select("doc_a", "doc_b")
+        .localCheckpoint()
       val cand = Dedup.minhashCandidates(
           docs, "doc_id", "text",
           numHashes = 8, rowsPerBand = 2, shingleSize = 3)
         .select("doc_a", "doc_b")
+        .localCheckpoint()
       val found = exact.intersect(cand)
       exact.agg(count(lit(1)).as("n_true")).crossJoin(
           cand.agg(count(lit(1)).as("n_candidates"))).crossJoin(
@@ -1622,7 +1628,7 @@ object PipelineQueries {
         |  JOIN nrm nv ON nv.vec_id = d.vec_id
         |)
         |SELECT probe_id, vec_id, CAST(rank AS INT) AS rank,
-        |  round(cosine, 6) AS cosine
+        |  round(cosine, 6) + 0.0 AS cosine
         |FROM (
         |  SELECT probe_id, vec_id, cosine,
         |    row_number() OVER (PARTITION BY probe_id
@@ -1683,7 +1689,7 @@ object PipelineQueries {
         |  JOIN el eb ON eb.vec_id = p.vec_b AND eb.d = ea.d
         |  GROUP BY 1, 2
         |)
-        |SELECT d.vec_a, d.vec_b, round(d.dp/(na.n*nb.n), 6) AS cosine
+        |SELECT d.vec_a, d.vec_b, round(d.dp/(na.n*nb.n), 6) + 0.0 AS cosine
         |FROM dots d
         |JOIN nrm na ON na.vec_id = d.vec_a
         |JOIN nrm nb ON nb.vec_id = d.vec_b
@@ -1723,7 +1729,7 @@ object PipelineQueries {
         |  JOIN el eb ON eb.vec_id = p.vec_b AND eb.d = ea.d
         |  GROUP BY 1, 2
         |)
-        |SELECT d.vec_a, d.vec_b, round(d.dp/(na.n*nb.n), 6) AS cosine
+        |SELECT d.vec_a, d.vec_b, round(d.dp/(na.n*nb.n), 6) + 0.0 AS cosine
         |FROM dots d
         |JOIN nrm na ON na.vec_id = d.vec_a
         |JOIN nrm nb ON nb.vec_id = d.vec_b
@@ -1772,7 +1778,7 @@ object PipelineQueries {
         |  GROUP BY c.probe_id, c.vec_id
         |)
         |SELECT probe_id, vec_id, CAST(rank AS INT) AS rank,
-        |  round(cosine, 6) AS cosine
+        |  round(cosine, 6) + 0.0 AS cosine
         |FROM (
         |  SELECT d.probe_id, d.vec_id, d.dp / (np.n * nv.n) AS cosine,
         |    row_number() OVER (PARTITION BY d.probe_id
@@ -2043,7 +2049,7 @@ object PipelineQueries {
         |SELECT bg.a, bg.b, bg.cab,
         |  round(ln((CAST(bg.cab AS DOUBLE) / n2.n2) /
         |    ((CAST(ua.c AS DOUBLE) / n.n) * (CAST(ub.c AS DOUBLE) / n.n))),
-        |    6) AS pmi
+        |    6) + 0.0 AS pmi
         |FROM bg
         |CROSS JOIN n CROSS JOIN n2
         |JOIN ucnt ua ON ua.tok = bg.a
@@ -2155,7 +2161,7 @@ object PipelineQueries {
         |), scored AS (
         |  SELECT d.event_id, d.event_type,
         |    CASE WHEN t.mad > 0
-        |         THEN round(0.6745 * (d.value - d.med) / t.mad, 6) END
+        |         THEN round(0.6745 * (d.value - d.med) / t.mad, 6) + 0.0 END
         |      AS robust_z
         |  FROM dev d JOIN madt t USING (event_type)
         |)
@@ -2208,7 +2214,7 @@ object PipelineQueries {
         |  GROUP BY 1, 2
         |)
         |SELECT d.label_a, d.label_b,
-        |  round(d.dp / (na.n * nb.n), 6) AS cosine
+        |  round(d.dp / (na.n * nb.n), 6) + 0.0 AS cosine
         |FROM dots d
         |JOIN nrm na ON na.label = d.label_a
         |JOIN nrm nb ON nb.label = d.label_b
@@ -2360,6 +2366,7 @@ object PipelineQueries {
         |          AND sqrt(greatest((s2 - s * s / n_prev) / n_prev, 0)) > 0
         |         THEN round((value - s / n_prev)
         |              / sqrt(greatest((s2 - s * s / n_prev) / n_prev, 0)), 6)
+        |              + 0.0
         |    END AS z
         |  FROM w
         |)
@@ -2394,7 +2401,7 @@ object PipelineQueries {
         |  JOIN nrm nv ON nv.vec_id = d.vec_id
         |)
         |SELECT probe_id, vec_id, label, CAST(rank AS INT) AS rank,
-        |  round(cosine, 6) AS cosine
+        |  round(cosine, 6) + 0.0 AS cosine
         |FROM (
         |  SELECT probe_id, vec_id, label, cosine,
         |    row_number() OVER (PARTITION BY probe_id
@@ -2530,7 +2537,7 @@ object PipelineQueries {
         |  FROM el e JOIN stats s ON s.vec_id = e.vec_id
         |)
         |SELECT vec_id,
-        |  round(any_value(minv), 6) AS minv,
+        |  round(any_value(minv), 6) + 0.0 AS minv,
         |  round(any_value(scale), 6) AS scale,
         |  min(q) AS q_min, max(q) AS q_max,
         |  round(max(abs(x - (minv + q * scale))), 6) AS max_err,
@@ -2648,7 +2655,7 @@ object PipelineQueries {
         |SELECT label,
         |  CAST(count(*) AS INT) AS dims,
         |  round(sqrt(SUM(c*c)), 6) AS centroid_norm,
-        |  round(first(c ORDER BY d), 6) AS dim0
+        |  round(first(c ORDER BY d), 6) + 0.0 AS dim0
         |FROM cen GROUP BY label ORDER BY label""".stripMargin,
 
     "q41_stratified_split" ->
@@ -2904,7 +2911,7 @@ object PipelineQueries {
         |  JOIN el_old eb ON eb.vec_id = p.old_id AND eb.d = ea.d
         |  GROUP BY 1, 2
         |)
-        |SELECT d.new_id, d.old_id, round(d.dp/(nn.n*no.n), 6) AS cosine
+        |SELECT d.new_id, d.old_id, round(d.dp/(nn.n*no.n), 6) + 0.0 AS cosine
         |FROM dots d
         |JOIN nrm_new nn ON nn.vec_id = d.new_id
         |JOIN nrm_old no ON no.vec_id = d.old_id
@@ -3144,13 +3151,14 @@ object PipelineQueries {
         |  CASE WHEN n >= 2 THEN
         |    round((CAST(n AS DOUBLE) * sxy - sx * sy)
         |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
-        |      / 1000000000000.0, 6) END AS cov,
+        |      / 1000000000000.0, 6) + 0.0 END AS cov,
         |  CASE WHEN n >= 2
         |        AND CAST(n AS DOUBLE) * sxx - sx * sx > 0.0
         |        AND CAST(n AS DOUBLE) * syy - sy * sy > 0.0 THEN
         |    round((CAST(n AS DOUBLE) * sxy - sx * sy)
         |      / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
-        |           * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) END AS corr
+        |           * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) + 0.0
+        |    END AS corr
         |FROM sums ORDER BY dim_i, dim_j""".stripMargin,
 
     "q169_hybrid_rrf" ->
@@ -3364,7 +3372,7 @@ object PipelineQueries {
         |  JOIN nrm nv ON nv.vec_id = d.vec_id
         |)
         |SELECT probe_id, vec_id, CAST(rank AS INT) AS rank,
-        |  round(cosine, 6) AS cosine
+        |  round(cosine, 6) + 0.0 AS cosine
         |FROM (
         |  SELECT probe_id, vec_id, cosine,
         |    row_number() OVER (PARTITION BY probe_id
@@ -3520,8 +3528,8 @@ object PipelineQueries {
         |SELECT source,
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-        |  CAST(ceil(CAST(SUM(n_tokens) AS DOUBLE) / 512) AS BIGINT) AS n_chunks,
-        |  CAST(CAST(ceil(CAST(SUM(n_tokens) AS DOUBLE) / 512) AS BIGINT) * 512
+        |  CAST((SUM(n_tokens) + 511) // 512 AS BIGINT) AS n_chunks,
+        |  CAST(CAST((SUM(n_tokens) + 511) // 512 AS BIGINT) * 512
         |    - SUM(n_tokens) AS BIGINT) AS pad_tokens,
         |  CAST(SUM(CASE WHEN doc_chunks > 1 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS split_docs
@@ -3578,10 +3586,11 @@ object PipelineQueries {
         |)
         |SELECT 'corpus' AS corpus, CAST(n AS BIGINT) AS n_ranks,
         |  CASE WHEN n >= 2 AND n*sxx - sx*sx > 0
-        |       THEN round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) END AS slope,
+        |       THEN round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) + 0.0
+        |       END AS slope,
         |  CASE WHEN n >= 2 AND n*sxx - sx*sx > 0
         |       THEN round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx)
-        |                  / n, 6) END AS intercept
+        |                  / n, 6) + 0.0 END AS intercept
         |FROM c ORDER BY corpus""".stripMargin,
 
     "q191_vocab_richness" ->

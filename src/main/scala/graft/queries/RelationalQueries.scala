@@ -1951,7 +1951,7 @@ object RelationalQueries {
         |  CAST(COUNT(*) OVER (PARTITION BY conv_id) AS BIGINT)
         |    AS n_touches,
         |  round(value / CAST(COUNT(*) OVER (PARTITION BY conv_id)
-        |    AS DOUBLE), 6) AS credit
+        |    AS DOUBLE), 6) + 0.0 AS credit
         |FROM pairs ORDER BY conv_id, touch_id""".stripMargin,
 
     "q77_retention" ->
@@ -2403,10 +2403,11 @@ object RelationalQueries {
         |)
         |SELECT event_type, CAST(n AS BIGINT) AS n,
         |  CASE WHEN n >= 2 AND n*sxx - sx*sx > 0
-        |       THEN round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) END AS slope,
+        |       THEN round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) + 0.0
+        |       END AS slope,
         |  CASE WHEN n >= 2 AND n*sxx - sx*sx > 0
         |       THEN round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx)
-        |                  / n, 6) END AS intercept
+        |                  / n, 6) + 0.0 END AS intercept
         |FROM c ORDER BY event_type""".stripMargin,
 
     // Mirrors Profile.correlations exactly: decimal(18,2) co-moments,
@@ -2455,6 +2456,7 @@ object RelationalQueries {
         |  CASE WHEN n >= 2 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
         |       THEN round((n*sxy - sx*sy)
         |                  / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 6)
+        |            + 0.0
         |       END AS corr
         |FROM c ORDER BY col_a, col_b""".stripMargin,
 
@@ -2574,7 +2576,7 @@ object RelationalQueries {
         |)
         |SELECT n, r, c,
         |  CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
-        |  round(CAST(smi AS DOUBLE), 6) AS mi,
+        |  round(CAST(smi AS DOUBLE), 6) + 0.0 AS mi,
         |  round(CAST(schi AS DOUBLE) + CAST(n AS DOUBLE), 6) AS chi2,
         |  CASE WHEN least(r, c) > 1 THEN
         |    round(sqrt(greatest(
