@@ -12,17 +12,22 @@ import org.apache.spark.sql.functions._
  * query keeps the canonical SHAPE — the join graph, aggregation
  * pattern, and predicate structure that make it a benchmark staple —
  * and substitutes surviving columns where the original filter/output
- * column is absent. Round 8 completed the suite: the eight queries
- * that need the missing tables/columns (Q2/Q4/Q9/Q11/Q12/Q16/Q20/
- * Q21, q173–q180) run as documented SHAPE adaptations — partsupp →
- * observed lineitem offers, the late-delivery predicates →
- * returnflag 'R', supplier complaints → negative s_acctbal, supply
- * cost → a constant rate of p_retailprice — preserving exactly the
- * structures that make them benchmark staples: correlated MIN (Q2),
+ * column is absent. Round 8 completed the suite (q173–q180 as shape
+ * adaptations); round 9 promoted the five partsupp queries —
+ * Q2/Q9/Q11/Q16/Q20 (q173/175/176/178/179) — to CANONICAL form over
+ * [[partsuppSynth]], a deterministic partsupp regenerated identically
+ * by both engines, so partsupp-derived semantics (min-cost supplier,
+ * supplycost·quantity profit, supplycost·availqty stock value,
+ * per-pair supplier counts, availqty-vs-half-shipped excess) now run
+ * as written. The remaining adaptations are column-level only: the
+ * late-delivery predicates → returnflag 'R' (Q4/Q21, no
+ * commit/receipt dates), supplier complaints → negative s_acctbal
+ * (Q16/Q21, no s_comment), shipmode split → returnflag classes
+ * (Q12). The canonical structures all run: correlated MIN (Q2),
  * EXISTS/NOT-EXISTS semi/anti self-joins (Q4/Q21), the
  * HAVING-vs-global-scalar compare (Q11), NOT IN (Q16), and nested
  * semi-joins (Q20). With Q1's pricing summary long covered by the
- * core q12 aggregate, all 22 TPC-H query shapes now run.
+ * core q12 aggregate, all 22 TPC-H query shapes run.
  *
  * Every query pairs with a DuckDB oracle (parity rules per
  * `.claude/skills/verify`: decimal-accumulated revenue cast to
@@ -44,6 +49,67 @@ object TpchQueries {
     graft.sources.Tables.load(s, dir, name)
 
   private def ts(d: String): Column = lit(d).cast("timestamp")
+
+  /**
+   * Synthetic `partsupp`, derived DETERMINISTICALLY from part ×
+   * supplier-count so the five partsupp TPC-H queries (Q2/Q9/Q11/
+   * Q16/Q20) run in canonical form even though the driver testdata
+   * ships no partsupp table. Both engines regenerate the identical
+   * rows from the same integer arithmetic — the Spark derivation here
+   * and the [[psCte]] DuckDB CTE are the same formulas symbol for
+   * symbol, so the oracle gate covers the generated table too.
+   *
+   * Per part, 4 supplier rows (dbgen's fan-out; keys are 0-based in
+   * this testdata):
+   *   ps_suppkey    = (p + p div S + i·(S div 4)) mod S, i ∈ 0..3
+   *     — dbgen's rotation, restructured so the i-step is the
+   *       CONSTANT S div 4: d·(S div 4) < S for d ∈ 1..3 (S ≥ 4), so
+   *       the four suppliers of a part are provably distinct — the
+   *       raw dbgen step (S/4 + p/S) collides mod S for some p at
+   *       this testdata's small S.
+   *   ps_availqty   = (p·7 + i·1009) mod 9999 + 1
+   *   ps_supplycost = (p·31 + ps_suppkey·7 + i·13) mod 991 + 10
+   *     — INTEGER dollars (10..1000): integer→DECIMAL casts are exact
+   *       on both engines, so every downstream decimal aggregate is
+   *       combine-order independent with no division/rounding hazard.
+   *
+   * Scale: a projection over the part scan × a one-row broadcast
+   * (supplier count — the q147 idiom, never a collect) × a 4-element
+   * explode. 4·|part| rows, generated in-scan wherever it's consumed;
+   * nothing is materialized.
+   */
+  private def partsuppSynth(s: SparkSession, dir: String): DataFrame = {
+    val sCount = t(s, dir, "supplier")
+      .agg(count(lit(1)).cast("long").as("__S"))
+    t(s, dir, "part").select(col("p_partkey"))
+      .crossJoin(broadcast(sCount))
+      .select(col("p_partkey"), col("__S"),
+        explode(array((0 to 3).map(i => lit(i.toLong)): _*)).as("__i"))
+      .selectExpr(
+        "p_partkey AS ps_partkey",
+        "(p_partkey + (p_partkey div __S) + __i * (__S div 4)) % __S" +
+          " AS ps_suppkey",
+        "CAST((p_partkey * 7 + __i * 1009) % 9999 + 1 AS INT)" +
+          " AS ps_availqty",
+        "CAST((p_partkey * 31 + ((p_partkey + (p_partkey div __S) +" +
+          " __i * (__S div 4)) % __S) * 7 + __i * 13) % 991 + 10 AS INT)" +
+          " AS ps_supplycost")
+  }
+
+  /** DuckDB twin of [[partsuppSynth]] — identical formulas (`//` is
+    * DuckDB's integer division, `div` Spark's). */
+  private val psCte: String =
+    """ps AS (
+      |  SELECT p_partkey AS ps_partkey,
+      |    (p_partkey + (p_partkey // S) + i * (S // 4)) % S AS ps_suppkey,
+      |    CAST((p_partkey * 7 + i * 1009) % 9999 + 1 AS INT) AS ps_availqty,
+      |    CAST((p_partkey * 31
+      |          + ((p_partkey + (p_partkey // S) + i * (S // 4)) % S) * 7
+      |          + i * 13) % 991 + 10 AS INT) AS ps_supplycost
+      |  FROM part
+      |  CROSS JOIN (SELECT COUNT(*) AS S FROM supplier)
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i)
+      |)""".stripMargin
 
   /** The q10 revenue idiom: decimal-exact `extprice*(1-disc)` so the
     * sum is combine-order independent, cast to DOUBLE at the end. */
@@ -325,19 +391,16 @@ object TpchQueries {
         .orderBy("c_mktsegment")
     }),
 
-    // TPC-H Q2 (minimum-cost supplier; partsupp → observed lineitem
-    // offers: unit cost = min l_extendedprice/l_quantity per
-    // (part, supplier)). Keeps the canonical correlated-MIN shape as
-    // its decorrelation: per-part regional min joined back on
-    // (part, cost) equality — the min IS one of the candidate
-    // doubles, so the equality is bit-safe on both engines. The
-    // offers aggregation pre-combines BELOW the dim joins; top-20
-    // compiles to TakeOrderedAndProject.
+    // TPC-H Q2 (minimum-cost supplier), CANONICAL over the generated
+    // partsupp (round 9 — previously a lineitem-offers shape
+    // adaptation): for each size-15 part, the EUROPE suppliers whose
+    // ps_supplycost equals the part's regional minimum. The canonical
+    // correlated MIN decorrelates to a per-part WINDOW over the
+    // regional offers (a groupBy-min-join-back would evaluate the
+    // offers subtree twice); integer supplycost makes the min-equality
+    // compare exact by construction. Top-20 compiles to
+    // TakeOrderedAndProject.
     "q173_tpch2" -> ((s, dir) => {
-      val offers = t(s, dir, "lineitem")
-        .groupBy(col("l_partkey"), col("l_suppkey"))
-        .agg(min(col("l_extendedprice").cast("double") /
-          col("l_quantity").cast("double")).as("unit_cost"))
       val eu = t(s, dir, "supplier")
         .join(broadcast(t(s, dir, "nation")),
           col("s_nationkey") === col("n_nationkey"))
@@ -348,20 +411,16 @@ object TpchQueries {
           col("n_name"))
       val p15 = t(s, dir, "part").where(col("p_size") === 15)
         .select(col("p_partkey"))
-      val regional = offers
-        .join(eu, col("l_suppkey") === col("s_suppkey"))
-        .join(p15, col("l_partkey") === col("p_partkey"), "left_semi")
-      // Per-part min as a WINDOW over the regional offers — the
-      // groupBy-min-join-back decorrelation evaluates the offers
-      // subtree twice (two corpus scans); the window shares one.
+      val regional = partsuppSynth(s, dir)
+        .join(eu, col("ps_suppkey") === col("s_suppkey"))
+        .join(p15, col("ps_partkey") === col("p_partkey"), "left_semi")
       regional
         .withColumn("__min_cost",
-          min("unit_cost").over(
-            org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")))
-        .where(col("unit_cost") === col("__min_cost"))
+          min("ps_supplycost").over(
+            org.apache.spark.sql.expressions.Window.partitionBy("ps_partkey")))
+        .where(col("ps_supplycost") === col("__min_cost"))
         .select(col("s_acctbal"), col("s_name"), col("n_name"),
-          col("l_partkey").as("p_partkey"),
-          round(col("unit_cost"), 6).as("unit_cost"))
+          col("ps_partkey").as("p_partkey"), col("ps_supplycost"))
         .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
           col("p_partkey"))
         .limit(20)
@@ -384,20 +443,27 @@ object TpchQueries {
         .orderBy("o_orderpriority")
     }),
 
-    // TPC-H Q9 (product-type profit; ps_supplycost → 20% of
-    // p_retailprice — a constant cost rate keeps the profit exact
-    // decimal). Five-way join star with nation broadcast; profit
-    // accumulates as exact decimals so the per-(nation, year) sums
-    // are combine-order independent.
+    // TPC-H Q9 (product-type profit), CANONICAL over the generated
+    // partsupp (round 9 — previously a constant-cost-rate shape
+    // adaptation): profit = revenue − ps_supplycost·l_quantity with
+    // partsupp joined on BOTH keys, exactly dbgen's join graph.
+    // Six-way join star with nation broadcast; integer supplycost →
+    // the profit term stays exact decimal, so per-(nation, year) sums
+    // are combine-order independent. partsupp is 4·|part| rows —
+    // left to AQE (broadcast at gate scale, shuffle at SF-huge).
     "q175_tpch9" -> ((s, dir) => {
       val p = t(s, dir, "part").where(col("p_name").startsWith("red"))
-        .select(col("p_partkey"), col("p_retailprice"))
+        .select(col("p_partkey"))
+      val ps = partsuppSynth(s, dir)
+        .select(col("ps_partkey"), col("ps_suppkey"), col("ps_supplycost"))
       val profit = revenueTerm -
         col("l_quantity").cast("decimal(12,2)") *
-          (col("p_retailprice").cast("decimal(12,2)") *
-            lit(0.2).cast("decimal(12,2)"))
+          col("ps_supplycost").cast("decimal(12,2)")
       t(s, dir, "lineitem")
-        .join(p, col("l_partkey") === col("p_partkey"))
+        .join(p, col("l_partkey") === col("p_partkey"), "left_semi")
+        .join(ps,
+          col("l_partkey") === col("ps_partkey") &&
+            col("l_suppkey") === col("ps_suppkey"))
         .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(t(s, dir, "nation")),
           col("s_nationkey") === col("n_nationkey"))
@@ -408,27 +474,31 @@ object TpchQueries {
         .orderBy(col("n_name"), col("o_year").desc)
     }),
 
-    // TPC-H Q11 (important stock; ps_supplycost·ps_availqty → revenue
-    // through one nation's suppliers, the 0.0001·SF fraction → 3× the
-    // per-part mean so the threshold AUTO-SCALES with part count).
-    // The HAVING-vs-global-scalar compares exact decimals in
-    // MULTIPLIED form (value·nparts > total·3) — no decimal division
-    // rounding on either engine, so the boundary can't flip.
+    // TPC-H Q11 (important stock), CANONICAL over the generated
+    // partsupp (round 9 — previously lineitem revenue stood in for
+    // stock value): value = Σ ps_supplycost·ps_availqty per part
+    // through one nation's suppliers — dbgen's exact expression. The
+    // canonical 0.0001·SF selectivity dial is replaced by 3× the
+    // per-part mean so the threshold AUTO-SCALES with part count; the
+    // HAVING-vs-global-scalar compares exact integers in MULTIPLIED
+    // form (value·nparts > total·3) — no division on either engine,
+    // so the boundary can't flip.
     "q176_tpch11" -> ((s, dir) => {
-      val vals = t(s, dir, "lineitem")
-        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      val vals = partsuppSynth(s, dir)
+        .join(t(s, dir, "supplier"), col("ps_suppkey") === col("s_suppkey"))
         .join(broadcast(t(s, dir, "nation")),
           col("s_nationkey") === col("n_nationkey") &&
             col("n_name") === "NATION_9")
-        .groupBy(col("l_partkey"))
-        .agg(sum(revenueTerm).as("__value"))
+        .groupBy(col("ps_partkey"))
+        .agg(sum((col("ps_supplycost").cast("long") * col("ps_availqty"))
+          .cast("decimal(38,0)")).as("__value"))
       val tot = vals.agg(
         sum(col("__value")).as("__total"), count(lit(1)).as("__nparts"))
       vals.crossJoin(broadcast(tot))
         .where(col("__value") * col("__nparts") >
           col("__total") * lit(3).cast("decimal(2,0)"))
-        .select(col("l_partkey"), col("__value").cast("double").as("value"))
-        .orderBy(col("value").desc, col("l_partkey"))
+        .select(col("ps_partkey"), col("__value").cast("double").as("value"))
+        .orderBy(col("value").desc, col("ps_partkey"))
     }),
 
     // TPC-H Q12 (shipmode priority split; l_shipmode/receipt lag →
@@ -449,59 +519,59 @@ object TpchQueries {
         .orderBy("l_returnflag")
     }),
 
-    // TPC-H Q16 (parts/supplier relationship; supplier "complaints" →
-    // negative s_acctbal, partsupp → observed lineitem suppliers).
-    // The NOT IN decorrelates to a left-anti join against the tiny
-    // complaint list; distinct supplier counts per (brand, type,
-    // size) partial-aggregate through Spark's single-Expand
-    // multi-distinct path.
+    // TPC-H Q16 (parts/supplier relationship), CANONICAL over the
+    // generated partsupp (round 9 — previously observed lineitem
+    // suppliers stood in; supplier "complaints" remain negative
+    // s_acctbal since s_comment is absent). The NOT IN decorrelates
+    // to a left-anti join against the tiny complaint list; distinct
+    // supplier counts per (brand, type, size) partial-aggregate
+    // through Spark's single-Expand multi-distinct path — partsupp is
+    // already one row per pair, so the Expand fans out at pair
+    // cardinality by construction.
     "q178_tpch16" -> ((s, dir) => {
       val complaints = t(s, dir, "supplier")
         .where(col("s_acctbal") < 0).select(col("s_suppkey"))
       val p = t(s, dir, "part").where(
         col("p_brand") =!= "Brand#45" && !col("p_type").startsWith("PROMO"))
-      // Distinct-collapse (part, supplier) BEFORE the joins: at scale
-      // lineitem has many lines per pair, and the join + the
-      // multi-distinct Expand should fan out at PAIR cardinality,
-      // not line cardinality (the q180 distinct-frame discipline).
-      t(s, dir, "lineitem")
-        .select(col("l_partkey"), col("l_suppkey")).distinct
-        .join(p, col("l_partkey") === col("p_partkey"))
-        .join(complaints, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      partsuppSynth(s, dir)
+        .select(col("ps_partkey"), col("ps_suppkey"))
+        .join(p, col("ps_partkey") === col("p_partkey"))
+        .join(complaints, col("ps_suppkey") === col("s_suppkey"), "left_anti")
         .groupBy(col("p_brand"), col("p_type"), col("p_size"))
-        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
         .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
           col("p_size"))
     }),
 
-    // TPC-H Q20 (potential part promotion; availqty > half sold →
-    // DOMINANT supplier: shipped > 30% of the part's observed year
-    // volume). Nested semi-joins decorrelate outside-in: part-name
-    // semi → per-(part, supplier) quantities → per-part totals joined
-    // back — the 30% compare runs in MULTIPLIED decimal form
-    // (sq·10 > pq·3), exact on both engines.
+    // TPC-H Q20 (potential part promotion), CANONICAL over the
+    // generated partsupp (round 9 — previously a dominant-supplier
+    // shape adaptation): suppliers holding EXCESS stock —
+    // ps_availqty > ½ · the quantity they shipped of that red part in
+    // 1997 — in one nation. dbgen's nested semi-joins decorrelate
+    // outside-in: part-name semi → partsupp → the correlated shipped
+    // sum joined on BOTH keys → supplier semi. The ½ compare runs in
+    // MULTIPLIED form (availqty·2 > sq), exact integer-vs-decimal on
+    // both engines.
     "q179_tpch20" -> ((s, dir) => {
       val redParts = t(s, dir, "part")
         .where(col("p_name").startsWith("red")).select(col("p_partkey"))
-      val perSupp = t(s, dir, "lineitem")
+      val shipped = t(s, dir, "lineitem")
         .where(col("l_shipdate") >= ts("1997-01-01") &&
           col("l_shipdate") < ts("1998-01-01"))
-        .join(redParts, col("l_partkey") === col("p_partkey"), "left_semi")
         .groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(sum(col("l_quantity").cast("decimal(12,2)")).as("__sq"))
-      val perPart = perSupp
-        .groupBy(col("l_partkey").as("__pk"))
-        .agg(sum("__sq").as("__pq"))
-      val dominant = perSupp
-        .join(perPart, col("l_partkey") === col("__pk"))
-        .where(col("__sq") * lit(10).cast("decimal(2,0)") >
-          col("__pq") * lit(3).cast("decimal(2,0)"))
-        .select(col("l_suppkey"))
+      val excess = partsuppSynth(s, dir)
+        .join(redParts, col("ps_partkey") === col("p_partkey"), "left_semi")
+        .join(shipped,
+          col("ps_partkey") === col("l_partkey") &&
+            col("ps_suppkey") === col("l_suppkey"))
+        .where(col("ps_availqty") * lit(2) > col("__sq"))
+        .select(col("ps_suppkey"))
       t(s, dir, "supplier")
         .join(broadcast(t(s, dir, "nation")),
           col("s_nationkey") === col("n_nationkey") &&
             col("n_name") === "NATION_9")
-        .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(excess, col("s_suppkey") === col("ps_suppkey"), "left_semi")
         .select(col("s_name"), col("s_acctbal").cast("double").as("s_acctbal"))
         .orderBy("s_name")
     }),
@@ -719,30 +789,26 @@ object TpchQueries {
         |ORDER BY c_mktsegment""".stripMargin,
 
     "q173_tpch2" ->
-      """WITH offers AS (
-        |  SELECT l_partkey, l_suppkey,
-        |    MIN(CAST(l_extendedprice AS DOUBLE) / CAST(l_quantity AS DOUBLE))
-        |      AS unit_cost
-        |  FROM lineitem GROUP BY l_partkey, l_suppkey
-        |), regional AS (
-        |  SELECT o.l_partkey, o.l_suppkey, o.unit_cost,
-        |         s.s_acctbal, s.s_name, n.n_name
-        |  FROM offers o
-        |  JOIN supplier s ON o.l_suppkey = s.s_suppkey
-        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
-        |  JOIN region r ON n.n_regionkey = r.r_regionkey
-        |    AND r.r_name = 'EUROPE'
-        |  JOIN part p ON o.l_partkey = p.p_partkey AND p.p_size = 15
-        |), minc AS (
-        |  SELECT l_partkey AS mk, MIN(unit_cost) AS min_cost
-        |  FROM regional GROUP BY l_partkey
-        |)
-        |SELECT s_acctbal, s_name, n_name, l_partkey AS p_partkey,
-        |  round(unit_cost, 6) AS unit_cost
-        |FROM regional JOIN minc
-        |  ON l_partkey = mk AND unit_cost = min_cost
-        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
-        |LIMIT 20""".stripMargin,
+      s"""WITH $psCte, regional AS (
+         |  SELECT ps.ps_partkey, ps.ps_suppkey, ps.ps_supplycost,
+         |         s.s_acctbal, s.s_name, n.n_name
+         |  FROM ps
+         |  JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+         |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+         |  JOIN region r ON n.n_regionkey = r.r_regionkey
+         |    AND r.r_name = 'EUROPE'
+         |  WHERE ps.ps_partkey IN
+         |    (SELECT p_partkey FROM part WHERE p_size = 15)
+         |), minc AS (
+         |  SELECT ps_partkey AS mk, MIN(ps_supplycost) AS min_cost
+         |  FROM regional GROUP BY ps_partkey
+         |)
+         |SELECT s_acctbal, s_name, n_name, ps_partkey AS p_partkey,
+         |  CAST(ps_supplycost AS INT) AS ps_supplycost
+         |FROM regional JOIN minc
+         |  ON ps_partkey = mk AND ps_supplycost = min_cost
+         |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+         |LIMIT 20""".stripMargin,
 
     "q174_tpch4" ->
       """SELECT o_orderpriority, COUNT(*) AS order_count
@@ -756,14 +822,15 @@ object TpchQueries {
         |ORDER BY o_orderpriority""".stripMargin,
 
     "q175_tpch9" ->
-      s"""SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+      s"""WITH $psCte
+         |SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
          |  CAST(SUM($rev
          |    - CAST(l_quantity AS DECIMAL(12,2))
-         |      * (CAST(p_retailprice AS DECIMAL(12,2))
-         |         * CAST(0.2 AS DECIMAL(12,2))))
+         |      * CAST(ps_supplycost AS DECIMAL(12,2)))
          |    AS DOUBLE) AS sum_profit
          |FROM lineitem
          |JOIN part ON l_partkey = p_partkey AND p_name LIKE 'red%'
+         |JOIN ps ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
          |JOIN supplier ON l_suppkey = s_suppkey
          |JOIN nation ON s_nationkey = n_nationkey
          |JOIN orders ON l_orderkey = o_orderkey
@@ -771,20 +838,21 @@ object TpchQueries {
          |ORDER BY n_name, o_year DESC""".stripMargin,
 
     "q176_tpch11" ->
-      s"""WITH vals AS (
-         |  SELECT l_partkey, SUM($rev) AS value
-         |  FROM lineitem
-         |  JOIN supplier ON l_suppkey = s_suppkey
+      s"""WITH $psCte, vals AS (
+         |  SELECT ps_partkey,
+         |    SUM(CAST(ps_supplycost AS BIGINT) * ps_availqty) AS value
+         |  FROM ps
+         |  JOIN supplier ON ps_suppkey = s_suppkey
          |  JOIN nation ON s_nationkey = n_nationkey
          |    AND n_name = 'NATION_9'
-         |  GROUP BY l_partkey
+         |  GROUP BY ps_partkey
          |), tot AS (
          |  SELECT SUM(value) AS total, COUNT(*) AS nparts FROM vals
          |)
-         |SELECT l_partkey, CAST(value AS DOUBLE) AS value
+         |SELECT ps_partkey, CAST(value AS DOUBLE) AS value
          |FROM vals CROSS JOIN tot
-         |WHERE value * nparts > total * CAST(3 AS DECIMAL(2,0))
-         |ORDER BY value DESC, l_partkey""".stripMargin,
+         |WHERE value * nparts > total * 3
+         |ORDER BY value DESC, ps_partkey""".stripMargin,
 
     "q177_tpch12" ->
       """SELECT l_returnflag,
@@ -799,39 +867,38 @@ object TpchQueries {
         |ORDER BY l_returnflag""".stripMargin,
 
     "q178_tpch16" ->
-      """SELECT p_brand, p_type, p_size,
-        |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
-        |FROM lineitem
-        |JOIN part ON l_partkey = p_partkey
-        |  AND p_brand <> 'Brand#45' AND p_type NOT LIKE 'PROMO%'
-        |WHERE l_suppkey NOT IN (
-        |  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
-        |GROUP BY p_brand, p_type, p_size
-        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+      s"""WITH $psCte
+         |SELECT p_brand, p_type, p_size,
+         |  COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+         |FROM ps
+         |JOIN part ON ps_partkey = p_partkey
+         |  AND p_brand <> 'Brand#45' AND p_type NOT LIKE 'PROMO%'
+         |WHERE ps_suppkey NOT IN (
+         |  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         |GROUP BY p_brand, p_type, p_size
+         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
 
     "q179_tpch20" ->
-      """WITH per_supp AS (
-        |  SELECT l_partkey, l_suppkey,
-        |    SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sq
-        |  FROM lineitem
-        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-        |    AND l_shipdate < TIMESTAMP '1998-01-01'
-        |    AND l_partkey IN (
-        |      SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
-        |  GROUP BY l_partkey, l_suppkey
-        |), per_part AS (
-        |  SELECT l_partkey AS pk, SUM(sq) AS pq
-        |  FROM per_supp GROUP BY l_partkey
-        |), dominant AS (
-        |  SELECT DISTINCT l_suppkey
-        |  FROM per_supp JOIN per_part ON l_partkey = pk
-        |  WHERE sq * CAST(10 AS DECIMAL(2,0)) > pq * CAST(3 AS DECIMAL(2,0))
-        |)
-        |SELECT s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
-        |FROM supplier
-        |JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_9'
-        |WHERE s_suppkey IN (SELECT l_suppkey FROM dominant)
-        |ORDER BY s_name""".stripMargin,
+      s"""WITH $psCte, shipped AS (
+         |  SELECT l_partkey, l_suppkey,
+         |    SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sq
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         |    AND l_shipdate < TIMESTAMP '1998-01-01'
+         |  GROUP BY l_partkey, l_suppkey
+         |), excess AS (
+         |  SELECT DISTINCT ps_suppkey
+         |  FROM ps
+         |  JOIN shipped ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+         |  WHERE ps_partkey IN (
+         |      SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+         |    AND ps_availqty * 2 > sq
+         |)
+         |SELECT s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+         |FROM supplier
+         |JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_9'
+         |WHERE s_suppkey IN (SELECT ps_suppkey FROM excess)
+         |ORDER BY s_name""".stripMargin,
 
     "q180_tpch21" ->
       """WITH l AS (
