@@ -538,6 +538,31 @@ object EventStreams extends Serializable {
    * consecutive gaps stay ≤ `gapSeconds`; a session closes (and is
    * emitted exactly once) when a larger gap appears in the data or
    * the watermark passes last-event + gap.
+   *
+   * OUT-OF-ORDER contract (pinned in EventStreamsSpec): rows sort
+   * within each micro-batch, so any disorder confined to a batch is
+   * invisible. Across batches, a straggler newer than the watermark
+   * lands in one of three documented regimes:
+   *   - CONNECTED (within `gap` of the open session's span): it joins
+   *     the open session, extending the start downward / end upward —
+   *     exactly what a batch re-run would produce;
+   *   - DISCONNECTED BELOW (more than `gap` below the open start):
+   *     batch semantics would give it its own earlier session; append
+   *     mode holds ONE open session per key, so the straggler run
+   *     (consecutive stragglers in the same batch chain by the same
+   *     gap rule) closes immediately. A batch re-run could merge such
+   *     runs across batches — the standard append-mode approximation;
+   *   - OLDER THAN THE WATERMARK: dropped by the engine before the
+   *     state function; emitted sessions are final. An event that
+   *     could have joined an already-TIMED-OUT session is necessarily
+   *     below the watermark (timeout fires only once the watermark
+   *     passes last + gap), so timeout-closed sessions can never be
+   *     stale — only in-data gap closes admit the approximation
+   *     above.
+   * Straggler runs are evaluated against the open session's
+   * batch-start bounds; a batch whose stragglers would only connect
+   * through bounds moved by LATER rows of the same batch keeps them
+   * separate (documented evaluation order, deterministic).
    */
   def sessionize(
       events: DataFrame,
@@ -578,10 +603,31 @@ object EventStreams extends Serializable {
             val times = rows.map(r => toUs(r._2)).toArray.sorted
             var open = state.getOption
             val closed = Seq.newBuilder[Session]
+            // Straggler run below the open session (cross-batch
+            // late data): bounds fixed at batch start so the regime
+            // split below is deterministic.
+            val floorUs = open.map(_.startUs - gapUs)
+            var below: Option[SessionState] = None
             times.foreach { t =>
               open match {
+                case Some(_) if floorUs.exists(t < _) =>
+                  // disconnected below: chain consecutive stragglers
+                  // by the same gap rule, emit each run closed
+                  below match {
+                    case Some(b) if t - b.lastUs <= gapUs =>
+                      below = Some(b.copy(lastUs = t, n = b.n + 1))
+                    case Some(b) =>
+                      closed += Session(key, toTs(b.startUs), toTs(b.lastUs), b.n)
+                      below = Some(SessionState(t, t, 1))
+                    case None =>
+                      below = Some(SessionState(t, t, 1))
+                  }
                 case Some(s) if t - s.lastUs <= gapUs =>
-                  open = Some(s.copy(lastUs = math.max(s.lastUs, t), n = s.n + 1))
+                  // connected: interior or within gap of either bound
+                  // (t >= start - gap holds by the branch above) —
+                  // extend both bounds, matching a batch re-run
+                  open = Some(s.copy(startUs = math.min(s.startUs, t),
+                    lastUs = math.max(s.lastUs, t), n = s.n + 1))
                 case Some(s) =>
                   closed += Session(key, toTs(s.startUs), toTs(s.lastUs), s.n)
                   open = Some(SessionState(t, t, 1))
@@ -589,6 +635,8 @@ object EventStreams extends Serializable {
                   open = Some(SessionState(t, t, 1))
               }
             }
+            below.foreach(b =>
+              closed += Session(key, toTs(b.startUs), toTs(b.lastUs), b.n))
             open.foreach { s =>
               state.update(s)
               // timeout is an ms API: round UP so it never fires a
@@ -617,6 +665,19 @@ object EventStreams extends Serializable {
    * the threshold compare, and rows sort by the exact-microsecond
    * (ts, tie) key — in-order sources reproduce the batch hit set
    * row-for-row (EventStreamsSpec).
+   *
+   * OUT-OF-ORDER contract (pinned in EventStreamsSpec): rows sort by
+   * (ts, tie) WITHIN each micro-batch, so disorder confined to a
+   * batch is invisible; a cross-batch straggler folds at its ARRIVAL
+   * position — the m−1-point ring cannot reorder already-consumed
+   * history (that is what keeps state O(m), not O(stream)) — so
+   * windows spanning a straggler are formed over the as-arrived
+   * sequence, deterministically. Sources with bounded disorder
+   * should batch at least that bound (or pre-sort per trigger);
+   * there is deliberately NO watermark here, because a correct
+   * straggler-reordering operator would have to buffer
+   * watermark-delay's worth of points per key, turning O(m) state
+   * into O(rate·delay).
    */
   def streamingPatternMatch(
       events: DataFrame,

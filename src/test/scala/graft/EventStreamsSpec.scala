@@ -686,4 +686,97 @@ class EventStreamsSpec extends AnyFunSuite {
         "complete-mode streaming digest must equal the batch fingerprint")
     } finally q.stop()
   }
+
+  test("sessionize under late arrivals: connected stragglers join, " +
+      "disconnected runs close alone, sub-watermark rows drop") {
+    // Pins the documented OUT-OF-ORDER contract (the scaladoc's three
+    // regimes) — the 100 TB claim must not rest on an untested
+    // in-order assumption.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val sessions = EventStreams.sessionize(
+      input.toDF.toDF("user_id", "ts"),
+      "user_id", "ts", gapSeconds = 10, watermarkDelay = "60 seconds")
+    val q = sessions.writeStream
+      .format("memory").queryName("late_sessions").outputMode("append").start()
+    try {
+      // Batch 1 (in order): open session [100, 104]; watermark -> 44.
+      input.addData((1L, ts(100)), (1L, ts(104)))
+      q.processAllAvailable()
+      // Batch 2 — all stragglers, all newer than the watermark:
+      //   96 (within gap of start): CONNECTED, start extends down
+      //  102 (interior):            CONNECTED
+      //  70, 75 (> gap below start): a DISCONNECTED run — chains by
+      //      the same gap rule, closes immediately as its own session
+      input.addData((1L, ts(96)), (1L, ts(102)), (1L, ts(70)), (1L, ts(75)))
+      q.processAllAvailable()
+      val afterLate = spark.table("late_sessions")
+        .as[graft.streaming.Session].collect()
+      assert(afterLate.toSet ===
+        Set(graft.streaming.Session(1L, ts(70), ts(75), 2)),
+        s"disconnected straggler run must close alone: ${afterLate.toSeq}")
+      // Batch 3: 30s is OLDER than the watermark (44s) -> dropped by
+      // the engine; nothing new is emitted, state is untouched.
+      input.addData((1L, ts(30)))
+      q.processAllAvailable()
+      assert(spark.table("late_sessions").count() === 1,
+        "sub-watermark straggler must be dropped")
+      // Time out the open session: it must carry the straggler-
+      // extended bounds [96, 104] and all 4 connected events.
+      input.addData((2L, ts(500))); q.processAllAvailable()
+      input.addData((2L, ts(600))); q.processAllAvailable()
+      val all = spark.table("late_sessions")
+        .as[graft.streaming.Session].collect()
+      val main = all.find(s => s.key == 1L && s.nEvents == 4)
+      assert(main.isDefined,
+        s"open session must absorb connected stragglers: ${all.toSeq}")
+      assert(main.get.start === ts(96) && main.get.end === ts(104))
+    } finally q.stop()
+  }
+
+  test("streamingPatternMatch folds cross-batch stragglers at arrival " +
+      "position (documented ring semantics)") {
+    // Pattern [0,1] (m=2): every strictly ASCENDING consecutive pair
+    // z-normalizes to the pattern exactly (dist 0 -> hit keyed by the
+    // pair's first row); descending pairs are far. The documented
+    // out-of-order contract: a cross-batch straggler folds at its
+    // ARRIVAL position — the m−1 ring cannot reorder history — so the
+    // streaming hit set is the as-arrived one, while the batch twin
+    // (full sort) finds the event-time hits. Both sides are asserted
+    // so the divergence itself is pinned, not papered over.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Timestamp, Double)]
+    val hits = EventStreams.streamingPatternMatch(
+      input.toDF.toDF("event_id", "user_id", "ts", "value"),
+      "user_id", "ts", "event_id", "value",
+      pattern = Seq(0.0, 1.0), maxDist = 0.001)
+    val q = hits.writeStream
+      .format("memory").queryName("late_pattern").outputMode("append").start()
+    try {
+      // Event-time series: t1=10, t2=20, t3=5, t4=6 (ids 1..4).
+      // Batch A arrives WITHOUT t3; batch B delivers it late.
+      input.addData((1L, 1L, ts(1), 10.0), (2L, 1L, ts(2), 20.0),
+        (4L, 1L, ts(4), 6.0))
+      q.processAllAvailable()
+      input.addData((3L, 1L, ts(3), 5.0))
+      q.processAllAvailable()
+      val streamed = spark.table("late_pattern")
+        .as[graft.streaming.PatternHit].collect().map(_.tie).toSet
+      // As-arrived pairs: (10,20) hit@1, (20,6) no, (6,5) no —
+      // the late row forms a DESCENDING arrival pair, so the
+      // event-time hit at t3 is (documentedly) not recovered.
+      assert(streamed === Set(1L),
+        s"arrival-position fold must see exactly the hit@1: $streamed")
+      val batchTies = graft.operators.TimeSeries
+        .patternMatches(
+          Seq((1L, 1L, ts(1), 10.0), (2L, 1L, ts(2), 20.0),
+            (3L, 1L, ts(3), 5.0), (4L, 1L, ts(4), 6.0))
+            .toDF("event_id", "user_id", "ts", "value"),
+          "user_id", "ts", "event_id", "value",
+          pattern = Seq(0.0, 1.0), maxDist = 0.001)
+        .select("event_id").as[Long].collect().toSet
+      assert(batchTies === Set(1L, 3L),
+        s"batch twin over sorted event time finds both: $batchTies")
+    } finally q.stop()
+  }
 }
