@@ -578,29 +578,31 @@ object TpchQueries {
 
     // TPC-H Q21 (suppliers who kept orders waiting; the late-delivery
     // predicate → returnflag 'R'): the EXISTS(other supplier) +
-    // NOT EXISTS(other FAILED supplier) pair decorrelates to a
-    // left-semi + left-anti self-join over the DISTINCT
-    // (order, supplier) frames — distinct-collapse first so the
-    // self-join fans out at order-supplier cardinality, not line
-    // cardinality; the F-status probe is another semi join.
+    // NOT EXISTS(other FAILED supplier) pair evaluates as per-order
+    // COUNTS, not self-joins — for a failed (order, supplier) pair,
+    // "some other supplier exists" ⟺ the order's distinct-supplier
+    // count ≥ 2, and "no other failed supplier" ⟺ its distinct
+    // FAILED-supplier count = 1 (this pair's own supplier). One
+    // multi-distinct aggregation pass replaces the semi + anti
+    // self-joins the classic decorrelation runs — the round-8 shape's
+    // distinct-collapse passes scaled with the self-join (10× scale
+    // slope 12.6, the audit's worst row); the count formulation is a
+    // single lineitem Expand + two orderkey-co-partitioned joins.
     "q180_tpch21" -> ((s, dir) => {
       val l = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+      val perOrder = l.groupBy(col("l_orderkey").as("__ok"))
+        .agg(
+          countDistinct(col("l_suppkey")).as("__n_supp"),
+          countDistinct(when(col("l_returnflag") === "R",
+            col("l_suppkey"))).as("__n_failed"))
       val failed = l.where(col("l_returnflag") === "R")
         .select(col("l_orderkey"), col("l_suppkey")).distinct
-      val su = l.select(col("l_orderkey").as("__o2"),
-        col("l_suppkey").as("__s2")).distinct
-      val failed2 = failed.select(col("l_orderkey").as("__o3"),
-        col("l_suppkey").as("__s3"))
       val fOrders = t(s, dir, "orders")
         .where(col("o_orderstatus") === "F").select(col("o_orderkey"))
       failed
-        .join(su,
-          col("l_orderkey") === col("__o2") &&
-            col("l_suppkey") =!= col("__s2"), "left_semi")
-        .join(failed2,
-          col("l_orderkey") === col("__o3") &&
-            col("l_suppkey") =!= col("__s3"), "left_anti")
+        .join(perOrder, col("l_orderkey") === col("__ok"))
+        .where(col("__n_supp") >= 2 && col("__n_failed") === 1)
         .join(fOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
         .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("s_name"))

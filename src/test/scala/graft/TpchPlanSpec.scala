@@ -100,11 +100,17 @@ class TpchPlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("q180 (Q21): exists/not-exists pair is semi+anti hash joins over distinct frames") {
+  test("q180 (Q21): exists/not-exists pair is per-order counts, not self-joins") {
     val p = plan("q180_tpch21")
-    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
-      "the EXISTS/NOT EXISTS pair must decorrelate to semi+anti joins")
+    // The count formulation: ONE multi-distinct Expand over lineitem
+    // replaces the semi+anti self-join pair (whose distinct-collapse
+    // passes scaled with the self-join — 10x slope 12.6 pre-round-9).
+    assert(p.contains("Expand"),
+      "per-order exists/not-exists counts must ride the multi-distinct Expand")
+    assert(!p.contains("LeftAnti"),
+      "NOT EXISTS must be the __n_failed = 1 count, not an anti self-join")
+    assert(p.contains("LeftSemi"), "the F-status probe stays a semi join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
-      s"self-join residual conditions must stay on hash joins:\n$p")
+      s"all joins must stay hash joins:\n$p")
   }
 }
