@@ -946,6 +946,30 @@ object RelationalQueries {
           lit(stats.filesAfter < stats.filesBefore))
     }),
 
+    // S6 binaryFile ingest read-back audit (round 9 — fills the q157
+    // numbering gap and upgrades S6 from spec-only to driver-
+    // verified): documents land ONE FILE PER DOC via a partitioned
+    // text write, then read back through the binaryFile source with a
+    // glob filter — partition discovery recovers doc_id, and each
+    // file's byte length and content md5 must reproduce values the
+    // oracle derives from the source table alone (text bytes + the
+    // text writer's trailing newline). Any content mangling, file
+    // merge/split, or glob miss hash-fails. Scale note: per-doc files
+    // exercise the INGEST path (reading existing binary assets); the
+    // write here is only the fixture generator.
+    "q157_binary_ingest" -> ((s, dir) => {
+      val dest = scratchDir("layout_q157").toString
+      t(s, dir, "documents")
+        .select(col("text"), col("doc_id"))
+        .write.mode("overwrite").partitionBy("doc_id").text(dest)
+      graft.sources.FormatSources.readBinaryFiles(s, dest, glob = "*.txt")
+        .select(
+          col("doc_id").cast("long").as("doc_id"),
+          col("length").as("n_bytes"),
+          md5(col("content")).as("digest"))
+        .orderBy("doc_id")
+    }),
+
     // ORC round-trip audit — FormatSources' non-parquet path gains an
     // oracle gate: orders is written to ORC, read back, and aggregated
     // per status (counts, decimal-accumulated price sums, date
@@ -2244,6 +2268,15 @@ object RelationalQueries {
         |  CAST(sum(l_orderkey) AS BIGINT) AS sum_orderkey,
         |  TRUE AS files_reduced
         |FROM lineitem""".stripMargin,
+
+    // Source-derivable invariants only (the q131–q134 write-path
+    // rule): file bytes = UTF-8 text bytes + the text writer's
+    // trailing newline; digest = md5 over exactly those bytes.
+    "q157_binary_ingest" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) + 1 AS BIGINT) AS n_bytes,
+        |  md5(text || chr(10)) AS digest
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q134_orc_roundtrip" ->
       """SELECT o_orderstatus,
