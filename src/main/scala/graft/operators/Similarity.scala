@@ -813,6 +813,24 @@ object Similarity {
    * doubles. Returns (eigenvalue, component) pairs, eigenvalue
    * descending; k is capped at d.
    *
+   * QUANTIZED arithmetic (round 9, the q195 oracle contract): the
+   * iteration runs in exact decimals — covariance cells are the 6dp
+   * decimals q167 pins, iterate vectors carry 12dp, each mat-vec
+   * product rounds HALF_UP to 12dp before the (exact, order-free)
+   * sum, and magnitude control multiplies by exact decimal powers of
+   * ten (into [0.1, 1000) each step; down to ≤1 before the Rayleigh
+   * quotient so its exact-decimal sums fit DECIMAL(38)). Doubles
+   * appear only where IEEE ops are bit-deterministic on both engines
+   * (the final λ division, sqrt, the per-element normalization, and
+   * the deflation cells — which re-quantize to 6dp). That makes the
+   * whole eigensolve REPLAYABLE IN SQL: the q195 oracle regenerates
+   * every iteration as a DuckDB CTE chain and must match hash-exact.
+   * The 12dp quantization perturbs each step by ≤5e-13 relative —
+   * noise power iteration absorbs; accuracy loss vs the raw-double
+   * solver is far below the 6dp output rounding. Width contract:
+   * |cov| < 10⁴ and mat-vec rows < 10⁸ (any 6dp-rounded covariance
+   * of data with per-dim variance < ~10³ satisfies both).
+   *
    * Scale: the corpus is touched ONLY by embeddingMoments' one-pass
    * kernel aggregation; everything after is O(d²·iters) driver
    * arithmetic. Project with [[projectEmbeddings]] — components ship
@@ -823,62 +841,108 @@ object Similarity {
       iters: Int = 50, scaleExp: Int = 6): Seq[(Double, Seq[Double])] = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    import java.math.{BigDecimal => JBD, RoundingMode}
     val rows = embeddingMoments(corpus, vecCol, scaleExp)
       .select("dim_i", "dim_j", "cov")
       .collect()
     require(rows.nonEmpty, "corpus has no vectors")
     val d = rows.iterator.map(_.getInt(1)).max + 1
-    val c = Array.ofDim[Double](d, d)
+    // A round(6) double is the nearest double to some 6dp decimal;
+    // setScale(6) recovers exactly that decimal (no tie hazard).
+    def dec6(v: Double): JBD =
+      JBD.valueOf(v).setScale(6, RoundingMode.HALF_UP)
+    def round12(v: JBD): JBD = v.setScale(12, RoundingMode.HALF_UP)
+    val ZERO6 = JBD.ZERO.setScale(6)
+    val c = Array.fill(d, d)(ZERO6)
     rows.foreach { r =>
       if (!r.isNullAt(2)) {
-        val v = r.getDouble(2)
+        val v = dec6(r.getDouble(2))
         c(r.getInt(0))(r.getInt(1)) = v
         c(r.getInt(1))(r.getInt(0)) = v
       }
     }
-    def matVec(x: Array[Double]): Array[Double] = {
-      val y = new Array[Double](d)
-      var a = 0
-      while (a < d) {
-        var s = 0.0
-        var b = 0
-        while (b < d) { s += c(a)(b) * x(b); b += 1 }
-        y(a) = s
-        a += 1
-      }
-      y
-    }
+    val THOU = new JBD("1000")
+    val TENTH = new JBD("0.1")
+    // All magnitude multipliers share DECIMAL(4,3) scale — the same
+    // literals the SQL replay uses.
+    val DOWN3 = new JBD("0.001")
+    val DOWN2 = new JBD("0.010")
+    val DOWN1 = new JBD("0.100")
     val out = scala.collection.mutable.ArrayBuffer.empty[(Double, Seq[Double])]
     var comp = 0
     while (comp < math.min(k, d)) {
-      // Deterministic start: axis of the largest remaining variance.
+      // Deterministic start: axis of the largest remaining variance
+      // (exact decimal compare, ties → lowest index).
       var start = 0
       var i = 1
-      while (i < d) { if (c(i)(i) > c(start)(start)) start = i; i += 1 }
-      var x = Array.tabulate(d)(i => if (i == start) 1.0 else 0.0)
+      while (i < d) {
+        if (c(i)(i).compareTo(c(start)(start)) > 0) start = i
+        i += 1
+      }
+      var y: Array[JBD] = Array.tabulate(d)(i =>
+        (if (i == start) JBD.ONE else JBD.ZERO).setScale(12))
       var it = 0
       while (it < iters) {
-        val y = matVec(x)
-        val nrm = math.sqrt(y.map(v => v * v).sum)
-        if (nrm == 0.0) { it = iters } // flat matrix: keep current x
-        else { x = y.map(_ / nrm); it += 1 }
+        // z_a = Σ_b round12(c_ab · y_b) — products exact, rounding
+        // point fixed, sum exact (order-free by construction).
+        val z = Array.tabulate(d) { a =>
+          var s = JBD.ZERO
+          var b = 0
+          while (b < d) { s = s.add(round12(c(a)(b).multiply(y(b)))); b += 1 }
+          s
+        }
+        val m = z.map(_.abs).reduceLeft((p, q) =>
+          if (q.compareTo(p) > 0) q else p)
+        y =
+          if (m.signum == 0) y // flat matrix: keep current direction
+          else if (m.compareTo(THOU) >= 0) z.map(v => round12(v.multiply(DOWN3)))
+          else if (m.compareTo(TENTH) < 0) z.map(v => round12(v.multiply(THOU)))
+          else z.map(round12)
+        it += 1
       }
-      // Rayleigh quotient = eigenvalue estimate; canonicalize sign.
-      val lambda = x.zip(matVec(x)).map { case (a, b) => a * b }.sum
+      // Downscale to max|y| ≤ 1 so the Rayleigh sums stay narrow.
+      val mFin = y.map(_.abs).reduceLeft((p, q) =>
+        if (q.compareTo(p) > 0) q else p)
+      val down =
+        if (mFin.compareTo(new JBD("100")) >= 0) DOWN3
+        else if (mFin.compareTo(new JBD("10")) >= 0) DOWN2
+        else if (mFin.compareTo(JBD.ONE) >= 0) DOWN1
+        else JBD.ONE
+      val y1 = y.map(v => round12(v.multiply(down)))
+      // Rayleigh quotient λ = y₁ᵀCy₁ / y₁ᵀy₁ — both sums exact
+      // decimal; the single division is one IEEE op.
+      var num = JBD.ZERO
+      var den = JBD.ZERO
+      var a0 = 0
+      while (a0 < d) {
+        var b0 = 0
+        while (b0 < d) {
+          num = num.add(y1(a0).multiply(c(a0)(b0)).multiply(y1(b0)))
+          b0 += 1
+        }
+        den = den.add(y1(a0).multiply(y1(a0)))
+        a0 += 1
+      }
+      val lambda = num.doubleValue / den.doubleValue
+      // Sign canonicalization: largest |y₁| entry positive (exact
+      // compares, ties → lowest index).
       var big = 0
       var i2 = 1
       while (i2 < d) {
-        if (math.abs(x(i2)) > math.abs(x(big))) big = i2
+        if (y1(i2).abs.compareTo(y1(big).abs) > 0) big = i2
         i2 += 1
       }
-      val signed = if (x(big) < 0.0) x.map(-_) else x
+      val sgn = if (y1(big).signum < 0) -1.0 else 1.0
+      val nrm = math.sqrt(den.doubleValue)
+      val signed = y1.map(q => q.doubleValue * sgn / nrm)
       out += ((lambda, signed.toSeq))
-      // Hotelling deflation: C -= lambda v v^T.
+      // Hotelling deflation: C ← round6(C − λ v vᵀ) — fixed
+      // double-op order (λ·v_a)·v_b, then re-quantize to 6dp.
       var a = 0
       while (a < d) {
         var b = 0
         while (b < d) {
-          c(a)(b) -= lambda * signed(a) * signed(b)
+          c(a)(b) = dec6(c(a)(b).doubleValue - lambda * signed(a) * signed(b))
           b += 1
         }
         a += 1

@@ -32,6 +32,133 @@ object PipelineQueries {
         .withColumn("doc_id", col("doc_id") + 100000))
   }
 
+  /**
+   * q195 oracle generator: replays `Similarity.principalComponents`'
+   * quantized power iteration in DuckDB, iteration by iteration — the
+   * q123-PageRank pattern applied to an eigensolve. The base matrix
+   * is the q167 floor-grid covariance cast to exact DECIMAL(10,6)
+   * (a round(6) double recovers its 6dp decimal exactly under any
+   * faithful cast), mirrored to full (a,b) form. Per iteration:
+   * products round HALF_UP to 12dp (DuckDB decimal round = Java
+   * HALF_UP: both are half-away-from-zero on the exact value), sums
+   * are exact decimals, magnitude control multiplies by DECIMAL(4,3)
+   * powers of ten. Doubles appear only at the IEEE-deterministic
+   * points (λ division, sqrt, normalization, deflation re-round).
+   * Width proof: y DECIMAL(20,12) (|z| < 10⁸), products ≤
+   * DECIMAL(30,18), Rayleigh terms (13,12)·(10,6)·(13,12) →
+   * DECIMAL(36,30) — nothing promotes to DOUBLE (DuckDB caps at 38).
+   * `AS MATERIALIZED` pins each stage so the chain is linear, not
+   * exponential (the round-5 CTE-inlining gotcha).
+   */
+  private def pcaOracleSql(k: Int, iters: Int): String = {
+    val base =
+      """WITH clean AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  WHERE len(list_filter(embedding, x -> x IS NULL)) = 0
+        |), el AS (
+        |  SELECT vec_id,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS i,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+        |      AS BIGINT) AS q
+        |  FROM clean
+        |), sums AS (
+        |  SELECT a.i AS i, b.i AS j,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(a.q) AS DOUBLE) AS sx,
+        |    CAST(SUM(b.q) AS DOUBLE) AS sy,
+        |    CAST(SUM(a.q * b.q) AS DOUBLE) AS sxy
+        |  FROM el a JOIN el b ON b.vec_id = a.vec_id AND b.i >= a.i
+        |  GROUP BY 1, 2
+        |), cells AS MATERIALIZED (
+        |  SELECT i, j,
+        |    CAST(round(CASE WHEN n >= 2 THEN
+        |      (CAST(n AS DOUBLE) * sxy - sx * sy)
+        |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+        |      / 1000000000000.0 ELSE 0 END, 6) AS DECIMAL(10,6)) AS c
+        |  FROM sums
+        |), m0 AS MATERIALIZED (
+        |  SELECT i AS a, j AS b, c FROM cells
+        |  UNION ALL
+        |  SELECT j AS a, i AS b, c FROM cells WHERE i <> j
+        |), dims AS MATERIALIZED (SELECT DISTINCT a AS i FROM m0)""".stripMargin
+    val comps = (0 until k).map { ci =>
+      val iterCtes = (1 to iters).map { t =>
+        s"""z${ci}_$t AS (
+           |  SELECT m.a AS i, CAST(SUM(round(m.c * x.y, 12)) AS DECIMAL(20,12)) AS z
+           |  FROM m$ci m JOIN x${ci}_${t - 1} x ON x.i = m.b GROUP BY m.a
+           |), mx${ci}_$t AS (SELECT max(abs(z)) AS m FROM z${ci}_$t),
+           |x${ci}_$t AS MATERIALIZED (
+           |  SELECT z.i, CAST(CASE
+           |      WHEN mx.m = 0 THEN x.y
+           |      WHEN mx.m >= 1000 THEN round(z.z * CAST(0.001 AS DECIMAL(4,3)), 12)
+           |      WHEN mx.m < CAST(0.1 AS DECIMAL(2,1)) THEN round(z.z * 1000, 12)
+           |      ELSE z.z END AS DECIMAL(20,12)) AS y
+           |  FROM z${ci}_$t z JOIN x${ci}_${t - 1} x ON x.i = z.i
+           |  CROSS JOIN mx${ci}_$t mx
+           |)""".stripMargin
+      }.mkString(",\n")
+      val deflate =
+        if (ci < k - 1)
+          s""",
+             |m${ci + 1} AS MATERIALIZED (
+             |  SELECT m.a, m.b,
+             |    CAST(round(CAST(m.c AS DOUBLE)
+             |      - (SELECT lam FROM ray$ci) * va.v * vb.v, 6)
+             |      AS DECIMAL(10,6)) AS c
+             |  FROM m$ci m
+             |  JOIN v$ci va ON va.i = m.a
+             |  JOIN v$ci vb ON vb.i = m.b
+             |)""".stripMargin
+        else ""
+      s"""s$ci AS (SELECT a FROM m$ci WHERE a = b ORDER BY c DESC, a LIMIT 1),
+         |x${ci}_0 AS MATERIALIZED (
+         |  SELECT i, CAST(CASE WHEN i = (SELECT a FROM s$ci) THEN 1 ELSE 0 END
+         |    AS DECIMAL(20,12)) AS y
+         |  FROM dims
+         |),
+         |$iterCtes,
+         |fm$ci AS (SELECT max(abs(y)) AS m FROM x${ci}_$iters),
+         |y1_$ci AS MATERIALIZED (
+         |  SELECT i, CAST(round(y * (SELECT CASE
+         |      WHEN m >= 100 THEN CAST(0.001 AS DECIMAL(4,3))
+         |      WHEN m >= 10 THEN CAST(0.010 AS DECIMAL(4,3))
+         |      WHEN m >= 1 THEN CAST(0.100 AS DECIMAL(4,3))
+         |      ELSE CAST(1.000 AS DECIMAL(4,3)) END FROM fm$ci), 12)
+         |    AS DECIMAL(13,12)) AS y
+         |  FROM x${ci}_$iters
+         |),
+         |ray$ci AS (SELECT
+         |    CAST((SELECT SUM(a.y * m.c * b.y)
+         |          FROM m$ci m
+         |          JOIN y1_$ci a ON a.i = m.a
+         |          JOIN y1_$ci b ON b.i = m.b) AS DOUBLE)
+         |  / CAST((SELECT SUM(y * y) FROM y1_$ci) AS DOUBLE) AS lam),
+         |sgn$ci AS (SELECT CASE
+         |    WHEN (SELECT y FROM y1_$ci ORDER BY abs(y) DESC, i LIMIT 1) < 0
+         |    THEN -1.0 ELSE 1.0 END AS s),
+         |nrm$ci AS (SELECT
+         |    sqrt(CAST((SELECT SUM(y * y) FROM y1_$ci) AS DOUBLE)) AS n),
+         |v$ci AS MATERIALIZED (
+         |  SELECT i,
+         |    (CAST(y AS DOUBLE) * (SELECT s FROM sgn$ci))
+         |      / (SELECT n FROM nrm$ci) AS v
+         |  FROM y1_$ci
+         |)$deflate""".stripMargin
+    }.mkString(",\n")
+    val unions = (0 until k).map { ci =>
+      s"""  SELECT $ci AS component, CAST(i AS INT) AS dim,
+         |    round((SELECT lam FROM ray$ci), 6) + 0.0 AS eigenvalue,
+         |    round(v, 6) + 0.0 AS loading
+         |  FROM v$ci""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""$base,
+       |$comps
+       |SELECT component, dim, eigenvalue, loading FROM (
+       |$unions
+       |)
+       |ORDER BY component, dim""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact content dedup: one shuffle on md5(text), keep min doc_id.
     "q15_exact_dedup" -> ((s, dir) => {
@@ -1111,6 +1238,28 @@ object PipelineQueries {
       graft.operators.Similarity.embeddingMoments(
           t(s, dir, "embeddings"), "embedding")
         .orderBy("dim_i", "dim_j")
+    }),
+
+    // V14 (round 9): quantized power-iteration PCA gains a driver
+    // gate — every arithmetic step of Similarity.principalComponents
+    // is exact decimal or bit-deterministic IEEE, so the DuckDB
+    // oracle REPLAYS all k·iters eigensolve iterations as a generated
+    // CTE chain over the q167 covariance and must match hash-exact.
+    // The corpus is touched only by the one-pass moments kernel; the
+    // eigensolve is O(d²·iters) driver arithmetic (V8 matrix
+    // round-trip contract).
+    "q195_pca_components" -> ((s, dir) => {
+      val pcs = Similarity.principalComponents(
+        t(s, dir, "embeddings"), "embedding", k = 3, iters = 20)
+      def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+      import s.implicits._
+      pcs.zipWithIndex.flatMap { case ((lambda, vec), ci) =>
+        vec.zipWithIndex.map { case (v, di) =>
+          (ci, di, r6(lambda), r6(v))
+        }
+      }.toDF("component", "dim", "eigenvalue", "loading")
+        .orderBy("component", "dim")
     }),
 
     // Same scorer at a different shape: m = 12, multi-decimal pattern
@@ -3160,6 +3309,10 @@ object PipelineQueries {
         |           * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) + 0.0
         |    END AS corr
         |FROM sums ORDER BY dim_i, dim_j""".stripMargin,
+
+    // Generated CTE chain replaying the quantized eigensolve — see
+    // pcaOracleSql; parameters MUST match the q195 query entry.
+    "q195_pca_components" -> pcaOracleSql(k = 3, iters = 20),
 
     "q169_hybrid_rrf" ->
       """WITH tf AS (
