@@ -956,10 +956,15 @@ object RelationalQueries {
     // text writer's trailing newline). Any content mangling, file
     // merge/split, or glob miss hash-fails. Scale note: per-doc files
     // exercise the INGEST path (reading existing binary assets); the
-    // write here is only the fixture generator.
+    // write here is only the fixture generator, and it keeps a
+    // deterministic 1-in-20 slice — one-file-per-row dynamic
+    // partitioning costs a directory+commit per file (70 s for 5000
+    // files on local FS), and 250 files prove the round-trip just as
+    // hard as 5000.
     "q157_binary_ingest" -> ((s, dir) => {
       val dest = scratchDir("layout_q157").toString
       t(s, dir, "documents")
+        .where(col("doc_id") % 20 === 0)
         .select(col("text"), col("doc_id"))
         .write.mode("overwrite").partitionBy("doc_id").text(dest)
       graft.sources.FormatSources.readBinaryFiles(s, dest, glob = "*.txt")
@@ -2276,7 +2281,7 @@ object RelationalQueries {
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) + 1 AS BIGINT) AS n_bytes,
         |  md5(text || chr(10)) AS digest
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |FROM documents WHERE doc_id % 20 = 0 ORDER BY doc_id""".stripMargin,
 
     "q134_orc_roundtrip" ->
       """SELECT o_orderstatus,
