@@ -256,6 +256,95 @@ object Quality {
    *
    * Output: long format — (keyCol, quantile, value, total_weight).
    */
+  /**
+   * EXACT distributed AUC (Mann–Whitney rank-sum form) of a score
+   * against a boolean label — the discrimination audit run before
+   * trusting a quality/toxicity classifier as a corpus filter.
+   *
+   * Pair form: AUC = (#{s⁺>s⁻} + ½·#{s⁺=s⁻}) / (n⁺·n⁻), computed
+   * WITHOUT pair enumeration or a corpus-wide ranking window: rows
+   * group by distinct score, one ordered pass over the score-level
+   * frame accumulates 2·np(s)·cumNeg(s) + np(s)·nn(s) (doubling makes
+   * the tie half-credit INTEGRAL — the whole numerator is an exact
+   * DECIMAL(38,0) count), and the single final division is one IEEE
+   * op, round(6) at the boundary.
+   *
+   * Scale contract: `scoreCol` must be a QUANTIZED score (e.g. the
+   * text-quality family's round(…,6) outputs) — distinct scores are
+   * then grid-bounded (≤10⁶+1 for a 6dp score in [0,1]), so the
+   * ordered pass is the bounded-domain window exception, never a
+   * corpus-cardinality sort; the corpus itself is touched by ONE
+   * partial-aggregated groupBy.
+   *
+   * Output: one row (n_pos, n_neg, auc); auc NULL when either class
+   * is empty.
+   */
+  def aucScore(
+      df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val g = df
+      .where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(scoreCol).as("__s"))
+      .agg(
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("__np"),
+        sum(when(col(labelCol), 0L).otherwise(1L)).as("__nn"))
+    // Bounded-domain window (see scaladoc): strictly-below negatives.
+    val w = Window.orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("__cumneg", coalesce(sum(col("__nn")).over(w), lit(0L)))
+      .agg(
+        sum(col("__np")).as("n_pos"),
+        sum(col("__nn")).as("n_neg"),
+        sum(col("__np").cast(dec) * 2 * col("__cumneg") +
+          col("__np").cast(dec) * col("__nn")).as("__s2"))
+      .select(
+        col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round(col("__s2").cast("double") /
+            (lit(2.0) * col("n_pos") * col("n_neg")), 6)).as("auc"))
+  }
+
+  /**
+   * Calibration report for a [0,1] score against a boolean label —
+   * the reliability-diagram table (per-bin confidence vs observed
+   * rate) whose n-weighted `gap` sum is the expected calibration
+   * error. The audit that says whether a quality score's 0.9 MEANS
+   * 90% — run before using scores as sampling weights or thresholds.
+   *
+   * Determinism: bin = min(floor(score·bins), bins−1) on the
+   * quantized score; per-bin score mass accumulates in exact
+   * DECIMAL(18,6) (scores are 6dp — the cast is exact), means/rates
+   * are single IEEE divisions of exact operands, and `gap` subtracts
+   * the RAW (unrounded) operands before its own round(6).
+   *
+   * Scale: one partial-aggregated groupBy over ≤ `bins` groups.
+   * Output: (bin, n, n_pos, mean_score, pos_rate, gap), bin
+   * ascending; empty bins are absent (their ECE weight is zero).
+   */
+  def calibrationReport(
+      df: DataFrame, scoreCol: String, labelCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    import org.apache.spark.sql.types.DecimalType
+    val bin = least(floor(col(scoreCol) * bins), lit(bins - 1L)).cast("int")
+    val meanRaw = col("__ssum").cast("double") / col("n")
+    val rateRaw = col("n_pos").cast("double") / col("n")
+    df.where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("n_pos"),
+        sum(col(scoreCol).cast(DecimalType(18, 6))).as("__ssum"))
+      .select(
+        col("bin"), col("n"), col("n_pos"),
+        round(meanRaw, 6).as("mean_score"),
+        round(rateRaw, 6).as("pos_rate"),
+        round(abs(meanRaw - rateRaw), 6).as("gap"))
+      .orderBy("bin")
+  }
+
   def weightedQuantiles(
       df: DataFrame, keyCol: String, valCol: String, weightCol: String,
       quantiles: Seq[Double]): DataFrame = {

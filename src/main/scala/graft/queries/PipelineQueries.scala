@@ -159,6 +159,23 @@ object PipelineQueries {
        |ORDER BY component, dim""".stripMargin
   }
 
+  /** Shared q196/q197 input: every document scored with EXACTLY the
+    * q23 composite quality (round-6, so scores sit on the 6dp grid
+    * the AUC scale contract requires) and labeled `lang = 'en'` —
+    * the "does the heuristic score actually find English-quality
+    * text" evaluation frame. Single source — the q196/q197 oracles
+    * replicate the q23 oracle's expressions verbatim. */
+  private def qualityScored(s: SparkSession, dir: String): DataFrame = {
+    val nTok = TextAnalysis.tokenCount(col("text"))
+    val ttr = TextAnalysis.typeTokenRatio(col("text"))
+    val stopRatio = TextAnalysis.vocabHits(
+      col("text"), Seq("the", "a", "of", "and", "is", "to"))
+      .cast("double") / nTok
+    t(s, dir, "documents").select(
+      round(ttr * 0.5 + (lit(1.0) - stopRatio) * 0.5, 6).as("quality"),
+      (col("lang") === "en").as("is_en"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact content dedup: one shuffle on md5(text), keep min doc_id.
     "q15_exact_dedup" -> ((s, dir) => {
@@ -1260,6 +1277,23 @@ object PipelineQueries {
         }
       }.toDF("component", "dim", "eigenvalue", "loading")
         .orderBy("component", "dim")
+    }),
+
+    // E16 (round 9): exact distributed AUC of the q23 quality score
+    // against an English label — does the score DISCRIMINATE? The
+    // Mann–Whitney rank-sum runs on the score-level grouped frame
+    // (6dp grid-bounded), integer-exact numerator, one IEEE division.
+    "q196_score_auc" -> ((s, dir) => {
+      graft.operators.Quality.aucScore(
+        qualityScored(s, dir), "quality", "is_en")
+    }),
+
+    // E17 (round 9): calibration report (reliability-diagram table)
+    // for the same score/label — does 0.9 MEAN 90%? Ten bins, exact
+    // decimal score mass, per-bin confidence-vs-rate gap.
+    "q197_calibration" -> ((s, dir) => {
+      graft.operators.Quality.calibrationReport(
+        qualityScored(s, dir), "quality", "is_en", bins = 10)
     }),
 
     // Same scorer at a different shape: m = 12, multi-decimal pattern
@@ -3313,6 +3347,63 @@ object PipelineQueries {
     // Generated CTE chain replaying the quantized eigensolve — see
     // pcaOracleSql; parameters MUST match the q195 query entry.
     "q195_pca_components" -> pcaOracleSql(k = 3, iters = 20),
+
+    // Mann–Whitney rank-sum on the score-level frame; doubled
+    // numerator keeps the tie half-credit integral (exact DECIMAL
+    // counts end to end, one final IEEE division).
+    "q196_score_auc" ->
+      """WITH f AS (
+        |  SELECT
+        |    round((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |           / len(string_split(text, ' '))) * 0.5
+        |      + (1.0 - CAST(len(list_filter(string_split(text, ' '),
+        |           t -> list_contains(['the','a','of','and','is','to'], t)))
+        |           AS DOUBLE) / len(string_split(text, ' '))) * 0.5, 6) AS q,
+        |    (lang = 'en') AS pos
+        |  FROM documents
+        |), g AS (
+        |  SELECT q AS s,
+        |    CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np,
+        |    CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS nn
+        |  FROM f GROUP BY q
+        |), o AS (
+        |  SELECT np, nn,
+        |    COALESCE(SUM(nn) OVER (ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg
+        |  FROM g
+        |)
+        |SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+        |  CAST(SUM(nn) AS BIGINT) AS n_neg,
+        |  CASE WHEN SUM(np) > 0 AND SUM(nn) > 0 THEN
+        |    round(CAST(SUM(CAST(np AS DECIMAL(38,0)) * 2 * cumneg
+        |                   + CAST(np AS DECIMAL(38,0)) * nn) AS DOUBLE)
+        |      / (2.0 * SUM(np) * SUM(nn)), 6) END AS auc
+        |FROM o""".stripMargin,
+
+    // Ten-bin reliability table; per-bin score mass in exact
+    // DECIMAL(18,6), gap subtracts RAW means before its round(6).
+    "q197_calibration" ->
+      """WITH f AS (
+        |  SELECT
+        |    round((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |           / len(string_split(text, ' '))) * 0.5
+        |      + (1.0 - CAST(len(list_filter(string_split(text, ' '),
+        |           t -> list_contains(['the','a','of','and','is','to'], t)))
+        |           AS DOUBLE) / len(string_split(text, ' '))) * 0.5, 6) AS q,
+        |    (lang = 'en') AS pos
+        |  FROM documents
+        |)
+        |SELECT CAST(least(floor(q * 10), 9) AS INT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  round(CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+        |    AS mean_score,
+        |  round(CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS pos_rate,
+        |  round(abs(CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+        |    - CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / count(*)), 6) AS gap
+        |FROM f GROUP BY 1 ORDER BY bin""".stripMargin,
 
     "q169_hybrid_rrf" ->
       """WITH tf AS (

@@ -295,4 +295,41 @@ class QualitySpec extends AnyFunSuite {
     assert(fd._4 !== f0._4)
     assert(fd._2 === 5L)
   }
+
+  test("aucScore: hand-computed rank-sum with ties; degenerate classes NULL") {
+    // scores: pos {0.9, 0.7, 0.5}, neg {0.7, 0.3, 0.1}
+    // pairs (pos, neg): 9 total; pos>neg: 0.9>all(3), 0.7>{0.3,0.1}=2,
+    // 0.5>{0.3,0.1}=2 -> 7; ties: (0.7, 0.7) -> 1 half-credit.
+    // AUC = (7 + 0.5) / 9 = 0.833333
+    val df = Seq(
+      (0.9, true), (0.7, true), (0.5, true),
+      (0.7, false), (0.3, false), (0.1, false)
+    ).toDF("score", "label")
+    val r = Quality.aucScore(df, "score", "label")
+      .as[(Long, Long, Option[Double])].collect().head
+    assert(r === ((3L, 3L, Some(0.833333))))
+    // perfect separation -> 1.0; inverted -> 0.0
+    val perfect = Seq((0.9, true), (0.8, true), (0.2, false))
+      .toDF("score", "label")
+    assert(Quality.aucScore(perfect, "score", "label")
+      .as[(Long, Long, Option[Double])].collect().head._3 === Some(1.0))
+    // one class empty -> NULL auc
+    val onlyPos = Seq((0.9, true), (0.8, true)).toDF("score", "label")
+    assert(Quality.aucScore(onlyPos, "score", "label")
+      .as[(Long, Long, Option[Double])].collect().head === ((2L, 0L, None)))
+  }
+
+  test("calibrationReport: bin edges, exact means, gap; score=1.0 lands in the top bin") {
+    val df = Seq(
+      (0.05, false), (0.05, true),   // bin 0: n=2, pos=1, mean 0.05, rate 0.5
+      (0.95, true), (1.0, true),     // bin 9 (1.0 clamps): mean 0.975, rate 1.0
+      (0.55, false)                  // bin 5: rate 0
+    ).toDF("score", "label")
+    val rows = Quality.calibrationReport(df, "score", "label", bins = 10)
+      .as[(Int, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(rows === Seq(
+      (0, 2L, 1L, 0.05, 0.5, 0.45),
+      (5, 1L, 0L, 0.55, 0.0, 0.55),
+      (9, 2L, 2L, 0.975, 1.0, 0.025)))
+  }
 }
