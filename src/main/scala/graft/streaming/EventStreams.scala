@@ -474,6 +474,16 @@ object EventStreams extends Serializable {
    * streamingExactDedup trade. Keys are composite-encoded by the
    * caller (concat) — the natural key is (device, event_type), whose
    * cardinality is bounded.
+   *
+   * OUT-OF-ORDER contract (round 9, pinned in EventStreamsSpec —
+   * the sessionize regimes, plus the representative rule): a
+   * within-watermark straggler CONNECTED to the open burst joins it,
+   * extending the span and, when its (ts, tie) precedes the kept
+   * representative, TAKING OVER keptTie — the row a batch re-run
+   * would elect; disconnected-below straggler runs close immediately
+   * as their own bursts; sub-watermark rows drop. burst_seq assigns
+   * at CLOSE (emission order) — identical numbering for in-order
+   * sources, gap-free and monotone under late data.
    */
   def streamingDebounce(
       events: DataFrame,
@@ -485,9 +495,6 @@ object EventStreams extends Serializable {
     val spark = events.sparkSession
     import spark.implicits._
     val windowUs = windowSeconds * 1000000L
-
-    def close(key: String, s: DebounceState): Burst =
-      Burst(key, s.seq, s.keptTie, toTs(s.firstUs), toTs(s.lastUs), s.n)
 
     // Project/cast BEFORE the watermark (see sessionize).
     val typed = events
@@ -506,22 +513,64 @@ object EventStreams extends Serializable {
             state: GroupState[DebounceState]) =>
           if (state.hasTimedOut) {
             val s = state.get
-            state.update(s.copy(hasOpen = false))
-            if (s.hasOpen) Iterator(close(key, s)) else Iterator.empty
+            if (s.hasOpen) {
+              // burst_seq assigns at CLOSE (emission order) — for
+              // in-order sources bursts close in open order, so the
+              // numbering is unchanged; under late data it stays
+              // gap-free and monotone per key.
+              state.update(s.copy(seq = s.seq + 1, hasOpen = false))
+              Iterator(Burst(key, s.seq + 1, s.keptTie,
+                toTs(s.firstUs), toTs(s.lastUs), s.n))
+            } else {
+              state.update(s.copy(hasOpen = false))
+              Iterator.empty
+            }
           } else {
             val sorted = rows.toSeq
               .map { case (_, ts, tie) => (toUs(ts), tie) }.sorted
             var st = state.getOption
               .getOrElse(DebounceState(0L, 0L, 0L, 0L, 0L, hasOpen = false))
             val out = Seq.newBuilder[Burst]
+            var seqCtr = st.seq
+            def emit(first: Long, last: Long, tie: Long, n: Long): Unit = {
+              seqCtr += 1
+              out += Burst(key, seqCtr, tie, toTs(first), toTs(last), n)
+            }
+            // Same three late-data regimes as sessionize (see its
+            // scaladoc): bounds fixed at batch start.
+            val floorUs = if (st.hasOpen) Some(st.firstUs - windowUs) else None
+            var below: Option[DebounceState] = None
             sorted.foreach { case (t, tie) =>
-              if (st.hasOpen && t - st.lastUs <= windowUs)
-                st = st.copy(lastUs = math.max(st.lastUs, t), n = st.n + 1)
-              else {
-                if (st.hasOpen) out += close(key, st)
-                st = DebounceState(st.seq + 1, t, t, tie, 1L, hasOpen = true)
+              if (st.hasOpen && floorUs.exists(t < _)) {
+                // disconnected below the open burst: chain straggler
+                // runs by the same window rule, emit each run closed
+                below match {
+                  case Some(b) if t - b.lastUs <= windowUs =>
+                    below = Some(b.copy(lastUs = t, n = b.n + 1))
+                  case Some(b) =>
+                    emit(b.firstUs, b.lastUs, b.keptTie, b.n)
+                    below = Some(DebounceState(0L, t, t, tie, 1L, hasOpen = true))
+                  case None =>
+                    below = Some(DebounceState(0L, t, t, tie, 1L, hasOpen = true))
+                }
+              } else if (st.hasOpen && t - st.lastUs <= windowUs) {
+                // connected: extend the span; a (ts, tie) below the
+                // kept representative takes over — the row a batch
+                // re-run would elect as the burst's first event
+                val repl = t < st.firstUs ||
+                  (t == st.firstUs && tie < st.keptTie)
+                st = st.copy(
+                  firstUs = math.min(st.firstUs, t),
+                  lastUs = math.max(st.lastUs, t),
+                  keptTie = if (repl) tie else st.keptTie,
+                  n = st.n + 1)
+              } else {
+                if (st.hasOpen) emit(st.firstUs, st.lastUs, st.keptTie, st.n)
+                st = DebounceState(0L, t, t, tie, 1L, hasOpen = true)
               }
             }
+            below.foreach(b => emit(b.firstUs, b.lastUs, b.keptTie, b.n))
+            st = st.copy(seq = seqCtr)
             state.update(st)
             if (st.hasOpen)
               // Round the µs deadline UP to ms so the burst can't

@@ -779,4 +779,78 @@ class EventStreamsSpec extends AnyFunSuite {
         s"batch twin over sorted event time finds both: $batchTies")
     } finally q.stop()
   }
+
+  test("streamingDebounce under late arrivals: connected stragglers extend " +
+      "the burst and can take over the representative; disconnected close alone") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Timestamp, Long)]
+    val bursts = EventStreams.streamingDebounce(
+      input.toDF.toDF("key", "ts", "event_id"),
+      "key", "ts", "event_id",
+      windowSeconds = 10, watermarkDelay = "60 seconds")
+    val q = bursts.writeStream
+      .format("memory").queryName("late_bursts").outputMode("append").start()
+    try {
+      // Batch 1: open burst [100, 104], representative event 11.
+      input.addData(("a", ts(100), 11L), ("a", ts(104), 12L))
+      q.processAllAvailable()
+      // Batch 2 stragglers: 96 is CONNECTED and earlier than the kept
+      // representative -> takes over keptTie (what a batch re-run
+      // elects); 70/75 are a DISCONNECTED run -> immediate burst with
+      // the next emission seq.
+      input.addData(("a", ts(96), 10L), ("a", ts(70), 8L), ("a", ts(75), 9L))
+      q.processAllAvailable()
+      val afterLate = spark.table("late_bursts")
+        .as[graft.streaming.Burst].collect()
+      assert(afterLate.toSeq ===
+        Seq(graft.streaming.Burst("a", 1L, 8L, ts(70), ts(75), 2L)),
+        s"disconnected straggler run must close alone: ${afterLate.toSeq}")
+      // Time out the open burst: span [96, 104], representative 10
+      // (the connected straggler), close-time seq = 2.
+      input.addData(("b", ts(500), 99L)); q.processAllAvailable()
+      input.addData(("b", ts(600), 98L)); q.processAllAvailable()
+      val main = spark.table("late_bursts")
+        .as[graft.streaming.Burst].collect()
+        .find(b => b.key == "a" && b.nEvents == 3)
+      assert(main.isDefined, "open burst must absorb the connected straggler")
+      assert(main.get.keptTie === 10L,
+        s"earlier (ts, tie) straggler must take over the representative: $main")
+      assert(main.get.firstTs === ts(96) && main.get.lastTs === ts(104))
+      assert(main.get.burstSeq === 2L, "burst_seq assigns in emission order")
+    } finally q.stop()
+  }
+
+  test("streamingRollingZScore scores cross-batch stragglers at arrival " +
+      "position (documented ring semantics)") {
+    // lookback=2: each point scores against the two ARRIVED-before
+    // values. The straggler (event-time 3rd, arriving last) scores
+    // against {20, 30} — the as-arrived frame — and emitted rows are
+    // never revised.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, Double)]
+    val scored = EventStreams.streamingRollingZScore(
+      input.toDF.toDF("key", "ts", "event_id", "value"),
+      "key", "ts", "event_id", "value", lookback = 2, threshold = 3.0)
+    val q = scored.writeStream
+      .format("memory").queryName("late_z").outputMode("append").start()
+    try {
+      input.addData((1L, ts(1), 1L, 10.0), (1L, ts(2), 2L, 20.0),
+        (1L, ts(4), 4L, 30.0))
+      q.processAllAvailable()
+      input.addData((1L, ts(3), 3L, 25.0)) // event-time straggler
+      q.processAllAvailable()
+      val rows = spark.table("late_z")
+        .as[graft.streaming.ZScored].collect()
+        .map(r => r.ts -> (r.nPrev, r.z)).toMap
+      // in-batch: 10 warms, 20 warms, 30 scores vs {10, 20}
+      assert(rows(ts(1))._1 === 0 && rows(ts(1))._2.isEmpty)
+      assert(rows(ts(2))._1 === 1 && rows(ts(2))._2.isEmpty)
+      assert(rows(ts(4))._2.isDefined)
+      // straggler scores vs the ARRIVED frame {20, 30}: mean 25,
+      // std 5, z = (25-25)/5 = 0 — NOT vs its event-time frame
+      // {10, 20} (which would give z = (25-15)/5 = 2)
+      assert(rows(ts(3)) === ((2, Some(0.0))),
+        s"straggler must score against the as-arrived frame: ${rows(ts(3))}")
+    } finally q.stop()
+  }
 }
