@@ -820,6 +820,15 @@ object EventStreams extends Serializable {
    * (EventStreamsSpec parity across micro-batch splits; the batch
    * fold itself is DuckDB-pinned by q184 — the q160/q161 twin
    * program).
+   *
+   * OUT-OF-ORDER contract (round 9, pinned in EventStreamsSpec): a
+   * cross-batch straggler conversion attributes over the buffer
+   * CLIPPED to its own closed window's upper bound — never to
+   * touches newer than itself — and sees touches the buffer still
+   * holds; touches already evicted by a newer event's threshold are
+   * gone (the price of O(density·lookback) state). A late TOUCH
+   * joins the buffer and serves later conversions, but already
+   * emitted conversions are never revised (append mode).
    */
   def streamingAttribution(
       events: DataFrame,
@@ -879,9 +888,20 @@ object EventStreams extends Serializable {
             // touch entry is in the RANGE frame) — an if/else here
             // would silently emit nothing
             sorted.slice(i, j).foreach { case (_, t, id, typ, v) =>
-              if (typ == conversionType) out += Attributed(
-                key, t, id, v, buf.minOption.map(_._2),
-                buf.maxOption.map(_._2))
+              if (typ == conversionType) {
+                // Closed-window UPPER bound at emission: a cross-batch
+                // straggler conversion must not attribute to touches
+                // NEWER than itself (the buffer can hold them; the
+                // batch frame [t−L, t] excludes them). In-order
+                // sources never hit the filter. The symmetric
+                // residual stays: touches older than a previous
+                // batch's eviction threshold are gone — the price of
+                // O(density·lookback) state (documented).
+                val frame = buf.filter(_._1 <= us)
+                out += Attributed(
+                  key, t, id, v, frame.minOption.map(_._2),
+                  frame.maxOption.map(_._2))
+              }
             }
             i = j
           }

@@ -853,4 +853,34 @@ class EventStreamsSpec extends AnyFunSuite {
         s"straggler must score against the as-arrived frame: ${rows(ts(3))}")
     } finally q.stop()
   }
+
+  test("streamingAttribution: a straggler conversion never attributes to " +
+      "touches newer than itself") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val attributed = EventStreams.streamingAttribution(
+      input.toDF.toDF("user_id", "ts", "event_id", "event_type", "value"),
+      "user_id", "ts", "event_id", "event_type", "value",
+      conversionType = "purchase", touchTypes = Seq("view"),
+      lookbackSeconds = 100)
+    val q = attributed.writeStream
+      .format("memory").queryName("late_attr").outputMode("append").start()
+    try {
+      // Batch 1: touches at 10 and 50 (buffered, no conversion yet).
+      input.addData(
+        (1L, ts(10), 1L, "view", 0.0), (1L, ts(50), 2L, "view", 0.0))
+      q.processAllAvailable()
+      // Batch 2: straggler conversion at 30 — its closed window
+      // [−70, 30] holds ONLY the touch at 10; the buffered touch at
+      // 50 is in the straggler's FUTURE and must not attribute.
+      input.addData((1L, ts(30), 3L, "purchase", 9.0))
+      q.processAllAvailable()
+      val r = spark.table("late_attr")
+        .as[graft.streaming.Attributed].collect().toSeq
+      assert(r.length === 1)
+      assert(r.head.firstTouchId === Some(1L) &&
+        r.head.lastTouchId === Some(1L),
+        s"future touch must be outside the straggler's frame: $r")
+    } finally q.stop()
+  }
 }
