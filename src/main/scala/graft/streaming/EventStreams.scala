@@ -892,12 +892,17 @@ object EventStreams extends Serializable {
                 // Closed-window UPPER bound at emission: a cross-batch
                 // straggler conversion must not attribute to touches
                 // NEWER than itself (the buffer can hold them; the
-                // batch frame [t−L, t] excludes them). In-order
-                // sources never hit the filter. The symmetric
+                // batch frame [t−L, t] excludes them). Straggler
+                // batches can leave the buffer UNSORTED, so the
+                // newer-touch probe is an explicit scan — allocation-
+                // free on the in-order path (every batch-mode row),
+                // where it finds nothing newer. The symmetric
                 // residual stays: touches older than a previous
                 // batch's eviction threshold are gone — the price of
                 // O(density·lookback) state (documented).
-                val frame = buf.filter(_._1 <= us)
+                val frame =
+                  if (buf.exists(_._1 > us)) buf.filter(_._1 <= us)
+                  else buf
                 out += Attributed(
                   key, t, id, v, frame.minOption.map(_._2),
                   frame.maxOption.map(_._2))
