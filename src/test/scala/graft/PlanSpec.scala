@@ -392,4 +392,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       s"nothing may shuffle-join at cell cardinality:\n$p")
   }
+
+  test("q196: the AUC rank pass runs over the AGGREGATED score frame, " +
+      "never the corpus") {
+    // The un-partitioned cumulative window is the documented
+    // bounded-DOMAIN exception (6dp scores in [0,1] → ≤ 1e6+1 keys):
+    // it must sit ABOVE a HashAggregate that collapsed the corpus to
+    // distinct scores — a window whose child scans documents directly
+    // would sort corpus-cardinality rows through one task.
+    val p = plan("q196_score_auc")
+    val lines = p.linesIterator.toVector
+    val wIdx = lines.indexWhere(_.contains("Window"))
+    assert(wIdx >= 0, s"expected the cumulative-negatives window:\n$p")
+    assert(lines.drop(wIdx).exists(_.contains("HashAggregate")),
+      s"the window's input must be the grouped score frame:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q197: calibration is one corpus scan into a <=bins-group aggregate") {
+    val p = plan("q197_calibration")
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans === 1, s"one-pass report, saw $scans scans:\n$p")
+    assert(!p.contains("WindowExec"), "no window needed for binning")
+  }
 }
