@@ -1175,6 +1175,15 @@ object Similarity {
    * ADC approximation of ‖probe − vec‖²; audit recall against
    * [[cosineTopK]] (or exact L2) before deploying, exactly like the
    * IVF and truncation audits.
+   *
+   * Determinism contract (round 9, the q199 gate): the per-probe
+   * table entries quantize HALF_UP to 6dp and the m-lookup score
+   * sums in exact DECIMAL(18,6) — vectors sharing the same codes get
+   * EXACTLY equal scores, so the (score, id) rank tie-break is
+   * engine-independent (a raw double fold gives ulp-different sums
+   * for identical lookups under different fold orders, silently
+   * shuffling equal-code neighbors). ADC is a ≥1e-2-scale
+   * approximation; 6dp quantization is far inside its noise floor.
    */
   def pqAdcTopK(
       encoded: DataFrame, idCol: String, codesCol: String,
@@ -1196,16 +1205,20 @@ object Similarity {
           d2 += diff * diff
           j += 1
         }
-        d2
+        java.math.BigDecimal.valueOf(d2)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
       }
       (pid, flat)
     }
     val spark = encoded.sparkSession
     import spark.implicits._
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
     val probeDf = probeRows.toDF("probe_id", "__tab")
+    // Each lookup is the nearest double of a 6dp decimal — the cast
+    // recovers that decimal exactly; the sum is then exact.
     val adc = (0 until m)
       .map(s => element_at(col("__tab"),
-        lit(s * kCb) + element_at(col(codesCol), s + 1) + lit(1)))
+        lit(s * kCb) + element_at(col(codesCol), s + 1) + lit(1)).cast(dec6))
       .reduce(_ + _)
     val w = Window.partitionBy("probe_id")
       .orderBy(col("__adc").asc, col(idCol).asc)
@@ -1215,7 +1228,7 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("probe_id"), col(idCol).as("vec_id"), col("rank"),
-        col("__adc").as("adc_dist"))
+        col("__adc").cast("double").as("adc_dist"))
   }
 
   /**

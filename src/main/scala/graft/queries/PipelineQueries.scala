@@ -159,6 +159,23 @@ object PipelineQueries {
        |ORDER BY component, dim""".stripMargin
   }
 
+  /** Seed PQ codebooks for q198/q199: subspace `s`'s entries are the
+    * 4 lowest-vec_id vectors' s-th subvectors — deterministic and
+    * DuckDB-expressible (row_number over vec_id LIMIT 4), the q31
+    * ivfSeeds pattern. Float components convert to double exactly,
+    * so both engines hold identical codebook values. */
+  private def pqSeedCodebooks(
+      s: SparkSession, dir: String, m: Int): Seq[Seq[Seq[Double]]] = {
+    val seeds = t(s, dir, "embeddings")
+      .orderBy("vec_id").limit(4).select("vec_id", "embedding").collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    val d = seeds.head.length
+    require(d % m == 0, s"dims $d must divide into m=$m subspaces")
+    val sub = d / m
+    (0 until m).map(si => seeds.map(v => v.slice(si * sub, (si + 1) * sub)))
+  }
+
   /** Shared q196/q197 input: every document scored with EXACTLY the
     * q23 composite quality (round-6, so scores sit on the 6dp grid
     * the AUC scale contract requires) and labeled `lang = 'en'` —
@@ -1277,6 +1294,40 @@ object PipelineQueries {
         }
       }.toDF("component", "dim", "eigenvalue", "loading")
         .orderBy("component", "dim")
+    }),
+
+    // V17 gate #1 (round 9): PQ ENCODE becomes driver-verified with
+    // SEED codebooks — the q31 ivfSeeds pattern: codebook entries are
+    // the 4 lowest-id vectors' subvectors (oracle-expressible, no
+    // Lloyd's replay needed), so the min-L2 argmin projection, tie
+    // rule, and subspace slicing are all hash-gated. Lloyd's TRAINING
+    // stays spec-covered (the documented driver-matrix contract).
+    // Codes render as a string (the q189 cross-engine array rule).
+    "q198_pq_codes" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cbs = pqSeedCodebooks(s, dir, m = 4)
+      Similarity.pqEncode(e, "vec_id", "embedding", cbs)
+        .select(col("vec_id"),
+          concat_ws(",", col("codes")).as("codes"))
+        .orderBy("vec_id")
+    }),
+
+    // V17 gate #2 (round 9): ADC top-k over the seed-codebook codes —
+    // the per-probe (m×k) distance table computes driver-side and
+    // broadcasts (m lookups per row), ranking on the bounded window
+    // shape; probes are vec_ids 4..6 (disjoint from the codebook
+    // seeds so distances are non-trivial).
+    "q199_pq_adc" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cbs = pqSeedCodebooks(s, dir, m = 4)
+      val probes = e.where(col("vec_id") >= 4 && col("vec_id") < 7)
+        .orderBy("vec_id").select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0),
+          r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
+      val enc = Similarity.pqEncode(e, "vec_id", "embedding", cbs)
+      Similarity.pqAdcTopK(enc, "vec_id", "codes", cbs, probes, k = 5)
+        .withColumn("adc_dist", round(col("adc_dist"), 6))
+        .orderBy("probe_id", "rank")
     }),
 
     // E16 (round 9): exact distributed AUC of the q23 quality score
@@ -3347,6 +3398,100 @@ object PipelineQueries {
     // Generated CTE chain replaying the quantized eigensolve — see
     // pcaOracleSql; parameters MUST match the q195 query entry.
     "q195_pca_components" -> pcaOracleSql(k = 3, iters = 20),
+
+    // Seed-codebook PQ encode replay: subspace codebooks from the 4
+    // lowest-id vectors, min-L2 argmin (norm − 2·dot form, ties →
+    // lowest code), codes rendered as strings.
+    "q198_pq_codes" ->
+      """WITH dims AS (
+        |  SELECT CAST(len(embedding) // 4 AS INT) AS sub
+        |  FROM embeddings ORDER BY vec_id LIMIT 1
+        |), el AS (
+        |  SELECT vec_id, CAST(generate_subscripts(embedding,1)-1 AS INT) AS d,
+        |         CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings
+        |), seeds AS (
+        |  SELECT vec_id AS sid,
+        |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+        |  FROM embeddings ORDER BY vec_id LIMIT 4
+        |), cb AS (
+        |  SELECT CAST(e.d // (SELECT sub FROM dims) AS INT) AS s, sd.code,
+        |         CAST(e.d % (SELECT sub FROM dims) AS INT) AS j, e.x AS c
+        |  FROM el e JOIN seeds sd ON e.vec_id = sd.sid
+        |), vd AS (
+        |  SELECT v.vec_id, b.s, b.code,
+        |    SUM(b.c * b.c) - 2.0 * SUM(v.x * b.c) AS dist
+        |  FROM el v
+        |  JOIN cb b ON b.s = v.d // (SELECT sub FROM dims)
+        |           AND b.j = v.d % (SELECT sub FROM dims)
+        |  GROUP BY 1, 2, 3
+        |), best AS (
+        |  SELECT vec_id, s, code,
+        |    row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, code)
+        |      AS rn
+        |  FROM vd
+        |)
+        |SELECT vec_id, string_agg(CAST(code AS VARCHAR), ',' ORDER BY s)
+        |  AS codes
+        |FROM best WHERE rn = 1
+        |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    // ADC top-k replay over the same seed codebooks: per-probe
+    // subspace distance table + m lookups per vector, rank by
+    // (adc, vec_id).
+    "q199_pq_adc" ->
+      """WITH dims AS (
+        |  SELECT CAST(len(embedding) // 4 AS INT) AS sub
+        |  FROM embeddings ORDER BY vec_id LIMIT 1
+        |), el AS (
+        |  SELECT vec_id, CAST(generate_subscripts(embedding,1)-1 AS INT) AS d,
+        |         CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings
+        |), seeds AS (
+        |  SELECT vec_id AS sid,
+        |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+        |  FROM embeddings ORDER BY vec_id LIMIT 4
+        |), cb AS (
+        |  SELECT CAST(e.d // (SELECT sub FROM dims) AS INT) AS s, sd.code,
+        |         CAST(e.d % (SELECT sub FROM dims) AS INT) AS j, e.x AS c
+        |  FROM el e JOIN seeds sd ON e.vec_id = sd.sid
+        |), vd AS (
+        |  SELECT v.vec_id, b.s, b.code,
+        |    SUM(b.c * b.c) - 2.0 * SUM(v.x * b.c) AS dist
+        |  FROM el v
+        |  JOIN cb b ON b.s = v.d // (SELECT sub FROM dims)
+        |           AND b.j = v.d % (SELECT sub FROM dims)
+        |  GROUP BY 1, 2, 3
+        |), codes AS (
+        |  SELECT vec_id, s, code FROM (
+        |    SELECT vec_id, s, code,
+        |      row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, code)
+        |        AS rn
+        |    FROM vd) WHERE rn = 1
+        |), tab AS (
+        |  SELECT p.vec_id AS pid, b.s, b.code,
+        |    CAST(round(SUM((p.x - b.c) * (p.x - b.c)), 6)
+        |      AS DECIMAL(18,6)) AS d2
+        |  FROM el p
+        |  JOIN cb b ON b.s = p.d // (SELECT sub FROM dims)
+        |           AND b.j = p.d % (SELECT sub FROM dims)
+        |  WHERE p.vec_id >= 4 AND p.vec_id < 7
+        |  GROUP BY 1, 2, 3
+        |), score AS (
+        |  -- exact DECIMAL sum: equal-code vectors get EXACTLY equal
+        |  -- scores, so the (score, id) tie-break is engine-free
+        |  SELECT t.pid, c.vec_id, SUM(t.d2) AS adc
+        |  FROM codes c JOIN tab t ON t.s = c.s AND t.code = c.code
+        |  GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT pid AS probe_id, vec_id, adc,
+        |    row_number() OVER (PARTITION BY pid ORDER BY adc, vec_id) AS rank
+        |  FROM score
+        |)
+        |SELECT probe_id, vec_id, CAST(rank AS INT) AS rank,
+        |  round(CAST(adc AS DOUBLE), 6) AS adc_dist
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY probe_id, rank""".stripMargin,
 
     // Mann–Whitney rank-sum on the score-level frame; doubled
     // numerator keeps the tie half-credit integral (exact DECIMAL
