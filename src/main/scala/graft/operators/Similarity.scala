@@ -408,9 +408,12 @@ object Similarity {
       k: Int,
       maxIter: Int = 10,
       tol: Double = 1e-9,
-      maxTrainRows: Long = 4L * 1000 * 1000): Seq[Seq[Double]] = {
+      maxTrainRows: Long = 4L * 1000 * 1000,
+      seedPoolSize: Int = 0): Seq[Seq[Double]] = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxTrainRows >= 1, s"maxTrainRows must be >= 1, got $maxTrainRows")
+    require(seedPoolSize >= 0,
+      s"seedPoolSize must be >= 0 (0 = auto max(8k, 64)), got $seedPoolSize")
     val first = ivfSeeds(corpus, idCol, vecCol, 1)
     require(first.nonEmpty, "corpus has no vectors to train on")
     val dims = first.head.length
@@ -455,7 +458,12 @@ object Similarity {
       // lands in a split-one-merge-rest local optimum). First seed
       // stays the lowest-id vector; pool-order breaks maximin ties —
       // both deterministic, so reruns reproduce the exact centroids.
-      val poolSize = math.max(k * 8, 64)
+      // `seedPoolSize` override (round 9): a pool ⊇ the training set
+      // makes the hash ORDER value-irrelevant (maximin ties are
+      // measure-zero on continuous data) — the regime the q200
+      // oracle replays without needing xxhash64 in SQL.
+      val poolSize =
+        if (seedPoolSize > 0) seedPoolSize else math.max(k * 8, 64)
       val pool: Array[Vector[Double]] = vecs
         .orderBy(xxhash64(col("__id").cast("string")).asc, col("__id").asc)
         .limit(poolSize)
@@ -489,10 +497,20 @@ object Similarity {
         val assigned = vecs.select(
           pqCode(col("__v"), centroids).as("__cell"),
           col("__v"))
+        // Mean on the 1e-6 floor grid (round 9, the q200 gate):
+        // floor(x·10⁶) of identical doubles is IDENTICAL on every
+        // engine (no rounding-rule parity hazard at all), the long
+        // sum is exact and order-free, and the two-division finish
+        // is a fixed IEEE sequence — a plain avg() of doubles is
+        // partition-order-dependent and irreproducible outside
+        // Spark. Quantization bias ≤ 1e-6 per component, far inside
+        // Lloyd's noise floor. Mass bound (ANSI throws, never
+        // corrupts): Σ|x|·10⁶ per (cell, dim) < 2⁶³.
         val sums = assigned
           .select(col("__cell"), posexplode(col("__v")).as(Seq("__pos", "__x")))
           .groupBy("__cell", "__pos")
-          .agg(avg(col("__x")).as("__mean"))
+          .agg(((sum(floor(col("__x") * lit(1000000.0d))).cast("double")
+            / count(lit(1)).cast("double")) / lit(1000000.0d)).as("__mean"))
           .collect()
         val next = Array.tabulate(k)(i => centroids(i).toArray)
         sums.foreach { r =>

@@ -176,6 +176,84 @@ object PipelineQueries {
     (0 until m).map(si => seeds.map(v => v.slice(si * sub, (si + 1) * sub)))
   }
 
+  /**
+   * q200 oracle generator: replays `Similarity.trainCentroids` —
+   * farthest-point seeding then `iters` Lloyd rounds — in DuckDB.
+   * Validity preconditions are documented at the q200 entry (pool ⊇
+   * corpus, measure-zero ties, tol = 0, floor-grid means). Distances
+   * use the operator's own ‖c‖² − 2·v·c form for the assignment and
+   * plain Σ(v−s)² for seeding, both via SQL SUMs — ulp-level fold
+   * differences from Spark's codegen folds flip an argmin only on
+   * measure-zero ties. Means replay the floor-grid exactly: floor of
+   * identical doubles has NO rounding-rule hazard, the BIGINT sum is
+   * exact, and the two-division finish is the same fixed IEEE
+   * sequence. Empty cells COALESCE to the previous centroid,
+   * mirroring the driver's keep-previous rule.
+   */
+  private def kmeansOracleSql(k: Int, iters: Int): String = {
+    val el =
+      """el AS (
+        |  SELECT vec_id, CAST(generate_subscripts(embedding,1)-1 AS INT) AS d,
+        |         CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings
+        |), s0 AS MATERIALIZED (
+        |  SELECT 0 AS cell, d, x FROM el
+        |  WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+        |)""".stripMargin
+    val seeding = (1 until k).map { i =>
+      val mind =
+        if (i == 1) s"sd1"
+        else s"(SELECT a.vec_id, least(a.dd, b.dd) AS dd" +
+          s" FROM mind${i - 1} a JOIN sd$i b USING (vec_id))"
+      s"""sd$i AS MATERIALIZED (
+         |  SELECT e.vec_id, SUM((e.x - s.x) * (e.x - s.x)) AS dd
+         |  FROM el e JOIN s${i - 1} s ON s.d = e.d GROUP BY 1
+         |),
+         |mind$i AS MATERIALIZED (SELECT * FROM $mind),
+         |p$i AS (SELECT vec_id FROM mind$i ORDER BY dd DESC, vec_id LIMIT 1),
+         |s$i AS MATERIALIZED (
+         |  SELECT $i AS cell, d, x FROM el
+         |  WHERE vec_id = (SELECT vec_id FROM p$i)
+         |)""".stripMargin
+    }.mkString(",\n")
+    val m0 = s"""m0 AS MATERIALIZED (
+       |${(0 until k).map(i => s"  SELECT * FROM s$i").mkString("\n  UNION ALL\n")}
+       |)""".stripMargin
+    val rounds = (1 to iters).map { t =>
+      s"""a$t AS MATERIALIZED (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vc.vec_id, vc.cell,
+         |      row_number() OVER (PARTITION BY vc.vec_id
+         |                         ORDER BY vc.dist, vc.cell) AS rn
+         |    FROM (
+         |      SELECT e.vec_id, c.cell,
+         |        SUM(c.x * c.x) - 2.0 * SUM(e.x * c.x) AS dist
+         |      FROM el e JOIN m${t - 1} c ON c.d = e.d
+         |      GROUP BY 1, 2) vc
+         |  ) WHERE rn = 1
+         |),
+         |m$t AS MATERIALIZED (
+         |  SELECT p.cell, p.d,
+         |    COALESCE((CAST(s.q AS DOUBLE) / CAST(s.n AS DOUBLE))
+         |      / 1000000.0, p.x) AS x
+         |  FROM m${t - 1} p
+         |  LEFT JOIN (
+         |    SELECT a.cell, e.d,
+         |      CAST(SUM(CAST(floor(e.x * 1000000.0) AS BIGINT)) AS BIGINT)
+         |        AS q,
+         |      CAST(COUNT(*) AS BIGINT) AS n
+         |    FROM a$t a JOIN el e ON e.vec_id = a.vec_id
+         |    GROUP BY 1, 2) s ON s.cell = p.cell AND s.d = p.d
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $el,
+       |$seeding,
+       |$m0,
+       |$rounds
+       |SELECT cell, d AS dim, round(x, 6) + 0.0 AS value
+       |FROM m$iters ORDER BY cell, dim""".stripMargin
+  }
+
   /** Shared q196/q197 input: every document scored with EXACTLY the
     * q23 composite quality (round-6, so scores sit on the 6dp grid
     * the AUC scale contract requires) and labeled `lang = 'en'` —
@@ -1294,6 +1372,28 @@ object PipelineQueries {
         }
       }.toDF("component", "dim", "eigenvalue", "loading")
         .orderBy("component", "dim")
+    }),
+
+    // V8 gate (round 9): distributed Lloyd's TRAINING becomes
+    // driver-verified. Replayability rests on four facts: (1) at
+    // gate scale the corpus fits the 8k seeding pool, and maximin
+    // argmax ties are measure-zero on continuous data, so the
+    // hash-pool ORDER is value-irrelevant — the oracle re-derives the
+    // same seeds in vec_id order; (2) tol = 0 makes extra unrolled
+    // iterations value-neutral (converged means are idempotent);
+    // (3) the round-9 floor-grid mean is bit-identical on every
+    // engine; (4) assignment argmin ties are measure-zero. The
+    // oracle unrolls seeding + all 3 Lloyd iterations as CTEs.
+    "q200_kmeans_train" -> ((s, dir) => {
+      val cents = Similarity.trainCentroids(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 4, maxIter = 3, tol = 0.0, seedPoolSize = Int.MaxValue)
+      def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+      import s.implicits._
+      cents.zipWithIndex.flatMap { case (c, ci) =>
+        c.zipWithIndex.map { case (v, di) => (ci, di, r6(v)) }
+      }.toDF("cell", "dim", "value").orderBy("cell", "dim")
     }),
 
     // V17 gate #1 (round 9): PQ ENCODE becomes driver-verified with
@@ -3398,6 +3498,11 @@ object PipelineQueries {
     // Generated CTE chain replaying the quantized eigensolve — see
     // pcaOracleSql; parameters MUST match the q195 query entry.
     "q195_pca_components" -> pcaOracleSql(k = 3, iters = 20),
+
+    // Generated CTE chain replaying farthest-point seeding + Lloyd
+    // rounds — see kmeansOracleSql; parameters MUST match the q200
+    // query entry (k = 4, maxIter = 3, tol = 0).
+    "q200_kmeans_train" -> kmeansOracleSql(k = 4, iters = 3),
 
     // Seed-codebook PQ encode replay: subspace codebooks from the 4
     // lowest-id vectors, min-L2 argmin (norm − 2·dot form, ties →
