@@ -1374,6 +1374,27 @@ object PipelineQueries {
         .orderBy("component", "dim")
     }),
 
+    // M4 plumbing gate (round 9): the codec-boundary decode stub's
+    // SPARK SIDE becomes driver-verified — typed Dataset round-trip,
+    // mapPartitions batching, fixed-dim schema, and the byte-sampling
+    // positions all gate against DuckDB. The payload is each doc's
+    // md5 hex rendered as bytes (32 ASCII chars — reproducible in SQL
+    // where raw multi-byte text is not), and the fake feature
+    // inverts exactly: round(f·255) recovers the sampled byte (float
+    // b/255 is within 255·ulp ≪ 0.5 of b). Only the codec CALL SITE
+    // stays a stub (the container ships no codec libraries).
+    "q201_decode_plumbing" -> ((s, dir) => {
+      val payloads = t(s, dir, "documents").select(
+        col("doc_id"),
+        md5(col("text").cast("binary")).cast("binary").as("payload"))
+      graft.operators.Multimodal
+        .decodeFeaturesStub(payloads, "doc_id", "payload", dim = 8)
+        .select(col("doc_id"), posexplode(col("features")).as(Seq("j", "f")))
+        .select(col("doc_id"), col("j").cast("int").as("j"),
+          round(col("f").cast("double") * 255).cast("int").as("byte_val"))
+        .orderBy("doc_id", "j")
+    }),
+
     // V8 gate (round 9): distributed Lloyd's TRAINING becomes
     // driver-verified. Replayability rests on four facts: (1) at
     // gate scale the corpus fits the 8k seeding pool, and maximin
@@ -3503,6 +3524,17 @@ object PipelineQueries {
     // rounds — see kmeansOracleSql; parameters MUST match the q200
     // query entry (k = 4, maxIter = 3, tol = 0).
     "q200_kmeans_train" -> kmeansOracleSql(k = 4, iters = 3),
+
+    // The decode stub's byte sampling replayed over the md5-hex
+    // payload: position (j·31) mod 32, ascii = the byte value.
+    "q201_decode_plumbing" ->
+      """WITH p AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |     js AS (SELECT unnest(generate_series(0, 7)) AS j)
+        |SELECT doc_id, CAST(js.j AS INT) AS j,
+        |  CAST(ascii(substring(p.h, (js.j * 31) % 32 + 1, 1)) AS INT)
+        |    AS byte_val
+        |FROM p CROSS JOIN js
+        |ORDER BY doc_id, j""".stripMargin,
 
     // Seed-codebook PQ encode replay: subspace codebooks from the 4
     // lowest-id vectors, min-L2 argmin (norm − 2·dot form, ties →
