@@ -1,0 +1,182 @@
+package graft.operators
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Byte-pair-encoding merge training — the map-reduce formulation of
+ * the tokenizer-training loop every LLM data pipeline runs before
+ * anything else (Sennrich et al. 2016; the GPT-2/BPE variant minus
+ * byte-fallback). Each round counts all adjacent symbol pairs across
+ * the corpus weighted by word frequency, merges the most frequent
+ * pair everywhere, and records it; the ordered merge list IS the
+ * tokenizer.
+ *
+ * Distribution shape (the part that matters at 100 TB): the corpus
+ * is touched ONCE — one explode+groupBy shuffle builds the distinct
+ * word/frequency vocab, which is Heaps'-law bounded (millions of
+ * rows for a trillion-token corpus) and everything iterative runs on
+ * that vocab table. Each merge round is one explode+partial-agg
+ * exchange over the vocab plus a single-row `limit(1).collect()`
+ * argmax (the bounded driver round-trip contract the k-means/PCA
+ * family documents), then a narrow codegen'd `replace` projection.
+ * `localCheckpoint` every few rounds bounds lineage depth the same
+ * way [[Graph.pageRank]] bounds its iteration chain. Real trainers
+ * add an incremental-recount optimization (only words containing
+ * the merged pair recount); the full recount keeps every round a
+ * plain scan over the bounded vocab and stays exchange-minimal.
+ *
+ * Reproducibility contract (the DuckDB replay gate): symbol
+ * sequences render as strings — each word as
+ * `" c1  c2  …  cN "` (double-space separated, single-space
+ * sentinels) — and a merge of pair (l, r) is the literal
+ * left-to-right non-overlapping `replace(" l  r " → " lr ")`.
+ * Java's `String.replace`, Spark's codegen'd `StringReplace` and
+ * DuckDB's `replace` all share those exact semantics, and on runs of
+ * identical symbols the leftmost-greedy scan is precisely BPE's
+ * merge order (" a  a  a  a " → " aa  aa ", " a  a  a " →
+ * " aa  a " — verified in BpeSpec). The double-space gap means a
+ * pair pattern can never straddle a symbol boundary (" al  r "
+ * cannot match pattern " l  r "). Adjacent pairs COUNT overlapping
+ * occurrences (positions i,i+1 for every i), as standard BPE does.
+ * Argmax ties break (count desc, lhs asc, rhs asc) — binary string
+ * order on both engines. Every arithmetic step is integer; nothing
+ * floats until a caller divides.
+ *
+ * Tokenization into words is whitespace `\s+` — the portable
+ * stand-in the rest of the text family uses. Symbols are characters
+ * (no end-of-word marker; documented variant), ASCII/BMP contract
+ * like the rest of the corpus surface.
+ */
+object Bpe {
+
+  /** One learned merge: 1-based rank, the two symbols merged, and
+    * the frequency-weighted adjacent-pair count that won the round. */
+  final case class Merge(rank: Int, lhs: String, rhs: String,
+      pairCount: Long)
+
+  /** A trained tokenizer: the ordered merge table (driver-side,
+    * `numMerges`-bounded — the model contract) plus the final
+    * per-word symbolization `(word, sym, freq)` as a DataFrame (the
+    * encode dictionary; stays distributed, Heaps'-law bounded). */
+  final case class Model(merges: Seq[Merge], vocab: DataFrame)
+
+  /** `" c1  c2  …  cN "` initial character symbolization. */
+  private[operators] def initialSymbols(word: Column): Column =
+    concat(lit(" "), array_join(split(word, ""), "  "), lit(" "))
+
+  /** Distinct words with corpus frequencies — the one corpus-sized
+    * shuffle of the whole training run. */
+  def wordVocab(corpus: DataFrame, textCol: String): DataFrame =
+    corpus
+      .select(explode(split(col(textCol), "\\s+")).as("word"))
+      .where(col("word") =!= "")
+      .groupBy("word")
+      .agg(count(lit(1)).as("freq"))
+
+  /** Frequency-weighted adjacent-pair counts over the current
+    * symbolization — overlapping occurrences count, map-side partial
+    * aggregation does the heavy lifting before the one exchange. */
+  private def adjacentPairCounts(vocab: DataFrame): DataFrame =
+    vocab
+      .select(col("freq"), split(trim(col("sym")), "  ").as("toks"))
+      .select(col("freq"), col("toks"),
+        posexplode(col("toks")).as(Seq("i", "lhs")))
+      .where(col("i") < size(col("toks")) - 1)
+      .select(col("freq"), col("lhs"),
+        element_at(col("toks"), col("i") + lit(2)).as("rhs"))
+      .groupBy("lhs", "rhs")
+      .agg(sum(col("freq")).as("cnt"))
+
+  /**
+   * Train `numMerges` BPE merges over `textCol`'s whitespace words.
+   * Stops early only if the corpus runs out of adjacent pairs (every
+   * word fully merged to one symbol). Deterministic: argmax ties
+   * break (count desc, lhs, rhs), so the same corpus always yields
+   * the same merge table on any partitioning — each round's winner
+   * is a function of exact integer counts, never of fold order.
+   */
+  def train(corpus: DataFrame, textCol: String, numMerges: Int,
+      checkpointEvery: Int = 4): Model = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    require(checkpointEvery >= 1,
+      s"checkpointEvery must be >= 1, got $checkpointEvery")
+    var vocab = wordVocab(corpus, textCol)
+      .select(col("word"), initialSymbols(col("word")).as("sym"),
+        col("freq"))
+      .localCheckpoint()
+    val merges = ArrayBuffer.empty[Merge]
+    var r = 1
+    var exhausted = false
+    while (r <= numMerges && !exhausted) {
+      // Bounded driver round-trip: exactly one (lhs, rhs, cnt) row.
+      val best = adjacentPairCounts(vocab)
+        .orderBy(col("cnt").desc, col("lhs").asc, col("rhs").asc)
+        .limit(1)
+        .collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val l = best(0).getString(0)
+        val rr = best(0).getString(1)
+        val c = best(0).getLong(2)
+        merges += Merge(r, l, rr, c)
+        vocab = vocab.withColumn("sym",
+          replace(col("sym"), lit(s" $l  $rr "), lit(s" $l$rr ")))
+        if (r % checkpointEvery == 0) vocab = vocab.localCheckpoint()
+        r += 1
+      }
+    }
+    Model(merges.toSeq, vocab)
+  }
+
+  /** The merge table as a DataFrame `(rank, lhs, rhs, pair_count)` —
+    * the oracle-gated rendering of a trained model. */
+  def mergeTable(spark: org.apache.spark.sql.SparkSession,
+      model: Model): DataFrame = {
+    import spark.implicits._
+    model.merges.map(m => (m.rank, m.lhs, m.rhs, m.pairCount))
+      .toDF("rank", "lhs", "rhs", "pair_count")
+  }
+
+  /**
+   * Per-document tokenization report against a trained model:
+   * `(idCol, n_words, n_chars, n_tokens, compression)` where
+   * `compression = chars per token` (≥ 1 by construction — merges
+   * only ever shrink). Encoding is a dictionary JOIN, not a re-merge:
+   * the trained vocab already carries every word's final
+   * symbolization, so the corpus-sized side does one equi-join
+   * against the Heaps'-bounded dictionary (AQE broadcasts it when
+   * small — never forced, the dictionary can be millions of rows) and
+   * one groupBy. A word absent from the dictionary falls back to its
+   * un-merged character count — the conservative OOV behavior; exact
+   * whenever the report corpus is the training corpus (the gated
+   * configuration). Documents with zero whitespace tokens have no
+   * word rows and are absent from the report.
+   */
+  def encodeReport(corpus: DataFrame, idCol: String, textCol: String,
+      model: Model): DataFrame = {
+    val words = corpus
+      .select(col(idCol), explode(split(col(textCol), "\\s+")).as("word"))
+      .where(col("word") =!= "")
+    val dict = model.vocab.select(col("word"),
+      size(split(trim(col("sym")), "  ")).cast("long").as("__tok"))
+    words
+      .join(dict, Seq("word"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(length(col("word")).cast("long")).as("n_chars"),
+        sum(coalesce(col("__tok"), length(col("word")).cast("long")))
+          .as("n_tokens"))
+      .select(col(idCol), col("n_words"), col("n_chars"),
+        col("n_tokens"),
+        // floor grid, not round(6): the long/long quotient is the
+        // same IEEE double on every engine, and floor(x·1e6)/1e6 has
+        // no decimal tie to break (the q163 cross-engine rule).
+        (floor(col("n_chars").cast("double")
+            / col("n_tokens").cast("double") * lit(1000000.0))
+          / lit(1000000.0)).as("compression"))
+  }
+}

@@ -177,6 +177,90 @@ object PipelineQueries {
   }
 
   /**
+   * q202/q203 oracle generator: the shared WITH-chain replaying
+   * [[graft.operators.Bpe.train]] round by round in DuckDB (the q200
+   * CTE-chain pattern applied to a tokenizer trainer). Per round:
+   * overlapping adjacent-pair counts from the double-space symbol
+   * strings (`string_split`/`generate_series`, exact BIGINT sums),
+   * the (cnt desc, lhs, rhs) argmax, then the literal
+   * `replace(" l  r " → " lr ")` whose left-to-right non-overlapping
+   * scan is bit-identical to Java/Spark `replace` (BpeSpec pins the
+   * same-symbol-run cases). Everything is integer or literal string
+   * work — no float enters until q203's floor-grid compression.
+   */
+  private def bpeOracleChain(numMerges: Int): String = {
+    val head =
+      """w AS MATERIALIZED (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(string_split_regex(text, '\s+')) AS word
+        |    FROM documents
+        |  ) WHERE word <> '' GROUP BY 1
+        |),
+        |v0 AS MATERIALIZED (
+        |  SELECT word,
+        |    ' ' || array_to_string(string_split(word, ''), '  ') || ' '
+        |      AS sym,
+        |    freq
+        |  FROM w
+        |)""".stripMargin
+    val rounds = (1 to numMerges).map { r =>
+      s"""t$r AS (SELECT string_split(trim(sym), '  ') AS toks, freq
+         |  FROM v${r - 1}),
+         |e$r AS (SELECT toks, freq,
+         |  unnest(generate_series(1, len(toks) - 1)) AS i FROM t$r),
+         |p$r AS (SELECT toks[i] AS lhs, toks[i + 1] AS rhs,
+         |  CAST(SUM(freq) AS BIGINT) AS cnt FROM e$r GROUP BY 1, 2),
+         |b$r AS MATERIALIZED (
+         |  SELECT CAST($r AS INT) AS rank, lhs, rhs, cnt FROM p$r
+         |  ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+         |v$r AS MATERIALIZED (
+         |  SELECT v.word,
+         |    replace(v.sym, ' ' || b.lhs || '  ' || b.rhs || ' ',
+         |            ' ' || b.lhs || b.rhs || ' ') AS sym,
+         |    v.freq
+         |  FROM v${r - 1} v CROSS JOIN b$r b)""".stripMargin
+    }.mkString(",\n")
+    s"$head,\n$rounds"
+  }
+
+  /** q202 oracle: the [[bpeOracleChain]] merge table. */
+  private def bpeMergesOracleSql(numMerges: Int): String = {
+    val union = (1 to numMerges)
+      .map(r => s"SELECT * FROM b$r").mkString("\n  UNION ALL\n  ")
+    s"""WITH ${bpeOracleChain(numMerges)}
+       |SELECT rank, lhs, rhs, cnt AS pair_count FROM (
+       |  $union
+       |) ORDER BY rank""".stripMargin
+  }
+
+  /** q203 oracle: the [[bpeOracleChain]] final vocab joined back to
+    * the per-document word stream — dictionary-join encode, exactly
+    * the operator's plan. COALESCE mirrors the char-fallback OOV
+    * rule (vacuous here: the report corpus IS the training corpus). */
+  private def bpeEncodeOracleSql(numMerges: Int): String =
+    s"""WITH ${bpeOracleChain(numMerges)},
+       |dw AS (
+       |  SELECT doc_id, word FROM (
+       |    SELECT doc_id,
+       |      unnest(string_split_regex(text, '\\s+')) AS word
+       |    FROM documents
+       |  ) WHERE word <> ''
+       |),
+       |fv AS (SELECT word,
+       |  CAST(len(string_split(trim(sym), '  ')) AS BIGINT) AS tok
+       |  FROM v$numMerges)
+       |SELECT dw.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(length(dw.word)) AS BIGINT) AS n_chars,
+       |  CAST(SUM(COALESCE(fv.tok, length(dw.word))) AS BIGINT)
+       |    AS n_tokens,
+       |  floor(CAST(SUM(length(dw.word)) AS DOUBLE)
+       |      / CAST(SUM(COALESCE(fv.tok, length(dw.word))) AS DOUBLE)
+       |      * 1000000.0) / 1000000.0 AS compression
+       |FROM dw LEFT JOIN fv USING (word)
+       |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
+  /**
    * q200 oracle generator: replays `Similarity.trainCentroids` —
    * farthest-point seeding then `iters` Lloyd rounds — in DuckDB.
    * Validity preconditions are documented at the q200 entry (pool ⊇
@@ -1466,6 +1550,32 @@ object PipelineQueries {
     "q197_calibration" -> ((s, dir) => {
       graft.operators.Quality.calibrationReport(
         qualityScored(s, dir), "quality", "is_en", bins = 10)
+    }),
+
+    // T44 (round 9): BPE merge training — the map-reduce tokenizer
+    // trainer. One corpus shuffle builds the Heaps'-bounded word
+    // vocab; each of the 12 rounds is one explode+partial-agg
+    // exchange over the vocab plus a 1-row argmax collect (the
+    // bounded driver round-trip contract). All-integer counts,
+    // deterministic tie-break, literal-replace merge semantics
+    // shared bit-for-bit by Java/Spark/DuckDB — the oracle replays
+    // every round as a generated CTE chain (the q200 pattern).
+    "q202_bpe_merges" -> ((s, dir) => {
+      val model = graft.operators.Bpe.train(
+        t(s, dir, "documents"), "text", numMerges = 12)
+      graft.operators.Bpe.mergeTable(s, model).orderBy("rank")
+    }),
+
+    // T45 (round 9): BPE encode report over the training corpus —
+    // tokens-per-doc and chars-per-token compression against the
+    // q202 model. Encoding is a dictionary equi-join against the
+    // trained vocab (never a per-row re-merge), one groupBy; the
+    // oracle replays the training chain then joins identically.
+    "q203_bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = graft.operators.Bpe.train(docs, "text", numMerges = 12)
+      graft.operators.Bpe.encodeReport(docs, "doc_id", "text", model)
+        .orderBy("doc_id")
     }),
 
     // Same scorer at a different shape: m = 12, multi-decimal pattern
@@ -3524,6 +3634,12 @@ object PipelineQueries {
     // rounds — see kmeansOracleSql; parameters MUST match the q200
     // query entry (k = 4, maxIter = 3, tol = 0).
     "q200_kmeans_train" -> kmeansOracleSql(k = 4, iters = 3),
+
+    // Generated CTE chains replaying BPE training (and the encode
+    // join) — see bpeOracleChain; numMerges MUST match the q202/q203
+    // query entries (12).
+    "q202_bpe_merges" -> bpeMergesOracleSql(numMerges = 12),
+    "q203_bpe_encode" -> bpeEncodeOracleSql(numMerges = 12),
 
     // The decode stub's byte sampling replayed over the md5-hex
     // payload: position (j·31) mod 32, ascii = the byte value.
