@@ -345,6 +345,75 @@ object Quality {
       .orderBy("bin")
   }
 
+  /**
+   * EXACT two-sample Kolmogorov–Smirnov statistic — the
+   * distribution-drift test with no binning dial to argue about
+   * (unlike [[driftPsi]], whose bucket scheme is a modelling choice):
+   * D = max over the value grid of |F_a − F_b|, the largest vertical
+   * gap between the two empirical CDFs. Run it when "did this
+   * numeric column's distribution move between corpora / snapshots /
+   * segments?" must be answered with a single defensible number.
+   *
+   * Exactness: per-bin sample counts accumulate as longs; inclusive
+   * cumulative counts ride one ordered pass; the gap is evaluated as
+   * the INTEGRAL cross-product |cumA·nB − cumB·nA| in DECIMAL(38,0)
+   * (common denominator nA·nB cleared — no per-row IEEE division to
+   * order-drift), and the single final division is one IEEE op,
+   * round(6) at the boundary. D ≥ 0, so the signed-zero hazard is
+   * structurally absent. `ks_at` is the SMALLEST grid value attaining
+   * the max (min-over-ties — total, engine-deterministic).
+   *
+   * Scale contract: `binCol` must be a QUANTIZED value — e.g. the
+   * floor-grid `floor(value·10^s)` primitive (floor of identical
+   * doubles has zero rounding-rule hazard cross-engine, unlike
+   * round-to-decimal) — so distinct bins are range-bounded and the
+   * ordered pass is the bounded-domain window exception, never a
+   * corpus-cardinality sort. The corpus itself is touched by ONE
+   * partial-aggregated groupBy; the three window frames and the
+   * final aggregate all reuse the same bin-level sort.
+   *
+   * Output: one row (n_a, n_b, ks_stat, ks_at); ks_stat/ks_at NULL
+   * when either sample is empty. Rows with NULL bin or NULL sample
+   * membership carry no mass and are excluded.
+   */
+  def ksTest(df: DataFrame, binCol: Column, aCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val g = df
+      .where(binCol.isNotNull && aCol.isNotNull)
+      .groupBy(binCol.as("__b"))
+      .agg(
+        sum(when(aCol, 1L).otherwise(0L)).as("__na"),
+        sum(when(aCol, 0L).otherwise(1L)).as("__nb"))
+    // Bounded-domain windows (see scaladoc): one shared bin sort.
+    val wc = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    g.select(
+        col("__b"),
+        sum(col("__na")).over(wc).as("__ca"),
+        sum(col("__nb")).over(wc).as("__cb"),
+        sum(col("__na")).over(wt).as("__ta"),
+        sum(col("__nb")).over(wt).as("__tb"))
+      .withColumn("__d",
+        abs(col("__ca").cast(dec) * col("__tb") -
+          col("__cb").cast(dec) * col("__ta")))
+      .withColumn("__dmax", max(col("__d")).over(wt))
+      .agg(
+        max(col("__ta")).as("n_a"),
+        max(col("__tb")).as("n_b"),
+        max(col("__d")).as("__dm"),
+        min(when(col("__d") === col("__dmax"), col("__b"))).as("__at"))
+      .select(
+        col("n_a"), col("n_b"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          round(col("__dm").cast("double") /
+            (col("n_a").cast("double") * col("n_b")), 6)).as("ks_stat"),
+        when(col("n_a") > 0 && col("n_b") > 0, col("__at")).as("ks_at"))
+  }
+
   def weightedQuantiles(
       df: DataFrame, keyCol: String, valCol: String, weightCol: String,
       quantiles: Seq[Double]): DataFrame = {

@@ -1552,6 +1552,18 @@ object PipelineQueries {
         qualityScored(s, dir), "quality", "is_en", bins = 10)
     }),
 
+    // E18 (round 9): exact two-sample KS drift — largest CDF gap
+    // between click and purchase event values on the 2dp floor grid.
+    // Integral cross-product gap (common denominator cleared), one
+    // corpus groupBy + bin-level ordered pass, single IEEE division.
+    "q204_ks_drift" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      graft.operators.Quality.ksTest(
+        e.where(col("event_type").isin("click", "purchase")),
+        floor(col("value") * 100).cast("long"),
+        col("event_type") === "click")
+    }),
+
     // T44 (round 9): BPE merge training — the map-reduce tokenizer
     // trainer. One corpus shuffle builds the Heaps'-bounded word
     // vocab; each of the 12 rounds is one explode+partial-agg
@@ -3802,6 +3814,43 @@ object PipelineQueries {
         |    - CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS DOUBLE)
         |      / count(*)), 6) AS gap
         |FROM f GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    // Two-sample KS on the 2dp floor grid: integral cross-product
+    // gap |cumA·nB − cumB·nA| in DECIMAL(38,0), min-over-ties argmax
+    // bin, one final IEEE division (D ≥ 0 — no signed-zero exposure).
+    "q204_ks_drift" ->
+      """WITH f AS (
+        |  SELECT CAST(floor(value * 100) AS BIGINT) AS b,
+        |    (event_type = 'click') AS isa
+        |  FROM events
+        |  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+        |), g AS (
+        |  SELECT b,
+        |    CAST(SUM(CASE WHEN isa THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(SUM(CASE WHEN isa THEN 0 ELSE 1 END) AS BIGINT) AS nb
+        |  FROM f GROUP BY b
+        |), c AS (
+        |  SELECT b,
+        |    CAST(SUM(na) OVER (ORDER BY b
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ca,
+        |    CAST(SUM(nb) OVER (ORDER BY b
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cb,
+        |    CAST(SUM(na) OVER () AS BIGINT) AS ta,
+        |    CAST(SUM(nb) OVER () AS BIGINT) AS tb
+        |  FROM g
+        |), d AS (
+        |  SELECT b, ta, tb,
+        |    abs(CAST(ca AS DECIMAL(38,0)) * tb
+        |      - CAST(cb AS DECIMAL(38,0)) * ta) AS dd
+        |  FROM c
+        |), dm AS (SELECT b, ta, tb, dd, MAX(dd) OVER () AS dmax FROM d)
+        |SELECT CAST(MAX(ta) AS BIGINT) AS n_a, CAST(MAX(tb) AS BIGINT) AS n_b,
+        |  CASE WHEN MAX(ta) > 0 AND MAX(tb) > 0 THEN
+        |    round(CAST(MAX(dd) AS DOUBLE)
+        |      / (CAST(MAX(ta) AS DOUBLE) * MAX(tb)), 6) END AS ks_stat,
+        |  CASE WHEN MAX(ta) > 0 AND MAX(tb) > 0 THEN
+        |    CAST(MIN(CASE WHEN dd = dmax THEN b END) AS BIGINT) END AS ks_at
+        |FROM dm""".stripMargin,
 
     "q169_hybrid_rrf" ->
       """WITH tf AS (

@@ -319,6 +319,38 @@ class QualitySpec extends AnyFunSuite {
       .as[(Long, Long, Option[Double])].collect().head === ((2L, 0L, None)))
   }
 
+  test("ksTest: hand-computed CDF gap, min-over-ties argmax, degenerate samples NULL") {
+    import org.apache.spark.sql.functions.col
+    // A = {1, 2, 3}, B = {3, 4}. At bin 2: F_A = 2/3, F_B = 0 ->
+    // D = 2/3; integral gaps |ca*2 - cb*3| over bins 1..4 = 2,4,3,0.
+    val df = Seq(
+      (1L, true), (2L, true), (3L, true), (3L, false), (4L, false)
+    ).toDF("b", "isa")
+    val r = Quality.ksTest(df, col("b"), col("isa"))
+      .as[(Long, Long, Option[Double], Option[Long])].collect().head
+    assert(r === ((3L, 2L, Some(0.666667), Some(2L))))
+    // identical samples -> D = 0, ks_at = smallest bin (tie over all)
+    val same = Seq((1L, true), (2L, true), (1L, false), (2L, false))
+      .toDF("b", "isa")
+    assert(Quality.ksTest(same, col("b"), col("isa"))
+      .as[(Long, Long, Option[Double], Option[Long])].collect().head ===
+      ((2L, 2L, Some(0.0), Some(1L))))
+    // tie in the max gap -> smallest attaining bin wins:
+    // A = {1, 3}, B = {2, 4}: gaps |ca*2-cb*2| = 2,0... actually
+    // bins 1..4 -> ca 1,1,2,2; cb 0,1,1,2 -> |2-0|,|2-2|,|4-2|,|4-4|
+    // = 2,0,2,0 -> max 2 first at bin 1.
+    val tied = Seq((1L, true), (3L, true), (2L, false), (4L, false))
+      .toDF("b", "isa")
+    assert(Quality.ksTest(tied, col("b"), col("isa"))
+      .as[(Long, Long, Option[Double], Option[Long])].collect().head ===
+      ((2L, 2L, Some(0.5), Some(1L))))
+    // one sample empty -> NULL stat and location
+    val onlyA = Seq((1L, true), (2L, true)).toDF("b", "isa")
+    assert(Quality.ksTest(onlyA, col("b"), col("isa"))
+      .as[(Long, Long, Option[Double], Option[Long])].collect().head ===
+      ((2L, 0L, None, None)))
+  }
+
   test("calibrationReport: bin edges, exact means, gap; score=1.0 lands in the top bin") {
     val df = Seq(
       (0.05, false), (0.05, true),   // bin 0: n=2, pos=1, mean 0.05, rate 0.5
