@@ -414,6 +414,69 @@ object Quality {
         when(col("n_a") > 0 && col("n_b") > 0, col("__at")).as("ks_at"))
   }
 
+  /**
+   * Per-key Lorenz concentration audit — Gini coefficient plus
+   * top-decile mass share of a non-negative size/weight column. The
+   * corpus-balance check run before mixing sources: a source whose
+   * token mass Gini is high is dominated by a few huge documents (one
+   * crawl artifact can be half a source), and the top-decile share is
+   * the number people quote ("10% of docs carry 80% of the mass").
+   *
+   * Exactness: Gini = (2·Σ rank·x − (n+1)·Σx) / (n·Σx) over the
+   * per-key ascending value order — the rearrangement identity keeps
+   * the numerator non-negative (no signed-zero exposure) and makes it
+   * TIE-INVARIANT: equal values swapping ranks leave Σ rank·x
+   * unchanged, so the nondeterministic rank order among ties cannot
+   * move the result (same argument for the top-decile sum: boundary
+   * ties have equal value). Per-row work is ONE long multiply
+   * (rank·x, bound: rank·x < 2⁶³ — ANSI throws, never corrupts);
+   * products accumulate in exact DECIMAL(38,0); the two final
+   * divisions are single IEEE ops, round(6) at the boundary.
+   * Top-decile count = (n+9) div 10 (exact integer ceil).
+   *
+   * Scale: rank + per-key n ride two window specs over ONE key
+   * exchange; the groupBy reuses the same hash partitioning (no
+   * second exchange). Per-key state is that key's row span — the
+   * exact-order price, as in [[winsorizeAudit]]; at 100 TB pre-bucket
+   * heavy keys or sample within key when ±ε suffices.
+   *
+   * Output: one row per key (keyCol, n_docs, total, gini,
+   * top_decile_share); zero-total keys yield NULL ratios.
+   */
+  def lorenzGini(df: DataFrame, keyCol: String, valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__v"))
+    val wn = Window.partitionBy(col(keyCol))
+    val topN = ((col("__n") + lit(9L)) / lit(10L)).cast("long")
+    val r = df
+      .where(col(valCol).isNotNull && col(valCol) >= 0)
+      .select(col(keyCol), col(valCol).cast("long").as("__v"))
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wn))
+    val num = lit(2).cast(dec) * col("__s2") -
+      (col("n_docs") + 1).cast(dec) * col("__tot")
+    r.groupBy(col(keyCol))
+      .agg(
+        max(col("__n")).as("n_docs"),
+        sum(col("__v").cast(dec)).as("__tot"),
+        sum((col("__rn") * col("__v")).cast(dec)).as("__s2"),
+        sum(when(col("__rn") > col("__n") - topN, col("__v"))
+          .otherwise(0L).cast(dec)).as("__top"))
+      .select(
+        col(keyCol), col("n_docs"),
+        col("__tot").cast("long").as("total"),
+        when(col("__tot") > 0,
+          round(num.cast("double") /
+            (col("n_docs").cast("double") * col("__tot").cast("double")), 6))
+          .as("gini"),
+        when(col("__tot") > 0,
+          round(col("__top").cast("double") / col("__tot").cast("double"), 6))
+          .as("top_decile_share"))
+      .orderBy(col(keyCol))
+  }
+
   def weightedQuantiles(
       df: DataFrame, keyCol: String, valCol: String, weightCol: String,
       quantiles: Seq[Double]): DataFrame = {

@@ -1564,6 +1564,14 @@ object PipelineQueries {
         col("event_type") === "click")
     }),
 
+    // E19 (round 9): per-source Lorenz/Gini concentration of document
+    // char mass — the corpus-balance audit before source mixing.
+    // Tie-invariant integral numerator, one key exchange.
+    "q205_source_gini" -> ((s, dir) => {
+      graft.operators.Quality.lorenzGini(
+        t(s, dir, "documents"), "source", "n_chars")
+    }),
+
     // T44 (round 9): BPE merge training — the map-reduce tokenizer
     // trainer. One corpus shuffle builds the Heaps'-bounded word
     // vocab; each of the 12 rounds is one explode+partial-agg
@@ -3851,6 +3859,29 @@ object PipelineQueries {
         |  CASE WHEN MAX(ta) > 0 AND MAX(tb) > 0 THEN
         |    CAST(MIN(CASE WHEN dd = dmax THEN b END) AS BIGINT) END AS ks_at
         |FROM dm""".stripMargin,
+
+    // Per-source Gini + top-decile share: ascending-rank identity
+    // 2·Σrn·v − (n+1)·Σv over n·Σv, exact integral sums, two final
+    // IEEE divisions (numerator ≥ 0 — no signed-zero exposure).
+    "q205_source_gini" ->
+      """WITH r AS (
+        |  SELECT source, n_chars AS v,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars >= 0
+        |)
+        |SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs,
+        |  CAST(SUM(v) AS BIGINT) AS total,
+        |  CASE WHEN SUM(v) > 0 THEN
+        |    round(CAST(2 * SUM(CAST(rn * v AS DECIMAL(38,0)))
+        |        - (MAX(n) + 1) * SUM(CAST(v AS DECIMAL(38,0))) AS DOUBLE)
+        |      / (CAST(MAX(n) AS DOUBLE) * CAST(SUM(v) AS DOUBLE)), 6)
+        |  END AS gini,
+        |  CASE WHEN SUM(v) > 0 THEN
+        |    round(CAST(SUM(CASE WHEN rn > n - ((n + 9) // 10)
+        |        THEN v ELSE 0 END) AS DOUBLE) / CAST(SUM(v) AS DOUBLE), 6)
+        |  END AS top_decile_share
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
 
     "q169_hybrid_rrf" ->
       """WITH tf AS (

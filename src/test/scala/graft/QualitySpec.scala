@@ -351,6 +351,34 @@ class QualitySpec extends AnyFunSuite {
       ((2L, 0L, None, None)))
   }
 
+  test("lorenzGini: hand-computed skew, uniform zero, singleton, zero-total NULL") {
+    // key a: values [1, 1, 8] -> s2 = 1+2+24 = 27, num = 54-40 = 14,
+    // den = 30 -> gini 0.466667; top decile k = ceil(3/10) = 1 -> 8/10
+    val df = Seq(
+      ("a", 1L), ("a", 1L), ("a", 8L),
+      ("b", 5L), ("b", 5L),              // uniform -> gini 0, top 0.5
+      ("c", 7L),                          // singleton -> gini 0, top 1.0
+      ("z", 0L), ("z", 0L)                // zero total -> NULLs
+    ).toDF("k", "v")
+    val rows = Quality.lorenzGini(df, "k", "v")
+      .as[(String, Long, Long, Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(rows === Seq(
+      ("a", 3L, 10L, Some(0.466667), Some(0.8)),
+      ("b", 2L, 10L, Some(0.0), Some(0.5)),
+      ("c", 1L, 7L, Some(0.0), Some(1.0)),
+      ("z", 2L, 0L, None, None)))
+    // tie-invariance: shuffled duplicates of equal values, same result
+    val big = Seq.fill(20)(("t", 3L)) ++ Seq.fill(5)(("t", 9L))
+    val g = Quality.lorenzGini(big.toDF("k", "v"), "k", "v")
+      .as[(String, Long, Long, Option[Double], Option[Double])]
+      .collect().head
+    // sorted: 20x3 then 5x9; s2 = 3*210 + 9*(sum 21..25=115) = 1665
+    // num = 3330 - 26*105 = 600; den = 25*105 -> gini 0.228571
+    // top k = ceil(25/10) = 3 -> 27/105 = 0.257143
+    assert(g === (("t", 25L, 105L, Some(0.228571), Some(0.257143))))
+  }
+
   test("calibrationReport: bin edges, exact means, gap; score=1.0 lands in the top bin") {
     val df = Seq(
       (0.05, false), (0.05, true),   // bin 0: n=2, pos=1, mean 0.05, rate 0.5
