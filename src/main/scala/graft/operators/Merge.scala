@@ -133,4 +133,48 @@ object Merge {
     joined.select(col(keyCol) +: status.as("status") +:
       (oldSide ++ newSide): _*)
   }
+
+  /**
+   * Survivorship / golden-record merge — the entity-resolution
+   * endgame: collapse every key's version history to ONE record
+   * where each field independently takes its value from the most
+   * recent version (under `orderCols`) in which that field is
+   * non-null. The MDM "latest non-null wins, per attribute" rule:
+   * a later partial update must not erase an earlier field it
+   * didn't carry.
+   *
+   * Determinism: `orderCols` must be a TOTAL order within each key
+   * (include a unique tiebreaker) — then each field's survivor is a
+   * pure function of the data. NULL-only fields survive as NULL.
+   *
+   * Scale: one key exchange; the full-frame `last(ignoreNulls)`
+   * windows, the running row_number, and the per-key count all ride
+   * the SAME (key, order) sort — no join, no second shuffle, state
+   * bounded by a key's version span. The keep-one filter
+   * (`rn = n`) picks the last physical row, whose full-frame window
+   * values equal every other row's — engine-independent.
+   *
+   * Output: (keyCol, n_versions, fields*), one row per key.
+   */
+  def goldenRecord(
+      df: DataFrame, keyCol: String, orderCols: Seq[String],
+      fields: Seq[String]): DataFrame = {
+    require(orderCols.nonEmpty, "goldenRecord: orderCols is empty")
+    require(fields.nonEmpty, "goldenRecord: fields is empty")
+    import org.apache.spark.sql.expressions.Window
+    val ord = orderCols.map(col)
+    val wFull = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wRun = Window.partitionBy(col(keyCol)).orderBy(ord: _*)
+    val wAll = Window.partitionBy(col(keyCol))
+    df.select(col(keyCol) +: (orderCols ++ fields).distinct.map(col): _*)
+      .select(
+        col(keyCol) +:
+          row_number().over(wRun).cast("long").as("__rn") +:
+          count(lit(1)).over(wAll).as("n_versions") +:
+          fields.map(f => last(col(f), ignoreNulls = true)
+            .over(wFull).as(f)): _*)
+      .where(col("__rn") === col("n_versions"))
+      .select(col(keyCol) +: col("n_versions") +: fields.map(col): _*)
+  }
 }

@@ -773,6 +773,23 @@ object RelationalQueries {
         .orderBy("user_id", "version_seq")
     }),
 
+    // R24 (round 9): survivorship golden record — per-user latest
+    // non-null per FIELD under the (ts, event_id) total order. Nulls
+    // injected per a realistic rule (errors carry no measurement,
+    // signups no props) so a later partial version must NOT erase an
+    // earlier field. One key exchange serves all windows.
+    "q206_golden_record" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("value",
+          when(col("event_type") =!= "error", col("value")))
+        .withColumn("props",
+          when(col("event_type") =!= "signup", col("props")))
+      graft.operators.Merge.goldenRecord(
+          e, "user_id", Seq("ts", "event_id"),
+          Seq("value", "props", "event_type"))
+        .orderBy("user_id")
+    }),
+
     // Keyed snapshot diff (reconciliation audit): per-user activity
     // state (event count + last value) for two adjacent weeks,
     // full-outer joined and classified added/removed/changed/stable —
@@ -2089,6 +2106,39 @@ object RelationalQueries {
         |  (lead(valid_from) OVER (PARTITION BY user_id ORDER BY version_seq)
         |    IS NULL) AS is_current
         |FROM ep ORDER BY user_id, version_seq""".stripMargin,
+
+    // Survivorship replay: the SAME window program — full-frame
+    // last_value IGNORE NULLS per field over (ts, event_id), keep
+    // the last physical row per key.
+    "q206_golden_record" ->
+      """WITH f AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type <> 'error' THEN value END AS value,
+        |    CASE WHEN event_type <> 'signup' THEN props END AS props,
+        |    event_type
+        |  FROM events
+        |), w AS (
+        |  SELECT user_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n,
+        |    last_value(value IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |      AS value,
+        |    last_value(props IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |      AS props,
+        |    last_value(event_type IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |      AS event_type
+        |  FROM f
+        |)
+        |SELECT user_id, CAST(n AS BIGINT) AS n_versions,
+        |  value, props, event_type
+        |FROM w WHERE rn = n ORDER BY user_id""".stripMargin,
 
     "q113_snapshot_diff" ->
       """WITH s1 AS (

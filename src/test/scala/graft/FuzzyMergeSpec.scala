@@ -161,4 +161,26 @@ class FuzzyMergeSpec extends AnyFunSuite {
     assert(changed === Seq(
       (2L, Some(20L), Some(21L)), (5L, None, Some(5L))))
   }
+
+  test("goldenRecord: latest non-null per field; partial update keeps older fields") {
+    // key 1: v1 (name=a, city=x), v2 (name=b, city=NULL), v3
+    // (name=NULL, city=y) -> survivor (b, y): v3's null name must
+    // not erase v2's, v2's null city must not erase v1's (then v3
+    // overrides it).
+    val df = Seq(
+      (1L, 1L, Some("a"), Some("x")),
+      (1L, 2L, Some("b"), None),
+      (1L, 3L, None, Some("y")),
+      (2L, 1L, None, None), // all-null history -> NULL fields survive
+      (3L, 2L, Some("q"), Some("z")),
+      (3L, 1L, Some("old"), Some("old")) // order by seq, not input order
+    ).toDF("k", "seq", "name", "city")
+    val out = Merge.goldenRecord(df, "k", Seq("seq"), Seq("name", "city"))
+      .orderBy("k")
+      .as[(Long, Long, Option[String], Option[String])].collect().toSeq
+    assert(out === Seq(
+      (1L, 3L, Some("b"), Some("y")),
+      (2L, 1L, None, None),
+      (3L, 2L, Some("q"), Some("z"))))
+  }
 }
