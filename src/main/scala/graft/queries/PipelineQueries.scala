@@ -1572,6 +1572,29 @@ object PipelineQueries {
         t(s, dir, "documents"), "source", "n_chars")
     }),
 
+    // K16 (round 9): incremental rollup maintenance — per-user state
+    // built separately for the two halves of January, merged WITHOUT
+    // rescanning either half. The oracle recomputes from scratch:
+    // merged-state == full-recompute is the gate (count/sum/min/max
+    // additive in exact decimals; R23 digest pair carries row-set
+    // identity across the merge).
+    "q207_incremental_rollup" -> ((s, dir) => {
+      val split = lit("2024-01-16 00:00:00").cast("timestamp")
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("value"), col("ts"), col("event_id"))
+      val a = graft.operators.Incremental.aggState(
+        e.where(col("ts") < split), Seq("user_id"), "value",
+        Seq("event_id"))
+      val b = graft.operators.Incremental.aggState(
+        e.where(col("ts") >= split), Seq("user_id"), "value",
+        Seq("event_id"))
+      graft.operators.Incremental.finish(
+          graft.operators.Incremental.mergeStates(
+            a.unionByName(b), Seq("user_id")),
+          Seq("user_id"))
+        .orderBy("user_id")
+    }),
+
     // T44 (round 9): BPE merge training — the map-reduce tokenizer
     // trainer. One corpus shuffle builds the Heaps'-bounded word
     // vocab; each of the 12 rounds is one explode+partial-agg
@@ -3859,6 +3882,26 @@ object PipelineQueries {
         |  CASE WHEN MAX(ta) > 0 AND MAX(tb) > 0 THEN
         |    CAST(MIN(CASE WHEN dd = dmax THEN b END) AS BIGINT) END AS ks_at
         |FROM dm""".stripMargin,
+
+    // Full recompute from raw events — if the state merge dropped,
+    // double-applied, or mis-added anything, count/sum or the digest
+    // pair diverges and the hash compare fails.
+    "q207_incremental_rollup" ->
+      """WITH h AS (
+        |  SELECT user_id, CAST(value AS DECIMAL(18,6)) AS v,
+        |    CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) AS hv
+        |  FROM events
+        |)
+        |SELECT user_id,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(CAST(SUM(v) AS DECIMAL(38,6)) AS DOUBLE) AS sum_v,
+        |  CAST(MIN(v) AS DOUBLE) AS min_v,
+        |  CAST(MAX(v) AS DOUBLE) AS max_v,
+        |  bit_xor(hv) AS xor_hash,
+        |  CAST(CAST(SUM(CAST(hv AS DECIMAL(38,0))) AS DECIMAL(38,0))
+        |    AS VARCHAR) AS hash_sum
+        |FROM h GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // Per-source Gini + top-decile share: ascending-rank identity
     // 2·Σrn·v − (n+1)·Σv over n·Σv, exact integral sums, two final
