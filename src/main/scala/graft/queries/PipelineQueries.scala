@@ -1317,6 +1317,21 @@ object PipelineQueries {
     // count the streaming sink emits is pinned against an explicit
     // generate_series window expansion. 1h windows sliding 15min:
     // every event lands in exactly 4 windows (w/s), all 4 valid.
+    // X15 (round 9): stream-static broadcast enrichment, batch twin.
+    // The SAME staticEnrich body on the batch frame is the identical
+    // broadcast left join the micro-batch planner runs per batch;
+    // the dim (active customers only) misses some users so the
+    // NULL-preserving left side is actually exercised.
+    "q208_static_enrich_twin" -> ((s, dir) => {
+      val dim = t(s, dir, "customer").where(col("c_acctbal") > 0)
+      graft.streaming.EventStreams.staticEnrich(
+          t(s, dir, "events")
+            .select("event_id", "user_id", "event_type", "value")
+            .withColumnRenamed("user_id", "c_custkey"),
+          dim, "c_custkey", Seq("c_nationkey", "c_mktsegment"))
+        .orderBy("event_id")
+    }),
+
     "q165_windowed_counts_twin" -> ((s, dir) => {
       graft.streaming.EventStreams.windowedCounts(
           t(s, dir, "events").select("ts", "event_type"),
@@ -3606,6 +3621,17 @@ object PipelineQueries {
     // 1 h ⇒ each event joins its 4 containing windows (all k=0..3
     // starts floor(us/slide)·slide − k·slide satisfy ws ≤ us <
     // ws + 1h because the in-slide remainder is < one slide).
+    // The broadcast left join as plain SQL; dim filtered to active
+    // accounts so unmatched users carry NULL dim columns.
+    "q208_static_enrich_twin" ->
+      """SELECT e.event_id, e.user_id AS c_custkey, e.event_type, e.value,
+        |  c.c_nationkey AS dim_c_nationkey,
+        |  c.c_mktsegment AS dim_c_mktsegment
+        |FROM events e
+        |LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 0) c
+        |  ON e.user_id = c.c_custkey
+        |ORDER BY e.event_id""".stripMargin,
+
     "q165_windowed_counts_twin" ->
       """WITH e AS (
         |  SELECT epoch_us(ts) AS us, event_type FROM events

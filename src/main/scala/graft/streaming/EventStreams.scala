@@ -276,6 +276,51 @@ object EventStreams extends Serializable {
   }
 
   /**
+   * Stream-static broadcast enrichment — the workhorse streaming
+   * join: an unbounded fact stream LEFT-joined to a bounded
+   * dimension on an equi-key, the dimension broadcast so the stream
+   * side NEVER shuffles (the only join shape that adds zero state
+   * and zero watermark bookkeeping to a 100 TB/day stream).
+   *
+   * Semantics (Structured Streaming's stream-static contract):
+   * the static side is re-planned per micro-batch, so a
+   * slowly-changing dimension backed by a refreshed table picks up
+   * updates at batch boundaries; each event is enriched against the
+   * dimension AS OF its own micro-batch — no retraction of
+   * already-emitted rows (escalate to [[graft.operators.TemporalJoins]]'
+   * SCD2 point-in-time join when bi-temporal correctness matters).
+   * Unmatched events survive with NULL dimension columns — an
+   * enrichment must never drop facts.
+   *
+   * Dimension columns are prefixed `dimPrefix` to keep the event
+   * schema collision-free. `dim` must be unique per key — a dup key
+   * would silently FAN OUT the fact stream; checked eagerly once at
+   * construction (the dim is bounded and broadcast-sized by
+   * contract, so the probe is one small job; a per-batch refresh
+   * that introduces dups later is on the refresher).
+   *
+   * Batch parity: on a batch frame this is the identical broadcast
+   * left join (the q165/q166 twin pattern) — the oracle replays it
+   * as plain SQL.
+   */
+  def staticEnrich(
+      stream: DataFrame,
+      dim: DataFrame,
+      keyCol: String,
+      dimCols: Seq[String],
+      dimPrefix: String = "dim_"): DataFrame = {
+    require(dimCols.nonEmpty, "staticEnrich: dimCols is empty")
+    val d = dim.select(col(keyCol) +:
+      dimCols.map(c => col(c).as(s"$dimPrefix$c")): _*)
+    val dup = d.groupBy(col(keyCol)).count()
+      .where(col("count") > 1).limit(1).count()
+    require(dup == 0L,
+      s"staticEnrich: dimension has duplicate '$keyCol' keys — " +
+        "a dup key would fan out the fact stream")
+    stream.join(broadcast(d), Seq(keyCol), "left")
+  }
+
+  /**
    * Streaming rolling z-score anomaly detection — the stateful
    * counterpart of [[graft.operators.TimeSeries.rollingZScore]]: each
    * point scores against the mean/std (population, sum/sumsq) of the

@@ -883,4 +883,35 @@ class EventStreamsSpec extends AnyFunSuite {
         s"future touch must be outside the straggler's frame: $r")
     } finally q.stop()
   }
+
+  test("staticEnrich joins micro-batches against the broadcast dim; " +
+      "unmatched facts survive with NULLs; dup dim keys refused") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("k", "tier")
+    val input = MemoryStream[(Long, Long)]
+    val enriched = EventStreams.staticEnrich(
+      input.toDF.toDF("id", "k"), dim, "k", Seq("tier"))
+    val q = enriched.writeStream
+      .format("memory").queryName("static_enrich").outputMode("append")
+      .start()
+    try {
+      input.addData((10L, 1L), (11L, 9L)) // 9 has no dim row
+      q.processAllAvailable()
+      input.addData((12L, 2L)) // second micro-batch re-plans the dim
+      q.processAllAvailable()
+      val rows = spark.table("static_enrich")
+        .select("id", "k", "dim_tier")
+        .as[(Long, Long, Option[String])].collect().sortBy(_._1).toSeq
+      assert(rows === Seq(
+        (10L, 1L, Some("gold")),
+        (11L, 9L, None),
+        (12L, 2L, Some("silver"))))
+    } finally q.stop()
+    val dupDim = Seq((1L, "a"), (1L, "b")).toDF("k", "tier")
+    val ex = intercept[IllegalArgumentException] {
+      EventStreams.staticEnrich(
+        Seq((1L, 1L)).toDF("id", "k"), dupDim, "k", Seq("tier"))
+    }
+    assert(ex.getMessage.contains("duplicate"))
+  }
 }
