@@ -140,6 +140,109 @@ object Similarity {
   }
 
   /**
+   * Maximal Marginal Relevance (MMR, Carbonell & Goldstein 1998)
+   * diversified top-k — the coreset/result-diversification pick:
+   * greedily select `k` vectors maximizing
+   * λ·relevance − (1−λ)·max-similarity-to-already-picked, so the
+   * selection covers the neighborhood of the query instead of
+   * returning k near-duplicates of the best hit. Relevance is cosine
+   * to `queryId`'s vector. The training-data reading: λ trades
+   * on-topic-ness against diversity when drawing a compact
+   * representative subset from a candidate pool.
+   *
+   * Execution: MMR is inherently sequential in k — each round scans
+   * the candidates ONCE, updates the running max-sim against only
+   * the NEWEST pick (greatest(ms, cos) — the incremental identity),
+   * and takes one TakeOrdered(1) row to the driver (the k-row
+   * bounded-driver contract, as in k-means/BPE). Rounds barrier via
+   * localCheckpoint (superseded states freed), so round t never
+   * re-executes rounds 1..t−1: total cost k scans of the pool, NOT
+   * k·corpus — run it on a bounded candidate pool (ANN/top-N
+   * prefilter) at scale, never a raw 100 TB corpus.
+   *
+   * Determinism/oracle: every score is a fixed IEEE op chain over
+   * index-order dot products (VecDot; λ and 1−λ computed identically
+   * on both engines), ties break by vec_id, and the whole greedy
+   * unrolls as a DuckDB materialized-CTE chain (the q195/q200
+   * replay pattern) — a hard driver gate, not a spec-only loop.
+   * Vectors must be non-zero (a zero norm yields NaN cosine;
+   * NaN-poisoned candidates sort last and can never be picked —
+   * same rule as [[rankTopK]]).
+   *
+   * Output: (pick_rank, vec_id, relevance, max_sim, mmr), round(6)
+   * at the boundary; rank 1 has NULL max_sim/mmr (nothing picked
+   * yet — its criterion is relevance alone).
+   */
+  def mmrSelect(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, lambda: Double): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(lambda > 0.0 && lambda <= 1.0,
+      s"lambda must be in (0, 1], got $lambda")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qVec = corpus.where(col(idCol) === queryId)
+      .select(toDoubleVec(col(vecCol))).head().getSeq[Double](0)
+    // Index-order fold — the same IEEE add sequence as VecDot.
+    val qNorm = math.sqrt(qVec.foldLeft(0.0)((a, x) => a + x * x))
+    val qLit = array(qVec.map(lit): _*)
+
+    var state = corpus.where(col(idCol) =!= queryId)
+      .select(col(idCol).cast("long").as("vec_id"),
+        toDoubleVec(col(vecCol)).as("__v"))
+      .withColumn("__n", norm(col("__v")))
+      .withColumn("rel", dot(col("__v"), qLit) / (col("__n") * lit(qNorm)))
+      .withColumn("ms", lit(null).cast("double"))
+      .localCheckpoint()
+    val mmrCol = lit(lambda) * col("rel") -
+      (lit(1.0) - lit(lambda)) * col("ms")
+    val nanLast = (c: Column) => when(!isnan(c), c).desc_nulls_last
+
+    val picks = scala.collection.mutable.ListBuffer
+      .empty[(Int, Long, Double, Option[Double], Option[Double])]
+    var t = 1
+    var exhausted = false
+    while (t <= k && !exhausted) {
+      val ordered =
+        if (t == 1) state.orderBy(nanLast(col("rel")), col("vec_id"))
+        else state.withColumn("__mmr", mmrCol)
+          .orderBy(nanLast(col("__mmr")), col("vec_id"))
+      ordered.limit(1).collect().headOption match {
+        case None => exhausted = true
+        case Some(r) =>
+          val id = r.getAs[Long]("vec_id")
+          val rel = r.getAs[Double]("rel")
+          val ms = if (t == 1) None
+            else Option(r.getAs[Any]("ms")).map(_.asInstanceOf[Double])
+          val mmr = ms.map(m => lambda * rel - (1.0 - lambda) * m)
+          picks += ((t, id, rel, ms, mmr))
+          if (t < k) {
+            val vLit = array(r.getSeq[Double](r.fieldIndex("__v")).map(lit): _*)
+            val cosNew = dot(col("__v"), vLit) /
+              (col("__n") * lit(r.getAs[Double]("__n")))
+            // first assignment is direct (no greatest-with-NULL
+            // cross-engine question); later rounds fold non-nulls
+            val msNew = if (t == 1) cosNew else greatest(col("ms"), cosNew)
+            val next = state.where(col("vec_id") =!= id)
+              .withColumn("ms", msNew)
+              .localCheckpoint()
+            org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(state)
+            state = next
+          }
+          t += 1
+      }
+    }
+    org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(state)
+    picks.toSeq
+      .toDF("pick_rank", "vec_id", "__rel", "__ms", "__mmr")
+      .select(col("pick_rank"), col("vec_id"),
+        round(col("__rel"), 6).as("relevance"),
+        round(col("__ms"), 6).as("max_sim"),
+        round(col("__mmr"), 6).as("mmr"))
+      .orderBy("pick_rank")
+  }
+
+  /**
    * Hard-negative mining for contrastive training (DPR/SimCSE-style
    * retriever data prep): for each probe, the `k` MOST-similar corpus
    * vectors carrying a DIFFERENT label — the negatives closest to the

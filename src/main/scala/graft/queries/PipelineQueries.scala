@@ -261,6 +261,76 @@ object PipelineQueries {
        |GROUP BY 1 ORDER BY doc_id""".stripMargin
 
   /**
+   * q209 oracle generator: replays `Similarity.mmrSelect`'s greedy
+   * loop in DuckDB as a materialized-CTE chain (the q195/q200
+   * pattern). Round 1 picks max relevance (cosine to the query
+   * vector); each later round computes cosines against ONLY the
+   * newest pick, folds them into the running max-sim via greatest
+   * (first assignment direct — no greatest-with-NULL cross-engine
+   * question), and picks max λ·rel − (1−λ)·ms with the vec_id
+   * tiebreak. λ and 1−λ are computed from the SAME literal on both
+   * engines; cosines are the q19-convention index-order SUM folds.
+   */
+  private def mmrOracleSql(k: Int, lambda: Double, queryId: Long): String = {
+    val lam = lambda.toString
+    def cosAgainst(p: String): String =
+      s"""(SELECT e.vec_id, SUM(e.x * pe.x) / (ne.n * np.n) AS cos
+         |     FROM el e
+         |     JOIN el pe ON pe.d = e.d
+         |       AND pe.vec_id = (SELECT vec_id FROM $p)
+         |     JOIN nrm ne ON ne.vec_id = e.vec_id
+         |     JOIN nrm np ON np.vec_id = (SELECT vec_id FROM $p)
+         |     GROUP BY e.vec_id, ne.n, np.n)""".stripMargin
+    val head =
+      s"""el AS MATERIALIZED (
+         |  SELECT vec_id, generate_subscripts(embedding,1) AS d,
+         |         unnest(embedding)::DOUBLE AS x
+         |  FROM embeddings
+         |), nrm AS MATERIALIZED (
+         |  SELECT vec_id, sqrt(SUM(x*x)) AS n FROM el GROUP BY vec_id
+         |), rel AS MATERIALIZED (
+         |  SELECT e.vec_id, SUM(e.x * q.x) / (ne.n * nq.n) AS rel
+         |  FROM el e
+         |  JOIN el q ON q.d = e.d AND q.vec_id = $queryId
+         |  JOIN nrm ne ON ne.vec_id = e.vec_id
+         |  JOIN nrm nq ON nq.vec_id = $queryId
+         |  WHERE e.vec_id <> $queryId
+         |  GROUP BY e.vec_id, ne.n, nq.n
+         |),
+         |p1 AS MATERIALIZED (
+         |  SELECT vec_id, rel FROM rel ORDER BY rel DESC, vec_id LIMIT 1),
+         |s1 AS MATERIALIZED (
+         |  SELECT r.vec_id, r.rel, c.cos AS ms
+         |  FROM rel r JOIN ${cosAgainst("p1")} c USING (vec_id)
+         |  WHERE r.vec_id <> (SELECT vec_id FROM p1))""".stripMargin
+    val rounds = (2 to k).map { t =>
+      val pick =
+        s"""p$t AS MATERIALIZED (
+           |  SELECT vec_id, rel, ms, $lam*rel - (1.0-$lam)*ms AS mmr
+           |  FROM s${t - 1} ORDER BY mmr DESC, vec_id LIMIT 1)""".stripMargin
+      if (t == k) pick
+      else pick + ",\n" +
+        s"""s$t AS MATERIALIZED (
+           |  SELECT s.vec_id, s.rel, greatest(s.ms, c.cos) AS ms
+           |  FROM s${t - 1} s JOIN ${cosAgainst(s"p$t")} c USING (vec_id)
+           |  WHERE s.vec_id <> (SELECT vec_id FROM p$t))""".stripMargin
+    }.mkString(",\n")
+    val unions = (s"""SELECT CAST(1 AS INT) AS pick_rank, vec_id,
+       |    round(rel, 6) + 0.0 AS relevance,
+       |    CAST(NULL AS DOUBLE) AS max_sim, CAST(NULL AS DOUBLE) AS mmr
+       |  FROM p1""".stripMargin +:
+      (2 to k).map(t =>
+        s"""SELECT CAST($t AS INT), vec_id, round(rel, 6) + 0.0,
+           |    round(ms, 6) + 0.0, round(mmr, 6) + 0.0 FROM p$t""".stripMargin))
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH $head,
+       |$rounds
+       |SELECT * FROM (
+       |  $unions
+       |) ORDER BY pick_rank""".stripMargin
+  }
+
+  /**
    * q200 oracle generator: replays `Similarity.trainCentroids` —
    * farthest-point seeding then `iters` Lloyd rounds — in DuckDB.
    * Validity preconditions are documented at the q200 entry (pool ⊇
@@ -1608,6 +1678,17 @@ object PipelineQueries {
             a.unionByName(b), Seq("user_id")),
           Seq("user_id"))
         .orderBy("user_id")
+    }),
+
+    // V18 (round 9): MMR diversified top-8 against probe vector 0 —
+    // greedy λ·rel − (1−λ)·max-sim pick, one pool scan per round,
+    // incremental max-sim against only the newest pick, k-row
+    // bounded-driver contract. Oracle replays all 8 rounds as a
+    // materialized-CTE chain.
+    "q209_mmr_select" -> ((s, dir) => {
+      graft.operators.Similarity.mmrSelect(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        queryId = 0L, k = 8, lambda = 0.7)
     }),
 
     // T44 (round 9): BPE merge training — the map-reduce tokenizer
@@ -3908,6 +3989,8 @@ object PipelineQueries {
         |  CASE WHEN MAX(ta) > 0 AND MAX(tb) > 0 THEN
         |    CAST(MIN(CASE WHEN dd = dmax THEN b END) AS BIGINT) END AS ks_at
         |FROM dm""".stripMargin,
+
+    "q209_mmr_select" -> mmrOracleSql(k = 8, lambda = 0.7, queryId = 0L),
 
     // Full recompute from raw events — if the state merge dropped,
     // double-applied, or mis-added anything, count/sum or the digest

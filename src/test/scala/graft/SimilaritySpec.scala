@@ -572,4 +572,36 @@ class SimilaritySpec extends AnyFunSuite {
       .select("recall").as[Double].collect().toSeq
     assert(r2 === Seq(1.0))
   }
+
+  test("mmrSelect: diversity-heavy lambda skips the near-duplicate of pick 1") {
+    // q = (1,0); cand 1 ~ q, cand 2 ~ cand 1 (near-dup), cand 3 diverse.
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(1.0f, 0.01f)),
+      (2L, Seq(1.0f, 0.02f)),
+      (3L, Seq(0.3f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.mmrSelect(
+        vecs, "vec_id", "embedding", queryId = 0L, k = 3, lambda = 0.3)
+      .as[(Int, Long, Double, Option[Double], Option[Double])]
+      .collect().toSeq
+    // rank 1: best relevance, no max_sim/mmr yet
+    assert(out.map(_._2) === Seq(1L, 3L, 2L))
+    assert(out.head._4.isEmpty && out.head._5.isEmpty)
+    assert(math.abs(out.head._3 - 0.99995) < 1e-6)
+    // rank 2/3 carry the max-sim that justified the pick
+    assert(out(1)._4.nonEmpty && out(1)._5.nonEmpty)
+    // relevance-only lambda = 1.0 degenerates to cosine top-k order
+    val rel = Similarity.mmrSelect(
+        vecs, "vec_id", "embedding", queryId = 0L, k = 3, lambda = 1.0)
+      .as[(Int, Long, Double, Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(rel.map(_._2) === Seq(1L, 2L, 3L))
+    // pool smaller than k: stops at exhaustion
+    val small = Similarity.mmrSelect(
+        vecs.where($"vec_id" <= 1), "vec_id", "embedding",
+        queryId = 0L, k = 5, lambda = 0.5)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(small === Seq(1L))
+  }
 }
