@@ -202,4 +202,44 @@ object Funnel {
         col("__n").as("n_touches"),
         round(col("__value") / col("__n").cast("double"), 6).as("credit"))
   }
+
+  /**
+   * Top journey paths — the "what do users actually DO" view the
+   * per-pair transition matrix (q91) can't give: each user's first
+   * `maxSteps` events in (ts, tie) order render as one `a>b>c` path
+   * string, paths aggregate to (path, n_users), top `k` returned.
+   *
+   * Determinism: the step cut and the path order both follow the
+   * (tsCol, tieCol) TOTAL order; the top-k cut breaks count ties by
+   * path string. `maxSteps` bounds the path string (an unbounded
+   * concat over a power user's history is a row-size bomb at scale).
+   *
+   * Scale: the row_number cut and the per-user fold share ONE user
+   * exchange (collect_list state ≤ maxSteps rows per user — bounded,
+   * unlike a raw history collect); the path aggregation is a second
+   * exchange at path cardinality; top-k is a TakeOrdered, never a
+   * global sort.
+   */
+  def topPaths(
+      events: DataFrame, userCol: String, tsCol: String, tieCol: String,
+      stepCol: String, maxSteps: Int, k: Int): DataFrame = {
+    require(maxSteps >= 1, s"maxSteps must be >= 1, got $maxSteps")
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+    events
+      .select(col(userCol), col(tsCol), col(tieCol), col(stepCol))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= maxSteps)
+      .groupBy(col(userCol))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("__rn"), col(stepCol)))),
+          x => x(stepCol)), ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(k)
+  }
 }

@@ -415,6 +415,44 @@ object Quality {
   }
 
   /**
+   * Two-proportion z-test (pooled) — the A/B experiment readout:
+   * does variant A's conversion rate differ from B's by more than
+   * sampling noise explains? z = (p_a − p_b) / √(p̂(1−p̂)(1/n_a+1/n_b))
+   * with p̂ the pooled rate; |z| ≥ 1.96 is the conventional 5% line.
+   *
+   * Exactness: the four counts are integral from ONE
+   * partial-aggregated pass; rates and z are a FIXED IEEE op chain
+   * over those exact counts, round(6) at the boundary. z is SIGNED —
+   * the oracle must carry the `+ 0.0` signed-zero normalization
+   * (this side never emits −0.0; Spark's Round strips it).
+   * Degenerate cases (empty variant, pooled rate 0 or 1 ⇒ zero
+   * standard error) yield NULL z, never NaN/Inf.
+   *
+   * Scale: one scan, one agg row — nothing else.
+   */
+  def abTest(df: DataFrame, aCol: Column, convCol: Column): DataFrame = {
+    val agg = df
+      .where(aCol.isNotNull && convCol.isNotNull)
+      .agg(
+        sum(when(aCol, 1L).otherwise(0L)).as("n_a"),
+        sum(when(!aCol, 1L).otherwise(0L)).as("n_b"),
+        sum(when(aCol && convCol, 1L).otherwise(0L)).as("conv_a"),
+        sum(when(!aCol && convCol, 1L).otherwise(0L)).as("conv_b"))
+    val pa = col("conv_a").cast("double") / col("n_a")
+    val pb = col("conv_b").cast("double") / col("n_b")
+    val pp = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b"))
+    val se = sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    agg.select(
+      col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+      when(col("n_a") > 0, round(pa, 6)).as("rate_a"),
+      when(col("n_b") > 0, round(pb, 6)).as("rate_b"),
+      when(col("n_a") > 0 && col("n_b") > 0 && se > 0,
+        round((pa - pb) / se, 6)).as("z"))
+  }
+
+  /**
    * Per-key Lorenz concentration audit — Gini coefficient plus
    * top-decile mass share of a non-negative size/weight column. The
    * corpus-balance check run before mixing sources: a source whose

@@ -1649,6 +1649,18 @@ object PipelineQueries {
         col("event_type") === "click")
     }),
 
+    // E20 (round 9): two-proportion z-test — even/odd user split,
+    // conversion = any purchase event. One per-user collapse, one
+    // agg row, fixed IEEE op chain over exact counts.
+    "q211_ab_ztest" -> ((s, dir) => {
+      val users = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("conv"))
+      graft.operators.Quality.abTest(
+        users, col("user_id") % 2 === 0, col("conv") === 1L)
+    }),
+
     // E19 (round 9): per-source Lorenz/Gini concentration of document
     // char mass — the corpus-balance audit before source mixing.
     // Tie-invariant integral numerator, one key exchange.
@@ -4011,6 +4023,43 @@ object PipelineQueries {
         |  CAST(CAST(SUM(CAST(hv AS DECIMAL(38,0))) AS DECIMAL(38,0))
         |    AS VARCHAR) AS hash_sum
         |FROM h GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // Same fixed op chain over exact counts; + 0.0 carries the
+    // signed-zero normalization on the signed z.
+    "q211_ab_ztest" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY user_id
+        |), c AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 AND conv = 1 THEN 1 ELSE 0
+        |      END) AS BIGINT) AS conv_a,
+        |    CAST(SUM(CASE WHEN user_id % 2 <> 0 AND conv = 1 THEN 1 ELSE 0
+        |      END) AS BIGINT) AS conv_b
+        |  FROM u
+        |)
+        |SELECT n_a, n_b, conv_a, conv_b,
+        |  CASE WHEN n_a > 0 THEN
+        |    round(CAST(conv_a AS DOUBLE) / n_a, 6) END AS rate_a,
+        |  CASE WHEN n_b > 0 THEN
+        |    round(CAST(conv_b AS DOUBLE) / n_b, 6) END AS rate_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND
+        |    sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+        |      * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+        |      * (1.0 / n_a + 1.0 / n_b)) > 0
+        |  THEN
+        |    round((CAST(conv_a AS DOUBLE) / n_a
+        |         - CAST(conv_b AS DOUBLE) / n_b)
+        |      / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+        |        * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+        |        * (1.0 / n_a + 1.0 / n_b)), 6) + 0.0
+        |  END AS z
+        |FROM c""".stripMargin,
 
     // Per-source Gini + top-decile share: ascending-rank identity
     // 2·Σrn·v − (n+1)·Σv over n·Σv, exact integral sums, two final

@@ -773,6 +773,16 @@ object RelationalQueries {
         .orderBy("user_id", "version_seq")
     }),
 
+    // R25 (round 9): top journey paths — each user's first 8 events
+    // in (ts, event_id) order rendered as an a>b>c path string,
+    // counted, top-20. Bounded per-user fold on one user exchange;
+    // TakeOrdered cut, never a global sort.
+    "q210_top_paths" -> ((s, dir) => {
+      graft.operators.Funnel.topPaths(
+        t(s, dir, "events"), "user_id", "ts", "event_id",
+        "event_type", maxSteps = 8, k = 20)
+    }),
+
     // R24 (round 9): survivorship golden record — per-user latest
     // non-null per FIELD under the (ts, event_id) total order. Nulls
     // injected per a realistic rule (errors carry no measurement,
@@ -2106,6 +2116,22 @@ object RelationalQueries {
         |  (lead(valid_from) OVER (PARTITION BY user_id ORDER BY version_seq)
         |    IS NULL) AS is_current
         |FROM ep ORDER BY user_id, version_seq""".stripMargin,
+
+    // Path fold replayed with ordered string_agg; same (ts, event_id)
+    // step cut, same (n desc, path) top-k tiebreak.
+    "q210_top_paths" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |), p AS (
+        |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM s WHERE rn <= 8 GROUP BY user_id
+        |)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_users
+        |FROM p GROUP BY path
+        |ORDER BY n_users DESC, path LIMIT 20""".stripMargin,
 
     // Survivorship replay: the SAME window program — full-frame
     // last_value IGNORE NULLS per field over (ts, event_id), keep

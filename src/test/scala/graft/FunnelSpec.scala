@@ -102,4 +102,29 @@ class FunnelSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Double)].collect().toSeq
     assert(out === Seq((5L, 1L, 2L, 45.0), (5L, 2L, 2L, 45.0)))
   }
+
+  test("topPaths: ordered step strings, step cap, count-then-path top-k ties") {
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val ev = Seq(
+      (1L, ts(1), 1L, "view"), (1L, ts(2), 2L, "click"),
+      (1L, ts(3), 3L, "buy"),
+      (2L, ts(5), 4L, "view"), (2L, ts(6), 5L, "click"),
+      (2L, ts(7), 6L, "buy"),
+      (3L, ts(1), 7L, "view"), (3L, ts(2), 8L, "exit"),
+      // user 4: 3 events but cap 2 -> path cut at 2 steps
+      (4L, ts(1), 9L, "view"), (4L, ts(2), 10L, "exit"),
+      (4L, ts(3), 11L, "buy"),
+      // same-ts tie broken by event_id: 13 before 12 would be wrong
+      (5L, ts(1), 12L, "view"), (5L, ts(1), 13L, "exit")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = Funnel.topPaths(ev, "user_id", "ts", "event_id",
+        "event_type", maxSteps = 2, k = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(out === Seq(("view>click", 2L), ("view>exit", 3L)).sortBy(-_._2))
+    // count desc first, then path asc on ties
+    val k1 = Funnel.topPaths(ev, "user_id", "ts", "event_id",
+        "event_type", maxSteps = 2, k = 1)
+      .as[(String, Long)].collect().toSeq
+    assert(k1 === Seq(("view>exit", 3L)))
+  }
 }

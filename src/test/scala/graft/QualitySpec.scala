@@ -351,6 +351,34 @@ class QualitySpec extends AnyFunSuite {
       ((2L, 0L, None, None)))
   }
 
+  test("abTest: hand-computed pooled z; degenerate variants and zero-SE NULL") {
+    import org.apache.spark.sql.functions.col
+    // A: 3 users 2 conv; B: 2 users 0 conv. pooled p = 0.4,
+    // se = sqrt(0.4*0.6*(1/3+1/2)) = sqrt(0.2) = 0.4472136
+    // z = (0.666667 - 0) / 0.4472136 = 1.490712
+    val df = Seq(
+      (true, true), (true, true), (true, false),
+      (false, false), (false, false)
+    ).toDF("isa", "conv")
+    val r = Quality.abTest(df, col("isa"), col("conv"))
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double],
+        Option[Double])].collect().head
+    assert(r._1 === 3L && r._2 === 2L && r._3 === 2L && r._4 === 0L)
+    assert(r._5 === Some(0.666667) && r._6 === Some(0.0))
+    assert(math.abs(r._7.get - 1.490712) < 1e-6)
+    // all converted -> pooled rate 1 -> zero SE -> NULL z
+    val allConv = Seq((true, true), (false, true)).toDF("isa", "conv")
+    assert(Quality.abTest(allConv, col("isa"), col("conv"))
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double],
+        Option[Double])].collect().head._7 === None)
+    // one empty variant -> NULL rate_b and z
+    val onlyA = Seq((true, true), (true, false)).toDF("isa", "conv")
+    val oa = Quality.abTest(onlyA, col("isa"), col("conv"))
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double],
+        Option[Double])].collect().head
+    assert(oa._6 === None && oa._7 === None)
+  }
+
   test("lorenzGini: hand-computed skew, uniform zero, singleton, zero-total NULL") {
     // key a: values [1, 1, 8] -> s2 = 1+2+24 = 27, num = 54-40 = 14,
     // den = 30 -> gini 0.466667; top decile k = ceil(3/10) = 1 -> 8/10
