@@ -141,4 +141,94 @@ object Multimodal {
       }
       .toDF(idCol, "features")
   }
+
+  /**
+   * Overlapping byte-shingle token string: hex(payload) sliced into
+   * `widthBytes`-byte grams every `strideBytes` bytes, space-joined —
+   * the binary analogue of word shingles, feeding the same SimHash
+   * kernel. Overlap (stride < width) keeps the signature robust to
+   * byte insertions/shifts, which block-aligned chunking is not.
+   * A payload shorter than one gram contributes its whole hex as the
+   * single token. Pure per-row projection.
+   */
+  def byteShingleString(
+      payload: Column, widthBytes: Int, strideBytes: Int): Column = {
+    require(widthBytes >= 1 && strideBytes >= 1,
+      s"width/stride must be >= 1, got $widthBytes/$strideBytes")
+    val hx = hex(payload)
+    val w = widthBytes * 2
+    val st = strideBytes * 2
+    array_join(
+      transform(
+        sequence(lit(1), greatest(length(hx) - (w - 1), lit(1)), lit(st)),
+        i => hx.substr(i, lit(w))), " ")
+  }
+
+  /**
+   * Binary-payload near-duplicate pairs — fuzzy dedup for media
+   * blobs where M1's exact digests can't see a re-encoded/padded
+   * copy: byte-shingle SimHash (64-bit, the codegen'd q18 kernel)
+   * plus a 4×16-bit BAND bucket join, exact-hamming verified. The
+   * band pigeonhole guarantees recall for hamming ≤ 3: four bands
+   * can't all differ on ≤ 3 flipped bits.
+   *
+   * Scale: signatures compute ONCE (localCheckpoint barrier — both
+   * self-join branches read the materialized per-doc rows instead of
+   * re-running the kernel per consumer, the q127 shared-subtree
+   * rule) and the self-join touches only band-bucket collisions —
+   * NEVER all pairs. Dup-heavy corpora make a bucket quadratic in
+   * its dup-group size: `capPerBucket` hard-bounds every bucket to
+   * its cap lowest ids (the q130 blocked-join rule; sized to be
+   * INACTIVE at gate scales so results stay byte-identical, and
+   * mirrored in the oracle) — and run D1 exact dedup first (digests
+   * are already in M1) so only near-misses reach the band join.
+   * Hamming is two long XOR+bit_counts per candidate — integer
+   * arithmetic, method-independent across engines.
+   *
+   * Output: (id_a, id_b, hamming), id_a < id_b, hamming ≤
+   * `maxHamming`, ordered.
+   */
+  def binaryNearDups(
+      df: DataFrame, idCol: String, payloadCol: String,
+      widthBytes: Int = 8, strideBytes: Int = 2,
+      maxHamming: Int = 3, capPerBucket: Int = 64): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x16 bands guarantee recall only to hamming 3; got $maxHamming")
+    require(capPerBucket >= 2,
+      s"capPerBucket must be >= 2 to ever emit a pair, got $capPerBucket")
+    import org.apache.spark.sql.expressions.Window
+    val sigs = df.select(
+        col(idCol).as("__id"),
+        graft.operators.Dedup.simhashFast(
+          byteShingleString(col(payloadCol), widthBytes, strideBytes))
+          .as("__fp"))
+      .withColumn("__hi",
+        conv(substring(col("__fp"), 1, 32), 2, 10).cast("long"))
+      .withColumn("__lo",
+        conv(substring(col("__fp"), 33, 32), 2, 10).cast("long"))
+      .localCheckpoint()
+    val wb = Window.partitionBy(col("__k"), col("__bv"))
+      .orderBy(col("__id"))
+    val bands = sigs.select(
+        col("__id"), col("__hi"), col("__lo"),
+        posexplode(array((0 until 4).map(k =>
+          substring(col("__fp"), 1 + 16 * k, 16)): _*)).as(Seq("__k", "__bv")))
+      .withColumn("__rn", row_number().over(wb))
+      .where(col("__rn") <= capPerBucket)
+      .drop("__rn")
+    def side(s: String) = bands.select(
+      col("__id").as(s"id_$s"), col("__hi").as(s"__hi$s"),
+      col("__lo").as(s"__lo$s"), col("__k"), col("__bv"))
+    val cand = side("a").join(side("b"), Seq("__k", "__bv"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "__hia", "__loa", "__hib", "__lob")
+      .distinct()
+    cand
+      .withColumn("hamming",
+        (bit_count(col("__hia").bitwiseXOR(col("__hib"))) +
+          bit_count(col("__loa").bitwiseXOR(col("__lob")))).cast("int"))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+      .orderBy("id_a", "id_b")
+  }
 }

@@ -1661,6 +1661,14 @@ object PipelineQueries {
         users, col("user_id") % 2 === 0, col("conv") === 1L)
     }),
 
+    // M9 (round 9): binary-payload near-dups — byte-shingle SimHash
+    // over the synthesized media blobs, 4x16-bit band bucket join
+    // (never all-pairs), exact hamming <= 3 verify.
+    "q212_binary_neardups" -> ((s, dir) => {
+      val m = Multimodal.synthesize(t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.binaryNearDups(m, "doc_id", "payload")
+    }),
+
     // E19 (round 9): per-source Lorenz/Gini concentration of document
     // char mass — the corpus-balance audit before source mixing.
     // Tie-invariant integral numerator, one key exchange.
@@ -4023,6 +4031,62 @@ object PipelineQueries {
         |  CAST(CAST(SUM(CAST(hv AS DECIMAL(38,0))) AS DECIMAL(38,0))
         |    AS VARCHAR) AS hash_sum
         |FROM h GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // Byte shingles (16 hex chars every 4, = 8-byte grams stride 2)
+    // through the q18 simhash chain, band buckets, char-compare
+    // hamming — all-integer end to end.
+    "q212_binary_neardups" ->
+      """WITH b AS MATERIALIZED (
+        |  SELECT doc_id, hex(encode(text)) AS hx FROM documents
+        |), g AS (
+        |  SELECT DISTINCT doc_id, substr(hx, CAST(i AS INT), 16) AS tok
+        |  FROM (SELECT doc_id, hx,
+        |          unnest(generate_series(1, greatest(length(hx) - 15, 1),
+        |            4)) AS i
+        |        FROM b)
+        |), th AS (
+        |  SELECT doc_id, md5(tok) AS h FROM g
+        |), bits AS (
+        |  SELECT doc_id, j.j,
+        |    CASE WHEN ascii(substr(h, 1 + (j.j // 4), 1)) <= 57
+        |         THEN ascii(substr(h, 1 + (j.j // 4), 1)) - 48
+        |         ELSE ascii(substr(h, 1 + (j.j // 4), 1)) - 87 END AS v
+        |  FROM th CROSS JOIN (SELECT unnest(generate_series(0,63)) AS j) j
+        |), contrib AS (
+        |  SELECT doc_id, j,
+        |    SUM(2 * ((v // CAST(POWER(2, j % 4) AS INT)) % 2) - 1) AS s
+        |  FROM bits GROUP BY doc_id, j
+        |), fp AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, ''
+        |      ORDER BY j) AS fp
+        |  FROM contrib GROUP BY doc_id
+        |), bands AS (
+        |  SELECT doc_id, k, bv FROM (
+        |    SELECT doc_id, k,
+        |      substr(fp, CAST(1 + 16*k AS INT), 16) AS bv,
+        |      row_number() OVER (PARTITION BY k,
+        |        substr(fp, CAST(1 + 16*k AS INT), 16)
+        |        ORDER BY doc_id) AS rn
+        |    FROM fp, (SELECT unnest([0,1,2,3]) AS k))
+        |  WHERE rn <= 64
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+        |  FROM bands a JOIN bands b2
+        |    ON a.k = b2.k AND a.bv = b2.bv AND a.doc_id < b2.doc_id
+        |), ham AS (
+        |  SELECT c.id_a, c.id_b,
+        |    CAST(SUM(CASE WHEN substr(fa.fp, CAST(c.p AS INT), 1)
+        |                    <> substr(fb.fp, CAST(c.p AS INT), 1)
+        |             THEN 1 ELSE 0 END) AS INT) AS hamming
+        |  FROM (SELECT id_a, id_b, unnest(generate_series(1, 64)) AS p
+        |        FROM cand) c
+        |  JOIN fp fa ON fa.doc_id = c.id_a
+        |  JOIN fp fb ON fb.doc_id = c.id_b
+        |  GROUP BY c.id_a, c.id_b
+        |)
+        |SELECT id_a, id_b, hamming FROM ham
+        |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
 
     // Same fixed op chain over exact counts; + 0.0 carries the
     // signed-zero normalization on the signed z.

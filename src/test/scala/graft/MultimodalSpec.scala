@@ -87,4 +87,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.head._1 === 0L)
     assert(rows.last._2.forall(_ === 0.0f))
   }
+
+  test("byteShingleString: overlapping hex grams; short payload = one token") {
+    val df = Seq((1L, "abcdefgh"), (2L, "ab")).toDF("id", "t")
+      .select(col("id"),
+        Multimodal.byteShingleString(encode(col("t"), "UTF-8"),
+          widthBytes = 4, strideBytes = 2).as("g"))
+    val m = df.as[(Long, String)].collect().toMap
+    // "abcdefgh" hex = 16 chars; grams of 8 every 4: pos 1, 5, 9
+    assert(m(1L) === "6162636465666768".sliding(8, 4).toSeq
+      .filter(_.length == 8).mkString(" "))
+    assert(m(2L) === "6162") // shorter than one gram -> whole hex
+  }
+
+  test("binaryNearDups: identical payloads pair at hamming 0, a small edit " +
+      "stays near, unrelated payloads don't pair") {
+    // long payload: a 1-char append touches only ~3 of ~2000
+    // shingles, so the signature barely moves (hamming 0 here —
+    // simhash bit flips scale with changed/total tokens)
+    val base = (0 until 4000).map(i => ('a' + (i * 7 + i * i % 13) % 26)
+      .toChar).mkString
+    val near = base + "t"
+    val far = (0 until 4000).map(i => ('A' + (i * 11 + 3) % 26)
+      .toChar).mkString
+    val df = Seq((1L, base), (2L, base), (3L, near), (4L, far))
+      .toDF("id", "t")
+      .select(col("id"), encode(col("t"), "UTF-8").as("payload"))
+    val pairs = Multimodal.binaryNearDups(df, "id", "payload")
+      .as[(Long, Long, Int)].collect().toSeq
+    val asMap = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(asMap((1L, 2L)) === 0)
+    assert(asMap.contains((1L, 3L)) && asMap((1L, 3L)) <= 3)
+    assert(!pairs.exists(p => p._1 === 4L || p._2 === 4L))
+  }
 }
