@@ -921,6 +921,64 @@ object Similarity {
   }
 
   /**
+   * Simplified-silhouette label audit — per-vector clustering
+   * quality against LABEL centroids (Rousseeuw's silhouette with
+   * centroid distances standing in for mean pairwise distances —
+   * the O(n·L) "simplified" form, never O(n²)): a = distance to the
+   * own-label centroid, b = distance to the NEAREST other-label
+   * centroid, s = (b − a)/max(a, b) ∈ [−1, 1]. s < 0 flags a vector
+   * sitting closer to another label than its own — the per-example
+   * "is this label wrong?" signal that [[centroidSimilarity]]'s
+   * label-pair view can't localize.
+   *
+   * Determinism: distances are index-order Euclidean folds (q19
+   * convention), the nearest-other pick breaks distance ties by
+   * label (total order), s is SIGNED — the oracle carries the
+   * `+ 0.0` normalization on its round(6). Degenerate a = b = 0
+   * (vector equal to both centroids) yields NULL, never NaN.
+   *
+   * Scale: centroids are one explode + partial-combined aggregate
+   * (|labels|·d rows — broadcastable); the distance join fans each
+   * vector component out by |labels| — O(n·d·L) work with NO
+   * corpus-sized shuffle beyond the (id, label, clabel) partial
+   * aggregation; everything downstream is n·L rows.
+   *
+   * Output: (vec_id, label, a_dist, b_dist, b_label, silhouette),
+   * ordered by id.
+   */
+  def silhouetteAudit(
+      corpus: DataFrame, idCol: String, labelCol: String,
+      vecCol: String): DataFrame = {
+    val el = corpus
+      .where(col(labelCol).isNotNull)
+      .select(col(idCol).as("vec_id"), col(labelCol).as("label"),
+        posexplode(toDoubleVec(col(vecCol))).as(Seq("d", "x")))
+    val cen = el.groupBy(col("label").as("clabel"), col("d"))
+      .agg((sum(col("x")) / count(lit(1))).as("c"))
+    val dists = el.join(cen, Seq("d"))
+      .groupBy(col("vec_id"), col("label"), col("clabel"))
+      .agg(sqrt(sum((col("x") - col("c")) * (col("x") - col("c"))))
+        .as("dist"))
+    val own = dists.where(col("label") === col("clabel"))
+      .select(col("vec_id"), col("label"), col("dist").as("__a"))
+    val other = dists.where(col("label") =!= col("clabel"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("clabel"))).as("__m"))
+      .select(col("vec_id"), col("__m.dist").as("__b"),
+        col("__m.clabel").as("b_label"))
+    own.join(other, Seq("vec_id"))
+      .select(
+        col("vec_id"), col("label"),
+        round(col("__a"), 6).as("a_dist"),
+        round(col("__b"), 6).as("b_dist"),
+        col("b_label"),
+        when(greatest(col("__a"), col("__b")) > 0,
+          round((col("__b") - col("__a")) /
+            greatest(col("__a"), col("__b")), 6)).as("silhouette"))
+      .orderBy(col("vec_id"))
+  }
+
+  /**
    * Top-k principal components of the embedding distribution — the
    * dimensionality-reduction companion to [[embeddingMoments]]
    * (PCA-before-ANN / variance diagnostics). The EXACT floor-grid

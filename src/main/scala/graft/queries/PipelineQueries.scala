@@ -1661,6 +1661,15 @@ object PipelineQueries {
         users, col("user_id") % 2 === 0, col("conv") === 1L)
     }),
 
+    // V19 (round 9): simplified-silhouette label audit — per-vector
+    // (b - a)/max(a, b) against label centroids; s < 0 localizes a
+    // probably-wrong label. O(n·d·L), no corpus-sized shuffle beyond
+    // the partial-aggregated distance fold.
+    "q213_silhouette" -> ((s, dir) => {
+      graft.operators.Similarity.silhouetteAudit(
+        t(s, dir, "embeddings"), "vec_id", "label", "embedding")
+    }),
+
     // M9 (round 9): binary-payload near-dups — byte-shingle SimHash
     // over the synthesized media blobs, 4x16-bit band bucket join
     // (never all-pairs), exact hamming <= 3 verify.
@@ -4031,6 +4040,42 @@ object PipelineQueries {
         |  CAST(CAST(SUM(CAST(hv AS DECIMAL(38,0))) AS DECIMAL(38,0))
         |    AS VARCHAR) AS hash_sum
         |FROM h GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // Euclidean folds to label centroids; nearest-other via the
+    // (dist, clabel) total order; + 0.0 on the signed silhouette.
+    "q213_silhouette" ->
+      """WITH el AS MATERIALIZED (
+        |  SELECT vec_id, label, generate_subscripts(embedding,1) AS d,
+        |         unnest(embedding)::DOUBLE AS x
+        |  FROM embeddings WHERE label IS NOT NULL
+        |), cen AS MATERIALIZED (
+        |  SELECT label AS clabel, d, SUM(x) / count(*) AS c
+        |  FROM el GROUP BY label, d
+        |), dists AS MATERIALIZED (
+        |  SELECT e.vec_id, e.label, cen.clabel,
+        |    sqrt(SUM((e.x - cen.c) * (e.x - cen.c))) AS dist
+        |  FROM el e JOIN cen ON cen.d = e.d
+        |  GROUP BY e.vec_id, e.label, cen.clabel
+        |), own AS (
+        |  SELECT vec_id, label, dist AS a FROM dists
+        |  WHERE label = clabel
+        |), other AS (
+        |  SELECT vec_id, dist AS b, clabel AS b_label FROM (
+        |    SELECT vec_id, dist, clabel,
+        |      row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY dist, clabel) AS rn
+        |    FROM dists WHERE label <> clabel)
+        |  WHERE rn = 1
+        |)
+        |SELECT o.vec_id, o.label,
+        |  round(o.a, 6) AS a_dist,
+        |  round(t.b, 6) AS b_dist,
+        |  t.b_label,
+        |  CASE WHEN greatest(o.a, t.b) > 0 THEN
+        |    round((t.b - o.a) / greatest(o.a, t.b), 6) + 0.0
+        |  END AS silhouette
+        |FROM own o JOIN other t USING (vec_id)
+        |ORDER BY o.vec_id""".stripMargin,
 
     // Byte shingles (16 hex chars every 4, = 8-byte grams stride 2)
     // through the q18 simhash chain, band buckets, char-compare

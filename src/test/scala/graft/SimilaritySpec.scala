@@ -573,6 +573,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r2 === Seq(1.0))
   }
 
+  test("silhouetteAudit: mislabeled vector goes negative; clean ones positive") {
+    // label 0 cluster near (0,0); label 1 cluster near (10,0).
+    // vec 5 is AT (10,1) but labeled 0 -> silhouette < 0, b_label 1.
+    val vecs = Seq(
+      (1L, 0, Seq(0.0f, 0.0f)), (2L, 0, Seq(1.0f, 0.0f)),
+      (3L, 1, Seq(10.0f, 0.0f)), (4L, 1, Seq(11.0f, 0.0f)),
+      (5L, 0, Seq(10.0f, 1.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val out = Similarity.silhouetteAudit(vecs, "vec_id", "label", "embedding")
+      .as[(Long, Int, Double, Double, Int, Option[Double])]
+      .collect().toSeq
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(5L)._6.get < 0 && byId(5L)._5 === 1)
+    assert(byId(1L)._6.get > 0 && byId(3L)._6.get > 0)
+    // a_dist for vec 3: own centroid (label 1) = (10.5, 0) -> 0.5
+    assert(math.abs(byId(3L)._3 - 0.5) < 1e-9)
+  }
+
   test("mmrSelect: diversity-heavy lambda skips the near-duplicate of pick 1") {
     // q = (1,0); cand 1 ~ q, cand 2 ~ cand 1 (near-dup), cand 3 diverse.
     val vecs = Seq(
