@@ -204,6 +204,63 @@ object Funnel {
   }
 
   /**
+   * Kaplan–Meier survival curve — time-to-event with CENSORING done
+   * right: subjects who never reached the event still shrink the
+   * risk set for as long as they were observed, which a naive
+   * "average time to conversion over converters" silently throws
+   * away (survivorship bias). S(t) = Π over event-durations ≤ t of
+   * (1 − d_i/n_i), n_i = subjects with duration ≥ t_i.
+   *
+   * Exactness (the q190 ln contract): each step's ln(1 − d/n) is an
+   * IEEE op over exact integers, round(6) then DECIMAL(18,6), so
+   * the cumulative log-survival sum is exact and order-free;
+   * `log_surv` surfaces that decimal as a double (bit-identical
+   * across engines), and `survival` = round(exp(·), 6) carries the
+   * same ~1e-9/value boundary exposure as every ln/exp finish in
+   * the registry. A step where everyone at risk dies (d = n, only
+   * possible at the last step) emits NULL log_surv and survival 0.
+   *
+   * Scale contract: `durationCol` must be QUANTIZED (integer hours/
+   * days) so distinct durations are span-bounded and the two ordered
+   * passes are the bounded-domain window exception (the KS/AUC
+   * rule); the corpus is touched by ONE partial-aggregated groupBy.
+   *
+   * Output: one row per duration with ≥ 1 event: (duration, n_risk,
+   * n_events, log_surv, survival), ascending.
+   */
+  def kaplanMeier(
+      subjects: DataFrame, durationCol: String,
+      eventCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val g = subjects
+      .where(col(durationCol).isNotNull && col(eventCol).isNotNull)
+      .groupBy(col(durationCol).cast("long").as("duration"))
+      .agg(
+        count(lit(1)).as("__cnt"),
+        sum(when(col(eventCol), 1L).otherwise(0L)).as("n_events"))
+    val wDesc = Window.orderBy(col("duration").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAsc = Window.orderBy(col("duration"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lstep = when(col("n_events") < col("n_risk"),
+      round(log(lit(1.0) -
+        col("n_events").cast("double") / col("n_risk")), 6)
+        .cast(DecimalType(18, 6)))
+    g.withColumn("n_risk", sum(col("__cnt")).over(wDesc))
+      .where(col("n_events") > 0)
+      .withColumn("__ls", sum(lstep).over(wAsc))
+      .select(
+        col("duration"), col("n_risk"), col("n_events"),
+        when(col("n_events") < col("n_risk"),
+          col("__ls").cast("double")).as("log_surv"),
+        when(col("n_events") < col("n_risk"),
+          round(exp(col("__ls").cast("double")), 6))
+          .otherwise(lit(0.0)).as("survival"))
+      .orderBy("duration")
+  }
+
+  /**
    * Top journey paths — the "what do users actually DO" view the
    * per-pair transition matrix (q91) can't give: each user's first
    * `maxSteps` events in (ts, tie) order render as one `a>b>c` path

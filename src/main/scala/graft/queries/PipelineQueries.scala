@@ -1661,6 +1661,33 @@ object PipelineQueries {
         users, col("user_id") % 2 === 0, col("conv") === 1L)
     }),
 
+    // E21 (round 9): Kaplan-Meier signup->purchase survival "as of
+    // Jan 11" — hours from each user's first pre-cutoff signup to
+    // their first later OBSERVED purchase; no purchase by the cutoff
+    // = censored there, still shrinking the risk set for as long as
+    // observed (the survivorship-bias fix a converters-only average
+    // silently lacks). Bounded duration grid (hours).
+    "q214_kaplan_meier" -> ((s, dir) => {
+      val cutoff = lit("2024-01-11 00:00:00").cast("timestamp")
+      val e = t(s, dir, "events")
+      val su = e.where(col("event_type") === "signup" && col("ts") < cutoff)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("s_ts"))
+      val pu = e.where(col("event_type") === "purchase" && col("ts") < cutoff)
+        .select(col("user_id"), col("ts").as("p_ts"))
+      val subj = su
+        .join(pu,
+          su("user_id") === pu("user_id") && col("p_ts") > col("s_ts"),
+          "left")
+        .groupBy(su("user_id"), col("s_ts"))
+        .agg(min(col("p_ts")).as("p_first"))
+        .select(
+          floor((unix_micros(coalesce(col("p_first"), cutoff)) -
+            unix_micros(col("s_ts"))) / lit(3600000000L))
+            .cast("long").as("dur_h"),
+          col("p_first").isNotNull.as("ev"))
+      graft.operators.Funnel.kaplanMeier(subj, "dur_h", "ev")
+    }),
+
     // V19 (round 9): simplified-silhouette label audit — per-vector
     // (b - a)/max(a, b) against label centroids; s < 0 localizes a
     // probably-wrong label. O(n·d·L), no corpus-sized shuffle beyond
@@ -4040,6 +4067,51 @@ object PipelineQueries {
         |  CAST(CAST(SUM(CAST(hv AS DECIMAL(38,0))) AS DECIMAL(38,0))
         |    AS VARCHAR) AS hash_sum
         |FROM h GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // KM replay: per-step ln rounds to 6dp DECIMAL before the exact
+    // cumulative sum (q190 contract); survival re-exponentiates.
+    "q214_kaplan_meier" ->
+      """WITH su AS (
+        |  SELECT user_id, MIN(ts) AS s_ts FROM events
+        |  WHERE event_type = 'signup'
+        |    AND ts < TIMESTAMP '2024-01-11 00:00:00'
+        |  GROUP BY user_id
+        |), subj AS (
+        |  SELECT su.user_id, su.s_ts, MIN(p.ts) AS p_first
+        |  FROM su LEFT JOIN events p
+        |    ON p.user_id = su.user_id AND p.event_type = 'purchase'
+        |      AND p.ts > su.s_ts
+        |      AND p.ts < TIMESTAMP '2024-01-11 00:00:00'
+        |  GROUP BY su.user_id, su.s_ts
+        |), dd AS (
+        |  SELECT CAST(floor((epoch_us(COALESCE(p_first,
+        |      TIMESTAMP '2024-01-11 00:00:00')) - epoch_us(s_ts))
+        |      / 3600000000.0) AS BIGINT) AS dur,
+        |    (p_first IS NOT NULL) AS ev
+        |  FROM subj
+        |), g AS (
+        |  SELECT dur, count(*) AS cnt,
+        |    SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS d
+        |  FROM dd GROUP BY dur
+        |), r AS (
+        |  SELECT dur, d, SUM(cnt) OVER (ORDER BY dur DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+        |  FROM g
+        |), s AS (
+        |  SELECT dur, n_risk, d,
+        |    SUM(CASE WHEN d < n_risk THEN
+        |      CAST(round(ln(1.0 - CAST(d AS DOUBLE) / n_risk), 6)
+        |        AS DECIMAL(18,6)) END)
+        |      OVER (ORDER BY dur
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ls
+        |  FROM r WHERE d > 0
+        |)
+        |SELECT dur AS duration, CAST(n_risk AS BIGINT) AS n_risk,
+        |  CAST(d AS BIGINT) AS n_events,
+        |  CASE WHEN d < n_risk THEN CAST(ls AS DOUBLE) END AS log_surv,
+        |  CASE WHEN d < n_risk THEN round(exp(CAST(ls AS DOUBLE)), 6)
+        |       ELSE 0.0 END AS survival
+        |FROM s ORDER BY duration""".stripMargin,
 
     // Euclidean folds to label centroids; nearest-other via the
     // (dist, clabel) total order; + 0.0 on the signed silhouette.

@@ -103,6 +103,29 @@ class FunnelSpec extends AnyFunSuite {
     assert(out === Seq((5L, 1L, 2L, 45.0), (5L, 2L, 2L, 45.0)))
   }
 
+  test("kaplanMeier: censored subjects shrink the risk set; all-die last step") {
+    // durations: 1(event), 2(censored), 3(event), 3(event), 5(censored)
+    // t=1: n=5, d=1 -> step 0.8 ; t=3: n=3 (the censored-at-2 subject
+    // left the risk set WITHOUT an event), d=2 -> step 1/3
+    val subj = Seq(
+      (1L, true), (2L, false), (3L, true), (3L, true), (5L, false)
+    ).toDF("dur", "ev")
+    val out = Funnel.kaplanMeier(subj, "dur", "ev")
+      .as[(Long, Long, Long, Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(out.map(r => (r._1, r._2, r._3)) === Seq((1L, 5L, 1L), (3L, 3L, 2L)))
+    // exact decimal log-survival: round(ln(0.8),6) + round(ln(1/3),6)
+    assert(out(0)._4 === Some(-0.223144))
+    assert(out(1)._4 === Some(-0.223144 + -1.098612))
+    assert(math.abs(out(1)._5.get - 0.8 / 3.0) < 1e-4)
+    // everyone at risk dies at the last step -> survival 0, NULL log
+    val allDie = Seq((1L, true), (1L, true)).toDF("dur", "ev")
+    val ad = Funnel.kaplanMeier(allDie, "dur", "ev")
+      .as[(Long, Long, Long, Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(ad === Seq((1L, 2L, 2L, None, Some(0.0))))
+  }
+
   test("topPaths: ordered step strings, step cap, count-then-path top-k ties") {
     def ts(s: Long) = new Timestamp(s * 1000L)
     val ev = Seq(
