@@ -169,4 +169,59 @@ object Graph {
       .na.fill(0L, Seq("n_triangles"))
       .select(col("node"), col("degree"), col("n_triangles"))
   }
+
+  /**
+   * G3: k-core decomposition (fixed peel rounds) — the densest-part
+   * extractor for the near-dup graph: the k-core is the maximal
+   * subgraph where every node keeps ≥ k neighbors, found by
+   * repeatedly PEELING nodes of degree < k (removing a weak node can
+   * demote its neighbors, hence iteration). On a near-dup graph the
+   * 2-core separates template FAMILIES (dense mutual overlap) from
+   * incidental pairwise chains, a sharper cut than raw degree.
+   *
+   * Determinism/oracle: the peel is a pure fixpoint iteration —
+   * integer degrees, no tie-breaks, no floats — so `rounds` fixed
+   * rounds replay exactly as an unrolled CTE chain (the q123/q195
+   * fixed-iteration contract); once the peel converges, extra rounds
+   * are value-neutral, so a `rounds` comfortably above the observed
+   * convergence depth keeps the gate meaningful at any data that
+   * converges within it (the gate corpora converge in ≤ 3).
+   *
+   * Scale: each round is one degree aggregation + two semi-joins,
+   * all hash-partitioned on node/edge keys; rounds barrier via
+   * localCheckpoint (superseded states freed) so round r never
+   * re-executes rounds 1..r−1 — the PageRank loop discipline.
+   *
+   * Output: (node, degree) over the surviving k-core edges,
+   * ascending by node; empty when the graph has no k-core.
+   */
+  def kCore(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    def degrees(e: DataFrame): DataFrame = e
+      .select(col("lo").as("node"))
+      .unionAll(e.select(col("hi").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    var live = edges
+      .select(
+        least(col(srcCol), col(dstCol)).as("lo"),
+        greatest(col(srcCol), col(dstCol)).as("hi"))
+      .where(col("lo") =!= col("hi"))
+      .distinct()
+      .localCheckpoint()
+    var r = 0
+    while (r < rounds) {
+      val keep = degrees(live).where(col("degree") >= k).select("node")
+      val next = live
+        .join(keep.withColumnRenamed("node", "lo"), Seq("lo"), "left_semi")
+        .join(keep.withColumnRenamed("node", "hi"), Seq("hi"), "left_semi")
+        .localCheckpoint()
+      org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(live)
+      live = next
+      r += 1
+    }
+    degrees(live).orderBy("node")
+  }
 }

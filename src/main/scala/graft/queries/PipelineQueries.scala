@@ -261,6 +261,56 @@ object PipelineQueries {
        |GROUP BY 1 ORDER BY doc_id""".stripMargin
 
   /**
+   * q215 oracle generator: replays `Graph.kCore`'s fixed peel rounds
+   * as an unrolled materialized-CTE chain over the q192 minhash
+   * candidate edge set — all-integer degrees, no tie-breaks, so
+   * every round is exact on both engines.
+   */
+  private def kCoreOracleSql(k: Int, rounds: Int): String = {
+    val head =
+      """toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), idx AS (
+        |  SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i FROM toks
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM idx
+        |), mh AS (
+        |  SELECT doc_id, s.seed,
+        |    min(CAST(('0x' || substr(
+        |      md5(CAST(s.seed AS VARCHAR) || ':' || shingle), 1, 15)) AS BIGINT))
+        |      AS mh
+        |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0,7)) AS seed) s
+        |  GROUP BY doc_id, s.seed
+        |), bands AS (
+        |  SELECT doc_id, seed // 2 AS band,
+        |    string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed) AS sig
+        |  FROM mh GROUP BY doc_id, seed // 2
+        |), e0 AS MATERIALIZED (
+        |  SELECT DISTINCT a.doc_id AS lo, b.doc_id AS hi
+        |  FROM bands a
+        |  JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        |)""".stripMargin
+    val peels = (1 to rounds).map { r =>
+      s"""n$r AS MATERIALIZED (
+         |  SELECT node FROM (
+         |    SELECT node, count(*) AS degree FROM (
+         |      SELECT lo AS node FROM e${r - 1}
+         |      UNION ALL SELECT hi AS node FROM e${r - 1}
+         |    ) GROUP BY node) WHERE degree >= $k),
+         |e$r AS MATERIALIZED (
+         |  SELECT lo, hi FROM e${r - 1}
+         |  WHERE lo IN (SELECT node FROM n$r)
+         |    AND hi IN (SELECT node FROM n$r))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $head,
+       |$peels
+       |SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+       |  SELECT lo AS node FROM e$rounds
+       |  UNION ALL SELECT hi AS node FROM e$rounds
+       |) GROUP BY node ORDER BY node""".stripMargin
+  }
+
+  /**
    * q209 oracle generator: replays `Similarity.mmrSelect`'s greedy
    * loop in DuckDB as a materialized-CTE chain (the q195/q200
    * pattern). Round 1 picks max relevance (cosine to the query
@@ -1924,6 +1974,19 @@ object PipelineQueries {
         .select("doc_a", "doc_b")
       graft.operators.Graph.triangleCounts(edges, "doc_a", "doc_b")
         .orderBy("node")
+    }),
+
+    // G3 (round 9): 2-core of the same near-dup candidate graph —
+    // iterative peel (degree < 2 nodes out, neighbors re-checked),
+    // 6 fixed rounds (converges in <= 3 at gate scales; extra
+    // rounds value-neutral), replayed as an unrolled CTE chain.
+    "q215_kcore" -> ((s, dir) => {
+      val edges = Dedup.minhashCandidates(
+          t(s, dir, "documents"), "doc_id", "text",
+          numHashes = 8, rowsPerBand = 2, shingleSize = 3)
+        .select("doc_a", "doc_b")
+      graft.operators.Graph.kCore(edges, "doc_a", "doc_b",
+        k = 2, rounds = 6)
     })
   )
 
@@ -4047,6 +4110,8 @@ object PipelineQueries {
         |FROM dm""".stripMargin,
 
     "q209_mmr_select" -> mmrOracleSql(k = 8, lambda = 0.7, queryId = 0L),
+
+    "q215_kcore" -> kCoreOracleSql(k = 2, rounds = 6),
 
     // Full recompute from raw events — if the state merge dropped,
     // double-applied, or mis-added anything, count/sum or the digest

@@ -118,4 +118,22 @@ class GraphSpec extends AnyFunSuite {
       assert(tri === bruteTri(node), s"node $node")
     }
   }
+
+  test("kCore: cascading peel removes chain tails; triangle survives; empty core") {
+    import graft.operators.Graph
+    // triangle 1-2-3 plus a chain 3-4-5-6: peeling 6 (deg 1) demotes
+    // 5, then 4 — the cascade a single degree filter would miss.
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)
+    ).toDF("a", "b")
+    val core = Graph.kCore(edges, "a", "b", k = 2, rounds = 6)
+      .as[(Long, Long)].collect().toSeq
+    assert(core === Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+    // one round only: 6 is gone but the cascade hasn't reached 4 yet
+    val r1 = Graph.kCore(edges, "a", "b", k = 2, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1.contains(4L) && !r1.contains(6L))
+    // k above the densest core -> empty result
+    assert(Graph.kCore(edges, "a", "b", k = 3, rounds = 6).count() === 0)
+  }
 }
