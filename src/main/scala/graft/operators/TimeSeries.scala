@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -550,5 +550,78 @@ object TimeSeries {
         round(sqrt(dist2), 6).as("dist"))
       .where(col("__vlast").isNotNull && col("__std") > minStd)
       .select(col(keyCol), col(tsCol), col(tieCol), col("dist"))
+  }
+
+  /**
+   * Seasonal-baseline anomaly report — the hour-of-week profile
+   * detector: traffic/value metrics repeat weekly, so "is this hour
+   * abnormal?" must compare against the SAME hour-of-week's history,
+   * not a flat rolling window (E5's rolling z-score flags every
+   * Monday morning as an anomaly of Sunday night). Rows before
+   * `baselineEnd` train a per-(dow, hour) mean/std; rows at/after it
+   * are scored, flagged when |v − mean| ≥ threshold·std.
+   *
+   * Exactness: baseline sums accumulate in exact decimals (value
+   * cast DECIMAL(18,4) — exact for the 2dp inputs; v² exact at 8dp),
+   * the mean/variance finish is a FIXED double-op chain over those
+   * exact sums (variance clamped at 0 for constant cells), and the
+   * flag compare |v − mean| ≥ t·std runs on identical doubles —
+   * no rounding inside the decision. Zero-variance cells never flag
+   * (the E5 convention). Output means/stds round(6); all outputs
+   * non-negative for non-negative inputs (no signed-zero exposure).
+   *
+   * Scale: TWO partial-aggregated passes (baseline, eval) joined on
+   * the ≤168-row hour-of-week grid — broadcast, no corpus shuffle
+   * beyond the two groupBys. dow is 0 = Sunday (dayofweek − 1,
+   * matching DuckDB's EXTRACT(dow)).
+   *
+   * Output: (dow, hour, n_base, mean, std, n_eval, n_anom), grid
+   * order; cells with no baseline rows are absent (nothing to score
+   * against — their eval rows are unjudgeable, not anomalous).
+   */
+  def seasonalBaselineAnomalies(
+      df: DataFrame, tsCol: String, valCol: String,
+      baselineEnd: Column, threshold: Double = 3.0): DataFrame = {
+    require(threshold > 0.0, s"threshold must be > 0, got $threshold")
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(18, 4)
+    val keyed = df
+      .where(col(valCol).isNotNull)
+      .select(
+        (dayofweek(col(tsCol)) - 1).as("dow"),
+        hour(col(tsCol)).as("hour"),
+        col(valCol).cast("double").as("__v"),
+        col(tsCol).as("__ts"))
+    val base = keyed.where(col("__ts") < baselineEnd)
+      .groupBy("dow", "hour")
+      .agg(
+        count(lit(1)).as("n_base"),
+        sum(col("__v").cast(dec)).as("__sv"),
+        sum(col("__v").cast(dec) * col("__v").cast(dec)).as("__sv2"))
+      .withColumn("__mean",
+        col("__sv").cast("double") / col("n_base"))
+      .withColumn("__var",
+        greatest(
+          col("__sv2").cast("double") / col("n_base") -
+            col("__mean") * col("__mean"),
+          lit(0.0)))
+      .withColumn("__std", sqrt(col("__var")))
+    val eval = keyed.where(col("__ts") >= baselineEnd)
+    eval.join(broadcast(base), Seq("dow", "hour"))
+      .groupBy(col("dow"), col("hour"))
+      .agg(
+        max(col("n_base")).as("n_base"),
+        max(col("__mean")).as("__m2"),
+        max(col("__std")).as("__s2x"),
+        count(lit(1)).as("n_eval"),
+        sum(when(col("__std") > 0 &&
+            abs(col("__v") - col("__mean")) >= lit(threshold) * col("__std"),
+          1L).otherwise(0L)).as("n_anom"))
+      .select(
+        col("dow"), col("hour"), col("n_base"),
+        round(col("__m2"), 6).as("mean"),
+        round(col("__s2x"), 6).as("std"),
+        col("n_eval"), col("n_anom"))
+      .orderBy("dow", "hour")
   }
 }

@@ -1711,6 +1711,16 @@ object PipelineQueries {
         users, col("user_id") % 2 === 0, col("conv") === 1L)
     }),
 
+    // E22 (round 9): hour-of-week seasonal baseline anomaly — first
+    // three weeks train per-(dow, hour) mean/std in exact decimals,
+    // the final week scores against them; rolling windows would flag
+    // every Monday morning as an anomaly of Sunday night.
+    "q216_seasonal_anomaly" -> ((s, dir) => {
+      graft.operators.TimeSeries.seasonalBaselineAnomalies(
+        t(s, dir, "events"), "ts", "value",
+        lit("2024-01-22 00:00:00").cast("timestamp"), threshold = 3.0)
+    }),
+
     // E21 (round 9): Kaplan-Meier signup->purchase survival "as of
     // Jan 11" — hours from each user's first pre-cutoff signup to
     // their first later OBSERVED purchase; no purchase by the cutoff
@@ -4132,6 +4142,40 @@ object PipelineQueries {
         |  CAST(CAST(SUM(CAST(hv AS DECIMAL(38,0))) AS DECIMAL(38,0))
         |    AS VARCHAR) AS hash_sum
         |FROM h GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // Exact decimal baseline sums, fixed double mean/std finish,
+    // |v-mean| >= 3*std compare on identical doubles — no rounding
+    // inside the decision.
+    "q216_seasonal_anomaly" ->
+      """WITH k AS (
+        |  SELECT CAST(EXTRACT(dow FROM ts) AS INT) AS dow,
+        |    CAST(EXTRACT(hour FROM ts) AS INT) AS hour,
+        |    CAST(value AS DOUBLE) AS v, ts
+        |  FROM events WHERE value IS NOT NULL
+        |), b AS (
+        |  SELECT dow, hour, count(*) AS n_base,
+        |    SUM(CAST(v AS DECIMAL(18,4))) AS sv,
+        |    SUM(CAST(v AS DECIMAL(18,4)) * CAST(v AS DECIMAL(18,4))) AS sv2
+        |  FROM k WHERE ts < TIMESTAMP '2024-01-22 00:00:00'
+        |  GROUP BY dow, hour
+        |), bb AS (
+        |  SELECT dow, hour, n_base,
+        |    CAST(sv AS DOUBLE) / n_base AS m,
+        |    sqrt(greatest(CAST(sv2 AS DOUBLE) / n_base
+        |      - (CAST(sv AS DOUBLE) / n_base)
+        |        * (CAST(sv AS DOUBLE) / n_base), 0.0)) AS s
+        |  FROM b
+        |)
+        |SELECT k.dow, k.hour,
+        |  CAST(MAX(bb.n_base) AS BIGINT) AS n_base,
+        |  round(MAX(bb.m), 6) AS mean,
+        |  round(MAX(bb.s), 6) AS std,
+        |  CAST(count(*) AS BIGINT) AS n_eval,
+        |  CAST(SUM(CASE WHEN bb.s > 0 AND abs(k.v - bb.m) >= 3.0 * bb.s
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_anom
+        |FROM k JOIN bb USING (dow, hour)
+        |WHERE k.ts >= TIMESTAMP '2024-01-22 00:00:00'
+        |GROUP BY k.dow, k.hour ORDER BY dow, hour""".stripMargin,
 
     // KM replay: per-step ln rounds to 6dp DECIMAL before the exact
     // cumulative sum (q190 contract); survival re-exponentiates.

@@ -233,4 +233,29 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert("Window ".r.findAllIn(plan).size === 1,
       s"all ${8} lead columns must share ONE WindowExec pass")
   }
+
+  test("seasonalBaselineAnomalies: hour-of-week cells, 3-sigma flag, " +
+      "zero-variance never flags, no-baseline cell absent") {
+    import org.apache.spark.sql.functions.{col, lit}
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // 2024-01-01 is a Monday -> dow 1. Baseline week 1; eval week 2.
+    val rows = Seq(
+      // cell (dow 1, hour 10): baseline values 1, 3 -> mean 2, std 1
+      (ts("2024-01-01 10:00:00"), 1.0), (ts("2024-01-01 10:30:00"), 3.0),
+      // cell (dow 1, hour 12): constant baseline -> std 0
+      (ts("2024-01-01 12:00:00"), 5.0), (ts("2024-01-01 12:30:00"), 5.0),
+      // eval (Monday Jan 8): 10h -> 5.0 is 3 sigma out (|5-2| >= 3*1),
+      // 4.9 is not; 12h -> 9.0 against std 0 must NOT flag
+      (ts("2024-01-08 10:00:00"), 5.0), (ts("2024-01-08 10:15:00"), 4.9),
+      (ts("2024-01-08 12:00:00"), 9.0),
+      // eval-only cell (dow 1, hour 20): no baseline -> absent
+      (ts("2024-01-08 20:00:00"), 7.0)
+    ).toDF("ts", "v")
+    val out = TimeSeries.seasonalBaselineAnomalies(
+        rows, "ts", "v", lit("2024-01-08 00:00:00").cast("timestamp"))
+      .as[(Int, Int, Long, Double, Double, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (1, 10, 2L, 2.0, 1.0, 2L, 1L),
+      (1, 12, 2L, 5.0, 0.0, 1L, 0L)))
+  }
 }
