@@ -165,4 +165,56 @@ object Layout {
       .sortWithinPartitions("global_pos")
       .write.mode("overwrite").parquet(destPath)
   }
+
+  /**
+   * GFS (grandfather-father-son) retention plan over a partition
+   * inventory — the table-maintenance decision "which daily
+   * partitions survive": keep EVERY day younger than `keepDaily`
+   * days; older, keep the LAST day present in each week for
+   * `keepWeekly` weeks; older still, the last day of each month for
+   * `keepMonthly` months; everything else expires. The plan is a
+   * pure function of (inventory, asOf) — review/audit it, then feed
+   * the `keep = false` rows to the actual DROP.
+   *
+   * Tier rule (first match): daily by age; weekly/monthly only for
+   * the MAX date within its week/month window (if that max is
+   * already daily-kept, the week needs no second keeper — it IS
+   * kept). Weeks truncate Monday-start, months calendar-start; all
+   * date arithmetic is integer/calendar — no floats anywhere, so
+   * the oracle replays exactly.
+   *
+   * Scale: the inventory is |partitions| rows (thousands at 100 TB —
+   * this audits METADATA, never data); two tiny windows over the
+   * week/month keys. Output: (pdate, age_days, tier, keep),
+   * ascending by date.
+   */
+  def retentionPlan(
+      inventory: DataFrame, dateCol: String, asOf: Column,
+      keepDaily: Int, keepWeekly: Int, keepMonthly: Int): DataFrame = {
+    require(keepDaily >= 1 && keepWeekly >= 0 && keepMonthly >= 0,
+      s"retention dials must be >= 1/0/0, got $keepDaily/$keepWeekly/$keepMonthly")
+    import org.apache.spark.sql.expressions.Window
+    val d = col("pdate")
+    val wWeek = Window.partitionBy(date_trunc("week", d))
+    val wMonth = Window.partitionBy(date_trunc("month", d))
+    val weekFloor = date_trunc("week", asOf) -
+      expr(s"INTERVAL $keepWeekly WEEK")
+    val monthFloor = date_trunc("month", asOf) -
+      expr(s"INTERVAL $keepMonthly MONTH")
+    val tier = when(datediff(asOf, d) < keepDaily, "daily")
+      .when(date_trunc("week", d) >= weekFloor &&
+        d === max(d).over(wWeek), "weekly")
+      .when(date_trunc("month", d) >= monthFloor &&
+        d === max(d).over(wMonth), "monthly")
+      .otherwise("expired")
+    inventory
+      .select(col(dateCol).cast("date").as("pdate"))
+      .distinct()
+      .select(
+        d.as("pdate"),
+        datediff(asOf, d).cast("int").as("age_days"),
+        tier.as("tier"))
+      .withColumn("keep", col("tier") =!= "expired")
+      .orderBy("pdate")
+  }
 }

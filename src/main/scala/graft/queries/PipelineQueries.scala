@@ -1711,6 +1711,18 @@ object PipelineQueries {
         users, col("user_id") % 2 === 0, col("conv") === 1L)
     }),
 
+    // K17 (round 9): GFS retention plan over the daily partition
+    // inventory as of Jan 31 — 7 dailies, then last-day-of-week for
+    // 3 weeks, last-day-of-month for 2 months, rest expired. Pure
+    // calendar arithmetic on metadata rows.
+    "q217_retention_plan" -> ((s, dir) => {
+      val inv = t(s, dir, "events")
+        .select(to_date(col("ts")).as("pdate")).distinct()
+      graft.operators.Layout.retentionPlan(
+        inv, "pdate", lit("2024-01-31").cast("date"),
+        keepDaily = 7, keepWeekly = 3, keepMonthly = 2)
+    }),
+
     // E22 (round 9): hour-of-week seasonal baseline anomaly — first
     // three weeks train per-(dow, hour) mean/std in exact decimals,
     // the final week scores against them; rolling windows would flag
@@ -4142,6 +4154,46 @@ object PipelineQueries {
         |  CAST(CAST(SUM(CAST(hv AS DECIMAL(38,0))) AS DECIMAL(38,0))
         |    AS VARCHAR) AS hash_sum
         |FROM h GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // Same first-match tier rule in SQL: Monday-truncated weeks,
+    // calendar months, max-date-per-window keepers.
+    "q217_retention_plan" ->
+      """WITH inv AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS pdate FROM events
+        |), w AS (
+        |  SELECT pdate,
+        |    MAX(pdate) OVER (PARTITION BY date_trunc('week', pdate))
+        |      AS wmax,
+        |    MAX(pdate) OVER (PARTITION BY date_trunc('month', pdate))
+        |      AS mmax
+        |  FROM inv
+        |)
+        |SELECT pdate,
+        |  CAST(datediff('day', pdate, DATE '2024-01-31') AS INT)
+        |    AS age_days,
+        |  CASE
+        |    WHEN datediff('day', pdate, DATE '2024-01-31') < 7
+        |      THEN 'daily'
+        |    WHEN date_trunc('week', pdate) >=
+        |        date_trunc('week', DATE '2024-01-31') - INTERVAL 3 WEEK
+        |      AND pdate = wmax THEN 'weekly'
+        |    WHEN date_trunc('month', pdate) >=
+        |        date_trunc('month', DATE '2024-01-31') - INTERVAL 2 MONTH
+        |      AND pdate = mmax THEN 'monthly'
+        |    ELSE 'expired'
+        |  END AS tier,
+        |  CASE
+        |    WHEN datediff('day', pdate, DATE '2024-01-31') < 7
+        |      THEN 'daily'
+        |    WHEN date_trunc('week', pdate) >=
+        |        date_trunc('week', DATE '2024-01-31') - INTERVAL 3 WEEK
+        |      AND pdate = wmax THEN 'weekly'
+        |    WHEN date_trunc('month', pdate) >=
+        |        date_trunc('month', DATE '2024-01-31') - INTERVAL 2 MONTH
+        |      AND pdate = mmax THEN 'monthly'
+        |    ELSE 'expired'
+        |  END <> 'expired' AS keep
+        |FROM w ORDER BY pdate""".stripMargin,
 
     // Exact decimal baseline sums, fixed double mean/std finish,
     // |v-mean| >= 3*std compare on identical doubles — no rounding

@@ -132,4 +132,28 @@ class LayoutSpec extends AnyFunSuite {
     assert(zFiles <= 8,
       s"z-ordered layout should confine y<8 to few files, touched $zFiles")
   }
+
+  test("retentionPlan: all four tiers; week/month keepers are the max date") {
+    val spark2 = spark
+    import spark2.implicits._
+    val inv = Seq(
+      "2024-03-28", "2024-03-29", "2024-03-30", // daily (age 0..2)
+      "2024-03-18", "2024-03-20",               // same week: 20 weekly, 18 expired
+      "2024-02-27", "2024-02-10",               // Feb: 27 monthly keeper, 10 expired
+      "2023-11-15"                              // beyond monthly window: expired
+    ).toDF("d").select(to_date($"d").as("pdate"))
+    val plan = Layout.retentionPlan(
+        inv, "pdate", lit("2024-03-30").cast("date"),
+        keepDaily = 7, keepWeekly = 2, keepMonthly = 2)
+      .select($"pdate".cast("string"), $"tier", $"keep")
+      .as[(String, String, Boolean)].collect()
+      .map { case (d, t, k) => d -> ((t, k)) }.toMap
+    assert(plan("2024-03-30") === (("daily", true)))
+    assert(plan("2024-03-28") === (("daily", true)))
+    assert(plan("2024-03-20") === (("weekly", true)))
+    assert(plan("2024-03-18") === (("expired", false)))
+    assert(plan("2024-02-27") === (("monthly", true)))
+    assert(plan("2024-02-10") === (("expired", false)))
+    assert(plan("2023-11-15") === (("expired", false)))
+  }
 }
