@@ -300,4 +300,43 @@ object Sampling {
       .select(col(groupCol), col(idCol), col("pos"),
         col("global_pos").cast("long").as("global_pos"))
   }
+
+  /**
+   * Deterministic k-fold assignment — the cross-validation /
+   * train-shard split that is STABLE under reprocessing: fold =
+   * 60-bit md5-prefix of the id, mod k. A pure function of the id,
+   * so re-runs, late-arriving rows, and per-partition parallelism
+   * all agree, and the same entity NEVER straddles folds across
+   * pipeline versions (the split-leakage guarantee D9 audits). Pure
+   * per-row projection — no shuffle, no state.
+   */
+  def foldAssign(df: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"foldAssign: k must be >= 2, got $k")
+    df.withColumn("fold",
+      (conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+        .cast("long") % k).cast("int"))
+  }
+
+  /**
+   * Fold-balance report per stratum: after [[foldAssign]], does
+   * every (stratum, fold) cell hold ≈ 1/k of its stratum? Hash
+   * assignment is balanced only in expectation — small strata can
+   * skew, and THIS report is the check before trusting a fold as an
+   * eval split. One partial-aggregated pass + a per-stratum window
+   * on the ≤ |strata|·k cell table.
+   *
+   * Output: (stratum..., fold, n, share) — share = n / stratum
+   * total, round(6), non-negative.
+   */
+  def foldBalance(
+      df: DataFrame, idCol: String, strataCol: String,
+      k: Int): DataFrame = {
+    val assigned = foldAssign(df, idCol, k)
+    val w = Window.partitionBy(col(strataCol))
+    assigned.groupBy(col(strataCol), col("fold"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share",
+        round(col("n").cast("double") / sum(col("n")).over(w), 6))
+      .orderBy(col(strataCol), col("fold"))
+  }
 }

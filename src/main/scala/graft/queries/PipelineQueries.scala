@@ -1711,6 +1711,14 @@ object PipelineQueries {
         users, col("user_id") % 2 === 0, col("conv") === 1L)
     }),
 
+    // T46 (round 9): deterministic 5-fold assignment + per-source
+    // balance report — the reprocessing-stable split whose skew this
+    // report checks before trusting a fold as an eval set.
+    "q218_fold_balance" -> ((s, dir) => {
+      graft.operators.Sampling.foldBalance(
+        t(s, dir, "documents"), "doc_id", "source", k = 5)
+    }),
+
     // K17 (round 9): GFS retention plan over the daily partition
     // inventory as of Jan 31 — 7 dailies, then last-day-of-week for
     // 3 weeks, last-day-of-month for 2 months, rest expired. Pure
@@ -4154,6 +4162,22 @@ object PipelineQueries {
         |  CAST(CAST(SUM(CAST(hv AS DECIMAL(38,0))) AS DECIMAL(38,0))
         |    AS VARCHAR) AS hash_sum
         |FROM h GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // md5-prefix fold mod 5; share = n / stratum total.
+    "q218_fold_balance" ->
+      """WITH a AS (
+        |  SELECT source,
+        |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) % 5 AS INT) AS fold
+        |  FROM documents
+        |), g AS (
+        |  SELECT source, fold, CAST(count(*) AS BIGINT) AS n
+        |  FROM a GROUP BY source, fold
+        |)
+        |SELECT source, fold, n,
+        |  round(CAST(n AS DOUBLE) /
+        |    SUM(n) OVER (PARTITION BY source), 6) AS share
+        |FROM g ORDER BY source, fold""".stripMargin,
 
     // Same first-match tier rule in SQL: Monday-truncated weeks,
     // calendar months, max-date-per-window keepers.

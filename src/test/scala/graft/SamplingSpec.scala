@@ -263,4 +263,26 @@ class SamplingSpec extends AnyFunSuite {
       ("a", 2L, 2L, 4L), ("b", 20L, 2L, 5L),
       ("a", 3L, 3L, 6L)))
   }
+
+  test("foldAssign: pure id function — stable under repartition and " +
+      "strata-blind; foldBalance shares sum to 1 per stratum") {
+    import org.apache.spark.sql.functions.col
+    val df = (1L to 200L).map(i => (i, if (i % 3 == 0) "x" else "y"))
+      .toDF("id", "s")
+    val a1 = Sampling.foldAssign(df, "id", 5)
+      .select("id", "fold").as[(Long, Int)].collect().toMap
+    val a2 = Sampling.foldAssign(df.repartition(7), "id", 5)
+      .select("id", "fold").as[(Long, Int)].collect().toMap
+    assert(a1 === a2)
+    assert(a1.values.forall(f => f >= 0 && f < 5))
+    assert(a1.values.toSet.size === 5) // all folds populated at n=200
+    val bal = Sampling.foldBalance(df, "id", "s", 5)
+      .as[(String, Int, Long, Double)].collect().toSeq
+    val byStratum = bal.groupBy(_._1)
+    assert(byStratum("x").map(_._3).sum === 66L)
+    assert(byStratum("y").map(_._3).sum === 134L)
+    byStratum.values.foreach { cells =>
+      assert(math.abs(cells.map(_._4).sum - 1.0) < 1e-4)
+    }
+  }
 }
