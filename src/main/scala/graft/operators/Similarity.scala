@@ -243,6 +243,82 @@ object Similarity {
   }
 
   /**
+   * Retrieval-quality metrics — MRR and NDCG@k per probe, the eval
+   * that must run before trusting an ANN/embedding index as a
+   * retrieval component: [[dimTruncationRecall]] asks "does the
+   * INDEX reproduce exact top-k", this asks "is the top-k any GOOD"
+   * against ground-truth labels (a candidate is relevant iff it
+   * carries the probe's label).
+   *
+   * Definitions: RR = 1/rank of the first relevant hit (0 if none in
+   * the top-k); DCG@k = Σ rel_i/log2(i+1); NDCG normalizes by the
+   * ideal DCG of min(R, k) relevant docs, R = the probe's relevant
+   * count in the corpus (excluding itself). Probes with R = 0 emit
+   * NULL metrics — unjudgeable, not zero.
+   *
+   * Exactness: each 1/log2(i+1) term rounds to 6dp DECIMAL before
+   * the per-probe sum (exact, order-free — the q190 contract); the
+   * ideal-DCG table is the same cumulative decimal sum over ranks
+   * 1..k (k rows, broadcast); RR and the final NDCG division are
+   * single IEEE ops, round(6), all outputs non-negative.
+   *
+   * Scale: `ranked` is probes×k rows (the expensive part already
+   * happened); label joins are broadcastable; per-probe label counts
+   * are one partial-aggregated pass over the label table.
+   *
+   * Output: (probe_id, n_rel_corpus, rr, dcg, idcg, ndcg), by probe.
+   */
+  def retrievalMetrics(
+      ranked: DataFrame, labels: DataFrame, idCol: String,
+      labelCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(18, 6)
+    val spark = ranked.sparkSession
+    val lab = labels.select(col(idCol).as("__id"), col(labelCol).as("__lab"))
+    // per-label corpus counts -> per-probe relevant count (minus self)
+    val labCounts = lab.groupBy("__lab").agg(count(lit(1)).as("__labn"))
+    val probeRel = lab.join(labCounts, Seq("__lab"))
+      .select(col("__id").as("probe_id"), col("__lab").as("__plab"),
+        (col("__labn") - 1).as("n_rel_corpus"))
+    // ideal-DCG lookup: m -> sum of the first m rounded gain terms
+    val gain = round(lit(1.0) / log2(col("m") + 1.0), 6).cast(dec)
+    val wIdeal = org.apache.spark.sql.expressions.Window
+      .orderBy(col("m"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val ideal = spark.range(1, k + 1).select(col("id").as("m"))
+      .withColumn("__idcg", sum(gain).over(wIdeal))
+    val scored = ranked.where(col("rank") <= k)
+      .join(lab.select(col("__id").as("vec_id"),
+        col("__lab").as("__clab")), Seq("vec_id"))
+      .join(probeRel.select(col("probe_id"), col("__plab")), Seq("probe_id"))
+      .withColumn("__rel", (col("__clab") === col("__plab")).cast("int"))
+    val perProbe = scored.groupBy("probe_id")
+      .agg(
+        min(when(col("__rel") === 1, col("rank"))).as("__firstrel"),
+        sum(when(col("__rel") === 1,
+          round(lit(1.0) / log2(col("rank") + 1.0), 6).cast(dec))
+          .otherwise(lit(0).cast(dec))).as("__dcg"))
+    probeRel.join(perProbe, Seq("probe_id"))
+      .join(broadcast(ideal),
+        least(col("n_rel_corpus"), lit(k.toLong)) === col("m"), "left")
+      .select(
+        col("probe_id"), col("n_rel_corpus"),
+        when(col("n_rel_corpus") > 0,
+          coalesce(round(lit(1.0) / col("__firstrel"), 6), lit(0.0)))
+          .as("rr"),
+        when(col("n_rel_corpus") > 0,
+          col("__dcg").cast("double")).as("dcg"),
+        when(col("n_rel_corpus") > 0,
+          col("__idcg").cast("double")).as("idcg"),
+        when(col("n_rel_corpus") > 0,
+          round(col("__dcg").cast("double") /
+            col("__idcg").cast("double"), 6)).as("ndcg"))
+      .orderBy("probe_id")
+  }
+
+  /**
    * Hard-negative mining for contrastive training (DPR/SimCSE-style
    * retriever data prep): for each probe, the `k` MOST-similar corpus
    * vectors carrying a DIFFERENT label — the negatives closest to the

@@ -1711,6 +1711,17 @@ object PipelineQueries {
         users, col("user_id") % 2 === 0, col("conv") === 1L)
     }),
 
+    // V20 (round 9): MRR/NDCG@10 of cosine retrieval against labels
+    // — is the top-k any GOOD, not just index-faithful. 50 probes;
+    // rounded-decimal gain sums, broadcast ideal-DCG table.
+    "q219_retrieval_metrics" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val ranked = graft.operators.Similarity.cosineTopK(
+        emb, emb.where(col("vec_id") < 50), "vec_id", "embedding", k = 10)
+      graft.operators.Similarity.retrievalMetrics(
+        ranked, emb, "vec_id", "label", k = 10)
+    }),
+
     // T46 (round 9): deterministic 5-fold assignment + per-source
     // balance report — the reprocessing-stable split whose skew this
     // report checks before trusting a fold as an eval set.
@@ -4162,6 +4173,70 @@ object PipelineQueries {
         |  CAST(CAST(SUM(CAST(hv AS DECIMAL(38,0))) AS DECIMAL(38,0))
         |    AS VARCHAR) AS hash_sum
         |FROM h GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // q19's ranked chain at 50 probes, then label-relevance metrics:
+    // per-term round-6 decimal gains, cumulative ideal table, single
+    // IEEE finishes.
+    "q219_retrieval_metrics" ->
+      """WITH el AS (
+        |  SELECT vec_id, generate_subscripts(embedding,1) AS d,
+        |         unnest(embedding)::DOUBLE AS x
+        |  FROM embeddings
+        |), nrm AS (
+        |  SELECT vec_id, sqrt(SUM(x*x)) AS n FROM el GROUP BY vec_id
+        |), pr AS (
+        |  SELECT vec_id AS probe_id, d, x FROM el WHERE vec_id < 50
+        |), dots AS (
+        |  SELECT p.probe_id, e.vec_id, SUM(p.x * e.x) AS dp
+        |  FROM pr p JOIN el e ON e.d = p.d AND e.vec_id <> p.probe_id
+        |  GROUP BY 1, 2
+        |), cs AS (
+        |  SELECT d.probe_id, d.vec_id, d.dp / (np.n * nv.n) AS cosine
+        |  FROM dots d
+        |  JOIN nrm np ON np.vec_id = d.probe_id
+        |  JOIN nrm nv ON nv.vec_id = d.vec_id
+        |), rk AS (
+        |  SELECT probe_id, vec_id, rank FROM (
+        |    SELECT probe_id, vec_id,
+        |      row_number() OVER (PARTITION BY probe_id
+        |        ORDER BY cosine DESC, vec_id) AS rank
+        |    FROM cs)
+        |  WHERE rank <= 10
+        |), lab AS (SELECT vec_id AS id, label FROM embeddings),
+        |lc AS (SELECT label, count(*) AS n FROM lab GROUP BY label),
+        |prel AS (
+        |  SELECT lab.id AS probe_id, lab.label AS plab, lc.n - 1 AS n_rel
+        |  FROM lab JOIN lc USING (label)
+        |), ideal AS (
+        |  SELECT m, SUM(CAST(round(1.0 / log2(m + 1.0), 6)
+        |      AS DECIMAL(18,6)))
+        |    OVER (ORDER BY m ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS idcg
+        |  FROM (SELECT unnest(generate_series(1, 10)) AS m)
+        |), sc AS (
+        |  SELECT r.probe_id, r.rank,
+        |    CASE WHEN cl.label = p.plab THEN 1 ELSE 0 END AS rel
+        |  FROM rk r
+        |  JOIN lab cl ON cl.id = r.vec_id
+        |  JOIN prel p ON p.probe_id = r.probe_id
+        |), pp AS (
+        |  SELECT probe_id,
+        |    MIN(CASE WHEN rel = 1 THEN rank END) AS firstrel,
+        |    SUM(CASE WHEN rel = 1 THEN
+        |        CAST(round(1.0 / log2(rank + 1.0), 6) AS DECIMAL(18,6))
+        |      ELSE CAST(0 AS DECIMAL(18,6)) END) AS dcg
+        |  FROM sc GROUP BY probe_id
+        |)
+        |SELECT p.probe_id, CAST(p.n_rel AS BIGINT) AS n_rel_corpus,
+        |  CASE WHEN p.n_rel > 0 THEN
+        |    COALESCE(round(1.0 / firstrel, 6), 0.0) END AS rr,
+        |  CASE WHEN p.n_rel > 0 THEN CAST(pp.dcg AS DOUBLE) END AS dcg,
+        |  CASE WHEN p.n_rel > 0 THEN CAST(i.idcg AS DOUBLE) END AS idcg,
+        |  CASE WHEN p.n_rel > 0 THEN round(CAST(pp.dcg AS DOUBLE)
+        |    / CAST(i.idcg AS DOUBLE), 6) END AS ndcg
+        |FROM prel p JOIN pp USING (probe_id)
+        |LEFT JOIN ideal i ON i.m = least(p.n_rel, 10)
+        |ORDER BY probe_id""".stripMargin,
 
     // md5-prefix fold mod 5; share = n / stratum total.
     "q218_fold_balance" ->

@@ -573,6 +573,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r2 === Seq(1.0))
   }
 
+  test("retrievalMetrics: first-hit RR, rounded-decimal DCG, R=0 probes NULL") {
+    // probe 1 (label A): ranked c2(B), c3(A), c4(A) -> first rel rank 2
+    // probe 9 (label Z, unique): all metrics NULL (unjudgeable)
+    val ranked = Seq(
+      (1L, 2L, 1), (1L, 3L, 2), (1L, 4L, 3),
+      (9L, 2L, 1), (9L, 3L, 2)
+    ).toDF("probe_id", "vec_id", "rank")
+    val labels = Seq(
+      (1L, "A"), (2L, "B"), (3L, "A"), (4L, "A"), (9L, "Z")
+    ).toDF("vec_id", "label")
+    val out = Similarity.retrievalMetrics(ranked, labels, "vec_id", "label", k = 10)
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double],
+        Option[Double])].collect().toSeq
+    val p1 = out.find(_._1 == 1L).get
+    assert(p1._2 === 2L) // two other A's in corpus
+    assert(p1._3 === Some(0.5)) // first relevant at rank 2
+    // dcg = round(1/log2(3),6) + round(1/log2(4),6) = 0.630930 + 0.5
+    assert(p1._4 === Some(1.13093))
+    // idcg for min(R=2, k) = 1.0 + 0.630930
+    assert(p1._5 === Some(1.63093))
+    assert(p1._6 === Some(0.693426)) // round(1.13093/1.63093, 6)
+    val p9 = out.find(_._1 == 9L).get
+    assert(p9._2 === 0L && p9._3.isEmpty && p9._6.isEmpty)
+  }
+
   test("silhouetteAudit: mislabeled vector goes negative; clean ones positive") {
     // label 0 cluster near (0,0); label 1 cluster near (10,0).
     // vec 5 is AT (10,1) but labeled 0 -> silhouette < 0, b_label 1.
