@@ -239,4 +239,106 @@ object Profile {
           lit(0.0))), 6))
         .otherwise(lit(0.0)).as("cramers_v"))
   }
+
+  /** Cumulative Poisson(1) CDF values F(0..8) — shared verbatim by
+    * the Spark expression and the generated oracle SQL so the
+    * inverse-CDF thresholds are the SAME doubles on both engines. */
+  private[graft] val poissonCdf: Seq[Double] = {
+    val e1 = math.exp(-1.0)
+    var term = e1
+    var cum = e1
+    val out = scala.collection.mutable.ArrayBuffer(cum)
+    for (k <- 1 to 8) { term = term / k; cum += term; out += cum }
+    out.toSeq
+  }
+
+  /**
+   * Poisson-bootstrap confidence interval for a mean — the error bar
+   * a single pass can actually produce at 100 TB: classical
+   * resampling draws n rows WITH replacement B times (B corpus
+   * shuffles); the Poisson bootstrap replaces each row's resample
+   * multiplicity with an independent Poisson(1) draw, so ALL B
+   * resamples ride ONE scan with B counters (Chamandy et al.,
+   * "Estimating Uncertainty for Massive Data Streams", Google 2012).
+   *
+   * Determinism/oracle: the per-(row, b) Poisson draw inverts the
+   * shared [[poissonCdf]] thresholds on a 60-bit md5 uniform of
+   * (hashCols, b) — a pure function of the data, so reruns and both
+   * engines agree exactly (weights capped at 9: P(W>9) < 1.1e-7).
+   * Resample means are exact-decimal weighted sums with one IEEE
+   * division; the CI picks nearest-rank order statistics of the B
+   * means by INTEGER per-mille arithmetic (the q108 rule — never
+   * interpolated percentile edges).
+   *
+   * Scale: the B-fold row expansion is absorbed by map-side partial
+   * aggregation — the exchange carries partitions×B rows, not
+   * corpus×B; the B-row mean table then sorts in one task. Empty
+   * resamples (possible only on tiny inputs) drop out of the rank
+   * base on both engines.
+   *
+   * Output: one row (n_rows, mean, ci_lo, ci_hi, n_resamples).
+   */
+  def bootstrapMeanCI(
+      df: DataFrame, valCol: String, hashCols: Seq[String],
+      b: Int = 32, alphaPerMille: Int = 50): DataFrame = {
+    require(b >= 4, s"b must be >= 4, got $b")
+    require(alphaPerMille >= 2 && alphaPerMille < 1000 &&
+        alphaPerMille % 2 == 0,
+      s"alphaPerMille must be even in [2, 1000), got $alphaPerMille")
+    import org.apache.spark.sql.expressions.Window
+    val dec = DecimalType(18, 6)
+    val spark = df.sparkSession
+    val rows = df
+      .where(col(valCol).isNotNull)
+      .select(col(valCol).cast(dec).as("__v"),
+        concat_ws(":", hashCols.map(c => col(c).cast("string")): _*)
+          .as("__id"))
+    val u = conv(substring(md5(concat_ws(":", col("__id"),
+        col("b").cast("string"))), 1, 15), 16, 10)
+      .cast("double") / lit(1.152921504606847e18)
+    val w = poissonCdf.zipWithIndex
+      .foldLeft(when(lit(false), 0)) { case (acc, (f, k)) =>
+        acc.when(u < lit(f), k)
+      }
+      .otherwise(9)
+    val means = rows
+      .crossJoin(broadcast(
+        spark.range(b.toLong).select(col("id").cast("int").as("b"))))
+      .select(col("b"), col("__v"), w.as("__w"))
+      .groupBy("b")
+      .agg(
+        sum(col("__w").cast("long")).as("__ne"),
+        sum(col("__w").cast(dec) * col("__v")).as("__sv"))
+      .where(col("__ne") > 0)
+      .select(col("b"),
+        (col("__sv").cast("double") / col("__ne")).as("__mb"))
+    val wRank = Window.orderBy(col("__mb"), col("b"))
+    val wAll = Window.partitionBy(lit(1))
+    val ranked = means
+      .withColumn("__rk", row_number().over(wRank))
+      .withColumn("__nb", count(lit(1)).over(wAll))
+    // Nearest-rank edges in PURE integer arithmetic (`div`, floor
+    // semantics on positives): a double path here is a trap — DuckDB
+    // `//` does not floor DOUBLE operands and its double→BIGINT cast
+    // ROUNDS where Spark's truncates.
+    val halfPm = alphaPerMille / 2
+    val loRk = expr(s"(__nb * $halfPm + 999) div 1000")
+    val hiRk = expr(s"(__nb * ${1000 - halfPm} + 999) div 1000")
+    val point = rows.agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("__v")).as("__tot"))
+    point.crossJoin(broadcast(
+        ranked.agg(
+          max(col("__nb")).as("n_resamples"),
+          min(when(col("__rk") === loRk, col("__mb"))).as("__lo"),
+          min(when(col("__rk") === hiRk, col("__mb"))).as("__hi"))))
+      .select(
+        col("n_rows"),
+        when(col("n_rows") > 0,
+          round(col("__tot").cast("double") / col("n_rows"), 6))
+          .as("mean"),
+        round(col("__lo"), 6).as("ci_lo"),
+        round(col("__hi"), 6).as("ci_hi"),
+        col("n_resamples"))
+  }
 }

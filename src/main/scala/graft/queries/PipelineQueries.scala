@@ -261,6 +261,68 @@ object PipelineQueries {
        |GROUP BY 1 ORDER BY doc_id""".stripMargin
 
   /**
+   * q220 oracle generator: replays `Profile.bootstrapMeanCI` — the
+   * inverse-CDF thresholds are rendered from the SAME
+   * `Profile.poissonCdf` doubles the Spark expression uses, the
+   * resample means are exact-decimal weighted sums, and the CI picks
+   * the identical nearest-rank order statistics.
+   */
+  private def bootstrapOracleSql(b: Int, alphaPerMille: Int): String = {
+    val cdf = graft.operators.Profile.poissonCdf
+    val cases = cdf.zipWithIndex
+      .map { case (f, k) => s"WHEN u < $f THEN $k" }
+      .mkString("\n        ")
+    s"""WITH r AS (
+       |  SELECT CAST(value AS DECIMAL(18,6)) AS v,
+       |    CAST(event_id AS VARCHAR) AS id
+       |  FROM events
+       |  WHERE event_type = 'purchase' AND value IS NOT NULL
+       |), e AS (
+       |  SELECT v, id, CAST(bb.b AS INT) AS b FROM r
+       |  CROSS JOIN (SELECT unnest(generate_series(0, ${b - 1})) AS b) bb
+       |), uu AS (
+       |  SELECT b, v,
+       |    CAST(CAST(('0x' || substr(md5(id || ':' || CAST(b AS VARCHAR)),
+       |      1, 15)) AS BIGINT) AS DOUBLE) / 1.152921504606847e18 AS u
+       |  FROM e
+       |), ww AS (
+       |  SELECT b, v, CASE
+       |        $cases
+       |        ELSE 9 END AS w
+       |  FROM uu
+       |), g AS (
+       |  SELECT b, CAST(SUM(w) AS BIGINT) AS ne,
+       |    SUM(CAST(w AS DECIMAL(18,6)) * v) AS sv
+       |  FROM ww GROUP BY b
+       |), m AS (
+       |  SELECT b, CAST(sv AS DOUBLE) / ne AS mb
+       |  FROM g WHERE ne > 0
+       |), rk AS (
+       |  SELECT b, mb, row_number() OVER (ORDER BY mb, b) AS r,
+       |    COUNT(*) OVER () AS nb
+       |  FROM m
+       |), ci AS (
+       |  SELECT CAST(MAX(nb) AS BIGINT) AS n_resamples,
+       |    MIN(CASE WHEN r = (nb * ${alphaPerMille / 2} + 999) // 1000
+       |      THEN mb END) AS lo,
+       |    MIN(CASE WHEN r = (nb * ${1000 - alphaPerMille / 2} + 999)
+       |      // 1000 THEN mb END) AS hi
+       |  FROM rk
+       |), pt AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       |    SUM(v) AS tot
+       |  FROM r
+       |)
+       |SELECT pt.n_rows,
+       |  CASE WHEN pt.n_rows > 0 THEN
+       |    round(CAST(pt.tot AS DOUBLE) / pt.n_rows, 6) END AS mean,
+       |  round(ci.lo, 6) AS ci_lo,
+       |  round(ci.hi, 6) AS ci_hi,
+       |  ci.n_resamples
+       |FROM pt CROSS JOIN ci""".stripMargin
+  }
+
+  /**
    * q215 oracle generator: replays `Graph.kCore`'s fixed peel rounds
    * as an unrolled materialized-CTE chain over the q192 minhash
    * candidate edge set — all-integer degrees, no tie-breaks, so
@@ -1709,6 +1771,16 @@ object PipelineQueries {
           .otherwise(0L)).as("conv"))
       graft.operators.Quality.abTest(
         users, col("user_id") % 2 === 0, col("conv") === 1L)
+    }),
+
+    // E23 (round 9): Poisson-bootstrap 95% CI for the mean purchase
+    // value — all 32 resamples ride ONE scan with 32 counters
+    // (per-(row,b) Poisson(1) multiplicities from md5 uniforms);
+    // nearest-rank order statistics of the resample means.
+    "q220_bootstrap_ci" -> ((s, dir) => {
+      graft.operators.Profile.bootstrapMeanCI(
+        t(s, dir, "events").where(col("event_type") === "purchase"),
+        "value", Seq("event_id"), b = 32, alphaPerMille = 50)
     }),
 
     // V20 (round 9): MRR/NDCG@10 of cosine retrieval against labels
@@ -4153,6 +4225,8 @@ object PipelineQueries {
     "q209_mmr_select" -> mmrOracleSql(k = 8, lambda = 0.7, queryId = 0L),
 
     "q215_kcore" -> kCoreOracleSql(k = 2, rounds = 6),
+
+    "q220_bootstrap_ci" -> bootstrapOracleSql(b = 32, alphaPerMille = 50),
 
     // Full recompute from raw events — if the state merge dropped,
     // double-applied, or mis-added anything, count/sum or the digest

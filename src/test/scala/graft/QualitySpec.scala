@@ -351,6 +351,24 @@ class QualitySpec extends AnyFunSuite {
       ((2L, 0L, None, None)))
   }
 
+  test("bootstrapMeanCI: deterministic, CI brackets the mean, widens with alpha") {
+    import graft.operators.Profile
+    val df = (1L to 500L).map(i => (i, (i % 97).toDouble)).toDF("id", "v")
+    def run(apm: Int) = Profile.bootstrapMeanCI(df, "v", Seq("id"),
+        b = 32, alphaPerMille = apm)
+      .as[(Long, Option[Double], Option[Double], Option[Double], Long)]
+      .collect().head
+    val r1 = run(50)
+    val r2 = run(50)
+    assert(r1 === r2) // pure function of the data
+    assert(r1._1 === 500L && r1._5 === 32L)
+    assert(r1._3.get <= r1._2.get && r1._2.get <= r1._4.get,
+      s"CI [${r1._3}, ${r1._4}] must bracket mean ${r1._2}")
+    // tighter alpha (wider CI): 2 per-mille spans at least the 50pm CI
+    val wide = run(2)
+    assert(wide._3.get <= r1._3.get && wide._4.get >= r1._4.get)
+  }
+
   test("abTest: hand-computed pooled z; degenerate variants and zero-SE NULL") {
     import org.apache.spark.sql.functions.col
     // A: 3 users 2 conv; B: 2 users 0 conv. pooled p = 0.4,
