@@ -944,4 +944,34 @@ object Dedup {
         max(when(col("side") === "b", col("split"))).as("split_b"))
       .withColumn("leaked", col("split_a") =!= col("split_b"))
   }
+
+  /**
+   * Canonical-document pick — the dedup ENDGAME the cluster table
+   * alone doesn't decide: within each near-dup cluster keep exactly
+   * ONE document, the highest-quality copy (score desc, id asc on
+   * ties — total, engine-deterministic; NULL scores sort last, so a
+   * scoreless copy never beats a scored one). Docs in no cluster are
+   * their own singleton cluster and trivially canonical — the output
+   * covers EVERY input doc, so `where(is_canonical)` IS the deduped
+   * corpus and the false rows are the removal audit trail.
+   *
+   * Scale: one left join onto the (small) cluster table + one
+   * cluster-key window; cluster populations bound the window state.
+   *
+   * Output: (idCol, cluster, scoreCol, is_canonical), by id.
+   */
+  def canonicalPick(
+      scored: DataFrame, idCol: String, scoreCol: String,
+      clusters: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col(scoreCol).desc_nulls_last, col(idCol))
+    scored
+      .join(clusters.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col(idCol)))
+      .withColumn("is_canonical", row_number().over(w) === 1)
+      .select(col(idCol), col("cluster"), col(scoreCol),
+        col("is_canonical"))
+      .orderBy(idCol)
+  }
 }

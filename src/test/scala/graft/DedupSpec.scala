@@ -426,4 +426,28 @@ class DedupSpec extends AnyFunSuite {
       Set((1L, 2L), (2L, 1L))) === Set((1L, 2L), (2L, 1L)))
     assert(out.forall(_._3 == 1.0))
   }
+
+  test("canonicalPick: best-quality wins, id breaks ties, NULL score loses, " +
+      "singletons canonical") {
+    import org.apache.spark.sql.functions.col
+    val scored = Seq(
+      (1L, Some(0.5)), (2L, Some(0.9)), (3L, Some(0.9)), // cluster 1
+      (4L, None), (5L, Some(0.1)),                       // cluster 4
+      (6L, Some(0.7))                                     // singleton
+    ).toDF("doc_id", "q")
+    val clusters = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L)
+    ).toDF("id", "cluster")
+    val out = graft.operators.Dedup
+      .canonicalPick(scored, "doc_id", "q", clusters)
+      .as[(Long, Long, Option[Double], Boolean)].collect().toSeq
+    val pick = out.map(r => r._1 -> r._4).toMap
+    // 2 and 3 tie at 0.9 -> lower id 2 wins
+    assert(pick === Map(1L -> false, 2L -> true, 3L -> false,
+      4L -> false, 5L -> true, 6L -> true))
+    assert(out.find(_._1 == 6L).get._2 === 6L) // singleton cluster = own id
+    // keeping only canonicals is a proper dedup: one per cluster
+    val kept = out.filter(_._4).map(_._2)
+    assert(kept.distinct.size === kept.size && kept.size === 3)
+  }
 }
