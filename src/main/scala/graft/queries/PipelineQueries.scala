@@ -1794,6 +1794,36 @@ object PipelineQueries {
         scored, "doc_id", "quality", Dedup.nearDupClusters(pairs))
     }),
 
+    // Round-9 composite: the corpus-RELEASE manifest — canonical
+    // dedup (D16) keeps one best copy per cluster, the released
+    // per-source slice is then summarized with the R23 mergeable
+    // digest pair. One gated query proving the operators COMPOSE:
+    // any divergence in clustering, picking, or digesting fails the
+    // hash.
+    "q222_release_manifest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val nTok = TextAnalysis.tokenCount(col("text"))
+      val ttr = TextAnalysis.typeTokenRatio(col("text"))
+      val stopRatio = TextAnalysis.vocabHits(
+        col("text"), Seq("the", "a", "of", "and", "is", "to"))
+        .cast("double") / nTok
+      val scored = docs.select(
+        col("doc_id"),
+        round(ttr * 0.5 + (lit(1.0) - stopRatio) * 0.5, 6).as("quality"))
+      val pairs = Dedup.minhashCandidates(
+          docs, "doc_id", "text",
+          numHashes = 8, rowsPerBand = 2, shingleSize = 3)
+        .where(col("n_match") >= 7)
+      val picks = Dedup.canonicalPick(
+        scored, "doc_id", "quality", Dedup.nearDupClusters(pairs))
+      val released = docs
+        .join(picks.where(col("is_canonical")).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+      graft.operators.Quality.tableFingerprint(
+          released, Seq("doc_id", "text"), "source")
+        .orderBy("source")
+    }),
+
     // E23 (round 9): Poisson-bootstrap 95% CI for the mean purchase
     // value — all 32 resamples ride ONE scan with 32 counters
     // (per-(row,b) Poisson(1) multiplicities from md5 uniforms);
@@ -4331,6 +4361,84 @@ object PipelineQueries {
         |  (row_number() OVER (PARTITION BY cluster
         |    ORDER BY quality DESC, doc_id) = 1) AS is_canonical
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // The q221 chain through the pick, then the q189 fingerprint of
+    // the released rows per source.
+    "q222_release_manifest" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), idx AS (
+        |  SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i FROM toks
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM idx
+        |), mh AS (
+        |  SELECT doc_id, s.seed,
+        |    min(CAST(('0x' || substr(
+        |      md5(CAST(s.seed AS VARCHAR) || ':' || shingle), 1, 15)) AS BIGINT))
+        |      AS mh
+        |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0,7)) AS seed) s
+        |  GROUP BY doc_id, s.seed
+        |), bands AS (
+        |  SELECT doc_id, seed // 2 AS band,
+        |    string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed) AS sig
+        |  FROM mh GROUP BY doc_id, seed // 2
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a
+        |  JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        |), strong AS (
+        |  SELECT c.doc_a, c.doc_b
+        |  FROM cand c
+        |  JOIN mh ma ON ma.doc_id = c.doc_a
+        |  JOIN mh mb ON mb.doc_id = c.doc_b AND mb.seed = ma.seed
+        |  GROUP BY c.doc_a, c.doc_b
+        |  HAVING count(*) FILTER (ma.mh = mb.mh) >= 7
+        |), edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM strong
+        |  UNION
+        |  SELECT doc_b, doc_a FROM strong
+        |), reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+        |), nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |cl AS (
+        |  SELECT n.id, least(n.id, min(r.dst)) AS cluster
+        |  FROM nodes n LEFT JOIN reach r ON r.src = n.id
+        |  GROUP BY n.id
+        |), q AS (
+        |  SELECT doc_id,
+        |    round((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |           / len(string_split(text, ' '))) * 0.5
+        |      + (1.0 - CAST(len(list_filter(string_split(text, ' '),
+        |           t -> list_contains(['the','a','of','and','is','to'], t)))
+        |           AS DOUBLE) / len(string_split(text, ' '))) * 0.5, 6)
+        |      AS quality
+        |  FROM documents
+        |), c AS (
+        |  SELECT q.doc_id, COALESCE(cl.cluster, q.doc_id) AS cluster,
+        |    q.quality
+        |  FROM q LEFT JOIN cl ON cl.id = q.doc_id
+        |), keepers AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, row_number() OVER (PARTITION BY cluster
+        |      ORDER BY quality DESC, doc_id) AS rn
+        |    FROM c)
+        |  WHERE rn = 1
+        |), rel AS (
+        |  SELECT d.source,
+        |    CAST(('0x' || substr(md5(concat_ws(chr(1),
+        |      CAST(d.doc_id AS VARCHAR), d.text)), 1, 15)) AS BIGINT) AS hv
+        |  FROM documents d JOIN keepers k ON k.doc_id = d.doc_id
+        |)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  bit_xor(hv) AS xor_hash,
+        |  CAST(CAST(SUM(CAST(hv AS DECIMAL(38,0))) AS DECIMAL(38,0))
+        |    AS VARCHAR) AS sum_hash,
+        |  min(hv) AS min_hash,
+        |  max(hv) AS max_hash
+        |FROM rel GROUP BY source ORDER BY source""".stripMargin,
 
     // q19's ranked chain at 50 probes, then label-relevance metrics:
     // per-term round-6 decimal gains, cumulative ideal table, single
