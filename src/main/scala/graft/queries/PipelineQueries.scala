@@ -1499,6 +1499,21 @@ object PipelineQueries {
     // count the streaming sink emits is pinned against an explicit
     // generate_series window expansion. 1h windows sliding 15min:
     // every event lands in exactly 4 windows (w/s), all 4 valid.
+    // X16 (round 9): streaming golden record, batch twin — the SAME
+    // flatMapGroupsWithState fold runs once per key from empty state
+    // in batch mode; per-field stamped state makes the fold order-
+    // independent. Same null-injection as q206, string fields only
+    // (the state's generic encoding).
+    "q223_streaming_golden_twin" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("props",
+          when(col("event_type") =!= "signup", col("props")))
+      graft.streaming.EventStreams.streamingGoldenRecord(
+          e, "user_id", "ts", "event_id", Seq("props", "event_type"))
+        .toDF()
+        .orderBy("key", "field")
+    }),
+
     // X15 (round 9): stream-static broadcast enrichment, batch twin.
     // The SAME staticEnrich body on the batch frame is the identical
     // broadcast left join the micro-batch planner runs per batch;
@@ -4674,6 +4689,37 @@ object PipelineQueries {
         |  END AS silhouette
         |FROM own o JOIN other t USING (vec_id)
         |ORDER BY o.vec_id""".stripMargin,
+
+    // Long-format survivorship replay: per field last_value IGNORE
+    // NULLS over (ts, event_id), one row per (key, field).
+    "q223_streaming_golden_twin" ->
+      """WITH f AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type <> 'signup' THEN props END AS props,
+        |    event_type
+        |  FROM events
+        |), w AS (
+        |  SELECT user_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY user_id) AS n,
+        |    last_value(props IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |      AS props,
+        |    last_value(event_type IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |      AS event_type
+        |  FROM f
+        |), g AS (SELECT * FROM w WHERE rn = n)
+        |SELECT key, field, value, n_versions FROM (
+        |  SELECT user_id AS key, 'props' AS field, props AS value,
+        |    CAST(n AS BIGINT) AS n_versions FROM g
+        |  UNION ALL
+        |  SELECT user_id, 'event_type', event_type, CAST(n AS BIGINT)
+        |  FROM g
+        |) ORDER BY key, field""".stripMargin,
 
     // Byte shingles (16 hex chars every 4, = 8-byte grams stride 2)
     // through the q18 simhash chain, band buckets, char-compare

@@ -73,6 +73,17 @@ case class Attributed(
     key: Long, ts: Timestamp, convId: Long, value: Double,
     firstTouchId: Option[Long], lastTouchId: Option[Long])
 
+/** Per-key survivorship state: version count plus, per field, the
+  * (µs, tie) stamp and value of the latest non-null sighting. */
+case class GoldenState(
+    n: Long, stamps: Map[String, (Long, Long)],
+    values: Map[String, String])
+
+/** One field of a key's golden record (long format; update
+  * semantics — readers keep the latest row per (key, field)). */
+case class GoldenField(
+    key: Long, field: String, value: Option[String], n_versions: Long)
+
 /**
  * Streaming analytics over event streams — the watermarked /
  * stateful half of the engine's streaming surface (the daily-flow
@@ -982,4 +993,70 @@ object EventStreams extends Serializable {
   def streamingFingerprint(
       rows: DataFrame, cols: Seq[String], groupCol: String): DataFrame =
     graft.operators.Quality.tableFingerprint(rows, cols, groupCol)
+
+  /**
+   * Streaming survivorship / golden record — the stateful
+   * counterpart of [[graft.operators.Merge.goldenRecord]]: per key,
+   * each FIELD independently holds the value of the latest non-null
+   * sighting under the (event-time µs, tie) total order, maintained
+   * across micro-batches in `flatMapGroupsWithState`.
+   *
+   * The state is a per-field (stamp, value) pair, so the fold is
+   * ORDER-INDEPENDENT: a straggler older than a field's current
+   * stamp can never overwrite it, and a late null never erases —
+   * strictly stronger than the in-order contract the replay-style
+   * streaming twins carry. State per key is |fields| stamped strings
+   * plus a counter — constant for the key's lifetime.
+   *
+   * Field values are carried as STRINGS (one generic state encoding;
+   * cast downstream). Output is long-format update semantics: after
+   * each batch every touched key re-emits one row per field; readers
+   * keep the latest row per (key, field). In batch mode each key
+   * folds once from empty state, reproducing the batch operator's
+   * semantics exactly — the q165-pattern oracle twin.
+   */
+  def streamingGoldenRecord(
+      events: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      fields: Seq[String]): Dataset[GoldenField] = {
+    require(fields.nonEmpty, "streamingGoldenRecord: fields is empty")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(
+        col(keyCol).cast("long").as("k"),
+        unix_micros(col(tsCol)).as("us"),
+        col(tieCol).cast("long").as("tie"),
+        array(fields.map(f => col(f).cast("string")): _*).as("vals"))
+      .as[(Long, Long, Long, Seq[String])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[GoldenState, GoldenField](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Long, Long, Seq[String])],
+         state: GroupState[GoldenState]) =>
+          var st = state.getOption
+            .getOrElse(GoldenState(0L, Map.empty, Map.empty))
+          rows.foreach { case (_, us, tie, vals) =>
+            var stamps = st.stamps
+            var values = st.values
+            fields.zipWithIndex.foreach { case (f, i) =>
+              val v = vals(i)
+              if (v != null) {
+                val newer = stamps.get(f) match {
+                  case Some((sUs, sTie)) =>
+                    us > sUs || (us == sUs && tie > sTie)
+                  case None => true
+                }
+                if (newer) {
+                  stamps = stamps.updated(f, (us, tie))
+                  values = values.updated(f, v)
+                }
+              }
+            }
+            st = GoldenState(st.n + 1L, stamps, values)
+          }
+          state.update(st)
+          fields.iterator
+            .map(f => GoldenField(key, f, st.values.get(f), st.n))
+      }
+  }
 }

@@ -884,6 +884,38 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingGoldenRecord: stamped per-field state — a straggler never " +
+      "overwrites a newer value, a late null never erases") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String, String)]
+    val golden = EventStreams.streamingGoldenRecord(
+      input.toDF.toDF("user_id", "ts", "event_id", "name", "city"),
+      "user_id", "ts", "event_id", Seq("name", "city"))
+    val q = golden.toDF.writeStream
+      .format("memory").queryName("golden_rec").outputMode("update").start()
+    def latest(): Map[(Long, String), (Option[String], Long)] = {
+      // update semantics: keep the highest-n_versions row per (key, field)
+      spark.table("golden_rec")
+        .as[(Long, String, Option[String], Long)].collect()
+        .groupBy(r => (r._1, r._2))
+        .map { case (k, rs) => k -> { val m = rs.maxBy(_._4); (m._3, m._4) } }
+    }
+    try {
+      input.addData((1L, ts(10), 1L, "ann", "oslo"))
+      q.processAllAvailable()
+      input.addData((1L, ts(20), 2L, "anne", null)) // null city: keep oslo
+      q.processAllAvailable()
+      assert(latest()((1L, "name")) === ((Some("anne"), 2L)))
+      assert(latest()((1L, "city")) === ((Some("oslo"), 2L)))
+      // straggler BEFORE ts 20 arrives late: must not beat "anne"
+      input.addData((1L, ts(15), 3L, "annika", "bergen"))
+      q.processAllAvailable()
+      assert(latest()((1L, "name")) === ((Some("anne"), 3L)))
+      // but city had no value newer than ts 15 -> straggler wins it
+      assert(latest()((1L, "city")) === ((Some("bergen"), 3L)))
+    } finally q.stop()
+  }
+
   test("staticEnrich joins micro-batches against the broadcast dim; " +
       "unmatched facts survive with NULLs; dup dim keys refused") {
     implicit val sqlCtx = spark.sqlContext
