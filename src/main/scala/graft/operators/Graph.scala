@@ -224,4 +224,74 @@ object Graph {
     }
     degrees(live).orderBy("node")
   }
+
+  /**
+   * Synchronous weighted label propagation (Raghavan et al. 2007,
+   * made deterministic): community detection by iterated plurality
+   * vote — each round EVERY node simultaneously adopts the label
+   * carrying the largest summed edge weight among its neighbors,
+   * ties broken by smallest label. Communities emerge without a
+   * cluster-count dial, in near-linear work per round — the standard
+   * cheap alternative when modularity optimization is unaffordable.
+   * Unlike [[graft.operators.Dedup.nearDupClusters]]' min-label CC
+   * (which floods ANY connectivity), plurality voting respects edge
+   * density: weakly-bridged dense regions keep distinct labels.
+   *
+   * Determinism contract: the classic algorithm is notoriously
+   * run-dependent (random visit order, random tie-break). This
+   * variant is fully reproducible: synchronous rounds, integer
+   * weight sums (exact, partition-order-free), and the
+   * (weight desc, label asc) argmax expressed as `min(struct(-w,
+   * lbl))` — one partial-aggregated shape, no per-node window. A
+   * FIXED round count, not a convergence test: sync LPA can 2-cycle
+   * on bipartite-ish regions, so "run to convergence" is not
+   * well-defined; fixed rounds are, and they replay in the oracle.
+   *
+   * Scale: edges symmetrize once up front (both directions,
+   * self-loops dropped, parallel edges weight-summed) and
+   * localCheckpoint; each round is ONE join of the label vector onto
+   * the edge list (hash-partitioned on the neighbor key) + one
+   * (node, label) partial-aggregated shuffle + one node-keyed
+   * argmax aggregate. Label state is one row per node. Rounds
+   * barrier via localCheckpoint with superseded state freed (the
+   * PageRank/kCore loop discipline) so round r never re-executes
+   * rounds 1..r−1.
+   *
+   * Output: (node, label) over every node with at least one
+   * non-self edge, ascending by node.
+   */
+  def labelPropagation(
+      edges: DataFrame, srcCol: String, dstCol: String, weightCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val directed = edges
+      .select(col(srcCol).as("a"), col(dstCol).as("b"),
+        col(weightCol).cast("long").as("w"))
+      .where(col("a") =!= col("b"))
+    val und = directed
+      .unionAll(directed.select(col("b").as("a"), col("a").as("b"),
+        col("w")))
+      .groupBy("a", "b").agg(sum(col("w")).as("w"))
+      .localCheckpoint()
+    var labels = und.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+      .localCheckpoint()
+    var r = 0
+    while (r < rounds) {
+      val next = und
+        .join(labels.select(col("node").as("b"), col("lbl").as("nl")),
+          Seq("b"))
+        .groupBy(col("a"), col("nl"))
+        .agg(sum(col("w")).as("s"))
+        .groupBy(col("a"))
+        .agg(min(struct((-col("s")).as("ns"), col("nl").as("l")))
+          .as("__m"))
+        .select(col("a").as("node"), col("__m.l").as("lbl"))
+        .localCheckpoint()
+      org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(labels)
+      labels = next
+      r += 1
+    }
+    labels.orderBy("node")
+  }
 }

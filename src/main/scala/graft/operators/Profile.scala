@@ -278,6 +278,98 @@ object Profile {
    *
    * Output: one row (n_rows, mean, ci_lo, ci_hi, n_resamples).
    */
+  /**
+   * Functional-dependency audit over declared candidate pairs: for
+   * each `(lhs, rhs)`, does every `lhs` value determine at most one
+   * distinct non-null `rhs` value? The discovery primitive behind
+   * key inference, denormalization safety ("can I collapse this
+   * column into the dim table?"), and join-explosion forensics — a
+   * violated FD assumed by a downstream join IS the q193 fan-out.
+   *
+   * Per pair the report carries: distinct `lhs` key count, how many
+   * keys violate (map to ≥2 distinct rhs), how many ROWS sit inside
+   * violating keys (the blast radius of a dedup-by-lhs), the max
+   * per-key fan-out, and the boolean verdict.
+   *
+   * Contract: a NULL `lhs` forms its own key group (groupBy
+   * semantics, identical in both engines); NULL `rhs` values never
+   * count toward fan-out (`count(distinct)` excludes them) — an
+   * all-NULL rhs key trivially holds. All statistics are exact
+   * integer arithmetic, so the report is partition-order-free.
+   *
+   * Scale: pairs sharing an `lhs` share ONE partial-aggregated
+   * key shuffle (the multi-distinct Expand multiplies scanned rows
+   * by #rhs+1 — the documented q59 shape); the second-level
+   * aggregate runs at key cardinality and collapses to one row per
+   * lhs group. Nothing is ever collected; the per-lhs frames that
+   * union at the end are one-row aggregates.
+   */
+  def functionalDependencies(
+      df: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "need at least one (lhs, rhs) pair")
+    val frames = pairs.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (lhs, ps) =>
+        val rhss = ps.map(_._2).distinct
+        val perKey = df.groupBy(col(lhs).as("__k"))
+          .agg(count(lit(1)).as("__cnt"),
+            rhss.map(r => countDistinct(col(r)).as(s"__d_$r")): _*)
+        val aggs = Seq(count(lit(1)).as("__n_keys")) ++ rhss.flatMap { r =>
+          Seq(
+            sum(when(col(s"__d_$r") > 1, 1L).otherwise(0L))
+              .as(s"__vk_$r"),
+            sum(when(col(s"__d_$r") > 1, col("__cnt")).otherwise(0L))
+              .as(s"__vr_$r"),
+            max(col(s"__d_$r")).as(s"__mf_$r"))
+        }
+        val wide = perKey.agg(aggs.head, aggs.tail: _*)
+        val longRows = rhss.map { r =>
+          struct(
+            lit(lhs).as("lhs"), lit(r).as("rhs"),
+            col("__n_keys").as("n_keys"),
+            col(s"__vk_$r").cast("long").as("violating_keys"),
+            col(s"__vr_$r").cast("long").as("violating_rows"),
+            col(s"__mf_$r").as("max_fanout"),
+            (col(s"__mf_$r") <= 1).as("holds"))
+        }
+        wide.select(explode(array(longRows: _*)).as("__s"))
+          .select(col("__s.*"))
+    }
+    frames.reduce(_.unionByName(_))
+  }
+
+  /**
+   * Candidate-key audit: for each proposed column set, is the
+   * combination unique? Reports distinct-combination count,
+   * duplicate rows (rows beyond the first per combination — exactly
+   * what an exact-dedup on that key would drop), and the largest
+   * group. The declared-contract half of FD discovery: run this
+   * BEFORE trusting a column set as a join key, dedup key, or
+   * partition key (a max_group of 10⁶ on a "unique" id is the skew
+   * q96 probes for, caught at profile time).
+   *
+   * NULLs participate as values (groupBy semantics — two NULL-key
+   * rows are the SAME group, matching what dropDuplicates would do).
+   * One partial-aggregated shuffle per candidate, second aggregate
+   * at group cardinality; exact integers throughout.
+   */
+  def candidateKeys(df: DataFrame, keys: Seq[Seq[String]]): DataFrame = {
+    require(keys.nonEmpty && keys.forall(_.nonEmpty),
+      "need at least one non-empty candidate column set")
+    val frames = keys.map { ks =>
+      df.groupBy(ks.map(col): _*)
+        .agg(count(lit(1)).as("__cnt"))
+        .agg(
+          count(lit(1)).as("n_keys"),
+          sum(col("__cnt") - 1L).cast("long").as("dup_rows"),
+          max(col("__cnt")).as("max_group"))
+        .select(
+          lit(ks.mkString(",")).as("key_cols"),
+          col("n_keys"), col("dup_rows"), col("max_group"),
+          (col("max_group") === 1).as("is_key"))
+    }
+    frames.reduce(_.unionByName(_))
+  }
+
   def bootstrapMeanCI(
       df: DataFrame, valCol: String, hashCols: Seq[String],
       b: Int = 32, alphaPerMille: Int = 50): DataFrame = {

@@ -1330,6 +1330,30 @@ object RelationalQueries {
         .orderBy("col_name", "stat")
     }),
 
+    // Q6: functional-dependency + candidate-key profile of orders —
+    // FD verdicts for three declared pairs (same-lhs pairs share one
+    // multi-distinct key shuffle) unioned with uniqueness audits for
+    // three candidate key sets; exact integer stats end to end.
+    "q224_fd_profile" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val fd = graft.operators.Profile.functionalDependencies(o, Seq(
+          "o_custkey" -> "o_orderpriority",
+          "o_custkey" -> "o_orderstatus",
+          "o_orderkey" -> "o_orderstatus"))
+        .select(lit("fd").as("kind"), col("lhs"), col("rhs"),
+          col("n_keys"), col("violating_keys").as("violations"),
+          col("max_fanout"), col("holds"))
+      val keys = graft.operators.Profile.candidateKeys(o, Seq(
+          Seq("o_custkey", "o_orderdate"),
+          Seq("o_orderkey"),
+          Seq("o_orderpriority")))
+        .select(lit("key").as("kind"), col("key_cols").as("lhs"),
+          lit("").as("rhs"), col("n_keys"),
+          col("dup_rows").as("violations"),
+          col("max_group").as("max_fanout"), col("is_key").as("holds"))
+      fd.unionByName(keys).orderBy("kind", "lhs", "rhs")
+    }),
+
     // Categorical×categorical association (the correlations
     // complement): MI, chi-squared, Cramér's V between lang and
     // source from one contingency pass; per-cell terms quantize to
@@ -1357,6 +1381,27 @@ object RelationalQueries {
           edges, "prev_type", "event_type", "n",
           damping = 0.85, iters = 10)
         .select(col("node"), round(col("rank"), 6).as("rank"))
+        .orderBy("node")
+    }),
+
+    // G4: deterministic label-propagation communities over the
+    // adjacent-token co-occurrence graph — synchronous plurality
+    // vote, integer weights, (weight desc, label asc) tie-break, 4
+    // fixed rounds; one edge join + two partial-agg shuffles per
+    // round, label state one row per node.
+    "q225_label_prop" -> ((s, dir) => {
+      val bg = t(s, dir, "documents")
+        .select(split(col("text"), " ").as("t"))
+        .where(size(col("t")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(t) - 1), " +
+            "i -> struct(element_at(t, i) AS a, element_at(t, i + 1) AS b))"))
+          .as("bg"))
+        .select(col("bg.a").as("a"), col("bg.b").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n"))
+      graft.operators.Graph.labelPropagation(bg, "a", "b", "n",
+          rounds = 4)
+        .select(col("node"), col("lbl").as("label"))
         .orderBy("node")
     }),
 
@@ -2648,6 +2693,99 @@ object RelationalQueries {
 
     // Mirrors Profile.categoricalAssociation: identical fixed double
     // op order per cell, DECIMAL(38,12) quantization before the sum.
+    "q225_label_prop" ->
+      """WITH toks AS (
+        |  SELECT string_split(text, ' ') AS w FROM documents
+        |), bgl AS (
+        |  SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+        |  FROM toks WHERE len(w) >= 2
+        |), bg AS (
+        |  SELECT w[i] AS a, w[i+1] AS b, count(*) AS cab
+        |  FROM bgl GROUP BY 1, 2
+        |), und AS MATERIALIZED (
+        |  SELECT a, b, CAST(SUM(cab) AS BIGINT) AS w FROM (
+        |    SELECT a, b, cab FROM bg WHERE a <> b
+        |    UNION ALL
+        |    SELECT b AS a, a AS b, cab FROM bg WHERE a <> b
+        |  ) GROUP BY 1, 2
+        |), l0 AS MATERIALIZED (
+        |  SELECT DISTINCT a AS node, a AS lbl FROM und
+        |), l1 AS MATERIALIZED (
+        |  SELECT node, lbl FROM (
+        |    SELECT g.node, g.nl AS lbl, row_number() OVER (
+        |      PARTITION BY g.node ORDER BY g.s DESC, g.nl ASC) AS rn
+        |    FROM (SELECT u.a AS node, l.lbl AS nl, SUM(u.w) AS s
+        |          FROM und u JOIN l0 l ON l.node = u.b
+        |          GROUP BY 1, 2) g
+        |  ) WHERE rn = 1
+        |), l2 AS MATERIALIZED (
+        |  SELECT node, lbl FROM (
+        |    SELECT g.node, g.nl AS lbl, row_number() OVER (
+        |      PARTITION BY g.node ORDER BY g.s DESC, g.nl ASC) AS rn
+        |    FROM (SELECT u.a AS node, l.lbl AS nl, SUM(u.w) AS s
+        |          FROM und u JOIN l1 l ON l.node = u.b
+        |          GROUP BY 1, 2) g
+        |  ) WHERE rn = 1
+        |), l3 AS MATERIALIZED (
+        |  SELECT node, lbl FROM (
+        |    SELECT g.node, g.nl AS lbl, row_number() OVER (
+        |      PARTITION BY g.node ORDER BY g.s DESC, g.nl ASC) AS rn
+        |    FROM (SELECT u.a AS node, l.lbl AS nl, SUM(u.w) AS s
+        |          FROM und u JOIN l2 l ON l.node = u.b
+        |          GROUP BY 1, 2) g
+        |  ) WHERE rn = 1
+        |), l4 AS MATERIALIZED (
+        |  SELECT node, lbl FROM (
+        |    SELECT g.node, g.nl AS lbl, row_number() OVER (
+        |      PARTITION BY g.node ORDER BY g.s DESC, g.nl ASC) AS rn
+        |    FROM (SELECT u.a AS node, l.lbl AS nl, SUM(u.w) AS s
+        |          FROM und u JOIN l3 l ON l.node = u.b
+        |          GROUP BY 1, 2) g
+        |  ) WHERE rn = 1
+        |)
+        |SELECT node, lbl AS label FROM l4 ORDER BY node""".stripMargin,
+
+    "q224_fd_profile" ->
+      """WITH kc AS (
+        |  SELECT COUNT(DISTINCT o_orderpriority) AS nd1,
+        |         COUNT(DISTINCT o_orderstatus) AS nd2
+        |  FROM orders GROUP BY o_custkey
+        |), ko AS (
+        |  SELECT COUNT(DISTINCT o_orderstatus) AS nd
+        |  FROM orders GROUP BY o_orderkey
+        |), g1 AS (SELECT COUNT(*) AS cnt FROM orders
+        |          GROUP BY o_custkey, o_orderdate),
+        |g2 AS (SELECT COUNT(*) AS cnt FROM orders GROUP BY o_orderkey),
+        |g3 AS (SELECT COUNT(*) AS cnt FROM orders
+        |       GROUP BY o_orderpriority)
+        |SELECT * FROM (
+        |  SELECT 'fd' AS kind, 'o_custkey' AS lhs,
+        |    'o_orderpriority' AS rhs, COUNT(*) AS n_keys,
+        |    CAST(SUM(CASE WHEN nd1 > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS violations,
+        |    MAX(nd1) AS max_fanout, MAX(nd1) <= 1 AS holds FROM kc
+        |  UNION ALL
+        |  SELECT 'fd', 'o_custkey', 'o_orderstatus', COUNT(*),
+        |    CAST(SUM(CASE WHEN nd2 > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |    MAX(nd2), MAX(nd2) <= 1 FROM kc
+        |  UNION ALL
+        |  SELECT 'fd', 'o_orderkey', 'o_orderstatus', COUNT(*),
+        |    CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |    MAX(nd), MAX(nd) <= 1 FROM ko
+        |  UNION ALL
+        |  SELECT 'key', 'o_custkey,o_orderdate', '', COUNT(*),
+        |    CAST(SUM(cnt - 1) AS BIGINT), MAX(cnt), MAX(cnt) = 1
+        |  FROM g1
+        |  UNION ALL
+        |  SELECT 'key', 'o_orderkey', '', COUNT(*),
+        |    CAST(SUM(cnt - 1) AS BIGINT), MAX(cnt), MAX(cnt) = 1
+        |  FROM g2
+        |  UNION ALL
+        |  SELECT 'key', 'o_orderpriority', '', COUNT(*),
+        |    CAST(SUM(cnt - 1) AS BIGINT), MAX(cnt), MAX(cnt) = 1
+        |  FROM g3
+        |) ORDER BY kind, lhs, rhs""".stripMargin,
+
     "q171_cat_association" ->
       """WITH jt AS (
         |  SELECT lang AS a, source AS b, COUNT(*) AS nab

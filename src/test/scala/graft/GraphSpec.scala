@@ -136,4 +136,43 @@ class GraphSpec extends AnyFunSuite {
     // k above the densest core -> empty result
     assert(Graph.kCore(edges, "a", "b", k = 3, rounds = 6).count() === 0)
   }
+
+  private def lpa(edges: Seq[(String, String, Long)], rounds: Int)
+      : Map[String, String] = {
+    val df = edges.toDF("src", "dst", "w")
+    Graph.labelPropagation(df, "src", "dst", "w", rounds)
+      .as[(String, String)].collect().toMap
+  }
+
+  test("labelPropagation: weak bridge keeps two dense communities apart") {
+    // Two triangles (internal weight 3) joined by a weight-1 bridge:
+    // plurality voting must NOT flood across the bridge (min-label CC
+    // would collapse everything to one cluster).
+    val edges = Seq(
+      ("a", "b", 3L), ("b", "c", 3L), ("a", "c", 3L),
+      ("x", "y", 3L), ("y", "z", 3L), ("x", "z", 3L),
+      ("c", "x", 1L))
+    val r = lpa(edges, rounds = 4)
+    assert(Set("a", "b", "c").map(r) == Set("a"))
+    assert(Set("x", "y", "z").map(r) == Set("x"))
+  }
+
+  test("labelPropagation: equal-weight ties break to the smallest label") {
+    // Unweighted triangle: round 1 votes are all ties — each node
+    // must adopt its smallest neighbor; by round 3 all converge to a.
+    val edges = Seq(("a", "b", 1L), ("b", "c", 1L), ("a", "c", 1L))
+    val r = lpa(edges, rounds = 3)
+    assert(r.values.toSet == Set("a"), r.toString)
+  }
+
+  test("labelPropagation: direction-blind and self-loop-proof") {
+    // Same graph given with flipped/duplicated directions and a self
+    // loop: symmetrization must sum parallel weights and drop a→a.
+    val base = Seq(("a", "b", 3L), ("b", "c", 3L), ("a", "c", 3L),
+      ("x", "y", 3L), ("y", "z", 3L), ("x", "z", 3L), ("c", "x", 1L))
+    val noisy = base.map { case (s, d, w) => (d, s, w) } ++
+      base.map { case (s, d, w) => (s, d, 0L) } ++ // zero-weight dup edges
+      Seq(("a", "a", 99L))
+    assert(lpa(noisy, rounds = 4) == lpa(base, rounds = 4))
+  }
 }

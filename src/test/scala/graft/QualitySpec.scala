@@ -438,4 +438,36 @@ class QualitySpec extends AnyFunSuite {
       (5, 1L, 0L, 0.55, 0.0, 0.55),
       (9, 2L, 2L, 0.975, 1.0, 0.025)))
   }
+
+  test("functionalDependencies: violations, NULL-rhs immunity, NULL-lhs group") {
+    val df = Seq(
+      (Some(1), Some("x")),                     // clean key
+      (Some(2), Some("p")), (Some(2), Some("q")), (Some(2), Some("p")),
+      (Some(3), None), (Some(3), None),         // all-NULL rhs: holds
+      (None, Some("z"))                         // NULL lhs forms a group
+    ).toDF("k", "v")
+    val r = df.select(col("k"), col("v"), col("k").as("k2"))
+    val out = Profile.functionalDependencies(
+        r, Seq("k" -> "v", "k" -> "k2"))
+      .as[(String, String, Long, Long, Long, Long, Boolean)]
+      .collect().map(t => (t._2, t)).toMap
+    // k -> v: 4 key groups (incl. NULL), one violating key (k=2)
+    // spanning 3 rows, max fan-out 2.
+    assert(out("v") === (("k", "v", 4L, 1L, 3L, 2L, false)))
+    // k -> k2 is an identity FD: holds everywhere; the NULL-lhs
+    // group's rhs is also NULL so its fan-out is 0, never a violation.
+    assert(out("k2") === (("k", "k2", 4L, 0L, 0L, 1L, true)))
+  }
+
+  test("candidateKeys: composite uniqueness vs single-column duplicates") {
+    val df = Seq(
+      (1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a")
+    ).toDF("id", "side")
+    val out = Profile.candidateKeys(
+        df, Seq(Seq("id"), Seq("id", "side")))
+      .as[(String, Long, Long, Long, Boolean)]
+      .collect().map(t => (t._1, t)).toMap
+    assert(out("id") === (("id", 3L, 2L, 2L, false)))
+    assert(out("id,side") === (("id,side", 5L, 0L, 1L, true)))
+  }
 }
