@@ -754,4 +754,114 @@ object TextAnalysis {
       round(slope, 6).as("slope"),
       round(intercept, 6).as("intercept"))
   }
+
+  /** PII pattern library — shared by [[piiScan]] and [[piiRedact]]
+    * and mirrored verbatim in the oracle SQL. ASCII-class patterns
+    * chosen for identical semantics under Java regex (Spark) and RE2
+    * (DuckDB): no backreferences, no lookaround, leftmost-first
+    * greedy matching agrees on every pattern here.
+    *
+    * `ipv4` deliberately matches CANDIDATES (`999.1.1.1` included);
+    * octet range validation is a separate, engine-portable list
+    * predicate ([[ipv4Valid]]) — baking `25[0-5]|2[0-4][0-9]|...`
+    * alternations into the class pattern is where cross-engine regex
+    * subtleties live, so validation stays OUT of the regex. */
+  val piiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val piiIpv4 = "\\b(?:[0-9]{1,3}\\.)(?:[0-9]{1,3}\\.)(?:[0-9]{1,3}\\.)[0-9]{1,3}\\b"
+  val piiDigitRun = "[0-9]{9,}"
+
+  /** All four octets in [0, 255] — applied to an [[piiIpv4]] match. */
+  private def ipv4Valid(m: Column): Column =
+    forall(split(m, "\\."), o => o.cast("int") <= 255)
+
+  /** Luhn checksum over a digit string (the card-number validity
+    * check): doubling every second digit from the right, folding
+    * >9 to digit−9, total ≡ 0 (mod 10). Expressed as a sequence
+    * transform + aggregate HOF — runs only on the RARE 13–19-digit
+    * candidates, never per row, so CodegenFallback cost is
+    * irrelevant; the identical arithmetic replays in DuckDB's list
+    * lambdas. */
+  private def luhnValid(d: Column): Column = {
+    val digitSum = aggregate(
+      transform(sequence(lit(1), length(d)), i => {
+        val dig = d.substr(i, lit(1)).cast("int")
+        when((length(d) - i) % 2 === 0, dig)
+          .otherwise(when(dig * 2 > 9, dig * 2 - 9).otherwise(dig * 2))
+      }),
+      lit(0), (acc, x) => acc + x)
+    digitSum % 10 === 0
+  }
+
+  /**
+   * PII exposure scan — the pre-release audit a training corpus
+   * ships with (and the reason curation pipelines carry a scrubbing
+   * stage at all): per group, how many documents expose each PII
+   * class, how many matches, and how many characters they span.
+   *
+   * Classes: `email`, `ipv4` (regex candidates post-validated to
+   * octet range — see [[piiEmail]] scaladoc for the cross-engine
+   * contract), `digit_run` (≥9 consecutive digits: phone / account /
+   * id material), and `card_luhn` (13–19-digit runs passing the Luhn
+   * checksum — the subset of digit runs that are plausibly live card
+   * numbers, the class severe enough to block a release).
+   *
+   * Scale: pure per-row regex work fused into ONE scan — the four
+   * match arrays are projections, the per-class counters partial-
+   * aggregate map-side, and the exchange carries |groups|·4 rows.
+   * Zero joins, zero windows; exact integer outputs.
+   */
+  def piiScan(
+      df: DataFrame, textCol: String, groupCol: String): DataFrame = {
+    // NULL text scans as empty — a bare regexp_extract_all(NULL)
+    // yields NULL arrays whose size() is -1, which would silently
+    // DECREMENT the match counters inside sum().
+    val t = coalesce(col(textCol), lit(""))
+    val email = regexp_extract_all(t, lit(piiEmail), lit(0))
+    val ipv4 = filter(
+      regexp_extract_all(t, lit(piiIpv4), lit(0)), ipv4Valid(_))
+    val runs = regexp_extract_all(t, lit(piiDigitRun), lit(0))
+    val card = filter(runs,
+      d => length(d).between(13, 19) && luhnValid(d))
+    val classes = Seq(
+      "email" -> email, "ipv4" -> ipv4,
+      "digit_run" -> runs, "card_luhn" -> card)
+    val aggs = classes.flatMap { case (name, arr) =>
+      Seq(
+        sum(when(size(arr) > 0, 1L).otherwise(0L)).as(s"__d_$name"),
+        sum(size(arr).cast("long")).as(s"__m_$name"),
+        sum(aggregate(arr, lit(0L), (a, m) => a + length(m)))
+          .as(s"__c_$name"))
+    }
+    val wide = df.groupBy(col(groupCol).as("grp"))
+      .agg(aggs.head, aggs.tail: _*)
+    val longRows = classes.map { case (name, _) =>
+      struct(lit(name).as("pii_class"),
+        col(s"__d_$name").as("n_docs"),
+        col(s"__m_$name").as("n_matches"),
+        col(s"__c_$name").as("match_chars"))
+    }
+    wide.select(col("grp"), explode(array(longRows: _*)).as("__s"))
+      .select(col("grp"), col("__s.*"))
+  }
+
+  /**
+   * PII redaction: emails → `<EMAIL>`, then IPv4 candidates →
+   * `<IP>`, then remaining ≥9-digit runs → `<NUM>`. Order is part of
+   * the contract — the email pass consumes addresses BEFORE the
+   * digit pass can tear numeric fragments out of them, and the IP
+   * pass consumes dotted quads before the digit pass sees their
+   * octets. IPv4 redaction takes the regex CANDIDATES (a 999.1.1.1
+   * is redacted too): for scrubbing, over-redaction of an
+   * almost-address is the safe failure mode, unlike [[piiScan]]
+   * where the report must count only valid addresses.
+   *
+   * Pure per-row projection — composes into any scan at zero extra
+   * passes.
+   */
+  def piiRedact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, piiEmail, "<EMAIL>"),
+        piiIpv4, "<IP>"),
+      piiDigitRun, "<NUM>")
 }

@@ -2136,6 +2136,57 @@ object PipelineQueries {
     // T43: per-source vocabulary richness — instances, vocab, hapax
     // legomena, TTR, hapax share. One (source, token) count shuffle;
     // second pass at vocabulary cardinality.
+    // T47: PII exposure scan across three text surfaces — per
+    // (source, class) exposed docs / matches / spanned chars; regex
+    // match arrays are scan projections, counters partial-aggregate,
+    // the exchange carries |sources|·4 rows. The customer name
+    // column's 9-digit serials light up digit_run; the toy corpora
+    // carry no emails/IPs/cards — the zero rows are part of the pin.
+    "q226_pii_scan" -> ((s, dir) => {
+      val u = t(s, dir, "documents")
+        .select(col("text"), lit("documents").as("src"))
+        .unionByName(t(s, dir, "customer")
+          .select(col("c_name").as("text"), lit("customer").as("src")))
+        .unionByName(t(s, dir, "events")
+          .select(col("props").as("text"), lit("events").as("src")))
+      TextAnalysis.piiScan(u, "text", "src")
+        .select(col("grp").as("source"), col("pii_class"),
+          col("n_docs"), col("n_matches"), col("match_chars"))
+        .orderBy("source", "pii_class")
+    }),
+
+    // T47b: redaction audit — scrub the same three surfaces
+    // (email → <EMAIL>, IPv4 candidate → <IP>, ≥9-digit run →
+    // <NUM>, in that order) and pin rows changed, char deltas, and
+    // an exact decimal digest of the redacted text (the q189
+    // string-rendered sum rule), so the scrubbed OUTPUT is what the
+    // oracle certifies, not just the match counts.
+    "q227_pii_redact" -> ((s, dir) => {
+      val u = t(s, dir, "documents")
+        .select(col("text"), lit("documents").as("src"))
+        .unionByName(t(s, dir, "customer")
+          .select(col("c_name").as("text"), lit("customer").as("src")))
+        .unionByName(t(s, dir, "events")
+          .select(col("props").as("text"), lit("events").as("src")))
+      val red = TextAnalysis.piiRedact(coalesce(col("text"), lit("")))
+      u.select(col("src"), coalesce(col("text"), lit("")).as("t0"),
+          red.as("t1"))
+        .groupBy("src")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("t0") =!= col("t1"), 1L).otherwise(0L))
+            .as("n_changed"),
+          sum(length(col("t0")).cast("long")).as("chars_before"),
+          sum(length(col("t1")).cast("long")).as("chars_after"),
+          sum(conv(substring(md5(col("t1")), 1, 15), 16, 10)
+              .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .cast("string").as("sum_hash"))
+        .select(col("src").as("source"), col("n_rows"),
+          col("n_changed"), col("chars_before"), col("chars_after"),
+          col("sum_hash"))
+        .orderBy("source")
+    }),
+
     "q191_vocab_richness" -> ((s, dir) => {
       graft.operators.TextAnalysis.vocabularyRichness(
           t(s, dir, "documents"), "source", "text")
@@ -5243,6 +5294,91 @@ object PipelineQueries {
     // Mirrors TextAnalysis.zipfFit: top-500 tokens by (cnt desc,
     // token), ln values rounded to 6dp into DECIMAL(18,6) co-moments,
     // then trendFit's exact double-op OLS finish.
+    "q226_pii_scan" ->
+      """WITH u AS (
+        |  SELECT text, 'documents' AS src FROM documents
+        |  UNION ALL SELECT c_name, 'customer' FROM customer
+        |  UNION ALL SELECT props, 'events' FROM events
+        |), m AS (
+        |  SELECT src,
+        |    regexp_extract_all(coalesce(text, ''),
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}') AS em,
+        |    list_filter(regexp_extract_all(coalesce(text, ''),
+        |      '\b(?:[0-9]{1,3}\.)(?:[0-9]{1,3}\.)(?:[0-9]{1,3}\.)[0-9]{1,3}\b'),
+        |      x -> len(list_filter(string_split(x, '.'),
+        |        o -> CAST(o AS INT) > 255)) = 0) AS ip,
+        |    regexp_extract_all(coalesce(text, ''), '[0-9]{9,}') AS runs
+        |  FROM u
+        |), m2 AS (
+        |  SELECT src, em, ip, runs,
+        |    list_filter(runs, d -> len(d) BETWEEN 13 AND 19 AND
+        |      list_sum(list_transform(generate_series(1, len(d)), i ->
+        |        CASE WHEN (len(d) - i) % 2 = 0 THEN CAST(d[i] AS INT)
+        |             ELSE CASE WHEN CAST(d[i] AS INT) * 2 > 9
+        |                  THEN CAST(d[i] AS INT) * 2 - 9
+        |                  ELSE CAST(d[i] AS INT) * 2 END END)) % 10 = 0)
+        |      AS card
+        |  FROM m
+        |)
+        |SELECT src AS source, pii_class, n_docs, n_matches, match_chars
+        |FROM (
+        |  SELECT src, 'email' AS pii_class,
+        |    CAST(SUM(CASE WHEN len(em) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_docs,
+        |    CAST(SUM(len(em)) AS BIGINT) AS n_matches,
+        |    CAST(SUM(coalesce(list_sum(list_transform(em, x -> len(x))),
+        |      0)) AS BIGINT) AS match_chars
+        |  FROM m2 GROUP BY src
+        |  UNION ALL
+        |  SELECT src, 'ipv4',
+        |    CAST(SUM(CASE WHEN len(ip) > 0 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(SUM(len(ip)) AS BIGINT),
+        |    CAST(SUM(coalesce(list_sum(list_transform(ip, x -> len(x))),
+        |      0)) AS BIGINT)
+        |  FROM m2 GROUP BY src
+        |  UNION ALL
+        |  SELECT src, 'digit_run',
+        |    CAST(SUM(CASE WHEN len(runs) > 0 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(SUM(len(runs)) AS BIGINT),
+        |    CAST(SUM(coalesce(list_sum(list_transform(runs, x -> len(x))),
+        |      0)) AS BIGINT)
+        |  FROM m2 GROUP BY src
+        |  UNION ALL
+        |  SELECT src, 'card_luhn',
+        |    CAST(SUM(CASE WHEN len(card) > 0 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(SUM(len(card)) AS BIGINT),
+        |    CAST(SUM(coalesce(list_sum(list_transform(card, x -> len(x))),
+        |      0)) AS BIGINT)
+        |  FROM m2 GROUP BY src
+        |) ORDER BY source, pii_class""".stripMargin,
+
+    "q227_pii_redact" ->
+      """WITH u AS (
+        |  SELECT text, 'documents' AS src FROM documents
+        |  UNION ALL SELECT c_name, 'customer' FROM customer
+        |  UNION ALL SELECT props, 'events' FROM events
+        |), r AS (
+        |  SELECT src, coalesce(text, '') AS t0,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(coalesce(text, ''),
+        |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |          '<EMAIL>', 'g'),
+        |        '\b(?:[0-9]{1,3}\.)(?:[0-9]{1,3}\.)(?:[0-9]{1,3}\.)[0-9]{1,3}\b',
+        |        '<IP>', 'g'),
+        |      '[0-9]{9,}', '<NUM>', 'g') AS t1
+        |  FROM u
+        |)
+        |SELECT src AS source, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN t0 <> t1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_changed,
+        |  CAST(SUM(len(t0)) AS BIGINT) AS chars_before,
+        |  CAST(SUM(len(t1)) AS BIGINT) AS chars_after,
+        |  CAST(CAST(SUM(CAST(CAST(('0x' || substr(md5(t1), 1, 15))
+        |    AS BIGINT) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS VARCHAR)
+        |    AS sum_hash
+        |FROM r GROUP BY src ORDER BY source""".stripMargin,
+
     "q190_zipf_fit" ->
       """WITH counts AS (
         |  SELECT w AS token, count(*) AS cnt

@@ -360,4 +360,40 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out._1 === 3L) // d drops: topK bound honored
     assert(out._2 === 0.0)
   }
+
+  test("piiScan: class detection, Luhn gate, octet validation, NULL text") {
+    val df = Seq(
+      ("mail bob@example.com and eve@corp.io", "a"),
+      ("card 4111111111111111 ok", "a"),          // valid Luhn, 16 digits
+      ("card 4111111111111112 bad", "a"),         // fails Luhn
+      ("serial 123456789 and ip 10.0.0.1", "b"),
+      ("almost ip 999.1.1.1 only", "b"),          // octet out of range
+      (null: String, "b")
+    ).toDF("text", "src")
+    val out = TextAnalysis.piiScan(df, "text", "src")
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => ((r._1, r._2), (r._3, r._4, r._5))).toMap
+    assert(out(("a", "email")) === ((1L, 2L, 26L)))
+    assert(out(("a", "digit_run")) === ((2L, 2L, 32L)))
+    assert(out(("a", "card_luhn")) === ((1L, 1L, 16L)),
+      "only the Luhn-valid 16-digit run is a card")
+    assert(out(("b", "ipv4")) === ((1L, 1L, 8L)),
+      "999.1.1.1 must fail octet validation")
+    assert(out(("b", "digit_run")) === ((1L, 1L, 9L)))
+    assert(out(("b", "email")) === ((0L, 0L, 0L)))
+  }
+
+  test("piiRedact: ordered passes keep emails/IPs whole; idempotent") {
+    val df = Seq(
+      "reach bob123456789@ex.com at 10.0.0.1 or 123456789012",
+      "clean text stays").toDF("text")
+    val red = df.select(
+      TextAnalysis.piiRedact(col("text")).as("r")).as[String].collect()
+    assert(red(0) === "reach <EMAIL> at <IP> or <NUM>",
+      "the email pass must consume the address before the digit pass")
+    assert(red(1) === "clean text stays")
+    val twice = df.select(TextAnalysis.piiRedact(
+      TextAnalysis.piiRedact(col("text"))).as("r")).as[String].collect()
+    assert(twice.toSeq === red.toSeq, "redaction is idempotent")
+  }
 }
