@@ -1487,6 +1487,100 @@ object Similarity {
   }
 
   /**
+   * IVF + PQ composed search — the PRODUCTION ANN shape (the
+   * FAISS `IVFx,PQy` index family): corpus rows live in coarse
+   * Voronoi cells (IVF) and store only m-byte PQ codes; a probe
+   * visits its `nprobe` closest cells and ADC-scores just those
+   * candidates. The two dials compose multiplicatively — cell
+   * routing cuts the scanned fraction to ~nprobe/nlist, PQ cuts the
+   * per-candidate cost to m table lookups — which is why this
+   * composition (not flat IVF or flat PQ) is what serves
+   * billion-vector indexes.
+   *
+   * Pipeline per call: encode = ONE corpus scan projecting cell id
+   * ([[ivfCell]]) + codes ([[pqEncode]]'s argmin, fused here so cell
+   * and codes ride the same pass); probes compute their cell ranking
+   * and (m×k) ADC tables DRIVER-side (replicating [[cellRanking]]'s
+   * exact IEEE arithmetic) and broadcast probes × nprobe rows; the
+   * candidate join hashes on the cell key only. Scoring follows
+   * [[pqAdcTopK]]'s determinism contract: 6dp-quantized table
+   * entries summed in exact DECIMAL(18,6), so equal-code candidates
+   * tie exactly and (score, id) ranking is engine-independent.
+   *
+   * Like [[pqAdcTopK]], probes that are corpus members are NOT
+   * self-excluded — their own row scores at quantization error and
+   * surfaces as rank 1, which is itself a useful encode sanity
+   * check; filter `probe_id =!= vec_id` downstream if unwanted.
+   *
+   * Output: (probe_id, cell, vec_id, rank, adc_dist).
+   */
+  def ivfPqSearch(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      seeds: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
+      probes: Seq[(Long, Seq[Double])], nprobe: Int, k: Int): DataFrame = {
+    require(probes.nonEmpty, "need at least one probe")
+    require(nprobe >= 1 && nprobe <= seeds.size,
+      s"nprobe must be in [1, ${seeds.size}], got $nprobe")
+    val m = codebooks.size
+    val kCb = codebooks.head.size
+    val sub = codebooks.head.head.size
+    val enc = corpus
+      .where(size(col(vecCol)) === m * sub)
+      .select(
+        col(idCol),
+        ivfCell(col(vecCol), seeds).as("__cell"),
+        array((0 until m).map { s =>
+          pqCode(
+            slice(toDoubleVec(col(vecCol)), s * sub + 1, sub),
+            codebooks(s)).cast("int")
+        }: _*).as("__codes"))
+    // Driver-side probe routing: exactly cellRanking's arithmetic —
+    // index-order IEEE dot, -(v·s/|s|) with the same sqrt — so a
+    // probe routes to the SAME cells it would as a corpus row.
+    val probeRows = probes.flatMap { case (pid, v) =>
+      require(v.size == m * sub,
+        s"probe $pid has ${v.size} dims, codebooks cover ${m * sub}")
+      val cells = seeds.zipWithIndex.map { case (s, i) =>
+        var dp = 0.0
+        var j = 0
+        while (j < v.size) { dp += v(j) * s(j); j += 1 }
+        (-(dp / math.sqrt(s.map(x => x * x).sum)), i)
+      }.sorted.take(nprobe).map(_._2)
+      val flat = for (s <- 0 until m; c <- 0 until kCb) yield {
+        val cent = codebooks(s)(c)
+        var d2 = 0.0
+        var j = 0
+        while (j < sub) {
+          val diff = v(s * sub + j) - cent(j)
+          d2 += diff * diff
+          j += 1
+        }
+        java.math.BigDecimal.valueOf(d2)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+      }
+      cells.map(c => (pid, c, flat))
+    }
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val probeDf = probeRows.toDF("probe_id", "__cell", "__tab")
+    val adc = (0 until m)
+      .map(s => element_at(col("__tab"),
+        lit(s * kCb) + element_at(col("__codes"), s + 1) + lit(1))
+        .cast(dec6))
+      .reduce(_ + _)
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("__adc").asc, col(idCol).asc)
+    enc.join(broadcast(probeDf), Seq("__cell"))
+      .withColumn("__adc", adc)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("probe_id"), col("__cell").as("cell"),
+        col(idCol).as("vec_id"), col("rank"),
+        col("__adc").cast("double").as("adc_dist"))
+  }
+
+  /**
    * Dimension-truncation recall audit (Matryoshka-representation
    * deployment check): how much of the exact cosine top-k survives
    * when vectors are truncated to their first `dims` components —

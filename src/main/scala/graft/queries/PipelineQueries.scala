@@ -1747,6 +1747,27 @@ object PipelineQueries {
         .orderBy("probe_id", "rank")
     }),
 
+    // V21 (round 9): IVF+PQ composed search — the production ANN
+    // shape (FAISS IVFx,PQy): 4 seed Voronoi cells route each probe
+    // to its 2 closest, PQ codes + broadcast ADC tables score only
+    // the routed candidates. Seed centroids AND seed codebooks keep
+    // the whole composition DuckDB-replayable; exact-decimal ADC
+    // sums keep equal-code ties engine-free.
+    "q228_ivfpq_search" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val seeds = Similarity.ivfSeeds(e, "vec_id", "embedding",
+        nlist = 4)
+      val cbs = pqSeedCodebooks(s, dir, m = 4)
+      val probes = e.where(col("vec_id") >= 4 && col("vec_id") < 7)
+        .orderBy("vec_id").select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0),
+          r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
+      Similarity.ivfPqSearch(e, "vec_id", "embedding", seeds, cbs,
+          probes, nprobe = 2, k = 5)
+        .withColumn("adc_dist", round(col("adc_dist"), 6))
+        .orderBy("probe_id", "rank")
+    }),
+
     // E16 (round 9): exact distributed AUC of the q23 quality score
     // against an English label — does the score DISCRIMINATE? The
     // Mann–Whitney rank-sum runs on the score-level grouped frame
@@ -4191,6 +4212,89 @@ object PipelineQueries {
     // ADC top-k replay over the same seed codebooks: per-probe
     // subspace distance table + m lookups per vector, rank by
     // (adc, vec_id).
+    "q228_ivfpq_search" ->
+      """WITH dims AS (
+        |  SELECT CAST(len(embedding) // 4 AS INT) AS sub
+        |  FROM embeddings ORDER BY vec_id LIMIT 1
+        |), el AS (
+        |  SELECT vec_id, CAST(generate_subscripts(embedding,1)-1 AS INT) AS d,
+        |         CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings
+        |), seed_ids AS (
+        |  SELECT vec_id AS cell_vid,
+        |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
+        |  FROM embeddings ORDER BY vec_id LIMIT 4
+        |), snrm AS (
+        |  SELECT s.cell, sqrt(SUM(e.x * e.x)) AS n
+        |  FROM seed_ids s JOIN el e ON e.vec_id = s.cell_vid
+        |  GROUP BY s.cell
+        |), vc AS (
+        |  -- cellRanking's metric: v·s/|s| (probe norm is rank-inert)
+        |  SELECT e.vec_id, s.cell, SUM(e.x * se.x) / any_value(sn.n) AS cosn
+        |  FROM el e
+        |  JOIN seed_ids s ON TRUE
+        |  JOIN el se ON se.vec_id = s.cell_vid AND se.d = e.d
+        |  JOIN snrm sn ON sn.cell = s.cell
+        |  GROUP BY e.vec_id, s.cell
+        |), assign AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY cosn DESC, cell) AS rn
+        |    FROM vc) WHERE rn = 1
+        |), pcells AS (
+        |  SELECT vec_id AS probe_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY cosn DESC, cell) AS rn
+        |    FROM vc WHERE vec_id >= 4 AND vec_id < 7) WHERE rn <= 2
+        |), seeds AS (
+        |  SELECT vec_id AS sid,
+        |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+        |  FROM embeddings ORDER BY vec_id LIMIT 4
+        |), cb AS (
+        |  SELECT CAST(e.d // (SELECT sub FROM dims) AS INT) AS s, sd.code,
+        |         CAST(e.d % (SELECT sub FROM dims) AS INT) AS j, e.x AS c
+        |  FROM el e JOIN seeds sd ON e.vec_id = sd.sid
+        |), vd AS (
+        |  SELECT v.vec_id, b.s, b.code,
+        |    SUM(b.c * b.c) - 2.0 * SUM(v.x * b.c) AS dist
+        |  FROM el v
+        |  JOIN cb b ON b.s = v.d // (SELECT sub FROM dims)
+        |           AND b.j = v.d % (SELECT sub FROM dims)
+        |  GROUP BY 1, 2, 3
+        |), codes AS (
+        |  SELECT vec_id, s, code FROM (
+        |    SELECT vec_id, s, code,
+        |      row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, code)
+        |        AS rn
+        |    FROM vd) WHERE rn = 1
+        |), tab AS (
+        |  SELECT p.vec_id AS pid, b.s, b.code,
+        |    CAST(round(SUM((p.x - b.c) * (p.x - b.c)), 6)
+        |      AS DECIMAL(18,6)) AS d2
+        |  FROM el p
+        |  JOIN cb b ON b.s = p.d // (SELECT sub FROM dims)
+        |           AND b.j = p.d % (SELECT sub FROM dims)
+        |  WHERE p.vec_id >= 4 AND p.vec_id < 7
+        |  GROUP BY 1, 2, 3
+        |), score AS (
+        |  SELECT t.pid, c.vec_id, a.cell, SUM(t.d2) AS adc
+        |  FROM codes c
+        |  JOIN assign a ON a.vec_id = c.vec_id
+        |  JOIN tab t ON t.s = c.s AND t.code = c.code
+        |  JOIN pcells p ON p.probe_id = t.pid AND p.cell = a.cell
+        |  GROUP BY 1, 2, 3
+        |), ranked AS (
+        |  SELECT pid AS probe_id, cell, vec_id, adc,
+        |    row_number() OVER (PARTITION BY pid ORDER BY adc, vec_id)
+        |      AS rank
+        |  FROM score
+        |)
+        |SELECT probe_id, CAST(cell AS INT) AS cell, vec_id,
+        |  CAST(rank AS INT) AS rank,
+        |  round(CAST(adc AS DOUBLE), 6) AS adc_dist
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY probe_id, rank""".stripMargin,
+
     "q199_pq_adc" ->
       """WITH dims AS (
         |  SELECT CAST(len(embedding) // 4 AS INT) AS sub

@@ -552,6 +552,42 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top.forall(_._2 < 10.0), "same-blob ADC distance stays near zero")
   }
 
+  test("ivfPqSearch: nprobe=nlist reproduces flat ADC; nprobe=1 stays in-cell") {
+    val rnd = new scala.util.Random(11)
+    val centers = Seq(
+      Array(10.0, 10, 0, 0, 0, 0, 0, 0),
+      Array(0.0, 0, 10, 10, 0, 0, 0, 0),
+      Array(0.0, 0, 0, 0, 10, 10, 0, 0))
+    val corpus = (for {
+      (c, b) <- centers.zipWithIndex
+      i <- 0 until 8
+    } yield (b * 100L + i,
+      c.map(x => (x + rnd.nextGaussian() * 0.1).toFloat)))
+      .toDF("vec_id", "embedding")
+    val seeds = centers.map(_.toSeq)
+    val cb = Similarity.trainPqCodebooks(
+      corpus, "vec_id", "embedding", m = 2, k = 4, maxIter = 8)
+    val enc = Similarity.pqEncode(corpus, "vec_id", "embedding", cb)
+    val probe = Seq((999L, centers(0).map(_ + 0.01).toSeq))
+    // Full fan-out (nprobe = nlist): candidate set is the whole
+    // corpus, so the composition must reproduce flat ADC exactly.
+    val flat = Similarity.pqAdcTopK(enc, "vec_id", "codes", cb, probe, k = 6)
+      .select("vec_id", "rank", "adc_dist")
+      .as[(Long, Int, Double)].collect().toSet
+    val full = Similarity.ivfPqSearch(corpus, "vec_id", "embedding",
+        seeds, cb, probe, nprobe = 3, k = 6)
+      .select("vec_id", "rank", "adc_dist")
+      .as[(Long, Int, Double)].collect().toSet
+    assert(full === flat, "nprobe=nlist must equal flat ADC")
+    // nprobe=1: the probe sits on centroid 0, so every candidate is
+    // a blob-0 member and routing reports cell 0.
+    val one = Similarity.ivfPqSearch(corpus, "vec_id", "embedding",
+        seeds, cb, probe, nprobe = 1, k = 24)
+      .select("cell", "vec_id").as[(Int, Long)].collect()
+    assert(one.nonEmpty && one.forall { case (cell, id) =>
+      cell === 0 && id < 100L }, s"in-cell only: ${one.toSeq}")
+  }
+
   test("dimTruncationRecall: prefix truncation flips the winner; full dims recall 1") {
     val v = Seq(
       (0L, Array(1.0f, 0.0f)),
