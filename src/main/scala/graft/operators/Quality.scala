@@ -430,6 +430,127 @@ object Quality {
    *
    * Scale: one scan, one agg row — nothing else.
    */
+  /**
+   * Two-sided normal p-value from a z statistic via the
+   * Abramowitz–Stegun 7.1.26 erfc polynomial (|ε| < 1.5·10⁻⁷ —
+   * orders of magnitude inside the 6dp reporting grid):
+   * p = erfc(|z|/√2) = t·(a₁ + t·(a₂ + t·(a₃ + t·(a₄ + t·a₅))))·e^(−x²),
+   * t = 1/(1 + 0.3275911·x). A FIXED IEEE chain over literal
+   * coefficients — abs, one division, a Horner ladder, one exp —
+   * written in the same operation order in the oracle SQL, so both
+   * engines produce the identical double before the final
+   * `round(…, 6)`. (Neither Spark SQL nor DuckDB v1.0 exposes
+   * erf/erfc natively; this is the standard portable evaluation.)
+   */
+  def normalTwoSidedP(z: Column): Column = {
+    val x = abs(z) / sqrt(lit(2.0))
+    val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+    val poly = t * (lit(0.254829592) + t * (lit(-0.284496736) +
+      t * (lit(1.421413741) + t * (lit(-1.453152027) +
+        t * lit(1.061405429)))))
+    poly * exp(-(x * x))
+  }
+
+  /**
+   * Per-segment two-proportion z-test — [[abTest]] grouped by key
+   * columns, plus the [[normalTwoSidedP]] p-value: the input a
+   * multiple-testing correction ([[bhFdr]]) consumes. Segments where
+   * the test is undefined (an empty arm, zero pooled variance) emit
+   * NULL z and NULL p — "untestable", distinct from p = 1.
+   * One partial-aggregated key shuffle for any segment count.
+   */
+  def abTestBy(
+      df: DataFrame, keyCols: Seq[String],
+      aCol: Column, convCol: Column): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    val agg = df
+      .where(aCol.isNotNull && convCol.isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        sum(when(aCol, 1L).otherwise(0L)).as("n_a"),
+        sum(when(!aCol, 1L).otherwise(0L)).as("n_b"),
+        sum(when(aCol && convCol, 1L).otherwise(0L)).as("conv_a"),
+        sum(when(!aCol && convCol, 1L).otherwise(0L)).as("conv_b"))
+    val pa = col("conv_a").cast("double") / col("n_a")
+    val pb = col("conv_b").cast("double") / col("n_b")
+    val pp = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b"))
+    val se = sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    val z = when(col("n_a") > 0 && col("n_b") > 0 && se > 0,
+      round((pa - pb) / se, 6))
+    agg.select(
+      keyCols.map(col) ++ Seq(
+        col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+        z.as("z"),
+        // p evaluates on the 6dp-ROUNDED z (both engines hold that
+        // exact decimal), so the erfc chain starts from identical
+        // doubles.
+        round(normalTwoSidedP(z), 6).as("p_value")): _*)
+  }
+
+  /**
+   * Benjamini–Hochberg FDR correction over a battery of p-values —
+   * the step between "37 segments each at p < 0.05" and a claim:
+   * controlling per-test α across m tests yields ~α·m false alarms,
+   * so batteries report BH q-values (adjusted p: the smallest FDR at
+   * which this test would still reject) and the step-up reject set.
+   *
+   * Exactness contract: p-values arrive 6dp-quantized (the
+   * [[abTestBy]] output grid); everything after is INTEGER
+   * arithmetic in micro-units — candidate q·10¹² = (p·10⁶ · m ·
+   * 10⁶) div rank (long floor division, DuckDB `//` on BIGINTs), the
+   * monotone envelope a reverse running min, the step-up boundary an
+   * integer cross-multiply (p·10⁶·m·10³ ≤ rank·α‰·10⁶) — so ranks,
+   * q-values, and verdicts are engine-exact with no float compare
+   * anywhere. Overflow bound: p·10⁶ ≤ 10⁶ ⇒ the div numerator tops
+   * out at m·10¹², safe for batteries to m ≈ 9·10⁵ (ANSI throws
+   * beyond — fail fast, never corrupt).
+   *
+   * Scale contract: the frame is a TEST BATTERY (one row per
+   * hypothesis), bounded by construction — segments × metrics, never
+   * corpus rows — so the global rank windows are the q196
+   * bounded-frame shape, not a corpus sort. NULL p rows (untestable
+   * segments) are excluded from m and the ranking, matching R's
+   * `p.adjust` NA handling.
+   *
+   * Output: (key, p_value, rank, q_value, rejected), rank ascending.
+   */
+  def bhFdr(
+      df: DataFrame, keyCol: String, pCol: String,
+      alphaPerMille: Int): DataFrame = {
+    require(alphaPerMille >= 1 && alphaPerMille < 1000,
+      s"alphaPerMille must be in [1, 1000), got $alphaPerMille")
+    import org.apache.spark.sql.expressions.Window
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val base = df
+      .where(col(pCol).isNotNull)
+      .select(col(keyCol).as("key"),
+        col(pCol).cast(dec6).as("__p"))
+      .withColumn("__pu", (col("__p") * 1000000).cast("long"))
+    val wRank = Window.orderBy(col("__pu"), col("key"))
+    val wAll = Window.partitionBy(lit(1))
+    val wRev = Window.orderBy(col("__rk").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("__rk", row_number().over(wRank).cast("long"))
+      .withColumn("__m", count(lit(1)).over(wAll))
+      .withColumn("__vu", expr("(__pu * __m * 1000000) div __rk"))
+      .withColumn("__qu",
+        least(min(col("__vu")).over(wRev), lit(1000000000000L)))
+      .withColumn("__rejrk",
+        max(when(col("__pu") * col("__m") * lit(1000L) <=
+          col("__rk") * lit(alphaPerMille.toLong) * lit(1000000L),
+          col("__rk"))).over(wAll))
+      .select(
+        col("key"),
+        col("__p").cast("double").as("p_value"),
+        col("__rk").cast("int").as("rank"),
+        round(col("__qu").cast("double") / lit(1.0e12), 6).as("q_value"),
+        (col("__rk") <= coalesce(col("__rejrk"), lit(0L)))
+          .as("rejected"))
+  }
+
   def abTest(df: DataFrame, aCol: Column, convCol: Column): DataFrame = {
     val agg = df
       .where(aCol.isNotNull && convCol.isNotNull)

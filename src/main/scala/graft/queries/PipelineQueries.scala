@@ -1768,6 +1768,28 @@ object PipelineQueries {
         .orderBy("probe_id", "rank")
     }),
 
+    // E24 (round 9): BH-FDR over a 35-segment A/B battery — per
+    // (event_type, day-bucket) two-proportion z-tests, A&S-erfc
+    // p-values on the 6dp grid, then Benjamini–Hochberg q-values and
+    // the step-up reject set in pure integer micro-unit arithmetic.
+    // The step between "some segment hit p<0.05" and a claim.
+    "q229_fdr_battery" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val seg = graft.operators.Quality.abTestBy(
+        ev.where(col("user_id").isNotNull && col("value").isNotNull)
+          .select(col("event_type"),
+            (dayofmonth(col("ts")) % 7).as("day_bucket"),
+            (col("user_id") % 2 === 0).as("a"),
+            (col("value") >= 0.5).as("conv")),
+        Seq("event_type", "day_bucket"), col("a"), col("conv"))
+      val keyed = seg.select(
+        concat_ws("#", col("event_type"), col("day_bucket")).as("key"),
+        col("p_value"))
+      graft.operators.Quality.bhFdr(keyed, "key", "p_value",
+          alphaPerMille = 100)
+        .orderBy("rank")
+    }),
+
     // E16 (round 9): exact distributed AUC of the q23 quality score
     // against an English label — does the score DISCRIMINATE? The
     // Mann–Whitney rank-sum runs on the score-level grouped frame
@@ -4212,6 +4234,71 @@ object PipelineQueries {
     // ADC top-k replay over the same seed codebooks: per-probe
     // subspace distance table + m lookups per vector, rank by
     // (adc, vec_id).
+    "q229_fdr_battery" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(EXTRACT(day FROM ts) AS INT) % 7 AS day_bucket,
+        |    (user_id % 2 = 0) AS a, (value >= 0.5) AS conv
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |), g AS (
+        |  SELECT event_type, day_bucket,
+        |    CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN a AND conv THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS conv_a,
+        |    CAST(SUM(CASE WHEN (NOT a) AND conv THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS conv_b
+        |  FROM e GROUP BY 1, 2
+        |), zt AS (
+        |  SELECT event_type || '#' || CAST(day_bucket AS VARCHAR) AS key,
+        |    CASE WHEN n_a > 0 AND n_b > 0 AND
+        |      sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+        |        * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+        |        * (1.0 / n_a + 1.0 / n_b)) > 0
+        |    THEN round(
+        |      (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+        |      / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+        |        * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+        |        * (1.0 / n_a + 1.0 / n_b)), 6) END AS z
+        |  FROM g
+        |), pt AS (
+        |  SELECT key, z, abs(z) / sqrt(2.0) AS x,
+        |    1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS t
+        |  FROM zt
+        |), pv AS (
+        |  SELECT key,
+        |    round(t * (0.254829592 + t * (-0.284496736 +
+        |      t * (1.421413741 + t * (-1.453152027 +
+        |        t * 1.061405429)))) * exp(-(x * x)), 6) AS p
+        |  FROM pt WHERE z IS NOT NULL
+        |), pu AS (
+        |  SELECT key, CAST(p AS DOUBLE) AS p_value,
+        |    CAST(CAST(p AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS pu
+        |  FROM pv
+        |), rk AS (
+        |  SELECT key, p_value, pu,
+        |    CAST(row_number() OVER (ORDER BY pu, key) AS BIGINT) AS rk,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS m
+        |  FROM pu
+        |), vu AS (
+        |  SELECT key, p_value, pu, rk, m,
+        |    (pu * m * 1000000) // rk AS vu
+        |  FROM rk
+        |), qu AS (
+        |  SELECT key, p_value, pu, rk, m,
+        |    least(MIN(vu) OVER (ORDER BY rk DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |      1000000000000) AS qu,
+        |    MAX(CASE WHEN pu * m * 1000 <= rk * 100 * 1000000
+        |        THEN rk END) OVER () AS rejrk
+        |  FROM vu
+        |)
+        |SELECT key, p_value, CAST(rk AS INT) AS rank,
+        |  round(CAST(qu AS DOUBLE) / 1000000000000.0, 6) AS q_value,
+        |  rk <= coalesce(rejrk, 0) AS rejected
+        |FROM qu ORDER BY rank""".stripMargin,
+
     "q228_ivfpq_search" ->
       """WITH dims AS (
         |  SELECT CAST(len(embedding) // 4 AS INT) AS sub

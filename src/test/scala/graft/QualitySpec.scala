@@ -439,6 +439,60 @@ class QualitySpec extends AnyFunSuite {
       (9, 2L, 2L, 0.975, 1.0, 0.025)))
   }
 
+  test("bhFdr: textbook step-up goldens, clamp at 1, NULL-p exclusion") {
+    val df = Seq(
+      ("t1", Some(0.001)), ("t2", Some(0.008)), ("t3", Some(0.039)),
+      ("t4", Some(0.041)), ("t5", Some(0.9)), ("skip", None)
+    ).toDF("key", "p")
+    val out = Quality.bhFdr(df, "key", "p", alphaPerMille = 50)
+      .as[(String, Double, Int, Double, Boolean)].collect()
+      .map(r => (r._1, r)).toMap
+    assert(out.size === 5, "NULL p rows leave the battery (m = 5)")
+    // BH thresholds i/m·α = .01/.02/.03/.04/.05: ranks 1-2 reject.
+    assert(out("t1") === (("t1", 0.001, 1, 0.005, true)))
+    assert(out("t2") === (("t2", 0.008, 2, 0.02, true)))
+    // q3 takes rank 4's smaller envelope value (reverse running min).
+    assert(out("t3") === (("t3", 0.039, 3, 0.05125, false)))
+    assert(out("t4") === (("t4", 0.041, 4, 0.05125, false)))
+    assert(out("t5") === (("t5", 0.9, 5, 0.9, false)))
+    // Monotone envelope keeps every q at or below the largest p (the
+    // min-with-1 clamp is unreachable for valid p: q_i <= v_m = p_m).
+    assert(out.values.forall(r => r._4 <= 0.9))
+    val one = Quality.bhFdr(Seq(("x", 0.9)).toDF("key", "p"),
+      "key", "p", alphaPerMille = 50).as[(String, Double, Int, Double,
+      Boolean)].collect().head
+    assert(one._4 === 0.9 && !one._5, "m = 1: q equals p itself")
+  }
+
+  test("normalTwoSidedP: z=0 gives 1, |z|=1.96 gives ~0.05, symmetric") {
+    val df = Seq(0.0, 1.96, -1.96, 3.5).toDF("z")
+    val p = df.select(round(Quality.normalTwoSidedP(col("z")), 6).as("p"))
+      .as[Double].collect()
+    assert(p(0) === 1.0)
+    assert(math.abs(p(1) - 0.05) < 1e-3)
+    assert(p(1) === p(2), "two-sided p depends on |z| only")
+    assert(p(3) < 0.001)
+  }
+
+  test("abTestBy: per-segment z/p; an empty arm is NULL, not zero") {
+    val df = Seq(
+      // segment s1: strong effect (a converts, b never)
+      ("s1", true, true), ("s1", true, true), ("s1", true, true),
+      ("s1", true, false),
+      ("s1", false, false), ("s1", false, false), ("s1", false, false),
+      ("s1", false, false),
+      // segment s2: only arm a present -> untestable
+      ("s2", true, true), ("s2", true, false)
+    ).toDF("seg", "a", "conv")
+    val out = Quality.abTestBy(df, Seq("seg"), col("a"), col("conv"))
+      .select("seg", "z", "p_value")
+      .as[(String, Option[Double], Option[Double])].collect()
+      .map(r => (r._1, (r._2, r._3))).toMap
+    assert(out("s1")._1.exists(_ > 0), "a outconverts b -> positive z")
+    assert(out("s1")._2.exists(p => p > 0 && p < 0.05))
+    assert(out("s2") === ((None, None)))
+  }
+
   test("functionalDependencies: violations, NULL-rhs immunity, NULL-lhs group") {
     val df = Seq(
       (Some(1), Some("x")),                     // clean key
