@@ -1487,6 +1487,78 @@ object Similarity {
   }
 
   /**
+   * Binary sign quantization: each vector compresses to d SIGN BITS
+   * packed into ⌈d/32⌉ longs (32 bits per word — both engines' shift
+   * arithmetic stays in positive-BIGINT territory, no sign-bit
+   * traps). The most aggressive embedding compression that still
+   * retrieves (Hamming distance on sign bits ≈ 1−cos angle for
+   * mean-centered vectors): a 64-dim float vector becomes 8 bytes —
+   * 32× — and candidate scoring becomes XOR+popcount, the cheapest
+   * per-candidate op of the whole V-family (cheaper than PQ's m
+   * lookups). The standard first-pass filter in front of an exact or
+   * ADC reranker.
+   *
+   * Bit rule: component ≥ 0 sets the bit (−0.0 ≥ 0 is TRUE on both
+   * engines). Pure scan projection, zero shuffle; EXACT integer
+   * output — quantization, distances, and ranks replay bit-for-bit
+   * in any engine with shifts and popcount, no float anywhere.
+   */
+  def signQuantize(
+      df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      expr(s"""transform(
+        sequence(0, (size($vecCol) + 31) div 32 - 1), w ->
+          aggregate(sequence(0, 31), 0L, (acc, i) ->
+            acc + CASE WHEN w * 32 + i < size($vecCol)
+                        AND element_at($vecCol,
+                          CAST(w * 32 + i + 1 AS INT)) >= 0
+                  THEN shiftleft(1L, CAST(i AS INT)) ELSE 0L END))""")
+        .as("words"))
+
+  /** Driver-side twin of [[signQuantize]]'s bit rule, for probe
+    * vectors. */
+  def signWords(v: Seq[Double]): Seq[Long] =
+    v.grouped(32).map { grp =>
+      grp.zipWithIndex.foldLeft(0L) { case (acc, (x, i)) =>
+        if (x >= 0) acc + (1L << i) else acc
+      }
+    }.toSeq
+
+  /**
+   * Hamming top-k over sign-quantized codes: per (probe, candidate)
+   * the distance is Σ_w popcount(words_w XOR probeWords_w) — pure
+   * integer, so scores, ties, and ranks are engine-exact with NO
+   * determinism scaffolding at all (the only V-family scorer with
+   * that property). Probes broadcast; ranking rides the family's
+   * bounded (distance asc, id asc) window shape. Corpus-member
+   * probes surface themselves at rank 1 / distance 0 — the encode
+   * sanity check; filter downstream if unwanted.
+   *
+   * Output: (probe_id, vec_id, rank, hamming).
+   */
+  def hammingTopK(
+      encoded: DataFrame, idCol: String, wordsCol: String,
+      probes: Seq[(Long, Seq[Long])], k: Int): DataFrame = {
+    require(probes.nonEmpty, "need at least one probe")
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val probeDf = probes.toDF("probe_id", "__pw")
+    val ham = expr(s"""aggregate(
+      zip_with($wordsCol, __pw, (a, b) -> CAST(bit_count(a ^ b) AS BIGINT)),
+      0L, (acc, x) -> acc + x)""")
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("__ham").asc, col(idCol).asc)
+    encoded
+      .crossJoin(broadcast(probeDf))
+      .withColumn("__ham", ham)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("probe_id"), col(idCol).as("vec_id"), col("rank"),
+        col("__ham").as("hamming"))
+  }
+
+  /**
    * IVF + PQ composed search — the PRODUCTION ANN shape (the
    * FAISS `IVFx,PQy` index family): corpus rows live in coarse
    * Voronoi cells (IVF) and store only m-byte PQ codes; a probe

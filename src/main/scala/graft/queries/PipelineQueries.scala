@@ -1768,6 +1768,21 @@ object PipelineQueries {
         .orderBy("probe_id", "rank")
     }),
 
+    // V22 (round 9): binary sign quantization + Hamming search — the
+    // 32x-compression first-pass filter (XOR+popcount per candidate,
+    // the cheapest scorer in the V family). Pure integer end to end:
+    // the ONLY ANN scorer needing zero determinism scaffolding.
+    "q230_hamming_search" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val enc = Similarity.signQuantize(e, "vec_id", "embedding")
+      val probes = e.where(col("vec_id") >= 4 && col("vec_id") < 7)
+        .orderBy("vec_id").select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), Similarity.signWords(
+          r.getSeq[Float](1).map(_.toDouble).toSeq))).toSeq
+      Similarity.hammingTopK(enc, "vec_id", "words", probes, k = 5)
+        .orderBy("probe_id", "rank")
+    }),
+
     // E24 (round 9): BH-FDR over a 35-segment A/B battery — per
     // (event_type, day-bucket) two-proportion z-tests, A&S-erfc
     // p-values on the 6dp grid, then Benjamini–Hochberg q-values and
@@ -4234,6 +4249,34 @@ object PipelineQueries {
     // ADC top-k replay over the same seed codebooks: per-probe
     // subspace distance table + m lookups per vector, rank by
     // (adc, vec_id).
+    "q230_hamming_search" ->
+      """WITH el AS (
+        |  SELECT vec_id, CAST(generate_subscripts(embedding,1)-1 AS INT) AS d,
+        |         CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings
+        |), wq AS (
+        |  SELECT vec_id, CAST(d // 32 AS INT) AS w,
+        |    CAST(SUM(CASE WHEN x >= 0 THEN (CAST(1 AS BIGINT) << (d % 32))
+        |             ELSE 0 END) AS BIGINT) AS word
+        |  FROM el GROUP BY 1, 2
+        |), pr AS (
+        |  SELECT vec_id AS probe_id, w, word FROM wq
+        |  WHERE vec_id >= 4 AND vec_id < 7
+        |), ham AS (
+        |  SELECT p.probe_id, c.vec_id,
+        |    CAST(SUM(bit_count(xor(c.word, p.word))) AS BIGINT) AS hamming
+        |  FROM wq c JOIN pr p ON p.w = c.w
+        |  GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT probe_id, vec_id, hamming,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY hamming, vec_id) AS rank
+        |  FROM ham
+        |)
+        |SELECT probe_id, vec_id, CAST(rank AS INT) AS rank, hamming
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY probe_id, rank""".stripMargin,
+
     "q229_fdr_battery" ->
       """WITH e AS (
         |  SELECT event_type,

@@ -552,6 +552,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top.forall(_._2 < 10.0), "same-blob ADC distance stays near zero")
   }
 
+  test("signQuantize/hammingTopK: bit goldens, driver-twin parity, ragged width") {
+    // 40 dims (not a multiple of 32): word 0 full, word 1 holds 8 bits.
+    val a = Array.fill(40)(1.0f)                  // all bits set
+    val b = a.map(-_)                             // no bits set
+    val c = a.clone(); c(0) = -1.0f; c(39) = -1.0f // flips bit 0 + bit 39
+    val df = Seq((0L, a), (1L, b), (2L, c)).toDF("vec_id", "embedding")
+    val enc = Similarity.signQuantize(df, "vec_id", "embedding")
+    val words = enc.as[(Long, Seq[Long])].collect().toMap
+    assert(words(0L) === Seq(0xFFFFFFFFL, 0xFFL))
+    assert(words(1L) === Seq(0L, 0L))
+    assert(words(2L) === Seq(0xFFFFFFFEL, 0x7FL))
+    // Driver twin must produce the identical packing.
+    assert(Similarity.signWords(a.map(_.toDouble).toSeq) === words(0L))
+    assert(Similarity.signWords(c.map(_.toDouble).toSeq) === words(2L))
+    val top = Similarity.hammingTopK(enc, "vec_id", "words",
+        probes = Seq((0L, words(0L))), k = 3)
+      .select("vec_id", "rank", "hamming")
+      .as[(Long, Int, Long)].collect().sortBy(_._2)
+    // self at distance 0, the 2-bit flip next, the complement at 40.
+    assert(top.toSeq === Seq((0L, 1, 0L), (2L, 2, 2L), (1L, 3, 40L)))
+  }
+
   test("ivfPqSearch: nprobe=nlist reproduces flat ADC; nprobe=1 stays in-cell") {
     val rnd = new scala.util.Random(11)
     val centers = Seq(
