@@ -551,6 +551,85 @@ object Quality {
           .as("rejected"))
   }
 
+  /**
+   * CUPED variance-reduced experiment readout (Deng et al., WSDM
+   * 2013 — "Improving the sensitivity of online controlled
+   * experiments by utilizing pre-experiment data"): the adjusted
+   * metric Y − θ·(X − E[X]) with θ = cov(X,Y)/var(X) removes the
+   * share of outcome variance predicted by each unit's PRE-period
+   * covariate, shrinking the detectable effect size by
+   * √(1−ρ²) — the single most used variance-reduction trick in
+   * industrial A/B platforms (a ρ of 0.7 halves the required
+   * sample).
+   *
+   * Input contract: one row per experimental unit with the arm flag
+   * and X/Y already on the INTEGER MICRO-UNIT grid (floor(value·10⁶)
+   * sums — the floor-grid primitive, zero rounding-rule hazard).
+   * θ is computed POOLED across arms (the standard practice: the
+   * covariate is pre-experiment, so pooling cannot leak treatment
+   * signal into the adjustment).
+   *
+   * Exactness: all co-moments accumulate in exact DECIMAL(38,·)
+   * from the integer inputs (products as decimal×decimal, never
+   * long×long — a unit at ~2·10⁹ µ-units squares past 2⁶³); the
+   * finish is ONE fixed IEEE chain (q118/q119 contract) mirrored
+   * op-for-op in the oracle. θ and the µ² scale cancel, so only the
+   * mean differences divide by 10⁶. Degenerate regimes (an empty
+   * arm, constant X or Y) emit NULL readouts, never NaN.
+   *
+   * Scale: ONE partial-aggregated pass over the unit frame — the
+   * unit collapse upstream already paid the only key exchange.
+   *
+   * Output (one row): n_units, n_a, n_b, theta, diff_raw,
+   * diff_cuped, var_reduction (= ρ², the fraction of Y-variance the
+   * covariate removes).
+   */
+  def cupedReadout(
+      units: DataFrame, armCol: Column,
+      xMicroCol: Column, yMicroCol: Column): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val d18 = org.apache.spark.sql.types.DecimalType(18, 0)
+    val x = xMicroCol.cast(d18)
+    val y = yMicroCol.cast(d18)
+    val agg = units
+      .where(armCol.isNotNull && xMicroCol.isNotNull &&
+        yMicroCol.isNotNull)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).cast(d38).as("sx"),
+        sum(y).cast(d38).as("sy"),
+        sum(x * y).cast(d38).as("sxy"),
+        sum(x * x).cast(d38).as("sxx"),
+        sum(y * y).cast(d38).as("syy"),
+        sum(when(armCol, 1L).otherwise(0L)).as("na"),
+        sum(when(!armCol, 1L).otherwise(0L)).as("nb"),
+        sum(when(armCol, x).otherwise(lit(0).cast(d18))).cast(d38)
+          .as("sxa"),
+        sum(when(!armCol, x).otherwise(lit(0).cast(d18))).cast(d38)
+          .as("sxb"),
+        sum(when(armCol, y).otherwise(lit(0).cast(d18))).cast(d38)
+          .as("sya"),
+        sum(when(!armCol, y).otherwise(lit(0).cast(d18))).cast(d38)
+          .as("syb"))
+    def d(c: String) = col(c).cast("double")
+    val covn = d("n") * d("sxy") - d("sx") * d("sy")
+    val varxn = d("n") * d("sxx") - d("sx") * d("sx")
+    val varyn = d("n") * d("syy") - d("sy") * d("sy")
+    val theta = covn / varxn
+    val diffRaw = (d("sya") / d("na") - d("syb") / d("nb")) /
+      lit(1000000.0)
+    val dx = (d("sxa") / d("na") - d("sxb") / d("nb")) / lit(1000000.0)
+    val testable = col("na") > 0 && col("nb") > 0 && col("n") > 1
+    agg.select(
+      col("n").as("n_units"), col("na").as("n_a"), col("nb").as("n_b"),
+      when(testable && varxn > 0.0, round(theta, 6)).as("theta"),
+      when(testable, round(diffRaw, 6)).as("diff_raw"),
+      when(testable && varxn > 0.0,
+        round(diffRaw - theta * dx, 6)).as("diff_cuped"),
+      when(testable && varxn > 0.0 && varyn > 0.0,
+        round((covn * covn) / (varxn * varyn), 6)).as("var_reduction"))
+  }
+
   def abTest(df: DataFrame, aCol: Column, convCol: Column): DataFrame = {
     val agg = df
       .where(aCol.isNotNull && convCol.isNotNull)

@@ -1768,6 +1768,28 @@ object PipelineQueries {
         .orderBy("probe_id", "rank")
     }),
 
+    // E25 (round 9): CUPED variance-reduced readout — per-user
+    // pre-period value mass (days 1-15, floor-grid micro-units)
+    // predicts the experiment-period mass (days 16+); theta strips
+    // the predicted share, var_reduction reports the sensitivity
+    // gain. One user collapse + one co-moment pass.
+    "q231_cuped" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val units = ev
+        .where(col("user_id").isNotNull && col("value").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(dayofmonth(col("ts")) <= 15,
+            floor(col("value") * 1000000).cast("long"))
+            .otherwise(0L)).as("x"),
+          sum(when(dayofmonth(col("ts")) > 15,
+            floor(col("value") * 1000000).cast("long"))
+            .otherwise(0L)).as("y"))
+        .withColumn("arm", col("user_id") % 2 === 0)
+      graft.operators.Quality.cupedReadout(units, col("arm"),
+        col("x"), col("y"))
+    }),
+
     // V22 (round 9): binary sign quantization + Hamming search — the
     // 32x-compression first-pass filter (XOR+popcount per candidate,
     // the cheapest scorer in the V family). Pure integer end to end:
@@ -4249,6 +4271,70 @@ object PipelineQueries {
     // ADC top-k replay over the same seed codebooks: per-probe
     // subspace distance table + m lookups per vector, rank by
     // (adc, vec_id).
+    "q231_cuped" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CASE WHEN EXTRACT(day FROM ts) <= 15
+        |      THEN CAST(floor(value * 1000000) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(SUM(CASE WHEN EXTRACT(day FROM ts) > 15
+        |      THEN CAST(floor(value * 1000000) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS y,
+        |    (user_id % 2 = 0) AS arm
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY user_id
+        |), m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sx,
+        |    CAST(SUM(CAST(y AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sy,
+        |    CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+        |      AS DECIMAL(38,0)) AS sxy,
+        |    CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+        |      AS DECIMAL(38,0)) AS sxx,
+        |    CAST(SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+        |      AS DECIMAL(38,0)) AS syy,
+        |    CAST(SUM(CASE WHEN arm THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(SUM(CASE WHEN arm THEN 0 ELSE 1 END) AS BIGINT) AS nb,
+        |    CAST(SUM(CASE WHEN arm THEN CAST(x AS DECIMAL(19,0))
+        |      ELSE CAST(0 AS DECIMAL(19,0)) END) AS DECIMAL(38,0)) AS sxa,
+        |    CAST(SUM(CASE WHEN arm THEN CAST(0 AS DECIMAL(19,0))
+        |      ELSE CAST(x AS DECIMAL(19,0)) END) AS DECIMAL(38,0)) AS sxb,
+        |    CAST(SUM(CASE WHEN arm THEN CAST(y AS DECIMAL(19,0))
+        |      ELSE CAST(0 AS DECIMAL(19,0)) END) AS DECIMAL(38,0)) AS sya,
+        |    CAST(SUM(CASE WHEN arm THEN CAST(0 AS DECIMAL(19,0))
+        |      ELSE CAST(y AS DECIMAL(19,0)) END) AS DECIMAL(38,0)) AS syb
+        |  FROM u
+        |), f AS (
+        |  SELECT n, na, nb,
+        |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS covn,
+        |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varxn,
+        |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS varyn,
+        |    (CAST(sya AS DOUBLE) / CAST(na AS DOUBLE)
+        |      - CAST(syb AS DOUBLE) / CAST(nb AS DOUBLE)) / 1000000.0
+        |      AS diff_raw,
+        |    (CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE)
+        |      - CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE)) / 1000000.0
+        |      AS dx
+        |  FROM m
+        |)
+        |SELECT n AS n_units, na AS n_a, nb AS n_b,
+        |  CASE WHEN na > 0 AND nb > 0 AND n > 1 AND varxn > 0
+        |    THEN round(covn / varxn, 6) + 0.0 END AS theta,
+        |  CASE WHEN na > 0 AND nb > 0 AND n > 1
+        |    THEN round(diff_raw, 6) + 0.0 END AS diff_raw,
+        |  CASE WHEN na > 0 AND nb > 0 AND n > 1 AND varxn > 0
+        |    THEN round(diff_raw - (covn / varxn) * dx, 6) + 0.0 END
+        |    AS diff_cuped,
+        |  CASE WHEN na > 0 AND nb > 0 AND n > 1 AND varxn > 0
+        |      AND varyn > 0
+        |    THEN round((covn * covn) / (varxn * varyn), 6) END
+        |    AS var_reduction
+        |FROM f""".stripMargin,
+
     "q230_hamming_search" ->
       """WITH el AS (
         |  SELECT vec_id, CAST(generate_subscripts(embedding,1)-1 AS INT) AS d,

@@ -439,6 +439,32 @@ class QualitySpec extends AnyFunSuite {
       (9, 2L, 2L, 0.975, 1.0, 0.025)))
   }
 
+  test("cupedReadout: recovers a planted effect the raw diff misstates") {
+    // y = 2x + 5·[arm], arm = even unit id. Raw diff is polluted by
+    // the arms' covariate imbalance (even-x mean 49 vs odd 50 →
+    // raw = 2·(−1) + 5 = 3); CUPED strips it and recovers ~5.
+    val units = (0 until 100).map { i =>
+      val x = i.toLong * 1000000L
+      val arm = i % 2 == 0
+      (i.toLong, arm, x, 2 * x + (if (arm) 5000000L else 0L))
+    }.toDF("id", "arm", "x", "y")
+    val r = Quality.cupedReadout(units, col("arm"), col("x"), col("y"))
+      .as[(Long, Long, Long, Double, Double, Double, Double)]
+      .collect().head
+    assert(r._1 === 100L && r._2 === 50L && r._3 === 50L)
+    assert(math.abs(r._4 - 2.0) < 0.01, s"theta ~2, got ${r._4}")
+    assert(math.abs(r._5 - 3.0) < 1e-6, s"raw diff 3, got ${r._5}")
+    assert(math.abs(r._6 - 5.0) < 0.01, s"CUPED diff ~5, got ${r._6}")
+    assert(r._7 > 0.99, s"x explains almost all y variance: ${r._7}")
+    // Constant covariate: theta/cuped NULL (untestable), raw remains.
+    val const = (0 until 10).map(i =>
+      (i.toLong, i % 2 == 0, 7L, i.toLong)).toDF("id", "arm", "x", "y")
+    val c = Quality.cupedReadout(const, col("arm"), col("x"), col("y"))
+      .select("theta", "diff_raw", "diff_cuped")
+      .as[(Option[Double], Option[Double], Option[Double])].collect().head
+    assert(c._1.isEmpty && c._2.nonEmpty && c._3.isEmpty)
+  }
+
   test("bhFdr: textbook step-up goldens, clamp at 1, NULL-p exclusion") {
     val df = Seq(
       ("t1", Some(0.001)), ("t2", Some(0.008)), ("t3", Some(0.039)),
