@@ -974,4 +974,87 @@ object Dedup {
         col("is_canonical"))
       .orderBy(idCol)
   }
+
+  /**
+   * Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+   * SIGMOD 2003 — the MOSS algorithm): from each document's sequence
+   * of k-token shingle hashes, keep only the MINIMUM hash of every
+   * w-long window (rightmost winner on ties), deduplicated by
+   * (hash, position). The published guarantee: any copied span of at
+   * least w+k−1 tokens shares at least one selected fingerprint —
+   * positional copy detection like D11's every-n-gram pipeline, but
+   * the posting volume drops to ~2/(w+1) of the shingle stream,
+   * which at 100 TB is the difference between a fingerprint index
+   * that fits and one that doesn't. Complements D2 (minhash finds
+   * whole-document similarity, no positions) and D11 (exact span
+   * REMOVAL needs every n-gram — this SELECTS evidence).
+   *
+   * Shape: one scan explodes (pos, 60-bit md5 shingle hash); the
+   * per-window argmin is ONE bounded window per doc
+   * (`min(struct(hash, −pos))` over `rows [0, w−1] following` —
+   * lexicographic min = (hash asc, pos desc), the rightmost-tie
+   * rule); windows never cross documents and hold ≤ w rows. All
+   * integer/string work — engine-exact.
+   *
+   * Output: (id, pos, fp_hash), one row per selected fingerprint.
+   */
+  def winnowFingerprints(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int): DataFrame = {
+    require(k >= 1, s"shingle size k must be >= 1, got $k")
+    require(w >= 1, s"window w must be >= 1, got $w")
+    val grams = docs
+      .where(col(textCol).isNotNull)
+      .select(col(idCol), split(col(textCol), " ").as("__t"))
+      .where(size(col("__t")) >= k)
+      .select(col(idCol), explode(expr(
+        s"""transform(sequence(0, size(__t) - $k), i ->
+              struct(i AS pos,
+                concat_ws(' ', slice(__t, i + 1, $k)) AS ng))"""))
+        .as("__g"))
+      .select(col(idCol), col("__g.pos").as("pos"),
+        conv(substring(md5(col("__g.ng")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+    val wWin = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(0, w - 1)
+    val wDoc = Window.partitionBy(col(idCol))
+    grams
+      .withColumn("__m", count(lit(1)).over(wDoc))
+      .withColumn("__win",
+        min(struct(col("h").as("h"), (-col("pos")).as("np"))).over(wWin))
+      // a start position only anchors a FULL window
+      .where(col("pos") <= col("__m") - w)
+      .select(col(idCol), (-col("__win.np")).as("pos"),
+        col("__win.h").as("fp_hash"))
+      .distinct()
+  }
+
+  /**
+   * Shared-winnowing-fingerprint pairs: documents co-selecting at
+   * least `minShared` distinct fingerprint hashes — the copy-
+   * detection report over [[winnowFingerprints]]. Postings bucket by
+   * fingerprint hash; `capPerHash` bounds a hot fingerprint's
+   * posting list at the N lowest ids (the standing band-bucket rule
+   * — the cap must be INACTIVE at oracle-gate scales so results stay
+   * byte-identical, and a fingerprint shared by half the corpus is
+   * boilerplate, not a copy signal).
+   */
+  def winnowPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int, w: Int, minShared: Long,
+      capPerHash: Int = 256): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val fp = winnowFingerprints(docs, idCol, textCol, k, w)
+      .select(col(idCol).as("doc"), col("fp_hash")).distinct()
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("fp_hash")).orderBy(col("doc"))))
+      .where(col("__rn") <= capPerHash)
+      .localCheckpoint()
+    fp.select(col("doc").as("doc_a"), col("fp_hash"))
+      .join(fp.select(col("doc").as("doc_b"), col("fp_hash")), Seq("fp_hash"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(countDistinct(col("fp_hash")).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
 }

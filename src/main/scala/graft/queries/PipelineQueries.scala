@@ -1768,6 +1768,17 @@ object PipelineQueries {
         .orderBy("probe_id", "rank")
     }),
 
+    // D18 (round 9): winnowing (MOSS) fingerprint pairs — per-window
+    // min-hash selection (k=3 shingles, w=4 windows, rightmost tie)
+    // cuts posting volume to ~2/(w+1) of the shingle stream while
+    // guaranteeing any copied span of >= w+k-1 tokens shares a
+    // fingerprint; docs co-selecting >= 2 distinct fingerprints pair.
+    "q232_winnow_pairs" -> ((s, dir) => {
+      Dedup.winnowPairs(t(s, dir, "documents"), "doc_id", "text",
+          k = 3, w = 4, minShared = 2L)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // E25 (round 9): CUPED variance-reduced readout — per-user
     // pre-period value mass (days 1-15, floor-grid micro-units)
     // predicts the experiment-period mass (days 16+); theta strips
@@ -4271,6 +4282,39 @@ object PipelineQueries {
     // ADC top-k replay over the same seed codebooks: per-probe
     // subspace distance table + m lookups per vector, rank by
     // (adc, vec_id).
+    "q232_winnow_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |  WHERE text IS NOT NULL
+        |), gr AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    CAST(('0x' || substr(md5(array_to_string(t[i:i+2], ' ')),
+        |      1, 15)) AS BIGINT) AS h
+        |  FROM (SELECT doc_id, t,
+        |          unnest(generate_series(1, len(t) - 2)) AS i
+        |        FROM toks WHERE len(t) >= 3)
+        |), m AS (
+        |  SELECT doc_id, COUNT(*) AS m FROM gr GROUP BY 1
+        |), winner AS (
+        |  SELECT doc_id, pos, h FROM (
+        |    SELECT g1.doc_id, g2.pos, g2.h,
+        |      row_number() OVER (PARTITION BY g1.doc_id, g1.pos
+        |                         ORDER BY g2.h, g2.pos DESC) AS rn
+        |    FROM gr g1
+        |    JOIN gr g2 ON g2.doc_id = g1.doc_id
+        |             AND g2.pos BETWEEN g1.pos AND g1.pos + 3
+        |    JOIN m ON m.doc_id = g1.doc_id
+        |    WHERE g1.pos <= m.m - 4
+        |  ) WHERE rn = 1
+        |), fpd AS (
+        |  SELECT DISTINCT doc_id AS doc, h FROM winner
+        |)
+        |SELECT a.doc AS doc_a, b.doc AS doc_b,
+        |  CAST(COUNT(DISTINCT a.h) AS BIGINT) AS n_shared
+        |FROM fpd a JOIN fpd b ON a.h = b.h AND a.doc < b.doc
+        |GROUP BY 1, 2 HAVING COUNT(DISTINCT a.h) >= 2
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
     "q231_cuped" ->
       """WITH u AS (
         |  SELECT user_id,

@@ -450,4 +450,33 @@ class DedupSpec extends AnyFunSuite {
     val kept = out.filter(_._4).map(_._2)
     assert(kept.distinct.size === kept.size && kept.size === 3)
   }
+
+  test("winnowFingerprints: detection guarantee, rightmost ties, density bound") {
+    // The Schleimer guarantee at k=3, w=4: a copied span of
+    // w+k-1 = 6 tokens MUST co-select at least one fingerprint.
+    val span = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, s"one two three $span four five six"),
+      (2L, s"red blue $span green yellow purple orange"),
+      (3L, "totally different words everywhere here now and then")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(docs, "doc_id", "text",
+        k = 3, w = 4, minShared = 1L)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L),
+      s"copied 6-token span must pair docs 1 and 2: $pairs")
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
+    // All-equal hashes: every window's winner is its RIGHTMOST gram.
+    val uni = Seq((9L, "a a a a a a a a")).toDF("doc_id", "text")
+    val fp = Dedup.winnowFingerprints(uni, "doc_id", "text", k = 3, w = 4)
+      .select("pos").as[Int].collect().toSeq.sorted
+    // 6 shingles (m=6), starts 0..2, winner pos = start+3 -> {3,4,5}
+    assert(fp === Seq(3, 4, 5), s"rightmost-tie winners: $fp")
+    // Selection never exceeds the window count (density bound).
+    val big = Seq((7L, (1 to 200).map(i => s"w${i % 37}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val n = Dedup.winnowFingerprints(big, "doc_id", "text", 3, 4).count()
+    val grams = 200 - 3 + 1
+    assert(n <= grams - 4 + 1 && n > 0)
+  }
 }
