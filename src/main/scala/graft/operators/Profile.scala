@@ -370,6 +370,60 @@ object Profile {
     frames.reduce(_.unionByName(_))
   }
 
+  /**
+   * Inclusion-dependency (foreign-key discovery) profile — the
+   * [[functionalDependencies]] complement ACROSS tables: for each
+   * declared (child column → parent column) candidate, what fraction
+   * of the child's distinct non-null values exist in the parent?
+   * Coefficient 1.0 = a valid FK (safe to join, safe to
+   * dimension-normalize); anything less quantifies the orphan mass a
+   * join would silently drop — run BEFORE trusting an inner join at
+   * 100 TB, where the dropped rows are invisible until the totals
+   * are wrong.
+   *
+   * Per candidate: distinct child values, matched count, orphan
+   * count, orphan ROWS (the child-side blast radius), and the
+   * inclusion coefficient. Exact integers + one 6dp-rounded ratio.
+   *
+   * Scale: per candidate ONE child aggregate at value granularity
+   * (carrying per-value row counts) + one left join against the
+   * parent's distinct values — both sides key-partitioned, the
+   * parent side a value-cardinality frame, never the raw parent.
+   * NULL child values are excluded entirely (SQL FK semantics).
+   */
+  def inclusionDependencies(
+      pairs: Seq[(String, DataFrame, String, DataFrame, String)])
+      : DataFrame = {
+    require(pairs.nonEmpty, "need at least one (label, child, parent) pair")
+    val frames = pairs.map { case (label, child, childCol, parent, parentCol) =>
+      val cv = child
+        .where(col(childCol).isNotNull)
+        .groupBy(col(childCol).as("__v"))
+        .agg(count(lit(1)).as("__rows"))
+      val pv = parent
+        .where(col(parentCol).isNotNull)
+        .select(col(parentCol).as("__v")).distinct()
+        .withColumn("__hit", lit(1))
+      cv.join(pv, Seq("__v"), "left")
+        .agg(
+          count(lit(1)).as("child_values"),
+          sum(when(col("__hit").isNotNull, 1L).otherwise(0L))
+            .as("matched_values"),
+          sum(when(col("__hit").isNull, 1L).otherwise(0L))
+            .as("orphan_values"),
+          sum(when(col("__hit").isNull, col("__rows")).otherwise(0L))
+            .as("orphan_rows"))
+        .select(
+          lit(label).as("candidate"),
+          col("child_values"), col("matched_values"),
+          col("orphan_values"), col("orphan_rows"),
+          when(col("child_values") > 0,
+            round(col("matched_values").cast("double") /
+              col("child_values"), 6)).as("inclusion"))
+    }
+    frames.reduce(_.unionByName(_))
+  }
+
   def bootstrapMeanCI(
       df: DataFrame, valCol: String, hashCols: Seq[String],
       b: Int = 32, alphaPerMille: Int = 50): DataFrame = {

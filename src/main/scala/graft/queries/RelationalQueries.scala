@@ -1002,6 +1002,37 @@ object RelationalQueries {
         .orderBy("doc_id")
     }),
 
+    // S9 schema-evolution audit (round 9): two parquet generations —
+    // gen 1 writes (doc_id, lang), gen 2 adds (source, n_chars) —
+    // read back through ONE mergeSchema scan with partition
+    // discovery recovering `gen`; the per-(gen, column) non-null
+    // census proves added columns read as NULL for older files and
+    // fully populated for newer ones, against an oracle derived from
+    // the source table alone.
+    "q234_schema_evolution" -> ((s, dir) => {
+      val dest = scratchDir("layout_q234").toString
+      val docs = t(s, dir, "documents")
+      docs.where(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"))
+        .write.mode("overwrite").parquet(dest + "/gen=1")
+      docs.where(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars"))
+        .write.mode("overwrite").parquet(dest + "/gen=2")
+      val merged = graft.sources.FormatSources.readParquetMerged(s, dest)
+      val cols = Seq("doc_id", "lang", "source", "n_chars")
+      val wide = merged.groupBy(col("gen").cast("int").as("gen"))
+        .agg(count(lit(1)).as("__rows"),
+          cols.map(c => count(col(c)).as(s"__n_$c")): _*)
+      val longRows = cols.map { c =>
+        struct(lit(c).as("col_name"), col("__rows").as("n_rows"),
+          col(s"__n_$c").as("n_nonnull"))
+      }
+      wide.select(col("gen"), explode(array(longRows: _*)).as("__s"))
+        .select(col("gen"), col("__s.*"))
+        .orderBy("gen", "col_name")
+    }),
+
     // ORC round-trip audit — FormatSources' non-parquet path gains an
     // oracle gate: orders is written to ORC, read back, and aggregated
     // per status (counts, decimal-accumulated price sums, date
@@ -1328,6 +1359,25 @@ object RelationalQueries {
           t(s, dir, "orders"),
           Seq("o_custkey", "o_totalprice", "o_orderkey"))
         .orderBy("col_name", "stat")
+    }),
+
+    // Q7: inclusion-dependency (FK discovery) profile — which
+    // child→parent candidates are safe joins, and how much orphan
+    // mass the bad ones would drop. Four candidates: three true FKs
+    // plus a deliberately wrong one (suppkey→nationkey, partial).
+    "q233_fk_profile" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      graft.operators.Profile.inclusionDependencies(Seq(
+          ("lineitem.l_orderkey->orders.o_orderkey",
+            li, "l_orderkey", t(s, dir, "orders"), "o_orderkey"),
+          ("lineitem.l_partkey->part.p_partkey",
+            li, "l_partkey", t(s, dir, "part"), "p_partkey"),
+          ("orders.o_custkey->customer.c_custkey",
+            t(s, dir, "orders"), "o_custkey",
+            t(s, dir, "customer"), "c_custkey"),
+          ("lineitem.l_suppkey->nation.n_nationkey",
+            li, "l_suppkey", t(s, dir, "nation"), "n_nationkey")))
+        .orderBy("candidate")
     }),
 
     // Q6: functional-dependency + candidate-key profile of orders —
@@ -2693,6 +2743,100 @@ object RelationalQueries {
 
     // Mirrors Profile.categoricalAssociation: identical fixed double
     // op order per cell, DECIMAL(38,12) quantization before the sum.
+    "q234_schema_evolution" ->
+      """WITH g1 AS (
+        |  SELECT COUNT(*) AS n, COUNT(doc_id) AS nd, COUNT(lang) AS nl
+        |  FROM documents WHERE doc_id % 2 = 0
+        |), g2 AS (
+        |  SELECT COUNT(*) AS n, COUNT(doc_id) AS nd, COUNT(lang) AS nl,
+        |    COUNT(source) AS ns, COUNT(n_chars) AS nc
+        |  FROM documents WHERE doc_id % 2 = 1
+        |)
+        |SELECT gen, col_name, n_rows, n_nonnull FROM (
+        |  SELECT 1 AS gen, 'doc_id' AS col_name,
+        |    CAST(n AS BIGINT) AS n_rows, CAST(nd AS BIGINT) AS n_nonnull
+        |  FROM g1
+        |  UNION ALL SELECT 1, 'lang', CAST(n AS BIGINT),
+        |    CAST(nl AS BIGINT) FROM g1
+        |  UNION ALL SELECT 1, 'source', CAST(n AS BIGINT),
+        |    CAST(0 AS BIGINT) FROM g1
+        |  UNION ALL SELECT 1, 'n_chars', CAST(n AS BIGINT),
+        |    CAST(0 AS BIGINT) FROM g1
+        |  UNION ALL SELECT 2, 'doc_id', CAST(n AS BIGINT),
+        |    CAST(nd AS BIGINT) FROM g2
+        |  UNION ALL SELECT 2, 'lang', CAST(n AS BIGINT),
+        |    CAST(nl AS BIGINT) FROM g2
+        |  UNION ALL SELECT 2, 'source', CAST(n AS BIGINT),
+        |    CAST(ns AS BIGINT) FROM g2
+        |  UNION ALL SELECT 2, 'n_chars', CAST(n AS BIGINT),
+        |    CAST(nc AS BIGINT) FROM g2
+        |) ORDER BY gen, col_name""".stripMargin,
+
+    "q233_fk_profile" ->
+      """WITH c1 AS (
+        |  SELECT l_orderkey AS v, COUNT(*) AS rows_
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1
+        |), c2 AS (
+        |  SELECT l_partkey AS v, COUNT(*) AS rows_
+        |  FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1
+        |), c3 AS (
+        |  SELECT o_custkey AS v, COUNT(*) AS rows_
+        |  FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1
+        |), c4 AS (
+        |  SELECT l_suppkey AS v, COUNT(*) AS rows_
+        |  FROM lineitem WHERE l_suppkey IS NOT NULL GROUP BY 1
+        |), j1 AS (
+        |  SELECT c.rows_, p.o_orderkey IS NOT NULL AS hit
+        |  FROM c1 c LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders
+        |    WHERE o_orderkey IS NOT NULL) p ON p.o_orderkey = c.v
+        |), j2 AS (
+        |  SELECT c.rows_, p.p_partkey IS NOT NULL AS hit
+        |  FROM c2 c LEFT JOIN (SELECT DISTINCT p_partkey FROM part
+        |    WHERE p_partkey IS NOT NULL) p ON p.p_partkey = c.v
+        |), j3 AS (
+        |  SELECT c.rows_, p.c_custkey IS NOT NULL AS hit
+        |  FROM c3 c LEFT JOIN (SELECT DISTINCT c_custkey FROM customer
+        |    WHERE c_custkey IS NOT NULL) p ON p.c_custkey = c.v
+        |), j4 AS (
+        |  SELECT c.rows_, p.n_nationkey IS NOT NULL AS hit
+        |  FROM c4 c LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation
+        |    WHERE n_nationkey IS NOT NULL) p ON p.n_nationkey = c.v
+        |)
+        |SELECT candidate, child_values, matched_values, orphan_values,
+        |  orphan_rows,
+        |  CASE WHEN child_values > 0 THEN
+        |    round(CAST(matched_values AS DOUBLE) / child_values, 6) END
+        |    AS inclusion
+        |FROM (
+        |  SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS candidate,
+        |    CAST(COUNT(*) AS BIGINT) AS child_values,
+        |    CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS matched_values,
+        |    CAST(SUM(CASE WHEN hit THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS orphan_values,
+        |    CAST(SUM(CASE WHEN hit THEN 0 ELSE rows_ END) AS BIGINT)
+        |      AS orphan_rows
+        |  FROM j1
+        |  UNION ALL
+        |  SELECT 'lineitem.l_partkey->part.p_partkey', CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(SUM(CASE WHEN hit THEN 0 ELSE 1 END) AS BIGINT),
+        |    CAST(SUM(CASE WHEN hit THEN 0 ELSE rows_ END) AS BIGINT)
+        |  FROM j2
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey->customer.c_custkey', CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(SUM(CASE WHEN hit THEN 0 ELSE 1 END) AS BIGINT),
+        |    CAST(SUM(CASE WHEN hit THEN 0 ELSE rows_ END) AS BIGINT)
+        |  FROM j3
+        |  UNION ALL
+        |  SELECT 'lineitem.l_suppkey->nation.n_nationkey', CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(SUM(CASE WHEN hit THEN 0 ELSE 1 END) AS BIGINT),
+        |    CAST(SUM(CASE WHEN hit THEN 0 ELSE rows_ END) AS BIGINT)
+        |  FROM j4
+        |) ORDER BY candidate""".stripMargin,
+
     "q225_label_prop" ->
       """WITH toks AS (
         |  SELECT string_split(text, ' ') AS w FROM documents

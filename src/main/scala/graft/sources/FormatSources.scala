@@ -57,4 +57,17 @@ object FormatSources {
   /** ORC scan — same pushdown behavior class as parquet. */
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
+
+  /**
+   * Schema-evolution-tolerant parquet scan: `mergeSchema` unions the
+   * footer schemas of every file generation under `base` (a column
+   * added in generation N reads as NULL for older files), and
+   * partition discovery recovers the directory keys (`gen=…`) as
+   * columns. The read path every long-lived 100 TB table needs the
+   * day a column is added — without rewriting history. Schema-merge
+   * costs one footer read per file at planning time; row scans are
+   * unchanged.
+   */
+  def readParquetMerged(spark: SparkSession, base: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(base)
 }
