@@ -490,6 +490,47 @@ object Quality {
   }
 
   /**
+   * Minimum-detectable-effect (power) readout — the experiment
+   * DESIGN half of the E20/E24/E25 family, run BEFORE launch: given
+   * each segment's observed arm sizes and pooled baseline rate, the
+   * smallest absolute (and relative) lift a two-proportion test can
+   * detect at significance α and power 1−β is
+   * (z_{α/2}+z_{β})·√(p(1−p)(1/n_a+1/n_b)). Segments below a
+   * relative-MDE bar are where an experiment CAN'T conclude —
+   * knowing that before launch is the point.
+   *
+   * z quantiles arrive as caller literals (defaults: 1.959964 /
+   * 0.841621, the standard 5%-two-sided / 80%-power pair) — both
+   * engines hold the identical doubles, and the finish is one fixed
+   * IEEE chain over exact integer counts, round(6) at the boundary.
+   * One partial-aggregated key shuffle; degenerate segments (empty
+   * arm, rate 0 or 1) emit NULL.
+   */
+  def mdeReadout(
+      df: DataFrame, keyCols: Seq[String], aCol: Column, convCol: Column,
+      zAlpha: Double = 1.959964, zPower: Double = 0.841621): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    val agg = df
+      .where(aCol.isNotNull && convCol.isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        sum(when(aCol, 1L).otherwise(0L)).as("n_a"),
+        sum(when(!aCol, 1L).otherwise(0L)).as("n_b"),
+        sum(when(convCol, 1L).otherwise(0L)).as("n_conv"))
+    val p = col("n_conv").cast("double") / (col("n_a") + col("n_b"))
+    val mde = lit(zAlpha + zPower) * sqrt(p * (lit(1.0) - p) *
+      (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    val testable = col("n_a") > 0 && col("n_b") > 0 &&
+      col("n_conv") > 0 && col("n_conv") < col("n_a") + col("n_b")
+    agg.select(
+      keyCols.map(col) ++ Seq(
+        col("n_a"), col("n_b"),
+        when(col("n_a") + col("n_b") > 0, round(p, 6)).as("base_rate"),
+        when(testable, round(mde, 6)).as("mde_abs"),
+        when(testable, round(mde / p, 6)).as("mde_rel")): _*)
+  }
+
+  /**
    * Benjamini–Hochberg FDR correction over a battery of p-values —
    * the step between "37 segments each at p < 0.05" and a claim:
    * controlling per-test α across m tests yields ~α·m false alarms,

@@ -1487,6 +1487,53 @@ object Similarity {
   }
 
   /**
+   * Semantic benchmark-leakage scan — the EMBEDDING arm of
+   * decontamination (the T17 exact/bloom n-gram decontaminators
+   * catch verbatim and near-verbatim test-set copies; paraphrased
+   * leakage needs similarity): every corpus vector scores against
+   * the full benchmark set and reports its nearest benchmark
+   * neighbor, the cosine, and the over-threshold flag. What ships to
+   * reviewers before a model trains on the corpus.
+   *
+   * Contract: the benchmark set is BOUNDED (an eval set — thousands,
+   * not a corpus) and collects to the driver as a literal matrix,
+   * exactly the V4 IVF-centroid deployment shape — so the scan is
+   * ONE pass, zero shuffle, |bench| fused dot products per row
+   * inside codegen. The corpus side streams at any size. The leaked
+   * verdict compares the 6dp-ROUNDED cosine (both engines hold that
+   * decimal), keeping the boundary engine-exact.
+   *
+   * Output: (vec_id, bench_id, cosine, leaked) — nearest benchmark
+   * by (cosine desc, bench id asc).
+   */
+  def semanticLeakage(
+      corpus: DataFrame, bench: DataFrame,
+      idCol: String, vecCol: String, minCosine: Double): DataFrame = {
+    val entries = bench
+      .select(col(idCol), toDoubleVec(col(vecCol)))
+      .orderBy(col(idCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    require(entries.nonEmpty, "benchmark set is empty")
+    val ranking = array(entries.map { case (bid, bv) =>
+      struct(
+        (-(dot(col("__v"), typedLit(bv)) /
+          (col("__vn") * lit(math.sqrt(bv.map(x => x * x).sum)))))
+          .as("neg"),
+        lit(bid).as("bid"))
+    }: _*)
+    corpus
+      .select(col(idCol).as("vec_id"),
+        toDoubleVec(col(vecCol)).as("__v"))
+      .withColumn("__vn", norm(col("__v")))
+      .withColumn("__best", element_at(sort_array(ranking), 1))
+      .select(
+        col("vec_id"),
+        col("__best.bid").as("bench_id"),
+        round(-col("__best.neg"), 6).as("cosine"))
+      .withColumn("leaked", col("cosine") >= lit(minCosine))
+  }
+
+  /**
    * Binary sign quantization: each vector compresses to d SIGN BITS
    * packed into ⌈d/32⌉ longs (32 bits per word — both engines' shift
    * arithmetic stays in positive-BIGINT territory, no sign-bit

@@ -1768,6 +1768,36 @@ object PipelineQueries {
         .orderBy("probe_id", "rank")
     }),
 
+    // T49 (round 9): semantic benchmark-leakage scan — the embedding
+    // arm of decontamination: every corpus vector reports its
+    // nearest benchmark neighbor (vec_id % 50 == 0 plays the eval
+    // set), the cosine, and the over-threshold flag. One scan,
+    // benchmark as a broadcast literal matrix.
+    "q235_semantic_leakage" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.semanticLeakage(
+          e.where(col("vec_id") % 50 =!= 0),
+          e.where(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", minCosine = 0.9)
+        .orderBy("vec_id")
+    }),
+
+    // E26 (round 9): minimum-detectable-effect readout — per
+    // event-type segment, the smallest lift a two-proportion test
+    // could detect at 5%/80% given the observed arm sizes and
+    // baseline rate. The pre-launch design check of the E20/E24/E25
+    // experimentation family.
+    "q236_mde_readout" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.operators.Quality.mdeReadout(
+          ev.where(col("user_id").isNotNull && col("value").isNotNull)
+            .select(col("event_type"),
+              (col("user_id") % 2 === 0).as("a"),
+              (col("value") >= 0.5).as("conv")),
+          Seq("event_type"), col("a"), col("conv"))
+        .orderBy("event_type")
+    }),
+
     // D18 (round 9): winnowing (MOSS) fingerprint pairs — per-window
     // min-hash selection (k=3 shingles, w=4 windows, rightmost tie)
     // cuts posting volume to ~2/(w+1) of the shingle stream while
@@ -4282,6 +4312,69 @@ object PipelineQueries {
     // ADC top-k replay over the same seed codebooks: per-probe
     // subspace distance table + m lookups per vector, rank by
     // (adc, vec_id).
+    "q235_semantic_leakage" ->
+      """WITH el AS (
+        |  SELECT vec_id, generate_subscripts(embedding,1) AS d,
+        |         unnest(embedding)::DOUBLE AS x
+        |  FROM embeddings
+        |), nrm AS (
+        |  SELECT vec_id, sqrt(SUM(x*x)) AS n FROM el GROUP BY vec_id
+        |), dots AS (
+        |  SELECT ec.vec_id, eb.vec_id AS bid, SUM(ec.x * eb.x) AS dp
+        |  FROM el ec
+        |  JOIN el eb ON eb.d = ec.d AND eb.vec_id % 50 = 0
+        |  WHERE ec.vec_id % 50 <> 0
+        |  GROUP BY 1, 2
+        |), cosv AS (
+        |  SELECT d.vec_id, d.bid, d.dp / (nc.n * nb.n) AS cos
+        |  FROM dots d
+        |  JOIN nrm nc ON nc.vec_id = d.vec_id
+        |  JOIN nrm nb ON nb.vec_id = d.bid
+        |), best AS (
+        |  SELECT vec_id, bid, cos FROM (
+        |    SELECT vec_id, bid, cos, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY cos DESC, bid) AS rn
+        |    FROM cosv) WHERE rn = 1
+        |)
+        |SELECT vec_id, bid AS bench_id,
+        |  round(cos, 6) + 0.0 AS cosine,
+        |  round(cos, 6) + 0.0 >= 0.9 AS leaked
+        |FROM best ORDER BY vec_id""".stripMargin,
+
+    "q236_mde_readout" ->
+      """WITH e AS (
+        |  SELECT event_type, (user_id % 2 = 0) AS a,
+        |    (value >= 0.5) AS conv
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |), g AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN conv THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_conv
+        |  FROM e GROUP BY 1
+        |)
+        |SELECT event_type, n_a, n_b,
+        |  CASE WHEN n_a + n_b > 0 THEN
+        |    round(CAST(n_conv AS DOUBLE) / (n_a + n_b), 6) END
+        |    AS base_rate,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND n_conv > 0
+        |      AND n_conv < n_a + n_b THEN
+        |    round((1.959964 + 0.841621)
+        |      * sqrt((CAST(n_conv AS DOUBLE) / (n_a + n_b))
+        |        * (1.0 - CAST(n_conv AS DOUBLE) / (n_a + n_b))
+        |        * (1.0 / n_a + 1.0 / n_b)), 6) END AS mde_abs,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND n_conv > 0
+        |      AND n_conv < n_a + n_b THEN
+        |    round(((1.959964 + 0.841621)
+        |      * sqrt((CAST(n_conv AS DOUBLE) / (n_a + n_b))
+        |        * (1.0 - CAST(n_conv AS DOUBLE) / (n_a + n_b))
+        |        * (1.0 / n_a + 1.0 / n_b)))
+        |      / (CAST(n_conv AS DOUBLE) / (n_a + n_b)), 6) END
+        |    AS mde_rel
+        |FROM g ORDER BY event_type""".stripMargin,
+
     "q232_winnow_pairs" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents

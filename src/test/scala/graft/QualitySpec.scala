@@ -439,6 +439,27 @@ class QualitySpec extends AnyFunSuite {
       (9, 2L, 2L, 0.975, 1.0, 0.025)))
   }
 
+  test("mdeReadout: hand-computed MDE; saturated segment is NULL") {
+    // s1: 5000/5000 units, pooled rate 0.1 ->
+    // mde = 2.801585 * sqrt(0.1*0.9*(2/5000)) = 0.0168095...
+    val rows =
+      (0 until 10000).map(i => ("s1", i % 2 == 0, i % 10 == 0)) ++
+      (0 until 10).map(i => ("s2", i % 2 == 0, true)) // all convert
+    val out = Quality.mdeReadout(rows.toDF("seg", "a", "conv"),
+        Seq("seg"), col("a"), col("conv"))
+      .select("seg", "n_a", "n_b", "base_rate", "mde_abs", "mde_rel")
+      .as[(String, Long, Long, Option[Double], Option[Double],
+        Option[Double])].collect().map(r => (r._1, r)).toMap
+    val s1 = out("s1")
+    assert(s1._2 === 5000L && s1._3 === 5000L)
+    assert(s1._4 === Some(0.1))
+    assert(s1._5.exists(m => math.abs(m - 0.016809) < 1e-6), s1.toString)
+    assert(s1._6.exists(m => math.abs(m - 0.168095) < 1e-6))
+    val s2 = out("s2")
+    assert(s2._4 === Some(1.0) && s2._5.isEmpty && s2._6.isEmpty,
+      "a saturated rate has no detectable lift above it")
+  }
+
   test("cupedReadout: recovers a planted effect the raw diff misstates") {
     // y = 2x + 5·[arm], arm = even unit id. Raw diff is polluted by
     // the arms' covariate imbalance (even-x mean 49 vs odd 50 →

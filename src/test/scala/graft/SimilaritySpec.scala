@@ -552,6 +552,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top.forall(_._2 < 10.0), "same-blob ADC distance stays near zero")
   }
 
+  test("semanticLeakage: planted copy flags at cosine 1; ties take lowest bench id") {
+    val bench = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f)),
+      (101L, Array(1.0f, 0.0f, 0.0f)),   // duplicate bench vector
+      (102L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Array(2.0f, 0.0f, 0.0f)),     // scaled copy of bench 100/101
+      (2L, Array(0.0f, -1.0f, 0.0f)),    // anti-aligned with bench 102
+      (3L, Array(1.0f, 1.0f, 0.0f))      // 45 degrees off both
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticLeakage(
+        corpus, bench, "vec_id", "embedding", minCosine = 0.95)
+      .as[(Long, Long, Double, Boolean)].collect()
+      .map(r => (r._1, (r._2, r._3, r._4))).toMap
+    assert(out(1L) === ((100L, 1.0, true)),
+      "exact-direction copy leaks; duplicate bench ties to lowest id")
+    assert(out(2L)._3 === false)
+    // vec 3 ties bench 100 and 102 at exactly 1/sqrt(2) -> lowest id.
+    assert(out(3L) === ((100L, 0.707107, false)))
+  }
+
   test("signQuantize/hammingTopK: bit goldens, driver-twin parity, ragged width") {
     // 40 dims (not a multiple of 32): word 0 full, word 1 holds 8 bits.
     val a = Array.fill(40)(1.0f)                  // all bits set
