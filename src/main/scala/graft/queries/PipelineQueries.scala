@@ -1514,6 +1514,18 @@ object PipelineQueries {
         .orderBy("key", "field")
     }),
 
+    // X17 (round 9): streaming exact-grid percentile monitor, batch
+    // twin — the SAME histogram-state fold runs once per key from
+    // empty state; emitted p50/p95/p99 are exact lower nearest-rank
+    // order statistics on the floor(value*100) grid, integer rank
+    // arithmetic, order-independent state.
+    "q237_streaming_percentiles_twin" -> ((s, dir) => {
+      graft.streaming.EventStreams.streamingPercentiles(
+          t(s, dir, "events"), "event_type", "value")
+        .toDF()
+        .orderBy("key", "q_per_mille")
+    }),
+
     // X15 (round 9): stream-static broadcast enrichment, batch twin.
     // The SAME staticEnrich body on the batch frame is the identical
     // broadcast left join the micro-batch planner runs per batch;
@@ -4312,6 +4324,32 @@ object PipelineQueries {
     // ADC top-k replay over the same seed codebooks: per-probe
     // subspace distance table + m lookups per vector, rank by
     // (adc, vec_id).
+    "q237_streaming_percentiles_twin" ->
+      """WITH b AS (
+        |  SELECT event_type AS key,
+        |    CAST(floor(value * 100) AS BIGINT) AS bkt, COUNT(*) AS c
+        |  FROM events WHERE value IS NOT NULL
+        |  GROUP BY 1, 2
+        |), n AS (
+        |  SELECT key, CAST(SUM(c) AS BIGINT) AS n FROM b GROUP BY key
+        |), cum AS (
+        |  SELECT key, bkt,
+        |    CAST(SUM(c) OVER (PARTITION BY key ORDER BY bkt) AS BIGINT)
+        |      AS cum
+        |  FROM b
+        |), qs AS (
+        |  SELECT n.key, q.q AS q_per_mille, n.n,
+        |    (n.n * q.q + 999) // 1000 AS rank
+        |  FROM n CROSS JOIN (VALUES (500), (950), (990)) q(q)
+        |)
+        |SELECT qs.key, CAST(qs.q_per_mille AS INT) AS q_per_mille,
+        |  qs.n,
+        |  CAST(MIN(CASE WHEN c.cum >= qs.rank THEN c.bkt END)
+        |    AS DOUBLE) / 100 AS value
+        |FROM qs JOIN cum c ON c.key = qs.key
+        |GROUP BY 1, 2, 3
+        |ORDER BY qs.key, q_per_mille""".stripMargin,
+
     "q235_semantic_leakage" ->
       """WITH el AS (
         |  SELECT vec_id, generate_subscripts(embedding,1) AS d,

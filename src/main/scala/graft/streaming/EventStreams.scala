@@ -75,6 +75,11 @@ case class Attributed(
 
 /** Per-key survivorship state: version count plus, per field, the
   * (µs, tie) stamp and value of the latest non-null sighting. */
+case class PctState(counts: Map[Long, Long])
+
+case class PctQuantile(
+  key: String, q_per_mille: Int, n: Long, value: Double)
+
 case class GoldenState(
     n: Long, stamps: Map[String, (Long, Long)],
     values: Map[String, String])
@@ -1015,6 +1020,75 @@ object EventStreams extends Serializable {
    * folds once from empty state, reproducing the batch operator's
    * semantics exactly — the q165-pattern oracle twin.
    */
+  /**
+   * Streaming exact-grid percentile monitor — continuous p50/p95/p99
+   * per key, the latency/size observability readout a stream is
+   * usually watched for. State per key is an EXACT count histogram
+   * over the floor(value·scale) grid, maintained in
+   * `flatMapGroupsWithState`: counts are commutative, so the fold is
+   * ORDER-INDEPENDENT across micro-batches and stragglers (the X16
+   * property), and the emitted quantiles are exact lower
+   * nearest-rank order statistics ON THE GRID, not sketch estimates
+   * — integer rank arithmetic `(n·q + 999) div 1000`, never a double
+   * path.
+   *
+   * State-size contract: one (bucket, count) entry per OCCUPIED grid
+   * cell — bounded by the metric's value domain × scale, which for
+   * observability metrics (latencies, sizes, rates) is bounded by
+   * construction; callers pick `scale` to cap it. This is the
+   * exact-on-a-grid alternative to a quantile sketch: same bounded
+   * state, zero estimation error at grid resolution.
+   *
+   * Update-mode emissions: after each batch every touched key
+   * re-emits one row per quantile; readers keep the latest. In batch
+   * mode each key folds once from empty state ⇒ exact nearest-rank
+   * grid percentiles, the q165-pattern oracle twin.
+   */
+  def streamingPercentiles(
+      events: DataFrame, keyCol: String, valueCol: String,
+      scale: Int = 100,
+      quantilesPerMille: Seq[Int] = Seq(500, 950, 990))
+      : Dataset[PctQuantile] = {
+    require(scale >= 1, s"scale must be >= 1, got $scale")
+    require(quantilesPerMille.nonEmpty &&
+      quantilesPerMille.forall(q => q >= 1 && q <= 999),
+      s"quantilesPerMille must be in [1, 999]: $quantilesPerMille")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .where(col(valueCol).isNotNull)
+      .select(col(keyCol).cast("string").as("k"),
+        floor(col(valueCol) * scale).cast("long").as("b"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[PctState, PctQuantile](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long)],
+         state: GroupState[PctState]) =>
+          var counts = state.getOption
+            .map(_.counts).getOrElse(Map.empty[Long, Long])
+          rows.foreach { case (_, b) =>
+            counts = counts.updated(b, counts.getOrElse(b, 0L) + 1L)
+          }
+          state.update(PctState(counts))
+          val n = counts.valuesIterator.sum
+          val sorted = counts.toSeq.sortBy(_._1)
+          quantilesPerMille.iterator.map { q =>
+            val rank = (n * q + 999L) / 1000L
+            var cum = 0L
+            var v = sorted.head._1
+            val it = sorted.iterator
+            var found = false
+            while (it.hasNext && !found) {
+              val (bk, c) = it.next()
+              cum += c
+              if (cum >= rank) { v = bk; found = true }
+            }
+            PctQuantile(key, q, n, v.toDouble / scale)
+          }
+      }
+  }
+
   def streamingGoldenRecord(
       events: DataFrame, keyCol: String, tsCol: String, tieCol: String,
       fields: Seq[String]): Dataset[GoldenField] = {

@@ -946,4 +946,41 @@ class EventStreamsSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("duplicate"))
   }
+
+  test("streamingPercentiles: cross-batch accumulation, order-independence, grid exactness") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(23)
+    val values = (1 to 300).map(_ => ("lat", rnd.nextDouble() * 10.0))
+    val input = MemoryStream[(String, Double)]
+    val pct = EventStreams.streamingPercentiles(
+      input.toDF.toDF("k", "v"), "k", "v")
+    val q = pct.writeStream.format("memory")
+      .queryName("pct_stream").outputMode("update").start()
+    try {
+      // Three uneven micro-batches in SHUFFLED order: histogram state
+      // is commutative, so the final emission must equal the batch
+      // fold over everything.
+      rnd.shuffle(values).grouped(111).foreach { b =>
+        input.addData(b: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("pct_stream")
+        .as[(String, Int, Long, Double)].collect()
+        .groupBy(_._2).map { case (qm, rows) => // latest = max n
+          qm -> rows.maxBy(_._3) }
+      val batch = EventStreams.streamingPercentiles(
+          values.toDF("k", "v"), "k", "v")
+        .as[(String, Int, Long, Double)].collect()
+        .map(r => r._2 -> r).toMap
+      assert(streamed.keySet === Set(500, 950, 990))
+      streamed.foreach { case (qm, row) =>
+        assert(row === batch(qm), s"q$qm stream/batch divergence") }
+      // Grid exactness: the p50 of 300 known values is the 150th
+      // order statistic's floor-grid bucket.
+      val sortedB = values.map(v => math.floor(v._2 * 100).toLong).sorted
+      assert(batch(500)._4 === sortedB(149).toDouble / 100)
+      assert(batch(990)._4 === sortedB((300 * 990 + 999) / 1000 - 1)
+        .toDouble / 100)
+    } finally q.stop()
+  }
 }
