@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -422,6 +422,64 @@ object Profile {
               col("child_values"), 6)).as("inclusion"))
     }
     frames.reduce(_.unionByName(_))
+  }
+
+  /**
+   * Metric-movement cube diff — the "why did the metric move?"
+   * drill-down: one CUBE pass computes the metric for period A and
+   * period B at EVERY dimension combination, then each group's delta,
+   * its share of the grand-total delta, and its |delta| rank within
+   * its grouping set. Reading the report top-down answers root-cause
+   * questions mechanically: the grand-total row is the headline move,
+   * each single-dimension level ranks which slice drove it, the
+   * finer levels localize it — the standard metric-attribution
+   * workflow, here as ONE deterministic operator instead of an
+   * analyst clicking through group-bys.
+   *
+   * Exactness: the metric arrives in integer micro-units (floor-grid
+   * contract); period sums and deltas are exact DECIMAL(38,0), so
+   * ranking never sits on a float boundary; only the share ratio is
+   * IEEE (one division, round 6). Ties rank by the dimension tuple's
+   * string rendering — total and engine-exact.
+   *
+   * Scale: one Expand×2^|dims| aggregate (the documented rollup/cube
+   * shape — pre-aggregate upstream if the raw frame is huge); the
+   * grand-total row rides back as a one-row broadcast cross join;
+   * ranking windows partition by grouping set.
+   */
+  def metricDiffCube(
+      df: DataFrame, dims: Seq[String],
+      metricMicro: Column, inA: Column): DataFrame = {
+    require(dims.nonEmpty, "need at least one dimension")
+    import org.apache.spark.sql.expressions.Window
+    val d38 = DecimalType(38, 0)
+    val cubed = df
+      .where(inA.isNotNull && metricMicro.isNotNull)
+      .cube(dims.map(col): _*)
+      .agg(
+        sum(when(inA, metricMicro).otherwise(0L)).cast(d38).as("__ma"),
+        sum(when(!inA, metricMicro).otherwise(0L)).cast(d38).as("__mb"),
+        grouping_id().as("__gid"))
+      .withColumn("__delta", col("__mb") - col("__ma"))
+    val grand = cubed
+      .where(col("__gid") === (1 << dims.size) - 1)
+      .select(col("__delta").as("__tot"))
+    val tie = concat_ws("",
+      dims.map(d => coalesce(col(d).cast("string"), lit(""))): _*)
+    val w = Window.partitionBy(col("__gid"))
+      .orderBy(abs(col("__delta")).desc, tie.asc)
+    cubed.crossJoin(broadcast(grand))
+      .withColumn("rank", row_number().over(w))
+      .select(
+        dims.map(col) ++ Seq(
+          col("__gid").cast("int").as("gid"),
+          col("__ma").cast("long").as("metric_a"),
+          col("__mb").cast("long").as("metric_b"),
+          col("__delta").cast("long").as("delta"),
+          when(col("__tot") =!= 0,
+            round(col("__delta").cast("double") /
+              col("__tot").cast("double"), 6)).as("delta_share"),
+          col("rank")): _*)
   }
 
   def bootstrapMeanCI(

@@ -1361,6 +1361,23 @@ object RelationalQueries {
         .orderBy("col_name", "stat")
     }),
 
+    // R26: metric-movement cube diff — "why did value mass move
+    // between the half-months?" One CUBE pass diffs the metric at
+    // every (event_type × day-bucket) combination, ranks |delta|
+    // within each grouping set, and shares against the grand-total
+    // move. Exact micro-unit decimals; one Expand aggregate.
+    "q238_cube_diff" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .where(col("value").isNotNull)
+        .select(col("event_type"),
+          (dayofmonth(col("ts")) % 7).as("day_bucket"),
+          floor(col("value") * 1000000).cast("long").as("m"),
+          (dayofmonth(col("ts")) <= 15).as("in_a"))
+      graft.operators.Profile.metricDiffCube(ev,
+          Seq("event_type", "day_bucket"), col("m"), col("in_a"))
+        .orderBy("gid", "rank")
+    }),
+
     // Q7: inclusion-dependency (FK discovery) profile — which
     // child→parent candidates are safe joins, and how much orphan
     // mass the bad ones would drop. Four candidates: three true FKs
@@ -2743,6 +2760,40 @@ object RelationalQueries {
 
     // Mirrors Profile.categoricalAssociation: identical fixed double
     // op order per cell, DECIMAL(38,12) quantization before the sum.
+    "q238_cube_diff" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(EXTRACT(day FROM ts) AS INT) % 7 AS day_bucket,
+        |    CAST(floor(value * 1000000) AS BIGINT) AS m,
+        |    (EXTRACT(day FROM ts) <= 15) AS in_a
+        |  FROM events WHERE value IS NOT NULL
+        |), c AS (
+        |  SELECT event_type, day_bucket,
+        |    CAST(grouping_id(event_type, day_bucket) AS INT) AS gid,
+        |    CAST(SUM(CASE WHEN in_a THEN m ELSE 0 END) AS DECIMAL(38,0))
+        |      AS ma,
+        |    CAST(SUM(CASE WHEN in_a THEN 0 ELSE m END) AS DECIMAL(38,0))
+        |      AS mb
+        |  FROM e GROUP BY CUBE(event_type, day_bucket)
+        |), d AS (
+        |  SELECT *, mb - ma AS delta FROM c
+        |), tot AS (
+        |  SELECT delta AS tot FROM d WHERE gid = 3
+        |)
+        |SELECT event_type, day_bucket, gid,
+        |  CAST(ma AS BIGINT) AS metric_a, CAST(mb AS BIGINT) AS metric_b,
+        |  CAST(delta AS BIGINT) AS delta,
+        |  CASE WHEN t.tot <> 0 THEN
+        |    round(CAST(delta AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) + 0.0
+        |  END AS delta_share,
+        |  CAST(row_number() OVER (PARTITION BY gid
+        |    ORDER BY abs(delta) DESC,
+        |      (coalesce(CAST(event_type AS VARCHAR), '')
+        |        || coalesce(CAST(day_bucket AS VARCHAR), '')) ASC)
+        |    AS INT) AS rank
+        |FROM d CROSS JOIN tot t
+        |ORDER BY gid, rank""".stripMargin,
+
     "q234_schema_evolution" ->
       """WITH g1 AS (
         |  SELECT COUNT(*) AS n, COUNT(doc_id) AS nd, COUNT(lang) AS nl

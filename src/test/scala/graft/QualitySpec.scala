@@ -439,6 +439,26 @@ class QualitySpec extends AnyFunSuite {
       (9, 2L, 2L, 0.975, 1.0, 0.025)))
   }
 
+  test("metricDiffCube: one segment drives the move; shares and ranks agree") {
+    val df = Seq(
+      // seg p: flat (100 -> 100). seg q: +50. seg r: -10.
+      ("p", 100L, true), ("p", 100L, false),
+      ("q", 100L, true), ("q", 150L, false),
+      ("r", 100L, true), ("r", 90L, false)
+    ).toDF("seg", "m", "in_a")
+    val out = Profile.metricDiffCube(df, Seq("seg"), col("m"), col("in_a"))
+      .as[(Option[String], Int, Long, Long, Long, Option[Double], Int)]
+      .collect()
+    val grand = out.find(_._2 == 1).get
+    assert(grand === ((None, 1, 300L, 340L, 40L, Some(1.0), 1)))
+    val bySeg = out.filter(_._2 == 0)
+      .map(r => (r._1.get, (r._3, r._4, r._5, r._6.get, r._7))).toMap
+    assert(bySeg("q") === ((100L, 150L, 50L, 1.25, 1)),
+      "q's +50 is 125% of the net +40 move, rank 1 by |delta|")
+    assert(bySeg("r") === ((100L, 90L, -10L, -0.25, 2)))
+    assert(bySeg("p") === ((100L, 100L, 0L, 0.0, 3)))
+  }
+
   test("mdeReadout: hand-computed MDE; saturated segment is NULL") {
     // s1: 5000/5000 units, pooled rate 0.1 ->
     // mde = 2.801585 * sqrt(0.1*0.9*(2/5000)) = 0.0168095...
