@@ -339,4 +339,57 @@ object Sampling {
         round(col("n").cast("double") / sum(col("n")).over(w), 6))
       .orderBy(col(strataCol), col("fold"))
   }
+
+  /**
+   * Mixture feasibility plan — the budget arithmetic run BEFORE
+   * [[temperatureMixture]]/[[epochRepeat]] materialize anything:
+   * given per-source available token mass, target mixture shares
+   * (per-mille), and an upsampling ceiling (max epochs, per-mille),
+   * the largest total corpus T satisfying every constraint is
+   * T = min_i ⌊avail_i · maxEpochs‰ / share_i⌋ — each source can
+   * contribute at most avail·maxEpochs tokens, and must contribute
+   * share_i·T. The report names the BINDING source (the data you'd
+   * need more of), each source's planned take, and its realized
+   * epoch count — the "can we even build this mixture?" readout that
+   * decides acquisitions.
+   *
+   * Pure integer floor arithmetic end to end (tokens × per-mille
+   * stays far inside long range for any real corpus); the source
+   * table is mixture-sized (a handful of rows) after ONE
+   * partial-aggregated mass pass upstream.
+   *
+   * Output per targeted source: (source, avail_tokens, share_pm,
+   * take_tokens, epochs_pm, binding).
+   */
+  def mixturePlan(
+      sourceMass: DataFrame, sourceCol: String, massCol: String,
+      sharesPerMille: Seq[(String, Int)],
+      maxEpochsPerMille: Int = 1000): DataFrame = {
+    require(sharesPerMille.nonEmpty, "need at least one target share")
+    require(sharesPerMille.forall(_._2 > 0),
+      s"shares must be positive: $sharesPerMille")
+    require(sharesPerMille.map(_._2).sum == 1000,
+      s"shares must total 1000 per-mille, got ${sharesPerMille.map(_._2).sum}")
+    require(maxEpochsPerMille >= 1,
+      s"maxEpochsPerMille must be >= 1, got $maxEpochsPerMille")
+    val spark = sourceMass.sparkSession
+    import spark.implicits._
+    val targets = sharesPerMille.toDF("__src", "share_pm")
+    val planned = sourceMass
+      .select(col(sourceCol).cast("string").as("__src"),
+        col(massCol).cast("long").as("avail_tokens"))
+      .join(broadcast(targets), Seq("__src"))
+      .withColumn("__cand",
+        expr(s"(avail_tokens * ${maxEpochsPerMille}L) div share_pm"))
+    val tRow = planned.agg(min(col("__cand")).as("__t"))
+    planned.crossJoin(broadcast(tRow))
+      .select(
+        col("__src").as("source"),
+        col("avail_tokens"),
+        col("share_pm"),
+        expr("(__t * share_pm) div 1000").as("take_tokens"),
+        expr("((__t * share_pm) div 1000) * 1000 div avail_tokens")
+          .as("epochs_pm"),
+        (col("__cand") === col("__t")).as("binding"))
+  }
 }

@@ -1780,6 +1780,23 @@ object PipelineQueries {
         .orderBy("probe_id", "rank")
     }),
 
+    // T50 (round 9): mixture feasibility plan — the "can we even
+    // build this mixture?" budget readout: four targeted sources
+    // with 40/30/20/10% shares and a 2-epoch upsampling ceiling;
+    // the binding source caps the whole corpus. Integer floor
+    // arithmetic over one per-source token-mass pass.
+    "q239_mixture_plan" -> ((s, dir) => {
+      val mass = t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(sum(TextAnalysis.tokenCount(col("text")).cast("long"))
+          .as("tokens"))
+      Sampling.mixturePlan(mass, "source", "tokens",
+          Seq("src0" -> 400, "src1" -> 300, "src2" -> 200,
+            "src3" -> 100),
+          maxEpochsPerMille = 2000)
+        .orderBy("source")
+    }),
+
     // T49 (round 9): semantic benchmark-leakage scan — the embedding
     // arm of decontamination: every corpus vector reports its
     // nearest benchmark neighbor (vec_id % 50 == 0 plays the eval
@@ -4324,6 +4341,30 @@ object PipelineQueries {
     // ADC top-k replay over the same seed codebooks: per-probe
     // subspace distance table + m lookups per vector, rank by
     // (adc, vec_id).
+    "q239_mixture_plan" ->
+      """WITH mass AS (
+        |  SELECT source, CAST(SUM(len(string_split(text, ' ')))
+        |    AS BIGINT) AS avail_tokens
+        |  FROM documents GROUP BY source
+        |), tgt AS (
+        |  SELECT * FROM (VALUES ('src0', 400), ('src1', 300),
+        |    ('src2', 200), ('src3', 100)) t(source, share_pm)
+        |), planned AS (
+        |  SELECT m.source, m.avail_tokens,
+        |    CAST(t.share_pm AS INT) AS share_pm,
+        |    (m.avail_tokens * 2000) // t.share_pm AS cand
+        |  FROM mass m JOIN tgt t ON t.source = m.source
+        |), tmin AS (
+        |  SELECT MIN(cand) AS t FROM planned
+        |)
+        |SELECT p.source, p.avail_tokens, p.share_pm,
+        |  CAST((tm.t * p.share_pm) // 1000 AS BIGINT) AS take_tokens,
+        |  CAST(((tm.t * p.share_pm) // 1000) * 1000 // p.avail_tokens
+        |    AS BIGINT) AS epochs_pm,
+        |  p.cand = tm.t AS binding
+        |FROM planned p CROSS JOIN tmin tm
+        |ORDER BY p.source""".stripMargin,
+
     "q237_streaming_percentiles_twin" ->
       """WITH b AS (
         |  SELECT event_type AS key,

@@ -285,4 +285,28 @@ class SamplingSpec extends AnyFunSuite {
       assert(math.abs(cells.map(_._4).sum - 1.0) < 1e-4)
     }
   }
+
+  test("mixturePlan: scarce source binds; epoch cap binds; shares validated") {
+    import graft.operators.Sampling
+    val mass = Seq(("a", 1000L), ("b", 10000L), ("x", 999L))
+      .toDF("source", "tokens") // x untargeted -> dropped
+    // a at 50% with only 1000 tokens binds T at 2000 (1 epoch cap).
+    val plan = Sampling.mixturePlan(mass, "source", "tokens",
+        Seq("a" -> 500, "b" -> 500))
+      .as[(String, Long, Int, Long, Long, Boolean)].collect()
+      .map(r => (r._1, r)).toMap
+    assert(plan.size === 2)
+    assert(plan("a") === (("a", 1000L, 500, 1000L, 1000L, true)))
+    assert(plan("b") === (("b", 10000L, 500, 1000L, 100L, false)))
+    // With 4x upsampling allowed, a can repeat: T = 8000.
+    val up = Sampling.mixturePlan(mass, "source", "tokens",
+        Seq("a" -> 500, "b" -> 500), maxEpochsPerMille = 4000)
+      .as[(String, Long, Int, Long, Long, Boolean)].collect()
+      .map(r => (r._1, r)).toMap
+    assert(up("a") === (("a", 1000L, 500, 4000L, 4000L, true)))
+    assert(up("b")._4 === 4000L && !up("b")._6)
+    intercept[IllegalArgumentException] {
+      Sampling.mixturePlan(mass, "source", "tokens", Seq("a" -> 900))
+    }
+  }
 }
