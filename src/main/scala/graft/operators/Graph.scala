@@ -294,4 +294,161 @@ object Graph {
     }
     labels.orderBy("node")
   }
+
+  /**
+   * G5: neighborhood link prediction — for every NON-adjacent node
+   * pair sharing at least one neighbor, the three classic
+   * missing-edge scores (Liben-Nowell & Kleinberg, CIKM'03):
+   * common-neighbor count, Adamic–Adar (Σ 1/ln deg(via) — rare
+   * shared neighbors count more), and neighborhood Jaccard
+   * (|Γa∩Γb| / |Γa∪Γb|). On the near-dup candidate graph these are
+   * the "pairs LSH probably MISSED" detector: two documents sharing
+   * several near-dup neighbors but no direct candidate edge are the
+   * prime re-verification targets (band hashing is probabilistic;
+   * triadic closure over verified overlap is evidence a band
+   * collision simply didn't fire).
+   *
+   * Scale: wedge enumeration at the shared neighbor is the whole
+   * cost — Σ_via deg(via)², which a power-law hub makes quadratic.
+   * `maxViaDegree` caps it (the q130/q212 blocked-join rule): a via
+   * node above the cap contributes ≤ 1/ln(cap) per pair to AA —
+   * near-noise — while costing deg² wedges, so dropping super-hub
+   * vias is the standard LP trade (and is mirrored in the oracle,
+   * keeping the gate exact). Everything else is hash-partitioned
+   * equi-joins: one degree agg, one self-join on via, one pair agg,
+   * one anti-join against the existing edge set, two degree joins.
+   *
+   * Float parity: per-via AA terms round(12) into DECIMAL(38,12)
+   * before summing (the q155 RRF discipline) — the sum is exact and
+   * partition-order independent; the jaccard division is one final
+   * IEEE op. Both scores finish round(6) (non-negative — no
+   * signed-zero exposure).
+   *
+   * Output: (node_a, node_b, common_nbrs, adamic_adar, nbr_jaccard),
+   * node_a < node_b, ascending.
+   */
+  def linkPredict(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxViaDegree: Int): DataFrame = {
+    require(maxViaDegree >= 2,
+      s"maxViaDegree must be >= 2 (a via needs two neighbors), " +
+        s"got $maxViaDegree")
+    // The edge-derivation subtree feeds four consumers (both nbrs
+    // union branches, the anti-join) and the via frame feeds both
+    // self-join branches — asymmetric column pruning defeats
+    // canonical exchange reuse (the q127/q212 class), so barrier the
+    // small shared frames once.
+    val und = edges
+      .select(
+        least(col(srcCol), col(dstCol)).as("lo"),
+        greatest(col(srcCol), col(dstCol)).as("hi"))
+      .where(col("lo") =!= col("hi"))
+      .distinct()
+      .localCheckpoint()
+    val nbrs = und.select(col("lo").as("node"), col("hi").as("nbr"))
+      .unionAll(und.select(col("hi").as("node"), col("lo").as("nbr")))
+    val deg = nbrs.groupBy("node").agg(count(lit(1)).as("degree"))
+      .localCheckpoint()
+    // via-keyed adjacency, super-hub vias dropped BEFORE the
+    // self-join so wedge volume is ≤ cap · |kept adjacency|
+    val via = nbrs
+      .select(col("nbr").as("via"), col("node"))
+      .join(deg.select(col("node").as("via"), col("degree").as("__vd")),
+        Seq("via"))
+      .where(col("__vd") <= maxViaDegree)
+      .localCheckpoint()
+    val pairs = via.as("a")
+      .join(via.as("b"),
+        col("a.via") === col("b.via") && col("a.node") < col("b.node"))
+      .select(col("a.node").as("node_a"), col("b.node").as("node_b"),
+        round(lit(1.0) / log(col("a.__vd").cast("double")), 12)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 12)).as("__aa"))
+      .groupBy("node_a", "node_b")
+      .agg(count(lit(1)).as("common_nbrs"), sum(col("__aa")).as("__aas"))
+    pairs
+      .join(und,
+        col("node_a") === col("lo") && col("node_b") === col("hi"),
+        "left_anti")
+      .join(deg.select(col("node").as("node_a"), col("degree").as("__da")),
+        Seq("node_a"))
+      .join(deg.select(col("node").as("node_b"), col("degree").as("__db")),
+        Seq("node_b"))
+      .select(
+        col("node_a"), col("node_b"), col("common_nbrs"),
+        round(col("__aas").cast("double"), 6).as("adamic_adar"),
+        round(col("common_nbrs").cast("double") /
+          (col("__da") + col("__db") - col("common_nbrs")).cast("double"),
+          6).as("nbr_jaccard"))
+      .orderBy("node_a", "node_b")
+  }
+
+  /**
+   * G6: multi-source BFS hop distance, bounded rounds — the
+   * contamination BLAST RADIUS: seed nodes (e.g. documents the
+   * T17/T49 decontaminators flagged as benchmark-leaked) expand
+   * through the near-dup graph, and every node within `rounds` hops
+   * gets its MINIMUM hop count. Hop-1 nodes are near-dups of leaked
+   * docs; hop-2 nodes are near-dups of those — the transitive
+   * quarantine set a release gate actually wants, with the hop
+   * number grading eviction confidence.
+   *
+   * Frontier algorithm: reached_0 = seeds (hop 0, whether or not
+   * the node appears in the graph — an isolated leaked doc is still
+   * leaked); each round expands ONLY the newest frontier through the
+   * adjacency (one hash-partitioned join), dedups, and anti-joins
+   * the reached set — a node is labeled the first time it is seen,
+   * which IS its minimum hop. Integer labels, no tie-breaks → exact
+   * oracle replay as an unrolled CTE chain (the kCore contract).
+   *
+   * Scale: per round, join volume = frontier adjacency only (not the
+   * whole reached set); state is one row per reached node. Rounds
+   * barrier via localCheckpoint with superseded frontier freed (the
+   * PageRank/kCore loop discipline). Total work ≈ one pass over each
+   * edge per direction per time its endpoint enters a frontier —
+   * O(m) across all rounds on simple graphs.
+   *
+   * Output: (node, hop), hop ∈ [0, rounds], ascending by node.
+   */
+  def bfsHops(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    // barrier the edge derivation once: it feeds BOTH union branches
+    // (an expensive upstream — e.g. minhash candidates — would run
+    // twice), then free it as soon as the adjacency is materialized
+    val und = edges
+      .select(
+        least(col(srcCol), col(dstCol)).as("lo"),
+        greatest(col(srcCol), col(dstCol)).as("hi"))
+      .where(col("lo") =!= col("hi"))
+      .distinct()
+      .localCheckpoint()
+    val nbrs = und.select(col("lo").as("node"), col("hi").as("nbr"))
+      .unionAll(und.select(col("hi").as("node"), col("lo").as("nbr")))
+      .localCheckpoint()
+    org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(und)
+    var frontier = seeds.select(col(seedCol).as("node")).distinct()
+      .localCheckpoint()
+    var reached = frontier.select(col("node"), lit(0).as("hop"))
+      .localCheckpoint()
+    var r = 1
+    while (r <= rounds) {
+      val next = frontier
+        .join(nbrs, Seq("node"))
+        .select(col("nbr").as("node"))
+        .distinct()
+        .join(reached.select("node"), Seq("node"), "left_anti")
+        .localCheckpoint()
+      val grown = reached
+        .unionAll(next.select(col("node"), lit(r).as("hop")))
+        .localCheckpoint()
+      org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(frontier)
+      org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(reached)
+      frontier = next
+      reached = grown
+      r += 1
+    }
+    org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(nbrs)
+    reached.orderBy("node")
+  }
 }

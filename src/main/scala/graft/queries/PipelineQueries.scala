@@ -328,9 +328,12 @@ object PipelineQueries {
    * candidate edge set — all-integer degrees, no tie-breaks, so
    * every round is exact on both engines.
    */
-  private def kCoreOracleSql(k: Int, rounds: Int): String = {
-    val head =
-      """toks AS (
+  /** Shared DuckDB CTE chain replaying `Dedup.minhashCandidates(
+    * documents, 8 hashes, 2-row bands, 3-shingles)` as the
+    * near-dup candidate edge set `e0(lo, hi)` — the q192/q215/q240/
+    * q241 graph-oracle substrate. */
+  private val candidateEdgesHead: String =
+    """toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
         |), idx AS (
         |  SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i FROM toks
@@ -352,6 +355,8 @@ object PipelineQueries {
         |  FROM bands a
         |  JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
         |)""".stripMargin
+
+  private def kCoreOracleSql(k: Int, rounds: Int): String = {
     val peels = (1 to rounds).map { r =>
       s"""n$r AS MATERIALIZED (
          |  SELECT node FROM (
@@ -364,7 +369,7 @@ object PipelineQueries {
          |  WHERE lo IN (SELECT node FROM n$r)
          |    AND hi IN (SELECT node FROM n$r))""".stripMargin
     }.mkString(",\n")
-    s"""WITH $head,
+    s"""WITH $candidateEdgesHead,
        |$peels
        |SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
        |  SELECT lo AS node FROM e$rounds
@@ -2367,6 +2372,45 @@ object PipelineQueries {
         .select("doc_a", "doc_b")
       graft.operators.Graph.kCore(edges, "doc_a", "doc_b",
         k = 2, rounds = 6)
+    }),
+
+    // G5 (round 9): link prediction over the co-purchase graph
+    // (parts bought by >= 3 common customers) — non-adjacent part
+    // pairs sharing co-purchase neighbors are the recommendation /
+    // "related items" candidates, top-1000 by Adamic-Adar. (The
+    // near-dup candidate graph is the wrong substrate: LSH band
+    // buckets close their own triangles, so it has no open wedges.)
+    // Via-degree cap 256 bounds wedge fan-out at hub parts, mirrored
+    // in the oracle; top-k rides TakeOrderedAndProject.
+    "q240_link_predict" -> ((s, dir) => {
+      val cp = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+        .distinct()
+      val edges = cp.as("a")
+        .join(cp.as("b"),
+          col("a.cust") === col("b.cust") && col("a.part") < col("b.part"))
+        .groupBy(col("a.part").as("part_a"), col("b.part").as("part_b"))
+        .agg(count(lit(1)).as("__s"))
+        .where(col("__s") >= 3)
+      graft.operators.Graph.linkPredict(edges, "part_a", "part_b",
+          maxViaDegree = 256)
+        .orderBy(col("adamic_adar").desc, col("node_a"), col("node_b"))
+        .limit(1000)
+    }),
+
+    // G6 (round 9): contamination blast radius — deterministic
+    // leaked-doc stand-ins (doc_id % 25) expand 3 hops through the
+    // near-dup graph; hop number grades eviction confidence.
+    "q241_bfs_hops" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val edges = Dedup.minhashCandidates(
+          docs, "doc_id", "text",
+          numHashes = 8, rowsPerBand = 2, shingleSize = 3)
+        .select("doc_a", "doc_b")
+      graft.operators.Graph.bfsHops(edges, "doc_a", "doc_b",
+        docs.where(col("doc_id") % 25 === 0), "doc_id", rounds = 3)
     })
   )
 
@@ -4878,6 +4922,88 @@ object PipelineQueries {
     "q209_mmr_select" -> mmrOracleSql(k = 8, lambda = 0.7, queryId = 0L),
 
     "q215_kcore" -> kCoreOracleSql(k = 2, rounds = 6),
+
+    // G5: wedge enumeration at shared neighbors, AA terms round(12)
+    // into DECIMAL(38,12) (the q155 RRF discipline), existing edges
+    // anti-joined out, via-degree cap mirrored from the Spark side.
+    // Edge head = co-purchase pairs (lo < hi by construction, so the
+    // operator's least/greatest canonicalization is a no-op).
+    "q240_link_predict" ->
+      s"""WITH cp AS MATERIALIZED (
+         |  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+         |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+         |), e0 AS MATERIALIZED (
+         |  SELECT a.part AS lo, b.part AS hi
+         |  FROM cp a JOIN cp b ON b.cust = a.cust AND a.part < b.part
+         |  GROUP BY 1, 2
+         |  HAVING count(*) >= 3
+         |),
+         |nb AS MATERIALIZED (
+         |  SELECT lo AS node, hi AS nbr FROM e0
+         |  UNION ALL SELECT hi AS node, lo AS nbr FROM e0
+         |), deg AS MATERIALIZED (
+         |  SELECT node, COUNT(*) AS degree FROM nb GROUP BY node
+         |), via AS MATERIALIZED (
+         |  SELECT nb.nbr AS via, nb.node, d.degree AS vd
+         |  FROM nb JOIN deg d ON d.node = nb.nbr
+         |  WHERE d.degree <= 256
+         |), pairs AS MATERIALIZED (
+         |  SELECT a.node AS node_a, b.node AS node_b,
+         |    COUNT(*) AS cn,
+         |    SUM(CAST(round(1.0 / ln(CAST(a.vd AS DOUBLE)), 12)
+         |      AS DECIMAL(38,12))) AS aas
+         |  FROM via a JOIN via b ON a.via = b.via AND a.node < b.node
+         |  GROUP BY 1, 2
+         |)
+         |SELECT p.node_a, p.node_b, CAST(p.cn AS BIGINT) AS common_nbrs,
+         |  round(CAST(p.aas AS DOUBLE), 6) AS adamic_adar,
+         |  round(CAST(p.cn AS DOUBLE)
+         |    / CAST(da.degree + db.degree - p.cn AS DOUBLE), 6)
+         |    AS nbr_jaccard
+         |FROM pairs p
+         |JOIN deg da ON da.node = p.node_a
+         |JOIN deg db ON db.node = p.node_b
+         |WHERE NOT EXISTS (SELECT 1 FROM e0 e
+         |  WHERE e.lo = p.node_a AND e.hi = p.node_b)
+         |ORDER BY adamic_adar DESC, node_a, node_b
+         |LIMIT 1000""".stripMargin,
+
+    // G6: 3-round frontier expansion as an unrolled CTE chain (the
+    // kCore fixed-iteration contract) — integer hops, no floats.
+    "q241_bfs_hops" ->
+      s"""WITH $candidateEdgesHead,
+         |nb AS MATERIALIZED (
+         |  SELECT lo AS node, hi AS nbr FROM e0
+         |  UNION ALL SELECT hi AS node, lo AS nbr FROM e0
+         |), f0 AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id AS node FROM documents
+         |  WHERE doc_id % 25 = 0
+         |), r0 AS MATERIALIZED (
+         |  SELECT node, 0 AS hop FROM f0
+         |), f1 AS MATERIALIZED (
+         |  SELECT DISTINCT nb.nbr AS node FROM f0
+         |  JOIN nb ON nb.node = f0.node
+         |  WHERE nb.nbr NOT IN (SELECT node FROM r0)
+         |), r1 AS MATERIALIZED (
+         |  SELECT node, hop FROM r0
+         |  UNION ALL SELECT node, 1 AS hop FROM f1
+         |), f2 AS MATERIALIZED (
+         |  SELECT DISTINCT nb.nbr AS node FROM f1
+         |  JOIN nb ON nb.node = f1.node
+         |  WHERE nb.nbr NOT IN (SELECT node FROM r1)
+         |), r2 AS MATERIALIZED (
+         |  SELECT node, hop FROM r1
+         |  UNION ALL SELECT node, 2 AS hop FROM f2
+         |), f3 AS MATERIALIZED (
+         |  SELECT DISTINCT nb.nbr AS node FROM f2
+         |  JOIN nb ON nb.node = f2.node
+         |  WHERE nb.nbr NOT IN (SELECT node FROM r2)
+         |), r3 AS MATERIALIZED (
+         |  SELECT node, hop FROM r2
+         |  UNION ALL SELECT node, 3 AS hop FROM f3
+         |)
+         |SELECT node, CAST(hop AS INT) AS hop FROM r3
+         |ORDER BY node""".stripMargin,
 
     "q220_bootstrap_ci" -> bootstrapOracleSql(b = 32, alphaPerMille = 50),
 

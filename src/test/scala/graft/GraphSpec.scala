@@ -175,4 +175,72 @@ class GraphSpec extends AnyFunSuite {
       Seq(("a", "a", 99L))
     assert(lpa(noisy, rounds = 4) == lpa(base, rounds = 4))
   }
+
+  private def lp(edges: Seq[(String, String)], cap: Int = 256)
+      : Map[(String, String), (Long, Double, Double)] = {
+    val df = edges.toDF("src", "dst")
+    Graph.linkPredict(df, "src", "dst", maxViaDegree = cap)
+      .as[(String, String, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+  }
+
+  test("linkPredict: path and 4-cycle goldens (CN / AA / Jaccard)") {
+    // path a-b-c-d: (a,c) via b, (b,d) via c; (a,d) shares nothing.
+    val path = lp(Seq(("a", "b"), ("b", "c"), ("c", "d")))
+    assert(path.keySet == Set(("a", "c"), ("b", "d")))
+    val invLn2 = BigDecimal(1.0 / math.log(2.0))
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(path(("a", "c")) == ((1L, invLn2, 0.5)))
+    assert(path(("b", "d")) == ((1L, invLn2, 0.5)))
+    // 4-cycle: each diagonal closes through BOTH shared neighbors
+    // (deg 2 each), and the neighborhoods coincide -> jaccard 1.
+    val cyc = lp(Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")))
+    val twoInvLn2 = (BigDecimal(1.0 / math.log(2.0))
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP) * 2)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(cyc.keySet == Set(("a", "c"), ("b", "d")))
+    assert(cyc(("a", "c")) == ((2L, twoInvLn2, 1.0)))
+  }
+
+  test("linkPredict: via-degree cap drops hub wedges; direction/dup-blind") {
+    val star = (1 to 4).map(i => ("hub", s"s$i"))
+    // hub degree 4: cap 4 keeps it (6 spoke pairs), cap 3 drops it.
+    assert(lp(star, cap = 4).size == 6)
+    assert(lp(star, cap = 3).isEmpty)
+    // flipped + duplicated edges and a self-loop change nothing
+    val noisy = star ++ star.map(_.swap) ++ Seq(("hub", "hub"))
+    assert(lp(noisy, cap = 4) == lp(star, cap = 4))
+  }
+
+  test("linkPredict: adjacent pairs are excluded") {
+    // triangle + pendant: (a,c) adjacent -> excluded even though they
+    // share b; only (a,d)/(c,d) (via b) survive.
+    val g = lp(Seq(("a", "b"), ("b", "c"), ("a", "c"), ("b", "d")))
+    assert(g.keySet == Set(("a", "d"), ("c", "d")))
+  }
+
+  private def hops(
+      edges: Seq[(String, String)], seeds: Seq[String], rounds: Int)
+      : Map[String, Int] = {
+    val df = edges.toDF("src", "dst")
+    Graph.bfsHops(df, "src", "dst", seeds.toDF("id"), "id", rounds)
+      .as[(String, Int)].collect().toMap
+  }
+
+  test("bfsHops: path expansion, round bound, isolated seed kept") {
+    val path = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"))
+    // rounds=3 from a: e stays unreached (absent), not hop-capped.
+    assert(hops(path, Seq("a"), rounds = 3) ==
+      Map("a" -> 0, "b" -> 1, "c" -> 2, "d" -> 3))
+    // a seed with no edges is still in the radius at hop 0
+    assert(hops(path, Seq("a", "zz"), rounds = 1) ==
+      Map("a" -> 0, "zz" -> 0, "b" -> 1))
+  }
+
+  test("bfsHops: multi-source minimum hop wins; direction-blind") {
+    val path = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"))
+    val r = hops(path ++ path.map(_.swap), Seq("a", "e"), rounds = 2)
+    assert(r == Map("a" -> 0, "e" -> 0, "b" -> 1, "d" -> 1, "c" -> 2))
+  }
 }
