@@ -490,6 +490,163 @@ object Quality {
   }
 
   /**
+   * Per-segment Mann–Whitney U (Wilcoxon rank-sum) test — the
+   * DISTRIBUTION-FREE arm comparison the E20/E24 proportion tests
+   * can't give: does arm A's metric stochastically dominate arm B's,
+   * with no normality assumption and full robustness to outliers
+   * (a 1000× metric spike moves a mean test arbitrarily, a rank test
+   * by one rank)? The standard readout for skewed metrics — latency,
+   * spend, session length.
+   *
+   * Exact rank statistics without a per-row window: rows first
+   * reduce to per-(segment, value) tie groups (one partial-agg
+   * shuffle — the only corpus-sized exchange); each group's MIN rank
+   * is a running count over the per-segment DISTINCT-VALUE table
+   * (bounded, Zipf-sublinear), and a tie group's rank-sum
+   * contribution is t_a·(2·minrank + t − 1)/2 — kept as the DOUBLED
+   * integer so every accumulation is exact (DECIMAL(38,0), partition-
+   * order-free; per-row terms need group counts < ~2×10⁹, ANSI
+   * overflow = fail fast). Tie-corrected normal approximation:
+   * U_a = R_a − n_a(n_a+1)/2, μ = n_a·n_b/2,
+   * σ² = n_a·n_b/12 · (n+1 − Σ(t³−t)/(n(n−1))),
+   * z = (U_a − μ)/σ — the large-sample form (arms ≥ ~20 rows; at
+   * 100 TB every segment is), finishing in ONE fixed IEEE chain with
+   * round(6) at the boundary (z is SIGNED — oracle side carries the
+   * `+ 0.0` signed-zero normalization). Degenerate segments (an
+   * empty arm, or every value tied ⇒ σ = 0) emit NULL z and p —
+   * "untestable", distinct from p = 1. The p-value evaluates on the
+   * 6dp-rounded z (the [[abTestBy]] contract).
+   *
+   * Output: (keys..., n_a, n_b, u_a, z, p_value).
+   */
+  def mannWhitneyBy(
+      df: DataFrame, keyCols: Seq[String],
+      aCol: Column, valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(keyCols.nonEmpty, "need at least one key column")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val ties = df
+      .where(aCol.isNotNull && valueCol.isNotNull)
+      .groupBy(keyCols.map(col) :+ valueCol.cast("double").as("__v"): _*)
+      .agg(
+        count(lit(1)).as("__t"),
+        sum(when(aCol, 1L).otherwise(0L)).as("__ta"))
+    val wRank = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = ties.withColumn("__mr",
+      coalesce(sum(col("__t")).over(wRank), lit(0L)) + lit(1L))
+    val td = col("__t").cast(dec)
+    val agg = ranked
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        sum(col("__ta")).as("n_a"),
+        sum(col("__t") - col("__ta")).as("n_b"),
+        // doubled rank sum of arm A: Σ t_a·(2·minrank + t − 1)
+        sum((col("__ta") * (lit(2L) * col("__mr") + col("__t") - lit(1L)))
+          .cast(dec)).as("__r2a"),
+        // tie-correction mass Σ(t³ − t), decimal so a fully-tied
+        // 10⁹-row group still sums exactly
+        sum(td * td * td - td).as("__ts"))
+    val n = col("n_a") + col("n_b")
+    // 2·U_a and 2·(U_a − μ), exact integers until the final halving
+    val u2 = col("__r2a") - (col("n_a") * (col("n_a") + lit(1L))).cast(dec)
+    val num2 = u2 - (col("n_a") * col("n_b")).cast(dec)
+    val sigma = sqrt(
+      (col("n_a") * col("n_b")).cast("double") *
+        ((n + lit(1L)).cast("double") -
+          col("__ts").cast("double") / (n * (n - lit(1L))).cast("double"))
+        / lit(12.0))
+    val z = when(col("n_a") > 0 && col("n_b") > 0 && sigma > 0,
+      round(num2.cast("double") / lit(2.0) / sigma, 6))
+    agg.select(
+      keyCols.map(col) ++ Seq(
+        col("n_a"), col("n_b"),
+        (u2.cast("double") / lit(2.0)).as("u_a"),
+        z.as("z"),
+        round(normalTwoSidedP(z), 6).as("p_value")): _*)
+  }
+
+  /**
+   * T51: cross-group quantile normalization — score harmonization
+   * for corpora scored by DIFFERENT scorers: a per-source quality
+   * score is only rankable within its source (one scorer is strict,
+   * another lenient), so mixing sources by raw score silently
+   * over-samples the lenient one. The fix is the classic quantile
+   * map: replace each row's value with the GLOBAL distribution's
+   * value at the row's within-group quantile position — after it,
+   * every group's score distribution is the global one, and
+   * cross-source thresholds/mixtures mean the same thing everywhere
+   * (the bioinformatics quantile-normalization trick, applied to
+   * curation scores).
+   *
+   * Exactness: the within-group position maps to the global sorted
+   * index by pure INTEGER rational arithmetic — pos = (r−1)(N−1),
+   * k = pos div (n_g−1), frac = (pos mod (n_g−1))/(n_g−1) — so the
+   * type-7 interpolation index is engine-exact (never a float-fuzzed
+   * floor; per-row products need r·N < 2⁶³, ANSI overflow = fail
+   * fast), and the finish v_k + frac·(v_{k+1} − v_k) is one fixed
+   * IEEE chain over raw parquet doubles. The boundary is the
+   * FLOOR-GRID (floor(x·10⁶)/10⁶, the q163/q195 primitive), not
+   * round(6): interpolating coarse-decimal values by small-rational
+   * fractions lands exactly on x.xxxxxx5 ties often enough that the
+   * engines' differing round-half rules diverge (two cells in 10⁴
+   * rows at sf0.01) — floor of identical doubles has zero
+   * rounding-rule hazard.
+   *
+   * Scale: the global sorted index rides [[Ordinals.withOrdinals]]
+   * (two-level bucketed ordinals — no single-partition window), the
+   * within-group rank is one key-partitioned window, and the map is
+   * two ordinal equi-joins. NULL values drop before ranking;
+   * singleton groups (n_g = 1) have no within-group distribution and
+   * emit NULL norm — "unmappable", not the global median.
+   *
+   * Output: (idCol, groupCol, value, norm).
+   */
+  def quantileNormalize(
+      df: DataFrame, idCol: String, groupCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .where(col(valueCol).isNotNull)
+      .select(col(idCol), col(groupCol),
+        col(valueCol).cast("double").as("__v"))
+    // global 1-based sorted index; consumed by BOTH interpolation
+    // joins -> barrier once (q127 shared-subtree rule)
+    val gl = Ordinals.withOrdinals(
+        base.select(col("__v"), col(idCol)),
+        Seq(col("__v"), col(idCol)), "__gr")
+      .select(col("__gr"), col("__v").as("__gv"))
+      .localCheckpoint()
+    val nRow = gl.agg(max(col("__gr")).as("__nn"))
+    val wRank = Window.partitionBy(col(groupCol))
+      .orderBy(col("__v"), col(idCol))
+    val wGrp = Window.partitionBy(col(groupCol))
+    val pos = base
+      .withColumn("__r", row_number().over(wRank).cast("long"))
+      .withColumn("__ng", count(lit(1)).over(wGrp))
+      .crossJoin(broadcast(nRow))
+      .withColumn("__pn", (col("__r") - 1L) * (col("__nn") - 1L))
+      .withColumn("__dn", col("__ng") - 1L)
+      .withColumn("__k",
+        when(col("__dn") > 0, expr("__pn div __dn")))
+      .withColumn("__pm",
+        when(col("__dn") > 0, col("__pn") % col("__dn")))
+    pos
+      .join(gl.select(col("__gr").as("__gra"), col("__gv").as("__va")),
+        col("__gra") === col("__k") + 1L, "left")
+      .join(gl.select(col("__gr").as("__grb"), col("__gv").as("__vb")),
+        col("__grb") === col("__k") + 2L, "left")
+      .select(
+        col(idCol), col(groupCol), col("__v").as("value"),
+        when(col("__dn") > 0,
+          floor((col("__va") +
+            (col("__pm").cast("double") / col("__dn").cast("double")) *
+              (coalesce(col("__vb"), col("__va")) - col("__va"))) *
+            lit(1000000.0)).cast("double") / lit(1000000.0))
+          .as("norm"))
+  }
+
+  /**
    * Minimum-detectable-effect (power) readout — the experiment
    * DESIGN half of the E20/E24/E25 family, run BEFORE launch: given
    * each segment's observed arm sizes and pooled baseline rate, the

@@ -401,6 +401,83 @@ object TimeSeries {
       round(intercept, 6).as("intercept"))
   }
 
+  /**
+   * E28: per-key autocorrelation function at lags 1..maxLag — the
+   * time-series memory diagnostic run before trusting any
+   * independence assumption downstream (bootstrap/CI width, anomaly
+   * thresholds, A/B interleaving): ACF ≈ 0 at all lags says shuffled
+   * metrics are exchangeable; a slow-decay ACF says effective sample
+   * size is far below row count and seasonal structure (q216) should
+   * be modeled, not averaged over.
+   *
+   * Estimator (the standard jointly-centered form): for lag l over
+   * the per-key series x₁..xₙ ordered by (tsCol, tieCol),
+   * ACF(l) = Σᵢ(xᵢ−x̄)(xᵢ₊ₗ−x̄) / Σᵢ(xᵢ−x̄)², expanded to raw
+   * moments so every accumulated sum is EXACT: values quantize once
+   * to DECIMAL(18,6) (the trendFit contract), the per-lag sums
+   * Σx·xₗ (exact decimal products), Σ(x+xₗ) and pair counts ride ONE
+   * aggregation, and the finish is one fixed IEEE chain —
+   * num = Σxxₗ − x̄·Σ(x+xₗ) + nₗ·x̄², den = Σx² − n·x̄² — with
+   * round(6) at the boundary (SIGNED — the oracle carries `+ 0.0`).
+   *
+   * Scale: one key-partitioned window pass computes all maxLag leads
+   * (a single sort, no self-joins), and the groupBy reuses the
+   * window's hash partitioning — one exchange total. NULL values are
+   * excluded BEFORE ordering (the series contracts over observed
+   * points; gap-fill first via [[gapFillDaily]] when calendar
+   * spacing matters). Degenerate keys (constant series ⇒ den = 0,
+   * or fewer than l+1 points) emit NULL acf for the affected lags.
+   *
+   * Output: (key, lag, n, n_pairs, acf) — one row per key × lag.
+   */
+  def autocorrelation(
+      df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+      valueCol: String, maxLag: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val dec = DecimalType(18, 6)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val base = df
+      .where(col(valueCol).isNotNull)
+      .select(col(keyCol), col(tsCol), col(tieCol),
+        col(valueCol).cast(dec).as("__x"))
+    val withLeads = base.select(
+      col(keyCol) +: col("__x") +:
+        (1 to maxLag).map(l =>
+          lead(col("__x"), l).over(w).as(s"__l$l")): _*)
+    val aggs =
+      Seq(
+        count(lit(1)).as("n"),
+        sum(col("__x")).as("__sx"),
+        sum(col("__x") * col("__x")).as("__sxx")) ++
+      (1 to maxLag).flatMap(l => Seq(
+        count(col(s"__l$l")).as(s"__np$l"),
+        sum(col("__x") * col(s"__l$l")).as(s"__sxy$l"),
+        sum(when(col(s"__l$l").isNotNull, col("__x") + col(s"__l$l")))
+          .as(s"__hs$l")))
+    val wide = withLeads.groupBy(col(keyCol))
+      .agg(aggs.head, aggs.tail: _*)
+    val lags = explode(array((1 to maxLag).map(l => struct(
+      lit(l).as("lag"), col(s"__np$l").as("np"),
+      col(s"__sxy$l").as("sxy"), col(s"__hs$l").as("hs"))): _*))
+    val long = wide.select(
+      col(keyCol), col("n"), col("__sx"), col("__sxx"), lags.as("__lg"))
+    val xbar = col("__sx").cast("double") / col("n").cast("double")
+    val num = col("__lg.sxy").cast("double") -
+      xbar * col("__lg.hs").cast("double") +
+      col("__lg.np").cast("double") * xbar * xbar
+    val den = col("__sxx").cast("double") -
+      col("n").cast("double") * xbar * xbar
+    long.select(
+      col(keyCol),
+      col("__lg.lag").as("lag"),
+      col("n"),
+      col("__lg.np").as("n_pairs"),
+      when(col("__lg.np") > 0 && den > 0.0,
+        round(num / den, 6)).as("acf"))
+  }
+
   def peakConcurrency(
       intervals: DataFrame, startCol: String, endCol: String,
       bucketMicros: Long = 3600L * 1000000L): DataFrame = {

@@ -356,6 +356,50 @@ object PipelineQueries {
         |  JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
         |)""".stripMargin
 
+  /** q243 oracle generator: the autocorrelation estimator's exact
+    * decimal moment sums and fixed IEEE finish, one lead column per
+    * lag in a single named window, per-lag rows via UNION ALL. The
+    * x̄ subexpression repeats VERBATIM everywhere it appears (the
+    * q153 discipline) so both engines run identical op chains; acf
+    * is signed, hence the `+ 0.0`. */
+  private def acfOracleSql(maxLag: Int): String = {
+    val leadDefs = (1 to maxLag).map(l =>
+      s"lead(CAST(value AS DECIMAL(18,6)), $l) OVER win AS l$l")
+      .mkString(",\n    ")
+    val aggDefs = (1 to maxLag).map(l =>
+      s"COUNT(l$l) AS np$l, SUM(x * l$l) AS sxy$l,\n    " +
+        s"SUM(CASE WHEN l$l IS NOT NULL THEN x + l$l END) AS hs$l")
+      .mkString(",\n    ")
+    val unions = (1 to maxLag).map(l =>
+      s"SELECT event_type, n, sx, sxx, $l AS lag, np$l AS np, " +
+        s"sxy$l AS sxy, hs$l AS hs FROM s")
+      .mkString("\n  UNION ALL ")
+    val xbar = "(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+    val den = s"CAST(sxx AS DOUBLE) - CAST(n AS DOUBLE) * $xbar * $xbar"
+    s"""WITH e AS (
+       |  SELECT event_type, CAST(value AS DECIMAL(18,6)) AS x,
+       |    $leadDefs
+       |  FROM events WHERE value IS NOT NULL
+       |  WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id)
+       |), s AS (
+       |  SELECT event_type, COUNT(*) AS n, SUM(x) AS sx,
+       |    SUM(x * x) AS sxx,
+       |    $aggDefs
+       |  FROM e GROUP BY event_type
+       |), l AS (
+       |  $unions
+       |)
+       |SELECT event_type, CAST(lag AS INT) AS lag, CAST(n AS BIGINT) AS n,
+       |  CAST(np AS BIGINT) AS n_pairs,
+       |  CASE WHEN np > 0 AND $den > 0.0
+       |  THEN round(
+       |    (CAST(sxy AS DOUBLE) - $xbar * CAST(hs AS DOUBLE)
+       |      + CAST(np AS DOUBLE) * $xbar * $xbar)
+       |    / ($den), 6) + 0.0
+       |  END AS acf
+       |FROM l ORDER BY event_type, lag""".stripMargin
+  }
+
   private def kCoreOracleSql(k: Int, rounds: Int): String = {
     val peels = (1 to rounds).map { r =>
       s"""n$r AS MATERIALIZED (
@@ -2411,6 +2455,39 @@ object PipelineQueries {
         .select("doc_a", "doc_b")
       graft.operators.Graph.bfsHops(edges, "doc_a", "doc_b",
         docs.where(col("doc_id") % 25 === 0), "doc_id", rounds = 3)
+    }),
+
+    // E27 (round 9): Mann-Whitney U rank-sum test — the
+    // distribution-free arm comparison for the skewed `value` metric
+    // per event_type segment; exact tie-corrected rank statistics
+    // from one tie-group shuffle + a distinct-value window.
+    "q242_mann_whitney" -> ((s, dir) => {
+      graft.operators.Quality.mannWhitneyBy(
+          t(s, dir, "events"), Seq("event_type"),
+          col("user_id") % 2 === 0, col("value"))
+        .orderBy("event_type")
+    }),
+
+    // E28 (round 9): autocorrelation function at lags 1..5 per
+    // event_type — the independence diagnostic before trusting
+    // bootstrap widths / anomaly thresholds; one window pass
+    // computes all leads, exact decimal moment sums, fixed IEEE
+    // finish.
+    "q243_autocorrelation" -> ((s, dir) => {
+      graft.operators.TimeSeries.autocorrelation(
+          t(s, dir, "events"), "event_type", "ts", "event_id",
+          "value", maxLag = 5)
+        .orderBy("event_type", "lag")
+    }),
+
+    // T51 (round 9): quantile normalization — per-event_type values
+    // mapped onto the global distribution at their within-group
+    // quantile position (type-7, exact integer index arithmetic);
+    // cross-source score harmonization.
+    "q244_quantile_normalize" -> ((s, dir) => {
+      graft.operators.Quality.quantileNormalize(
+          t(s, dir, "events"), "event_id", "event_type", "value")
+        .orderBy("event_id")
     })
   )
 
@@ -5004,6 +5081,99 @@ object PipelineQueries {
          |)
          |SELECT node, CAST(hop AS INT) AS hop FROM r3
          |ORDER BY node""".stripMargin,
+
+    // E27: tie groups -> running min-rank over the distinct-value
+    // table -> exact DECIMAL/HUGEINT rank sums -> one fixed IEEE
+    // finish; z is signed (+ 0.0), p evaluates on the rounded z.
+    "q242_mann_whitney" ->
+      """WITH e AS (
+        |  SELECT event_type, (user_id % 2 = 0) AS a,
+        |    CAST(value AS DOUBLE) AS v
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |), g AS (
+        |  SELECT event_type, v, COUNT(*) AS t,
+        |    SUM(CASE WHEN a THEN 1 ELSE 0 END) AS ta
+        |  FROM e GROUP BY 1, 2
+        |), r AS (
+        |  SELECT event_type, v, t, ta,
+        |    COALESCE(SUM(t) OVER (PARTITION BY event_type ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+        |      AS mr
+        |  FROM g
+        |), s AS (
+        |  SELECT event_type,
+        |    CAST(SUM(ta) AS BIGINT) AS n_a,
+        |    CAST(SUM(t - ta) AS BIGINT) AS n_b,
+        |    SUM(CAST(ta * (2 * mr + t - 1) AS DECIMAL(38,0))) AS r2a,
+        |    SUM(CAST(CAST(t AS HUGEINT) * t * t - t AS DECIMAL(38,0)))
+        |      AS ts
+        |  FROM r GROUP BY 1
+        |), f AS (
+        |  SELECT event_type, n_a, n_b,
+        |    CAST(r2a - n_a * (n_a + 1) AS DOUBLE) / 2.0 AS u_a,
+        |    CAST(r2a - n_a * (n_a + 1) - n_a * n_b AS DOUBLE) AS num2,
+        |    sqrt(CAST(n_a * n_b AS DOUBLE)
+        |      * (CAST(n_a + n_b + 1 AS DOUBLE)
+        |         - CAST(ts AS DOUBLE)
+        |           / CAST((n_a + n_b) * (n_a + n_b - 1) AS DOUBLE))
+        |      / 12.0) AS sigma
+        |  FROM s
+        |), zt AS (
+        |  SELECT event_type, n_a, n_b, u_a,
+        |    CASE WHEN n_a > 0 AND n_b > 0 AND sigma > 0
+        |      THEN round(num2 / 2.0 / sigma, 6) + 0.0 END AS z
+        |  FROM f
+        |), pt AS (
+        |  SELECT event_type, n_a, n_b, u_a, z,
+        |    abs(z) / sqrt(2.0) AS x,
+        |    1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS t
+        |  FROM zt
+        |)
+        |SELECT event_type, n_a, n_b, u_a, z,
+        |  round(t * (0.254829592 + t * (-0.284496736 +
+        |    t * (1.421413741 + t * (-1.453152027 +
+        |      t * 1.061405429)))) * exp(-(x * x)), 6) AS p_value
+        |FROM pt ORDER BY event_type""".stripMargin,
+
+    "q243_autocorrelation" -> acfOracleSql(maxLag = 5),
+
+    // T51: within-group rank -> exact rational global index ->
+    // type-7 interpolation; integer div/mod stay BIGINT end to end
+    // (the q220 discipline); the finish is the FLOOR-GRID, not
+    // round(6) — interpolated coarse decimals hit round-half ties.
+    "q244_quantile_normalize" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, CAST(value AS DOUBLE) AS v
+        |  FROM events WHERE value IS NOT NULL
+        |), g AS (
+        |  SELECT event_id, event_type, v,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY v, event_id) AS r,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS ng
+        |  FROM e
+        |), gl AS (
+        |  SELECT v AS gv, row_number() OVER (ORDER BY v, event_id) AS gr
+        |  FROM e
+        |), nn AS (
+        |  SELECT MAX(gr) AS n FROM gl
+        |), p AS (
+        |  SELECT g.event_id, g.event_type, g.v,
+        |    (r - 1) * (n - 1) AS pn, ng - 1 AS dn
+        |  FROM g CROSS JOIN nn
+        |)
+        |SELECT p.event_id, p.event_type, p.v AS value,
+        |  CASE WHEN dn > 0 THEN
+        |    CAST(floor((a.gv
+        |      + (CAST(pn % dn AS DOUBLE) / CAST(dn AS DOUBLE))
+        |        * (COALESCE(b.gv, a.gv) - a.gv)) * 1000000.0)
+        |      AS DOUBLE) / 1000000.0
+        |  END AS norm
+        |FROM p
+        |LEFT JOIN gl a ON a.gr =
+        |  (CASE WHEN dn > 0 THEN pn // dn END) + 1
+        |LEFT JOIN gl b ON b.gr =
+        |  (CASE WHEN dn > 0 THEN pn // dn END) + 2
+        |ORDER BY event_id""".stripMargin,
 
     "q220_bootstrap_ci" -> bootstrapOracleSql(b = 32, alphaPerMille = 50),
 

@@ -560,6 +560,76 @@ class QualitySpec extends AnyFunSuite {
     assert(out("s2") === ((None, None)))
   }
 
+  test("mannWhitneyBy: hand-computed z without and with ties") {
+    // no ties: A = {1,2,3}, B = {4,5}: R_a = 6, U_a = 0, mu = 3,
+    // sigma^2 = (6/12)*(6-0) = 3, z = -3/sqrt(3) = -sqrt(3)
+    val clean = Seq(
+      ("s", true, 1.0), ("s", true, 2.0), ("s", true, 3.0),
+      ("s", false, 4.0), ("s", false, 5.0)).toDF("seg", "a", "v")
+    val r1 = Quality.mannWhitneyBy(clean, Seq("seg"), col("a"), col("v"))
+      .select("n_a", "n_b", "u_a", "z").as[(Long, Long, Double, Double)]
+      .collect().head
+    assert(r1 === ((3L, 2L, 0.0,
+      BigDecimal(-math.sqrt(3.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    // ties: A = {1,2,2}, B = {2,4}: the three 2s share avg rank 3,
+    // R_a = 1+3+3 = 7, U_a = 1, tie mass t^3-t = 24,
+    // sigma^2 = (6/12)*(6 - 24/20) = 2.4, z = -2/sqrt(2.4)
+    val tied = Seq(
+      ("s", true, 1.0), ("s", true, 2.0), ("s", true, 2.0),
+      ("s", false, 2.0), ("s", false, 4.0)).toDF("seg", "a", "v")
+    val r2 = Quality.mannWhitneyBy(tied, Seq("seg"), col("a"), col("v"))
+      .select("u_a", "z").as[(Double, Double)].collect().head
+    assert(r2._1 === 1.0)
+    assert(r2._2 === BigDecimal(-2.0 / math.sqrt(2.4))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("mannWhitneyBy: degenerate segments are NULL, not zero") {
+    val df = Seq(
+      // s1: every value tied -> sigma = 0 -> untestable
+      ("s1", true, 7.0), ("s1", true, 7.0), ("s1", false, 7.0),
+      // s2: only arm a present -> untestable
+      ("s2", true, 1.0), ("s2", true, 2.0),
+      // s3: healthy two-arm segment
+      ("s3", true, 1.0), ("s3", false, 2.0)
+    ).toDF("seg", "a", "v")
+    val out = Quality.mannWhitneyBy(df, Seq("seg"), col("a"), col("v"))
+      .select("seg", "z", "p_value")
+      .as[(String, Option[Double], Option[Double])].collect()
+      .map(r => (r._1, (r._2, r._3))).toMap
+    assert(out("s1") === ((None, None)))
+    assert(out("s2") === ((None, None)))
+    assert(out("s3")._1.isDefined)
+    assert(out("s3")._2.exists(p => p > 0 && p <= 1))
+  }
+
+  test("quantileNormalize: type-7 map onto the global distribution; " +
+      "singleton groups NULL; NULL values dropped") {
+    // global sorted: [0,1,2,3,4,5,10,99] (N=8). g1 has 5 rows ->
+    // dn=4, positions 0, 7/4, 14/4, 21/4, 28/4 over indices 0..7.
+    val df = Seq(
+      ("a1", "g1", Some(1.0)), ("a2", "g1", Some(2.0)),
+      ("a3", "g1", Some(3.0)), ("a4", "g1", Some(4.0)),
+      ("a5", "g1", Some(5.0)),
+      ("b1", "g2", Some(0.0)), ("b2", "g2", Some(10.0)),
+      ("c1", "g3", Some(99.0)),
+      ("d1", "g1", None)
+    ).toDF("id", "grp", "v")
+    val out = Quality.quantileNormalize(df, "id", "grp", "v")
+      .as[(String, String, Double, Option[Double])].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(out("a1") === Some(0.0))   // p=0 -> global min
+    assert(out("a2") === Some(1.75))  // k=1, f=3/4: 1 + 0.75*(2-1)
+    assert(out("a3") === Some(3.5))   // k=3, f=1/2: 3 + 0.5*(4-3)
+    assert(out("a4") === Some(6.25))  // k=5, f=1/4: 5 + 0.25*(10-5)
+    assert(out("a5") === Some(99.0))  // p=1 -> global max
+    assert(out("b1") === Some(0.0))
+    assert(out("b2") === Some(99.0))
+    assert(out("c1") === None)        // singleton group: unmappable
+    assert(!out.contains("d1"))       // NULL value dropped
+  }
+
   test("functionalDependencies: violations, NULL-rhs immunity, NULL-lhs group") {
     val df = Seq(
       (Some(1), Some("x")),                     // clean key

@@ -258,4 +258,40 @@ class TimeSeriesSpec extends AnyFunSuite {
       (1, 10, 2L, 2.0, 1.0, 2L, 1L),
       (1, 12, 2L, 5.0, 0.0, 1L, 0L)))
   }
+
+  test("autocorrelation: hand-computed ACF on 1..4; degenerate lags NULL") {
+    // x = [1,2,3,4]: xbar = 2.5, den = 5;
+    // lag1 cov 1.25 -> 0.25; lag2 -1.5 -> -0.3; lag3 -2.25 -> -0.45;
+    // lag4 has no pairs -> NULL. A NULL value row is excluded.
+    val df = Seq(
+      ("k", 1L, 1L, Some(1.0)), ("k", 2L, 2L, Some(2.0)),
+      ("k", 3L, 3L, Some(3.0)), ("k", 4L, 4L, Some(4.0)),
+      ("k", 5L, 5L, None),
+      // constant series: den = 0 -> every lag NULL
+      ("c", 1L, 1L, Some(7.0)), ("c", 2L, 2L, Some(7.0)),
+      ("c", 3L, 3L, Some(7.0))
+    ).toDF("key", "ts", "id", "v")
+    val out = TimeSeries.autocorrelation(df, "key", "ts", "id", "v", 4)
+      .as[(String, Int, Long, Long, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(out(("k", 1)) === ((4L, 3L, Some(0.25))))
+    assert(out(("k", 2)) === ((4L, 2L, Some(-0.3))))
+    assert(out(("k", 3)) === ((4L, 1L, Some(-0.45))))
+    assert(out(("k", 4)) === ((4L, 0L, None)))
+    assert((1 to 4).forall(l => out(("c", l))._3.isEmpty))
+  }
+
+  test("autocorrelation: ordering uses the tiebreak within equal ts") {
+    // same ts everywhere: series order is the id column; a perfectly
+    // alternating series has ACF(1) < 0 and ACF(2) > 0.
+    val df = Seq(
+      ("k", 0L, 1L, 1.0), ("k", 0L, 2L, 3.0), ("k", 0L, 3L, 1.0),
+      ("k", 0L, 4L, 3.0), ("k", 0L, 5L, 1.0), ("k", 0L, 6L, 3.0)
+    ).toDF("key", "ts", "id", "v")
+    val out = TimeSeries.autocorrelation(df, "key", "ts", "id", "v", 2)
+      .as[(String, Int, Long, Long, Option[Double])].collect()
+      .map(r => r._2 -> r._5).toMap
+    assert(out(1).exists(_ < 0))
+    assert(out(2).exists(_ > 0))
+  }
 }
