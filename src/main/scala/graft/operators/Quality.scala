@@ -567,6 +567,138 @@ object Quality {
   }
 
   /**
+   * E29: difference-in-differences estimator, per segment — the
+   * quasi-experimental readout when assignment wasn't randomized
+   * (a rollout hit region A but not B): the treatment effect is the
+   * POST−PRE change in the treated arm MINUS the same change in the
+   * control arm, which cancels both time-invariant arm differences
+   * and arm-invariant time shocks (the parallel-trends assumption —
+   * state it, test it upstream with q216's seasonal baselines).
+   *
+   * DiD = (ȳ_A,post − ȳ_A,pre) − (ȳ_B,post − ȳ_B,pre), with the
+   * four cell means from EXACT decimal sums (DECIMAL(18,6) values —
+   * partition-order-free) and the large-sample SE from per-cell
+   * sample variances, √Σ s²_c/n_c. Every variance clamps at 0
+   * (float cancellation on a near-constant cell must not NaN the
+   * sqrt), the finish is one fixed IEEE chain, round(6) at the
+   * boundary; did/z are SIGNED (oracle carries `+ 0.0`). A segment
+   * with an EMPTY cell emits NULL did (the estimator is undefined);
+   * any cell with n < 2 emits NULL se/z (no variance estimate).
+   *
+   * Scale: one partial-aggregated key shuffle — the four cells ride
+   * conditional aggregates in a single pass, never four scans.
+   *
+   * Output: (keys..., n_a_pre, n_a_post, n_b_pre, n_b_post,
+   * did, se, z).
+   */
+  def diffInDiff(
+      df: DataFrame, keyCols: Seq[String],
+      aCol: Column, postCol: Column, valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(keyCols.nonEmpty, "need at least one key column")
+    val dec = DecimalType(18, 6)
+    val v = valueCol.cast(dec)
+    val cells = Seq(
+      ("a_pre", aCol && !postCol), ("a_post", aCol && postCol),
+      ("b_pre", !aCol && !postCol), ("b_post", !aCol && postCol))
+    val aggs = cells.flatMap { case (name, cond) => Seq(
+      count(when(cond, lit(1))).as(s"n_$name"),
+      sum(when(cond, v)).as(s"__s_$name"),
+      sum(when(cond, v * v)).as(s"__ss_$name"))
+    }
+    val agg = df
+      .where(aCol.isNotNull && postCol.isNotNull && valueCol.isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    def m(name: String): Column =
+      col(s"__s_$name").cast("double") / col(s"n_$name").cast("double")
+    // per-cell sample variance over n-1, clamped at 0
+    def sv(name: String): Column = greatest(
+      (col(s"__ss_$name").cast("double") -
+        col(s"n_$name").cast("double") * m(name) * m(name)) /
+        (col(s"n_$name").cast("double") - lit(1.0)),
+      lit(0.0))
+    val allPresent = cells.map(c => col(s"n_${c._1}") > 0).reduce(_ && _)
+    val allVar = cells.map(c => col(s"n_${c._1}") > 1).reduce(_ && _)
+    val did = (m("a_post") - m("a_pre")) - (m("b_post") - m("b_pre"))
+    val se = sqrt(
+      sv("a_post") / col("n_a_post").cast("double") +
+      sv("a_pre") / col("n_a_pre").cast("double") +
+      sv("b_post") / col("n_b_post").cast("double") +
+      sv("b_pre") / col("n_b_pre").cast("double"))
+    agg.select(
+      keyCols.map(col) ++ Seq(
+        col("n_a_pre"), col("n_a_post"), col("n_b_pre"), col("n_b_post"),
+        when(allPresent, round(did, 6)).as("did"),
+        when(allVar, round(se, 6)).as("se"),
+        when(allVar && se > 0, round(did / se, 6)).as("z")): _*)
+  }
+
+  /**
+   * E30: empirical-Bayes rate shrinkage (beta-binomial, method of
+   * moments) — the fix for "rank keys by conversion rate" being
+   * dominated by 1/1 flukes: every key's raw rate c/n shrinks toward
+   * the population prior, weighted by its own evidence —
+   * shrunk = (c + α)/(n + α + β) — so a 1/1 lands near the prior
+   * mean while a 900/1000 barely moves. α, β fit by moment-matching
+   * the ACROSS-KEY rate distribution: with μ, v the mean and
+   * population variance of raw rates, α+β = μ(1−μ)/v − 1, α = μ·(α+β)
+   * (Robbins' classic recipe — no iteration, one aggregate).
+   *
+   * Float parity: per-key raw rates round(12) into DECIMAL(38,12)
+   * before the prior sums (q155 discipline — exact,
+   * partition-order-free); the prior scalars are ONE cross-joined
+   * row (house one-row-frame contract) and every downstream op is a
+   * fixed IEEE chain, round(6) at the boundary (all outputs
+   * non-negative — no signed-zero exposure). Degenerate priors
+   * (v = 0: all keys identical; or v ≥ μ(1−μ): more dispersed than
+   * binomial sampling noise allows, i.e. α+β ≤ 0) emit NULL
+   * alpha/beta/shrunk — shrinkage is then undefined and raw rates
+   * stand.
+   *
+   * Scale: one partial-aggregated key shuffle + one one-row prior
+   * aggregate; nothing corpus-sized crosses the driver.
+   *
+   * Output: (keys..., n, c, raw, alpha, beta, shrunk).
+   */
+  def ebShrinkRates(
+      df: DataFrame, keyCols: Seq[String], convCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(keyCols.nonEmpty, "need at least one key column")
+    val dec = DecimalType(38, 12)
+    val perKey = df
+      .where(convCol.isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(convCol, 1L).otherwise(0L)).as("c"))
+    val raw = col("c").cast("double") / col("n").cast("double")
+    val rated = perKey
+      .withColumn("__r12", round(raw, 12).cast(dec))
+      .withColumn("__rr12", round(raw * raw, 12).cast(dec))
+    val prior = rated.agg(
+      count(lit(1)).as("__k"),
+      sum(col("__r12")).as("__sr"),
+      sum(col("__rr12")).as("__srr"))
+    val mu = col("__sr").cast("double") / col("__k").cast("double")
+    val v = col("__srr").cast("double") / col("__k").cast("double") -
+      mu * mu
+    val m = mu * (lit(1.0) - mu) / v - lit(1.0)
+    val valid = v > 0 && m > 0
+    val shrunk = (col("c").cast("double") + mu * m) /
+      (col("n").cast("double") + m)
+    rated
+      .crossJoin(broadcast(prior))
+      .select(
+        keyCols.map(col) ++ Seq(
+          col("n"), col("c"),
+          round(raw, 6).as("raw"),
+          when(valid, round(mu * m, 6)).as("alpha"),
+          when(valid, round((lit(1.0) - mu) * m, 6)).as("beta"),
+          when(valid, round(shrunk, 6)).as("shrunk")): _*)
+  }
+
+  /**
    * T51: cross-group quantile normalization — score harmonization
    * for corpora scored by DIFFERENT scorers: a per-source quality
    * score is only rankable within its source (one scorer is strict,

@@ -356,6 +356,58 @@ object PipelineQueries {
         |  JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
         |)""".stripMargin
 
+  /** q246 oracle: the DiD estimator's four-cell decimal moments and
+    * fixed IEEE finish. Cell means repeat VERBATIM (q153 discipline);
+    * did/z signed (+ 0.0), per-cell variances clamp at 0. */
+  private def didOracleSql: String = {
+    val cells = Seq(
+      "a_pre" -> "a AND NOT post", "a_post" -> "a AND post",
+      "b_pre" -> "(NOT a) AND NOT post", "b_post" -> "(NOT a) AND post")
+    val aggDefs = cells.map { case (n, c) =>
+      s"""CAST(COUNT(CASE WHEN $c THEN 1 END) AS BIGINT) AS n_$n,
+         |    SUM(CASE WHEN $c THEN v END) AS s_$n,
+         |    SUM(CASE WHEN $c THEN v * v END) AS ss_$n""".stripMargin
+    }.mkString(",\n    ")
+    def m(n: String) =
+      s"(CAST(s_$n AS DOUBLE) / CAST(n_$n AS DOUBLE))"
+    def svOverN(n: String) =
+      s"""greatest((CAST(ss_$n AS DOUBLE)
+         |      - CAST(n_$n AS DOUBLE) * ${m(n)} * ${m(n)})
+         |      / (CAST(n_$n AS DOUBLE) - 1.0), 0.0)
+         |      / CAST(n_$n AS DOUBLE)""".stripMargin
+    val did = s"(${m("a_post")} - ${m("a_pre")}) " +
+      s"- (${m("b_post")} - ${m("b_pre")})"
+    val se = s"""sqrt(${svOverN("a_post")}
+                |    + ${svOverN("a_pre")}
+                |    + ${svOverN("b_post")}
+                |    + ${svOverN("b_pre")})""".stripMargin
+    val allPresent = cells.map(c => s"n_${c._1} > 0").mkString(" AND ")
+    val allVar = cells.map(c => s"n_${c._1} > 1").mkString(" AND ")
+    s"""WITH e AS (
+       |  SELECT event_type, (user_id % 2 = 0) AS a,
+       |    (EXTRACT(day FROM ts) >= 16) AS post,
+       |    CAST(value AS DECIMAL(18,6)) AS v
+       |  FROM events
+       |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+       |    AND value IS NOT NULL
+       |), g AS (
+       |  SELECT event_type,
+       |    $aggDefs
+       |  FROM e GROUP BY 1
+       |), f AS (
+       |  SELECT event_type, n_a_pre, n_a_post, n_b_pre, n_b_post,
+       |    $did AS did,
+       |    $se AS se
+       |  FROM g
+       |)
+       |SELECT event_type, n_a_pre, n_a_post, n_b_pre, n_b_post,
+       |  CASE WHEN $allPresent THEN round(did, 6) + 0.0 END AS did,
+       |  CASE WHEN $allVar THEN round(se, 6) END AS se,
+       |  CASE WHEN $allVar AND se > 0 THEN round(did / se, 6) + 0.0
+       |    END AS z
+       |FROM f ORDER BY event_type""".stripMargin
+  }
+
   /** q243 oracle generator: the autocorrelation estimator's exact
     * decimal moment sums and fixed IEEE finish, one lead column per
     * lag in a single named window, per-lag rows via UNION ALL. The
@@ -2427,21 +2479,32 @@ object PipelineQueries {
     // Via-degree cap 256 bounds wedge fan-out at hub parts, mirrored
     // in the oracle; top-k rides TakeOrderedAndProject.
     "q240_link_predict" -> ((s, dir) => {
-      val cp = t(s, dir, "lineitem")
-        .join(t(s, dir, "orders"),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
-        .distinct()
-      val edges = cp.as("a")
-        .join(cp.as("b"),
-          col("a.cust") === col("b.cust") && col("a.part") < col("b.part"))
-        .groupBy(col("a.part").as("part_a"), col("b.part").as("part_b"))
-        .agg(count(lit(1)).as("__s"))
-        .where(col("__s") >= 3)
-      graft.operators.Graph.linkPredict(edges, "part_a", "part_b",
+      val edges = graft.operators.Graph.bipartiteProject(
+        t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("cust"),
+            col("l_partkey").as("part")),
+        "cust", "part", minSupport = 3L)
+      graft.operators.Graph.linkPredict(edges, "node_a", "node_b",
           maxViaDegree = 256)
         .orderBy(col("adamic_adar").desc, col("node_a"), col("node_b"))
         .limit(1000)
+    }),
+
+    // G7 (round 9): the weighted bipartite projection itself —
+    // top co-purchase part pairs by shared-customer support; the
+    // graph-construction primitive q240/G5 consumes.
+    "q245_bipartite_project" -> ((s, dir) => {
+      graft.operators.Graph.bipartiteProject(
+          t(s, dir, "lineitem")
+            .join(t(s, dir, "orders"),
+              col("l_orderkey") === col("o_orderkey"))
+            .select(col("o_custkey").as("cust"),
+              col("l_partkey").as("part")),
+          "cust", "part", minSupport = 3L)
+        .orderBy(col("support").desc, col("node_a"), col("node_b"))
+        .limit(2000)
     }),
 
     // G6 (round 9): contamination blast radius — deterministic
@@ -2478,6 +2541,43 @@ object PipelineQueries {
           t(s, dir, "events"), "event_type", "ts", "event_id",
           "value", maxLag = 5)
         .orderBy("event_type", "lag")
+    }),
+
+    // G8 (round 9): degree-assortativity summary of the co-purchase
+    // graph — the 30-second structural triage (hubs-to-hubs vs
+    // hub-and-spoke) before committing to iterative graph dials.
+    "q248_assortativity" -> ((s, dir) => {
+      val edges = graft.operators.Graph.bipartiteProject(
+        t(s, dir, "lineitem")
+          .join(t(s, dir, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("cust"),
+            col("l_partkey").as("part")),
+        "cust", "part", minSupport = 3L)
+      graft.operators.Graph.degreeAssortativity(
+        edges, "node_a", "node_b")
+    }),
+
+    // E29 (round 9): difference-in-differences — the rollout readout
+    // when assignment wasn't randomized: post-vs-pre (month half)
+    // change in arm A minus the same change in arm B, per
+    // event_type; exact decimal cell moments, clamped variances.
+    "q246_diff_in_diff" -> ((s, dir) => {
+      graft.operators.Quality.diffInDiff(
+          t(s, dir, "events"), Seq("event_type"),
+          col("user_id") % 2 === 0, dayofmonth(col("ts")) >= 16,
+          col("value"))
+        .orderBy("event_type")
+    }),
+
+    // E30 (round 9): empirical-Bayes shrinkage of per-user purchase
+    // rates toward the moment-matched beta prior — the "rank by
+    // rate" readout that 1/1 flukes can't dominate.
+    "q247_eb_shrinkage" -> ((s, dir) => {
+      graft.operators.Quality.ebShrinkRates(
+          t(s, dir, "events"), Seq("user_id"),
+          col("event_type") === "purchase")
+        .orderBy("user_id")
     }),
 
     // T51 (round 9): quantile normalization — per-event_type values
@@ -5045,6 +5145,20 @@ object PipelineQueries {
          |ORDER BY adamic_adar DESC, node_a, node_b
          |LIMIT 1000""".stripMargin,
 
+    // G7: the projection pair-join with the q240 head, support kept.
+    "q245_bipartite_project" ->
+      """WITH cp AS MATERIALIZED (
+        |  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+        |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |)
+        |SELECT a.part AS node_a, b.part AS node_b,
+        |  CAST(count(*) AS BIGINT) AS support
+        |FROM cp a JOIN cp b ON b.cust = a.cust AND a.part < b.part
+        |GROUP BY 1, 2
+        |HAVING count(*) >= 3
+        |ORDER BY support DESC, node_a, node_b
+        |LIMIT 2000""".stripMargin,
+
     // G6: 3-round frontier expansion as an unrolled CTE chain (the
     // kCore fixed-iteration contract) — integer hops, no floats.
     "q241_bfs_hops" ->
@@ -5136,6 +5250,105 @@ object PipelineQueries {
         |FROM pt ORDER BY event_type""".stripMargin,
 
     "q243_autocorrelation" -> acfOracleSql(maxLag = 5),
+
+    "q246_diff_in_diff" -> didOracleSql,
+
+    // G8: five exact decimal degree moments over both orientations,
+    // Pearson finish; r signed (+ 0.0); co-purchase edge head.
+    "q248_assortativity" ->
+      """WITH cp AS MATERIALIZED (
+        |  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
+        |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |), e0 AS MATERIALIZED (
+        |  SELECT a.part AS lo, b.part AS hi
+        |  FROM cp a JOIN cp b ON b.cust = a.cust AND a.part < b.part
+        |  GROUP BY 1, 2
+        |  HAVING count(*) >= 3
+        |), nb AS MATERIALIZED (
+        |  SELECT lo AS node, hi AS nbr FROM e0
+        |  UNION ALL SELECT hi AS node, lo AS nbr FROM e0
+        |), deg AS MATERIALIZED (
+        |  SELECT node, COUNT(*) AS degree FROM nb GROUP BY node
+        |), j AS (
+        |  SELECT d1.degree AS dx, d2.degree AS dy
+        |  FROM nb JOIN deg d1 ON d1.node = nb.node
+        |  JOIN deg d2 ON d2.node = nb.nbr
+        |), es AS (
+        |  SELECT COUNT(*) AS mm,
+        |    SUM(CAST(dx AS DECIMAL(38,0))) AS sx,
+        |    SUM(CAST(dy AS DECIMAL(38,0))) AS sy,
+        |    SUM(CAST(dx * dy AS DECIMAL(38,0))) AS sxy,
+        |    SUM(CAST(dx * dx AS DECIMAL(38,0))) AS sxx,
+        |    SUM(CAST(dy * dy AS DECIMAL(38,0))) AS syy
+        |  FROM j
+        |), ns AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |    CAST(MAX(degree) AS BIGINT) AS max_degree
+        |  FROM deg
+        |), em AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e0
+        |), f AS (
+        |  SELECT n_nodes, n_edges, max_degree, mm,
+        |    CAST(sxy AS DOUBLE) / CAST(mm AS DOUBLE)
+        |      - (CAST(sx AS DOUBLE) / CAST(mm AS DOUBLE))
+        |        * (CAST(sy AS DOUBLE) / CAST(mm AS DOUBLE)) AS num,
+        |    CAST(sxx AS DOUBLE) / CAST(mm AS DOUBLE)
+        |      - (CAST(sx AS DOUBLE) / CAST(mm AS DOUBLE))
+        |        * (CAST(sx AS DOUBLE) / CAST(mm AS DOUBLE)) AS denx,
+        |    CAST(syy AS DOUBLE) / CAST(mm AS DOUBLE)
+        |      - (CAST(sy AS DOUBLE) / CAST(mm AS DOUBLE))
+        |        * (CAST(sy AS DOUBLE) / CAST(mm AS DOUBLE)) AS deny
+        |  FROM ns CROSS JOIN em CROSS JOIN es
+        |)
+        |SELECT n_nodes, n_edges, max_degree,
+        |  round(CAST(2 * n_edges AS DOUBLE) / CAST(n_nodes AS DOUBLE), 6)
+        |    AS avg_degree,
+        |  CASE WHEN mm > 0 AND denx * deny > 0 THEN
+        |    round(num / sqrt(denx * deny), 6) + 0.0 END AS assortativity
+        |FROM f""".stripMargin,
+
+    // E30: raw rates round(12) into DECIMAL(38,12) before the prior
+    // sums; one-row prior cross join; all outputs non-negative.
+    "q247_eb_shrinkage" ->
+      """WITH u AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS c
+        |  FROM events WHERE event_type IS NOT NULL
+        |  GROUP BY user_id
+        |), r AS (
+        |  SELECT user_id, n, c,
+        |    CAST(round(CAST(c AS DOUBLE) / CAST(n AS DOUBLE), 12)
+        |      AS DECIMAL(38,12)) AS r12,
+        |    CAST(round((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * (CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 12)
+        |      AS DECIMAL(38,12)) AS rr12
+        |  FROM u
+        |), p AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |    SUM(r12) AS sr, SUM(rr12) AS srr
+        |  FROM r
+        |), f AS (
+        |  SELECT r.user_id, r.n, r.c,
+        |    CAST(sr AS DOUBLE) / CAST(k AS DOUBLE) AS mu,
+        |    CAST(srr AS DOUBLE) / CAST(k AS DOUBLE)
+        |      - (CAST(sr AS DOUBLE) / CAST(k AS DOUBLE))
+        |        * (CAST(sr AS DOUBLE) / CAST(k AS DOUBLE)) AS v
+        |  FROM r CROSS JOIN p
+        |), f2 AS (
+        |  SELECT user_id, n, c, mu, v,
+        |    mu * (1.0 - mu) / v - 1.0 AS m
+        |  FROM f
+        |)
+        |SELECT user_id, n, c,
+        |  round(CAST(c AS DOUBLE) / CAST(n AS DOUBLE), 6) AS raw,
+        |  CASE WHEN v > 0 AND m > 0 THEN round(mu * m, 6) END AS alpha,
+        |  CASE WHEN v > 0 AND m > 0 THEN round((1.0 - mu) * m, 6)
+        |    END AS beta,
+        |  CASE WHEN v > 0 AND m > 0 THEN
+        |    round((CAST(c AS DOUBLE) + mu * m)
+        |      / (CAST(n AS DOUBLE) + m), 6) END AS shrunk
+        |FROM f2 ORDER BY user_id""".stripMargin,
 
     // T51: within-group rank -> exact rational global index ->
     // type-7 interpolation; integer div/mod stay BIGINT end to end

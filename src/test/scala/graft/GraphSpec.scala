@@ -238,6 +238,39 @@ class GraphSpec extends AnyFunSuite {
       Map("a" -> 0, "zz" -> 0, "b" -> 1))
   }
 
+  test("bipartiteProject: shared-left support, threshold, basket cap") {
+    val rel = Seq(
+      ("c1", "p1"), ("c1", "p2"), ("c1", "p3"), ("c1", "p1"), // dup row
+      ("c2", "p1"), ("c2", "p2"),
+      ("c3", "p1"), ("c3", "p2")).toDF("cust", "part")
+    val full = Graph.bipartiteProject(rel, "cust", "part", minSupport = 1)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(full == Map(("p1", "p2") -> 3L, ("p1", "p3") -> 1L,
+      ("p2", "p3") -> 1L))
+    assert(Graph.bipartiteProject(rel, "cust", "part", minSupport = 2)
+      .as[(String, String, Long)].collect().toSeq ==
+      Seq(("p1", "p2", 3L)))
+    // basket cap 2 drops c1 entirely: support falls to 2, p3 gone
+    assert(Graph.bipartiteProject(rel, "cust", "part",
+        minSupport = 1, maxBasket = 2)
+      .as[(String, String, Long)].collect().toSeq ==
+      Seq(("p1", "p2", 2L)))
+  }
+
+  test("degreeAssortativity: star is -1; regular graph undefined") {
+    val star = (1 to 4).map(i => ("hub", s"s$i")).toDF("src", "dst")
+    val r = Graph.degreeAssortativity(star, "src", "dst")
+      .as[(Long, Long, Long, Double, Option[Double])].collect().head
+    assert(r._1 === 5L && r._2 === 4L && r._3 === 4L)
+    assert(r._4 === 1.6)
+    assert(r._5 === Some(-1.0))
+    val tri = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    val t = Graph.degreeAssortativity(tri, "src", "dst")
+      .as[(Long, Long, Long, Double, Option[Double])].collect().head
+    assert(t._5.isEmpty, "zero degree variance -> NULL r")
+  }
+
   test("bfsHops: multi-source minimum hop wins; direction-blind") {
     val path = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"))
     val r = hops(path ++ path.map(_.swap), Seq("a", "e"), rounds = 2)

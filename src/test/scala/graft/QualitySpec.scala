@@ -630,6 +630,74 @@ class QualitySpec extends AnyFunSuite {
     assert(!out.contains("d1"))       // NULL value dropped
   }
 
+  test("diffInDiff: hand-computed effect, SE, z; cell guards") {
+    // A: pre [1,2] post [3,5]; B: pre [2,4] post [2,4].
+    // did = (4 - 1.5) - (3 - 3) = 2.5; cell variances 0.5/2/2/2 ->
+    // se = sqrt(2/2 + 0.5/2 + 2/2 + 2/2) = sqrt(3.25).
+    val df = Seq(
+      ("s", true, false, 1.0), ("s", true, false, 2.0),
+      ("s", true, true, 3.0), ("s", true, true, 5.0),
+      ("s", false, false, 2.0), ("s", false, false, 4.0),
+      ("s", false, true, 2.0), ("s", false, true, 4.0)
+    ).toDF("seg", "a", "post", "v")
+    val r = Quality.diffInDiff(df, Seq("seg"), col("a"), col("post"),
+        col("v"))
+      .select("did", "se", "z").as[(Double, Double, Double)]
+      .collect().head
+    assert(r._1 === 2.5)
+    assert(r._2 === BigDecimal(math.sqrt(3.25))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r._3 === BigDecimal(2.5 / math.sqrt(3.25))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("diffInDiff: empty cell voids did; single-row cell voids se/z only") {
+    val df = Seq(
+      // s1: B never observed post -> no estimator
+      ("s1", true, false, 1.0), ("s1", true, true, 2.0),
+      ("s1", false, false, 1.0),
+      // s2: all four cells, but A-post is a single row -> did only
+      ("s2", true, false, 1.0), ("s2", true, false, 3.0),
+      ("s2", true, true, 4.0),
+      ("s2", false, false, 2.0), ("s2", false, false, 2.0),
+      ("s2", false, true, 3.0), ("s2", false, true, 5.0)
+    ).toDF("seg", "a", "post", "v")
+    val out = Quality.diffInDiff(df, Seq("seg"), col("a"), col("post"),
+        col("v"))
+      .select("seg", "did", "se", "z")
+      .as[(String, Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("s1") === ((None, None, None)))
+    assert(out("s2")._1 === Some((4.0 - 2.0) - (4.0 - 2.0)))
+    assert(out("s2")._2.isEmpty && out("s2")._3.isEmpty)
+  }
+
+  test("ebShrinkRates: moment-matched beta prior and shrunk rates") {
+    // rates [1, 0, 0.5, 0.5]: mu = 0.5, v = 0.125 -> alpha+beta = 1,
+    // alpha = beta = 0.5; 1/1 -> 0.75, 0/1 -> 0.25, 1/2 -> 0.5.
+    val df = Seq(
+      ("k1", true), ("k2", false),
+      ("k3", true), ("k3", false),
+      ("k4", true), ("k4", false)
+    ).toDF("k", "conv")
+    val out = Quality.ebShrinkRates(df, Seq("k"), col("conv"))
+      .select("k", "raw", "alpha", "beta", "shrunk")
+      .as[(String, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("k1") === (("k1", 1.0, 0.5, 0.5, 0.75)))
+    assert(out("k2") === (("k2", 0.0, 0.5, 0.5, 0.25)))
+    assert(out("k3") === (("k3", 0.5, 0.5, 0.5, 0.5)))
+  }
+
+  test("ebShrinkRates: zero rate variance leaves shrinkage undefined") {
+    val df = Seq(("k1", true), ("k1", false), ("k2", true), ("k2", false))
+      .toDF("k", "conv")
+    val out = Quality.ebShrinkRates(df, Seq("k"), col("conv"))
+      .select("raw", "alpha", "shrunk")
+      .as[(Double, Option[Double], Option[Double])].collect()
+    assert(out.forall(r => r._1 === 0.5 && r._2.isEmpty && r._3.isEmpty))
+  }
+
   test("functionalDependencies: violations, NULL-rhs immunity, NULL-lhs group") {
     val df = Seq(
       (Some(1), Some("x")),                     // clean key
