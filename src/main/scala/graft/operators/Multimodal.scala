@@ -117,6 +117,55 @@ object Multimodal {
    * would process per native call), partition-local execution (no
    * shuffle, no driver collect).
    */
+  /**
+   * M10: per-payload byte-entropy probe — the "is this blob even
+   * media?" triage run before any decode stage: Shannon entropy over
+   * the byte histogram separates structured/compressible payloads
+   * (text ≈ 4–5 bits/byte, bitmaps lower) from already-compressed or
+   * encrypted blobs (≈ 8 bits/byte) and from degenerate fills
+   * (≈ 0) — the cheap filter that keeps corrupted and
+   * junk-re-encoded media out of a training corpus without decoding
+   * anything.
+   *
+   * Float parity: per-byte terms p·ln(p) round(12) into
+   * DECIMAL(38,12) before summing (q190 ln discipline), one fixed
+   * IEEE finish dividing by the ln(2) LITERAL (an engine-computed
+   * ln(2) can differ in the last ulp); a single-byte payload yields
+   * Σ = 0 whose negation is −0.0 — oracle side carries `+ 0.0`.
+   *
+   * Scale: the byte explode is linear in corpus bytes (the
+   * unavoidable cost of an exact histogram — a sampled variant would
+   * subsample positions upstream); per-(payload, byte) partial
+   * aggregation collapses to ≤ 256 rows per payload before the
+   * per-payload window and entropy fold.
+   *
+   * Output: (idCol, n_bytes, n_distinct, entropy_bits).
+   */
+  def byteEntropy(
+      df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val counts = df
+      .where(col(payloadCol).isNotNull && length(col(payloadCol)) > 0)
+      .select(col(idCol), col(payloadCol).as("__p"),
+        explode(sequence(lit(1), length(col(payloadCol)))).as("__pos"))
+      .select(col(idCol), expr("hex(substring(__p, __pos, 1))").as("__b"))
+      .groupBy(col(idCol), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__n",
+        sum(col("__c")).over(Window.partitionBy(col(idCol))))
+    val t = col("__c").cast("double") / col("__n").cast("double")
+    counts
+      .select(col(idCol), col("__n"),
+        round(t * log(t), 12).cast(DecimalType(38, 12)).as("__t"))
+      .groupBy(col(idCol))
+      .agg(
+        max(col("__n")).as("n_bytes"),
+        count(lit(1)).as("n_distinct"),
+        round(-sum(col("__t")).cast("double") /
+          lit(0.6931471805599453), 6).as("entropy_bits"))
+  }
+
   def decodeFeaturesStub(
       df: DataFrame,
       idCol: String,

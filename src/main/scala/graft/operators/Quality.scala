@@ -635,6 +635,63 @@ object Quality {
   }
 
   /**
+   * E31: Mantel–Haenszel pooled odds ratio — the CONFOUNDER-ADJUSTED
+   * effect readout: when arm assignment correlates with a stratifier
+   * (platform, geography, day), the raw pooled odds ratio is
+   * Simpson's-paradox bait; MH pools the per-stratum 2×2 tables as
+   * OR = Σᵢ(aᵢdᵢ/nᵢ) / Σᵢ(bᵢcᵢ/nᵢ) — each stratum compares only
+   * against itself, weighted by its evidence. The epidemiology
+   * workhorse, and the right first answer to "the per-segment tests
+   * disagree with the pooled test".
+   *
+   * Float parity: per-stratum terms ad/n and bc/n round(12) into
+   * DECIMAL(38,12) before summing (q155 discipline — cell products
+   * need counts < ~3×10⁹, ANSI overflow = fail fast); the finish is
+   * one division + one ln, round(6); OR > 0 but ln OR is SIGNED
+   * (oracle carries `+ 0.0`). Degenerate pools (either term sum 0 —
+   * an arm×outcome cell empty in EVERY stratum) emit NULL.
+   *
+   * Scale: one partial-aggregated stratum shuffle, then ONE global
+   * one-row aggregate over |strata| rows.
+   *
+   * Output: one row — (n_strata, n_rows, sum_ad, sum_bc, or_mh,
+   * ln_or).
+   */
+  def mantelHaenszel(
+      df: DataFrame, strataCols: Seq[String],
+      aCol: Column, convCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(strataCols.nonEmpty, "need at least one stratum column")
+    val dec = DecimalType(38, 12)
+    val cells = df
+      .where(aCol.isNotNull && convCol.isNotNull)
+      .groupBy(strataCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("__n"),
+        sum(when(aCol && convCol, 1L).otherwise(0L)).as("__a"),
+        sum(when(aCol && !convCol, 1L).otherwise(0L)).as("__b"),
+        sum(when(!aCol && convCol, 1L).otherwise(0L)).as("__c"),
+        sum(when(!aCol && !convCol, 1L).otherwise(0L)).as("__d"))
+    val nD = col("__n").cast("double")
+    val pooled = cells.agg(
+      count(lit(1)).as("n_strata"),
+      sum(col("__n")).as("n_rows"),
+      sum(round((col("__a") * col("__d")).cast("double") / nD, 12)
+        .cast(dec)).as("__sad"),
+      sum(round((col("__b") * col("__c")).cast("double") / nD, 12)
+        .cast(dec)).as("__sbc"))
+    val orMh = col("__sad").cast("double") / col("__sbc").cast("double")
+    pooled.select(
+      col("n_strata"), col("n_rows"),
+      round(col("__sad").cast("double"), 6).as("sum_ad"),
+      round(col("__sbc").cast("double"), 6).as("sum_bc"),
+      when(col("__sad") > 0 && col("__sbc") > 0,
+        round(orMh, 6)).as("or_mh"),
+      when(col("__sad") > 0 && col("__sbc") > 0,
+        round(log(orMh), 6)).as("ln_or"))
+  }
+
+  /**
    * E30: empirical-Bayes rate shrinkage (beta-binomial, method of
    * moments) — the fix for "rank keys by conversion rate" being
    * dominated by 1/1 flukes: every key's raw rate c/n shrinks toward

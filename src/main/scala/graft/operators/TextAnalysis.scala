@@ -755,6 +755,69 @@ object TextAnalysis {
       round(intercept, 6).as("intercept"))
   }
 
+  /**
+   * T52: Hill tail-index estimator, per group — the ROBUST heavy-tail
+   * diagnostic [[zipfFit]]'s full-range OLS can't give: how fat is
+   * the UPPER tail of a size distribution (doc lengths, user volumes,
+   * key frequencies)? α̂ = k / Σᵢ₌₁..k ln(x₍ᵢ₎/x₍ₖ₊₁₎) over the top
+   * k+1 order statistics; α ≤ 2 means infinite variance — means and
+   * CIs over that column are statistical fiction, and partition
+   * planning should assume a monster-row tail. The number that
+   * decides between mean-based and quantile-based capacity dials.
+   *
+   * Float parity: the ln ratios round(12) into DECIMAL(38,12) before
+   * summing (q155 discipline); x-values are exact integers so the
+   * ratio is one IEEE division; finish round(6), α > 0 by
+   * construction (no signed-zero exposure).
+   *
+   * Scale: the per-group top-(k+1) plans as WindowGroupLimit — each
+   * map task ships ≤ k+1 rows per group into the exchange; the
+   * estimator then runs on k·|groups| rows. Groups with fewer than
+   * k+1 positive values emit NULL alpha (the estimator needs a
+   * threshold BELOW the tail, not a truncated k), as do degenerate
+   * tails where every top value ties the threshold (Σ = 0).
+   *
+   * Output: (group, k, n_group, x_threshold, alpha).
+   */
+  def hillTailIndex(
+      docs: DataFrame, groupCol: String, valueCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"hillTailIndex: k must be >= 2, got $k")
+    import org.apache.spark.sql.types.DecimalType
+    val base = docs
+      .where(col(valueCol).isNotNull && col(valueCol) > 0)
+      .select(col(groupCol), col(valueCol).cast("long").as("__x"))
+    // rank by VALUE only: ties at the k/k+1 boundary pick arbitrary
+    // ROWS but a deterministic value multiset — the estimator reads
+    // values, never identities
+    val top = base
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(col("__x").desc)))
+      .where(col("__rn") <= k + 1)
+      .localCheckpoint() // feeds the threshold agg AND the term sum
+    val gstats = base.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_group"))
+    val th = top.groupBy(col(groupCol)).agg(
+      min(col("__x")).as("x_threshold"), count(lit(1)).as("__m"))
+    val sums = top
+      .where(col("__rn") <= k)
+      .join(th.select(col(groupCol), col("x_threshold")), Seq(groupCol))
+      .select(col(groupCol),
+        round(log(col("__x").cast("double") /
+          col("x_threshold").cast("double")), 12)
+          .cast(DecimalType(38, 12)).as("__t"))
+      .groupBy(col(groupCol)).agg(sum(col("__t")).as("__s"))
+    th
+      .join(gstats, Seq(groupCol))
+      .join(sums, Seq(groupCol), "left")
+      .select(
+        col(groupCol), lit(k).as("k"), col("n_group"),
+        col("x_threshold"),
+        when(col("__m") === (k + 1) && col("__s") > 0,
+          round(lit(k.toDouble) / col("__s").cast("double"), 6))
+          .as("alpha"))
+  }
+
   /** PII pattern library — shared by [[piiScan]] and [[piiRedact]]
     * and mirrored verbatim in the oracle SQL. ASCII-class patterns
     * chosen for identical semantics under Java regex (Spark) and RE2

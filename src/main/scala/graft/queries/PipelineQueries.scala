@@ -2580,6 +2580,39 @@ object PipelineQueries {
         .orderBy("user_id")
     }),
 
+    // T52 (round 9): Hill tail-index per source over doc lengths —
+    // the robust upper-tail fatness diagnostic (alpha <= 2 = infinite
+    // variance: mean-based dials are fiction); top-(k+1) order stats
+    // via WindowGroupLimit, decimal-staged ln ratios.
+    "q249_hill_tail" -> ((s, dir) => {
+      graft.operators.TextAnalysis.hillTailIndex(
+          t(s, dir, "documents"), "source", "n_chars", k = 64)
+        .orderBy("source")
+    }),
+
+    // E31 (round 9): Mantel-Haenszel pooled odds ratio across
+    // (event_type, day-bucket) strata — the confounder-adjusted
+    // effect when per-segment tests disagree with the pooled one.
+    "q250_mantel_haenszel" -> ((s, dir) => {
+      graft.operators.Quality.mantelHaenszel(
+          t(s, dir, "events")
+            .select(col("event_type"),
+              (dayofmonth(col("ts")) % 7).as("day_bucket"),
+              (col("user_id") % 2 === 0).as("a"),
+              (col("value") >= 0.5).as("conv")),
+          Seq("event_type", "day_bucket"), col("a"), col("conv"))
+    }),
+
+    // M10 (round 9): per-payload byte-entropy probe over the
+    // synthesized media payloads — the decode-free junk/encrypted
+    // blob triage.
+    "q251_byte_entropy" -> ((s, dir) => {
+      val m = Multimodal.synthesize(t(s, dir, "documents"),
+        "doc_id", "text")
+      graft.operators.Multimodal.byteEntropy(m, "doc_id", "payload")
+        .orderBy("doc_id")
+    }),
+
     // T51 (round 9): quantile normalization — per-event_type values
     // mapped onto the global distribution at their within-group
     // quantile position (type-7, exact integer index arithmetic);
@@ -5252,6 +5285,120 @@ object PipelineQueries {
     "q243_autocorrelation" -> acfOracleSql(maxLag = 5),
 
     "q246_diff_in_diff" -> didOracleSql,
+
+    // T52: top-(k+1) order statistics by VALUE (tie rows arbitrary,
+    // value multiset deterministic), decimal-staged ln ratios.
+    "q249_hill_tail" ->
+      """WITH base AS (
+        |  SELECT source, CAST(n_chars AS BIGINT) AS x FROM documents
+        |  WHERE n_chars IS NOT NULL AND n_chars > 0
+        |), g AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_group
+        |  FROM base GROUP BY source
+        |), top AS (
+        |  SELECT source, x,
+        |    row_number() OVER (PARTITION BY source ORDER BY x DESC)
+        |      AS rn
+        |  FROM base
+        |), kept AS (
+        |  SELECT * FROM top WHERE rn <= 65
+        |), th AS (
+        |  SELECT source, MIN(x) AS x_threshold,
+        |    CAST(COUNT(*) AS BIGINT) AS m
+        |  FROM kept GROUP BY source
+        |), s AS (
+        |  SELECT kept.source,
+        |    SUM(CAST(round(ln(CAST(x AS DOUBLE)
+        |      / CAST(x_threshold AS DOUBLE)), 12) AS DECIMAL(38,12)))
+        |      AS sm
+        |  FROM kept JOIN th ON th.source = kept.source
+        |  WHERE rn <= 64
+        |  GROUP BY kept.source
+        |)
+        |SELECT th.source, CAST(64 AS INT) AS k, g.n_group,
+        |  th.x_threshold,
+        |  CASE WHEN th.m = 65 AND s.sm > 0 THEN
+        |    round(CAST(64 AS DOUBLE) / CAST(s.sm AS DOUBLE), 6)
+        |  END AS alpha
+        |FROM th JOIN g ON g.source = th.source
+        |LEFT JOIN s ON s.source = th.source
+        |ORDER BY th.source""".stripMargin,
+
+    // E31: per-stratum 2x2 cells, ad/n and bc/n terms round(12) into
+    // DECIMAL(38,12); ln OR signed (+ 0.0).
+    "q250_mantel_haenszel" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(EXTRACT(day FROM ts) AS INT) % 7 AS day_bucket,
+        |    (user_id % 2 = 0) AS a, (value >= 0.5) AS conv
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |), c AS (
+        |  SELECT event_type, day_bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN a AND conv THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN a AND NOT conv THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cb,
+        |    CAST(SUM(CASE WHEN (NOT a) AND conv THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cc,
+        |    CAST(SUM(CASE WHEN (NOT a) AND NOT conv THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cd
+        |  FROM e GROUP BY 1, 2
+        |), p AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+        |    CAST(SUM(n) AS BIGINT) AS n_rows,
+        |    SUM(CAST(round(CAST(ca * cd AS DOUBLE) / CAST(n AS DOUBLE),
+        |      12) AS DECIMAL(38,12))) AS sad,
+        |    SUM(CAST(round(CAST(cb * cc AS DOUBLE) / CAST(n AS DOUBLE),
+        |      12) AS DECIMAL(38,12))) AS sbc
+        |  FROM c
+        |)
+        |SELECT n_strata, n_rows,
+        |  round(CAST(sad AS DOUBLE), 6) AS sum_ad,
+        |  round(CAST(sbc AS DOUBLE), 6) AS sum_bc,
+        |  CASE WHEN sad > 0 AND sbc > 0 THEN
+        |    round(CAST(sad AS DOUBLE) / CAST(sbc AS DOUBLE), 6)
+        |  END AS or_mh,
+        |  CASE WHEN sad > 0 AND sbc > 0 THEN
+        |    round(ln(CAST(sad AS DOUBLE) / CAST(sbc AS DOUBLE)), 6)
+        |      + 0.0
+        |  END AS ln_or
+        |FROM p""".stripMargin,
+
+    // M10: exact byte histogram over the ASCII payload (byte = char
+    // on this corpus — the q27 fidelity note applies), p*ln(p) terms
+    // round(12) into DECIMAL(38,12), ln(2) as a shared literal.
+    "q251_byte_entropy" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE text IS NOT NULL AND length(text) > 0
+        |), pos AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(1, length(text))) AS p
+        |  FROM d
+        |), b AS (
+        |  SELECT doc_id,
+        |    hex(encode(substr(text, CAST(p AS INT), 1))) AS byte
+        |  FROM pos
+        |), c AS (
+        |  SELECT doc_id, byte, COUNT(*) AS c FROM b GROUP BY 1, 2
+        |), c2 AS (
+        |  SELECT doc_id, c,
+        |    SUM(c) OVER (PARTITION BY doc_id) AS n
+        |  FROM c
+        |), s AS (
+        |  SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_bytes,
+        |    CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |    SUM(CAST(round((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 12)
+        |      AS DECIMAL(38,12))) AS sm
+        |  FROM c2 GROUP BY doc_id
+        |)
+        |SELECT doc_id, n_bytes, n_distinct,
+        |  round((-(CAST(sm AS DOUBLE))) / 0.6931471805599453, 6) + 0.0
+        |    AS entropy_bits
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     // G8: five exact decimal degree moments over both orientations,
     // Pearson finish; r signed (+ 0.0); co-purchase edge head.

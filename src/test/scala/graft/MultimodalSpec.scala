@@ -120,4 +120,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(asMap.contains((1L, 3L)) && asMap((1L, 3L)) <= 3)
     assert(!pairs.exists(p => p._1 === 4L || p._2 === 4L))
   }
+
+  test("byteEntropy: uniform-byte goldens; degenerate fill is 0 bits") {
+    val df = Seq(
+      (1L, "aabb"),  // two bytes, 50/50 -> 1 bit
+      (2L, "abcd"),  // four distinct -> 2 bits
+      (3L, "aaaa"),  // one byte -> 0 bits
+      (4L, "")       // empty payload: excluded
+    ).toDF("id", "t").select(col("id"),
+      encode(col("t"), "UTF-8").as("payload"))
+    val out = Multimodal.byteEntropy(df, "id", "payload")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 4L, 2L, 1.0)))
+    assert(out(2L) === ((2L, 4L, 4L, 2.0)))
+    assert(out(3L) === ((3L, 4L, 1L, 0.0)))
+    assert(!out.contains(4L))
+  }
 }

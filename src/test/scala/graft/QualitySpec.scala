@@ -698,6 +698,39 @@ class QualitySpec extends AnyFunSuite {
     assert(out.forall(r => r._1 === 0.5 && r._2.isEmpty && r._3.isEmpty))
   }
 
+  test("mantelHaenszel: hand-pooled 2x2 strata; empty-cell pool NULL") {
+    // S1: a=2 b=1 c=1 d=2 (n=6) -> ad/n=2/3, bc/n=1/6
+    // S2: a=1 b=1 c=1 d=1 (n=4) -> ad/n=1/4, bc/n=1/4
+    def rows(s: String, a: Boolean, conv: Boolean, n: Int) =
+      Seq.fill(n)((s, a, conv))
+    val df = (
+      rows("s1", true, true, 2) ++ rows("s1", true, false, 1) ++
+      rows("s1", false, true, 1) ++ rows("s1", false, false, 2) ++
+      rows("s2", true, true, 1) ++ rows("s2", true, false, 1) ++
+      rows("s2", false, true, 1) ++ rows("s2", false, false, 1)
+    ).toDF("s", "a", "conv")
+    val r = Quality.mantelHaenszel(df, Seq("s"), col("a"), col("conv"))
+      .as[(Long, Long, Double, Double, Double, Double)].collect().head
+    def r12(x: Double) =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val sad = (r12(4.0 / 6.0) + r12(1.0 / 4.0)).toDouble
+    val sbc = (r12(1.0 / 6.0) + r12(1.0 / 4.0)).toDouble
+    assert(r === ((2L, 10L,
+      BigDecimal(sad).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      BigDecimal(sbc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      BigDecimal(sad / sbc)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      BigDecimal(math.log(sad / sbc))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    // no non-conversions anywhere: bc terms all zero -> undefined
+    val allConv = (rows("s1", true, true, 2) ++ rows("s1", false, true, 2))
+      .toDF("s", "a", "conv")
+    val d = Quality.mantelHaenszel(allConv, Seq("s"), col("a"), col("conv"))
+      .select("or_mh", "ln_or")
+      .as[(Option[Double], Option[Double])].collect().head
+    assert(d === ((None, None)))
+  }
+
   test("functionalDependencies: violations, NULL-rhs immunity, NULL-lhs group") {
     val df = Seq(
       (Some(1), Some("x")),                     // clean key

@@ -396,4 +396,25 @@ class TextAnalysisSpec extends AnyFunSuite {
       TextAnalysis.piiRedact(col("text"))).as("r")).as[String].collect()
     assert(twice.toSeq === red.toSeq, "redaction is idempotent")
   }
+
+  test("hillTailIndex: hand-computed alpha; short and all-tied groups NULL") {
+    // A: top-3 of [8,4,2,1] -> threshold 2, sum = ln(4) + ln(2)
+    // (round-12 staged), alpha = 2 / sum.
+    val df = Seq(
+      ("A", 8L), ("A", 4L), ("A", 2L), ("A", 1L),
+      ("B", 9L), ("B", 3L),            // fewer than k+1 rows
+      ("C", 5L), ("C", 5L), ("C", 5L)  // all top values tie threshold
+    ).toDF("g", "v")
+    val out = TextAnalysis.hillTailIndex(df, "g", "v", k = 2)
+      .as[(String, Int, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    def r12(x: Double) =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val sum = (r12(math.log(4.0)) + r12(math.log(2.0))).toDouble
+    val alpha = BigDecimal(2.0 / sum)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out("A") === (("A", 2, 4L, 2L, Some(alpha))))
+    assert(out("B")._5.isEmpty)
+    assert(out("C") === (("C", 2, 3L, 5L, None)))
+  }
 }
