@@ -635,6 +635,79 @@ object Quality {
   }
 
   /**
+   * E32: intraclass correlation + design effect, per segment — the
+   * cluster-randomization design number: when treatment assigns by
+   * CLUSTER (user, session, region) but analysis counts rows,
+   * within-cluster correlation shrinks the effective sample size by
+   * the design effect 1 + (m̄−1)·ICC — an ICC of just 0.05 with
+   * 100-row clusters means a 6× power loss the row-level test
+   * silently overstates. ICC here is the one-way ANOVA estimator
+   * (MSB − MSW) / (MSB + (n₀−1)·MSW) with n₀ the ANOVA cluster-size
+   * correction (N − Σn_j²/N)/(K−1).
+   *
+   * Float parity: per-cluster sums are exact DECIMAL(18,6); the
+   * rational per-cluster terms S_j²/n_j round(12) into
+   * DECIMAL(38,12) before pooling (q155 discipline); Σn_j² exact in
+   * DECIMAL(38,0); the ANOVA finish is one fixed IEEE chain,
+   * round(6), ICC SIGNED (oracle carries `+ 0.0` — small negative
+   * ICCs are legitimate outputs of this estimator). Degenerate
+   * segments (K < 2, N = K, zero within variance, or a zero
+   * denominator) emit NULL.
+   *
+   * Scale: one (segment, cluster) partial-aggregated shuffle, then
+   * one segment aggregate over cluster rows.
+   *
+   * Output: (keys..., n_rows, n_clusters, icc, deff).
+   */
+  def iccDesignEffect(
+      df: DataFrame, keyCols: Seq[String], clusterCol: String,
+      valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(keyCols.nonEmpty, "need at least one key column")
+    val dec6 = DecimalType(18, 6)
+    val dec12 = DecimalType(38, 12)
+    val dec0 = DecimalType(38, 0)
+    val perCluster = df
+      .where(valueCol.isNotNull)
+      .groupBy((keyCols :+ clusterCol).map(col): _*)
+      .agg(
+        count(lit(1)).as("__nj"),
+        sum(valueCol.cast(dec6)).as("__sj"),
+        sum(valueCol.cast(dec6) * valueCol.cast(dec6)).as("__ssj"))
+    val sjd = col("__sj").cast("double")
+    val perSeg = perCluster
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        sum(col("__nj")).as("n_rows"),
+        count(lit(1)).as("n_clusters"),
+        sum(col("__ssj")).as("__ss"),
+        sum(col("__sj")).as("__s"),
+        sum(round(sjd * sjd / col("__nj").cast("double"), 12)
+          .cast(dec12)).as("__tb"),
+        sum((col("__nj") * col("__nj")).cast(dec0)).as("__nj2"))
+    val nD = col("n_rows").cast("double")
+    val kD = col("n_clusters").cast("double")
+    val sD = col("__s").cast("double")
+    val tbD = col("__tb").cast("double")
+    val ssb = tbD - sD * sD / nD
+    val ssw = col("__ss").cast("double") - tbD
+    val msb = ssb / (kD - lit(1.0))
+    val msw = ssw / (nD - kD)
+    val n0 = (nD - col("__nj2").cast("double") / nD) / (kD - lit(1.0))
+    val den = msb + (n0 - lit(1.0)) * msw
+    val icc = (msb - msw) / den
+    val mbar = nD / kD
+    val ok = col("n_clusters") > 1 && col("n_rows") > col("n_clusters") &&
+      msw > 0 && den > 0
+    perSeg.select(
+      keyCols.map(col) ++ Seq(
+        col("n_rows"), col("n_clusters"),
+        when(ok, round(icc, 6)).as("icc"),
+        when(ok, round(lit(1.0) + (mbar - lit(1.0)) * icc, 6))
+          .as("deff")): _*)
+  }
+
+  /**
    * E31: Mantel–Haenszel pooled odds ratio — the CONFOUNDER-ADJUSTED
    * effect readout: when arm assignment correlates with a stratifier
    * (platform, geography, day), the raw pooled odds ratio is

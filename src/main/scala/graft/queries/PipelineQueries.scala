@@ -2603,6 +2603,16 @@ object PipelineQueries {
           Seq("event_type", "day_bucket"), col("a"), col("conv"))
     }),
 
+    // E32 (round 9): intraclass correlation + design effect per
+    // event_type with user clusters — the cluster-randomization
+    // power-loss number row-level tests silently overstate.
+    "q252_icc_deff" -> ((s, dir) => {
+      graft.operators.Quality.iccDesignEffect(
+          t(s, dir, "events"), Seq("event_type"), "user_id",
+          col("value"))
+        .orderBy("event_type")
+    }),
+
     // M10 (round 9): per-payload byte-entropy probe over the
     // synthesized media payloads — the decode-free junk/encrypted
     // blob triage.
@@ -5365,6 +5375,55 @@ object PipelineQueries {
         |      + 0.0
         |  END AS ln_or
         |FROM p""".stripMargin,
+
+    // E32: per-cluster exact decimal sums, rational S²/n terms
+    // round(12) into DECIMAL(38,12), exact Σn², fixed ANOVA finish;
+    // icc signed (+ 0.0).
+    "q252_icc_deff" ->
+      """WITH e AS (
+        |  SELECT event_type, user_id, CAST(value AS DECIMAL(18,6)) AS v
+        |  FROM events WHERE value IS NOT NULL
+        |), c AS (
+        |  SELECT event_type, user_id,
+        |    CAST(COUNT(*) AS BIGINT) AS nj,
+        |    SUM(v) AS sj, SUM(v * v) AS ssj
+        |  FROM e GROUP BY 1, 2
+        |), g AS (
+        |  SELECT event_type,
+        |    CAST(SUM(nj) AS BIGINT) AS n_rows,
+        |    CAST(COUNT(*) AS BIGINT) AS n_clusters,
+        |    SUM(ssj) AS ss, SUM(sj) AS s,
+        |    SUM(CAST(round(CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE)
+        |      / CAST(nj AS DOUBLE), 12) AS DECIMAL(38,12))) AS tb,
+        |    SUM(CAST(nj * nj AS DECIMAL(38,0))) AS nj2
+        |  FROM c GROUP BY 1
+        |), f AS (
+        |  SELECT event_type, n_rows, n_clusters,
+        |    (CAST(tb AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |      / CAST(n_rows AS DOUBLE)) / (CAST(n_clusters AS DOUBLE)
+        |      - 1.0) AS msb,
+        |    (CAST(ss AS DOUBLE) - CAST(tb AS DOUBLE))
+        |      / (CAST(n_rows AS DOUBLE) - CAST(n_clusters AS DOUBLE))
+        |      AS msw,
+        |    (CAST(n_rows AS DOUBLE) - CAST(nj2 AS DOUBLE)
+        |      / CAST(n_rows AS DOUBLE))
+        |      / (CAST(n_clusters AS DOUBLE) - 1.0) AS n0
+        |  FROM g
+        |), f2 AS (
+        |  SELECT event_type, n_rows, n_clusters, msw,
+        |    msb + (n0 - 1.0) * msw AS den,
+        |    (msb - msw) / (msb + (n0 - 1.0) * msw) AS icc
+        |  FROM f
+        |)
+        |SELECT event_type, n_rows, n_clusters,
+        |  CASE WHEN n_clusters > 1 AND n_rows > n_clusters AND msw > 0
+        |    AND den > 0 THEN round(icc, 6) + 0.0 END AS icc,
+        |  CASE WHEN n_clusters > 1 AND n_rows > n_clusters AND msw > 0
+        |    AND den > 0 THEN
+        |    round(1.0 + (CAST(n_rows AS DOUBLE)
+        |      / CAST(n_clusters AS DOUBLE) - 1.0) * icc, 6) + 0.0
+        |  END AS deff
+        |FROM f2 ORDER BY event_type""".stripMargin,
 
     // M10: exact byte histogram over the ASCII payload (byte = char
     // on this corpus — the q27 fidelity note applies), p*ln(p) terms

@@ -731,6 +731,33 @@ class QualitySpec extends AnyFunSuite {
     assert(d === ((None, None)))
   }
 
+  test("iccDesignEffect: hand-computed ANOVA ICC; degenerate guards") {
+    // c1=[1,2], c2=[3,4]: MSB=4, MSW=0.5, n0=2 -> icc = 3.5/4.5,
+    // deff = 1 + (2-1)*icc.
+    val df = Seq(
+      ("s", "c1", 1.0), ("s", "c1", 2.0),
+      ("s", "c2", 3.0), ("s", "c2", 4.0),
+      // n: within >> between -> icc = -1, deff = 0
+      ("n", "c1", 1.0), ("n", "c1", 4.0),
+      ("n", "c2", 2.0), ("n", "c2", 3.0),
+      // z: zero within variance -> MSW = 0 -> NULL
+      ("z", "c1", 1.0), ("z", "c1", 1.0),
+      ("z", "c2", 3.0), ("z", "c2", 3.0),
+      // k: single cluster -> NULL
+      ("k", "c1", 1.0), ("k", "c1", 2.0)
+    ).toDF("seg", "u", "v")
+    val out = Quality.iccDesignEffect(df, Seq("seg"), "u", col("v"))
+      .as[(String, Long, Long, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out("s") === (("s", 4L, 2L,
+      Some(r6(3.5 / 4.5)), Some(r6(1.0 + 3.5 / 4.5)))))
+    assert(out("n") === (("n", 4L, 2L, Some(-1.0), Some(0.0))))
+    assert(out("z")._4.isEmpty && out("z")._5.isEmpty)
+    assert(out("k")._4.isEmpty)
+  }
+
   test("functionalDependencies: violations, NULL-rhs immunity, NULL-lhs group") {
     val df = Seq(
       (Some(1), Some("x")),                     // clean key
