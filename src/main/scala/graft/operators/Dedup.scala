@@ -924,6 +924,47 @@ object Dedup {
    * regrouped to pairs. The regroup exchange carries only the
    * candidate set, never the corpus.
    */
+  /**
+   * D20: split-coherence REPAIR — [[splitLeakage]] finds near-dup
+   * pairs straddling a train/eval boundary; this operator FIXES
+   * them: every near-dup cluster is reassigned wholesale to its
+   * REPRESENTATIVE's split (the cluster label is the min-id member —
+   * the [[nearDupClusters]] contract), so no cluster can straddle a
+   * boundary afterwards, by construction. The min-id rule is the
+   * deterministic tiebreak (any "majority split" rule flaps when a
+   * cluster grows a member); since the whole cluster moves together,
+   * leakage closure holds for ANY rule — this one is replayable.
+   *
+   * Unclustered docs (no near-dup edges) keep their assignment
+   * untouched; `moved` flags the audit trail (how much eval data a
+   * repair consumed is a release-gate number, not a side effect).
+   *
+   * Scale: one join of the cluster table (bounded by clustered docs)
+   * onto assignments on the representative id, one left join back —
+   * the corpus-sized table is scanned once per join, never exploded.
+   *
+   * Output: (idCol, splitCol, new_split, moved) — one row per
+   * assignment row.
+   */
+  def splitCoherentRepair(
+      assignments: DataFrame, idCol: String, splitCol: String,
+      clusters: DataFrame): DataFrame = {
+    val canon = clusters
+      .select(col("id").as("__member"), col("cluster"))
+      .join(
+        assignments.select(
+          col(idCol).as("cluster"), col(splitCol).as("__cs")),
+        Seq("cluster"))
+    assignments
+      .join(canon.select(col("__member").as(idCol), col("__cs")),
+        Seq(idCol), "left")
+      .select(
+        col(idCol), col(splitCol),
+        coalesce(col("__cs"), col(splitCol)).as("new_split"),
+        (coalesce(col("__cs"), col(splitCol)) =!= col(splitCol))
+          .as("moved"))
+  }
+
   def splitLeakage(
       pairs: DataFrame, assignments: DataFrame,
       idCol: String, splitCol: String): DataFrame = {

@@ -393,4 +393,76 @@ object Relevance {
           Seq(col("rank"),
             round(col("__rrf").cast("double"), 6).as("rrf_score")): _*)
   }
+
+  /**
+   * T53: RAKE keyphrase extraction (Rose et al. 2010, the
+   * stopword-delimited classic) — corpus-level keyphrases WITHOUT a
+   * model: candidate phrases are maximal stopword-free token runs;
+   * each word scores degree/frequency (degree = Σ length of phrases
+   * containing it — words living in LONG phrases score higher,
+   * pure-frequency words lower), and a phrase scores the sum of its
+   * words' scores. The cheap "what is this corpus about" readout for
+   * mixture construction and topic drift checks between snapshots.
+   *
+   * Pipeline: one posexplode + per-doc position window assigns
+   * phrase ids (a stop token increments the id — phrases can never
+   * span documents); phrase assembly is an array_sort over
+   * (pos, tok) structs (collect_list order is nondeterministic —
+   * never trust it bare); word stats are one vocabulary-sized
+   * aggregate; phrase scores re-join word scores round(12)-staged
+   * into DECIMAL(38,12) (q155 discipline — same phrase text ⇒ same
+   * token multiset ⇒ identical exact sum, so the corpus-level MAX is
+   * a no-op dedup). Top-k by (rounded score desc, phrase) rides
+   * TakeOrderedAndProject; scores positive (no signed-zero
+   * exposure).
+   *
+   * Output: (phrase, n_words, n_occurrences, score), top `k`.
+   */
+  def rakeKeyphrases(
+      docs: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String], k: Int): DataFrame = {
+    require(stopwords.nonEmpty, "RAKE needs a stopword delimiter set")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val toks = docs
+      .where(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), " ")).as(Seq("__pos", "__tok")))
+    val w = Window.partitionBy(col("__id")).orderBy(col("__pos"))
+    val phased = toks
+      .withColumn("__stop", col("__tok").isin(stopwords: _*))
+      .withColumn("__pid",
+        sum(when(col("__stop"), 1L).otherwise(0L)).over(w))
+    val words = phased
+      .where(!col("__stop") && length(col("__tok")) > 0)
+      .select(col("__id"), col("__pid"), col("__pos"), col("__tok"))
+    val phrases = words
+      .groupBy(col("__id"), col("__pid"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__pos"), col("__tok")))),
+            s => s.getField("__tok")), " ").as("phrase"),
+        count(lit(1)).as("__len"))
+    val wordScores = words
+      .join(phrases.select(col("__id"), col("__pid"), col("__len")),
+        Seq("__id", "__pid"))
+      .groupBy(col("__tok"))
+      .agg(count(lit(1)).as("__freq"), sum(col("__len")).as("__deg"))
+      .select(col("__tok"),
+        round(col("__deg").cast("double") / col("__freq").cast("double"),
+          12).cast(DecimalType(38, 12)).as("__ws"))
+    val scored = words
+      .join(wordScores, Seq("__tok"))
+      .groupBy(col("__id"), col("__pid"))
+      .agg(sum(col("__ws")).as("__s"))
+      .join(phrases, Seq("__id", "__pid"))
+    scored
+      .groupBy(col("phrase"))
+      .agg(
+        max(col("__len")).as("n_words"),
+        count(lit(1)).as("n_occurrences"),
+        round(max(col("__s")).cast("double"), 6).as("score"))
+      .orderBy(col("score").desc, col("phrase"))
+      .limit(k)
+  }
 }

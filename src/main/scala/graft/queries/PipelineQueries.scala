@@ -2603,6 +2603,34 @@ object PipelineQueries {
           Seq("event_type", "day_bucket"), col("a"), col("conv"))
     }),
 
+    // T53 (round 9): RAKE keyphrases — stopword-delimited candidate
+    // phrases scored by summed word degree/frequency; the model-free
+    // "what is this corpus about" readout.
+    "q253_rake_keyphrases" -> ((s, dir) => {
+      Relevance.rakeKeyphrases(
+        t(s, dir, "documents"), "doc_id", "text",
+        stopwords = Seq("the", "a", "of", "and", "is", "to"), k = 50)
+    }),
+
+    // D20 (round 9): split-coherence repair — every near-dup cluster
+    // reassigned wholesale to its representative's split, so no
+    // cluster straddles the train/val boundary afterwards; `moved`
+    // is the release-gate audit trail. q48 clusters x q41 split.
+    "q254_split_repair" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashCandidates(
+          docs, "doc_id", "text",
+          numHashes = 8, rowsPerBand = 2, shingleSize = 3)
+        .where(col("n_match") >= 7)
+      val assignments = docs.select(
+        col("doc_id"),
+        when(substring(md5(col("doc_id").cast("string")), 1, 1) < "c",
+          "train").otherwise("val").as("split"))
+      Dedup.splitCoherentRepair(
+          assignments, "doc_id", "split", Dedup.nearDupClusters(pairs))
+        .orderBy("doc_id")
+    }),
+
     // E32 (round 9): intraclass correlation + design effect per
     // event_type with user clusters — the cluster-randomization
     // power-loss number row-level tests silently overstate.
@@ -5375,6 +5403,110 @@ object PipelineQueries {
         |      + 0.0
         |  END AS ln_or
         |FROM p""".stripMargin,
+
+    // T53: phrase ids from a stop-count running sum, word scores
+    // deg/freq round(12)-staged, phrase assembly ordered by pos.
+    "q253_rake_keyphrases" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    generate_subscripts(string_split(text, ' '), 1) AS pos,
+        |    unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE text IS NOT NULL
+        |), m AS (
+        |  SELECT doc_id, pos, tok,
+        |    tok IN ('the','a','of','and','is','to') AS stop
+        |  FROM toks
+        |), p AS (
+        |  SELECT doc_id, pos, tok, stop,
+        |    SUM(CASE WHEN stop THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS pid
+        |  FROM m
+        |), wds AS (
+        |  SELECT doc_id, pid, pos, tok FROM p
+        |  WHERE NOT stop AND tok <> ''
+        |), ph AS (
+        |  SELECT doc_id, pid,
+        |    string_agg(tok, ' ' ORDER BY pos) AS phrase,
+        |    COUNT(*) AS len
+        |  FROM wds GROUP BY 1, 2
+        |), ws AS (
+        |  SELECT w.tok,
+        |    CAST(round(CAST(SUM(ph.len) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE), 12) AS DECIMAL(38,12)) AS s
+        |  FROM wds w JOIN ph ON ph.doc_id = w.doc_id AND ph.pid = w.pid
+        |  GROUP BY w.tok
+        |), sc AS (
+        |  SELECT w.doc_id, w.pid, SUM(ws.s) AS s
+        |  FROM wds w JOIN ws ON ws.tok = w.tok
+        |  GROUP BY 1, 2
+        |)
+        |SELECT ph.phrase,
+        |  CAST(MAX(ph.len) AS BIGINT) AS n_words,
+        |  CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+        |  round(CAST(MAX(sc.s) AS DOUBLE), 6) AS score
+        |FROM ph JOIN sc ON sc.doc_id = ph.doc_id AND sc.pid = ph.pid
+        |GROUP BY ph.phrase
+        |ORDER BY score DESC, phrase
+        |LIMIT 50""".stripMargin,
+
+    // D20: the q48 recursive-closure cluster chain + the q41 split
+    // rule; canonical split = the min-id representative's.
+    "q254_split_repair" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), idx AS (
+        |  SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i FROM toks
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM idx
+        |), mh AS (
+        |  SELECT doc_id, s.seed,
+        |    min(CAST(('0x' || substr(
+        |      md5(CAST(s.seed AS VARCHAR) || ':' || shingle), 1, 15)) AS BIGINT))
+        |      AS mh
+        |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0,7)) AS seed) s
+        |  GROUP BY doc_id, s.seed
+        |), bands AS (
+        |  SELECT doc_id, seed // 2 AS band,
+        |    string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed) AS sig
+        |  FROM mh GROUP BY doc_id, seed // 2
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a
+        |  JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        |), strong AS (
+        |  SELECT c.doc_a, c.doc_b
+        |  FROM cand c
+        |  JOIN mh ma ON ma.doc_id = c.doc_a
+        |  JOIN mh mb ON mb.doc_id = c.doc_b AND mb.seed = ma.seed
+        |  GROUP BY c.doc_a, c.doc_b
+        |  HAVING count(*) FILTER (ma.mh = mb.mh) >= 7
+        |), edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM strong
+        |  UNION
+        |  SELECT doc_b, doc_a FROM strong
+        |), reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+        |), nodes AS (SELECT DISTINCT src AS id FROM edges
+        |), cl AS (
+        |  SELECT n.id, least(n.id, min(r.dst)) AS cluster
+        |  FROM nodes n LEFT JOIN reach r ON r.src = n.id
+        |  GROUP BY n.id
+        |), a AS (
+        |  SELECT doc_id,
+        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+        |      THEN 'train' ELSE 'val' END AS split
+        |  FROM documents
+        |), canon AS (
+        |  SELECT cl.id AS doc_id, a2.split AS cs
+        |  FROM cl JOIN a a2 ON a2.doc_id = cl.cluster
+        |)
+        |SELECT a.doc_id, a.split,
+        |  COALESCE(c.cs, a.split) AS new_split,
+        |  (COALESCE(c.cs, a.split) <> a.split) AS moved
+        |FROM a LEFT JOIN canon c ON c.doc_id = a.doc_id
+        |ORDER BY a.doc_id""".stripMargin,
 
     // E32: per-cluster exact decimal sums, rational S²/n terms
     // round(12) into DECIMAL(38,12), exact Σn², fixed ANOVA finish;

@@ -312,6 +312,34 @@ class DedupSpec extends AnyFunSuite {
     assert(scans.size === 1)
   }
 
+  test("splitCoherentRepair: clusters follow their representative; " +
+      "repair closes leakage by construction") {
+    val assign = Seq(
+      (1L, "train"), (2L, "val"),   // cluster {1,2}: rep 1 -> train
+      (3L, "val"), (4L, "train"),   // cluster {3,4}: rep 3 -> val
+      (5L, "val")                   // unclustered: untouched
+    ).toDF("doc_id", "split")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L))
+      .toDF("id", "cluster")
+    val out = Dedup.splitCoherentRepair(assign, "doc_id", "split", clusters)
+      .orderBy("doc_id")
+      .as[(Long, String, String, Boolean)].collect().toSeq
+    assert(out === Seq(
+      (1L, "train", "train", false),
+      (2L, "val", "train", true),
+      (3L, "val", "val", false),
+      (4L, "train", "val", true),
+      (5L, "val", "val", false)))
+    // leakage closure: no cluster straddles splits after the repair
+    val repaired = Dedup.splitCoherentRepair(
+        assign, "doc_id", "split", clusters)
+      .select(col("doc_id").as("id"), col("new_split"))
+      .join(clusters, Seq("id"))
+    assert(repaired.groupBy("cluster")
+      .agg(countDistinct("new_split").as("k"))
+      .where(col("k") > 1).count() === 0L)
+  }
+
   test("exactSimilarityJoin: parity with brute force across thresholds") {
     // 40 docs built from overlapping word windows over a 60-word
     // alphabet: adjacent docs overlap heavily, distant docs little —

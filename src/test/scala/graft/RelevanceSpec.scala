@@ -149,4 +149,25 @@ class RelevanceSpec extends AnyFunSuite {
       Relevance.rrfFuse(Seq("a" -> a), "doc_id", k = 3)
     }
   }
+
+  test("rakeKeyphrases: degree/frequency scores, phrase boundaries, dedup") {
+    // phrases: d1 "big data"/"new oil", d2 "big data"/"big models",
+    // d3 "deep learning models". big: freq 3 deg 6 -> 2; models:
+    // freq 2 deg 5 -> 2.5; deep/learning: 3.
+    val docs = Seq(
+      (1L, "big data is the new oil"),
+      (2L, "big data and big models"),
+      (3L, "deep learning models"),
+      (4L, "the and is")            // stopwords only: no phrases
+    ).toDF("doc_id", "text")
+    val out = Relevance.rakeKeyphrases(docs, "doc_id", "text",
+        stopwords = Seq("the", "a", "of", "and", "is", "to"), k = 10)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("deep learning models") === ((3L, 1L, 8.5)))
+    assert(out("big models") === ((2L, 1L, 4.5)))
+    assert(out("big data") === ((2L, 2L, 4.0)))
+    assert(out("new oil") === ((2L, 1L, 4.0)))
+    assert(out.size === 4)
+  }
 }
