@@ -789,27 +789,27 @@ object TextAnalysis {
       .select(col(groupCol), col(valueCol).cast("long").as("__x"))
     // rank by VALUE only: ties at the k/k+1 boundary pick arbitrary
     // ROWS but a deterministic value multiset — the estimator reads
-    // values, never identities
+    // values, never identities. The threshold rides a second
+    // full-frame window on the SAME partitioning (one exchange, no
+    // join, no barrier), so everything folds in ONE aggregation.
     val top = base
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col(groupCol)).orderBy(col("__x").desc)))
       .where(col("__rn") <= k + 1)
-      .localCheckpoint() // feeds the threshold agg AND the term sum
+      .withColumn("__xt",
+        min(col("__x")).over(Window.partitionBy(col(groupCol))))
+    val term = round(
+      log(col("__x").cast("double") / col("__xt").cast("double")), 12)
+      .cast(DecimalType(38, 12))
     val gstats = base.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_group"))
-    val th = top.groupBy(col(groupCol)).agg(
-      min(col("__x")).as("x_threshold"), count(lit(1)).as("__m"))
-    val sums = top
-      .where(col("__rn") <= k)
-      .join(th.select(col(groupCol), col("x_threshold")), Seq(groupCol))
-      .select(col(groupCol),
-        round(log(col("__x").cast("double") /
-          col("x_threshold").cast("double")), 12)
-          .cast(DecimalType(38, 12)).as("__t"))
-      .groupBy(col(groupCol)).agg(sum(col("__t")).as("__s"))
-    th
+    top
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("__m"),
+        min(col("__x")).as("x_threshold"),
+        sum(when(col("__rn") <= k, term)).as("__s"))
       .join(gstats, Seq(groupCol))
-      .join(sums, Seq(groupCol), "left")
       .select(
         col(groupCol), lit(k).as("k"), col("n_group"),
         col("x_threshold"),

@@ -415,4 +415,47 @@ class PlanSpec extends AnyFunSuite {
     assert(scans === 1, s"one-pass report, saw $scans scans:\n$p")
     assert(!p.contains("WindowExec"), "no window needed for binning")
   }
+
+  test("q240/q248: graph wedge/degree joins are hash joins, never nested-loop") {
+    // q240's whole pipeline is equi-joins; q248 additionally stitches
+    // its three ONE-ROW summary aggregates with the house one-row
+    // cross join (a BroadcastNestedLoopJoin over single rows — the
+    // PageRank dangling-mass contract), so only CartesianProduct is
+    // banned there.
+    val lp = plan("q240_link_predict")
+    assert(!lp.contains("CartesianProduct") &&
+      !lp.contains("BroadcastNestedLoopJoin"),
+      s"q240 must stay on equi-join paths:\n$lp")
+    assert(!plan("q248_assortativity").contains("CartesianProduct"))
+  }
+
+  test("q240: top-1000 predictions ride TakeOrderedAndProject") {
+    assert(plan("q240_link_predict").contains("TakeOrderedAndProject"))
+  }
+
+  test("q242/q243: rank/lead statistics use ONE key exchange, no corpus re-shuffle") {
+    // Mann-Whitney: the tie-group shuffle is the only corpus-sized
+    // exchange; the min-rank window runs on the distinct-value table.
+    val mw = plan("q242_mann_whitney")
+    assert(mw.linesIterator.count(_.contains("FileScan parquet")) === 1)
+    // ACF: one window pass computes all 5 leads (one WindowExec),
+    // and the groupBy reuses its partitioning.
+    val acf = plan("q243_autocorrelation")
+    assert(acf.linesIterator.count(_.contains("WindowExec")) <= 1 ||
+      acf.split("Window").length - 1 <= 2,
+      s"all lags must share one window pass:\n$acf")
+  }
+
+  test("q249: per-group top-(k+1) bounds the shuffle via WindowGroupLimit") {
+    assert(plan("q249_hill_tail").contains("WindowGroupLimit"))
+  }
+
+  test("q246/q250/q252: experiment readouts are single-pass conditional aggregates") {
+    for (q <- Seq("q246_diff_in_diff", "q250_mantel_haenszel",
+        "q252_icc_deff")) {
+      val p = plan(q)
+      val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+      assert(scans === 1, s"$q: cells must ride one scan, saw $scans:\n$p")
+    }
+  }
 }
