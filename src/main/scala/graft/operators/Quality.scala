@@ -708,6 +708,68 @@ object Quality {
   }
 
   /**
+   * E33: minimum-detectable-effect readout for CONTINUOUS metrics —
+   * [[mdeReadout]]'s t-test sibling: given each segment's observed
+   * arm sizes and pooled within-arm variance, the smallest mean
+   * lift a two-sample test detects at significance α and power 1−β
+   * is (z_{α/2}+z_β)·√(s²(1/n_a+1/n_b)). Revenue/latency/engagement
+   * experiments are designed on THIS number, not the proportion one.
+   *
+   * Pooled variance from exact DECIMAL(18,6) per-arm sums —
+   * s² = (SS_a − n_a·m_a² + SS_b − n_b·m_b²)/(n−2), each arm's
+   * component clamped at 0 (near-constant-arm float cancellation);
+   * z quantiles are caller literals ADDED on both engines (the E26
+   * one-ulp rule); fixed IEEE finish, round(6); means SIGNED (oracle
+   * `+ 0.0`), mde non-negative. Segments without both arms, without
+   * residual dof (n ≤ 2), or with zero pooled variance emit NULL
+   * mde; `mde_rel` additionally needs a positive control mean.
+   *
+   * Scale: one partial-aggregated key shuffle, all cells in one pass.
+   *
+   * Output: (keys..., n_a, n_b, mean_a, mean_b, sd_pooled, mde_abs,
+   * mde_rel).
+   */
+  def mdeContinuous(
+      df: DataFrame, keyCols: Seq[String], aCol: Column,
+      valueCol: Column,
+      zAlpha: Double = 1.959964, zPower: Double = 0.841621): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(keyCols.nonEmpty, "need at least one key column")
+    val dec = DecimalType(18, 6)
+    val v = valueCol.cast(dec)
+    val agg = df
+      .where(aCol.isNotNull && valueCol.isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        sum(when(aCol, 1L).otherwise(0L)).as("n_a"),
+        sum(when(!aCol, 1L).otherwise(0L)).as("n_b"),
+        sum(when(aCol, v)).as("__sa"),
+        sum(when(!aCol, v)).as("__sb"),
+        sum(when(aCol, v * v)).as("__ssa"),
+        sum(when(!aCol, v * v)).as("__ssb"))
+    val naD = col("n_a").cast("double")
+    val nbD = col("n_b").cast("double")
+    val ma = col("__sa").cast("double") / naD
+    val mb = col("__sb").cast("double") / nbD
+    val s2 = (greatest(col("__ssa").cast("double") - naD * ma * ma,
+        lit(0.0)) +
+      greatest(col("__ssb").cast("double") - nbD * mb * mb, lit(0.0))) /
+      (naD + nbD - lit(2.0))
+    val mde = (lit(zAlpha) + lit(zPower)) *
+      sqrt(s2 * (lit(1.0) / naD + lit(1.0) / nbD))
+    val ok = col("n_a") > 0 && col("n_b") > 0 &&
+      col("n_a") + col("n_b") > 2 && s2 > 0
+    agg.select(
+      keyCols.map(col) ++ Seq(
+        col("n_a"), col("n_b"),
+        when(col("n_a") > 0, round(ma, 6)).as("mean_a"),
+        when(col("n_b") > 0, round(mb, 6)).as("mean_b"),
+        when(ok, round(sqrt(s2), 6)).as("sd_pooled"),
+        when(ok, round(mde, 6)).as("mde_abs"),
+        when(ok && mb > 0, round(mde / mb, 6)).as("mde_rel")): _*)
+  }
+
+  /**
    * E31: Mantel–Haenszel pooled odds ratio — the CONFOUNDER-ADJUSTED
    * effect readout: when arm assignment correlates with a stratifier
    * (platform, geography, day), the raw pooled odds ratio is

@@ -1741,4 +1741,62 @@ object Similarity {
         col("__hits").cast("int").as("hits"),
         round(col("__hits").cast("double") / lit(k.toDouble), 6).as("recall"))
   }
+
+  /**
+   * V23: embedding-space isotropy / norm report — the ONE-ROW health
+   * check run before trusting cosine retrieval over an index:
+   * anisotropic embedding spaces (all vectors sharing a large common
+   * direction — the well-documented pathology of LM last layers)
+   * compress cosine ranges and break IVF cell balance. Reported:
+   * vector/dim counts, mean norm and norm coefficient-of-variation
+   * (norm spread breaks dot-for-cosine shortcuts), the corpus
+   * centroid's norm, and `centroid_share` = ‖μ‖²/E‖x‖² ∈ [0,1] — the
+   * fraction of average vector energy living in the common mean
+   * direction (0 = centered; large = rank-one dominated, subtract
+   * the mean before indexing).
+   *
+   * Float parity: per-vector norm² is the codegen'd index-order
+   * [[dot]] fold (the q19 VecDot convention — deterministic within a
+   * row); cross-row means of norms/norm² stage round(12) into
+   * DECIMAL(38,12) (q155 discipline); the per-dim centroid uses the
+   * raw SUM(x)/n q44-precedent fold with the round(6) boundary.
+   * All outputs non-negative.
+   *
+   * Scale: one element explode for the centroid (partial-aggregated
+   * per dim — the only corpus-sized shuffle is d·partitions), one
+   * per-row kernel pass for norms, one-row cross joins to stitch.
+   */
+  def isotropyReport(
+      df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 12)
+    val base = df.where(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+    val perVec = base.select(
+      col(idCol), dot(col(vecCol), col(vecCol)).as("__n2"))
+    val normStats = perVec.agg(
+      count(lit(1)).as("n_vecs"),
+      sum(round(sqrt(col("__n2")), 12).cast(dec)).as("__sn"),
+      sum(round(col("__n2"), 12).cast(dec)).as("__sn2"))
+    val cen = base
+      .select(posexplode(col(vecCol)).as(Seq("__d", "__xf")))
+      .select(col("__d"), col("__xf").cast("double").as("__x"))
+      .groupBy("__d")
+      .agg((sum(col("__x")) / count(lit(1))).as("__c"))
+    val cenAgg = cen.agg(
+      count(lit(1)).as("dims"),
+      sum(col("__c") * col("__c")).as("__cn2"))
+    val nD = col("n_vecs").cast("double")
+    val meanNorm = col("__sn").cast("double") / nD
+    val meanSq = col("__sn2").cast("double") / nD
+    val varNorm = meanSq - meanNorm * meanNorm
+    normStats.crossJoin(cenAgg).select(
+      col("n_vecs"), col("dims").cast("int").as("dims"),
+      round(meanNorm, 6).as("mean_norm"),
+      when(meanNorm > 0,
+        round(sqrt(greatest(varNorm, lit(0.0))) / meanNorm, 6))
+        .as("norm_cv"),
+      round(sqrt(col("__cn2")), 6).as("centroid_norm"),
+      when(meanSq > 0, round(col("__cn2") / meanSq, 6))
+        .as("centroid_share"))
+  }
 }

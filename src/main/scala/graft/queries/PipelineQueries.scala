@@ -2651,6 +2651,25 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // V23 (round 9): embedding-space isotropy/norm report — the
+    // one-row health check before trusting cosine retrieval: norm
+    // spread + the share of vector energy in the common mean
+    // direction.
+    "q255_embed_isotropy" -> ((s, dir) => {
+      graft.operators.Similarity.isotropyReport(
+        t(s, dir, "embeddings"), "vec_id", "embedding")
+    }),
+
+    // E33 (round 9): continuous-metric MDE — the t-test sibling of
+    // q236's proportion readout; revenue/latency experiments are
+    // designed on this number.
+    "q256_mde_continuous" -> ((s, dir) => {
+      graft.operators.Quality.mdeContinuous(
+          t(s, dir, "events"), Seq("event_type"),
+          col("user_id") % 2 === 0, col("value"))
+        .orderBy("event_type")
+    }),
+
     // T51 (round 9): quantile normalization — per-event_type values
     // mapped onto the global distribution at their within-group
     // quantile position (type-7, exact integer index arithmetic);
@@ -5507,6 +5526,89 @@ object PipelineQueries {
         |  (COALESCE(c.cs, a.split) <> a.split) AS moved
         |FROM a LEFT JOIN canon c ON c.doc_id = a.doc_id
         |ORDER BY a.doc_id""".stripMargin,
+
+    // V23: per-vec norm² is the index-order q19 fold; cross-row
+    // means round(12)-staged; centroid = the q44 raw SUM(x)/n fold.
+    "q255_embed_isotropy" ->
+      """WITH el AS (
+        |  SELECT vec_id, generate_subscripts(embedding,1) AS d,
+        |         unnest(embedding)::DOUBLE AS x
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND len(embedding) > 0
+        |), n2 AS (
+        |  SELECT vec_id, SUM(x * x) AS n2 FROM el GROUP BY vec_id
+        |), ns AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |    SUM(CAST(round(sqrt(n2), 12) AS DECIMAL(38,12))) AS sn,
+        |    SUM(CAST(round(n2, 12) AS DECIMAL(38,12))) AS sn2
+        |  FROM n2
+        |), cen AS (
+        |  SELECT d, SUM(x) / COUNT(*) AS c FROM el GROUP BY d
+        |), ca AS (
+        |  SELECT CAST(COUNT(*) AS INT) AS dims, SUM(c * c) AS cn2
+        |  FROM cen
+        |), f AS (
+        |  SELECT n_vecs, dims,
+        |    CAST(sn AS DOUBLE) / CAST(n_vecs AS DOUBLE) AS mean_norm,
+        |    CAST(sn2 AS DOUBLE) / CAST(n_vecs AS DOUBLE) AS mean_sq,
+        |    cn2
+        |  FROM ns CROSS JOIN ca
+        |)
+        |SELECT n_vecs, dims,
+        |  round(mean_norm, 6) AS mean_norm,
+        |  CASE WHEN mean_norm > 0 THEN
+        |    round(sqrt(greatest(mean_sq - mean_norm * mean_norm, 0.0))
+        |      / mean_norm, 6) END AS norm_cv,
+        |  round(sqrt(cn2), 6) AS centroid_norm,
+        |  CASE WHEN mean_sq > 0 THEN round(cn2 / mean_sq, 6)
+        |    END AS centroid_share
+        |FROM f""".stripMargin,
+
+    // E33: exact decimal arm moments, clamped variance components,
+    // z literals ADDED on both engines (E26 one-ulp rule); means
+    // signed (+ 0.0), mde non-negative.
+    "q256_mde_continuous" ->
+      """WITH e AS (
+        |  SELECT event_type, (user_id % 2 = 0) AS a,
+        |    CAST(value AS DECIMAL(18,6)) AS v
+        |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |), g AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+        |    SUM(CASE WHEN a THEN v END) AS sa,
+        |    SUM(CASE WHEN NOT a THEN v END) AS sb,
+        |    SUM(CASE WHEN a THEN v * v END) AS ssa,
+        |    SUM(CASE WHEN NOT a THEN v * v END) AS ssb
+        |  FROM e GROUP BY 1
+        |), f AS (
+        |  SELECT event_type, n_a, n_b,
+        |    CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
+        |    CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb,
+        |    (greatest(CAST(ssa AS DOUBLE) - CAST(n_a AS DOUBLE)
+        |        * (CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE))
+        |        * (CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE)), 0.0)
+        |     + greatest(CAST(ssb AS DOUBLE) - CAST(n_b AS DOUBLE)
+        |        * (CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE))
+        |        * (CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE)), 0.0))
+        |      / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2.0) AS s2
+        |  FROM g
+        |), f2 AS (
+        |  SELECT event_type, n_a, n_b, ma, mb, s2,
+        |    (1.959964 + 0.841621) * sqrt(s2 * (1.0 / CAST(n_a AS DOUBLE)
+        |      + 1.0 / CAST(n_b AS DOUBLE))) AS mde
+        |  FROM f
+        |)
+        |SELECT event_type, n_a, n_b,
+        |  CASE WHEN n_a > 0 THEN round(ma, 6) + 0.0 END AS mean_a,
+        |  CASE WHEN n_b > 0 THEN round(mb, 6) + 0.0 END AS mean_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND n_a + n_b > 2 AND s2 > 0
+        |    THEN round(sqrt(s2), 6) END AS sd_pooled,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND n_a + n_b > 2 AND s2 > 0
+        |    THEN round(mde, 6) END AS mde_abs,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND n_a + n_b > 2 AND s2 > 0
+        |    AND mb > 0 THEN round(mde / mb, 6) END AS mde_rel
+        |FROM f2 ORDER BY event_type""".stripMargin,
 
     // E32: per-cluster exact decimal sums, rational S²/n terms
     // round(12) into DECIMAL(38,12), exact Σn², fixed ANOVA finish;

@@ -758,6 +758,28 @@ class QualitySpec extends AnyFunSuite {
     assert(out("k")._4.isEmpty)
   }
 
+  test("mdeContinuous: hand-computed pooled-variance MDE; degenerate NULLs") {
+    // A=[1,2,3], B=[2,4]: s2 = (2+2)/3, mde = (za+zb)*sqrt(s2*(1/3+1/2))
+    val df = Seq(
+      ("s", true, 1.0), ("s", true, 2.0), ("s", true, 3.0),
+      ("s", false, 2.0), ("s", false, 4.0),
+      ("c", true, 5.0), ("c", true, 5.0), ("c", false, 5.0),  // s2 = 0
+      ("o", true, 1.0), ("o", true, 2.0)                      // one arm
+    ).toDF("seg", "a", "v")
+    val out = Quality.mdeContinuous(df, Seq("seg"), col("a"), col("v"))
+      .as[(String, Long, Long, Option[Double], Option[Double],
+        Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val s2 = 4.0 / 3.0
+    val mde = (1.959964 + 0.841621) * math.sqrt(s2 * (1.0 / 3 + 1.0 / 2))
+    assert(out("s") === (("s", 3L, 2L, Some(2.0), Some(3.0),
+      Some(r6(math.sqrt(s2))), Some(r6(mde)), Some(r6(mde / 3.0)))))
+    assert(out("c")._6.isEmpty && out("c")._7.isEmpty)
+    assert(out("o")._5.isEmpty && out("o")._7.isEmpty)
+  }
+
   test("functionalDependencies: violations, NULL-rhs immunity, NULL-lhs group") {
     val df = Seq(
       (Some(1), Some("x")),                     // clean key

@@ -727,4 +727,23 @@ class SimilaritySpec extends AnyFunSuite {
       .select("vec_id").as[Long].collect().toSeq
     assert(small === Seq(1L))
   }
+
+  test("isotropyReport: hand-computed norms, CV, centroid energy share") {
+    // v1=[3,4] (norm 5), v2=[6,8] (norm 10): mean 7.5, sd 2.5 ->
+    // cv 1/3; centroid [4.5,6] -> norm 7.5, share 56.25/62.5 = 0.9.
+    val vecs = Seq(
+      (1L, Array(3.0f, 4.0f)), (2L, Array(6.0f, 8.0f)),
+      (3L, null.asInstanceOf[Array[Float]])  // excluded
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.isotropyReport(vecs, "vec_id", "embedding")
+      .as[(Long, Int, Double, Double, Double, Double)].collect().head
+    assert(r === ((2L, 2, 7.5, 0.333333, 7.5, 0.9)))
+    // identical vectors: all energy in the mean direction
+    val same = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(1.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val s = Similarity.isotropyReport(same, "vec_id", "embedding")
+      .select("norm_cv", "centroid_share")
+      .as[(Double, Double)].collect().head
+    assert(s === ((0.0, 1.0)))
+  }
 }
