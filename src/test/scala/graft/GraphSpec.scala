@@ -271,6 +271,65 @@ class GraphSpec extends AnyFunSuite {
     assert(t._5.isEmpty, "zero degree variance -> NULL r")
   }
 
+  test("linkPredict: random-graph parity with brute-force wedge enumeration") {
+    val rnd = new scala.util.Random(97)
+    val raw = Seq.fill(80)((rnd.nextInt(14).toLong, rnd.nextInt(14).toLong))
+    val edges = (raw ++ raw.map(_.swap)).toDF("src", "dst")
+    val und = raw.collect { case (a, b) if a != b =>
+      (math.min(a, b), math.max(a, b)) }.toSet
+    val nbr = und.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      .withDefaultValue(Set.empty[Long])
+    def brute(cap: Int) = (for {
+      a <- nbr.keys; b <- nbr.keys
+      if a < b && !und.contains((a, b))
+      common = nbr(a).intersect(nbr(b)).filter(v => nbr(v).size <= cap)
+      if common.nonEmpty
+    } yield {
+      val aa = common.toSeq.map(v => BigDecimal(1.0 / math.log(nbr(v).size))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)).sum
+      (a, b) -> ((common.size.toLong,
+        aa.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(common.size.toDouble /
+          (nbr(a).size + nbr(b).size - common.size))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }).toMap
+    for (cap <- Seq(3, 14)) {
+      val got = Graph.linkPredict(edges, "src", "dst", maxViaDegree = cap)
+        .as[(Long, Long, Long, Double, Double)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+      assert(got === brute(cap), s"cap=$cap")
+    }
+  }
+
+  test("bfsHops: random-graph parity with brute-force BFS") {
+    val rnd = new scala.util.Random(43)
+    val raw = Seq.fill(40)((rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+    val edges = raw.toDF("src", "dst")
+    val und = raw.collect { case (a, b) if a != b =>
+      (math.min(a, b), math.max(a, b)) }.toSet
+    val nbr = und.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      .withDefaultValue(Set.empty[Long])
+    val seeds = Seq(0L, 5L, 19L)
+    def brute(rounds: Int): Map[Long, Int] = {
+      var hops = seeds.map(_ -> 0).toMap
+      var frontier = seeds.toSet
+      for (r <- 1 to rounds) {
+        val next = frontier.flatMap(nbr).diff(hops.keySet)
+        hops = hops ++ next.map(_ -> r)
+        frontier = next
+      }
+      hops
+    }
+    for (rounds <- Seq(1, 3, 6)) {
+      val got = Graph.bfsHops(edges, "src", "dst",
+          seeds.toDF("id"), "id", rounds)
+        .as[(Long, Int)].collect().toMap
+      assert(got === brute(rounds), s"rounds=$rounds")
+    }
+  }
+
   test("bfsHops: multi-source minimum hop wins; direction-blind") {
     val path = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"))
     val r = hops(path ++ path.map(_.swap), Seq("a", "e"), rounds = 2)
