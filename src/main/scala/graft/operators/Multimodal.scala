@@ -166,6 +166,40 @@ object Multimodal {
           lit(0.6931471805599453), 6).as("entropy_bits"))
   }
 
+  /**
+   * M11: container-format sniffing from MAGIC BYTES — the
+   * trust-nothing check before routing payloads to decoders:
+   * declared metadata lies (mislabeled uploads, re-encodes behind a
+   * stale extension, content-type spoofing), while the first bytes
+   * of a container cannot. Recognizes PNG (PNG), JPEG
+   * (FF D8 FF), WEBP (RIFF....WEBP — the type tag sits at bytes
+   * 9–12, AFTER the chunk-size field), and GIF; everything else is
+   * "unknown". Pure per-row projection on the payload's first 12
+   * bytes — no decode, no shuffle.
+   */
+  def sniffFormat(payload: Column): Column = {
+    val h = hex(substring(payload, 1, 12))
+    when(h.startsWith("89504E47"), "png")
+      .when(h.startsWith("FFD8FF"), "jpeg")
+      .when(h.startsWith("52494646") &&
+        h.substr(17, 8) === "57454250", "webp")
+      .when(h.startsWith("474946"), "gif")
+      .otherwise("unknown")
+  }
+
+  /**
+   * M11 audit surface: declared vs sniffed format per payload — the
+   * pre-decode mislabel report. `format_ok = false` rows are the
+   * decode-stage poison a release gate quarantines first.
+   */
+  def formatAudit(
+      df: DataFrame, idCol: String, payloadCol: String,
+      declaredCol: Column): DataFrame =
+    df.select(
+      col(idCol), declaredCol.as("declared"),
+      sniffFormat(col(payloadCol)).as("sniffed"))
+      .withColumn("format_ok", col("sniffed") === col("declared"))
+
   def decodeFeaturesStub(
       df: DataFrame,
       idCol: String,

@@ -2631,6 +2631,30 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // M11 (round 9): magic-byte format sniff vs declared metadata —
+    // payloads get REAL container magics (rotated off the declared
+    // format for doc_id%7 == 0, the injected mislabels), and the
+    // byte-level sniffer must recover exactly the construction: the
+    // gate proves binary concat + hex sniff invert each other.
+    "q257_format_sniff" -> ((s, dir) => {
+      val m = Multimodal.synthesize(t(s, dir, "documents"),
+        "doc_id", "text")
+      val idx = col("doc_id") % 3
+      val headerIdx = when(col("doc_id") % 7 === 0, (idx + 1) % 3)
+        .otherwise(idx)
+      val magics = array(
+        lit("89504E47"),                 // png
+        lit("FFD8FFE0"),                 // jpeg (JFIF)
+        lit("52494646000000005745425056503820")) // webp: RIFF+size+WEBP+VP8
+      val withHeader = m.select(
+        col("doc_id"), col("media"),
+        concat(unhex(element_at(magics, (headerIdx + 1).cast("int"))),
+          col("payload")).as("payload"))
+      Multimodal.formatAudit(withHeader, "doc_id", "payload",
+          col("media.format"))
+        .orderBy("doc_id")
+    }),
+
     // E32 (round 9): intraclass correlation + design effect per
     // event_type with user clusters — the cluster-randomization
     // power-loss number row-level tests silently overstate.
@@ -5609,6 +5633,23 @@ object PipelineQueries {
         |  CASE WHEN n_a > 0 AND n_b > 0 AND n_a + n_b > 2 AND s2 > 0
         |    AND mb > 0 THEN round(mde / mb, 6) END AS mde_rel
         |FROM f2 ORDER BY event_type""".stripMargin,
+
+    // M11: the oracle predicts the construction (declared = id%3
+    // list pick, header rotated for id%7 == 0) — the Spark side must
+    // byte-sniff its way back to exactly this table.
+    "q257_format_sniff" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    ['png','jpeg','webp'][CAST(doc_id % 3 + 1 AS INT)]
+        |      AS declared,
+        |    ['png','jpeg','webp'][CAST((CASE WHEN doc_id % 7 = 0
+        |      THEN (doc_id % 3 + 1) % 3 ELSE doc_id % 3 END) + 1
+        |      AS INT)] AS sniffed
+        |  FROM documents
+        |)
+        |SELECT doc_id, declared, sniffed,
+        |  (sniffed = declared) AS format_ok
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     // E32: per-cluster exact decimal sums, rational S²/n terms
     // round(12) into DECIMAL(38,12), exact Σn², fixed ANOVA finish;

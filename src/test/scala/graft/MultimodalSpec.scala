@@ -121,6 +121,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 === 4L || p._2 === 4L))
   }
 
+  test("sniffFormat: real magics recognized, WEBP type tag honored, " +
+      "junk unknown") {
+    val rows = Seq(
+      (1L, "89504E47AABBCC", "png"),
+      (2L, "FFD8FFE000", "jpeg"),
+      (3L, "52494646000000005745425000", "webp"),   // RIFF + WEBP tag
+      (4L, "524946460000000041564920", "unknown"),  // RIFF but AVI
+      (5L, "47494638", "gif"),
+      (6L, "0001", "unknown"),
+      (7L, "", "unknown")
+    ).toDF("id", "hx", "want")
+      .select(col("id"), unhex(col("hx")).as("payload"), col("want"))
+    val got = rows.select(col("id"),
+        Multimodal.sniffFormat(col("payload")).as("s"), col("want"))
+      .as[(Long, String, String)].collect()
+    got.foreach { case (id, s, want) => assert(s === want, s"id=$id") }
+  }
+
   test("byteEntropy: uniform-byte goldens; degenerate fill is 0 bits") {
     val df = Seq(
       (1L, "aabb"),  // two bytes, 50/50 -> 1 bit
