@@ -770,6 +770,56 @@ object Quality {
   }
 
   /**
+   * E34: fixed-effect meta-analytic pooling + I² heterogeneity — the
+   * "37 segments each measured an effect, what's THE effect?"
+   * readout: inverse-variance pooling d̄ = Σwᵢdᵢ/Σwᵢ (wᵢ = 1/SEᵢ²)
+   * weights precise segments up, SE(d̄) = √(1/Σw), and Cochran's
+   * Q = Σwᵢdᵢ² − (Σwᵢdᵢ)²/Σw with I² = max(0, (Q−(k−1))/Q) says
+   * whether the segments even agree — I² ≳ 75% means pooling hides
+   * real heterogeneity and the per-segment table IS the answer.
+   * Composes over any (effect, se) table: [[diffInDiff]], [[abTestBy]]
+   * deltas, per-cohort lifts.
+   *
+   * Float parity: inputs are the upstream operators' round(6)
+   * decimals (both engines hold them exactly); the per-segment terms
+   * w, w·d, w·d² round(12) into DECIMAL(38,12) before pooling (q155
+   * discipline); one fixed IEEE finish, round(6); pooled effect
+   * SIGNED (oracle `+ 0.0`), Q/I²/SE non-negative. Fewer than 2
+   * usable segments emits NULL everything except k.
+   *
+   * Scale: one one-row aggregate over the segment table.
+   *
+   * Output: one row — (k, pooled, se_pooled, q_stat, i2).
+   */
+  def metaPool(
+      df: DataFrame, effectCol: Column, seCol: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 12)
+    val usable = df.where(
+      effectCol.isNotNull && seCol.isNotNull && seCol > 0)
+    val w = lit(1.0) / (seCol.cast("double") * seCol.cast("double"))
+    val d = effectCol.cast("double")
+    val agg = usable.agg(
+      count(lit(1)).as("k"),
+      sum(round(w, 12).cast(dec)).as("__sw"),
+      sum(round(w * d, 12).cast(dec)).as("__swd"),
+      sum(round(w * d * d, 12).cast(dec)).as("__swd2"))
+    val swD = col("__sw").cast("double")
+    val pooled = col("__swd").cast("double") / swD
+    val q = col("__swd2").cast("double") -
+      col("__swd").cast("double") * col("__swd").cast("double") / swD
+    val ok = col("k") >= 2 && swD > 0
+    agg.select(
+      col("k"),
+      when(ok, round(pooled, 6)).as("pooled"),
+      when(ok, round(sqrt(lit(1.0) / swD), 6)).as("se_pooled"),
+      when(ok, round(greatest(q, lit(0.0)), 6)).as("q_stat"),
+      when(ok && q > 0,
+        round(greatest((q - (col("k") - lit(1L)).cast("double")) / q,
+          lit(0.0)), 6)).as("i2"))
+  }
+
+  /**
    * E31: Mantel–Haenszel pooled odds ratio — the CONFOUNDER-ADJUSTED
    * effect readout: when arm assignment correlates with a stratifier
    * (platform, geography, day), the raw pooled odds ratio is

@@ -2631,6 +2631,19 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // E34 (round 9): meta-analytic pooling of q246's per-segment DiD
+    // effects — inverse-variance pooled effect + Cochran Q / I²
+    // heterogeneity; the composition gate for experiment-readout
+    // pipelines (diffInDiff -> metaPool).
+    "q258_meta_pool" -> ((s, dir) => {
+      val effects = graft.operators.Quality.diffInDiff(
+        t(s, dir, "events"), Seq("event_type"),
+        col("user_id") % 2 === 0, dayofmonth(col("ts")) >= 16,
+        col("value"))
+      graft.operators.Quality.metaPool(
+        effects, col("did"), col("se"))
+    }),
+
     // M11 (round 9): magic-byte format sniff vs declared metadata —
     // payloads get REAL container magics (rotated off the declared
     // format for doc_id%7 == 0, the injected mislabels), and the
@@ -5633,6 +5646,42 @@ object PipelineQueries {
         |  CASE WHEN n_a > 0 AND n_b > 0 AND n_a + n_b > 2 AND s2 > 0
         |    AND mb > 0 THEN round(mde / mb, 6) END AS mde_rel
         |FROM f2 ORDER BY event_type""".stripMargin,
+
+    // E34: the q246 chain wrapped as a subquery, then one pooled
+    // aggregate over its round(6) effect/se columns (both engines
+    // hold those decimals exactly); pooled signed (+ 0.0).
+    "q258_meta_pool" -> {
+      s"""WITH eff AS (
+         |  SELECT did, se FROM ($didOracleSql)
+         |  WHERE did IS NOT NULL AND se IS NOT NULL AND se > 0
+         |), p AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         |    SUM(CAST(round(1.0 / (se * se), 12) AS DECIMAL(38,12)))
+         |      AS sw,
+         |    SUM(CAST(round((1.0 / (se * se)) * did, 12)
+         |      AS DECIMAL(38,12))) AS swd,
+         |    SUM(CAST(round((1.0 / (se * se)) * did * did, 12)
+         |      AS DECIMAL(38,12))) AS swd2
+         |  FROM eff
+         |), f AS (
+         |  SELECT k, CAST(sw AS DOUBLE) AS swd_,
+         |    CAST(swd AS DOUBLE) / CAST(sw AS DOUBLE) AS pooled,
+         |    CAST(swd2 AS DOUBLE) - CAST(swd AS DOUBLE)
+         |      * CAST(swd AS DOUBLE) / CAST(sw AS DOUBLE) AS q
+         |  FROM p
+         |)
+         |SELECT k,
+         |  CASE WHEN k >= 2 AND swd_ > 0 THEN round(pooled, 6) + 0.0
+         |    END AS pooled,
+         |  CASE WHEN k >= 2 AND swd_ > 0 THEN
+         |    round(sqrt(1.0 / swd_), 6) END AS se_pooled,
+         |  CASE WHEN k >= 2 AND swd_ > 0 THEN
+         |    round(greatest(q, 0.0), 6) END AS q_stat,
+         |  CASE WHEN k >= 2 AND swd_ > 0 AND q > 0 THEN
+         |    round(greatest((q - CAST(k - 1 AS DOUBLE)) / q, 0.0), 6)
+         |  END AS i2
+         |FROM f""".stripMargin
+    },
 
     // M11: the oracle predicts the construction (declared = id%3
     // list pick, header rotated for id%7 == 0) — the Spark side must

@@ -780,6 +780,30 @@ class QualitySpec extends AnyFunSuite {
     assert(out("o")._5.isEmpty && out("o")._7.isEmpty)
   }
 
+  test("metaPool: inverse-variance pooling, Q and I2; degenerate guards") {
+    // (d=2, se=1), (d=4, se=2): w = 1, 0.25 -> pooled 3/1.25 = 2.4,
+    // se = sqrt(1/1.25), Q = 8 - 9/1.25 = 0.8, I2 = max(0, -0.25) = 0.
+    val a = Seq((2.0, 1.0), (4.0, 2.0)).toDF("d", "se")
+    val r = Quality.metaPool(a, col("d"), col("se"))
+      .as[(Long, Double, Double, Double, Double)].collect().head
+    assert(r === ((2L, 2.4,
+      BigDecimal(math.sqrt(1.0 / 1.25))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      0.8, 0.0)))
+    // strongly disagreeing segments: I2 = (50-1)/50
+    val h = Seq((0.0, 1.0), (10.0, 1.0)).toDF("d", "se")
+    val r2 = Quality.metaPool(h, col("d"), col("se"))
+      .select("pooled", "i2").as[(Double, Double)].collect().head
+    assert(r2 === ((5.0, 0.98)))
+    // one usable segment (NULL/zero-se rows excluded): no pooling
+    val one = Seq((Some(1.0), Some(1.0)), (Some(9.0), Some(0.0)),
+      (None, Some(1.0))).toDF("d", "se")
+    val r3 = Quality.metaPool(one, col("d"), col("se"))
+      .as[(Long, Option[Double], Option[Double], Option[Double],
+        Option[Double])].collect().head
+    assert(r3 === ((1L, None, None, None, None)))
+  }
+
   test("functionalDependencies: violations, NULL-rhs immunity, NULL-lhs group") {
     val df = Seq(
       (Some(1), Some("x")),                     // clean key
