@@ -770,6 +770,72 @@ object Quality {
   }
 
   /**
+   * E35: group-sequential experiment monitor — the peeking-safe
+   * answer to "can we stop the experiment yet?": an analyst checking
+   * a fixed-α z-test daily inflates false positives severalfold; the
+   * group-sequential discipline spends α across K looks instead,
+   * with the O'Brien–Fleming-shaped boundary z_k = c·√(K/k) — brutal
+   * early (look 1 of 5 needs |z| ≥ c·√5), relaxing to c at the final
+   * look. `cFinal` is the published design constant for the planned
+   * K (2.04 for K=5 at overall α≈0.05); looks are the distinct
+   * `dayCol` values in order, cells accumulate across looks, and
+   * `crossed` marks every look whose |z| clears its boundary — the
+   * first true row is the earliest defensible stop.
+   *
+   * Float parity: cumulative cells are exact integer window sums
+   * over the bounded day table (the q90 global-window contract); z
+   * is the [[abTestBy]] pooled chain on those integers; the
+   * crossing compare runs on the ROUND(6) z and boundary (both
+   * engines hold those decimals exactly — an unrounded compare
+   * could flip on the last ulp at the boundary). z signed
+   * (oracle `+ 0.0`); undefined looks (empty arm / zero variance so
+   * far) emit NULL z and NULL crossed.
+   *
+   * Output: (day, look, n_a, n_b, conv_a, conv_b, z, threshold,
+   * crossed) — one row per look, cells cumulative.
+   */
+  def sequentialMonitor(
+      df: DataFrame, dayCol: Column, aCol: Column, convCol: Column,
+      cFinal: Double = 2.04): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = df
+      .where(dayCol.isNotNull && aCol.isNotNull && convCol.isNotNull)
+      .groupBy(dayCol.as("day"))
+      .agg(
+        sum(when(aCol, 1L).otherwise(0L)).as("__na"),
+        sum(when(!aCol, 1L).otherwise(0L)).as("__nb"),
+        sum(when(aCol && convCol, 1L).otherwise(0L)).as("__ca"),
+        sum(when(!aCol && convCol, 1L).otherwise(0L)).as("__cb"))
+    val wRun = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = daily.select(
+      col("day"),
+      row_number().over(Window.orderBy(col("day"))).as("look"),
+      count(lit(1)).over(wAll).as("__kk"),
+      sum(col("__na")).over(wRun).as("n_a"),
+      sum(col("__nb")).over(wRun).as("n_b"),
+      sum(col("__ca")).over(wRun).as("conv_a"),
+      sum(col("__cb")).over(wRun).as("conv_b"))
+    val pa = col("conv_a").cast("double") / col("n_a")
+    val pb = col("conv_b").cast("double") / col("n_b")
+    val pp = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b"))
+    val se = sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    val z = when(col("n_a") > 0 && col("n_b") > 0 && se > 0,
+      round((pa - pb) / se, 6))
+    val thr = round(lit(cFinal) *
+      sqrt(col("__kk").cast("double") / col("look").cast("double")), 6)
+    cum.select(
+      col("day"), col("look"), col("n_a"), col("n_b"),
+      col("conv_a"), col("conv_b"),
+      z.as("z"), thr.as("threshold"),
+      (abs(z) >= thr).as("crossed"))
+  }
+
+  /**
    * E34: fixed-effect meta-analytic pooling + I² heterogeneity — the
    * "37 segments each measured an effect, what's THE effect?"
    * readout: inverse-variance pooling d̄ = Σwᵢdᵢ/Σwᵢ (wᵢ = 1/SEᵢ²)

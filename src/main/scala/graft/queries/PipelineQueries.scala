@@ -2631,6 +2631,17 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // E35 (round 9): group-sequential monitor — daily looks over the
+    // value>=0.5 conversion with the OBF-shaped boundary c*sqrt(K/k);
+    // the peeking-safe "can we stop yet?" readout.
+    "q259_sequential_monitor" -> ((s, dir) => {
+      graft.operators.Quality.sequentialMonitor(
+          t(s, dir, "events"), date_trunc("day", col("ts")),
+          col("user_id") % 2 === 0, col("value") >= 0.5,
+          cFinal = 2.04)
+        .orderBy("look")
+    }),
+
     // E34 (round 9): meta-analytic pooling of q246's per-segment DiD
     // effects — inverse-variance pooled effect + Cochran Q / I²
     // heterogeneity; the composition gate for experiment-readout
@@ -5646,6 +5657,52 @@ object PipelineQueries {
         |  CASE WHEN n_a > 0 AND n_b > 0 AND n_a + n_b > 2 AND s2 > 0
         |    AND mb > 0 THEN round(mde / mb, 6) END AS mde_rel
         |FROM f2 ORDER BY event_type""".stripMargin,
+
+    // E35: cumulative integer cells over the bounded day table, the
+    // q211 pooled-z chain per prefix, crossing compared on the
+    // round(6) z and boundary; z signed (+ 0.0).
+    "q259_sequential_monitor" ->
+      """WITH e AS (
+        |  SELECT date_trunc('day', ts) AS day, (user_id % 2 = 0) AS a,
+        |    (value >= 0.5) AS conv
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |    AND value IS NOT NULL
+        |), d AS (
+        |  SELECT day,
+        |    SUM(CASE WHEN a THEN 1 ELSE 0 END) AS na,
+        |    SUM(CASE WHEN a THEN 0 ELSE 1 END) AS nb,
+        |    SUM(CASE WHEN a AND conv THEN 1 ELSE 0 END) AS ca,
+        |    SUM(CASE WHEN (NOT a) AND conv THEN 1 ELSE 0 END) AS cb
+        |  FROM e GROUP BY 1
+        |), c AS (
+        |  SELECT day,
+        |    CAST(row_number() OVER (ORDER BY day) AS INT) AS look,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS kk,
+        |    CAST(SUM(na) OVER w AS BIGINT) AS n_a,
+        |    CAST(SUM(nb) OVER w AS BIGINT) AS n_b,
+        |    CAST(SUM(ca) OVER w AS BIGINT) AS conv_a,
+        |    CAST(SUM(cb) OVER w AS BIGINT) AS conv_b
+        |  FROM d
+        |  WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
+        |), f AS (
+        |  SELECT day, look, n_a, n_b, conv_a, conv_b,
+        |    CASE WHEN n_a > 0 AND n_b > 0 AND
+        |      sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+        |        * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+        |        * (1.0 / n_a + 1.0 / n_b)) > 0
+        |    THEN round(
+        |      (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+        |      / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+        |        * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+        |        * (1.0 / n_a + 1.0 / n_b)), 6) + 0.0 END AS z,
+        |    round(2.04 * sqrt(CAST(kk AS DOUBLE)
+        |      / CAST(look AS DOUBLE)), 6) AS threshold
+        |  FROM c
+        |)
+        |SELECT day, look, n_a, n_b, conv_a, conv_b, z, threshold,
+        |  (abs(z) >= threshold) AS crossed
+        |FROM f ORDER BY look""".stripMargin,
 
     // E34: the q246 chain wrapped as a subquery, then one pooled
     // aggregate over its round(6) effect/se columns (both engines

@@ -804,6 +804,34 @@ class QualitySpec extends AnyFunSuite {
     assert(r3 === ((1L, None, None, None, None)))
   }
 
+  test("sequentialMonitor: cumulative looks, OBF-shaped boundary, crossing") {
+    def rows(day: Int, a: Boolean, conv: Boolean, n: Int) =
+      Seq.fill(n)((java.sql.Date.valueOf(f"2024-01-$day%02d"), a, conv))
+    // look 1: weak signal; look 2: overwhelming -> crosses 2.04
+    val df = (
+      rows(1, true, true, 1) ++ rows(1, true, false, 1) ++
+      rows(1, false, false, 2) ++
+      rows(2, true, true, 11) ++ rows(2, false, false, 10)
+    ).toDF("day", "a", "conv")
+    val out = Quality.sequentialMonitor(df, col("day"), col("a"),
+        col("conv"), cFinal = 2.04)
+      .select("look", "n_a", "n_b", "conv_a", "conv_b", "z",
+        "threshold", "crossed")
+      .as[(Int, Long, Long, Long, Long, Double, Double, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def zOf(na: Long, nb: Long, ca: Long, cb: Long): Double = {
+      val pp = (ca + cb).toDouble / (na + nb)
+      r6((ca.toDouble / na - cb.toDouble / nb) /
+        math.sqrt(pp * (1.0 - pp) * (1.0 / na + 1.0 / nb)))
+    }
+    assert(out(1) === ((1, 2L, 2L, 1L, 0L, zOf(2, 2, 1, 0),
+      r6(2.04 * math.sqrt(2.0)), false)))
+    assert(out(2) === ((2, 13L, 12L, 12L, 0L, zOf(13, 12, 12, 0),
+      2.04, true)))
+  }
+
   test("functionalDependencies: violations, NULL-rhs immunity, NULL-lhs group") {
     val df = Seq(
       (Some(1), Some("x")),                     // clean key
