@@ -36,7 +36,11 @@ import org.apache.spark.sql.types.DecimalType
 object Incremental {
 
   private val dec0 = DecimalType(38, 0)
-  private val dec6 = DecimalType(18, 6)
+  // (28,6) so SUM widens to DECIMAL(38,6): per-key mass is then safe
+  // below 10^32 as documented above. ((18,6) would cap the sum at
+  // (28,6) ≈ 10^22 — round-10 ADVICE fix.) Quantization is identical
+  // ((scale 6 either way), so oracle SQL casting at (18,6) agrees.
+  private val dec6 = DecimalType(28, 6)
 
   /** 60-bit md5-prefix row hash over `hashCols` (the q189 [[Quality.tableFingerprint]]
     * convention — integer/string columns only: doubles render

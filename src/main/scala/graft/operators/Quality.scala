@@ -269,12 +269,16 @@ object Quality {
    * DECIMAL(38,0) count), and the single final division is one IEEE
    * op, round(6) at the boundary.
    *
-   * Scale contract: `scoreCol` must be a QUANTIZED score (e.g. the
-   * text-quality family's round(…,6) outputs) — distinct scores are
-   * then grid-bounded (≤10⁶+1 for a 6dp score in [0,1]), so the
-   * ordered pass is the bounded-domain window exception, never a
-   * corpus-cardinality sort; the corpus itself is touched by ONE
-   * partial-aggregated groupBy.
+   * Scale contract: the score is quantized IN-OPERATOR to the 6dp
+   * grid (round(…,6) — identity for the text-quality family's
+   * already-6dp outputs) so distinct scores are grid-bounded
+   * (≤10⁶+1 per unit of score range) and the ordered pass is the
+   * bounded-domain window exception, never a corpus-cardinality
+   * sort, even when a caller hands raw doubles (round-10 hardening —
+   * previously the bounded-domain contract was honor-system). The
+   * corpus itself is touched by ONE partial-aggregated groupBy.
+   * Ties are therefore ties ON THE 6dp GRID: two raw scores within
+   * 5e-7 earn half-credit, the price of the bound.
    *
    * Output: one row (n_pos, n_neg, auc); auc NULL when either class
    * is empty.
@@ -286,7 +290,7 @@ object Quality {
     val dec = DecimalType(38, 0)
     val g = df
       .where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
-      .groupBy(col(scoreCol).as("__s"))
+      .groupBy(round(col(scoreCol).cast("double"), 6).as("__s"))
       .agg(
         sum(when(col(labelCol), 1L).otherwise(0L)).as("__np"),
         sum(when(col(labelCol), 0L).otherwise(1L)).as("__nn"))
@@ -1371,13 +1375,19 @@ object Quality {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wk = Window.partitionBy(col(keyCol))
     val prepared = df
-      .where(col(valCol).isNotNull && col(weightCol).isNotNull &&
-        col(weightCol) > 0)
+      .where(col(valCol).isNotNull && col(weightCol).isNotNull)
       // DECIMAL cast fixes the 6dp quantization (HALF_UP), then the
       // ×10⁶ shift is exact and lands on integral micro-units.
       .withColumn("__wl",
         (col(weightCol).cast(DecimalType(28, 6)) * lit(1000000L))
           .cast("long"))
+      // Filter on the QUANTIZED mass, not the raw weight: a row with
+      // 0 < w < 5e-7 rounds to zero micro-units and must not count
+      // as present — otherwise a key whose weights all quantize to 0
+      // would satisfy cumw·den >= totw·num at its first row (0 >= 0)
+      // and return the minimum value for every quantile with
+      // total_weight 0 (round-10 ADVICE fix).
+      .where(col("__wl") > 0)
       .withColumn("__cwl", sum(col("__wl")).over(w))
       .withColumn("__twl", sum(col("__wl")).over(wk))
     val aggs = rationals.zipWithIndex.map { case ((_, num), i) =>

@@ -359,7 +359,10 @@ object Sampling {
    * partial-aggregated mass pass upstream.
    *
    * Output per targeted source: (source, avail_tokens, share_pm,
-   * take_tokens, epochs_pm, binding).
+   * take_tokens, epochs_pm, binding). A targeted source with NO row
+   * in `sourceMass` is reported with avail_tokens = 0 and becomes
+   * the binding constraint (T = 0) — the plan never overstates the
+   * feasible corpus by dropping an empty source.
    */
   def mixturePlan(
       sourceMass: DataFrame, sourceCol: String, massCol: String,
@@ -375,10 +378,18 @@ object Sampling {
     val spark = sourceMass.sparkSession
     import spark.implicits._
     val targets = sharesPerMille.toDF("__src", "share_pm")
-    val planned = sourceMass
-      .select(col(sourceCol).cast("string").as("__src"),
-        col(massCol).cast("long").as("avail_tokens"))
-      .join(broadcast(targets), Seq("__src"))
+    // Targets drive the join (left side): a targeted source ABSENT
+    // from sourceMass gets avail_tokens = 0, making it the binding
+    // constraint (T = 0) instead of silently vanishing and letting T
+    // be taken over the remaining sources only (round-10 ADVICE fix).
+    // sourceMass is a per-source aggregate by contract, so IT is the
+    // broadcast side.
+    val planned = targets
+      .join(broadcast(sourceMass
+          .select(col(sourceCol).cast("string").as("__src"),
+            col(massCol).cast("long").as("avail_tokens"))),
+        Seq("__src"), "left")
+      .withColumn("avail_tokens", coalesce(col("avail_tokens"), lit(0L)))
       .withColumn("__cand",
         expr(s"(avail_tokens * ${maxEpochsPerMille}L) div share_pm"))
     val tRow = planned.agg(min(col("__cand")).as("__t"))
@@ -388,7 +399,9 @@ object Sampling {
         col("avail_tokens"),
         col("share_pm"),
         expr("(__t * share_pm) div 1000").as("take_tokens"),
-        expr("((__t * share_pm) div 1000) * 1000 div avail_tokens")
+        when(col("avail_tokens") === 0L, lit(0L))
+          .otherwise(
+            expr("((__t * share_pm) div 1000) * 1000 div avail_tokens"))
           .as("epochs_pm"),
         (col("__cand") === col("__t")).as("binding"))
   }

@@ -256,6 +256,15 @@ object Similarity {
    * count in the corpus (excluding itself). Probes with R = 0 emit
    * NULL metrics — unjudgeable, not zero.
    *
+   * Coverage contract (round-10 ADVICE fix): the report has one row
+   * per DISTINCT probe in `ranked` — a probe whose entire top-k is
+   * unlabeled still appears (rr = 0, dcg = 0: nothing relevant was
+   * retrieved), and a probe absent from `labels` appears with
+   * n_rel_corpus = 0 and NULL metrics. Candidates missing from
+   * `labels` are treated as NON-relevant (they cannot match the
+   * probe's label), which under the rel∈{0,1} gain is identical to
+   * dropping them from the DCG sum.
+   *
    * Exactness: each 1/log2(i+1) term rounds to 6dp DECIMAL before
    * the per-probe sum (exact, order-free — the q190 contract); the
    * ideal-DCG table is the same cumulative decimal sum over ranks
@@ -300,7 +309,15 @@ object Similarity {
         sum(when(col("__rel") === 1,
           round(lit(1.0) / log2(col("rank") + 1.0), 6).cast(dec))
           .otherwise(lit(0).cast(dec))).as("__dcg"))
-    probeRel.join(perProbe, Seq("probe_id"))
+    // Probe universe = distinct probes in `ranked` (probes×k rows →
+    // probes rows, partial-agg distinct). Left joins keep a probe
+    // with a fully-unlabeled top-k (perProbe miss → dcg 0, rr 0) and
+    // a probe missing from labels (probeRel miss → n_rel 0, NULLs).
+    ranked.select(col("probe_id")).distinct()
+      .join(probeRel, Seq("probe_id"), "left")
+      .withColumn("n_rel_corpus", coalesce(col("n_rel_corpus"), lit(0L)))
+      .join(perProbe, Seq("probe_id"), "left")
+      .withColumn("__dcg", coalesce(col("__dcg"), lit(0).cast(dec)))
       .join(broadcast(ideal),
         least(col("n_rel_corpus"), lit(k.toLong)) === col("m"), "left")
       .select(
@@ -1368,11 +1385,18 @@ object Similarity {
    * m sequential trainings; train on a SAMPLE via `maxTrainRows` —
    * the codebook is a model, not a corpus statistic. Returns
    * codebooks(s)(c) = the c-th centroid of subspace s.
+   *
+   * `tol`/`seedPoolSize` pass straight through to [[trainCentroids]]
+   * (round 10): tol = 0 + pool ⊇ corpus puts each subspace's Lloyd's
+   * in the oracle-replayable regime the q200/q260 gates pin (floor-
+   * grid means, value-irrelevant pool order, iteration-idempotent
+   * convergence) — defaults keep the production sampling behavior.
    */
   def trainPqCodebooks(
       corpus: DataFrame, idCol: String, vecCol: String,
       m: Int, k: Int, maxIter: Int = 10,
-      maxTrainRows: Long = 256L * 1024): Seq[Seq[Seq[Double]]] = {
+      maxTrainRows: Long = 256L * 1024,
+      tol: Double = 1e-9, seedPoolSize: Int = 0): Seq[Seq[Seq[Double]]] = {
     require(m >= 1 && k >= 2, s"need m >= 1 and k >= 2, got ($m, $k)")
     val first = ivfSeeds(corpus, idCol, vecCol, 1)
     require(first.nonEmpty, "corpus has no vectors to train on")
@@ -1383,8 +1407,8 @@ object Similarity {
       val sliced = corpus.select(
         col(idCol),
         slice(toDoubleVec(col(vecCol)), s * sub + 1, sub).as("__sub"))
-      trainCentroids(sliced, idCol, "__sub", k, maxIter,
-        maxTrainRows = maxTrainRows)
+      trainCentroids(sliced, idCol, "__sub", k, maxIter, tol = tol,
+        maxTrainRows = maxTrainRows, seedPoolSize = seedPoolSize)
     }
   }
 

@@ -621,6 +621,99 @@ object PipelineQueries {
        |FROM m$iters ORDER BY cell, dim""".stripMargin
   }
 
+  /**
+   * q260 oracle generator: replays [[Similarity.trainPqCodebooks]] —
+   * per-subspace farthest-point seeding + Lloyd rounds — as `m`
+   * independent prefixed CTE chains over the SLICED embedding (dims
+   * rebased to 0 within each subspace), each chain exactly the q200
+   * replay. Same validity preconditions (pool ⊇ corpus, tol = 0,
+   * floor-grid means, measure-zero ties), applied per subspace; the
+   * first seed is the min-vec_id row's SUBVECTOR in every chain
+   * (slicing preserves ids). `+ 0.0` normalizes signed zeros on both
+   * engines (the Spark side applies the same normalization).
+   */
+  private def pqTrainOracleSql(
+      m: Int, k: Int, iters: Int, dims: Int): String = {
+    require(dims % m == 0, s"dims $dims must divide into m=$m subspaces")
+    val sub = dims / m
+    val el =
+      """el AS MATERIALIZED (
+        |  SELECT vec_id, CAST(generate_subscripts(embedding,1)-1 AS INT) AS d,
+        |         CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings
+        |)""".stripMargin
+    val chains = (0 until m).map { t0 =>
+      val p = s"t${t0}_"
+      val lo = t0 * sub
+      val elS =
+        s"""${p}el AS MATERIALIZED (
+           |  SELECT vec_id, CAST(d - $lo AS INT) AS d, x FROM el
+           |  WHERE d >= $lo AND d < ${lo + sub}
+           |), ${p}s0 AS MATERIALIZED (
+           |  SELECT 0 AS cell, d, x FROM ${p}el
+           |  WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+           |)""".stripMargin
+      val seeding = (1 until k).map { i =>
+        val mind =
+          if (i == 1) s"${p}sd1"
+          else s"(SELECT a.vec_id, least(a.dd, b.dd) AS dd" +
+            s" FROM ${p}mind${i - 1} a JOIN ${p}sd$i b USING (vec_id))"
+        s"""${p}sd$i AS MATERIALIZED (
+           |  SELECT e.vec_id, SUM((e.x - s.x) * (e.x - s.x)) AS dd
+           |  FROM ${p}el e JOIN ${p}s${i - 1} s ON s.d = e.d GROUP BY 1
+           |),
+           |${p}mind$i AS MATERIALIZED (SELECT * FROM $mind),
+           |${p}p$i AS (SELECT vec_id FROM ${p}mind$i
+           |  ORDER BY dd DESC, vec_id LIMIT 1),
+           |${p}s$i AS MATERIALIZED (
+           |  SELECT $i AS cell, d, x FROM ${p}el
+           |  WHERE vec_id = (SELECT vec_id FROM ${p}p$i)
+           |)""".stripMargin
+      }.mkString(",\n")
+      val m0 = s"""${p}m0 AS MATERIALIZED (
+         |${(0 until k).map(i => s"  SELECT * FROM ${p}s$i")
+            .mkString("\n  UNION ALL\n")}
+         |)""".stripMargin
+      val rounds = (1 to iters).map { t =>
+        s"""${p}a$t AS MATERIALIZED (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT vc.vec_id, vc.cell,
+           |      row_number() OVER (PARTITION BY vc.vec_id
+           |                         ORDER BY vc.dist, vc.cell) AS rn
+           |    FROM (
+           |      SELECT e.vec_id, c.cell,
+           |        SUM(c.x * c.x) - 2.0 * SUM(e.x * c.x) AS dist
+           |      FROM ${p}el e JOIN ${p}m${t - 1} c ON c.d = e.d
+           |      GROUP BY 1, 2) vc
+           |  ) WHERE rn = 1
+           |),
+           |${p}m$t AS MATERIALIZED (
+           |  SELECT p.cell, p.d,
+           |    COALESCE((CAST(s.q AS DOUBLE) / CAST(s.n AS DOUBLE))
+           |      / 1000000.0, p.x) AS x
+           |  FROM ${p}m${t - 1} p
+           |  LEFT JOIN (
+           |    SELECT a.cell, e.d,
+           |      CAST(SUM(CAST(floor(e.x * 1000000.0) AS BIGINT)) AS BIGINT)
+           |        AS q,
+           |      CAST(COUNT(*) AS BIGINT) AS n
+           |    FROM ${p}a$t a JOIN ${p}el e ON e.vec_id = a.vec_id
+           |    GROUP BY 1, 2) s ON s.cell = p.cell AND s.d = p.d
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"$elS,\n$seeding,\n$m0,\n$rounds"
+    }.mkString(",\n")
+    val unions = (0 until m).map { t0 =>
+      s"""SELECT $t0 AS subspace, cell, d AS dim,
+         |    round(x, 6) + 0.0 AS value FROM t${t0}_m$iters""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH $el,
+       |$chains
+       |SELECT * FROM (
+       |  $unions
+       |) ORDER BY subspace, cell, dim""".stripMargin
+  }
+
   /** Shared q196/q197 input: every document scored with EXACTLY the
     * q23 composite quality (round-6, so scores sit on the 6dp grid
     * the AUC scale contract requires) and labeled `lang = 'en'` —
@@ -1826,6 +1919,30 @@ object PipelineQueries {
       }.toDF("cell", "dim", "value").orderBy("cell", "dim")
     }),
 
+    // V17 gate #3 (round 10): PQ codebook TRAINING becomes driver-
+    // verified — q200's floor-grid Lloyd's replay applied PER
+    // SUBSPACE: m = 4 independent 16-dim trainings on the sliced
+    // embedding, same preconditions (pool ⊇ corpus via seedPoolSize,
+    // tol = 0 so extra unrolled oracle iterations are value-neutral,
+    // floor-grid means, measure-zero argmin/argmax ties). `+ 0.0`
+    // normalizes signed-zero roundings on both sides. With q198/q199
+    // (encode + ADC on seed codebooks) this closes V17 end to end.
+    "q260_pq_train" -> ((s, dir) => {
+      val cbs = Similarity.trainPqCodebooks(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        m = 4, k = 4, maxIter = 2, tol = 0.0,
+        seedPoolSize = Int.MaxValue)
+      def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue + 0.0
+      import s.implicits._
+      cbs.zipWithIndex.flatMap { case (cb, si) =>
+        cb.zipWithIndex.flatMap { case (c, ci) =>
+          c.zipWithIndex.map { case (v, di) => (si, ci, di, r6(v)) }
+        }
+      }.toDF("subspace", "cell", "dim", "value")
+        .orderBy("subspace", "cell", "dim")
+    }),
+
     // V17 gate #1 (round 9): PQ ENCODE becomes driver-verified with
     // SEED codebooks — the q31 ivfSeeds pattern: codebook entries are
     // the 4 lowest-id vectors' subvectors (oracle-expressible, no
@@ -2492,17 +2609,27 @@ object PipelineQueries {
         .limit(1000)
     }),
 
-    // G7 (round 9): the weighted bipartite projection itself —
-    // top co-purchase part pairs by shared-customer support; the
-    // graph-construction primitive q240/G5 consumes.
+    // G7 (round 9; hub-cap exercised round 10): the weighted
+    // bipartite projection itself — top co-purchase part pairs by
+    // shared-customer support; the graph-construction primitive
+    // q240/G5 consumes. A deterministic BOT basket (cust = -1 paired
+    // with EVERY part) is planted in the input and `maxBasket = 128`
+    // drops it AT EVERY SCALE: 128 is above every organic basket
+    // (max 66/90/105 at sf0.001/0.01/0.1) so the organic projection
+    // is untouched, and below the hub's |parts| (200/2000/20000) so
+    // a regression in the cap logic would connect all part pairs and
+    // flip the result. Oracle mirrors both the plant and the cap.
     "q245_bipartite_project" -> ((s, dir) => {
+      val organic = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("cust"),
+          col("l_partkey").as("part"))
+      val hub = t(s, dir, "part")
+        .select(lit(-1L).as("cust"), col("p_partkey").as("part"))
       graft.operators.Graph.bipartiteProject(
-          t(s, dir, "lineitem")
-            .join(t(s, dir, "orders"),
-              col("l_orderkey") === col("o_orderkey"))
-            .select(col("o_custkey").as("cust"),
-              col("l_partkey").as("part")),
-          "cust", "part", minSupport = 3L)
+          organic.unionByName(hub), "cust", "part",
+          minSupport = 3L, maxBasket = 128L)
         .orderBy(col("support").desc, col("node_a"), col("node_b"))
         .limit(2000)
     }),
@@ -4643,6 +4770,11 @@ object PipelineQueries {
     // query entry (k = 4, maxIter = 3, tol = 0).
     "q200_kmeans_train" -> kmeansOracleSql(k = 4, iters = 3),
 
+    // Per-subspace q200 replay over the sliced embedding — see
+    // pqTrainOracleSql; parameters MUST match the q260 query entry
+    // (m = 4, k = 4, maxIter = 2, tol = 0, 64 dims).
+    "q260_pq_train" -> pqTrainOracleSql(m = 4, k = 4, iters = 2, dims = 64),
+
     // Generated CTE chains replaying BPE training (and the encode
     // join) — see bpeOracleChain; numMerges MUST match the q202/q203
     // query entries (12).
@@ -5284,14 +5416,26 @@ object PipelineQueries {
          |LIMIT 1000""".stripMargin,
 
     // G7: the projection pair-join with the q240 head, support kept.
+    // Round 10: mirrors the planted hub basket (cust -1 × every
+    // part) and the maxBasket = 128 drop — the kp frame keeps only
+    // baskets at or under the cap, exactly bipartiteProject's
+    // left-semi keep.
     "q245_bipartite_project" ->
       """WITH cp AS MATERIALIZED (
-        |  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS part
-        |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  SELECT DISTINCT cust, part FROM (
+        |    SELECT o.o_custkey AS cust, l.l_partkey AS part
+        |    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |    UNION ALL
+        |    SELECT CAST(-1 AS BIGINT) AS cust, p_partkey AS part FROM part
+        |  )
+        |), keep AS MATERIALIZED (
+        |  SELECT cust FROM cp GROUP BY cust HAVING count(*) <= 128
+        |), kp AS MATERIALIZED (
+        |  SELECT cp.cust, cp.part FROM cp JOIN keep USING (cust)
         |)
         |SELECT a.part AS node_a, b.part AS node_b,
         |  CAST(count(*) AS BIGINT) AS support
-        |FROM cp a JOIN cp b ON b.cust = a.cust AND a.part < b.part
+        |FROM kp a JOIN kp b ON b.cust = a.cust AND a.part < b.part
         |GROUP BY 1, 2
         |HAVING count(*) >= 3
         |ORDER BY support DESC, node_a, node_b
@@ -6191,15 +6335,23 @@ object PipelineQueries {
         |      ELSE CAST(0 AS DECIMAL(18,6)) END) AS dcg
         |  FROM sc GROUP BY probe_id
         |)
-        |SELECT p.probe_id, CAST(p.n_rel AS BIGINT) AS n_rel_corpus,
-        |  CASE WHEN p.n_rel > 0 THEN
+        |, pu AS (
+        |  SELECT probe_id, COALESCE(p.n_rel, 0) AS n_rel,
+        |    pp.firstrel,
+        |    COALESCE(pp.dcg, CAST(0 AS DECIMAL(18,6))) AS dcg
+        |  FROM (SELECT DISTINCT probe_id FROM rk) pr
+        |  LEFT JOIN prel p USING (probe_id)
+        |  LEFT JOIN pp USING (probe_id)
+        |)
+        |SELECT probe_id, CAST(n_rel AS BIGINT) AS n_rel_corpus,
+        |  CASE WHEN n_rel > 0 THEN
         |    COALESCE(round(1.0 / firstrel, 6), 0.0) END AS rr,
-        |  CASE WHEN p.n_rel > 0 THEN CAST(pp.dcg AS DOUBLE) END AS dcg,
-        |  CASE WHEN p.n_rel > 0 THEN CAST(i.idcg AS DOUBLE) END AS idcg,
-        |  CASE WHEN p.n_rel > 0 THEN round(CAST(pp.dcg AS DOUBLE)
+        |  CASE WHEN n_rel > 0 THEN CAST(dcg AS DOUBLE) END AS dcg,
+        |  CASE WHEN n_rel > 0 THEN CAST(i.idcg AS DOUBLE) END AS idcg,
+        |  CASE WHEN n_rel > 0 THEN round(CAST(dcg AS DOUBLE)
         |    / CAST(i.idcg AS DOUBLE), 6) END AS ndcg
-        |FROM prel p JOIN pp USING (probe_id)
-        |LEFT JOIN ideal i ON i.m = least(p.n_rel, 10)
+        |FROM pu
+        |LEFT JOIN ideal i ON i.m = least(pu.n_rel, 10)
         |ORDER BY probe_id""".stripMargin,
 
     // md5-prefix fold mod 5; share = n / stratum total.

@@ -2556,13 +2556,17 @@ object RelationalQueries {
 
     // Mirrors Quality.weightedQuantiles: DECIMAL(28,6) weights,
     // multiplied-form rational thresholds, lower nearest-rank pick.
+    // Presence filter is on the QUANTIZED micro-unit mass (matches
+    // the operator's __wl > 0 guard — sub-micro weights carry no
+    // mass and must not count as present).
     "q183_weighted_quantiles" ->
       """WITH prep AS (
         |  SELECT l_returnflag AS k, l_extendedprice AS v,
         |    CAST(l_quantity AS DECIMAL(28,6)) AS w
         |  FROM lineitem
         |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
-        |    AND l_quantity > 0
+        |    AND CAST(CAST(l_quantity AS DECIMAL(28,6)) * 1000000
+        |             AS BIGINT) > 0
         |), cum AS (
         |  SELECT k, v, w,
         |    SUM(w) OVER (PARTITION BY k ORDER BY v

@@ -69,4 +69,14 @@ class IncrementalSpec extends AnyFunSuite {
     assert(d2("a")._1 === g("a")._1)
     assert(d2("a")._2 !== g("a")._2)
   }
+
+  test("sum_v survives per-key mass beyond DECIMAL(28,6) (round-10 widen)") {
+    // Two values of ~9e21 sum to 1.8e22 — 23 integer digits, past the
+    // old (18,6)-valued sum's (28,6) cap (ANSI overflow throw), inside
+    // the documented DECIMAL(38,6) / 10^32 bound.
+    val big = Seq(("k", 1L, 9.0e21), ("k", 2L, 9.0e21))
+      .toDF("k", "id", "v")
+    val r = rows(Incremental.aggState(big, Seq("k"), "v", Seq("id")))
+    assert(r.head._3 === 1.8e22)
+  }
 }

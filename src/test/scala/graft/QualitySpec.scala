@@ -863,4 +863,32 @@ class QualitySpec extends AnyFunSuite {
     assert(out("id") === (("id", 3L, 2L, 2L, false)))
     assert(out("id,side") === (("id,side", 5L, 0L, 1L, true)))
   }
+
+  test("weightedQuantiles: sub-micro-unit weights carry no quantized mass") {
+    // All of key "zero"'s weights round to 0 micro-units: the key must
+    // be ABSENT (previously it returned min(v) for every quantile with
+    // total_weight 0 via the degenerate 0 >= 0 threshold).
+    val df = Seq(
+      ("zero", 1.0, 4e-7), ("zero", 2.0, 1e-7),
+      ("mix", 1.0, 4e-7), ("mix", 2.0, 1.0), ("mix", 3.0, 1.0)
+    ).toDF("k", "v", "w")
+    val out = Quality.weightedQuantiles(df, "k", "v", "w", Seq(0.5, 1.0))
+      .as[(String, Double, Option[Double], Double)].collect().toSeq
+    assert(!out.exists(_._1 == "zero"))
+    // and the sub-micro row inside a live key is ignored
+    val med = out.find(r => r._1 == "mix" && r._2 == 0.5).get
+    assert(med._3 === Some(2.0) && med._4 === 2.0)
+  }
+
+  test("aucScore: raw doubles quantize to the 6dp grid (near scores tie)") {
+    // 0.70000004 rounds onto 0.7's grid cell -> the pair earns tie
+    // half-credit; distinct-score cardinality stays grid-bounded even
+    // for raw-double callers.
+    val df = Seq(
+      (0.70000004, true), (0.7, false), (0.1, false)
+    ).toDF("score", "label")
+    val r = Quality.aucScore(df, "score", "label")
+      .as[(Long, Long, Option[Double])].collect().head
+    assert(r === ((1L, 2L, Some(0.75))))
+  }
 }

@@ -309,4 +309,18 @@ class SamplingSpec extends AnyFunSuite {
       Sampling.mixturePlan(mass, "source", "tokens", Seq("a" -> 900))
     }
   }
+
+  test("mixturePlan: targeted source absent from mass binds T at 0") {
+    import graft.operators.Sampling
+    val mass = Seq(("a", 1000L)).toDF("source", "tokens")
+    val plan = Sampling.mixturePlan(mass, "source", "tokens",
+        Seq("a" -> 500, "missing" -> 500))
+      .as[(String, Long, Int, Long, Long, Boolean)].collect()
+      .map(r => (r._1, r)).toMap
+    // the empty source appears, carries zero mass, and is BINDING:
+    // the plan reports T = 0 instead of overstating the corpus.
+    assert(plan.size === 2)
+    assert(plan("missing") === (("missing", 0L, 500, 0L, 0L, true)))
+    assert(plan("a") === (("a", 1000L, 500, 0L, 0L, false)))
+  }
 }

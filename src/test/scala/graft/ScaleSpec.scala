@@ -178,4 +178,40 @@ class ScaleSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("bipartiteProject maxBasket bounds wedge volume on a power-law fixture") {
+    import graft.operators.Graph
+    // Zipf-ish two-mode fixture: left node j has basket {1..n/j} —
+    // node 1 is an n-item hub, so UNCAPPED pair volume is dominated
+    // by its C(n,2) and grows ~quadratically; with the cap the hub
+    // tier drops and volume grows ~linearly.
+    def rel(n: Int) = (1 to n).flatMap { j =>
+      (1 to math.max(1, n / j)).map(r => (j.toLong, r.toLong))
+    }.toDF("l", "r")
+    def pairVolume(n: Int, cap: Long): Long =
+      Graph.bipartiteProject(rel(n), "l", "r",
+          minSupport = 1, maxBasket = cap)
+        .agg(sum(col("support"))).collect().head.getLong(0)
+    val (n1, n2) = (64, 256)
+    val capped1 = pairVolume(n1, 16)
+    val capped2 = pairVolume(n2, 16)
+    val unc1 = pairVolume(n1, Long.MaxValue)
+    val unc2 = pairVolume(n2, Long.MaxValue)
+    // 4x the left nodes: capped volume scales ~4x, uncapped ~16x
+    assert(capped2.toDouble / capped1 < 6.0,
+      s"capped slope blew up: $capped1 -> $capped2")
+    assert(unc2.toDouble / unc1 > 12.0,
+      s"fixture lost its hub: $unc1 -> $unc2")
+    // and the capped result IS the projection of the kept baskets
+    val kept = rel(n2).groupBy("l").count()
+      .where(col("count") <= 16).select("l")
+    val reference = Graph.bipartiteProject(
+        rel(n2).join(kept, Seq("l"), "left_semi"), "l", "r",
+        minSupport = 1)
+      .orderBy("node_a", "node_b").collect().toSeq
+    val viaCap = Graph.bipartiteProject(rel(n2), "l", "r",
+        minSupport = 1, maxBasket = 16)
+      .orderBy("node_a", "node_b").collect().toSeq
+    assert(viaCap === reference)
+  }
 }

@@ -746,4 +746,25 @@ class SimilaritySpec extends AnyFunSuite {
       .as[(Double, Double)].collect().head
     assert(s === ((0.0, 1.0)))
   }
+
+  test("retrievalMetrics: probe coverage survives unlabeled top-k / unlabeled probe") {
+    // probe 1 (label A, R=2): its whole top-k (7, 8) is unlabeled ->
+    // the probe still reports, with rr=0 / dcg=0 / ndcg=0 (nothing
+    // relevant retrieved), not a silently missing row.
+    // probe 5: absent from labels entirely -> n_rel_corpus=0, NULLs.
+    val ranked = Seq(
+      (1L, 7L, 1), (1L, 8L, 2),
+      (5L, 2L, 1)
+    ).toDF("probe_id", "vec_id", "rank")
+    val labels = Seq((1L, "A"), (2L, "A"), (3L, "A")).toDF("vec_id", "label")
+    val out = Similarity.retrievalMetrics(ranked, labels, "vec_id", "label", k = 10)
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double],
+        Option[Double])].collect().toSeq
+    assert(out.map(_._1).sorted === Seq(1L, 5L))
+    val p1 = out.find(_._1 == 1L).get
+    assert(p1._2 === 2L && p1._3 === Some(0.0) &&
+      p1._4 === Some(0.0) && p1._6 === Some(0.0))
+    val p5 = out.find(_._1 == 5L).get
+    assert(p5._2 === 0L && p5._3.isEmpty && p5._4.isEmpty && p5._6.isEmpty)
+  }
 }
