@@ -131,6 +131,117 @@ object Bpe {
     Model(merges.toSeq, vocab)
   }
 
+  /**
+   * Batched BPE training — EXACTLY the same merge table as [[train]]
+   * (parity is both spec- and driver-gated: q262 runs this against
+   * the SEQUENTIAL replay oracle), in fewer Spark rounds. [[train]]
+   * is one full pair-count shuffle + one driver round-trip PER MERGE
+   * — fine at a gate's 12 merges, but a production 32k-merge vocab
+   * would serialize 32k Spark jobs. Standard distributed-BPE batching
+   * merges several pairs per count; done naively that DIVERGES from
+   * sequential BPE, so each round here accepts the longest prefix of
+   * the sorted candidate list that sequential BPE provably picks in
+   * that exact order:
+   *
+   *   - prefix rule: stop at the first rejected candidate (a
+   *     rejected pair may still be the true next argmax);
+   *   - disjointness: a candidate's symbols must not appear in any
+   *     previously accepted pair or its concatenation — then earlier
+   *     accepted merges can neither destroy nor create occurrences
+   *     of the candidate (patterns can't overlap without a shared
+   *     symbol, and the double-space rendering prevents boundary
+   *     straddles), so its count is still exact;
+   *   - new-pair dominance: a merge (l, r) mints symbol `lr`, whose
+   *     adjacent pairs are NEW and unseen in the round's table. Each
+   *     occurrence of a new pair (x, lr) consumed an occurrence of
+   *     (x, l), and (lr, y) one of (r, y), so start-table maxima
+   *     M(l,r) = max(maxₓ cnt(x, l), max_y cnt(r, y)) bound every
+   *     new-pair count (including pairs of two minted symbols, via
+   *     their inner (r_k, l_j) occurrence). A candidate is accepted
+   *     only if its count STRICTLY exceeds every accepted M — no new
+   *     pair can out-rank it, under any tie-break.
+   *
+   * Counts only ever decrease for surviving pairs, so the accepted
+   * prefix order (count desc, lhs, rhs — the sequential tie-break)
+   * is the sequential pick order. Cost per round: the pair-count
+   * shuffle evaluated twice (top-K + the ≤2K-row maxima aggregate,
+   * both bounded collects) against ≥1 accepted merges — a win
+   * whenever rounds average ≥2 accepted, and never wrong when they
+   * don't. Natural-text top pairs share letters, so realized batch
+   * sizes are modest (2–4 on the gate corpus); the guard trades peak
+   * speedup for exactness.
+   *
+   * Returns the model plus the realized round count (≤ numMerges;
+   * = ceil(numMerges / batchSize) when every batch fills).
+   */
+  def trainBatched(corpus: DataFrame, textCol: String, numMerges: Int,
+      batchSize: Int = 8, checkpointEvery: Int = 4): (Model, Int) = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    require(checkpointEvery >= 1,
+      s"checkpointEvery must be >= 1, got $checkpointEvery")
+    var vocab = wordVocab(corpus, textCol)
+      .select(col("word"), initialSymbols(col("word")).as("sym"),
+        col("freq"))
+      .localCheckpoint()
+    val merges = ArrayBuffer.empty[Merge]
+    var round = 0
+    var exhausted = false
+    while (merges.size < numMerges && !exhausted) {
+      val want = math.min(batchSize, numMerges - merges.size)
+      val pc = adjacentPairCounts(vocab)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // Bounded driver round-trips: `want` candidate rows + ≤2·want
+      // maxima rows; the pair table itself never leaves the cluster.
+      val cand = pc
+        .orderBy(col("cnt").desc, col("lhs").asc, col("rhs").asc)
+        .limit(want)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (cand.isEmpty) exhausted = true
+      else {
+        val candL = cand.map(_._1).distinct.toSeq
+        val candR = cand.map(_._2).distinct.toSeq
+        val maxIn = pc.where(col("rhs").isin(candL: _*))
+          .groupBy("rhs").agg(max(col("cnt")).as("m"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val maxOut = pc.where(col("lhs").isin(candR: _*))
+          .groupBy("lhs").agg(max(col("cnt")).as("m"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val used = scala.collection.mutable.Set.empty[String]
+        val accepted = ArrayBuffer.empty[(String, String, Long)]
+        var mb = Long.MinValue
+        var stopped = false
+        cand.foreach { case (l, r, c) =>
+          if (!stopped) {
+            val ok = accepted.isEmpty ||
+              (!used(l) && !used(r) && c > mb)
+            if (!ok) stopped = true
+            else {
+              accepted += ((l, r, c))
+              used ++= Seq(l, r, l + r)
+              mb = math.max(mb, math.max(
+                maxIn.getOrElse(l, Long.MinValue),
+                maxOut.getOrElse(r, Long.MinValue)))
+            }
+          }
+        }
+        accepted.foreach { case (l, r, c) =>
+          merges += Merge(merges.size + 1, l, r, c)
+        }
+        val newSym = accepted.foldLeft(col("sym")) {
+          case (e, (l, r, _)) =>
+            replace(e, lit(s" $l  $r "), lit(s" $l$r "))
+        }
+        vocab = vocab.withColumn("sym", newSym)
+        round += 1
+        if (round % checkpointEvery == 0) vocab = vocab.localCheckpoint()
+      }
+      pc.unpersist()
+    }
+    (Model(merges.toSeq, vocab), round)
+  }
+
   /** The merge table as a DataFrame `(rank, lhs, rhs, pair_count)` —
     * the oracle-gated rendering of a trained model. */
   def mergeTable(spark: org.apache.spark.sql.SparkSession,

@@ -73,6 +73,24 @@ object CoreQueries {
       Flatten.flatten(nested).orderBy("event_id")
     }),
 
+    // P1 (round 10): flatten's opt-in MAP branch — the documented
+    // improvement over the reference's silent map drop
+    // (motor_ingesta.py:63-72). A synthetic map column (literal keys
+    // over document attributes) explodes to attrs_key/attrs_value
+    // rows while the sibling struct star-expands; default-mode drop
+    // parity and strict-mode raise are FlattenSpec-pinned.
+    "q261_flatten_map" -> ((s, dir) => {
+      val src = t(s, dir, "documents").select(
+        col("doc_id"),
+        struct(col("n_chars"),
+          length(col("text")).cast("long").as("text_len")).as("meta"),
+        map(
+          lit("lang"), col("lang"),
+          lit("source"), col("source")).as("attrs"))
+      Flatten.flatten(src, maps = "explode")
+        .orderBy("doc_id", "attrs_key")
+    }),
+
     // P1/F8: explode with position over a real array column.
     "q05_explode_tokens" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -360,6 +378,17 @@ object CoreQueries {
         |  user_id AS uid, event_type AS etype
         |FROM events
         |ORDER BY event_id""".stripMargin,
+
+    // Literal map keys make the explode oracle-expressible: one
+    // UNION ALL branch per key, in-branch values from the same row.
+    "q261_flatten_map" ->
+      """SELECT doc_id, n_chars, length(text) AS text_len,
+        |  'lang' AS attrs_key, lang AS attrs_value
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id, n_chars, length(text), 'source', source
+        |FROM documents
+        |ORDER BY doc_id, attrs_key""".stripMargin,
 
     "q05_explode_tokens" ->
       """SELECT doc_id,

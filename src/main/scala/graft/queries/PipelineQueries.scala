@@ -2358,6 +2358,17 @@ object PipelineQueries {
       graft.operators.Bpe.mergeTable(s, model).orderBy("rank")
     }),
 
+    // T44 (round 10): BATCHED BPE training against the SEQUENTIAL
+    // replay oracle — the guard (prefix rule + symbol disjointness +
+    // strict new-pair dominance) makes multi-merge rounds provably
+    // identical to the one-merge-per-round fold, and this gate pins
+    // that claim against DuckDB's sequential replay at every scale.
+    "q262_bpe_batched" -> ((s, dir) => {
+      val (model, _) = graft.operators.Bpe.trainBatched(
+        t(s, dir, "documents"), "text", numMerges = 12, batchSize = 4)
+      graft.operators.Bpe.mergeTable(s, model).orderBy("rank")
+    }),
+
     // T45 (round 9): BPE encode report over the training corpus —
     // tokens-per-doc and chars-per-token compression against the
     // q202 model. Encoding is a dictionary equi-join against the
@@ -4779,6 +4790,9 @@ object PipelineQueries {
     // join) — see bpeOracleChain; numMerges MUST match the q202/q203
     // query entries (12).
     "q202_bpe_merges" -> bpeMergesOracleSql(numMerges = 12),
+    // q262 = trainBatched vs the SAME sequential replay: the batched
+    // trainer's exactness guard is the claim under test.
+    "q262_bpe_batched" -> bpeMergesOracleSql(numMerges = 12),
     "q203_bpe_encode" -> bpeEncodeOracleSql(numMerges = 12),
 
     // The decode stub's byte sampling replayed over the md5-hex

@@ -120,4 +120,47 @@ class BpeSpec extends AnyFunSuite {
     val counts = Seq(1, 3, 6).map(tok)
     assert(counts === counts.sorted.reverse)
   }
+
+  test("trainBatched: merge table identical to sequential train; fewer rounds when batches fill") {
+    // Rich toy corpus: repeated morphemes create deep merge chains
+    // AND independent pairs batching can pick up together.
+    val corpus = Seq.fill(20)("the then there herder") ++
+      Seq.fill(12)("low lower lowest slow") ++
+      Seq.fill(8)("mix of unrelated zq xv pw tokens") ++
+      Seq.fill(5)("aaaa bbbb cccc dddd")
+    val df = corpus.toDF("text")
+    val seqModel = Bpe.train(df, "text", numMerges = 10)
+    val (batModel, rounds) = Bpe.trainBatched(df, "text",
+      numMerges = 10, batchSize = 4)
+    assert(batModel.merges === seqModel.merges)
+    assert(rounds <= 10)
+    // vocab symbolizations agree too (same merges, same replaces)
+    val sv = seqModel.vocab.orderBy("word")
+      .as[(String, String, Long)].collect().toSeq
+    val bv = batModel.vocab.orderBy("word")
+      .as[(String, String, Long)].collect().toSeq
+    assert(bv === sv)
+    // Independent-pair corpus: distinct-letter two-char words have no
+    // (x,l)/(r,y) context at all, so the dominance maxima are vacuous
+    // and batches genuinely fill (rounds = ceil(8/4)). (Same-symbol
+    // pairs like "aa" can never batch: their own count IS the
+    // new-pair bound — the documented conservatism.)
+    val ind = Seq.fill(10)("ab cd ef gh ij kl mn op").toDF("text")
+    val seqInd = Bpe.train(ind, "text", numMerges = 8)
+    val (batInd, rInd) = Bpe.trainBatched(ind, "text",
+      numMerges = 8, batchSize = 4)
+    assert(batInd.merges === seqInd.merges)
+    assert(rInd === 2, s"disjoint context-free pairs should batch: $rInd")
+  }
+
+  test("trainBatched: conflict-heavy chain degrades to sequential, stays exact") {
+    // 'aaaa...' words force same-symbol chains where every next merge
+    // depends on the previous one -> guard must reject batching.
+    val df = Seq.fill(6)("aaaaaaaa bbbb").toDF("text")
+    val seqModel = Bpe.train(df, "text", numMerges = 5)
+    val (batModel, rounds) = Bpe.trainBatched(df, "text",
+      numMerges = 5, batchSize = 4)
+    assert(batModel.merges === seqModel.merges)
+    assert(rounds >= 3, s"chained merges cannot batch freely: $rounds")
+  }
 }

@@ -79,4 +79,37 @@ class FlattenSpec extends AnyFunSuite {
     assert(Flatten.flatten(one, strict = true).collect().toSeq ===
       Flatten.flatten(one).collect().toSeq)
   }
+
+  test("maps=explode: key/value columns, inner-explode semantics, nested values recurse") {
+    val df = Seq(
+      (1L, Map("a" -> Seq(10, 20), "b" -> Seq(30))),
+      (2L, Map.empty[String, Seq[Int]])
+    ).toDF("id", "m")
+    val flat = Flatten.flatten(df, maps = "explode")
+    assert(flat.columns.toSeq === Seq("id", "m_key", "m_value"))
+    // row 2's empty map drops (inner explode), array values recurse
+    val rows = flat.as[(Long, String, Int)].collect().toSeq.sorted
+    assert(rows === Seq((1L, "a", 10), (1L, "a", 20), (1L, "b", 30)))
+  }
+
+  test("strict mode raises on a map column under default drop; explode opts out") {
+    val df = Seq((1L, Map("a" -> 1))).toDF("id", "m")
+    val err = intercept[IllegalArgumentException] {
+      Flatten.flatten(df, strict = true)
+    }
+    assert(err.getMessage.contains("m") &&
+      err.getMessage.contains("silently"))
+    // strict + explode: no silent loss, so no raise
+    assert(Flatten.flatten(df, strict = true, maps = "explode")
+      .columns.toSeq === Seq("id", "m_key", "m_value"))
+    // default mode keeps reference drop parity
+    assert(Flatten.flatten(df).columns.toSeq === Seq("id"))
+  }
+
+  test("map explode shares the one-generator-per-pass budget with arrays") {
+    val df = Seq((1L, Seq("x", "y"), Map("k" -> 7))).toDF("id", "arr", "m")
+    val flat = Flatten.flatten(df, maps = "explode")
+    assert(flat.columns.toSeq === Seq("id", "arr", "m_key", "m_value"))
+    assert(flat.count() === 2) // 2 array elems x 1 map entry
+  }
 }
