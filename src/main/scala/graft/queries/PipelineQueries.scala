@@ -1698,6 +1698,97 @@ object PipelineQueries {
     // in batch mode; per-field stamped state makes the fold order-
     // independent. Same null-injection as q206, string fields only
     // (the state's generic encoding).
+    // X2 (round 10): the streaming daily-flow skin driven END TO END
+    // — two deterministic daily JSON landing files (derived from
+    // events; q06's dep_time formula, per-(day,origin,deptime)
+    // argmin dedup so FlightTime ties are impossible under the
+    // flow's tie-free default ordering, fixed winter offsets so
+    // local order = UTC order) drain through foreachBatch into
+    // DailyFlow.processIngested, and the gate reads back the OUTPUT
+    // TABLE: schema coercion, UTC enrichment, the cross-day stitch,
+    // and the dynamic partition overwrite are all inside the gated
+    // surface. The only X2 state is the checkpoint's file log +
+    // the table's previous-day partition — both exercised here.
+    "q263_streaming_daily_twin" -> ((s, dir) => {
+      import java.nio.file.{Files, Paths}
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.{StructType, StructField, StringType, LongType}
+      import graft.config.{ColumnSpec, EngineConfig}
+      val days = Seq("2024-01-05", "2024-01-06")
+      val iatas = Seq("JFK", "LAX", "ORD")
+      val base = t(s, dir, "events")
+        .where(col("ts").cast("date").cast("string").isin(days: _*))
+        .select(
+          col("ts").cast("date").cast("string").as("FlightDate"),
+          col("event_type").as("Reporting_Airline"),
+          element_at(typedLit(iatas),
+            (col("user_id") % 3).cast("int") + 1).as("Origin"),
+          ((col("user_id") % 24) * 100 + (col("event_id") % 60))
+            .cast("int").as("DepTime"),
+          col("event_id"))
+      val w = Window
+        .partitionBy(col("FlightDate"), col("Origin"), col("DepTime"))
+        .orderBy(col("event_id"))
+      val dedup = base.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1).drop("__rn", "event_id")
+        .localCheckpoint()
+      val landing = Files.createTempDirectory("landing-daily-twin")
+      val ckpt = Files.createTempDirectory("ckpt-daily-twin").toString
+      days.zipWithIndex.foreach { case (d, i) =>
+        val tmp = Files.createTempDirectory(s"dayfile-$i").toString
+        dedup.where(col("FlightDate") === d)
+          .coalesce(1).write.mode("overwrite").json(tmp)
+        val part = Files.list(Paths.get(tmp)).toArray.map(_.toString)
+          .filter(p => p.contains("part-") && p.endsWith(".json")).head
+        val dest = landing.resolve(s"$d.json")
+        Files.move(Paths.get(part), dest)
+        // mtime drives the file source's processing order: day 1
+        // must land (and write its partition) before day 2 reads it.
+        Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(
+            1700000000000L + i * 60000L))
+      }
+      val cfg = EngineConfig(
+        data_columns = Seq(
+          ColumnSpec("FlightDate", "date", Some("Flight date")),
+          ColumnSpec("Reporting_Airline", "string", Some("Carrier")),
+          ColumnSpec("Origin", "string", Some("Origin IATA")),
+          ColumnSpec("DepTime", "int", Some("Local departure HHmm"))),
+        output_table = Some("flights_stream_twin"),
+        output_partitions = Some(2))
+      val schema = StructType(Seq(
+        StructField("FlightDate", StringType),
+        StructField("Reporting_Airline", StringType),
+        StructField("Origin", StringType),
+        StructField("DepTime", LongType)))
+      s.sql("DROP TABLE IF EXISTS flights_stream_twin")
+      // A fresh session's catalog doesn't know a previous JVM's
+      // managed table, so DROP alone leaves its warehouse directory
+      // behind and saveAsTable fails LOCATION_ALREADY_EXISTS —
+      // remove the location itself.
+      val loc = Paths.get(
+        java.net.URI.create(s.conf.get("spark.sql.warehouse.dir"))
+          .getPath).resolve("flights_stream_twin")
+      if (Files.exists(loc)) {
+        Files.walk(loc).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      }
+      new graft.streaming.StreamingDailyFlow(cfg)
+        .start(s, landing.toString, schema, ckpt)
+        .awaitTermination()
+      s.catalog.refreshTable("flights_stream_twin")
+      s.table("flights_stream_twin").select(
+        col("FlightDate").as("flight_date"),
+        col("Reporting_Airline").as("airline"),
+        col("Origin").as("origin"),
+        col("DepTime").cast("int").as("dep_time"),
+        col("FlightTime").cast("long").as("flight_time"),
+        col("FlightTime_next").cast("long").as("flight_time_next"),
+        col("Airline_next").as("airline_next"),
+        col("diff_next"))
+        .orderBy("origin", "flight_time")
+    }),
+
     "q223_streaming_golden_twin" -> ((s, dir) => {
       val e = t(s, dir, "events")
         .withColumn("props",
@@ -4793,6 +4884,48 @@ object PipelineQueries {
     // q262 = trainBatched vs the SAME sequential replay: the batched
     // trainer's exactness guard is the claim under test.
     "q262_bpe_batched" -> bpeMergesOracleSql(numMerges = 12),
+
+    // X2 end-to-end twin: recompute the streamed output table from
+    // the same events rows — q06's timezone() construction for the
+    // UTC enrich, one window per origin over the stitched 2-day
+    // frame (the table's final state after day 2's dynamic
+    // overwrite). OR'd date equality (DuckDB IN(DATE...) gotcha).
+    "q263_streaming_daily_twin" ->
+      """WITH base AS (
+        |  SELECT CAST(ts AS DATE) AS d, event_id, event_type,
+        |    (['JFK','LAX','ORD'])[CAST(user_id % 3 AS INT) + 1] AS origin,
+        |    CAST((user_id % 24) * 100 + (event_id % 60) AS INT) AS dep_time
+        |  FROM events
+        |  WHERE CAST(ts AS DATE) = DATE '2024-01-05'
+        |     OR CAST(ts AS DATE) = DATE '2024-01-06'
+        |), dd AS (
+        |  SELECT d, origin, dep_time, event_type FROM (
+        |    SELECT d, origin, dep_time, event_type,
+        |      row_number() OVER (PARTITION BY d, origin, dep_time
+        |                         ORDER BY event_id) AS rn
+        |    FROM base) WHERE rn = 1
+        |), tzm AS (
+        |  SELECT * FROM (VALUES ('JFK','America/New_York'),
+        |    ('LAX','America/Los_Angeles'),
+        |    ('ORD','America/Chicago')) t(code, zone)
+        |), conv AS (
+        |  SELECT d, event_type, origin, dep_time,
+        |    CAST(EPOCH(timezone(zone,
+        |      strptime(strftime(d, '%Y-%m-%d') || ' ' ||
+        |        substr(lpad(CAST(dep_time AS VARCHAR), 4, '0'), 1, 2)
+        |        || ':' ||
+        |        substr(lpad(CAST(dep_time AS VARCHAR), 4, '0'), 3, 2),
+        |        '%Y-%m-%d %H:%M'))) AS BIGINT) AS ft
+        |  FROM dd JOIN tzm ON tzm.code = origin
+        |)
+        |SELECT d AS flight_date, event_type AS airline, origin,
+        |  dep_time, ft AS flight_time,
+        |  LEAD(ft) OVER w AS flight_time_next,
+        |  LEAD(event_type) OVER w AS airline_next,
+        |  LEAD(ft) OVER w - ft AS diff_next
+        |FROM conv
+        |WINDOW w AS (PARTITION BY origin ORDER BY ft)
+        |ORDER BY origin, flight_time""".stripMargin,
     "q203_bpe_encode" -> bpeEncodeOracleSql(numMerges = 12),
 
     // The decode stub's byte sampling replayed over the md5-hex
