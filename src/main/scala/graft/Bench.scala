@@ -129,11 +129,40 @@ object Bench {
         }
       }
     val regJson = regressions.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Longitudinal tripwire (round 10): the committed baseline is
+    // re-pinned by the builder each round, so "regressions: []" vs it
+    // alone is partly self-referential — a slow creep could hide
+    // behind successive re-pins. BASELINE_EARLIEST.json (derived from
+    // BASELINE_HISTORY.json) carries each query's EARLIEST round pin;
+    // the same 1.5x + 300ms envelope against it catches multi-round
+    // drift. Cross-round ambient differs more than within-round, so
+    // this list is advisory context, not a gate.
+    val histPath = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_HISTORY", "BASELINE_EARLIEST.json")
+    val regressionsVsHistory: Seq[String] =
+      if (!Files.exists(Paths.get(histPath))) Nil
+      else {
+        val hist = """"(q\d[^"]*)":\s*([0-9.eE+-]+)""".r
+          .findAllMatchIn(Files.readString(Paths.get(histPath)))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        results.flatMap { case (n, t) =>
+          hist.get(n).collect {
+            case p if t > p * 1.5 && t - p > 0.3 =>
+              System.err.println(
+                f"[bench] HISTORY-TRIPWIRE $n%s: $t%.2fs vs earliest " +
+                  f"pin $p%.2fs (${t / p}%.2fx)")
+              n
+          }
+        }
+      }
+    val regHistJson =
+      regressionsVsHistory.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qJson,""" +
         s""""baseline14_subtotal":$baselineSubtotal,"n_queries":${results.size},""" +
         s""""timing":"min_of_2_passes","failures":$failJson,""" +
-        s""""regressions":$regJson,"sf":"$sfDir"}"""
+        s""""regressions":$regJson,""" +
+        s""""regressions_vs_history":$regHistJson,"sf":"$sfDir"}"""
     println(line)
     try {
       Files.createDirectories(Paths.get("target"))
