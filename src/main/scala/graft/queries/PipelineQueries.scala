@@ -356,6 +356,36 @@ object PipelineQueries {
         |  JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
         |)""".stripMargin
 
+  /** The LOOSE near-dup candidate graph: 8 single-hash bands
+    * (rowsPerBand = 1) — the recall-oriented LSH regime. Unlike the
+    * production 4×2 banding (whose buckets close their own triangles
+    * — the round-9 no-open-wedges gotcha), single-hash buckets chain
+    * across seeds, so this graph HAS wedge structure (≈2.2k open
+    * pairs at both gate scales) and is the right substrate for
+    * gating the G5/G8 dials on the graph family they were built for. */
+  private val looseCandidateEdgesHead: String =
+    """toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), idx AS (
+        |  SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i FROM toks
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM idx
+        |), mh AS (
+        |  SELECT doc_id, s.seed,
+        |    min(CAST(('0x' || substr(
+        |      md5(CAST(s.seed AS VARCHAR) || ':' || shingle), 1, 15)) AS BIGINT))
+        |      AS mh
+        |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0,7)) AS seed) s
+        |  GROUP BY doc_id, s.seed
+        |), bands AS (
+        |  SELECT doc_id, seed AS band, CAST(mh AS VARCHAR) AS sig
+        |  FROM mh
+        |), e0 AS MATERIALIZED (
+        |  SELECT DISTINCT a.doc_id AS lo, b.doc_id AS hi
+        |  FROM bands a
+        |  JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        |)""".stripMargin
+
   /** q246 oracle: the DiD estimator's four-cell decimal moments and
     * fixed IEEE finish. Cell means repeat VERBATIM (q153 discipline);
     * did/z signed (+ 0.0), per-cell variances clamp at 0. */
@@ -2787,6 +2817,35 @@ object PipelineQueries {
         edges, "node_a", "node_b")
     }),
 
+    // G8 variant (round 10): assortativity on the LOOSE near-dup
+    // candidate graph (8 single-hash bands — the recall-oriented
+    // regime with real wedge structure; the production 4×2 banding
+    // closes its own triangles, the round-9 gotcha) — the G8 triage
+    // gated on the graph family it was built for.
+    "q264_neardup_assortativity" -> ((s, dir) => {
+      val edges = Dedup.minhashCandidates(
+          t(s, dir, "documents"), "doc_id", "text",
+          numHashes = 8, rowsPerBand = 1, shingleSize = 3)
+        .select("doc_a", "doc_b")
+      graft.operators.Graph.degreeAssortativity(edges, "doc_a", "doc_b")
+    }),
+
+    // G5 variant (round 10): link prediction on the same loose
+    // near-dup graph — the stated G5 motivation ("pairs LSH probably
+    // missed") gated on its own substrate, with the via-degree cap
+    // ACTIVE at both gate scales (cap 8 < max degree 12-13),
+    // mirrored in the oracle.
+    "q265_neardup_link_predict" -> ((s, dir) => {
+      val edges = Dedup.minhashCandidates(
+          t(s, dir, "documents"), "doc_id", "text",
+          numHashes = 8, rowsPerBand = 1, shingleSize = 3)
+        .select("doc_a", "doc_b")
+      graft.operators.Graph.linkPredict(edges, "doc_a", "doc_b",
+          maxViaDegree = 8)
+        .orderBy(col("adamic_adar").desc, col("node_a"), col("node_b"))
+        .limit(1000)
+    }),
+
     // E29 (round 9): difference-in-differences — the rollout readout
     // when assignment wasn't randomized: post-vs-pre (month half)
     // change in arm A minus the same change in arm B, per
@@ -4884,6 +4943,87 @@ object PipelineQueries {
     // q262 = trainBatched vs the SAME sequential replay: the batched
     // trainer's exactness guard is the claim under test.
     "q262_bpe_batched" -> bpeMergesOracleSql(numMerges = 12),
+
+    // G8 on the loose near-dup graph: q248's moment/finish tail over
+    // the single-hash-band edge head.
+    "q264_neardup_assortativity" ->
+      s"""WITH $looseCandidateEdgesHead,
+         |nb AS MATERIALIZED (
+         |  SELECT lo AS node, hi AS nbr FROM e0
+         |  UNION ALL SELECT hi AS node, lo AS nbr FROM e0
+         |), deg AS MATERIALIZED (
+         |  SELECT node, COUNT(*) AS degree FROM nb GROUP BY node
+         |), j AS (
+         |  SELECT d1.degree AS dx, d2.degree AS dy
+         |  FROM nb JOIN deg d1 ON d1.node = nb.node
+         |  JOIN deg d2 ON d2.node = nb.nbr
+         |), es AS (
+         |  SELECT COUNT(*) AS mm,
+         |    SUM(CAST(dx AS DECIMAL(38,0))) AS sx,
+         |    SUM(CAST(dy AS DECIMAL(38,0))) AS sy,
+         |    SUM(CAST(dx * dy AS DECIMAL(38,0))) AS sxy,
+         |    SUM(CAST(dx * dx AS DECIMAL(38,0))) AS sxx,
+         |    SUM(CAST(dy * dy AS DECIMAL(38,0))) AS syy
+         |  FROM j
+         |), ns AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         |    CAST(MAX(degree) AS BIGINT) AS max_degree
+         |  FROM deg
+         |), em AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e0
+         |), f AS (
+         |  SELECT n_nodes, n_edges, max_degree, mm,
+         |    CAST(sxy AS DOUBLE) / CAST(mm AS DOUBLE)
+         |      - (CAST(sx AS DOUBLE) / CAST(mm AS DOUBLE))
+         |        * (CAST(sy AS DOUBLE) / CAST(mm AS DOUBLE)) AS num,
+         |    CAST(sxx AS DOUBLE) / CAST(mm AS DOUBLE)
+         |      - (CAST(sx AS DOUBLE) / CAST(mm AS DOUBLE))
+         |        * (CAST(sx AS DOUBLE) / CAST(mm AS DOUBLE)) AS denx,
+         |    CAST(syy AS DOUBLE) / CAST(mm AS DOUBLE)
+         |      - (CAST(sy AS DOUBLE) / CAST(mm AS DOUBLE))
+         |        * (CAST(sy AS DOUBLE) / CAST(mm AS DOUBLE)) AS deny
+         |  FROM ns CROSS JOIN em CROSS JOIN es
+         |)
+         |SELECT n_nodes, n_edges, max_degree,
+         |  round(CAST(2 * n_edges AS DOUBLE) / CAST(n_nodes AS DOUBLE), 6)
+         |    AS avg_degree,
+         |  CASE WHEN mm > 0 AND denx * deny > 0 THEN
+         |    round(num / sqrt(denx * deny), 6) + 0.0 END AS assortativity
+         |FROM f""".stripMargin,
+
+    // G5 on the loose near-dup graph: q240's wedge/AA tail with the
+    // via cap ACTIVE (degree <= 8).
+    "q265_neardup_link_predict" ->
+      s"""WITH $looseCandidateEdgesHead,
+         |nb AS MATERIALIZED (
+         |  SELECT lo AS node, hi AS nbr FROM e0
+         |  UNION ALL SELECT hi AS node, lo AS nbr FROM e0
+         |), deg AS MATERIALIZED (
+         |  SELECT node, COUNT(*) AS degree FROM nb GROUP BY node
+         |), via AS MATERIALIZED (
+         |  SELECT nb.nbr AS via, nb.node, d.degree AS vd
+         |  FROM nb JOIN deg d ON d.node = nb.nbr
+         |  WHERE d.degree <= 8
+         |), pairs AS MATERIALIZED (
+         |  SELECT a.node AS node_a, b.node AS node_b,
+         |    COUNT(*) AS cn,
+         |    SUM(CAST(round(1.0 / ln(CAST(a.vd AS DOUBLE)), 12)
+         |      AS DECIMAL(38,12))) AS aas
+         |  FROM via a JOIN via b ON a.via = b.via AND a.node < b.node
+         |  GROUP BY 1, 2
+         |)
+         |SELECT p.node_a, p.node_b, CAST(p.cn AS BIGINT) AS common_nbrs,
+         |  round(CAST(p.aas AS DOUBLE), 6) AS adamic_adar,
+         |  round(CAST(p.cn AS DOUBLE)
+         |    / CAST(da.degree + db.degree - p.cn AS DOUBLE), 6)
+         |    AS nbr_jaccard
+         |FROM pairs p
+         |JOIN deg da ON da.node = p.node_a
+         |JOIN deg db ON db.node = p.node_b
+         |WHERE NOT EXISTS (SELECT 1 FROM e0 e
+         |  WHERE e.lo = p.node_a AND e.hi = p.node_b)
+         |ORDER BY adamic_adar DESC, node_a, node_b
+         |LIMIT 1000""".stripMargin,
 
     // X2 end-to-end twin: recompute the streamed output table from
     // the same events rows — q06's timezone() construction for the
