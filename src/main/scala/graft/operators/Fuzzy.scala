@@ -153,4 +153,167 @@ object Fuzzy {
       .where(col("jaccard") >= threshold)
       .distinct()
   }
+
+  /**
+   * Sorted-neighborhood CANDIDATE pairs without a verify kernel:
+   * [[sortedNeighborhood]]'s rank-adjacency stage alone — each row
+   * paired with its `windowSize` successors under the (sortKey, id)
+   * total order, exactly n·w unordered pairs with id_a < id_b. The
+   * generic blocking front end for pair scorers that bring their own
+   * comparison model (e.g. [[fellegiSunter]]) instead of text
+   * Jaccard. Same distributed mechanics: two-level bucketed ordinals
+   * ([[Ordinals.withOrdinals]]), rank-vs-rank+i equi-join, no
+   * single-task window, candidate volume independent of key skew.
+   */
+  def sortedNeighborhoodCandidates(
+      df: DataFrame, idCol: String, sortKey: Column,
+      windowSize: Int): DataFrame = {
+    require(windowSize >= 1, s"windowSize must be >= 1, got $windowSize")
+    val base = df.select(col(idCol).cast("long").as("__id"),
+      sortKey.as("__k"))
+    val indexed = Ordinals.withOrdinals(
+      base, Seq(col("__k"), col("__id")), "__rank", buckets = 64)
+      .select(col("__rank"), col("__id"))
+    val a = indexed.select(col("__rank"), col("__id").as("id_a"))
+    val b = indexed
+      .withColumn("__i", explode(sequence(lit(1), lit(windowSize))))
+      .select((col("__rank") - col("__i")).as("__rank"),
+        col("__id").as("id_b"))
+    a.join(b, "__rank")
+      .select(
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .distinct()
+  }
+
+  /**
+   * D19: Fellegi–Sunter probabilistic record-linkage scoring
+   * (Fellegi & Sunter 1969, JASA — the canonical match/non-match
+   * log-likelihood model behind every serious entity-resolution
+   * stack): each candidate pair gets, per comparison field, an
+   * AGREEMENT weight log₂(m/u) or DISAGREEMENT weight
+   * log₂((1−m)/(1−u)), and the pair's score is the sum — high scores
+   * are probable matches, strongly negative scores probable
+   * non-matches, the middle band goes to clerical review.
+   *
+   * `m` (P(field agrees | pair is a true match)) is supplied per
+   * field — the reviewer-calibrated dial, as in production use
+   * without labeled EM training data. `u` (P(field agrees | random
+   * non-match)) is ESTIMATED FROM THE DATA as the exact random-pair
+   * agreement probability: Σ_v cnt_v·(cnt_v−1) / (N·(N−1)) over the
+   * field's non-null value counts — the frequency-table estimator,
+   * which automatically makes rare-value agreement (matching on an
+   * unusual name) worth more than common-value agreement. `u` is
+   * clamped to [1/(N·(N−1)), 1 − 1/(N·(N−1))] so degenerate fields
+   * (all-distinct or single-valued) yield finite weights instead of
+   * ±∞.
+   *
+   * ENGINE-EXACT: weights are per-FIELD scalars — each is one IEEE
+   * division + one log₂, rounded to 6dp (the house ln-output
+   * contract), then the per-pair score is an exact DECIMAL(18,6) sum
+   * of those 6dp constants selected by the agreement pattern —
+   * partition-order-free. A NULL on either side contributes weight 0
+   * (the standard missing-data convention) and a `-` in the pattern.
+   *
+   * Scale: u estimation is one groupBy per field over the RECORDS
+   * (not pairs), unioned into a ≤|fields|-row weight table that
+   * broadcast-joins onto the melted pair×field frame; the only big
+   * shuffle is the pairs melt re-aggregation, O(|pairs|·|fields|).
+   * Candidate pairs come from the caller's blocking
+   * ([[sortedNeighborhoodCandidates]], [[blockedPairs]],
+   * `Dedup.minhashCandidates`) — all-pairs is deliberately not
+   * offered.
+   *
+   * Output: (id_a, id_b, pattern, n_agree, score) — `pattern` is the
+   * γ-vector rendered in field order ('1' agree / '0' disagree /
+   * '-' null), score the 6dp decimal sum.
+   */
+  def fellegiSunter(
+      records: DataFrame, idCol: String, pairs: DataFrame,
+      fields: Seq[(String, Double)]): DataFrame = {
+    require(fields.nonEmpty, "fields must be non-empty")
+    fields.foreach { case (f, m) =>
+      require(m > 0.0 && m < 1.0, s"m for $f must be in (0,1), got $m")
+    }
+    // Per-field scalar weights: exact integer agreement mass over the
+    // value-frequency tables — ONE melted records scan serves every
+    // field (|fields| separate scans would multiply the 100 TB read),
+    // one (field, value) count shuffle, then a |fields|-row reduce.
+    val mLit = fields.foldLeft(lit(null).cast("double")) {
+      case (acc, (f, m)) => when(col("field") === f, lit(m)).otherwise(acc)
+    }
+    val weights = records
+      .select(explode(array(fields.map { case (f, _) =>
+        struct(lit(f).as("field"), col(f).cast("string").as("value"))
+      }: _*)).as("__fv"))
+      .select(col("__fv.field").as("field"), col("__fv.value").as("value"))
+      .where(col("value").isNotNull)
+      .groupBy("field", "value").agg(count(lit(1)).as("__c"))
+      .groupBy("field")
+      .agg(
+        sum(col("__c") * (col("__c") - 1L)).as("__agree"),
+        sum(col("__c")).as("__n"))
+      .select(col("field"),
+        // clamp into the open unit interval at 1/(N(N-1)) so
+        // all-distinct (u=0) and constant (u=1) fields stay finite
+        greatest(
+          least(
+            col("__agree").cast("double")
+              / (col("__n") * (col("__n") - 1L)).cast("double"),
+            lit(1.0) - lit(1.0)
+              / (col("__n") * (col("__n") - 1L)).cast("double")),
+          lit(1.0) / (col("__n") * (col("__n") - 1L)).cast("double"))
+          .as("u"),
+        mLit.as("m"))
+      .select(col("field"),
+        round(log2(col("m") / col("u")), 6)
+          .cast("decimal(18,6)").as("w_agree"),
+        round(log2((lit(1.0) - col("m")) / (lit(1.0) - col("u"))), 6)
+          .cast("decimal(18,6)").as("w_disagree"))
+
+    // Wide pass over the joined pair: per-field agreement flag
+    // ('1'/'0'/'-') computed once, reused by pattern AND the melt.
+    val ra = records.select(col(idCol).as("id_a") +:
+      fields.map { case (f, _) => col(f).as(s"__a_$f") }: _*)
+    val rb = records.select(col(idCol).as("id_b") +:
+      fields.map { case (f, _) => col(f).as(s"__b_$f") }: _*)
+    val flagged = pairs.select("id_a", "id_b")
+      .join(ra, "id_a").join(rb, "id_b")
+      .select(col("id_a") +: col("id_b") +:
+        fields.map { case (f, _) =>
+          when(col(s"__a_$f").isNull || col(s"__b_$f").isNull, lit("-"))
+            .when(col(s"__a_$f") === col(s"__b_$f"), lit("1"))
+            .otherwise(lit("0")).as(s"__g_$f")
+        }: _*)
+
+    // Melt to (pair, field, flag) carrying the pattern as a grouping
+    // key (functionally dependent on the pair — grouping by it is
+    // free and avoids a second consumer of the joined frame, the
+    // q127 pruning-vs-reuse gotcha), broadcast-join the weight
+    // table, sum the selected 6dp decimals exactly.
+    val melted = flagged
+      .withColumn("pattern",
+        concat(fields.map { case (f, _) => col(s"__g_$f") }: _*))
+      .select(col("id_a"), col("id_b"), col("pattern"),
+        explode(array(fields.map { case (f, _) =>
+          struct(lit(f).as("field"), col(s"__g_$f").as("flag"))
+        }: _*)).as("__fx"))
+      .select(col("id_a"), col("id_b"), col("pattern"),
+        col("__fx.field").as("field"), col("__fx.flag").as("flag"))
+    melted
+      .join(broadcast(weights), "field")
+      .groupBy("id_a", "id_b", "pattern")
+      .agg(
+        sum(when(col("flag") === "1", lit(1)).otherwise(lit(0)))
+          .as("n_agree"),
+        sum(when(col("flag") === "1", col("w_agree"))
+          .when(col("flag") === "0", col("w_disagree"))
+          .otherwise(lit(BigDecimal(0)).cast("decimal(18,6)")))
+          .as("__score"))
+      .select(col("id_a"), col("id_b"), col("pattern"), col("n_agree"),
+        // exact decimal sum, surfaced as DOUBLE (house output contract
+        // — a 6dp decimal converts to its nearest double identically
+        // on every engine)
+        col("__score").cast("decimal(18,6)").cast("double").as("score"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -556,5 +556,106 @@ object Graph {
     }
     org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(nbrs)
     reached.orderBy("node")
+  }
+
+  /**
+   * G9: HITS hubs and authorities (Kleinberg 1999, JACM "Authoritative
+   * sources in a hyperlinked environment") over a DIRECTED graph —
+   * the two-sided importance readout PageRank's single score folds
+   * away: an authority is pointed at by good hubs, a hub points at
+   * good authorities. On the customer→part purchase bipartition this
+   * is the classic market readout (discerning buyers vs staple
+   * products); on a doc→cited-doc graph it separates surveys (hubs)
+   * from primary sources (authorities).
+   *
+   * Mutual recursion, `iters` rounds of
+   *   auth'(v) = Σ_{u→v} hub(u),   then L1-normalize;
+   *   hub'(u)  = Σ_{u→v} auth'(v), then L1-normalize.
+   * L1 normalization (not Kleinberg's L2) keeps every step rational:
+   * the limit directions are the same dominant eigenvectors of AᵀA /
+   * AAᵀ, only the scale convention differs — and L1 admits the exact
+   * integer replay below where an L2 norm would put a sqrt inside
+   * the recursion.
+   *
+   * ENGINE-EXACT (oracle-replayable, the q123/q200 discipline):
+   * scores live as NANO-unit longs (floor(x·10⁹)). Per half-round the
+   * raw score is an exact integer sum of the counterpart's nano
+   * scores, the total is an exact integer sum of those, and the
+   * normalized score is floor((raw/total)·10⁹) — one IEEE division +
+   * one multiply + floor, bit-identical on every engine; no rounding
+   * rule, no float accumulation anywhere. Mass bound (ANSI throws,
+   * never corrupts): Σ raw ≤ |E|·10⁹ < 2⁶³ ⇒ safe below ~9.2e9 edges;
+   * shard the graph before that. Quantization floor: a node whose
+   * true share is below 1e-9 of the total reads 0 — at that share it
+   * is noise under any convention.
+   *
+   * Scale: two equi-joins + two partial-agg shuffles per round over
+   * the edge list, state one row per node; rounds barrier via
+   * localCheckpoint with superseded state freed (the PageRank loop
+   * discipline). Totals ride one-row broadcast cross joins.
+   *
+   * Output: (node, hub, auth) for every node, scores as DOUBLE
+   * nano-grid values in [0,1], each column summing to ≤ 1.
+   */
+  def hits(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 5): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val NANO = 1000000000.0d
+    val e = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    // floor((raw/total)·10⁹) as a long; total == 0 (possible only on
+    // an empty edge set) degrades to all-zero scores, never NaN.
+    def norm(raw: Column, total: Column): Column =
+      when(total <= 0L, lit(0L)).otherwise(
+        floor(raw.cast("double") / total.cast("double") * lit(NANO)))
+    var hub = nodes.withColumn("hq", lit(NANO.toLong)).localCheckpoint()
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      val aRaw = e.join(hub.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("hq")).as("__raw"))
+      val aTot = aRaw.agg(
+        coalesce(sum(col("__raw")), lit(0L)).as("__tot"))
+      val nextAuth = nodes
+        .join(aRaw, Seq("node"), "left")
+        .crossJoin(aTot)
+        .select(col("node"),
+          norm(coalesce(col("__raw"), lit(0L)), col("__tot")).as("aq"))
+        .localCheckpoint()
+      val hRaw = e.join(nextAuth.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(sum(col("aq")).as("__raw"))
+      val hTot = hRaw.agg(
+        coalesce(sum(col("__raw")), lit(0L)).as("__tot"))
+      val nextHub = nodes
+        .join(hRaw, Seq("node"), "left")
+        .crossJoin(hTot)
+        .select(col("node"),
+          norm(coalesce(col("__raw"), lit(0L)), col("__tot")).as("hq"))
+        .localCheckpoint()
+      if (auth != null)
+        org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(auth)
+      org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(hub)
+      auth = nextAuth
+      hub = nextHub
+    }
+    val out = hub.join(auth, "node")
+      .select(col("node"),
+        (col("hq").cast("double") / lit(NANO)).as("hub"),
+        (col("aq").cast("double") / lit(NANO)).as("auth"))
+      .localCheckpoint()
+    org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(hub)
+    org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(auth)
+    org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(e)
+    org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(nodes)
+    out
   }
 }

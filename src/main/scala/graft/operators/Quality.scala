@@ -1460,4 +1460,81 @@ object Quality {
         min(col("__h")).as("min_hash"),
         max(col("__h")).as("max_hash"))
   }
+
+  /**
+   * Q8: k-anonymity / l-diversity release audit (Sweeney 2002;
+   * Machanavajjhala et al. 2007) — the pre-release privacy gate for
+   * any dataset leaving the trust boundary (a training-corpus export,
+   * a metrics share, a vendor hand-off): group rows into equivalence
+   * classes on the QUASI-IDENTIFIER columns (the externally-joinable
+   * ones — location, segment, coarse account bands) and measure
+   * (a) k-anonymity: every class must contain ≥ k rows, else its
+   * members are re-identifiable by linking the QI combination to an
+   * outside table; and (b) l-diversity: every class must carry ≥ l
+   * DISTINCT values of the sensitive column, else membership alone
+   * discloses the sensitive value even at k-anonymous sizes (the
+   * homogeneity attack k-anonymity famously misses).
+   *
+   * One summary row: row/class totals, the effective k (min class
+   * size) and effective l (min per-class sensitive diversity), the
+   * exposure mass on each axis (rows + classes below the bar), and
+   * the two verdicts. Exact integers and booleans end to end —
+   * nothing to quantize, oracle-trivial.
+   *
+   * NULL semantics: a NULL quasi-identifier value is its own class
+   * key (it is still a joinable, distinguishing signal); NULL
+   * sensitive values carry no disclosure and don't count toward
+   * diversity — an all-NULL-sensitive class has diversity 0 and
+   * fails any l ≥ 1, surfacing the degenerate column rather than
+   * hiding it.
+   *
+   * Scale: one groupBy on the QI columns (bounded by QI-combination
+   * cardinality, the same key a release would partition by) + one
+   * single-row reduce — two exchanges, no joins, no windows. The
+   * per-class frame for remediation drill-down is
+   * [[equivalenceClasses]]; this summary deliberately never ships
+   * per-class rows (at 100 TB the audit must stay a scalar gate).
+   */
+  def kAnonymityAudit(
+      df: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
+      k: Long, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "quasiCols must be non-empty")
+    require(k >= 1L, s"k must be >= 1, got $k")
+    require(l >= 1L, s"l must be >= 1, got $l")
+    equivalenceClasses(df, quasiCols, sensitiveCol)
+      .agg(
+        sum(col("class_size")).as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        min(col("class_size")).as("effective_k"),
+        sum(when(col("class_size") < k, col("class_size"))
+          .otherwise(lit(0L))).as("rows_below_k"),
+        sum(when(col("class_size") < k, 1L).otherwise(0L))
+          .as("classes_below_k"),
+        min(col("sens_diversity")).as("effective_l"),
+        sum(when(col("sens_diversity") < l, col("class_size"))
+          .otherwise(lit(0L))).as("rows_below_l"),
+        sum(when(col("sens_diversity") < l, 1L).otherwise(0L))
+          .as("classes_below_l"))
+      .select(col("n_rows"), col("n_classes"),
+        col("effective_k"), col("rows_below_k"), col("classes_below_k"),
+        col("effective_l"), col("rows_below_l"), col("classes_below_l"),
+        (col("effective_k") >= k).as("k_satisfied"),
+        (col("effective_l") >= l).as("l_satisfied"))
+  }
+
+  /**
+   * The per-class drill-down behind [[kAnonymityAudit]]: one row per
+   * quasi-identifier equivalence class with its size and sensitive
+   * diversity — `orderBy(class_size).limit(n)` is the remediation
+   * worklist (which QI combinations to generalize or suppress first).
+   */
+  def equivalenceClasses(
+      df: DataFrame, quasiCols: Seq[String], sensitiveCol: String)
+      : DataFrame = {
+    require(quasiCols.nonEmpty, "quasiCols must be non-empty")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("class_size"),
+        countDistinct(col(sensitiveCol)).as("sens_diversity"))
+  }
 }

@@ -1823,4 +1823,87 @@ object Similarity {
       when(meanSq > 0, round(col("__cn2") / meanSq, 6))
         .as("centroid_share"))
   }
+
+  /**
+   * V24: the ±1 sign matrix behind [[randomProject]], derived from a
+   * splitmix64 mix of (seed, output dim, input dim) — a DATA-FREE
+   * deterministic function, so the projection needs no training pass
+   * and any engine (or the DuckDB oracle) regenerates the identical
+   * matrix from three integers. Returned as dOut rows × dIn signs.
+   */
+  def projectionSigns(seed: Long, dIn: Int, dOut: Int): Seq[Seq[Int]] = {
+    def mix64(z0: Long): Long = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    Seq.tabulate(dOut) { j =>
+      Seq.tabulate(dIn) { i =>
+        if ((mix64(seed * 0x100000001B3L + j.toLong * dIn + i) & 1L) == 0L)
+          1 else -1
+      }
+    }
+  }
+
+  /**
+   * V24: data-independent random projection (Achlioptas 2003 "DB-
+   * friendly random projections": a dense ±1 sign matrix satisfies
+   * the Johnson–Lindenstrauss lemma with the same distortion bounds
+   * as Gaussian projections) — the dimensionality reducer for the
+   * regime where [[principalComponents]] is wrong: PCA needs a
+   * training pass over the corpus and re-training drifts as data
+   * grows, while a JL projection is a pure function of (seed, dims) —
+   * at 100 TB that means zero extra scans, bit-stable output across
+   * incremental ingests, and the same matrix on every cluster.
+   * y = S·x / √dOut, preserving pairwise distances within
+   * 1±ε for dOut = O(ln n / ε²) — the standard pre-step shrinking
+   * embeddings before ANN indexing or near-dup clustering.
+   *
+   * ENGINE-EXACT: inputs quantize once to micro-unit longs
+   * (floor(x·10⁶) — the q200 grid, zero rounding-rule hazard), each
+   * output coordinate is an exact ±-signed long sum, and the only
+   * float work is the fixed IEEE finish (/10⁶, /√dOut) followed by a
+   * floor back onto the 6dp grid. Signed values — floor, not round,
+   * so no half-tie hazard exists at all. Mass bound (ANSI throws):
+   * Σ|x|·10⁶ per vector < 2⁶³.
+   *
+   * Scale: one posexplode melt (n·dIn rows) + one broadcast join on
+   * the dIn·dOut-row sign matrix + one (id, outDim) partial-agg
+   * shuffle + one per-id reassembly — no training, no self-joins,
+   * no driver state beyond the literal matrix. Vectors not exactly
+   * `dIn` long (or NULL) are dropped — same contract as the PCA path.
+   *
+   * Output: (id, proj ARRAY<DOUBLE> of length dOut) with coordinates
+   * on the 6dp floor grid.
+   */
+  def randomProject(
+      df: DataFrame, idCol: String, vecCol: String,
+      dIn: Int, dOut: Int, seed: Long = 42L): DataFrame = {
+    require(dIn >= 1, s"dIn must be >= 1, got $dIn")
+    require(dOut >= 1, s"dOut must be >= 1, got $dOut")
+    val spark = df.sparkSession
+    val signs = projectionSigns(seed, dIn, dOut)
+    val matrix = broadcast(spark.createDataFrame(
+      for (j <- 0 until dOut; i <- 0 until dIn)
+        yield (i, j, signs(j)(i).toLong)
+    ).toDF("__i", "__j", "__s"))
+    val invScale = 1.0 / math.sqrt(dOut.toDouble)
+    df.select(col(idCol).as("id"), col(vecCol).as("__v"))
+      .where(col("__v").isNotNull && size(col("__v")) === dIn &&
+        expr("size(filter(__v, x -> x IS NULL))") === 0)
+      .select(col("id"), posexplode(col("__v")).as(Seq("__i", "__x")))
+      .withColumn("__q", floor(col("__x").cast("double") * lit(1000000.0d)))
+      .join(matrix, "__i")
+      .groupBy("id", "__j")
+      .agg(sum(col("__q") * col("__s")).as("__acc"))
+      .select(col("id"), col("__j"),
+        (floor(col("__acc").cast("double") / lit(1000000.0d)
+          * lit(invScale) * lit(1000000.0d)).cast("double")
+          / lit(1000000.0d)).as("__y"))
+      .groupBy("id")
+      .agg(expr(
+        "transform(sort_array(collect_list(struct(__j, __y)))," +
+          " s -> s.__y)").as("proj"))
+  }
 }

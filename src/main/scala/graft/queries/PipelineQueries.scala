@@ -504,6 +504,92 @@ object PipelineQueries {
   }
 
   /**
+   * q268 oracle generator: replays `Graph.hits`' exact nano-grid
+   * mutual recursion as an unrolled materialized-CTE chain (the
+   * q123-PageRank pattern). Scores live as BIGINT nano-units; each
+   * half-round's raw sums are exact integer aggregates and the
+   * normalization is the identical one-IEEE-division floor on both
+   * engines, so the replay is bit-exact — no rounding rule anywhere.
+   */
+  private def hitsOracleSql(iters: Int): String = {
+    val base =
+      """WITH e AS MATERIALIZED (
+        |  SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS src,
+        |    'p:' || CAST(l_partkey AS VARCHAR) AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |), nodes AS MATERIALIZED (
+        |  SELECT src AS node FROM e UNION SELECT dst FROM e
+        |), h0 AS MATERIALIZED (
+        |  SELECT node, CAST(1000000000 AS BIGINT) AS q FROM nodes)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s""", ar$i AS MATERIALIZED (
+         |  SELECT e.dst AS node, SUM(h.q) AS raw
+         |  FROM h${i - 1} h JOIN e ON e.src = h.node GROUP BY 1
+         |), at$i AS MATERIALIZED (
+         |  SELECT COALESCE(SUM(raw), 0) AS tot FROM ar$i
+         |), a$i AS MATERIALIZED (
+         |  SELECT n.node, CASE WHEN t.tot <= 0 THEN CAST(0 AS BIGINT)
+         |    ELSE CAST(floor(CAST(COALESCE(r.raw, 0) AS DOUBLE)
+         |      / CAST(t.tot AS DOUBLE) * 1000000000.0) AS BIGINT) END AS q
+         |  FROM nodes n LEFT JOIN ar$i r ON r.node = n.node
+         |  CROSS JOIN at$i t
+         |), hr$i AS MATERIALIZED (
+         |  SELECT e.src AS node, SUM(a.q) AS raw
+         |  FROM a$i a JOIN e ON e.dst = a.node GROUP BY 1
+         |), ht$i AS MATERIALIZED (
+         |  SELECT COALESCE(SUM(raw), 0) AS tot FROM hr$i
+         |), h$i AS MATERIALIZED (
+         |  SELECT n.node, CASE WHEN t.tot <= 0 THEN CAST(0 AS BIGINT)
+         |    ELSE CAST(floor(CAST(COALESCE(r.raw, 0) AS DOUBLE)
+         |      / CAST(t.tot AS DOUBLE) * 1000000000.0) AS BIGINT) END AS q
+         |  FROM nodes n LEFT JOIN hr$i r ON r.node = n.node
+         |  CROSS JOIN ht$i t
+         |)""".stripMargin
+    }.mkString("\n")
+    s"""$base
+       |$rounds
+       |SELECT h.node, CAST(h.q AS DOUBLE) / 1000000000.0 AS hub,
+       |  CAST(a.q AS DOUBLE) / 1000000000.0 AS auth
+       |FROM h$iters h JOIN a$iters a ON a.node = h.node
+       |ORDER BY h.node""".stripMargin
+  }
+
+  /**
+   * q269 oracle generator: the JL sign matrix regenerates from
+   * `Similarity.projectionSigns` (the SAME Scala function the
+   * operator uses) as a literal VALUES table; coordinates are exact
+   * ±-signed micro-unit long sums with the identical IEEE finish
+   * (/10⁶, ·invScale, floor back onto the 6dp grid). dOut must keep
+   * 1/√dOut exactly representable (a power of 4) so the emitted
+   * literal is exact.
+   */
+  private def randomProjectOracleSql(
+      dIn: Int, dOut: Int, seed: Long): String = {
+    val signs = graft.operators.Similarity.projectionSigns(seed, dIn, dOut)
+    val values = (for (j <- 0 until dOut; i <- 0 until dIn)
+      yield s"($i,$j,${signs(j)(i)})").mkString(",")
+    val inv = (1.0 / math.sqrt(dOut.toDouble)).toString
+    s"""WITH m(i, j, s) AS (VALUES $values),
+       |el AS (
+       |  SELECT vec_id,
+       |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS i,
+       |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+       |      AS BIGINT) AS q
+       |  FROM embeddings
+       |  WHERE len(embedding) = $dIn
+       |    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+       |), acc AS (
+       |  SELECT el.vec_id, m.j, SUM(el.q * m.s) AS acc
+       |  FROM el JOIN m ON m.i = el.i
+       |  GROUP BY 1, 2
+       |)
+       |SELECT vec_id, j AS dim,
+       |  floor(CAST(acc AS DOUBLE) / 1000000.0 * $inv * 1000000.0)
+       |    / 1000000.0 AS value
+       |FROM acc ORDER BY vec_id, dim""".stripMargin
+  }
+
+  /**
    * q209 oracle generator: replays `Similarity.mmrSelect`'s greedy
    * loop in DuckDB as a materialized-CTE chain (the q195/q200
    * pattern). Round 1 picks max relevance (cosine to the query
@@ -2846,6 +2932,72 @@ object PipelineQueries {
         .limit(1000)
     }),
 
+    // Q8 (round 10): k-anonymity / l-diversity release audit — the
+    // pre-release privacy gate. QI = (nation, segment, 1000-unit
+    // account band): the externally-joinable combination; sensitive =
+    // the customer-name tail digit (the synthetic stand-in for a
+    // disclosure-bearing attribute). Exact integers end to end; one
+    // QI groupBy + one single-row reduce, no joins.
+    "q266_k_anonymity" -> ((s, dir) => {
+      graft.operators.Quality.kAnonymityAudit(
+        t(s, dir, "customer")
+          .withColumn("acct_band", floor(col("c_acctbal") / lit(1000.0d)))
+          .withColumn("cohort",
+            expr("substring(c_name, length(c_name), 1)")),
+        Seq("c_nationkey", "c_mktsegment", "acct_band"),
+        "cohort", k = 5L, l = 2L)
+    }),
+
+    // D19 (round 10): Fellegi–Sunter probabilistic linkage over the
+    // part catalog — sorted-neighborhood candidates (p_name order,
+    // w=6), five comparison fields with reviewer m-priors and
+    // frequency-estimated u; per-pair γ-pattern + exact 6dp decimal
+    // score, top-300 probable matches.
+    "q267_record_linkage" -> ((s, dir) => {
+      val p = t(s, dir, "part").select(
+        col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"),
+        split(col("p_name"), " ").getItem(0).as("name_head"),
+        floor(col("p_retailprice") / lit(100.0d)).cast("string")
+          .as("price_band"),
+        col("p_size").cast("string").as("size_str"))
+      val pairs = Fuzzy.sortedNeighborhoodCandidates(
+        p, "p_partkey", col("p_name"), windowSize = 6)
+      Fuzzy.fellegiSunter(p, "p_partkey", pairs,
+          Seq("p_brand" -> 0.9, "p_type" -> 0.85, "name_head" -> 0.8,
+            "price_band" -> 0.7, "size_str" -> 0.75))
+        .orderBy(col("score").desc, col("id_a"), col("id_b"))
+        .limit(300)
+    }),
+
+    // G9 (round 10): HITS hubs/authorities over the customer→part
+    // purchase digraph — discerning buyers vs staple products; 4
+    // exact nano-grid mutual-recursion rounds, oracle-replayed as an
+    // unrolled materialized-CTE chain (the q123 pattern).
+    "q268_hits" -> ((s, dir) => {
+      val e = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(
+          concat(lit("c:"), col("o_custkey")).as("src"),
+          concat(lit("p:"), col("l_partkey")).as("dst"))
+      graft.operators.Graph.hits(e, "src", "dst", iters = 4)
+        .orderBy("node")
+    }),
+
+    // V24 (round 10): data-independent JL random projection of the
+    // embedding corpus, 64 → 16 dims via the seed-derived ±1 sign
+    // matrix — zero training scans, exact micro-unit sums, IEEE
+    // finish on the 6dp floor grid (dOut = 16 makes 1/√dOut = 0.25
+    // exactly representable). Exploded for the oracle compare.
+    "q269_random_projection" -> ((s, dir) => {
+      Similarity.randomProject(
+          t(s, dir, "embeddings"), "vec_id", "embedding",
+          dIn = 64, dOut = 16, seed = 7L)
+        .select(col("id").as("vec_id"),
+          posexplode(col("proj")).as(Seq("dim", "value")))
+        .orderBy("vec_id", "dim")
+    }),
+
     // E29 (round 9): difference-in-differences — the rollout readout
     // when assignment wasn't randomized: post-vs-pre (month half)
     // change in arm A minus the same change in arm B, per
@@ -5024,6 +5176,163 @@ object PipelineQueries {
          |  WHERE e.lo = p.node_a AND e.hi = p.node_b)
          |ORDER BY adamic_adar DESC, node_a, node_b
          |LIMIT 1000""".stripMargin,
+
+    // Q8: exact integer/boolean summary — class table then one
+    // reduce; floor band + name-tail sensitive mirror the Spark
+    // derivations exactly.
+    "q266_k_anonymity" ->
+      """WITH cls AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band,
+        |    COUNT(*) AS class_size,
+        |    COUNT(DISTINCT substr(c_name, length(c_name), 1))
+        |      AS sens_div
+        |  FROM customer GROUP BY 1, 2, 3
+        |)
+        |SELECT CAST(SUM(class_size) AS BIGINT) AS n_rows,
+        |  COUNT(*) AS n_classes,
+        |  CAST(MIN(class_size) AS BIGINT) AS effective_k,
+        |  CAST(SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+        |    AS BIGINT) AS rows_below_k,
+        |  CAST(SUM(CASE WHEN class_size < 5 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS classes_below_k,
+        |  CAST(MIN(sens_div) AS BIGINT) AS effective_l,
+        |  CAST(SUM(CASE WHEN sens_div < 2 THEN class_size ELSE 0 END)
+        |    AS BIGINT) AS rows_below_l,
+        |  CAST(SUM(CASE WHEN sens_div < 2 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS classes_below_l,
+        |  MIN(class_size) >= 5 AS k_satisfied,
+        |  MIN(sens_div) >= 2 AS l_satisfied
+        |FROM cls""".stripMargin,
+
+    // D19: sorted-neighborhood candidates (row_number adjacency ≡
+    // the bucketed-ordinal rank), per-field u from exact frequency
+    // mass, weights as round(log2, 6) scalars — IEEE sequences
+    // mirrored op for op — then the exact DECIMAL(18,6) pattern sum.
+    "q267_record_linkage" ->
+      """WITH rec AS (
+        |  SELECT p_partkey AS id, p_name,
+        |    p_brand AS f1, p_type AS f2,
+        |    string_split(p_name, ' ')[1] AS f3,
+        |    CAST(CAST(floor(p_retailprice / 100.0) AS BIGINT)
+        |      AS VARCHAR) AS f4,
+        |    CAST(p_size AS VARCHAR) AS f5
+        |  FROM part
+        |), rk AS (
+        |  SELECT id, f1, f2, f3, f4, f5,
+        |    row_number() OVER (ORDER BY p_name, id) AS rn
+        |  FROM rec
+        |), cand AS (
+        |  SELECT DISTINCT least(a.id, b.id) AS id_a,
+        |    greatest(a.id, b.id) AS id_b
+        |  FROM rk a JOIN rk b ON b.rn > a.rn AND b.rn <= a.rn + 6
+        |), w1 AS (
+        |  SELECT CAST(round(log2(CAST(0.9 AS DOUBLE) / u), 6)
+        |      AS DECIMAL(18,6)) AS wa,
+        |    CAST(round(log2((CAST(1 AS DOUBLE) - CAST(0.9 AS DOUBLE))
+        |      / (CAST(1 AS DOUBLE) - u)), 6) AS DECIMAL(18,6)) AS wd
+        |  FROM (SELECT GREATEST(LEAST(
+        |      CAST(agree AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE),
+        |      CAST(1 AS DOUBLE)
+        |        - CAST(1 AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)),
+        |      CAST(1 AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)) AS u
+        |    FROM (SELECT SUM(c * (c - 1)) AS agree, SUM(c) AS n
+        |      FROM (SELECT f1, COUNT(*) AS c FROM rec
+        |        WHERE f1 IS NOT NULL GROUP BY 1)))
+        |), w2 AS (
+        |  SELECT CAST(round(log2(CAST(0.85 AS DOUBLE) / u), 6)
+        |      AS DECIMAL(18,6)) AS wa,
+        |    CAST(round(log2((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+        |      / (CAST(1 AS DOUBLE) - u)), 6) AS DECIMAL(18,6)) AS wd
+        |  FROM (SELECT GREATEST(LEAST(
+        |      CAST(agree AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE),
+        |      CAST(1 AS DOUBLE)
+        |        - CAST(1 AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)),
+        |      CAST(1 AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)) AS u
+        |    FROM (SELECT SUM(c * (c - 1)) AS agree, SUM(c) AS n
+        |      FROM (SELECT f2, COUNT(*) AS c FROM rec
+        |        WHERE f2 IS NOT NULL GROUP BY 1)))
+        |), w3 AS (
+        |  SELECT CAST(round(log2(CAST(0.8 AS DOUBLE) / u), 6)
+        |      AS DECIMAL(18,6)) AS wa,
+        |    CAST(round(log2((CAST(1 AS DOUBLE) - CAST(0.8 AS DOUBLE))
+        |      / (CAST(1 AS DOUBLE) - u)), 6) AS DECIMAL(18,6)) AS wd
+        |  FROM (SELECT GREATEST(LEAST(
+        |      CAST(agree AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE),
+        |      CAST(1 AS DOUBLE)
+        |        - CAST(1 AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)),
+        |      CAST(1 AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)) AS u
+        |    FROM (SELECT SUM(c * (c - 1)) AS agree, SUM(c) AS n
+        |      FROM (SELECT f3, COUNT(*) AS c FROM rec
+        |        WHERE f3 IS NOT NULL GROUP BY 1)))
+        |), w4 AS (
+        |  SELECT CAST(round(log2(CAST(0.7 AS DOUBLE) / u), 6)
+        |      AS DECIMAL(18,6)) AS wa,
+        |    CAST(round(log2((CAST(1 AS DOUBLE) - CAST(0.7 AS DOUBLE))
+        |      / (CAST(1 AS DOUBLE) - u)), 6) AS DECIMAL(18,6)) AS wd
+        |  FROM (SELECT GREATEST(LEAST(
+        |      CAST(agree AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE),
+        |      CAST(1 AS DOUBLE)
+        |        - CAST(1 AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)),
+        |      CAST(1 AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)) AS u
+        |    FROM (SELECT SUM(c * (c - 1)) AS agree, SUM(c) AS n
+        |      FROM (SELECT f4, COUNT(*) AS c FROM rec
+        |        WHERE f4 IS NOT NULL GROUP BY 1)))
+        |), w5 AS (
+        |  SELECT CAST(round(log2(CAST(0.75 AS DOUBLE) / u), 6)
+        |      AS DECIMAL(18,6)) AS wa,
+        |    CAST(round(log2((CAST(1 AS DOUBLE) - CAST(0.75 AS DOUBLE))
+        |      / (CAST(1 AS DOUBLE) - u)), 6) AS DECIMAL(18,6)) AS wd
+        |  FROM (SELECT GREATEST(LEAST(
+        |      CAST(agree AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE),
+        |      CAST(1 AS DOUBLE)
+        |        - CAST(1 AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)),
+        |      CAST(1 AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)) AS u
+        |    FROM (SELECT SUM(c * (c - 1)) AS agree, SUM(c) AS n
+        |      FROM (SELECT f5, COUNT(*) AS c FROM rec
+        |        WHERE f5 IS NOT NULL GROUP BY 1)))
+        |), flg AS (
+        |  SELECT c.id_a, c.id_b,
+        |    CASE WHEN a.f1 IS NULL OR b.f1 IS NULL THEN '-'
+        |      WHEN a.f1 = b.f1 THEN '1' ELSE '0' END AS g1,
+        |    CASE WHEN a.f2 IS NULL OR b.f2 IS NULL THEN '-'
+        |      WHEN a.f2 = b.f2 THEN '1' ELSE '0' END AS g2,
+        |    CASE WHEN a.f3 IS NULL OR b.f3 IS NULL THEN '-'
+        |      WHEN a.f3 = b.f3 THEN '1' ELSE '0' END AS g3,
+        |    CASE WHEN a.f4 IS NULL OR b.f4 IS NULL THEN '-'
+        |      WHEN a.f4 = b.f4 THEN '1' ELSE '0' END AS g4,
+        |    CASE WHEN a.f5 IS NULL OR b.f5 IS NULL THEN '-'
+        |      WHEN a.f5 = b.f5 THEN '1' ELSE '0' END AS g5
+        |  FROM cand c JOIN rec a ON a.id = c.id_a
+        |  JOIN rec b ON b.id = c.id_b
+        |)
+        |SELECT f.id_a, f.id_b,
+        |  g1 || g2 || g3 || g4 || g5 AS pattern,
+        |  CAST((CASE WHEN g1 = '1' THEN 1 ELSE 0 END)
+        |    + (CASE WHEN g2 = '1' THEN 1 ELSE 0 END)
+        |    + (CASE WHEN g3 = '1' THEN 1 ELSE 0 END)
+        |    + (CASE WHEN g4 = '1' THEN 1 ELSE 0 END)
+        |    + (CASE WHEN g5 = '1' THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+        |  CAST(CAST(
+        |    (CASE WHEN g1 = '1' THEN w1.wa WHEN g1 = '0' THEN w1.wd
+        |      ELSE 0 END)
+        |    + (CASE WHEN g2 = '1' THEN w2.wa WHEN g2 = '0' THEN w2.wd
+        |      ELSE 0 END)
+        |    + (CASE WHEN g3 = '1' THEN w3.wa WHEN g3 = '0' THEN w3.wd
+        |      ELSE 0 END)
+        |    + (CASE WHEN g4 = '1' THEN w4.wa WHEN g4 = '0' THEN w4.wd
+        |      ELSE 0 END)
+        |    + (CASE WHEN g5 = '1' THEN w5.wa WHEN g5 = '0' THEN w5.wd
+        |      ELSE 0 END) AS DECIMAL(18,6)) AS DOUBLE) AS score
+        |FROM flg f CROSS JOIN w1 CROSS JOIN w2 CROSS JOIN w3
+        |CROSS JOIN w4 CROSS JOIN w5
+        |ORDER BY score DESC, id_a, id_b
+        |LIMIT 300""".stripMargin,
+
+    "q268_hits" -> hitsOracleSql(iters = 4),
+
+    "q269_random_projection" ->
+      randomProjectOracleSql(dIn = 64, dOut = 16, seed = 7L),
 
     // X2 end-to-end twin: recompute the streamed output table from
     // the same events rows — q06's timezone() construction for the

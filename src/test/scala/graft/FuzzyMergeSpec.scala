@@ -183,4 +183,61 @@ class FuzzyMergeSpec extends AnyFunSuite {
       (2L, 1L, None, None),
       (3L, 2L, Some("q"), Some("z"))))
   }
+
+  test("sortedNeighborhoodCandidates: rank-window parity with brute force") {
+    val df = Seq((10L, "b"), (20L, "a"), (30L, "d"), (40L, "c"))
+      .toDF("id", "k")
+    val got = Fuzzy.sortedNeighborhoodCandidates(df, "id", col("k"),
+        windowSize = 2)
+      .as[(Long, Long)].collect().toSet
+    // sort order by k: 20(a) 10(b) 40(c) 30(d); each row pairs with
+    // its <=2 successors: (20,10) (20,40) (10,40) (10,30) (40,30)
+    assert(got == Set((10L, 20L), (20L, 40L), (10L, 40L), (10L, 30L),
+      (30L, 40L)))
+  }
+
+  private def w6(num: Double, den: Double): Double =
+    BigDecimal(math.log(num / den) / math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("fellegiSunter: hand-computed weights, patterns, scores") {
+    // city counts A:2 B:2 -> u = 4/12; color counts r:3 s:1 -> u = 6/12
+    val recs = Seq(
+      (1L, "A", "r"), (2L, "A", "r"), (3L, "B", "r"), (4L, "B", "s")
+    ).toDF("id", "city", "color")
+    val pairs = Seq((1L, 2L), (1L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val out = Fuzzy.fellegiSunter(recs, "id", pairs,
+        Seq("city" -> 0.9, "color" -> 0.8))
+      .orderBy("id_a", "id_b")
+      .as[(Long, Long, String, Long, Double)].collect().toSeq
+    val uc = 4.0 / 12.0; val uk = 6.0 / 12.0
+    val exp = Seq(
+      (1L, 2L, "11", 2L, w6(0.9, uc) + w6(0.8, uk)),
+      (1L, 3L, "01", 1L, w6(1.0 - 0.9, 1.0 - uc) + w6(0.8, uk)),
+      (3L, 4L, "10", 1L, w6(0.9, uc) + w6(1.0 - 0.8, 1.0 - uk)))
+    assert(out.map(r => (r._1, r._2, r._3, r._4)) ==
+      exp.map(r => (r._1, r._2, r._3, r._4)))
+    out.zip(exp).foreach { case (g, e) =>
+      assert(math.abs(g._5 - e._5) < 3e-6, s"score ${g._5} vs ${e._5}")
+    }
+  }
+
+  test("fellegiSunter: NULL fields render '-' and carry weight 0; " +
+      "degenerate fields clamp finite") {
+    val recs = Seq(
+      (1L, Some("A"), "u1"), (2L, None, "u2"), (3L, Some("A"), "u3")
+    ).toDF("id", "city", "uniq")
+    val out = Fuzzy.fellegiSunter(recs, "id", Seq((1L, 2L), (1L, 3L))
+        .toDF("id_a", "id_b"),
+        Seq("city" -> 0.9, "uniq" -> 0.9))
+      .orderBy("id_a", "id_b")
+      .as[(Long, Long, String, Long, Double)].collect().toSeq
+    // uniq is all-distinct (u would be 0) -> clamped, scores finite
+    assert(out.forall(r => !r._5.isNaN && !r._5.isInfinite))
+    assert(out.map(_._3) == Seq("-0", "10"))
+    // the NULL city on pair (1,2) contributes 0: its score is exactly
+    // the uniq disagreement weight
+    val n = 3.0 * 2.0 // N(N-1) for the 3-row uniq field
+    assert(math.abs(out.head._5 - w6(1.0 - 0.9, 1.0 - 1.0 / n)) < 2e-6)
+  }
 }

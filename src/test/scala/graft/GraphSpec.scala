@@ -335,4 +335,48 @@ class GraphSpec extends AnyFunSuite {
     val r = hops(path ++ path.map(_.swap), Seq("a", "e"), rounds = 2)
     assert(r == Map("a" -> 0, "e" -> 0, "b" -> 1, "d" -> 1, "c" -> 2))
   }
+
+  private def hitsOf(edges: Seq[(String, String)], iters: Int = 5)
+      : Map[String, (Double, Double)] = {
+    val df = edges.toDF("src", "dst")
+    Graph.hits(df, "src", "dst", iters)
+      .as[(String, Double, Double)].collect()
+      .map { case (n, h, a) => n -> (h, a) }.toMap
+  }
+
+  test("hits: broad hub beats narrow hub; shared authority beats private") {
+    // u1 points at all three items, u2 only at v1: u1 is the better
+    // hub; v1 (endorsed by both) the better authority.
+    val r = hitsOf(Seq(("u1", "v1"), ("u1", "v2"), ("u1", "v3"),
+      ("u2", "v1")))
+    assert(r("u1")._1 > r("u2")._1)
+    assert(r("v1")._2 > r("v2")._2)
+    assert(r("v2")._2 == r("v3")._2) // symmetric items tie exactly
+    // pure sources have zero authority; pure sinks zero hub
+    assert(r("u1")._2 == 0.0 && r("u2")._2 == 0.0)
+    assert(r("v1")._1 == 0.0 && r("v2")._1 == 0.0)
+  }
+
+  test("hits: complete bipartite is uniform per side; L1 mass ~ 1") {
+    val us = Seq("u1", "u2"); val vs = Seq("v1", "v2", "v3")
+    val r = hitsOf(for (u <- us; v <- vs) yield (u, v))
+    // symmetry: every hub equal, every authority equal
+    assert(us.map(r(_)._1).distinct.size == 1)
+    assert(vs.map(r(_)._2).distinct.size == 1)
+    // nano-grid L1 normalization: each side sums to 1 within the
+    // |nodes|·1e-9 floor loss
+    val hubSum = us.map(r(_)._1).sum
+    val authSum = vs.map(r(_)._2).sum
+    assert(hubSum <= 1.0 && hubSum > 1.0 - 5e-9)
+    assert(authSum <= 1.0 && authSum > 1.0 - 5e-9)
+  }
+
+  test("hits: directed chain ends are one-sided; deterministic rerun") {
+    val chain = Seq(("a", "b"), ("b", "c"))
+    val r = hitsOf(chain)
+    assert(r("a")._2 == 0.0) // nothing points at a
+    assert(r("c")._1 == 0.0) // c points at nothing
+    assert(r("b")._1 > 0.0 && r("b")._2 > 0.0)
+    assert(hitsOf(chain) == r) // exact integer state => bit-equal rerun
+  }
 }

@@ -891,4 +891,45 @@ class QualitySpec extends AnyFunSuite {
       .as[(Long, Long, Option[Double])].collect().head
     assert(r === ((1L, 2L, Some(0.75))))
   }
+
+  test("kAnonymityAudit: hand-computed classes, both axes, verdicts") {
+    // classes on (zip, seg): (1,a)x3 diverse, (1,b)x2 homogeneous,
+    // (2,a)x1 -> effective_k=1, effective_l=1
+    val df = Seq(
+      (1, "a", "x"), (1, "a", "y"), (1, "a", "x"),
+      (1, "b", "x"), (1, "b", "x"),
+      (2, "a", "z")
+    ).toDF("zip", "seg", "sens")
+    val r = Quality.kAnonymityAudit(df, Seq("zip", "seg"), "sens",
+        k = 2L, l = 2L)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long,
+        Boolean, Boolean)].collect().head
+    assert(r === ((6L, 3L,
+      1L, 1L, 1L, // effective_k=1, one 1-row class below k=2
+      1L, 3L, 2L, // effective_l=1, classes (1,b)+(2,a) = 3 rows below l
+      false, false)))
+  }
+
+  test("kAnonymityAudit: NULL QI is its own class; NULL sensitive " +
+      "carries no diversity") {
+    val df = Seq(
+      (Some(1), Some("x")), (Some(1), Some("x")),
+      (None, None), (None, None)
+    ).toDF("zip", "sens")
+    val r = Quality.kAnonymityAudit(df, Seq("zip"), "sens", k = 2L, l = 1L)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long,
+        Boolean, Boolean)].collect().head
+    // both classes are k=2-anonymous; the NULL-QI class has diversity
+    // 0 (all-NULL sensitive) and fails even l=1
+    assert(r === ((4L, 2L, 2L, 0L, 0L, 0L, 2L, 1L, true, false)))
+  }
+
+  test("equivalenceClasses: size-ascending drill-down surfaces the " +
+      "worst QI combination first") {
+    val df = Seq((1, "p"), (1, "q"), (2, "r")).toDF("zip", "sens")
+    val worst = Quality.equivalenceClasses(df, Seq("zip"), "sens")
+      .orderBy(col("class_size"), col("zip")).limit(1)
+      .as[(Int, Long, Long)].collect().head
+    assert(worst === ((2, 1L, 1L)))
+  }
 }

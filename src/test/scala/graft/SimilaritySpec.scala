@@ -767,4 +767,44 @@ class SimilaritySpec extends AnyFunSuite {
     val p5 = out.find(_._1 == 5L).get
     assert(p5._2 === 0L && p5._3.isEmpty && p5._4.isEmpty && p5._6.isEmpty)
   }
+
+  test("randomProject: scalar replay parity; wrong-length and " +
+      "null-element vectors drop") {
+    val dIn = 4; val dOut = 4; val seed = 11L
+    val v1 = Seq(0.5f, -0.25f, 1.0f, 0.125f)
+    val v2 = Seq(1.0f, 2.0f, -3.0f, 0.0f)
+    val df = Seq(
+      (1L, v1.map(Option(_))), (2L, v2.map(Option(_))),
+      (3L, Seq(Some(1.0f), Some(2.0f))),           // wrong length
+      (4L, Seq(Some(1.0f), None, Some(2.0f), Some(3.0f))) // null element
+    ).toDF("vec_id", "vec")
+    val out = Similarity.randomProject(df, "vec_id", "vec",
+        dIn, dOut, seed)
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(out.keySet == Set(1L, 2L))
+    // exact scalar replay of the operator's arithmetic
+    val signs = Similarity.projectionSigns(seed, dIn, dOut)
+    def proj(v: Seq[Float]): Seq[Double] = {
+      val q = v.map(x => math.floor(x.toDouble * 1000000.0).toLong)
+      (0 until dOut).map { j =>
+        val acc = (0 until dIn).map(i => q(i) * signs(j)(i)).sum
+        math.floor(acc.toDouble / 1000000.0 * (1.0 / math.sqrt(dOut))
+          * 1000000.0) / 1000000.0
+      }
+    }
+    assert(out(1L) == proj(v1))
+    assert(out(2L) == proj(v2))
+    assert(out(1L).length == dOut)
+  }
+
+  test("projectionSigns: deterministic, seed-sensitive, ±1 only") {
+    val a = Similarity.projectionSigns(7L, 16, 8)
+    assert(a == Similarity.projectionSigns(7L, 16, 8))
+    assert(a != Similarity.projectionSigns(8L, 16, 8))
+    assert(a.flatten.forall(s => s == 1 || s == -1))
+    assert(a.size == 8 && a.forall(_.size == 16))
+    // both signs actually occur (a constant matrix would make the
+    // projection a degenerate sum)
+    assert(a.flatten.toSet == Set(1, -1))
+  }
 }
