@@ -545,4 +545,58 @@ object Profile {
         round(col("__hi"), 6).as("ci_hi"),
         col("n_resamples"))
   }
+
+  /**
+   * R27: join-fanout audit — predict an equi-join's output size from
+   * the two key histograms BEFORE running it: per co-occurring key
+   * the pair count is n_left·n_right, and the total is the exact
+   * output cardinality of `left JOIN right ON key`. THE pre-flight
+   * check before a 100 TB join: a handful of hot keys whose count
+   * product dominates the total is the skew/blow-up signature (salt
+   * those keys or pre-aggregate a side), and a total far above either
+   * input says the join is a hidden cross product. Runs on two
+   * count aggregations — never the join itself.
+   *
+   * Output: the `topK` heaviest keys (pairs desc, key asc), each row
+   * also carrying the one-row global totals (broadcast cross join —
+   * the house summary contract): total join output rows (exact
+   * DECIMAL(38,0) rendered as a string — a pathological join's total
+   * overflows BIGINT long before anyone should run it), co-occurring
+   * key count, and each side's matched-row mass. Per-key products
+   * stay BIGINT (bound: a single key's n_l·n_r < 2⁶³ — ANSI throws
+   * rather than corrupts past it).
+   *
+   * Scale: two key-count aggregations (map-side partial), one
+   * equi-join of the two count tables (each |keys| rows, far smaller
+   * than the inputs), one TakeOrdered top-k, one one-row reduce.
+   */
+  def joinFanoutAudit(
+      left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String, topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val la = left.where(col(leftKey).isNotNull)
+      .groupBy(col(leftKey).as("key"))
+      .agg(count(lit(1)).as("n_left"))
+    val rb = right.where(col(rightKey).isNotNull)
+      .groupBy(col(rightKey).as("key"))
+      .agg(count(lit(1)).as("n_right"))
+    val perKey = la.join(rb, "key")
+      .select(col("key").cast("string").as("key"),
+        col("n_left"), col("n_right"),
+        (col("n_left") * col("n_right")).as("pairs"))
+      // consumed by the top-k sort AND the totals reduce: barrier the
+      // small count-join result so the upstream aggregations run once
+      // (the q127 pruning-vs-reuse rule)
+      .localCheckpoint()
+    val totals = perKey.agg(
+      sum(col("pairs").cast(DecimalType(38, 0))).cast("string")
+        .as("total_pairs"),
+      count(lit(1)).as("join_keys"),
+      sum(col("n_left")).as("matched_left_rows"),
+      sum(col("n_right")).as("matched_right_rows"))
+    perKey
+      .orderBy(col("pairs").desc, col("key"))
+      .limit(topK)
+      .crossJoin(totals)
+  }
 }

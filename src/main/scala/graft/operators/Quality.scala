@@ -1523,6 +1523,50 @@ object Quality {
   }
 
   /**
+   * E36: sample-ratio-mismatch check (the Kohavi/Fabijan/Dmitriev
+   * experimentation guardrail — Fabijan et al. 2019 "Diagnosing
+   * sample ratio mismatch"): per segment, a one-proportion z-test of
+   * the observed treatment share against the DESIGNED `expectedShare`
+   * — an assignment-plumbing alarm that must run before any readout,
+   * because a biased split (bot filtering, redirect loss, logging
+   * drops on one arm) silently invalidates every downstream metric.
+   * The industry-standard alarm threshold is p < 0.001: SRM is a
+   * plumbing BUG detector, not a hypothesis test, so the bar is set
+   * where false alarms are negligible at thousands of segments.
+   *
+   * z = (n_arm − n·p₀) / √(n·p₀·(1−p₀)), rounded to 6dp, p via the
+   * house erf polynomial ([[normalTwoSidedP]]) on the rounded z —
+   * the q229 battery's exact parity recipe; counts are exact longs,
+   * every float op a fixed IEEE sequence. Single-row arms (n·p₀·(1−p₀)
+   * can't be 0 for p₀∈(0,1) and n ≥ 1) always score.
+   *
+   * Scale: one partial-aggregated key shuffle for any segment count —
+   * counts only, no variance terms, the cheapest guardrail in the
+   * E-family.
+   */
+  def srmCheck(
+      df: DataFrame, keyCols: Seq[String], armCol: Column,
+      expectedShare: Double = 0.5): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    require(expectedShare > 0.0 && expectedShare < 1.0,
+      s"expectedShare must be in (0,1), got $expectedShare")
+    val p0 = lit(expectedShare)
+    val z = round(
+      (col("n_arm").cast("double") - col("n").cast("double") * p0)
+        / sqrt(col("n").cast("double") * p0 * (lit(1.0) - p0)), 6)
+    df.groupBy(keyCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(armCol, 1L).otherwise(0L)).as("n_arm"))
+      .withColumn("observed_share",
+        round(col("n_arm").cast("double") / col("n").cast("double"), 6))
+      .withColumn("expected_share", p0)
+      .withColumn("z", z)
+      .withColumn("p_value", round(normalTwoSidedP(col("z")), 6))
+      .withColumn("srm_flag", col("p_value") < 0.001)
+  }
+
+  /**
    * The per-class drill-down behind [[kAnonymityAudit]]: one row per
    * quasi-identifier equivalence class with its size and sensitive
    * diversity — `orderBy(class_size).limit(n)` is the remediation

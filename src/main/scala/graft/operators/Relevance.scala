@@ -465,4 +465,69 @@ object Relevance {
       .orderBy(col("score").desc, col("phrase"))
       .limit(k)
   }
+
+  /**
+   * T54: corpus divergence readout — add-one-smoothed unigram KL
+   * divergence between two corpus slices, both directions, plus the
+   * vocabulary-overlap facts behind it. THE mixture-drift dial: when
+   * a new crawl snapshot, a filtered subset, or a candidate source
+   * must be compared against the corpus it is supposed to resemble,
+   * KL(new‖ref) prices "how surprised is the reference model by the
+   * new text" (cf. the CCNet/DSIR importance-weighting family, which
+   * consumes exactly these log-ratio terms). Asymmetry is signal:
+   * KL(A‖B) ≫ KL(B‖A) says A has mass where B has almost none.
+   *
+   * Smoothing: p_X(t) = (c_X(t)+1)/(N_X+V) over the UNION vocabulary
+   * V — both slices become full-support distributions, so every term
+   * is finite and the divergences are true KLs (≥ 0).
+   *
+   * ENGINE-EXACT: counts are exact longs; each token's contribution
+   * p_A·ln(p_A/p_B) is a fixed IEEE sequence on identical doubles,
+   * rounded HALF_UP to 12dp and summed as DECIMAL(38,12) (the q155/
+   * q240 per-term discipline — exact, partition-order-free); the two
+   * final sums surface as round(·, 6) doubles.
+   *
+   * Scale: one token explode + one (grp, token) count shuffle, a
+   * full-outer token-key join of the two Zipf-bounded count tables,
+   * scalar totals on one-row broadcast cross joins. Nothing touches
+   * pairs of documents.
+   */
+  def corpusDivergence(
+      docs: DataFrame, groupCol: String, textCol: String,
+      corpusA: String, corpusB: String): DataFrame = {
+    require(corpusA != corpusB, "corpusA and corpusB must differ")
+    val toks = docs
+      .where(col(groupCol) === corpusA || col(groupCol) === corpusB)
+      .select(col(groupCol).as("__g"),
+        explode(split(col(textCol), " ")).as("tok"))
+    val counts = toks.groupBy("tok")
+      .agg(
+        sum(when(col("__g") === corpusA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("__g") === corpusB, 1L).otherwise(0L)).as("cb"))
+      .localCheckpoint() // consumed by totals AND the term pass
+    val tot = counts.agg(
+      count(lit(1)).as("vocab_size"),
+      sum(col("ca")).as("na"),
+      sum(col("cb")).as("nb"),
+      sum(when(col("ca") > 0L && col("cb") > 0L, 1L).otherwise(0L))
+        .as("shared_vocab"))
+    val pa = (col("ca") + lit(1L)).cast("double") /
+      (col("na") + col("vocab_size")).cast("double")
+    val pb = (col("cb") + lit(1L)).cast("double") /
+      (col("nb") + col("vocab_size")).cast("double")
+    val terms = counts.crossJoin(tot)
+      .select(
+        round(pa * log(pa / pb), 12).cast(DecimalType(38, 12))
+          .as("__tab"),
+        round(pb * log(pb / pa), 12).cast(DecimalType(38, 12))
+          .as("__tba"))
+      .agg(
+        sum(col("__tab")).as("__kab"),
+        sum(col("__tba")).as("__kba"))
+    tot.crossJoin(terms)
+      .select(col("vocab_size"), col("shared_vocab"),
+        col("na").as("tokens_a"), col("nb").as("tokens_b"),
+        round(col("__kab").cast("double"), 6).as("kl_ab"),
+        round(col("__kba").cast("double"), 6).as("kl_ba"))
+  }
 }

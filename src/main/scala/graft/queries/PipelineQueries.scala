@@ -2998,6 +2998,36 @@ object PipelineQueries {
         .orderBy("vec_id", "dim")
     }),
 
+    // E36 (round 10): sample-ratio-mismatch guardrail — the
+    // assignment-plumbing alarm run before any experiment readout;
+    // per event_type the observed user_id-parity split vs the
+    // designed 50/50, q229's exact z→erf-polynomial parity recipe.
+    "q270_srm_check" -> ((s, dir) => {
+      graft.operators.Quality.srmCheck(
+          t(s, dir, "events"), Seq("event_type"),
+          col("user_id") % 2 === 0, expectedShare = 0.5)
+        .orderBy("event_type")
+    }),
+
+    // R27 (round 10): join-fanout audit of the classic accidental
+    // blow-up (lineitem self-join on orderkey) — per-key pair counts
+    // and the exact predicted output cardinality, computed from the
+    // key histograms WITHOUT running the join.
+    "q271_join_fanout" -> ((s, dir) => {
+      graft.operators.Profile.joinFanoutAudit(
+          t(s, dir, "lineitem"), "l_orderkey",
+          t(s, dir, "lineitem"), "l_orderkey", topK = 100)
+        .orderBy(col("pairs").desc, col("key"))
+    }),
+
+    // T54 (round 10): corpus-divergence readout — smoothed unigram
+    // KL both directions between the en and de slices, the
+    // mixture-drift dial; per-term round(12) decimal sums.
+    "q272_corpus_divergence" -> ((s, dir) => {
+      Relevance.corpusDivergence(
+        t(s, dir, "documents"), "lang", "text", "en", "de")
+    }),
+
     // E29 (round 9): difference-in-differences — the rollout readout
     // when assignment wasn't randomized: post-vs-pre (month half)
     // change in arm A minus the same change in arm B, per
@@ -5333,6 +5363,109 @@ object PipelineQueries {
 
     "q269_random_projection" ->
       randomProjectOracleSql(dIn = 64, dOut = 16, seed = 7L),
+
+    // E36: q229's z→erf-polynomial recipe on the one-proportion SRM
+    // z; z signed (+0.0 after round), p from the ROUNDED z.
+    "q270_srm_check" ->
+      """WITH g AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_arm
+        |  FROM events GROUP BY 1
+        |), zt AS (
+        |  SELECT event_type, n, n_arm,
+        |    round(CAST(n_arm AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |      AS observed_share,
+        |    CAST(0.5 AS DOUBLE) AS expected_share,
+        |    round((CAST(n_arm AS DOUBLE) - CAST(n AS DOUBLE) * 0.5)
+        |      / sqrt(CAST(n AS DOUBLE) * 0.5 * (1.0 - 0.5)), 6) + 0.0
+        |      AS z
+        |  FROM g
+        |), pt AS (
+        |  SELECT *, abs(z) / sqrt(2.0) AS x,
+        |    1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS t
+        |  FROM zt
+        |), pv AS (
+        |  SELECT event_type, n, n_arm, observed_share, expected_share, z,
+        |    round(t * (0.254829592 + t * (-0.284496736 +
+        |      t * (1.421413741 + t * (-1.453152027 +
+        |        t * 1.061405429)))) * exp(-(x * x)), 6) AS p_value
+        |  FROM pt
+        |)
+        |SELECT event_type, n, n_arm, observed_share, expected_share,
+        |  z, p_value, p_value < 0.001 AS srm_flag
+        |FROM pv ORDER BY event_type""".stripMargin,
+
+    // R27: key histograms joined, never the join itself; total as an
+    // exact DECIMAL(38,0) string, per-key products BIGINT.
+    "q271_join_fanout" ->
+      """WITH la AS (
+        |  SELECT l_orderkey AS key, COUNT(*) AS n_left
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1
+        |), rb AS (
+        |  SELECT l_orderkey AS key, COUNT(*) AS n_right
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1
+        |), perkey AS (
+        |  SELECT CAST(la.key AS VARCHAR) AS key,
+        |    CAST(la.n_left AS BIGINT) AS n_left,
+        |    CAST(rb.n_right AS BIGINT) AS n_right,
+        |    CAST(la.n_left * rb.n_right AS BIGINT) AS pairs
+        |  FROM la JOIN rb ON rb.key = la.key
+        |), tot AS (
+        |  SELECT CAST(SUM(CAST(pairs AS DECIMAL(38,0))) AS VARCHAR)
+        |      AS total_pairs,
+        |    COUNT(*) AS join_keys,
+        |    CAST(SUM(n_left) AS BIGINT) AS matched_left_rows,
+        |    CAST(SUM(n_right) AS BIGINT) AS matched_right_rows
+        |  FROM perkey
+        |)
+        |SELECT p.key, p.n_left, p.n_right, p.pairs,
+        |  t.total_pairs, t.join_keys, t.matched_left_rows,
+        |  t.matched_right_rows
+        |FROM perkey p CROSS JOIN tot t
+        |ORDER BY p.pairs DESC, p.key
+        |LIMIT 100""".stripMargin,
+
+    // T54: union-vocab add-one unigram KLs; per-term fixed IEEE
+    // sequence rounded to 12dp, exact decimal sums, round(6) finish
+    // (KL >= 0 by construction — no signed-zero exposure).
+    "q272_corpus_divergence" ->
+      """WITH toks AS (
+        |  SELECT lang AS g, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE lang = 'en' OR lang = 'de'
+        |), counts AS (
+        |  SELECT tok,
+        |    CAST(SUM(CASE WHEN g = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ca,
+        |    CAST(SUM(CASE WHEN g = 'de' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS cb
+        |  FROM toks GROUP BY 1
+        |), tot AS (
+        |  SELECT COUNT(*) AS v,
+        |    CAST(SUM(ca) AS BIGINT) AS na,
+        |    CAST(SUM(cb) AS BIGINT) AS nb,
+        |    CAST(SUM(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS shared
+        |  FROM counts
+        |), terms AS (
+        |  SELECT
+        |    CAST(round((CAST(ca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE))
+        |      * ln((CAST(ca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE))
+        |        / (CAST(cb + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE))), 12)
+        |      AS DECIMAL(38,12)) AS tab,
+        |    CAST(round((CAST(cb + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE))
+        |      * ln((CAST(cb + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE))
+        |        / (CAST(ca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE))), 12)
+        |      AS DECIMAL(38,12)) AS tba
+        |  FROM counts CROSS JOIN tot
+        |), s AS (
+        |  SELECT SUM(tab) AS kab, SUM(tba) AS kba FROM terms
+        |)
+        |SELECT tot.v AS vocab_size, tot.shared AS shared_vocab,
+        |  tot.na AS tokens_a, tot.nb AS tokens_b,
+        |  round(CAST(s.kab AS DOUBLE), 6) AS kl_ab,
+        |  round(CAST(s.kba AS DOUBLE), 6) AS kl_ba
+        |FROM tot CROSS JOIN s""".stripMargin,
 
     // X2 end-to-end twin: recompute the streamed output table from
     // the same events rows — q06's timezone() construction for the

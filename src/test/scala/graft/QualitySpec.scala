@@ -932,4 +932,60 @@ class QualitySpec extends AnyFunSuite {
       .as[(Int, Long, Long)].collect().head
     assert(worst === ((2, 1L, 1L)))
   }
+
+  test("srmCheck: balanced split passes, broken split alarms, share " +
+      "and z match the closed form") {
+    // seg 'ok': 50/50 of 400; seg 'bad': 260/140 of 400 (6-sigma SRM)
+    val rows = (0 until 400).map(i => ("ok", i % 2 == 0)) ++
+      (0 until 400).map(i => ("bad", i % 20 < 13))
+    val df = rows.toDF("seg", "arm")
+    val out = Quality.srmCheck(df, Seq("seg"), col("arm"), 0.5)
+      .as[(String, Long, Long, Double, Double, Double, Double, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    val ok = out("ok")
+    assert(ok._2 == 400L && ok._3 == 200L && ok._4 == 0.5)
+    assert(ok._6 == 0.0 && ok._7 == 1.0 && !ok._8)
+    val bad = out("bad")
+    assert(bad._3 == 260L && bad._4 == 0.65)
+    // z = (260 - 200) / sqrt(400 * 0.25) = 6
+    assert(bad._6 == 6.0)
+    assert(bad._7 < 0.001 && bad._8)
+  }
+
+  test("srmCheck: non-even expected share centers the test") {
+    // 90/10 design observed exactly -> z = 0, no alarm
+    val rows = (0 until 100).map(i => ("s", i < 90))
+    val out = Quality.srmCheck(rows.toDF("seg", "arm"), Seq("seg"),
+        col("arm"), expectedShare = 0.9)
+      .as[(String, Long, Long, Double, Double, Double, Double, Boolean)]
+      .collect().head
+    assert(out._4 == 0.9 && out._5 == 0.9 && out._6 == 0.0 && !out._8)
+  }
+
+  test("joinFanoutAudit: per-key products, exact total, top-k order") {
+    import graft.operators.Profile
+    val left = Seq(1, 1, 1, 2, 2, 3, 4).map(k => (k, "l"))
+      .toDF("k", "v")
+    val right = Seq(1, 1, 2, 2, 2, 3).map(k => (k, "r"))
+      .toDF("k", "v")
+    val out = Profile.joinFanoutAudit(left, "k", right, "k", topK = 2)
+      .as[(String, Long, Long, Long, String, Long, Long, Long)]
+      .collect().toSeq
+    // key 1: 3x2=6, key 2: 2x3=6, key 3: 1x1=1; key 4 unmatched.
+    // top-2 by (pairs desc, key asc) = keys "1","2"; total = 13
+    assert(out.map(_._1) == Seq("1", "2"))
+    assert(out.head === (("1", 3L, 2L, 6L, "13", 3L, 6L, 6L)))
+    assert(out(1) === (("2", 2L, 3L, 6L, "13", 3L, 6L, 6L)))
+  }
+
+  test("joinFanoutAudit: NULL keys never match (excluded from both " +
+      "histograms)") {
+    import graft.operators.Profile
+    val left = Seq(Some(1), None, None).toDF("k")
+    val right = Seq(Some(1), None).toDF("k")
+    val out = Profile.joinFanoutAudit(left, "k", right, "k", topK = 10)
+      .as[(String, Long, Long, Long, String, Long, Long, Long)]
+      .collect().toSeq
+    assert(out == Seq(("1", 1L, 1L, 1L, "1", 1L, 1L, 1L)))
+  }
 }

@@ -170,4 +170,31 @@ class RelevanceSpec extends AnyFunSuite {
     assert(out("new oil") === ((2L, 1L, 4.0)))
     assert(out.size === 4)
   }
+
+  test("corpusDivergence: hand-computed smoothed KLs and vocab facts") {
+    // A tokens: a,a,b (na=3); B tokens: a,c (nb=2); vocab {a,b,c}
+    val docs = Seq(("en", "a a b"), ("de", "a c"), ("fr", "zz ignored"))
+      .toDF("lang", "text")
+    val out = Relevance.corpusDivergence(docs, "lang", "text", "en", "de")
+      .as[(Long, Long, Long, Long, Double, Double)].collect().head
+    assert(out._1 == 3L && out._2 == 1L && out._3 == 3L && out._4 == 2L)
+    // replay the operator's exact arithmetic: smoothed probs, per-term
+    // round(12) decimals, exact sum, round(6) double finish
+    def t12(p: Double, q: Double): BigDecimal =
+      BigDecimal(p * math.log(p / q))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    def pa(c: Long) = (c + 1).toDouble / 6.0 // na + v = 3 + 3
+    def pb(c: Long) = (c + 1).toDouble / 5.0 // nb + v = 2 + 3
+    def fin(x: BigDecimal): Double =
+      BigDecimal(x.toDouble).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+    // counts over vocab (a, b, c): A = (2,1,0), B = (1,0,1)
+    val klAb = fin(t12(pa(2), pb(1)) + t12(pa(1), pb(0)) +
+      t12(pa(0), pb(1)))
+    val klBa = fin(t12(pb(1), pa(2)) + t12(pb(0), pa(1)) +
+      t12(pb(1), pa(0)))
+    assert(out._5 == klAb, s"kl_ab ${out._5} vs $klAb")
+    assert(out._6 == klBa, s"kl_ba ${out._6} vs $klBa")
+    assert(out._5 >= 0.0 && out._6 >= 0.0)
+  }
 }
