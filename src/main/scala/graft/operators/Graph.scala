@@ -658,4 +658,122 @@ object Graph {
     org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(nodes)
     out
   }
+
+  /**
+   * G10: personalized PageRank / random walk with restart (Haveliwala
+   * 2002; the Pinterest-Pixie serving shape) — [[pageRank]]'s global
+   * teleport replaced by a restart to a SEED set, so scores mean
+   * "proximity to these seeds under the link structure", not global
+   * importance: the "related items for THIS cluster" queue, the
+   * expand-a-labeled-seed-set primitive, the neighborhood scorer on
+   * co-engagement bipartitions.
+   *
+   * rank'(v) = (1−d)·e(v) + d·(Σ_{u→v} rank(u)·w(u,v)/outW(u) +
+   * dang·e(v)), e uniform over the seeds — dangling mass restarts at
+   * the seeds, as teleport does.
+   *
+   * ENGINE-EXACT (a DELIBERATE upgrade over q123's raw-double
+   * pageRank replay, whose per-node contribution sums depend on fold
+   * order and stay green only on small graphs): state is NANO-unit
+   * longs. Per round each edge contributes
+   * floor(rank_u · (w/outW_u)) — one IEEE multiply on identical
+   * doubles, floored to a long — so per-node sums are EXACT integer
+   * aggregates; the teleport and dangling terms floor separately and
+   * add as longs. Each floor leaks < 1e-9 mass (scores are lower
+   * bounds at that granularity, ranking-stable); bound: |E|·10⁹ < 2⁶³.
+   *
+   * Scale: identical loop shape to [[pageRank]] — loop-invariant
+   * normalized edges + sink set materialized once, one contribution
+   * join + one partial-agg shuffle per round, one-row dangling
+   * aggregate, checkpoint-barriered rounds with superseded state
+   * freed. Seeds broadcast (a seed list is small by definition).
+   *
+   * Output: (node, score) for every node, score the nano-grid
+   * DOUBLE; seeds absent from the graph still receive their teleport
+   * share (they are real pages with no observed links yet).
+   */
+  def personalizedPageRank(
+      edges: DataFrame, srcCol: String, dstCol: String, weightCol: String,
+      seeds: DataFrame, seedCol: String,
+      damping: Double = 0.85, iters: Int = 6): DataFrame = {
+    require(damping > 0.0 && damping < 1.0,
+      s"damping must be in (0,1), got $damping")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val NANO = 1000000000.0d
+    // barrier the edge derivation once: it feeds outW, the node set,
+    // and the normalization join (an expensive upstream — e.g. a
+    // bipartite-projection or candidate-graph build — would run
+    // three times during setup otherwise); freed after eNorm lands
+    val e = edges.select(
+      col(srcCol).as("src"), col(dstCol).as("node"),
+      col(weightCol).cast("long").as("w"))
+      .where(col("src").isNotNull && col("node").isNotNull && col("w") > 0L)
+      .localCheckpoint()
+    val sd = seeds.select(col(seedCol).as("node")).distinct()
+      .localCheckpoint()
+    val nS = sd.count()
+    require(nS >= 1L, "seeds must be non-empty")
+    // teleq: each seed's teleport allocation in nano-units (exact
+    // integer division — identical on both engines for non-negative
+    // operands)
+    val teleqSeed = NANO.toLong / nS
+    val outW = e.groupBy("src").agg(sum(col("w")).as("ow"))
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("node")))
+      .unionAll(sd.select(col("node")))
+      .distinct()
+      .localCheckpoint()
+    val eNorm = e.join(outW, "src").localCheckpoint()
+    val sinks = nodes
+      .join(outW, col("node") === col("src"), "left_anti")
+      .select(col("node").as("__sink"))
+      .localCheckpoint()
+    val teleported = nodes
+      .join(sd.select(col("node"), lit(true).as("__isSeed")),
+        Seq("node"), "left")
+      .select(col("node"),
+        when(col("__isSeed"), lit(teleqSeed)).otherwise(lit(0L))
+          .as("teleq"))
+      .localCheckpoint()
+    var ranks = teleported.select(col("node"), col("teleq").as("rq"))
+      .localCheckpoint()
+    org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(e)
+    for (_ <- 1 to iters) {
+      val r = ranks.select(col("node").as("__src"), col("rq"))
+      val contribs = r
+        .join(eNorm, col("__src") === col("src"))
+        .select(col("node"),
+          floor(col("rq").cast("double")
+            * (col("w").cast("double") / col("ow").cast("double")))
+            .as("__c"))
+        .groupBy("node").agg(sum(col("__c")).as("__contrib"))
+      val dangling = r
+        .join(sinks, col("__src") === col("__sink"), "left_semi")
+        .agg(coalesce(sum(col("rq")), lit(0L)).as("__dang"))
+      val next = teleported
+        .join(contribs, Seq("node"), "left")
+        .crossJoin(dangling)
+        .select(col("node"),
+          (floor(lit(1.0 - damping) * col("teleq").cast("double"))
+            + floor(lit(damping)
+              * coalesce(col("__contrib"), lit(0L)).cast("double"))
+            + floor(lit(damping) * (col("__dang").cast("double")
+              * (col("teleq").cast("double") / lit(NANO)))))
+            .as("rq"))
+        .localCheckpoint()
+      org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(ranks)
+      ranks = next
+    }
+    val out = ranks
+      .select(col("node"), (col("rq").cast("double") / lit(NANO))
+        .as("score"))
+      .localCheckpoint()
+    org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(ranks)
+    org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(eNorm)
+    org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(sinks)
+    org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(teleported)
+    org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(nodes)
+    org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(sd)
+    out
+  }
 }

@@ -1906,4 +1906,70 @@ object Similarity {
         "transform(sort_array(collect_list(struct(__j, __y)))," +
           " s -> s.__y)").as("proj"))
   }
+
+  /**
+   * V25: embedding snapshot drift report — the re-index trigger for
+   * a served ANN corpus: when the encoder is fine-tuned, the corpus
+   * mix shifts, or a new ingest wave lands, the question is "did the
+   * embedding space MOVE enough that the old IVF centroids / PQ
+   * codebooks / calibration thresholds are stale?" Compares the two
+   * snapshots' MEAN vectors (the cheapest sufficient statistic for
+   * global translation/rotation drift — per-pair distances would be
+   * quadratic): cosine between the two means (direction drift — the
+   * common-direction pathology moving), L2 distance between them
+   * (translation), and each mean's norm (anisotropy growth; pair
+   * with V23's single-snapshot isotropy report).
+   *
+   * ENGINE-EXACT: per-dim means on the q200 micro-unit floor grid
+   * (exact long sums, the fixed two-division finish), cross-dim
+   * products round(12) → DECIMAL(38,12) sums (the q155 discipline),
+   * fixed IEEE finishes; cosine signed (+0.0 oracle-side), norms and
+   * L2 non-negative. Degenerate all-zero means → NULL cosine.
+   *
+   * Scale: one melt + one (snap, dim) partial-agg shuffle — the
+   * corpus is touched once; everything after is O(d) on a
+   * localCheckpoint'd 2d-row frame. Output: ONE row.
+   */
+  def embeddingDrift(
+      df: DataFrame, vecCol: String, snapACol: Column,
+      dims: Int): DataFrame = {
+    require(dims >= 1, s"dims must be >= 1, got $dims")
+    val means = df
+      .select(snapACol.as("__a"), col(vecCol).as("__v"))
+      .where(col("__v").isNotNull && size(col("__v")) === dims &&
+        expr("size(filter(__v, x -> x IS NULL))") === 0)
+      .select(col("__a"), posexplode(col("__v")).as(Seq("__i", "__x")))
+      .groupBy("__a", "__i")
+      .agg(((sum(floor(col("__x").cast("double") * lit(1000000.0d)))
+        .cast("double") / count(lit(1)).cast("double"))
+        / lit(1000000.0d)).as("__m"),
+        count(lit(1)).as("__n"))
+      .localCheckpoint() // consumed by both pivot sides + the counts
+    val ma = means.where(col("__a"))
+      .select(col("__i"), col("__m").as("__ma"), col("__n").as("__na"))
+    val mb = means.where(!col("__a"))
+      .select(col("__i"), col("__m").as("__mb"), col("__n").as("__nb"))
+    def d12(c: Column): Column =
+      round(c, 12).cast(org.apache.spark.sql.types.DecimalType(38, 12))
+    val terms = ma.join(mb, "__i")
+      .agg(
+        count(lit(1)).as("dims"),
+        max(col("__na")).as("n_a"),
+        max(col("__nb")).as("n_b"),
+        sum(d12(col("__ma") * col("__mb"))).as("__dot"),
+        sum(d12(col("__ma") * col("__ma"))).as("__aa"),
+        sum(d12(col("__mb") * col("__mb"))).as("__bb"),
+        sum(d12((col("__ma") - col("__mb"))
+          * (col("__ma") - col("__mb")))).as("__sh"))
+    terms.select(
+      col("dims"), col("n_a"), col("n_b"),
+      round(sqrt(col("__aa").cast("double")), 6).as("norm_mu_a"),
+      round(sqrt(col("__bb").cast("double")), 6).as("norm_mu_b"),
+      when(col("__aa") > 0 && col("__bb") > 0,
+        round(col("__dot").cast("double")
+          / (sqrt(col("__aa").cast("double"))
+            * sqrt(col("__bb").cast("double"))), 6))
+        .as("mean_cos"),
+      round(sqrt(col("__sh").cast("double")), 6).as("l2_shift"))
+  }
 }

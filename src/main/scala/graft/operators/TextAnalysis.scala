@@ -65,6 +65,59 @@ object TextAnalysis {
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
   /**
+   * T55: per-document language-mixture readout — the code-switch
+   * detector [[langId]]'s whole-doc argmax structurally cannot be: a
+   * document that is half English, half German still gets ONE label,
+   * and mixed-language junk (machine-translated boilerplate, spam
+   * mashups, concatenation artifacts) sails through per-language
+   * routing mislabeled. Here each [[langProfiles]] marker set scores
+   * the doc independently and the Shannon entropy of the hit-share
+   * distribution measures how concentrated the evidence is: 0 =
+   * single-language, ln(2) ≈ 0.693 = a clean 50/50 switch; the flag
+   * trips at `threshold` (default 0.35, between "dominant language
+   * with loanwords" and "real mixing").
+   *
+   * ENGINE-EXACT: hit counts are integers from one projection (no
+   * explode, no shuffle — the whole operator is a scan-stage map,
+   * whole-stage-codegen friendly); each entropy term
+   * −(h/T)·ln(h/T) is a fixed IEEE sequence on identical doubles,
+   * the four terms add in declaration order, round(6). Entropy is
+   * non-negative by construction (each term ≥ 0 for h ≤ T; the
+   * single-language −0.0 term is absorbed by +0.0 addition) — no
+   * signed-zero exposure.
+   *
+   * Scale: zero exchanges. The 100 TB shape is exactly the gate
+   * shape — a projection over the corpus scan.
+   */
+  def languageMixture(
+      docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, threshold: Double = 0.35)
+      : org.apache.spark.sql.DataFrame = {
+    require(threshold > 0.0, s"threshold must be > 0, got $threshold")
+    val text = col(textCol)
+    val hitCols = langProfiles.map { case (l, vocab) =>
+      l -> vocabHits(text, vocab)
+    }
+    def term(h: Column): Column = {
+      val s = h.cast("double") / col("marker_total").cast("double")
+      when(h > 0, -(s * log(s))).otherwise(lit(0.0))
+    }
+    val base = docs.select(
+      col(idCol) +:
+        hitCols.map { case (l, h) => h.as(s"${l}_hits") } :+
+        langId(text).as("primary_lang"): _*)
+      .withColumn("marker_total",
+        langProfiles.map(p => col(s"${p._1}_hits")).reduce(_ + _))
+    base
+      .withColumn("mix_entropy",
+        when(col("marker_total") > 0,
+          round(langProfiles.map(p => term(col(s"${p._1}_hits")))
+            .reduce(_ + _), 6))
+          .otherwise(lit(0.0)))
+      .withColumn("is_mixed", col("mix_entropy") >= threshold)
+  }
+
+  /**
    * Benchmark decontamination: ids of `docs` rows sharing at least
    * one distinct word `n`-gram with any `benchmark` document — the
    * standard n-gram-overlap check for keeping evaluation data out of

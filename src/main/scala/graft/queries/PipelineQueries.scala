@@ -590,6 +590,74 @@ object PipelineQueries {
   }
 
   /**
+   * q273 oracle generator: replays `Graph.personalizedPageRank`'s
+   * exact nano-grid walk as an unrolled materialized-CTE chain. Per
+   * round each edge's contribution floors ONE IEEE multiply
+   * (rank·(w/ow)) to a long, so per-node sums are exact integer
+   * aggregates; teleport and dangling terms floor separately. The
+   * damping literals are emitted from the SAME Scala doubles the
+   * operator uses (1−d is computed driver-side — its shortest
+   * decimal rendering round-trips to the identical double).
+   */
+  private def pprOracleSql(iters: Int, damping: Double): String = {
+    val d = damping.toString
+    val omd = (1.0 - damping).toString
+    val base =
+      """WITH p AS MATERIALIZED (
+        |  SELECT 'c:' || CAST(o_custkey AS VARCHAR) AS c,
+        |    'p:' || CAST(l_partkey AS VARCHAR) AS pp,
+        |    CAST(COUNT(*) AS BIGINT) AS w
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2
+        |), e AS MATERIALIZED (
+        |  SELECT c AS src, pp AS dst, w FROM p
+        |  UNION ALL SELECT pp AS src, c AS dst, w FROM p
+        |), sd AS MATERIALIZED (
+        |  SELECT 'c:' || CAST(c_custkey AS VARCHAR) AS node
+        |  FROM customer WHERE c_custkey % 100 = 0
+        |), ns AS MATERIALIZED (
+        |  SELECT CAST(1000000000 // COUNT(*) AS BIGINT) AS teleq FROM sd
+        |), ow AS MATERIALIZED (SELECT src, SUM(w) AS ow FROM e GROUP BY src
+        |), nodes AS MATERIALIZED (
+        |  SELECT src AS node FROM e UNION SELECT dst FROM e
+        |  UNION SELECT node FROM sd
+        |), tele AS MATERIALIZED (
+        |  SELECT n.node,
+        |    CASE WHEN n.node IN (SELECT node FROM sd) THEN ns.teleq
+        |      ELSE CAST(0 AS BIGINT) END AS teleq
+        |  FROM nodes n CROSS JOIN ns
+        |), r0 AS MATERIALIZED (SELECT node, teleq AS rq FROM tele)"""
+        .stripMargin
+    val rounds = (1 to iters).map { i =>
+      s""", c$i AS MATERIALIZED (
+         |  SELECT e.dst AS node,
+         |    SUM(CAST(floor(CAST(r.rq AS DOUBLE)
+         |      * (CAST(e.w AS DOUBLE) / CAST(o.ow AS DOUBLE)))
+         |      AS BIGINT)) AS contrib
+         |  FROM r${i - 1} r JOIN e ON e.src = r.node
+         |  JOIN ow o ON o.src = e.src GROUP BY 1
+         |), d$i AS MATERIALIZED (
+         |  SELECT COALESCE(SUM(rq), 0) AS dang FROM r${i - 1}
+         |  WHERE node NOT IN (SELECT src FROM ow)
+         |), r$i AS MATERIALIZED (
+         |  SELECT t.node,
+         |    CAST(floor($omd * CAST(t.teleq AS DOUBLE)) AS BIGINT)
+         |    + CAST(floor($d * CAST(COALESCE(c.contrib, 0) AS DOUBLE))
+         |      AS BIGINT)
+         |    + CAST(floor($d * (CAST(dg.dang AS DOUBLE)
+         |      * (CAST(t.teleq AS DOUBLE) / 1000000000.0))) AS BIGINT)
+         |      AS rq
+         |  FROM tele t LEFT JOIN c$i c ON c.node = t.node
+         |  CROSS JOIN d$i dg
+         |)""".stripMargin
+    }.mkString("\n")
+    s"""$base
+       |$rounds
+       |SELECT node, CAST(rq AS DOUBLE) / 1000000000.0 AS score
+       |FROM r$iters ORDER BY node""".stripMargin
+  }
+
+  /**
    * q209 oracle generator: replays `Similarity.mmrSelect`'s greedy
    * loop in DuckDB as a materialized-CTE chain (the q195/q200
    * pattern). Round 1 picks max relevance (cosine to the query
@@ -3026,6 +3094,49 @@ object PipelineQueries {
     "q272_corpus_divergence" -> ((s, dir) => {
       Relevance.corpusDivergence(
         t(s, dir, "documents"), "lang", "text", "en", "de")
+    }),
+
+    // G10 (round 10): personalized PageRank from seed customers over
+    // the bidirectional purchase bipartition (the Pixie serving
+    // shape — "related parts for THIS customer cohort"); exact
+    // nano-grid integer walk, unrolled-CTE oracle replay.
+    "q273_personalized_pagerank" -> ((s, dir) => {
+      val purchases = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"), col("l_partkey"))
+        .agg(count(lit(1)).as("w"))
+      val edges = purchases.select(
+          concat(lit("c:"), col("o_custkey")).as("src"),
+          concat(lit("p:"), col("l_partkey")).as("dst"), col("w"))
+        .unionAll(purchases.select(
+          concat(lit("p:"), col("l_partkey")).as("src"),
+          concat(lit("c:"), col("o_custkey")).as("dst"), col("w")))
+      val seeds = t(s, dir, "customer")
+        .where(col("c_custkey") % 100 === 0)
+        .select(concat(lit("c:"), col("c_custkey")).as("node"))
+      graft.operators.Graph.personalizedPageRank(
+          edges, "src", "dst", "w", seeds, "node",
+          damping = 0.85, iters = 4)
+        .orderBy("node")
+    }),
+
+    // T55 (round 10): language-mixture entropy — the code-switch
+    // detector whole-doc argmax langid cannot be; zero exchanges,
+    // pure scan projection.
+    "q274_language_mixture" -> ((s, dir) => {
+      TextAnalysis.languageMixture(
+          t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // V25 (round 10): embedding snapshot drift — mean-vector cosine/
+    // L2/norms between the label-parity halves; the ANN re-index
+    // trigger (pairs with q255's single-snapshot isotropy).
+    "q275_embedding_drift" -> ((s, dir) => {
+      Similarity.embeddingDrift(
+        t(s, dir, "embeddings"), "embedding",
+        col("label") % 2 === 0, dims = 64)
     }),
 
     // E29 (round 9): difference-in-differences — the rollout readout
@@ -5466,6 +5577,106 @@ object PipelineQueries {
         |  round(CAST(s.kab AS DOUBLE), 6) AS kl_ab,
         |  round(CAST(s.kba AS DOUBLE), 6) AS kl_ba
         |FROM tot CROSS JOIN s""".stripMargin,
+
+    "q273_personalized_pagerank" ->
+      pprOracleSql(iters = 4, damping = 0.85),
+
+    // T55: q24's hit-count and argmax recipe + the entropy terms in
+    // declaration order; entropy non-negative (the single-language
+    // -0.0 term is absorbed by +0.0 addition on both engines).
+    "q274_language_mixture" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> list_contains(['the','a','of','and','is','to','in','it'], t))) AS INT) AS en_hits,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> list_contains(['el','la','de','que','y','en','los','se'], t))) AS INT) AS es_hits,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> list_contains(['le','la','de','et','les','des','un','une'], t))) AS INT) AS fr_hits,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> list_contains(['der','die','und','das','ist','von','den','ein'], t))) AS INT) AS de_hits
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, en_hits, es_hits, fr_hits, de_hits,
+        |    CASE
+        |      WHEN en_hits > 0 AND en_hits >= es_hits
+        |        AND en_hits >= fr_hits AND en_hits >= de_hits THEN 'en'
+        |      WHEN es_hits > 0 AND es_hits >= fr_hits
+        |        AND es_hits >= de_hits THEN 'es'
+        |      WHEN fr_hits > 0 AND fr_hits >= de_hits THEN 'fr'
+        |      WHEN de_hits > 0 THEN 'de'
+        |      ELSE 'und' END AS primary_lang,
+        |    en_hits + es_hits + fr_hits + de_hits AS marker_total
+        |  FROM f
+        |), h AS (
+        |  SELECT doc_id, en_hits, es_hits, fr_hits, de_hits,
+        |    primary_lang, marker_total,
+        |    CASE WHEN marker_total > 0 THEN round(
+        |      (((CASE WHEN en_hits > 0 THEN
+        |        -((CAST(en_hits AS DOUBLE) / CAST(marker_total AS DOUBLE))
+        |          * ln(CAST(en_hits AS DOUBLE) / CAST(marker_total AS DOUBLE)))
+        |        ELSE 0.0 END
+        |      + CASE WHEN es_hits > 0 THEN
+        |        -((CAST(es_hits AS DOUBLE) / CAST(marker_total AS DOUBLE))
+        |          * ln(CAST(es_hits AS DOUBLE) / CAST(marker_total AS DOUBLE)))
+        |        ELSE 0.0 END)
+        |      + CASE WHEN fr_hits > 0 THEN
+        |        -((CAST(fr_hits AS DOUBLE) / CAST(marker_total AS DOUBLE))
+        |          * ln(CAST(fr_hits AS DOUBLE) / CAST(marker_total AS DOUBLE)))
+        |        ELSE 0.0 END)
+        |      + CASE WHEN de_hits > 0 THEN
+        |        -((CAST(de_hits AS DOUBLE) / CAST(marker_total AS DOUBLE))
+        |          * ln(CAST(de_hits AS DOUBLE) / CAST(marker_total AS DOUBLE)))
+        |        ELSE 0.0 END), 6)
+        |    ELSE 0.0 END AS mix_entropy
+        |  FROM g
+        |)
+        |SELECT doc_id, en_hits, es_hits, fr_hits, de_hits,
+        |  primary_lang, marker_total, mix_entropy,
+        |  mix_entropy >= 0.35 AS is_mixed
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    // V25: q200 floor-grid per-dim means, q155 round(12) decimal
+    // cross-dim sums, fixed IEEE finishes; mean_cos signed (+0.0).
+    "q275_embedding_drift" ->
+      """WITH clean AS (
+        |  SELECT (label % 2 = 0) AS a, embedding FROM embeddings
+        |  WHERE embedding IS NOT NULL AND len(embedding) = 64
+        |    AND len(list_filter(embedding, x -> x IS NULL)) = 0
+        |), el AS (
+        |  SELECT a,
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS i,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+        |      AS BIGINT) AS q
+        |  FROM clean
+        |), m AS (
+        |  SELECT a, i,
+        |    (CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+        |      / 1000000.0 AS mn,
+        |    COUNT(*) AS n
+        |  FROM el GROUP BY 1, 2
+        |), j AS (
+        |  SELECT ma.i, ma.mn AS xa, mb.mn AS xb, ma.n AS na, mb.n AS nb
+        |  FROM m ma JOIN m mb ON mb.i = ma.i AND ma.a AND NOT mb.a
+        |), t AS (
+        |  SELECT COUNT(*) AS dims,
+        |    CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
+        |    SUM(CAST(round(xa * xb, 12) AS DECIMAL(38,12))) AS dot,
+        |    SUM(CAST(round(xa * xa, 12) AS DECIMAL(38,12))) AS aa,
+        |    SUM(CAST(round(xb * xb, 12) AS DECIMAL(38,12))) AS bb,
+        |    SUM(CAST(round((xa - xb) * (xa - xb), 12) AS DECIMAL(38,12)))
+        |      AS sh
+        |  FROM j
+        |)
+        |SELECT dims, n_a, n_b,
+        |  round(sqrt(CAST(aa AS DOUBLE)), 6) AS norm_mu_a,
+        |  round(sqrt(CAST(bb AS DOUBLE)), 6) AS norm_mu_b,
+        |  CASE WHEN aa > 0 AND bb > 0 THEN
+        |    round(CAST(dot AS DOUBLE)
+        |      / (sqrt(CAST(aa AS DOUBLE)) * sqrt(CAST(bb AS DOUBLE))), 6)
+        |      + 0.0 END AS mean_cos,
+        |  round(sqrt(CAST(sh AS DOUBLE)), 6) AS l2_shift
+        |FROM t""".stripMargin,
 
     // X2 end-to-end twin: recompute the streamed output table from
     // the same events rows — q06's timezone() construction for the

@@ -379,4 +379,44 @@ class GraphSpec extends AnyFunSuite {
     assert(r("b")._1 > 0.0 && r("b")._2 > 0.0)
     assert(hitsOf(chain) == r) // exact integer state => bit-equal rerun
   }
+
+  private def pprOf(
+      edges: Seq[(String, String, Long)], seeds: Seq[String],
+      iters: Int = 6): Map[String, Double] = {
+    val e = edges.toDF("src", "dst", "w")
+    val sd = seeds.toDF("node")
+    Graph.personalizedPageRank(e, "src", "dst", "w", sd, "node",
+        damping = 0.85, iters = iters)
+      .as[(String, Double)].collect().toMap
+  }
+
+  test("personalizedPageRank: mass stays near the seed; unreachable " +
+      "nodes score 0; hop distance orders scores") {
+    // seed s -> a -> b, plus an island x -> y the walk can't reach
+    val r = pprOf(Seq(("s", "a", 1L), ("a", "b", 1L), ("x", "y", 1L)),
+      Seq("s"))
+    assert(r("s") > r("a") && r("a") > r("b") && r("b") > 0.0)
+    assert(r("x") == 0.0 && r("y") == 0.0)
+  }
+
+  test("personalizedPageRank: dangling mass restarts at the seeds, " +
+      "not globally; deterministic rerun") {
+    // b is a sink: its mass must return to the seed, not leak to z
+    val edges = Seq(("s", "b", 1L), ("z", "s", 1L))
+    val r = pprOf(edges, Seq("s"))
+    assert(r("s") > r("b")) // teleport + returned dangling mass
+    // z has no in-edges from the walk and is not a seed
+    assert(r("z") == 0.0)
+    assert(pprOf(edges, Seq("s")) == r) // exact integer state
+  }
+
+  test("personalizedPageRank: two seeds split teleport mass; a seed " +
+      "absent from the edge set still scores its teleport share") {
+    // s1 sits on a cycle (receives walk mass); s2 is edge-less —
+    // it keeps only its teleport + dangling-restart share
+    val r = pprOf(Seq(("s1", "a", 1L), ("a", "s1", 1L)), Seq("s1", "s2"))
+    assert(r("s2") > 0.0 && r("s2") < r("s1"))
+    // a receives exactly d * r(s1) per round, strictly below r(s1)
+    assert(r("a") < r("s1"))
+  }
 }

@@ -797,6 +797,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out(1L).length == dOut)
   }
 
+  test("embeddingDrift: identical snapshots -> cos 1, zero shift; " +
+      "pure translation -> known L2; zero mean -> NULL cos") {
+    val a = Seq(1.0f, 0.0f, 0.0f, 0.0f)
+    val b = Seq(0.0f, 1.0f, 0.0f, 0.0f)
+    val same = Seq((true, a), (true, b), (false, a), (false, b))
+      .toDF("snap", "vec")
+    val r1 = Similarity.embeddingDrift(same, "vec", col("snap"), dims = 4)
+      .as[(Long, Long, Long, Double, Double, Option[Double], Double)]
+      .collect().head
+    assert(r1._1 == 4L && r1._2 == 2L && r1._3 == 2L)
+    assert(r1._6 === Some(1.0) && r1._7 == 0.0)
+    // B = A translated by (0,0,1,0): mu_a=(0.5,0.5,0,0),
+    // mu_b=(0.5,0.5,1,0) -> shift = 1.0, cos = 0.5/(sqrt(.5)*sqrt(1.5))
+    val moved = Seq((true, a), (true, b),
+      (false, Seq(1.0f, 0.0f, 1.0f, 0.0f)),
+      (false, Seq(0.0f, 1.0f, 1.0f, 0.0f))).toDF("snap", "vec")
+    val r2 = Similarity.embeddingDrift(moved, "vec", col("snap"), dims = 4)
+      .as[(Long, Long, Long, Double, Double, Option[Double], Double)]
+      .collect().head
+    assert(r2._7 == 1.0)
+    val cos = BigDecimal(0.5 / (math.sqrt(0.5) * math.sqrt(1.5)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r2._6.get - cos) < 2e-6)
+    // all-zero snapshot B -> NULL cosine, norms still reported
+    val degen = Seq((true, a),
+      (false, Seq(0.0f, 0.0f, 0.0f, 0.0f))).toDF("snap", "vec")
+    val r3 = Similarity.embeddingDrift(degen, "vec", col("snap"), dims = 4)
+      .as[(Long, Long, Long, Double, Double, Option[Double], Double)]
+      .collect().head
+    assert(r3._6.isEmpty && r3._4 == 1.0 && r3._5 == 0.0)
+  }
+
   test("projectionSigns: deterministic, seed-sensitive, ±1 only") {
     val a = Similarity.projectionSigns(7L, 16, 8)
     assert(a == Similarity.projectionSigns(7L, 16, 8))

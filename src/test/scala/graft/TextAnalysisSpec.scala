@@ -417,4 +417,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out("B")._5.isEmpty)
     assert(out("C") === (("C", 2, 3L, 5L, None)))
   }
+
+  test("languageMixture: pure doc entropy 0; 50/50 code-switch hits " +
+      "ln(2); markerless doc is 'und' and unmixed") {
+    val docs = Seq(
+      (1L, "the cat is of the house and it is fine"), // pure en
+      (2L, "the is the is und das und das"), // exactly 4 en + 4 de
+      (3L, "zzz qqq www")                               // no markers
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.languageMixture(docs, "doc_id", "text")
+      .select("doc_id", "primary_lang", "marker_total", "mix_entropy",
+        "is_mixed")
+      .as[(Long, String, Int, Double, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == "en" && out(1L)._4 == 0.0 && !out(1L)._5)
+    // exactly 4 en hits and 4 de hits -> entropy = ln 2 (rounded 6)
+    assert(out(2L)._3 == 8)
+    val ln2 = BigDecimal(math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(2L)._4 == ln2 && out(2L)._5)
+    assert(out(3L)._2 == "und" && out(3L)._3 == 0 &&
+      out(3L)._4 == 0.0 && !out(3L)._5)
+  }
 }
