@@ -1581,4 +1581,153 @@ object Quality {
         count(lit(1)).as("class_size"),
         countDistinct(col(sensitiveCol)).as("sens_diversity"))
   }
+
+  /**
+   * Q9: generalization ladder — [[kAnonymityAudit]] made ACTIONABLE:
+   * when the release fails its k bar, the remediation is
+   * generalization (drop or coarsen the most specific
+   * quasi-identifiers), and the question is "how far up do we have
+   * to go?". `quasiCols` is ordered most-general → most-specific;
+   * level i drops the i most specific columns (level 0 = the full
+   * QI set, level |QI| = one class holding the whole table), and
+   * each level reports its class count, effective k/l, exposure
+   * mass, and verdict — the first satisfied level is the cheapest
+   * compliant release.
+   *
+   * Scale: ALL levels compute in ONE pass — the ladder is exactly
+   * SQL ROLLUP's prefix structure, so a single Expand×(|QI|+1)
+   * aggregate replaces |QI|+1 separate scans (at 100 TB the
+   * difference between one job and a ladder of them); the level
+   * reduce runs on the bounded class table. grouping_id
+   * distinguishes a rollup subtotal from a REAL NULL QI value, so
+   * NULL-keyed classes stay their own class at every level. Exact
+   * integers and booleans end to end.
+   */
+  def generalizationLadder(
+      df: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
+      k: Long, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "quasiCols must be non-empty")
+    require(k >= 1L && l >= 1L, s"k and l must be >= 1, got k=$k l=$l")
+    val n = quasiCols.size
+    // rollup gids are 2^i − 1 for i dropped trailing columns
+    val level = (0 to n).foldLeft(lit(-1)) { (acc, i) =>
+      when(col("__gid") === lit((1L << i) - 1L), lit(i)).otherwise(acc)
+    }
+    val kept = (0 to n).foldLeft(lit("")) { (acc, i) =>
+      when(col("level") === i,
+        lit(quasiCols.take(n - i).mkString(","))).otherwise(acc)
+    }
+    df.rollup(quasiCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("class_size"),
+        countDistinct(col(sensitiveCol)).as("sens_diversity"),
+        grouping_id().as("__gid"))
+      .select(level.as("level"), col("class_size"),
+        col("sens_diversity"))
+      .groupBy("level")
+      .agg(
+        count(lit(1)).as("n_classes"),
+        min(col("class_size")).as("effective_k"),
+        sum(when(col("class_size") < k, col("class_size"))
+          .otherwise(lit(0L))).as("rows_below_k"),
+        sum(when(col("class_size") < k, 1L).otherwise(0L))
+          .as("classes_below_k"),
+        min(col("sens_diversity")).as("effective_l"))
+      .select(col("level"), kept.as("kept_quasi_cols"),
+        col("n_classes"), col("effective_k"), col("rows_below_k"),
+        col("classes_below_k"), col("effective_l"),
+        (col("effective_k") >= k).as("k_satisfied"),
+        (col("effective_l") >= l).as("l_satisfied"))
+  }
+
+  /**
+   * E37: ratio-metric experiment readout via the delta method — the
+   * readout for the metrics that dominate real dashboards
+   * (revenue-per-session, clicks-per-impression, cost-per-action):
+   * the metric is a ratio of per-UNIT sums, so the naive per-row
+   * proportion test is wrong (rows within a unit are correlated) and
+   * the unit-level ratio mean is wrong too (it weights a 1-session
+   * user equally with a 100-session one). The standard fix (Deng et
+   * al. 2017/2018 practice at scale) analyses R = Σx/Σy per arm with
+   * Var(R) ≈ (Var x − 2R·Cov(x,y) + R²·Var y) / (n·ȳ²) by the delta
+   * method, then a two-sample z on the arm difference.
+   *
+   * Input is ONE ROW PER UNIT (pre-aggregate upstream — that
+   * aggregation is where row-level correlation gets absorbed).
+   * ENGINE-EXACT: x/y quantize to DECIMAL(18,6) (the trendFit
+   * contract), all five moments per arm are exact decimal sums in
+   * one conditional-aggregate pass, and the finish is a fixed IEEE
+   * sequence on identical doubles; z rounds to 6dp, p via the house
+   * erf polynomial on the rounded z (the q229/q270 recipe). diff and
+   * z are signed (+0.0 oracle-side). Degenerate segments (an arm
+   * with < 2 units or zero denominator mass or a non-positive
+   * variance estimate) emit NULL z/p — "untestable", distinct from
+   * p = 1.
+   *
+   * Scale: one partial-aggregated key shuffle over unit rows.
+   */
+  def ratioMetricReadout(
+      df: DataFrame, keyCols: Seq[String], armCol: Column,
+      numCol: Column, denCol: Column): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    val d18 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 12)
+    val xq = numCol.cast(d18)
+    val yq = denCol.cast(d18)
+    def arm(a: Boolean, c: Column): Column =
+      if (a) when(armCol, c) else when(!armCol, c)
+    def moments(a: Boolean, tag: String) = Seq(
+      sum(arm(a, lit(1L)).otherwise(0L)).as(s"n_$tag"),
+      sum(arm(a, xq)).as(s"__sx_$tag"),
+      sum(arm(a, yq)).as(s"__sy_$tag"),
+      sum(arm(a, (xq * xq).cast(d38))).as(s"__sxx_$tag"),
+      sum(arm(a, (yq * yq).cast(d38))).as(s"__syy_$tag"),
+      sum(arm(a, (xq * yq).cast(d38))).as(s"__sxy_$tag"))
+    val aggs = moments(true, "a") ++ moments(false, "b")
+    val base = df
+      .where(numCol.isNotNull && denCol.isNotNull && armCol.isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    def fin(tag: String): (Column, Column) = {
+      val nD = col(s"n_$tag").cast("double")
+      val sx = col(s"__sx_$tag").cast("double")
+      val sy = col(s"__sy_$tag").cast("double")
+      val sxx = col(s"__sxx_$tag").cast("double")
+      val syy = col(s"__syy_$tag").cast("double")
+      val sxy = col(s"__sxy_$tag").cast("double")
+      // degenerate divisors become NULL, not 0: ANSI Spark throws on
+      // any /0 (and subexpression elimination hoists divisions out of
+      // when() guards), while NULL propagates to the same NULL the
+      // guards would emit — and matches DuckDB, where double x/0 IS
+      // NULL, so the oracle's unguarded formula lands on NULL too.
+      val syN = when(col(s"__sy_$tag") =!= lit(BigDecimal(0)), sy)
+      val nm1 = when(col(s"n_$tag") >= 2L, nD - lit(1.0))
+      val r = sx / syN
+      val my = syN / nD
+      val varx = (sxx - sx * sx / nD) / nm1
+      val vary = (syy - sy * sy / nD) / nm1
+      val covxy = (sxy - sx * sy / nD) / nm1
+      val vr = (varx - lit(2.0) * r * covxy + r * r * vary) /
+        (nD * my * my)
+      (r, vr)
+    }
+    val (ra, va) = fin("a")
+    val (rb, vb) = fin("b")
+    val testable = col("n_a") >= 2L && col("n_b") >= 2L &&
+      col("__sy_a") =!= lit(BigDecimal(0)) &&
+      col("__sy_b") =!= lit(BigDecimal(0))
+    val z = round((ra - rb) / sqrt(va + vb), 6)
+    base
+      .withColumn("ratio_a",
+        when(col("__sy_a") =!= lit(BigDecimal(0)), round(ra, 6)))
+      .withColumn("ratio_b",
+        when(col("__sy_b") =!= lit(BigDecimal(0)), round(rb, 6)))
+      .withColumn("diff",
+        when(testable, round(ra - rb, 6)))
+      .withColumn("z", when(testable && (va + vb) > 0.0, z))
+      .withColumn("p_value", round(normalTwoSidedP(col("z")), 6))
+      .select(keyCols.map(col) ++ Seq(col("n_a"), col("n_b"),
+        col("ratio_a"), col("ratio_b"), col("diff"), col("z"),
+        col("p_value")): _*)
+  }
 }

@@ -3139,6 +3139,38 @@ object PipelineQueries {
         col("label") % 2 === 0, dims = 64)
     }),
 
+    // E37 (round 10): delta-method ratio-metric readout — value-per-
+    // event per user (the unit), arm = user parity, per event_type;
+    // the readout for revenue-per-session-class metrics where both
+    // the row-level test and the unit-ratio mean are wrong.
+    "q276_ratio_metric" -> ((s, dir) => {
+      val units = t(s, dir, "events")
+        .where(col("user_id").isNotNull && col("value").isNotNull)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum(col("value").cast("decimal(18,6)")).as("x"),
+          count(lit(1)).as("y"))
+      graft.operators.Quality.ratioMetricReadout(
+          units, Seq("event_type"), col("user_id") % 2 === 0,
+          col("x"), col("y"))
+        .orderBy("event_type")
+    }),
+
+    // Q9 (round 10): generalization ladder — the q266 audit made
+    // actionable: every prefix level of the QI set in ONE rollup
+    // pass; the first satisfied level is the cheapest compliant
+    // release.
+    "q277_generalization_ladder" -> ((s, dir) => {
+      graft.operators.Quality.generalizationLadder(
+          t(s, dir, "customer")
+            .withColumn("acct_band",
+              floor(col("c_acctbal") / lit(1000.0d)))
+            .withColumn("cohort",
+              expr("substring(c_name, length(c_name), 1)")),
+          Seq("c_nationkey", "c_mktsegment", "acct_band"), "cohort",
+          k = 5L, l = 2L)
+        .orderBy("level")
+    }),
+
     // E29 (round 9): difference-in-differences — the rollout readout
     // when assignment wasn't randomized: post-vs-pre (month half)
     // change in arm A minus the same change in arm B, per
@@ -5677,6 +5709,133 @@ object PipelineQueries {
         |      + 0.0 END AS mean_cos,
         |  round(sqrt(CAST(sh AS DOUBLE)), 6) AS l2_shift
         |FROM t""".stripMargin,
+
+    // E37: exact decimal unit moments per arm, fixed IEEE delta-
+    // method finish mirrored op for op, z/p via the q229 recipe;
+    // diff/z/ratios signed (+0.0).
+    "q276_ratio_metric" ->
+      """WITH units AS (
+        |  SELECT event_type, user_id,
+        |    SUM(CAST(value AS DECIMAL(18,6))) AS x,
+        |    COUNT(*) AS y
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2
+        |), g AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_b,
+        |    SUM(CASE WHEN user_id % 2 = 0
+        |      THEN CAST(x AS DECIMAL(18,6)) END) AS sxa,
+        |    SUM(CASE WHEN user_id % 2 = 0
+        |      THEN CAST(y AS DECIMAL(18,6)) END) AS sya,
+        |    SUM(CASE WHEN user_id % 2 = 0 THEN CAST(
+        |      CAST(x AS DECIMAL(28,6)) * CAST(x AS DECIMAL(28,6))
+        |      AS DECIMAL(38,12)) END) AS sxxa,
+        |    SUM(CASE WHEN user_id % 2 = 0 THEN CAST(
+        |      CAST(y AS DECIMAL(28,6)) * CAST(y AS DECIMAL(28,6))
+        |      AS DECIMAL(38,12)) END) AS syya,
+        |    SUM(CASE WHEN user_id % 2 = 0 THEN CAST(
+        |      CAST(x AS DECIMAL(28,6)) * CAST(y AS DECIMAL(28,6))
+        |      AS DECIMAL(38,12)) END) AS sxya,
+        |    SUM(CASE WHEN user_id % 2 <> 0
+        |      THEN CAST(x AS DECIMAL(18,6)) END) AS sxb,
+        |    SUM(CASE WHEN user_id % 2 <> 0
+        |      THEN CAST(y AS DECIMAL(18,6)) END) AS syb,
+        |    SUM(CASE WHEN user_id % 2 <> 0 THEN CAST(
+        |      CAST(x AS DECIMAL(28,6)) * CAST(x AS DECIMAL(28,6))
+        |      AS DECIMAL(38,12)) END) AS sxxb,
+        |    SUM(CASE WHEN user_id % 2 <> 0 THEN CAST(
+        |      CAST(y AS DECIMAL(28,6)) * CAST(y AS DECIMAL(28,6))
+        |      AS DECIMAL(38,12)) END) AS syyb,
+        |    SUM(CASE WHEN user_id % 2 <> 0 THEN CAST(
+        |      CAST(x AS DECIMAL(28,6)) * CAST(y AS DECIMAL(28,6))
+        |      AS DECIMAL(38,12)) END) AS sxyb
+        |  FROM units GROUP BY 1
+        |), f AS (
+        |  SELECT event_type, n_a, n_b,
+        |    CAST(sxa AS DOUBLE) AS sxaD, CAST(sya AS DOUBLE) AS syaD,
+        |    CAST(sxxa AS DOUBLE) AS sxxaD, CAST(syya AS DOUBLE) AS syyaD,
+        |    CAST(sxya AS DOUBLE) AS sxyaD,
+        |    CAST(sxb AS DOUBLE) AS sxbD, CAST(syb AS DOUBLE) AS sybD,
+        |    CAST(sxxb AS DOUBLE) AS sxxbD, CAST(syyb AS DOUBLE) AS syybD,
+        |    CAST(sxyb AS DOUBLE) AS sxybD,
+        |    CAST(n_a AS DOUBLE) AS naD, CAST(n_b AS DOUBLE) AS nbD,
+        |    sya <> 0 AS oka, syb <> 0 AS okb
+        |  FROM g
+        |), v AS (
+        |  SELECT event_type, n_a, n_b, oka, okb,
+        |    sxaD / syaD AS ra, sxbD / sybD AS rb,
+        |    ((sxxaD - sxaD * sxaD / naD) / (naD - 1.0)
+        |      - 2.0 * (sxaD / syaD)
+        |        * ((sxyaD - sxaD * syaD / naD) / (naD - 1.0))
+        |      + (sxaD / syaD) * (sxaD / syaD)
+        |        * ((syyaD - syaD * syaD / naD) / (naD - 1.0)))
+        |      / (naD * (syaD / naD) * (syaD / naD)) AS va,
+        |    ((sxxbD - sxbD * sxbD / nbD) / (nbD - 1.0)
+        |      - 2.0 * (sxbD / sybD)
+        |        * ((sxybD - sxbD * sybD / nbD) / (nbD - 1.0))
+        |      + (sxbD / sybD) * (sxbD / sybD)
+        |        * ((syybD - sybD * sybD / nbD) / (nbD - 1.0)))
+        |      / (nbD * (sybD / nbD) * (sybD / nbD)) AS vb
+        |  FROM f
+        |), zt AS (
+        |  SELECT event_type, n_a, n_b, oka, okb,
+        |    CASE WHEN oka THEN round(ra, 6) + 0.0 END AS ratio_a,
+        |    CASE WHEN okb THEN round(rb, 6) + 0.0 END AS ratio_b,
+        |    CASE WHEN n_a >= 2 AND n_b >= 2 AND oka AND okb
+        |      THEN round(ra - rb, 6) + 0.0 END AS diff,
+        |    CASE WHEN n_a >= 2 AND n_b >= 2 AND oka AND okb
+        |        AND va + vb > 0.0
+        |      THEN round((ra - rb) / sqrt(va + vb), 6) + 0.0 END AS z
+        |  FROM v
+        |), pt AS (
+        |  SELECT *, abs(z) / sqrt(2.0) AS xx,
+        |    1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS tt
+        |  FROM zt
+        |)
+        |SELECT event_type, n_a, n_b, ratio_a, ratio_b, diff, z,
+        |  round(tt * (0.254829592 + tt * (-0.284496736 +
+        |    tt * (1.421413741 + tt * (-1.453152027 +
+        |      tt * 1.061405429)))) * exp(-(xx * xx)), 6) AS p_value
+        |FROM pt ORDER BY event_type""".stripMargin,
+
+    // Q9: one ROLLUP pass (GROUPING ≡ Spark grouping_id — the q49
+    // parity), level = dropped-suffix length, exact integers.
+    "q277_generalization_ladder" ->
+      """WITH cls AS (
+        |  SELECT GROUPING(c_nationkey, c_mktsegment, band) AS gid,
+        |    COUNT(*) AS class_size,
+        |    COUNT(DISTINCT cohort) AS sens_div
+        |  FROM (SELECT c_nationkey, c_mktsegment,
+        |      CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band,
+        |      substr(c_name, length(c_name), 1) AS cohort
+        |    FROM customer)
+        |  GROUP BY ROLLUP(c_nationkey, c_mktsegment, band)
+        |), lv AS (
+        |  SELECT CASE gid WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 3 THEN 2
+        |    WHEN 7 THEN 3 END AS level,
+        |    class_size, sens_div
+        |  FROM cls
+        |)
+        |SELECT level,
+        |  CASE level
+        |    WHEN 0 THEN 'c_nationkey,c_mktsegment,acct_band'
+        |    WHEN 1 THEN 'c_nationkey,c_mktsegment'
+        |    WHEN 2 THEN 'c_nationkey'
+        |    ELSE '' END AS kept_quasi_cols,
+        |  COUNT(*) AS n_classes,
+        |  CAST(MIN(class_size) AS BIGINT) AS effective_k,
+        |  CAST(SUM(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+        |    AS BIGINT) AS rows_below_k,
+        |  CAST(SUM(CASE WHEN class_size < 5 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS classes_below_k,
+        |  CAST(MIN(sens_div) AS BIGINT) AS effective_l,
+        |  MIN(class_size) >= 5 AS k_satisfied,
+        |  MIN(sens_div) >= 2 AS l_satisfied
+        |FROM lv GROUP BY level ORDER BY level""".stripMargin,
 
     // X2 end-to-end twin: recompute the streamed output table from
     // the same events rows — q06's timezone() construction for the

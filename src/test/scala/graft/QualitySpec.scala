@@ -978,6 +978,81 @@ class QualitySpec extends AnyFunSuite {
     assert(out(1) === (("2", 2L, 3L, 6L, "13", 3L, 6L, 6L)))
   }
 
+  test("ratioMetricReadout: ratio-of-sums (not mean-of-ratios), " +
+      "identical arms test to zero, degenerate arms go NULL") {
+    // arm A and arm B identical: (x,y) = (1,1) and (30,10) each
+    val units = Seq(
+      ("s", true, 1.0, 1L), ("s", true, 30.0, 10L),
+      ("s", false, 1.0, 1L), ("s", false, 30.0, 10L),
+      // one-unit segment: untestable
+      ("tiny", true, 5.0, 2L), ("tiny", false, 5.0, 2L)
+    ).toDF("seg", "arm", "x", "y")
+    val out = Quality.ratioMetricReadout(units, Seq("seg"), col("arm"),
+        col("x"), col("y"))
+      .as[(String, Long, Long, Option[Double], Option[Double],
+        Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    val s = out("s")
+    // ratio = 31/11, NOT mean(1/1, 30/10) = 2
+    val r = BigDecimal(31.0 / 11.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(s._4 === Some(r) && s._5 === Some(r))
+    assert(s._6 === Some(0.0) && s._7 === Some(0.0) && s._8 === Some(1.0))
+    val tiny = out("tiny")
+    assert(tiny._2 == 1L && tiny._3 == 1L)
+    assert(tiny._6.isEmpty && tiny._7.isEmpty && tiny._8.isEmpty)
+  }
+
+  test("ratioMetricReadout: zero denominator mass makes the arm " +
+      "ratio NULL") {
+    val units = Seq(
+      ("s", true, 1.0, 0L), ("s", true, 2.0, 0L),
+      ("s", false, 1.0, 1L), ("s", false, 2.0, 3L)
+    ).toDF("seg", "arm", "x", "y")
+    val out = Quality.ratioMetricReadout(units, Seq("seg"), col("arm"),
+        col("x"), col("y"))
+      .as[(String, Long, Long, Option[Double], Option[Double],
+        Option[Double], Option[Double], Option[Double])]
+      .collect().head
+    assert(out._4.isEmpty && out._5.nonEmpty)
+    assert(out._6.isEmpty && out._7.isEmpty)
+  }
+
+  test("generalizationLadder: one rollup pass reproduces every " +
+      "prefix level; first satisfied level is visible") {
+    // QI (zip, seg): level0 classes (1,a)x1 (1,b)x1 (2,a)x2 ->
+    // k=2 fails; level1 (zip): 1->2 rows, 2->2 rows -> k=2 holds;
+    // level2 (all): 4 rows
+    val df = Seq(
+      (1, "a", "x"), (1, "b", "y"), (2, "a", "x"), (2, "a", "y")
+    ).toDF("zip", "seg", "sens")
+    val out = Quality.generalizationLadder(df, Seq("zip", "seg"),
+        "sens", k = 2L, l = 2L)
+      .orderBy("level")
+      .as[(Int, String, Long, Long, Long, Long, Long, Boolean, Boolean)]
+      .collect().toSeq
+    assert(out.map(_._1) == Seq(0, 1, 2))
+    assert(out(0) === ((0, "zip,seg", 3L, 1L, 2L, 2L, 1L, false, false)))
+    assert(out(1) === ((1, "zip", 2L, 2L, 0L, 0L, 2L, true, true)))
+    assert(out(2) === ((2, "", 1L, 4L, 0L, 0L, 2L, true, true)))
+  }
+
+  test("generalizationLadder: a real NULL QI value is its own class, " +
+      "never merged with a rollup subtotal") {
+    val df = Seq(
+      (Some(1), "x"), (Some(1), "y"), (None, "x"), (None, "x")
+    ).toDF("zip", "sens")
+    val out = Quality.generalizationLadder(df, Seq("zip"), "sens",
+        k = 2L, l = 1L)
+      .orderBy("level")
+      .as[(Int, String, Long, Long, Long, Long, Long, Boolean, Boolean)]
+      .collect().toSeq
+    // level 0 has TWO classes (zip=1, zip=NULL), both size 2
+    assert(out(0)._3 == 2L && out(0)._4 == 2L && out(0)._8)
+    // level 1 is the whole table, one class of 4
+    assert(out(1)._3 == 1L && out(1)._4 == 4L)
+  }
+
   test("joinFanoutAudit: NULL keys never match (excluded from both " +
       "histograms)") {
     import graft.operators.Profile
