@@ -458,4 +458,58 @@ class PlanSpec extends AnyFunSuite {
       assert(scans === 1, s"$q: cells must ride one scan, saw $scans:\n$p")
     }
   }
+
+  test("q267: FS linkage never plans a cartesian; the weight table broadcasts") {
+    val p = plan("q267_record_linkage")
+    assert(!p.contains("CartesianProduct"),
+      s"candidate/scoring joins must stay equi:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      "the <=|fields|-row weight table must broadcast onto the melt")
+  }
+
+  test("q271: the fanout audit prunes to the key column and never runs the audited join") {
+    val p = plan("q271_join_fanout")
+    // both scans read ONLY l_orderkey — reading more means the audit
+    // is heavier than the histograms it needs
+    p.linesIterator.filter(_.contains("ReadSchema")).foreach { l =>
+      assert(l.contains("l_orderkey") && !l.contains("l_partkey") &&
+        !l.contains("l_extendedprice"),
+        s"fanout audit must scan only the join key:\n$l")
+    }
+    // the join runs on the aggregated count tables, not raw rows:
+    // every FileScan is below a HashAggregate in the tree (string
+    // proxy: no SortMergeJoin of raw scans needed at this size, and
+    // no cartesian ever)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q277: the generalization ladder is a single-Expand rollup pass") {
+    val p = plan("q277_generalization_ladder")
+    val expands = p.linesIterator.count(_.contains("Expand"))
+    // one Expand for the rollup levels (+ one more only if the
+    // distinct-sensitive aggregate plans its own) — never a per-level
+    // union of scans
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans === 1, s"ladder must ride ONE scan, saw $scans:\n$p")
+    assert(expands >= 1 && expands <= 2, s"rollup must Expand, not union:\n$p")
+  }
+
+  test("q274: language mixture adds no exchange beyond the output sort") {
+    val p = plan("q274_language_mixture")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1,
+      s"the mixture readout is a scan projection; only the ORDER BY may exchange:\n$p")
+    assert(!p.contains("HashAggregate"),
+      s"no aggregation belongs in a per-doc projection:\n$p")
+  }
+
+  test("q268/q273: iterative graph scores keep integer state and equi-joins only") {
+    for (q <- Seq("q268_hits", "q273_personalized_pagerank")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q: one-row totals must broadcast, never cartesian:\n$p")
+      assert(!p.contains("SortMergeJoin") || p.contains("ExistingRDD"),
+        s"$q: state joins at gate scale should hash/broadcast:\n$p")
+    }
+  }
 }
