@@ -1098,4 +1098,65 @@ object Dedup {
       .agg(countDistinct(col("fp_hash")).as("n_shared"))
       .where(col("n_shared") >= minShared)
   }
+
+  /**
+   * D21: dedup threshold-calibration curve — the "where do I set the
+   * dial" readout every near-dup pipeline needs before committing a
+   * threshold to a 100 TB pass: given scored candidate pairs (a
+   * cheap estimator column) and a ground-truth flag (an expensive
+   * exact verify on the same pairs), report TP/FP/FN and precision/
+   * recall/F1 at every threshold in the grid. The knee of this curve
+   * IS the production threshold; re-running it on a sample after
+   * each corpus shift is how the dial stays calibrated.
+   *
+   * Scale: one broadcast of the |thresholds|-row grid onto the pair
+   * frame (a BroadcastNestedLoopJoin of a literal table — the house
+   * one-small-side contract), one partial-aggregated groupBy on the
+   * threshold. Calibration runs on CANDIDATE pairs (already
+   * blocking-bounded), never all-pairs.
+   *
+   * Degenerate cells follow the ANSI/NULL-divisor discipline
+   * (q276): precision NULL when nothing was predicted positive,
+   * recall NULL when nothing IS positive, F1 0 when defined but
+   * tp = 0 — and DuckDB's x/0 = NULL makes the oracle's unguarded
+   * formula land on the identical NULLs.
+   */
+  def thresholdCurve(
+      scored: DataFrame, estCol: Column, truthCol: Column,
+      thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "thresholds must be non-empty")
+    val spark = scored.sparkSession
+    val grid = broadcast(
+      spark.createDataFrame(thresholds.map(Tuple1(_)))
+        .toDF("threshold"))
+    val counts = scored
+      .select(estCol.cast("double").as("__e"), truthCol.as("__t"))
+      .where(col("__e").isNotNull && col("__t").isNotNull)
+      .crossJoin(grid)
+      .groupBy("threshold")
+      .agg(
+        sum(when(col("__e") >= col("threshold") && col("__t"), 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("__e") >= col("threshold") && !col("__t"), 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("__e") < col("threshold") && col("__t"), 1L)
+          .otherwise(0L)).as("fn"),
+        sum(when(col("__e") < col("threshold") && !col("__t"), 1L)
+          .otherwise(0L)).as("tn"))
+    val tpD = col("tp").cast("double")
+    val pDen = when(col("tp") + col("fp") > 0L,
+      (col("tp") + col("fp")).cast("double"))
+    val rDen = when(col("tp") + col("fn") > 0L,
+      (col("tp") + col("fn")).cast("double"))
+    val pr = tpD / pDen
+    val rc = tpD / rDen
+    val f1Den = when(pr + rc > 0.0, pr + rc)
+    counts.select(
+      col("threshold"), col("tp"), col("fp"), col("fn"), col("tn"),
+      round(pr, 6).as("precision"),
+      round(rc, 6).as("recall"),
+      coalesce(
+        round(lit(2.0) * pr * rc / f1Den, 6),
+        when(pr.isNotNull && rc.isNotNull, lit(0.0))).as("f1"))
+  }
 }

@@ -1641,6 +1641,62 @@ object Quality {
   }
 
   /**
+   * E38: sequential SRM monitor — [[srmCheck]] unrolled over daily
+   * looks (the [[sequentialMonitor]] companion): assignment plumbing
+   * doesn't break at launch only — a mid-flight config push, a bot
+   * wave, or a one-sided logging outage skews the split on day 9 of
+   * a 30-day test, and the end-of-test SRM check then reads a
+   * diluted signal. Per look (calendar day, cumulative): counts,
+   * observed share, the one-proportion z against `expectedShare`,
+   * p via the house erf polynomial, the p < 0.001 alarm, and a
+   * `first_alarm` marker — the earliest day the experiment was
+   * provably broken (everything after is triage, not readout).
+   *
+   * Mechanics are [[sequentialMonitor]]'s bounded-look contract: one
+   * day aggregate (partial-aggregated), then cumulative window sums
+   * over the DAY table (q90 global-window contract — rows = distinct
+   * days, bounded by the calendar, never the corpus); z rounds to
+   * 6dp before p (q229/q270 recipe), z signed (+0.0 oracle-side).
+   */
+  def srmMonitor(
+      df: DataFrame, dayCol: Column, armCol: Column,
+      expectedShare: Double = 0.5): DataFrame = {
+    require(expectedShare > 0.0 && expectedShare < 1.0,
+      s"expectedShare must be in (0,1), got $expectedShare")
+    import org.apache.spark.sql.expressions.Window
+    val p0 = lit(expectedShare)
+    val daily = df
+      .where(dayCol.isNotNull && armCol.isNotNull)
+      .groupBy(dayCol.as("day"))
+      .agg(
+        count(lit(1)).as("__n"),
+        sum(when(armCol, 1L).otherwise(0L)).as("__narm"))
+    val wRun = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = daily.select(
+      col("day"),
+      row_number().over(Window.orderBy(col("day"))).as("look"),
+      sum(col("__n")).over(wRun).as("n"),
+      sum(col("__narm")).over(wRun).as("n_arm"))
+    val z = round(
+      (col("n_arm").cast("double") - col("n").cast("double") * p0)
+        / sqrt(col("n").cast("double") * p0 * (lit(1.0) - p0)), 6)
+    val scored = cum
+      .withColumn("observed_share",
+        round(col("n_arm").cast("double") / col("n").cast("double"), 6))
+      .withColumn("z", z)
+      .withColumn("p_value", round(normalTwoSidedP(col("z")), 6))
+      .withColumn("srm_alarm", col("p_value") < 0.001)
+    scored
+      .withColumn("first_alarm",
+        col("srm_alarm") &&
+          col("day") === min(when(col("srm_alarm"), col("day")))
+            .over(wAll))
+  }
+
+  /**
    * E37: ratio-metric experiment readout via the delta method — the
    * readout for the metrics that dominate real dashboards
    * (revenue-per-session, clicks-per-impression, cost-per-action):

@@ -3155,6 +3155,40 @@ object PipelineQueries {
         .orderBy("event_type")
     }),
 
+    // E38 (round 10): sequential SRM monitor — a deliberately
+    // misdesigned split (arm = user%3 vs designed 0.35) whose
+    // cumulative z crosses the alarm line mid-month at sf0.01:
+    // pre-alarm looks, the first_alarm day, and the post-alarm tail
+    // are all exercised.
+    "q278_srm_monitor" -> ((s, dir) => {
+      graft.operators.Quality.srmMonitor(
+          t(s, dir, "events"), to_date(col("ts")),
+          col("user_id") % 3 === 0, expectedShare = 0.35)
+        .orderBy("day")
+    }),
+
+    // D21 (round 10): threshold-calibration curve — cheap bigram
+    // jaccard as the estimator vs trigram-jaccard >= 0.6 truth over
+    // the same sorted-neighborhood candidates; the knee of this
+    // curve is the production dedup dial.
+    "q279_threshold_curve" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val est = Fuzzy.sortedNeighborhood(docs, "doc_id", "text",
+          substring(col("text"), 1, 40), windowSize = 10,
+          threshold = 0.05, shingleSize = 2)
+        .withColumnRenamed("jaccard", "est")
+      val truth = Fuzzy.sortedNeighborhood(docs, "doc_id", "text",
+          substring(col("text"), 1, 40), windowSize = 10,
+          threshold = 0.05, shingleSize = 3)
+        .select(col("doc_a"), col("doc_b"), col("jaccard").as("__j3"))
+      val pairs = est.join(truth, Seq("doc_a", "doc_b"), "left")
+        .select(col("est"),
+          (coalesce(col("__j3"), lit(0.0)) >= 0.6).as("truth"))
+      Dedup.thresholdCurve(pairs, col("est"), col("truth"),
+          Seq(0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8))
+        .orderBy("threshold")
+    }),
+
     // Q9 (round 10): generalization ladder — the q266 audit made
     // actionable: every prefix level of the QI set in ONE rollup
     // pass; the first satisfied level is the cheapest compliant
@@ -5801,6 +5835,147 @@ object PipelineQueries {
         |    tt * (1.421413741 + tt * (-1.453152027 +
         |      tt * 1.061405429)))) * exp(-(xx * xx)), 6) AS p_value
         |FROM pt ORDER BY event_type""".stripMargin,
+
+    // E38: daily aggregate + cumulative window sums over the bounded
+    // day table, the q270 z->erf recipe per look; z signed (+0.0).
+    "q278_srm_monitor" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n0,
+        |    CAST(SUM(CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS narm0
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |  GROUP BY 1
+        |), cum AS (
+        |  SELECT day,
+        |    CAST(row_number() OVER (ORDER BY day) AS INT) AS look,
+        |    CAST(SUM(n0) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS n,
+        |    CAST(SUM(narm0) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS BIGINT) AS n_arm
+        |  FROM daily
+        |), zt AS (
+        |  SELECT day, look, n, n_arm,
+        |    round(CAST(n_arm AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |      AS observed_share,
+        |    round((CAST(n_arm AS DOUBLE) - CAST(n AS DOUBLE) * 0.35)
+        |      / sqrt(CAST(n AS DOUBLE) * 0.35 * (1.0 - 0.35)), 6) + 0.0
+        |      AS z
+        |  FROM cum
+        |), pt AS (
+        |  SELECT *, abs(z) / sqrt(2.0) AS x,
+        |    1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS t
+        |  FROM zt
+        |), pv AS (
+        |  SELECT day, look, n, n_arm, observed_share, z,
+        |    round(t * (0.254829592 + t * (-0.284496736 +
+        |      t * (1.421413741 + t * (-1.453152027 +
+        |        t * 1.061405429)))) * exp(-(x * x)), 6) AS p_value
+        |  FROM pt
+        |), al AS (
+        |  SELECT *, p_value < 0.001 AS srm_alarm FROM pv
+        |)
+        |SELECT day, look, n, n_arm, observed_share, z, p_value,
+        |  srm_alarm,
+        |  srm_alarm AND day = MIN(CASE WHEN srm_alarm THEN day END)
+        |    OVER () AS first_alarm
+        |FROM al ORDER BY day""".stripMargin,
+
+    // D21: the q126 candidate/jaccard recipe at TWO shingle widths
+    // (bigram estimator, trigram truth), then the confusion counts
+    // per grid threshold; degenerate cells land on the same NULLs on
+    // both engines (DuckDB x/0 = NULL ≡ the Spark NULL-divisor path).
+    "q279_threshold_curve" ->
+      """WITH r AS (
+        |  SELECT doc_id, text,
+        |    row_number() OVER (ORDER BY substr(text, 1, 40), doc_id)
+        |      AS rk
+        |  FROM documents
+        |), cand AS (
+        |  SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+        |    greatest(a.doc_id, b.doc_id) AS doc_b
+        |  FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 10
+        |), toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), idx2 AS (
+        |  SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+        |  FROM toks
+        |), sh2 AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] AS s FROM idx2
+        |), sz2 AS (
+        |  SELECT doc_id, COUNT(*) AS n FROM sh2 GROUP BY doc_id
+        |), i2 AS (
+        |  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+        |  FROM cand c
+        |  JOIN sh2 a ON a.doc_id = c.doc_a
+        |  JOIN sh2 b ON b.doc_id = c.doc_b AND b.s = a.s
+        |  GROUP BY 1, 2
+        |), est AS (
+        |  SELECT i2.doc_a, i2.doc_b,
+        |    CAST(i2.i AS DOUBLE) / (za.n + zb.n - i2.i) AS est
+        |  FROM i2
+        |  JOIN sz2 za ON za.doc_id = i2.doc_a
+        |  JOIN sz2 zb ON zb.doc_id = i2.doc_b
+        |  WHERE CAST(i2.i AS DOUBLE) / (za.n + zb.n - i2.i) >= 0.05
+        |), idx3 AS (
+        |  SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+        |  FROM toks
+        |), sh3 AS (
+        |  SELECT DISTINCT doc_id,
+        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |  FROM idx3
+        |), sz3 AS (
+        |  SELECT doc_id, COUNT(*) AS n FROM sh3 GROUP BY doc_id
+        |), i3 AS (
+        |  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+        |  FROM cand c
+        |  JOIN sh3 a ON a.doc_id = c.doc_a
+        |  JOIN sh3 b ON b.doc_id = c.doc_b AND b.s = a.s
+        |  GROUP BY 1, 2
+        |), tru AS (
+        |  SELECT i3.doc_a, i3.doc_b,
+        |    CAST(i3.i AS DOUBLE) / (za.n + zb.n - i3.i) AS j3
+        |  FROM i3
+        |  JOIN sz3 za ON za.doc_id = i3.doc_a
+        |  JOIN sz3 zb ON zb.doc_id = i3.doc_b
+        |  WHERE CAST(i3.i AS DOUBLE) / (za.n + zb.n - i3.i) >= 0.05
+        |), pairs AS (
+        |  SELECT e.est, COALESCE(t.j3, 0.0) >= 0.6 AS truth
+        |  FROM est e LEFT JOIN tru t
+        |    ON t.doc_a = e.doc_a AND t.doc_b = e.doc_b
+        |), g AS (
+        |  SELECT CAST(t AS DOUBLE) AS threshold
+        |  FROM (VALUES (0.2),(0.3),(0.4),(0.5),(0.6),(0.7),(0.8)) v(t)
+        |), counts AS (
+        |  SELECT g.threshold,
+        |    CAST(SUM(CASE WHEN p.est >= g.threshold AND p.truth
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(SUM(CASE WHEN p.est >= g.threshold AND NOT p.truth
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(SUM(CASE WHEN p.est < g.threshold AND p.truth
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |    CAST(SUM(CASE WHEN p.est < g.threshold AND NOT p.truth
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |  FROM pairs p CROSS JOIN g
+        |  GROUP BY g.threshold
+        |), fin AS (
+        |  SELECT threshold, tp, fp, fn, tn,
+        |    CAST(tp AS DOUBLE)
+        |      / (CASE WHEN tp + fp > 0 THEN CAST(tp + fp AS DOUBLE) END)
+        |      AS pr,
+        |    CAST(tp AS DOUBLE)
+        |      / (CASE WHEN tp + fn > 0 THEN CAST(tp + fn AS DOUBLE) END)
+        |      AS rc
+        |  FROM counts
+        |)
+        |SELECT threshold, tp, fp, fn, tn,
+        |  round(pr, 6) AS precision,
+        |  round(rc, 6) AS recall,
+        |  COALESCE(
+        |    round(2.0 * pr * rc
+        |      / (CASE WHEN pr + rc > 0.0 THEN pr + rc END), 6),
+        |    CASE WHEN pr IS NOT NULL AND rc IS NOT NULL
+        |      THEN 0.0 END) AS f1
+        |FROM fin ORDER BY threshold""".stripMargin,
 
     // Q9: one ROLLUP pass (GROUPING ≡ Spark grouping_id — the q49
     // parity), level = dropped-suffix length, exact integers.

@@ -507,4 +507,39 @@ class DedupSpec extends AnyFunSuite {
     val grams = 200 - 3 + 1
     assert(n <= grams - 4 + 1 && n > 0)
   }
+
+  test("thresholdCurve: hand-computed confusion cells and F-scores; " +
+      "degenerate cells go NULL per contract") {
+    val pairs = Seq(
+      (0.9, true), (0.7, false), (0.4, true), (0.2, false)
+    ).toDF("est", "truth")
+    val out = Dedup.thresholdCurve(pairs, col("est"), col("truth"),
+        Seq(0.5, 0.8, 0.95))
+      .orderBy("threshold")
+      .as[(Double, Long, Long, Long, Long, Option[Double],
+        Option[Double], Option[Double])].collect().toSeq
+    assert(out(0) === ((0.5, 1L, 1L, 1L, 1L,
+      Some(0.5), Some(0.5), Some(0.5))))
+    val f1 = BigDecimal(2.0 * 1.0 * 0.5 / 1.5)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1) === ((0.8, 1L, 0L, 1L, 2L,
+      Some(1.0), Some(0.5), Some(f1))))
+    // nothing predicted positive at 0.95: precision undefined (NULL),
+    // recall 0, F1 NULL (one side undefined)
+    assert(out(2)._2 == 0L && out(2)._3 == 0L)
+    assert(out(2)._6.isEmpty && out(2)._7 === Some(0.0) &&
+      out(2)._8.isEmpty)
+  }
+
+  test("thresholdCurve: all-negative truth makes recall undefined, " +
+      "defined-but-zero F1 stays 0") {
+    val pairs = Seq((0.9, false), (0.3, false)).toDF("est", "truth")
+    val out = Dedup.thresholdCurve(pairs, col("est"), col("truth"),
+        Seq(0.5))
+      .as[(Double, Long, Long, Long, Long, Option[Double],
+        Option[Double], Option[Double])].collect().head
+    // tp=0 fp=1 fn=0 tn=1: precision 0, recall NULL, F1 NULL
+    assert(out._2 == 0L && out._3 == 1L && out._4 == 0L && out._5 == 1L)
+    assert(out._6 === Some(0.0) && out._7.isEmpty && out._8.isEmpty)
+  }
 }

@@ -962,6 +962,28 @@ class QualitySpec extends AnyFunSuite {
     assert(out._4 == 0.9 && out._5 == 0.9 && out._6 == 0.0 && !out._8)
   }
 
+  test("srmMonitor: cumulative looks, alarm fires on the broken day, " +
+      "first_alarm marks it exactly once") {
+    val d1 = java.sql.Date.valueOf("2024-01-01")
+    val d2 = java.sql.Date.valueOf("2024-01-02")
+    val d3 = java.sql.Date.valueOf("2024-01-03")
+    val rows =
+      (0 until 10).map(i => (d1, i % 2 == 0)) ++
+      (0 until 10).map(i => (d2, i % 2 == 0)) ++
+      (0 until 1000).map(_ => (d3, true)) // one-sided logging break
+    val out = Quality.srmMonitor(rows.toDF("d", "arm"), col("d"),
+        col("arm"), 0.5)
+      .orderBy("day")
+      .as[(java.sql.Date, Int, Long, Long, Double, Double, Double,
+        Boolean, Boolean)].collect().toSeq
+    assert(out.map(_._2) == Seq(1, 2, 3))          // looks in order
+    assert(out.map(_._3) == Seq(10L, 20L, 1020L))  // cumulative n
+    assert(out.map(_._4) == Seq(5L, 10L, 1010L))
+    assert(out.map(_._8) == Seq(false, false, true))
+    assert(out.map(_._9) == Seq(false, false, true))
+    assert(out(0)._6 == 0.0 && out(0)._7 == 1.0)   // balanced look
+  }
+
   test("joinFanoutAudit: per-key products, exact total, top-k order") {
     import graft.operators.Profile
     val left = Seq(1, 1, 1, 2, 2, 3, 4).map(k => (k, "l"))
