@@ -118,6 +118,50 @@ object TextAnalysis {
   }
 
   /**
+   * T56: curation-funnel report — the "where did my tokens go"
+   * accounting every corpus release ships: per source, document and
+   * token mass surviving each successive curation stage (length
+   * floor → language allowlist → lexical-diversity floor), plus the
+   * end-to-end keep rate. The stages CHAIN (a doc counts at stage i
+   * only if it passed every earlier stage), so the columns read as a
+   * funnel and the drop between adjacent columns attributes loss to
+   * exactly one filter — the number that decides which dial to
+   * retune when a source's yield collapses.
+   *
+   * One scan, one source-keyed partial aggregate — every stage flag
+   * is a projection expression ([[langId]], [[typeTokenRatio]],
+   * [[tokenCount]]), so the funnel costs the same as counting rows
+   * at any corpus size. Exact integers; the one ratio rounds(6).
+   */
+  def curationFunnel(
+      docs: org.apache.spark.sql.DataFrame, sourceCol: String,
+      textCol: String, minChars: Int, langs: Seq[String],
+      minTtr: Double): org.apache.spark.sql.DataFrame = {
+    require(minChars >= 0, s"minChars must be >= 0, got $minChars")
+    require(langs.nonEmpty, "langs must be non-empty")
+    val text = col(textCol)
+    val toks = tokenCount(text).cast("long")
+    val s1 = length(text) >= minChars
+    val s2 = s1 && langId(text).isin(langs.map(l => l: Any): _*)
+    val s3 = s2 && typeTokenRatio(text) >= minTtr
+    docs
+      .where(text.isNotNull)
+      .groupBy(col(sourceCol).as("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(toks).as("tokens_total"),
+        sum(when(s1, 1L).otherwise(0L)).as("n_after_length"),
+        sum(when(s1, toks).otherwise(0L)).as("tokens_after_length"),
+        sum(when(s2, 1L).otherwise(0L)).as("n_after_lang"),
+        sum(when(s2, toks).otherwise(0L)).as("tokens_after_lang"),
+        sum(when(s3, 1L).otherwise(0L)).as("n_after_ttr"),
+        sum(when(s3, toks).otherwise(0L)).as("tokens_after_ttr"))
+      .withColumn("keep_rate",
+        round(col("n_after_ttr").cast("double")
+          / col("n_docs").cast("double"), 6))
+  }
+
+  /**
    * Benchmark decontamination: ids of `docs` rows sharing at least
    * one distinct word `n`-gram with any `benchmark` document — the
    * standard n-gram-overlap check for keeping evaluation data out of

@@ -3155,6 +3155,17 @@ object PipelineQueries {
         .orderBy("event_type")
     }),
 
+    // T56 (round 10): curation funnel — per-source doc/token mass
+    // through length -> language -> lexical-diversity stages; one
+    // scan, one source aggregate.
+    "q280_curation_funnel" -> ((s, dir) => {
+      TextAnalysis.curationFunnel(
+          t(s, dir, "documents"), "source", "text",
+          minChars = 100, langs = Seq("en", "es", "fr", "de"),
+          minTtr = 0.4)
+        .orderBy("source")
+    }),
+
     // E38 (round 10): sequential SRM monitor — a deliberately
     // misdesigned split (arm = user%3 vs designed 0.35) whose
     // cumulative z crosses the alarm line mid-month at sf0.01:
@@ -5835,6 +5846,60 @@ object PipelineQueries {
         |    tt * (1.421413741 + tt * (-1.453152027 +
         |      tt * 1.061405429)))) * exp(-(xx * xx)), 6) AS p_value
         |FROM pt ORDER BY event_type""".stripMargin,
+
+    // T56: q23/q24's hit/TTR recipes chained as cumulative stage
+    // flags; exact integer masses, one round(6) ratio.
+    "q280_curation_funnel" ->
+      """WITH f AS (
+        |  SELECT source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+        |    length(text) >= 100 AS s1,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> list_contains(['the','a','of','and','is','to','in','it'], t))) AS INT) AS en_hits,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> list_contains(['el','la','de','que','y','en','los','se'], t))) AS INT) AS es_hits,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> list_contains(['le','la','de','et','les','des','un','une'], t))) AS INT) AS fr_hits,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> list_contains(['der','die','und','das','ist','von','den','ein'], t))) AS INT) AS de_hits,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS ttr
+        |  FROM documents WHERE text IS NOT NULL
+        |), g AS (
+        |  SELECT source, toks, s1, ttr,
+        |    CASE
+        |      WHEN en_hits > 0 AND en_hits >= es_hits
+        |        AND en_hits >= fr_hits AND en_hits >= de_hits THEN 'en'
+        |      WHEN es_hits > 0 AND es_hits >= fr_hits
+        |        AND es_hits >= de_hits THEN 'es'
+        |      WHEN fr_hits > 0 AND fr_hits >= de_hits THEN 'fr'
+        |      WHEN de_hits > 0 THEN 'de'
+        |      ELSE 'und' END AS lang
+        |  FROM f
+        |), h AS (
+        |  SELECT source, toks, s1,
+        |    s1 AND lang IN ('en','es','fr','de') AS s2,
+        |    s1 AND lang IN ('en','es','fr','de') AND ttr >= 0.4 AS s3
+        |  FROM g
+        |)
+        |SELECT source,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(toks) AS BIGINT) AS tokens_total,
+        |  CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_after_length,
+        |  CAST(SUM(CASE WHEN s1 THEN toks ELSE 0 END) AS BIGINT)
+        |    AS tokens_after_length,
+        |  CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_after_lang,
+        |  CAST(SUM(CASE WHEN s2 THEN toks ELSE 0 END) AS BIGINT)
+        |    AS tokens_after_lang,
+        |  CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_after_ttr,
+        |  CAST(SUM(CASE WHEN s3 THEN toks ELSE 0 END) AS BIGINT)
+        |    AS tokens_after_ttr,
+        |  round(CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS keep_rate
+        |FROM h GROUP BY source ORDER BY source""".stripMargin,
 
     // E38: daily aggregate + cumulative window sums over the bounded
     // day table, the q270 z->erf recipe per look; z signed (+0.0).

@@ -439,4 +439,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(3L)._2 == "und" && out(3L)._3 == 0 &&
       out(3L)._4 == 0.0 && !out(3L)._5)
   }
+
+  test("curationFunnel: stages chain; each doc drops at exactly one " +
+      "stage; token masses follow") {
+    // all texts padded past minChars=50 except the 'short' one
+    val longEn = "the cat sat and a dog ran to it while birds sang " +
+      "of summer days in golden light" // 18 distinct tokens, TTR 1.0
+    val lowTtr = ("the " * 24).trim // en markers, TTR = 1/24
+    val noLang = ("zz qq ww rr tt yy uu ii oo pp aa ss dd ff gg hh " * 2).trim
+    val docs = Seq(
+      ("src1", longEn),   // survives everything
+      ("src1", "the a"),  // fails length
+      ("src1", noLang),   // fails language
+      ("src1", lowTtr)    // fails TTR
+    ).toDF("source", "text")
+    val out = TextAnalysis.curationFunnel(docs, "source", "text",
+        minChars = 50, langs = Seq("en", "de"), minTtr = 0.4)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long,
+        Double)].collect().head
+    assert(out._2 == 4L)               // n_docs
+    assert(out._4 == 3L)               // after length
+    assert(out._6 == 2L)               // after lang
+    assert(out._8 == 1L)               // after ttr
+    assert(out._10 == 0.25)            // keep rate
+    // token masses stay consistent with the surviving docs
+    val nLongEn = longEn.split(" ").length.toLong
+    assert(out._9 == nLongEn)
+    assert(out._3 > out._5 && out._5 > out._7 && out._7 > out._9)
+  }
 }
