@@ -239,6 +239,11 @@ object Fuzzy {
     // value-frequency tables — ONE melted records scan serves every
     // field (|fields| separate scans would multiply the 100 TB read),
     // one (field, value) count shuffle, then a |fields|-row reduce.
+    // The melt renders values as strings for the shared shuffle; two
+    // distinct values of one field never collide as strings for
+    // int/string/decimal fields, and the one float edge (-0.0 vs 0.0
+    // render apart but compare equal) only perturbs u's estimate, not
+    // the pair scoring, which compares the RAW typed columns.
     val mLit = fields.foldLeft(lit(null).cast("double")) {
       case (acc, (f, m)) => when(col("field") === f, lit(m)).otherwise(acc)
     }
