@@ -1641,6 +1641,67 @@ object Quality {
   }
 
   /**
+   * E39: A/A calibration battery — the "is my testing stack lying"
+   * check run before trusting any readout from a new metric or a new
+   * segment definition: R deterministic null splits (no treatment
+   * exists, so every significant result is a false positive) each
+   * get the standard two-proportion z; a healthy stack flags ≈ α of
+   * them, and a rate far above α means the test's independence
+   * assumptions are broken for THIS metric (clustered exposure,
+   * heavy tails, unit mismatch) — fix the analysis unit before
+   * running a real experiment.
+   *
+   * Splits are `(unit + r) % 2` for replicate r — deterministic and
+   * null by construction (parity of unit+r carries no treatment),
+   * reproducible on any engine with integer arithmetic only.
+   * z/p follow the q229 exact recipe (round(6) z, erf polynomial on
+   * the rounded z); degenerate replicates (empty arm / zero pooled
+   * variance) emit NULL — "untestable", not significant.
+   *
+   * Scale: ONE pass — the replicate grid broadcasts onto the unit
+   * rows and every replicate's cells partial-aggregate in the same
+   * shuffle; R multiplies aggregate input rows, not scans.
+   */
+  def aaCalibration(
+      df: DataFrame, unitCol: Column, convCol: Column,
+      replicates: Int, alpha: Double = 0.05): DataFrame = {
+    require(replicates >= 1, s"replicates must be >= 1, got $replicates")
+    require(alpha > 0.0 && alpha < 1.0, s"alpha must be in (0,1), got $alpha")
+    val spark = df.sparkSession
+    val grid = broadcast(
+      spark.createDataFrame((1 to replicates).map(Tuple1(_)))
+        .toDF("replicate"))
+    val arm = (unitCol + col("replicate")) % 2 === 0
+    val g = df
+      .where(unitCol.isNotNull && convCol.isNotNull)
+      .crossJoin(grid)
+      .groupBy("replicate")
+      .agg(
+        sum(when(arm, 1L).otherwise(0L)).as("n_a"),
+        sum(when(!arm, 1L).otherwise(0L)).as("n_b"),
+        sum(when(arm && convCol, 1L).otherwise(0L)).as("conv_a"),
+        sum(when(!arm && convCol, 1L).otherwise(0L)).as("conv_b"))
+    // empty arms become NULL divisors, not 0 (the q276 ANSI/CSE rule;
+    // DuckDB x/0 = NULL gives the oracle the identical NULLs)
+    val naN = when(col("n_a") > 0L, col("n_a").cast("double"))
+    val nbN = when(col("n_b") > 0L, col("n_b").cast("double"))
+    val pa = col("conv_a").cast("double") / naN
+    val pb = col("conv_b").cast("double") / nbN
+    val pp = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b"))
+    val se = sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / naN + lit(1.0) / nbN))
+    // se == +0.0 (degenerate pooled variance) must also become a NULL
+    // divisor — CSE would evaluate the hoisted division regardless of
+    // an outer when() guard
+    val seN = when(se > 0.0, se)
+    val z = round((pa - pb) / seN, 6)
+    g.withColumn("z", z)
+      .withColumn("p_value", round(normalTwoSidedP(col("z")), 6))
+      .withColumn("significant", col("p_value") < alpha)
+  }
+
+  /**
    * E38: sequential SRM monitor — [[srmCheck]] unrolled over daily
    * looks (the [[sequentialMonitor]] companion): assignment plumbing
    * doesn't break at launch only — a mid-flight config push, a bot

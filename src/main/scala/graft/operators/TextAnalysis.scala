@@ -162,6 +162,51 @@ object TextAnalysis {
   }
 
   /**
+   * T57: reference-overlap rate — the GRADED counterpart of the
+   * binary decontamination flag ([[contaminatedIds]]): per document,
+   * the fraction of its distinct word n-grams that also occur in a
+   * reference corpus. The memorization/quotation dial (cf. the
+   * Lee et al. 2022 overlap analyses): rate ≈ 1 is a copy or a
+   * boilerplate template, mid rates are heavy quotation, and the
+   * distribution per source tells you which feeds are recycled
+   * content before a single model is trained. Flags can't rank
+   * remediation; rates can.
+   *
+   * Scale: distinct doc shingles (one explode + per-doc distinct),
+   * distinct reference shingles (Zipf-bounded set), one equi-join on
+   * the shingle key flagging membership, one per-doc count reduce —
+   * O(total tokens), never pairwise. Docs too short to have a single
+   * n-gram surface with n_grams = 0 and a NULL rate (distinct from
+   * rate 0 = "none of its grams are referenced").
+   */
+  def referenceOverlapRate(
+      docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, ref: org.apache.spark.sql.DataFrame,
+      refTextCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val docSh = Dedup.shingles(docs, idCol, textCol, n)
+    val refSh = Dedup.shingles(
+        ref.select(lit(0L).as("__rid"), col(refTextCol).as("__rtext")),
+        "__rid", "__rtext", n)
+      .select(col("shingle"), lit(true).as("__inref"))
+      .distinct()
+    val stats = docSh
+      .join(refSh, Seq("shingle"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("__inref"), 1L).otherwise(0L)).as("n_in_ref"))
+    docs.select(col(idCol)).distinct()
+      .join(stats, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_in_ref"), lit(0L)).as("n_in_ref"),
+        when(col("n_grams") > 0L,
+          round(col("n_in_ref").cast("double")
+            / col("n_grams").cast("double"), 6)).as("overlap_rate"))
+  }
+
+  /**
    * Benchmark decontamination: ids of `docs` rows sharing at least
    * one distinct word `n`-gram with any `benchmark` document — the
    * standard n-gram-overlap check for keeping evaluation data out of

@@ -3155,6 +3155,29 @@ object PipelineQueries {
         .orderBy("event_type")
     }),
 
+    // E39 (round 10): A/A calibration battery — 12 deterministic
+    // null splits of the q229 conversion metric; every significant
+    // replicate is a false positive, so the significant-fraction IS
+    // the stack's real alpha.
+    "q281_aa_calibration" -> ((s, dir) => {
+      graft.operators.Quality.aaCalibration(
+          t(s, dir, "events"), col("user_id"), col("value") >= 0.5,
+          replicates = 12, alpha = 0.05)
+        .orderBy("replicate")
+    }),
+
+    // T57 (round 10): reference-overlap rate — per-doc fraction of
+    // distinct trigrams present in the src0 reference slice; the
+    // graded memorization/quotation dial behind the binary
+    // decontamination flag.
+    "q282_reference_overlap" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextAnalysis.referenceOverlapRate(
+          d.where(col("source") =!= "src0"), "doc_id", "text",
+          d.where(col("source") === "src0"), "text", n = 3)
+        .orderBy("doc_id")
+    }),
+
     // T56 (round 10): curation funnel — per-source doc/token mass
     // through length -> language -> lexical-diversity stages; one
     // scan, one source aggregate.
@@ -5846,6 +5869,86 @@ object PipelineQueries {
         |    tt * (1.421413741 + tt * (-1.453152027 +
         |      tt * 1.061405429)))) * exp(-(xx * xx)), 6) AS p_value
         |FROM pt ORDER BY event_type""".stripMargin,
+
+    // E39: the q229 two-proportion recipe per null replicate; arms
+    // from integer parity, z (+0.0) on the guarded se, p on the
+    // rounded z.
+    "q281_aa_calibration" ->
+      """WITH g AS (
+        |  SELECT r.replicate,
+        |    CAST(SUM(CASE WHEN (user_id + r.replicate) % 2 = 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN (user_id + r.replicate) % 2 <> 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN (user_id + r.replicate) % 2 = 0
+        |      AND value >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS conv_a,
+        |    CAST(SUM(CASE WHEN (user_id + r.replicate) % 2 <> 0
+        |      AND value >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS conv_b
+        |  FROM events e CROSS JOIN (
+        |    SELECT CAST(unnest(generate_series(1, 12)) AS INT)
+        |      AS replicate) r
+        |  WHERE e.user_id IS NOT NULL AND e.value IS NOT NULL
+        |  GROUP BY 1
+        |), zt AS (
+        |  SELECT replicate, n_a, n_b, conv_a, conv_b,
+        |    CASE WHEN n_a > 0 AND n_b > 0 AND
+        |      sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+        |        * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+        |        * (1.0 / n_a + 1.0 / n_b)) > 0
+        |    THEN round(
+        |      (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+        |      / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+        |        * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+        |        * (1.0 / n_a + 1.0 / n_b)), 6) + 0.0 END AS z
+        |  FROM g
+        |), pt AS (
+        |  SELECT *, abs(z) / sqrt(2.0) AS x,
+        |    1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS t
+        |  FROM zt
+        |), pv AS (
+        |  SELECT replicate, n_a, n_b, conv_a, conv_b, z,
+        |    round(t * (0.254829592 + t * (-0.284496736 +
+        |      t * (1.421413741 + t * (-1.453152027 +
+        |        t * 1.061405429)))) * exp(-(x * x)), 6) AS p_value
+        |  FROM pt
+        |)
+        |SELECT replicate, n_a, n_b, conv_a, conv_b, z, p_value,
+        |  p_value < 0.05 AS significant
+        |FROM pv ORDER BY replicate""".stripMargin,
+
+    // T57: distinct doc/reference trigram sets, one membership join,
+    // one per-doc reduce; shingle-less docs keep NULL rate.
+    "q282_reference_overlap" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS w
+        |  FROM documents
+        |), dsh AS (
+        |  SELECT DISTINCT doc_id,
+        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |  FROM (SELECT doc_id, w,
+        |      unnest(generate_series(1, len(w) - 2)) AS i
+        |    FROM toks WHERE source <> 'src0')
+        |), rsh AS (
+        |  SELECT DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |  FROM (SELECT w, unnest(generate_series(1, len(w) - 2)) AS i
+        |    FROM toks WHERE source = 'src0')
+        |), st AS (
+        |  SELECT d.doc_id, COUNT(*) AS n_grams,
+        |    CAST(SUM(CASE WHEN r.g IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_in_ref
+        |  FROM dsh d LEFT JOIN rsh r ON r.g = d.g
+        |  GROUP BY 1
+        |)
+        |SELECT dd.doc_id,
+        |  CAST(COALESCE(st.n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(COALESCE(st.n_in_ref, 0) AS BIGINT) AS n_in_ref,
+        |  CASE WHEN COALESCE(st.n_grams, 0) > 0 THEN
+        |    round(CAST(st.n_in_ref AS DOUBLE)
+        |      / CAST(st.n_grams AS DOUBLE), 6) END AS overlap_rate
+        |FROM (SELECT DISTINCT doc_id FROM documents
+        |  WHERE source <> 'src0') dd
+        |LEFT JOIN st ON st.doc_id = dd.doc_id
+        |ORDER BY dd.doc_id""".stripMargin,
 
     // T56: q23/q24's hit/TTR recipes chained as cumulative stage
     // flags; exact integer masses, one round(6) ratio.

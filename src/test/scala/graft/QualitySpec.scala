@@ -962,6 +962,28 @@ class QualitySpec extends AnyFunSuite {
     assert(out._4 == 0.9 && out._5 == 0.9 && out._6 == 0.0 && !out._8)
   }
 
+  test("aaCalibration: null splits stay null; degenerate conversion " +
+      "goes NULL; deterministic rerun") {
+    // units 0..199, conv = unit % 5 == 0 (20%): every parity split is
+    // exactly balanced, so every replicate's z is exactly 0, p = 1
+    val df = (0L until 200L).map(u => (u, u % 5 == 0)).toDF("u", "conv")
+    val out = Quality.aaCalibration(df, col("u"), col("conv"),
+        replicates = 4)
+      .orderBy("replicate")
+      .as[(Int, Long, Long, Long, Long, Option[Double], Option[Double],
+        Option[Boolean])].collect().toSeq
+    assert(out.map(_._1) == Seq(1, 2, 3, 4))
+    assert(out.forall(r => r._2 == 100L && r._3 == 100L))
+    assert(out.forall(r => r._6 === Some(0.0) && r._7 === Some(1.0) &&
+      r._8 === Some(false)))
+    // all-converting metric: pooled variance 0 -> untestable NULLs
+    val degen = (0L until 10L).map(u => (u, true)).toDF("u", "conv")
+    val d = Quality.aaCalibration(degen, col("u"), col("conv"), 2)
+      .as[(Int, Long, Long, Long, Long, Option[Double], Option[Double],
+        Option[Boolean])].collect()
+    assert(d.forall(r => r._6.isEmpty && r._7.isEmpty))
+  }
+
   test("srmMonitor: cumulative looks, alarm fires on the broken day, " +
       "first_alarm marks it exactly once") {
     val d1 = java.sql.Date.valueOf("2024-01-01")

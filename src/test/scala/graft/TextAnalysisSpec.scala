@@ -440,6 +440,25 @@ class TextAnalysisSpec extends AnyFunSuite {
       out(3L)._4 == 0.0 && !out(3L)._5)
   }
 
+  test("referenceOverlapRate: full copy = 1, disjoint = 0, short doc " +
+      "NULL, partial counted on distinct grams") {
+    val ref = Seq((0L, "a b c d e")).toDF("rid", "rtext")
+    val docs = Seq(
+      (1L, "a b c d e"),   // all 3 trigrams in ref -> 1.0
+      (2L, "x y z w"),     // 2 trigrams, none in ref -> 0.0
+      (3L, "a b"),         // no trigram -> n_grams 0, NULL rate
+      (4L, "a b c x y z")  // 4 trigrams, one (a b c) in ref -> 0.25
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.referenceOverlapRate(docs, "doc_id", "text",
+        ref, "rtext", n = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Option[Double])].collect().toSeq
+    assert(out(0) === ((1L, 3L, 3L, Some(1.0))))
+    assert(out(1) === ((2L, 2L, 0L, Some(0.0))))
+    assert(out(2) === ((3L, 0L, 0L, None)))
+    assert(out(3) === ((4L, 4L, 1L, Some(0.25))))
+  }
+
   test("curationFunnel: stages chain; each doc drops at exactly one " +
       "stage; token masses follow") {
     // all texts padded past minChars=50 except the 'short' one
