@@ -209,6 +209,19 @@ object Bpe {
           .groupBy("lhs").agg(max(col("cnt")).as("m"))
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
         val used = scala.collection.mutable.Set.empty[String]
+        // Symbols that ALREADY exist when a candidate would mint them
+        // again — from any prior round's merge or earlier in this
+        // batch. The new-pair dominance bound assumes pairs touching
+        // the minted symbol are NEW (count = created occurrences
+        // only); when `l + r` already lives in the vocab, merging
+        // ADDS to existing (x, lr)/(lr, y) counts, so a LATER
+        // candidate could be out-ranked by a pair the bound never
+        // saw. A re-minting candidate is itself exact (disjointness
+        // still protects its own count), so it may be accepted — but
+        // it must TERMINATE the batch: the next recount then sees
+        // the combined counts exactly, as sequential BPE does.
+        val minted = scala.collection.mutable.Set(
+          merges.map(m => m.lhs + m.rhs).toSeq: _*)
         val accepted = ArrayBuffer.empty[(String, String, Long)]
         var mb = Long.MinValue
         var stopped = false
@@ -219,6 +232,8 @@ object Bpe {
             if (!ok) stopped = true
             else {
               accepted += ((l, r, c))
+              if (minted(l + r)) stopped = true
+              minted += l + r
               used ++= Seq(l, r, l + r)
               mb = math.max(mb, math.max(
                 maxIn.getOrElse(l, Long.MinValue),

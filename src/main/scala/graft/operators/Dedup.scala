@@ -726,21 +726,11 @@ object Dedup {
     // long before execution does. A checkpoint (eager) severs the
     // lineage every round, keeping the plan O(1) per round.
     //
-    // Durability: localCheckpoint blocks die with their executor and
-    // BY DESIGN cannot be recomputed (lineage severed) — on a real
-    // cluster one lost executor kills an O(log n)-round job. When the
-    // caller has set a checkpoint dir (`sc.setCheckpointDir`), every
-    // round barrier is a RELIABLE checkpoint instead: round state
-    // lives in the fault-tolerant FS and survives executor loss.
-    // local[32] (and the sbt suite) runs the localCheckpoint fast
-    // path; cluster deployments opt into durability with one line.
-    // Reliable-mode checkpoint files are reclaimed by the caller
-    // dropping the checkpoint dir (or
-    // spark.cleaner.referenceTracking.cleanCheckpoints=true); the
-    // freeLocalCheckpoint calls below are block-level and no-op there.
-    val reliable = spark.sparkContext.getCheckpointDir.isDefined
-    def barrier(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() else df.localCheckpoint()
+    // Durability: the shared [[Barrier]] contract — reliable
+    // `checkpoint()` when the caller set a checkpoint dir (round
+    // state survives executor loss — the cluster deployment shape),
+    // `localCheckpoint()` otherwise (the local[32]/test fast path).
+    import Barrier.barrier
     var edges = barrier(pairs
       .select(
         greatest(col("doc_a"), col("doc_b")).as("u"),

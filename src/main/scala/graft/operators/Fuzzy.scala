@@ -206,7 +206,10 @@ object Fuzzy {
    * unusual name) worth more than common-value agreement. `u` is
    * clamped to [1/(N·(N−1)), 1 − 1/(N·(N−1))] so degenerate fields
    * (all-distinct or single-valued) yield finite weights instead of
-   * ±∞.
+   * ±∞; a field with fewer than two non-null records (where the
+   * clamp itself degenerates — N·(N−1) = 0) contributes weight 0
+   * both ways, the same "no evidence" convention as a NULL
+   * comparison.
    *
    * ENGINE-EXACT: weights are per-FIELD scalars — each is one IEEE
    * division + one log₂, rounded to 6dp (the house ln-output
@@ -258,22 +261,37 @@ object Fuzzy {
       .agg(
         sum(col("__c") * (col("__c") - 1L)).as("__agree"),
         sum(col("__c")).as("__n"))
+      .select(col("field"), col("__agree"), col("__n"),
+        // N < 2 makes N·(N−1) = 0 — NULL the divisor (ANSI Spark
+        // throws on ANY /0, and CSE hoists the division out of
+        // when() guards, so guarding the output alone cannot help);
+        // NULL propagates through the clamp to a NULL u, which the
+        // weight guard below resolves to 0.
+        when(col("__n") >= 2L,
+          (col("__n") * (col("__n") - 1L)).cast("double")).as("__nn1"))
       .select(col("field"),
         // clamp into the open unit interval at 1/(N(N-1)) so
         // all-distinct (u=0) and constant (u=1) fields stay finite
         greatest(
           least(
-            col("__agree").cast("double")
-              / (col("__n") * (col("__n") - 1L)).cast("double"),
-            lit(1.0) - lit(1.0)
-              / (col("__n") * (col("__n") - 1L)).cast("double")),
-          lit(1.0) / (col("__n") * (col("__n") - 1L)).cast("double"))
+            col("__agree").cast("double") / col("__nn1"),
+            lit(1.0) - lit(1.0) / col("__nn1")),
+          lit(1.0) / col("__nn1"))
           .as("u"),
-        mLit.as("m"))
+        mLit.as("m"), col("__n"))
       .select(col("field"),
-        round(log2(col("m") / col("u")), 6)
+        // a field with one non-null record carries no agreement
+        // evidence at all (u is NULL above), so it contributes
+        // weight 0 both ways — the same convention as a NULL
+        // comparison — keeping the finite-weights contract.
+        // Inactive on any field with ≥ 2 non-null records, so
+        // gate-scale oracles need no mirror.
+        when(col("__n") >= 2L, round(log2(col("m") / col("u")), 6))
+          .otherwise(lit(0.0))
           .cast("decimal(18,6)").as("w_agree"),
-        round(log2((lit(1.0) - col("m")) / (lit(1.0) - col("u"))), 6)
+        when(col("__n") >= 2L,
+          round(log2((lit(1.0) - col("m")) / (lit(1.0) - col("u"))), 6))
+          .otherwise(lit(0.0))
           .cast("decimal(18,6)").as("w_disagree"))
 
     // Wide pass over the joined pair: per-field agreement flag

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import Barrier.BarrierOps
+
 /**
  * Graph analytics beyond connected components ([[Dedup]]'s
  * large-star/small-star CC): weighted PageRank by power iteration —
@@ -47,7 +49,6 @@ object Graph {
     require(damping > 0.0 && damping < 1.0,
       s"damping must be in (0,1), got $damping")
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val spark = edges.sparkSession
     val e = edges.select(
       col(srcCol).as("src"), col(dstCol).as("node"),
       col(weightCol).cast("double").as("w"))
@@ -55,9 +56,7 @@ object Graph {
       .unionAll(e.select(col("node")))
       .distinct()
     val outW = e.groupBy("src").agg(sum(col("w")).as("ow"))
-    val reliable = spark.sparkContext.getCheckpointDir.isDefined
-    def barrier(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() else df.localCheckpoint()
+    import Barrier.barrier
     val nodesP = barrier(nodes)
     val nN = nodesP.count().toDouble
     // Loop-invariant frames, materialized ONCE: the edge⋈out-weight
@@ -89,11 +88,11 @@ object Graph {
           (lit((1.0 - damping) / nN) + lit(damping) *
             (coalesce(col("__contrib"), lit(0.0)) + col("__dang") / nN))
             .as("rank")))
-      org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(ranks)
+      Barrier.free(ranks)
       ranks = next
     }
-    org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(eNorm)
-    org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(sinks)
+    Barrier.free(eNorm)
+    Barrier.free(sinks)
     ranks
   }
 
@@ -127,12 +126,19 @@ object Graph {
    */
   def triangleCounts(
       edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    // barrier the canonical edge set (three consumers: degrees, the
+    // orientation join, the closing-edge join) and, below, the
+    // oriented set (both wedge self-join branches) — guaranteed
+    // single evaluation instead of hoping canonical exchange reuse
+    // fires (the q127 pruning class), and the reliable-checkpoint
+    // durability contract when a checkpoint dir is set
     val und = edges
       .select(
         least(col(srcCol), col(dstCol)).as("lo"),
         greatest(col(srcCol), col(dstCol)).as("hi"))
       .where(col("lo") =!= col("hi"))
       .distinct()
+      .barriered
     val degrees = und.select(col("lo").as("node"))
       .unionAll(und.select(col("hi").as("node")))
       .groupBy("node").agg(count(lit(1)).as("degree"))
@@ -149,6 +155,7 @@ object Graph {
         .otherwise(col("hi")).as("u"),
       when(col("__dl") <= col("__dh"), col("hi"))
         .otherwise(col("lo")).as("v"))
+      .barriered
     // wedges at the shared low vertex u: a.v < b.v both dedupes the
     // two orderings of each wedge AND canonicalizes (lo, hi) for the
     // closing-edge join — a.v IS the smaller endpoint by the join
@@ -210,15 +217,15 @@ object Graph {
         greatest(col(srcCol), col(dstCol)).as("hi"))
       .where(col("lo") =!= col("hi"))
       .distinct()
-      .localCheckpoint()
+      .barriered
     var r = 0
     while (r < rounds) {
       val keep = degrees(live).where(col("degree") >= k).select("node")
       val next = live
         .join(keep.withColumnRenamed("node", "lo"), Seq("lo"), "left_semi")
         .join(keep.withColumnRenamed("node", "hi"), Seq("hi"), "left_semi")
-        .localCheckpoint()
-      org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(live)
+        .barriered
+      Barrier.free(live)
       live = next
       r += 1
     }
@@ -272,10 +279,10 @@ object Graph {
       .unionAll(directed.select(col("b").as("a"), col("a").as("b"),
         col("w")))
       .groupBy("a", "b").agg(sum(col("w")).as("w"))
-      .localCheckpoint()
+      .barriered
     var labels = und.select(col("a").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
-      .localCheckpoint()
+      .barriered
     var r = 0
     while (r < rounds) {
       val next = und
@@ -287,8 +294,8 @@ object Graph {
         .agg(min(struct((-col("s")).as("ns"), col("nl").as("l")))
           .as("__m"))
         .select(col("a").as("node"), col("__m.l").as("lbl"))
-        .localCheckpoint()
-      org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(labels)
+        .barriered
+      Barrier.free(labels)
       labels = next
       r += 1
     }
@@ -344,11 +351,11 @@ object Graph {
         greatest(col(srcCol), col(dstCol)).as("hi"))
       .where(col("lo") =!= col("hi"))
       .distinct()
-      .localCheckpoint()
+      .barriered
     val nbrs = und.select(col("lo").as("node"), col("hi").as("nbr"))
       .unionAll(und.select(col("hi").as("node"), col("lo").as("nbr")))
     val deg = nbrs.groupBy("node").agg(count(lit(1)).as("degree"))
-      .localCheckpoint()
+      .barriered
     // via-keyed adjacency, super-hub vias dropped BEFORE the
     // self-join so wedge volume is ≤ cap · |kept adjacency|
     val via = nbrs
@@ -356,7 +363,7 @@ object Graph {
       .join(deg.select(col("node").as("via"), col("degree").as("__vd")),
         Seq("via"))
       .where(col("__vd") <= maxViaDegree)
-      .localCheckpoint()
+      .barriered
     val pairs = via.as("a")
       .join(via.as("b"),
         col("a.via") === col("b.via") && col("a.node") < col("b.node"))
@@ -407,16 +414,25 @@ object Graph {
       minSupport: Long, maxBasket: Long = Long.MaxValue): DataFrame = {
     require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
     require(maxBasket >= 2, s"maxBasket must be >= 2, got $maxBasket")
+    // barrier the deduped relation: it feeds both wedge self-join
+    // branches (plus the basket-count aggregate when capped) —
+    // guaranteed single evaluation + the shared durability contract
     val cp = rel
       .select(col(leftCol).as("__l"), col(rightCol).as("__r"))
       .distinct()
+      .barriered
     val kept =
       if (maxBasket == Long.MaxValue) cp
-      else cp.join(
-        cp.groupBy("__l").agg(count(lit(1)).as("__bs"))
-          .where(col("__bs") <= maxBasket)
-          .select("__l"),
-        Seq("__l"), "left_semi")
+      else {
+        val k = cp.join(
+          cp.groupBy("__l").agg(count(lit(1)).as("__bs"))
+            .where(col("__bs") <= maxBasket)
+            .select("__l"),
+          Seq("__l"), "left_semi")
+          .barriered
+        Barrier.free(cp)
+        k
+      }
     kept.as("a")
       .join(kept.as("b"),
         col("a.__l") === col("b.__l") && col("a.__r") < col("b.__r"))
@@ -455,11 +471,11 @@ object Graph {
         greatest(col(srcCol), col(dstCol)).as("hi"))
       .where(col("lo") =!= col("hi"))
       .distinct()
-      .localCheckpoint()
+      .barriered
     val nbrs = und.select(col("lo").as("node"), col("hi").as("nbr"))
       .unionAll(und.select(col("hi").as("node"), col("lo").as("nbr")))
     val deg = nbrs.groupBy("node").agg(count(lit(1)).as("degree"))
-      .localCheckpoint()
+      .barriered
     val joined = nbrs
       .join(deg.select(col("node"), col("degree").as("__dx")), Seq("node"))
       .join(deg.select(col("node").as("nbr"), col("degree").as("__dy")),
@@ -528,15 +544,15 @@ object Graph {
         greatest(col(srcCol), col(dstCol)).as("hi"))
       .where(col("lo") =!= col("hi"))
       .distinct()
-      .localCheckpoint()
+      .barriered
     val nbrs = und.select(col("lo").as("node"), col("hi").as("nbr"))
       .unionAll(und.select(col("hi").as("node"), col("lo").as("nbr")))
-      .localCheckpoint()
-    org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(und)
+      .barriered
+    Barrier.free(und)
     var frontier = seeds.select(col(seedCol).as("node")).distinct()
-      .localCheckpoint()
+      .barriered
     var reached = frontier.select(col("node"), lit(0).as("hop"))
-      .localCheckpoint()
+      .barriered
     var r = 1
     while (r <= rounds) {
       val next = frontier
@@ -544,17 +560,17 @@ object Graph {
         .select(col("nbr").as("node"))
         .distinct()
         .join(reached.select("node"), Seq("node"), "left_anti")
-        .localCheckpoint()
+        .barriered
       val grown = reached
         .unionAll(next.select(col("node"), lit(r).as("hop")))
-        .localCheckpoint()
-      org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(frontier)
-      org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(reached)
+        .barriered
+      Barrier.free(frontier)
+      Barrier.free(reached)
       frontier = next
       reached = grown
       r += 1
     }
-    org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(nbrs)
+    Barrier.free(nbrs)
     reached.orderBy("node")
   }
 
@@ -606,22 +622,28 @@ object Graph {
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
-      .localCheckpoint()
+      .barriered
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node")))
       .distinct()
-      .localCheckpoint()
+      .barriered
     // floor((raw/total)·10⁹) as a long; total == 0 (possible only on
     // an empty edge set) degrades to all-zero scores, never NaN.
     def norm(raw: Column, total: Column): Column =
       when(total <= 0L, lit(0L)).otherwise(
         floor(raw.cast("double") / total.cast("double") * lit(NANO)))
-    var hub = nodes.withColumn("hq", lit(NANO.toLong)).localCheckpoint()
+    var hub = nodes.withColumn("hq", lit(NANO.toLong)).barriered
     var auth: DataFrame = null
     for (_ <- 1 to iters) {
+      // each half-round's raw aggregate feeds TWO consumers (the
+      // one-row total and the normalization join) — barrier it so the
+      // edge join + partial-agg shuffle executes once, not twice (the
+      // q127 reuse rule), and free it as soon as the normalized state
+      // has materialized
       val aRaw = e.join(hub.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("hq")).as("__raw"))
+        .barriered
       val aTot = aRaw.agg(
         coalesce(sum(col("__raw")), lit(0L)).as("__tot"))
       val nextAuth = nodes
@@ -629,10 +651,12 @@ object Graph {
         .crossJoin(aTot)
         .select(col("node"),
           norm(coalesce(col("__raw"), lit(0L)), col("__tot")).as("aq"))
-        .localCheckpoint()
+        .barriered
+      Barrier.free(aRaw)
       val hRaw = e.join(nextAuth.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src").as("node"))
         .agg(sum(col("aq")).as("__raw"))
+        .barriered
       val hTot = hRaw.agg(
         coalesce(sum(col("__raw")), lit(0L)).as("__tot"))
       val nextHub = nodes
@@ -640,10 +664,11 @@ object Graph {
         .crossJoin(hTot)
         .select(col("node"),
           norm(coalesce(col("__raw"), lit(0L)), col("__tot")).as("hq"))
-        .localCheckpoint()
+        .barriered
+      Barrier.free(hRaw)
       if (auth != null)
-        org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(auth)
-      org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(hub)
+        Barrier.free(auth)
+      Barrier.free(hub)
       auth = nextAuth
       hub = nextHub
     }
@@ -651,11 +676,11 @@ object Graph {
       .select(col("node"),
         (col("hq").cast("double") / lit(NANO)).as("hub"),
         (col("aq").cast("double") / lit(NANO)).as("auth"))
-      .localCheckpoint()
-    org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(hub)
-    org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(auth)
-    org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(e)
-    org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(nodes)
+      .barriered
+    Barrier.free(hub)
+    Barrier.free(auth)
+    Barrier.free(e)
+    Barrier.free(nodes)
     out
   }
 
@@ -708,9 +733,9 @@ object Graph {
       col(srcCol).as("src"), col(dstCol).as("node"),
       col(weightCol).cast("long").as("w"))
       .where(col("src").isNotNull && col("node").isNotNull && col("w") > 0L)
-      .localCheckpoint()
+      .barriered
     val sd = seeds.select(col(seedCol).as("node")).distinct()
-      .localCheckpoint()
+      .barriered
     val nS = sd.count()
     require(nS >= 1L, "seeds must be non-empty")
     // teleq: each seed's teleport allocation in nano-units (exact
@@ -722,22 +747,22 @@ object Graph {
       .unionAll(e.select(col("node")))
       .unionAll(sd.select(col("node")))
       .distinct()
-      .localCheckpoint()
-    val eNorm = e.join(outW, "src").localCheckpoint()
+      .barriered
+    val eNorm = e.join(outW, "src").barriered
     val sinks = nodes
       .join(outW, col("node") === col("src"), "left_anti")
       .select(col("node").as("__sink"))
-      .localCheckpoint()
+      .barriered
     val teleported = nodes
       .join(sd.select(col("node"), lit(true).as("__isSeed")),
         Seq("node"), "left")
       .select(col("node"),
         when(col("__isSeed"), lit(teleqSeed)).otherwise(lit(0L))
           .as("teleq"))
-      .localCheckpoint()
+      .barriered
     var ranks = teleported.select(col("node"), col("teleq").as("rq"))
-      .localCheckpoint()
-    org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(e)
+      .barriered
+    Barrier.free(e)
     for (_ <- 1 to iters) {
       val r = ranks.select(col("node").as("__src"), col("rq"))
       val contribs = r
@@ -760,20 +785,20 @@ object Graph {
             + floor(lit(damping) * (col("__dang").cast("double")
               * (col("teleq").cast("double") / lit(NANO)))))
             .as("rq"))
-        .localCheckpoint()
-      org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(ranks)
+        .barriered
+      Barrier.free(ranks)
       ranks = next
     }
     val out = ranks
       .select(col("node"), (col("rq").cast("double") / lit(NANO))
         .as("score"))
-      .localCheckpoint()
-    org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(ranks)
-    org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(eNorm)
-    org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(sinks)
-    org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(teleported)
-    org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(nodes)
-    org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(sd)
+      .barriered
+    Barrier.free(ranks)
+    Barrier.free(eNorm)
+    Barrier.free(sinks)
+    Barrier.free(teleported)
+    Barrier.free(nodes)
+    Barrier.free(sd)
     out
   }
 }

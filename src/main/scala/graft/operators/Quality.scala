@@ -1651,9 +1651,14 @@ object Quality {
    * heavy tails, unit mismatch) — fix the analysis unit before
    * running a real experiment.
    *
-   * Splits are `(unit + r) % 2` for replicate r — deterministic and
-   * null by construction (parity of unit+r carries no treatment),
-   * reproducible on any engine with integer arithmetic only.
+   * Splits are the [[mix31]] hash of (unit, replicate) —
+   * deterministic, null by construction (the hash carries no
+   * treatment), and DECORRELATED across replicates: additive parity
+   * `(unit + r) % 2` would make every replicate an arm-swap of the
+   * same split (identical |z| in all replicates, so the significant
+   * fraction could only read 0 or 1 — useless as a calibration);
+   * diffusing the replicate index through two multiply–xorshift
+   * rounds gives R effectively independent null splits.
    * z/p follow the q229 exact recipe (round(6) z, erf polynomial on
    * the rounded z); degenerate replicates (empty arm / zero pooled
    * variance) emit NULL — "untestable", not significant.
@@ -1662,6 +1667,28 @@ object Quality {
    * rows and every replicate's cells partial-aggregate in the same
    * shuffle; R multiplies aggregate input rows, not scans.
    */
+  /**
+   * 31-bit multiply–xorshift mix of (unit, replicate) — the
+   * deterministic per-row null-split hash behind [[aaCalibration]].
+   * Two murmur3-finalizer-style rounds over BIGINT arithmetic that
+   * stays exact (and engine-identical) everywhere: every
+   * intermediate is non-negative and < 2⁶³ (largest product
+   * (2³¹−1)·3266489917 ≈ 2⁶²·⁶), so Spark's ANSI long ops and
+   * DuckDB's BIGINT `xor`/`>>`/`%` agree bit-for-bit. Negative
+   * units are handled via `pmod` on the Spark side; oracle mirrors
+   * assume non-negative unit keys (true of every house id column).
+   */
+  private[operators] def mix31(unit: Column, replicate: Column): Column = {
+    val m31 = lit(2147483648L)
+    val h0 = pmod(unit.cast("long"), m31)
+      .bitwiseXOR(pmod(replicate.cast("long") * lit(2654435761L), m31))
+    val h1 = pmod(
+      h0.bitwiseXOR(shiftright(h0, 16)) * lit(2246822519L), m31)
+    val h2 = pmod(
+      h1.bitwiseXOR(shiftright(h1, 13)) * lit(3266489917L), m31)
+    h2.bitwiseXOR(shiftright(h2, 16))
+  }
+
   def aaCalibration(
       df: DataFrame, unitCol: Column, convCol: Column,
       replicates: Int, alpha: Double = 0.05): DataFrame = {
@@ -1671,7 +1698,7 @@ object Quality {
     val grid = broadcast(
       spark.createDataFrame((1 to replicates).map(Tuple1(_)))
         .toDF("replicate"))
-    val arm = (unitCol + col("replicate")) % 2 === 0
+    val arm = mix31(unitCol, col("replicate")) % 2 === 0
     val g = df
       .where(unitCol.isNotNull && convCol.isNotNull)
       .crossJoin(grid)

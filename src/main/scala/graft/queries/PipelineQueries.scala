@@ -5874,20 +5874,34 @@ object PipelineQueries {
     // from integer parity, z (+0.0) on the guarded se, p on the
     // rounded z.
     "q281_aa_calibration" ->
-      """WITH g AS (
-        |  SELECT r.replicate,
-        |    CAST(SUM(CASE WHEN (user_id + r.replicate) % 2 = 0
-        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
-        |    CAST(SUM(CASE WHEN (user_id + r.replicate) % 2 <> 0
-        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
-        |    CAST(SUM(CASE WHEN (user_id + r.replicate) % 2 = 0
-        |      AND value >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS conv_a,
-        |    CAST(SUM(CASE WHEN (user_id + r.replicate) % 2 <> 0
-        |      AND value >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS conv_b
+      """WITH h0t AS (
+        |  SELECT r.replicate, e.value,
+        |    xor(e.user_id % 2147483648,
+        |      (r.replicate * 2654435761) % 2147483648) AS h0
         |  FROM events e CROSS JOIN (
         |    SELECT CAST(unnest(generate_series(1, 12)) AS INT)
         |      AS replicate) r
         |  WHERE e.user_id IS NOT NULL AND e.value IS NOT NULL
+        |), h2t AS (
+        |  SELECT replicate, value,
+        |    (xor(h1, h1 >> 13) * 3266489917) % 2147483648 AS h2
+        |  FROM (SELECT replicate, value,
+        |    (xor(h0, h0 >> 16) * 2246822519) % 2147483648 AS h1
+        |    FROM h0t)
+        |), armt AS (
+        |  SELECT replicate, value,
+        |    xor(h2, h2 >> 16) % 2 = 0 AS arm
+        |  FROM h2t
+        |), g AS (
+        |  SELECT replicate,
+        |    CAST(SUM(CASE WHEN arm THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN NOT arm THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b,
+        |    CAST(SUM(CASE WHEN arm AND value >= 0.5
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS conv_a,
+        |    CAST(SUM(CASE WHEN NOT arm AND value >= 0.5
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS conv_b
+        |  FROM armt
         |  GROUP BY 1
         |), zt AS (
         |  SELECT replicate, n_a, n_b, conv_a, conv_b,

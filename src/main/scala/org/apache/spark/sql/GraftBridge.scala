@@ -50,4 +50,16 @@ object GraftBridge {
       case lr: execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
       case _ => ()
     }
+
+  /** Test-harness hooks for `SparkContext.checkpointDir` (a
+    * `private[spark]` var with a setter but no public un-setter).
+    * A suite exercising the reliable-barrier path (`graft.operators
+    * .Barrier`) must hand the shared JVM back with the dir RESTORED,
+    * or every later iterative test silently switches to FS
+    * checkpoints. Read the current value, set a temp dir, restore. */
+  def getCheckpointDir(sc: org.apache.spark.SparkContext): Option[String] =
+    sc.checkpointDir
+  def restoreCheckpointDir(
+      sc: org.apache.spark.SparkContext, dir: Option[String]): Unit =
+    sc.checkpointDir = dir
 }

@@ -163,4 +163,30 @@ class BpeSpec extends AnyFunSuite {
     assert(batModel.merges === seqModel.merges)
     assert(rounds >= 3, s"chained merges cannot batch freely: $rounds")
   }
+
+  test("trainBatched: re-minted concatenations (l+r already a vocab " +
+      "symbol) keep exact sequential parity") {
+    // Symbol-run corpora make the same concatenation reachable from
+    // DIFFERENT decompositions across rounds ((a,aa) vs (aa,a) both
+    // mint 'aaa'; (aa,aaa) vs (aaa,aa) both mint 'aaaaa', ...). A
+    // batch accepting a candidate whose concatenation already exists
+    // ADDS to live (x,lr) pair counts the dominance bound never saw —
+    // the guard must terminate the batch at such a candidate so the
+    // next full recount restores exactness. Mixed run lengths +
+    // letter mixes + skewed frequencies maximize the chance batches
+    // fill with interacting candidates; deep merge counts walk well
+    // past the first few re-mint opportunities.
+    val words = (2 to 11).flatMap { n =>
+      Seq.fill(13 - n)("a" * n) ++ Seq.fill((n % 3) + 1)("b" * n)
+    } ++ Seq.fill(7)("aab abb aabb abab") ++
+      Seq.fill(4)("ba bab baba abba")
+    val df = words.mkString(" ").split(" ").toSeq.toDF("text")
+    for (bs <- Seq(3, 8)) {
+      val seqModel = Bpe.train(df, "text", numMerges = 24)
+      val (batModel, _) = Bpe.trainBatched(df, "text",
+        numMerges = 24, batchSize = bs)
+      assert(batModel.merges === seqModel.merges,
+        s"batchSize=$bs diverged from sequential BPE")
+    }
+  }
 }

@@ -240,4 +240,26 @@ class FuzzyMergeSpec extends AnyFunSuite {
     val n = 3.0 * 2.0 // N(N-1) for the 3-row uniq field
     assert(math.abs(out.head._5 - w6(1.0 - 0.9, 1.0 - 1.0 / n)) < 2e-6)
   }
+
+  test("fellegiSunter: a field with one non-null record weighs 0 " +
+      "(the N(N-1)=0 clamp degeneracy), scores stay finite") {
+    // `lone` is non-null on exactly one record: u's estimator is
+    // 0/0 and the clamp bounds are ±Inf — the guard must emit
+    // weight 0 both ways instead of Inf/NULL weights.
+    val recs = Seq(
+      (1L, "A", Some("x")), (2L, "A", None), (3L, "B", None)
+    ).toDF("id", "city", "lone")
+    val out = Fuzzy.fellegiSunter(recs, "id",
+        Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b"),
+        Seq("city" -> 0.9, "lone" -> 0.9))
+      .orderBy("id_a", "id_b")
+      .as[(Long, Long, String, Long, Double)].collect().toSeq
+    assert(out.map(_._3) == Seq("1-", "0-"))
+    assert(out.forall(r => !r._5.isNaN && !r._5.isInfinite))
+    // scores reduce to the city weights alone: city counts A:2 B:1
+    // -> u = 2/6, clamp inactive
+    val uc = 2.0 / 6.0
+    assert(math.abs(out(0)._5 - w6(0.9, uc)) < 2e-6)
+    assert(math.abs(out(1)._5 - w6(1.0 - 0.9, 1.0 - uc)) < 2e-6)
+  }
 }

@@ -962,20 +962,39 @@ class QualitySpec extends AnyFunSuite {
     assert(out._4 == 0.9 && out._5 == 0.9 && out._6 == 0.0 && !out._8)
   }
 
-  test("aaCalibration: null splits stay null; degenerate conversion " +
-      "goes NULL; deterministic rerun") {
-    // units 0..199, conv = unit % 5 == 0 (20%): every parity split is
-    // exactly balanced, so every replicate's z is exactly 0, p = 1
-    val df = (0L until 200L).map(u => (u, u % 5 == 0)).toDF("u", "conv")
+  test("aaCalibration: hashed splits decorrelate replicates; " +
+      "degenerate conversion goes NULL; deterministic rerun") {
+    // units 0..999, conv = unit % 5 == 0 (20%). The mix31 splits must
+    // produce GENUINELY different partitions per replicate — additive
+    // parity made every replicate an arm-swap of the same split
+    // (identical |z| everywhere), which a calibration battery cannot
+    // work with (advisor fix, round 11).
+    val df = (0L until 1000L).map(u => (u, u % 5 == 0)).toDF("u", "conv")
     val out = Quality.aaCalibration(df, col("u"), col("conv"),
-        replicates = 4)
+        replicates = 8)
       .orderBy("replicate")
       .as[(Int, Long, Long, Long, Long, Option[Double], Option[Double],
         Option[Boolean])].collect().toSeq
-    assert(out.map(_._1) == Seq(1, 2, 3, 4))
-    assert(out.forall(r => r._2 == 100L && r._3 == 100L))
-    assert(out.forall(r => r._6 === Some(0.0) && r._7 === Some(1.0) &&
-      r._8 === Some(false)))
+    assert(out.map(_._1) == (1 to 8).toSeq)
+    // every unit lands in exactly one arm
+    assert(out.forall(r => r._2 + r._3 == 1000L))
+    // splits are near-balanced (a 31-bit mix on 1000 units) ...
+    assert(out.forall(r => r._2 > 400L && r._2 < 600L))
+    // ... and DIFFER across replicates: arm sizes and |z| are not all
+    // identical (the arm-swap failure mode reads identical |z|)
+    assert(out.map(_._2).distinct.size > 1,
+      "every replicate produced the same arm sizes — splits correlated")
+    assert(out.flatMap(_._6).map(math.abs).distinct.size > 1,
+      "every replicate produced the same |z| — splits are arm-swaps")
+    // a null battery at alpha=0.05 over 8 replicates should flag few
+    assert(out.flatMap(_._8).count(identity) <= 2)
+    // deterministic rerun: bit-identical
+    val rerun = Quality.aaCalibration(df, col("u"), col("conv"),
+        replicates = 8)
+      .orderBy("replicate")
+      .as[(Int, Long, Long, Long, Long, Option[Double], Option[Double],
+        Option[Boolean])].collect().toSeq
+    assert(rerun === out)
     // all-converting metric: pooled variance 0 -> untestable NULLs
     val degen = (0L until 10L).map(u => (u, true)).toDF("u", "conv")
     val d = Quality.aaCalibration(degen, col("u"), col("conv"), 2)
