@@ -11,12 +11,14 @@ import org.apache.spark.sql.functions._
  *
  * Everything metadata/bytes-level (length, digests, base64, frame
  * slicing, resize arithmetic) is codegen'd built-ins over
- * `BinaryType` — no UDFs, fully portable to the DuckDB oracle. Only
- * the codec step (`decodeFeaturesStub`) needs per-row imperative
- * code; this container ships no image/audio libraries, so that step
- * is a clearly-marked deterministic stub behind real Spark plumbing
- * (typed Dataset, batched mapPartitions — the Scala analogue of
- * `mapInPandas`).
+ * `BinaryType` — no UDFs, fully portable to the DuckDB oracle. The
+ * codec step needs per-row imperative code behind the batched
+ * `mapPartitions` plumbing (the Scala analogue of `mapInPandas`):
+ * [[decodeImageFeatures]] is a REAL image decoder over the JDK's
+ * own `javax.imageio` (PNG/BMP/GIF/JPEG ship in every JDK — no
+ * external codec libraries needed), while [[decodeFeaturesStub]]
+ * remains the clearly-marked deterministic placeholder for codecs
+ * the JDK does not carry (video/audio — ffmpeg/JNI territory).
  */
 object Multimodal {
 
@@ -223,6 +225,135 @@ object Multimodal {
         }
       }
       .toDF(idCol, "features")
+  }
+
+  /**
+   * M4 (codec step, REAL): batched image decode + feature extraction
+   * over `javax.imageio` — the JDK's own codec plugins (PNG, BMP,
+   * GIF, JPEG, WBMP ship in every JDK, no external libraries), run
+   * inside the same typed batched-`mapPartitions` plumbing as
+   * [[decodeFeaturesStub]]: partition-local, no shuffle, no driver
+   * collect, `batchSize`-row groups (the unit a native codec would
+   * process per call; ImageIO itself is per-image, so the grouping
+   * here is the batch SHAPE contract the plumbing guarantees any
+   * future codec).
+   *
+   * Features per payload: `decode_ok`, pixel `width`/`height`, and
+   * per-channel means `mean_r/mean_g/mean_b` — each mean one IEEE
+   * division of an EXACT integer channel sum by the exact pixel
+   * count, so results are engine-reproducible wherever the expected
+   * pixels are arithmetically derivable (the [[syntheticBmp]] gate
+   * fixture). Undecodable payloads (truncated files, non-image
+   * bytes, empty/NULL) emit `decode_ok = false` with NULL features —
+   * the triage column a curation pipeline filters on before the
+   * expensive downstream stages.
+   *
+   * Scale: decode cost is linear in payload bytes and embarrassingly
+   * partition-parallel; nothing leaves the executor but the fixed
+   * 7-column feature row. Pixel sums accumulate in Long — exact up
+   * to 2⁶³/255 ≈ 3.6e16 pixels per image, far past any real payload.
+   */
+  def decodeImageFeatures(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, bytes) =>
+            val img =
+              try {
+                if (bytes == null || bytes.isEmpty) null
+                else javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(bytes))
+              } catch { case scala.util.control.NonFatal(_) => null }
+            if (img == null)
+              (id, false, Option.empty[Int], Option.empty[Int],
+                Option.empty[Double], Option.empty[Double],
+                Option.empty[Double])
+            else {
+              val w = img.getWidth
+              val h = img.getHeight
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val p = img.getRGB(x, y)
+                  sr += (p >> 16) & 0xff
+                  sg += (p >> 8) & 0xff
+                  sb += p & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              val n = w.toLong * h
+              (id, true, Some(w), Some(h),
+                Some(sr.toDouble / n), Some(sg.toDouble / n),
+                Some(sb.toDouble / n))
+            }
+          }
+        }
+      }
+      .toDF(idCol, "decode_ok", "width", "height",
+        "mean_r", "mean_g", "mean_b")
+  }
+
+  /**
+   * Deterministic 24-bit BMP fixture: pixel (x, y) (y from the top)
+   * has channels
+   *   r = (seed·7 + 3x + 5y) mod 256,
+   *   g = (seed·11 + 2x + 7y) mod 256,
+   *   b = (seed·13 + x + 11y) mod 256
+   * — pure integer arithmetic, so a DuckDB oracle reproduces the
+   * EXPECTED decode features (width/height/channel means) without
+   * decoding anything: the gate proves the [[decodeImageFeatures]]
+   * codec path recovers exactly the pixels the generator wrote.
+   * BMP because its 24-bit uncompressed form is a pixel-exact
+   * container with a 54-byte header and no entropy coding — the
+   * bytes are fully specified by this formula. `w·3` must be
+   * 4-byte-aligned (BMP row padding is deliberately out of scope).
+   */
+  def syntheticBmp(seed: Long, w: Int, h: Int): Array[Byte] = {
+    require(w >= 1 && h >= 1, s"need positive dims, got ${w}x$h")
+    require((w * 3) % 4 == 0,
+      s"w*3 must be 4-byte aligned (w multiple of 4), got w=$w")
+    val dataSize = w * 3 * h
+    val buf = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+      .putInt(54 + dataSize).putInt(0).putInt(54)
+    buf.putInt(40).putInt(w).putInt(h)
+      .putShort(1).putShort(24).putInt(0).putInt(dataSize)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var row = h - 1 // bottom-up storage; row == y from the top
+    while (row >= 0) {
+      var x = 0
+      while (x < w) {
+        buf.put(Math.floorMod(seed * 13 + x + 11L * row, 256).toByte)
+        buf.put(Math.floorMod(seed * 11 + 2L * x + 7L * row, 256).toByte)
+        buf.put(Math.floorMod(seed * 7 + 3L * x + 5L * row, 256).toByte)
+        x += 1
+      }
+      row -= 1
+    }
+    buf.array()
+  }
+
+  /** `(idCol, payload)` frame carrying one [[syntheticBmp]] per id —
+    * the distributed fixture feeding the codec gate. Per-row
+    * generation, no shuffle. */
+  def withSyntheticBmp(
+      df: DataFrame, idCol: String, w: Int, h: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id => (id, syntheticBmp(id, w, h))))
+      .toDF(idCol, "payload")
   }
 
   /**

@@ -3178,6 +3178,25 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // M4 (round 11): REAL image decode through the JDK's own
+    // javax.imageio codec — one deterministic 8x8 BMP per part
+    // (pixels a pure integer formula of the id), decoded back to
+    // width/height/per-channel means inside the batched
+    // mapPartitions plumbing; a deliberately corrupt payload
+    // exercises the decode_ok=false triage path. The oracle never
+    // decodes: it recomputes the EXPECTED features arithmetically
+    // from the same pixel formula — exact integer channel sums, one
+    // IEEE division by the 64-pixel count.
+    "q283_image_decode" -> ((s, dir) => {
+      val ids = t(s, dir, "part").select(col("p_partkey").as("id"))
+      val imgs = Multimodal.withSyntheticBmp(ids, "id", w = 8, h = 8)
+      val corrupt = s.range(1).select(lit(-1L).as("id"),
+        encode(lit("definitely not an image"), "UTF-8").as("payload"))
+      Multimodal.decodeImageFeatures(
+          imgs.unionByName(corrupt), "id", "payload")
+        .orderBy("id")
+    }),
+
     // T56 (round 10): curation funnel — per-source doc/token mass
     // through length -> language -> lexical-diversity stages; one
     // scan, one source aggregate.
@@ -5929,6 +5948,34 @@ object PipelineQueries {
         |SELECT replicate, n_a, n_b, conv_a, conv_b, z, p_value,
         |  p_value < 0.05 AS significant
         |FROM pv ORDER BY replicate""".stripMargin,
+
+    // M4: the oracle reproduces the decode features from the
+    // syntheticBmp pixel formula — integer channel sums over the
+    // 8x8 grid, one exact division; the corrupt row unions in as
+    // the decode_ok=false/NULL-features twin.
+    "q283_image_decode" ->
+      """WITH ids AS (
+        |  SELECT CAST(p_partkey AS BIGINT) AS id FROM part
+        |), px AS (
+        |  SELECT id, x.x, y.y FROM ids,
+        |    (SELECT unnest(range(0, 8)) AS x) x,
+        |    (SELECT unnest(range(0, 8)) AS y) y
+        |), s AS (
+        |  SELECT id,
+        |    SUM((id * 7 + 3 * x + 5 * y) % 256) AS sr,
+        |    SUM((id * 11 + 2 * x + 7 * y) % 256) AS sg,
+        |    SUM((id * 13 + x + 11 * y) % 256) AS sb
+        |  FROM px GROUP BY 1
+        |)
+        |SELECT id, TRUE AS decode_ok,
+        |  CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+        |  CAST(sr AS DOUBLE) / 64 AS mean_r,
+        |  CAST(sg AS DOUBLE) / 64 AS mean_g,
+        |  CAST(sb AS DOUBLE) / 64 AS mean_b
+        |FROM s
+        |UNION ALL
+        |SELECT CAST(-1 AS BIGINT), FALSE, NULL, NULL, NULL, NULL, NULL
+        |ORDER BY id""".stripMargin,
 
     // T57: distinct doc/reference trigram sets, one membership join,
     // one per-doc reduce; shingle-less docs keep NULL rate.

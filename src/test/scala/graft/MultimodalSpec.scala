@@ -155,4 +155,76 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(3L) === ((3L, 4L, 1L, 0.0)))
     assert(!out.contains(4L))
   }
+
+  private def bmpExpected(seed: Long, w: Int, h: Int)
+      : (Double, Double, Double) = {
+    var sr = 0L; var sg = 0L; var sb = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      sr += Math.floorMod(seed * 7 + 3L * x + 5L * y, 256)
+      sg += Math.floorMod(seed * 11 + 2L * x + 7L * y, 256)
+      sb += Math.floorMod(seed * 13 + x + 11L * y, 256)
+    }
+    val n = (w * h).toDouble
+    (sr / n, sg / n, sb / n)
+  }
+
+  test("decodeImageFeatures: ImageIO recovers syntheticBmp pixels " +
+      "exactly; garbage and empty payloads triage as decode_ok=false") {
+    val ids = Seq(3L, 17L, 1000L).toDF("id")
+    val imgs = Multimodal.withSyntheticBmp(ids, "id", w = 8, h = 8)
+    val corrupt = Seq(
+      (-1L, "not an image".getBytes("UTF-8")),
+      (-2L, Array.empty[Byte])).toDF("id", "payload")
+    val out = Multimodal.decodeImageFeatures(
+        imgs.unionByName(corrupt), "id", "payload", batchSize = 2)
+      .as[(Long, Boolean, Option[Int], Option[Int], Option[Double],
+        Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    for (id <- Seq(3L, 17L, 1000L)) {
+      val (er, eg, eb) = bmpExpected(id, 8, 8)
+      val r = out(id)
+      assert(r._2 && r._3 === Some(8) && r._4 === Some(8))
+      // integer sums / exact pixel count: bit-exact, not approximate
+      assert(r._5 === Some(er) && r._6 === Some(eg) && r._7 === Some(eb),
+        s"id=$id got $r want ($er,$eg,$eb)")
+    }
+    for (id <- Seq(-1L, -2L)) {
+      val r = out(id)
+      assert(!r._2 && r._3.isEmpty && r._5.isEmpty, s"id=$id: $r")
+    }
+  }
+
+  test("decodeImageFeatures: decodes a PNG round-tripped through " +
+      "ImageIO.write; direct pixel check") {
+    // PNG is lossless: the decoded means must equal the BMP twin's.
+    val img = new java.awt.image.BufferedImage(
+      4, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 4)
+      img.setRGB(x, y, ((10 * x + y) << 16) | ((20 * x) << 8) | (x + y))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val out = Multimodal.decodeImageFeatures(
+        Seq((7L, bos.toByteArray)).toDF("id", "payload"), "id", "payload")
+      .as[(Long, Boolean, Option[Int], Option[Int], Option[Double],
+        Option[Double], Option[Double])].collect().head
+    assert(out._2 && out._3 === Some(4) && out._4 === Some(2))
+    val n = 8.0
+    val er = (0 until 2).flatMap(y => (0 until 4).map(x => 10 * x + y))
+      .sum / n
+    val eg = (0 until 2).flatMap(y => (0 until 4).map(x => 20 * x)).sum / n
+    val eb = (0 until 2).flatMap(y => (0 until 4).map(x => x + y)).sum / n
+    assert(out._5 === Some(er) && out._6 === Some(eg) &&
+      out._7 === Some(eb))
+  }
+
+  test("decodeImageFeatures: batch shape and partitioning do not " +
+      "change results") {
+    val ids = (0L until 37L).toDF("id")
+    val imgs = Multimodal.withSyntheticBmp(ids, "id", w = 4, h = 3)
+    def run(bs: Int, parts: Int) =
+      Multimodal.decodeImageFeatures(
+          imgs.repartition(parts), "id", "payload", batchSize = bs)
+        .orderBy("id").collect().map(_.toString).toSeq
+    assert(run(1, 1) === run(64, 7))
+  }
 }
