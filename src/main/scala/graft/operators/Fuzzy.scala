@@ -339,4 +339,128 @@ object Fuzzy {
         // on every engine)
         col("__score").cast("decimal(18,6)").cast("double").as("score"))
   }
+
+  /**
+   * D22: EM-estimated Fellegi–Sunter parameters (Winkler 1988; the
+   * Splink production shape) — [[fellegiSunter]] scores with
+   * reviewer-supplied m; this learns per-field m AND u (and the
+   * match prevalence λ) from the candidate pairs themselves, no
+   * labels needed: E-step scores every γ-pattern's match posterior
+   * under the current parameters, M-step re-estimates each field's
+   * agreement rates weighted by those posteriors, `iters` fixed
+   * rounds (the engine-reproducibility contract — a convergence test
+   * on floats is not portable).
+   *
+   * THE SCALE TRICK (why EM is cheap at 100 TB): the posterior
+   * depends only on the γ-PATTERN, so the pairs melt to a pattern
+   * histogram ONCE — one partial-aggregated shuffle over the
+   * candidate pairs — and EM iterates on that ≤ 3^|fields|-row table
+   * driver-side (a documented bounded collect, the k-means/BPE
+   * driver-loop contract; |fields| ≤ 10 keeps it ≤ 59049 rows).
+   *
+   * ENGINE-EXACT (oracle-replayable, the q200/q268 discipline):
+   * parameters live as MICRO-unit longs (floor(x·10⁶), clamped to
+   * [1, 999999] so no absorbing 0/1 state). Per round, each
+   * pattern's posterior is a fixed IEEE chain — λ and the per-field
+   * terms multiplied in field order — floored to micro-units; the
+   * M-step numerators/denominators are exact long sums of
+   * cnt·posteriorµ (< 2⁵³ for any real candidate volume, so the
+   * oracle's DOUBLE casts are exact), finished by one IEEE division
+   * + floor. The whole loop unrolls as a DuckDB materialized-CTE
+   * chain with zero rounding-rule exposure. A field whose pattern
+   * mass is all '-' keeps its previous parameters (the oracle mirror
+   * assumes every field has non-null mass — true of any real field
+   * worth comparing).
+   *
+   * Output: one row per field — (field, m, u, lambda), λ repeated
+   * per row (a model-level scalar), all values micro-grid DOUBLEs.
+   */
+  def fellegiSunterEm(
+      records: DataFrame, idCol: String, pairs: DataFrame,
+      fields: Seq[String], iters: Int = 4,
+      m0: Double = 0.9, u0: Double = 0.1,
+      lambda0: Double = 0.1): DataFrame = {
+    require(fields.nonEmpty, "fields must be non-empty")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(m0 > 0 && m0 < 1 && u0 > 0 && u0 < 1 &&
+      lambda0 > 0 && lambda0 < 1, "priors must be in (0,1)")
+    val spark = records.sparkSession
+    val F = fields.size
+    val ra = records.select(col(idCol).as("id_a") +:
+      fields.map(f => col(f).as(s"__a_$f")): _*)
+    val rb = records.select(col(idCol).as("id_b") +:
+      fields.map(f => col(f).as(s"__b_$f")): _*)
+    // the one distributed pass: pairs -> γ-pattern histogram
+    val pats = pairs.select("id_a", "id_b")
+      .join(ra, "id_a").join(rb, "id_b")
+      .select(concat(fields.map { f =>
+        when(col(s"__a_$f").isNull || col(s"__b_$f").isNull, lit("-"))
+          .when(col(s"__a_$f") === col(s"__b_$f"), lit("1"))
+          .otherwise(lit("0"))
+      }: _*).as("pattern"))
+      .groupBy("pattern").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def clampMicro(x: Double): Long =
+      math.max(1L, math.min(999999L, math.floor(x).toLong))
+    val mM = Array.fill(F)(math.floor(m0 * 1e6).toLong)
+    val uM = Array.fill(F)(math.floor(u0 * 1e6).toLong)
+    var lamM = math.floor(lambda0 * 1e6).toLong
+    for (_ <- 1 to iters) {
+      // E-step: per-pattern match posterior in micro-units; the
+      // product is λ·t₁·t₂·…·t_F in FIELD ORDER (the oracle mirrors
+      // this exact IEEE sequence)
+      val post = pats.map { case (g, _) =>
+        var wm = lamM.toDouble / 1e6
+        var wu = 1.0 - lamM.toDouble / 1e6
+        var f = 0
+        while (f < F) {
+          g.charAt(f) match {
+            case '1' =>
+              wm *= mM(f).toDouble / 1e6; wu *= uM(f).toDouble / 1e6
+            case '0' =>
+              wm *= 1.0 - mM(f).toDouble / 1e6
+              wu *= 1.0 - uM(f).toDouble / 1e6
+            case _ => wm *= 1.0; wu *= 1.0
+          }
+          f += 1
+        }
+        math.floor(wm / (wm + wu) * 1e6).toLong
+      }
+      // M-step: exact long sums of cnt·posteriorµ
+      var f = 0
+      while (f < F) {
+        var numM = 0L; var denM = 0L; var numU = 0L; var denU = 0L
+        var i = 0
+        while (i < pats.length) {
+          val (g, cnt) = pats(i)
+          val c = g.charAt(f)
+          if (c != '-') {
+            denM += cnt * post(i)
+            denU += cnt * (1000000L - post(i))
+            if (c == '1') {
+              numM += cnt * post(i)
+              numU += cnt * (1000000L - post(i))
+            }
+          }
+          i += 1
+        }
+        if (denM > 0L)
+          mM(f) = clampMicro(numM.toDouble / denM.toDouble * 1e6)
+        if (denU > 0L)
+          uM(f) = clampMicro(numU.toDouble / denU.toDouble * 1e6)
+        f += 1
+      }
+      var sw = 0L; var st = 0L
+      var i = 0
+      while (i < pats.length) {
+        sw += pats(i)._2 * post(i); st += pats(i)._2; i += 1
+      }
+      if (st > 0L) lamM = clampMicro(sw.toDouble / st.toDouble)
+    }
+    import spark.implicits._
+    fields.zipWithIndex.map { case (f, i) =>
+      (f, mM(i).toDouble / 1e6, uM(i).toDouble / 1e6,
+        lamM.toDouble / 1e6)
+    }.toDF("field", "m", "u", "lambda")
+  }
 }

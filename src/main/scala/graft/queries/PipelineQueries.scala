@@ -33,6 +33,105 @@ object PipelineQueries {
   }
 
   /**
+   * q284 oracle generator: unrolls `Fuzzy.fellegiSunterEm`'s
+   * micro-grid EM as a DuckDB materialized-CTE chain — the q123/q268
+   * fixed-iteration replay discipline. State per round is one row of
+   * micro-unit BIGINTs (m/u per field + λ); the E-step posterior is
+   * the SAME left-associated IEEE product (λ·t₁·t₂·t₃ in field
+   * order) floored to micro-units, the M-step sums are exact integer
+   * aggregates over the pattern histogram, each finished by one IEEE
+   * division + floor + the [1, 999999] clamp. Fields are q267's
+   * first three (p_brand, p_type, name_head) over the
+   * sorted-neighborhood candidates (window 6).
+   */
+  private def fsEmOracle(
+      iters: Int, m0Micro: Long, u0Micro: Long, lam0Micro: Long)
+      : String = {
+    val names = Seq("p_brand", "p_type", "name_head")
+    def term(pos: Int, c: String) =
+      s"""(CASE substr(pattern, $pos, 1)
+         |        WHEN '1' THEN CAST($c AS DOUBLE) / 1000000
+         |        WHEN '0' THEN 1.0 - CAST($c AS DOUBLE) / 1000000
+         |        ELSE 1.0 END)""".stripMargin
+    def mu(pos: Int, tag: String, wExpr: String) =
+      s"""    GREATEST(1, LEAST(999999, CAST(floor(
+         |      CAST(SUM(CASE WHEN substr(pattern, $pos, 1) = '1'
+         |        THEN cnt * $wExpr ELSE 0 END) AS DOUBLE)
+         |      / CAST(SUM(CASE WHEN substr(pattern, $pos, 1) <> '-'
+         |        THEN cnt * $wExpr ELSE 0 END) AS DOUBLE)
+         |      * 1000000) AS BIGINT))) AS $tag$pos""".stripMargin
+    val head =
+      s"""WITH rec AS (
+         |  SELECT p_partkey AS id, p_name, p_brand AS f1, p_type AS f2,
+         |    string_split(p_name, ' ')[1] AS f3
+         |  FROM part
+         |), rk AS (
+         |  SELECT id, f1, f2, f3,
+         |    row_number() OVER (ORDER BY p_name, id) AS rn
+         |  FROM rec
+         |), cand AS (
+         |  SELECT DISTINCT least(a.id, b.id) AS id_a,
+         |    greatest(a.id, b.id) AS id_b
+         |  FROM rk a JOIN rk b ON b.rn > a.rn AND b.rn <= a.rn + 6
+         |), patterns AS MATERIALIZED (
+         |  SELECT pattern, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+         |    SELECT
+         |      (CASE WHEN a.f1 IS NULL OR b.f1 IS NULL THEN '-'
+         |        WHEN a.f1 = b.f1 THEN '1' ELSE '0' END)
+         |      || (CASE WHEN a.f2 IS NULL OR b.f2 IS NULL THEN '-'
+         |        WHEN a.f2 = b.f2 THEN '1' ELSE '0' END)
+         |      || (CASE WHEN a.f3 IS NULL OR b.f3 IS NULL THEN '-'
+         |        WHEN a.f3 = b.f3 THEN '1' ELSE '0' END) AS pattern
+         |    FROM cand c JOIN rec a ON c.id_a = a.id
+         |      JOIN rec b ON c.id_b = b.id)
+         |  GROUP BY 1
+         |), p0 AS (
+         |  SELECT CAST($m0Micro AS BIGINT) AS m1,
+         |    CAST($u0Micro AS BIGINT) AS u1,
+         |    CAST($m0Micro AS BIGINT) AS m2,
+         |    CAST($u0Micro AS BIGINT) AS u2,
+         |    CAST($m0Micro AS BIGINT) AS m3,
+         |    CAST($u0Micro AS BIGINT) AS u3,
+         |    CAST($lam0Micro AS BIGINT) AS lam
+         |)""".stripMargin
+    val rounds = (1 to iters).map { k =>
+      s""", w$k AS MATERIALIZED (
+         |  SELECT pattern, cnt,
+         |    CAST(floor(wm / (wm + wu) * 1000000) AS BIGINT) AS w
+         |  FROM (
+         |    SELECT pattern, cnt,
+         |      (CAST(lam AS DOUBLE) / 1000000)
+         |        * ${term(1, "m1")}
+         |        * ${term(2, "m2")}
+         |        * ${term(3, "m3")} AS wm,
+         |      (1.0 - CAST(lam AS DOUBLE) / 1000000)
+         |        * ${term(1, "u1")}
+         |        * ${term(2, "u2")}
+         |        * ${term(3, "u3")} AS wu
+         |    FROM patterns CROSS JOIN p${k - 1})
+         |), p$k AS MATERIALIZED (
+         |  SELECT
+         |${mu(1, "m", "w")},
+         |${mu(1, "u", "(1000000 - w)")},
+         |${mu(2, "m", "w")},
+         |${mu(2, "u", "(1000000 - w)")},
+         |${mu(3, "m", "w")},
+         |${mu(3, "u", "(1000000 - w)")},
+         |    GREATEST(1, LEAST(999999, CAST(floor(
+         |      CAST(SUM(cnt * w) AS DOUBLE)
+         |      / CAST(SUM(cnt) AS DOUBLE)) AS BIGINT))) AS lam
+         |  FROM w$k
+         |)""".stripMargin
+    }.mkString("\n")
+    val out = names.zipWithIndex.map { case (n, i) =>
+      s"""SELECT '$n' AS field, CAST(m${i + 1} AS DOUBLE) / 1000000 AS m,
+         |  CAST(u${i + 1} AS DOUBLE) / 1000000 AS u,
+         |  CAST(lam AS DOUBLE) / 1000000 AS lambda FROM p$iters""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"$head\n$rounds\nSELECT * FROM (\n$out\n) ORDER BY field"
+  }
+
+  /**
    * q195 oracle generator: replays `Similarity.principalComponents`'
    * quantized power iteration in DuckDB, iteration by iteration — the
    * q123-PageRank pattern applied to an eigensolve. The base matrix
@@ -3197,6 +3296,22 @@ object PipelineQueries {
         .orderBy("id")
     }),
 
+    // D22 (round 11): EM-estimated Fellegi–Sunter m/u/λ over the
+    // q267 candidate pairs — 3 fields, 3 fixed EM rounds on the
+    // γ-pattern histogram, micro-grid state; the oracle unrolls the
+    // identical EM as a materialized-CTE chain (fsEmOracle).
+    "q284_linkage_em" -> ((s, dir) => {
+      val p = t(s, dir, "part").select(
+        col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"),
+        split(col("p_name"), " ").getItem(0).as("name_head"))
+      val pairs = Fuzzy.sortedNeighborhoodCandidates(
+        p, "p_partkey", col("p_name"), windowSize = 6)
+      Fuzzy.fellegiSunterEm(p, "p_partkey", pairs,
+          Seq("p_brand", "p_type", "name_head"), iters = 3,
+          m0 = 0.9, u0 = 0.1, lambda0 = 0.1)
+        .orderBy("field")
+    }),
+
     // T56 (round 10): curation funnel — per-source doc/token mass
     // through length -> language -> lexical-diversity stages; one
     // scan, one source aggregate.
@@ -5976,6 +6091,11 @@ object PipelineQueries {
         |UNION ALL
         |SELECT CAST(-1 AS BIGINT), FALSE, NULL, NULL, NULL, NULL, NULL
         |ORDER BY id""".stripMargin,
+
+    // D22: the EM unroll — generated materialized-CTE chain.
+    "q284_linkage_em" -> fsEmOracle(
+      iters = 3, m0Micro = 900000L, u0Micro = 100000L,
+      lam0Micro = 100000L),
 
     // T57: distinct doc/reference trigram sets, one membership join,
     // one per-doc reduce; shingle-less docs keep NULL rate.

@@ -262,4 +262,72 @@ class FuzzyMergeSpec extends AnyFunSuite {
     assert(math.abs(out(0)._5 - w6(0.9, uc)) < 2e-6)
     assert(math.abs(out(1)._5 - w6(1.0 - 0.9, 1.0 - uc)) < 2e-6)
   }
+
+  test("fellegiSunterEm: one iteration matches the hand-unrolled " +
+      "micro-grid EM; longer runs separate m from u") {
+    // 4 "match" pairs agree on both fields; 8 "non-match" pairs
+    // disagree on both — EM must drive m up and u down with no
+    // labels, and λ toward the 4/12 match share.
+    val recs = (
+      (1 to 8).map(i => (i.toLong, s"dup${(i - 1) / 2}",
+        s"tok${(i - 1) / 2}")) ++
+      (9 to 16).map(i => (i.toLong, s"solo$i", s"one$i"))
+    ).toDF("id", "city", "token")
+    val pairs = (
+      Seq((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L)) ++ // '11' x4
+      Seq((1L, 9L), (2L, 10L), (3L, 11L), (4L, 12L),
+        (5L, 13L), (6L, 14L), (7L, 15L), (8L, 16L))  // '00' x8
+    ).toDF("id_a", "id_b")
+    // hand-unrolled iteration 1 on the {11: 4, 00: 8} histogram
+    def emRound(m: Long, u: Long, lam: Long)
+        : (Long, Long, Long) = {
+      def post(g: String): Long = {
+        var wm = lam.toDouble / 1e6; var wu = 1.0 - lam.toDouble / 1e6
+        for (c <- g) c match {
+          case '1' => wm *= m.toDouble / 1e6; wu *= u.toDouble / 1e6
+          case '0' =>
+            wm *= 1.0 - m.toDouble / 1e6; wu *= 1.0 - u.toDouble / 1e6
+          case _ =>
+        }
+        math.floor(wm / (wm + wu) * 1e6).toLong
+      }
+      val w11 = post("11"); val w00 = post("00")
+      def clamp(x: Double) =
+        math.max(1L, math.min(999999L, math.floor(x).toLong))
+      // both fields see identical pattern mass -> same m/u
+      val mN = 4L * w11; val mD = 4L * w11 + 8L * w00
+      val uN = 4L * (1000000L - w11)
+      val uD = 4L * (1000000L - w11) + 8L * (1000000L - w00)
+      (clamp(mN.toDouble / mD.toDouble * 1e6),
+        clamp(uN.toDouble / uD.toDouble * 1e6),
+        clamp((4L * w11 + 8L * w00).toDouble / 12.0))
+    }
+    val (em1, eu1, el1) = emRound(900000L, 100000L, 100000L)
+    val got1 = Fuzzy.fellegiSunterEm(recs, "id", pairs,
+        Seq("city", "token"), iters = 1,
+        m0 = 0.9, u0 = 0.1, lambda0 = 0.1)
+      .orderBy("field")
+      .as[(String, Double, Double, Double)].collect().toSeq
+    assert(got1.map(_._1) == Seq("city", "token"))
+    for (r <- got1) {
+      assert(r._2 === em1.toDouble / 1e6, s"m: $r")
+      assert(r._3 === eu1.toDouble / 1e6, s"u: $r")
+      assert(r._4 === el1.toDouble / 1e6, s"lambda: $r")
+    }
+    // 5 rounds: posteriors sharpen — m ~ 1, u ~ 0, λ ~ 4/12
+    val got5 = Fuzzy.fellegiSunterEm(recs, "id", pairs,
+        Seq("city", "token"), iters = 5,
+        m0 = 0.9, u0 = 0.1, lambda0 = 0.1)
+      .as[(String, Double, Double, Double)].collect()
+    for (r <- got5) {
+      assert(r._2 > 0.99 && r._3 < 0.01, s"not separated: $r")
+      assert(math.abs(r._4 - 4.0 / 12.0) < 0.02, s"lambda off: $r")
+    }
+    // deterministic rerun
+    assert(Fuzzy.fellegiSunterEm(recs, "id", pairs,
+        Seq("city", "token"), iters = 5, m0 = 0.9, u0 = 0.1,
+        lambda0 = 0.1)
+      .as[(String, Double, Double, Double)].collect().toSeq ===
+      got5.toSeq)
+  }
 }
