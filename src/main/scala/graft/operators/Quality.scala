@@ -1729,6 +1729,110 @@ object Quality {
   }
 
   /**
+   * E40: A/A calibration for DELTA-METHOD ratio metrics — the
+   * [[aaCalibration]] battery pointed at [[ratioMetricReadout]]'s
+   * machinery: R [[mix31]] null splits of the per-unit (numerator,
+   * denominator) rows, each analysed with the full delta-method
+   * variance. Ratio metrics are precisely where naive tests lie
+   * (within-unit correlation), so they are precisely where the
+   * testing stack needs its own calibration: a significant-fraction
+   * far above α on null splits means the delta approximation's
+   * assumptions (unit independence, finite variance) are broken for
+   * THIS metric, and no real readout from it can be trusted.
+   *
+   * Input contract is [[ratioMetricReadout]]'s: ONE ROW PER UNIT.
+   * Scale: the replicate grid broadcasts onto unit rows and all R
+   * replicates' moments partial-aggregate in ONE shuffle; every
+   * engine-exactness property (decimal moments, fixed IEEE finish,
+   * 6dp z, erf-polynomial p) is inherited verbatim.
+   */
+  def aaRatioCalibration(
+      df: DataFrame, unitCol: Column, numCol: Column, denCol: Column,
+      replicates: Int, alpha: Double = 0.05): DataFrame = {
+    require(replicates >= 1,
+      s"replicates must be >= 1, got $replicates")
+    require(alpha > 0.0 && alpha < 1.0,
+      s"alpha must be in (0,1), got $alpha")
+    val spark = df.sparkSession
+    val grid = broadcast(
+      spark.createDataFrame((1 to replicates).map(Tuple1(_)))
+        .toDF("replicate"))
+    val crossed = df
+      .where(unitCol.isNotNull)
+      .crossJoin(grid)
+    ratioMetricReadout(crossed, Seq("replicate"),
+        mix31(unitCol, col("replicate")) % 2 === 0, numCol, denCol)
+      .withColumn("significant", col("p_value") < alpha)
+  }
+
+  /**
+   * E41: A/A battery for the SEQUENTIAL monitor — [[srmMonitor]]'s
+   * false-alarm calibration: R [[mix31]] null splits (expected share
+   * exactly 0.5 by construction) each replay the full
+   * cumulative-look SRM scan, and the battery reports per replicate
+   * whether ANY look alarmed. Sequential procedures multiply
+   * looks, so their FAMILY-WISE false-alarm rate under the null is
+   * the number that must stay at-or-below nominal (the Fabijan-style
+   * check) — a single-look α says nothing about a monitor that
+   * peeks daily for a month.
+   *
+   * Mechanics inherit [[srmMonitor]]'s bounded-look contract: one
+   * (replicate, day) partial-aggregated shuffle, cumulative window
+   * sums over the replicate-keyed DAY table (rows = R × calendar
+   * days, never the corpus), the q229/q270 z→p recipe per look.
+   * `first_alarm_look` is 0 when the replicate never alarmed (a
+   * sentinel, not a look index — looks are 1-based), keeping the
+   * output schema NULL-free and dtype-stable.
+   *
+   * Output: (replicate, n_looks, min_p, any_alarm,
+   * first_alarm_look), one row per replicate.
+   */
+  def aaSequentialBattery(
+      df: DataFrame, dayCol: Column, unitCol: Column,
+      replicates: Int, alarmP: Double = 0.001): DataFrame = {
+    require(replicates >= 1,
+      s"replicates must be >= 1, got $replicates")
+    require(alarmP > 0.0 && alarmP < 1.0,
+      s"alarmP must be in (0,1), got $alarmP")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val grid = broadcast(
+      spark.createDataFrame((1 to replicates).map(Tuple1(_)))
+        .toDF("replicate"))
+    val arm = mix31(unitCol, col("replicate")) % 2 === 0
+    val daily = df
+      .where(dayCol.isNotNull && unitCol.isNotNull)
+      .crossJoin(grid)
+      .groupBy(col("replicate"), dayCol.as("day"))
+      .agg(
+        count(lit(1)).as("__n"),
+        sum(when(arm, 1L).otherwise(0L)).as("__narm"))
+    val wRun = Window.partitionBy(col("replicate")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = daily.select(
+      col("replicate"),
+      row_number().over(
+        Window.partitionBy(col("replicate")).orderBy(col("day")))
+        .as("look"),
+      sum(col("__n")).over(wRun).as("n"),
+      sum(col("__narm")).over(wRun).as("n_arm"))
+    val z = round(
+      (col("n_arm").cast("double") - col("n").cast("double") * 0.5)
+        / sqrt(col("n").cast("double") * 0.25), 6)
+    val scored = cum
+      .withColumn("p_value", round(normalTwoSidedP(z), 6))
+      .withColumn("alarm", col("p_value") < alarmP)
+    scored
+      .groupBy("replicate")
+      .agg(
+        count(lit(1)).as("n_looks"),
+        min(col("p_value")).as("min_p"),
+        max(col("alarm")).as("any_alarm"),
+        coalesce(min(when(col("alarm"), col("look"))), lit(0))
+          .as("first_alarm_look"))
+  }
+
+  /**
    * E38: sequential SRM monitor — [[srmCheck]] unrolled over daily
    * looks (the [[sequentialMonitor]] companion): assignment plumbing
    * doesn't break at launch only — a mid-flight config push, a bot

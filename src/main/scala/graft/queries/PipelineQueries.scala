@@ -3312,6 +3312,32 @@ object PipelineQueries {
         .orderBy("field")
     }),
 
+    // E40 (round 11): A/A battery for the delta-method ratio readout
+    // — 8 mix31 null splits of per-user (sum value, event count)
+    // rows, each through the full q276 machinery; the significant
+    // fraction IS the ratio stack's real alpha.
+    "q285_aa_ratio" -> ((s, dir) => {
+      val units = t(s, dir, "events")
+        .where(col("user_id").isNotNull && col("value").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(sum(col("value").cast("decimal(18,6)")).as("x"),
+          count(lit(1)).as("y"))
+      graft.operators.Quality.aaRatioCalibration(
+          units, col("user_id"), col("x"), col("y"), replicates = 8)
+        .orderBy("replicate")
+    }),
+
+    // E41 (round 11): A/A battery for the sequential SRM monitor —
+    // 8 mix31 null splits each replaying the full cumulative-look
+    // scan; any_alarm across replicates is the monitor's FAMILY-WISE
+    // false-alarm rate under the null.
+    "q286_aa_sequential" -> ((s, dir) => {
+      graft.operators.Quality.aaSequentialBattery(
+          t(s, dir, "events"), to_date(col("ts")), col("user_id"),
+          replicates = 8, alarmP = 0.001)
+        .orderBy("replicate")
+    }),
+
     // T56 (round 10): curation funnel — per-source doc/token mass
     // through length -> language -> lexical-diversity stages; one
     // scan, one source aggregate.
@@ -6096,6 +6122,169 @@ object PipelineQueries {
     "q284_linkage_em" -> fsEmOracle(
       iters = 3, m0Micro = 900000L, u0Micro = 100000L,
       lam0Micro = 100000L),
+
+    // E40: the q276 delta-method finish per mix31 null replicate.
+    "q285_aa_ratio" ->
+      """WITH units AS (
+        |  SELECT user_id, SUM(CAST(value AS DECIMAL(18,6))) AS x,
+        |    COUNT(*) AS y
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1
+        |), h0t AS (
+        |  SELECT r.replicate, u.x, u.y,
+        |    xor(u.user_id % 2147483648,
+        |      (r.replicate * 2654435761) % 2147483648) AS h0
+        |  FROM units u CROSS JOIN (
+        |    SELECT CAST(unnest(generate_series(1, 8)) AS INT)
+        |      AS replicate) r
+        |), armt AS (
+        |  SELECT replicate, x, y,
+        |    xor(h2, h2 >> 16) % 2 = 0 AS arm
+        |  FROM (SELECT replicate, x, y,
+        |      (xor(h1, h1 >> 13) * 3266489917) % 2147483648 AS h2
+        |    FROM (SELECT replicate, x, y,
+        |      (xor(h0, h0 >> 16) * 2246822519) % 2147483648 AS h1
+        |      FROM h0t))
+        |), g AS (
+        |  SELECT replicate,
+        |    CAST(SUM(CASE WHEN arm THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN NOT arm THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b,
+        |    SUM(CASE WHEN arm THEN CAST(x AS DECIMAL(18,6)) END) AS sxa,
+        |    SUM(CASE WHEN arm THEN CAST(y AS DECIMAL(18,6)) END) AS sya,
+        |    SUM(CASE WHEN arm THEN CAST(
+        |      CAST(x AS DECIMAL(28,6)) * CAST(x AS DECIMAL(28,6))
+        |      AS DECIMAL(38,12)) END) AS sxxa,
+        |    SUM(CASE WHEN arm THEN CAST(
+        |      CAST(y AS DECIMAL(28,6)) * CAST(y AS DECIMAL(28,6))
+        |      AS DECIMAL(38,12)) END) AS syya,
+        |    SUM(CASE WHEN arm THEN CAST(
+        |      CAST(x AS DECIMAL(28,6)) * CAST(y AS DECIMAL(28,6))
+        |      AS DECIMAL(38,12)) END) AS sxya,
+        |    SUM(CASE WHEN NOT arm THEN CAST(x AS DECIMAL(18,6)) END)
+        |      AS sxb,
+        |    SUM(CASE WHEN NOT arm THEN CAST(y AS DECIMAL(18,6)) END)
+        |      AS syb,
+        |    SUM(CASE WHEN NOT arm THEN CAST(
+        |      CAST(x AS DECIMAL(28,6)) * CAST(x AS DECIMAL(28,6))
+        |      AS DECIMAL(38,12)) END) AS sxxb,
+        |    SUM(CASE WHEN NOT arm THEN CAST(
+        |      CAST(y AS DECIMAL(28,6)) * CAST(y AS DECIMAL(28,6))
+        |      AS DECIMAL(38,12)) END) AS syyb,
+        |    SUM(CASE WHEN NOT arm THEN CAST(
+        |      CAST(x AS DECIMAL(28,6)) * CAST(y AS DECIMAL(28,6))
+        |      AS DECIMAL(38,12)) END) AS sxyb
+        |  FROM armt GROUP BY 1
+        |), f AS (
+        |  SELECT replicate, n_a, n_b,
+        |    CAST(sxa AS DOUBLE) AS sxaD, CAST(sya AS DOUBLE) AS syaD,
+        |    CAST(sxxa AS DOUBLE) AS sxxaD, CAST(syya AS DOUBLE) AS syyaD,
+        |    CAST(sxya AS DOUBLE) AS sxyaD,
+        |    CAST(sxb AS DOUBLE) AS sxbD, CAST(syb AS DOUBLE) AS sybD,
+        |    CAST(sxxb AS DOUBLE) AS sxxbD, CAST(syyb AS DOUBLE) AS syybD,
+        |    CAST(sxyb AS DOUBLE) AS sxybD,
+        |    CAST(n_a AS DOUBLE) AS naD, CAST(n_b AS DOUBLE) AS nbD,
+        |    sya <> 0 AS oka, syb <> 0 AS okb
+        |  FROM g
+        |), v AS (
+        |  SELECT replicate, n_a, n_b, oka, okb,
+        |    sxaD / syaD AS ra, sxbD / sybD AS rb,
+        |    ((sxxaD - sxaD * sxaD / naD) / (naD - 1.0)
+        |      - 2.0 * (sxaD / syaD)
+        |        * ((sxyaD - sxaD * syaD / naD) / (naD - 1.0))
+        |      + (sxaD / syaD) * (sxaD / syaD)
+        |        * ((syyaD - syaD * syaD / naD) / (naD - 1.0)))
+        |      / (naD * (syaD / naD) * (syaD / naD)) AS va,
+        |    ((sxxbD - sxbD * sxbD / nbD) / (nbD - 1.0)
+        |      - 2.0 * (sxbD / sybD)
+        |        * ((sxybD - sxbD * sybD / nbD) / (nbD - 1.0))
+        |      + (sxbD / sybD) * (sxbD / sybD)
+        |        * ((syybD - sybD * sybD / nbD) / (nbD - 1.0)))
+        |      / (nbD * (sybD / nbD) * (sybD / nbD)) AS vb
+        |  FROM f
+        |), zt AS (
+        |  SELECT replicate, n_a, n_b, oka, okb,
+        |    CASE WHEN oka THEN round(ra, 6) + 0.0 END AS ratio_a,
+        |    CASE WHEN okb THEN round(rb, 6) + 0.0 END AS ratio_b,
+        |    CASE WHEN n_a >= 2 AND n_b >= 2 AND oka AND okb
+        |      THEN round(ra - rb, 6) + 0.0 END AS diff,
+        |    CASE WHEN n_a >= 2 AND n_b >= 2 AND oka AND okb
+        |        AND va + vb > 0.0
+        |      THEN round((ra - rb) / sqrt(va + vb), 6) + 0.0 END AS z
+        |  FROM v
+        |), pt AS (
+        |  SELECT *, abs(z) / sqrt(2.0) AS xx,
+        |    1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS tt
+        |  FROM zt
+        |), pv AS (
+        |  SELECT replicate, n_a, n_b, ratio_a, ratio_b, diff, z,
+        |    round(tt * (0.254829592 + tt * (-0.284496736 +
+        |      tt * (1.421413741 + tt * (-1.453152027 +
+        |        tt * 1.061405429)))) * exp(-(xx * xx)), 6) AS p_value
+        |  FROM pt
+        |)
+        |SELECT replicate, n_a, n_b, ratio_a, ratio_b, diff, z, p_value,
+        |  p_value < 0.05 AS significant
+        |FROM pv ORDER BY replicate""".stripMargin,
+
+    // E41: the q278 cumulative-look scan per mix31 null replicate,
+    // reduced to the family-wise alarm summary.
+    "q286_aa_sequential" ->
+      """WITH h0t AS (
+        |  SELECT r.replicate, CAST(ts AS DATE) AS day,
+        |    xor(user_id % 2147483648,
+        |      (r.replicate * 2654435761) % 2147483648) AS h0
+        |  FROM events e CROSS JOIN (
+        |    SELECT CAST(unnest(generate_series(1, 8)) AS INT)
+        |      AS replicate) r
+        |  WHERE e.ts IS NOT NULL AND e.user_id IS NOT NULL
+        |), armt AS (
+        |  SELECT replicate, day,
+        |    xor(h2, h2 >> 16) % 2 = 0 AS arm
+        |  FROM (SELECT replicate, day,
+        |      (xor(h1, h1 >> 13) * 3266489917) % 2147483648 AS h2
+        |    FROM (SELECT replicate, day,
+        |      (xor(h0, h0 >> 16) * 2246822519) % 2147483648 AS h1
+        |      FROM h0t))
+        |), daily AS (
+        |  SELECT replicate, day, COUNT(*) AS n0,
+        |    CAST(SUM(CASE WHEN arm THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS narm0
+        |  FROM armt GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT replicate,
+        |    CAST(row_number() OVER (PARTITION BY replicate ORDER BY day)
+        |      AS INT) AS look,
+        |    CAST(SUM(n0) OVER (PARTITION BY replicate ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS n,
+        |    CAST(SUM(narm0) OVER (PARTITION BY replicate ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS n_arm
+        |  FROM daily
+        |), zt AS (
+        |  SELECT replicate, look,
+        |    round((CAST(n_arm AS DOUBLE) - CAST(n AS DOUBLE) * 0.5)
+        |      / sqrt(CAST(n AS DOUBLE) * 0.25), 6) AS z
+        |  FROM cum
+        |), pv AS (
+        |  SELECT replicate, look,
+        |    round(t * (0.254829592 + t * (-0.284496736 +
+        |      t * (1.421413741 + t * (-1.453152027 +
+        |        t * 1.061405429)))) * exp(-(x * x)), 6) AS p_value
+        |  FROM (SELECT *, abs(z) / sqrt(2.0) AS x,
+        |    1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS t
+        |    FROM zt)
+        |), al AS (
+        |  SELECT replicate, look, p_value, p_value < 0.001 AS alarm
+        |  FROM pv
+        |)
+        |SELECT replicate, CAST(COUNT(*) AS BIGINT) AS n_looks,
+        |  MIN(p_value) AS min_p, bool_or(alarm) AS any_alarm,
+        |  COALESCE(MIN(CASE WHEN alarm THEN look END), 0)
+        |    AS first_alarm_look
+        |FROM al GROUP BY 1 ORDER BY replicate""".stripMargin,
 
     // T57: distinct doc/reference trigram sets, one membership join,
     // one per-doc reduce; shingle-less docs keep NULL rate.

@@ -1003,6 +1003,58 @@ class QualitySpec extends AnyFunSuite {
     assert(d.forall(r => r._6.isEmpty && r._7.isEmpty))
   }
 
+  test("aaRatioCalibration: delta-method nulls calibrate — splits " +
+      "decorrelate, few significant, deterministic") {
+    // per-unit (num, den) with heterogeneous weights: the case the
+    // delta method exists for
+    val units = (0L until 800L)
+      .map(u => (u, (u % 7 + 1).toDouble * 0.5, u % 5 + 1))
+      .toDF("u", "x", "y")
+    val out = Quality.aaRatioCalibration(units, col("u"),
+        col("x"), col("y"), replicates = 8)
+      .orderBy("replicate")
+      .as[(Int, Long, Long, Option[Double], Option[Double],
+        Option[Double], Option[Double], Option[Double],
+        Option[Boolean])].collect().toSeq
+    assert(out.map(_._1) == (1 to 8).toSeq)
+    assert(out.forall(r => r._2 + r._3 == 800L))
+    assert(out.forall(r => r._2 > 300L && r._2 < 500L))
+    // genuinely different splits -> different |z|
+    assert(out.flatMap(_._7).map(math.abs).distinct.size > 1)
+    // a null battery at alpha=0.05 over 8 replicates flags few
+    assert(out.flatMap(_._9).count(identity) <= 2)
+    val rerun = Quality.aaRatioCalibration(units, col("u"),
+        col("x"), col("y"), replicates = 8)
+      .orderBy("replicate")
+      .as[(Int, Long, Long, Option[Double], Option[Double],
+        Option[Double], Option[Double], Option[Double],
+        Option[Boolean])].collect().toSeq
+    assert(rerun === out)
+  }
+
+  test("aaSequentialBattery: per-replicate look counts, family-wise " +
+      "alarm summary, sentinel first_alarm_look") {
+    val d = (i: Int) => java.sql.Date.valueOf(f"2024-01-${i + 1}%02d")
+    // 6 days x 400 units; every unit appears every day
+    val rows = for (day <- 0 until 6; u <- 0L until 400L)
+      yield (d(day), u)
+    val df = rows.toDF("day", "u")
+    val out = Quality.aaSequentialBattery(df, col("day"), col("u"),
+        replicates = 6, alarmP = 0.001)
+      .orderBy("replicate")
+      .as[(Int, Long, Double, Boolean, Int)].collect().toSeq
+    assert(out.map(_._1) == (1 to 6).toSeq)
+    assert(out.forall(_._2 == 6L)) // one look per day
+    // null splits at the 0.001 line: family-wise alarms stay rare
+    assert(out.count(_._4) <= 1)
+    assert(out.filter(!_._4).forall(_._5 == 0)) // sentinel
+    // alarm plumbing: a permissive line must fire and record the look
+    val loose = Quality.aaSequentialBattery(df, col("day"), col("u"),
+        replicates = 2, alarmP = 0.999)
+      .as[(Int, Long, Double, Boolean, Int)].collect()
+    assert(loose.forall(r => r._4 && r._5 >= 1 && r._5 <= 6))
+  }
+
   test("srmMonitor: cumulative looks, alarm fires on the broken day, " +
       "first_alarm marks it exactly once") {
     val d1 = java.sql.Date.valueOf("2024-01-01")
