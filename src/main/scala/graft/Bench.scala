@@ -31,6 +31,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_CHECKPOINT_DIR=<dir>: switch every Barrier-routed
+    // iterative loop to RELIABLE checkpoint() (the HDFS-durability
+    // deployment shape) so the durability tax is a measured number,
+    // not a surprise — see SCALE.md "Reliable-checkpoint tax".
+    sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR")
+      .foreach(spark.sparkContext.setCheckpointDir)
+
     // Local-iteration filter: SPARK_GRAFT_ONLY=q111 times just those
     // (prefix match). Unset (the driver's invocation) runs everything.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
