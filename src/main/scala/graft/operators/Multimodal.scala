@@ -357,6 +357,126 @@ object Multimodal {
   }
 
   /**
+   * M12 (codec step, REAL — audio): batched WAV/PCM decode + feature
+   * extraction over `javax.sound.sampled` — the JDK's own audio
+   * codec (WAV/AIFF/AU ship in every JDK, no ffmpeg needed), inside
+   * the same typed batched-`mapPartitions` plumbing as
+   * [[decodeImageFeatures]]: partition-local, no shuffle, no driver
+   * collect.
+   *
+   * Features per payload: `decode_ok`, `sample_rate`, `n_channels`,
+   * `bits`, `n_samples` (interleaved samples across channels), the
+   * integer `peak` (max |sample|), and `mean_abs` — the exact
+   * integer Σ|sample| divided by the exact sample count, one IEEE
+   * division, engine-reproducible wherever the expected samples are
+   * arithmetically derivable (the [[syntheticWav]] gate fixture).
+   * Only 16-bit PCM payloads are decoded (the training-corpus
+   * lingua franca); other widths and undecodable bytes triage as
+   * `decode_ok = false` with NULL features — the pre-transcode
+   * filter column. |sample| sums in Long — exact to 2⁶³/32768 ≈
+   * 2.8e14 samples per payload, far past any real clip.
+   */
+  def decodeAudioFeatures(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, bytes) =>
+            val none = (id, false, Option.empty[Int], Option.empty[Int],
+              Option.empty[Int], Option.empty[Long], Option.empty[Int],
+              Option.empty[Double])
+            try {
+              if (bytes == null || bytes.isEmpty) none
+              else {
+                val ais = javax.sound.sampled.AudioSystem
+                  .getAudioInputStream(
+                    new java.io.ByteArrayInputStream(bytes))
+                val fmt = ais.getFormat
+                if (fmt.getSampleSizeInBits != 16 ||
+                  fmt.getEncoding !=
+                    javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+                  none
+                else {
+                  val data = ais.readAllBytes()
+                  val n = data.length / 2
+                  var sumAbs = 0L
+                  var peak = 0
+                  var i = 0
+                  while (i < n) {
+                    val lo = data(2 * i) & 0xff
+                    val hi = data(2 * i + 1).toInt
+                    val s = (hi << 8) | lo // WAV PCM is little-endian
+                    val a = math.abs(s)
+                    sumAbs += a
+                    if (a > peak) peak = a
+                    i += 1
+                  }
+                  (id, true, Some(fmt.getSampleRate.toInt),
+                    Some(fmt.getChannels), Some(16), Some(n.toLong),
+                    Some(peak),
+                    if (n == 0) None else Some(sumAbs.toDouble / n))
+                }
+              }
+            } catch { case scala.util.control.NonFatal(_) => none }
+          }
+        }
+      }
+      .toDF(idCol, "decode_ok", "sample_rate", "n_channels", "bits",
+        "n_samples", "peak", "mean_abs")
+  }
+
+  /**
+   * Deterministic 16-bit PCM mono WAV fixture: sample i (0-based) is
+   *   s_i = ((seed·31 + 7·i) mod 4001) − 2000
+   * — pure integer arithmetic in [−2000, 2000], so a DuckDB oracle
+   * reproduces the EXPECTED decode features (count, peak, mean |s|)
+   * without decoding anything; the gate proves
+   * [[decodeAudioFeatures]] recovers exactly the samples the
+   * generator wrote through the JDK's WAV parser (44-byte canonical
+   * RIFF/fmt/data header, little-endian payload).
+   */
+  def syntheticWav(
+      seed: Long, nSamples: Int, sampleRate: Int): Array[Byte] = {
+    require(nSamples >= 1 && sampleRate >= 1,
+      s"need positive dims, got n=$nSamples sr=$sampleRate")
+    val dataLen = nSamples * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16) // block align, bits
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nSamples) {
+      buf.putShort(
+        (Math.floorMod(seed * 31 + 7L * i, 4001L) - 2000L).toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** `(idCol, payload)` frame carrying one [[syntheticWav]] per id. */
+  def withSyntheticWav(
+      df: DataFrame, idCol: String, nSamples: Int,
+      sampleRate: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id =>
+        (id, syntheticWav(id, nSamples, sampleRate))))
+      .toDF(idCol, "payload")
+  }
+
+  /**
    * Overlapping byte-shingle token string: hex(payload) sliced into
    * `widthBytes`-byte grams every `strideBytes` bytes, space-joined —
    * the binary analogue of word shingles, feeding the same SimHash

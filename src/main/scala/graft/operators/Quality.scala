@@ -1787,6 +1787,92 @@ object Quality {
    * Output: (replicate, n_looks, min_p, any_alarm,
    * first_alarm_look), one row per replicate.
    */
+  /**
+   * Q10 support: the truncated two-sided-geometric noise CDF as an
+   * integer threshold table over the md5-uniform domain [0, 2²⁸).
+   * P(k) ∝ α^|k| with α = e^(−ε/Δ) (Ghosh et al. 2009 — the discrete
+   * Laplace, the universally utility-maximizing ε-DP mechanism for
+   * counts), truncated to k ∈ [−K, K] and renormalized. Computed
+   * driver-side ONCE and handed to BOTH engines as literals (the
+   * q269 seed-derived-literal pattern), so no cross-engine float
+   * hazard exists anywhere: the operator and the oracle consume the
+   * same (noise, lo, hi) integer rows. Returned hi of the last row
+   * is exactly 2²⁸ so the intervals tile the domain.
+   */
+  private[graft] def dpNoiseThresholds(
+      epsilon: Double, clampK: Int): Seq[(Int, Long, Long)] = {
+    require(epsilon > 0.0, s"epsilon must be positive, got $epsilon")
+    require(clampK >= 1, s"clampK must be >= 1, got $clampK")
+    val alpha = math.exp(-epsilon)
+    val ks = (-clampK to clampK).toSeq
+    val w = ks.map(k => math.pow(alpha, math.abs(k)))
+    val total = w.sum
+    val dom = 1L << 28
+    var cum = 0.0
+    var lastHi = 0L
+    ks.zip(w).map { case (k, wk) =>
+      val lo = lastHi
+      cum += wk
+      val hi = if (k == clampK) dom
+        else math.floor(cum / total * dom.toDouble).toLong
+      lastHi = hi
+      (k, lo, hi)
+    }
+  }
+
+  /**
+   * Q10: ε-differentially-private count release, DETERMINISTIC replay
+   * variant — per-group counts plus two-sided-geometric noise (the
+   * discrete Laplace; sensitivity Δ = 1 for disjoint-group counts),
+   * clamped at zero. This is the release gate a curation pipeline
+   * runs before publishing per-source/per-language corpus statistics
+   * whose exact values would leak membership.
+   *
+   * Determinism contract: the noise draw for a group is the
+   * md5-uniform of (group key, seed) — 7 hex digits → u ∈ [0, 2²⁸) —
+   * looked up in the [[dpNoiseThresholds]] integer table, so one
+   * release is bit-reproducible and auditable on any engine. The
+   * caveat is the flip side: DETERMINISM IS PER (DATA, SEED) — the
+   * ε budget is spent once per seed, and re-releasing the same data
+   * under a fresh seed composes budgets exactly as fresh randomness
+   * would (re-USING a seed on changed data leaks the change through
+   * noise reuse — rotate seeds per release). Truncation at ±K leaves
+   * residual tail mass 2α^(K+1)/((1+α)(1−α^(K+1))·norm) — with the
+   * default K=39 and any ε ≥ 0.5 that is < 4e-9, far below the 2⁻²⁸
+   * grid quantization already inherent in the threshold table; both
+   * approximations are documented, standard practice for integer DP.
+   *
+   * Scale: ONE partial-aggregated groupBy over the corpus; the noise
+   * lookup is a (2K+1)-row broadcast range join on the bounded
+   * threshold dim; everything after is a projection. No per-row
+   * state, no windows, no driver collect.
+   *
+   * Output: (keyCols…, released_count) — max(0, n + noise), the true
+   * count never surfaced.
+   */
+  def dpCountRelease(
+      df: DataFrame, keyCols: Seq[String], epsilon: Double,
+      seed: Long, clampK: Int = 39): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    val spark = df.sparkSession
+    val thr = spark.createDataFrame(dpNoiseThresholds(epsilon, clampK))
+      .toDF("__noise", "__lo", "__hi")
+    val counts = df
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+    val u = conv(
+      substring(md5(concat_ws("|",
+        keyCols.map(col) :+ lit(seed.toString): _*)), 1, 7),
+      16, 10).cast("long")
+    counts
+      .withColumn("__u", u)
+      .join(broadcast(thr), col("__u") >= col("__lo") &&
+        col("__u") < col("__hi"))
+      .select(keyCols.map(col) :+
+        greatest(lit(0L), col("__n") + col("__noise"))
+          .as("released_count"): _*)
+  }
+
   def aaSequentialBattery(
       df: DataFrame, dayCol: Column, unitCol: Column,
       replicates: Int, alarmP: Double = 0.001): DataFrame = {

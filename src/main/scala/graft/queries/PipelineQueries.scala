@@ -132,6 +132,38 @@ object PipelineQueries {
   }
 
   /**
+   * q288 oracle generator: the ε-DP release replay — the noise
+   * threshold table is generated by the SAME Scala function the
+   * operator uses (`Quality.dpNoiseThresholds`, the q269
+   * seed-derived-literal pattern), so both engines consume identical
+   * integer (noise, lo, hi) rows and the only per-row arithmetic is
+   * the shared md5-uniform + one range lookup + one GREATEST.
+   */
+  private def dpOracle(
+      epsilon: Double, seed: Long, clampK: Int): String = {
+    val rows = graft.operators.Quality
+      .dpNoiseThresholds(epsilon, clampK)
+      .map { case (k, lo, hi) => s"($k, $lo, $hi)" }
+      .mkString(",\n    ")
+    s"""WITH counts AS (
+       |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM documents GROUP BY 1, 2
+       |), thr(noise, lo, hi) AS (
+       |  VALUES
+       |    $rows
+       |), u AS (
+       |  SELECT lang, source, n,
+       |    ('0x' || substr(md5(concat_ws('|', lang, source, '$seed')),
+       |      1, 7))::BIGINT AS uu
+       |  FROM counts
+       |)
+       |SELECT lang, source,
+       |  GREATEST(0, n + noise) AS released_count
+       |FROM u JOIN thr ON u.uu >= thr.lo AND u.uu < thr.hi
+       |ORDER BY lang, source""".stripMargin
+  }
+
+  /**
    * q195 oracle generator: replays `Similarity.principalComponents`'
    * quantized power iteration in DuckDB, iteration by iteration — the
    * q123-PageRank pattern applied to an eigensolve. The base matrix
@@ -3338,6 +3370,36 @@ object PipelineQueries {
         .orderBy("replicate")
     }),
 
+    // M12 (round 11): REAL audio decode through the JDK's own
+    // javax.sound.sampled WAV codec — one deterministic 256-sample
+    // 16-bit PCM clip per part (samples a pure integer formula of
+    // the id), decoded back to format fields + integer peak + exact
+    // mean |sample|; a corrupt payload exercises decode_ok=false.
+    // The oracle recomputes the expected features arithmetically
+    // from the sample formula.
+    "q287_audio_decode" -> ((s, dir) => {
+      val ids = t(s, dir, "part").select(col("p_partkey").as("id"))
+      val wavs = Multimodal.withSyntheticWav(
+        ids, "id", nSamples = 256, sampleRate = 16000)
+      val corrupt = s.range(1).select(lit(-1L).as("id"),
+        encode(lit("RIFF....WAVEnot really a wav"), "UTF-8")
+          .as("payload"))
+      Multimodal.decodeAudioFeatures(
+          wavs.unionByName(corrupt), "id", "payload")
+        .orderBy("id")
+    }),
+
+    // Q10 (round 11): ε-DP count release over (lang, source) corpus
+    // statistics — two-sided-geometric noise from the seeded
+    // md5-uniform + the driver-generated integer threshold table;
+    // the oracle consumes the SAME literal table (dpOracle).
+    "q288_dp_release" -> ((s, dir) => {
+      graft.operators.Quality.dpCountRelease(
+          t(s, dir, "documents"), Seq("lang", "source"),
+          epsilon = 0.5, seed = 42L, clampK = 39)
+        .orderBy("lang", "source")
+    }),
+
     // T56 (round 10): curation funnel — per-source doc/token mass
     // through length -> language -> lexical-diversity stages; one
     // scan, one source aggregate.
@@ -6285,6 +6347,34 @@ object PipelineQueries {
         |  COALESCE(MIN(CASE WHEN alarm THEN look END), 0)
         |    AS first_alarm_look
         |FROM al GROUP BY 1 ORDER BY replicate""".stripMargin,
+
+    // M12: the oracle reproduces the decode features from the
+    // syntheticWav sample formula — integer |sample| aggregates over
+    // the 256-sample grid, one exact division.
+    "q287_audio_decode" ->
+      """WITH ids AS (
+        |  SELECT CAST(p_partkey AS BIGINT) AS id FROM part
+        |), sm AS (
+        |  SELECT id, ((id * 31 + 7 * i) % 4001) - 2000 AS s
+        |  FROM ids, (SELECT unnest(range(0, 256)) AS i) g
+        |), a AS (
+        |  SELECT id, MAX(ABS(s)) AS peak, SUM(ABS(s)) AS sabs
+        |  FROM sm GROUP BY 1
+        |)
+        |SELECT id, TRUE AS decode_ok,
+        |  CAST(16000 AS INT) AS sample_rate,
+        |  CAST(1 AS INT) AS n_channels, CAST(16 AS INT) AS bits,
+        |  CAST(256 AS BIGINT) AS n_samples, CAST(peak AS INT) AS peak,
+        |  CAST(sabs AS DOUBLE) / 256 AS mean_abs
+        |FROM a
+        |UNION ALL
+        |SELECT CAST(-1 AS BIGINT), FALSE, NULL, NULL, NULL, NULL,
+        |  NULL, NULL
+        |ORDER BY id""".stripMargin,
+
+    // Q10: the DP release replay — generated threshold literals.
+    "q288_dp_release" -> dpOracle(
+      epsilon = 0.5, seed = 42L, clampK = 39),
 
     // T57: distinct doc/reference trigram sets, one membership join,
     // one per-doc reduce; shingle-less docs keep NULL rate.

@@ -227,4 +227,35 @@ class MultimodalSpec extends AnyFunSuite {
         .orderBy("id").collect().map(_.toString).toSeq
     assert(run(1, 1) === run(64, 7))
   }
+
+  test("decodeAudioFeatures: javax.sound recovers syntheticWav " +
+      "samples exactly; garbage and non-PCM-16 triage as false") {
+    val ids = Seq(5L, 123L, 4096L).toDF("id")
+    val wavs = Multimodal.withSyntheticWav(ids, "id",
+      nSamples = 200, sampleRate = 8000)
+    val corrupt = Seq(
+      (-1L, "RIFF....WAVE but junk".getBytes("UTF-8")),
+      (-2L, Array.empty[Byte])).toDF("id", "payload")
+    val out = Multimodal.decodeAudioFeatures(
+        wavs.unionByName(corrupt), "id", "payload", batchSize = 2)
+      .as[(Long, Boolean, Option[Int], Option[Int], Option[Int],
+        Option[Long], Option[Int], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    for (id <- Seq(5L, 123L, 4096L)) {
+      val samples = (0 until 200).map(i =>
+        (Math.floorMod(id * 31 + 7L * i, 4001L) - 2000L).toInt)
+      val r = out(id)
+      assert(r._2 && r._3 === Some(8000) && r._4 === Some(1) &&
+        r._5 === Some(16) && r._6 === Some(200L), s"id=$id: $r")
+      assert(r._7 === Some(samples.map(math.abs).max), s"id=$id peak")
+      // integer sum / exact count: bit-exact
+      assert(r._8 === Some(
+        samples.map(s => math.abs(s).toLong).sum.toDouble / 200),
+        s"id=$id mean_abs")
+    }
+    for (id <- Seq(-1L, -2L)) {
+      val r = out(id)
+      assert(!r._2 && r._3.isEmpty && r._8.isEmpty, s"id=$id: $r")
+    }
+  }
 }

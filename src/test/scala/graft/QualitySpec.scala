@@ -1032,6 +1032,51 @@ class QualitySpec extends AnyFunSuite {
     assert(rerun === out)
   }
 
+  test("dpCountRelease: thresholds tile the uniform domain; released " +
+      "counts match the hand-computed mechanism; zero-clamp fires") {
+    // threshold table tiles [0, 2^28) with no gaps or overlaps
+    val thr = Quality.dpNoiseThresholds(0.5, 39)
+    assert(thr.head._1 == -39 && thr.last._1 == 39)
+    assert(thr.head._2 == 0L && thr.last._3 == (1L << 28))
+    thr.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._3 == b._2, s"gap/overlap between ${a._1} and ${b._1}")
+    case _ => }
+    // the center interval carries the most mass (geometric peak at 0)
+    val widths = thr.map(t => t._1 -> (t._3 - t._2)).toMap
+    assert(widths(0) == widths.values.max)
+
+    // 120 singleton groups: released = max(0, 1 + noise(key)); verify
+    // against an independent in-test mechanism replay (JDK md5 + the
+    // same threshold table), and both clamp directions occur
+    val df = (0 until 120).map(i => s"g$i").toDF("k")
+    val got = Quality.dpCountRelease(df, Seq("k"),
+        epsilon = 0.5, seed = 7L, clampK = 39)
+      .as[(String, Long)].collect().toMap
+    def expected(key: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$key|7".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val u = java.lang.Long.parseLong(hex.substring(0, 7), 16)
+      val k = thr.find(t => u >= t._2 && u < t._3).get._1
+      math.max(0L, 1L + k)
+    }
+    assert(got.size == 120)
+    got.foreach { case (k, v) =>
+      assert(v === expected(k), s"group $k")
+    }
+    assert(got.values.exists(_ == 0L), "no zero-clamped release")
+    assert(got.values.exists(_ > 1L), "no positive-noise release")
+    // deterministic rerun == same release; a different seed differs
+    val rerun = Quality.dpCountRelease(df, Seq("k"),
+        epsilon = 0.5, seed = 7L, clampK = 39)
+      .as[(String, Long)].collect().toMap
+    assert(rerun === got)
+    val other = Quality.dpCountRelease(df, Seq("k"),
+        epsilon = 0.5, seed = 8L, clampK = 39)
+      .as[(String, Long)].collect().toMap
+    assert(other !== got)
+  }
+
   test("aaSequentialBattery: per-replicate look counts, family-wise " +
       "alarm summary, sentinel first_alarm_look") {
     val d = (i: Int) => java.sql.Date.valueOf(f"2024-01-${i + 1}%02d")
