@@ -97,4 +97,37 @@ object Sessionize {
         max(col(tsCol)).as("last_ts"),
         count(lit(1)).as("n_events"))
   }
+
+  /**
+   * X18: Spark's NATIVE `session_window` aggregation — the built-in
+   * counterpart of [[sessionStats]] and the one shape that runs
+   * UNCHANGED in batch and Structured Streaming (streaming it closes
+   * a session when the watermark passes its end, which is what makes
+   * it the production streaming sessionizer; batch folds it through
+   * SessionWindowing in one pass). The merge boundary MATCHES
+   * [[sessionStats]] — a gap exactly equal to the duration still
+   * merges, only a STRICTLY greater gap splits (spec-pinned; Spark
+   * merges an event whose window start ≤ the previous window end) —
+   * but the session END differs: last event + gap (the half-open
+   * window a streaming join consumes), not the observed last-event
+   * timestamp. Pick by downstream contract.
+   *
+   * Scale: one hash exchange on the key; Spark sorts each key's rows
+   * and merges windows in a single SessionWindowing pass — same
+   * envelope as the gaps-and-islands form.
+   *
+   * Output: (keyCol, session_start, session_end, n_events) —
+   * session_end = last event + gap, exact microseconds.
+   */
+  def sessionWindowStats(
+      events: DataFrame, keyCol: String, tsCol: String,
+      gap: String): DataFrame =
+    events
+      .where(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
 }

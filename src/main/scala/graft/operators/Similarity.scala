@@ -808,6 +808,100 @@ object Similarity {
   }
 
   /**
+   * V26: IVF nprobe recall sweep — the tuning readout run BEFORE
+   * committing an (nlist, nprobe) point to a serving index: for each
+   * candidate nprobe, recall@k of [[ivfSearch]] against the exact
+   * [[cosineTopK]] ground truth over the same probes. The standard
+   * ANN cost/recall dial (FAISS benchmarks report exactly this
+   * curve); nprobe == nlist must read recall 1.0 (all cells scanned
+   * — the built-in self-check the gate asserts).
+   *
+   * ONE corpus pass serves every sweep point: cells assign once, the
+   * probe side keeps each candidate cell's RANK, the candidate join
+   * and the cosine evaluate once at max(nprobes), and each sweep
+   * point materializes as a filter (cell_rank ≤ nprobe) via a
+   * bounded literal explode — running [[ivfSearch]] per point would
+   * multiply the corpus scans by |nprobes|. Exact ground truth is
+   * one [[cosineTopK]] pass (the probes×corpus cost a tuning sweep
+   * pays by definition — run it on a sample at 100 TB, as the
+   * trainCentroids bound enforces for training).
+   *
+   * Recall = |approx ∩ exact| / |exact| per sweep point (exact pair
+   * count, not probes·k, so under-k corpora stay honest); integer
+   * hit/total counts, one IEEE division, round(6) — non-negative, no
+   * signed-zero exposure.
+   *
+   * Output: (nprobe, n_probes, exact_pairs, hit_pairs, recall),
+   * ascending by nprobe — sweep points with zero candidates still
+   * emit (hit_pairs = 0).
+   */
+  def ivfRecallSweep(
+      corpus: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int,
+      nprobes: Seq[Int],
+      k: Int): DataFrame = {
+    require(nprobes.nonEmpty, "nprobes must be non-empty")
+    require(nprobes.forall(np => np >= 1 && np <= nlist),
+      s"every nprobe must be in [1, nlist=$nlist], got $nprobes")
+    val nps = nprobes.distinct.sorted
+    val npMax = nps.max
+    val spark = corpus.sparkSession
+    val seeds = ivfSeeds(corpus, idCol, vecCol, nlist)
+    val c = corpus.select(
+      col(idCol).as("vec_id"), toDoubleVec(col(vecCol)).as("__v"))
+      .withColumn("__cell", ivfCell(col("__v"), seeds))
+      .withColumn("__vnorm", norm(col("__v")))
+    val p = probes.select(
+      col(idCol).as("probe_id"), toDoubleVec(col(vecCol)).as("__p"))
+      .withColumn("__pnorm", norm(col("__p")))
+      .select(col("probe_id"), col("__p"), col("__pnorm"),
+        posexplode(transform(
+          slice(sort_array(cellRanking(col("__p"), seeds)), 1, npMax),
+          s => s.getField("cell"))).as(Seq("__cr0", "__cell")))
+      .withColumn("__cell_rank", col("__cr0") + 1)
+      .drop("__cr0")
+    val swept = c.join(broadcast(p), Seq("__cell"))
+      .where(col("vec_id") =!= col("probe_id"))
+      .withColumn("__cos",
+        dot(col("__v"), col("__p")) / (col("__vnorm") * col("__pnorm")))
+      .withColumn("nprobe",
+        explode(filter(typedLit(nps),
+          np => np >= col("__cell_rank"))))
+    val w = Window.partitionBy("nprobe", "probe_id")
+      .orderBy(
+        when(!isnan(col("__cos")), col("__cos")).desc_nulls_last,
+        col("vec_id").asc)
+    val approx = swept
+      .withColumn("__r", row_number().over(w))
+      .where(col("__r") <= k)
+      .select(col("nprobe"), col("probe_id"), col("vec_id"))
+    val exact = cosineTopK(corpus, probes, idCol, vecCol, k)
+      .select(col("probe_id"), col("vec_id"))
+    import spark.implicits._
+    val exactTotals = exact.agg(
+      count(lit(1)).as("exact_pairs"),
+      countDistinct(col("probe_id")).as("n_probes"))
+    val hits = approx
+      .join(exact, Seq("probe_id", "vec_id"), "left_semi")
+      .groupBy("nprobe").agg(count(lit(1)).as("hit_pairs"))
+    nps.toDF("nprobe")
+      .join(hits, Seq("nprobe"), "left")
+      .na.fill(0L, Seq("hit_pairs"))
+      .crossJoin(exactTotals)
+      .select(col("nprobe"), col("n_probes"), col("exact_pairs"),
+        col("hit_pairs"),
+        // empty ground truth -> NULL recall, not /0 (ANSI throws on
+        // ANY division by zero; the NULL divisor matches DuckDB)
+        round(col("hit_pairs").cast("double")
+          / when(col("exact_pairs") > 0L,
+            col("exact_pairs").cast("double")), 6).as("recall"))
+      .orderBy("nprobe")
+  }
+
+  /**
    * SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup:
    * Data-efficient learning at web-scale through semantic
    * deduplication", 2023): partition the corpus into `nlist` Voronoi

@@ -3400,6 +3400,28 @@ object PipelineQueries {
         .orderBy("lang", "source")
     }),
 
+    // X18 (round 11): Spark's NATIVE session_window aggregation over
+    // the events stream — the one sessionizer shape that runs
+    // unchanged in batch and streaming; same merge boundary as
+    // q72's gaps-and-islands, half-open end = last+gap — the oracle
+    // mirrors both exactly.
+    "q289_session_window" -> ((s, dir) => {
+      graft.operators.Sessionize.sessionWindowStats(
+          t(s, dir, "events"), "user_id", "ts", gap = "6 hours")
+        .orderBy("user_id", "session_start")
+    }),
+
+    // V26 (round 11): IVF nprobe recall sweep — recall@5 of ivfSearch
+    // vs the exact cosine top-5 at nprobe ∈ {1,2,4,8} over nlist=8
+    // seed cells; one corpus pass serves every sweep point, and
+    // nprobe=nlist must read 1.0.
+    "q290_ivf_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfRecallSweep(
+          e, e.where(col("vec_id") < 8), "vec_id", "embedding",
+          nlist = 8, nprobes = Seq(1, 2, 4, 8), k = 5)
+    }),
+
     // T56 (round 10): curation funnel — per-source doc/token mass
     // through length -> language -> lexical-diversity stages; one
     // scan, one source aggregate.
@@ -6375,6 +6397,123 @@ object PipelineQueries {
     // Q10: the DP release replay — generated threshold literals.
     "q288_dp_release" -> dpOracle(
       epsilon = 0.5, seed = 42L, clampK = 39),
+
+    // X18: gaps-and-islands with session_window's exact boundary
+    // semantics — split only on gap STRICTLY > 6h (a ==gap merges,
+    // spec-pinned), end = last event + 6h, microsecond arithmetic.
+    "q289_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, ts FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |), m AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |        PARTITION BY user_id ORDER BY ts) > 21600000000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM e
+        |), g AS (
+        |  SELECT user_id, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM m
+        |)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |  MAX(ts) + INTERVAL 6 HOUR AS session_end,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM g GROUP BY user_id, grp
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    // V26: the q31 IVF replay with the probe-cell RANK kept, swept
+    // over the nprobe grid, against the brute-force exact top-5.
+    "q290_ivf_recall" ->
+      """WITH el AS (
+        |  SELECT vec_id, generate_subscripts(embedding,1) AS d,
+        |         unnest(embedding)::DOUBLE AS x
+        |  FROM embeddings
+        |), nrm AS (
+        |  SELECT vec_id, sqrt(SUM(x*x)) AS n FROM el GROUP BY vec_id
+        |), seed_ids AS (
+        |  SELECT vec_id AS cell_vid,
+        |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
+        |  FROM embeddings ORDER BY vec_id LIMIT 8
+        |), scell AS (
+        |  SELECT s.cell, e.d, e.x, n.n
+        |  FROM seed_ids s JOIN el e ON e.vec_id = s.cell_vid
+        |  JOIN nrm n ON n.vec_id = s.cell_vid
+        |), vc AS (
+        |  SELECT e.vec_id, s.cell,
+        |    SUM(e.x * s.x) / (nv.n * any_value(s.n)) AS cos
+        |  FROM el e JOIN scell s ON s.d = e.d
+        |  JOIN nrm nv ON nv.vec_id = e.vec_id
+        |  GROUP BY e.vec_id, s.cell, nv.n
+        |), assign AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY cos DESC, cell) AS rn
+        |    FROM vc) WHERE rn = 1
+        |), pcells AS (
+        |  SELECT vec_id AS probe_id, cell, CAST(rn AS INT) AS cell_rank
+        |  FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY cos DESC, cell) AS rn
+        |    FROM vc WHERE vec_id < 8) WHERE rn <= 8
+        |), cand AS (
+        |  SELECT p.probe_id, a.vec_id, p.cell_rank
+        |  FROM pcells p JOIN assign a ON a.cell = p.cell
+        |  WHERE a.vec_id <> p.probe_id
+        |), dots AS (
+        |  SELECT c.probe_id, c.vec_id, c.cell_rank, SUM(ep.x * ev.x) AS dp
+        |  FROM cand c
+        |  JOIN el ep ON ep.vec_id = c.probe_id
+        |  JOIN el ev ON ev.vec_id = c.vec_id AND ev.d = ep.d
+        |  GROUP BY 1, 2, 3
+        |), scored AS (
+        |  SELECT d.probe_id, d.vec_id, d.cell_rank,
+        |    d.dp / (np.n * nv.n) AS cosine
+        |  FROM dots d JOIN nrm np ON np.vec_id = d.probe_id
+        |  JOIN nrm nv ON nv.vec_id = d.vec_id
+        |), sweep(nprobe) AS (VALUES (1), (2), (4), (8)),
+        |approx AS (
+        |  SELECT nprobe, probe_id, vec_id FROM (
+        |    SELECT s.nprobe, sc.probe_id, sc.vec_id,
+        |      row_number() OVER (PARTITION BY s.nprobe, sc.probe_id
+        |        ORDER BY sc.cosine DESC, sc.vec_id) AS r
+        |    FROM scored sc JOIN sweep s ON sc.cell_rank <= s.nprobe)
+        |  WHERE r <= 5
+        |), exact AS (
+        |  SELECT probe_id, vec_id FROM (
+        |    SELECT dd.probe_id, dd.vec_id,
+        |      row_number() OVER (PARTITION BY dd.probe_id
+        |        ORDER BY dd.dp / (np.n * nv.n) DESC, dd.vec_id) AS r
+        |    FROM (
+        |      SELECT ep.vec_id AS probe_id, ev.vec_id,
+        |        SUM(ep.x * ev.x) AS dp
+        |      FROM el ep JOIN el ev
+        |        ON ev.d = ep.d AND ev.vec_id <> ep.vec_id
+        |      WHERE ep.vec_id < 8
+        |      GROUP BY 1, 2) dd
+        |    JOIN nrm np ON np.vec_id = dd.probe_id
+        |    JOIN nrm nv ON nv.vec_id = dd.vec_id)
+        |  WHERE r <= 5
+        |), et AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS exact_pairs,
+        |    CAST(COUNT(DISTINCT probe_id) AS BIGINT) AS n_probes
+        |  FROM exact
+        |), hits AS (
+        |  SELECT a.nprobe, CAST(COUNT(*) AS BIGINT) AS hit_pairs
+        |  FROM approx a JOIN exact e
+        |    ON e.probe_id = a.probe_id AND e.vec_id = a.vec_id
+        |  GROUP BY 1
+        |)
+        |SELECT s.nprobe, et.n_probes, et.exact_pairs,
+        |  COALESCE(h.hit_pairs, CAST(0 AS BIGINT)) AS hit_pairs,
+        |  round(CAST(COALESCE(h.hit_pairs, 0) AS DOUBLE)
+        |    / CAST(et.exact_pairs AS DOUBLE), 6) AS recall
+        |FROM sweep s LEFT JOIN hits h ON h.nprobe = s.nprobe
+        |CROSS JOIN et
+        |ORDER BY s.nprobe""".stripMargin,
 
     // T57: distinct doc/reference trigram sets, one membership join,
     // one per-doc reduce; shingle-less docs keep NULL rate.

@@ -2,6 +2,7 @@ package graft
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Sessionize
@@ -71,5 +72,34 @@ class SessionizeSpec extends AnyFunSuite {
       (1L, "click", 2L, 5L, 1L),
       (1L, "view", 1L, 6L, 1L),
       (2L, "click", 1L, 7L, 1L)))
+  }
+
+  test("sessionWindowStats: native session_window boundary semantics " +
+      "— gap == duration MERGES (same boundary as sessionStats), a " +
+      "strictly greater gap splits, end = last + gap") {
+    // user a: 10:00, 10:30 (gap EXACTLY 30 min -> merges),
+    //         11:00:01 (30:01 -> splits)
+    val df = Seq(
+      ("a", ts("2024-01-01 10:00:00")),
+      ("a", ts("2024-01-01 10:30:00")),
+      ("a", ts("2024-01-01 11:00:01")),
+      ("b", ts("2024-01-01 09:00:00"))
+    ).toDF("user_id", "ts")
+    val out = Sessionize
+      .sessionWindowStats(df, "user_id", "ts", "30 minutes")
+      .orderBy("user_id", "session_start")
+      .as[(String, Timestamp, Timestamp, Long)].collect().toSeq
+    assert(out === Seq(
+      // ==30min merges; end = last event + gap (half-open window)
+      ("a", ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"), 2L),
+      ("a", ts("2024-01-01 11:00:01"), ts("2024-01-01 11:30:01"), 1L),
+      ("b", ts("2024-01-01 09:00:00"), ts("2024-01-01 09:30:00"), 1L)))
+    // the hand-rolled operator agrees on the boundary: one ==gap
+    // merge, one >gap split
+    val legacy = Sessionize.sessionStats(
+        df.withColumn("event_id", col("ts").cast("long")),
+        "user_id", "ts", "event_id", 1800L)
+      .where(col("user_id") === "a").count()
+    assert(legacy === 2L)
   }
 }

@@ -829,6 +829,42 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r3._6.isEmpty && r3._4 == 1.0 && r3._5 == 0.0)
   }
 
+  test("ivfRecallSweep: parity with per-nprobe ivfSearch; " +
+      "nprobe = nlist reads recall 1.0; recall monotone in nprobe") {
+    // 24 vectors in 4 loose direction clusters so cells are
+    // non-trivial and small nprobe genuinely misses neighbors
+    val rnd = new scala.util.Random(13)
+    val base = Seq(
+      Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0),
+      Seq(0.0, 0.0, 1.0, 0.0), Seq(0.0, 0.0, 0.0, 1.0))
+    val corpus = (0L until 24L).map { i =>
+      val b = base((i % 4).toInt)
+      (i, b.map(x => (x + rnd.nextDouble() * 0.4).toFloat))
+    }.toDF("vec_id", "embedding")
+    val probes = corpus.where(col("vec_id") < 6)
+    val sweep = Similarity.ivfRecallSweep(corpus, probes,
+        "vec_id", "embedding", nlist = 6, nprobes = Seq(1, 3, 6), k = 4)
+      .as[(Int, Long, Long, Long, Option[Double])].collect().toSeq
+    assert(sweep.map(_._1) == Seq(1, 3, 6))
+    assert(sweep.forall(r => r._2 == 6L && r._3 == 24L)) // 6 probes x k=4
+    // monotone non-decreasing, exact at nprobe = nlist
+    assert(sweep.map(_._4) == sweep.map(_._4).sorted)
+    assert(sweep.last._5 === Some(1.0))
+    // per-point parity with the one-shot operator it summarizes
+    val exact = Similarity.cosineTopK(corpus, probes,
+        "vec_id", "embedding", k = 4)
+      .select("probe_id", "vec_id")
+      .as[(Long, Long)].collect().toSet
+    for ((np, _, _, hitPairs, _) <- sweep) {
+      val approx = Similarity.ivfSearch(corpus, probes,
+          "vec_id", "embedding", nlist = 6, nprobe = np, k = 4)
+        .select("probe_id", "vec_id")
+        .as[(Long, Long)].collect().toSet
+      assert((approx intersect exact).size.toLong === hitPairs,
+        s"nprobe=$np")
+    }
+  }
+
   test("projectionSigns: deterministic, seed-sensitive, ±1 only") {
     val a = Similarity.projectionSigns(7L, 16, 8)
     assert(a == Similarity.projectionSigns(7L, 16, 8))

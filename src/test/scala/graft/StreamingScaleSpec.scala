@@ -263,6 +263,36 @@ class StreamingScaleSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sf0.1 native session_window: the SAME operator runs streaming " +
+      "(watermark + append) and batch with identical closed sessions") {
+    assume(haveData)
+    implicit val sqlCtx = spark.sqlContext
+    val rows = events.map(e => (e._2, e._3)).toSeq
+    val flushKey = -1L
+    val input = MemoryStream[(Long, Timestamp)]
+    val q = graft.operators.Sessionize.sessionWindowStats(
+        input.toDF.toDF("user_id", "ts")
+          .withWatermark("ts", "0 seconds"),
+        "user_id", "ts", gap = "6 hours")
+      .writeStream.format("memory").queryName("scale_swin")
+      .outputMode("append").start()
+    try {
+      chunks(rows, 4).foreach { b =>
+        input.addData(b: _*); q.processAllAvailable()
+      }
+      input.addData((flushKey, farFuture(100000))); q.processAllAvailable()
+      input.addData((flushKey, farFuture(200000))); q.processAllAvailable()
+      val streamed = spark.table("scale_swin")
+        .as[(Long, Timestamp, Timestamp, Long)].collect()
+        .filter(_._1 != flushKey).toSet
+      val batch = graft.operators.Sessionize.sessionWindowStats(
+          rows.toDF("user_id", "ts"), "user_id", "ts", gap = "6 hours")
+        .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+      assert(streamed === batch)
+      assert(streamed.exists(_._4 > 1L))
+    } finally q.stop()
+  }
+
   test("sf0.1 heavy hitters: multi-batch streaming fold is exact in " +
       "the capacity >= vocabulary regime") {
     assume(haveData)
