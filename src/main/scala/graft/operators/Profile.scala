@@ -391,6 +391,103 @@ object Profile {
    * parent side a value-cardinality frame, never the raw parent.
    * NULL child values are excluded entirely (SQL FK semantics).
    */
+  /** One declarative data-quality expectation (the Deequ/Great-
+    * Expectations shape): a named metric over one column plus the
+    * threshold the release gate demands. */
+  sealed trait Expectation {
+    def column: String
+    def threshold: Double
+    def name: String
+  }
+  /** non-null share of all rows ≥ threshold. */
+  final case class Completeness(column: String, threshold: Double)
+      extends Expectation { def name = s"completeness($column)" }
+  /** distinct / non-null count ≥ threshold (1.0 = column is a key). */
+  final case class UniqueRate(column: String, threshold: Double)
+      extends Expectation { def name = s"unique_rate($column)" }
+  /** share of NON-NULL values inside [lo, hi] ≥ threshold. */
+  final case class InRangeRate(
+      column: String, lo: Double, hi: Double, threshold: Double)
+      extends Expectation { def name = s"in_range($column,$lo,$hi)" }
+  /** share of NON-NULL values matching `regex` ≥ threshold (keep the
+    * pattern in the RE2 ∩ Java ∩ PCRE common subset — classes,
+    * anchors, quantifiers — so every engine reads it identically). */
+  final case class MatchRate(
+      column: String, regex: String, threshold: Double)
+      extends Expectation { def name = s"match_rate($column)" }
+
+  /**
+   * Q11: declarative expectation suite — the Deequ-style release
+   * gate: evaluate every check's metric in ONE pass over the table
+   * and emit a verdict row per check. This is the "constraints as
+   * data" surface a 100 TB ingest runs before promoting a snapshot:
+   * completeness, key-ness, range conformance, and format
+   * conformance, each a ratio in [0, 1] compared against its
+   * declared threshold.
+   *
+   * Scale: all metrics fold into ONE aggregate over ONE scan —
+   * conditional sums partial-aggregate map-side; the exact
+   * `countDistinct`s (UniqueRate) share the same job via Spark's
+   * multi-distinct Expand (rows × distinct-column count, the
+   * documented cost of EXACT key verification — swap in
+   * approx_count_distinct upstream when ±2% suffices at the 100 TB
+   * end). The one-row metric frame then unpivots to |checks| rows —
+   * driver-free, join-free.
+   *
+   * ENGINE-EXACT: every metric is integer-count arithmetic finished
+   * by one guarded IEEE division (empty denominators → NULL metric,
+   * failed verdict — ANSI-safe, DuckDB-identical), round(6) —
+   * non-negative, no signed-zero exposure. `passed` is NULL-strict:
+   * an unmeasurable metric is a FAILED gate, not a skipped one.
+   *
+   * Output: (check, column, metric, threshold, passed), one row per
+   * expectation, input order preserved via the check name sort the
+   * caller applies (names are deterministic).
+   */
+  def expectationSuite(
+      df: DataFrame, checks: Seq[Expectation]): DataFrame = {
+    require(checks.nonEmpty, "need at least one expectation")
+    require(checks.map(_.name).distinct.size == checks.size,
+      s"duplicate expectation names: ${checks.map(_.name)}")
+    def ratio(num: Column, den: Column): Column =
+      round(num.cast("double") /
+        when(den > 0L, den.cast("double")), 6)
+    val total = count(lit(1))
+    val metricCols = checks.zipWithIndex.map { case (c, i) =>
+      val m = c match {
+        case Completeness(col0, _) =>
+          ratio(count(col(col0)), total)
+        case UniqueRate(col0, _) =>
+          ratio(countDistinct(col(col0)), count(col(col0)))
+        case InRangeRate(col0, lo, hi, _) =>
+          ratio(
+            sum(when(col(col0).cast("double").between(lo, hi), 1L)
+              .otherwise(0L)),
+            count(col(col0)))
+        case MatchRate(col0, re, _) =>
+          ratio(
+            sum(when(col(col0).rlike(re), 1L).otherwise(0L)),
+            count(col(col0)))
+      }
+      m.as(s"__m$i")
+    }
+    val one = df.agg(metricCols.head, metricCols.tail: _*)
+    val rows = explode(array(checks.zipWithIndex.map { case (c, i) =>
+      struct(
+        lit(c.name).as("check"),
+        lit(c.column).as("column"),
+        col(s"__m$i").as("metric"),
+        lit(c.threshold).as("threshold"))
+    }: _*)).as("__e")
+    one.select(rows)
+      .select(col("__e.check").as("check"),
+        col("__e.column").as("column"),
+        col("__e.metric").as("metric"),
+        col("__e.threshold").as("threshold"),
+        coalesce(col("__e.metric") >= col("__e.threshold"), lit(false))
+          .as("passed"))
+  }
+
   def inclusionDependencies(
       pairs: Seq[(String, DataFrame, String, DataFrame, String)])
       : DataFrame = {

@@ -3422,6 +3422,22 @@ object PipelineQueries {
           nlist = 8, nprobes = Seq(1, 2, 4, 8), k = 5)
     }),
 
+    // Q11 (round 11): declarative expectation suite — six
+    // Deequ-style checks over documents evaluated in ONE pass; the
+    // source unique-rate check is deliberately unsatisfiable so the
+    // failed-verdict path is driver-exercised.
+    "q291_expectations" -> ((s, dir) => {
+      import graft.operators.Profile._
+      expectationSuite(t(s, dir, "documents"), Seq(
+          Completeness("text", 0.99),
+          Completeness("lang", 0.99),
+          UniqueRate("doc_id", 1.0),
+          UniqueRate("source", 0.5),
+          InRangeRate("n_chars", 1.0, 100000.0, 0.99),
+          MatchRate("lang", "^[a-z]{2}$", 0.9)))
+        .orderBy("check")
+    }),
+
     // T56 (round 10): curation funnel — per-source doc/token mass
     // through length -> language -> lexical-diversity stages; one
     // scan, one source aggregate.
@@ -6514,6 +6530,48 @@ object PipelineQueries {
         |FROM sweep s LEFT JOIN hits h ON h.nprobe = s.nprobe
         |CROSS JOIN et
         |ORDER BY s.nprobe""".stripMargin,
+
+    // Q11: one aggregate pass, unpivoted to verdict rows; metrics
+    // are integer counts + one guarded division each.
+    "q291_expectations" ->
+      """WITH m AS (
+        |  SELECT
+        |    round(CAST(COUNT(text) AS DOUBLE) / COUNT(*), 6)
+        |      AS m_text_comp,
+        |    round(CAST(COUNT(lang) AS DOUBLE) / COUNT(*), 6)
+        |      AS m_lang_comp,
+        |    round(CAST(COUNT(DISTINCT doc_id) AS DOUBLE)
+        |      / COUNT(doc_id), 6) AS m_docid_uni,
+        |    round(CAST(COUNT(DISTINCT source) AS DOUBLE)
+        |      / COUNT(source), 6) AS m_source_uni,
+        |    round(CAST(SUM(CASE WHEN n_chars BETWEEN 1 AND 100000
+        |        THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(n_chars), 6)
+        |      AS m_range,
+        |    round(CAST(SUM(CASE WHEN regexp_matches(lang,
+        |        '^[a-z]{2}$') THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / COUNT(lang), 6) AS m_match
+        |  FROM documents
+        |)
+        |SELECT * FROM (
+        |  SELECT 'completeness(text)' AS "check", 'text' AS "column",
+        |    m_text_comp AS metric, 0.99 AS threshold,
+        |    COALESCE(m_text_comp >= 0.99, FALSE) AS passed FROM m
+        |  UNION ALL
+        |  SELECT 'completeness(lang)', 'lang', m_lang_comp, 0.99,
+        |    COALESCE(m_lang_comp >= 0.99, FALSE) FROM m
+        |  UNION ALL
+        |  SELECT 'unique_rate(doc_id)', 'doc_id', m_docid_uni, 1.0,
+        |    COALESCE(m_docid_uni >= 1.0, FALSE) FROM m
+        |  UNION ALL
+        |  SELECT 'unique_rate(source)', 'source', m_source_uni, 0.5,
+        |    COALESCE(m_source_uni >= 0.5, FALSE) FROM m
+        |  UNION ALL
+        |  SELECT 'in_range(n_chars,1.0,100000.0)', 'n_chars', m_range,
+        |    0.99, COALESCE(m_range >= 0.99, FALSE) FROM m
+        |  UNION ALL
+        |  SELECT 'match_rate(lang)', 'lang', m_match, 0.9,
+        |    COALESCE(m_match >= 0.9, FALSE) FROM m
+        |) ORDER BY "check"""".stripMargin,
 
     // T57: distinct doc/reference trigram sets, one membership join,
     // one per-doc reduce; shingle-less docs keep NULL rate.

@@ -1032,6 +1032,52 @@ class QualitySpec extends AnyFunSuite {
     assert(rerun === out)
   }
 
+  test("expectationSuite: hand-computed metrics, NULL-strict verdicts, " +
+      "one row per check") {
+    import Profile._
+    // 8 rows: text has 1 NULL; id has a dup; v spans the range edge;
+    // code has 6/8 matching 'AB-12' style
+    val df = Seq(
+      (1L, Some("t"), Some(10.0), "AB-12"),
+      (2L, Some("t"), Some(0.0), "CD-34"),
+      (3L, Some("t"), Some(5.0), "EF-56"),
+      (4L, None: Option[String], Some(100.0), "GH-78"),
+      (5L, Some("t"), Some(101.0), "bad"),
+      (5L, Some("t"), Some(-1.0), "also bad"),
+      (6L, Some("t"), None, "IJ-90"),
+      (7L, Some("t"), Some(50.0), "KL-11")
+    ).toDF("id", "text", "v", "code")
+    val out = expectationSuite(df, Seq(
+        Completeness("text", 0.9),
+        UniqueRate("id", 1.0),
+        InRangeRate("v", 0.0, 100.0, 0.8),
+        MatchRate("code", "^[A-Z]{2}-[0-9]{2}$", 0.7)))
+      .orderBy("check")
+      .as[(String, String, Option[Double], Double, Boolean)]
+      .collect().toSeq
+    assert(out.map(_._1) == Seq("completeness(text)",
+      "in_range(v,0.0,100.0)", "match_rate(code)", "unique_rate(id)"))
+    val byName = out.map(r => r._1 -> r).toMap
+    // completeness: 7/8 = 0.875 < 0.9 -> fail
+    assert(byName("completeness(text)")._3 === Some(0.875))
+    assert(!byName("completeness(text)")._5)
+    // unique: 7 distinct / 8 non-null -> fail at 1.0
+    assert(byName("unique_rate(id)")._3 === Some(0.875))
+    assert(!byName("unique_rate(id)")._5)
+    // range: 5 of 7 non-null in [0,100] -> 0.714286 < 0.8 -> fail
+    assert(byName("in_range(v,0.0,100.0)")._3 === Some(0.714286))
+    assert(!byName("in_range(v,0.0,100.0)")._5)
+    // match: 6/8 = 0.75 >= 0.7 -> pass
+    assert(byName("match_rate(code)")._3 === Some(0.75))
+    assert(byName("match_rate(code)")._5)
+    // empty table: metrics NULL, verdicts FAIL (NULL-strict gate)
+    val empty = expectationSuite(df.where(lit(false)), Seq(
+        Completeness("text", 0.0), UniqueRate("id", 0.0)))
+      .as[(String, String, Option[Double], Double, Boolean)].collect()
+    assert(empty.length == 2)
+    assert(empty.forall(r => r._3.isEmpty && !r._5))
+  }
+
   test("dpCountRelease: thresholds tile the uniform domain; released " +
       "counts match the hand-computed mechanism; zero-clamp fires") {
     // threshold table tiles [0, 2^28) with no gaps or overlaps
