@@ -2000,10 +2000,11 @@ object Quality {
    *
    * Scale: one partial-aggregated key shuffle over unit rows.
    */
-  def ratioMetricReadout(
-      df: DataFrame, keyCols: Seq[String], armCol: Column,
-      numCol: Column, denCol: Column): DataFrame = {
-    require(keyCols.nonEmpty, "need at least one key column")
+  /** The per-arm decimal moment aggregates shared by
+    * [[ratioMetricReadout]] and [[mdeRatio]] — both arms' counts,
+    * Σx, Σy, Σx², Σy², Σxy as exact decimals. */
+  private def ratioArmMoments(
+      armCol: Column, numCol: Column, denCol: Column): Seq[Column] = {
     val d18 = org.apache.spark.sql.types.DecimalType(18, 6)
     val d38 = org.apache.spark.sql.types.DecimalType(38, 12)
     val xq = numCol.cast(d18)
@@ -2017,36 +2018,47 @@ object Quality {
       sum(arm(a, (xq * xq).cast(d38))).as(s"__sxx_$tag"),
       sum(arm(a, (yq * yq).cast(d38))).as(s"__syy_$tag"),
       sum(arm(a, (xq * yq).cast(d38))).as(s"__sxy_$tag"))
-    val aggs = moments(true, "a") ++ moments(false, "b")
+    moments(true, "a") ++ moments(false, "b")
+  }
+
+  /** One arm's delta-method finish over [[ratioArmMoments]]'
+    * columns: (ratio, Var(ratio)) as the exact IEEE chain both
+    * engines replay. Degenerate divisors become NULL, not 0: ANSI
+    * Spark throws on any /0 (and subexpression elimination hoists
+    * divisions out of when() guards), while NULL propagates to the
+    * same NULL the guards would emit — and matches DuckDB, where
+    * double x/0 IS NULL, so the oracle's unguarded formula lands on
+    * NULL too. */
+  private def ratioArmFinish(tag: String): (Column, Column) = {
+    val nD = col(s"n_$tag").cast("double")
+    val sx = col(s"__sx_$tag").cast("double")
+    val sy = col(s"__sy_$tag").cast("double")
+    val sxx = col(s"__sxx_$tag").cast("double")
+    val syy = col(s"__syy_$tag").cast("double")
+    val sxy = col(s"__sxy_$tag").cast("double")
+    val syN = when(col(s"__sy_$tag") =!= lit(BigDecimal(0)), sy)
+    val nm1 = when(col(s"n_$tag") >= 2L, nD - lit(1.0))
+    val r = sx / syN
+    val my = syN / nD
+    val varx = (sxx - sx * sx / nD) / nm1
+    val vary = (syy - sy * sy / nD) / nm1
+    val covxy = (sxy - sx * sy / nD) / nm1
+    val vr = (varx - lit(2.0) * r * covxy + r * r * vary) /
+      (nD * my * my)
+    (r, vr)
+  }
+
+  def ratioMetricReadout(
+      df: DataFrame, keyCols: Seq[String], armCol: Column,
+      numCol: Column, denCol: Column): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    val aggs = ratioArmMoments(armCol, numCol, denCol)
     val base = df
       .where(numCol.isNotNull && denCol.isNotNull && armCol.isNotNull)
       .groupBy(keyCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
-    def fin(tag: String): (Column, Column) = {
-      val nD = col(s"n_$tag").cast("double")
-      val sx = col(s"__sx_$tag").cast("double")
-      val sy = col(s"__sy_$tag").cast("double")
-      val sxx = col(s"__sxx_$tag").cast("double")
-      val syy = col(s"__syy_$tag").cast("double")
-      val sxy = col(s"__sxy_$tag").cast("double")
-      // degenerate divisors become NULL, not 0: ANSI Spark throws on
-      // any /0 (and subexpression elimination hoists divisions out of
-      // when() guards), while NULL propagates to the same NULL the
-      // guards would emit — and matches DuckDB, where double x/0 IS
-      // NULL, so the oracle's unguarded formula lands on NULL too.
-      val syN = when(col(s"__sy_$tag") =!= lit(BigDecimal(0)), sy)
-      val nm1 = when(col(s"n_$tag") >= 2L, nD - lit(1.0))
-      val r = sx / syN
-      val my = syN / nD
-      val varx = (sxx - sx * sx / nD) / nm1
-      val vary = (syy - sy * sy / nD) / nm1
-      val covxy = (sxy - sx * sy / nD) / nm1
-      val vr = (varx - lit(2.0) * r * covxy + r * r * vary) /
-        (nD * my * my)
-      (r, vr)
-    }
-    val (ra, va) = fin("a")
-    val (rb, vb) = fin("b")
+    val (ra, va) = ratioArmFinish("a")
+    val (rb, vb) = ratioArmFinish("b")
     val testable = col("n_a") >= 2L && col("n_b") >= 2L &&
       col("__sy_a") =!= lit(BigDecimal(0)) &&
       col("__sy_b") =!= lit(BigDecimal(0))
@@ -2063,5 +2075,59 @@ object Quality {
       .select(keyCols.map(col) ++ Seq(col("n_a"), col("n_b"),
         col("ratio_a"), col("ratio_b"), col("diff"), col("z"),
         col("p_value")): _*)
+  }
+
+  /**
+   * E43: minimum-detectable-effect readout for RATIO metrics —
+   * the delta-method sibling of [[mdeReadout]] (proportions) and
+   * [[mdeContinuous]] (means), completing the design-tooling triple:
+   * given each segment's observed per-arm unit counts and
+   * delta-method ratio variances, the smallest ratio difference a
+   * two-sample z detects at significance α and power 1−β is
+   * (z_{α/2}+z_β)·√(Var_A + Var_B). Revenue-per-session /
+   * clicks-per-impression experiments are DESIGNED on this number —
+   * running one without it either wastes traffic or ships an
+   * underpowered test.
+   *
+   * Input contract is [[ratioMetricReadout]]'s: ONE ROW PER UNIT;
+   * the moment aggregates and the delta finish are the SHARED
+   * helpers, so every exactness property (decimal moments, fixed
+   * IEEE chain, NULL-not-zero divisors) is inherited verbatim; z
+   * quantiles are caller literals added on both engines (the E26
+   * one-ulp rule). Degenerate segments (an arm < 2 units, zero
+   * denominator mass, non-positive variance) emit NULL mde;
+   * `mde_rel` additionally needs a positive control ratio.
+   *
+   * Scale: one partial-aggregated key shuffle, one pass.
+   *
+   * Output: (keys..., n_a, n_b, ratio_a, ratio_b, mde_abs, mde_rel).
+   */
+  def mdeRatio(
+      df: DataFrame, keyCols: Seq[String], armCol: Column,
+      numCol: Column, denCol: Column,
+      zAlpha: Double = 1.959964, zPower: Double = 0.841621): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    val aggs = ratioArmMoments(armCol, numCol, denCol)
+    val base = df
+      .where(numCol.isNotNull && denCol.isNotNull && armCol.isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    val (ra, va) = ratioArmFinish("a")
+    val (rb, vb) = ratioArmFinish("b")
+    val testable = col("n_a") >= 2L && col("n_b") >= 2L &&
+      col("__sy_a") =!= lit(BigDecimal(0)) &&
+      col("__sy_b") =!= lit(BigDecimal(0))
+    val mde = (lit(zAlpha) + lit(zPower)) * sqrt(va + vb)
+    base.select(keyCols.map(col) ++ Seq(
+      col("n_a"), col("n_b"),
+      when(col("__sy_a") =!= lit(BigDecimal(0)), round(ra, 6))
+        .as("ratio_a"),
+      when(col("__sy_b") =!= lit(BigDecimal(0)), round(rb, 6))
+        .as("ratio_b"),
+      when(testable && (va + vb) > 0.0, round(mde, 6)).as("mde_abs"),
+      // NULL divisor, not a bare guard: CSE hoists the division out
+      // of when(), and a zero control ratio would throw under ANSI
+      when(testable && (va + vb) > 0.0 && rb > 0.0,
+        round(mde / when(rb > 0.0, rb), 6)).as("mde_rel")): _*)
   }
 }

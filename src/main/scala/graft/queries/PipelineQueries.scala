@@ -3438,6 +3438,20 @@ object PipelineQueries {
         .orderBy("check")
     }),
 
+    // E43 (round 11): MDE for ratio metrics — the delta-method power
+    // analysis over the q276 per-user units; completes the
+    // proportion/continuous/ratio design triple.
+    "q292_mde_ratio" -> ((s, dir) => {
+      val units = t(s, dir, "events")
+        .where(col("user_id").isNotNull && col("value").isNotNull)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum(col("value").cast("decimal(18,6)")).as("x"),
+          count(lit(1)).as("y"))
+      graft.operators.Quality.mdeRatio(units, Seq("event_type"),
+          col("user_id") % 2 === 0, col("x"), col("y"))
+        .orderBy("event_type")
+    }),
+
     // T56 (round 10): curation funnel — per-source doc/token mass
     // through length -> language -> lexical-diversity stages; one
     // scan, one source aggregate.
@@ -6572,6 +6586,90 @@ object PipelineQueries {
         |  SELECT 'match_rate(lang)', 'lang', m_match, 0.9,
         |    COALESCE(m_match >= 0.9, FALSE) FROM m
         |) ORDER BY "check"""".stripMargin,
+
+    // E43: q276's moment/variance CTEs, finished with the MDE
+    // formula instead of the z-test.
+    "q292_mde_ratio" ->
+      """WITH units AS (
+        |  SELECT event_type, user_id,
+        |    SUM(CAST(value AS DECIMAL(18,6))) AS x,
+        |    COUNT(*) AS y
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1, 2
+        |), g AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_b,
+        |    SUM(CASE WHEN user_id % 2 = 0
+        |      THEN CAST(x AS DECIMAL(18,6)) END) AS sxa,
+        |    SUM(CASE WHEN user_id % 2 = 0
+        |      THEN CAST(y AS DECIMAL(18,6)) END) AS sya,
+        |    SUM(CASE WHEN user_id % 2 = 0 THEN CAST(
+        |      CAST(x AS DECIMAL(28,6)) * CAST(x AS DECIMAL(28,6))
+        |      AS DECIMAL(38,12)) END) AS sxxa,
+        |    SUM(CASE WHEN user_id % 2 = 0 THEN CAST(
+        |      CAST(y AS DECIMAL(28,6)) * CAST(y AS DECIMAL(28,6))
+        |      AS DECIMAL(38,12)) END) AS syya,
+        |    SUM(CASE WHEN user_id % 2 = 0 THEN CAST(
+        |      CAST(x AS DECIMAL(28,6)) * CAST(y AS DECIMAL(28,6))
+        |      AS DECIMAL(38,12)) END) AS sxya,
+        |    SUM(CASE WHEN user_id % 2 <> 0
+        |      THEN CAST(x AS DECIMAL(18,6)) END) AS sxb,
+        |    SUM(CASE WHEN user_id % 2 <> 0
+        |      THEN CAST(y AS DECIMAL(18,6)) END) AS syb,
+        |    SUM(CASE WHEN user_id % 2 <> 0 THEN CAST(
+        |      CAST(x AS DECIMAL(28,6)) * CAST(x AS DECIMAL(28,6))
+        |      AS DECIMAL(38,12)) END) AS sxxb,
+        |    SUM(CASE WHEN user_id % 2 <> 0 THEN CAST(
+        |      CAST(y AS DECIMAL(28,6)) * CAST(y AS DECIMAL(28,6))
+        |      AS DECIMAL(38,12)) END) AS syyb,
+        |    SUM(CASE WHEN user_id % 2 <> 0 THEN CAST(
+        |      CAST(x AS DECIMAL(28,6)) * CAST(y AS DECIMAL(28,6))
+        |      AS DECIMAL(38,12)) END) AS sxyb
+        |  FROM units GROUP BY 1
+        |), f AS (
+        |  SELECT event_type, n_a, n_b,
+        |    CAST(sxa AS DOUBLE) AS sxaD, CAST(sya AS DOUBLE) AS syaD,
+        |    CAST(sxxa AS DOUBLE) AS sxxaD, CAST(syya AS DOUBLE) AS syyaD,
+        |    CAST(sxya AS DOUBLE) AS sxyaD,
+        |    CAST(sxb AS DOUBLE) AS sxbD, CAST(syb AS DOUBLE) AS sybD,
+        |    CAST(sxxb AS DOUBLE) AS sxxbD, CAST(syyb AS DOUBLE) AS syybD,
+        |    CAST(sxyb AS DOUBLE) AS sxybD,
+        |    CAST(n_a AS DOUBLE) AS naD, CAST(n_b AS DOUBLE) AS nbD,
+        |    sya <> 0 AS oka, syb <> 0 AS okb
+        |  FROM g
+        |), v AS (
+        |  SELECT event_type, n_a, n_b, oka, okb,
+        |    sxaD / syaD AS ra, sxbD / sybD AS rb,
+        |    ((sxxaD - sxaD * sxaD / naD) / (naD - 1.0)
+        |      - 2.0 * (sxaD / syaD)
+        |        * ((sxyaD - sxaD * syaD / naD) / (naD - 1.0))
+        |      + (sxaD / syaD) * (sxaD / syaD)
+        |        * ((syyaD - syaD * syaD / naD) / (naD - 1.0)))
+        |      / (naD * (syaD / naD) * (syaD / naD)) AS va,
+        |    ((sxxbD - sxbD * sxbD / nbD) / (nbD - 1.0)
+        |      - 2.0 * (sxbD / sybD)
+        |        * ((sxybD - sxbD * sybD / nbD) / (nbD - 1.0))
+        |      + (sxbD / sybD) * (sxbD / sybD)
+        |        * ((syybD - sybD * sybD / nbD) / (nbD - 1.0)))
+        |      / (nbD * (sybD / nbD) * (sybD / nbD)) AS vb
+        |  FROM f
+        |)
+        |SELECT event_type, n_a, n_b,
+        |  CASE WHEN oka THEN round(ra, 6) + 0.0 END AS ratio_a,
+        |  CASE WHEN okb THEN round(rb, 6) + 0.0 END AS ratio_b,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND oka AND okb
+        |      AND va + vb > 0.0
+        |    THEN round((1.959964 + 0.841621) * sqrt(va + vb), 6)
+        |    END AS mde_abs,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND oka AND okb
+        |      AND va + vb > 0.0 AND rb > 0.0
+        |    THEN round((1.959964 + 0.841621) * sqrt(va + vb) / rb, 6)
+        |    END AS mde_rel
+        |FROM v ORDER BY event_type""".stripMargin,
 
     // T57: distinct doc/reference trigram sets, one membership join,
     // one per-doc reduce; shingle-less docs keep NULL rate.

@@ -1209,6 +1209,43 @@ class QualitySpec extends AnyFunSuite {
     assert(tiny._6.isEmpty && tiny._7.isEmpty && tiny._8.isEmpty)
   }
 
+  test("mdeRatio: hand-computed delta-method MDE; identical arms " +
+      "give symmetric ratios; degenerate segments go NULL") {
+    // arm A == arm B: (x,y) pairs (1,1),(30,10),(5,4) each
+    val pts = Seq((1.0, 1L), (30.0, 10L), (5.0, 4L))
+    val units = (pts.map { case (x, y) => ("s", true, x, y) } ++
+      pts.map { case (x, y) => ("s", false, x, y) } ++
+      Seq(("tiny", true, 5.0, 2L), ("tiny", false, 5.0, 2L)))
+      .toDF("seg", "arm", "x", "y")
+    val out = Quality.mdeRatio(units, Seq("seg"), col("arm"),
+        col("x"), col("y"))
+      .as[(String, Long, Long, Option[Double], Option[Double],
+        Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    val s = out("s")
+    val r = 36.0 / 15.0
+    val r6 = BigDecimal(r).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(s._4 === Some(r6) && s._5 === Some(r6))
+    // hand-computed per-arm delta variance (n=3 units per arm)
+    val n = 3.0
+    val (sx, sy) = (36.0, 15.0)
+    val (sxx, syy, sxy) = (1.0 + 900.0 + 25.0, 1.0 + 100.0 + 16.0,
+      1.0 + 300.0 + 20.0)
+    val varx = (sxx - sx * sx / n) / (n - 1)
+    val vary = (syy - sy * sy / n) / (n - 1)
+    val cov = (sxy - sx * sy / n) / (n - 1)
+    val my = sy / n
+    val vr = (varx - 2 * r * cov + r * r * vary) / (n * my * my)
+    val mde = (1.959964 + 0.841621) * math.sqrt(vr + vr)
+    assert(s._6.isDefined && math.abs(s._6.get - mde) < 2e-6,
+      s"mde ${s._6} vs $mde")
+    assert(s._7.isDefined && math.abs(s._7.get - mde / r) < 2e-6)
+    // single-unit arms: untestable
+    val tiny = out("tiny")
+    assert(tiny._6.isEmpty && tiny._7.isEmpty)
+  }
+
   test("ratioMetricReadout: zero denominator mass makes the arm " +
       "ratio NULL") {
     val units = Seq(
