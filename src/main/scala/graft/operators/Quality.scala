@@ -1860,10 +1860,17 @@ object Quality {
     val counts = df
       .groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("__n"))
-    val u = conv(
-      substring(md5(concat_ws("|",
-        keyCols.map(col) :+ lit(seed.toString): _*)), 1, 7),
-      16, 10).cast("long")
+    // coalesce keeps the derived join key NON-NULLABLE (it always
+    // is — concat_ws never returns NULL — but the optimizer can't
+    // see that, and a nullable key makes InferFiltersFromConstraints
+    // push IsNotNull(<md5 expr>) into the SCAN, paying one md5 per
+    // ROW instead of per group: the house derived-key rule)
+    val u = coalesce(
+      conv(
+        substring(md5(concat_ws("|",
+          keyCols.map(col) :+ lit(seed.toString): _*)), 1, 7),
+        16, 10).cast("long"),
+      lit(0L))
     counts
       .withColumn("__u", u)
       .join(broadcast(thr), col("__u") >= col("__lo") &&

@@ -878,8 +878,13 @@ object Similarity {
       .withColumn("__r", row_number().over(w))
       .where(col("__r") <= k)
       .select(col("nprobe"), col("probe_id"), col("vec_id"))
+    // the exact ground truth feeds TWO consumers (the totals
+    // aggregate and the hit semi-join) with different pruning —
+    // barrier the ≤probes·k-row frame so the probes×corpus pass
+    // runs once (the q127 reuse rule)
     val exact = cosineTopK(corpus, probes, idCol, vecCol, k)
       .select(col("probe_id"), col("vec_id"))
+      .localCheckpoint()
     import spark.implicits._
     val exactTotals = exact.agg(
       count(lit(1)).as("exact_pairs"),
