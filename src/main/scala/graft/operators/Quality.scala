@@ -311,6 +311,77 @@ object Quality {
   }
 
   /**
+   * E44: isotonic (PAV) score calibration — the monotone
+   * recalibration MAP that fixes what [[calibrationReport]]
+   * diagnoses: the non-decreasing step function minimizing squared
+   * error against the labels (Zadrozny & Elkan 2002; the standard
+   * probability-calibration fit for quality/toxicity classifier
+   * scores before they gate a corpus). Computed via the EXACT
+   * minimax closed form of pool-adjacent-violators,
+   * fit(i) = max_{j≤i} min_{k≥i} wavg(labels over bins j..k) —
+   * no data-dependent iteration, so the whole fit replays in DuckDB
+   * as prefix sums + one bounded pair join + two windows.
+   *
+   * Scale contract: scores quantize to the `scale`-dp grid FIRST
+   * (identity for the text-quality family's already-gridded
+   * outputs), so the one corpus-sized shuffle is the bin aggregate
+   * and everything after runs on the ≤(10^scale·range+1)-row bin
+   * table — the pair join is B² rows (≤ ~10⁴ at scale=2, ≤ 10⁶ at
+   * scale=3; keep scale ≤ 3), and the global windows ride bounded
+   * tables (the q65/q74 contract).
+   *
+   * ENGINE-EXACT: every pooled average is ONE IEEE division of
+   * exact integer prefix-sum differences — identical doubles on
+   * both engines — and min/max over identical value sets are
+   * order-free; outputs round(6), non-negative.
+   *
+   * Output: (score_bin, n, pos_rate, calibrated), ascending bins;
+   * `calibrated` is non-decreasing by construction.
+   */
+  def isotonicCalibration(
+      df: DataFrame, scoreCol: String, labelCol: String,
+      scale: Int = 2): DataFrame = {
+    require(scale >= 0 && scale <= 3,
+      s"scale must be in [0,3] (pair table is 10^2·scale rows), got $scale")
+    import org.apache.spark.sql.expressions.Window
+    val bins = df
+      .where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(round(col(scoreCol), scale).as("score_bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("n_pos"))
+    val wOrd = Window.orderBy(col("score_bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = bins.select(
+      col("score_bin"), col("n"), col("n_pos"),
+      sum(col("n")).over(wOrd).as("cn"),
+      sum(col("n_pos")).over(wOrd).as("cp"),
+      row_number().over(Window.orderBy(col("score_bin"))).as("i"))
+      .localCheckpoint() // bounded bin table, three consumers below
+    val pj = pre.select(col("i").as("j"),
+      (col("cn") - col("n")).as("cn0"),
+      (col("cp") - col("n_pos")).as("cp0"))
+    val pk = pre.select(col("i").as("k"),
+      col("cn").as("cnk"), col("cp").as("cpk"))
+    val pairs = pj.join(pk, col("j") <= col("k"))
+      .select(col("j"), col("k"),
+        ((col("cpk") - col("cp0")).cast("double")
+          / (col("cnk") - col("cn0")).cast("double")).as("a"))
+    val wSuff = Window.partitionBy(col("j")).orderBy(col("k").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fit = pairs
+      .withColumn("__minA", min(col("a")).over(wSuff))
+      .groupBy(col("k").as("i"))
+      .agg(max(col("__minA")).as("__fit"))
+    pre.join(fit, Seq("i"))
+      .select(col("score_bin"), col("n"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+          .as("pos_rate"),
+        round(col("__fit"), 6).as("calibrated"))
+      .orderBy("score_bin")
+  }
+
+  /**
    * Calibration report for a [0,1] score against a boolean label —
    * the reliability-diagram table (per-bin confidence vs observed
    * rate) whose n-weighted `gap` sum is the expected calibration

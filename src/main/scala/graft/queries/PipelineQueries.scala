@@ -3452,6 +3452,15 @@ object PipelineQueries {
         .orderBy("event_type")
     }),
 
+    // E44 (round 11): isotonic (PAV) calibration of the q196/q197
+    // quality score against the lang='en' label — the monotone
+    // recalibration map via the exact minimax closed form; one bin
+    // shuffle, everything after on the ≤101-row bin table.
+    "q293_isotonic_fit" -> ((s, dir) => {
+      graft.operators.Quality.isotonicCalibration(
+        qualityScored(s, dir), "quality", "is_en", scale = 2)
+    }),
+
     // T56 (round 10): curation funnel — per-source doc/token mass
     // through length -> language -> lexical-diversity stages; one
     // scan, one source aggregate.
@@ -6670,6 +6679,48 @@ object PipelineQueries {
         |    THEN round((1.959964 + 0.841621) * sqrt(va + vb) / rb, 6)
         |    END AS mde_rel
         |FROM v ORDER BY event_type""".stripMargin,
+
+    // E44: the PAV minimax replay — q196's score CTE, 2dp bins,
+    // prefix sums, the bounded pair join, suffix-min + prefix-max.
+    "q293_isotonic_fit" ->
+      """WITH f AS (
+        |  SELECT
+        |    round((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |           / len(string_split(text, ' '))) * 0.5
+        |      + (1.0 - CAST(len(list_filter(string_split(text, ' '),
+        |           t -> list_contains(['the','a','of','and','is','to'], t)))
+        |           AS DOUBLE) / len(string_split(text, ' '))) * 0.5, 6) AS q,
+        |    (lang = 'en') AS pos
+        |  FROM documents
+        |), b AS (
+        |  SELECT round(q, 2) AS score_bin, COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np
+        |  FROM f GROUP BY 1
+        |), pre AS (
+        |  SELECT score_bin, n, np,
+        |    SUM(n) OVER (ORDER BY score_bin
+        |      ROWS UNBOUNDED PRECEDING) AS cn,
+        |    SUM(np) OVER (ORDER BY score_bin
+        |      ROWS UNBOUNDED PRECEDING) AS cp,
+        |    row_number() OVER (ORDER BY score_bin) AS i
+        |  FROM b
+        |), pairs AS (
+        |  SELECT pj.i AS j, pk.i AS k,
+        |    CAST(pk.cp - (pj.cp - pj.np) AS DOUBLE)
+        |      / CAST(pk.cn - (pj.cn - pj.n) AS DOUBLE) AS a
+        |  FROM pre pj JOIN pre pk ON pj.i <= pk.i
+        |), suff AS (
+        |  SELECT j, k, MIN(a) OVER (PARTITION BY j ORDER BY k DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS minA
+        |  FROM pairs
+        |), fit AS (
+        |  SELECT k AS i, MAX(minA) AS cal FROM suff GROUP BY 1
+        |)
+        |SELECT p.score_bin, CAST(p.n AS BIGINT) AS n,
+        |  round(CAST(p.np AS DOUBLE) / p.n, 6) AS pos_rate,
+        |  round(f2.cal, 6) AS calibrated
+        |FROM pre p JOIN fit f2 ON f2.i = p.i
+        |ORDER BY score_bin""".stripMargin,
 
     // T57: distinct doc/reference trigram sets, one membership join,
     // one per-doc reduce; shingle-less docs keep NULL rate.

@@ -1209,6 +1209,32 @@ class QualitySpec extends AnyFunSuite {
     assert(tiny._6.isEmpty && tiny._7.isEmpty && tiny._8.isEmpty)
   }
 
+  test("isotonicCalibration: PAV pools violators to the weighted " +
+      "mean; monotone output; already-monotone input unchanged") {
+    // bins 0.1/0.2/0.3 with pos rates 0.8/0.2/0.5 and weights
+    // 5/5/10: PAV pools bins 1-2 to (4+1)/10 = 0.5; bin 3's 0.5
+    // equals it -> fit is 0.5 everywhere
+    val rows =
+      (0 until 5).map(i => (0.1, i < 4)) ++
+      (0 until 5).map(i => (0.2, i < 1)) ++
+      (0 until 10).map(i => (0.3, i < 5))
+    val out = Quality.isotonicCalibration(
+        rows.toDF("score", "y"), "score", "y", scale = 2)
+      .as[(Double, Long, Double, Double)].collect().toSeq
+    assert(out.map(_._1) == Seq(0.1, 0.2, 0.3))
+    assert(out.map(_._3) == Seq(0.8, 0.2, 0.5)) // raw rates
+    assert(out.map(_._4) == Seq(0.5, 0.5, 0.5)) // pooled fit
+    // monotone input passes through untouched
+    val mono = Seq.tabulate(40)(i =>
+      (i / 10 * 0.25, i % 10 < (i / 10) * 3))
+    val m = Quality.isotonicCalibration(
+        mono.toDF("score", "y"), "score", "y", scale = 2)
+      .as[(Double, Long, Double, Double)].collect().toSeq
+    assert(m.map(_._4) == m.map(_._3),
+      "monotone rates must be their own isotonic fit")
+    assert(m.map(_._4) == m.map(_._4).sorted)
+  }
+
   test("mdeRatio: hand-computed delta-method MDE; identical arms " +
       "give symmetric ratios; degenerate segments go NULL") {
     // arm A == arm B: (x,y) pairs (1,1),(30,10),(5,4) each
