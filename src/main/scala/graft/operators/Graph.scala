@@ -685,6 +685,56 @@ object Graph {
   }
 
   /**
+   * G11: hierarchy flattening — parent-child rows to (node, root,
+   * depth, materialized path), the classic dimension-hierarchy
+   * operator (org charts, category trees, thread ancestry, folder
+   * structures) every warehouse needs and recursive-CTE-less Spark
+   * lacks natively. Contract: one row per node with its parent,
+   * parent NULL marking a root; every node's row is emitted with the
+   * root it descends from, its depth (root = 0), and the
+   * '/'-delimited id path from the root.
+   *
+   * Fixed `maxDepth` rounds (the kCore/BFS replay contract — rounds
+   * past exhaustion join empty frontiers and are value-neutral, so
+   * the DuckDB oracle unrolls the same chain): each round is ONE
+   * hash equi-join of the edge table onto the previous frontier,
+   * barriered via the shared [[Barrier]] contract. Nodes deeper than
+   * maxDepth — including every member of a parent CYCLE, which never
+   * reaches a root — are absent from the output by construction
+   * (pick maxDepth above the legal hierarchy depth and a row-count
+   * delta against the input IS the cycle/overdepth audit). Paths are
+   * bounded by depth × id width; state is one row per emitted node.
+   */
+  def flattenHierarchy(
+      edges: DataFrame, childCol: String, parentCol: String,
+      maxDepth: Int): DataFrame = {
+    require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
+    val e = edges.select(
+      col(childCol).as("__c"), col(parentCol).as("__p"))
+      .barriered
+    var level = e.where(col("__p").isNull)
+      .select(col("__c").as("node"), col("__c").as("root"),
+        lit(0).as("depth"), col("__c").cast("string").as("path"))
+      .barriered
+    var out = level
+    var d = 1
+    while (d <= maxDepth) {
+      val next = e
+        .join(level.select(col("node").as("__p"), col("root"),
+          col("path")), "__p")
+        .select(col("__c").as("node"), col("root"),
+          lit(d).as("depth"),
+          concat(col("path"), lit("/"), col("__c").cast("string"))
+            .as("path"))
+        .barriered
+      out = out.unionAll(next)
+      level = next
+      d += 1
+    }
+    out
+  }
+
+  /**
    * G10: personalized PageRank / random walk with restart (Haveliwala
    * 2002; the Pinterest-Pixie serving shape) — [[pageRank]]'s global
    * teleport replaced by a restart to a SEED set, so scores mean

@@ -132,6 +132,40 @@ object PipelineQueries {
   }
 
   /**
+   * q294 oracle generator: unrolls `Graph.flattenHierarchy`'s fixed
+   * rounds as a CTE chain — level k joins the edge table onto level
+   * k−1; rounds past the tree's depth join empty levels and are
+   * value-neutral (the kCore replay contract). The hierarchy is the
+   * deterministic binary tree child i → parent i div 2 over customer
+   * keys (key 1 the root).
+   */
+  private def hierOracle(maxDepth: Int): String = {
+    val levels = (1 to maxDepth).map { d =>
+      s""", l$d AS MATERIALIZED (
+         |  SELECT e.child AS node, p.root, CAST($d AS INT) AS depth,
+         |    p.path || '/' || CAST(e.child AS VARCHAR) AS path
+         |  FROM e JOIN l${d - 1} p ON e.parent = p.node
+         |)""".stripMargin
+    }.mkString("\n")
+    val unions = (0 to maxDepth)
+      .map(d => s"SELECT node, root, depth, path FROM l$d")
+      .mkString("\nUNION ALL\n")
+    s"""WITH e AS (
+       |  SELECT CAST(c_custkey AS BIGINT) AS child,
+       |    CASE WHEN c_custkey = 1 THEN NULL
+       |      ELSE CAST(c_custkey // 2 AS BIGINT) END AS parent
+       |  FROM customer
+       |), l0 AS MATERIALIZED (
+       |  SELECT child AS node, child AS root, CAST(0 AS INT) AS depth,
+       |    CAST(child AS VARCHAR) AS path
+       |  FROM e WHERE parent IS NULL
+       |)$levels
+       |SELECT * FROM (
+       |$unions
+       |) ORDER BY node""".stripMargin
+  }
+
+  /**
    * q288 oracle generator: the ε-DP release replay — the noise
    * threshold table is generated by the SAME Scala function the
    * operator uses (`Quality.dpNoiseThresholds`, the q269
@@ -3461,6 +3495,22 @@ object PipelineQueries {
         qualityScored(s, dir), "quality", "is_en", scale = 2)
     }),
 
+    // G11 (round 11): hierarchy flattening over the deterministic
+    // binary tree child i -> parent i div 2 on customer keys — one
+    // equi-join per fixed round; depth <= 13 at sf0.1, cap 16
+    // inactive at every gate scale.
+    "q294_hierarchy_flatten" -> ((s, dir) => {
+      val e = t(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("child"),
+        // integer div end-to-end (the q220 rule): Spark `div` ==
+        // DuckDB `//` for non-negative operands
+        when(col("c_custkey") === 1, lit(null).cast("long"))
+          .otherwise(expr("c_custkey div 2").cast("long")).as("parent"))
+      graft.operators.Graph.flattenHierarchy(
+          e, "child", "parent", maxDepth = 16)
+        .orderBy("node")
+    }),
+
     // T56 (round 10): curation funnel — per-source doc/token mass
     // through length -> language -> lexical-diversity stages; one
     // scan, one source aggregate.
@@ -6721,6 +6771,9 @@ object PipelineQueries {
         |  round(f2.cal, 6) AS calibrated
         |FROM pre p JOIN fit f2 ON f2.i = p.i
         |ORDER BY score_bin""".stripMargin,
+
+    // G11: the fixed-round unroll — generated CTE chain.
+    "q294_hierarchy_flatten" -> hierOracle(maxDepth = 16),
 
     // T57: distinct doc/reference trigram sets, one membership join,
     // one per-doc reduce; shingle-less docs keep NULL rate.

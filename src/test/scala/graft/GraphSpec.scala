@@ -420,6 +420,32 @@ class GraphSpec extends AnyFunSuite {
     assert(r("a") < r("s1"))
   }
 
+  test("flattenHierarchy: roots, depths, materialized paths; cycles " +
+      "and over-depth nodes are absent; two trees stay separate") {
+    // tree A: 1 -> {2, 3}, 2 -> {4}; tree B: 10 -> {11};
+    // cycle: 20 <-> 21 (never reaches a root)
+    val edges = Seq(
+      (1L, None), (2L, Some(1L)), (3L, Some(1L)), (4L, Some(2L)),
+      (10L, None), (11L, Some(10L)),
+      (20L, Some(21L)), (21L, Some(20L))
+    ).toDF("child", "parent")
+    val out = Graph.flattenHierarchy(edges, "child", "parent", 5)
+      .as[(Long, Long, Int, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L, 10L, 11L))
+    assert(out(1L) === ((1L, 1L, 0, "1")))
+    assert(out(4L) === ((4L, 1L, 2, "1/2/4")))
+    assert(out(3L) === ((3L, 1L, 1, "1/3")))
+    assert(out(11L) === ((11L, 10L, 1, "10/11")))
+    // depth cap drops the tail of a deep chain
+    val chain = (1L to 8L).map(i =>
+      (i, if (i == 1) None else Some(i - 1))).toDF("child", "parent")
+    val capped = Graph.flattenHierarchy(chain, "child", "parent", 3)
+      .as[(Long, Long, Int, String)].collect()
+    assert(capped.map(_._1).toSet === Set(1L, 2L, 3L, 4L))
+    assert(capped.map(_._3).max === 3)
+  }
+
   test("every graph op runs its barriers as reliable checkpoints " +
       "when a checkpoint dir is set, with identical results") {
     // The shared Barrier contract (judge ask r10#1): localCheckpoint
@@ -454,7 +480,12 @@ class GraphSpec extends AnyFunSuite {
       "degreeAssortativity" -> (() =>
         Graph.degreeAssortativity(edges, "src", "dst")),
       "bipartiteProject" -> (() =>
-        Graph.bipartiteProject(rel, "l", "r", 1L, maxBasket = 8L)))
+        Graph.bipartiteProject(rel, "l", "r", 1L, maxBasket = 8L)),
+      "flattenHierarchy" -> (() => {
+        val h = Seq((1L, Option.empty[Long]), (2L, Some(1L)),
+          (3L, Some(2L))).toDF("child", "parent")
+        Graph.flattenHierarchy(h, "child", "parent", 4)
+      }))
     val sc = spark.sparkContext
     val localResults = ops.map { case (n, f) =>
       n -> f().collect().map(_.toString).sorted.toSeq
