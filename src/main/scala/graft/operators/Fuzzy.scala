@@ -381,6 +381,9 @@ object Fuzzy {
       m0: Double = 0.9, u0: Double = 0.1,
       lambda0: Double = 0.1): DataFrame = {
     require(fields.nonEmpty, "fields must be non-empty")
+    require(fields.size <= 10,
+      s"at most 10 comparison fields (the driver-collected pattern " +
+        s"histogram is <= 3^|fields| rows), got ${fields.size}")
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(m0 > 0 && m0 < 1 && u0 > 0 && u0 < 1 &&
       lambda0 > 0 && lambda0 < 1, "priors must be in (0,1)")

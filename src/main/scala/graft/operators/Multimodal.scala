@@ -404,14 +404,21 @@ object Multimodal {
                   none
                 else {
                   val data = ais.readAllBytes()
+                  // honor the container's byte order: WAV is
+                  // little-endian, AIFF/AU big-endian — assembling a
+                  // fixed order would mark byte-swapped garbage
+                  // decode_ok=true (round-11 review catch)
+                  val big = fmt.isBigEndian
                   val n = data.length / 2
                   var sumAbs = 0L
                   var peak = 0
                   var i = 0
                   while (i < n) {
-                    val lo = data(2 * i) & 0xff
-                    val hi = data(2 * i + 1).toInt
-                    val s = (hi << 8) | lo // WAV PCM is little-endian
+                    val b0 = data(2 * i)
+                    val b1 = data(2 * i + 1)
+                    val s =
+                      if (big) (b0.toInt << 8) | (b1 & 0xff)
+                      else (b1.toInt << 8) | (b0 & 0xff)
                     val a = math.abs(s)
                     sumAbs += a
                     if (a > peak) peak = a

@@ -460,9 +460,13 @@ object Profile {
         case UniqueRate(col0, _) =>
           ratio(countDistinct(col(col0)), count(col(col0)))
         case InRangeRate(col0, lo, hi, _) =>
+          // try_cast, not cast: ANSI mode (default-on) throws on the
+          // first malformed string value — the gate must COUNT dirty
+          // values as non-conforming, not crash on them
           ratio(
-            sum(when(col(col0).cast("double").between(lo, hi), 1L)
-              .otherwise(0L)),
+            sum(when(
+              expr(s"try_cast(`$col0` AS DOUBLE)").between(lo, hi),
+              1L).otherwise(0L)),
             count(col(col0)))
         case MatchRate(col0, re, _) =>
           ratio(

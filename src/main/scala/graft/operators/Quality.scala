@@ -342,7 +342,8 @@ object Quality {
       df: DataFrame, scoreCol: String, labelCol: String,
       scale: Int = 2): DataFrame = {
     require(scale >= 0 && scale <= 3,
-      s"scale must be in [0,3] (pair table is 10^2·scale rows), got $scale")
+      s"scale must be in [0,3] (the pair join is (10^scale·range+1)² " +
+        s"rows — ~10⁶ at scale=3 on a unit range), got $scale")
     import org.apache.spark.sql.expressions.Window
     val bins = df
       .where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
@@ -357,11 +358,11 @@ object Quality {
       sum(col("n")).over(wOrd).as("cn"),
       sum(col("n_pos")).over(wOrd).as("cp"),
       row_number().over(Window.orderBy(col("score_bin"))).as("i"))
-      .localCheckpoint() // bounded bin table, three consumers below
-    val pj = pre.select(col("i").as("j"),
+    val preB = Barrier.barrier(pre) // bounded bin table, 3 consumers
+    val pj = preB.select(col("i").as("j"),
       (col("cn") - col("n")).as("cn0"),
       (col("cp") - col("n_pos")).as("cp0"))
-    val pk = pre.select(col("i").as("k"),
+    val pk = preB.select(col("i").as("k"),
       col("cn").as("cnk"), col("cp").as("cpk"))
     val pairs = pj.join(pk, col("j") <= col("k"))
       .select(col("j"), col("k"),
@@ -373,7 +374,7 @@ object Quality {
       .withColumn("__minA", min(col("a")).over(wSuff))
       .groupBy(col("k").as("i"))
       .agg(max(col("__minA")).as("__fit"))
-    pre.join(fit, Seq("i"))
+    preB.join(fit, Seq("i"))
       .select(col("score_bin"), col("n"),
         round(col("n_pos").cast("double") / col("n").cast("double"), 6)
           .as("pos_rate"),
@@ -1931,15 +1932,24 @@ object Quality {
     val counts = df
       .groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("__n"))
-    // coalesce keeps the derived join key NON-NULLABLE (it always
-    // is — concat_ws never returns NULL — but the optimizer can't
-    // see that, and a nullable key makes InferFiltersFromConstraints
-    // push IsNotNull(<md5 expr>) into the SCAN, paying one md5 per
-    // ROW instead of per group: the house derived-key rule)
+    // Each key VALUE is hashed before the joint hash: raw concat_ws
+    // would let distinct groups share one noise draw — it silently
+    // drops NULLs ((NULL,"x") == ("x",NULL)) and a value containing
+    // the delimiter shifts the split ("a|b","c") == ("a","b|c") —
+    // and colliding groups' released counts would difference to the
+    // EXACT true-count delta, breaking the DP independence argument
+    // (round-11 review catch). md5 hex is delimiter-free and 'null'
+    // (4 chars) can never collide with a 32-char digest. The outer
+    // coalesce keeps the derived join key NON-NULLABLE — a nullable
+    // key makes InferFiltersFromConstraints push IsNotNull(<md5
+    // expr>) into the SCAN, paying one md5 per ROW instead of per
+    // group (the house derived-key rule).
     val u = coalesce(
       conv(
         substring(md5(concat_ws("|",
-          keyCols.map(col) :+ lit(seed.toString): _*)), 1, 7),
+          keyCols.map(c =>
+            coalesce(md5(col(c).cast("string")), lit("null")))
+            :+ lit(seed.toString): _*)), 1, 7),
         16, 10).cast("long"),
       lit(0L))
     counts

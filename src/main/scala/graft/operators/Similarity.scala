@@ -882,9 +882,9 @@ object Similarity {
     // aggregate and the hit semi-join) with different pruning —
     // barrier the ≤probes·k-row frame so the probes×corpus pass
     // runs once (the q127 reuse rule)
-    val exact = cosineTopK(corpus, probes, idCol, vecCol, k)
-      .select(col("probe_id"), col("vec_id"))
-      .localCheckpoint()
+    val exact = Barrier.barrier(
+      cosineTopK(corpus, probes, idCol, vecCol, k)
+        .select(col("probe_id"), col("vec_id")))
     import spark.implicits._
     val exactTotals = exact.agg(
       count(lit(1)).as("exact_pairs"),

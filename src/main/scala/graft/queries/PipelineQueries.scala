@@ -187,7 +187,9 @@ object PipelineQueries {
        |    $rows
        |), u AS (
        |  SELECT lang, source, n,
-       |    ('0x' || substr(md5(concat_ws('|', lang, source, '$seed')),
+       |    ('0x' || substr(md5(concat_ws('|',
+       |      coalesce(md5(lang), 'null'),
+       |      coalesce(md5(source), 'null'), '$seed')),
        |      1, 7))::BIGINT AS uu
        |  FROM counts
        |)

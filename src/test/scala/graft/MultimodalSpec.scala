@@ -258,4 +258,27 @@ class MultimodalSpec extends AnyFunSuite {
       assert(!r._2 && r._3.isEmpty && r._8.isEmpty, s"id=$id: $r")
     }
   }
+
+  test("decodeAudioFeatures: big-endian PCM (AIFF) honors the byte " +
+      "order — features identical to the little-endian WAV twin") {
+    import javax.sound.sampled._
+    val wav = Multimodal.syntheticWav(5L, 200, 8000)
+    val src = AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val bigFmt = new AudioFormat(8000f, 16, 1, true, true)
+    val conv = AudioSystem.getAudioInputStream(bigFmt, src)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(conv, AudioFileFormat.Type.AIFF, bos)
+    val rows = Seq((1L, wav), (2L, bos.toByteArray))
+      .toDF("id", "payload")
+    val out = Multimodal.decodeAudioFeatures(rows, "id", "payload")
+      .as[(Long, Boolean, Option[Int], Option[Int], Option[Int],
+        Option[Long], Option[Int], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 && out(2L)._2)
+    // identical samples through opposite byte orders
+    assert(out(2L)._6 === out(1L)._6, "n_samples")
+    assert(out(2L)._7 === out(1L)._7, "peak")
+    assert(out(2L)._8 === out(1L)._8, "mean_abs")
+  }
 }

@@ -1098,10 +1098,12 @@ class QualitySpec extends AnyFunSuite {
     val got = Quality.dpCountRelease(df, Seq("k"),
         epsilon = 0.5, seed = 7L, clampK = 39)
       .as[(String, Long)].collect().toMap
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
     def expected(key: String): Long = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(s"$key|7".getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
+      // per-column value hash, then the joint hash with the seed
+      val hex = md5hex(s"${md5hex(key)}|7")
       val u = java.lang.Long.parseLong(hex.substring(0, 7), 16)
       val k = thr.find(t => u >= t._2 && u < t._3).get._1
       math.max(0L, 1L + k)
@@ -1121,6 +1123,28 @@ class QualitySpec extends AnyFunSuite {
         epsilon = 0.5, seed = 8L, clampK = 39)
       .as[(String, Long)].collect().toMap
     assert(other !== got)
+    // collision regression (round-11 review): NULL-skipped and
+    // delimiter-shifted key tuples must NOT share a noise draw —
+    // every group's draw must replay from its per-column-hashed key
+    val tricky = Seq(
+      (Some("a|b"), Some("c")), (Some("a"), Some("b|c")),
+      (Option.empty[String], Some("x")), (Some("x"),
+        Option.empty[String])
+    ).toDF("k1", "k2")
+    val rel = Quality.dpCountRelease(tricky, Seq("k1", "k2"),
+        epsilon = 0.5, seed = 7L, clampK = 39)
+      .as[(Option[String], Option[String], Long)].collect()
+    assert(rel.length == 4)
+    def exp2(k1: Option[String], k2: Option[String]): Long = {
+      def h(o: Option[String]) = o.map(md5hex).getOrElse("null")
+      val hex = md5hex(s"${h(k1)}|${h(k2)}|7")
+      val u = java.lang.Long.parseLong(hex.substring(0, 7), 16)
+      val k = thr.find(t => u >= t._2 && u < t._3).get._1
+      math.max(0L, 1L + k)
+    }
+    rel.foreach { case (k1, k2, v) =>
+      assert(v === exp2(k1, k2), s"($k1,$k2)")
+    }
   }
 
   test("aaSequentialBattery: per-replicate look counts, family-wise " +
