@@ -311,7 +311,7 @@ object Quality {
   }
 
   /**
-   * E44: isotonic (PAV) score calibration — the monotone
+   * E43: isotonic (PAV) score calibration — the monotone
    * recalibration MAP that fixes what [[calibrationReport]]
    * diagnoses: the non-decreasing step function minimizing squared
    * error against the labels (Zadrozny & Elkan 2002; the standard
@@ -2166,7 +2166,7 @@ object Quality {
   }
 
   /**
-   * E43: minimum-detectable-effect readout for RATIO metrics —
+   * E42: minimum-detectable-effect readout for RATIO metrics —
    * the delta-method sibling of [[mdeReadout]] (proportions) and
    * [[mdeContinuous]] (means), completing the design-tooling triple:
    * given each segment's observed per-arm unit counts and

@@ -3474,7 +3474,7 @@ object PipelineQueries {
         .orderBy("check")
     }),
 
-    // E43 (round 11): MDE for ratio metrics — the delta-method power
+    // E42 (round 11): MDE for ratio metrics — the delta-method power
     // analysis over the q276 per-user units; completes the
     // proportion/continuous/ratio design triple.
     "q292_mde_ratio" -> ((s, dir) => {
@@ -3488,7 +3488,7 @@ object PipelineQueries {
         .orderBy("event_type")
     }),
 
-    // E44 (round 11): isotonic (PAV) calibration of the q196/q197
+    // E43 (round 11): isotonic (PAV) calibration of the q196/q197
     // quality score against the lang='en' label — the monotone
     // recalibration map via the exact minimax closed form; one bin
     // shuffle, everything after on the ≤101-row bin table.
@@ -6648,7 +6648,7 @@ object PipelineQueries {
         |    COALESCE(m_match >= 0.9, FALSE) FROM m
         |) ORDER BY "check"""".stripMargin,
 
-    // E43: q276's moment/variance CTEs, finished with the MDE
+    // E42: q276's moment/variance CTEs, finished with the MDE
     // formula instead of the z-test.
     "q292_mde_ratio" ->
       """WITH units AS (
@@ -6732,7 +6732,7 @@ object PipelineQueries {
         |    END AS mde_rel
         |FROM v ORDER BY event_type""".stripMargin,
 
-    // E44: the PAV minimax replay — q196's score CTE, 2dp bins,
+    // E43: the PAV minimax replay — q196's score CTE, 2dp bins,
     // prefix sums, the bounded pair join, suffix-min + prefix-max.
     "q293_isotonic_fit" ->
       """WITH f AS (
