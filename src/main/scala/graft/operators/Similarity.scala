@@ -1541,6 +1541,68 @@ object Similarity {
   }
 
   /**
+   * V27: PQ reconstruction-error audit — per-subspace quantization
+   * quality, the number that DECIDES the (m, k) point before a
+   * codebook serves traffic (FAISS reports exactly this): for every
+   * vector and subspace, the squared L2 distance to its NEAREST
+   * codeword (the same min-L2 rule [[pqEncode]] assigns by), reduced
+   * to per-subspace count / mean / max. A subspace whose MSE dwarfs
+   * the others needs more centroids or a different split; rising MSE
+   * on fresh data is the re-train trigger (pairs with V25's drift
+   * report).
+   *
+   * ENGINE-EXACT: per (row, subspace) the error is
+   * max(0, ‖v_s‖² + min_c(‖c‖² − 2·v_s·c)) — ‖c‖² a Scala-computed
+   * literal, the dot an index-order VecDot fold, min over identical
+   * doubles order-free, the clamp killing float-cancellation
+   * negatives — FLOORED to micro-units, so the corpus reduce is an
+   * exact long sum (the q183/q200 grid discipline); mse finishes
+   * with two fixed IEEE divisions, round(6), non-negative.
+   *
+   * Scale: pure scan projection (codebooks are literals) + ONE
+   * m-fanout explode + one partial-aggregated m-row reduce; no
+   * joins, no windows. Mass bound: Σ floor(err²·10⁶) ≤ n·maxErr²·10⁶
+   * < 2⁶³ for any real embedding scale (document per corpus).
+   *
+   * Output: (subspace, n_vectors, mse, max_err2), subspace
+   * ascending.
+   */
+  def pqReconstructionError(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+      "codebooks must be non-empty per subspace")
+    val m = codebooks.size
+    val sub = codebooks.head.head.size
+    val errCols = (0 until m).map { s =>
+      val sv = slice(toDoubleVec(col(vecCol)), s * sub + 1, sub)
+      val dmin = element_at(
+        sort_array(array(codebooks(s).zipWithIndex.map { case (c, i) =>
+          struct(
+            (lit(c.map(x => x * x).sum)
+              - lit(2.0) * dot(sv, typedLit(c))).as("d"),
+            lit(i).as("code"))
+        }: _*)), 1).getField("d")
+      floor(greatest(dot(sv, sv) + dmin, lit(0.0)) * lit(1000000.0d))
+        .as(s"__e$s")
+    }
+    corpus
+      .where(size(col(vecCol)) === m * sub)
+      .select(errCols: _*)
+      .select(posexplode(array((0 until m).map(s => col(s"__e$s")): _*))
+        .as(Seq("subspace", "__q")))
+      .groupBy("subspace")
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        round(sum(col("__q")).cast("double")
+          / count(lit(1)).cast("double") / lit(1000000.0d), 6)
+          .as("mse"),
+        round(max(col("__q")).cast("double") / lit(1000000.0d), 6)
+          .as("max_err2"))
+      .orderBy("subspace")
+  }
+
+  /**
    * Asymmetric-distance (ADC) top-k over PQ codes: each probe keeps
    * its EXACT vector; per probe a (m × k) table of subspace L2²
    * distances to every centroid is computed ONCE driver-side and

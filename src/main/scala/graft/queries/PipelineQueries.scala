@@ -3513,6 +3513,16 @@ object PipelineQueries {
         .orderBy("node")
     }),
 
+    // V27 (round 11): PQ reconstruction-error audit over the q198
+    // seed codebooks — per-subspace count/MSE/max of the squared L2
+    // to the nearest codeword, micro-unit floor grid; the (m, k)
+    // tuning readout.
+    "q295_pq_recon_error" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.pqReconstructionError(
+        e, "vec_id", "embedding", pqSeedCodebooks(s, dir, m = 4))
+    }),
+
     // T56 (round 10): curation funnel — per-source doc/token mass
     // through length -> language -> lexical-diversity stages; one
     // scan, one source aggregate.
@@ -6776,6 +6786,50 @@ object PipelineQueries {
 
     // G11: the fixed-round unroll — generated CTE chain.
     "q294_hierarchy_flatten" -> hierOracle(maxDepth = 16),
+
+    // V27: the q198 distance CTEs extended with the row's own
+    // subspace norm — err² = max(0, ‖v‖² + min(dist)) on the
+    // micro-unit floor grid, per-subspace reduce.
+    "q295_pq_recon_error" ->
+      """WITH dims AS (
+        |  SELECT CAST(len(embedding) // 4 AS INT) AS sub
+        |  FROM embeddings ORDER BY vec_id LIMIT 1
+        |), el AS (
+        |  SELECT vec_id, CAST(generate_subscripts(embedding,1)-1 AS INT) AS d,
+        |         CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings
+        |), seeds AS (
+        |  SELECT vec_id AS sid,
+        |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+        |  FROM embeddings ORDER BY vec_id LIMIT 4
+        |), cb AS (
+        |  SELECT CAST(e.d // (SELECT sub FROM dims) AS INT) AS s, sd.code,
+        |         CAST(e.d % (SELECT sub FROM dims) AS INT) AS j, e.x AS c
+        |  FROM el e JOIN seeds sd ON e.vec_id = sd.sid
+        |), vd AS (
+        |  SELECT v.vec_id, b.s, b.code,
+        |    SUM(b.c * b.c) - 2.0 * SUM(v.x * b.c) AS dist
+        |  FROM el v
+        |  JOIN cb b ON b.s = v.d // (SELECT sub FROM dims)
+        |           AND b.j = v.d % (SELECT sub FROM dims)
+        |  GROUP BY 1, 2, 3
+        |), nv AS (
+        |  SELECT vec_id, CAST(d // (SELECT sub FROM dims) AS INT) AS s,
+        |    SUM(x * x) AS n2
+        |  FROM el GROUP BY 1, 2
+        |), err AS (
+        |  SELECT m.vec_id, m.s,
+        |    CAST(floor(GREATEST(n.n2 + m.dmin, 0.0) * 1000000.0)
+        |      AS BIGINT) AS q
+        |  FROM (SELECT vec_id, s, MIN(dist) AS dmin
+        |    FROM vd GROUP BY 1, 2) m
+        |  JOIN nv n ON n.vec_id = m.vec_id AND n.s = m.s
+        |)
+        |SELECT s AS subspace, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+        |  round(CAST(SUM(q) AS DOUBLE) / COUNT(*) / 1000000.0, 6)
+        |    AS mse,
+        |  round(CAST(MAX(q) AS DOUBLE) / 1000000.0, 6) AS max_err2
+        |FROM err GROUP BY 1 ORDER BY subspace""".stripMargin,
 
     // T57: distinct doc/reference trigram sets, one membership join,
     // one per-doc reduce; shingle-less docs keep NULL rate.

@@ -865,6 +865,37 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("pqReconstructionError: exact codeword match is zero error; " +
+      "offset vectors report the hand-computed squared distance") {
+    // 2 subspaces x 2 dims, 2 codewords each
+    val cbs = Seq(
+      Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)),
+      Seq(Seq(2.0, 0.0), Seq(0.0, 2.0)))
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f, 2.0f, 0.0f)), // both subspaces exact
+      (2L, Seq(0.0f, 1.0f, 0.0f, 2.0f)), // both exact (code 1)
+      (3L, Seq(1.0f, 0.3f, 0.0f, 2.4f))  // off by (0,0.3) and (0,0.4)
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.pqReconstructionError(
+        corpus, "vec_id", "embedding", cbs)
+      .as[(Int, Long, Double, Double)].collect().toSeq
+    assert(out.map(_._1) == Seq(0, 1))
+    assert(out.forall(_._2 == 3L))
+    // subspace 0: errors 0, 0, 0.09 -> mse 0.03, max 0.09
+    val e03 = math.floor(
+      (0.3f.toDouble * 0.3f.toDouble) * 1e6) / 1e6
+    assert(math.abs(out(0)._3 - e03 / 3) < 2e-6 &&
+      out(0)._4 === BigDecimal(e03).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // subspace 1: errors 0, 0, (2.4-2)^2 = 0.16 (float-exact inputs)
+    val e04 = math.floor(
+      ((2.4f.toDouble - 2.0) * (2.4f.toDouble - 2.0)
+        + 0.0) * 1e6) / 1e6
+    assert(math.abs(out(1)._3 - e04 / 3) < 2e-6)
+    // never negative even under float cancellation
+    assert(out.forall(r => r._3 >= 0.0 && r._4 >= 0.0))
+  }
+
   test("projectionSigns: deterministic, seed-sensitive, ±1 only") {
     val a = Similarity.projectionSigns(7L, 16, 8)
     assert(a == Similarity.projectionSigns(7L, 16, 8))
