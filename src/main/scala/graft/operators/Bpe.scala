@@ -5,6 +5,8 @@ import scala.collection.mutable.ArrayBuffer
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import Barrier.barrier
+
 /**
  * Byte-pair-encoding merge training — the map-reduce formulation of
  * the tokenizer-training loop every LLM data pipeline runs before
@@ -103,10 +105,15 @@ object Bpe {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     require(checkpointEvery >= 1,
       s"checkpointEvery must be >= 1, got $checkpointEvery")
-    var vocab = wordVocab(corpus, textCol)
+    // Round barriers ride the shared [[Barrier]] contract: reliable
+    // checkpoint() when the caller set a checkpoint dir (a 32k-merge
+    // production run survives executor loss), localCheckpoint()
+    // otherwise (the local[32]/test fast path). Superseded round
+    // state is freed once the next barrier has materialized.
+    var vocab = barrier(wordVocab(corpus, textCol)
       .select(col("word"), initialSymbols(col("word")).as("sym"),
-        col("freq"))
-      .localCheckpoint()
+        col("freq")))
+    var lastBarrier = vocab
     val merges = ArrayBuffer.empty[Merge]
     var r = 1
     var exhausted = false
@@ -124,7 +131,11 @@ object Bpe {
         merges += Merge(r, l, rr, c)
         vocab = vocab.withColumn("sym",
           replace(col("sym"), lit(s" $l  $rr "), lit(s" $l$rr ")))
-        if (r % checkpointEvery == 0) vocab = vocab.localCheckpoint()
+        if (r % checkpointEvery == 0) {
+          vocab = barrier(vocab)
+          Barrier.free(lastBarrier)
+          lastBarrier = vocab
+        }
         r += 1
       }
     }
@@ -180,10 +191,11 @@ object Bpe {
     require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
     require(checkpointEvery >= 1,
       s"checkpointEvery must be >= 1, got $checkpointEvery")
-    var vocab = wordVocab(corpus, textCol)
+    // Same [[Barrier]] durability contract as [[train]].
+    var vocab = barrier(wordVocab(corpus, textCol)
       .select(col("word"), initialSymbols(col("word")).as("sym"),
-        col("freq"))
-      .localCheckpoint()
+        col("freq")))
+    var lastBarrier = vocab
     val merges = ArrayBuffer.empty[Merge]
     var round = 0
     var exhausted = false
@@ -250,7 +262,11 @@ object Bpe {
         }
         vocab = vocab.withColumn("sym", newSym)
         round += 1
-        if (round % checkpointEvery == 0) vocab = vocab.localCheckpoint()
+        if (round % checkpointEvery == 0) {
+          vocab = barrier(vocab)
+          Barrier.free(lastBarrier)
+          lastBarrier = vocab
+        }
       }
       pc.unpersist()
     }

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import Barrier.BarrierOps
+
 /**
  * Deduplication operator family for large-scale text corpora — the
  * LLM-training-pipeline extension of the engine (north star; no
@@ -263,7 +265,7 @@ object Dedup {
       materializeSigs: Boolean = false): DataFrame = {
     requireBandConfig(numHashes, rowsPerBand)
     val sigs0 = minhashSignatures(df, idCol, textCol, numHashes, shingleSize)
-    val sigs = if (materializeSigs) sigs0.localCheckpoint() else sigs0
+    val sigs = if (materializeSigs) sigs0.barriered else sigs0
     val bands = lshBands(sigs, idCol, rowsPerBand)
     // Signatures ride the band rows, so the bucket self-join yields
     // scored pairs directly — no sig-lookup joins, and the signature
@@ -831,7 +833,7 @@ object Dedup {
     // Sever the iterative lineage (maxIter joins deep) so BOTH working
     // caches can be released here — returning the cached `labels`
     // directly would pin its blocks for the rest of the session.
-    val out = labels.localCheckpoint()
+    val out = labels.barriered
     labels.unpersist()
     edges.unpersist()
     out
@@ -1080,7 +1082,7 @@ object Dedup {
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("fp_hash")).orderBy(col("doc"))))
       .where(col("__rn") <= capPerHash)
-      .localCheckpoint()
+      .barriered
     fp.select(col("doc").as("doc_a"), col("fp_hash"))
       .join(fp.select(col("doc").as("doc_b"), col("fp_hash")), Seq("fp_hash"))
       .where(col("doc_a") < col("doc_b"))

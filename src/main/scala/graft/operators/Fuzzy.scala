@@ -341,6 +341,134 @@ object Fuzzy {
   }
 
   /**
+   * D23 (r12): TERM-FREQUENCY-adjusted Fellegi–Sunter scoring — the
+   * Splink-default refinement of [[fellegiSunter]]: agreement on a
+   * COMMON value is much weaker evidence than agreement on a rare
+   * one ("SMITH" vs "FEATHERSTONEHAUGH"), so the agreement weight is
+   * computed PER VALUE, not per field. Under the copy model,
+   * P(both records carry v AND agree | match) ≈ p_v·m and
+   * P(… | non-match) = p_v², so the likelihood ratio for agreement
+   * on v is m/p_v — i.e. the global u is replaced by the value's own
+   * frequency share u_v = p_v = cnt_v / N (the probability a random
+   * other record agrees GIVEN yours carries v). Common values
+   * (p_v > m) legitimately score NEGATIVE agreement weight.
+   * Disagreement keeps [[fellegiSunter]]'s global-u weight (a
+   * disagreement carries no value to condition on).
+   *
+   * ENGINE-EXACT: per-(field, value) agreement weights are one IEEE
+   * division + one log₂ each, rounded to 6dp; per-field disagreement
+   * weights identical to [[fellegiSunter]]'s (same clamps, same
+   * no-evidence rules); the per-pair score is an exact
+   * DECIMAL(18,6) sum of those 6dp constants — order-free.
+   *
+   * Scale: the value-frequency table is ONE melted records scan +
+   * one (field, value) count shuffle — value-cardinality, NOT
+   * broadcast (unlike the |fields|-row disagreement dim): it joins
+   * the melted pair frame with a key-partitioned hash join on
+   * (field, value); AQE broadcasts it when small. The melt uses the
+   * string render (the [[fellegiSunter]] caveat: the one float edge
+   * −0.0/0.0 renders apart but compares equal — both renders exist
+   * in the table, so the agreement lookup NEVER misses; only the
+   * frequency estimate splits across the two renders).
+   *
+   * Output: (id_a, id_b, pattern, n_agree, score) — the
+   * [[fellegiSunter]] shape with tf-adjusted scores.
+   */
+  def fellegiSunterTf(
+      records: DataFrame, idCol: String, pairs: DataFrame,
+      fields: Seq[(String, Double)]): DataFrame = {
+    require(fields.nonEmpty, "fields must be non-empty")
+    fields.foreach { case (f, m) =>
+      require(m > 0.0 && m < 1.0, s"m for $f must be in (0,1), got $m")
+    }
+    val mLit = fields.foldLeft(lit(null).cast("double")) {
+      case (acc, (f, m)) => when(col("field") === f, lit(m)).otherwise(acc)
+    }
+    // ONE melted scan feeds BOTH weight tables: per-(field, value)
+    // counts (the tf table) and their per-field rollup (the global-u
+    // disagreement dim) — barriered so the records scan runs once.
+    val valueCounts = Barrier.barrier(records
+      .select(explode(array(fields.map { case (f, _) =>
+        struct(lit(f).as("field"), col(f).cast("string").as("value"))
+      }: _*)).as("__fv"))
+      .select(col("__fv.field").as("field"), col("__fv.value").as("value"))
+      .where(col("value").isNotNull)
+      .groupBy("field", "value").agg(count(lit(1)).as("__c")))
+    val perField = valueCounts
+      .groupBy("field")
+      .agg(
+        sum(col("__c") * (col("__c") - 1L)).as("__agree"),
+        sum(col("__c")).as("__n"))
+      .select(col("field"), col("__agree"), col("__n"),
+        when(col("__n") >= 2L,
+          (col("__n") * (col("__n") - 1L)).cast("double")).as("__nn1"))
+      .select(col("field"), col("__n"),
+        greatest(
+          least(
+            col("__agree").cast("double") / col("__nn1"),
+            lit(1.0) - lit(1.0) / col("__nn1")),
+          lit(1.0) / col("__nn1"))
+          .as("u"),
+        mLit.as("m"))
+    val disagree = perField
+      .select(col("field"),
+        when(col("__n") >= 2L,
+          round(log2((lit(1.0) - col("m")) / (lit(1.0) - col("u"))), 6))
+          .otherwise(lit(0.0))
+          .cast("decimal(18,6)").as("w_disagree"))
+    // tf table: w_agree(v) = log2(m / (cnt_v / N_f)), one row per
+    // observed (field, value)
+    val tfWeights = valueCounts
+      .join(broadcast(perField.select(col("field"), col("__n"))), "field")
+      .select(col("field"), col("value"),
+        round(log2(mLit /
+          (col("__c").cast("double") / col("__n").cast("double"))), 6)
+          .cast("decimal(18,6)").as("w_agree_v"))
+
+    val ra = records.select(col(idCol).as("id_a") +:
+      fields.map { case (f, _) => col(f).as(s"__a_$f") }: _*)
+    val rb = records.select(col(idCol).as("id_b") +:
+      fields.map { case (f, _) => col(f).as(s"__b_$f") }: _*)
+    val flagged = pairs.select("id_a", "id_b")
+      .join(ra, "id_a").join(rb, "id_b")
+      .select(col("id_a") +: col("id_b") +:
+        (fields.map { case (f, _) =>
+          when(col(s"__a_$f").isNull || col(s"__b_$f").isNull, lit("-"))
+            .when(col(s"__a_$f") === col(s"__b_$f"), lit("1"))
+            .otherwise(lit("0")).as(s"__g_$f")
+        } ++ fields.map { case (f, _) =>
+          col(s"__a_$f").cast("string").as(s"__v_$f")
+        }): _*)
+    val melted = flagged
+      .withColumn("pattern",
+        concat(fields.map { case (f, _) => col(s"__g_$f") }: _*))
+      .select(col("id_a"), col("id_b"), col("pattern"),
+        explode(array(fields.map { case (f, _) =>
+          struct(lit(f).as("field"), col(s"__g_$f").as("flag"),
+            // the agreed value rides the melt ONLY for '1' rows —
+            // keeps the tf join selective and NULL-joins impossible
+            when(col(s"__g_$f") === "1", col(s"__v_$f"))
+              .as("value"))
+        }: _*)).as("__fx"))
+      .select(col("id_a"), col("id_b"), col("pattern"),
+        col("__fx.field").as("field"), col("__fx.flag").as("flag"),
+        col("__fx.value").as("value"))
+    melted
+      .join(tfWeights, Seq("field", "value"), "left")
+      .join(broadcast(disagree), "field")
+      .groupBy("id_a", "id_b", "pattern")
+      .agg(
+        sum(when(col("flag") === "1", lit(1)).otherwise(lit(0)))
+          .as("n_agree"),
+        sum(when(col("flag") === "1", col("w_agree_v"))
+          .when(col("flag") === "0", col("w_disagree"))
+          .otherwise(lit(BigDecimal(0)).cast("decimal(18,6)")))
+          .as("__score"))
+      .select(col("id_a"), col("id_b"), col("pattern"), col("n_agree"),
+        col("__score").cast("decimal(18,6)").cast("double").as("score"))
+  }
+
+  /**
    * D22: EM-estimated Fellegi–Sunter parameters (Winkler 1988; the
    * Splink production shape) — [[fellegiSunter]] scores with
    * reviewer-supplied m; this learns per-field m AND u (and the
@@ -368,9 +496,10 @@ object Fuzzy {
    * oracle's DOUBLE casts are exact), finished by one IEEE division
    * + floor. The whole loop unrolls as a DuckDB materialized-CTE
    * chain with zero rounding-rule exposure. A field whose pattern
-   * mass is all '-' keeps its previous parameters (the oracle mirror
-   * assumes every field has non-null mass — true of any real field
-   * worth comparing).
+   * mass is all '-' (or whose posterior mass degenerates to zero)
+   * keeps its previous parameters — and the oracle mirrors that
+   * guard exactly (r12 ADVICE fix: zero/NULL M-step denominators
+   * keep the prior round's value instead of dividing).
    *
    * Output: one row per field — (field, m, u, lambda), λ repeated
    * per row (a model-level scalar), all values micro-grid DOUBLEs.

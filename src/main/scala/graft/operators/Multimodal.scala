@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import Barrier.BarrierOps
+
 /**
  * Multimodal-column handling: image/audio/video payloads carried as
  * opaque `binary` columns with a typed metadata struct alongside —
@@ -547,7 +549,7 @@ object Multimodal {
         conv(substring(col("__fp"), 1, 32), 2, 10).cast("long"))
       .withColumn("__lo",
         conv(substring(col("__fp"), 33, 32), 2, 10).cast("long"))
-      .localCheckpoint()
+      .barriered
     val wb = Window.partitionBy(col("__k"), col("__bv"))
       .orderBy(col("__id"))
     val bands = sigs.select(

@@ -2,6 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+
+import Barrier.BarrierOps
 import org.apache.spark.sql.types.DecimalType
 
 /**
@@ -391,6 +393,39 @@ object Profile {
    * parent side a value-cardinality frame, never the raw parent.
    * NULL child values are excluded entirely (SQL FK semantics).
    */
+  def inclusionDependencies(
+      pairs: Seq[(String, DataFrame, String, DataFrame, String)])
+      : DataFrame = {
+    require(pairs.nonEmpty, "need at least one (label, child, parent) pair")
+    val frames = pairs.map { case (label, child, childCol, parent, parentCol) =>
+      val cv = child
+        .where(col(childCol).isNotNull)
+        .groupBy(col(childCol).as("__v"))
+        .agg(count(lit(1)).as("__rows"))
+      val pv = parent
+        .where(col(parentCol).isNotNull)
+        .select(col(parentCol).as("__v")).distinct()
+        .withColumn("__hit", lit(1))
+      cv.join(pv, Seq("__v"), "left")
+        .agg(
+          count(lit(1)).as("child_values"),
+          sum(when(col("__hit").isNotNull, 1L).otherwise(0L))
+            .as("matched_values"),
+          sum(when(col("__hit").isNull, 1L).otherwise(0L))
+            .as("orphan_values"),
+          sum(when(col("__hit").isNull, col("__rows")).otherwise(0L))
+            .as("orphan_rows"))
+        .select(
+          lit(label).as("candidate"),
+          col("child_values"), col("matched_values"),
+          col("orphan_values"), col("orphan_rows"),
+          when(col("child_values") > 0,
+            round(col("matched_values").cast("double") /
+              col("child_values"), 6)).as("inclusion"))
+    }
+    frames.reduce(_.unionByName(_))
+  }
+
   /** One declarative data-quality expectation (the Deequ/Great-
     * Expectations shape): a named metric over one column plus the
     * threshold the release gate demands. */
@@ -490,39 +525,6 @@ object Profile {
         col("__e.threshold").as("threshold"),
         coalesce(col("__e.metric") >= col("__e.threshold"), lit(false))
           .as("passed"))
-  }
-
-  def inclusionDependencies(
-      pairs: Seq[(String, DataFrame, String, DataFrame, String)])
-      : DataFrame = {
-    require(pairs.nonEmpty, "need at least one (label, child, parent) pair")
-    val frames = pairs.map { case (label, child, childCol, parent, parentCol) =>
-      val cv = child
-        .where(col(childCol).isNotNull)
-        .groupBy(col(childCol).as("__v"))
-        .agg(count(lit(1)).as("__rows"))
-      val pv = parent
-        .where(col(parentCol).isNotNull)
-        .select(col(parentCol).as("__v")).distinct()
-        .withColumn("__hit", lit(1))
-      cv.join(pv, Seq("__v"), "left")
-        .agg(
-          count(lit(1)).as("child_values"),
-          sum(when(col("__hit").isNotNull, 1L).otherwise(0L))
-            .as("matched_values"),
-          sum(when(col("__hit").isNull, 1L).otherwise(0L))
-            .as("orphan_values"),
-          sum(when(col("__hit").isNull, col("__rows")).otherwise(0L))
-            .as("orphan_rows"))
-        .select(
-          lit(label).as("candidate"),
-          col("child_values"), col("matched_values"),
-          col("orphan_values"), col("orphan_rows"),
-          when(col("child_values") > 0,
-            round(col("matched_values").cast("double") /
-              col("child_values"), 6)).as("inclusion"))
-    }
-    frames.reduce(_.unionByName(_))
   }
 
   /**
@@ -688,7 +690,7 @@ object Profile {
       // consumed by the top-k sort AND the totals reduce: barrier the
       // small count-join result so the upstream aggregations run once
       // (the q127 pruning-vs-reuse rule)
-      .localCheckpoint()
+      .barriered
     val totals = perKey.agg(
       sum(col("pairs").cast(DecimalType(38, 0))).cast("string")
         .as("total_pairs"),

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import Barrier.BarrierOps
+
 /**
  * One-pass data-quality auditing: every declared constraint
  * contributes one aggregate metric, all metrics ride a SINGLE
@@ -1132,7 +1134,7 @@ object Quality {
         base.select(col("__v"), col(idCol)),
         Seq(col("__v"), col(idCol)), "__gr")
       .select(col("__gr"), col("__v").as("__gv"))
-      .localCheckpoint()
+      .barriered
     val nRow = gl.agg(max(col("__gr")).as("__nn"))
     val wRank = Window.partitionBy(col(groupCol))
       .orderBy(col("__v"), col(idCol))
@@ -1919,6 +1921,19 @@ object Quality {
    * threshold dim; everything after is a projection. No per-row
    * state, no windows, no driver collect.
    *
+   * ⚠ KEY-MEMBERSHIP CAVEAT (r12, ADVICE): this variant releases a
+   * row iff the group EXISTS in the data — noise never suppresses an
+   * observed group or invents an unobserved one, so adding/removing
+   * the one record that creates/destroys a rare group toggles an
+   * output ROW with probability 1. The ε bound therefore holds only
+   * over a PUBLIC, FIXED key set; with data-dependent keys, group
+   * MEMBERSHIP in the output is NOT protected (only the counts are).
+   * When the key domain is enumerable, use
+   * [[dpCountReleaseOverDomain]] — the same mechanism released over
+   * every public domain key (zero-count groups included), whose
+   * output row set is data-independent and whose ε guarantee is
+   * unconditional.
+   *
    * Output: (keyCols…, released_count) — max(0, n + noise), the true
    * count never surfaced.
    */
@@ -1926,24 +1941,115 @@ object Quality {
       df: DataFrame, keyCols: Seq[String], epsilon: Double,
       seed: Long, clampK: Int = 39): DataFrame = {
     require(keyCols.nonEmpty, "need at least one key column")
-    val spark = df.sparkSession
-    val thr = spark.createDataFrame(dpNoiseThresholds(epsilon, clampK))
-      .toDF("__noise", "__lo", "__hi")
     val counts = df
       .groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("__n"))
-    // Each key VALUE is hashed before the joint hash: raw concat_ws
-    // would let distinct groups share one noise draw — it silently
-    // drops NULLs ((NULL,"x") == ("x",NULL)) and a value containing
-    // the delimiter shifts the split ("a|b","c") == ("a","b|c") —
-    // and colliding groups' released counts would difference to the
-    // EXACT true-count delta, breaking the DP independence argument
-    // (round-11 review catch). md5 hex is delimiter-free and 'null'
-    // (4 chars) can never collide with a 32-char digest. The outer
-    // coalesce keeps the derived join key NON-NULLABLE — a nullable
-    // key makes InferFiltersFromConstraints push IsNotNull(<md5
-    // expr>) into the SCAN, paying one md5 per ROW instead of per
-    // group (the house derived-key rule).
+    geometricRelease(counts, keyCols, epsilon, seed, clampK,
+      "released_count")
+  }
+
+  /**
+   * Q10b (r12): ε-DP count release over a PUBLIC KEY DOMAIN — the
+   * membership-safe variant of [[dpCountRelease]] (the r11 ADVICE
+   * finding): the released row set is exactly `domain`'s distinct
+   * keys, fixed independently of the data, and every domain key —
+   * including groups with NO observed rows — gets a noisy count
+   * (max(0, 0 + noise) can be positive: that noise floor is what
+   * hides membership). Groups observed in the data but ABSENT from
+   * the domain are NOT released (the domain is the public contract).
+   * With the row set data-independent and Δ = 1 per disjoint-group
+   * count, the discrete-Laplace guarantee is unconditional.
+   *
+   * `domain` must carry `keyCols` with NON-NULL values: the left
+   * join is null-unsafe (SQL semantics), so a NULL domain component
+   * would never match a data group — use an explicit sentinel value
+   * if "unknown" is part of the public domain.
+   *
+   * Scale: same ONE partial-aggregated groupBy as the base variant;
+   * the domain join broadcasts when the domain is small (a public
+   * domain list always is), the threshold lookup is the same
+   * (2K+1)-row broadcast range join.
+   */
+  def dpCountReleaseOverDomain(
+      df: DataFrame, domain: DataFrame, keyCols: Seq[String],
+      epsilon: Double, seed: Long, clampK: Int = 39): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    val dom = domain.select(keyCols.map(col): _*).distinct()
+    val counts = df
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+    val full = dom.join(counts, keyCols, "left")
+      .select(keyCols.map(col) :+
+        coalesce(col("__c"), lit(0L)).as("__n"): _*)
+    geometricRelease(full, keyCols, epsilon, seed, clampK,
+      "released_count")
+  }
+
+  /**
+   * Q12 (r12): ε-DP SUM release with bounded per-row contribution —
+   * the mechanism a pipeline needs to publish per-group token
+   * totals / byte masses, where one record can move the sum by more
+   * than 1: each row's value is floored to the integer grid and
+   * CLAMPED into [0, clampHi] BEFORE aggregation, so the release
+   * sensitivity is Δ = clampHi exactly (adding/removing one row
+   * moves the clamped sum by at most clampHi), and the same
+   * two-sided-geometric mechanism applies with α = e^(−ε/Δ) — i.e.
+   * [[dpNoiseThresholds]](ε/Δ). Clamping is the standard
+   * bounded-contribution trick (it biases large values down; pick
+   * clampHi at a high data-independent percentile). NULL and
+   * negative values contribute 0 (the lower clamp).
+   *
+   * clampK must scale with Δ/ε: the truncation tail mass is
+   * ~α^(K+1) = e^(−ε(K+1)/Δ), so K ≥ 20·Δ/ε keeps it below ~2e-9
+   * (the q288 discipline at Δ=1, ε=0.5, K=39). The threshold table
+   * stays a bounded (2K+1)-row broadcast.
+   *
+   * Same determinism contract and KEY-MEMBERSHIP caveat as
+   * [[dpCountRelease]] (released keys are the observed groups; use a
+   * public domain upstream when membership itself is sensitive).
+   *
+   * Output: (keyCols…, released_sum) — max(0, Σclamped + noise).
+   */
+  def dpSumRelease(
+      df: DataFrame, keyCols: Seq[String], valueCol: Column,
+      epsilon: Double, seed: Long, clampHi: Long,
+      clampK: Int): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    require(clampHi >= 1L, s"clampHi must be >= 1, got $clampHi")
+    val contrib = least(
+      greatest(coalesce(floor(valueCol).cast("long"), lit(0L)),
+        lit(0L)),
+      lit(clampHi))
+    val sums = df
+      .groupBy(keyCols.map(col): _*)
+      .agg(coalesce(sum(contrib), lit(0L)).as("__n"))
+    geometricRelease(sums, keyCols, epsilon / clampHi.toDouble, seed,
+      clampK, "released_sum")
+  }
+
+  /** Shared release core: the seeded md5-uniform noise draw + the
+    * [[dpNoiseThresholds]] broadcast range lookup + the zero clamp,
+    * over a pre-aggregated (keyCols…, __n) frame.
+    *
+    * Each key VALUE is hashed before the joint hash: raw concat_ws
+    * would let distinct groups share one noise draw — it silently
+    * drops NULLs ((NULL,"x") == ("x",NULL)) and a value containing
+    * the delimiter shifts the split ("a|b","c") == ("a","b|c") —
+    * and colliding groups' released counts would difference to the
+    * EXACT true-count delta, breaking the DP independence argument
+    * (round-11 review catch). md5 hex is delimiter-free and 'null'
+    * (4 chars) can never collide with a 32-char digest. The outer
+    * coalesce keeps the derived join key NON-NULLABLE — a nullable
+    * key makes InferFiltersFromConstraints push IsNotNull(<md5
+    * expr>) into the SCAN, paying one md5 per ROW instead of per
+    * group (the house derived-key rule). */
+  private def geometricRelease(
+      counts: DataFrame, keyCols: Seq[String], epsilonEff: Double,
+      seed: Long, clampK: Int, outCol: String): DataFrame = {
+    val spark = counts.sparkSession
+    val thr = spark
+      .createDataFrame(dpNoiseThresholds(epsilonEff, clampK))
+      .toDF("__noise", "__lo", "__hi")
     val u = coalesce(
       conv(
         substring(md5(concat_ws("|",
@@ -1958,7 +2064,7 @@ object Quality {
         col("__u") < col("__hi"))
       .select(keyCols.map(col) :+
         greatest(lit(0L), col("__n") + col("__noise"))
-          .as("released_count"): _*)
+          .as(outCol): _*)
   }
 
   def aaSequentialBattery(

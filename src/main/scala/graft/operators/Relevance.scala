@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import Barrier.BarrierOps
 import org.apache.spark.sql.types.DecimalType
 
 /**
@@ -504,7 +506,7 @@ object Relevance {
       .agg(
         sum(when(col("__g") === corpusA, 1L).otherwise(0L)).as("ca"),
         sum(when(col("__g") === corpusB, 1L).otherwise(0L)).as("cb"))
-      .localCheckpoint() // consumed by totals AND the term pass
+      .barriered // consumed by totals AND the term pass
     val tot = counts.agg(
       count(lit(1)).as("vocab_size"),
       sum(col("ca")).as("na"),

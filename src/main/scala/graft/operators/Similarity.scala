@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import Barrier.{barrier, BarrierOps}
+
 /**
  * Similarity search over embedding columns (`array<float>`) — the
  * approximate-nearest-neighbor extension of the engine (north star;
@@ -155,7 +157,9 @@ object Similarity {
    * the NEWEST pick (greatest(ms, cos) — the incremental identity),
    * and takes one TakeOrdered(1) row to the driver (the k-row
    * bounded-driver contract, as in k-means/BPE). Rounds barrier via
-   * localCheckpoint (superseded states freed), so round t never
+   * the shared [[Barrier]] contract — reliable checkpoint when a
+   * checkpoint dir is set, localCheckpoint otherwise, superseded
+   * states freed — so round t never
    * re-executes rounds 1..t−1: total cost k scans of the pool, NOT
    * k·corpus — run it on a bounded candidate pool (ANN/top-N
    * prefilter) at scale, never a raw 100 TB corpus.
@@ -187,13 +191,15 @@ object Similarity {
     val qNorm = math.sqrt(qVec.foldLeft(0.0)((a, x) => a + x * x))
     val qLit = array(qVec.map(lit): _*)
 
-    var state = corpus.where(col(idCol) =!= queryId)
+    // Round barriers ride the shared [[Barrier]] contract (reliable
+    // checkpoint when a dir is set, local otherwise); superseded
+    // round state is freed once the next barrier materializes.
+    var state = barrier(corpus.where(col(idCol) =!= queryId)
       .select(col(idCol).cast("long").as("vec_id"),
         toDoubleVec(col(vecCol)).as("__v"))
       .withColumn("__n", norm(col("__v")))
       .withColumn("rel", dot(col("__v"), qLit) / (col("__n") * lit(qNorm)))
-      .withColumn("ms", lit(null).cast("double"))
-      .localCheckpoint()
+      .withColumn("ms", lit(null).cast("double")))
     val mmrCol = lit(lambda) * col("rel") -
       (lit(1.0) - lit(lambda)) * col("ms")
     val nanLast = (c: Column) => when(!isnan(c), c).desc_nulls_last
@@ -223,16 +229,15 @@ object Similarity {
             // first assignment is direct (no greatest-with-NULL
             // cross-engine question); later rounds fold non-nulls
             val msNew = if (t == 1) cosNew else greatest(col("ms"), cosNew)
-            val next = state.where(col("vec_id") =!= id)
-              .withColumn("ms", msNew)
-              .localCheckpoint()
-            org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(state)
+            val next = barrier(state.where(col("vec_id") =!= id)
+              .withColumn("ms", msNew))
+            Barrier.free(state)
             state = next
           }
           t += 1
       }
     }
-    org.apache.spark.sql.GraftBridge.freeLocalCheckpoint(state)
+    Barrier.free(state)
     picks.toSeq
       .toDF("pick_rank", "vec_id", "__rel", "__ms", "__mmr")
       .select(col("pick_rank"), col("vec_id"),
@@ -907,6 +912,124 @@ object Similarity {
   }
 
   /**
+   * V28 (r12): recall sweep for the COMPOSED IVF+PQ path — the
+   * readout a served 100 TB index is actually tuned by. V26
+   * ([[ivfRecallSweep]]) measures IVF routing loss alone and
+   * q199/q295 audit PQ quantization in isolation, but a production
+   * index serves [[ivfPqSearch]] — routing loss AND ADC-scoring loss
+   * composed — so its deployable operating point is a
+   * recall-vs-(nprobe, m) surface: for every grid point, recall@k of
+   * the composed pipeline against the exact [[cosineTopK]] ground
+   * truth over the same probes.
+   *
+   * Execution: ONE exact ground-truth pass (Barrier-routed — it
+   * feeds the totals aggregate and the hit semi-join, the q290
+   * rule); probe cell routing ranks ONCE at max(nprobe) (the V26
+   * swept-filter trick — each sweep point is a filter, not a rescan)
+   * and is shared by every m point; each m point costs one corpus
+   * ENCODE scan projection (codes + cell against literal matrices,
+   * zero shuffle) plus the broadcast candidate join. ADC entries
+   * quantize HALF_UP to 6dp and sum in exact DECIMAL(18,6) (the
+   * q199/q228 determinism contract — equal-code candidates score
+   * EXACTLY equal, so the (adc, vec_id) rank is engine-free); the
+   * per-probe (m×k_cb) table builds as a sequential index-order
+   * Σ(p_j−c_j)² fold over the SMALL probe frame (HOF fallback is
+   * fine there — never on the corpus side).
+   *
+   * Recall = |approx ∩ exact| / |exact| per grid point (exact pair
+   * counts); grid points with zero candidates still emit rows.
+   *
+   * Output: (m, nprobe, n_probes, exact_pairs, hit_pairs, recall),
+   * ordered by (m, nprobe).
+   */
+  def ivfPqRecallSweep(
+      corpus: DataFrame, probes: DataFrame, idCol: String,
+      vecCol: String, seeds: Seq[Seq[Double]],
+      codebooksByM: Seq[Seq[Seq[Seq[Double]]]],
+      nprobes: Seq[Int], k: Int): DataFrame = {
+    require(codebooksByM.nonEmpty, "need at least one codebook set")
+    require(codebooksByM.map(_.size).distinct.size == codebooksByM.size,
+      "codebook sets must have distinct m")
+    require(nprobes.nonEmpty, "nprobes must be non-empty")
+    require(nprobes.forall(np => np >= 1 && np <= seeds.size),
+      s"every nprobe must be in [1, nlist=${seeds.size}], got $nprobes")
+    val nps = nprobes.distinct.sorted
+    val npMax = nps.max
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val pBase = probes.select(
+      col(idCol).as("probe_id"), toDoubleVec(col(vecCol)).as("__p"))
+      .select(col("probe_id"), col("__p"),
+        posexplode(transform(
+          slice(sort_array(cellRanking(col("__p"), seeds)), 1, npMax),
+          s => s.getField("cell"))).as(Seq("__cr0", "__cell")))
+      .withColumn("__cell_rank", col("__cr0") + 1)
+      .drop("__cr0")
+    val perM = codebooksByM.map { cbs =>
+      val m = cbs.size
+      val kCb = cbs.head.size
+      val sub = cbs.head.head.size
+      val enc = corpus
+        .where(size(col(vecCol)) === m * sub)
+        .select(
+          col(idCol).as("vec_id"),
+          ivfCell(col(vecCol), seeds).as("__cell"),
+          array((0 until m).map { s =>
+            pqCode(slice(toDoubleVec(col(vecCol)), s * sub + 1, sub),
+              cbs(s)).cast("int")
+          }: _*).as("__codes"))
+      val tab = array((for (s <- 0 until m; c <- 0 until kCb) yield {
+        val ps = slice(col("__p"), s * sub + 1, sub)
+        round(aggregate(
+          zip_with(ps, typedLit(cbs(s)(c)), (a, b) => (a - b) * (a - b)),
+          lit(0.0), _ + _), 6).cast(dec6)
+      }): _*)
+      val p = pBase.withColumn("__tab", tab)
+      val adc = (0 until m)
+        .map(s => element_at(col("__tab"),
+          lit(s * kCb) + element_at(col("__codes"), s + 1) + lit(1))
+          .cast(dec6))
+        .reduce(_ + _)
+      val w = Window.partitionBy("nprobe", "probe_id")
+        .orderBy(col("__adc").asc, col("vec_id").asc)
+      enc.join(broadcast(p), Seq("__cell"))
+        .where(col("vec_id") =!= col("probe_id"))
+        .withColumn("__adc", adc)
+        .withColumn("nprobe",
+          explode(filter(typedLit(nps), np => np >= col("__cell_rank"))))
+        .withColumn("__r", row_number().over(w))
+        .where(col("__r") <= k)
+        .select(lit(m).as("m"), col("nprobe"), col("probe_id"),
+          col("vec_id"))
+    }
+    val approx = perM.reduce(_.unionByName(_))
+    val exact = barrier(
+      cosineTopK(corpus, probes, idCol, vecCol, k)
+        .select(col("probe_id"), col("vec_id")))
+    val exactTotals = exact.agg(
+      count(lit(1)).as("exact_pairs"),
+      countDistinct(col("probe_id")).as("n_probes"))
+    val hits = approx
+      .join(exact, Seq("probe_id", "vec_id"), "left_semi")
+      .groupBy("m", "nprobe").agg(count(lit(1)).as("hit_pairs"))
+    val grid = codebooksByM.map(_.size)
+      .flatMap(m => nps.map(np => (m, np)))
+      .toDF("m", "nprobe")
+    grid.join(hits, Seq("m", "nprobe"), "left")
+      .na.fill(0L, Seq("hit_pairs"))
+      .crossJoin(exactTotals)
+      .select(col("m"), col("nprobe"), col("n_probes"),
+        col("exact_pairs"), col("hit_pairs"),
+        // empty ground truth -> NULL recall, not /0 (ANSI throws on
+        // ANY division by zero; the NULL divisor matches DuckDB)
+        round(col("hit_pairs").cast("double")
+          / when(col("exact_pairs") > 0L,
+            col("exact_pairs").cast("double")), 6).as("recall"))
+      .orderBy("m", "nprobe")
+  }
+
+  /**
    * SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup:
    * Data-efficient learning at web-scale through semantic
    * deduplication", 2023): partition the corpus into `nlist` Voronoi
@@ -1551,18 +1674,22 @@ object Similarity {
    * on fresh data is the re-train trigger (pairs with V25's drift
    * report).
    *
-   * ENGINE-EXACT: per (row, subspace) the error is
-   * max(0, ‖v_s‖² + min_c(‖c‖² − 2·v_s·c)) — ‖c‖² a Scala-computed
-   * literal, the dot an index-order VecDot fold, min over identical
-   * doubles order-free, the clamp killing float-cancellation
-   * negatives — FLOORED to micro-units, so the corpus reduce is an
-   * exact long sum (the q183/q200 grid discipline); mse finishes
-   * with two fixed IEEE divisions, round(6), non-negative.
+   * ENGINE-EXACT (r12, ADVICE fix): components quantize onto the
+   * micro grid FIRST — q_j = floor(v_j·10⁶), codewords likewise —
+   * and the error is the exact INTEGER quadratic form
+   * max(0, Σq_j² + min_c(Σc_j² − 2·Σq_j·c_j)) in µ² units (10⁻¹²).
+   * Every product ≤ 10¹² and every per-row partial sum ≤ dims·10¹²
+   * ≪ 2⁵³, so the double-typed arithmetic is EXACT integer math —
+   * NO summation-order exposure on either engine (an earlier
+   * formulation floored a raw-double expression, where a DuckDB
+   * unordered SUM could differ by an ulp at a grid boundary). The
+   * corpus reduce sums the long grid values in DECIMAL(38,0); mse
+   * finishes with two fixed IEEE divisions, round(6), non-negative.
    *
    * Scale: pure scan projection (codebooks are literals) + ONE
    * m-fanout explode + one partial-aggregated m-row reduce; no
-   * joins, no windows. Mass bound: Σ floor(err²·10⁶) ≤ n·maxErr²·10⁶
-   * < 2⁶³ for any real embedding scale (document per corpus).
+   * joins, no windows. Mass bound: per-row err ≤ dims·10¹² in µ²
+   * units; the DECIMAL(38,0) reduce never overflows.
    *
    * Output: (subspace, n_vectors, mse, max_err2), subspace
    * ascending.
@@ -1575,15 +1702,19 @@ object Similarity {
     val m = codebooks.size
     val sub = codebooks.head.head.size
     val errCols = (0 until m).map { s =>
-      val sv = slice(toDoubleVec(col(vecCol)), s * sub + 1, sub)
+      // micro-quantized subvector: exact integer values in doubles
+      val sv = transform(
+        slice(toDoubleVec(col(vecCol)), s * sub + 1, sub),
+        x => floor(x * lit(1000000.0d)).cast("double"))
       val dmin = element_at(
         sort_array(array(codebooks(s).zipWithIndex.map { case (c, i) =>
+          val qc = c.map(x => math.floor(x * 1e6))
           struct(
-            (lit(c.map(x => x * x).sum)
-              - lit(2.0) * dot(sv, typedLit(c))).as("d"),
+            (lit(qc.map(x => x * x).sum)
+              - lit(2.0) * dot(sv, typedLit(qc))).as("d"),
             lit(i).as("code"))
         }: _*)), 1).getField("d")
-      floor(greatest(dot(sv, sv) + dmin, lit(0.0)) * lit(1000000.0d))
+      greatest(dot(sv, sv) + dmin, lit(0.0)).cast("long")
         .as(s"__e$s")
     }
     corpus
@@ -1594,10 +1725,12 @@ object Similarity {
       .groupBy("subspace")
       .agg(
         count(lit(1)).as("n_vectors"),
-        round(sum(col("__q")).cast("double")
-          / count(lit(1)).cast("double") / lit(1000000.0d), 6)
+        round(sum(col("__q").cast(
+            org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("double")
+          / count(lit(1)).cast("double") / lit(1.0e12d), 6)
           .as("mse"),
-        round(max(col("__q")).cast("double") / lit(1000000.0d), 6)
+        round(max(col("__q")).cast("double") / lit(1.0e12d), 6)
           .as("max_err2"))
       .orderBy("subspace")
   }
@@ -2105,7 +2238,7 @@ object Similarity {
         .cast("double") / count(lit(1)).cast("double"))
         / lit(1000000.0d)).as("__m"),
         count(lit(1)).as("__n"))
-      .localCheckpoint() // consumed by both pivot sides + the counts
+      .barriered // consumed by both pivot sides + the counts
     val ma = means.where(col("__a"))
       .select(col("__i"), col("__m").as("__ma"), col("__n").as("__na"))
     val mb = means.where(!col("__a"))

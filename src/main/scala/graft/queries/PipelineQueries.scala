@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Dedup, Fuzzy, Multimodal, Relevance, Sampling, Similarity, TextAnalysis, TimeSeries}
+import graft.operators.Barrier.BarrierOps
 
 /**
  * LLM-training-data pipeline query registry: dedup, similarity
@@ -40,7 +41,10 @@ object PipelineQueries {
    * the SAME left-associated IEEE product (λ·t₁·t₂·t₃ in field
    * order) floored to micro-units, the M-step sums are exact integer
    * aggregates over the pattern histogram, each finished by one IEEE
-   * division + floor + the [1, 999999] clamp. Fields are q267's
+   * division + floor + the [1, 999999] clamp — GUARDED exactly like
+   * the engine: a zero (or NULL — empty histogram) denominator keeps
+   * the previous round's parameter instead of dividing (the
+   * degenerate-posterior-mass rule). Fields are q267's
    * first three (p_brand, p_type, name_head) over the
    * sorted-neighborhood candidates (window 6).
    */
@@ -53,13 +57,21 @@ object PipelineQueries {
          |        WHEN '1' THEN CAST($c AS DOUBLE) / 1000000
          |        WHEN '0' THEN 1.0 - CAST($c AS DOUBLE) / 1000000
          |        ELSE 1.0 END)""".stripMargin
-    def mu(pos: Int, tag: String, wExpr: String) =
-      s"""    GREATEST(1, LEAST(999999, CAST(floor(
-         |      CAST(SUM(CASE WHEN substr(pattern, $pos, 1) = '1'
-         |        THEN cnt * $wExpr ELSE 0 END) AS DOUBLE)
-         |      / CAST(SUM(CASE WHEN substr(pattern, $pos, 1) <> '-'
-         |        THEN cnt * $wExpr ELSE 0 END) AS DOUBLE)
-         |      * 1000000) AS BIGINT))) AS $tag$pos""".stripMargin
+    // Numerator/denominator sums for field `pos`; the division is
+    // guarded downstream (zero/NULL denominator keeps the previous
+    // round's parameter — the engine's exact degenerate-mass rule).
+    def sums(pos: Int, tag: String, wExpr: String) =
+      s"""      SUM(CASE WHEN substr(pattern, $pos, 1) = '1'
+         |        THEN cnt * $wExpr ELSE 0 END) AS num_$tag$pos,
+         |      SUM(CASE WHEN substr(pattern, $pos, 1) <> '-'
+         |        THEN cnt * $wExpr ELSE 0 END) AS den_$tag$pos""".stripMargin
+    def mu(pos: Int, tag: String) =
+      s"""    CASE WHEN a.den_$tag$pos > 0 THEN
+         |      GREATEST(1, LEAST(999999, CAST(floor(
+         |        CAST(a.num_$tag$pos AS DOUBLE)
+         |        / CAST(a.den_$tag$pos AS DOUBLE)
+         |        * 1000000) AS BIGINT)))
+         |      ELSE p.$tag$pos END AS $tag$pos""".stripMargin
     val head =
       s"""WITH rec AS (
          |  SELECT p_partkey AS id, p_name, p_brand AS f1, p_type AS f2,
@@ -111,16 +123,27 @@ object PipelineQueries {
          |    FROM patterns CROSS JOIN p${k - 1})
          |), p$k AS MATERIALIZED (
          |  SELECT
-         |${mu(1, "m", "w")},
-         |${mu(1, "u", "(1000000 - w)")},
-         |${mu(2, "m", "w")},
-         |${mu(2, "u", "(1000000 - w)")},
-         |${mu(3, "m", "w")},
-         |${mu(3, "u", "(1000000 - w)")},
-         |    GREATEST(1, LEAST(999999, CAST(floor(
-         |      CAST(SUM(cnt * w) AS DOUBLE)
-         |      / CAST(SUM(cnt) AS DOUBLE)) AS BIGINT))) AS lam
-         |  FROM w$k
+         |${mu(1, "m")},
+         |${mu(1, "u")},
+         |${mu(2, "m")},
+         |${mu(2, "u")},
+         |${mu(3, "m")},
+         |${mu(3, "u")},
+         |    CASE WHEN a.st > 0 THEN
+         |      GREATEST(1, LEAST(999999, CAST(floor(
+         |        CAST(a.sw AS DOUBLE)
+         |        / CAST(a.st AS DOUBLE)) AS BIGINT)))
+         |      ELSE p.lam END AS lam
+         |  FROM (
+         |    SELECT
+         |${sums(1, "m", "w")},
+         |${sums(1, "u", "(1000000 - w)")},
+         |${sums(2, "m", "w")},
+         |${sums(2, "u", "(1000000 - w)")},
+         |${sums(3, "m", "w")},
+         |${sums(3, "u", "(1000000 - w)")},
+         |      SUM(cnt * w) AS sw, SUM(cnt) AS st
+         |    FROM w$k) a CROSS JOIN p${k - 1} p
          |)""".stripMargin
     }.mkString("\n")
     val out = names.zipWithIndex.map { case (n, i) =>
@@ -197,6 +220,308 @@ object PipelineQueries {
        |  GREATEST(0, n + noise) AS released_count
        |FROM u JOIN thr ON u.uu >= thr.lo AND u.uu < thr.hi
        |ORDER BY lang, source""".stripMargin
+  }
+
+  /** q296 oracle generator: the PUBLIC-DOMAIN ε-DP release replay —
+    * the q288 mechanism over a literal VALUES key domain, zero-count
+    * groups included (the membership-safe variant: the released row
+    * set is the domain, not the observed groups). */
+  private def dpDomainOracle(
+      domain: Seq[String], epsilon: Double, seed: Long,
+      clampK: Int): String = {
+    val rows = graft.operators.Quality
+      .dpNoiseThresholds(epsilon, clampK)
+      .map { case (k, lo, hi) => s"($k, $lo, $hi)" }
+      .mkString(",\n    ")
+    val dom = domain.map(v => s"('$v')").mkString(", ")
+    s"""WITH dom(lang) AS (VALUES $dom),
+       |counts AS (
+       |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM documents GROUP BY 1
+       |), full0 AS (
+       |  SELECT d.lang, COALESCE(c.c, CAST(0 AS BIGINT)) AS n
+       |  FROM dom d LEFT JOIN counts c ON c.lang = d.lang
+       |), thr(noise, lo, hi) AS (
+       |  VALUES
+       |    $rows
+       |), u AS (
+       |  SELECT lang, n,
+       |    ('0x' || substr(md5(concat_ws('|',
+       |      coalesce(md5(lang), 'null'), '$seed')),
+       |      1, 7))::BIGINT AS uu
+       |  FROM full0
+       |)
+       |SELECT lang, GREATEST(0, n + noise) AS released_count
+       |FROM u JOIN thr ON u.uu >= thr.lo AND u.uu < thr.hi
+       |ORDER BY lang""".stripMargin
+  }
+
+  /** q297 oracle generator: the bounded-contribution ε-DP SUM
+    * release replay — per-row values floor to the integer grid and
+    * clamp into [0, clampHi] BEFORE the exact BIGINT sum (Δ =
+    * clampHi), then the q288 mechanism at ε/Δ; the threshold table
+    * is generated by the same Scala function the operator uses. */
+  private def dpSumOracle(
+      epsilon: Double, seed: Long, clampHi: Long,
+      clampK: Int): String = {
+    val rows = graft.operators.Quality
+      .dpNoiseThresholds(epsilon / clampHi.toDouble, clampK)
+      .map { case (k, lo, hi) => s"($k, $lo, $hi)" }
+      .mkString(",\n    ")
+    s"""WITH sums AS (
+       |  SELECT event_type,
+       |    CAST(SUM(LEAST(GREATEST(
+       |      COALESCE(CAST(floor("value") AS BIGINT),
+       |        CAST(0 AS BIGINT)),
+       |      CAST(0 AS BIGINT)), $clampHi)) AS BIGINT) AS n
+       |  FROM events GROUP BY 1
+       |), thr(noise, lo, hi) AS (
+       |  VALUES
+       |    $rows
+       |), u AS (
+       |  SELECT event_type, n,
+       |    ('0x' || substr(md5(concat_ws('|',
+       |      coalesce(md5(event_type), 'null'), '$seed')),
+       |      1, 7))::BIGINT AS uu
+       |  FROM sums
+       |)
+       |SELECT event_type, GREATEST(0, n + noise) AS released_sum
+       |FROM u JOIN thr ON u.uu >= thr.lo AND u.uu < thr.hi
+       |ORDER BY event_type""".stripMargin
+  }
+
+  /**
+   * q298 oracle generator: the COMPOSED IVF+PQ recall sweep — the
+   * q228 code/ADC CTE chain replicated per m point, the q290
+   * routing/sweep/exact-truth scaffolding shared across them.
+   * Rankings ride exact DECIMAL(18,6) ADC sums (equal-code
+   * candidates tie EXACTLY — the q199 engine-free tie contract).
+   */
+  private def ivfPqRecallOracle(
+      nlist: Int, ms: Seq[Int], kCb: Int, nprobes: Seq[Int], k: Int,
+      probeLo: Long, probeHi: Long): String = {
+    val npMax = nprobes.max
+    def pf(a: String) =
+      s"$a.vec_id >= $probeLo AND $a.vec_id < $probeHi"
+    val sweepVals = nprobes.sorted.map(np => s"($np)").mkString(", ")
+    val head =
+      s"""WITH dims AS (
+         |  SELECT CAST(len(embedding) AS INT) AS dd
+         |  FROM embeddings ORDER BY vec_id LIMIT 1
+         |), el AS (
+         |  SELECT vec_id,
+         |    CAST(generate_subscripts(embedding,1)-1 AS INT) AS d,
+         |    CAST(unnest(embedding) AS DOUBLE) AS x
+         |  FROM embeddings
+         |), nrm AS (
+         |  SELECT vec_id, sqrt(SUM(x*x)) AS n FROM el GROUP BY vec_id
+         |), seed_ids AS (
+         |  SELECT vec_id AS cell_vid,
+         |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
+         |  FROM embeddings ORDER BY vec_id LIMIT $nlist
+         |), snrm AS (
+         |  SELECT s.cell, sqrt(SUM(e.x * e.x)) AS sn
+         |  FROM seed_ids s JOIN el e ON e.vec_id = s.cell_vid
+         |  GROUP BY s.cell
+         |), vc AS (
+         |  -- cellRanking's metric: v·s/|s| (probe norm is rank-inert)
+         |  SELECT e.vec_id, s.cell,
+         |    SUM(e.x * se.x) / any_value(sn.sn) AS cosn
+         |  FROM el e
+         |  JOIN seed_ids s ON TRUE
+         |  JOIN el se ON se.vec_id = s.cell_vid AND se.d = e.d
+         |  JOIN snrm sn ON sn.cell = s.cell
+         |  GROUP BY e.vec_id, s.cell
+         |), assign AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY cosn DESC, cell) AS rn
+         |    FROM vc) WHERE rn = 1
+         |), pcells AS (
+         |  SELECT vec_id AS probe_id, cell, CAST(rn AS INT) AS cell_rank
+         |  FROM (
+         |    SELECT vec_id, cell, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY cosn DESC, cell) AS rn
+         |    FROM vc WHERE ${pf("vc")}) WHERE rn <= $npMax
+         |), cseeds AS (
+         |  SELECT vec_id AS sid,
+         |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+         |  FROM embeddings ORDER BY vec_id LIMIT $kCb
+         |), sweep(nprobe) AS (VALUES $sweepVals),
+         |exact AS (
+         |  SELECT probe_id, vec_id FROM (
+         |    SELECT dd2.probe_id, dd2.vec_id,
+         |      row_number() OVER (PARTITION BY dd2.probe_id
+         |        ORDER BY dd2.dp / (np.n * nv.n) DESC, dd2.vec_id) AS r
+         |    FROM (
+         |      SELECT ep.vec_id AS probe_id, ev.vec_id,
+         |        SUM(ep.x * ev.x) AS dp
+         |      FROM el ep JOIN el ev
+         |        ON ev.d = ep.d AND ev.vec_id <> ep.vec_id
+         |      WHERE ${pf("ep")}
+         |      GROUP BY 1, 2) dd2
+         |    JOIN nrm np ON np.vec_id = dd2.probe_id
+         |    JOIN nrm nv ON nv.vec_id = dd2.vec_id)
+         |  WHERE r <= $k
+         |), et AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS exact_pairs,
+         |    CAST(COUNT(DISTINCT probe_id) AS BIGINT) AS n_probes
+         |  FROM exact
+         |)""".stripMargin
+    val perM = ms.map { m =>
+      val sub = s"((SELECT dd FROM dims) // $m)"
+      s""", cb$m AS (
+         |  SELECT CAST(e.d // $sub AS INT) AS s, sd.code,
+         |         CAST(e.d % $sub AS INT) AS j, e.x AS c
+         |  FROM el e JOIN cseeds sd ON e.vec_id = sd.sid
+         |), vd$m AS (
+         |  SELECT v.vec_id, b.s, b.code,
+         |    SUM(b.c * b.c) - 2.0 * SUM(v.x * b.c) AS dist
+         |  FROM el v
+         |  JOIN cb$m b ON b.s = v.d // $sub AND b.j = v.d % $sub
+         |  GROUP BY 1, 2, 3
+         |), codes$m AS (
+         |  SELECT vec_id, s, code FROM (
+         |    SELECT vec_id, s, code, row_number() OVER (
+         |      PARTITION BY vec_id, s ORDER BY dist, code) AS rn
+         |    FROM vd$m) WHERE rn = 1
+         |), tab$m AS (
+         |  SELECT p.vec_id AS pid, b.s, b.code,
+         |    CAST(round(SUM((p.x - b.c) * (p.x - b.c)), 6)
+         |      AS DECIMAL(18,6)) AS d2
+         |  FROM el p
+         |  JOIN cb$m b ON b.s = p.d // $sub AND b.j = p.d % $sub
+         |  WHERE ${pf("p")}
+         |  GROUP BY 1, 2, 3
+         |), score$m AS (
+         |  SELECT t.pid, c.vec_id, pc.cell_rank, SUM(t.d2) AS adc
+         |  FROM codes$m c
+         |  JOIN assign a ON a.vec_id = c.vec_id
+         |  JOIN tab$m t ON t.s = c.s AND t.code = c.code
+         |  JOIN pcells pc ON pc.probe_id = t.pid AND pc.cell = a.cell
+         |  WHERE c.vec_id <> t.pid
+         |  GROUP BY 1, 2, 3
+         |), approx$m AS (
+         |  SELECT nprobe, pid, vec_id FROM (
+         |    SELECT sw.nprobe, sc.pid, sc.vec_id, row_number() OVER (
+         |      PARTITION BY sw.nprobe, sc.pid
+         |      ORDER BY sc.adc, sc.vec_id) AS r
+         |    FROM score$m sc JOIN sweep sw ON sc.cell_rank <= sw.nprobe)
+         |  WHERE r <= $k
+         |), hits$m AS (
+         |  SELECT CAST($m AS INT) AS m, a.nprobe,
+         |    CAST(COUNT(*) AS BIGINT) AS hit_pairs
+         |  FROM approx$m a JOIN exact e
+         |    ON e.probe_id = a.pid AND e.vec_id = a.vec_id
+         |  GROUP BY 1, 2
+         |)""".stripMargin
+    }.mkString("\n")
+    val mVals = ms.map(m => s"($m)").mkString(", ")
+    val allHits = ms.map(m => s"SELECT * FROM hits$m")
+      .mkString("\n  UNION ALL\n  ")
+    s"""$head
+       |$perM
+       |, grid AS (
+       |  SELECT CAST(mm.m AS INT) AS m, sw.nprobe
+       |  FROM (VALUES $mVals) mm(m) CROSS JOIN sweep sw
+       |), allhits AS (
+       |  $allHits
+       |)
+       |SELECT g.m, g.nprobe, et.n_probes, et.exact_pairs,
+       |  COALESCE(h.hit_pairs, CAST(0 AS BIGINT)) AS hit_pairs,
+       |  round(CAST(COALESCE(h.hit_pairs, CAST(0 AS BIGINT)) AS DOUBLE)
+       |    / CAST(et.exact_pairs AS DOUBLE), 6) AS recall
+       |FROM grid g LEFT JOIN allhits h
+       |  ON h.m = g.m AND h.nprobe = g.nprobe
+       |CROSS JOIN et
+       |ORDER BY g.m, g.nprobe""".stripMargin
+  }
+
+  /**
+   * q300 oracle generator: term-frequency-adjusted Fellegi–Sunter —
+   * the q267 weight replay with the agreement weight computed PER
+   * VALUE (log₂(m / (cnt_v / N)), the Splink tf adjustment) from the
+   * same value-frequency tables, joined onto agreeing pairs by the
+   * agreed value; disagreement keeps the global-u weight.
+   */
+  private def fsTfOracle(
+      fields: Seq[(String, Double)], window: Int, limit: Int)
+      : String = {
+    val wds = fields.zipWithIndex.map { case ((_, m), i0) =>
+      val i = i0 + 1
+      s"""vc$i AS (
+         |  SELECT f$i AS value, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM rec WHERE f$i IS NOT NULL GROUP BY 1
+         |), n$i AS (
+         |  SELECT SUM(c) AS n, SUM(c * (c - 1)) AS agree FROM vc$i
+         |), wd$i AS (
+         |  SELECT CAST(round(log2((CAST(1 AS DOUBLE)
+         |      - CAST($m AS DOUBLE)) / (CAST(1 AS DOUBLE) - u)), 6)
+         |    AS DECIMAL(18,6)) AS wd
+         |  FROM (SELECT GREATEST(LEAST(
+         |      CAST(agree AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE),
+         |      CAST(1 AS DOUBLE)
+         |        - CAST(1 AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)),
+         |      CAST(1 AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)) AS u
+         |    FROM n$i)
+         |), wa$i AS (
+         |  SELECT vc$i.value,
+         |    CAST(round(log2(CAST($m AS DOUBLE)
+         |      / (CAST(vc$i.c AS DOUBLE) / CAST(n$i.n AS DOUBLE))), 6)
+         |    AS DECIMAL(18,6)) AS wa
+         |  FROM vc$i CROSS JOIN n$i
+         |)""".stripMargin
+    }.mkString(", ")
+    val flags = fields.indices.map { i0 =>
+      val i = i0 + 1
+      s"""    CASE WHEN a.f$i IS NULL OR b.f$i IS NULL THEN '-'
+         |      WHEN a.f$i = b.f$i THEN '1' ELSE '0' END AS g$i,
+         |    a.f$i AS v$i""".stripMargin
+    }.mkString(",\n")
+    val patt = fields.indices.map(i => s"g${i + 1}").mkString(" || ")
+    val nAgr = fields.indices
+      .map(i => s"(CASE WHEN g${i + 1} = '1' THEN 1 ELSE 0 END)")
+      .mkString("\n    + ")
+    val scoreTerms = fields.indices.map { i0 =>
+      val i = i0 + 1
+      s"""(CASE WHEN g$i = '1' THEN a$i.wa
+         |      WHEN g$i = '0' THEN wd$i.wd ELSE 0 END)""".stripMargin
+    }.mkString("\n    + ")
+    val agJoins = fields.indices.map { i0 =>
+      val i = i0 + 1
+      s"LEFT JOIN wa$i a$i ON f.g$i = '1' AND a$i.value = f.v$i"
+    }.mkString("\n")
+    val wdJoins = fields.indices
+      .map(i => s"CROSS JOIN wd${i + 1}").mkString(" ")
+    s"""WITH rec AS (
+       |  SELECT p_partkey AS id, p_name,
+       |    p_brand AS f1, p_type AS f2,
+       |    string_split(p_name, ' ')[1] AS f3
+       |  FROM part
+       |), rk AS (
+       |  SELECT id, f1, f2, f3,
+       |    row_number() OVER (ORDER BY p_name, id) AS rn
+       |  FROM rec
+       |), cand AS (
+       |  SELECT DISTINCT least(a.id, b.id) AS id_a,
+       |    greatest(a.id, b.id) AS id_b
+       |  FROM rk a JOIN rk b ON b.rn > a.rn AND b.rn <= a.rn + $window
+       |), $wds, flg AS (
+       |  SELECT c.id_a, c.id_b,
+       |$flags
+       |  FROM cand c JOIN rec a ON a.id = c.id_a
+       |  JOIN rec b ON b.id = c.id_b
+       |)
+       |SELECT f.id_a, f.id_b,
+       |  $patt AS pattern,
+       |  CAST($nAgr AS BIGINT) AS n_agree,
+       |  CAST(CAST(
+       |    $scoreTerms AS DECIMAL(18,6)) AS DOUBLE) AS score
+       |FROM flg f
+       |$agJoins
+       |$wdJoins
+       |ORDER BY score DESC, id_a, id_b
+       |LIMIT $limit""".stripMargin
   }
 
   /**
@@ -355,12 +680,13 @@ object PipelineQueries {
    * same-symbol-run cases). Everything is integer or literal string
    * work — no float enters until q203's floor-grid compression.
    */
-  private def bpeOracleChain(numMerges: Int): String = {
+  private def bpeOracleChain(numMerges: Int,
+      corpusFrom: String = "documents"): String = {
     val head =
-      """w AS MATERIALIZED (
+      s"""w AS MATERIALIZED (
         |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
-        |    SELECT unnest(string_split_regex(text, '\s+')) AS word
-        |    FROM documents
+        |    SELECT unnest(string_split_regex(text, '\\s+')) AS word
+        |    FROM $corpusFrom
         |  ) WHERE word <> '' GROUP BY 1
         |),
         |v0 AS MATERIALIZED (
@@ -391,14 +717,27 @@ object PipelineQueries {
   }
 
   /** q202 oracle: the [[bpeOracleChain]] merge table. */
-  private def bpeMergesOracleSql(numMerges: Int): String = {
+  private def bpeMergesOracleSql(numMerges: Int,
+      corpusFrom: String = "documents"): String = {
     val union = (1 to numMerges)
       .map(r => s"SELECT * FROM b$r").mkString("\n  UNION ALL\n  ")
-    s"""WITH ${bpeOracleChain(numMerges)}
+    s"""WITH ${bpeOracleChain(numMerges, corpusFrom)}
        |SELECT rank, lhs, rhs, cnt AS pair_count FROM (
        |  $union
        |) ORDER BY rank""".stripMargin
   }
+
+  /** q299 re-mint corpus: deterministic single-letter runs derived
+    * from doc_id — the BpeSpec symbol-run shape where one
+    * concatenation is reachable from DIFFERENT decompositions across
+    * rounds, so batched training MUST hit the accept-and-stop
+    * re-mint guard mid-batch to stay sequential-exact. Rendered
+    * identically on both engines (integer modulo + repeat). */
+  private val remintCorpusSql: String =
+    """(SELECT CASE WHEN doc_id % 3 = 0
+      |  THEN repeat('b', CAST(doc_id % 9 + 2 AS INT))
+      |  ELSE repeat('a', CAST(doc_id % 11 + 2 AS INT)) END AS text
+      | FROM documents)""".stripMargin
 
   /** q203 oracle: the [[bpeOracleChain]] final vocab joined back to
     * the per-document word stream — dictionary-join encode, exactly
@@ -1319,12 +1658,12 @@ object PipelineQueries {
       val exact = Dedup.exactSimilarityJoin(
           docs, "doc_id", "text", threshold = 0.6, shingleSize = 3)
         .select("doc_a", "doc_b")
-        .localCheckpoint()
+        .barriered
       val cand = Dedup.minhashCandidates(
           docs, "doc_id", "text",
           numHashes = 8, rowsPerBand = 2, shingleSize = 3)
         .select("doc_a", "doc_b")
-        .localCheckpoint()
+        .barriered
       val found = exact.intersect(cand)
       exact.agg(count(lit(1)).as("n_true")).crossJoin(
           cand.agg(count(lit(1)).as("n_candidates"))).crossJoin(
@@ -2082,7 +2421,7 @@ object PipelineQueries {
         .orderBy(col("event_id"))
       val dedup = base.withColumn("__rn", row_number().over(w))
         .where(col("__rn") === 1).drop("__rn", "event_id")
-        .localCheckpoint()
+        .barriered
       val landing = Files.createTempDirectory("landing-daily-twin")
       val ckpt = Files.createTempDirectory("ckpt-daily-twin").toString
       days.zipWithIndex.foreach { case (d, i) =>
@@ -3521,6 +3860,84 @@ object PipelineQueries {
       val e = t(s, dir, "embeddings")
       Similarity.pqReconstructionError(
         e, "vec_id", "embedding", pqSeedCodebooks(s, dir, m = 4))
+    }),
+
+    // Q10b (round 12): ε-DP count release over a PUBLIC key domain —
+    // the membership-safe variant (r11 ADVICE): the released row set
+    // is a literal 7-language domain (two langs absent from the
+    // corpus exercise the zero-count noise-floor path), never the
+    // observed groups.
+    "q296_dp_domain_release" -> ((s, dir) => {
+      import s.implicits._
+      val domain = Seq("de", "en", "es", "fr", "zh", "xx", "yy")
+        .toDF("lang")
+      graft.operators.Quality.dpCountReleaseOverDomain(
+          t(s, dir, "documents"), domain, Seq("lang"),
+          epsilon = 0.5, seed = 43L, clampK = 39)
+        .orderBy("lang")
+    }),
+
+    // Q12 (round 12): bounded-contribution ε-DP SUM release — per
+    // event_type totals of floor(value) clamped into [0, 8] (Δ = 8,
+    // the clamp genuinely bites: raw values reach ~490), noise from
+    // the same geometric mechanism at ε/Δ with K scaled to the
+    // widened tail (320 ≈ 20·Δ/ε).
+    "q297_dp_sum_release" -> ((s, dir) => {
+      graft.operators.Quality.dpSumRelease(
+          t(s, dir, "events"), Seq("event_type"), col("value"),
+          epsilon = 0.5, seed = 44L, clampHi = 8L, clampK = 320)
+        .orderBy("event_type")
+    }),
+
+    // V28 (round 12): recall sweep for the COMPOSED IVF+PQ path —
+    // the q228 serving shape finally gets its recall-vs-(nprobe, m)
+    // surface (q290 audits routing alone, q199/q295 audit PQ alone);
+    // probes are vec_ids 8..15, disjoint from the 8 IVF seed
+    // centroids AND the 4 codebook seeds so every loss source is
+    // live. nprobe=8 rows isolate pure ADC loss (all cells scanned).
+    "q298_ivfpq_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val seeds = Similarity.ivfSeeds(e, "vec_id", "embedding",
+        nlist = 8)
+      Similarity.ivfPqRecallSweep(
+        e, e.where(col("vec_id") >= 8 && col("vec_id") < 16),
+        "vec_id", "embedding", seeds,
+        Seq(pqSeedCodebooks(s, dir, m = 2),
+          pqSeedCodebooks(s, dir, m = 4)),
+        nprobes = Seq(1, 2, 4, 8), k = 5)
+    }),
+
+    // T45b (round 12): the BPE batch re-mint guard at the DRIVER
+    // gate (r11 ADVICE noted q262's corpus never re-mints):
+    // single-letter runs make the same concatenation reachable from
+    // different decompositions across rounds, so batched training
+    // hits accept-and-stop mid-batch — and must still equal the
+    // SEQUENTIAL replay oracle merge for merge.
+    "q299_bpe_remint" -> ((s, dir) => {
+      val corpus = t(s, dir, "documents").select(
+        expr("CASE WHEN doc_id % 3 = 0" +
+          " THEN repeat('b', CAST(doc_id % 9 + 2 AS INT))" +
+          " ELSE repeat('a', CAST(doc_id % 11 + 2 AS INT)) END")
+          .as("text"))
+      val (model, _) = graft.operators.Bpe.trainBatched(
+        corpus, "text", numMerges = 16, batchSize = 4)
+      graft.operators.Bpe.mergeTable(s, model).orderBy("rank")
+    }),
+
+    // D23 (round 12): term-frequency-adjusted Fellegi–Sunter — the
+    // q267 linkage with Splink's tf adjustment: agreement weight per
+    // VALUE (rare brands outscore common ones), disagreement on the
+    // global-u weight; top-300 by adjusted score.
+    "q300_fellegi_tf" -> ((s, dir) => {
+      val p = t(s, dir, "part").select(
+        col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"),
+        split(col("p_name"), " ").getItem(0).as("name_head"))
+      val pairs = Fuzzy.sortedNeighborhoodCandidates(
+        p, "p_partkey", col("p_name"), windowSize = 6)
+      Fuzzy.fellegiSunterTf(p, "p_partkey", pairs,
+          Seq("p_brand" -> 0.9, "p_type" -> 0.85, "name_head" -> 0.8))
+        .orderBy(col("score").desc, col("id_a"), col("id_b"))
+        .limit(300)
     }),
 
     // T56 (round 10): curation funnel — per-source doc/token mass
@@ -6787,16 +7204,20 @@ object PipelineQueries {
     // G11: the fixed-round unroll — generated CTE chain.
     "q294_hierarchy_flatten" -> hierOracle(maxDepth = 16),
 
-    // V27: the q198 distance CTEs extended with the row's own
-    // subspace norm — err² = max(0, ‖v‖² + min(dist)) on the
-    // micro-unit floor grid, per-subspace reduce.
+    // V27: the q198 distance CTEs on the micro-quantized component
+    // grid (r12 ADVICE fix) — every SUM is an exact integer
+    // aggregate (products <= 10^12, HUGEINT accumulation), so
+    // err² = max(0, Σq² + min(Σc² − 2Σqc)) in µ² units is
+    // summation-order-free on both engines; only the final
+    // mse/max divisions are IEEE.
     "q295_pq_recon_error" ->
       """WITH dims AS (
         |  SELECT CAST(len(embedding) // 4 AS INT) AS sub
         |  FROM embeddings ORDER BY vec_id LIMIT 1
         |), el AS (
         |  SELECT vec_id, CAST(generate_subscripts(embedding,1)-1 AS INT) AS d,
-        |         CAST(unnest(embedding) AS DOUBLE) AS x
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+        |      AS BIGINT) AS q
         |  FROM embeddings
         |), seeds AS (
         |  SELECT vec_id AS sid,
@@ -6804,32 +7225,61 @@ object PipelineQueries {
         |  FROM embeddings ORDER BY vec_id LIMIT 4
         |), cb AS (
         |  SELECT CAST(e.d // (SELECT sub FROM dims) AS INT) AS s, sd.code,
-        |         CAST(e.d % (SELECT sub FROM dims) AS INT) AS j, e.x AS c
+        |         CAST(e.d % (SELECT sub FROM dims) AS INT) AS j, e.q AS c
         |  FROM el e JOIN seeds sd ON e.vec_id = sd.sid
         |), vd AS (
         |  SELECT v.vec_id, b.s, b.code,
-        |    SUM(b.c * b.c) - 2.0 * SUM(v.x * b.c) AS dist
+        |    SUM(b.c * b.c) - 2 * SUM(v.q * b.c) AS dist
         |  FROM el v
         |  JOIN cb b ON b.s = v.d // (SELECT sub FROM dims)
         |           AND b.j = v.d % (SELECT sub FROM dims)
         |  GROUP BY 1, 2, 3
         |), nv AS (
         |  SELECT vec_id, CAST(d // (SELECT sub FROM dims) AS INT) AS s,
-        |    SUM(x * x) AS n2
+        |    SUM(q * q) AS n2
         |  FROM el GROUP BY 1, 2
         |), err AS (
         |  SELECT m.vec_id, m.s,
-        |    CAST(floor(GREATEST(n.n2 + m.dmin, 0.0) * 1000000.0)
-        |      AS BIGINT) AS q
+        |    CAST(GREATEST(n.n2 + m.dmin, 0) AS BIGINT) AS q
         |  FROM (SELECT vec_id, s, MIN(dist) AS dmin
         |    FROM vd GROUP BY 1, 2) m
         |  JOIN nv n ON n.vec_id = m.vec_id AND n.s = m.s
         |)
         |SELECT s AS subspace, CAST(COUNT(*) AS BIGINT) AS n_vectors,
-        |  round(CAST(SUM(q) AS DOUBLE) / COUNT(*) / 1000000.0, 6)
-        |    AS mse,
-        |  round(CAST(MAX(q) AS DOUBLE) / 1000000.0, 6) AS max_err2
+        |  round(CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    / 1000000000000.0, 6) AS mse,
+        |  round(CAST(MAX(q) AS DOUBLE) / 1000000000000.0, 6)
+        |    AS max_err2
         |FROM err GROUP BY 1 ORDER BY subspace""".stripMargin,
+
+    // Q10b: the public-domain DP release replay — literal domain +
+    // generated threshold literals, zero-count groups included.
+    "q296_dp_domain_release" -> dpDomainOracle(
+      domain = Seq("de", "en", "es", "fr", "zh", "xx", "yy"),
+      epsilon = 0.5, seed = 43L, clampK = 39),
+
+    // Q12: the bounded-contribution DP sum replay — clamp-then-sum
+    // exact BIGINTs, thresholds generated at ε/Δ.
+    "q297_dp_sum_release" -> dpSumOracle(
+      epsilon = 0.5, seed = 44L, clampHi = 8L, clampK = 320),
+
+    // V28: composed IVF+PQ recall sweep — generated CTE chain (the
+    // q228 ADC replay per m × the q290 routing/truth scaffolding).
+    "q298_ivfpq_recall" -> ivfPqRecallOracle(
+      nlist = 8, ms = Seq(2, 4), kCb = 4, nprobes = Seq(1, 2, 4, 8),
+      k = 5, probeLo = 8L, probeHi = 16L),
+
+    // T45b: batched re-mint corpus vs the SEQUENTIAL replay chain —
+    // the q262 parity contract on a corpus that actually re-mints.
+    "q299_bpe_remint" -> bpeMergesOracleSql(
+      numMerges = 16, corpusFrom = remintCorpusSql),
+
+    // D23: tf-adjusted weights replay — per-value agreement weights
+    // joined by the agreed value, global-u disagreement.
+    "q300_fellegi_tf" -> fsTfOracle(
+      fields = Seq(("p_brand", 0.9), ("p_type", 0.85),
+        ("name_head", 0.8)),
+      window = 6, limit = 300),
 
     // T57: distinct doc/reference trigram sets, one membership join,
     // one per-doc reduce; shingle-less docs keep NULL rate.

@@ -330,4 +330,43 @@ class FuzzyMergeSpec extends AnyFunSuite {
       .as[(String, Double, Double, Double)].collect().toSeq ===
       got5.toSeq)
   }
+
+  test("fellegiSunterTf: rare-value agreement outscores common-value " +
+      "agreement; NULL fields ride '-' with weight 0") {
+    // city non-null N=5: A:2 B:2 C:1 -> global u_city = 4/20
+    // color N=6: r:4 s:2 -> p_r = 4/6 (common), p_s = 2/6 (rare)
+    val recs = Seq(
+      (1L, Some("A"), "r"), (2L, Some("A"), "r"),
+      (3L, Some("B"), "r"), (4L, Some("B"), "s"),
+      (5L, Some("C"), "s"), (6L, Option.empty[String], "r")
+    ).toDF("id", "city", "color")
+    val pairs = Seq((1L, 2L), (1L, 3L), (4L, 5L), (2L, 6L))
+      .toDF("id_a", "id_b")
+    val out = Fuzzy.fellegiSunterTf(recs, "id", pairs,
+        Seq("city" -> 0.9, "color" -> 0.8))
+      .orderBy("id_a", "id_b")
+      .as[(Long, Long, String, Long, Double)].collect().toSeq
+    val wdCity = w6(1.0 - 0.9, 1.0 - 4.0 / 20.0)
+    val waCityA = w6(0.9, 2.0 / 5.0)
+    val waR = w6(0.8, 4.0 / 6.0)
+    val waS = w6(0.8, 2.0 / 6.0)
+    val exp = Seq(
+      (1L, 2L, "11", 2L, waCityA + waR),
+      (1L, 3L, "01", 1L, wdCity + waR),
+      (2L, 6L, "-1", 1L, 0.0 + waR),
+      (4L, 5L, "01", 1L, wdCity + waS))
+    assert(out.map(r => (r._1, r._2, r._3, r._4)) ==
+      exp.map(r => (r._1, r._2, r._3, r._4)))
+    out.zip(exp).foreach { case (g, e) =>
+      assert(math.abs(g._5 - e._5) < 3e-6, s"score ${g._5} vs ${e._5}")
+    }
+    // the tf point: same pattern '01', but agreement on the RARE
+    // color scores strictly higher than on the common one
+    val byPair = out.map(r => (r._1, r._2) -> r._5).toMap
+    assert(byPair((4L, 5L)) > byPair((1L, 3L)),
+      "rare-value agreement must outscore common-value agreement")
+    // and common-value agreement is worth LESS under tf than the
+    // field-global estimate (which pools rare mass in)
+    assert(waR < w6(0.8, 14.0 / 30.0) + 1e-9)
+  }
 }

@@ -1356,4 +1356,100 @@ class QualitySpec extends AnyFunSuite {
       .collect().toSeq
     assert(out == Seq(("1", 1L, 1L, 1L, "1", 1L, 1L, 1L)))
   }
+
+  test("dpCountReleaseOverDomain: released row set IS the domain — " +
+      "zero-count keys get a noise-floor release, observed keys " +
+      "absent from the domain are NOT released") {
+    val thr = Quality.dpNoiseThresholds(0.5, 39)
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def draw(key: String, seed: Long): Long = {
+      val hex = md5hex(s"${md5hex(key)}|$seed")
+      val u = java.lang.Long.parseLong(hex.substring(0, 7), 16)
+      thr.find(t => u >= t._2 && u < t._3).get._1
+    }
+    // data: "a" x3, "b" x1, "rogue" x5; domain: a, b, c, d (c/d
+    // unobserved; rogue observed but PRIVATE — not in the domain)
+    val data = (Seq.fill(3)("a") ++ Seq("b") ++ Seq.fill(5)("rogue"))
+      .toDF("k")
+    val domain = Seq("a", "b", "c", "d").toDF("k")
+    val got = Quality.dpCountReleaseOverDomain(data, domain, Seq("k"),
+        epsilon = 0.5, seed = 11L, clampK = 39)
+      .as[(String, Long)].collect().toMap
+    // the output row set is exactly the domain — data-independent
+    assert(got.keySet === Set("a", "b", "c", "d"))
+    assert(got("a") === math.max(0L, 3L + draw("a", 11L)))
+    assert(got("b") === math.max(0L, 1L + draw("b", 11L)))
+    // unobserved domain keys release from n = 0 (the noise floor
+    // that hides membership)
+    assert(got("c") === math.max(0L, 0L + draw("c", 11L)))
+    assert(got("d") === math.max(0L, 0L + draw("d", 11L)))
+    // across many unobserved keys, SOME release positive — the
+    // membership-hiding property is visible, not vacuous
+    val wide = Quality.dpCountReleaseOverDomain(
+        Seq("a").toDF("k"),
+        (0 until 80).map(i => s"ghost$i").toDF("k"), Seq("k"),
+        epsilon = 0.5, seed = 11L, clampK = 39)
+      .as[(String, Long)].collect()
+    assert(wide.length === 80)
+    assert(wide.exists(_._2 > 0L),
+      "no unobserved key released positive — noise floor missing")
+    // a duplicated domain row releases ONCE (distinct contract)
+    val dup = Quality.dpCountReleaseOverDomain(data,
+        Seq("a", "a").toDF("k"), Seq("k"),
+        epsilon = 0.5, seed = 11L, clampK = 39).collect()
+    assert(dup.length === 1)
+  }
+
+  test("dpSumRelease: clamp directions, NULL/negative to 0, " +
+      "sensitivity-scaled noise replays exactly") {
+    val clampHi = 8L
+    val thr = Quality.dpNoiseThresholds(0.5 / clampHi, 320)
+    // widened mechanism still tiles the domain
+    assert(thr.head._2 == 0L && thr.last._3 == (1L << 28))
+    thr.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._3 == b._2)
+    case _ => }
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def draw(key: String, seed: Long): Long = {
+      val hex = md5hex(s"${md5hex(key)}|$seed")
+      val u = java.lang.Long.parseLong(hex.substring(0, 7), 16)
+      thr.find(t => u >= t._2 && u < t._3).get._1
+    }
+    // group g1: 3.7 (floors to 3) + 100.0 (clamps DOWN to 8) = 11
+    // group g2: -5.0 (clamps UP to 0) + NULL (contributes 0) +
+    //           8.0 (exactly the clamp) = 8
+    val df = Seq(
+      ("g1", Some(3.7d)), ("g1", Some(100.0d)),
+      ("g2", Some(-5.0d)), ("g2", Option.empty[Double]),
+      ("g2", Some(8.0d))).toDF("k", "v")
+    val got = Quality.dpSumRelease(df, Seq("k"), col("v"),
+        epsilon = 0.5, seed = 13L, clampHi = clampHi, clampK = 320)
+      .as[(String, Long)].collect().toMap
+    assert(got("g1") === math.max(0L, 11L + draw("g1", 13L)))
+    assert(got("g2") === math.max(0L, 8L + draw("g2", 13L)))
+    // determinism + seed sensitivity need sums the zero clamp can't
+    // swallow (at ε/Δ = 0.0625 the noise std is ~Δ/ε = 16 and K=320,
+    // so tiny sums clamp to 0 under most seeds): 120 groups of sum
+    // 1600 each release 1600 + draw, never clamped
+    val big = (0 until 120).flatMap(g =>
+      Seq.fill(200)((s"h$g", Some(8.0d)))).toDF("k", "v")
+    val gotBig = Quality.dpSumRelease(big, Seq("k"), col("v"),
+        epsilon = 0.5, seed = 13L, clampHi = clampHi, clampK = 320)
+      .as[(String, Long)].collect().toMap
+    gotBig.foreach { case (k, v) =>
+      assert(v === 1600L + draw(k, 13L), s"group $k")
+    }
+    val rerun = Quality.dpSumRelease(big, Seq("k"), col("v"),
+        epsilon = 0.5, seed = 13L, clampHi = clampHi, clampK = 320)
+      .as[(String, Long)].collect().toMap
+    assert(rerun === gotBig)
+    val other = Quality.dpSumRelease(big, Seq("k"), col("v"),
+        epsilon = 0.5, seed = 14L, clampHi = clampHi, clampK = 320)
+      .as[(String, Long)].collect().toMap
+    assert(other !== gotBig)
+  }
 }

@@ -906,4 +906,52 @@ class SimilaritySpec extends AnyFunSuite {
     // projection a degenerate sum)
     assert(a.flatten.toSet == Set(1, -1))
   }
+
+  test("ivfPqRecallSweep: exactly-representable unit vectors read " +
+      "recall 1.0; grid is complete and nprobe-monotone") {
+    val h = 1.0 / math.sqrt(2.0)
+    // 4 unit vectors = every combination of the 2 per-subspace
+    // codewords -> PQ reconstruction is EXACT, and on unit vectors
+    // ADC L2 ranking == cosine ranking (L2^2 = 2 - 2cos)
+    val combos = for (a <- Seq(Seq(h, 0.0), Seq(0.0, h));
+                      b <- Seq(Seq(h, 0.0), Seq(0.0, h))) yield a ++ b
+    val corpus = combos.zipWithIndex.map { case (v, i) =>
+      (i.toLong, v.map(_.toFloat)) }.toDF("vec_id", "embedding")
+    val seeds = Similarity.ivfSeeds(corpus, "vec_id", "embedding", 1)
+    val cb2 = Seq(
+      Seq(Seq(h, 0.0), Seq(0.0, h)),
+      Seq(Seq(h, 0.0), Seq(0.0, h)))
+    val cb1 = Seq(combos.map(_.toSeq).toSeq)
+    val out = Similarity.ivfPqRecallSweep(
+        corpus, corpus.where(col("vec_id") === 0L),
+        "vec_id", "embedding", seeds, Seq(cb1, cb2),
+        nprobes = Seq(1), k = 3)
+      .as[(Int, Int, Long, Long, Long, Double)].collect().toSeq
+    assert(out.map(r => (r._1, r._2)) == Seq((1, 1), (2, 1)))
+    out.foreach { r =>
+      assert(r._3 == 1L && r._4 == 3L, s"truth shape: $r")
+      assert(r._6 === 1.0, s"exact-codebook recall must be 1.0: $r")
+    }
+
+    // monotonicity: widening nprobe can only grow the candidate set
+    val vecs = (0 until 24).map { i =>
+      val ang = i * 0.7
+      (i.toLong, Seq(math.cos(ang).toFloat, math.sin(ang).toFloat,
+        math.cos(ang * 1.3).toFloat, math.sin(ang * 1.3).toFloat))
+    }.toDF("vec_id", "embedding")
+    val seeds2 = Similarity.ivfSeeds(vecs, "vec_id", "embedding", 4)
+    val cbs = Seq(
+      Seq(Seq(0.9, 0.1), Seq(0.1, 0.9), Seq(-0.8, 0.2), Seq(0.3, -0.7)),
+      Seq(Seq(0.8, 0.2), Seq(-0.1, 0.9), Seq(-0.7, -0.3), Seq(0.4, -0.6)))
+    val sweep = Similarity.ivfPqRecallSweep(
+        vecs, vecs.where(col("vec_id") < 4), "vec_id", "embedding",
+        seeds2, Seq(cbs), nprobes = Seq(1, 2, 4), k = 4)
+      .as[(Int, Int, Long, Long, Long, Double)].collect().toSeq
+    assert(sweep.map(_._2) == Seq(1, 2, 4))
+    sweep.sliding(2).foreach {
+      case Seq(a, b) => assert(b._5 >= a._5,
+        s"hit_pairs must be nprobe-monotone: $a -> $b")
+      case _ =>
+    }
+  }
 }
