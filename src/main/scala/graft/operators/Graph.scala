@@ -303,6 +303,87 @@ object Graph {
   }
 
   /**
+   * G12 (r12): Newman modularity audit of a community partition —
+   * the "are these communities real?" number (Newman & Girvan 2004):
+   * Q = Σ_c [ intra_c/2m − (deg_c/2m)² ], the intra-community edge
+   * share minus what a degree-preserving random rewiring would put
+   * there. Pairs with G4 ([[labelPropagation]]): LP always RETURNS a
+   * partition; modularity says whether it found structure (Q near 0
+   * = no better than random, one-community partitions score exactly
+   * 0 by construction) and per-community contributions rank which
+   * clusters carry the signal — the accept/reject gate before a
+   * dedup pipeline trusts cluster-level decisions.
+   *
+   * Semantics: edges symmetrize and coalesce exactly as
+   * [[labelPropagation]] (self-loops dropped, duplicate directions
+   * summed), so the audited graph IS the graph LP labeled. Per
+   * community over the symmetrized edge set: `intra_w` = total
+   * weight with BOTH endpoints inside, `deg_w` = total weight with
+   * the source inside (the weighted degree mass), `total_w` = 2m
+   * (Σ_c deg_w = total_w — the conservation identity the spec pins).
+   * Endpoints missing from `labels` drop (inner join — LP labels
+   * every node of the graph it ran on, so a miss means the caller
+   * passed a foreign partition); labeled nodes with no surviving
+   * edges contribute no row.
+   *
+   * ENGINE-EXACT: weights are longs, every aggregate an exact
+   * integer sum; the per-community numerator intra_c·2m − deg_c² is
+   * exact DECIMAL(38,0) (can be negative — a community with less
+   * internal mass than its degree share predicts), and `q_contrib`
+   * is ONE final IEEE division of the two exact integers
+   * (num / (2m·2m), each factor cast to double once), round(6) —
+   * the house one-guarded-division finish.
+   *
+   * Scale: two hash-partitioned equi-joins of the edge set with the
+   * node-label table, one partial-aggregated community rollup (the
+   * per-community distinct-node count rides the same shuffle via
+   * Expand), and the 2m scalar as a one-row broadcast cross join.
+   * No windows, no driver state; community count never exceeds node
+   * count.
+   *
+   * Output: (label, n_nodes, intra_w, deg_w, total_w, q_contrib),
+   * one row per community with ≥1 edge endpoint, ascending label.
+   */
+  def modularity(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, labels: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val directed = edges
+      .select(col(srcCol).as("a"), col(dstCol).as("b"),
+        col(weightCol).cast("long").as("w"))
+      .where(col("a") =!= col("b"))
+    val und = directed
+      .unionAll(directed.select(col("b").as("a"), col("a").as("b"),
+        col("w")))
+      .groupBy("a", "b").agg(sum(col("w")).as("w"))
+      .barriered
+    val w2 = und.agg(sum(col("w")).as("total_w"))
+    val lab = labels.select(col("node"), col("lbl"))
+    val e2 = und
+      .join(lab.select(col("node").as("a"), col("lbl").as("la")), Seq("a"))
+      .join(lab.select(col("node").as("b"), col("lbl").as("lb")), Seq("b"))
+    val dec = DecimalType(38, 0)
+    e2
+      .groupBy(col("la").as("label"))
+      .agg(
+        countDistinct(col("a")).as("n_nodes"),
+        sum(when(col("la") === col("lb"), col("w")).otherwise(0L))
+          .as("intra_w"),
+        sum(col("w")).as("deg_w"))
+      .crossJoin(broadcast(w2))
+      .withColumn("__qnum",
+        col("intra_w").cast(dec) * col("total_w").cast(dec) -
+          col("deg_w").cast(dec) * col("deg_w").cast(dec))
+      .withColumn("q_contrib",
+        round(col("__qnum").cast("double") /
+          (col("total_w").cast("double") * col("total_w").cast("double")),
+          6))
+      .select("label", "n_nodes", "intra_w", "deg_w", "total_w",
+        "q_contrib")
+      .orderBy("label")
+  }
+
+  /**
    * G5: neighborhood link prediction — for every NON-adjacent node
    * pair sharing at least one neighbor, the three classic
    * missing-edge scores (Liben-Nowell & Kleinberg, CIKM'03):

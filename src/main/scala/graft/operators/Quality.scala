@@ -2050,7 +2050,20 @@ object Quality {
     val thr = spark
       .createDataFrame(dpNoiseThresholds(epsilonEff, clampK))
       .toDF("__noise", "__lo", "__hi")
-    val u = coalesce(
+    counts
+      .withColumn("__u", keyedUniform(keyCols, seed))
+      .join(broadcast(thr), col("__u") >= col("__lo") &&
+        col("__u") < col("__hi"))
+      .select(keyCols.map(col) :+
+        greatest(lit(0L), col("__n") + col("__noise"))
+          .as(outCol): _*)
+  }
+
+  /** The per-group md5-uniform draw in [0, 2²⁸) shared by every DP
+    * release (per-value hashing + non-nullable coalesce per the
+    * [[geometricRelease]] doc above). */
+  private def keyedUniform(keyCols: Seq[String], seed: Long): Column =
+    coalesce(
       conv(
         substring(md5(concat_ws("|",
           keyCols.map(c =>
@@ -2058,13 +2071,130 @@ object Quality {
             :+ lit(seed.toString): _*)), 1, 7),
         16, 10).cast("long"),
       lit(0L))
-    counts
-      .withColumn("__u", u)
-      .join(broadcast(thr), col("__u") >= col("__lo") &&
-        col("__u") < col("__hi"))
+
+  /**
+   * Q13 support: the exponential-mechanism weight table as integer
+   * literals over the clamped utility domain — w(k) =
+   * max(1, ⌊e^(−ε·k/(2·qDen)) · 10¹²⌋) for k ∈ [0, clampUtil].
+   * Computed driver-side ONCE and handed to BOTH engines (the q269
+   * pattern): the operator and the oracle consume the same (util, w)
+   * rows, so no cross-engine `exp` ulp hazard exists anywhere. The
+   * 10¹² grid and the max(·,1) floor (no candidate may carry zero
+   * probability) are the mechanism's two documented quantizations —
+   * the same class of approximation as [[dpNoiseThresholds]]'s 2⁻²⁸
+   * draw grid.
+   */
+  private[graft] def dpExpMechWeights(
+      epsilon: Double, qDen: Int, clampUtil: Int): Seq[(Int, Long)] = {
+    require(epsilon > 0.0, s"epsilon must be positive, got $epsilon")
+    require(qDen >= 1, s"qDen must be >= 1, got $qDen")
+    require(clampUtil >= 1, s"clampUtil must be >= 1, got $clampUtil")
+    (0 to clampUtil).map { k =>
+      val w = math.floor(
+        math.exp(-epsilon * k / (2.0 * qDen)) * 1e12).toLong
+      (k, math.max(1L, w))
+    }
+  }
+
+  /**
+   * Q13 (r12): ε-DP QUANTILE release via the exponential mechanism
+   * over a PUBLIC value grid (McSherry–Talwar 2007; Smith 2011's
+   * DP-quantile instantiation) — the third leg of the release
+   * trilogy: Q10/Q10b publish counts, Q12 sums, this the
+   * distributional cut points (median document length, p90 token
+   * count) whose exact values would leak individual records.
+   *
+   * Mechanism: candidates are the caller's PUBLIC `grid` (sorted
+   * longs — data-independent, so the output DOMAIN leaks nothing);
+   * the integer utility of candidate c for target quantile
+   * q = qNum/qDen is u(c) = |qDen·#{v ≤ c} − qNum·n| — zero exactly
+   * when c sits at the q-quantile — clamped at `clampUtil`
+   * (min(·,K) is 1-Lipschitz, so the clamp preserves the
+   * sensitivity bound). One row added/removed moves
+   * qDen·#{v ≤ c} − qNum·n by at most max(qDen−qNum, qNum) ≤ qDen,
+   * so Δu ≤ qDen and sampling ∝ e^(−ε·u/(2·qDen)) is ε-DP per
+   * group (disjoint groups compose in parallel).
+   *
+   * DETERMINISM (the house Q10 contract): the group's draw is the
+   * md5-uniform of (group key, seed) in [0, 2²⁸); the pick is the
+   * first grid candidate whose cumulative weight exceeds the draw's
+   * share of the total — evaluated as the all-integer comparison
+   * cum·2²⁸ > draw·W in DECIMAL(38,0) (NO division anywhere), so
+   * one release is bit-reproducible on any engine and the ε budget
+   * is spent once per seed (rotate seeds per release, as Q10).
+   * Weights come from [[dpExpMechWeights]] literals shared with the
+   * oracle: zero float hazard end to end.
+   *
+   * NULL values are excluded from both n and the ≤-counts; a group
+   * whose values are ALL NULL has u ≡ 0 and releases a uniform grid
+   * draw (documented — the mechanism's honest answer to "no data").
+   * Same KEY-MEMBERSHIP caveat as Q10: released rows are the
+   * observed groups; compose with a public key domain upstream when
+   * group membership itself is sensitive.
+   *
+   * Scale: ONE partial-aggregated groupBy computes n plus the |grid|
+   * conditional ≤-counts in a single corpus scan (the grid is a
+   * bounded public list — ≤ ~10³ candidates); the melt is a
+   * per-group literal-array explode, the weight lookup a
+   * (clampUtil+1)-row broadcast, the cumulative sum a keyed window
+   * over |grid| rows per group. No per-row state, no driver collect.
+   *
+   * Output: (keyCols…, released_q) — one grid value per group.
+   */
+  def dpQuantileRelease(
+      df: DataFrame, keyCols: Seq[String], valueCol: Column,
+      grid: Seq[Long], qNum: Int, qDen: Int, epsilon: Double,
+      seed: Long, clampUtil: Int = 400): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    require(keyCols.nonEmpty, "need at least one key column")
+    require(grid.nonEmpty, "grid must be non-empty")
+    require(grid.sliding(2).forall(w => w.size < 2 || w(0) < w(1)),
+      "grid must be strictly increasing")
+    require(qNum >= 1 && qNum < qDen,
+      s"need 1 <= qNum < qDen, got $qNum/$qDen")
+    val spark = df.sparkSession
+    val wt = broadcast(
+      spark.createDataFrame(dpExpMechWeights(epsilon, qDen, clampUtil))
+        .toDF("__util", "__w"))
+    val aggs =
+      sum(when(valueCol.isNotNull, 1L).otherwise(0L)).as("__n") +:
+        grid.zipWithIndex.map { case (c, i) =>
+          sum(when(valueCol <= lit(c), 1L).otherwise(0L)).as(s"__c$i")
+        }
+    val counts = df.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val melted = counts
+      .select(keyCols.map(col) :+ col("__n") :+
+        explode(array(grid.zipWithIndex.map { case (c, i) =>
+          struct(lit(i).as("gi"), lit(c).as("gv"),
+            col(s"__c$i").as("cle"))
+        }: _*)).as("__g"): _*)
+      .select(keyCols.map(col) :+ col("__n") :+ col("__g.gi") :+
+        col("__g.gv") :+ col("__g.cle"): _*)
+    val util = least(
+      abs(lit(qDen.toLong) * col("cle") - lit(qNum.toLong) * col("__n")),
+      lit(clampUtil.toLong))
+    val keyedW = Window.partitionBy(keyCols.map(col): _*)
+    val cumW = keyedW.orderBy(col("gi"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dec = DecimalType(38, 0)
+    melted
+      .withColumn("__util", util)
+      .join(wt, "__util")
+      .withColumn("__cum", sum(col("__w")).over(cumW))
+      .withColumn("__wtot", sum(col("__w")).over(keyedW))
+      .withColumn("__draw", keyedUniform(keyCols, seed))
+      // first candidate with cum/W > draw/2²⁸, division-free:
+      // cum·2²⁸ > draw·W in exact DECIMAL(38,0) (cum ≤ |grid|·10¹²
+      // ~ 10¹⁵ and draw < 2²⁸ keep both products far below 38
+      // digits). W ≥ |grid| ≥ 1 guarantees the last candidate always
+      // qualifies, so every observed group releases exactly one row.
+      .where(col("__cum").cast(dec) * lit(268435456L).cast(dec) >
+        col("__draw").cast(dec) * col("__wtot").cast(dec))
+      .groupBy(keyCols.map(col): _*)
+      .agg(min(struct(col("gi"), col("gv"))).as("__pick"))
       .select(keyCols.map(col) :+
-        greatest(lit(0L), col("__n") + col("__noise"))
-          .as(outCol): _*)
+        col("__pick.gv").as("released_q"): _*)
   }
 
   def aaSequentialBattery(

@@ -226,6 +226,63 @@ object PipelineQueries {
     * the q288 mechanism over a literal VALUES key domain, zero-count
     * groups included (the membership-safe variant: the released row
     * set is the domain, not the observed groups). */
+  /** q301 oracle generator: the exponential-mechanism ε-DP quantile
+    * replay — the SAME Scala-generated (util, weight) literal table
+    * the operator consumes (`Quality.dpExpMechWeights`), the integer
+    * utility |qDen·#{v ≤ c} − qNum·n| clamped at clampUtil, and the
+    * division-free HUGEINT pick cum·2²⁸ > draw·W (Spark evaluates it
+    * in DECIMAL(38,0); both are exact integer arithmetic). The draw
+    * is the q288 md5-uniform recipe over the group key. */
+  private def dpQuantileOracle(
+      grid: Seq[Long], qNum: Int, qDen: Int, epsilon: Double,
+      seed: Long, clampUtil: Int): String = {
+    val wrows = graft.operators.Quality
+      .dpExpMechWeights(epsilon, qDen, clampUtil)
+      .map { case (k, w) => s"($k, $w)" }
+      .mkString(",\n    ")
+    val grows = grid.zipWithIndex
+      .map { case (c, i) => s"($i, $c)" }.mkString(", ")
+    s"""WITH grid(gi, gv) AS (VALUES $grows),
+       |wt(util, w) AS (
+       |  VALUES
+       |    $wrows
+       |), cnt AS (
+       |  SELECT b.event_type, g.gi, g.gv,
+       |    CAST(SUM(CASE WHEN b."value" <= g.gv THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS cle,
+       |    CAST(COUNT(b."value") AS BIGINT) AS n
+       |  FROM events b CROSS JOIN grid g
+       |  GROUP BY 1, 2, 3
+       |), scored AS (
+       |  SELECT c.event_type, c.gi, c.gv, wt.w
+       |  FROM cnt c JOIN wt
+       |    ON wt.util = LEAST(ABS($qDen * c.cle - $qNum * c.n),
+       |      $clampUtil)
+       |), cum AS (
+       |  SELECT event_type, gi, gv,
+       |    CAST(SUM(w) OVER (PARTITION BY event_type ORDER BY gi
+       |      ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS cw,
+       |    CAST(SUM(w) OVER (PARTITION BY event_type) AS HUGEINT)
+       |      AS wtot
+       |  FROM scored
+       |), draw AS (
+       |  SELECT event_type,
+       |    CAST(('0x' || substr(md5(concat_ws('|',
+       |      coalesce(md5(event_type), 'null'), '$seed')),
+       |      1, 7))::BIGINT AS HUGEINT) AS uu
+       |  FROM (SELECT DISTINCT event_type FROM events)
+       |), pick AS (
+       |  SELECT c.event_type, c.gi, c.gv,
+       |    ROW_NUMBER() OVER (PARTITION BY c.event_type
+       |      ORDER BY c.gi) AS rn
+       |  FROM cum c JOIN draw d USING (event_type)
+       |  WHERE c.cw * CAST(268435456 AS HUGEINT) > d.uu * c.wtot
+       |)
+       |SELECT event_type, CAST(gv AS BIGINT) AS released_q
+       |FROM pick WHERE rn = 1
+       |ORDER BY event_type""".stripMargin
+  }
+
   private def dpDomainOracle(
       domain: Seq[String], epsilon: Double, seed: Long,
       clampK: Int): String = {
@@ -3940,6 +3997,19 @@ object PipelineQueries {
         .limit(300)
     }),
 
+    // Q13 (round 12): ε-DP QUANTILE release — exponential mechanism
+    // over a public 33-point value grid: the per-event_type median
+    // of value, weights from the shared driver-generated literal
+    // table, division-free decimal pick. Completes the DP release
+    // trilogy (counts q288/q296, sums q297, cut points here).
+    "q301_dp_quantile_release" -> ((s, dir) => {
+      graft.operators.Quality.dpQuantileRelease(
+          t(s, dir, "events"), Seq("event_type"), col("value"),
+          grid = (0L to 512L by 16L), qNum = 1, qDen = 2,
+          epsilon = 1.0, seed = 45L, clampUtil = 400)
+        .orderBy("event_type")
+    }),
+
     // T56 (round 10): curation funnel — per-source doc/token mass
     // through length -> language -> lexical-diversity stages; one
     // scan, one source aggregate.
@@ -7280,6 +7350,12 @@ object PipelineQueries {
       fields = Seq(("p_brand", 0.9), ("p_type", 0.85),
         ("name_head", 0.8)),
       window = 6, limit = 300),
+
+    // Q13: exponential-mechanism DP quantile replay — the shared
+    // literal weight table + grid, HUGEINT division-free pick.
+    "q301_dp_quantile_release" -> dpQuantileOracle(
+      grid = (0L to 512L by 16L), qNum = 1, qDen = 2,
+      epsilon = 1.0, seed = 45L, clampUtil = 400),
 
     // T57: distinct doc/reference trigram sets, one membership join,
     // one per-doc reduce; shingle-less docs keep NULL rate.

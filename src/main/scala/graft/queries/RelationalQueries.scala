@@ -1472,6 +1472,27 @@ object RelationalQueries {
         .orderBy("node")
     }),
 
+    // G12 (round 12): Newman modularity audit of a 1-round label-prop
+    // partition over the q225 bigram co-occurrence graph (1 round
+    // keeps ~18 star-anchor communities — 4 rounds collapses this
+    // dense vocab graph to one, a trivial audit) — per community the
+    // intra/degree mass, exact integer numerator, one IEEE division
+    // finish; Σ deg_w = total_w on every row.
+    "q302_modularity" -> ((s, dir) => {
+      val bg = t(s, dir, "documents")
+        .select(split(col("text"), " ").as("t"))
+        .where(size(col("t")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(t) - 1), " +
+            "i -> struct(element_at(t, i) AS a, element_at(t, i + 1) AS b))"))
+          .as("bg"))
+        .select(col("bg.a").as("a"), col("bg.b").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n"))
+      val labels = graft.operators.Graph.labelPropagation(
+        bg, "a", "b", "n", rounds = 1)
+      graft.operators.Graph.modularity(bg, "a", "b", "n", labels)
+    }),
+
     // Benford first-digit audit of order totals: observed vs
     // log10(1+1/d) with per-digit chi-square contribution — the
     // fabricated-data screen; one 9-group aggregate.
@@ -2943,6 +2964,55 @@ object RelationalQueries {
         |  ) WHERE rn = 1
         |)
         |SELECT node, lbl AS label FROM l4 ORDER BY node""".stripMargin,
+
+    // G12: the q225 chain re-run to l4, then the modularity rollup —
+    // exact integer intra/degree masses, HUGEINT numerator, one IEEE
+    // division + round(6).
+    "q302_modularity" ->
+      """WITH toks AS (
+        |  SELECT string_split(text, ' ') AS w FROM documents
+        |), bgl AS (
+        |  SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+        |  FROM toks WHERE len(w) >= 2
+        |), bg AS (
+        |  SELECT w[i] AS a, w[i+1] AS b, count(*) AS cab
+        |  FROM bgl GROUP BY 1, 2
+        |), und AS MATERIALIZED (
+        |  SELECT a, b, CAST(SUM(cab) AS BIGINT) AS w FROM (
+        |    SELECT a, b, cab FROM bg WHERE a <> b
+        |    UNION ALL
+        |    SELECT b AS a, a AS b, cab FROM bg WHERE a <> b
+        |  ) GROUP BY 1, 2
+        |), l0 AS MATERIALIZED (
+        |  SELECT DISTINCT a AS node, a AS lbl FROM und
+        |), l1 AS MATERIALIZED (
+        |  SELECT node, lbl FROM (
+        |    SELECT g.node, g.nl AS lbl, row_number() OVER (
+        |      PARTITION BY g.node ORDER BY g.s DESC, g.nl ASC) AS rn
+        |    FROM (SELECT u.a AS node, l.lbl AS nl, SUM(u.w) AS s
+        |          FROM und u JOIN l0 l ON l.node = u.b
+        |          GROUP BY 1, 2) g
+        |  ) WHERE rn = 1
+        |), w2 AS (
+        |  SELECT CAST(SUM(w) AS BIGINT) AS total_w FROM und
+        |), comm AS (
+        |  SELECT la.lbl AS label,
+        |    CAST(COUNT(DISTINCT u.a) AS BIGINT) AS n_nodes,
+        |    CAST(SUM(CASE WHEN la.lbl = lb.lbl THEN u.w ELSE 0 END)
+        |      AS BIGINT) AS intra_w,
+        |    CAST(SUM(u.w) AS BIGINT) AS deg_w
+        |  FROM und u
+        |  JOIN l1 la ON la.node = u.a
+        |  JOIN l1 lb ON lb.node = u.b
+        |  GROUP BY 1
+        |)
+        |SELECT c.label, c.n_nodes, c.intra_w, c.deg_w, w2.total_w,
+        |  ROUND(CAST(c.intra_w::HUGEINT * w2.total_w::HUGEINT
+        |      - c.deg_w::HUGEINT * c.deg_w::HUGEINT AS DOUBLE)
+        |    / (CAST(w2.total_w AS DOUBLE) * CAST(w2.total_w AS DOUBLE)),
+        |    6) AS q_contrib
+        |FROM comm c CROSS JOIN w2
+        |ORDER BY c.label""".stripMargin,
 
     "q224_fd_profile" ->
       """WITH kc AS (

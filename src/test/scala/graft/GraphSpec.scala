@@ -184,6 +184,56 @@ class GraphSpec extends AnyFunSuite {
       .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
   }
 
+  test("modularity: two-clique golden, one-label zero, conservation, " +
+      "unlabeled endpoints drop") {
+    // Two disjoint unit triangles, labels = component: 2m = 12,
+    // each community intra = 6, deg = 6 -> q_contrib = (6*12-36)/144
+    // = 0.25 each, the classic two-clique Q = 0.5.
+    val edges = Seq(
+      ("a", "b", 1L), ("b", "c", 1L), ("a", "c", 1L),
+      ("x", "y", 1L), ("y", "z", 1L), ("x", "z", 1L))
+      .toDF("src", "dst", "w")
+    val lbl = Seq(("a", "A"), ("b", "A"), ("c", "A"),
+      ("x", "X"), ("y", "X"), ("z", "X")).toDF("node", "lbl")
+    val got = Graph.modularity(edges, "src", "dst", "w", lbl)
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+    assert(got.toSeq == Seq(
+      ("A", 3L, 6L, 6L, 12L, 0.25), ("X", 3L, 6L, 6L, 12L, 0.25)))
+
+    // all-in-one partition scores exactly 0 (the random baseline)
+    val one = Seq(("a", "A"), ("b", "A"), ("c", "A"),
+      ("x", "A"), ("y", "A"), ("z", "A")).toDF("node", "lbl")
+    val g1 = Graph.modularity(edges, "src", "dst", "w", one)
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+    assert(g1.toSeq == Seq(("A", 6L, 12L, 12L, 12L, 0.0)))
+
+    // splitting a clique across labels goes NEGATIVE somewhere, and
+    // Σ deg_w = total_w holds on any partition
+    val bad = Seq(("a", "P"), ("b", "Q"), ("c", "P"),
+      ("x", "P"), ("y", "Q"), ("z", "Q")).toDF("node", "lbl")
+    val g2 = Graph.modularity(edges, "src", "dst", "w", bad)
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+    assert(g2.map(_._4).sum == g2.head._5, "deg mass not conserved")
+    assert(g2.exists(_._6 < 0.0), s"no negative contribution: ${g2.toSeq}")
+
+    // an unlabeled endpoint drops its edges from the COMMUNITY
+    // masses while total_w stays the full graph's 2m = 12: labeling
+    // only the first triangle leaves one row with intra = deg = 6
+    // and q = (6*12 - 36)/144 = 0.25
+    val part = Seq(("a", "A"), ("b", "A"), ("c", "A")).toDF("node", "lbl")
+    val g3 = Graph.modularity(edges, "src", "dst", "w", part)
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+    assert(g3.toSeq == Seq(("A", 3L, 6L, 6L, 12L, 0.25)))
+
+    // weighted + direction/dup-blind: parallel opposite edges sum
+    val dup = Seq(("a", "b", 2L), ("b", "a", 3L), ("a", "a", 9L))
+      .toDF("src", "dst", "w")
+    val l2 = Seq(("a", "A"), ("b", "A")).toDF("node", "lbl")
+    val g4 = Graph.modularity(dup, "src", "dst", "w", l2)
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+    assert(g4.toSeq == Seq(("A", 2L, 10L, 10L, 10L, 0.0)))
+  }
+
   test("linkPredict: path and 4-cycle goldens (CN / AA / Jaccard)") {
     // path a-b-c-d: (a,c) via b, (b,d) via c; (a,d) shares nothing.
     val path = lp(Seq(("a", "b"), ("b", "c"), ("c", "d")))

@@ -1452,4 +1452,94 @@ class QualitySpec extends AnyFunSuite {
       .as[(String, Long)].collect().toMap
     assert(other !== gotBig)
   }
+
+  test("dpQuantileRelease: weight table shape; hand-replayed pick; " +
+      "all-NULL uniform; argmax at high epsilon; determinism") {
+    // weight table: full mass at util 0, strictly non-increasing,
+    // floored at 1 (no zero-probability candidate)
+    val wt = Quality.dpExpMechWeights(1.0, qDen = 2, clampUtil = 400)
+    assert(wt.head == (0, 1000000000000L))
+    assert(wt.sliding(2).forall { case Seq(a, b) => b._2 <= a._2
+    case _ => true })
+    assert(wt.last._2 >= 1L)
+    assert(wt.map(_._1) == (0 to 400))
+
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def draw(key: String, seed: Long): Long =
+      java.lang.Long.parseLong(
+        md5hex(s"${md5hex(key)}|$seed").substring(0, 7), 16)
+    // the operator's mechanism replayed in-test: integer utilities,
+    // literal weights, division-free cum·2^28 > draw·W pick
+    def replay(key: String, values: Seq[Option[Double]],
+        grid: Seq[Long], qNum: Int, qDen: Int, eps: Double,
+        seed: Long, clampUtil: Int): Long = {
+      val w = Quality.dpExpMechWeights(eps, qDen, clampUtil).toMap
+      val n = values.count(_.isDefined).toLong
+      val ws = grid.map { c =>
+        val cle = values.count(v => v.exists(_ <= c)).toLong
+        w(math.min(math.abs(qDen * cle - qNum * n), clampUtil.toLong)
+          .toInt)
+      }
+      val wtot = BigInt(ws.sum)
+      val d = BigInt(draw(key, seed))
+      var cum = BigInt(0)
+      var pick = grid.last
+      var done = false
+      grid.zip(ws).foreach { case (c, wk) =>
+        cum += wk
+        if (!done && cum * BigInt(1L << 28) > d * wtot) {
+          pick = c; done = true
+        }
+      }
+      pick
+    }
+
+    val grid = Seq(0L, 5L, 10L)
+    val vsA = (1 to 9).map(i => Some(i.toDouble))
+    val vsB = Seq.fill(4)(Option.empty[Double]) // all-NULL group
+    val df = (vsA.map(("a", _)) ++ vsB.map(("b", _))).toDF("k", "v")
+    val got = Quality.dpQuantileRelease(df, Seq("k"), col("v"),
+        grid, qNum = 1, qDen = 2, epsilon = 1.0, seed = 11L)
+      .as[(String, Long)].collect().toMap
+    assert(got.size == 2)
+    assert(got("a") === replay("a", vsA, grid, 1, 2, 1.0, 11L, 400))
+    // all-NULL group: n = 0, every utility 0 -> uniform grid draw,
+    // still exactly one released row, still replayable
+    assert(got("b") === replay("b", vsB, grid, 1, 2, 1.0, 11L, 400))
+
+    // high-epsilon regime: the mechanism concentrates on the
+    // utility argmax — median of 1..9 over {0,5,10} is 5 for any
+    // of 50 group keys' draws
+    val many = (0 until 50).flatMap(g =>
+      (1 to 9).map(i => (s"g$g", Some(i.toDouble)))).toDF("k", "v")
+    val sharp = Quality.dpQuantileRelease(many, Seq("k"), col("v"),
+        grid, qNum = 1, qDen = 2, epsilon = 20.0, seed = 3L)
+      .as[(String, Long)].collect()
+    assert(sharp.length == 50 && sharp.forall(_._2 == 5L))
+
+    // determinism + seed sensitivity (low epsilon spreads the picks)
+    val fuzzy = Quality.dpQuantileRelease(many, Seq("k"), col("v"),
+        grid, qNum = 1, qDen = 2, epsilon = 0.05, seed = 3L)
+      .as[(String, Long)].collect().toMap
+    val rerun = Quality.dpQuantileRelease(many, Seq("k"), col("v"),
+        grid, qNum = 1, qDen = 2, epsilon = 0.05, seed = 3L)
+      .as[(String, Long)].collect().toMap
+    assert(rerun === fuzzy)
+    val other = Quality.dpQuantileRelease(many, Seq("k"), col("v"),
+        grid, qNum = 1, qDen = 2, epsilon = 0.05, seed = 4L)
+      .as[(String, Long)].collect().toMap
+    assert(other !== fuzzy)
+
+    // contract violations
+    intercept[IllegalArgumentException] {
+      Quality.dpQuantileRelease(df, Seq("k"), col("v"),
+        Seq(5L, 0L), 1, 2, 1.0, 1L)
+    }
+    intercept[IllegalArgumentException] {
+      Quality.dpQuantileRelease(df, Seq("k"), col("v"),
+        grid, 2, 2, 1.0, 1L)
+    }
+  }
 }
