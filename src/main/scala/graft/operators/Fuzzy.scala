@@ -595,4 +595,92 @@ object Fuzzy {
         lamM.toDouble / 1e6)
     }.toDF("field", "m", "u", "lambda")
   }
+
+  /**
+   * D24 (r12): blocking-quality audit — the three numbers that
+   * evaluate a candidate-generation scheme (LSH bands, sorted
+   * neighborhood, phonetic blocks) against a known match set
+   * (Christen 2012's standard triple):
+   *
+   *  - `reduction_ratio`  = 1 − |cand| / (n·(n−1)/2): how much of
+   *    the all-pairs space the blocker pruned — the SCALE number
+   *    (0.999999+ is the regime a 100 TB dedup needs);
+   *  - `pairs_completeness` = |cand ∩ truth| / |truth|: recall of
+   *    true matches — the CORRECTNESS number (what the blocker
+   *    silently loses, e.g. LSH band-collision misses);
+   *  - `pairs_quality` = |cand ∩ truth| / |cand|: the precision
+   *    proxy — how much verify work per true match.
+   *
+   * The tuning loop is RR vs PC: tighter blocking raises RR and
+   * risks PC; this audit is the gate run on a LABELED SLICE before
+   * committing a blocking key to the full corpus (pairs with D21's
+   * threshold-calibration curve, which tunes the verify threshold
+   * AFTER blocking).
+   *
+   * Both pair sets canonicalize to (min, max), drop self-pairs and
+   * NULL ids, and DISTINCT before counting — duplicate or
+   * mirror-direction pairs can't inflate any count. `n_records` is
+   * the distinct non-NULL id count; `total_pairs` = n·(n−1)/2 is
+   * carried as exact DECIMAL(38,0) rendered as a STRING (the q189
+   * rule — it overflows BIGINT long before a corpus is large).
+   *
+   * ENGINE-EXACT: all five counts are exact integers; each ratio is
+   * a fixed IEEE chain (1.0 − c/(n·(n−1)/2) with the denominator
+   * composed double-multiply-then-halve; the two recalls one guarded
+   * division each), round(6), all values non-negative in [0,1] (no
+   * signed-zero exposure). Empty truth → NULL completeness; empty
+   * candidates → NULL quality; n < 2 → NULL reduction ratio.
+   *
+   * Scale: two distinct-pair shuffles + one pair equi-join (hash,
+   * key-partitioned) + four one-row aggregates composed by broadcast
+   * cross joins. Never materializes the all-pairs space — total_pairs
+   * is arithmetic, not a join.
+   *
+   * Output (one row): (n_records, total_pairs, n_candidates,
+   * n_truth, n_hits, reduction_ratio, pairs_completeness,
+   * pairs_quality).
+   */
+  def blockingAudit(
+      records: DataFrame, idCol: String,
+      candidates: DataFrame, candA: String, candB: String,
+      truth: DataFrame, truthA: String, truthB: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def canon(df: DataFrame, a: String, b: String): DataFrame = df
+      .where(col(a).isNotNull && col(b).isNotNull &&
+        col(a) =!= col(b))
+      .select(least(col(a), col(b)).as("pa"),
+        greatest(col(a), col(b)).as("pb"))
+      .distinct()
+    val cp = Barrier.barrier(canon(candidates, candA, candB))
+    val tp = Barrier.barrier(canon(truth, truthA, truthB))
+    val rec1 = records.where(col(idCol).isNotNull)
+      .agg(countDistinct(col(idCol)).as("n_records"))
+    val cand1 = cp.agg(count(lit(1)).as("n_candidates"))
+    val truth1 = tp.agg(count(lit(1)).as("n_truth"))
+    val hits1 = cp.join(tp, Seq("pa", "pb"))
+      .agg(count(lit(1)).as("n_hits"))
+    val dec = DecimalType(38, 0)
+    val nD = col("n_records").cast("double")
+    val totD = nD * (nD - lit(1.0)) / lit(2.0)
+    rec1
+      .crossJoin(broadcast(cand1))
+      .crossJoin(broadcast(truth1))
+      .crossJoin(broadcast(hits1))
+      .select(
+        col("n_records"),
+        ((col("n_records").cast(dec) *
+          (col("n_records") - lit(1L)).cast(dec)) / lit(2))
+          .cast(dec).cast("string").as("total_pairs"),
+        col("n_candidates"), col("n_truth"), col("n_hits"),
+        round(lit(1.0) - col("n_candidates").cast("double") /
+          when(col("n_records") >= 2L, totD), 6)
+          .as("reduction_ratio"),
+        round(col("n_hits").cast("double") /
+          when(col("n_truth") > 0L, col("n_truth").cast("double")), 6)
+          .as("pairs_completeness"),
+        round(col("n_hits").cast("double") /
+          when(col("n_candidates") > 0L,
+            col("n_candidates").cast("double")), 6)
+          .as("pairs_quality"))
+  }
 }

@@ -320,7 +320,57 @@ object Multimodal {
    * bytes are fully specified by this formula. `w·3` must be
    * 4-byte-aligned (BMP row padding is deliberately out of scope).
    */
-  def syntheticBmp(seed: Long, w: Int, h: Int): Array[Byte] = {
+  def syntheticBmp(seed: Long, w: Int, h: Int): Array[Byte] =
+    bmpFrom(w, h) { (x, y) =>
+      (Math.floorMod(seed * 7 + 3L * x + 5L * y, 256).toInt,
+        Math.floorMod(seed * 11 + 2L * x + 7L * y, 256).toInt,
+        Math.floorMod(seed * 13 + x + 11L * y, 256).toInt)
+    }
+
+  /** Perceptual-hash fixture: [[syntheticBmp]]'s formula family with
+    * SEED-DEPENDENT gradients — (1 + seed mod 11) / (2 + seed mod 13)
+    * style slopes per channel. The plain fixture's constant slopes
+    * make aHash a function of seed mod 256 alone (a constant luma
+    * shift cancels out of the global-mean comparison), collapsing any
+    * large corpus into a few hundred identical-hash families; the
+    * seed-mixed slopes plus a (1 + seed mod 7)·x·y cross term give ~7·11·13·256-scale hash diversity (a pure gradient's constant luma offsets cancel out of the global-mean bits; the cross term is what breaks within-slope-class clustering), so
+    * band buckets stay small and the near-dup cap stays INACTIVE at
+    * gate scales. Pure integer arithmetic — oracle-replayable. */
+  def syntheticBmpTextured(seed: Long, w: Int, h: Int): Array[Byte] =
+    syntheticBmpTexturedVariant(seed, w, h, 0, 0, 0)
+
+  /** [[syntheticBmpTextured]] with a deterministic LOCAL
+    * perturbation: pixels with x < regionW and y < regionH get
+    * `delta` added to every channel (mod 256 — wraparound is
+    * deliberate; the oracle replays it). The near-duplicate twin
+    * generator: same image almost everywhere, one corner touched. */
+  def syntheticBmpTexturedVariant(
+      seed: Long, w: Int, h: Int, delta: Int,
+      regionW: Int, regionH: Int): Array[Byte] = {
+    val s11 = Math.floorMod(seed, 11)
+    val s13 = Math.floorMod(seed, 13)
+    val s7 = Math.floorMod(seed, 7)
+    bmpFrom(w, h) { (x, y) =>
+      val d = if (x < regionW && y < regionH) delta.toLong else 0L
+      val xy = x.toLong * y
+      (Math.floorMod(
+          seed * 7 + (1 + s11) * x + (2 + s13) * y + (1 + s7) * xy + d,
+          256).toInt,
+        Math.floorMod(
+          seed * 11 + (3 + s13) * x + (1 + s11) * y + (2 + s7) * xy + d,
+          256).toInt,
+        Math.floorMod(
+          seed * 13 + (2 + s11) * x + (3 + s13) * y + (3 + s7) * xy + d,
+          256).toInt)
+    }
+  }
+
+  /** Shared 24-bit BMP writer: 54-byte header + bottom-up b,g,r rows
+    * from a pixel function (x, y from the top → (r, g, b) in
+    * [0, 255]). The byte layout the two fixture generators and any
+    * test-local golden image share. */
+  private[graft] def bmpFrom(w: Int, h: Int)(
+      px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
     require(w >= 1 && h >= 1, s"need positive dims, got ${w}x$h")
     require((w * 3) % 4 == 0,
       s"w*3 must be 4-byte aligned (w multiple of 4), got w=$w")
@@ -336,9 +386,8 @@ object Multimodal {
     while (row >= 0) {
       var x = 0
       while (x < w) {
-        buf.put(Math.floorMod(seed * 13 + x + 11L * row, 256).toByte)
-        buf.put(Math.floorMod(seed * 11 + 2L * x + 7L * row, 256).toByte)
-        buf.put(Math.floorMod(seed * 7 + 3L * x + 5L * row, 256).toByte)
+        val (r, g, b) = px(x, row)
+        buf.put(b.toByte).put(g.toByte).put(r.toByte)
         x += 1
       }
       row -= 1
@@ -573,5 +622,175 @@ object Multimodal {
       .where(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
       .orderBy("id_a", "id_b")
+  }
+
+  /**
+   * M13 (r12): perceptual average-hash (aHash) over DECODED pixels —
+   * the image near-duplicate signature M9 ([[binaryNearDups]])
+   * structurally cannot be: M9 shingles the encoded BYTES, so the
+   * same picture saved twice (different compressor, stripped
+   * metadata, tweaked corner) hashes apart; aHash fingerprints the
+   * IMAGE — 8×8 block luminances thresholded at the global mean —
+   * so re-encodes collide and a small retouch flips only the bits
+   * whose blocks it touched. The classic pre-embedding image dedup
+   * key (pairs with D-family text near-dup the way q283 pairs with
+   * the byte path).
+   *
+   * ALL-INTEGER pipeline (engine-replayable on arithmetic fixtures):
+   * luma per pixel = 299·r + 587·g + 114·b (×1000 fixed point, no
+   * division); the image divides into an 8×8 block grid by integer
+   * floor boundaries (x ∈ [bx·w/8, (bx+1)·w/8)); bit(bx, by) = 1
+   * iff S_block·N_pixels > S_total·n_block (the global-mean
+   * cross-multiplication — exact rational compare, no division;
+   * identical to classic mean-of-block-means aHash when 8 | w and
+   * 8 | h, and well-defined for ragged blocks). The hash is the
+   * 64-char '0'/'1' string in row-major block order (idx = by·8+bx)
+   * — the house simhash fingerprint convention, band-sliceable by
+   * substring. A constant image hashes to all zeros (no block is
+   * strictly above the mean; spec-pinned).
+   *
+   * Images narrower/shorter than 8 px decode but cannot fill the
+   * grid — they triage as `decode_ok = false` with a NULL hash,
+   * alongside undecodable payloads. Decode mechanics inherit
+   * [[decodeImageFeatures]]'s contract: JDK ImageIO inside batched
+   * mapPartitions, partition-local, exact Long block sums (safe to
+   * 2⁶³/255000 ≈ 3.6e13 px).
+   *
+   * Output: (idCol, decode_ok, ahash).
+   */
+  def imageAHash(
+      df: DataFrame, idCol: String, payloadCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, bytes) =>
+            val img =
+              try {
+                if (bytes == null || bytes.isEmpty) null
+                else javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(bytes))
+              } catch { case scala.util.control.NonFatal(_) => null }
+            if (img == null || img.getWidth < 8 || img.getHeight < 8)
+              (id, false, Option.empty[String])
+            else {
+              val w = img.getWidth
+              val h = img.getHeight
+              val sums = new Array[Long](64)
+              val cnts = new Array[Long](64)
+              var tot = 0L
+              var y = 0
+              while (y < h) {
+                val by = y * 8 / h
+                var x = 0
+                while (x < w) {
+                  val bx = x * 8 / w
+                  val p = img.getRGB(x, y)
+                  val luma = 299L * ((p >> 16) & 0xff) +
+                    587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)
+                  val i = by * 8 + bx
+                  sums(i) += luma
+                  cnts(i) += 1L
+                  tot += luma
+                  x += 1
+                }
+                y += 1
+              }
+              val n = w.toLong * h
+              val sb = new java.lang.StringBuilder(64)
+              var i = 0
+              while (i < 64) {
+                // S_block·N > S_total·n_block, cross-multiplied —
+                // exact up to ~2^63/255000 px per image
+                sb.append(
+                  if (sums(i) * n > tot * cnts(i)) '1' else '0')
+                i += 1
+              }
+              (id, true, Some(sb.toString))
+            }
+          }
+        }
+      }
+      .toDF(idCol, "decode_ok", "ahash")
+  }
+
+  /**
+   * M13 (pair stage): perceptual near-duplicate pairs over
+   * [[imageAHash]] fingerprints — [[binaryNearDups]]'s 4×16-bit
+   * band-bucket join and exact-hamming verify, fed by the DECODED
+   * signature instead of the byte shingles (same pigeonhole recall
+   * guarantee to hamming ≤ 3, same `capPerBucket` bound mirrored in
+   * any oracle, same shared-signature barrier). Undecodable/NULL
+   * hashes drop before banding.
+   *
+   * Output: (id_a, id_b, hamming), id_a < id_b, ordered.
+   */
+  def imageNearDups(
+      df: DataFrame, idCol: String, payloadCol: String,
+      maxHamming: Int = 3, capPerBucket: Int = 64,
+      batchSize: Int = 64): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x16 bands guarantee recall only to hamming 3; got $maxHamming")
+    require(capPerBucket >= 2,
+      s"capPerBucket must be >= 2 to ever emit a pair, got $capPerBucket")
+    import org.apache.spark.sql.expressions.Window
+    val sigs = imageAHash(df, idCol, payloadCol, batchSize)
+      .where(col("decode_ok") && col("ahash").isNotNull)
+      .select(
+        col(idCol).as("__id"),
+        col("ahash").as("__fp"))
+      .withColumn("__hi",
+        conv(substring(col("__fp"), 1, 32), 2, 10).cast("long"))
+      .withColumn("__lo",
+        conv(substring(col("__fp"), 33, 32), 2, 10).cast("long"))
+      .barriered
+    val wb = Window.partitionBy(col("__k"), col("__bv"))
+      .orderBy(col("__id"))
+    val bands = sigs.select(
+        col("__id"), col("__hi"), col("__lo"),
+        posexplode(array((0 until 4).map(k =>
+          substring(col("__fp"), 1 + 16 * k, 16)): _*)).as(Seq("__k", "__bv")))
+      .withColumn("__rn", row_number().over(wb))
+      .where(col("__rn") <= capPerBucket)
+      .drop("__rn")
+    def side(s: String) = bands.select(
+      col("__id").as(s"id_$s"), col("__hi").as(s"__hi$s"),
+      col("__lo").as(s"__lo$s"), col("__k"), col("__bv"))
+    side("a").join(side("b"), Seq("__k", "__bv"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "__hia", "__loa", "__hib", "__lob")
+      .distinct()
+      .withColumn("hamming",
+        (bit_count(col("__hia").bitwiseXOR(col("__hib"))) +
+          bit_count(col("__loa").bitwiseXOR(col("__lob")))).cast("int"))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** `(idCol, payload)` frame carrying one [[syntheticBmpTextured]]
+    * per id PLUS a [[syntheticBmpTexturedVariant]] twin
+    * (id + idOffset, same seed) for every everyK-th id — the
+    * controlled near-duplicate corpus feeding the perceptual-hash
+    * gate. Per-row generation, no shuffle. */
+  def withSyntheticBmpPairs(
+      df: DataFrame, idCol: String, w: Int, h: Int, everyK: Long,
+      idOffset: Long, delta: Int, regionW: Int, regionH: Int)
+      : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val base = (id, syntheticBmpTextured(id, w, h))
+        if (id % everyK == 0L)
+          Iterator(base, (id + idOffset,
+            syntheticBmpTexturedVariant(
+              id, w, h, delta, regionW, regionH)))
+        else Iterator(base)
+      })
+      .toDF(idCol, "payload")
   }
 }

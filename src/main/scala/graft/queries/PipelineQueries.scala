@@ -3760,6 +3760,36 @@ object PipelineQueries {
         .orderBy("id")
     }),
 
+    // M13 (round 12): perceptual aHash over DECODED pixels — base
+    // 16x16 synthetic BMPs for every part id plus a corner-perturbed
+    // twin (id+1000000, +8 on a 2x2 region, mod-256 wraparound
+    // deliberate) for every 10th id; the oracle replays the whole
+    // integer pipeline (luma, floor-grid blocks, cross-multiplied
+    // global-mean threshold) from the pixel formula without decoding.
+    "q304_image_ahash" -> ((s, dir) => {
+      val ids = t(s, dir, "part").select(col("p_partkey").as("id"))
+      val imgs = Multimodal.withSyntheticBmpPairs(ids, "id",
+        w = 16, h = 16, everyK = 10L, idOffset = 1000000L,
+        delta = 8, regionW = 2, regionH = 2)
+      Multimodal.imageAHash(imgs, "id", "payload").orderBy("id")
+    }),
+
+    // M13 (pair stage): banded Hamming near-dup pairs over the q304
+    // fixture — each perturbed twin pairs with its base at the
+    // replayed hamming. The 4x16 band join AND the 64-cap are
+    // mirrored in the oracle; the cap is deliberately ACTIVE at
+    // sf0.1 (max band bucket 236 there vs 4/19 at sf0.001/0.01),
+    // so this gate verifies the deterministic cap replay itself —
+    // the safety rail a skew-concentrated corpus depends on.
+    "q305_image_neardups" -> ((s, dir) => {
+      val ids = t(s, dir, "part").select(col("p_partkey").as("id"))
+      val imgs = Multimodal.withSyntheticBmpPairs(ids, "id",
+        w = 16, h = 16, everyK = 10L, idOffset = 1000000L,
+        delta = 8, regionW = 2, regionH = 2)
+      Multimodal.imageNearDups(imgs, "id", "payload",
+        maxHamming = 3, capPerBucket = 64)
+    }),
+
     // D22 (round 11): EM-estimated Fellegi–Sunter m/u/λ over the
     // q267 candidate pairs — 3 fields, 3 fixed EM rounds on the
     // γ-pattern histogram, micro-grid state; the oracle unrolls the
@@ -4008,6 +4038,24 @@ object PipelineQueries {
           grid = (0L to 512L by 16L), qNum = 1, qDen = 2,
           epsilon = 1.0, seed = 45L, clampUtil = 400)
         .orderBy("event_type")
+    }),
+
+    // D24 (round 12): blocking-quality audit — the q16 LSH blocker
+    // evaluated against exact-duplicate ground truth on the
+    // dup-injected corpus: reduction ratio (how much of the n(n-1)/2
+    // space LSH pruned), pairs completeness (which injected dups the
+    // bands caught), pairs quality (verify work per true match).
+    "q303_blocking_audit" -> ((s, dir) => {
+      val docs = docsWithDups(s, dir)
+      val cand = Dedup.minhashCandidates(docs, "doc_id", "text",
+        numHashes = 8, rowsPerBand = 2, shingleSize = 3)
+      val h = docs.select(col("doc_id"), md5(col("text")).as("h"))
+      val truth = h.as("x")
+        .join(h.as("y"), col("x.h") === col("y.h") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("ta"), col("y.doc_id").as("tb"))
+      graft.operators.Fuzzy.blockingAudit(docs, "doc_id",
+        cand, "doc_a", "doc_b", truth, "ta", "tb")
     }),
 
     // T56 (round 10): curation funnel — per-source doc/token mass
@@ -6790,6 +6838,117 @@ object PipelineQueries {
         |SELECT CAST(-1 AS BIGINT), FALSE, NULL, NULL, NULL, NULL, NULL
         |ORDER BY id""".stripMargin,
 
+    // M13: the aHash arithmetic replay — luma from the pixel
+    // formulas (perturbation included), floor-grid 8x8 blocks,
+    // cross-multiplied global-mean bits, row-major bit string.
+    "q304_image_ahash" ->
+      """WITH ids AS (
+        |  SELECT CAST(p_partkey AS BIGINT) AS id,
+        |    CAST(p_partkey AS BIGINT) AS seed, 0 AS d FROM part
+        |  UNION ALL
+        |  SELECT CAST(p_partkey + 1000000 AS BIGINT),
+        |    CAST(p_partkey AS BIGINT), 8 FROM part
+        |  WHERE p_partkey % 10 = 0
+        |), px AS (
+        |  SELECT id, seed, seed % 11 AS s11, seed % 13 AS s13,
+        |    seed % 7 AS s7, d, x.x, y.y FROM ids,
+        |    (SELECT unnest(range(0, 16)) AS x) x,
+        |    (SELECT unnest(range(0, 16)) AS y) y
+        |), lum AS (
+        |  SELECT id, x, y,
+        |    299 * ((seed * 7 + (1 + s11) * x + (2 + s13) * y +
+        |        (1 + s7) * x * y +
+        |        CASE WHEN x < 2 AND y < 2 THEN d ELSE 0 END) % 256)
+        |    + 587 * ((seed * 11 + (3 + s13) * x + (1 + s11) * y +
+        |        (2 + s7) * x * y +
+        |        CASE WHEN x < 2 AND y < 2 THEN d ELSE 0 END) % 256)
+        |    + 114 * ((seed * 13 + (2 + s11) * x + (3 + s13) * y +
+        |        (3 + s7) * x * y +
+        |        CASE WHEN x < 2 AND y < 2 THEN d ELSE 0 END) % 256)
+        |      AS luma
+        |  FROM px
+        |), blk AS (
+        |  SELECT id, (y * 8 // 16) * 8 + (x * 8 // 16) AS bi,
+        |    SUM(luma) AS s, COUNT(*) AS c
+        |  FROM lum GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT id, SUM(s) AS t, SUM(c) AS n FROM blk GROUP BY 1
+        |), bits AS (
+        |  SELECT b.id, b.bi,
+        |    CASE WHEN b.s * t.n > t.t * b.c THEN '1' ELSE '0' END
+        |      AS bit
+        |  FROM blk b JOIN tot t USING (id)
+        |)
+        |SELECT id, TRUE AS decode_ok,
+        |  string_agg(bit, '' ORDER BY bi) AS ahash
+        |FROM bits GROUP BY id
+        |ORDER BY id""".stripMargin,
+
+    // M13 pairs: band join + per-character hamming over the replayed
+    // hash strings; same 64-cap (inactive at gate scales).
+    "q305_image_neardups" ->
+      """WITH ids AS (
+        |  SELECT CAST(p_partkey AS BIGINT) AS id,
+        |    CAST(p_partkey AS BIGINT) AS seed, 0 AS d FROM part
+        |  UNION ALL
+        |  SELECT CAST(p_partkey + 1000000 AS BIGINT),
+        |    CAST(p_partkey AS BIGINT), 8 FROM part
+        |  WHERE p_partkey % 10 = 0
+        |), px AS (
+        |  SELECT id, seed, seed % 11 AS s11, seed % 13 AS s13,
+        |    seed % 7 AS s7, d, x.x, y.y FROM ids,
+        |    (SELECT unnest(range(0, 16)) AS x) x,
+        |    (SELECT unnest(range(0, 16)) AS y) y
+        |), lum AS (
+        |  SELECT id, x, y,
+        |    299 * ((seed * 7 + (1 + s11) * x + (2 + s13) * y +
+        |        (1 + s7) * x * y +
+        |        CASE WHEN x < 2 AND y < 2 THEN d ELSE 0 END) % 256)
+        |    + 587 * ((seed * 11 + (3 + s13) * x + (1 + s11) * y +
+        |        (2 + s7) * x * y +
+        |        CASE WHEN x < 2 AND y < 2 THEN d ELSE 0 END) % 256)
+        |    + 114 * ((seed * 13 + (2 + s11) * x + (3 + s13) * y +
+        |        (3 + s7) * x * y +
+        |        CASE WHEN x < 2 AND y < 2 THEN d ELSE 0 END) % 256)
+        |      AS luma
+        |  FROM px
+        |), blk AS (
+        |  SELECT id, (y * 8 // 16) * 8 + (x * 8 // 16) AS bi,
+        |    SUM(luma) AS s, COUNT(*) AS c
+        |  FROM lum GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT id, SUM(s) AS t, SUM(c) AS n FROM blk GROUP BY 1
+        |), h AS MATERIALIZED (
+        |  SELECT b.id,
+        |    string_agg(CASE WHEN b.s * t.n > t.t * b.c
+        |      THEN '1' ELSE '0' END, '' ORDER BY b.bi) AS ahash
+        |  FROM blk b JOIN tot t USING (id) GROUP BY b.id
+        |), bands AS (
+        |  SELECT id, ahash, ks.k,
+        |    substr(ahash, 1 + 16 * ks.k, 16) AS bv
+        |  FROM h, (SELECT unnest(range(0, 4)) AS k) ks
+        |), cap AS (
+        |  SELECT * FROM (
+        |    SELECT id, ahash, k, bv, row_number() OVER (
+        |      PARTITION BY k, bv ORDER BY id) AS rn
+        |    FROM bands
+        |  ) WHERE rn <= 64
+        |), cand AS (
+        |  SELECT DISTINCT a.id AS id_a, a.ahash AS ha,
+        |    b.id AS id_b, b.ahash AS hb
+        |  FROM cap a JOIN cap b
+        |    ON a.k = b.k AND a.bv = b.bv AND a.id < b.id
+        |), ham AS (
+        |  SELECT id_a, id_b,
+        |    CAST(SUM(CASE WHEN substr(ha, ii.i, 1) <> substr(hb, ii.i, 1)
+        |      THEN 1 ELSE 0 END) AS INT) AS hamming
+        |  FROM cand, (SELECT unnest(range(1, 65)) AS i) ii
+        |  GROUP BY id_a, id_b
+        |)
+        |SELECT id_a, id_b, hamming FROM ham
+        |WHERE hamming <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
     // D22: the EM unroll — generated materialized-CTE chain.
     "q284_linkage_em" -> fsEmOracle(
       iters = 3, m0Micro = 900000L, u0Micro = 100000L,
@@ -7350,6 +7509,71 @@ object PipelineQueries {
       fields = Seq(("p_brand", 0.9), ("p_type", 0.85),
         ("name_head", 0.8)),
       window = 6, limit = 300),
+
+    // D24: blocking audit replay — the q16 LSH chain over the
+    // dup-injected corpus, exact-dup truth pairs, HUGEINT total,
+    // fixed-order double ratios.
+    "q303_blocking_audit" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 50 = 0
+        |), toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM all_docs
+        |), idx AS (
+        |  SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i
+        |  FROM toks
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM idx
+        |), mh AS (
+        |  SELECT doc_id, s.seed,
+        |    min(CAST(('0x' || substr(
+        |      md5(CAST(s.seed AS VARCHAR) || ':' || shingle), 1, 15))
+        |      AS BIGINT)) AS mh
+        |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0,7)) AS seed) s
+        |  GROUP BY doc_id, s.seed
+        |), bands AS (
+        |  SELECT doc_id, seed // 2 AS band,
+        |    string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed) AS sig
+        |  FROM mh GROUP BY doc_id, seed // 2
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS pa, b.doc_id AS pb
+        |  FROM bands a
+        |  JOIN bands b ON a.band = b.band AND a.sig = b.sig
+        |    AND a.doc_id < b.doc_id
+        |), truthp AS (
+        |  SELECT x.doc_id AS pa, y.doc_id AS pb
+        |  FROM all_docs x JOIN all_docs y
+        |    ON md5(x.text) = md5(y.text) AND x.doc_id < y.doc_id
+        |), n1 AS (
+        |  SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_records
+        |  FROM all_docs
+        |), c1 AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cand
+        |), t1 AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truthp
+        |), h1 AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
+        |  FROM cand c JOIN truthp t ON t.pa = c.pa AND t.pb = c.pb
+        |)
+        |SELECT n_records,
+        |  CAST(CAST(n_records AS HUGEINT)
+        |    * CAST(n_records - 1 AS HUGEINT) // 2 AS VARCHAR)
+        |    AS total_pairs,
+        |  n_candidates, n_truth, n_hits,
+        |  ROUND(1.0 - CAST(n_candidates AS DOUBLE)
+        |    / (CASE WHEN n_records >= 2 THEN CAST(n_records AS DOUBLE)
+        |        * (CAST(n_records AS DOUBLE) - 1.0) / 2.0 END), 6)
+        |    AS reduction_ratio,
+        |  ROUND(CAST(n_hits AS DOUBLE)
+        |    / (CASE WHEN n_truth > 0 THEN CAST(n_truth AS DOUBLE) END),
+        |    6) AS pairs_completeness,
+        |  ROUND(CAST(n_hits AS DOUBLE)
+        |    / (CASE WHEN n_candidates > 0
+        |        THEN CAST(n_candidates AS DOUBLE) END), 6)
+        |    AS pairs_quality
+        |FROM n1, c1, t1, h1""".stripMargin,
 
     // Q13: exponential-mechanism DP quantile replay — the shared
     // literal weight table + grid, HUGEINT division-free pick.

@@ -369,4 +369,48 @@ class FuzzyMergeSpec extends AnyFunSuite {
     // field-global estimate (which pools rare mass in)
     assert(waR < w6(0.8, 14.0 / 30.0) + 1e-9)
   }
+
+  test("blockingAudit: hand goldens, canonicalization, NULL guards") {
+    val recs = Seq(1L, 2L, 3L, 4L).toDF("id")
+    // mirror dup (2,1), self pair (5,5), NULL id: all must vanish
+    val cand = Seq(
+      (Some(1L), Some(2L)), (Some(2L), Some(1L)), (Some(3L), Some(4L)),
+      (Some(5L), Some(5L)), (Option.empty[Long], Some(2L)))
+      .toDF("a", "b")
+    val truth = Seq((1L, 2L), (1L, 3L)).toDF("ta", "tb")
+    val got = Fuzzy.blockingAudit(recs, "id", cand, "a", "b",
+        truth, "ta", "tb")
+      .as[(Long, String, Long, Long, Long,
+        Option[Double], Option[Double], Option[Double])]
+      .collect()
+    // n=4 -> total 6; cand {(1,2),(3,4)}; hits {(1,2)}
+    assert(got.toSeq == Seq((4L, "6", 2L, 2L, 1L,
+      Some(0.666667), Some(0.5), Some(0.5))))
+
+    // empty truth -> NULL completeness; empty candidates -> NULL
+    // quality (and RR = 1)
+    val empty = Seq.empty[(Long, Long)].toDF("ta", "tb")
+    val g2 = Fuzzy.blockingAudit(recs, "id", cand, "a", "b",
+        empty, "ta", "tb")
+      .as[(Long, String, Long, Long, Long,
+        Option[Double], Option[Double], Option[Double])]
+      .collect().head
+    assert(g2._4 == 0L && g2._7.isEmpty && g2._8 == Some(0.0))
+    val g3 = Fuzzy.blockingAudit(recs, "id", empty, "ta", "tb",
+        truth, "ta", "tb")
+      .as[(Long, String, Long, Long, Long,
+        Option[Double], Option[Double], Option[Double])]
+      .collect().head
+    assert(g3._3 == 0L && g3._6 == Some(1.0) && g3._7 == Some(0.0) &&
+      g3._8.isEmpty)
+
+    // single record: reduction ratio undefined (NULL), not a throw
+    val one = Seq(11L).toDF("id")
+    val g4 = Fuzzy.blockingAudit(one, "id", empty, "ta", "tb",
+        empty, "ta", "tb")
+      .as[(Long, String, Long, Long, Long,
+        Option[Double], Option[Double], Option[Double])]
+      .collect().head
+    assert(g4._1 == 1L && g4._2 == "0" && g4._6.isEmpty)
+  }
 }

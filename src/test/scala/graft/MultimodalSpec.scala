@@ -281,4 +281,107 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(2L)._7 === out(1L)._7, "peak")
     assert(out(2L)._8 === out(1L)._8, "mean_abs")
   }
+
+  /** Test-side aHash replay: the operator's integer pipeline
+    * recomputed directly from a pixel function. */
+  private def ahashOf(w: Int, h: Int)(
+      px: (Int, Int) => (Int, Int, Int)): String = {
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var tot = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = px(x, y)
+      val luma = 299L * r + 587L * g + 114L * b
+      val i = (y * 8 / h) * 8 + (x * 8 / w)
+      sums(i) += luma; cnts(i) += 1L; tot += luma
+    }
+    val n = w.toLong * h
+    (0 until 64).map(i =>
+      if (sums(i) * n > tot * cnts(i)) '1' else '0').mkString
+  }
+
+  test("imageAHash: black/white golden, constant-image zeros, " +
+      "formula replay, small/undecodable triage") {
+    // left half black, right half white (8x8, one pixel per block):
+    // white pixels are above the global mean, black below
+    val split = Multimodal.bmpFrom(8, 8)((x, _) =>
+      if (x < 4) (0, 0, 0) else (255, 255, 255))
+    val const = Multimodal.bmpFrom(8, 8)((_, _) => (17, 99, 200))
+    val tiny = Multimodal.bmpFrom(4, 4)((_, _) => (1, 2, 3))
+    val junk = Array[Byte](1, 2, 3)
+    val df = Seq((1L, split), (2L, const), (3L, tiny), (4L, junk))
+      .toDF("id", "payload")
+    val got = Multimodal.imageAHash(df, "id", "payload")
+      .as[(Long, Boolean, Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === ((true, Some("00001111" * 8))))
+    assert(got(2L) === ((true, Some("0" * 64))))
+    assert(got(3L) === ((false, None)), "sub-8px image must triage")
+    assert(got(4L) === ((false, None)), "junk bytes must triage")
+
+    // decode path == arithmetic replay on the textured fixtures
+    def basePx(seed: Long)(x: Int, y: Int) = {
+      val s11 = seed % 11; val s13 = seed % 13; val s7 = seed % 7
+      val xy = x.toLong * y
+      (Math.floorMod(seed * 7 + (1 + s11) * x + (2 + s13) * y
+          + (1 + s7) * xy, 256).toInt,
+        Math.floorMod(seed * 11 + (3 + s13) * x + (1 + s11) * y
+          + (2 + s7) * xy, 256).toInt,
+        Math.floorMod(seed * 13 + (2 + s11) * x + (3 + s13) * y
+          + (3 + s7) * xy, 256).toInt)
+    }
+    val fx = Seq(
+      (10L, Multimodal.syntheticBmpTextured(10L, 16, 16)),
+      (11L, Multimodal.syntheticBmpTextured(11L, 16, 16)),
+      (12L, Multimodal.syntheticBmpTexturedVariant(10L, 16, 16, 8, 2, 2)))
+      .toDF("id", "payload")
+    val gfx = Multimodal.imageAHash(fx, "id", "payload")
+      .as[(Long, Boolean, Option[String])].collect()
+      .map(r => r._1 -> r._3.get).toMap
+    assert(gfx(10L) === ahashOf(16, 16)(basePx(10L)))
+    assert(gfx(11L) === ahashOf(16, 16)(basePx(11L)))
+    def varPx(x: Int, y: Int) = {
+      val (r, g, b) = basePx(10L)(x, y)
+      if (x < 2 && y < 2)
+        ((r + 8) % 256, (g + 8) % 256, (b + 8) % 256)
+      else (r, g, b)
+    }
+    assert(gfx(12L) === ahashOf(16, 16)(varPx _))
+  }
+
+  test("imageNearDups: perturbed twin pairs at replayed hamming; " +
+      "triaged payloads never pair") {
+    // seed 10: s11 = 10, s13 = 10, s7 = 3
+    def tex(d0: Long)(x: Int, y: Int) = {
+      val d = if (x < 2 && y < 2) d0 else 0L
+      val xy = x.toLong * y
+      (Math.floorMod(10L * 7 + 11L * x + 12L * y + 4L * xy + d,
+          256).toInt,
+        Math.floorMod(10L * 11 + 13L * x + 11L * y + 5L * xy + d,
+          256).toInt,
+        Math.floorMod(10L * 13 + 12L * x + 13L * y + 6L * xy + d,
+          256).toInt)
+    }
+    val expBase = ahashOf(16, 16)(tex(0L))
+    val expVar = ahashOf(16, 16)(tex(8L))
+    val expHam = expBase.zip(expVar).count { case (a, b) => a != b }
+    val df = Seq(
+      (1L, Multimodal.syntheticBmpTextured(10L, 16, 16)),
+      (2L, Multimodal.syntheticBmpTexturedVariant(10L, 16, 16, 8, 2, 2)),
+      (3L, Multimodal.syntheticBmpTextured(10L, 16, 16)), // exact re-save of 1
+      (4L, Array[Byte](9, 9, 9))) // undecodable: never pairs
+      .toDF("id", "payload")
+    val got = Multimodal.imageNearDups(df, "id", "payload")
+      .as[(Long, Long, Int)].collect().toSeq
+    // the exact re-save pairs at hamming 0 with both twins' partners
+    assert(got.contains((1L, 3L, 0)))
+    if (expHam <= 3) {
+      assert(got.contains((1L, 2L, expHam)))
+      assert(got.contains((2L, 3L, expHam)))
+    } else {
+      assert(!got.exists(p => p._1 == 1L && p._2 == 2L),
+        s"hamming $expHam above maxHamming must be filtered")
+    }
+    assert(!got.exists(p => p._1 == 4L || p._2 == 4L))
+  }
 }
