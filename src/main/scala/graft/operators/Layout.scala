@@ -112,6 +112,97 @@ object Layout {
       .agg(min(col(keyCol)).as("lo"), max(col(keyCol)).as("hi"))
 
   /**
+   * K18 (r12): layout pruning-effectiveness audit — the "did my
+   * range/Z-order layout actually buy file skipping?" readout, run
+   * against the predicates a workload actually issues BEFORE
+   * committing the layout to a 100 TB table (pairs with K10/q131:
+   * those verify the layout's disjointness; this measures what the
+   * disjointness is WORTH per predicate). Per closed range [a, b]:
+   *
+   *  - `files_scanned` / `rows_scanned`: the files whose per-file
+   *    [lo, hi] footprint overlaps the predicate — exactly the set a
+   *    min/max-skipping reader (parquet row groups, Delta/Iceberg
+   *    file stats) must touch;
+   *  - `rows_matching`: the exact answer cardinality (one
+   *    conditional-sum scan serves every predicate);
+   *  - `read_amplification` = rows_scanned / rows_matching — the
+   *    layout-quality number (≈1 is a perfect layout);
+   *  - `pruned_any` = rows_scanned < rows_total, and
+   *    `boundary_bound_ok` = rows_scanned − rows_matching ≤
+   *    2·max_file_rows — for a range-DISJOINT layout only the two
+   *    boundary files can over-read, so this bound holding is the
+   *    sharp invariant that the layout serves range predicates
+   *    optimally (it FAILS on a shuffled layout, where every file
+   *    overlaps everything).
+   *
+   * File footprints are a plan artifact (file count/boundaries may
+   * legally vary), so a driver gate pins the source-derivable
+   * columns (rows_total, rows_matching) plus the two measured
+   * booleans — the q131/q133 measured-vs-promised contract; the
+   * scan-count columns are the human-facing audit surface.
+   *
+   * Scale: ONE file-stats aggregate (|files| rows) + ONE
+   * conditional-sum corpus scan covering all predicates + a
+   * broadcast predicate×file join on the bounded stats table.
+   *
+   * Output: (pred_lo, pred_hi, n_files, files_scanned, rows_total,
+   * rows_scanned, rows_matching, read_amplification, pruned_any,
+   * boundary_bound_ok), one row per predicate, ordered by pred_lo.
+   */
+  def pruningAudit(
+      df: DataFrame, keyCol: String,
+      predicates: Seq[(Long, Long)]): DataFrame = {
+    require(predicates.nonEmpty, "need at least one predicate")
+    predicates.foreach { case (a, b) =>
+      require(a <= b, s"predicate [$a, $b] is empty")
+    }
+    val spark = df.sparkSession
+    val ranges = df
+      .groupBy(input_file_name().as("__f"))
+      .agg(min(col(keyCol)).cast("long").as("__lo"),
+        max(col(keyCol)).cast("long").as("__hi"),
+        count(lit(1)).as("__n"))
+    val preds = broadcast(spark.createDataFrame(
+      predicates.zipWithIndex.map { case ((a, b), i) => (i, a, b) })
+      .toDF("__pid", "pred_lo", "pred_hi"))
+    val scanned = ranges.crossJoin(preds)
+      .groupBy(col("__pid"), col("pred_lo"), col("pred_hi"))
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum(when(col("__lo") <= col("pred_hi") &&
+          col("__hi") >= col("pred_lo"), 1L).otherwise(0L))
+          .as("files_scanned"),
+        sum(col("__n")).as("rows_total"),
+        sum(when(col("__lo") <= col("pred_hi") &&
+          col("__hi") >= col("pred_lo"), col("__n")).otherwise(0L))
+          .as("rows_scanned"),
+        max(col("__n")).as("__maxn"))
+    val matchAggs = predicates.zipWithIndex.map { case ((a, b), i) =>
+      sum(when(col(keyCol) >= lit(a) && col(keyCol) <= lit(b), 1L)
+        .otherwise(0L)).as(s"__m$i")
+    }
+    val matches = df.agg(matchAggs.head, matchAggs.tail: _*)
+      .select(explode(array(predicates.indices.map(i =>
+        struct(lit(i).as("__pid"), col(s"__m$i").as("rows_matching"))): _*))
+        .as("__p"))
+      .select(col("__p.__pid"), col("__p.rows_matching"))
+    scanned
+      .join(broadcast(matches), "__pid")
+      .select(
+        col("pred_lo"), col("pred_hi"), col("n_files"),
+        col("files_scanned"), col("rows_total"), col("rows_scanned"),
+        col("rows_matching"),
+        round(col("rows_scanned").cast("double") /
+          when(col("rows_matching") > 0L,
+            col("rows_matching").cast("double")), 6)
+          .as("read_amplification"),
+        (col("rows_scanned") < col("rows_total")).as("pruned_any"),
+        (col("rows_scanned") - col("rows_matching") <=
+          lit(2L) * col("__maxn")).as("boundary_bound_ok"))
+      .orderBy("pred_lo", "pred_hi")
+  }
+
+  /**
    * Training-shard export — the step that turns a curated corpus into
    * the artifact a sequential trainer consumes: rows gain their
    * round-robin interleave emission position

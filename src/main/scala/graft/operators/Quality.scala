@@ -1346,6 +1346,114 @@ object Quality {
         round((covn * covn) / (varxn * varyn), 6)).as("var_reduction"))
   }
 
+  /**
+   * E44 (r12): WINSORIZED mean A/B readout — the capped-metric test
+   * every experimentation platform runs on heavy-tailed metrics
+   * (spend, latency, tokens): a single whale in one arm moves a raw
+   * mean test arbitrarily; clamping both arms at the POOLED
+   * [loQ, hiQ] nearest-rank edges bounds any unit's influence while
+   * keeping the metric on its original scale (unlike E27's rank
+   * test, which discards magnitudes). Pooling the edges is the
+   * standard practice — computing per-arm edges would let the
+   * treatment shift its own clamp and bias the contrast.
+   *
+   * Input contract: `valueMicroCol` already on the INTEGER
+   * MICRO-UNIT grid (floor(value·10⁶) — the house floor-grid
+   * primitive), so edges are exact data values (nearest-rank at row
+   * ceil(q·n) per key, the E10/q120 integer-rank recipe — never an
+   * interpolated percentile) and the clamp is pure long arithmetic.
+   *
+   * Exactness: winsorized sums and squares accumulate in exact
+   * DECIMAL(38,0) (products decimal×decimal); the finish is ONE
+   * fixed IEEE chain per readout — Welch z =
+   * (ma − mb)/√(va/na + vb/nb) with sample variances from the
+   * n·Σx² − (Σx)² form, z round(6), p = [[normalTwoSidedP]] on the
+   * rounded z (the [[abTestBy]] contract). z is SIGNED — the oracle
+   * carries `+ 0.0`. Degenerate segments (an arm with < 2 rows, or
+   * zero pooled winsorized variance) emit NULL z/p — untestable,
+   * distinct from p = 1.
+   *
+   * Scale: ONE key exchange serves the rank window, the edge
+   * extraction, and (after the broadcast edge join) the per-arm
+   * aggregate; per-key state is that key's sort — the
+   * exact-percentile price ([[winsorizeAudit]]'s documented trade;
+   * swap approx edges in upstream at 100 TB when ±ε is acceptable).
+   *
+   * Output: (keys…, n_a, n_b, lo, hi, n_clip_lo, n_clip_hi,
+   * mean_w_a, mean_w_b, diff_w, z, p_value) — lo/hi/means/diff in
+   * display units (µ/10⁶, round 6).
+   */
+  def winsorizedMeanReadout(
+      df: DataFrame, keyCols: Seq[String], armCol: Column,
+      valueMicroCol: Column, loQ: Double = 0.01, hiQ: Double = 0.99)
+      : DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    require(loQ > 0.0 && hiQ < 1.0 && loQ < hiQ,
+      s"need 0 < loQ < hiQ < 1, got ($loQ, $hiQ)")
+    import org.apache.spark.sql.expressions.Window
+    val d18 = org.apache.spark.sql.types.DecimalType(18, 0)
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = df
+      .where(armCol.isNotNull && valueMicroCol.isNotNull)
+      .select(keyCols.map(col) :+ armCol.as("__a") :+
+        valueMicroCol.cast("long").as("__v"): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__v"))
+    val wAll = Window.partitionBy(keyCols.map(col): _*)
+    val edges = base
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .where(col("__rn") === greatest(lit(1L), ceil(lit(loQ) * col("__n"))) ||
+        col("__rn") === least(col("__n"), ceil(lit(hiQ) * col("__n"))))
+      .groupBy(keyCols.map(col): _*)
+      .agg(min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
+    val wv = least(greatest(col("__v"), col("__lo")), col("__hi"))
+    val agg = base
+      .join(broadcast(edges), keyCols)
+      .withColumn("__w", wv)
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        sum(when(col("__a"), 1L).otherwise(0L)).as("na"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("nb"),
+        min(col("__lo")).as("lo_u"),
+        max(col("__hi")).as("hi_u"),
+        sum(when(col("__v") < col("__lo"), 1L).otherwise(0L))
+          .as("n_clip_lo"),
+        sum(when(col("__v") > col("__hi"), 1L).otherwise(0L))
+          .as("n_clip_hi"),
+        sum(when(col("__a"), col("__w").cast(d18))
+          .otherwise(lit(0).cast(d18))).cast(d38).as("sa"),
+        sum(when(!col("__a"), col("__w").cast(d18))
+          .otherwise(lit(0).cast(d18))).cast(d38).as("sb"),
+        sum(when(col("__a"), col("__w").cast(d18) * col("__w").cast(d18))
+          .otherwise(lit(0).cast(d38))).cast(d38).as("qa"),
+        sum(when(!col("__a"), col("__w").cast(d18) * col("__w").cast(d18))
+          .otherwise(lit(0).cast(d38))).cast(d38).as("qb"))
+    def d(c: String) = col(c).cast("double")
+    val ma = d("sa") / d("na")
+    val mb = d("sb") / d("nb")
+    val van = d("na") * d("qa") - d("sa") * d("sa")
+    val vbn = d("nb") * d("qb") - d("sb") * d("sb")
+    val va = van / (d("na") * (d("na") - lit(1.0)))
+    val vb = vbn / (d("nb") * (d("nb") - lit(1.0)))
+    val se = sqrt(va / d("na") + vb / d("nb"))
+    val z = when(col("na") >= 2L && col("nb") >= 2L && se > 0.0,
+      round((ma - mb) / se, 6))
+    agg.select(
+      keyCols.map(col) ++ Seq(
+        col("na").as("n_a"), col("nb").as("n_b"),
+        round(col("lo_u").cast("double") / lit(1000000.0), 6).as("lo"),
+        round(col("hi_u").cast("double") / lit(1000000.0), 6).as("hi"),
+        col("n_clip_lo"), col("n_clip_hi"),
+        when(col("na") > 0L, round(ma / lit(1000000.0), 6))
+          .as("mean_w_a"),
+        when(col("nb") > 0L, round(mb / lit(1000000.0), 6))
+          .as("mean_w_b"),
+        when(col("na") > 0L && col("nb") > 0L,
+          round((ma - mb) / lit(1000000.0), 6)).as("diff_w"),
+        z.as("z"),
+        round(normalTwoSidedP(z), 6).as("p_value")): _*)
+  }
+
   def abTest(df: DataFrame, aCol: Column, convCol: Column): DataFrame = {
     val agg = df
       .where(aCol.isNotNull && convCol.isNotNull)

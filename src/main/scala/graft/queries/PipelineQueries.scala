@@ -4040,6 +4040,21 @@ object PipelineQueries {
         .orderBy("event_type")
     }),
 
+    // E44 (round 12): winsorized mean A/B readout — per event_type,
+    // the user_id%3 arm contrast on floor-grid micro-values clamped
+    // at the POOLED [5%, 95%] nearest-rank edges; Welch z + p on the
+    // capped metric. Clamps genuinely bite on the heavy-ish value
+    // tail.
+    "q306_winsorized_readout" -> ((s, dir) => {
+      graft.operators.Quality.winsorizedMeanReadout(
+          t(s, dir, "events")
+            .where(col("user_id").isNotNull && col("value").isNotNull),
+          Seq("event_type"), col("user_id") % 3 === 0,
+          floor(col("value") * 1000000).cast("long"),
+          loQ = 0.05, hiQ = 0.95)
+        .orderBy("event_type")
+    }),
+
     // D24 (round 12): blocking-quality audit — the q16 LSH blocker
     // evaluated against exact-duplicate ground truth on the
     // dup-injected corpus: reduction ratio (how much of the n(n-1)/2
@@ -7509,6 +7524,94 @@ object PipelineQueries {
       fields = Seq(("p_brand", 0.9), ("p_type", 0.85),
         ("name_head", 0.8)),
       window = 6, limit = 300),
+
+    // E44: winsorized readout replay — q120's nearest-rank pooled
+    // edges on the micro grid, decimal winsorized moments, the
+    // op-for-op Welch finish + erf-polynomial p on the rounded z.
+    "q306_winsorized_readout" ->
+      """WITH base AS (
+        |  SELECT event_type, (user_id % 3 = 0) AS a,
+        |    CAST(floor("value" * 1000000) AS BIGINT) AS v
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND "value" IS NOT NULL
+        |), r AS (
+        |  SELECT event_type, v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM base
+        |), e AS (
+        |  SELECT event_type, MIN(v) AS lo_u, MAX(v) AS hi_u
+        |  FROM r
+        |  WHERE rn = greatest(1, CAST(ceil(0.05 * n) AS BIGINT))
+        |     OR rn = least(n, CAST(ceil(0.95 * n) AS BIGINT))
+        |  GROUP BY 1
+        |), wz AS (
+        |  SELECT b.event_type, b.a, b.v, e.lo_u, e.hi_u,
+        |    LEAST(GREATEST(b.v, e.lo_u), e.hi_u) AS w
+        |  FROM base b JOIN e USING (event_type)
+        |), agg AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nb,
+        |    MIN(lo_u) AS lo_u, MAX(hi_u) AS hi_u,
+        |    CAST(SUM(CASE WHEN v < lo_u THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_clip_lo,
+        |    CAST(SUM(CASE WHEN v > hi_u THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_clip_hi,
+        |    CAST(SUM(CASE WHEN a THEN CAST(w AS DECIMAL(18,0))
+        |      ELSE CAST(0 AS DECIMAL(18,0)) END) AS DECIMAL(38,0))
+        |      AS sa,
+        |    CAST(SUM(CASE WHEN NOT a THEN CAST(w AS DECIMAL(18,0))
+        |      ELSE CAST(0 AS DECIMAL(18,0)) END) AS DECIMAL(38,0))
+        |      AS sb,
+        |    CAST(SUM(CASE WHEN a THEN
+        |        CAST(w AS DECIMAL(18,0)) * CAST(w AS DECIMAL(18,0))
+        |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0))
+        |      AS qa,
+        |    CAST(SUM(CASE WHEN NOT a THEN
+        |        CAST(w AS DECIMAL(18,0)) * CAST(w AS DECIMAL(18,0))
+        |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0))
+        |      AS qb
+        |  FROM wz GROUP BY 1
+        |), fin AS (
+        |  SELECT event_type, na, nb, lo_u, hi_u, n_clip_lo, n_clip_hi,
+        |    CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
+        |    CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb,
+        |    sqrt(
+        |      ((CAST(na AS DOUBLE) * CAST(qa AS DOUBLE)
+        |          - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+        |        / (CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - 1.0)))
+        |        / CAST(na AS DOUBLE)
+        |      + ((CAST(nb AS DOUBLE) * CAST(qb AS DOUBLE)
+        |          - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))
+        |        / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0)))
+        |        / CAST(nb AS DOUBLE)) AS se
+        |  FROM agg
+        |), zt AS (
+        |  SELECT *, CASE WHEN na >= 2 AND nb >= 2 AND se > 0.0
+        |    THEN round((ma - mb) / se, 6) + 0.0 END AS z
+        |  FROM fin
+        |), pt AS (
+        |  SELECT *, abs(z) / sqrt(2.0) AS x,
+        |    1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS t
+        |  FROM zt
+        |)
+        |SELECT event_type, na AS n_a, nb AS n_b,
+        |  round(CAST(lo_u AS DOUBLE) / 1000000.0, 6) AS lo,
+        |  round(CAST(hi_u AS DOUBLE) / 1000000.0, 6) AS hi,
+        |  n_clip_lo, n_clip_hi,
+        |  CASE WHEN na > 0 THEN round(ma / 1000000.0, 6) END
+        |    AS mean_w_a,
+        |  CASE WHEN nb > 0 THEN round(mb / 1000000.0, 6) END
+        |    AS mean_w_b,
+        |  CASE WHEN na > 0 AND nb > 0 THEN
+        |    round((ma - mb) / 1000000.0, 6) + 0.0 END AS diff_w,
+        |  z,
+        |  round(t * (0.254829592 + t * (-0.284496736 +
+        |    t * (1.421413741 + t * (-1.453152027 +
+        |      t * 1.061405429)))) * exp(-(x * x)), 6) AS p_value
+        |FROM pt ORDER BY event_type""".stripMargin,
 
     // D24: blocking audit replay — the q16 LSH chain over the
     // dup-injected corpus, exact-dup truth pairs, HUGEINT total,

@@ -922,6 +922,26 @@ object RelationalQueries {
         .crossJoin(overlaps)
     }),
 
+    // K18 (round 12): pruning-effectiveness audit over the q131
+    // range-sorted layout — per workload predicate the exact match
+    // count plus the two measured-vs-promised invariants (some
+    // pruning happened for narrow/empty predicates, and only the
+    // boundary files over-read on a disjoint layout). The scan-count
+    // columns are plan artifacts and stay out of the gate (q131
+    // contract); the full-table predicate pins pruned_any = FALSE.
+    "q307_pruning_audit" -> ((s, dir) => {
+      val dest = scratchDir("layout_q307").toString
+      val li = t(s, dir, "lineitem")
+      graft.operators.Layout.rangeSortedWrite(
+        li, dest, Seq("l_orderkey"), numFiles = 8)
+      val back = s.read.parquet(dest)
+      graft.operators.Layout.pruningAudit(back, "l_orderkey",
+          Seq((1L, 100L), (500L, 1500L), (1L, 2000000000L),
+            (3000000000L, 3000000100L)))
+        .select("pred_lo", "pred_hi", "rows_total", "rows_matching",
+          "pruned_any", "boundary_bound_ok")
+    }),
+
     // Z-order layout write + read-back audit — Layout.zorderWrite's
     // oracle slice, same contract shape as q131: row/checksum
     // conservation plus zero overlapping per-file Z-VALUE ranges
@@ -2469,6 +2489,38 @@ object RelationalQueries {
         |  min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
         |  CAST(0 AS BIGINT) AS overlap_pairs
         |FROM lineitem""".stripMargin,
+
+    // K18: exact per-predicate match counts from the source table +
+    // the promised invariants (narrow/empty predicates prune, the
+    // full-table one does not, boundary bound holds on a disjoint
+    // layout).
+    "q307_pruning_audit" ->
+      """WITH m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS rows_total,
+        |    CAST(SUM(CASE WHEN l_orderkey BETWEEN 1 AND 100
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS m0,
+        |    CAST(SUM(CASE WHEN l_orderkey BETWEEN 500 AND 1500
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+        |    CAST(SUM(CASE WHEN l_orderkey BETWEEN 1 AND 2000000000
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS m2,
+        |    CAST(SUM(CASE WHEN l_orderkey
+        |      BETWEEN 3000000000 AND 3000000100
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS m3
+        |  FROM lineitem
+        |)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS pred_lo,
+        |    CAST(100 AS BIGINT) AS pred_hi, rows_total,
+        |    m0 AS rows_matching, TRUE AS pruned_any,
+        |    TRUE AS boundary_bound_ok FROM m
+        |  UNION ALL
+        |  SELECT 500, 1500, rows_total, m1, TRUE, TRUE FROM m
+        |  UNION ALL
+        |  SELECT 1, 2000000000, rows_total, m2, FALSE, TRUE FROM m
+        |  UNION ALL
+        |  SELECT 3000000000, 3000000100, rows_total, m3, TRUE, TRUE
+        |  FROM m
+        |) ORDER BY pred_lo, pred_hi""".stripMargin,
 
     "q132_zorder_layout" ->
       """SELECT CAST(count(*) AS BIGINT) AS total_rows,

@@ -55,6 +55,47 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingExactDedup withinWatermark: TTL state — duplicates " +
+      "drop inside the horizon, re-emit after eviction") {
+    // X19: dropDuplicatesWithinWatermark vs the infinite-state
+    // default. State for a content hash lives only until the
+    // watermark passes its event time + delay; a re-send AFTER
+    // eviction is a NEW row (the bounded-state contract a forever
+    // stream needs), while dropDuplicates would suppress it forever.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val deduped = EventStreams.streamingExactDedup(
+      input.toDF.toDF("doc_id", "ts", "text")
+        .withWatermark("ts", "1 hour"),
+      "text", withinWatermark = true)
+    val q = deduped.writeStream
+      .format("memory").queryName("stream_dedup_wm")
+      .outputMode("append").start()
+    try {
+      // base at 1h: a ts-0 first row would sit ON the initial
+      // watermark (0) and be dropped as late before dedup sees it
+      input.addData((1L, ts(3600), "alpha"), (2L, ts(3660), "beta"))
+      q.processAllAvailable()
+      // within the 1h horizon: duplicate alpha drops
+      input.addData((3L, ts(4200), "alpha"))
+      q.processAllAvailable()
+      // advance the watermark far past alpha's ts + 1h, evicting its
+      // dedup state ...
+      input.addData((4L, ts(5 * 3600), "gamma"))
+      q.processAllAvailable()
+      // ... then re-send alpha with a fresh event time: state is
+      // gone, so it re-emits (the infinite-state path would drop it)
+      input.addData((5L, ts(5 * 3600 + 60), "alpha"))
+      q.processAllAvailable()
+      val rows = spark.table("stream_dedup_wm")
+        .as[(Long, Timestamp, String)].collect().sortBy(_._1)
+      assert(rows.map(_._1).toSeq === Seq(1L, 2L, 4L, 5L),
+        rows.mkString(","))
+      assert(rows.count(_._3 == "alpha") === 2,
+        "post-eviction re-send must re-emit")
+    } finally q.stop()
+  }
+
   test("sessionize closes sessions on in-batch gaps and on event-time timeout") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Timestamp)]

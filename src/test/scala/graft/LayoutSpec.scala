@@ -53,6 +53,46 @@ class LayoutSpec extends AnyFunSuite {
     assert(spans.max < 10007 / 4, s"file span too wide: ${spans.max}")
   }
 
+  test("pruningAudit: sorted layout prunes narrow/empty predicates " +
+      "and holds the boundary bound; a shuffled layout fails it") {
+    val sorted = tmp("layout-prune-sorted")
+    val df = (1L to 1000L).toDF("k")
+    Layout.rangeSortedWrite(df, sorted, Seq("k"), numFiles = 4)
+    val got = Layout.pruningAudit(spark.read.parquet(sorted), "k",
+        Seq((1L, 10L), (1L, 5000L), (9000L, 9100L)))
+      .as[(Long, Long, Long, Long, Long, Long, Long,
+        Option[Double], Boolean, Boolean)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    // narrow predicate: exact matches, scans a strict file subset,
+    // only boundary files over-read
+    val narrow = got((1L, 10L))
+    assert(narrow._5 == 1000L && narrow._7 == 10L)
+    assert(narrow._4 < narrow._3, "must scan fewer files than exist")
+    assert(narrow._6 < 1000L && narrow._9, "pruned_any")
+    assert(narrow._10, "boundary bound must hold on a sorted layout")
+    assert(narrow._8.exists(_ >= 1.0))
+    // full-cover predicate: no pruning, amplification exactly 1
+    val full = got((1L, 5000L))
+    assert(full._6 == 1000L && full._7 == 1000L && !full._9)
+    assert(full._8 == Some(1.0) && full._10)
+    // empty predicate beyond the domain: zero scan, NULL amplification
+    val empty = got((9000L, 9100L))
+    assert(empty._4 == 0L && empty._6 == 0L && empty._7 == 0L)
+    assert(empty._8.isEmpty && empty._9 && empty._10)
+
+    // shuffled layout: every file overlaps the narrow predicate, so
+    // the boundary bound FAILS — the audit detects a useless layout
+    val shuffled = tmp("layout-prune-shuffled")
+    df.repartition(4).write.mode("overwrite").parquet(shuffled)
+    val bad = Layout.pruningAudit(spark.read.parquet(shuffled), "k",
+        Seq((1L, 10L)))
+      .as[(Long, Long, Long, Long, Long, Long, Long,
+        Option[Double], Boolean, Boolean)]
+      .collect().head
+    assert(bad._6 == 1000L, "round-robin files all overlap")
+    assert(!bad._10, "boundary bound must fail on a shuffled layout")
+  }
+
   test("interleavedShardWrite: files tile the emission order; content conserved") {
     val dest = tmp("layout-shard")
     val docs = (1 to 300).map(i =>

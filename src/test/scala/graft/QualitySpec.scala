@@ -1453,6 +1453,56 @@ class QualitySpec extends AnyFunSuite {
     assert(other !== gotBig)
   }
 
+  test("winsorizedMeanReadout: pooled-edge clamp golden, Welch z " +
+      "replay, degenerate arms NULL") {
+    // key k: arm A = [0, 10, 20, 30, 1000(whale)], B = [10,20,30,40]
+    // pooled sorted (n=9): 0,10,10,20,20,30,30,40,1000
+    // edges at ceil(.2*9)=2 -> 10 and ceil(.8*9)=8 -> 40
+    val rows = Seq(
+      ("k", true, 0L), ("k", true, 10L), ("k", true, 20L),
+      ("k", true, 30L), ("k", true, 1000L),
+      ("k", false, 10L), ("k", false, 20L), ("k", false, 30L),
+      ("k", false, 40L))
+    val df = rows.toDF("key", "arm", "v")
+    val got = Quality.winsorizedMeanReadout(df, Seq("key"),
+        col("arm"), col("v"), loQ = 0.2, hiQ = 0.8)
+      .as[(String, Long, Long, Double, Double, Long, Long,
+        Option[Double], Option[Double], Option[Double],
+        Option[Double], Option[Double])]
+      .collect().head
+    assert(got._2 == 5L && got._3 == 4L)
+    assert(got._4 == 1.0e-5 && got._5 == 4.0e-5) // lo/hi in units
+    assert(got._6 == 1L && got._7 == 1L) // one clip each side
+    // winsorized: A -> 10,10,20,30,40 (mean 22µ), B unchanged (25µ)
+    assert(got._8 == Some(2.2e-5) && got._9 == Some(2.5e-5))
+    assert(got._10 == Some(-3.0e-6))
+    // Welch replay with the operator's exact double chain
+    val va = (5.0 * 3100.0 - 110.0 * 110.0) / (5.0 * 4.0)
+    val vb = (4.0 * 3000.0 - 100.0 * 100.0) / (4.0 * 3.0)
+    val se = math.sqrt(va / 5.0 + vb / 4.0)
+    val zExp = BigDecimal((22.0 - 25.0) / se)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got._11 == Some(zExp))
+    val x = math.abs(zExp) / math.sqrt(2.0)
+    val t = 1.0 / (1.0 + 0.3275911 * x)
+    val pExp = BigDecimal(t * (0.254829592 + t * (-0.284496736 +
+      t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))) *
+      math.exp(-(x * x)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got._12 == Some(pExp))
+
+    // single-row arm and constant values: untestable, never NaN
+    val degen = Seq(("d", true, 5L), ("d", false, 5L),
+      ("d", false, 5L)).toDF("key", "arm", "v")
+    val g2 = Quality.winsorizedMeanReadout(degen, Seq("key"),
+        col("arm"), col("v"), loQ = 0.2, hiQ = 0.8)
+      .as[(String, Long, Long, Double, Double, Long, Long,
+        Option[Double], Option[Double], Option[Double],
+        Option[Double], Option[Double])]
+      .collect().head
+    assert(g2._8 == Some(5.0e-6) && g2._11.isEmpty && g2._12.isEmpty)
+  }
+
   test("dpQuantileRelease: weight table shape; hand-replayed pick; " +
       "all-NULL uniform; argmax at high epsilon; determinism") {
     // weight table: full mass at util 0, strictly non-increasing,
