@@ -1069,4 +1069,64 @@ object TextAnalysis {
         regexp_replace(text, piiEmail, "<EMAIL>"),
         piiIpv4, "<IP>"),
       piiDigitRun, "<NUM>")
+
+  /**
+   * T58 (r12): readability scoring — the Flesch reading-ease shape
+   * every curation stack keeps alongside the Gopher-style quality
+   * signals (T4): reading grade separates reference prose from
+   * keyword-stuffed boilerplate and ESL-simplified text in ways
+   * stopword/length ratios miss, and it is THE standard dial for
+   * "match the pretraining mix to the eval audience".
+   *
+   * Heuristics, engine-portable by construction (counts are regexp
+   * totals in the RE2 ∩ Java ∩ PCRE common subset — the Q11 regex
+   * discipline):
+   *  - words = whitespace tokens (the house convention);
+   *  - sentences = runs of [.!?]+;
+   *  - syllables = vowel-group runs [aeiouy]+ over the lowercased
+   *    text — the classic approximation (no silent-e or min-1-per-
+   *    word rules: those need per-word loops for a correction
+   *    smaller than the heuristic's own error).
+   *
+   * flesch = 206.835 − 1.015·(W/S) − 84.6·(Syl/W) — two guarded
+   * IEEE divisions + the fixed linear chain, round(6). SIGNED
+   * (dense text goes negative) — oracle side carries `+ 0.0`.
+   * Degenerate docs never throw: W = 0 → all rates NULL; S = 0 →
+   * NULL words_per_sentence and flesch (distinct from "hard to
+   * read"  — the unpunctuated-corpus triage branch).
+   *
+   * Scale: pure per-row projection over one scan — no shuffle, no
+   * state; composes into any curation pass at zero extra cost.
+   *
+   * Output: (idCol, n_words, n_sentences, n_syllables,
+   * words_per_sentence, syllables_per_word, flesch).
+   */
+  def readabilityScores(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = when(length(col(textCol)) > 0,
+      size(split(col(textCol), " "))).otherwise(lit(0)).cast("long")
+    val s = size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0)))
+      .cast("long")
+    val syl = size(regexp_extract_all(lower(col(textCol)),
+      lit("[aeiouy]+"), lit(0))).cast("long")
+    docs
+      .where(col(textCol).isNotNull)
+      .select(col(idCol), w.as("n_words"), s.as("n_sentences"),
+        syl.as("n_syllables"))
+      .withColumn("words_per_sentence",
+        round(col("n_words").cast("double") /
+          when(col("n_sentences") > 0L,
+            col("n_sentences").cast("double")), 6))
+      .withColumn("syllables_per_word",
+        round(col("n_syllables").cast("double") /
+          when(col("n_words") > 0L, col("n_words").cast("double")), 6))
+      .withColumn("flesch",
+        round(lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double") /
+            when(col("n_sentences") > 0L,
+              col("n_sentences").cast("double")))
+          - lit(84.6) * (col("n_syllables").cast("double") /
+            when(col("n_words") > 0L, col("n_words").cast("double"))),
+          6))
+  }
 }

@@ -2620,6 +2620,23 @@ object PipelineQueries {
         .orderBy("user_id", "event_id", "right_event_id")
     }),
 
+    // X20 (round 12): the LEFT OUTER interval join's batch twin —
+    // q168's purchase←view attribution shape with unmatched
+    // purchases KEPT (NULL right columns): the organic-conversion
+    // rows an inner join cannot produce. A 1h lookback (vs q168's
+    // 4h) leaves a real unmatched population at every scale.
+    "q308_interval_join_outer_twin" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.streaming.EventStreams.intervalJoinOuter(
+          ev.where(col("event_type") === "purchase")
+            .select(col("user_id"), col("ts"), col("event_id")),
+          ev.where(col("event_type") === "view")
+            .select(col("user_id"), col("ts"), col("event_id")),
+          "user_id", "ts", "ts",
+          maxDelaySeconds = 3600, watermarkDelay = "10 minutes")
+        .orderBy("user_id", "event_id", "right_event_id")
+    }),
+
     // X13's batch twin (the q160/q161 program): the streaming
     // attribution fold on the batch frame — flatMapGroupsWithState
     // folds each user once with empty state, reproducing
@@ -4038,6 +4055,17 @@ object PipelineQueries {
           grid = (0L to 512L by 16L), qNum = 1, qDen = 2,
           epsilon = 1.0, seed = 45L, clampUtil = 400)
         .orderBy("event_type")
+    }),
+
+    // T58 (round 12): Flesch readability over the corpus with
+    // sentence boundaries injected deterministically (the fixture
+    // has no punctuation: 'batch' -> 'batch.'), leaving batch-less
+    // docs to pin the NULL unpunctuated branch.
+    "q309_readability" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        expr("replace(text, 'batch', 'batch.')").as("text"))
+      TextAnalysis.readabilityScores(docs, "doc_id", "text")
+        .orderBy("doc_id")
     }),
 
     // E44 (round 12): winsorized mean A/B readout — per event_type,
@@ -6170,6 +6198,21 @@ object PipelineQueries {
         | AND r.ts >= l.ts - INTERVAL 14400 SECOND AND r.ts <= l.ts
         |ORDER BY l.user_id, l.event_id, right_event_id""".stripMargin,
 
+    // X20: the outer twin replay — LEFT JOIN with the interval
+    // predicate in the ON clause (filters in WHERE would drop the
+    // NULL rows the outer join exists to keep).
+    "q308_interval_join_outer_twin" ->
+      """SELECT l.user_id, l.ts, l.event_id,
+        |  r.ts AS right_ts, r.event_id AS right_event_id
+        |FROM (SELECT user_id, ts, event_id FROM events
+        |      WHERE event_type = 'purchase') l
+        |LEFT JOIN (SELECT user_id, ts, event_id FROM events
+        |      WHERE event_type = 'view') r
+        |  ON r.user_id = l.user_id
+        | AND r.ts >= l.ts - INTERVAL 3600 SECOND AND r.ts <= l.ts
+        |ORDER BY l.user_id NULLS FIRST, l.event_id NULLS FIRST,
+        |  right_event_id NULLS FIRST""".stripMargin,
+
     // Replays the identical floor-grid integer co-moments (HUGEINT
     // sums are exact like the engine's DECIMAL(38,0)) and the same
     // fixed double-op finish; exact-integer → double conversion is
@@ -7524,6 +7567,39 @@ object PipelineQueries {
       fields = Seq(("p_brand", 0.9), ("p_type", 0.85),
         ("name_head", 0.8)),
       window = 6, limit = 300),
+
+    // T58: readability replay — identical regexp totals (RE2-common
+    // patterns), guarded divisions, fixed linear chain; flesch is
+    // signed -> + 0.0.
+    "q309_readability" ->
+      """WITH d AS (
+        |  SELECT doc_id, replace(text, 'batch', 'batch.') AS text
+        |  FROM documents WHERE text IS NOT NULL
+        |), c AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN length(text) > 0
+        |      THEN len(string_split(text, ' ')) ELSE 0 END AS BIGINT)
+        |      AS n_words,
+        |    CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)
+        |      AS n_sentences,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      AS BIGINT) AS n_syllables
+        |  FROM d
+        |)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  CASE WHEN n_sentences > 0 THEN
+        |    round(CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE),
+        |      6) END AS words_per_sentence,
+        |  CASE WHEN n_words > 0 THEN
+        |    round(CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE),
+        |      6) END AS syllables_per_word,
+        |  CASE WHEN n_sentences > 0 AND n_words > 0 THEN
+        |    round(206.835
+        |      - 1.015 * (CAST(n_words AS DOUBLE)
+        |        / CAST(n_sentences AS DOUBLE))
+        |      - 84.6 * (CAST(n_syllables AS DOUBLE)
+        |        / CAST(n_words AS DOUBLE)), 6) + 0.0 END AS flesch
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // E44: winsorized readout replay — q120's nearest-rank pooled
     // edges on the micro grid, decimal winsorized moments, the

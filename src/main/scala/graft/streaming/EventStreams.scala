@@ -292,6 +292,56 @@ object EventStreams extends Serializable {
   }
 
   /**
+   * X20 (r12): stream-stream LEFT OUTER interval join — X6
+   * ([[intervalJoin]]) with unmatched LEFT rows KEPT: the
+   * attribution shape where a conversion with no qualifying
+   * touchpoint must still surface (NULL right columns) instead of
+   * silently vanishing — in funnel math the unattributed conversions
+   * ARE the number (organic rate), and an inner join can't produce
+   * them.
+   *
+   * Streaming semantics (Structured Streaming's outer-join
+   * contract): a left row's NULL-padded emission waits until the
+   * watermark proves no in-interval right row can still arrive —
+   * state for both sides is bounded by the same
+   * watermark + time-bound condition as X6, and the null emission is
+   * DELAYED, not dropped (spec-pinned). Batch parity: on batch
+   * frames the watermark no-ops and this is a plain left outer join
+   * with the interval predicate — the q168 twin pattern, DuckDB-
+   * replayable.
+   *
+   * Same column contract as X6: right columns prefixed `right_`,
+   * the join key kept once.
+   */
+  def intervalJoinOuter(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTsCol: String,
+      rightTsCol: String,
+      maxDelaySeconds: Long,
+      watermarkDelay: String): DataFrame = {
+    val l = left.withWatermark(leftTsCol, watermarkDelay)
+    // The right key is RENAMED before the join (not dropped after):
+    // in a self-join, r(keyCol) resolves ambiguously by dataset id
+    // and can drop the LEFT key instead — which an inner join hides
+    // (matched keys are equal) but an outer join exposes as NULL
+    // keys on every unmatched row.
+    val r = right
+      .withColumnsRenamed(
+        right.columns.map(c => c -> s"right_$c").toMap)
+      .withWatermark(s"right_$rightTsCol", watermarkDelay)
+    val rightTs = col(s"right_$rightTsCol")
+    l.join(
+      r,
+      l(keyCol) === col(s"right_$keyCol") &&
+        rightTs >= l(leftTsCol) - expr(s"INTERVAL $maxDelaySeconds SECONDS") &&
+        rightTs <= l(leftTsCol),
+      "left_outer")
+      .drop(s"right_$keyCol")
+  }
+
+  /**
    * Stream-static broadcast enrichment — the workhorse streaming
    * join: an unbounded fact stream LEFT-joined to a bounded
    * dimension on an equi-key, the dimension broadcast so the stream

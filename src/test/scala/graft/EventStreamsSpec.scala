@@ -159,6 +159,45 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("intervalJoinOuter: matches emit; unmatched left NULL-pads " +
+      "only after the watermark closes its interval") {
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[(Long, Timestamp)]
+    val views = MemoryStream[(Long, Timestamp, String)]
+    val joined = EventStreams.intervalJoinOuter(
+      purchases.toDF.toDF("user_id", "click_ts"),
+      views.toDF.toDF("user_id", "imp_ts", "campaign"),
+      keyCol = "user_id", leftTsCol = "click_ts", rightTsCol = "imp_ts",
+      maxDelaySeconds = 10, watermarkDelay = "5 seconds")
+    val q = joined.writeStream
+      .format("memory").queryName("ijo_out").outputMode("append").start()
+    try {
+      views.addData((1L, ts(100), "camp_a"))
+      purchases.addData((1L, ts(105)), (2L, ts(106)))
+      q.processAllAvailable()
+      // user 2 has no view: its NULL row must NOT emit yet — a
+      // qualifying view could still arrive under the watermark
+      val early = spark.table("ijo_out")
+        .select("user_id", "right_campaign").as[(Long, Option[String])]
+        .collect().toSet
+      assert(!early.contains((2L, None)),
+        s"null row emitted before the watermark closed: $early")
+      // advance both watermarks far past 106 + delay
+      views.addData((9L, ts(300), "camp_z"))
+      purchases.addData((9L, ts(300)))
+      q.processAllAvailable()
+      purchases.addData((10L, ts(400)))
+      views.addData((10L, ts(400), "camp_y"))
+      q.processAllAvailable()
+      val rows = spark.table("ijo_out")
+        .select("user_id", "right_campaign").as[(Long, Option[String])]
+        .collect().toSet
+      assert(rows.contains((1L, Some("camp_a"))), rows.toString)
+      assert(rows.contains((2L, None)),
+        s"unmatched left must NULL-pad after the horizon: $rows")
+    } finally q.stop()
+  }
+
   test("parity: streamingExactDedup keeps exactly Dedup.exact's survivors") {
     // Strongest correctness signal available for the streaming family:
     // run the SAME corpus through the streaming dedup (3 micro-batches,

@@ -486,4 +486,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out._9 == nLongEn)
     assert(out._3 > out._5 && out._5 > out._7 && out._7 > out._9)
   }
+
+  test("readabilityScores: hand golden, unpunctuated and empty docs " +
+      "take the NULL branches") {
+    val docs = Seq(
+      (1L, "Hello world. This is fine!"),
+      (2L, "no punctuation here at all"),
+      (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.readabilityScores(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Option[Double], Option[Double],
+        Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    // 5 words, 2 sentence runs, 7 vowel groups:
+    // flesch = 206.835 - 1.015*2.5 - 84.6*1.4 = 85.8575
+    assert(got(1L) === ((1L, 5L, 2L, 7L, Some(2.5), Some(1.4),
+      Some(85.8575))))
+    val g2 = got(2L)
+    assert(g2._2 == 5L && g2._3 == 0L)
+    assert(g2._5.isEmpty && g2._7.isEmpty, "no sentences -> NULL wps/flesch")
+    assert(g2._6.isDefined)
+    val g3 = got(3L)
+    assert(g3._2 == 0L && g3._6.isEmpty && g3._7.isEmpty)
+  }
 }
