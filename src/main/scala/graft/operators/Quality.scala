@@ -2135,6 +2135,61 @@ object Quality {
       clampK, "released_sum")
   }
 
+  /**
+   * Q14 (r12): ε-DP HISTOGRAM release over PUBLIC bin edges — the
+   * canonical DP mechanism (Dwork et al. 2006's motivating example)
+   * and the fourth leg of the release family: Q10b counts over a
+   * key domain, Q12 sums, Q13 quantiles, this the full shape of a
+   * numeric column (the token-length / doc-size distributions a
+   * datasheet publishes). Bins are the caller's public `edges`
+   * (strictly increasing; bin i = [eᵢ, eᵢ₊₁), k−1 bins): the
+   * released row set is the bin list — data-independent, so
+   * membership-safe by construction (zero-count bins release
+   * max(0, 0+noise), the Q10b noise floor) — and values BELOW the
+   * first / AT-OR-ABOVE the last edge CLAMP into the end bins
+   * (standard practice: dropping them would make the row set's mass
+   * data-dependent). Every row lands in exactly one bin ⇒ Δ = 1 and
+   * disjoint-bin parallel composition; the whole histogram costs ε.
+   * NULL values carry no mass (the release covers the non-NULL
+   * population; document alongside a Q10 count of NULLs if that
+   * number matters).
+   *
+   * Same determinism contract as Q10 (md5-uniform of (bin, seed) ×
+   * the [[dpNoiseThresholds]] literal table; rotate seeds per
+   * release). ONE aggregate computes every bin count in a single
+   * corpus scan (bounded conditional sums — the Q13 melt pattern),
+   * then the (2K+1)-row broadcast threshold join.
+   *
+   * Output: (bin_lo, bin_hi, released_count), ordered by bin_lo.
+   */
+  def dpHistogramRelease(
+      df: DataFrame, valueCol: Column, edges: Seq[Long],
+      epsilon: Double, seed: Long, clampK: Int = 39): DataFrame = {
+    require(edges.size >= 2, "need at least two edges (one bin)")
+    require(edges.sliding(2).forall(w => w.size < 2 || w(0) < w(1)),
+      "edges must be strictly increasing")
+    val bins = edges.sliding(2).toSeq.map { case Seq(a, b) => (a, b) }
+    val k = bins.size
+    val aggs = bins.zipWithIndex.map { case ((a, b), i) =>
+      val inBin =
+        if (k == 1) valueCol.isNotNull
+        else if (i == 0) valueCol < lit(b)
+        else if (i == k - 1) valueCol >= lit(a)
+        else valueCol >= lit(a) && valueCol < lit(b)
+      sum(when(valueCol.isNotNull && inBin, 1L).otherwise(0L))
+        .as(s"__c$i")
+    }
+    val counts = df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(bins.zipWithIndex.map { case ((a, b), i) =>
+        struct(lit(a).as("bin_lo"), lit(b).as("bin_hi"),
+          col(s"__c$i").as("__n"))
+      }: _*)).as("__b"))
+      .select(col("__b.bin_lo"), col("__b.bin_hi"), col("__b.__n"))
+    geometricRelease(counts, Seq("bin_lo", "bin_hi"), epsilon, seed,
+        clampK, "released_count")
+      .orderBy("bin_lo")
+  }
+
   /** Shared release core: the seeded md5-uniform noise draw + the
     * [[dpNoiseThresholds]] broadcast range lookup + the zero clamp,
     * over a pre-aggregated (keyCols…, __n) frame.

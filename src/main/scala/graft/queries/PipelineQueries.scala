@@ -283,6 +283,54 @@ object PipelineQueries {
        |ORDER BY event_type""".stripMargin
   }
 
+  /** q310 oracle generator: the public-bin DP histogram replay —
+    * one conditional-sum pass mirroring the operator's bin rules
+    * (end bins clamp), the q288 md5-uniform draw over the (bin_lo,
+    * bin_hi) key, the shared threshold-table literals. */
+  private def dpHistOracle(
+      edges: Seq[Long], epsilon: Double, seed: Long,
+      clampK: Int): String = {
+    val rows = graft.operators.Quality
+      .dpNoiseThresholds(epsilon, clampK)
+      .map { case (k, lo, hi) => s"($k, $lo, $hi)" }
+      .mkString(",\n    ")
+    val bins = edges.sliding(2).toSeq.map { case Seq(a, b) => (a, b) }
+    val k = bins.size
+    val cases = bins.zipWithIndex.map { case ((a, b), i) =>
+      val cond =
+        if (k == 1) "\"value\" IS NOT NULL"
+        else if (i == 0) s""""value" IS NOT NULL AND "value" < $b"""
+        else if (i == k - 1)
+          s""""value" IS NOT NULL AND "value" >= $a"""
+        else s""""value" IS NOT NULL AND "value" >= $a AND "value" < $b"""
+      s"""CAST(SUM(CASE WHEN $cond THEN 1 ELSE 0 END) AS BIGINT) AS c$i"""
+    }.mkString(",\n    ")
+    val melt = bins.zipWithIndex.map { case ((a, b), i) =>
+      s"""SELECT CAST($a AS BIGINT) AS bin_lo,
+         |      CAST($b AS BIGINT) AS bin_hi, c$i AS n FROM c""".stripMargin
+    }.mkString("\n    UNION ALL\n    ")
+    s"""WITH c AS (
+       |  SELECT
+       |    $cases
+       |  FROM events
+       |), m AS (
+       |    $melt
+       |), thr(noise, lo, hi) AS (
+       |  VALUES
+       |    $rows
+       |), u AS (
+       |  SELECT bin_lo, bin_hi, n,
+       |    ('0x' || substr(md5(concat_ws('|',
+       |      coalesce(md5(CAST(bin_lo AS VARCHAR)), 'null'),
+       |      coalesce(md5(CAST(bin_hi AS VARCHAR)), 'null'),
+       |      '$seed')), 1, 7))::BIGINT AS uu
+       |  FROM m
+       |)
+       |SELECT bin_lo, bin_hi, GREATEST(0, n + noise) AS released_count
+       |FROM u JOIN thr ON u.uu >= thr.lo AND u.uu < thr.hi
+       |ORDER BY bin_lo""".stripMargin
+  }
+
   private def dpDomainOracle(
       domain: Seq[String], epsilon: Double, seed: Long,
       clampK: Int): String = {
@@ -4044,6 +4092,17 @@ object PipelineQueries {
         .limit(300)
     }),
 
+    // Q14 (round 12): ε-DP histogram release over public bin edges —
+    // the canonical DP mechanism closing the release family: 10
+    // fifty-wide bins over events.value, end bins clamping, every
+    // bin released (zero-count noise floor included).
+    "q310_dp_histogram" -> ((s, dir) => {
+      graft.operators.Quality.dpHistogramRelease(
+        t(s, dir, "events"), col("value"),
+        edges = (0L to 500L by 50L), epsilon = 0.5, seed = 46L,
+        clampK = 39)
+    }),
+
     // Q13 (round 12): ε-DP QUANTILE release — exponential mechanism
     // over a public 33-point value grid: the per-event_type median
     // of value, weights from the shared driver-generated literal
@@ -7753,6 +7812,12 @@ object PipelineQueries {
         |        THEN CAST(n_candidates AS DOUBLE) END), 6)
         |    AS pairs_quality
         |FROM n1, c1, t1, h1""".stripMargin,
+
+    // Q14: public-bin histogram replay — generated conditional-sum
+    // pass + the q288 mechanism over the (bin_lo, bin_hi) key.
+    "q310_dp_histogram" -> dpHistOracle(
+      edges = (0L to 500L by 50L), epsilon = 0.5, seed = 46L,
+      clampK = 39),
 
     // Q13: exponential-mechanism DP quantile replay — the shared
     // literal weight table + grid, HUGEINT division-free pick.

@@ -1453,6 +1453,51 @@ class QualitySpec extends AnyFunSuite {
     assert(other !== gotBig)
   }
 
+  test("dpHistogramRelease: clamping bins, zero-count noise floor, " +
+      "hand-replayed mechanism, determinism") {
+    val thr = Quality.dpNoiseThresholds(0.5, 39)
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def draw(lo: Long, hi: Long, seed: Long): Long = {
+      val hex = md5hex(
+        s"${md5hex(lo.toString)}|${md5hex(hi.toString)}|$seed")
+      val u = java.lang.Long.parseLong(hex.substring(0, 7), 16)
+      thr.find(t => u >= t._2 && u < t._3).get._1
+    }
+    // -5 clamps into the first bin, 999 into the last; NULL drops;
+    // the middle bin is empty but still released
+    val df = Seq(Some(-5.0), Some(10.0), Some(55.0), Some(999.0),
+      Option.empty[Double]).toDF("v")
+    val got = Quality.dpHistogramRelease(df, col("v"),
+        edges = Seq(0L, 50L, 100L, 150L), epsilon = 0.5, seed = 9L)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.map(r => (r._1, r._2)) ==
+      Seq((0L, 50L), (50L, 100L), (100L, 150L)))
+    val exp = Map((0L, 50L) -> 2L, (50L, 100L) -> 1L,
+      (100L, 150L) -> 1L)
+    got.foreach { case (lo, hi, rel) =>
+      assert(rel === math.max(0L, exp((lo, hi)) + draw(lo, hi, 9L)),
+        s"bin [$lo,$hi)")
+    }
+    // determinism + seed sensitivity over enough bins to differ
+    val big = (1 to 2000).map(i => Some(i.toDouble)).toDF("v")
+    val edges = (0L to 2000L by 100L)
+    val a = Quality.dpHistogramRelease(big, col("v"), edges, 0.5, 9L)
+      .as[(Long, Long, Long)].collect().toSeq
+    val b = Quality.dpHistogramRelease(big, col("v"), edges, 0.5, 9L)
+      .as[(Long, Long, Long)].collect().toSeq
+    val c = Quality.dpHistogramRelease(big, col("v"), edges, 0.5, 10L)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(a == b && a != c)
+    intercept[IllegalArgumentException] {
+      Quality.dpHistogramRelease(df, col("v"), Seq(5L), 0.5, 1L)
+    }
+    intercept[IllegalArgumentException] {
+      Quality.dpHistogramRelease(df, col("v"), Seq(5L, 5L), 0.5, 1L)
+    }
+  }
+
   test("winsorizedMeanReadout: pooled-edge clamp golden, Welch z " +
       "replay, degenerate arms NULL") {
     // key k: arm A = [0, 10, 20, 30, 1000(whale)], B = [10,20,30,40]
