@@ -265,6 +265,10 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(payloadCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
+        // ImageIO's default ImageInputStream is DISK-cache backed — a
+        // temp file per decode, an IO dependency (and contention
+        // hazard) that buys nothing for in-memory byte arrays.
+        javax.imageio.ImageIO.setUseCache(false)
         rows.grouped(batchSize).flatMap { batch =>
           batch.map { case (id, bytes) =>
             val img =
@@ -666,6 +670,8 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(payloadCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
+        // same disk-cache bypass as decodeImageFeatures
+        javax.imageio.ImageIO.setUseCache(false)
         rows.grouped(batchSize).flatMap { batch =>
           batch.map { case (id, bytes) =>
             val img =
