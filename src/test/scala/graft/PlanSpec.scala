@@ -512,4 +512,59 @@ class PlanSpec extends AnyFunSuite {
         s"$q: state joins at gate scale should hash/broadcast:\n$p")
     }
   }
+
+  test("r12 additions: bounded dims broadcast, no cartesians, " +
+      "projection-only ops add no exchange beyond the sort") {
+    // DP releases: the threshold/weight tables are bounded literal
+    // dims — they must broadcast, and nothing may plan a cartesian
+    for (q <- Seq("q301_dp_quantile_release", "q310_dp_histogram",
+        "q296_dp_domain_release", "q297_dp_sum_release")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin") ||
+        p.contains("BroadcastNestedLoopJoin"),
+        s"$q: bounded dim must broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q: nothing in a DP release justifies a sort-merge join:\n$p")
+    }
+    // modularity / blocking audit: label and pair joins hash or
+    // broadcast at gate scale; never a cartesian
+    for (q <- Seq("q302_modularity", "q303_blocking_audit")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+    // aHash: decode is partition-local — the only exchanges are the
+    // fixture's internal plumbing-free map chain + the output sort
+    locally {
+      val p = plan("q304_image_ahash")
+      assert(!p.contains("SortMergeJoin") && !p.contains("HashAggregate"),
+        s"q304 is a pure decode projection:\n$p")
+      val exchanges = p.linesIterator.count(_.contains("Exchange"))
+      assert(exchanges <= 1,
+        s"q304: only the ORDER BY may exchange, saw $exchanges:\n$p")
+    }
+    // readability: per-row regexp projection + sort, nothing else
+    locally {
+      val p = plan("q309_readability")
+      val exchanges = p.linesIterator.count(_.contains("Exchange"))
+      assert(exchanges <= 1,
+        s"q309: only the ORDER BY may exchange, saw $exchanges:\n$p")
+      assert(!p.contains("HashAggregate"), s"q309:\n$p")
+    }
+    // winsorized readout: pooled edges come back as a BROADCAST join
+    // (the |keys|-row edge table), never a shuffled re-join
+    locally {
+      val p = plan("q306_winsorized_readout")
+      assert(p.contains("BroadcastHashJoin"),
+        s"q306: the edge table must broadcast back:\n$p")
+      assert(!p.contains("CartesianProduct"), s"q306:\n$p")
+    }
+    // outer interval twin: keyed hash join, outer type preserved
+    locally {
+      val p = plan("q308_interval_join_outer_twin")
+      assert(p.contains("LeftOuter"),
+        s"q308: the outer join type must survive planning:\n$p")
+      assert(!p.contains("CartesianProduct"), s"q308:\n$p")
+    }
+  }
 }
