@@ -612,6 +612,79 @@ object Dedup {
    * >`driverMaxEdges` genuine near-dup pairs, where the contraction
    * rounds dominate the probe.
    */
+  /**
+   * D25 (r12): INCREMENTAL connected-component maintenance — the
+   * daily-growth path for a 100 TB near-dup graph: yesterday's
+   * (id, cluster) assignment plus today's new candidate edges,
+   * WITHOUT re-running CC over the accumulated edge set. Exactness:
+   * old intra-cluster structure is already collapsed through each
+   * cluster's min-id representative, so CC over
+   * {(id, cluster)} ∪ newPairs equals CC over the full history —
+   * and only the LABEL graph needs solving: each new edge maps its
+   * endpoints to their current labels (an unassigned endpoint is
+   * its own label), conflicting-label edges form a graph over
+   * AFFECTED labels (increment-sized, never corpus-sized), and
+   * [[nearDupClusters]] solves it — inheriting the bounded driver
+   * union-find fast path AND the Barrier-routed star-contraction
+   * fallback. A new id smaller than an old representative correctly
+   * takes over as min-id (label-graph min = global member min,
+   * since every old label is already its cluster's min).
+   *
+   * Scale: ONE pass over the assignment table (two hash joins
+   * against the increment-sized edge frame + one label-map join
+   * back — the label map is affected-clusters-sized, AQE broadcasts
+   * it), the label-graph CC on the conflict set only. Compare
+   * re-running [[nearDupClusters]] from scratch: that pays the full
+   * historical edge set every day.
+   *
+   * Output: (id, cluster) for every previously-assigned id plus
+   * every id appearing in `newPairs` — the same shape as
+   * [[nearDupClusters]], ascending id.
+   */
+  def incrementalClusters(
+      assignments: DataFrame,
+      newPairs: DataFrame,
+      maxIter: Int = 20,
+      driverMaxEdges: Long = 4000000): DataFrame = {
+    val asg = assignments
+      .select(col("id").cast("long"), col("cluster").cast("long"))
+      .barriered
+    val np = newPairs
+      .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .where(col("doc_a").isNotNull && col("doc_b").isNotNull &&
+        col("doc_a") =!= col("doc_b"))
+      .distinct()
+      .barriered
+    def lbl(side: String) = asg.select(
+      col("id").as(side), col("cluster").as(s"__l_$side"))
+    val labelPairs = np
+      .join(lbl("doc_a"), Seq("doc_a"), "left")
+      .join(lbl("doc_b"), Seq("doc_b"), "left")
+      .select(
+        coalesce(col("__l_doc_a"), col("doc_a")).as("la"),
+        coalesce(col("__l_doc_b"), col("doc_b")).as("lb"))
+      .where(col("la") =!= col("lb"))
+      .select(least(col("la"), col("lb")).as("doc_a"),
+        greatest(col("la"), col("lb")).as("doc_b"))
+      .distinct()
+    val labelMap = Barrier.barrier(
+      nearDupClusters(labelPairs, maxIter, driverMaxEdges)
+        .select(col("id").as("__old"), col("cluster").as("__new")))
+    val remapOld = asg
+      .join(labelMap, asg("cluster") === col("__old"), "left")
+      .select(asg("id"),
+        coalesce(col("__new"), asg("cluster")).as("cluster"))
+    val newIds = np.select(col("doc_a").as("id"))
+      .unionAll(np.select(col("doc_b").as("id")))
+      .distinct()
+      .join(asg.select(col("id")), Seq("id"), "left_anti")
+    val remapNew = newIds
+      .join(labelMap, newIds("id") === col("__old"), "left")
+      .select(newIds("id"),
+        coalesce(col("__new"), newIds("id")).as("cluster"))
+    remapOld.unionByName(remapNew).orderBy("id")
+  }
+
   def nearDupClusters(
       pairs: DataFrame,
       maxIter: Int = 20,

@@ -4116,6 +4116,32 @@ object PipelineQueries {
         .orderBy("event_type")
     }),
 
+    // D25 (round 12): incremental CC maintenance — yesterday's q48
+    // clusters plus a deterministic "today": the injected-dup links
+    // (id, id+100000) and bridge merges (id, id+50) for id % 97 = 0.
+    // Exercises cluster merges, new-node joins, and new ids taking
+    // over as min-representatives; the oracle recomputes CC from
+    // scratch over the union edge set (recursive closure).
+    "q311_incremental_clusters" -> ((s, dir) => {
+      val pairs = Dedup.minhashCandidates(
+          t(s, dir, "documents"), "doc_id", "text",
+          numHashes = 8, rowsPerBand = 2, shingleSize = 3)
+        .where(col("n_match") >= 7)
+        .select(col("doc_a"), col("doc_b"))
+      val assignments = Dedup.nearDupClusters(pairs)
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val dupEdges = docs.where(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("doc_a"),
+          (col("doc_id") + 100000).as("doc_b"))
+      val bridges = docs.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("doc_a"),
+          (col("doc_id") + 50).as("doc_b"))
+        .join(docs.select(col("doc_id").as("doc_b")), Seq("doc_b"))
+        .select("doc_a", "doc_b")
+      Dedup.incrementalClusters(
+        assignments, dupEdges.unionByName(bridges))
+    }),
+
     // T58 (round 12): Flesch readability over the corpus with
     // sentence boundaries injected deterministically (the fixture
     // has no punctuation: 'batch' -> 'batch.'), leaving batch-less
@@ -7626,6 +7652,58 @@ object PipelineQueries {
       fields = Seq(("p_brand", 0.9), ("p_type", 0.85),
         ("name_head", 0.8)),
       window = 6, limit = 300),
+
+    // D25: from-scratch recompute over (q48 strong edges ∪ the
+    // deterministic increment) — recursive closure, min-id clusters.
+    "q311_incremental_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), idx AS (
+        |  SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i FROM toks
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM idx
+        |), mh AS (
+        |  SELECT doc_id, s.seed,
+        |    min(CAST(('0x' || substr(
+        |      md5(CAST(s.seed AS VARCHAR) || ':' || shingle), 1, 15)) AS BIGINT))
+        |      AS mh
+        |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0,7)) AS seed) s
+        |  GROUP BY doc_id, s.seed
+        |), bands AS (
+        |  SELECT doc_id, seed // 2 AS band,
+        |    string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed) AS sig
+        |  FROM mh GROUP BY doc_id, seed // 2
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a
+        |  JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        |), strong AS (
+        |  SELECT c.doc_a, c.doc_b
+        |  FROM cand c
+        |  JOIN mh ma ON ma.doc_id = c.doc_a
+        |  JOIN mh mb ON mb.doc_id = c.doc_b AND mb.seed = ma.seed
+        |  GROUP BY c.doc_a, c.doc_b
+        |  HAVING count(*) FILTER (ma.mh = mb.mh) >= 7
+        |), newe AS (
+        |  SELECT doc_id AS doc_a, doc_id + 100000 AS doc_b
+        |  FROM documents WHERE doc_id % 50 = 0
+        |  UNION
+        |  SELECT d.doc_id, d.doc_id + 50
+        |  FROM documents d JOIN documents e ON e.doc_id = d.doc_id + 50
+        |  WHERE d.doc_id % 97 = 0
+        |), edges AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM strong
+        |  UNION SELECT doc_b, doc_a FROM strong
+        |  UNION SELECT doc_a, doc_b FROM newe
+        |  UNION SELECT doc_b, doc_a FROM newe
+        |), reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON e.src = r.dst
+        |), nodes AS (SELECT DISTINCT src AS id FROM edges)
+        |SELECT n.id, least(n.id, min(r.dst)) AS cluster
+        |FROM nodes n LEFT JOIN reach r ON r.src = n.id
+        |GROUP BY n.id ORDER BY n.id""".stripMargin,
 
     // T58: readability replay — identical regexp totals (RE2-common
     // patterns), guarded divisions, fixed linear chain; flesch is

@@ -542,4 +542,55 @@ class DedupSpec extends AnyFunSuite {
     assert(out._2 == 0L && out._3 == 1L && out._4 == 0L && out._5 == 1L)
     assert(out._6 === Some(0.0) && out._7.isEmpty && out._8.isEmpty)
   }
+
+  test("incrementalClusters: merge/join/takeover/chain goldens") {
+    // prior state: {1,2} -> 1, {10,11} -> 10
+    val asg = Seq((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("id", "cluster")
+    def run(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+      Dedup.incrementalClusters(asg, pairs.toDF("doc_a", "doc_b"))
+        .as[(Long, Long)].collect().toMap
+    // one new edge merges the two old clusters wholesale
+    assert(run(Seq((2L, 11L))) ===
+      Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L))
+    // a new node joins an old cluster, keeping its representative
+    assert(run(Seq((20L, 11L))) ===
+      Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 10L))
+    // a new node SMALLER than the old representative takes over
+    assert(run(Seq((0L, 11L))) ===
+      Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 10L -> 0L, 11L -> 0L))
+    // a chain through brand-new nodes bridges into an old cluster,
+    // and a self/duplicate/mirror edge set is canonicalized away
+    assert(run(Seq((30L, 31L), (31L, 1L), (31L, 30L), (30L, 30L))) ===
+      Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L,
+        30L -> 1L, 31L -> 1L))
+    // empty increment: assignments pass through untouched
+    assert(run(Seq.empty) ===
+      Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("incrementalClusters: random-graph parity with from-scratch CC") {
+    val rnd = new scala.util.Random(31)
+    for (trial <- 1 to 3) {
+      val n = 60
+      val edges = (1 to 120).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val (old, fresh) = edges.splitAt(edges.length / 2)
+      val oldAsg = Dedup.nearDupClusters(old.toDF("doc_a", "doc_b"))
+      val inc = Dedup.incrementalClusters(
+          oldAsg, fresh.toDF("doc_a", "doc_b"))
+        .as[(Long, Long)].collect().toMap
+      val full = Dedup.nearDupClusters(
+          (old ++ fresh).toDF("doc_a", "doc_b"))
+        .as[(Long, Long)].collect().toMap
+      // full CC covers only ids with edges; incremental additionally
+      // carries old ids whose cluster didn't change — compare on the
+      // union domain with singletons defaulting to themselves
+      (inc.keySet ++ full.keySet).foreach { id =>
+        assert(inc.getOrElse(id, id) === full.getOrElse(id, id),
+          s"trial $trial id $id")
+      }
+    }
+  }
 }
