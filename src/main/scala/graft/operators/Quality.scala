@@ -1454,6 +1454,86 @@ object Quality {
         round(normalTwoSidedP(z), 6).as("p_value")): _*)
   }
 
+  /**
+   * E45 (r12): cluster-randomized experiment readout — "analyze at
+   * the level you randomized" made an operator: when assignment is
+   * by CLUSTER (geo, store, user-of-a-session-metric, switchback
+   * window), row-level tests understate variance by the design
+   * effect 1+(m̄−1)ρ (E32's ICC report is the WHY; this is the HOW).
+   * Each cluster collapses to one observation (its exact metric
+   * total on the micro grid), and the Welch z runs over CLUSTER
+   * totals per arm — the standard, assumption-light cluster analysis
+   * (equal-weight cluster means; at 100 TB every arm has thousands
+   * of clusters, so the normal approximation is the easy part).
+   *
+   * Contamination guard: a cluster seen under BOTH arms violates
+   * the design (a re-randomized user, a geo split mid-experiment) —
+   * such clusters are EXCLUDED from the test and surfaced in
+   * `n_contaminated` (silently averaging them would bias toward
+   * null). Rows with NULL arm/cluster/value drop first.
+   *
+   * Exactness: per-cluster totals are exact DECIMAL(38,0) sums of
+   * micro-unit longs; cluster-level Σm and Σm² accumulate in
+   * DECIMAL(38,0); ONE fixed IEEE Welch finish (the E44 chain),
+   * z round(6) SIGNED (+0.0 oracle rule), p on the rounded z.
+   * Degenerate arms (<2 clusters, zero variance) → NULL z/p.
+   *
+   * Scale: ONE cluster-key exchange (the collapse), then a
+   * bounded-row final aggregate. Output (one row): (n_clusters_a,
+   * n_clusters_b, n_contaminated, mean_a, mean_b, diff, z, p_value)
+   * — means/diff in display units (µ/10⁶).
+   */
+  def clusterRandomizedReadout(
+      df: DataFrame, clusterCol: Column, armCol: Column,
+      valueMicroCol: Column): DataFrame = {
+    val d18 = org.apache.spark.sql.types.DecimalType(18, 0)
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val perCluster = df
+      .where(clusterCol.isNotNull && armCol.isNotNull &&
+        valueMicroCol.isNotNull)
+      .groupBy(clusterCol.as("__c"))
+      .agg(
+        countDistinct(armCol).as("__narm"),
+        max(armCol).as("__a"),
+        sum(valueMicroCol.cast(d18)).cast(d38).as("__m"))
+    val agg = perCluster.agg(
+      sum(when(col("__narm") > 1, 1L).otherwise(0L))
+        .as("n_contaminated"),
+      sum(when(col("__narm") === 1 && col("__a"), 1L).otherwise(0L))
+        .as("na"),
+      sum(when(col("__narm") === 1 && !col("__a"), 1L).otherwise(0L))
+        .as("nb"),
+      sum(when(col("__narm") === 1 && col("__a"), col("__m"))
+        .otherwise(lit(0).cast(d38))).cast(d38).as("sa"),
+      sum(when(col("__narm") === 1 && !col("__a"), col("__m"))
+        .otherwise(lit(0).cast(d38))).cast(d38).as("sb"),
+      sum(when(col("__narm") === 1 && col("__a"),
+        col("__m") * col("__m")).otherwise(lit(0).cast(d38)))
+        .cast(d38).as("qa"),
+      sum(when(col("__narm") === 1 && !col("__a"),
+        col("__m") * col("__m")).otherwise(lit(0).cast(d38)))
+        .cast(d38).as("qb"))
+    def d(c: String) = col(c).cast("double")
+    val ma = d("sa") / d("na")
+    val mb = d("sb") / d("nb")
+    val va = (d("na") * d("qa") - d("sa") * d("sa")) /
+      (d("na") * (d("na") - lit(1.0)))
+    val vb = (d("nb") * d("qb") - d("sb") * d("sb")) /
+      (d("nb") * (d("nb") - lit(1.0)))
+    val se = sqrt(va / d("na") + vb / d("nb"))
+    val z = when(col("na") >= 2L && col("nb") >= 2L && se > 0.0,
+      round((ma - mb) / se, 6))
+    agg.select(
+      col("na").as("n_clusters_a"), col("nb").as("n_clusters_b"),
+      col("n_contaminated"),
+      when(col("na") > 0L, round(ma / lit(1000000.0), 6)).as("mean_a"),
+      when(col("nb") > 0L, round(mb / lit(1000000.0), 6)).as("mean_b"),
+      when(col("na") > 0L && col("nb") > 0L,
+        round((ma - mb) / lit(1000000.0), 6)).as("diff"),
+      z.as("z"),
+      round(normalTwoSidedP(z), 6).as("p_value"))
+  }
+
   def abTest(df: DataFrame, aCol: Column, convCol: Column): DataFrame = {
     val agg = df
       .where(aCol.isNotNull && convCol.isNotNull)

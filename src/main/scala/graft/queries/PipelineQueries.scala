@@ -4168,6 +4168,20 @@ object PipelineQueries {
         .orderBy("event_type")
     }),
 
+    // E45 (round 12): cluster-randomized readout — user_id clusters,
+    // user%3 arms, with a deterministic ~0.1% row-level arm flip
+    // (event_id % 997) contaminating a few clusters to exercise the
+    // exclusion path; Welch over exact per-cluster micro totals.
+    "q312_cluster_readout" -> ((s, dir) => {
+      val base = col("user_id") % 3 === 0
+      val arm = when(col("event_id") % 997 === 0, !base).otherwise(base)
+      graft.operators.Quality.clusterRandomizedReadout(
+        t(s, dir, "events")
+          .where(col("user_id").isNotNull && col("value").isNotNull),
+        col("user_id"), arm,
+        floor(col("value") * 1000000).cast("long"))
+    }),
+
     // D24 (round 12): blocking-quality audit — the q16 LSH blocker
     // evaluated against exact-duplicate ground truth on the
     // dup-injected corpus: reduction ratio (how much of the n(n-1)/2
@@ -7737,6 +7751,75 @@ object PipelineQueries {
         |      - 84.6 * (CAST(n_syllables AS DOUBLE)
         |        / CAST(n_words AS DOUBLE)), 6) + 0.0 END AS flesch
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // E45: cluster readout replay — per-cluster decimal totals,
+    // contaminated clusters excluded, the q306 Welch + erf chain.
+    "q312_cluster_readout" ->
+      """WITH base AS (
+        |  SELECT user_id AS c,
+        |    CASE WHEN event_id % 997 = 0 THEN NOT (user_id % 3 = 0)
+        |      ELSE (user_id % 3 = 0) END AS a,
+        |    CAST(floor("value" * 1000000) AS BIGINT) AS v
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND "value" IS NOT NULL
+        |), pc AS (
+        |  SELECT c, COUNT(DISTINCT a) AS narm, MAX(a) AS a,
+        |    CAST(SUM(CAST(v AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS m
+        |  FROM base GROUP BY 1
+        |), agg AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN narm > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_contaminated,
+        |    CAST(SUM(CASE WHEN narm = 1 AND a THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS na,
+        |    CAST(SUM(CASE WHEN narm = 1 AND NOT a THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nb,
+        |    CAST(SUM(CASE WHEN narm = 1 AND a THEN m
+        |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0))
+        |      AS sa,
+        |    CAST(SUM(CASE WHEN narm = 1 AND NOT a THEN m
+        |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0))
+        |      AS sb,
+        |    CAST(SUM(CASE WHEN narm = 1 AND a THEN m * m
+        |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0))
+        |      AS qa,
+        |    CAST(SUM(CASE WHEN narm = 1 AND NOT a THEN m * m
+        |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0))
+        |      AS qb
+        |  FROM pc
+        |), fin AS (
+        |  SELECT n_contaminated, na, nb,
+        |    CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) AS ma,
+        |    CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE) AS mb,
+        |    sqrt(
+        |      ((CAST(na AS DOUBLE) * CAST(qa AS DOUBLE)
+        |          - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+        |        / (CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - 1.0)))
+        |        / CAST(na AS DOUBLE)
+        |      + ((CAST(nb AS DOUBLE) * CAST(qb AS DOUBLE)
+        |          - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))
+        |        / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1.0)))
+        |        / CAST(nb AS DOUBLE)) AS se
+        |  FROM agg
+        |), zt AS (
+        |  SELECT *, CASE WHEN na >= 2 AND nb >= 2 AND se > 0.0
+        |    THEN round((ma - mb) / se, 6) + 0.0 END AS z
+        |  FROM fin
+        |), pt AS (
+        |  SELECT *, abs(z) / sqrt(2.0) AS x,
+        |    1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS t
+        |  FROM zt
+        |)
+        |SELECT na AS n_clusters_a, nb AS n_clusters_b, n_contaminated,
+        |  CASE WHEN na > 0 THEN round(ma / 1000000.0, 6) END AS mean_a,
+        |  CASE WHEN nb > 0 THEN round(mb / 1000000.0, 6) END AS mean_b,
+        |  CASE WHEN na > 0 AND nb > 0 THEN
+        |    round((ma - mb) / 1000000.0, 6) + 0.0 END AS diff,
+        |  z,
+        |  round(t * (0.254829592 + t * (-0.284496736 +
+        |    t * (1.421413741 + t * (-1.453152027 +
+        |      t * 1.061405429)))) * exp(-(x * x)), 6) AS p_value
+        |FROM pt""".stripMargin,
 
     // E44: winsorized readout replay — q120's nearest-rank pooled
     // edges on the micro grid, decimal winsorized moments, the

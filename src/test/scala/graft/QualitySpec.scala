@@ -1453,6 +1453,42 @@ class QualitySpec extends AnyFunSuite {
     assert(other !== gotBig)
   }
 
+  test("clusterRandomizedReadout: hand golden, contaminated cluster " +
+      "excluded, degenerate NULLs") {
+    // c1 (A: 1+2=3), c2 (A: 5), c3 (B: 2), c4 (B: 4),
+    // c5 contaminated (rows under both arms) -> excluded
+    val df = Seq(
+      ("c1", true, 1L), ("c1", true, 2L), ("c2", true, 5L),
+      ("c3", false, 2L), ("c4", false, 4L),
+      ("c5", true, 100L), ("c5", false, 100L))
+      .toDF("c", "a", "v")
+    val got = Quality.clusterRandomizedReadout(df,
+        col("c"), col("a"), col("v"))
+      .as[(Long, Long, Long, Option[Double], Option[Double],
+        Option[Double], Option[Double], Option[Double])]
+      .collect().head
+    assert(got._1 == 2L && got._2 == 2L && got._3 == 1L)
+    assert(got._4 == Some(4.0e-6) && got._5 == Some(3.0e-6))
+    assert(got._6 == Some(1.0e-6))
+    // Welch replay: va = (2*34-64)/2 = 2, vb = (2*20-36)/2 = 2,
+    // se = sqrt(1+1)
+    val se = math.sqrt(2.0 / 2.0 + 2.0 / 2.0)
+    val zExp = BigDecimal((4.0 - 3.0) / se)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got._7 == Some(zExp))
+    assert(got._8.isDefined)
+
+    // one clean cluster per arm: untestable, never NaN
+    val degen = Seq(("c1", true, 3L), ("c2", false, 4L))
+      .toDF("c", "a", "v")
+    val g2 = Quality.clusterRandomizedReadout(degen,
+        col("c"), col("a"), col("v"))
+      .as[(Long, Long, Long, Option[Double], Option[Double],
+        Option[Double], Option[Double], Option[Double])]
+      .collect().head
+    assert(g2._1 == 1L && g2._2 == 1L && g2._7.isEmpty && g2._8.isEmpty)
+  }
+
   test("dpHistogramRelease: clamping bins, zero-count noise floor, " +
       "hand-replayed mechanism, determinism") {
     val thr = Quality.dpNoiseThresholds(0.5, 39)
