@@ -160,6 +160,14 @@ object GraftFunctions {
         require(exprs.length == 2, "graft_vec_dot(a, b) takes 2 arguments")
         VecDot(exprs.head, exprs(1))
       }),
+    (
+      FunctionIdentifier("graft_int_vec_dot"),
+      new ExpressionInfo(classOf[IntVecDot].getName, "graft_int_vec_dot"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          "graft_int_vec_dot(a, b) takes 2 arguments")
+        IntVecDot(exprs.head, exprs(1))
+      }),
     // Bloom-filter surface: Spark ships BloomFilterAggregate /
     // BloomFilterMightContain as INTERNAL expressions (used by the
     // runtime-filter optimizer) without SQL registration — this

@@ -4182,6 +4182,16 @@ object PipelineQueries {
         floor(col("value") * 1000000).cast("long"))
     }),
 
+    // V29 (round 12): SQ8 symmetric-quantized inner-product search —
+    // corpus-trained scale, exact integer scores (zero float hazard
+    // in scoring OR ranking), q19's probe convention.
+    "q313_sq8_search" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.sq8Search(e, e.where(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10)
+        .orderBy("probe_id", "rank")
+    }),
+
     // D24 (round 12): blocking-quality audit — the q16 LSH blocker
     // evaluated against exact-duplicate ground truth on the
     // dup-injected corpus: reduction ratio (how much of the n(n-1)/2
@@ -7751,6 +7761,37 @@ object PipelineQueries {
         |      - 84.6 * (CAST(n_syllables AS DOUBLE)
         |        / CAST(n_words AS DOUBLE)), 6) + 0.0 END AS flesch
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // V29: SQ8 replay — the same scale/encode IEEE chain, exact
+    // BIGINT dots, integer-ranked.
+    "q313_sq8_search" ->
+      """WITH el AS (
+        |  SELECT vec_id, generate_subscripts(embedding,1) AS d,
+        |         unnest(embedding)::DOUBLE AS x
+        |  FROM embeddings
+        |), m AS (
+        |  SELECT 127.0 / (CASE WHEN MAX(abs(x)) > 0.0
+        |    THEN MAX(abs(x)) END) AS r FROM el
+        |), enc AS (
+        |  SELECT vec_id, d, CAST(floor(x * m.r + 0.5) AS BIGINT) AS c
+        |  FROM el, m
+        |), pr AS (
+        |  SELECT vec_id AS probe_id, d, c FROM enc WHERE vec_id < 5
+        |), dots AS (
+        |  SELECT p.probe_id, e.vec_id,
+        |    CAST(SUM(p.c * e.c) AS BIGINT) AS s
+        |  FROM pr p JOIN enc e ON e.d = p.d AND e.vec_id <> p.probe_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT probe_id, vec_id, CAST(rank AS INT) AS rank,
+        |  s AS score_int
+        |FROM (
+        |  SELECT probe_id, vec_id, s,
+        |    row_number() OVER (PARTITION BY probe_id
+        |                       ORDER BY s DESC, vec_id) AS rank
+        |  FROM dots)
+        |WHERE rank <= 10
+        |ORDER BY probe_id, rank""".stripMargin,
 
     // E45: cluster readout replay — per-cluster decimal totals,
     // contaminated clusters excluded, the q306 Welch + erf chain.

@@ -954,4 +954,54 @@ class SimilaritySpec extends AnyFunSuite {
       case _ =>
     }
   }
+
+  test("IntVecDot: kernel == HOF reference; NULL on mismatch/null " +
+      "element") {
+    val df = Seq(
+      (1L, Seq(1, -2, 3), Seq(4, 5, -6)),
+      (2L, Seq(127, 127, 127), Seq(127, 127, 127)),
+      (3L, Seq(0, 0, 0), Seq(9, 9, 9))).toDF("id", "a", "b")
+    val got = df.select(col("id"),
+        graft.functions.IntVecDot(col("a"), col("b")).as("k"),
+        Similarity.intDotHof(col("a"), col("b")).as("h"))
+      .as[(Long, Option[Long], Option[Long])].collect()
+    got.foreach { case (id, k, h) => assert(k === h, s"id $id") }
+    assert(got.find(_._1 == 1L).get._2 === Some(1L * 4 - 2 * 5 - 3 * 6))
+    assert(got.find(_._1 == 2L).get._2 === Some(3L * 127 * 127))
+    // length mismatch and a NULL element both poison to NULL
+    val bad = Seq(
+      (1L, Seq[Option[Int]](Some(1), Some(2)),
+        Seq[Option[Int]](Some(1), Some(2), Some(3))),
+      (2L, Seq[Option[Int]](Some(1), None),
+        Seq[Option[Int]](Some(1), Some(2))))
+      .toDF("id", "a", "b")
+      .select(col("id"),
+        graft.functions.IntVecDot(col("a"), col("b")).as("k"))
+      .as[(Long, Option[Long])].collect()
+    assert(bad.forall(_._2.isEmpty), bad.toSeq.toString)
+  }
+
+  test("sq8Search: separated directions rank by quantized dot; " +
+      "all-zero corpus degrades to NULL scores, never throws") {
+    val corpus = Seq(
+      (10L, Seq(10.0, 0.0)), (11L, Seq(0.0, 10.0)),
+      (12L, Seq(-10.0, 0.0)), (13L, Seq(7.0, 7.0)))
+      .toDF("vec_id", "embedding")
+    val probe = Seq((1L, Seq(1.0, 0.0))).toDF("vec_id", "embedding")
+    val got = Similarity.sq8Search(corpus, probe, "vec_id",
+        "embedding", k = 4)
+      .as[(Long, Long, Int, Option[Long])].collect().sortBy(_._3)
+    // r = 12.7; probe codes (13, 0); corpus (127,0),(0,127),
+    // (-127,0),(89,89): scores 1651, 0, -1651, 1157
+    assert(got.map(_._2).toSeq == Seq(10L, 13L, 11L, 12L))
+    assert(got.map(_._4).toSeq ==
+      Seq(Some(1651L), Some(1157L), Some(0L), Some(-1651L)))
+
+    val zeros = Seq((20L, Seq(0.0, 0.0)), (21L, Seq(0.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val g2 = Similarity.sq8Search(zeros, probe, "vec_id",
+        "embedding", k = 2)
+      .as[(Long, Long, Int, Option[Long])].collect()
+    assert(g2.length == 2 && g2.forall(_._4.isEmpty))
+  }
 }
