@@ -1534,6 +1534,105 @@ object Quality {
       round(normalTwoSidedP(z), 6).as("p_value"))
   }
 
+  /**
+   * E46 (r12): POST-STRATIFIED experiment readout — the estimator an
+   * imbalanced randomization gets corrected by (and the variance
+   * reducer that needs no pre-period covariate, unlike E25's CUPED):
+   * the arm contrast is computed WITHIN each stratum (platform,
+   * country, the E32 clustering dimension) and combined with
+   * population weights w_s = n_s/N, so a stratum over-represented in
+   * one arm cannot masquerade as a treatment effect, and
+   * between-strata variance drops out of the comparison entirely —
+   * diff = Σ w_s·(ȳ_As − ȳ_Bs), var = Σ w_s²·(v_As/n_As + v_Bs/n_Bs)
+   * (the standard stratified two-sample form).
+   *
+   * Strata where either arm has < 2 units carry no estimable
+   * contrast — they are EXCLUDED (weights renormalize over the
+   * usable strata, whose unit mass defines N) and surfaced via
+   * `n_strata` vs `n_strata_used` (silently folding them in would
+   * divide by zero or fabricate variance).
+   *
+   * Exactness: per-stratum sums/squares are exact DECIMAL(38,0) on
+   * the micro grid (the E44 contract); each per-stratum diff and
+   * variance TERM is one fixed IEEE chain round(12)'d into
+   * DECIMAL(38,12) before summing (the q240 per-term discipline —
+   * the cross-strata sums are exact and partition-order-free);
+   * z = diff/√var is ONE final IEEE chain, round(6) SIGNED (+0.0
+   * oracle rule), p on the rounded z. No usable strata → all-NULL
+   * readout, never a throw.
+   *
+   * Scale: ONE stratum-key partial-agg exchange; everything after
+   * runs on the strata-cardinality frame with a one-row broadcast
+   * for N.
+   *
+   * Output (one row): (n_strata, n_strata_used, n_a, n_b, diff, z,
+   * p_value) — diff in display units (µ/10⁶), n_a/n_b over usable
+   * strata.
+   */
+  def postStratifiedReadout(
+      df: DataFrame, strataCol: Column, armCol: Column,
+      valueMicroCol: Column): DataFrame = {
+    val d18 = org.apache.spark.sql.types.DecimalType(18, 0)
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val d3812 = org.apache.spark.sql.types.DecimalType(38, 12)
+    val per = df
+      .where(strataCol.isNotNull && armCol.isNotNull &&
+        valueMicroCol.isNotNull)
+      .groupBy(strataCol.as("__s"))
+      .agg(
+        sum(when(armCol, 1L).otherwise(0L)).as("na"),
+        sum(when(!armCol, 1L).otherwise(0L)).as("nb"),
+        sum(when(armCol, valueMicroCol.cast(d18))
+          .otherwise(lit(0).cast(d18))).cast(d38).as("sa"),
+        sum(when(!armCol, valueMicroCol.cast(d18))
+          .otherwise(lit(0).cast(d18))).cast(d38).as("sb"),
+        sum(when(armCol,
+          valueMicroCol.cast(d18) * valueMicroCol.cast(d18))
+          .otherwise(lit(0).cast(d38))).cast(d38).as("qa"),
+        sum(when(!armCol,
+          valueMicroCol.cast(d18) * valueMicroCol.cast(d18))
+          .otherwise(lit(0).cast(d38))).cast(d38).as("qb"))
+    val usable = col("na") >= 2L && col("nb") >= 2L
+    val totals = per.agg(
+      count(lit(1)).as("n_strata"),
+      sum(when(usable, 1L).otherwise(0L)).as("n_used"),
+      sum(when(usable, col("na") + col("nb")).otherwise(0L))
+        .as("__nn"))
+    def d(c: String) = col(c).cast("double")
+    val w = (col("na") + col("nb")).cast("double") / d("__nn")
+    val ma = d("sa") / d("na")
+    val mb = d("sb") / d("nb")
+    val va = (d("na") * d("qa") - d("sa") * d("sa")) /
+      (d("na") * (d("na") - lit(1.0)))
+    val vb = (d("nb") * d("qb") - d("sb") * d("sb")) /
+      (d("nb") * (d("nb") - lit(1.0)))
+    // a GLOBAL agg always yields exactly one row (all-NULL when no
+    // stratum is usable), so the readout shape is stable by
+    // construction — never a throw, never zero rows
+    val metrics = per
+      .crossJoin(broadcast(totals.select(col("__nn"))))
+      .where(usable && col("__nn") > 0L)
+      .select(
+        col("na"), col("nb"),
+        round(w * (ma - mb), 12).cast(d3812).as("__td"),
+        round(w * w * (va / d("na") + vb / d("nb")), 12).cast(d3812)
+          .as("__tv"))
+      .agg(
+        sum(col("na")).as("n_a"), sum(col("nb")).as("n_b"),
+        sum(col("__td")).cast("double").as("__diff"),
+        sum(col("__tv")).cast("double").as("__var"))
+    val z = when(col("__var") > 0.0,
+      round(col("__diff") / sqrt(col("__var")), 6))
+    totals
+      .crossJoin(broadcast(metrics))
+      .select(
+        col("n_strata"), col("n_used").as("n_strata_used"),
+        col("n_a"), col("n_b"),
+        round(col("__diff") / lit(1000000.0), 6).as("diff"),
+        z.as("z"),
+        round(normalTwoSidedP(z), 6).as("p_value"))
+  }
+
   def abTest(df: DataFrame, aCol: Column, convCol: Column): DataFrame = {
     val agg = df
       .where(aCol.isNotNull && convCol.isNotNull)

@@ -4182,6 +4182,18 @@ object PipelineQueries {
         floor(col("value") * 1000000).cast("long"))
     }),
 
+    // E46 (round 12): post-stratified readout — event_type strata ×
+    // user%3 arms on the micro grid: within-stratum contrasts
+    // combined with population weights, per-term 12dp decimal sums.
+    "q314_post_stratified" -> ((s, dir) => {
+      graft.operators.Quality.postStratifiedReadout(
+        t(s, dir, "events")
+          .where(col("event_type").isNotNull &&
+            col("user_id").isNotNull && col("value").isNotNull),
+        col("event_type"), col("user_id") % 3 === 0,
+        floor(col("value") * 1000000).cast("long"))
+    }),
+
     // V29 (round 12): SQ8 symmetric-quantized inner-product search —
     // corpus-trained scale, exact integer scores (zero float hazard
     // in scoring OR ranking), q19's probe convention.
@@ -7761,6 +7773,89 @@ object PipelineQueries {
         |      - 84.6 * (CAST(n_syllables AS DOUBLE)
         |        / CAST(n_words AS DOUBLE)), 6) + 0.0 END AS flesch
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // E46: post-stratified replay — the q306 per-stratum decimal
+    // moments, population weights over usable strata, per-term
+    // round(12) DECIMAL(38,12) sums, one z/p finish.
+    "q314_post_stratified" ->
+      """WITH base AS (
+        |  SELECT event_type AS s, (user_id % 3 = 0) AS a,
+        |    CAST(floor("value" * 1000000) AS BIGINT) AS v
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        |    AND "value" IS NOT NULL
+        |), per AS (
+        |  SELECT s,
+        |    CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nb,
+        |    CAST(SUM(CASE WHEN a THEN CAST(v AS DECIMAL(18,0))
+        |      ELSE CAST(0 AS DECIMAL(18,0)) END) AS DECIMAL(38,0))
+        |      AS sa,
+        |    CAST(SUM(CASE WHEN NOT a THEN CAST(v AS DECIMAL(18,0))
+        |      ELSE CAST(0 AS DECIMAL(18,0)) END) AS DECIMAL(38,0))
+        |      AS sb,
+        |    CAST(SUM(CASE WHEN a THEN
+        |        CAST(v AS DECIMAL(18,0)) * CAST(v AS DECIMAL(18,0))
+        |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0))
+        |      AS qa,
+        |    CAST(SUM(CASE WHEN NOT a THEN
+        |        CAST(v AS DECIMAL(18,0)) * CAST(v AS DECIMAL(18,0))
+        |      ELSE CAST(0 AS DECIMAL(38,0)) END) AS DECIMAL(38,0))
+        |      AS qb
+        |  FROM base GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+        |    CAST(SUM(CASE WHEN na >= 2 AND nb >= 2 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_used,
+        |    CAST(SUM(CASE WHEN na >= 2 AND nb >= 2 THEN na + nb
+        |      ELSE 0 END) AS BIGINT) AS nn
+        |  FROM per
+        |), terms AS (
+        |  SELECT p.na, p.nb,
+        |    CAST(round(
+        |      (CAST(p.na + p.nb AS DOUBLE) / CAST(t.nn AS DOUBLE))
+        |      * (CAST(p.sa AS DOUBLE) / CAST(p.na AS DOUBLE)
+        |        - CAST(p.sb AS DOUBLE) / CAST(p.nb AS DOUBLE)), 12)
+        |      AS DECIMAL(38,12)) AS td,
+        |    CAST(round(
+        |      (CAST(p.na + p.nb AS DOUBLE) / CAST(t.nn AS DOUBLE))
+        |      * (CAST(p.na + p.nb AS DOUBLE) / CAST(t.nn AS DOUBLE))
+        |      * (((CAST(p.na AS DOUBLE) * CAST(p.qa AS DOUBLE)
+        |            - CAST(p.sa AS DOUBLE) * CAST(p.sa AS DOUBLE))
+        |          / (CAST(p.na AS DOUBLE)
+        |            * (CAST(p.na AS DOUBLE) - 1.0)))
+        |          / CAST(p.na AS DOUBLE)
+        |        + ((CAST(p.nb AS DOUBLE) * CAST(p.qb AS DOUBLE)
+        |            - CAST(p.sb AS DOUBLE) * CAST(p.sb AS DOUBLE))
+        |          / (CAST(p.nb AS DOUBLE)
+        |            * (CAST(p.nb AS DOUBLE) - 1.0)))
+        |          / CAST(p.nb AS DOUBLE)), 12) AS DECIMAL(38,12))
+        |      AS tv
+        |  FROM per p, tot t
+        |  WHERE p.na >= 2 AND p.nb >= 2 AND t.nn > 0
+        |), met AS (
+        |  SELECT CAST(SUM(na) AS BIGINT) AS n_a,
+        |    CAST(SUM(nb) AS BIGINT) AS n_b,
+        |    CAST(SUM(td) AS DOUBLE) AS dsum,
+        |    CAST(SUM(tv) AS DOUBLE) AS vsum
+        |  FROM terms
+        |), zt AS (
+        |  SELECT t.n_strata, t.n_used, m.n_a, m.n_b, m.dsum,
+        |    CASE WHEN m.vsum > 0.0
+        |      THEN round(m.dsum / sqrt(m.vsum), 6) + 0.0 END AS z
+        |  FROM tot t, met m
+        |), pt AS (
+        |  SELECT *, abs(z) / sqrt(2.0) AS x,
+        |    1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS t
+        |  FROM zt
+        |)
+        |SELECT n_strata, n_used AS n_strata_used, n_a, n_b,
+        |  round(dsum / 1000000.0, 6) + 0.0 AS diff, z,
+        |  round(t * (0.254829592 + t * (-0.284496736 +
+        |    t * (1.421413741 + t * (-1.453152027 +
+        |      t * 1.061405429)))) * exp(-(x * x)), 6) AS p_value
+        |FROM pt""".stripMargin,
 
     // V29: SQ8 replay — the same scale/encode IEEE chain, exact
     // BIGINT dots, integer-ranked.

@@ -1453,6 +1453,43 @@ class QualitySpec extends AnyFunSuite {
     assert(other !== gotBig)
   }
 
+  test("postStratifiedReadout: two-strata golden with in-test " +
+      "replay; under-filled stratum skipped; all-skipped NULL row") {
+    val df = Seq(
+      ("s1", true, 10L), ("s1", true, 20L),
+      ("s1", false, 30L), ("s1", false, 40L),
+      ("s2", true, 5L), ("s2", true, 5L),
+      ("s2", false, 10L), ("s2", false, 20L),
+      ("s3", true, 1L), ("s3", false, 2L), ("s3", false, 3L))
+      .toDF("s", "a", "v")
+    val got = Quality.postStratifiedReadout(df,
+        col("s"), col("a"), col("v"))
+      .as[(Long, Long, Option[Long], Option[Long], Option[Double],
+        Option[Double], Option[Double])]
+      .collect().head
+    assert(got._1 == 3L && got._2 == 2L)
+    assert(got._3 == Some(4L) && got._4 == Some(4L))
+    // w = 0.5 each; s1 diff term 0.5*(15-35) = -10, var 0.25*(25+25);
+    // s2 diff 0.5*(5-15) = -5, var 0.25*(0+25): z = -15/sqrt(18.75)
+    assert(got._5 == Some(-1.5e-5))
+    val zExp = BigDecimal(-15.0 / math.sqrt(18.75))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got._6 == Some(zExp))
+    assert(got._7.exists(_ < 0.001))
+
+    // every stratum under-filled: stable all-NULL readout
+    val degen = Seq(("s1", true, 1L), ("s1", false, 2L))
+      .toDF("s", "a", "v")
+    val g2 = Quality.postStratifiedReadout(degen,
+        col("s"), col("a"), col("v"))
+      .as[(Long, Long, Option[Long], Option[Long], Option[Double],
+        Option[Double], Option[Double])]
+      .collect()
+    assert(g2.length == 1)
+    assert(g2.head._1 == 1L && g2.head._2 == 0L)
+    assert(g2.head._5.isEmpty && g2.head._6.isEmpty && g2.head._7.isEmpty)
+  }
+
   test("clusterRandomizedReadout: hand golden, contaminated cluster " +
       "excluded, degenerate NULLs") {
     // c1 (A: 1+2=3), c2 (A: 5), c3 (B: 2), c4 (B: 4),
