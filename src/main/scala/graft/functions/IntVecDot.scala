@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -45,23 +46,23 @@ object IntVecDotImpl {
 case class IntVecDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  private def check(e: Expression, side: String): Unit = e.dataType match {
-    case ArrayType(IntegerType, _) => ()
-    case other => throw new IllegalArgumentException(
-      s"graft_int_vec_dot $side requires array<int>, got $other")
-  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    Seq(("left", left), ("right", right)).collectFirst {
+      case (side, e) if !e.dataType.isInstanceOf[ArrayType] ||
+          e.dataType.asInstanceOf[ArrayType].elementType != IntegerType =>
+        TypeCheckResult.TypeCheckFailure(
+          s"graft_int_vec_dot $side requires array<int>, got " +
+            e.dataType.catalogString)
+    }.getOrElse(TypeCheckResult.TypeCheckSuccess)
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def prettyName: String = "graft_int_vec_dot"
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    check(left, "left"); check(right, "right")
+  override protected def nullSafeEval(a: Any, b: Any): Any =
     IntVecDotImpl.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
-  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    check(left, "left"); check(right, "right")
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val r = ctx.freshName("intDotResult")
       s"""

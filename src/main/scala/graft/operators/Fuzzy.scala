@@ -619,7 +619,13 @@ object Fuzzy {
    *
    * Both pair sets canonicalize to (min, max), drop self-pairs and
    * NULL ids, and DISTINCT before counting — duplicate or
-   * mirror-direction pairs can't inflate any count. `n_records` is
+   * mirror-direction pairs can't inflate any count. Pairs are then
+   * SEMI-JOINED to the record id universe on BOTH endpoints —
+   * foreign-id pairs (a candidate file audited against the wrong
+   * slice) would otherwise inflate n_candidates/n_truth and could
+   * push n_candidates past n·(n−1)/2, silently yielding a NEGATIVE
+   * reduction ratio; restricting to the same universe makes
+   * n_candidates ≤ total_pairs structural. `n_records` is
    * the distinct non-NULL id count; `total_pairs` = n·(n−1)/2 is
    * carried as exact DECIMAL(38,0) rendered as a STRING (the q189
    * rule — it overflows BIGINT long before a corpus is large).
@@ -645,12 +651,17 @@ object Fuzzy {
       candidates: DataFrame, candA: String, candB: String,
       truth: DataFrame, truthA: String, truthB: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
+    // Reused by four semi-joins — materialize once.
+    val ids = Barrier.barrier(records.where(col(idCol).isNotNull)
+      .select(col(idCol).as("rid")).distinct())
     def canon(df: DataFrame, a: String, b: String): DataFrame = df
       .where(col(a).isNotNull && col(b).isNotNull &&
         col(a) =!= col(b))
       .select(least(col(a), col(b)).as("pa"),
         greatest(col(a), col(b)).as("pb"))
       .distinct()
+      .join(ids, col("pa") === col("rid"), "left_semi")
+      .join(ids, col("pb") === col("rid"), "left_semi")
     val cp = Barrier.barrier(canon(candidates, candA, candB))
     val tp = Barrier.barrier(canon(truth, truthA, truthB))
     val rec1 = records.where(col(idCol).isNotNull)

@@ -790,6 +790,14 @@ object Multimodal {
     import spark.implicits._
     df.select(col(idCol).cast("long")).as[Long]
       .mapPartitions(_.flatMap { id =>
+        // Twin ids live at id + idOffset; a base id at or above the
+        // offset would collide with some other row's twin and merge
+        // two different images under one id downstream (and in the
+        // oracle's GROUP BY id replay). Fail loudly instead of
+        // producing a silently-wrong corpus.
+        require(id >= 0L && id < idOffset,
+          s"withSyntheticBmpPairs: id $id outside [0, idOffset=" +
+            s"$idOffset) — twin ids would collide with base ids")
         val base = (id, syntheticBmpTextured(id, w, h))
         if (id % everyK == 0L)
           Iterator(base, (id + idOffset,

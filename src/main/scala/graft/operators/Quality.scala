@@ -1374,7 +1374,9 @@ object Quality {
    * distinct from p = 1.
    *
    * Scale: ONE key exchange serves the rank window, the edge
-   * extraction, and (after the broadcast edge join) the per-arm
+   * extraction, and (after the edge join — one row per key, left to
+   * AQE: broadcast when the key set is small, shuffled when a forced
+   * broadcast would OOM the driver) the per-arm
    * aggregate; per-key state is that key's sort — the
    * exact-percentile price ([[winsorizeAudit]]'s documented trade;
    * swap approx edges in upstream at 100 TB when ±ε is acceptable).
@@ -1407,8 +1409,11 @@ object Quality {
       .groupBy(keyCols.map(col): _*)
       .agg(min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
     val wv = least(greatest(col("__v"), col("__lo")), col("__hi"))
+    // edges is one row per keyCols group; no broadcast hint — with a
+    // low-cardinality key set AQE broadcasts it anyway, and a
+    // high-cardinality key set must NOT be forced driver-side.
     val agg = base
-      .join(broadcast(edges), keyCols)
+      .join(edges, keyCols)
       .withColumn("__w", wv)
       .groupBy(keyCols.map(col): _*)
       .agg(

@@ -1081,7 +1081,8 @@ object TextAnalysis {
    * Heuristics, engine-portable by construction (counts are regexp
    * totals in the RE2 ∩ Java ∩ PCRE common subset — the Q11 regex
    * discipline):
-   *  - words = whitespace tokens (the house convention);
+   *  - words = non-whitespace runs \S+ (r13: immune to repeated /
+   *    leading / trailing whitespace, unlike a literal-space split);
    *  - sentences = runs of [.!?]+;
    *  - syllables = vowel-group runs [aeiouy]+ over the lowercased
    *    text — the classic approximation (no silent-e or min-1-per-
@@ -1103,8 +1104,11 @@ object TextAnalysis {
    */
   def readabilityScores(
       docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = when(length(col(textCol)) > 0,
-      size(split(col(textCol), " "))).otherwise(lit(0)).cast("long")
+    // Words = non-whitespace runs — a literal-space split would
+    // count empty tokens from consecutive/leading/trailing
+    // whitespace as words, skewing both rates on real corpora.
+    val w = size(regexp_extract_all(col(textCol), lit("\\S+"), lit(0)))
+      .cast("long")
     val s = size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0)))
       .cast("long")
     val syl = size(regexp_extract_all(lower(col(textCol)),

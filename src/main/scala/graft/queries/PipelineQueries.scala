@@ -7750,8 +7750,7 @@ object PipelineQueries {
         |  FROM documents WHERE text IS NOT NULL
         |), c AS (
         |  SELECT doc_id,
-        |    CAST(CASE WHEN length(text) > 0
-        |      THEN len(string_split(text, ' ')) ELSE 0 END AS BIGINT)
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
         |      AS n_words,
         |    CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)
         |      AS n_sentences,
