@@ -743,9 +743,15 @@ object Similarity {
    */
   private def cellRanking(v: Column, seeds: Seq[Seq[Double]]): Column =
     array(seeds.zipWithIndex.map { case (s, i) =>
-      struct(
-        (-(dot(v, typedLit(s)) / lit(math.sqrt(s.map(x => x * x).sum)))).as("neg"),
-        lit(i).as("cell"))
+      // Zero-norm seed: the division is by a DRIVER-side constant,
+      // and ANSI Spark throws on double /0 — rank such a cell at
+      // "cosine 0" (neg = 0.0) instead. Non-degenerate seeds are
+      // bit-identical to the unguarded form (r13; the all-zero
+      // corpus regime every IVF entry point must survive).
+      val n = math.sqrt(s.map(x => x * x).sum)
+      val neg =
+        if (n > 0.0) -(dot(v, typedLit(s)) / lit(n)) else lit(0.0)
+      struct(neg.as("neg"), lit(i).as("cell"))
     }: _*)
 
   /**
@@ -1229,6 +1235,85 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("probe_id"), col("vec_id"), col("rank"),
         col("__s").as("score_int"))
+  }
+
+  /**
+   * V30 (r13): IVF-routed SQ8 search — [[sq8Search]] composed behind
+   * Voronoi cell routing, the shape a served SQ8 index actually runs
+   * (FAISS `IVFx,SQ8`): the probe scans only its `nprobe` closest
+   * cells' codes instead of the whole corpus, cutting the scan by
+   * ~nprobe/nlist exactly as [[ivfSearch]] does for full-precision
+   * scoring and [[ivfPqSearch]] for ADC. V29's scaladoc promised the
+   * composition ("compose with IVF cells upstream"); this is it as a
+   * first-class operator with its own gate.
+   *
+   * The SQ8 scale r = 127/max|x| trains on the FULL corpus — the
+   * index's global trained constant, deliberately independent of the
+   * routing (a per-cell scale would make scores incomparable across
+   * a probe's cells). Cell assignment is [[ivfCell]]'s exact
+   * arithmetic against the literal seed matrix; the probe routes to
+   * its `nprobe` top cells by the same ranking ([[ivfSearch]]'s
+   * probe side), so a vector routes identically as corpus row or
+   * probe. Scoring is the exact integer code dot through the
+   * codegen'd [[graft.functions.IntVecDot]] kernel — exact longs,
+   * (score desc, vec_id asc) rank, zero float hazard in scoring or
+   * ordering (V29's contract, unchanged by the routing).
+   *
+   * Degenerate all-zero corpus → NULL r → NULL scores ranked
+   * nulls-last, never a throw ([[sq8Search]]'s contract).
+   *
+   * Scale: ONE corpus pass projects (cell, codes) — assignment and
+   * encode are both shuffle-free projections against literals; the
+   * probe fan-out (probes × nprobe rows) broadcasts against that
+   * scan, and the only exchange is the per-probe rank window over
+   * candidate rows (corpus × nprobe/nlist expected), bounded
+   * map-side by the partial WindowGroupLimit. Nothing corpus-sized
+   * crosses the driver.
+   *
+   * Output: (probe_id, cell, vec_id, rank, score_int), rank 1..k
+   * per probe by (score desc, vec_id asc) across ALL routed cells.
+   */
+  def ivfSq8Search(
+      corpus: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      seeds: Seq[Seq[Double]],
+      nprobe: Int,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nprobe >= 1 && nprobe <= seeds.size,
+      s"nprobe must be in [1, ${seeds.size}], got $nprobe")
+    val c0 = corpus.select(
+      col(idCol).as("vec_id"), toDoubleVec(col(vecCol)).as("__v"))
+    val scaleRow = c0
+      .agg(max(array_max(transform(col("__v"), x => abs(x)))).as("__m"))
+      .select((lit(127.0) / when(col("__m") > 0.0, col("__m")))
+        .as("__r"))
+    def enc(v: Column) =
+      transform(v, x => floor(x * col("__r") + lit(0.5)).cast("int"))
+    val cEnc = c0.crossJoin(broadcast(scaleRow))
+      .select(col("vec_id"),
+        ivfCell(col("__v"), seeds).as("__cell"),
+        enc(col("__v")).as("__c"))
+    val pEnc = probes.select(
+        col(idCol).as("probe_id"), toDoubleVec(col(vecCol)).as("__p"))
+      .crossJoin(broadcast(scaleRow))
+      .withColumn("__cell",
+        explode(transform(
+          slice(sort_array(cellRanking(col("__p"), seeds)), 1, nprobe),
+          s => s.getField("cell"))))
+      .select(col("probe_id"), col("__cell"), enc(col("__p")).as("__pc"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("__s").desc_nulls_last, col("vec_id").asc)
+    cEnc.join(broadcast(pEnc), Seq("__cell"))
+      .where(col("vec_id") =!= col("probe_id"))
+      .withColumn("__s",
+        graft.functions.IntVecDot(col("__c"), col("__pc")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("probe_id"), col("__cell").as("cell"),
+        col("vec_id"), col("rank"), col("__s").as("score_int"))
   }
 
   /**

@@ -4204,6 +4204,21 @@ object PipelineQueries {
         .orderBy("probe_id", "rank")
     }),
 
+    // V30 (round 13): IVF-routed SQ8 search — V29's exact integer
+    // scoring behind 4-cell Voronoi routing (nprobe = 2), the FAISS
+    // IVFx,SQ8 serving shape q313 scored unrouted. Seed centroids
+    // keep the routing DuckDB-replayable (q228's pattern); the
+    // corpus-global SQ8 scale and exact long scores keep the
+    // ranking engine-free.
+    "q315_ivf_sq8_search" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val seeds = Similarity.ivfSeeds(e, "vec_id", "embedding",
+        nlist = 4)
+      Similarity.ivfSq8Search(e, e.where(col("vec_id") < 5),
+          "vec_id", "embedding", seeds, nprobe = 2, k = 10)
+        .orderBy("probe_id", "rank")
+    }),
+
     // D24 (round 12): blocking-quality audit — the q16 LSH blocker
     // evaluated against exact-duplicate ground truth on the
     // dup-injected corpus: reduction ratio (how much of the n(n-1)/2
@@ -7881,6 +7896,66 @@ object PipelineQueries {
         |  s AS score_int
         |FROM (
         |  SELECT probe_id, vec_id, s,
+        |    row_number() OVER (PARTITION BY probe_id
+        |                       ORDER BY s DESC, vec_id) AS rank
+        |  FROM dots)
+        |WHERE rank <= 10
+        |ORDER BY probe_id, rank""".stripMargin,
+
+    // V30: IVF routing (q228's seed-cell CTEs) composed with the
+    // q313 SQ8 encode/integer-dot replay — candidates restricted to
+    // the probe's 2 routed cells; integer sums are order-free so the
+    // composed rank is exact with zero float hazard.
+    "q315_ivf_sq8_search" ->
+      """WITH el AS (
+        |  SELECT vec_id, generate_subscripts(embedding,1) AS d,
+        |         unnest(embedding)::DOUBLE AS x
+        |  FROM embeddings
+        |), seed_ids AS (
+        |  SELECT vec_id AS cell_vid,
+        |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
+        |  FROM embeddings ORDER BY vec_id LIMIT 4
+        |), snrm AS (
+        |  SELECT s.cell, sqrt(SUM(e.x * e.x)) AS n
+        |  FROM seed_ids s JOIN el e ON e.vec_id = s.cell_vid
+        |  GROUP BY s.cell
+        |), vc AS (
+        |  SELECT e.vec_id, s.cell, SUM(e.x * se.x) / any_value(sn.n)
+        |    AS cosn
+        |  FROM el e
+        |  JOIN seed_ids s ON TRUE
+        |  JOIN el se ON se.vec_id = s.cell_vid AND se.d = e.d
+        |  JOIN snrm sn ON sn.cell = s.cell
+        |  GROUP BY e.vec_id, s.cell
+        |), assign AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY cosn DESC, cell) AS rn
+        |    FROM vc) WHERE rn = 1
+        |), pcells AS (
+        |  SELECT vec_id AS probe_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY cosn DESC, cell) AS rn
+        |    FROM vc WHERE vec_id < 5) WHERE rn <= 2
+        |), m AS (
+        |  SELECT 127.0 / (CASE WHEN MAX(abs(x)) > 0.0
+        |    THEN MAX(abs(x)) END) AS r FROM el
+        |), enc AS (
+        |  SELECT vec_id, d, CAST(floor(x * m.r + 0.5) AS BIGINT) AS c
+        |  FROM el, m
+        |), dots AS (
+        |  SELECT p.probe_id, a.cell, e.vec_id,
+        |    CAST(SUM(pe.c * e.c) AS BIGINT) AS s
+        |  FROM pcells p
+        |  JOIN assign a ON a.cell = p.cell
+        |  JOIN enc e ON e.vec_id = a.vec_id AND e.vec_id <> p.probe_id
+        |  JOIN enc pe ON pe.vec_id = p.probe_id AND pe.d = e.d
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT probe_id, cell, vec_id, CAST(rank AS INT) AS rank,
+        |  s AS score_int
+        |FROM (
+        |  SELECT probe_id, cell, vec_id, s,
         |    row_number() OVER (PARTITION BY probe_id
         |                       ORDER BY s DESC, vec_id) AS rank
         |  FROM dots)

@@ -1004,4 +1004,47 @@ class SimilaritySpec extends AnyFunSuite {
       .as[(Long, Long, Int, Option[Long])].collect()
     assert(g2.length == 2 && g2.forall(_._4.isEmpty))
   }
+
+  test("ivfSq8Search: nprobe=nlist equals unrouted sq8Search; " +
+      "nprobe=1 restricts to the probe's cell; zero corpus is NULL") {
+    // Two well-separated direction clusters; seeds (lowest ids 10,
+    // 11) anchor one cell each.
+    val corpus = Seq(
+      (10L, Seq(10.0, 0.0)), (11L, Seq(0.0, 10.0)),
+      (12L, Seq(9.0, 1.0)), (13L, Seq(1.0, 9.0)),
+      (14L, Seq(8.0, 0.5)), (15L, Seq(0.5, 8.0)))
+      .toDF("vec_id", "embedding")
+    val probes = Seq((1L, Seq(1.0, 0.1)), (2L, Seq(0.1, 1.0)))
+      .toDF("vec_id", "embedding")
+    val seeds = Similarity.ivfSeeds(corpus, "vec_id", "embedding", 2)
+
+    // Full routing scans every cell — must reproduce the unrouted
+    // ranking exactly (scores are exact longs on both paths).
+    val routed = Similarity.ivfSq8Search(corpus, probes, "vec_id",
+        "embedding", seeds, nprobe = 2, k = 6)
+      .select("probe_id", "vec_id", "rank", "score_int")
+      .as[(Long, Long, Int, Option[Long])].collect().toSet
+    val flat = Similarity.sq8Search(corpus, probes, "vec_id",
+        "embedding", k = 6)
+      .as[(Long, Long, Int, Option[Long])].collect().toSet
+    assert(routed === flat)
+
+    // nprobe=1: probe 1 routes to the x-cell only — every candidate
+    // is x-dominated, and the y-cluster never appears.
+    val one = Similarity.ivfSq8Search(corpus, probes, "vec_id",
+        "embedding", seeds, nprobe = 1, k = 6)
+      .select("probe_id", "vec_id")
+      .as[(Long, Long)].collect().groupBy(_._1)
+    assert(one(1L).map(_._2).toSet === Set(10L, 12L, 14L))
+    assert(one(2L).map(_._2).toSet === Set(11L, 13L, 15L))
+
+    val zeros = Seq((20L, Seq(0.0, 0.0)), (21L, Seq(0.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val zSeeds = Similarity.ivfSeeds(zeros, "vec_id", "embedding", 2)
+    val g3 = Similarity.ivfSq8Search(zeros, probes, "vec_id",
+        "embedding", zSeeds, nprobe = 2, k = 2)
+      .select("probe_id", "vec_id", "rank", "score_int")
+      .as[(Long, Long, Int, Option[Long])].collect()
+    assert(g3.forall(_._4.isEmpty))
+  }
 }
