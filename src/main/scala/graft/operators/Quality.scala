@@ -2544,6 +2544,100 @@ object Quality {
         col("__pick.gv").as("released_q"): _*)
   }
 
+  /** One declared release in a [[dpReleaseSuite]]: a stable name
+    * (the ledger key — must be unique within the suite), its ε in
+    * EXACT micro-units (1 ε = 1 000 000 — integer so the ledger
+    * arithmetic is engine-free), the release thunk (invoked only
+    * once the whole suite's budget clears), and optionally the
+    * released value column to total in the ledger audit. */
+  final case class DpDeclaredRelease(
+      name: String,
+      epsilonMicro: Long,
+      release: () => DataFrame,
+      totalCol: Option[String] = None)
+
+  /**
+   * Q15 (r13): ε-budget composition ledger — the accounting layer
+   * that turns Q10–Q14 from per-mechanism releases into a RELEASE
+   * SUITE: a real datasheet publishes counts AND sums AND quantiles
+   * AND histograms over the same dataset, and under sequential
+   * composition (Dwork & Roth, Thm 3.16) those releases spend a
+   * COMBINED budget Σεᵢ — per-mechanism ε bookkeeping alone lets a
+   * team silently publish 10ε of releases one ε at a time. The suite
+   * declares every release (name, ε) up front against a declared
+   * budget; the ledger is the auditable spend record.
+   *
+   * REFUSAL SEMANTICS: if Σεᵢ exceeds the budget the suite throws
+   * BEFORE invoking any release thunk — a partially-executed suite
+   * under a blown budget is itself a leak (the first k releases
+   * would stand published while the accounting failed), so the check
+   * is all-or-nothing and data-free (pure declared-literal
+   * arithmetic; no corpus scan happens on the refusal path).
+   *
+   * ε values are EXACT integer micro-units (the caller converts
+   * once); cumulative spend and remaining budget are exact long
+   * sums — no float accumulation anywhere, both engines replay the
+   * ledger bit-identically. Per release the ledger also audits the
+   * OUTPUT: n_rows (the released row count — for domain/histogram
+   * releases a data-INDEPENDENT constant, which the gate asserts)
+   * and released_total (the sum of the released value column when
+   * `totalCol` is declared — exact BIGINT, tying the ledger row to
+   * the actual mechanism output it accounts for).
+   *
+   * Composition fine print (documented, standard): sequential
+   * composition is the worst-case bound — releases over provably
+   * DISJOINT populations could claim parallel composition instead,
+   * and the per-mechanism determinism contract (Q10) means the
+   * budget is spent once per (data, seed); rotating seeds per
+   * release is what makes Σεᵢ the right ledger.
+   *
+   * Scale: the ledger arithmetic is driver-side over the declared
+   * list (bounded — a suite is tens of releases, never corpus-
+   * sized); each release contributes one aggregate over its own
+   * mechanism output (the mechanism's documented one-scan cost),
+   * unioned into the bounded ledger frame. Nothing corpus-sized
+   * crosses the driver.
+   *
+   * Output: (seq, release, eps_micro, cum_eps_micro, budget_micro,
+   * remaining_micro, n_rows, released_total), ordered by seq.
+   */
+  def dpReleaseSuite(
+      releases: Seq[DpDeclaredRelease],
+      budgetMicro: Long): DataFrame = {
+    require(releases.nonEmpty, "need at least one declared release")
+    require(budgetMicro > 0L,
+      s"budget must be positive, got $budgetMicro")
+    require(releases.map(_.name).distinct.size == releases.size,
+      "release names must be unique within a suite")
+    releases.foreach(r => require(r.epsilonMicro > 0L,
+      s"release '${r.name}' must declare a positive epsilon, got " +
+        s"${r.epsilonMicro}"))
+    val cums = releases.scanLeft(0L)(_ + _.epsilonMicro).tail
+    val total = cums.last
+    if (total > budgetMicro)
+      throw new IllegalStateException(
+        s"ε budget exceeded: declared suite spends $total µε against " +
+          s"a budget of $budgetMicro µε — refusing to run ANY " +
+          "release (all-or-nothing; trim the suite or raise the " +
+          "budget)")
+    releases.zip(cums).zipWithIndex.map { case ((r, cum), i) =>
+      val totalAgg = r.totalCol
+        .map(c => sum(col(c).cast("long")))
+        .getOrElse(first(lit(null).cast("long")))
+      r.release()
+        .agg(count(lit(1)).as("n_rows"),
+          totalAgg.as("released_total"))
+        .select(
+          lit(i + 1).as("seq"),
+          lit(r.name).as("release"),
+          lit(r.epsilonMicro).as("eps_micro"),
+          lit(cum).as("cum_eps_micro"),
+          lit(budgetMicro).as("budget_micro"),
+          lit(budgetMicro - cum).as("remaining_micro"),
+          col("n_rows"), col("released_total"))
+    }.reduce(_.unionByName(_)).orderBy("seq")
+  }
+
   def aaSequentialBattery(
       df: DataFrame, dayCol: Column, unitCol: Column,
       replicates: Int, alarmP: Double = 0.001): DataFrame = {

@@ -4219,6 +4219,37 @@ object PipelineQueries {
         .orderBy("probe_id", "rank")
     }),
 
+    // Q15 (round 13): ε-budget composition ledger — the release
+    // SUITE accounting layer over Q10b/Q14/Q12: three releases
+    // (domain counts ε=0.4, histogram ε=0.5, bounded sums ε=0.3)
+    // declared against a 1.5ε budget, sequential composition spends
+    // 1.2ε. Exact integer micro-ε arithmetic; each ledger row also
+    // audits its mechanism's released row count and total, so the
+    // oracle replays the full composed suite, not just the literals.
+    "q316_dp_budget_ledger" -> ((s, dir) => {
+      import s.implicits._
+      val Q = graft.operators.Quality
+      val domain = Seq("de", "en", "es", "fr", "zh", "xx", "yy")
+        .toDF("lang")
+      val docs = t(s, dir, "documents")
+      val ev = t(s, dir, "events")
+      Q.dpReleaseSuite(Seq(
+        Q.DpDeclaredRelease("lang_counts", 400000L,
+          () => Q.dpCountReleaseOverDomain(docs, domain, Seq("lang"),
+            epsilon = 0.4, seed = 47L, clampK = 39),
+          Some("released_count")),
+        Q.DpDeclaredRelease("value_hist", 500000L,
+          () => Q.dpHistogramRelease(ev, col("value"),
+            edges = (0L to 500L by 50L), epsilon = 0.5, seed = 48L,
+            clampK = 39),
+          Some("released_count")),
+        Q.DpDeclaredRelease("type_sums", 300000L,
+          () => Q.dpSumRelease(ev, Seq("event_type"), col("value"),
+            epsilon = 0.3, seed = 49L, clampHi = 8L, clampK = 534),
+          Some("released_sum"))),
+        budgetMicro = 1500000L)
+    }),
+
     // D24 (round 12): blocking-quality audit — the q16 LSH blocker
     // evaluated against exact-duplicate ground truth on the
     // dup-injected corpus: reduction ratio (how much of the n(n-1)/2
@@ -7901,6 +7932,48 @@ object PipelineQueries {
         |  FROM dots)
         |WHERE rank <= 10
         |ORDER BY probe_id, rank""".stripMargin,
+
+    // Q15: ledger literals (exact integer micro-ε arithmetic) joined
+    // to per-release audits over the FULL mechanism replays — the
+    // three generated Q10b/Q14/Q12 oracles run as subqueries, so the
+    // gate verifies the composed suite end-to-end.
+    "q316_dp_budget_ledger" -> {
+      val lang = dpDomainOracle(
+        domain = Seq("de", "en", "es", "fr", "zh", "xx", "yy"),
+        epsilon = 0.4, seed = 47L, clampK = 39)
+      val hist = dpHistOracle(
+        edges = (0L to 500L by 50L), epsilon = 0.5, seed = 48L,
+        clampK = 39)
+      val sums = dpSumOracle(
+        epsilon = 0.3, seed = 49L, clampHi = 8L, clampK = 534)
+      s"""WITH rel(seq, release, eps_micro, cum_eps_micro) AS (VALUES
+         |  (1, 'lang_counts', 400000, 400000),
+         |  (2, 'value_hist', 500000, 900000),
+         |  (3, 'type_sums', 300000, 1200000)
+         |), nr AS (
+         |  SELECT 'lang_counts' AS release,
+         |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |    CAST(SUM(released_count) AS BIGINT) AS released_total
+         |  FROM ($lang)
+         |  UNION ALL
+         |  SELECT 'value_hist', CAST(COUNT(*) AS BIGINT),
+         |    CAST(SUM(released_count) AS BIGINT)
+         |  FROM ($hist)
+         |  UNION ALL
+         |  SELECT 'type_sums', CAST(COUNT(*) AS BIGINT),
+         |    CAST(SUM(released_sum) AS BIGINT)
+         |  FROM ($sums)
+         |)
+         |SELECT CAST(r.seq AS INT) AS seq, r.release,
+         |  CAST(r.eps_micro AS BIGINT) AS eps_micro,
+         |  CAST(r.cum_eps_micro AS BIGINT) AS cum_eps_micro,
+         |  CAST(1500000 AS BIGINT) AS budget_micro,
+         |  CAST(1500000 - r.cum_eps_micro AS BIGINT)
+         |    AS remaining_micro,
+         |  n.n_rows, n.released_total
+         |FROM rel r JOIN nr n ON n.release = r.release
+         |ORDER BY seq""".stripMargin
+    },
 
     // V30: IVF routing (q228's seed-cell CTEs) composed with the
     // q313 SQ8 encode/integer-dot replay — candidates restricted to

@@ -1453,6 +1453,51 @@ class QualitySpec extends AnyFunSuite {
     assert(other !== gotBig)
   }
 
+  test("dpReleaseSuite: exact ledger arithmetic over real releases; " +
+      "blown budget refuses BEFORE any release thunk runs") {
+    val df = Seq(("a", 5.0d), ("a", 3.0d), ("b", 2.0d))
+      .toDF("k", "v")
+    val got = Quality.dpReleaseSuite(Seq(
+        Quality.DpDeclaredRelease("counts", 400000L,
+          () => Quality.dpCountRelease(df, Seq("k"),
+            epsilon = 0.4, seed = 7L),
+          Some("released_count")),
+        Quality.DpDeclaredRelease("hist", 500000L,
+          () => Quality.dpHistogramRelease(df, col("v"),
+            edges = Seq(0L, 4L, 8L), epsilon = 0.5, seed = 8L))),
+        budgetMicro = 1000000L)
+      .as[(Int, String, Long, Long, Long, Long, Long, Option[Long])]
+      .collect()
+    assert(got.map(_._2).toSeq === Seq("counts", "hist"))
+    assert(got.map(_._4).toSeq === Seq(400000L, 900000L))
+    assert(got.map(_._6).toSeq === Seq(600000L, 100000L))
+    assert(got.map(_._7).toSeq === Seq(2L, 2L))
+    // totalCol declared only on the first release
+    assert(got(0)._8.isDefined && got(1)._8.isEmpty)
+
+    // Refusal: Σε = 1.2ε > 1.0ε budget → throws without touching
+    // any release (the thunk itself would fail the test).
+    var invoked = false
+    val ex = intercept[IllegalStateException] {
+      Quality.dpReleaseSuite(Seq(
+        Quality.DpDeclaredRelease("r1", 700000L,
+          () => { invoked = true; df }),
+        Quality.DpDeclaredRelease("r2", 500000L,
+          () => { invoked = true; df })),
+        budgetMicro = 1000000L)
+    }
+    assert(ex.getMessage.contains("budget exceeded"))
+    assert(!invoked)
+
+    // duplicate names refused
+    intercept[IllegalArgumentException] {
+      Quality.dpReleaseSuite(Seq(
+        Quality.DpDeclaredRelease("same", 1L, () => df),
+        Quality.DpDeclaredRelease("same", 1L, () => df)),
+        budgetMicro = 10L)
+    }
+  }
+
   test("postStratifiedReadout: two-strata golden with in-test " +
       "replay; under-filled stratum skipped; all-skipped NULL row") {
     val df = Seq(
