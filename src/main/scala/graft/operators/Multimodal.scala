@@ -724,6 +724,157 @@ object Multimodal {
   }
 
   /**
+   * M14 support: the fixed-point DCT-II cosine table — c(i, u) =
+   * round(cos(π(2i+1)u / (2n)) · 10⁴) for i ∈ [0, n), u ∈ [0, 8).
+   * Driver-generated ONCE and handed to BOTH engines (the q269
+   * literal-matrix pattern): the operator's per-image kernel and the
+   * oracle's VALUES table consume the same integers, so the whole
+   * DCT is EXACT long arithmetic with zero cross-engine cos/ulp
+   * hazard. The 10⁴ grid is the mechanism's one documented
+   * quantization (frequency responses keep ~4 significant digits —
+   * far beyond what a 63-bit sign signature resolves).
+   */
+  private[graft] def phashDctTable(n: Int): Seq[(Int, Int, Long)] =
+    for (i <- 0 until n; u <- 0 until 8) yield
+      (i, u, Math.round(
+        math.cos(math.Pi * (2 * i + 1) * u / (2.0 * n)) * 10000.0))
+
+  /**
+   * M14 (r13): perceptual DCT hash (pHash) over DECODED pixels — the
+   * robust upgrade of [[imageAHash]]: aHash thresholds block lumas
+   * at the GLOBAL MEAN, so any luminance change that moves blocks
+   * relative to that mean (a brightness ramp/vignette, a contrast
+   * stretch) flips bits wholesale; pHash signs LOW-FREQUENCY DCT
+   * coefficients against their own median, and a smooth luma ramp
+   * concentrates into a handful of low-order coefficients — the
+   * other ~60 bits stand. The classic robust image fingerprint
+   * (same role as in pHash/imagehash libraries), here as an
+   * ALL-INTEGER pipeline:
+   *
+   *  - luma = 299r + 587g + 114b (×1000 fixed point — the M13
+   *    convention);
+   *  - the image floor-grids into n×n cells (n = `grid`, the aHash
+   *    block rule); cell value = S_cell div cnt_cell (exact integer
+   *    floor division, both engines);
+   *  - separable 2-D DCT-II via TWO exact integer matrix passes
+   *    against the [[phashDctTable]] literals: stage1(x, v) =
+   *    Σ_y cell(x,y)·c(y,v); coeff(u,v) = Σ_x stage1(x,v)·c(x,u).
+   *    Magnitudes bound by 255000·10⁸·n² (n = 16 → 6.5e15), an
+   *    order-free exact long sum — no float enters anywhere;
+   *  - the 63 AC coefficients (u,v ∈ [0,8)² minus DC) sign against
+   *    their TRUE MEDIAN (32nd smallest of 63 — an order statistic,
+   *    no averaging/division): bit = coeff > median. DC is excluded
+   *    so overall brightness never feeds the signature;
+   *  - hash = the 63-char '0'/'1' string in (u·8+v) order minus the
+   *    DC slot — the house fingerprint convention, band-sliceable.
+   *
+   * A constant image has all-zero AC coefficients → all-'0' hash
+   * (spec-pinned, mirroring aHash). Images smaller than the cell
+   * grid (w or h < grid) triage as decode_ok = false with a NULL
+   * hash, alongside undecodable payloads. Decode inherits
+   * [[decodeImageFeatures]]'s contract (batched mapPartitions, JDK
+   * ImageIO, disk cache off).
+   *
+   * Output: (idCol, decode_ok, phash).
+   */
+  def imagePHash(
+      df: DataFrame, idCol: String, payloadCol: String,
+      grid: Int = 16, batchSize: Int = 64): DataFrame = {
+    require(grid >= 8 && grid <= 64,
+      s"grid must be in [8, 64], got $grid")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = grid
+    val tab = phashDctTable(n)
+    val c = Array.ofDim[Long](n, 8)
+    tab.foreach { case (i, u, v) => c(i)(u) = v }
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, bytes) =>
+            val img =
+              try {
+                if (bytes == null || bytes.isEmpty) null
+                else javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(bytes))
+              } catch { case scala.util.control.NonFatal(_) => null }
+            if (img == null || img.getWidth < n || img.getHeight < n)
+              (id, false, Option.empty[String])
+            else {
+              val w = img.getWidth
+              val h = img.getHeight
+              val sums = Array.ofDim[Long](n, n)
+              val cnts = Array.ofDim[Long](n, n)
+              var y = 0
+              while (y < h) {
+                val cy = y * n / h
+                var x = 0
+                while (x < w) {
+                  val cx = x * n / w
+                  val p = img.getRGB(x, y)
+                  val luma = 299L * ((p >> 16) & 0xff) +
+                    587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)
+                  sums(cx)(cy) += luma
+                  cnts(cx)(cy) += 1L
+                  x += 1
+                }
+                y += 1
+              }
+              // stage1(x, v) = Σ_y cell(x, y) · c(y, v)
+              val st1 = Array.ofDim[Long](n, 8)
+              var cx = 0
+              while (cx < n) {
+                var cy = 0
+                while (cy < n) {
+                  val cell = sums(cx)(cy) / cnts(cx)(cy)
+                  var v = 0
+                  while (v < 8) {
+                    st1(cx)(v) += cell * c(cy)(v)
+                    v += 1
+                  }
+                  cy += 1
+                }
+                cx += 1
+              }
+              // coeff(u, v) = Σ_x stage1(x, v) · c(x, u)
+              val coef = new Array[Long](64)
+              var u = 0
+              while (u < 8) {
+                var v = 0
+                while (v < 8) {
+                  var s = 0L
+                  var x = 0
+                  while (x < n) {
+                    s += st1(x)(v) * c(x)(u)
+                    x += 1
+                  }
+                  coef(u * 8 + v) = s
+                  v += 1
+                }
+                u += 1
+              }
+              val ac = new Array[Long](63)
+              System.arraycopy(coef, 1, ac, 0, 63)
+              val sorted = ac.clone()
+              java.util.Arrays.sort(sorted)
+              val med = sorted(31) // true median of 63
+              val sb = new java.lang.StringBuilder(63)
+              var i = 0
+              while (i < 63) {
+                sb.append(if (ac(i) > med) '1' else '0')
+                i += 1
+              }
+              (id, true, Some(sb.toString))
+            }
+          }
+        }
+      }
+      .toDF(idCol, "decode_ok", "phash")
+  }
+
+  /**
    * M13 (pair stage): perceptual near-duplicate pairs over
    * [[imageAHash]] fingerprints — [[binaryNearDups]]'s 4×16-bit
    * band-bucket join and exact-hamming verify, fed by the DECODED
@@ -803,6 +954,53 @@ object Multimodal {
           Iterator(base, (id + idOffset,
             syntheticBmpTexturedVariant(
               id, w, h, delta, regionW, regionH)))
+        else Iterator(base)
+      })
+      .toDF(idCol, "payload")
+  }
+
+  /** [[syntheticBmpTextured]] with a horizontal BRIGHTNESS RAMP: every
+    * channel gains min(255, base + rampMax·x div w) — the
+    * vignette-style luminance edit that defeats a global-mean hash
+    * (block means move relative to the global mean) while a DCT
+    * signature absorbs it into a few low-order coefficients. Integer
+    * shift, saturating clamp — both exactly oracle-replayable
+    * (LEAST(255, ch + rampMax*x//w)). */
+  def syntheticBmpTexturedRamp(
+      seed: Long, w: Int, h: Int, rampMax: Int): Array[Byte] = {
+    val s11 = Math.floorMod(seed, 11)
+    val s13 = Math.floorMod(seed, 13)
+    val s7 = Math.floorMod(seed, 7)
+    bmpFrom(w, h) { (x, y) =>
+      val shift = rampMax.toLong * x / w
+      val xy = x.toLong * y
+      def ch(v: Long): Int =
+        math.min(255L, Math.floorMod(v, 256) + shift).toInt
+      (ch(seed * 7 + (1 + s11) * x + (2 + s13) * y + (1 + s7) * xy),
+        ch(seed * 11 + (3 + s13) * x + (1 + s11) * y + (2 + s7) * xy),
+        ch(seed * 13 + (2 + s11) * x + (3 + s13) * y + (3 + s7) * xy))
+    }
+  }
+
+  /** `(idCol, payload)` fixture for the pHash-robustness gate: the
+    * textured base for every id plus a brightness-RAMPED twin
+    * ([[syntheticBmpTexturedRamp]]) at id + idOffset for every
+    * `everyK`-th id — same id-range guard as
+    * [[withSyntheticBmpPairs]]. */
+  def withSyntheticBmpRampPairs(
+      df: DataFrame, idCol: String, w: Int, h: Int, everyK: Long,
+      idOffset: Long, rampMax: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        require(id >= 0L && id < idOffset,
+          s"withSyntheticBmpRampPairs: id $id outside [0, idOffset=" +
+            s"$idOffset) — twin ids would collide with base ids")
+        val base = (id, syntheticBmpTextured(id, w, h))
+        if (id % everyK == 0L)
+          Iterator(base, (id + idOffset,
+            syntheticBmpTexturedRamp(id, w, h, rampMax)))
         else Iterator(base)
       })
       .toDF(idCol, "payload")

@@ -4219,6 +4219,37 @@ object PipelineQueries {
         .orderBy("probe_id", "rank")
     }),
 
+    // M14 (round 13): pHash robustness gate — every 10th part id
+    // gets a brightness-RAMPED twin (the vignette-style luminance
+    // edit); per pair the gate emits BOTH hammings: aHash (global-
+    // mean bits — the ramp moves blocks relative to the mean, many
+    // bits flip) and pHash (DCT-sign bits — the smooth ramp lands in
+    // a few low-order coefficients, the rest stand). The oracle
+    // replays BOTH pipelines from the pixel formula + the literal
+    // fixed-point cosine table; MultimodalSpec pins the contrast.
+    "q317_phash_ramp_pairs" -> ((s, dir) => {
+      val ids = t(s, dir, "part").select(col("p_partkey").as("id"))
+      val imgs = Multimodal.withSyntheticBmpRampPairs(ids, "id",
+        w = 16, h = 16, everyK = 10L, idOffset = 1000000L,
+        rampMax = 40)
+      val a = Multimodal.imageAHash(imgs, "id", "payload")
+      val p = Multimodal.imagePHash(imgs, "id", "payload", grid = 16)
+      def pairs(df: DataFrame, hc: String, out: String) = {
+        val b = df.where(col("id") < 1000000L)
+          .select(col("id"), col(hc).as("__ha"))
+        val tw = df.where(col("id") >= 1000000L)
+          .select((col("id") - 1000000L).as("id"), col(hc).as("__hb"))
+        b.join(tw, "id").select(col("id"),
+          aggregate(
+            zip_with(split(col("__ha"), ""), split(col("__hb"), ""),
+              (x, y) => when(x =!= y, 1).otherwise(0)),
+            lit(0), _ + _).as(out))
+      }
+      pairs(a, "ahash", "ahash_hamming")
+        .join(pairs(p, "phash", "phash_hamming"), "id")
+        .orderBy("id")
+    }),
+
     // Q15 (round 13): ε-budget composition ledger — the release
     // SUITE accounting layer over Q10b/Q14/Q12: three releases
     // (domain counts ε=0.4, histogram ε=0.5, bounded sums ε=0.3)
@@ -7932,6 +7963,97 @@ object PipelineQueries {
         |  FROM dots)
         |WHERE rank <= 10
         |ORDER BY probe_id, rank""".stripMargin,
+
+    // M14: both perceptual pipelines replayed from the pixel formula
+    // — aHash via the q304 block CTEs, pHash via the literal
+    // fixed-point cosine table (two exact integer matrix passes +
+    // the order-statistic median), then per-character pair hammings.
+    "q317_phash_ramp_pairs" -> {
+      val dctRows = graft.operators.Multimodal.phashDctTable(16)
+        .map { case (i, u, c) => s"($i, $u, $c)" }
+        .mkString(",\n        |    ")
+      s"""WITH ids AS (
+        |  SELECT CAST(p_partkey AS BIGINT) AS id,
+        |    CAST(p_partkey AS BIGINT) AS seed, 0 AS ramp FROM part
+        |  WHERE p_partkey % 10 = 0
+        |  UNION ALL
+        |  SELECT CAST(p_partkey + 1000000 AS BIGINT),
+        |    CAST(p_partkey AS BIGINT), 40 FROM part
+        |  WHERE p_partkey % 10 = 0
+        |), px AS (
+        |  SELECT id, seed, seed % 11 AS s11, seed % 13 AS s13,
+        |    seed % 7 AS s7, ramp, x.x, y.y FROM ids,
+        |    (SELECT unnest(range(0, 16)) AS x) x,
+        |    (SELECT unnest(range(0, 16)) AS y) y
+        |), lum AS MATERIALIZED (
+        |  SELECT id, x, y,
+        |    299 * LEAST(255, (seed * 7 + (1 + s11) * x +
+        |      (2 + s13) * y + (1 + s7) * x * y) % 256 +
+        |      ramp * x // 16)
+        |  + 587 * LEAST(255, (seed * 11 + (3 + s13) * x +
+        |      (1 + s11) * y + (2 + s7) * x * y) % 256 +
+        |      ramp * x // 16)
+        |  + 114 * LEAST(255, (seed * 13 + (2 + s11) * x +
+        |      (3 + s13) * y + (3 + s7) * x * y) % 256 +
+        |      ramp * x // 16) AS luma
+        |  FROM px
+        |), blk AS (
+        |  SELECT id, (y * 8 // 16) * 8 + (x * 8 // 16) AS bi,
+        |    SUM(luma) AS s, COUNT(*) AS c
+        |  FROM lum GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT id, SUM(s) AS t, SUM(c) AS n FROM blk GROUP BY 1
+        |), ah AS MATERIALIZED (
+        |  SELECT b.id,
+        |    string_agg(CASE WHEN b.s * t.n > t.t * b.c
+        |      THEN '1' ELSE '0' END, '' ORDER BY b.bi) AS ahash
+        |  FROM blk b JOIN tot t USING (id) GROUP BY b.id
+        |), dct(i, u, c) AS (
+        |  VALUES
+        |    $dctRows
+        |), st1 AS (
+        |  SELECT l.id, l.x, d.u AS v, SUM(l.luma * d.c) AS s1
+        |  FROM lum l JOIN dct d ON d.i = l.y
+        |  GROUP BY 1, 2, 3
+        |), coef AS (
+        |  SELECT s.id, d.u, s.v, CAST(SUM(s.s1 * d.c) AS BIGINT)
+        |    AS cf
+        |  FROM st1 s JOIN dct d ON d.i = s.x
+        |  GROUP BY 1, 2, 3
+        |), ac AS (
+        |  SELECT id, u * 8 + v AS idx, cf FROM coef
+        |  WHERE NOT (u = 0 AND v = 0)
+        |), med AS (
+        |  SELECT id, cf AS m FROM (
+        |    SELECT id, cf, row_number() OVER (
+        |      PARTITION BY id ORDER BY cf) AS rn
+        |    FROM ac) WHERE rn = 32
+        |), ph AS MATERIALIZED (
+        |  SELECT a.id,
+        |    string_agg(CASE WHEN a.cf > m.m THEN '1' ELSE '0' END,
+        |      '' ORDER BY a.idx) AS phash
+        |  FROM ac a JOIN med m USING (id) GROUP BY a.id
+        |), pa AS (
+        |  SELECT b.id,
+        |    CAST(SUM(CASE WHEN substr(b.ahash, ii.i, 1) <>
+        |      substr(tw.ahash, ii.i, 1) THEN 1 ELSE 0 END) AS INT)
+        |      AS ahash_hamming
+        |  FROM ah b JOIN ah tw ON tw.id = b.id + 1000000,
+        |    (SELECT unnest(range(1, 65)) AS i) ii
+        |  WHERE b.id < 1000000 GROUP BY 1
+        |), pp AS (
+        |  SELECT b.id,
+        |    CAST(SUM(CASE WHEN substr(b.phash, ii.i, 1) <>
+        |      substr(tw.phash, ii.i, 1) THEN 1 ELSE 0 END) AS INT)
+        |      AS phash_hamming
+        |  FROM ph b JOIN ph tw ON tw.id = b.id + 1000000,
+        |    (SELECT unnest(range(1, 64)) AS i) ii
+        |  WHERE b.id < 1000000 GROUP BY 1
+        |)
+        |SELECT pa.id, pa.ahash_hamming, pp.phash_hamming
+        |FROM pa JOIN pp USING (id)
+        |ORDER BY id""".stripMargin
+    },
 
     // Q15: ledger literals (exact integer micro-ε arithmetic) joined
     // to per-release audits over the FULL mechanism replays — the

@@ -384,4 +384,106 @@ class MultimodalSpec extends AnyFunSuite {
     }
     assert(!got.exists(p => p._1 == 4L || p._2 == 4L))
   }
+
+  /** Independent in-test pHash replay: floor-grid cells, two exact
+    * integer DCT passes against the shared cosine table, 63-AC
+    * order-statistic median, sign bits. */
+  private def phashOf(w: Int, h: Int, grid: Int)(
+      px: (Int, Int) => (Int, Int, Int)): String = {
+    val n = grid
+    val c = Array.ofDim[Long](n, 8)
+    Multimodal.phashDctTable(n).foreach { case (i, u, v) => c(i)(u) = v }
+    val sums = Array.ofDim[Long](n, n)
+    val cnts = Array.ofDim[Long](n, n)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = px(x, y)
+      sums(x * n / w)(y * n / h) += 299L * r + 587L * g + 114L * b
+      cnts(x * n / w)(y * n / h) += 1L
+    }
+    val coef = Array.ofDim[Long](64)
+    for (u <- 0 until 8; v <- 0 until 8)
+      coef(u * 8 + v) = (0 until n).map { x =>
+        (0 until n).map(y =>
+          (sums(x)(y) / cnts(x)(y)) * c(y)(v)).sum * c(x)(u)
+      }.sum
+    val ac = coef.drop(1)
+    val med = ac.sorted.apply(31)
+    ac.map(v => if (v > med) '1' else '0').mkString
+  }
+
+  test("imagePHash: cosine-table shape, constant-image zeros, " +
+      "formula replay, triage, and ramp robustness vs aHash") {
+    val tab = Multimodal.phashDctTable(16)
+    assert(tab.size === 128)
+    assert(tab.filter(_._2 == 0).forall(_._3 == 10000L),
+      "u = 0 row is cos(0) = 1 exactly")
+    assert(tab.forall(t => math.abs(t._3) <= 10000L))
+
+    val const = Multimodal.bmpFrom(16, 16)((_, _) => (17, 99, 200))
+    val tiny = Multimodal.bmpFrom(8, 8)((_, _) => (1, 2, 3))
+    val junk = Array[Byte](1, 2, 3)
+    val df = Seq(
+      (1L, const), (2L, tiny), (3L, junk),
+      (10L, Multimodal.syntheticBmpTextured(10L, 16, 16)),
+      (11L, Multimodal.syntheticBmpTexturedRamp(10L, 16, 16, 40)))
+      .toDF("id", "payload")
+    val got = Multimodal.imagePHash(df, "id", "payload", grid = 16)
+      .as[(Long, Boolean, Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // constant image: every AC coefficient is 0 -> no bit above the
+    // median -> all zeros
+    assert(got(1L) === ((true, Some("0" * 63))))
+    assert(got(2L) === ((false, None)), "sub-grid image must triage")
+    assert(got(3L) === ((false, None)), "junk bytes must triage")
+
+    // decode path == arithmetic replay (base + ramped fixtures)
+    def basePx(seed: Long)(x: Int, y: Int) = {
+      val s11 = seed % 11; val s13 = seed % 13; val s7 = seed % 7
+      val xy = x.toLong * y
+      (Math.floorMod(seed * 7 + (1 + s11) * x + (2 + s13) * y
+          + (1 + s7) * xy, 256).toInt,
+        Math.floorMod(seed * 11 + (3 + s13) * x + (1 + s11) * y
+          + (2 + s7) * xy, 256).toInt,
+        Math.floorMod(seed * 13 + (2 + s11) * x + (3 + s13) * y
+          + (3 + s7) * xy, 256).toInt)
+    }
+    def rampPx(seed: Long, rampMax: Int)(x: Int, y: Int) = {
+      val (r, g, b) = basePx(seed)(x, y)
+      val s = (rampMax.toLong * x / 16).toInt
+      (math.min(255, r + s), math.min(255, g + s),
+        math.min(255, b + s))
+    }
+    assert(got(10L)._2.get === phashOf(16, 16, 16)(basePx(10L)))
+    assert(got(11L)._2.get === phashOf(16, 16, 16)(rampPx(10L, 40)))
+
+    // THE M14 claim: under a brightness ramp the aHash flips many
+    // global-mean bits while the pHash flips few DCT-sign bits —
+    // measured over 20 twin pairs (rampMax = 40, the q317 config).
+    val ids = spark.range(0, 200).select(col("id"))
+    val imgs = Multimodal.withSyntheticBmpRampPairs(ids, "id",
+      w = 16, h = 16, everyK = 10L, idOffset = 1000000L, rampMax = 40)
+    val a = Multimodal.imageAHash(imgs, "id", "payload")
+    val p = Multimodal.imagePHash(imgs, "id", "payload", grid = 16)
+    def hams(dfh: org.apache.spark.sql.DataFrame, hc: String) = {
+      val base = dfh.where(col("id") < 1000000L)
+        .select(col("id"), col(hc).as("ha"))
+      val tw = dfh.where(col("id") >= 1000000L)
+        .select((col("id") - 1000000L).as("id"), col(hc).as("hb"))
+      base.join(tw, "id")
+        .as[(Long, String, String)].collect()
+        .map { case (id, x, y) =>
+          id -> x.zip(y).count { case (i, j) => i != j } }
+        .toMap
+    }
+    val ah = hams(a, "ahash")
+    val ph = hams(p, "phash")
+    assert(ah.size === 20 && ph.size === 20)
+    // measured at this config: ahash avg 8.15 (min 3), phash avg 2.1
+    // (max 4); pin loose envelopes so the contrast is the assertion
+    assert(ph.values.sum * 2 < ah.values.sum,
+      s"phash total ${ph.values.sum} must be < half ahash total " +
+        s"${ah.values.sum}")
+    assert(ah.keys.count(k => ph(k) < ah(k)) >= 18)
+    assert(ph.values.max <= 8)
+  }
 }
