@@ -932,4 +932,174 @@ object Graph {
     Barrier.free(sd)
     out
   }
+
+  /**
+   * G13 (r13): bounded-round deterministic Louvain — modularity
+   * OPTIMIZATION, completing G12's modularity *audit*: G4's label
+   * propagation returns a partition with no quality target; Louvain
+   * (Blondel et al. 2008) moves each node to the neighboring
+   * community with the best modularity GAIN. This is the one-level
+   * move phase made deterministic and Spark-shaped:
+   *
+   *  - Per round every node scores each candidate community C
+   *    (neighbor labels + its own) with the EXACT integer gain rank
+   *    S(C) = 2m·w(v,C) − k_v·Σtot(C∖v) in DECIMAL(38,0) — the
+   *    standard ΔQ with constant terms dropped, scaled by 2m² so no
+   *    division exists; argmax by min(struct(−S, label)) (ties →
+   *    smaller label), and a node moves only on a STRICT improvement
+   *    over staying (tie moves would oscillate).
+   *  - Synchronous parallel moves can still thrash (two nodes
+   *    swapping), so rounds alternate an md5-PARITY schedule — only
+   *    nodes with md5-uniform parity r mod 2 may move in round r
+   *    (deterministic, engine-replayable, the mix31/md5 house
+   *    convention) — and every round is ACCEPT-TESTED: the exact
+   *    integer modularity numerator Qnum = Σintra·2m − Σdeg_c²
+   *    (G12's arithmetic) must STRICTLY increase or the round's
+   *    labels are discarded and the loop stops. Monotone Q per
+   *    emitted round holds BY CONSTRUCTION (spec-pinned), not by
+   *    hope — the honest guarantee a synchronous parallel Louvain
+   *    can actually make.
+   *
+   * Edges symmetrize/coalesce exactly as [[labelPropagation]] /
+   * [[modularity]], so the optimized graph IS the audited graph.
+   * Each round: one Σtot label-degree aggregate, one neighbor-label
+   * edge join + (node, label) partial agg, three key joins for the
+   * scoring frame, one node argmax, and G12's two label joins for
+   * the accept test — all hash-partitioned equi-joins, label state
+   * one row per node, rounds Barrier-routed with superseded state
+   * freed (the PageRank loop discipline). Driver sees ONE bounded
+   * row per round (Qnum, moves, communities) — the k-means control-
+   * loop contract; the data never crosses.
+   *
+   * Output: the round TRACE — (round, n_moves, n_communities,
+   * q_num, q): round 0 is the singleton baseline (Qnum = −Σk_v²,
+   * negative), then one row per ACCEPTED round; q_num is the exact
+   * integer numerator as a STRING (q189 rule — it reaches (2m)²),
+   * q = round(q_num/(2m)², 6) — one IEEE division, SIGNED (oracle
+   * carries + 0.0). Empty graph → empty trace.
+   */
+  def louvain(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, maxRounds: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val dec = DecimalType(38, 0)
+    val directed = edges
+      .select(col(srcCol).as("a"), col(dstCol).as("b"),
+        col(weightCol).cast("long").as("w"))
+      .where(col("a") =!= col("b"))
+    val und = directed
+      .unionAll(directed.select(col("b").as("a"), col("a").as("b"),
+        col("w")))
+      .groupBy("a", "b").agg(sum(col("w")).as("w"))
+      .barriered
+    val totalW = und.agg(coalesce(sum(col("w")), lit(0L)))
+      .collect()(0).getLong(0) // 2m — the one graph-wide scalar
+    if (totalW == 0L) {
+      Barrier.free(und)
+      return Seq.empty[(Int, Long, Long, String, Double)]
+        .toDF("round", "n_moves", "n_communities", "q_num", "q")
+    }
+    val deg = und.groupBy(col("a").as("node"))
+      .agg(sum(col("w")).as("k")).barriered
+
+    def roundQ(qnum: BigDecimal): Double =
+      java.math.BigDecimal
+        .valueOf(qnum.toDouble /
+          (totalW.toDouble * totalW.toDouble))
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+        .doubleValue
+
+    // Exact integer modularity numerator + community count — one
+    // bounded driver row (G12's arithmetic, totaled).
+    def qstats(labels: DataFrame): (BigDecimal, Long) = {
+      val row = und
+        .join(labels.select(col("node").as("a"), col("lbl").as("la")),
+          Seq("a"))
+        .join(labels.select(col("node").as("b"), col("lbl").as("lb")),
+          Seq("b"))
+        .groupBy(col("la"))
+        .agg(
+          sum(when(col("la") === col("lb"), col("w")).otherwise(0L))
+            .as("intra"),
+          sum(col("w")).as("degw"))
+        .agg(
+          (sum(col("intra")).cast(dec) * lit(totalW).cast(dec) -
+            sum(col("degw").cast(dec) * col("degw").cast(dec)))
+            .as("qnum"),
+          count(lit(1)).as("ncomm"))
+        .collect()(0)
+      (BigDecimal(row.getDecimal(0)), row.getLong(1))
+    }
+
+    var labels = und.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+      .barriered
+    var (qPrev, ncomm0) = qstats(labels)
+    val trace = scala.collection.mutable.ArrayBuffer(
+      (0, 0L, ncomm0, qPrev.underlying.toBigInteger.toString,
+        roundQ(qPrev)))
+    var r = 1
+    var go = true
+    while (go && r <= maxRounds) {
+      val sigma = labels.join(deg, "node")
+        .groupBy(col("lbl")).agg(sum(col("k")).as("sig"))
+      val cand = und
+        .join(labels.select(col("node").as("b"), col("lbl").as("lb")),
+          Seq("b"))
+        .groupBy(col("a"), col("lb")).agg(sum(col("w")).as("wvc"))
+        .unionByName(labels.select(col("node").as("a"),
+          col("lbl").as("lb"), lit(0L).as("wvc"))) // own community
+        .groupBy("a", "lb").agg(sum(col("wvc")).as("wvc"))
+      val scored = cand
+        .join(labels.select(col("node").as("a"), col("lbl").as("la")),
+          Seq("a"))
+        .join(deg.select(col("node").as("a"), col("k")), Seq("a"))
+        .join(sigma.select(col("lbl").as("lb"), col("sig")), Seq("lb"))
+        .withColumn("__sigx",
+          when(col("lb") === col("la"), col("sig") - col("k"))
+            .otherwise(col("sig")))
+        .withColumn("__score",
+          lit(totalW).cast(dec) * col("wvc").cast(dec) -
+            col("k").cast(dec) * col("__sigx").cast(dec))
+      val next = scored.groupBy(col("a"))
+        .agg(
+          min(struct((-col("__score")).as("ns"), col("lb").as("l")))
+            .as("__best"),
+          max(when(col("lb") === col("la"), col("__score")))
+            .as("__stay"),
+          first(col("la")).as("__la"))
+        .withColumn("__par",
+          pmod(conv(substring(md5(col("a").cast("string")), 1, 7),
+            16, 10).cast("long"), lit(2L)))
+        .withColumn("lbl",
+          when(col("__par") === lit(r % 2) &&
+              (-col("__best.ns")) > col("__stay"),
+            col("__best.l")).otherwise(col("__la")))
+        .select(col("a").as("node"), col("lbl"),
+          (col("lbl") =!= col("__la")).as("__moved"))
+        .barriered
+      val nMoves = next.where(col("__moved")).count()
+      val labNext = next.select("node", "lbl")
+      val (qNext, ncomm) = qstats(labNext)
+      if (qNext > qPrev) {
+        trace += ((r, nMoves, ncomm,
+          qNext.underlying.toBigInteger.toString, roundQ(qNext)))
+        Barrier.free(labels)
+        labels = next
+        qPrev = qNext
+        r += 1
+      } else {
+        Barrier.free(next)
+        go = false
+      }
+    }
+    Barrier.free(labels)
+    Barrier.free(deg)
+    Barrier.free(und)
+    trace.toSeq
+      .toDF("round", "n_moves", "n_communities", "q_num", "q")
+  }
 }

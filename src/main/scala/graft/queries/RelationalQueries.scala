@@ -1513,6 +1513,27 @@ object RelationalQueries {
       graft.operators.Graph.modularity(bg, "a", "b", "n", labels)
     }),
 
+    // G13 (round 13): bounded-round deterministic Louvain over the
+    // q225 bigram graph — modularity OPTIMIZATION next to q302's
+    // audit: exact integer gain ranks, md5-parity move schedule,
+    // every round accept-tested against the exact Q numerator
+    // (monotone by construction). The trace IS the gate: round 0
+    // singleton baseline (negative Q), then one row per accepted
+    // round with exact spend of moves/communities/Q.
+    "q318_louvain" -> ((s, dir) => {
+      val bg = t(s, dir, "documents")
+        .select(split(col("text"), " ").as("t"))
+        .where(size(col("t")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(t) - 1), " +
+            "i -> struct(element_at(t, i) AS a, element_at(t, i + 1) AS b))"))
+          .as("bg"))
+        .select(col("bg.a").as("a"), col("bg.b").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n"))
+      graft.operators.Graph.louvain(bg, "a", "b", "n", maxRounds = 3)
+        .orderBy("round")
+    }),
+
     // Benford first-digit audit of order totals: observed vs
     // log10(1+1/d) with per-digit chi-square contribution — the
     // fabricated-data screen; one 9-group aggregate.
@@ -1645,7 +1666,142 @@ object RelationalQueries {
     s"$base\n$rounds\nSELECT node, round(rank, 6) AS rank FROM pr$iters ORDER BY node"
   }
 
+  /** q318 oracle generator: the bounded-round Louvain trace — the
+    * q225 bigram graph CTEs, then per round the Σtot/candidate/
+    * gain-rank/move/accept chain unrolled (AS MATERIALIZED per the
+    * q123 rule — every label table feeds several consumers), with
+    * the accept test replayed as a prefix-min over per-round exact
+    * HUGEINT Q numerators. All integer arithmetic; the one IEEE op
+    * is the final q division (signed → + 0.0). */
+  private def louvainOracle(maxRounds: Int): String = {
+    val base =
+      """WITH toks AS (
+        |  SELECT string_split(text, ' ') AS w FROM documents
+        |), bgl AS (
+        |  SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+        |  FROM toks WHERE len(w) >= 2
+        |), bg AS (
+        |  SELECT w[i] AS a, w[i+1] AS b, count(*) AS cab
+        |  FROM bgl GROUP BY 1, 2
+        |), und AS MATERIALIZED (
+        |  SELECT a, b, CAST(SUM(cab) AS BIGINT) AS w FROM (
+        |    SELECT a, b, cab FROM bg WHERE a <> b
+        |    UNION ALL
+        |    SELECT b AS a, a AS b, cab FROM bg WHERE a <> b
+        |  ) GROUP BY 1, 2
+        |), degs AS MATERIALIZED (
+        |  SELECT a AS node, CAST(SUM(w) AS BIGINT) AS k
+        |  FROM und GROUP BY 1
+        |), w2 AS MATERIALIZED (
+        |  SELECT CAST(SUM(w) AS BIGINT) AS total_w FROM und
+        |), l0 AS MATERIALIZED (
+        |  SELECT node, node AS lbl FROM degs
+        |), q0 AS (
+        |  SELECT 0 AS round, CAST(0 AS BIGINT) AS n_moves,
+        |    c.ncomm AS n_communities, c.qnum
+        |  FROM (
+        |    SELECT CAST(COUNT(*) AS BIGINT) AS ncomm,
+        |      SUM(intra)::HUGEINT * (SELECT total_w FROM w2)::HUGEINT
+        |        - SUM(degw::HUGEINT * degw::HUGEINT) AS qnum
+        |    FROM (
+        |      SELECT la.lbl AS lbl,
+        |        SUM(CASE WHEN la.lbl = lb.lbl THEN u.w ELSE 0 END)
+        |          AS intra,
+        |        SUM(u.w) AS degw
+        |      FROM und u
+        |      JOIN l0 la ON la.node = u.a
+        |      JOIN l0 lb ON lb.node = u.b
+        |      GROUP BY 1)) c
+        |)""".stripMargin
+    val rounds = (1 to maxRounds).map { r =>
+      val p = r - 1
+      s""", sig$r AS (
+         |  SELECT l.lbl, CAST(SUM(d.k) AS BIGINT) AS sig
+         |  FROM l$p l JOIN degs d ON d.node = l.node GROUP BY 1
+         |), cand$r AS (
+         |  SELECT a, lb, CAST(SUM(wvc) AS BIGINT) AS wvc FROM (
+         |    SELECT u.a AS a, l.lbl AS lb, SUM(u.w) AS wvc
+         |    FROM und u JOIN l$p l ON l.node = u.b GROUP BY 1, 2
+         |    UNION ALL
+         |    SELECT node AS a, lbl AS lb, 0 FROM l$p
+         |  ) GROUP BY 1, 2
+         |), scored$r AS (
+         |  SELECT c.a, c.lb, la.lbl AS la,
+         |    (SELECT total_w FROM w2)::HUGEINT * c.wvc::HUGEINT
+         |      - d.k::HUGEINT * (CASE WHEN c.lb = la.lbl
+         |          THEN s.sig - d.k ELSE s.sig END)::HUGEINT AS score
+         |  FROM cand$r c
+         |  JOIN l$p la ON la.node = c.a
+         |  JOIN degs d ON d.node = c.a
+         |  JOIN sig$r s ON s.lbl = c.lb
+         |), mv$r AS MATERIALIZED (
+         |  SELECT a AS node,
+         |    CASE WHEN par = ${r % 2} AND best_s > stay_s
+         |      THEN best_l ELSE la END AS lbl,
+         |    (CASE WHEN par = ${r % 2} AND best_s > stay_s
+         |      THEN best_l ELSE la END) <> la AS moved
+         |  FROM (
+         |    SELECT a, la,
+         |      max(CASE WHEN rn = 1 THEN lb END) AS best_l,
+         |      max(CASE WHEN rn = 1 THEN score END) AS best_s,
+         |      max(CASE WHEN lb = la THEN score END) AS stay_s,
+         |      ('0x' || substr(md5(a), 1, 7))::BIGINT % 2 AS par
+         |    FROM (
+         |      SELECT a, la, lb, score, row_number() OVER (
+         |        PARTITION BY a ORDER BY score DESC, lb ASC) AS rn
+         |      FROM scored$r)
+         |    GROUP BY a, la, par)
+         |), l$r AS MATERIALIZED (
+         |  SELECT node, lbl FROM mv$r
+         |), q$r AS (
+         |  SELECT $r AS round,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM mv$r WHERE moved)
+         |      AS n_moves,
+         |    c.ncomm AS n_communities, c.qnum
+         |  FROM (
+         |    SELECT CAST(COUNT(*) AS BIGINT) AS ncomm,
+         |      SUM(intra)::HUGEINT * (SELECT total_w FROM w2)::HUGEINT
+         |        - SUM(degw::HUGEINT * degw::HUGEINT) AS qnum
+         |    FROM (
+         |      SELECT la.lbl AS lbl,
+         |        SUM(CASE WHEN la.lbl = lb.lbl THEN u.w ELSE 0 END)
+         |          AS intra,
+         |        SUM(u.w) AS degw
+         |      FROM und u
+         |      JOIN l$r la ON la.node = u.a
+         |      JOIN l$r lb ON lb.node = u.b
+         |      GROUP BY 1)) c
+         |)""".stripMargin
+    }.mkString("\n")
+    val union = (0 to maxRounds).map(r => s"SELECT * FROM q$r")
+      .mkString("\n  UNION ALL\n  ")
+    s"""$base
+       |$rounds
+       |, tr AS (
+       |  $union
+       |), fl AS (
+       |  SELECT round, n_moves, n_communities, qnum,
+       |    CASE WHEN round = 0 THEN 1
+       |         WHEN qnum > lag(qnum) OVER (ORDER BY round) THEN 1
+       |         ELSE 0 END AS f
+       |  FROM tr
+       |), acc AS (
+       |  SELECT *, MIN(f) OVER (ORDER BY round
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ok
+       |  FROM fl
+       |)
+       |SELECT CAST(round AS INT) AS round, n_moves, n_communities,
+       |  CAST(qnum AS VARCHAR) AS q_num,
+       |  ROUND(CAST(qnum AS DOUBLE) /
+       |    (CAST((SELECT total_w FROM w2) AS DOUBLE)
+       |     * CAST((SELECT total_w FROM w2) AS DOUBLE)), 6) + 0.0
+       |    AS q
+       |FROM acc WHERE ok = 1 ORDER BY round""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q318_louvain" -> louvainOracle(3),
+
 
     "q123_pagerank" -> pageRankOracle(10),
 

@@ -234,6 +234,43 @@ class GraphSpec extends AnyFunSuite {
     assert(g4.toSeq == Seq(("A", 2L, 10L, 10L, 10L, 0.0)))
   }
 
+  test("louvain: two-clique convergence with monotone Q trace; " +
+      "empty graph; determinism") {
+    // Two triangles bridged by one weak edge: ground-truth
+    // communities are the triangles, final Q near the two-clique
+    // optimum. Singleton baseline is round 0 (negative Q).
+    val edges = Seq(
+      ("a", "b", 1L), ("b", "c", 1L), ("a", "c", 1L),
+      ("x", "y", 1L), ("y", "z", 1L), ("x", "z", 1L),
+      ("c", "x", 1L))
+      .toDF("src", "dst", "w")
+    val got = Graph.louvain(edges, "src", "dst", "w", maxRounds = 6)
+      .as[(Int, Long, Long, String, Double)].collect().sortBy(_._1)
+    assert(got.head._1 === 0 && got.head._3 === 6L,
+      "round 0 is the singleton baseline")
+    assert(got.head._5 < 0.0, "singleton Q is negative")
+    // Q numerators strictly increase across EMITTED rounds — the
+    // monotone-by-construction contract
+    val qnums = got.map(r => BigInt(r._4))
+    qnums.sliding(2).foreach {
+      case Array(p, n) => assert(n > p, s"Q must increase: $p -> $n")
+      case _ =>
+    }
+    assert(got.last._3 <= 3L,
+      s"communities must coarsen from 6, got ${got.last._3}")
+    assert(got.last._5 > 0.0, "final partition beats random")
+
+    // rounds after the trace's last row were rejected or maxRounds
+    // hit; rerun is bit-identical (determinism)
+    val again = Graph.louvain(edges, "src", "dst", "w", maxRounds = 6)
+      .as[(Int, Long, Long, String, Double)].collect().sortBy(_._1)
+    assert(again.toSeq === got.toSeq)
+
+    // empty graph (only self-loops) -> empty trace, never throws
+    val selfOnly = Seq(("a", "a", 5L)).toDF("src", "dst", "w")
+    assert(Graph.louvain(selfOnly, "src", "dst", "w", 3).count() === 0L)
+  }
+
   test("linkPredict: path and 4-cycle goldens (CN / AA / Jaccard)") {
     // path a-b-c-d: (a,c) via b, (b,d) via c; (a,d) shares nothing.
     val path = lp(Seq(("a", "b"), ("b", "c"), ("c", "d")))
