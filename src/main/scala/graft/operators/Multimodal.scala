@@ -539,6 +539,137 @@ object Multimodal {
   }
 
   /**
+   * M15 support: the fixed-point DFT basis table — for t ∈ [0, n),
+   * k ∈ `bins`: c = round(cos(2πtk/n)·10⁴), s = round(sin(2πtk/n)·
+   * 10⁴). Driver-generated ONCE and handed to BOTH engines (the
+   * [[phashDctTable]] discipline): with the trig factors as shared
+   * integer literals, the DFT sums are EXACT long arithmetic with
+   * zero cross-engine cos/sin ulp hazard.
+   */
+  private[graft] def dftTable(
+      n: Int, bins: Seq[Int]): Seq[(Int, Int, Long, Long)] =
+    for (t <- 0 until n; k <- bins) yield {
+      val ang = 2.0 * math.Pi * t * k / n
+      (t, k, Math.round(math.cos(ang) * 10000.0),
+        Math.round(math.sin(ang) * 10000.0))
+    }
+
+  /**
+   * M15 (r13): audio spectral probe — exact-integer DFT power at
+   * declared frequency bins over the DECODED PCM samples, the
+   * CONTENT fingerprint the amplitude features
+   * ([[decodeAudioFeatures]]'s peak / mean|s|) cannot be: two
+   * different tones at equal loudness are indistinguishable by
+   * amplitude stats but separate cleanly in the spectrum — this is
+   * the audio analogue of [[imagePHash]]'s DCT signature, and the
+   * dedup/quality primitive an audio curation pass keys on (hum
+   * detection at 50/60 Hz bins, silence vs broadband noise,
+   * near-dup tone matching).
+   *
+   * ALL-INTEGER pipeline (the [[phashDctTable]] trick on the time
+   * axis): per declared bin k over the first `n` samples,
+   *   re_k = Σ_t s_t·c(t,k),  im_k = −Σ_t s_t·s(t,k)
+   * with c/s the shared [[dftTable]] literals — order-free exact
+   * long sums (|s_t| ≤ 32767 ⇒ |re| ≤ 32767·10⁴·n, n = 64 →
+   * 2.1e13); power_k = re² + im² computed in BigInt and emitted as
+   * a STRING (the q189 rule — it reaches ~1e27), re/im as exact
+   * longs.
+   *
+   * Decode inherits [[decodeAudioFeatures]]'s contract (JDK
+   * javax.sound, 16-bit PCM, container byte order honored). Clips
+   * SHORTER than `n` samples triage as decode_ok = false with NULL
+   * spectra (the fixed-size basis table is what keeps both engines
+   * exact — the [[imagePHash]] sub-grid rule), alongside
+   * undecodable payloads; longer clips probe their first n samples
+   * (documented — a windowed sweep composes upstream via
+   * [[frames]]).
+   *
+   * Output: (idCol, decode_ok, bin, re, im, power), one row per
+   * declared bin (NULL spectra on triage rows keep the id visible),
+   * ordered by (id, bin) at the call site.
+   */
+  def audioSpectralProbe(
+      df: DataFrame, idCol: String, payloadCol: String,
+      n: Int, bins: Seq[Int], batchSize: Int = 64): DataFrame = {
+    require(n >= 2 && n <= 65536, s"n must be in [2, 65536], got $n")
+    require(bins.nonEmpty, "need at least one bin")
+    require(bins.forall(k => k >= 0 && k < n),
+      s"bins must lie in [0, n=$n), got $bins")
+    require(bins.distinct.size == bins.size, "bins must be distinct")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sortedBins = bins.sorted
+    val tab = dftTable(n, sortedBins)
+    val kIdx = sortedBins.zipWithIndex.toMap
+    val cT = Array.ofDim[Long](n, sortedBins.size)
+    val sT = Array.ofDim[Long](n, sortedBins.size)
+    tab.foreach { case (t, k, c, s) =>
+      cT(t)(kIdx(k)) = c; sT(t)(kIdx(k)) = s
+    }
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.flatMap { case (id, bytes) =>
+            val samples: Array[Int] =
+              try {
+                if (bytes == null || bytes.isEmpty) null
+                else {
+                  val ais = javax.sound.sampled.AudioSystem
+                    .getAudioInputStream(
+                      new java.io.ByteArrayInputStream(bytes))
+                  val fmt = ais.getFormat
+                  if (fmt.getSampleSizeInBits != 16 ||
+                    fmt.getEncoding !=
+                      javax.sound.sampled.AudioFormat.Encoding
+                        .PCM_SIGNED) null
+                  else {
+                    val data = ais.readAllBytes()
+                    val big = fmt.isBigEndian
+                    val total = data.length / 2
+                    if (total < n) null
+                    else Array.tabulate(n) { i =>
+                      val b0 = data(2 * i)
+                      val b1 = data(2 * i + 1)
+                      if (big) (b0.toInt << 8) | (b1 & 0xff)
+                      else (b1.toInt << 8) | (b0 & 0xff)
+                    }
+                  }
+                }
+              } catch {
+                case scala.util.control.NonFatal(_) => null
+              }
+            if (samples == null)
+              sortedBins.map(k => (id, false, k, Option.empty[Long],
+                Option.empty[Long], Option.empty[String]))
+            else {
+              val re = new Array[Long](sortedBins.size)
+              val im = new Array[Long](sortedBins.size)
+              var t = 0
+              while (t < n) {
+                val x = samples(t).toLong
+                var j = 0
+                while (j < sortedBins.size) {
+                  re(j) += x * cT(t)(j)
+                  im(j) -= x * sT(t)(j)
+                  j += 1
+                }
+                t += 1
+              }
+              sortedBins.zipWithIndex.map { case (k, j) =>
+                val p = BigInt(re(j)) * BigInt(re(j)) +
+                  BigInt(im(j)) * BigInt(im(j))
+                (id, true, k, Some(re(j)), Some(im(j)),
+                  Some(p.toString))
+              }
+            }
+          }
+        }
+      }
+      .toDF(idCol, "decode_ok", "bin", "re", "im", "power")
+  }
+
+  /**
    * Overlapping byte-shingle token string: hex(payload) sliced into
    * `widthBytes`-byte grams every `strideBytes` bytes, space-joined —
    * the binary analogue of word shingles, feeding the same SimHash

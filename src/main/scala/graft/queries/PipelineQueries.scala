@@ -4219,6 +4219,27 @@ object PipelineQueries {
         .orderBy("probe_id", "rank")
     }),
 
+    // M15 (round 13): audio spectral probe — exact-integer DFT power
+    // at 6 declared bins over the first 64 decoded PCM samples of
+    // every part's synthetic WAV; a too-short clip and a corrupt
+    // payload ride along to pin the triage rows. The oracle replays
+    // samples from the WAV formula and the DFT from the shared
+    // literal trig table — no decode, no float.
+    "q319_audio_spectrum" -> ((s, dir) => {
+      import s.implicits._
+      val ids = t(s, dir, "part").select(col("p_partkey").as("id"))
+      val wavs = Multimodal.withSyntheticWav(
+        ids, "id", nSamples = 256, sampleRate = 16000)
+      val short = Seq((-2L, Multimodal.syntheticWav(-2L, 32, 16000)))
+        .toDF("id", "payload")
+      val corrupt = Seq((-1L, "RIFF....not a wav".getBytes("UTF-8")))
+        .toDF("id", "payload")
+      Multimodal.audioSpectralProbe(
+          wavs.unionByName(short).unionByName(corrupt), "id",
+          "payload", n = 64, bins = Seq(0, 1, 3, 8, 16, 31))
+        .orderBy("id", "bin")
+    }),
+
     // M14 (round 13): pHash robustness gate — every 10th part id
     // gets a brightness-RAMPED twin (the vignette-style luminance
     // edit); per pair the gate emits BOTH hammings: aHash (global-
@@ -7963,6 +7984,46 @@ object PipelineQueries {
         |  FROM dots)
         |WHERE rank <= 10
         |ORDER BY probe_id, rank""".stripMargin,
+
+    // M15: samples from the WAV integer formula × the shared DFT
+    // literal table; HUGEINT squares rendered VARCHAR; triage rows
+    // for the short and corrupt ids emitted literally.
+    "q319_audio_spectrum" -> {
+      val dftRows = graft.operators.Multimodal
+        .dftTable(64, Seq(0, 1, 3, 8, 16, 31))
+        .map { case (t, k, c, s) => s"($t, $k, $c, $s)" }
+        .mkString(",\n        |    ")
+      s"""WITH ids AS (
+        |  SELECT CAST(p_partkey AS BIGINT) AS id,
+        |    CAST(p_partkey AS BIGINT) AS seed FROM part
+        |), dft(t, k, c, s) AS (
+        |  VALUES
+        |    $dftRows
+        |), smp AS (
+        |  SELECT id, tt.t,
+        |    CAST((seed * 31 + 7 * tt.t) % 4001 - 2000 AS BIGINT) AS x
+        |  FROM ids, (SELECT unnest(range(0, 64)) AS t) tt
+        |), spec AS (
+        |  SELECT m.id, d.k AS bin,
+        |    CAST(SUM(m.x * d.c) AS BIGINT) AS re,
+        |    CAST(-SUM(m.x * d.s) AS BIGINT) AS im
+        |  FROM smp m JOIN dft d ON d.t = m.t
+        |  GROUP BY 1, 2
+        |), ok AS (
+        |  SELECT id, TRUE AS decode_ok, bin, re, im,
+        |    CAST(re::HUGEINT * re::HUGEINT + im::HUGEINT * im::HUGEINT
+        |      AS VARCHAR) AS power
+        |  FROM spec
+        |), triage AS (
+        |  SELECT CAST(t.id AS BIGINT) AS id, FALSE AS decode_ok,
+        |    d.k AS bin, CAST(NULL AS BIGINT) AS re,
+        |    CAST(NULL AS BIGINT) AS im, CAST(NULL AS VARCHAR) AS power
+        |  FROM (SELECT -1 AS id UNION ALL SELECT -2) t,
+        |    (SELECT DISTINCT k FROM dft) d
+        |)
+        |SELECT * FROM ok UNION ALL SELECT * FROM triage
+        |ORDER BY id, bin""".stripMargin
+    },
 
     // M14: both perceptual pipelines replayed from the pixel formula
     // — aHash via the q304 block CTEs, pHash via the literal

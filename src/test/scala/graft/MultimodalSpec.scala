@@ -411,6 +411,51 @@ class MultimodalSpec extends AnyFunSuite {
     ac.map(v => if (v > med) '1' else '0').mkString
   }
 
+  test("audioSpectralProbe: basis-table shape, independent replay " +
+      "parity, exact DC-bin golden, short/junk triage") {
+    val tab8 = Multimodal.dftTable(8, Seq(0, 1))
+    assert(tab8.size === 16)
+    tab8.filter(_._2 == 0).foreach { case (_, _, c, s) =>
+      assert(c === 10000L && s === 0L, "k = 0 is cos 1 / sin 0")
+    }
+    assert(tab8.forall(r => math.abs(r._3) <= 10000L &&
+      math.abs(r._4) <= 10000L))
+
+    val bins = Seq(0, 2, 7)
+    val df = Seq(
+      (1L, Multimodal.syntheticWav(5L, 64, 8000)),
+      (2L, Multimodal.syntheticWav(5L, 32, 8000)), // too short for n
+      (3L, Array[Byte](1, 2, 3)))
+      .toDF("id", "payload")
+    val got = Multimodal.audioSpectralProbe(df, "id", "payload",
+        n = 64, bins = bins)
+      .as[(Long, Boolean, Int, Option[Long], Option[Long],
+        Option[String])].collect()
+    assert(got.length === 9, "one row per (id, bin)")
+    val byIdBin = got.map(r => (r._1, r._3) -> r).toMap
+    for (id <- Seq(2L, 3L); k <- bins) {
+      val r = byIdBin((id, k))
+      assert(!r._2 && r._4.isEmpty && r._5.isEmpty && r._6.isEmpty,
+        s"id $id bin $k must triage")
+    }
+    // independent arithmetic replay of the decoded path
+    val samples = (0 until 64)
+      .map(i => Math.floorMod(5L * 31 + 7L * i, 4001L) - 2000L)
+    val t64 = Multimodal.dftTable(64, bins)
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    for (k <- bins) {
+      val re = (0 until 64).map(t => samples(t) * t64((t, k))._1).sum
+      val im = -(0 until 64).map(t => samples(t) * t64((t, k))._2).sum
+      val r = byIdBin((1L, k))
+      assert(r._2 && r._4.contains(re) && r._5.contains(im))
+      assert(r._6.contains(
+        (BigInt(re) * BigInt(re) + BigInt(im) * BigInt(im)).toString))
+    }
+    // DC bin is the exact scaled sample sum with zero imaginary part
+    assert(byIdBin((1L, 0))._4.contains(10000L * samples.sum))
+    assert(byIdBin((1L, 0))._5.contains(0L))
+  }
+
   test("imagePHash: cosine-table shape, constant-image zeros, " +
       "formula replay, triage, and ramp robustness vs aHash") {
     val tab = Multimodal.phashDctTable(16)
