@@ -1347,6 +1347,110 @@ object Quality {
   }
 
   /**
+   * E47 (r13): TWO-covariate regression-adjusted readout (the
+   * CUPAC/ANCOVA generalization of [[cupedReadout]]): one
+   * pre-period covariate rarely captures all predictable outcome
+   * variance — spend AND activity, say, predict different slices —
+   * and adjusting on both removes strictly more variance than
+   * either alone (adding a covariate can only grow R² in-sample).
+   * The adjusted metric is Y − θ₁(X₁−E[X₁]) − θ₂(X₂−E[X₂]) with
+   * (θ₁, θ₂) the pooled OLS solution of the centered 2×2 normal
+   * equations, solved in CLOSED FORM (Cramer):
+   *
+   *   S₁₁ = nΣx₁² − (Σx₁)², S₂₂, S₁₂, S₁y, S₂y analogous;
+   *   det = S₁₁S₂₂ − S₁₂²  (≥ 0 by Cauchy–Schwarz; 0 ⟺ collinear);
+   *   θ₁ = (S₂₂S₁y − S₁₂S₂y)/det, θ₂ = (S₁₁S₂y − S₁₂S₁y)/det;
+   *   R² = (θ₁S₁y + θ₂S₂y)/Syy.
+   *
+   * Same contracts as CUPED: units on the INTEGER grid (micro-units
+   * for values; raw counts are fine — θ absorbs scale), θ pooled
+   * across arms (covariates are pre-experiment, pooling can't leak
+   * treatment), all co-moments exact DECIMAL(38,0) from d18
+   * products, the finish ONE fixed IEEE chain (q118/q119) mirrored
+   * op-for-op in the oracle, outputs round(6) (diffs/θ signed —
+   * oracle carries + 0.0). Degenerate regimes — an empty arm,
+   * n ≤ 2, det ≤ 0 (a constant or collinear covariate pair: fall
+   * back to single-covariate CUPED upstream), zero Y variance —
+   * emit NULL adjusted outputs, never NaN.
+   *
+   * Scale: ONE partial-aggregated pass over the unit frame (12
+   * sums), one row out. The unit collapse upstream pays the only
+   * key exchange.
+   *
+   * Output (one row): n_units, n_a, n_b, theta1, theta2, diff_raw,
+   * diff_adj, var_reduction.
+   */
+  def regressionAdjustedReadout(
+      units: DataFrame, armCol: Column,
+      x1MicroCol: Column, x2MicroCol: Column,
+      yMicroCol: Column): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val d18 = org.apache.spark.sql.types.DecimalType(18, 0)
+    val x1 = x1MicroCol.cast(d18)
+    val x2 = x2MicroCol.cast(d18)
+    val y = yMicroCol.cast(d18)
+    val agg = units
+      .where(armCol.isNotNull && x1MicroCol.isNotNull &&
+        x2MicroCol.isNotNull && yMicroCol.isNotNull)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x1).cast(d38).as("s1"),
+        sum(x2).cast(d38).as("s2"),
+        sum(y).cast(d38).as("sy"),
+        sum(x1 * x1).cast(d38).as("s11"),
+        sum(x2 * x2).cast(d38).as("s22"),
+        sum(x1 * x2).cast(d38).as("s12"),
+        sum(x1 * y).cast(d38).as("s1y"),
+        sum(x2 * y).cast(d38).as("s2y"),
+        sum(y * y).cast(d38).as("syy"),
+        sum(when(armCol, 1L).otherwise(0L)).as("na"),
+        sum(when(!armCol, 1L).otherwise(0L)).as("nb"),
+        sum(when(armCol, x1).otherwise(lit(0).cast(d18))).cast(d38)
+          .as("s1a"),
+        sum(when(!armCol, x1).otherwise(lit(0).cast(d18))).cast(d38)
+          .as("s1b"),
+        sum(when(armCol, x2).otherwise(lit(0).cast(d18))).cast(d38)
+          .as("s2a"),
+        sum(when(!armCol, x2).otherwise(lit(0).cast(d18))).cast(d38)
+          .as("s2b"),
+        sum(when(armCol, y).otherwise(lit(0).cast(d18))).cast(d38)
+          .as("sya"),
+        sum(when(!armCol, y).otherwise(lit(0).cast(d18))).cast(d38)
+          .as("syb"))
+    def d(c: String) = col(c).cast("double")
+    val c11 = d("n") * d("s11") - d("s1") * d("s1")
+    val c22 = d("n") * d("s22") - d("s2") * d("s2")
+    val c12 = d("n") * d("s12") - d("s1") * d("s2")
+    val c1y = d("n") * d("s1y") - d("s1") * d("sy")
+    val c2y = d("n") * d("s2y") - d("s2") * d("sy")
+    val cyy = d("n") * d("syy") - d("sy") * d("sy")
+    val det = c11 * c22 - c12 * c12
+    val th1 = (c22 * c1y - c12 * c2y) / det
+    val th2 = (c11 * c2y - c12 * c1y) / det
+    // Contrasts stay in the INPUT integer units until the single
+    // display division: θ_j carries y-grid-per-xj-grid units, so
+    // θ_j·dx_j is y-grid regardless of each covariate's own grid
+    // (x₂ as a raw count is fine) — one /10⁶ at the end converts
+    // the y-grid result to display units.
+    val diffRawInt = d("sya") / d("na") - d("syb") / d("nb")
+    val dx1Int = d("s1a") / d("na") - d("s1b") / d("nb")
+    val dx2Int = d("s2a") / d("na") - d("s2b") / d("nb")
+    val testable = col("na") > 0 && col("nb") > 0 && col("n") > 2
+    val solvable = testable && det > 0.0
+    agg.select(
+      col("n").as("n_units"), col("na").as("n_a"), col("nb").as("n_b"),
+      when(solvable, round(th1, 6)).as("theta1"),
+      when(solvable, round(th2, 6)).as("theta2"),
+      when(testable, round(diffRawInt / lit(1000000.0), 6))
+        .as("diff_raw"),
+      when(solvable,
+        round((diffRawInt - th1 * dx1Int - th2 * dx2Int) /
+          lit(1000000.0), 6)).as("diff_adj"),
+      when(solvable && cyy > 0.0,
+        round((th1 * c1y + th2 * c2y) / cyy, 6)).as("var_reduction"))
+  }
+
+  /**
    * E44 (r12): WINSORIZED mean A/B readout — the capped-metric test
    * every experimentation platform runs on heavy-tailed metrics
    * (spend, latency, tokens): a single whale in one arm moves a raw

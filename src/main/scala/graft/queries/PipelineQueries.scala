@@ -2981,6 +2981,30 @@ object PipelineQueries {
         col("x"), col("y"))
     }),
 
+    // E47 (round 13): two-covariate regression-adjusted readout —
+    // q231's CUPED with BOTH pre-period value mass (micro grid) and
+    // pre-period event count (raw grid) as covariates; closed-form
+    // 2x2 Cramer solve over exact decimal co-moments, contrasts in
+    // integer units until the single display division.
+    "q320_regression_adjusted" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val units = ev
+        .where(col("user_id").isNotNull && col("value").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(dayofmonth(col("ts")) <= 15,
+            floor(col("value") * 1000000).cast("long"))
+            .otherwise(0L)).as("x1"),
+          sum(when(dayofmonth(col("ts")) <= 15, 1L)
+            .otherwise(0L)).as("x2"),
+          sum(when(dayofmonth(col("ts")) > 15,
+            floor(col("value") * 1000000).cast("long"))
+            .otherwise(0L)).as("y"))
+        .withColumn("arm", col("user_id") % 3 === 0)
+      graft.operators.Quality.regressionAdjustedReadout(units,
+        col("arm"), col("x1"), col("x2"), col("y"))
+    }),
+
     // V22 (round 9): binary sign quantization + Hamming search — the
     // 32x-compression first-pass filter (XOR+popcount per candidate,
     // the cheapest scorer in the V family). Pure integer end to end:
@@ -8955,6 +8979,100 @@ object PipelineQueries {
         |FROM fpd a JOIN fpd b ON a.h = b.h AND a.doc < b.doc
         |GROUP BY 1, 2 HAVING COUNT(DISTINCT a.h) >= 2
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // E47: the q231 moment replay widened to the 2x2 normal
+    // equations — Cramer determinants as the same fixed IEEE chain,
+    // contrasts in integer units, one display division.
+    "q320_regression_adjusted" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CASE WHEN EXTRACT(day FROM ts) <= 15
+        |      THEN CAST(floor(value * 1000000) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS x1,
+        |    CAST(SUM(CASE WHEN EXTRACT(day FROM ts) <= 15
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS x2,
+        |    CAST(SUM(CASE WHEN EXTRACT(day FROM ts) > 15
+        |      THEN CAST(floor(value * 1000000) AS BIGINT)
+        |      ELSE 0 END) AS BIGINT) AS y,
+        |    (user_id % 3 = 0) AS arm
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY user_id
+        |), m AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(x1 AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS s1,
+        |    CAST(SUM(CAST(x2 AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS s2,
+        |    CAST(SUM(CAST(y AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sy,
+        |    CAST(SUM(CAST(x1 AS DECIMAL(19,0)) * CAST(x1 AS DECIMAL(19,0)))
+        |      AS DECIMAL(38,0)) AS s11,
+        |    CAST(SUM(CAST(x2 AS DECIMAL(19,0)) * CAST(x2 AS DECIMAL(19,0)))
+        |      AS DECIMAL(38,0)) AS s22,
+        |    CAST(SUM(CAST(x1 AS DECIMAL(19,0)) * CAST(x2 AS DECIMAL(19,0)))
+        |      AS DECIMAL(38,0)) AS s12,
+        |    CAST(SUM(CAST(x1 AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+        |      AS DECIMAL(38,0)) AS s1y,
+        |    CAST(SUM(CAST(x2 AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+        |      AS DECIMAL(38,0)) AS s2y,
+        |    CAST(SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+        |      AS DECIMAL(38,0)) AS syy,
+        |    CAST(SUM(CASE WHEN arm THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(SUM(CASE WHEN arm THEN 0 ELSE 1 END) AS BIGINT) AS nb,
+        |    CAST(SUM(CASE WHEN arm THEN CAST(x1 AS DECIMAL(19,0))
+        |      ELSE CAST(0 AS DECIMAL(19,0)) END) AS DECIMAL(38,0)) AS s1a,
+        |    CAST(SUM(CASE WHEN arm THEN CAST(0 AS DECIMAL(19,0))
+        |      ELSE CAST(x1 AS DECIMAL(19,0)) END) AS DECIMAL(38,0)) AS s1b,
+        |    CAST(SUM(CASE WHEN arm THEN CAST(x2 AS DECIMAL(19,0))
+        |      ELSE CAST(0 AS DECIMAL(19,0)) END) AS DECIMAL(38,0)) AS s2a,
+        |    CAST(SUM(CASE WHEN arm THEN CAST(0 AS DECIMAL(19,0))
+        |      ELSE CAST(x2 AS DECIMAL(19,0)) END) AS DECIMAL(38,0)) AS s2b,
+        |    CAST(SUM(CASE WHEN arm THEN CAST(y AS DECIMAL(19,0))
+        |      ELSE CAST(0 AS DECIMAL(19,0)) END) AS DECIMAL(38,0)) AS sya,
+        |    CAST(SUM(CASE WHEN arm THEN CAST(0 AS DECIMAL(19,0))
+        |      ELSE CAST(y AS DECIMAL(19,0)) END) AS DECIMAL(38,0)) AS syb
+        |  FROM u
+        |), f AS (
+        |  SELECT n, na, nb,
+        |    CAST(n AS DOUBLE) * CAST(s11 AS DOUBLE)
+        |      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) AS c11,
+        |    CAST(n AS DOUBLE) * CAST(s22 AS DOUBLE)
+        |      - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) AS c22,
+        |    CAST(n AS DOUBLE) * CAST(s12 AS DOUBLE)
+        |      - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) AS c12,
+        |    CAST(n AS DOUBLE) * CAST(s1y AS DOUBLE)
+        |      - CAST(s1 AS DOUBLE) * CAST(sy AS DOUBLE) AS c1y,
+        |    CAST(n AS DOUBLE) * CAST(s2y AS DOUBLE)
+        |      - CAST(s2 AS DOUBLE) * CAST(sy AS DOUBLE) AS c2y,
+        |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS cyy,
+        |    CAST(sya AS DOUBLE) / CAST(na AS DOUBLE)
+        |      - CAST(syb AS DOUBLE) / CAST(nb AS DOUBLE) AS diff_raw_i,
+        |    CAST(s1a AS DOUBLE) / CAST(na AS DOUBLE)
+        |      - CAST(s1b AS DOUBLE) / CAST(nb AS DOUBLE) AS dx1_i,
+        |    CAST(s2a AS DOUBLE) / CAST(na AS DOUBLE)
+        |      - CAST(s2b AS DOUBLE) / CAST(nb AS DOUBLE) AS dx2_i
+        |  FROM m
+        |), g AS (
+        |  SELECT *, c11 * c22 - c12 * c12 AS det,
+        |    (c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12) AS th1,
+        |    (c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12) AS th2,
+        |    (na > 0 AND nb > 0 AND n > 2) AS testable
+        |  FROM f
+        |)
+        |SELECT n AS n_units, na AS n_a, nb AS n_b,
+        |  CASE WHEN testable AND det > 0
+        |    THEN round(th1, 6) + 0.0 END AS theta1,
+        |  CASE WHEN testable AND det > 0
+        |    THEN round(th2, 6) + 0.0 END AS theta2,
+        |  CASE WHEN testable
+        |    THEN round(diff_raw_i / 1000000.0, 6) + 0.0 END
+        |    AS diff_raw,
+        |  CASE WHEN testable AND det > 0
+        |    THEN round((diff_raw_i - th1 * dx1_i - th2 * dx2_i)
+        |      / 1000000.0, 6) + 0.0 END AS diff_adj,
+        |  CASE WHEN testable AND det > 0 AND cyy > 0
+        |    THEN round((th1 * c1y + th2 * c2y) / cyy, 6) + 0.0 END
+        |    AS var_reduction
+        |FROM g""".stripMargin,
 
     "q231_cuped" ->
       """WITH u AS (

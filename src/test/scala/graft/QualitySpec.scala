@@ -1498,6 +1498,47 @@ class QualitySpec extends AnyFunSuite {
     }
   }
 
+  test("regressionAdjustedReadout: exact planar golden (theta1=2, " +
+      "theta2=3, R2=1, adjusted diff 0); collinear covariates NULL " +
+      "the solve; empty arm NULLs the readout") {
+    // y = 2*x1 + 3*x2 exactly -> the plane is recovered exactly,
+    // all outcome variance explained, adjusted contrast 0.
+    val units = Seq(
+      (true, 10L, 1L, 23L), (true, 20L, 3L, 49L), (true, 30L, 2L, 66L),
+      (false, 15L, 2L, 36L), (false, 25L, 1L, 53L), (false, 5L, 3L, 19L))
+      .toDF("arm", "x1", "x2", "y")
+    val got = Quality.regressionAdjustedReadout(units, col("arm"),
+        col("x1"), col("x2"), col("y"))
+      .as[(Long, Long, Long, Option[Double], Option[Double],
+        Option[Double], Option[Double], Option[Double])]
+      .collect().head
+    assert(got._1 === 6L && got._2 === 3L && got._3 === 3L)
+    assert(got._4 === Some(2.0) && got._5 === Some(3.0))
+    // diff_raw = (2*(20-15) + 3*(2-2)) int-units / 1e6
+    assert(got._6 === Some(1.0e-5))
+    assert(got._7 === Some(0.0), "fully-explained contrast adjusts to 0")
+    assert(got._8 === Some(1.0), "planar outcome reads R2 = 1")
+
+    // collinear pair (x2 = 2*x1): det = 0 -> solve refused, raw kept
+    val coll = units.withColumn("x2", col("x1") * 2)
+    val g2 = Quality.regressionAdjustedReadout(coll, col("arm"),
+        col("x1"), col("x2"), col("y"))
+      .as[(Long, Long, Long, Option[Double], Option[Double],
+        Option[Double], Option[Double], Option[Double])]
+      .collect().head
+    assert(g2._4.isEmpty && g2._5.isEmpty && g2._7.isEmpty)
+    assert(g2._6.isDefined)
+
+    // one-arm data: nothing testable
+    val g3 = Quality.regressionAdjustedReadout(
+        units.where(col("arm")), col("arm"),
+        col("x1"), col("x2"), col("y"))
+      .as[(Long, Long, Long, Option[Double], Option[Double],
+        Option[Double], Option[Double], Option[Double])]
+      .collect().head
+    assert(g3._4.isEmpty && g3._6.isEmpty && g3._7.isEmpty)
+  }
+
   test("postStratifiedReadout: two-strata golden with in-test " +
       "replay; under-filled stratum skipped; all-skipped NULL row") {
     val df = Seq(
