@@ -1317,6 +1317,106 @@ object Similarity {
   }
 
   /**
+   * V31 (r13): incremental IVF ingest audit — the maintenance dial a
+   * SERVED index runs at ingestion time (the ANN counterpart of
+   * D25's incremental CC and K16's incremental aggregates): as new
+   * vectors stream into a trained cell layout, two things silently
+   * rot it — cells GROW unevenly (a hot topic concentrates arrivals
+   * → scan cost of its probes balloons) and arrivals DRIFT from the
+   * trained centroids (the embedding distribution moved → routing
+   * loss rises even at constant cell sizes). Both are cheap to
+   * measure per batch and answer "retrain now or keep appending?"
+   * BEFORE recall degrades in production.
+   *
+   * Per cell of the trained layout (the row set is the literal cell
+   * list — data-independent, every cell emits even when empty):
+   *  - `n_base` / `n_new`: existing vs arriving rows routed there
+   *    ([[ivfCell]]'s exact assignment against the literal seeds);
+   *  - `growth_alert`: n_new·1000 > n_base·growthAlertPerMille —
+   *    EXACT integer compare (a brand-new non-empty cell always
+   *    alerts: n_base = 0);
+   *  - mean squared distance to the assigned centroid for both
+   *    populations — per-vector d² is one fixed IEEE chain over the
+   *    literal seed (index-order zip_with fold) dropped onto the
+   *    integer grid as floor(d²·10⁶) (the q163/q195 floor-grid
+   *    primitive) before the EXACT DECIMAL(38,0) sum, display means
+   *    one guarded IEEE division each;
+   *  - `drift_alert`: mean_new·1000 > mean_base·driftAlertPerMille,
+   *    compared CROSS-MULTIPLIED on the exact integer-grid sums
+   *    (sum_new·n_base·1000 > sum_base·n_new·thr in DECIMAL(38,0) —
+   *    no division enters the decision);
+   *  - `retrain` = growth_alert OR drift_alert.
+   *
+   * Scale: cell assignment and d² are shuffle-free projections
+   * against literals; ONE partial-aggregated groupBy per side on the
+   * bounded cell key, then a broadcast join onto the literal cell
+   * frame. Nothing corpus-sized crosses the driver; the audit's
+   * cost is two corpus scans (one per side), each column-pruned to
+   * the vector.
+   *
+   * Output: (cell, n_base, n_new, growth_ratio, growth_alert,
+   * mean_d2_base, mean_d2_new, drift_alert, retrain), one row per
+   * trained cell, ascending.
+   */
+  def ivfIngestAudit(
+      existing: DataFrame, arriving: DataFrame,
+      idCol: String, vecCol: String, seeds: Seq[Seq[Double]],
+      growthAlertPerMille: Long,
+      driftAlertPerMille: Long): DataFrame = {
+    require(seeds.nonEmpty, "need at least one trained cell")
+    require(growthAlertPerMille > 0L && driftAlertPerMille > 0L,
+      "alert thresholds must be positive per-mille values")
+    val spark = existing.sparkSession
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    def sideAgg(df: DataFrame, nOut: String, sOut: String) = {
+      val v = toDoubleVec(col(vecCol))
+      val d2All = array(seeds.map { s =>
+        aggregate(
+          zip_with(v, typedLit(s), (x, c) => (x - c) * (x - c)),
+          lit(0.0), _ + _)
+      }: _*)
+      df.select(
+          ivfCell(v, seeds).as("cell"),
+          floor(element_at(d2All, ivfCell(v, seeds) + 1) *
+            lit(1000000.0)).cast("long").as("__d2u"))
+        .groupBy("cell")
+        .agg(count(lit(1)).as(nOut),
+          sum(col("__d2u")).cast(dec38).as(sOut))
+    }
+    val base = sideAgg(existing, "n_base", "__sb")
+    val fresh = sideAgg(arriving, "n_new", "__sn")
+    val cells = spark.range(seeds.size)
+      .select(col("id").cast("int").as("cell"))
+    val joined = cells
+      .join(broadcast(base), Seq("cell"), "left")
+      .join(broadcast(fresh), Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("__sb"), lit(0).cast(dec38)).as("__sb"),
+        coalesce(col("__sn"), lit(0).cast(dec38)).as("__sn"))
+    joined.select(
+      col("cell"), col("n_base"), col("n_new"),
+      round(col("n_new").cast("double") /
+        when(col("n_base") > 0L, col("n_base").cast("double")), 6)
+        .as("growth_ratio"),
+      (col("n_new") * lit(1000L) >
+        col("n_base") * lit(growthAlertPerMille)).as("growth_alert"),
+      round(col("__sb").cast("double") /
+        when(col("n_base") > 0L, col("n_base").cast("double")) /
+        lit(1000000.0), 6).as("mean_d2_base"),
+      round(col("__sn").cast("double") /
+        when(col("n_new") > 0L, col("n_new").cast("double")) /
+        lit(1000000.0), 6).as("mean_d2_new"),
+      (col("__sn") * col("n_base").cast(dec38) * lit(1000L) >
+        col("__sb") * col("n_new").cast(dec38) *
+          lit(driftAlertPerMille)).as("drift_alert"))
+      .withColumn("retrain",
+        col("growth_alert") || col("drift_alert"))
+      .orderBy("cell")
+  }
+
+  /**
    * Bucketed near-duplicate candidates: vectors sharing an SRP bucket
    * form (a < b) pairs scored with exact cosine; pairs at or above
    * `minCosine` survive.

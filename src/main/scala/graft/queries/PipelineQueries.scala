@@ -4243,6 +4243,22 @@ object PipelineQueries {
         .orderBy("probe_id", "rank")
     }),
 
+    // V31 (round 13): incremental IVF ingest audit — every 5th
+    // vec_id plays the arriving batch against an index trained on
+    // the rest; per trained cell the audit reads growth and
+    // centroid-drift with exact integer alert decisions. The
+    // maintenance dial a served ANN index runs per ingest batch.
+    "q321_ivf_ingest_audit" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val existing = e.where(col("vec_id") % 5 =!= 0)
+      val arriving = e.where(col("vec_id") % 5 === 0)
+      val seeds = Similarity.ivfSeeds(existing, "vec_id",
+        "embedding", nlist = 4)
+      Similarity.ivfIngestAudit(existing, arriving, "vec_id",
+        "embedding", seeds, growthAlertPerMille = 300L,
+        driftAlertPerMille = 1100L)
+    }),
+
     // M15 (round 13): audio spectral probe — exact-integer DFT power
     // at 6 declared bins over the first 64 decoded PCM samples of
     // every part's synthetic WAV; a too-short clip and a corrupt
@@ -8008,6 +8024,83 @@ object PipelineQueries {
         |  FROM dots)
         |WHERE rank <= 10
         |ORDER BY probe_id, rank""".stripMargin,
+
+    // V31: q228's routing CTEs with seeds from the EXISTING side,
+    // per-vector floor-grid d² to the assigned seed, side-split
+    // aggregates over the literal cell list, HUGEINT cross-multiplied
+    // alert decisions.
+    "q321_ivf_ingest_audit" ->
+      """WITH el AS (
+        |  SELECT vec_id, CAST(generate_subscripts(embedding,1)-1 AS INT)
+        |    AS d, CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings
+        |), seed_ids AS (
+        |  SELECT vec_id AS cell_vid,
+        |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
+        |  FROM embeddings WHERE vec_id % 5 <> 0
+        |  ORDER BY vec_id LIMIT 4
+        |), snrm AS (
+        |  SELECT s.cell, sqrt(SUM(e.x * e.x)) AS n
+        |  FROM seed_ids s JOIN el e ON e.vec_id = s.cell_vid
+        |  GROUP BY s.cell
+        |), vc AS (
+        |  SELECT e.vec_id, s.cell, SUM(e.x * se.x) / any_value(sn.n)
+        |    AS cosn
+        |  FROM el e
+        |  JOIN seed_ids s ON TRUE
+        |  JOIN el se ON se.vec_id = s.cell_vid AND se.d = e.d
+        |  JOIN snrm sn ON sn.cell = s.cell
+        |  GROUP BY e.vec_id, s.cell
+        |), assign AS MATERIALIZED (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY cosn DESC, cell) AS rn
+        |    FROM vc) WHERE rn = 1
+        |), d2 AS (
+        |  SELECT a.vec_id, a.cell,
+        |    CAST(floor(SUM((e.x - se.x) * (e.x - se.x)) * 1000000.0)
+        |      AS BIGINT) AS d2u
+        |  FROM assign a
+        |  JOIN el e ON e.vec_id = a.vec_id
+        |  JOIN seed_ids s ON s.cell = a.cell
+        |  JOIN el se ON se.vec_id = s.cell_vid AND se.d = e.d
+        |  GROUP BY 1, 2
+        |), agg AS (
+        |  SELECT cell,
+        |    CAST(SUM(CASE WHEN vec_id % 5 <> 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_base,
+        |    CAST(SUM(CASE WHEN vec_id % 5 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_new,
+        |    CAST(SUM(CASE WHEN vec_id % 5 <> 0 THEN d2u ELSE 0 END)
+        |      AS HUGEINT) AS sb,
+        |    CAST(SUM(CASE WHEN vec_id % 5 = 0 THEN d2u ELSE 0 END)
+        |      AS HUGEINT) AS sn
+        |  FROM d2 GROUP BY cell
+        |), cells AS (
+        |  SELECT CAST(unnest(range(0, 4)) AS INT) AS cell
+        |), j AS (
+        |  SELECT c.cell,
+        |    COALESCE(a.n_base, CAST(0 AS BIGINT)) AS n_base,
+        |    COALESCE(a.n_new, CAST(0 AS BIGINT)) AS n_new,
+        |    COALESCE(a.sb, CAST(0 AS HUGEINT)) AS sb,
+        |    COALESCE(a.sn, CAST(0 AS HUGEINT)) AS sn
+        |  FROM cells c LEFT JOIN agg a ON a.cell = c.cell
+        |)
+        |SELECT cell, n_base, n_new,
+        |  CASE WHEN n_base > 0 THEN
+        |    round(CAST(n_new AS DOUBLE) / CAST(n_base AS DOUBLE), 6)
+        |    END AS growth_ratio,
+        |  (n_new * 1000 > n_base * 300) AS growth_alert,
+        |  CASE WHEN n_base > 0 THEN
+        |    round(CAST(sb AS DOUBLE) / CAST(n_base AS DOUBLE)
+        |      / 1000000.0, 6) END AS mean_d2_base,
+        |  CASE WHEN n_new > 0 THEN
+        |    round(CAST(sn AS DOUBLE) / CAST(n_new AS DOUBLE)
+        |      / 1000000.0, 6) END AS mean_d2_new,
+        |  (sn * n_base * 1000 > sb * n_new * 1100) AS drift_alert,
+        |  ((n_new * 1000 > n_base * 300) OR
+        |   (sn * n_base * 1000 > sb * n_new * 1100)) AS retrain
+        |FROM j ORDER BY cell""".stripMargin,
 
     // M15: samples from the WAV integer formula × the shared DFT
     // literal table; HUGEINT squares rendered VARCHAR; triage rows

@@ -1005,6 +1005,39 @@ class SimilaritySpec extends AnyFunSuite {
     assert(g2.length == 2 && g2.forall(_._4.isEmpty))
   }
 
+  test("ivfIngestAudit: per-cell growth and drift goldens; empty " +
+      "arrival side never alerts; exact decision arithmetic") {
+    val existing = Seq(
+      (10L, Seq(10.0, 0.0)), (11L, Seq(0.0, 10.0)),
+      (12L, Seq(9.0, 1.0)), (13L, Seq(1.0, 9.0)))
+      .toDF("vec_id", "embedding")
+    val seeds = Similarity.ivfSeeds(existing, "vec_id", "embedding", 2)
+    // all arrivals route to cell 0; two sit far off the centroid
+    val arriving = Seq(
+      (20L, Seq(8.0, 0.0)), (21L, Seq(20.0, 4.0)),
+      (22L, Seq(30.0, 6.0)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.ivfIngestAudit(existing, arriving, "vec_id",
+        "embedding", seeds, growthAlertPerMille = 1000L,
+        driftAlertPerMille = 1000L)
+      .as[(Int, Long, Long, Option[Double], Boolean, Option[Double],
+        Option[Double], Boolean, Boolean)]
+      .collect().sortBy(_._1)
+    assert(got.length === 2)
+    val c0 = got(0); val c1 = got(1)
+    // cell 0: base {10, 12} (d2 0 and 2), new {20, 21, 22}
+    // (d2 4, 116+..., ...): growth 3/2 alerts at 1000 per-mille,
+    // drifted arrivals alert on the cross-multiplied means
+    assert(c0._2 === 2L && c0._3 === 3L)
+    assert(c0._4 === Some(1.5) && c0._5)
+    assert(c0._6 === Some(1.0))
+    assert(c0._8 && c0._9)
+    // cell 1: base {11, 13}, no arrivals: ratio 0, nothing alerts
+    assert(c1._2 === 2L && c1._3 === 0L)
+    assert(c1._4 === Some(0.0) && !c1._5 && !c1._8 && !c1._9)
+    assert(c1._7.isEmpty, "empty arrival side has no mean")
+  }
+
   test("ivfSq8Search: nprobe=nlist equals unrouted sq8Search; " +
       "nprobe=1 restricts to the probe's cell; zero corpus is NULL") {
     // Two well-separated direction clusters; seeds (lowest ids 10,
