@@ -1066,23 +1066,21 @@ object Multimodal {
     * gate. Per-row generation, no shuffle. */
   def withSyntheticBmpPairs(
       df: DataFrame, idCol: String, w: Int, h: Int, everyK: Long,
-      idOffset: Long, delta: Int, regionW: Int, regionH: Int)
-      : DataFrame = {
+      delta: Int, regionW: Int, regionH: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long")).as[Long]
       .mapPartitions(_.flatMap { id =>
-        // Twin ids live at id + idOffset; a base id at or above the
-        // offset would collide with some other row's twin and merge
-        // two different images under one id downstream (and in the
-        // oracle's GROUP BY id replay). Fail loudly instead of
-        // producing a silently-wrong corpus.
-        require(id >= 0L && id < idOffset,
-          s"withSyntheticBmpPairs: id $id outside [0, idOffset=" +
-            s"$idOffset) — twin ids would collide with base ids")
+        // Twin ids live at −(id+1) — STRUCTURALLY disjoint from any
+        // non-negative base id at every scale (the r12 ADVICE
+        // finding: an additive offset collides once base ids reach
+        // it, silently merging two images under one id in both the
+        // operator and the oracle's GROUP BY replay).
+        require(id >= 0L,
+          s"withSyntheticBmpPairs: base ids must be >= 0, got $id")
         val base = (id, syntheticBmpTextured(id, w, h))
         if (id % everyK == 0L)
-          Iterator(base, (id + idOffset,
+          Iterator(base, (-id - 1L,
             syntheticBmpTexturedVariant(
               id, w, h, delta, regionW, regionH)))
         else Iterator(base)
@@ -1115,22 +1113,21 @@ object Multimodal {
 
   /** `(idCol, payload)` fixture for the pHash-robustness gate: the
     * textured base for every id plus a brightness-RAMPED twin
-    * ([[syntheticBmpTexturedRamp]]) at id + idOffset for every
-    * `everyK`-th id — same id-range guard as
+    * ([[syntheticBmpTexturedRamp]]) at −(id+1) for every
+    * `everyK`-th id — same disjoint-negative-twin convention as
     * [[withSyntheticBmpPairs]]. */
   def withSyntheticBmpRampPairs(
       df: DataFrame, idCol: String, w: Int, h: Int, everyK: Long,
-      idOffset: Long, rampMax: Int): DataFrame = {
+      rampMax: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long")).as[Long]
       .mapPartitions(_.flatMap { id =>
-        require(id >= 0L && id < idOffset,
-          s"withSyntheticBmpRampPairs: id $id outside [0, idOffset=" +
-            s"$idOffset) — twin ids would collide with base ids")
+        require(id >= 0L,
+          s"withSyntheticBmpRampPairs: base ids must be >= 0, got $id")
         val base = (id, syntheticBmpTextured(id, w, h))
         if (id % everyK == 0L)
-          Iterator(base, (id + idOffset,
+          Iterator(base, (-id - 1L,
             syntheticBmpTexturedRamp(id, w, h, rampMax)))
         else Iterator(base)
       })

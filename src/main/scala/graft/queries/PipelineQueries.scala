@@ -3851,14 +3851,14 @@ object PipelineQueries {
 
     // M13 (round 12): perceptual aHash over DECODED pixels — base
     // 16x16 synthetic BMPs for every part id plus a corner-perturbed
-    // twin (id+1000000, +8 on a 2x2 region, mod-256 wraparound
+    // twin (id -> -(id+1), +8 on a 2x2 region, mod-256 wraparound
     // deliberate) for every 10th id; the oracle replays the whole
     // integer pipeline (luma, floor-grid blocks, cross-multiplied
     // global-mean threshold) from the pixel formula without decoding.
     "q304_image_ahash" -> ((s, dir) => {
       val ids = t(s, dir, "part").select(col("p_partkey").as("id"))
       val imgs = Multimodal.withSyntheticBmpPairs(ids, "id",
-        w = 16, h = 16, everyK = 10L, idOffset = 1000000L,
+        w = 16, h = 16, everyK = 10L,
         delta = 8, regionW = 2, regionH = 2)
       Multimodal.imageAHash(imgs, "id", "payload").orderBy("id")
     }),
@@ -3873,7 +3873,7 @@ object PipelineQueries {
     "q305_image_neardups" -> ((s, dir) => {
       val ids = t(s, dir, "part").select(col("p_partkey").as("id"))
       val imgs = Multimodal.withSyntheticBmpPairs(ids, "id",
-        w = 16, h = 16, everyK = 10L, idOffset = 1000000L,
+        w = 16, h = 16, everyK = 10L,
         delta = 8, regionW = 2, regionH = 2)
       Multimodal.imageNearDups(imgs, "id", "payload",
         maxHamming = 3, capPerBucket = 64)
@@ -4291,15 +4291,14 @@ object PipelineQueries {
     "q317_phash_ramp_pairs" -> ((s, dir) => {
       val ids = t(s, dir, "part").select(col("p_partkey").as("id"))
       val imgs = Multimodal.withSyntheticBmpRampPairs(ids, "id",
-        w = 16, h = 16, everyK = 10L, idOffset = 1000000L,
-        rampMax = 40)
+        w = 16, h = 16, everyK = 10L, rampMax = 40)
       val a = Multimodal.imageAHash(imgs, "id", "payload")
       val p = Multimodal.imagePHash(imgs, "id", "payload", grid = 16)
       def pairs(df: DataFrame, hc: String, out: String) = {
-        val b = df.where(col("id") < 1000000L)
+        val b = df.where(col("id") >= 0L)
           .select(col("id"), col(hc).as("__ha"))
-        val tw = df.where(col("id") >= 1000000L)
-          .select((col("id") - 1000000L).as("id"), col(hc).as("__hb"))
+        val tw = df.where(col("id") < 0L)
+          .select((-col("id") - 1L).as("id"), col(hc).as("__hb"))
         b.join(tw, "id").select(col("id"),
           aggregate(
             zip_with(split(col("__ha"), ""), split(col("__hb"), ""),
@@ -7163,7 +7162,7 @@ object PipelineQueries {
         |  SELECT CAST(p_partkey AS BIGINT) AS id,
         |    CAST(p_partkey AS BIGINT) AS seed, 0 AS d FROM part
         |  UNION ALL
-        |  SELECT CAST(p_partkey + 1000000 AS BIGINT),
+        |  SELECT CAST(-(p_partkey + 1) AS BIGINT),
         |    CAST(p_partkey AS BIGINT), 8 FROM part
         |  WHERE p_partkey % 10 = 0
         |), px AS (
@@ -7208,7 +7207,7 @@ object PipelineQueries {
         |  SELECT CAST(p_partkey AS BIGINT) AS id,
         |    CAST(p_partkey AS BIGINT) AS seed, 0 AS d FROM part
         |  UNION ALL
-        |  SELECT CAST(p_partkey + 1000000 AS BIGINT),
+        |  SELECT CAST(-(p_partkey + 1) AS BIGINT),
         |    CAST(p_partkey AS BIGINT), 8 FROM part
         |  WHERE p_partkey % 10 = 0
         |), px AS (
@@ -8155,7 +8154,7 @@ object PipelineQueries {
         |    CAST(p_partkey AS BIGINT) AS seed, 0 AS ramp FROM part
         |  WHERE p_partkey % 10 = 0
         |  UNION ALL
-        |  SELECT CAST(p_partkey + 1000000 AS BIGINT),
+        |  SELECT CAST(-(p_partkey + 1) AS BIGINT),
         |    CAST(p_partkey AS BIGINT), 40 FROM part
         |  WHERE p_partkey % 10 = 0
         |), px AS (
@@ -8216,17 +8215,17 @@ object PipelineQueries {
         |    CAST(SUM(CASE WHEN substr(b.ahash, ii.i, 1) <>
         |      substr(tw.ahash, ii.i, 1) THEN 1 ELSE 0 END) AS INT)
         |      AS ahash_hamming
-        |  FROM ah b JOIN ah tw ON tw.id = b.id + 1000000,
+        |  FROM ah b JOIN ah tw ON tw.id = -(b.id) - 1,
         |    (SELECT unnest(range(1, 65)) AS i) ii
-        |  WHERE b.id < 1000000 GROUP BY 1
+        |  WHERE b.id >= 0 GROUP BY 1
         |), pp AS (
         |  SELECT b.id,
         |    CAST(SUM(CASE WHEN substr(b.phash, ii.i, 1) <>
         |      substr(tw.phash, ii.i, 1) THEN 1 ELSE 0 END) AS INT)
         |      AS phash_hamming
-        |  FROM ph b JOIN ph tw ON tw.id = b.id + 1000000,
+        |  FROM ph b JOIN ph tw ON tw.id = -(b.id) - 1,
         |    (SELECT unnest(range(1, 64)) AS i) ii
-        |  WHERE b.id < 1000000 GROUP BY 1
+        |  WHERE b.id >= 0 GROUP BY 1
         |)
         |SELECT pa.id, pa.ahash_hamming, pp.phash_hamming
         |FROM pa JOIN pp USING (id)

@@ -506,14 +506,14 @@ class MultimodalSpec extends AnyFunSuite {
     // measured over 20 twin pairs (rampMax = 40, the q317 config).
     val ids = spark.range(0, 200).select(col("id"))
     val imgs = Multimodal.withSyntheticBmpRampPairs(ids, "id",
-      w = 16, h = 16, everyK = 10L, idOffset = 1000000L, rampMax = 40)
+      w = 16, h = 16, everyK = 10L, rampMax = 40)
     val a = Multimodal.imageAHash(imgs, "id", "payload")
     val p = Multimodal.imagePHash(imgs, "id", "payload", grid = 16)
     def hams(dfh: org.apache.spark.sql.DataFrame, hc: String) = {
-      val base = dfh.where(col("id") < 1000000L)
+      val base = dfh.where(col("id") >= 0L)
         .select(col("id"), col(hc).as("ha"))
-      val tw = dfh.where(col("id") >= 1000000L)
-        .select((col("id") - 1000000L).as("id"), col(hc).as("hb"))
+      val tw = dfh.where(col("id") < 0L)
+        .select((-col("id") - 1L).as("id"), col(hc).as("hb"))
       base.join(tw, "id")
         .as[(Long, String, String)].collect()
         .map { case (id, x, y) =>

@@ -567,4 +567,49 @@ class PlanSpec extends AnyFunSuite {
       assert(!p.contains("CartesianProduct"), s"q308:\n$p")
     }
   }
+
+  test("round-13 additions keep their plan shapes") {
+    // IVF+SQ8: integer kernel inside the plan, probe fan-out
+    // broadcast, partial WindowGroupLimit bounds the rank shuffle
+    locally {
+      val p = plan("q315_ivf_sq8_search")
+      assert(p.contains("graft_int_vec_dot"),
+        s"q315: the codegen'd kernel must score the candidates:\n$p")
+      assert(p.contains("BroadcastHashJoin") &&
+        !p.contains("SortMergeJoin"),
+        s"q315: probe fan-out must broadcast:\n$p")
+      assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+        s"q315: rank must be bounded map-side:\n$p")
+      assert(!p.contains("CartesianProduct"), s"q315:\n$p")
+    }
+    // audio spectrum: one decode projection, only the ORDER BY
+    // exchanges
+    locally {
+      val p = plan("q319_audio_spectrum")
+      val exchanges = p.linesIterator.count(_.contains("Exchange"))
+      assert(exchanges <= 1,
+        s"q319: only the ORDER BY may exchange, saw $exchanges:\n$p")
+      assert(!p.contains("HashAggregate"), s"q319:\n$p")
+    }
+    // regression-adjusted readout: the unit collapse + one global
+    // co-moment aggregate, no windows, no joins
+    locally {
+      val p = plan("q320_regression_adjusted")
+      val exchanges = p.linesIterator.count(_.contains("Exchange"))
+      assert(exchanges <= 2,
+        s"q320: unit collapse + one-row aggregate only, " +
+          s"saw $exchanges exchanges:\n$p")
+      assert(!p.contains("Window") && !p.contains("Join"),
+        s"q320: one-pass moments need no window or join:\n$p")
+    }
+    // IVF ingest audit: bounded per-side aggregates come back onto
+    // the literal cell frame as broadcasts, never shuffled joins
+    locally {
+      val p = plan("q321_ivf_ingest_audit")
+      assert(p.contains("BroadcastHashJoin") &&
+        !p.contains("SortMergeJoin"),
+        s"q321: cell-frame joins must broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), s"q321:\n$p")
+    }
+  }
 }
