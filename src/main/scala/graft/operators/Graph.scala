@@ -981,11 +981,9 @@ object Graph {
   def louvain(
       edges: DataFrame, srcCol: String, dstCol: String,
       weightCol: String, maxRounds: Int): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
     val spark = edges.sparkSession
     import spark.implicits._
-    val dec = DecimalType(38, 0)
     val directed = edges
       .select(col(srcCol).as("a"), col(dstCol).as("b"),
         col(weightCol).cast("long").as("w"))
@@ -1002,8 +1000,111 @@ object Graph {
       return Seq.empty[(Int, Long, Long, String, Double)]
         .toDF("round", "n_moves", "n_communities", "q_num", "q")
     }
+    val (labels, trace) = moveLoop(und, totalW, maxRounds)
+    Barrier.free(labels)
+    Barrier.free(und)
+    trace
+      .toDF("round", "n_moves", "n_communities", "q_num", "q")
+  }
+
+  /**
+   * G14 (r13): TWO-LEVEL Louvain — the coarsening phase that makes
+   * [[louvain]] the real Blondel et al. algorithm: after the level-1
+   * move phase converges, communities COLLAPSE into super-nodes
+   * (inter-community mass aggregates into coarse edges, each
+   * community's internal mass into a SELF-LOOP on its super-node —
+   * the bookkeeping that keeps modularity IDENTICAL across the
+   * collapse) and the SAME move phase runs on the coarse graph,
+   * merging whole communities at a cost proportional to the coarse
+   * graph, not the corpus. Level-1 moves cannot merge two dense
+   * communities joined by a weak bridge (no single node improves by
+   * crossing); the super-node move can, which is exactly why Louvain
+   * is multi-level.
+   *
+   * The one arithmetic delta vs level 1: the gain rank and accept
+   * test run on a self-loop-BEARING table — weighted degrees and
+   * Σtot include self-loop mass (it is internal mass the community
+   * carries along), candidate w(v,C) aggregates exclude the self row
+   * (a node cannot "join itself"), and the G12 accept arithmetic is
+   * unchanged (self rows have la = lb by construction). 2m is the
+   * SAME scalar at both levels — coarsening conserves total mass —
+   * so Q values are directly comparable across levels, and level-2
+   * round 0 (the coarse singleton partition = level-1's final
+   * partition) must read EXACTLY level-1's final Q. That
+   * conservation row is emitted, spec-pinned, and oracle-checked.
+   *
+   * Monotonicity: each level's accepted rounds strictly increase the
+   * exact Q numerator (the [[louvain]] contract), and the cross-level
+   * boundary is Q-neutral — so the WHOLE emitted trace is
+   * non-decreasing in Q by construction.
+   *
+   * Output: (level, round, n_moves, n_communities, q_num, q) —
+   * level 1 rounds 0..R₁, level 2 rounds 0..R₂, ordered. Empty
+   * graph → empty trace.
+   */
+  def louvainTwoLevel(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, maxRoundsPerLevel: Int): DataFrame = {
+    require(maxRoundsPerLevel >= 1,
+      s"maxRoundsPerLevel must be >= 1, got $maxRoundsPerLevel")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val directed = edges
+      .select(col(srcCol).as("a"), col(dstCol).as("b"),
+        col(weightCol).cast("long").as("w"))
+      .where(col("a") =!= col("b"))
+    val und = directed
+      .unionAll(directed.select(col("b").as("a"), col("a").as("b"),
+        col("w")))
+      .groupBy("a", "b").agg(sum(col("w")).as("w"))
+      .barriered
+    val totalW = und.agg(coalesce(sum(col("w")), lit(0L)))
+      .collect()(0).getLong(0)
+    if (totalW == 0L) {
+      Barrier.free(und)
+      return Seq.empty[(Int, Int, Long, Long, String, Double)]
+        .toDF("level", "round", "n_moves", "n_communities", "q_num",
+          "q")
+    }
+    val (labels1, trace1) = moveLoop(und, totalW, maxRoundsPerLevel)
+    val l1 = labels1.select("node", "lbl")
+    // Coarsen: communities -> super-nodes; inter-community mass ->
+    // coarse edges; internal mass -> SELF-LOOPS (kept — the la = lb
+    // rows). Total row mass is conserved: 2m is the same scalar.
+    val coarse = und
+      .join(l1.select(col("node").as("a"), col("lbl").as("la")),
+        Seq("a"))
+      .join(l1.select(col("node").as("b"), col("lbl").as("lb")),
+        Seq("b"))
+      .groupBy(col("la").as("a"), col("lb").as("b"))
+      .agg(sum(col("w")).as("w"))
+      .barriered
+    val (labels2, trace2) = moveLoop(coarse, totalW, maxRoundsPerLevel)
+    Barrier.free(labels1)
+    Barrier.free(labels2)
+    Barrier.free(coarse)
+    Barrier.free(und)
+    (trace1.map(t => (1, t._1, t._2, t._3, t._4, t._5)) ++
+      trace2.map(t => (2, t._1, t._2, t._3, t._4, t._5)))
+      .toDF("level", "round", "n_moves", "n_communities", "q_num",
+        "q")
+  }
+
+  /** The Louvain move phase over a symmetrized (a, b, w) table that
+    * MAY carry self-loop rows (the coarse level): weighted degrees
+    * and Σtot include self mass, candidate aggregates exclude the
+    * self row, accept tests run G12's arithmetic (self rows are
+    * la = lb internal mass). Returns the final ACCEPTED label table
+    * (caller frees) and the trace rows (round 0 baseline + one per
+    * accepted round). */
+  private def moveLoop(
+      und: DataFrame, totalW: Long, maxRounds: Int)
+      : (DataFrame, Seq[(Int, Long, Long, String, Double)]) = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
     val deg = und.groupBy(col("a").as("node"))
       .agg(sum(col("w")).as("k")).barriered
+    val nonSelf = und.where(col("a") =!= col("b"))
 
     def roundQ(qnum: BigDecimal): Double =
       java.math.BigDecimal
@@ -1013,7 +1114,8 @@ object Graph {
         .doubleValue
 
     // Exact integer modularity numerator + community count — one
-    // bounded driver row (G12's arithmetic, totaled).
+    // bounded driver row (G12's arithmetic, totaled; self rows are
+    // always intra).
     def qstats(labels: DataFrame): (BigDecimal, Long) = {
       val row = und
         .join(labels.select(col("node").as("a"), col("lbl").as("la")),
@@ -1046,7 +1148,7 @@ object Graph {
     while (go && r <= maxRounds) {
       val sigma = labels.join(deg, "node")
         .groupBy(col("lbl")).agg(sum(col("k")).as("sig"))
-      val cand = und
+      val cand = nonSelf
         .join(labels.select(col("node").as("b"), col("lbl").as("lb")),
           Seq("b"))
         .groupBy(col("a"), col("lb")).agg(sum(col("w")).as("wvc"))
@@ -1096,10 +1198,9 @@ object Graph {
         go = false
       }
     }
-    Barrier.free(labels)
     Barrier.free(deg)
-    Barrier.free(und)
-    trace.toSeq
-      .toDF("round", "n_moves", "n_communities", "q_num", "q")
+    // labels is the BARRIER ROOT (free() is root-only) — callers
+    // project (node, lbl) at use sites and free the root when done.
+    (labels, trace.toSeq)
   }
 }

@@ -1534,6 +1534,26 @@ object RelationalQueries {
         .orderBy("round")
     }),
 
+    // G14 (round 13): TWO-LEVEL Louvain over the q225 bigram graph
+    // — level-1 moves, coarsen communities into super-nodes (internal
+    // mass as self-loops, 2m conserved), rerun the move phase on the
+    // coarse graph. The trace carries both levels; level-2 round 0
+    // must replay level-1's final Q exactly (the conservation row).
+    "q322_louvain_two_level" -> ((s, dir) => {
+      val bg = t(s, dir, "documents")
+        .select(split(col("text"), " ").as("t"))
+        .where(size(col("t")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(t) - 1), " +
+            "i -> struct(element_at(t, i) AS a, element_at(t, i + 1) AS b))"))
+          .as("bg"))
+        .select(col("bg.a").as("a"), col("bg.b").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n"))
+      graft.operators.Graph.louvainTwoLevel(bg, "a", "b", "n",
+          maxRoundsPerLevel = 2)
+        .orderBy("level", "round")
+    }),
+
     // Benford first-digit audit of order totals: observed vs
     // log10(1+1/d) with per-digit chi-square contribution — the
     // fabricated-data screen; one 9-group aggregate.
@@ -1666,6 +1686,76 @@ object RelationalQueries {
     s"$base\n$rounds\nSELECT node, round(rank, 6) AS rank FROM pr$iters ORDER BY node"
   }
 
+  /** One Louvain move-round CTE chain for the q318/q322 oracles —
+    * `tag` prefixes every table name (level-2 uses "c"), `g`/`d` the
+    * graph/degree tables, `selfLoops = true` excludes a = b rows
+    * from the CANDIDATE aggregation only (degrees/Σtot/accept keep
+    * self mass — the coarse-level arithmetic). */
+  private def louvainRoundCte(
+      tag: String, g: String, d: String, r: Int,
+      selfLoops: Boolean): String = {
+    val p = r - 1
+    val selfFilter = if (selfLoops) "\n    |    WHERE u.a <> u.b" else ""
+    s""", ${tag}sig$r AS (
+       |  SELECT l.lbl, CAST(SUM(d.k) AS BIGINT) AS sig
+       |  FROM ${tag}l$p l JOIN $d d ON d.node = l.node GROUP BY 1
+       |), ${tag}cand$r AS (
+       |  SELECT a, lb, CAST(SUM(wvc) AS BIGINT) AS wvc FROM (
+       |    SELECT u.a AS a, l.lbl AS lb, SUM(u.w) AS wvc
+       |    FROM $g u JOIN ${tag}l$p l ON l.node = u.b$selfFilter
+       |    GROUP BY 1, 2
+       |    UNION ALL
+       |    SELECT node AS a, lbl AS lb, 0 FROM ${tag}l$p
+       |  ) GROUP BY 1, 2
+       |), ${tag}scored$r AS (
+       |  SELECT c.a, c.lb, la.lbl AS la,
+       |    (SELECT total_w FROM w2)::HUGEINT * c.wvc::HUGEINT
+       |      - d.k::HUGEINT * (CASE WHEN c.lb = la.lbl
+       |          THEN s.sig - d.k ELSE s.sig END)::HUGEINT AS score
+       |  FROM ${tag}cand$r c
+       |  JOIN ${tag}l$p la ON la.node = c.a
+       |  JOIN $d d ON d.node = c.a
+       |  JOIN ${tag}sig$r s ON s.lbl = c.lb
+       |), ${tag}mv$r AS MATERIALIZED (
+       |  SELECT a AS node,
+       |    CASE WHEN par = ${r % 2} AND best_s > stay_s
+       |      THEN best_l ELSE la END AS lbl,
+       |    (CASE WHEN par = ${r % 2} AND best_s > stay_s
+       |      THEN best_l ELSE la END) <> la AS moved
+       |  FROM (
+       |    SELECT a, la,
+       |      max(CASE WHEN rn = 1 THEN lb END) AS best_l,
+       |      max(CASE WHEN rn = 1 THEN score END) AS best_s,
+       |      max(CASE WHEN lb = la THEN score END) AS stay_s,
+       |      ('0x' || substr(md5(a), 1, 7))::BIGINT % 2 AS par
+       |    FROM (
+       |      SELECT a, la, lb, score, row_number() OVER (
+       |        PARTITION BY a ORDER BY score DESC, lb ASC) AS rn
+       |      FROM ${tag}scored$r)
+       |    GROUP BY a, la, par)
+       |), ${tag}l$r AS MATERIALIZED (
+       |  SELECT node, lbl FROM ${tag}mv$r
+       |), ${tag}q$r AS (
+       |  SELECT $r AS round,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM ${tag}mv$r WHERE moved)
+       |      AS n_moves,
+       |    c.ncomm AS n_communities, c.qnum
+       |  FROM (
+       |    SELECT CAST(COUNT(*) AS BIGINT) AS ncomm,
+       |      SUM(intra)::HUGEINT * (SELECT total_w FROM w2)::HUGEINT
+       |        - SUM(degw::HUGEINT * degw::HUGEINT) AS qnum
+       |    FROM (
+       |      SELECT la.lbl AS lbl,
+       |        SUM(CASE WHEN la.lbl = lb.lbl THEN u.w ELSE 0 END)
+       |          AS intra,
+       |        SUM(u.w) AS degw
+       |      FROM $g u
+       |      JOIN ${tag}l$r la ON la.node = u.a
+       |      JOIN ${tag}l$r lb ON lb.node = u.b
+       |      GROUP BY 1)) c
+       |)""".stripMargin
+  }
+
   /** q318 oracle generator: the bounded-round Louvain trace — the
     * q225 bigram graph CTEs, then per round the Σtot/candidate/
     * gain-rank/move/accept chain unrolled (AS MATERIALIZED per the
@@ -1673,8 +1763,9 @@ object RelationalQueries {
     * the accept test replayed as a prefix-min over per-round exact
     * HUGEINT Q numerators. All integer arithmetic; the one IEEE op
     * is the final q division (signed → + 0.0). */
-  private def louvainOracle(maxRounds: Int): String = {
-    val base =
+  /** Shared q318/q322 base: the q225 bigram graph, symmetrized, with
+    * degrees, 2m, singleton labels, and the round-0 stats. */
+  private val louvainBase =
       """WITH toks AS (
         |  SELECT string_split(text, ' ') AS w FROM documents
         |), bgl AS (
@@ -1713,66 +1804,12 @@ object RelationalQueries {
         |      JOIN l0 lb ON lb.node = u.b
         |      GROUP BY 1)) c
         |)""".stripMargin
-    val rounds = (1 to maxRounds).map { r =>
-      val p = r - 1
-      s""", sig$r AS (
-         |  SELECT l.lbl, CAST(SUM(d.k) AS BIGINT) AS sig
-         |  FROM l$p l JOIN degs d ON d.node = l.node GROUP BY 1
-         |), cand$r AS (
-         |  SELECT a, lb, CAST(SUM(wvc) AS BIGINT) AS wvc FROM (
-         |    SELECT u.a AS a, l.lbl AS lb, SUM(u.w) AS wvc
-         |    FROM und u JOIN l$p l ON l.node = u.b GROUP BY 1, 2
-         |    UNION ALL
-         |    SELECT node AS a, lbl AS lb, 0 FROM l$p
-         |  ) GROUP BY 1, 2
-         |), scored$r AS (
-         |  SELECT c.a, c.lb, la.lbl AS la,
-         |    (SELECT total_w FROM w2)::HUGEINT * c.wvc::HUGEINT
-         |      - d.k::HUGEINT * (CASE WHEN c.lb = la.lbl
-         |          THEN s.sig - d.k ELSE s.sig END)::HUGEINT AS score
-         |  FROM cand$r c
-         |  JOIN l$p la ON la.node = c.a
-         |  JOIN degs d ON d.node = c.a
-         |  JOIN sig$r s ON s.lbl = c.lb
-         |), mv$r AS MATERIALIZED (
-         |  SELECT a AS node,
-         |    CASE WHEN par = ${r % 2} AND best_s > stay_s
-         |      THEN best_l ELSE la END AS lbl,
-         |    (CASE WHEN par = ${r % 2} AND best_s > stay_s
-         |      THEN best_l ELSE la END) <> la AS moved
-         |  FROM (
-         |    SELECT a, la,
-         |      max(CASE WHEN rn = 1 THEN lb END) AS best_l,
-         |      max(CASE WHEN rn = 1 THEN score END) AS best_s,
-         |      max(CASE WHEN lb = la THEN score END) AS stay_s,
-         |      ('0x' || substr(md5(a), 1, 7))::BIGINT % 2 AS par
-         |    FROM (
-         |      SELECT a, la, lb, score, row_number() OVER (
-         |        PARTITION BY a ORDER BY score DESC, lb ASC) AS rn
-         |      FROM scored$r)
-         |    GROUP BY a, la, par)
-         |), l$r AS MATERIALIZED (
-         |  SELECT node, lbl FROM mv$r
-         |), q$r AS (
-         |  SELECT $r AS round,
-         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM mv$r WHERE moved)
-         |      AS n_moves,
-         |    c.ncomm AS n_communities, c.qnum
-         |  FROM (
-         |    SELECT CAST(COUNT(*) AS BIGINT) AS ncomm,
-         |      SUM(intra)::HUGEINT * (SELECT total_w FROM w2)::HUGEINT
-         |        - SUM(degw::HUGEINT * degw::HUGEINT) AS qnum
-         |    FROM (
-         |      SELECT la.lbl AS lbl,
-         |        SUM(CASE WHEN la.lbl = lb.lbl THEN u.w ELSE 0 END)
-         |          AS intra,
-         |        SUM(u.w) AS degw
-         |      FROM und u
-         |      JOIN l$r la ON la.node = u.a
-         |      JOIN l$r lb ON lb.node = u.b
-         |      GROUP BY 1)) c
-         |)""".stripMargin
-    }.mkString("\n")
+
+  private def louvainOracle(maxRounds: Int): String = {
+    val base = louvainBase
+    val rounds = (1 to maxRounds)
+      .map(r => louvainRoundCte("", "und", "degs", r, selfLoops = false))
+      .mkString("\n")
     val union = (0 to maxRounds).map(r => s"SELECT * FROM q$r")
       .mkString("\n  UNION ALL\n  ")
     s"""$base
@@ -1799,8 +1836,86 @@ object RelationalQueries {
        |FROM acc WHERE ok = 1 ORDER BY round""".stripMargin
   }
 
+  /** q322 oracle generator: the TWO-LEVEL Louvain trace — level 1 is
+    * the q318 chain; the accepted-at-gate-scale final label table
+    * coarsens into super-nodes (self-loop rows KEPT — internal mass),
+    * level 2 reruns the same chain with self-aware degrees/candidates,
+    * and the trace unions under per-level prefix-min accept logic.
+    * Level-2 round 0 replays level-1's final Q exactly (mass
+    * conservation across the collapse — the invariant the gate
+    * verifies at every scale). */
+  private def louvainTwoLevelOracle(r1: Int, r2: Int): String = {
+    val l1rounds = (1 to r1)
+      .map(r => louvainRoundCte("", "und", "degs", r, selfLoops = false))
+      .mkString("\n")
+    val coarse =
+      s""", coarse AS MATERIALIZED (
+         |  SELECT la.lbl AS a, lb.lbl AS b, CAST(SUM(u.w) AS BIGINT)
+         |    AS w
+         |  FROM und u
+         |  JOIN l$r1 la ON la.node = u.a
+         |  JOIN l$r1 lb ON lb.node = u.b
+         |  GROUP BY 1, 2
+         |), cdegs AS MATERIALIZED (
+         |  SELECT a AS node, CAST(SUM(w) AS BIGINT) AS k
+         |  FROM coarse GROUP BY 1
+         |), cl0 AS MATERIALIZED (
+         |  SELECT node, node AS lbl FROM cdegs
+         |), cq0 AS (
+         |  SELECT 0 AS round, CAST(0 AS BIGINT) AS n_moves,
+         |    c.ncomm AS n_communities, c.qnum
+         |  FROM (
+         |    SELECT CAST(COUNT(*) AS BIGINT) AS ncomm,
+         |      SUM(intra)::HUGEINT * (SELECT total_w FROM w2)::HUGEINT
+         |        - SUM(degw::HUGEINT * degw::HUGEINT) AS qnum
+         |    FROM (
+         |      SELECT la.lbl AS lbl,
+         |        SUM(CASE WHEN la.lbl = lb.lbl THEN u.w ELSE 0 END)
+         |          AS intra,
+         |        SUM(u.w) AS degw
+         |      FROM coarse u
+         |      JOIN cl0 la ON la.node = u.a
+         |      JOIN cl0 lb ON lb.node = u.b
+         |      GROUP BY 1)) c
+         |)""".stripMargin
+    val l2rounds = (1 to r2)
+      .map(r => louvainRoundCte("c", "coarse", "cdegs", r,
+        selfLoops = true))
+      .mkString("\n")
+    val union = ((0 to r1).map(r => s"SELECT 1 AS level, * FROM q$r") ++
+      (0 to r2).map(r => s"SELECT 2 AS level, * FROM cq$r"))
+      .mkString("\n  UNION ALL\n  ")
+    s"""$louvainBase
+       |$l1rounds
+       |$coarse
+       |$l2rounds
+       |, tr AS (
+       |  $union
+       |), fl AS (
+       |  SELECT level, round, n_moves, n_communities, qnum,
+       |    CASE WHEN round = 0 THEN 1
+       |         WHEN qnum > lag(qnum) OVER (PARTITION BY level
+       |           ORDER BY round) THEN 1
+       |         ELSE 0 END AS f
+       |  FROM tr
+       |), acc AS (
+       |  SELECT *, MIN(f) OVER (PARTITION BY level ORDER BY round
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ok
+       |  FROM fl
+       |)
+       |SELECT CAST(level AS INT) AS level, CAST(round AS INT) AS round,
+       |  n_moves, n_communities,
+       |  CAST(qnum AS VARCHAR) AS q_num,
+       |  ROUND(CAST(qnum AS DOUBLE) /
+       |    (CAST((SELECT total_w FROM w2) AS DOUBLE)
+       |     * CAST((SELECT total_w FROM w2) AS DOUBLE)), 6) + 0.0
+       |    AS q
+       |FROM acc WHERE ok = 1 ORDER BY level, round""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q318_louvain" -> louvainOracle(3),
+    "q322_louvain_two_level" -> louvainTwoLevelOracle(2, 2),
 
 
     "q123_pagerank" -> pageRankOracle(10),

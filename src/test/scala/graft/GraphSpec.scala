@@ -271,6 +271,49 @@ class GraphSpec extends AnyFunSuite {
     assert(Graph.louvain(selfOnly, "src", "dst", "w", 3).count() === 0L)
   }
 
+  test("louvainTwoLevel: conservation row replays level-1 Q exactly; " +
+      "whole trace non-decreasing; merge-lowering level-2 rejects") {
+    // Two triangles + weak bridge: level 1 finds the cliques; a
+    // level-2 merge of the two communities would LOWER Q, so the
+    // coarse move round must reject and level 2 ends at its round 0.
+    val edges = Seq(
+      ("a", "b", 1L), ("b", "c", 1L), ("a", "c", 1L),
+      ("x", "y", 1L), ("y", "z", 1L), ("x", "z", 1L),
+      ("c", "x", 1L))
+      .toDF("src", "dst", "w")
+    val got = Graph.louvainTwoLevel(edges, "src", "dst", "w",
+        maxRoundsPerLevel = 6)
+      .as[(Int, Int, Long, Long, String, Double)].collect()
+      .sortBy(r => (r._1, r._2))
+    val l1 = got.filter(_._1 == 1)
+    val l2 = got.filter(_._1 == 2)
+    assert(l1.nonEmpty && l2.nonEmpty)
+    // conservation: coarse singleton partition == level-1 final
+    assert(l2.head._2 === 0)
+    assert(l2.head._5 === l1.last._5,
+      "level-2 round 0 must replay level-1's final Q numerator")
+    assert(l2.head._4 === l1.last._4,
+      "coarse node count must equal level-1's community count")
+    // whole-trace monotonicity (non-decreasing; strict within level)
+    val qs = got.map(r => BigInt(r._5))
+    qs.sliding(2).foreach { case Array(p, n) => assert(n >= p)
+      case _ => }
+    // the two-clique merge lowers Q -> level 2 accepted no rounds
+    assert(l2.length === 1,
+      s"weak-bridge merge must be rejected, got ${l2.toSeq}")
+    // determinism
+    val again = Graph.louvainTwoLevel(edges, "src", "dst", "w",
+        maxRoundsPerLevel = 6)
+      .as[(Int, Int, Long, Long, String, Double)].collect()
+      .sortBy(r => (r._1, r._2))
+    assert(again.toSeq === got.toSeq)
+
+    // empty graph
+    val selfOnly = Seq(("a", "a", 5L)).toDF("src", "dst", "w")
+    assert(Graph.louvainTwoLevel(selfOnly, "src", "dst", "w", 2)
+      .count() === 0L)
+  }
+
   test("linkPredict: path and 4-cycle goldens (CN / AA / Jaccard)") {
     // path a-b-c-d: (a,c) via b, (b,d) via c; (a,d) shares nothing.
     val path = lp(Seq(("a", "b"), ("b", "c"), ("c", "d")))
