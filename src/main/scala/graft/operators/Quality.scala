@@ -2648,6 +2648,120 @@ object Quality {
         col("__pick.gv").as("released_q"): _*)
   }
 
+  /** The per-round GLOBAL draw of [[dpTopKRelease]] — md5-uniform of
+    * (round, seed) in [0, 2²⁸), computed DRIVER-side once (a literal
+    * both engines share, like the weight tables — the draw depends
+    * on nothing but the declared round and seed). */
+  private[graft] def dpRoundDraw(round: Int, seed: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$round|$seed".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 7), 16)
+  }
+
+  /**
+   * Q16 (r13): ε-DP TOP-K release via the PEELING exponential
+   * mechanism — the selection release the count family can't
+   * provide: publishing "the k most frequent languages/domains/
+   * event types" through Q10b noisy counts leaks a full histogram
+   * and pays ε on every key; top-k SELECTION releases only k
+   * identities, the standard exponential-mechanism instantiation
+   * (McSherry–Talwar; the peeling variant draws k times WITHOUT
+   * replacement, each round under ε/k — plain sequential
+   * composition, [[dpReleaseSuite]]-ledgerable as one ε entry).
+   *
+   * Mechanism per round: utility u(c) = count(c), sensitivity 1, so
+   * sampling ∝ e^(ε'·count/2). Shifting utilities by any
+   * round-constant leaves that round's distribution unchanged (the
+   * normalizer absorbs it), so weights index on the BOUNDED
+   * distance-from-top of the round's REMAINING candidates,
+   * u = min(max_remaining − count, clampUtil), and reuse the
+   * [[dpExpMechWeights]] literal table at qDen = 1. The shift MUST
+   * be per-round: referenced to the global max, every later round's
+   * candidates sit far below it and their weights all collapse onto
+   * the 10⁻¹² grid floor — degrading the peel to a uniform draw
+   * (caught by the concentration spec). Candidates further than
+   * clampUtil below the round top carry the floor weight (the
+   * documented tail approximation). Candidates are a PUBLIC
+   * `domain` (the Q10b membership-safety lesson): zero-count domain
+   * keys are real candidates, observed non-domain keys are never
+   * released.
+   *
+   * DETERMINISM (the house Q10 contract): round r's draw is the
+   * md5-uniform of (r, seed) — a DRIVER-computed literal both
+   * engines share ([[dpRoundDraw]]) — and the pick is the first
+   * candidate in key order whose cumulative weight beats the draw's
+   * share, the Q13 division-free DECIMAL(38,0) comparison. One
+   * release is bit-reproducible; rotate seeds per release.
+   *
+   * Scale: ONE partial-aggregated corpus scan produces the counts;
+   * everything after runs on the BOUNDED public domain (the
+   * global-order window rides ≤ |domain| rows — the bounded-domain
+   * window contract), with k unrolled rounds of
+   * (anti-join → cumulative window → one-row pick). No driver
+   * collect beyond the domain-size require.
+   *
+   * Output: (rank 1..k, released key under the domain column's
+   * name) — identities only, no counts (compose a Q10b release
+   * under additional budget when magnitudes are needed).
+   */
+  def dpTopKRelease(
+      df: DataFrame, keyCol: Column, domain: DataFrame,
+      domainCol: String, k: Int, epsilon: Double, seed: Long,
+      clampUtil: Int = 400): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(epsilon > 0.0, s"epsilon must be positive, got $epsilon")
+    val spark = df.sparkSession
+    val dom = Barrier.barrier(
+      domain.select(col(domainCol).as("__k")).distinct())
+    val nDom = dom.count()
+    require(k <= nDom,
+      s"k = $k exceeds the public domain size $nDom")
+    val wt = broadcast(
+      spark.createDataFrame(
+        dpExpMechWeights(epsilon / k, 1, clampUtil))
+        .toDF("__util", "__w"))
+    val counts = df.where(keyCol.isNotNull)
+      .groupBy(keyCol.as("__k")).agg(count(lit(1)).as("__c"))
+    val full = Barrier.barrier(dom.join(counts, Seq("__k"), "left")
+      .select(col("__k"), coalesce(col("__c"), lit(0L)).as("__c")))
+    val dec = DecimalType(38, 0)
+    val cumW = Window.orderBy(col("__k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    var excluded: DataFrame = null
+    val picks = (1 to k).map { r =>
+      val cand =
+        if (excluded == null) full
+        else full.join(excluded, Seq("__k"), "left_anti")
+      // per-round shift: distance from the ROUND's max (see doc)
+      val maxRow = cand.agg(max(col("__c")).as("__mx"))
+      val scored = cand
+        .crossJoin(broadcast(maxRow))
+        .withColumn("__util",
+          least(col("__mx") - col("__c"), lit(clampUtil.toLong))
+            .cast("int"))
+        .join(wt, "__util")
+        .select("__k", "__w")
+      val tot = scored.agg(sum(col("__w")).as("__wt"))
+      val draw = dpRoundDraw(r, seed)
+      val pick = Barrier.barrier(scored
+        .withColumn("__cum", sum(col("__w")).over(cumW))
+        .crossJoin(broadcast(tot))
+        .where(col("__cum").cast(dec) * lit(268435456L).cast(dec) >
+          lit(draw).cast(dec) * col("__wt").cast(dec))
+        .groupBy().agg(min(col("__k")).as("__k")))
+      excluded =
+        if (excluded == null) pick
+        else excluded.unionByName(pick).barriered
+      (r, pick)
+    }
+    picks.map { case (r, p) =>
+      p.select(lit(r).as("rank"), col("__k").as(domainCol))
+    }.reduce(_.unionByName(_)).orderBy("rank")
+  }
+
   /** One declared release in a [[dpReleaseSuite]]: a stable name
     * (the ledger key — must be unique within the suite), its ε in
     * EXACT micro-units (1 ε = 1 000 000 — integer so the ledger

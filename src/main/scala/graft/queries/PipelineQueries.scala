@@ -4280,6 +4280,20 @@ object PipelineQueries {
         .orderBy("id", "bin")
     }),
 
+    // Q16 (round 13): ε-DP top-k release — the peeling exponential
+    // mechanism selects the 3 most frequent document languages from
+    // the public 7-key domain, k draws without replacement at ε/k
+    // each; identities only, no counts. Weight table + per-round
+    // draws are driver literals both engines share.
+    "q323_dp_topk_release" -> ((s, dir) => {
+      import s.implicits._
+      val domain = Seq("de", "en", "es", "fr", "zh", "xx", "yy")
+        .toDF("lang")
+      graft.operators.Quality.dpTopKRelease(
+        t(s, dir, "documents"), col("lang"), domain, "lang",
+        k = 3, epsilon = 1.2, seed = 50L, clampUtil = 400)
+    }),
+
     // M14 (round 13): pHash robustness gate — every 10th part id
     // gets a brightness-RAMPED twin (the vignette-style luminance
     // edit); per pair the gate emits BOTH hammings: aHash (global-
@@ -8100,6 +8114,60 @@ object PipelineQueries {
         |  ((n_new * 1000 > n_base * 300) OR
         |   (sn * n_base * 1000 > sb * n_new * 1100)) AS retrain
         |FROM j ORDER BY cell""".stripMargin,
+
+    // Q16: counts over the public domain + the shared weight-table
+    // literals, k peeling rounds unrolled (cumulative window, the
+    // Q13 division-free pick, winners excluded via NOT IN).
+    "q323_dp_topk_release" -> {
+      val Q = graft.operators.Quality
+      val k = 3
+      val wrows = Q.dpExpMechWeights(1.2 / k, 1, 400)
+        .map { case (u, w) => s"($u, $w)" }.mkString(",\n        |    ")
+      val dom = Seq("de", "en", "es", "fr", "zh", "xx", "yy")
+        .map(v => s"('$v')").mkString(", ")
+      val rounds = (1 to k).map { r =>
+        val draw = Q.dpRoundDraw(r, 50L)
+        val excl =
+          if (r == 1) ""
+          else "\n        |      WHERE k NOT IN (" +
+            (1 until r).map(j => s"SELECT k FROM win$j")
+              .mkString(" UNION ALL ") + ")"
+        s""", cand$r AS (
+        |  SELECT * FROM full0$excl
+        |), win$r AS MATERIALIZED (
+        |  SELECT MIN(k) AS k FROM (
+        |    SELECT k,
+        |      SUM(w) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED
+        |        PRECEDING AND CURRENT ROW) AS cum,
+        |      SUM(w) OVER () AS wt_tot
+        |    FROM (
+        |      SELECT c.k, w.w
+        |      FROM cand$r c
+        |      CROSS JOIN (SELECT MAX(c) AS m FROM cand$r) mx
+        |      JOIN wt w ON w.u = LEAST(mx.m - c.c, 400)
+        |    )
+        |  ) WHERE cum::HUGEINT * 268435456 > ${draw}::HUGEINT * wt_tot
+        |)""".stripMargin
+      }.mkString("\n")
+      val union = (1 to k)
+        .map(r => s"SELECT $r AS rank, k AS lang FROM win$r")
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH dom(k) AS (VALUES $dom),
+        |cnts AS (
+        |  SELECT lang AS k, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM documents WHERE lang IS NOT NULL GROUP BY 1
+        |), full0 AS MATERIALIZED (
+        |  SELECT d.k, COALESCE(c.c, CAST(0 AS BIGINT)) AS c
+        |  FROM dom d LEFT JOIN cnts c ON c.k = d.k
+        |), wt(u, w) AS (
+        |  VALUES
+        |    $wrows
+        |)
+        |$rounds
+        |SELECT CAST(rank AS INT) AS rank, lang FROM (
+        |  $union
+        |) ORDER BY rank""".stripMargin
+    },
 
     // M15: samples from the WAV integer formula × the shared DFT
     // literal table; HUGEINT squares rendered VARCHAR; triage rows

@@ -1498,6 +1498,42 @@ class QualitySpec extends AnyFunSuite {
     }
   }
 
+  test("dpTopKRelease: high-epsilon concentration peels the exact " +
+      "top-k in order; zero-count domain keys are candidates; " +
+      "k > domain refuses; deterministic") {
+    val df = (Seq.fill(50)("a") ++ Seq.fill(40)("b") ++
+      Seq.fill(30)("c") ++ Seq.fill(2)("d") ++ Seq("e"))
+      .toDF("k")
+    val domain = Seq("a", "b", "c", "d", "e", "zz").toDF("k")
+    // ε = 120 → ε/k = 40 per round: weight ratio between adjacent
+    // counts is e^{-20·Δcount} — the mechanism is argmax for all
+    // practical draws, so the peel recovers the exact ranking.
+    val got = Quality.dpTopKRelease(df, col("k"), domain, "k",
+        k = 3, epsilon = 120.0, seed = 9L)
+      .as[(Int, String)].collect().sortBy(_._1)
+    assert(got.toSeq === Seq((1, "a"), (2, "b"), (3, "c")))
+
+    // determinism: identical rerun
+    val again = Quality.dpTopKRelease(df, col("k"), domain, "k",
+        k = 3, epsilon = 120.0, seed = 9L)
+      .as[(Int, String)].collect().sortBy(_._1)
+    assert(again.toSeq === got.toSeq)
+
+    // the whole domain is releasable — zero-count keys included
+    val all = Quality.dpTopKRelease(df, col("k"), domain, "k",
+        k = 6, epsilon = 0.6, seed = 9L)
+      .as[(Int, String)].collect()
+    assert(all.length === 6)
+    assert(all.map(_._2).toSet ===
+      Set("a", "b", "c", "d", "e", "zz"))
+
+    // k beyond the public domain refuses up front
+    intercept[IllegalArgumentException] {
+      Quality.dpTopKRelease(df, col("k"), domain, "k",
+        k = 7, epsilon = 1.0, seed = 9L)
+    }
+  }
+
   test("regressionAdjustedReadout: exact planar golden (theta1=2, " +
       "theta2=3, R2=1, adjusted diff 0); collinear covariates NULL " +
       "the solve; empty arm NULLs the readout") {
