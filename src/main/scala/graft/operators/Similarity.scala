@@ -1317,6 +1317,102 @@ object Similarity {
   }
 
   /**
+   * V32 (r13): recall sweep for the IVF+SQ8 path — the tuning
+   * readout that completes the serving-audit symmetry: V26 reads
+   * IVF routing loss with exact scoring, V28 reads the IVF+PQ
+   * composition, this reads [[ivfSq8Search]]'s composition — routing
+   * loss AND the inner-product-integer-quantization loss (SQ8 ranks
+   * by the quantized INNER PRODUCT, so recall against the exact
+   * COSINE ground truth also prices the metric mismatch on
+   * unnormalized corpora — exactly what a deployment must know
+   * before serving). Per nprobe: recall@k of the composed pipeline
+   * vs the exact [[cosineTopK]] truth over the same probes.
+   *
+   * Execution is V26's one-pass sweep shape: ONE exact ground-truth
+   * pass (Barrier-routed — totals aggregate + hit semi-join, the
+   * q290 rule); the probe side ranks cells ONCE at max(nprobe) and
+   * every sweep point is a cell_rank filter; the corpus encodes
+   * (cell, codes) once against the literal seeds + the corpus-global
+   * SQ8 scale, candidates score through the codegen'd
+   * [[graft.functions.IntVecDot]] kernel — exact long scores,
+   * (score desc, vec_id) rank, zero float hazard in the approx
+   * ranking.
+   *
+   * Output: (nprobe, n_probes, exact_pairs, hit_pairs, recall),
+   * ascending by nprobe.
+   */
+  def ivfSq8RecallSweep(
+      corpus: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int,
+      nprobes: Seq[Int],
+      k: Int): DataFrame = {
+    require(nprobes.nonEmpty, "nprobes must be non-empty")
+    require(nprobes.forall(np => np >= 1 && np <= nlist),
+      s"every nprobe must be in [1, nlist=$nlist], got $nprobes")
+    val nps = nprobes.distinct.sorted
+    val npMax = nps.max
+    val spark = corpus.sparkSession
+    val seeds = ivfSeeds(corpus, idCol, vecCol, nlist)
+    val c0 = corpus.select(
+      col(idCol).as("vec_id"), toDoubleVec(col(vecCol)).as("__v"))
+    val scaleRow = c0
+      .agg(max(array_max(transform(col("__v"), x => abs(x)))).as("__m"))
+      .select((lit(127.0) / when(col("__m") > 0.0, col("__m")))
+        .as("__r"))
+    def enc(v: Column) =
+      transform(v, x => floor(x * col("__r") + lit(0.5)).cast("int"))
+    val c = c0.crossJoin(broadcast(scaleRow))
+      .select(col("vec_id"),
+        ivfCell(col("__v"), seeds).as("__cell"),
+        enc(col("__v")).as("__c"))
+    val p = probes.select(
+      col(idCol).as("probe_id"), toDoubleVec(col(vecCol)).as("__p"))
+      .crossJoin(broadcast(scaleRow))
+      .select(col("probe_id"), enc(col("__p")).as("__pc"),
+        posexplode(transform(
+          slice(sort_array(cellRanking(col("__p"), seeds)), 1, npMax),
+          s => s.getField("cell"))).as(Seq("__cr0", "__cell")))
+      .withColumn("__cell_rank", col("__cr0") + 1)
+      .drop("__cr0")
+    val swept = c.join(broadcast(p), Seq("__cell"))
+      .where(col("vec_id") =!= col("probe_id"))
+      .withColumn("__s",
+        graft.functions.IntVecDot(col("__c"), col("__pc")))
+      .withColumn("nprobe",
+        explode(filter(typedLit(nps),
+          np => np >= col("__cell_rank"))))
+    val w = Window.partitionBy("nprobe", "probe_id")
+      .orderBy(col("__s").desc_nulls_last, col("vec_id").asc)
+    val approx = swept
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= k)
+      .select(col("nprobe"), col("probe_id"), col("vec_id"))
+    val exact = Barrier.barrier(
+      cosineTopK(corpus, probes, idCol, vecCol, k)
+        .select(col("probe_id"), col("vec_id")))
+    import spark.implicits._
+    val exactTotals = exact.agg(
+      count(lit(1)).as("exact_pairs"),
+      countDistinct(col("probe_id")).as("n_probes"))
+    val hits = approx
+      .join(exact, Seq("probe_id", "vec_id"), "left_semi")
+      .groupBy("nprobe").agg(count(lit(1)).as("hit_pairs"))
+    nps.toDF("nprobe")
+      .join(hits, Seq("nprobe"), "left")
+      .na.fill(0L, Seq("hit_pairs"))
+      .crossJoin(exactTotals)
+      .select(col("nprobe"), col("n_probes"), col("exact_pairs"),
+        col("hit_pairs"),
+        round(col("hit_pairs").cast("double")
+          / when(col("exact_pairs") > 0L,
+            col("exact_pairs").cast("double")), 6).as("recall"))
+      .orderBy("nprobe")
+  }
+
+  /**
    * V31 (r13): incremental IVF ingest audit — the maintenance dial a
    * SERVED index runs at ingestion time (the ANN counterpart of
    * D25's incremental CC and K16's incremental aggregates): as new

@@ -4243,6 +4243,19 @@ object PipelineQueries {
         .orderBy("probe_id", "rank")
     }),
 
+    // V32 (round 13): recall sweep for the IVF+SQ8 path — q315's
+    // serving composition priced against the exact cosine ground
+    // truth per nprobe (routing + integer-quantization + metric
+    // mismatch, composed). Probes 8..16, disjoint from the 8 seed
+    // cells; nprobe = 8 isolates pure SQ8 loss (all cells scanned).
+    "q324_ivf_sq8_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfSq8RecallSweep(
+        e, e.where(col("vec_id") >= 8 && col("vec_id") < 16),
+        "vec_id", "embedding", nlist = 8,
+        nprobes = Seq(1, 2, 4, 8), k = 5)
+    }),
+
     // V31 (round 13): incremental IVF ingest audit — every 5th
     // vec_id plays the arriving batch against an index trained on
     // the rest; per trained cell the audit reads growth and
@@ -8037,6 +8050,101 @@ object PipelineQueries {
         |  FROM dots)
         |WHERE rank <= 10
         |ORDER BY probe_id, rank""".stripMargin,
+
+    // V32: q290's routing/truth scaffolding with the q313 SQ8
+    // encode + exact integer candidate dots; approx rank engine-free
+    // by construction (exact longs, vec_id tie-break).
+    "q324_ivf_sq8_recall" ->
+      """WITH el AS (
+        |  SELECT vec_id, generate_subscripts(embedding,1) AS d,
+        |         unnest(embedding)::DOUBLE AS x
+        |  FROM embeddings
+        |), nrm AS (
+        |  SELECT vec_id, sqrt(SUM(x*x)) AS n FROM el GROUP BY vec_id
+        |), seed_ids AS (
+        |  SELECT vec_id AS cell_vid,
+        |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
+        |  FROM embeddings ORDER BY vec_id LIMIT 8
+        |), scell AS (
+        |  SELECT s.cell, e.d, e.x, n.n
+        |  FROM seed_ids s JOIN el e ON e.vec_id = s.cell_vid
+        |  JOIN nrm n ON n.vec_id = s.cell_vid
+        |), vc AS (
+        |  SELECT e.vec_id, s.cell,
+        |    SUM(e.x * s.x) / (nv.n * any_value(s.n)) AS cos
+        |  FROM el e JOIN scell s ON s.d = e.d
+        |  JOIN nrm nv ON nv.vec_id = e.vec_id
+        |  GROUP BY e.vec_id, s.cell, nv.n
+        |), assign AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY cos DESC, cell) AS rn
+        |    FROM vc) WHERE rn = 1
+        |), pcells AS (
+        |  SELECT vec_id AS probe_id, cell, CAST(rn AS INT) AS cell_rank
+        |  FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY cos DESC, cell) AS rn
+        |    FROM vc WHERE vec_id >= 8 AND vec_id < 16) WHERE rn <= 8
+        |), m AS (
+        |  SELECT 127.0 / (CASE WHEN MAX(abs(x)) > 0.0
+        |    THEN MAX(abs(x)) END) AS r FROM el
+        |), enc AS MATERIALIZED (
+        |  SELECT vec_id, d, CAST(floor(x * m.r + 0.5) AS BIGINT) AS c
+        |  FROM el, m
+        |), cand AS (
+        |  SELECT p.probe_id, a.vec_id, p.cell_rank
+        |  FROM pcells p JOIN assign a ON a.cell = p.cell
+        |  WHERE a.vec_id <> p.probe_id
+        |), dots AS (
+        |  SELECT c.probe_id, c.vec_id, c.cell_rank,
+        |    CAST(SUM(ep.c * ev.c) AS BIGINT) AS s
+        |  FROM cand c
+        |  JOIN enc ep ON ep.vec_id = c.probe_id
+        |  JOIN enc ev ON ev.vec_id = c.vec_id AND ev.d = ep.d
+        |  GROUP BY 1, 2, 3
+        |), sweep(nprobe) AS (VALUES (1), (2), (4), (8)),
+        |approx AS (
+        |  SELECT nprobe, probe_id, vec_id FROM (
+        |    SELECT s.nprobe, d.probe_id, d.vec_id,
+        |      row_number() OVER (PARTITION BY s.nprobe, d.probe_id
+        |        ORDER BY d.s DESC, d.vec_id) AS r
+        |    FROM dots d JOIN sweep s ON d.cell_rank <= s.nprobe)
+        |  WHERE r <= 5
+        |), exact AS (
+        |  SELECT probe_id, vec_id FROM (
+        |    SELECT dd.probe_id, dd.vec_id,
+        |      row_number() OVER (PARTITION BY dd.probe_id
+        |        ORDER BY dd.dp / (np.n * nv.n) DESC, dd.vec_id) AS r
+        |    FROM (
+        |      SELECT ep.vec_id AS probe_id, ev.vec_id,
+        |        SUM(ep.x * ev.x) AS dp
+        |      FROM el ep JOIN el ev
+        |        ON ev.d = ep.d AND ev.vec_id <> ep.vec_id
+        |      WHERE ep.vec_id >= 8 AND ep.vec_id < 16
+        |      GROUP BY 1, 2) dd
+        |    JOIN nrm np ON np.vec_id = dd.probe_id
+        |    JOIN nrm nv ON nv.vec_id = dd.vec_id)
+        |  WHERE r <= 5
+        |), et AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS exact_pairs,
+        |    CAST(COUNT(DISTINCT probe_id) AS BIGINT) AS n_probes
+        |  FROM exact
+        |), hits AS (
+        |  SELECT a.nprobe, CAST(COUNT(*) AS BIGINT) AS hit_pairs
+        |  FROM approx a JOIN exact e
+        |    ON e.probe_id = a.probe_id AND e.vec_id = a.vec_id
+        |  GROUP BY 1
+        |)
+        |SELECT s.nprobe, et.n_probes, et.exact_pairs,
+        |  COALESCE(h.hit_pairs, CAST(0 AS BIGINT)) AS hit_pairs,
+        |  round(CAST(COALESCE(h.hit_pairs, 0) AS DOUBLE)
+        |    / CAST(et.exact_pairs AS DOUBLE), 6) AS recall
+        |FROM sweep s LEFT JOIN hits h ON h.nprobe = s.nprobe
+        |CROSS JOIN et
+        |ORDER BY s.nprobe""".stripMargin,
 
     // V31: q228's routing CTEs with seeds from the EXISTING side,
     // per-vector floor-grid d² to the assigned seed, side-split

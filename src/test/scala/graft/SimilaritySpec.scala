@@ -865,6 +865,43 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("ivfSq8RecallSweep: per-nprobe parity with ivfSq8Search hits; " +
+      "recall monotone in nprobe; sweep complete") {
+    val rnd = new scala.util.Random(13)
+    val base = Seq(
+      Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0),
+      Seq(0.0, 0.0, 1.0, 0.0), Seq(0.0, 0.0, 0.0, 1.0))
+    val corpus = (0L until 24L).map { i =>
+      val b = base((i % 4).toInt)
+      (i, b.map(x => (x + rnd.nextDouble() * 0.4).toFloat))
+    }.toDF("vec_id", "embedding")
+    val probes = corpus.where(col("vec_id") < 6)
+    val sweep = Similarity.ivfSq8RecallSweep(corpus, probes,
+        "vec_id", "embedding", nlist = 6, nprobes = Seq(1, 3, 6),
+        k = 4)
+      .as[(Int, Long, Long, Long, Option[Double])].collect().toSeq
+    assert(sweep.map(_._1) == Seq(1, 3, 6))
+    assert(sweep.forall(r => r._2 == 6L && r._3 == 24L))
+    assert(sweep.map(_._4) == sweep.map(_._4).sorted,
+      "recall must be monotone in nprobe")
+    assert(sweep.last._5.exists(_ > 0.5),
+      "full-scan SQ8 must recover most cosine neighbors here")
+    // per-point parity with the serving operator it summarizes
+    val exact = Similarity.cosineTopK(corpus, probes,
+        "vec_id", "embedding", k = 4)
+      .select("probe_id", "vec_id")
+      .as[(Long, Long)].collect().toSet
+    val seeds = Similarity.ivfSeeds(corpus, "vec_id", "embedding", 6)
+    for ((np, _, _, hitPairs, _) <- sweep) {
+      val approx = Similarity.ivfSq8Search(corpus, probes,
+          "vec_id", "embedding", seeds, nprobe = np, k = 4)
+        .select("probe_id", "vec_id")
+        .as[(Long, Long)].collect().toSet
+      assert((approx intersect exact).size.toLong === hitPairs,
+        s"nprobe=$np")
+    }
+  }
+
   test("pqReconstructionError: exact codeword match is zero error; " +
       "offset vectors report the hand-computed squared distance") {
     // 2 subspaces x 2 dims, 2 codewords each
