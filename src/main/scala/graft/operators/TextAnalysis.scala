@@ -1133,4 +1133,69 @@ object TextAnalysis {
             when(col("n_words") > 0L, col("n_words").cast("double"))),
           6))
   }
+
+  /** The three T59 corruption patterns, shared verbatim with the
+    * oracle (RE2 ∩ Java common subset — the Q11 regex discipline):
+    * the Unicode replacement character (a decoder already gave up),
+    * C0 control characters outside \t\n\r (binary bleed-through),
+    * and the classic UTF-8-read-as-Latin-1 digraph markers (the
+    * ftfy signal set: é→Ã©, ’→â€™, °→Â° …). */
+  private[graft] val encReplacement = "�"
+  private[graft] val encControl =
+    "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"
+  private[graft] val encMojibake =
+    "Ã©|Ã¨|Ã¡|Ã³|Ãº|Ã±|Ã¤|Ã¶|Ã¼|â€™|â€œ|â€“|â€”|Â°|Â·"
+
+  /**
+   * T59 (r13): encoding-quality scan — the mojibake/corruption
+   * triage every web-scale ingest runs before any language or
+   * quality signal is trusted: a document whose bytes were decoded
+   * with the wrong charset scores plausibly on length/stopword
+   * dials while being garbage, and a corpus-level uptick in any of
+   * these three signals is the canonical symptom of an upstream
+   * extraction regression. Per document:
+   *
+   *  - `n_replacement`: U+FFFD occurrences — a decoder already
+   *    substituted unmappable bytes;
+   *  - `n_control`: C0 control characters outside tab/newline/CR —
+   *    binary bleed-through into "text";
+   *  - `n_mojibake`: the classic UTF-8-read-as-Latin-1 digraph
+   *    markers (the ftfy heuristic set — é as Ã©, curly quotes as
+   *    â€œ…, ° as Â°), matched as LITERAL alternatives so the
+   *    pattern sits in the RE2 ∩ Java ∩ PCRE common subset;
+   *  - the three rates over n_chars (guarded divisions, round(6),
+   *    all non-negative) and `clean` = all three counts zero.
+   *
+   * Counts are regexp totals — heuristics by design (a legitimate
+   * Portuguese "Ã©"-bearing text exists; the MARKER RATE is the
+   * signal, not any single hit — same honesty contract as langId).
+   *
+   * Scale: pure per-row projection over one scan — no shuffle, no
+   * state; composes into any curation pass at zero extra cost.
+   *
+   * Output: (idCol, n_chars, n_replacement, n_control, n_mojibake,
+   * replacement_rate, control_rate, mojibake_rate, clean).
+   */
+  def encodingQuality(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val n = length(col(textCol)).cast("long")
+    def cnt(pat: String) =
+      size(regexp_extract_all(col(textCol), lit(pat), lit(0)))
+        .cast("long")
+    def rate(c: Column) =
+      round(c.cast("double") /
+        when(col("n_chars") > 0L, col("n_chars").cast("double")), 6)
+    docs
+      .where(col(textCol).isNotNull)
+      .select(col(idCol), n.as("n_chars"),
+        cnt(encReplacement).as("n_replacement"),
+        cnt(encControl).as("n_control"),
+        cnt(encMojibake).as("n_mojibake"))
+      .withColumn("replacement_rate", rate(col("n_replacement")))
+      .withColumn("control_rate", rate(col("n_control")))
+      .withColumn("mojibake_rate", rate(col("n_mojibake")))
+      .withColumn("clean",
+        col("n_replacement") === 0L && col("n_control") === 0L &&
+          col("n_mojibake") === 0L)
+  }
 }

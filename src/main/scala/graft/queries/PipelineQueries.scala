@@ -4293,6 +4293,26 @@ object PipelineQueries {
         .orderBy("id", "bin")
     }),
 
+    // T59 (round 13): encoding-quality scan — mojibake/control/
+    // replacement-char triage over documents with deterministic
+    // corruption injected (every 25th doc gains a Latin-1 mojibake
+    // digraph + a control char, every 50th additionally a U+FFFD),
+    // so all three signals and the clean flag are live at every
+    // scale. Both engines replay the injection.
+    "q325_encoding_quality" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .where(col("text").isNotNull)
+        .withColumn("text",
+          when(col("doc_id") % 50 === 0,
+            concat(col("text"), lit("Ã©"), lit(""),
+              lit("�")))
+            .when(col("doc_id") % 25 === 0,
+              concat(col("text"), lit("Ã©"), lit("")))
+            .otherwise(col("text")))
+      TextAnalysis.encodingQuality(d, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // Q16 (round 13): ε-DP top-k release — the peeling exponential
     // mechanism selects the 3 most frequent document languages from
     // the public 7-key domain, k draws without replacement at ε/k
@@ -8222,6 +8242,44 @@ object PipelineQueries {
         |  ((n_new * 1000 > n_base * 300) OR
         |   (sn * n_base * 1000 > sb * n_new * 1100)) AS retrain
         |FROM j ORDER BY cell""".stripMargin,
+
+    // T59: injection replay (mojibake digraph + chr(7) + U+FFFD) and
+    // the three regexp counts with the patterns shared verbatim from
+    // TextAnalysis; guarded rate divisions, boolean clean flag.
+    "q325_encoding_quality" -> {
+      val moji = graft.operators.TextAnalysis.encMojibake
+      val ctrl = graft.operators.TextAnalysis.encControl
+      s"""WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 50 = 0
+        |           THEN text || 'Ã©' || chr(7) || '\ufffd'
+        |         WHEN doc_id % 25 = 0 THEN text || 'Ã©' || chr(7)
+        |         ELSE text END AS text
+        |  FROM documents WHERE text IS NOT NULL
+        |), c AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(len(regexp_extract_all(text, '\ufffd')) AS BIGINT)
+        |      AS n_replacement,
+        |    CAST(len(regexp_extract_all(text, '$ctrl')) AS BIGINT)
+        |      AS n_control,
+        |    CAST(len(regexp_extract_all(text, '$moji')) AS BIGINT)
+        |      AS n_mojibake
+        |  FROM d
+        |)
+        |SELECT doc_id, n_chars, n_replacement, n_control, n_mojibake,
+        |  CASE WHEN n_chars > 0 THEN
+        |    round(CAST(n_replacement AS DOUBLE) / CAST(n_chars AS DOUBLE),
+        |      6) END AS replacement_rate,
+        |  CASE WHEN n_chars > 0 THEN
+        |    round(CAST(n_control AS DOUBLE) / CAST(n_chars AS DOUBLE),
+        |      6) END AS control_rate,
+        |  CASE WHEN n_chars > 0 THEN
+        |    round(CAST(n_mojibake AS DOUBLE) / CAST(n_chars AS DOUBLE),
+        |      6) END AS mojibake_rate,
+        |  (n_replacement = 0 AND n_control = 0 AND n_mojibake = 0)
+        |    AS clean
+        |FROM c ORDER BY doc_id""".stripMargin
+    },
 
     // Q16: counts over the public domain + the shared weight-table
     // literals, k peeling rounds unrolled (cumulative window, the

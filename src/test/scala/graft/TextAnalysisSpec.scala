@@ -508,4 +508,33 @@ class TextAnalysisSpec extends AnyFunSuite {
     val g3 = got(3L)
     assert(g3._2 == 0L && g3._6.isEmpty && g3._7.isEmpty)
   }
+  test("encodingQuality: corruption goldens, clean text, empty doc") {
+    val docs = Seq(
+      (1L, "perfectly clean ascii text"),
+      (2L, "caf\u00c3\u00a9 menu"), // "cafÃ©" — one mojibake marker
+      (3L, "bad\u0007text\u0007again"), // two control chars
+      (4L, "lost \ufffd bytes \ufffd\ufffd here"), // three U+FFFD
+      (5L, ""))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .encodingQuality(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Option[Double],
+        Option[Double], Option[Double], Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._9, "clean text must flag clean")
+    assert(got(1L)._3 == 0L && got(1L)._4 == 0L && got(1L)._5 == 0L)
+    assert(got(2L)._5 === 1L && !got(2L)._9)
+    assert(got(3L)._4 === 2L && !got(3L)._9)
+    assert(got(4L)._3 === 3L && !got(4L)._9)
+    assert(got(4L)._6.exists(_ > 0.0))
+    // empty doc: zero counts, NULL rates, clean
+    assert(got(5L)._2 === 0L && got(5L)._6.isEmpty && got(5L)._9)
+    // tab/newline/CR are NOT control-flagged
+    val ws = Seq((9L, "a\tb\nc\rd")).toDF("doc_id", "text")
+    val g2 = graft.operators.TextAnalysis
+      .encodingQuality(ws, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Option[Double],
+        Option[Double], Option[Double], Boolean)].collect().head
+    assert(g2._4 === 0L && g2._9)
+  }
 }
