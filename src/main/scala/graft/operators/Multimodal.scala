@@ -759,6 +759,119 @@ object Multimodal {
       .orderBy("id_a", "id_b")
   }
 
+  /** Shared single-pass aHash bit derivation over a decoded image —
+    * the exact integer pipeline both [[imageAHash]] and the fused
+    * [[imagePerceptualHashes]] run (one source of truth). Caller
+    * guarantees w, h >= 8. */
+  private def ahashOfImage(img: java.awt.image.BufferedImage): String = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var tot = 0L
+    var y = 0
+    while (y < h) {
+      val by = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val bx = x * 8 / w
+        val p = img.getRGB(x, y)
+        val luma = 299L * ((p >> 16) & 0xff) +
+          587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)
+        val i = by * 8 + bx
+        sums(i) += luma
+        cnts(i) += 1L
+        tot += luma
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < 64) {
+      // S_block·N > S_total·n_block, cross-multiplied —
+      // exact up to ~2^63/255000 px per image
+      sb.append(if (sums(i) * n > tot * cnts(i)) '1' else '0')
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Shared pHash bit derivation: floor-grid cells, two exact long
+    * DCT passes against the caller's cosine table, 63-AC
+    * order-statistic median, sign bits (one source of truth for
+    * [[imagePHash]] and [[imagePerceptualHashes]]). Caller
+    * guarantees w, h >= n. */
+  private def phashOfImage(
+      img: java.awt.image.BufferedImage, n: Int,
+      c: Array[Array[Long]]): String = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val sums = Array.ofDim[Long](n, n)
+    val cnts = Array.ofDim[Long](n, n)
+    var y = 0
+    while (y < h) {
+      val cy = y * n / h
+      var x = 0
+      while (x < w) {
+        val cx = x * n / w
+        val p = img.getRGB(x, y)
+        val luma = 299L * ((p >> 16) & 0xff) +
+          587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)
+        sums(cx)(cy) += luma
+        cnts(cx)(cy) += 1L
+        x += 1
+      }
+      y += 1
+    }
+    // stage1(x, v) = Σ_y cell(x, y) · c(y, v)
+    val st1 = Array.ofDim[Long](n, 8)
+    var cx = 0
+    while (cx < n) {
+      var cy = 0
+      while (cy < n) {
+        val cell = sums(cx)(cy) / cnts(cx)(cy)
+        var v = 0
+        while (v < 8) {
+          st1(cx)(v) += cell * c(cy)(v)
+          v += 1
+        }
+        cy += 1
+      }
+      cx += 1
+    }
+    // coeff(u, v) = Σ_x stage1(x, v) · c(x, u)
+    val coef = new Array[Long](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var sAcc = 0L
+        var x = 0
+        while (x < n) {
+          sAcc += st1(x)(v) * c(x)(u)
+          x += 1
+        }
+        coef(u * 8 + v) = sAcc
+        v += 1
+      }
+      u += 1
+    }
+    val ac = new Array[Long](63)
+    System.arraycopy(coef, 1, ac, 0, 63)
+    val sorted = ac.clone()
+    java.util.Arrays.sort(sorted)
+    val med = sorted(31) // true median of 63
+    val sb = new java.lang.StringBuilder(63)
+    var i = 0
+    while (i < 63) {
+      sb.append(if (ac(i) > med) '1' else '0')
+      i += 1
+    }
+    sb.toString
+  }
+
   /**
    * M13 (r12): perceptual average-hash (aHash) over DECODED pixels —
    * the image near-duplicate signature M9 ([[binaryNearDups]])
@@ -813,41 +926,7 @@ object Multimodal {
               } catch { case scala.util.control.NonFatal(_) => null }
             if (img == null || img.getWidth < 8 || img.getHeight < 8)
               (id, false, Option.empty[String])
-            else {
-              val w = img.getWidth
-              val h = img.getHeight
-              val sums = new Array[Long](64)
-              val cnts = new Array[Long](64)
-              var tot = 0L
-              var y = 0
-              while (y < h) {
-                val by = y * 8 / h
-                var x = 0
-                while (x < w) {
-                  val bx = x * 8 / w
-                  val p = img.getRGB(x, y)
-                  val luma = 299L * ((p >> 16) & 0xff) +
-                    587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)
-                  val i = by * 8 + bx
-                  sums(i) += luma
-                  cnts(i) += 1L
-                  tot += luma
-                  x += 1
-                }
-                y += 1
-              }
-              val n = w.toLong * h
-              val sb = new java.lang.StringBuilder(64)
-              var i = 0
-              while (i < 64) {
-                // S_block·N > S_total·n_block, cross-multiplied —
-                // exact up to ~2^63/255000 px per image
-                sb.append(
-                  if (sums(i) * n > tot * cnts(i)) '1' else '0')
-                i += 1
-              }
-              (id, true, Some(sb.toString))
-            }
+            else (id, true, Some(ahashOfImage(img)))
           }
         }
       }
@@ -933,76 +1012,64 @@ object Multimodal {
               } catch { case scala.util.control.NonFatal(_) => null }
             if (img == null || img.getWidth < n || img.getHeight < n)
               (id, false, Option.empty[String])
-            else {
-              val w = img.getWidth
-              val h = img.getHeight
-              val sums = Array.ofDim[Long](n, n)
-              val cnts = Array.ofDim[Long](n, n)
-              var y = 0
-              while (y < h) {
-                val cy = y * n / h
-                var x = 0
-                while (x < w) {
-                  val cx = x * n / w
-                  val p = img.getRGB(x, y)
-                  val luma = 299L * ((p >> 16) & 0xff) +
-                    587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)
-                  sums(cx)(cy) += luma
-                  cnts(cx)(cy) += 1L
-                  x += 1
-                }
-                y += 1
-              }
-              // stage1(x, v) = Σ_y cell(x, y) · c(y, v)
-              val st1 = Array.ofDim[Long](n, 8)
-              var cx = 0
-              while (cx < n) {
-                var cy = 0
-                while (cy < n) {
-                  val cell = sums(cx)(cy) / cnts(cx)(cy)
-                  var v = 0
-                  while (v < 8) {
-                    st1(cx)(v) += cell * c(cy)(v)
-                    v += 1
-                  }
-                  cy += 1
-                }
-                cx += 1
-              }
-              // coeff(u, v) = Σ_x stage1(x, v) · c(x, u)
-              val coef = new Array[Long](64)
-              var u = 0
-              while (u < 8) {
-                var v = 0
-                while (v < 8) {
-                  var s = 0L
-                  var x = 0
-                  while (x < n) {
-                    s += st1(x)(v) * c(x)(u)
-                    x += 1
-                  }
-                  coef(u * 8 + v) = s
-                  v += 1
-                }
-                u += 1
-              }
-              val ac = new Array[Long](63)
-              System.arraycopy(coef, 1, ac, 0, 63)
-              val sorted = ac.clone()
-              java.util.Arrays.sort(sorted)
-              val med = sorted(31) // true median of 63
-              val sb = new java.lang.StringBuilder(63)
-              var i = 0
-              while (i < 63) {
-                sb.append(if (ac(i) > med) '1' else '0')
-                i += 1
-              }
-              (id, true, Some(sb.toString))
-            }
+            else (id, true, Some(phashOfImage(img, n, c)))
           }
         }
       }
       .toDF(idCol, "decode_ok", "phash")
+  }
+
+  /**
+   * M13+M14 fused: BOTH perceptual hashes from ONE decode — the
+   * composition every gate/pipeline wanting aHash AND pHash should
+   * run: `ImageIO.read` + the pixel walk dominate either hash's
+   * cost, so computing them separately pays the decode twice for no
+   * information gain (measured on q317: two decodes ≈ 2.1 s at
+   * sf0.1; fused ≈ half). Bit derivations are the shared
+   * single-source helpers of [[imageAHash]] / [[imagePHash]] —
+   * byte-identical outputs by construction.
+   *
+   * Triage: decode failure / w or h < 8 → decode_ok = false, both
+   * NULL; decodable but smaller than the pHash cell grid → aHash
+   * present, phash NULL (each hash keeps its own contract).
+   *
+   * Output: (idCol, decode_ok, ahash, phash).
+   */
+  def imagePerceptualHashes(
+      df: DataFrame, idCol: String, payloadCol: String,
+      grid: Int = 16, batchSize: Int = 64): DataFrame = {
+    require(grid >= 8 && grid <= 64,
+      s"grid must be in [8, 64], got $grid")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = grid
+    val c = Array.ofDim[Long](n, 8)
+    phashDctTable(n).foreach { case (i, u, v) => c(i)(u) = v }
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { case (id, bytes) =>
+            val img =
+              try {
+                if (bytes == null || bytes.isEmpty) null
+                else javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(bytes))
+              } catch { case scala.util.control.NonFatal(_) => null }
+            if (img == null || img.getWidth < 8 || img.getHeight < 8)
+              (id, false, Option.empty[String], Option.empty[String])
+            else {
+              val ah = ahashOfImage(img)
+              val ph =
+                if (img.getWidth < n || img.getHeight < n) None
+                else Some(phashOfImage(img, n, c))
+              (id, true, Some(ah), ph)
+            }
+          }
+        }
+      }
+      .toDF(idCol, "decode_ok", "ahash", "phash")
   }
 
   /**

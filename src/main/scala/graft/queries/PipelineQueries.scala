@@ -4339,8 +4339,10 @@ object PipelineQueries {
       val ids = t(s, dir, "part").select(col("p_partkey").as("id"))
       val imgs = Multimodal.withSyntheticBmpRampPairs(ids, "id",
         w = 16, h = 16, everyK = 10L, rampMax = 40)
-      val a = Multimodal.imageAHash(imgs, "id", "payload")
-      val p = Multimodal.imagePHash(imgs, "id", "payload", grid = 16)
+      // ONE decode pass serves both hash families (r13 fused op);
+      // the hash frame barriers because both pair stages consume it
+      val hp = Multimodal.imagePerceptualHashes(imgs, "id",
+        "payload", grid = 16).barriered
       def pairs(df: DataFrame, hc: String, out: String) = {
         val b = df.where(col("id") >= 0L)
           .select(col("id"), col(hc).as("__ha"))
@@ -4352,8 +4354,8 @@ object PipelineQueries {
               (x, y) => when(x =!= y, 1).otherwise(0)),
             lit(0), _ + _).as(out))
       }
-      pairs(a, "ahash", "ahash_hamming")
-        .join(pairs(p, "phash", "phash_hamming"), "id")
+      pairs(hp, "ahash", "ahash_hamming")
+        .join(pairs(hp, "phash", "phash_hamming"), "id")
         .orderBy("id")
     }),
 

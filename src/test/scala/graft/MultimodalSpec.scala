@@ -456,6 +456,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(byIdBin((1L, 0))._5.contains(0L))
   }
 
+  test("imagePerceptualHashes: fused pass is byte-identical to the " +
+      "single-hash operators; tiered triage") {
+    val df = Seq(
+      (1L, Multimodal.syntheticBmpTextured(3L, 16, 16)),
+      (2L, Multimodal.syntheticBmpTextured(4L, 16, 16)),
+      (3L, Multimodal.bmpFrom(8, 8)((_, _) => (1, 2, 3))), // < grid
+      (4L, Multimodal.bmpFrom(4, 4)((_, _) => (1, 2, 3))), // < 8
+      (5L, Array[Byte](1, 2, 3)))
+      .toDF("id", "payload")
+    val fused = Multimodal.imagePerceptualHashes(df, "id", "payload",
+        grid = 16)
+      .as[(Long, Boolean, Option[String], Option[String])]
+      .collect().map(r => r._1 -> r).toMap
+    val a = Multimodal.imageAHash(df, "id", "payload")
+      .as[(Long, Boolean, Option[String])]
+      .collect().map(r => r._1 -> r._3).toMap
+    val p = Multimodal.imagePHash(df, "id", "payload", grid = 16)
+      .as[(Long, Boolean, Option[String])]
+      .collect().map(r => r._1 -> r._3).toMap
+    for (id <- Seq(1L, 2L, 3L, 4L, 5L)) {
+      assert(fused(id)._3 === a(id), s"ahash mismatch id $id")
+      assert(fused(id)._4 === p(id), s"phash mismatch id $id")
+    }
+    // tiered triage: 8x8 decodes (ahash present) but is below the
+    // pHash grid (phash NULL); sub-8px and junk fail both
+    assert(fused(3L)._2 && fused(3L)._3.isDefined &&
+      fused(3L)._4.isEmpty)
+    assert(!fused(4L)._2 && !fused(5L)._2)
+  }
+
   test("imagePHash: cosine-table shape, constant-image zeros, " +
       "formula replay, triage, and ramp robustness vs aHash") {
     val tab = Multimodal.phashDctTable(16)
