@@ -4293,6 +4293,43 @@ object PipelineQueries {
         .orderBy("id", "bin")
     }),
 
+    // Q15 capstone (round 13): the FIVE-mechanism release suite —
+    // counts + sums + histogram + quantiles + top-k over one dataset
+    // under ONE 2.0ε budget (spend 1.7ε), every mechanism family the
+    // engine ships composed through the ledger. clampK scales with
+    // Δ/ε per the Q12 rule (sums: 20·8/0.25 = 640).
+    "q326_dp_release_suite_full" -> ((s, dir) => {
+      import s.implicits._
+      val Q = graft.operators.Quality
+      val domain = Seq("de", "en", "es", "fr", "zh", "xx", "yy")
+        .toDF("lang")
+      val docs = t(s, dir, "documents")
+      val ev = t(s, dir, "events")
+      Q.dpReleaseSuite(Seq(
+        Q.DpDeclaredRelease("lang_counts", 300000L,
+          () => Q.dpCountReleaseOverDomain(docs, domain, Seq("lang"),
+            epsilon = 0.3, seed = 61L, clampK = 134),
+          Some("released_count")),
+        Q.DpDeclaredRelease("value_sums", 250000L,
+          () => Q.dpSumRelease(ev, Seq("event_type"), col("value"),
+            epsilon = 0.25, seed = 62L, clampHi = 8L, clampK = 640),
+          Some("released_sum")),
+        Q.DpDeclaredRelease("value_hist", 300000L,
+          () => Q.dpHistogramRelease(ev, col("value"),
+            edges = (0L to 500L by 50L), epsilon = 0.3, seed = 63L,
+            clampK = 134),
+          Some("released_count")),
+        Q.DpDeclaredRelease("value_median", 400000L,
+          () => Q.dpQuantileRelease(ev, Seq("event_type"),
+            col("value"), grid = (0L to 512L by 16L), qNum = 1,
+            qDen = 2, epsilon = 0.4, seed = 64L),
+          Some("released_q")),
+        Q.DpDeclaredRelease("top_langs", 450000L,
+          () => Q.dpTopKRelease(docs, col("lang"), domain, "lang",
+            k = 3, epsilon = 0.45, seed = 65L))),
+        budgetMicro = 2000000L)
+    }),
+
     // T59 (round 13): encoding-quality scan — mojibake/control/
     // replacement-char triage over documents with deterministic
     // corruption injected (every 25th doc gains a Latin-1 mojibake
@@ -8244,6 +8281,59 @@ object PipelineQueries {
         |  ((n_new * 1000 > n_base * 300) OR
         |   (sn * n_base * 1000 > sb * n_new * 1100)) AS retrain
         |FROM j ORDER BY cell""".stripMargin,
+
+    // Q15 capstone: all five generated mechanism replays run as
+    // ledger-audit subqueries (top-k's released row count is the
+    // data-independent literal k; its total is NULL by declaration).
+    "q326_dp_release_suite_full" -> {
+      val lang = dpDomainOracle(
+        domain = Seq("de", "en", "es", "fr", "zh", "xx", "yy"),
+        epsilon = 0.3, seed = 61L, clampK = 134)
+      val sums = dpSumOracle(
+        epsilon = 0.25, seed = 62L, clampHi = 8L, clampK = 640)
+      val hist = dpHistOracle(
+        edges = (0L to 500L by 50L), epsilon = 0.3, seed = 63L,
+        clampK = 134)
+      val quant = dpQuantileOracle(
+        grid = (0L to 512L by 16L), qNum = 1, qDen = 2,
+        epsilon = 0.4, seed = 64L, clampUtil = 400)
+      s"""WITH rel(seq, release, eps_micro, cum_eps_micro) AS (VALUES
+         |  (1, 'lang_counts', 300000, 300000),
+         |  (2, 'value_sums', 250000, 550000),
+         |  (3, 'value_hist', 300000, 850000),
+         |  (4, 'value_median', 400000, 1250000),
+         |  (5, 'top_langs', 450000, 1700000)
+         |), nr AS (
+         |  SELECT 'lang_counts' AS release,
+         |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |    CAST(SUM(released_count) AS BIGINT) AS released_total
+         |  FROM ($lang)
+         |  UNION ALL
+         |  SELECT 'value_sums', CAST(COUNT(*) AS BIGINT),
+         |    CAST(SUM(released_sum) AS BIGINT)
+         |  FROM ($sums)
+         |  UNION ALL
+         |  SELECT 'value_hist', CAST(COUNT(*) AS BIGINT),
+         |    CAST(SUM(released_count) AS BIGINT)
+         |  FROM ($hist)
+         |  UNION ALL
+         |  SELECT 'value_median', CAST(COUNT(*) AS BIGINT),
+         |    CAST(SUM(released_q) AS BIGINT)
+         |  FROM ($quant)
+         |  UNION ALL
+         |  SELECT 'top_langs', CAST(3 AS BIGINT),
+         |    CAST(NULL AS BIGINT)
+         |)
+         |SELECT CAST(r.seq AS INT) AS seq, r.release,
+         |  CAST(r.eps_micro AS BIGINT) AS eps_micro,
+         |  CAST(r.cum_eps_micro AS BIGINT) AS cum_eps_micro,
+         |  CAST(2000000 AS BIGINT) AS budget_micro,
+         |  CAST(2000000 - r.cum_eps_micro AS BIGINT)
+         |    AS remaining_micro,
+         |  n.n_rows, n.released_total
+         |FROM rel r JOIN nr n ON n.release = r.release
+         |ORDER BY seq""".stripMargin
+    },
 
     // T59: injection replay (mojibake digraph + chr(7) + U+FFFD) and
     // the three regexp counts with the patterns shared verbatim from
