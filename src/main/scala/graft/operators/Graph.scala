@@ -384,6 +384,59 @@ object Graph {
   }
 
   /**
+   * G15 (r13): global transitivity / clustering-coefficient audit —
+   * the ONE-ROW "is this graph clique-y?" readout that decides the
+   * dedup EVICTION POLICY: C = 3·triangles / wedges compares closed
+   * to open triads, so a near-dup candidate graph with high C is
+   * template families (cluster-level eviction is safe — G2's
+   * scaladoc rationale, now as a number) while low C is chains of
+   * incidental pairwise overlap where flooding a connected component
+   * would over-merge (pair-level eviction only). The n_wedges /
+   * n_triangles split also prices a G5 link-prediction pass before
+   * running it (wedges ARE its candidate volume).
+   *
+   * Mechanics: ONE aggregate over [[triangleCounts]] (degree-ordered
+   * orientation, wedge volume ≤ m^1.5 — the whole cost); per-node
+   * wedge contributions d(d−1) div 2 are exact longs (d ≤ 3·10⁹
+   * before d² threatens 2⁶³) summed in DECIMAL(38,0) — n_wedges
+   * renders as a STRING (the q189 rule: it is Σd² -shaped and
+   * outruns BIGINT long before the corpus is interesting);
+   * Σ node-triangles is 3T exactly (each triangle counts at all
+   * three corners), so n_triangles = Σ div 3 with zero rounding; the
+   * coefficient is ONE guarded IEEE division of the two exact
+   * totals, round(6), in [0,1] by construction (no signed-zero
+   * exposure). Empty/wedge-free graphs emit NULL coefficient.
+   *
+   * Output (one row): (n_nodes, n_edges, n_wedges, n_triangles,
+   * global_clustering).
+   */
+  def transitivity(
+      edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val tc = triangleCounts(edges, srcCol, dstCol)
+    val d = col("degree").cast("long")
+    // integral `div` everywhere: Spark's `/` on integers is DOUBLE
+    // division, which silently loses exactness past 2^53
+    tc
+      .withColumn("__dl", d)
+      .agg(
+        count(lit(1)).as("n_nodes"),
+        sum(col("__dl")).as("__sd"),
+        sum(expr("(__dl * (__dl - 1)) div 2").cast(dec))
+          .cast(dec).as("__w"),
+        sum(col("n_triangles").cast("long")).as("__t3"))
+      .select(
+        col("n_nodes"),
+        expr("__sd div 2").as("n_edges"),
+        col("__w").cast("string").as("n_wedges"),
+        expr("__t3 div 3").as("n_triangles"),
+        round(col("__t3").cast("double") /
+          when(col("__w") > 0, col("__w").cast("double")), 6)
+          .as("global_clustering"))
+  }
+
+  /**
    * G5: neighborhood link prediction — for every NON-adjacent node
    * pair sharing at least one neighbor, the three classic
    * missing-edge scores (Liben-Nowell & Kleinberg, CIKM'03):

@@ -3512,6 +3512,17 @@ object PipelineQueries {
         .orderBy("node")
     }),
 
+    // G15 (round 13): global transitivity over the q192 candidate
+    // graph — the clique-vs-chain dedup-policy dial as ONE number:
+    // C = 3T/W from a single aggregate over the triangle counts.
+    "q327_transitivity" -> ((s, dir) => {
+      val edges = Dedup.minhashCandidates(
+          t(s, dir, "documents"), "doc_id", "text",
+          numHashes = 8, rowsPerBand = 2, shingleSize = 3)
+        .select("doc_a", "doc_b")
+      graft.operators.Graph.transitivity(edges, "doc_a", "doc_b")
+    }),
+
     // G3 (round 9): 2-core of the same near-dup candidate graph —
     // iterative peel (degree < 2 nodes out, neighbors re-checked),
     // 6 fixed rounds (converges in <= 3 at gate scales; extra
@@ -11723,6 +11734,60 @@ object PipelineQueries {
     // edges (q16/q128's bands CTE), no orientation shortcut — proves
     // the degree-ordered wedge enumeration counts every triangle
     // exactly once.
+    // G15: the q192 chain + the one-row transitivity aggregate —
+    // integral halves/thirds, HUGEINT wedge sum rendered VARCHAR.
+    "q327_transitivity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |), idx AS (
+        |  SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i FROM toks
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle FROM idx
+        |), mh AS (
+        |  SELECT doc_id, s.seed,
+        |    min(CAST(('0x' || substr(
+        |      md5(CAST(s.seed AS VARCHAR) || ':' || shingle), 1, 15)) AS BIGINT))
+        |      AS mh
+        |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0,7)) AS seed) s
+        |  GROUP BY doc_id, s.seed
+        |), bands AS (
+        |  SELECT doc_id, seed // 2 AS band,
+        |    string_agg(CAST(mh AS VARCHAR), '|' ORDER BY seed) AS sig
+        |  FROM mh GROUP BY doc_id, seed // 2
+        |), und AS MATERIALIZED (
+        |  SELECT DISTINCT a.doc_id AS lo, b.doc_id AS hi
+        |  FROM bands a
+        |  JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        |), deg AS (
+        |  SELECT node, count(*) AS degree FROM (
+        |    SELECT lo AS node FROM und UNION ALL SELECT hi AS node FROM und
+        |  ) GROUP BY node
+        |), tri AS (
+        |  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+        |  FROM und e1
+        |  JOIN und e2 ON e2.lo = e1.hi
+        |  JOIN und e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+        |), pn AS (
+        |  SELECT node, count(*) AS n FROM (
+        |    SELECT a AS node FROM tri
+        |    UNION ALL SELECT b AS node FROM tri
+        |    UNION ALL SELECT c AS node FROM tri
+        |  ) GROUP BY node
+        |), j AS (
+        |  SELECT d.degree, coalesce(pn.n, 0) AS tri3
+        |  FROM deg d LEFT JOIN pn USING (node)
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |  CAST(SUM(degree) // 2 AS BIGINT) AS n_edges,
+        |  CAST(CAST(SUM((degree::HUGEINT * (degree - 1)) // 2)
+        |    AS HUGEINT) AS VARCHAR) AS n_wedges,
+        |  CAST(SUM(tri3) // 3 AS BIGINT) AS n_triangles,
+        |  CASE WHEN SUM((degree::HUGEINT * (degree - 1)) // 2) > 0
+        |    THEN round(CAST(SUM(tri3) AS DOUBLE) /
+        |      CAST(SUM((degree::HUGEINT * (degree - 1)) // 2)
+        |        AS DOUBLE), 6) END AS global_clustering
+        |FROM j""".stripMargin,
+
     "q192_triangle_counts" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents

@@ -271,6 +271,30 @@ class GraphSpec extends AnyFunSuite {
     assert(Graph.louvain(selfOnly, "src", "dst", "w", 3).count() === 0L)
   }
 
+  test("transitivity: triangle C=1, path C=0, star NULL-free " +
+      "wedge-only, bowtie exact") {
+    def one(es: Seq[(String, String)]) =
+      Graph.transitivity(es.toDF("a", "b"), "a", "b")
+        .as[(Long, Long, String, Long, Option[Double])].collect().head
+    // triangle: 3 wedges, 1 triangle, C = 3/3 = 1
+    val tri = one(Seq(("a", "b"), ("b", "c"), ("a", "c")))
+    assert(tri === ((3L, 3L, "3", 1L, Some(1.0))))
+    // path a-b-c: 1 wedge, no triangle, C = 0
+    val path = one(Seq(("a", "b"), ("b", "c")))
+    assert(path === ((3L, 2L, "1", 0L, Some(0.0))))
+    // star: wedges only; hub degree 3 -> 3 wedges
+    val star = one(Seq(("h", "x"), ("h", "y"), ("h", "z")))
+    assert(star === ((4L, 3L, "3", 0L, Some(0.0))))
+    // bowtie (two triangles sharing a vertex): T=2, wedges =
+    // 4·C(2,2)=4 from leaves + C(4,2)=6 at the center = 10; C = 0.6
+    val bow = one(Seq(("a", "b"), ("b", "c"), ("a", "c"),
+      ("c", "d"), ("d", "e"), ("c", "e")))
+    assert(bow === ((5L, 6L, "10", 2L, Some(0.6))))
+    // single edge: no wedges -> NULL coefficient
+    val edge = one(Seq(("a", "b")))
+    assert(edge._3 === "0" && edge._5.isEmpty)
+  }
+
   test("louvainTwoLevel: conservation row replays level-1 Q exactly; " +
       "whole trace non-decreasing; merge-lowering level-2 rejects") {
     // Two triangles + weak bridge: level 1 finds the cliques; a
