@@ -619,7 +619,13 @@ object Multimodal {
                     .getAudioInputStream(
                       new java.io.ByteArrayInputStream(bytes))
                   val fmt = ais.getFormat
+                  // Mono only: on multi-channel PCM the raw stream
+                  // interleaves per-channel values, so "first n
+                  // samples" would DFT a channel-interleaved signal
+                  // (frequencies halved/mixed) — triage like
+                  // non-16-bit PCM instead of probing garbage.
                   if (fmt.getSampleSizeInBits != 16 ||
+                    fmt.getChannels != 1 ||
                     fmt.getEncoding !=
                       javax.sound.sampled.AudioFormat.Encoding
                         .PCM_SIGNED) null

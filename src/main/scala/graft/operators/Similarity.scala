@@ -861,6 +861,13 @@ object Similarity {
     val npMax = nps.max
     val spark = corpus.sparkSession
     val seeds = ivfSeeds(corpus, idCol, vecCol, nlist)
+    // An undersized corpus yields fewer seeds than nlist; sweep
+    // points beyond seeds.size would silently alias the full scan
+    // while still being LABELED with their declared nprobe — fail
+    // loudly instead (r13 ADVICE).
+    require(seeds.size == nlist,
+      s"corpus has only ${seeds.size} rows < nlist=$nlist — " +
+        "sweep points beyond seeds.size would alias the full scan")
     val c = corpus.select(
       col(idCol).as("vec_id"), toDoubleVec(col(vecCol)).as("__v"))
       .withColumn("__cell", ivfCell(col("__v"), seeds))
@@ -1356,6 +1363,12 @@ object Similarity {
     val npMax = nps.max
     val spark = corpus.sparkSession
     val seeds = ivfSeeds(corpus, idCol, vecCol, nlist)
+    // Same undersized-corpus guard as [[ivfRecallSweep]] (r13
+    // ADVICE): fewer seeds than nlist would alias the tail sweep
+    // points to the full scan under their declared nprobe labels.
+    require(seeds.size == nlist,
+      s"corpus has only ${seeds.size} rows < nlist=$nlist — " +
+        "sweep points beyond seeds.size would alias the full scan")
     val c0 = corpus.select(
       col(idCol).as("vec_id"), toDoubleVec(col(vecCol)).as("__v"))
     val scaleRow = c0

@@ -1848,13 +1848,42 @@ object RelationalQueries {
     val l1rounds = (1 to r1)
       .map(r => louvainRoundCte("", "und", "degs", r, selfLoops = false))
       .mkString("\n")
+    // The operator coarsens from the last ACCEPTED label table
+    // (moveLoop stops on the first Q-non-improving round and keeps
+    // the previous labels) — so the oracle must NOT coarsen from
+    // l$r1 unconditionally: replay the per-round accept flags as a
+    // prefix-min over the unrolled level-1 trace, pick the last
+    // accepted round, and CASE-select that round's label CTE
+    // (r13 ADVICE medium).
+    val tr1union = (0 to r1).map(r => s"SELECT * FROM q$r")
+      .mkString("\n  UNION ALL\n  ")
+    val lfinUnion = (0 to r1)
+      .map(r => s"SELECT node, lbl FROM l$r\n  " +
+        s"WHERE (SELECT lastr FROM acc1) = $r")
+      .mkString("\n  UNION ALL\n  ")
     val coarse =
-      s""", coarse AS MATERIALIZED (
+      s""", tr1 AS MATERIALIZED (
+         |  $tr1union
+         |), acc1 AS MATERIALIZED (
+         |  SELECT CAST(MAX(round) AS BIGINT) AS lastr FROM (
+         |    SELECT round, MIN(f) OVER (ORDER BY round
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ok
+         |    FROM (
+         |      SELECT round,
+         |        CASE WHEN round = 0 THEN 1
+         |             WHEN qnum > lag(qnum) OVER (ORDER BY round)
+         |               THEN 1
+         |             ELSE 0 END AS f
+         |      FROM tr1)
+         |  ) WHERE ok = 1
+         |), lfin AS MATERIALIZED (
+         |  $lfinUnion
+         |), coarse AS MATERIALIZED (
          |  SELECT la.lbl AS a, lb.lbl AS b, CAST(SUM(u.w) AS BIGINT)
          |    AS w
          |  FROM und u
-         |  JOIN l$r1 la ON la.node = u.a
-         |  JOIN l$r1 lb ON lb.node = u.b
+         |  JOIN lfin la ON la.node = u.a
+         |  JOIN lfin lb ON lb.node = u.b
          |  GROUP BY 1, 2
          |), cdegs AS MATERIALIZED (
          |  SELECT a AS node, CAST(SUM(w) AS BIGINT) AS k
@@ -1882,7 +1911,7 @@ object RelationalQueries {
       .map(r => louvainRoundCte("c", "coarse", "cdegs", r,
         selfLoops = true))
       .mkString("\n")
-    val union = ((0 to r1).map(r => s"SELECT 1 AS level, * FROM q$r") ++
+    val union = (Seq("SELECT 1 AS level, * FROM tr1") ++
       (0 to r2).map(r => s"SELECT 2 AS level, * FROM cq$r"))
       .mkString("\n  UNION ALL\n  ")
     s"""$louvainBase

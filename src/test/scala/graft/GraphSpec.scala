@@ -338,6 +338,38 @@ class GraphSpec extends AnyFunSuite {
       .count() === 0L)
   }
 
+  test("louvainTwoLevel: a REJECTED level-1 round coarsens from the " +
+      "last ACCEPTED label table (r13 ADVICE regression)") {
+    // Planted via tools/find_louvain_rejection.py: level-1 round 1
+    // accepts (Q numerator -144 -> -108), round 2's synchronous
+    // parity-1 moves (charlie<->sierra swap) land Q at -202 ->
+    // REJECTED — and the rejected label table coarsens to a
+    // DIFFERENT coarse graph than the accepted one, so a coarsen
+    // from the wrong table is observable in the conservation row.
+    val edges = Seq(
+      ("oscar", "sierra", 1L), ("foxtrot", "papa", 3L),
+      ("sierra", "tango", 2L), ("charlie", "sierra", 3L),
+      ("oscar", "papa", 4L), ("foxtrot", "tango", 1L))
+      .toDF("src", "dst", "w")
+    val got = Graph.louvainTwoLevel(edges, "src", "dst", "w",
+        maxRoundsPerLevel = 2)
+      .as[(Int, Int, Long, Long, String, Double)].collect()
+      .sortBy(r => (r._1, r._2))
+    val l1 = got.filter(_._1 == 1)
+    // round 2 rejected -> level-1 trace carries rounds 0 and 1 only
+    assert(l1.map(_._2).toSeq === Seq(0, 1),
+      s"expected level-1 rounds 0,1 (round 2 rejected), got ${l1.toSeq}")
+    assert(l1.map(_._5).toSeq === Seq("-144", "-108"))
+    // conservation row: the coarse graph is built from the ACCEPTED
+    // round-1 labels (4 communities, Q numerator -108), not the
+    // rejected round-2 table
+    val l2 = got.filter(_._1 == 2)
+    assert(l2.head._2 === 0)
+    assert(l2.head._4 === 4L)
+    assert(l2.head._5 === "-108",
+      "coarse round 0 must replay the last ACCEPTED level-1 Q")
+  }
+
   test("linkPredict: path and 4-cycle goldens (CN / AA / Jaccard)") {
     // path a-b-c-d: (a,c) via b, (b,d) via c; (a,d) shares nothing.
     val path = lp(Seq(("a", "b"), ("b", "c"), ("c", "d")))

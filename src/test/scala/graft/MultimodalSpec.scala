@@ -421,19 +421,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(tab8.forall(r => math.abs(r._3) <= 10000L &&
       math.abs(r._4) <= 10000L))
 
+    // stereo PCM: interleaved channels would DFT a frequency-mixed
+    // signal — must triage, not probe garbage (r13 ADVICE)
+    val stereo = {
+      import javax.sound.sampled._
+      val fmt = new AudioFormat(8000f, 16, 2, true, false)
+      val raw = Array.tabulate[Byte](4 * 64)(i => (i % 97).toByte)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, 64)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
     val bins = Seq(0, 2, 7)
     val df = Seq(
       (1L, Multimodal.syntheticWav(5L, 64, 8000)),
       (2L, Multimodal.syntheticWav(5L, 32, 8000)), // too short for n
-      (3L, Array[Byte](1, 2, 3)))
+      (3L, Array[Byte](1, 2, 3)),
+      (4L, stereo)) // 2-channel: triage like non-16-bit PCM
       .toDF("id", "payload")
     val got = Multimodal.audioSpectralProbe(df, "id", "payload",
         n = 64, bins = bins)
       .as[(Long, Boolean, Int, Option[Long], Option[Long],
         Option[String])].collect()
-    assert(got.length === 9, "one row per (id, bin)")
+    assert(got.length === 12, "one row per (id, bin)")
     val byIdBin = got.map(r => (r._1, r._3) -> r).toMap
-    for (id <- Seq(2L, 3L); k <- bins) {
+    for (id <- Seq(2L, 3L, 4L); k <- bins) {
       val r = byIdBin((id, k))
       assert(!r._2 && r._4.isEmpty && r._5.isEmpty && r._6.isEmpty,
         s"id $id bin $k must triage")

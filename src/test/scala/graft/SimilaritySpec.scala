@@ -865,6 +865,23 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("recall sweeps: undersized corpus (rows < nlist) fails loudly " +
+      "instead of aliasing tail sweep points to the full scan") {
+    val tiny = (0L until 4L)
+      .map(i => (i, Seq(i.toFloat, 1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val ex1 = intercept[IllegalArgumentException] {
+      Similarity.ivfRecallSweep(tiny, tiny, "vec_id", "embedding",
+        nlist = 8, nprobes = Seq(1, 8), k = 2).collect()
+    }
+    assert(ex1.getMessage.contains("alias"))
+    val ex2 = intercept[IllegalArgumentException] {
+      Similarity.ivfSq8RecallSweep(tiny, tiny, "vec_id", "embedding",
+        nlist = 8, nprobes = Seq(1, 8), k = 2).collect()
+    }
+    assert(ex2.getMessage.contains("alias"))
+  }
+
   test("ivfSq8RecallSweep: per-nprobe parity with ivfSq8Search hits; " +
       "recall monotone in nprobe; sweep complete") {
     val rnd = new scala.util.Random(13)
