@@ -709,6 +709,94 @@ object Graph {
   }
 
   /**
+   * G16 (r14): bounded-round WEIGHTED shortest-path distances
+   * (Bellman–Ford) — the weighted companion to [[bfsHops]]: on a
+   * similarity-weighted near-dup graph, hop count is NOT closeness
+   * (two hops through 0.95-similar twins is nearer than one hop
+   * through a 0.55-similar borderline match), so the contamination
+   * radius a release gate quarantines by should be the cheapest-PATH
+   * distance, not the fewest-edge one. Emits BOTH relaxations from
+   * the same frontier joins — `dist` (min edge-weight sum) and
+   * `hops` (min edge count) — so the divergence is measurable per
+   * node; the planted GraphSpec fixture pins a node whose weighted
+   * shortest path takes three hops past a heavy direct edge.
+   *
+   * Edges symmetrize (undirected near-dup semantics); parallel
+   * edges keep the MINIMUM weight; self-loops drop. Weights are
+   * exact LONGS (require non-negative — Bellman–Ford with bounded
+   * rounds is a shortest-WALK bound otherwise), so every relaxation
+   * is integer arithmetic with zero float hazard and the oracle
+   * replays as an unrolled min-merge CTE chain.
+   *
+   * Frontier discipline: only rows whose (dist, hops) IMPROVED last
+   * round re-expand (the delta-relaxation pruning — an unchanged
+   * node re-proposes candidates the min-merge already absorbed), so
+   * per-round join volume is the changed set's adjacency, not the
+   * whole reached set; rounds barrier via localCheckpoint with
+   * superseded state freed (the [[bfsHops]] loop discipline). After
+   * `rounds` rounds, dist is exact for every node whose true
+   * shortest path uses ≤ rounds edges — state the regime at the
+   * call site, as with every bounded-round operator here.
+   *
+   * Output: (node, dist, hops) for every seed or graph node;
+   * unreached nodes carry NULLs. Ascending by node.
+   */
+  def weightedDistances(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, seeds: DataFrame, seedCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val directed = edges
+      .select(col(srcCol).as("a"), col(dstCol).as("b"),
+        col(weightCol).cast("long").as("w"))
+      .where(col("a") =!= col("b"))
+    val und = directed
+      .unionAll(directed.select(col("b").as("a"), col("a").as("b"),
+        col("w")))
+      .groupBy("a", "b").agg(min(col("w")).as("w"))
+      .barriered
+    // Fail fast on a negative weight: one bounded aggregate.
+    val minW = und.agg(coalesce(min(col("w")), lit(0L)))
+      .collect()(0).getLong(0)
+    require(minW >= 0L,
+      s"weights must be non-negative, found $minW")
+    var state = seeds.select(col(seedCol).as("node")).distinct()
+      .select(col("node"), lit(0L).as("dist"), lit(0L).as("hops"))
+      .barriered
+    var frontier = state
+    var freeFrontier = false // round-0 frontier IS state: free once
+    var r = 1
+    while (r <= rounds) {
+      val cand = frontier
+        .join(und, frontier("node") === und("a"))
+        .select(col("b").as("node"),
+          (col("dist") + col("w")).as("dist"),
+          (col("hops") + lit(1L)).as("hops"))
+      val merged = state.unionByName(cand)
+        .groupBy("node")
+        .agg(min(col("dist")).as("dist"), min(col("hops")).as("hops"))
+        .barriered
+      val changed = merged
+        .join(state, Seq("node", "dist", "hops"), "left_anti")
+        .barriered
+      if (freeFrontier) Barrier.free(frontier)
+      Barrier.free(state)
+      state = merged
+      frontier = changed
+      freeFrontier = true
+      r += 1
+    }
+    if (freeFrontier) Barrier.free(frontier)
+    // und and state back the returned plan — the caller owns their
+    // lifetime (the bfsHops convention; Barrier.free is root-only
+    // and the result still reads both).
+    val nodes = und.select(col("a").as("node"))
+      .unionAll(seeds.select(col(seedCol).as("node")))
+      .distinct()
+    nodes.join(state, Seq("node"), "left").orderBy("node")
+  }
+
+  /**
    * G9: HITS hubs and authorities (Kleinberg 1999, JACM "Authoritative
    * sources in a hyperlinked environment") over a DIRECTED graph —
    * the two-sided importance readout PageRank's single score folds

@@ -581,8 +581,9 @@ object Multimodal {
    * spectra (the fixed-size basis table is what keeps both engines
    * exact — the [[imagePHash]] sub-grid rule), alongside
    * undecodable payloads; longer clips probe their first n samples
-   * (documented — a windowed sweep composes upstream via
-   * [[frames]]).
+   * (documented — [[audioSpectralSweep]] is the windowed sweep over
+   * the rest; byte-level [[frames]] cannot feed the decoder since a
+   * WAV slice loses its header).
    *
    * Output: (idCol, decode_ok, bin, re, im, power), one row per
    * declared bin (NULL spectra on triage rows keep the id visible),
@@ -611,40 +612,12 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.grouped(batchSize).flatMap { batch =>
           batch.flatMap { case (id, bytes) =>
-            val samples: Array[Int] =
-              try {
-                if (bytes == null || bytes.isEmpty) null
-                else {
-                  val ais = javax.sound.sampled.AudioSystem
-                    .getAudioInputStream(
-                      new java.io.ByteArrayInputStream(bytes))
-                  val fmt = ais.getFormat
-                  // Mono only: on multi-channel PCM the raw stream
-                  // interleaves per-channel values, so "first n
-                  // samples" would DFT a channel-interleaved signal
-                  // (frequencies halved/mixed) — triage like
-                  // non-16-bit PCM instead of probing garbage.
-                  if (fmt.getSampleSizeInBits != 16 ||
-                    fmt.getChannels != 1 ||
-                    fmt.getEncoding !=
-                      javax.sound.sampled.AudioFormat.Encoding
-                        .PCM_SIGNED) null
-                  else {
-                    val data = ais.readAllBytes()
-                    val big = fmt.isBigEndian
-                    val total = data.length / 2
-                    if (total < n) null
-                    else Array.tabulate(n) { i =>
-                      val b0 = data(2 * i)
-                      val b1 = data(2 * i + 1)
-                      if (big) (b0.toInt << 8) | (b1 & 0xff)
-                      else (b1.toInt << 8) | (b0 & 0xff)
-                    }
-                  }
-                }
-              } catch {
-                case scala.util.control.NonFatal(_) => null
-              }
+            // Mono only (r13 ADVICE): on multi-channel PCM the raw
+            // stream interleaves per-channel values, so "first n
+            // samples" would DFT a channel-interleaved signal
+            // (frequencies halved/mixed) — the shared decoder
+            // triages that like non-16-bit PCM.
+            val samples = decodePcm16Mono(bytes, minSamples = n)
             if (samples == null)
               sortedBins.map(k => (id, false, k, Option.empty[Long],
                 Option.empty[Long], Option.empty[String]))
@@ -673,6 +646,190 @@ object Multimodal {
         }
       }
       .toDF(idCol, "decode_ok", "bin", "re", "im", "power")
+  }
+
+  /** Shared decode for the spectral operators: 16-bit SIGNED mono
+    * PCM through javax.sound with the container's byte order
+    * honored; anything else (multi-channel, non-16-bit, undecodable,
+    * fewer than `minSamples` samples) returns null = triage. Exactly
+    * [[audioSpectralProbe]]'s contract, factored so the windowed
+    * sweep decodes THE SAME bytes to THE SAME integers. */
+  private def decodePcm16Mono(
+      bytes: Array[Byte], minSamples: Int): Array[Int] =
+    try {
+      if (bytes == null || bytes.isEmpty) null
+      else {
+        val ais = javax.sound.sampled.AudioSystem
+          .getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 ||
+          fmt.getChannels != 1 ||
+          fmt.getEncoding !=
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) null
+        else {
+          val data = ais.readAllBytes()
+          val big = fmt.isBigEndian
+          val total = data.length / 2
+          if (total < minSamples) null
+          else Array.tabulate(total) { i =>
+            val b0 = data(2 * i)
+            val b1 = data(2 * i + 1)
+            if (big) (b0.toInt << 8) | (b1 & 0xff)
+            else (b1.toInt << 8) | (b0 & 0xff)
+          }
+        }
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) => null
+    }
+
+  /**
+   * M16 (r14): windowed audio spectral sweep — [[audioSpectralProbe]]
+   * over EVERY length-`n` window at stride `hop`, the STFT-shaped
+   * readout that sees what the first-n probe structurally cannot: a
+   * clip whose content CHANGES (tone switch, hum that starts
+   * mid-clip, speech→silence) has per-window spectra that separate
+   * where the whole-clip or first-n numbers blur. This closes the
+   * r13 scaladoc promise on the probe — the byte-frame operator
+   * [[frames]] cannot feed the decoder (a WAV slice loses its
+   * header), so the sweep decodes ONCE per clip and windows over the
+   * SAMPLE axis.
+   *
+   * Same ALL-INTEGER discipline as the probe: the [[dftTable]]
+   * fixed-point basis literals are shared with the oracle, per-window
+   * re/im are exact long sums (the window count doesn't change the
+   * q319 magnitude bound), power is BigInt → STRING (q189 rule).
+   * Decode inherits [[audioSpectralProbe]]'s triage contract via the
+   * shared decoder; clips shorter than `n` triage (one NULL-spectrum
+   * row per bin, window 0).
+   *
+   * `maxWindows` bounds per-clip fan-out (a 10-minute clip at
+   * hop = n/2 is ~28k windows — cap it and state the regime in the
+   * gate comment). Output rows per decoded clip:
+   * min(maxWindows, (samples − n)/hop + 1) × bins — bounded,
+   * shuffle-free, one decode pass.
+   *
+   * Output: (idCol, decode_ok, win_idx, start_sample, bin, re, im,
+   * power), ordered by (id, win_idx, bin) at the call site
+   * ("window" is a reserved word in DuckDB — win_idx keeps the
+   * oracle un-quoted).
+   */
+  def audioSpectralSweep(
+      df: DataFrame, idCol: String, payloadCol: String,
+      n: Int, hop: Int, bins: Seq[Int], maxWindows: Int,
+      batchSize: Int = 64): DataFrame = {
+    require(n >= 2 && n <= 65536, s"n must be in [2, 65536], got $n")
+    require(hop >= 1, s"hop must be >= 1, got $hop")
+    require(maxWindows >= 1, s"maxWindows must be >= 1, got $maxWindows")
+    require(bins.nonEmpty, "need at least one bin")
+    require(bins.forall(k => k >= 0 && k < n),
+      s"bins must lie in [0, n=$n), got $bins")
+    require(bins.distinct.size == bins.size, "bins must be distinct")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sortedBins = bins.sorted
+    val tab = dftTable(n, sortedBins)
+    val kIdx = sortedBins.zipWithIndex.toMap
+    val cT = Array.ofDim[Long](n, sortedBins.size)
+    val sT = Array.ofDim[Long](n, sortedBins.size)
+    tab.foreach { case (t, k, c, s) =>
+      cT(t)(kIdx(k)) = c; sT(t)(kIdx(k)) = s
+    }
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.flatMap { case (id, bytes) =>
+            val samples = decodePcm16Mono(bytes, minSamples = n)
+            if (samples == null)
+              sortedBins.map(k => (id, false, 0, Option.empty[Long],
+                k, Option.empty[Long], Option.empty[Long],
+                Option.empty[String]))
+            else {
+              val nWin = math.min(
+                maxWindows.toLong,
+                ((samples.length - n) / hop + 1).toLong).toInt
+              (0 until nWin).flatMap { w =>
+                val start = w * hop
+                val re = new Array[Long](sortedBins.size)
+                val im = new Array[Long](sortedBins.size)
+                var t = 0
+                while (t < n) {
+                  val x = samples(start + t).toLong
+                  var j = 0
+                  while (j < sortedBins.size) {
+                    re(j) += x * cT(t)(j)
+                    im(j) -= x * sT(t)(j)
+                    j += 1
+                  }
+                  t += 1
+                }
+                sortedBins.zipWithIndex.map { case (k, j) =>
+                  val p = BigInt(re(j)) * BigInt(re(j)) +
+                    BigInt(im(j)) * BigInt(im(j))
+                  (id, true, w, Some(start.toLong), k,
+                    Some(re(j)), Some(im(j)), Some(p.toString))
+                }
+              }
+            }
+          }
+        }
+      }
+      .toDF(idCol, "decode_ok", "win_idx", "start_sample", "bin",
+        "re", "im", "power")
+  }
+
+  /**
+   * M16 fixture: a two-tone WAV whose content CHANGES mid-clip —
+   * samples 0 until nSamples/2 carry the fixed-point cosine of
+   * `binFirst` (cycle length `n`), the rest carry `binSecond`, plus
+   * a small deterministic per-sample perturbation so clips aren't
+   * bit-identical across seeds. Tone values come from the SAME
+   * [[dftTable]] literals the analysis uses, so both engines
+   * regenerate the fixture exactly: s_i = c(i mod n, bin(i)) +
+   * ((seed·31 + 7i) mod 41 − 20), |s| ≤ 10020 < 2¹⁵.
+   */
+  def syntheticToneWav(
+      seed: Long, nSamples: Int, sampleRate: Int,
+      n: Int, binFirst: Int, binSecond: Int): Array[Byte] = {
+    require(nSamples >= 1 && sampleRate >= 1,
+      s"need positive dims, got n=$nSamples sr=$sampleRate")
+    val tone = dftTable(n, Seq(binFirst, binSecond))
+      .map { case (t, k, c, _) => (t, k) -> c }.toMap
+    val half = nSamples / 2
+    val dataLen = nSamples * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16) // block align, bits
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nSamples) {
+      val bin = if (i < half) binFirst else binSecond
+      val s = tone((i % n, bin)) +
+        (Math.floorMod(seed * 31 + 7L * i, 41L) - 20L)
+      buf.putShort(s.toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** `(idCol, payload)` frame carrying one [[syntheticToneWav]]
+    * per id. */
+  def withSyntheticToneWav(
+      df: DataFrame, idCol: String, nSamples: Int, sampleRate: Int,
+      n: Int, binFirst: Int, binSecond: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id => (id,
+        syntheticToneWav(id, nSamples, sampleRate, n, binFirst,
+          binSecond))))
+      .toDF(idCol, "payload")
   }
 
   /**

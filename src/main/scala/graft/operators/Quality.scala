@@ -2767,12 +2767,23 @@ object Quality {
     * EXACT micro-units (1 ε = 1 000 000 — integer so the ledger
     * arithmetic is engine-free), the release thunk (invoked only
     * once the whole suite's budget clears), and optionally the
-    * released value column to total in the ledger audit. */
+    * released value column to total in the ledger audit.
+    *
+    * Q17 fields (both optional; [[dpReleaseSuite]] ignores them and
+    * charges sequentially): `parallelGroup` claims McSherry parallel
+    * composition with every other release in the same group —
+    * legitimate ONLY over disjoint key domains, so a grouped release
+    * MUST also declare `domain` (a one-column frame of the partition
+    * keys its mechanism touches) for
+    * [[dpReleaseSuitePartitioned]] to VERIFY the disjointness before
+    * anything runs. */
   final case class DpDeclaredRelease(
       name: String,
       epsilonMicro: Long,
       release: () => DataFrame,
-      totalCol: Option[String] = None)
+      totalCol: Option[String] = None,
+      parallelGroup: Option[String] = None,
+      domain: Option[() => DataFrame] = None)
 
   /**
    * Q15 (r13): ε-budget composition ledger — the accounting layer
@@ -2853,6 +2864,125 @@ object Quality {
           lit(budgetMicro).as("budget_micro"),
           lit(budgetMicro - cum).as("remaining_micro"),
           col("n_rows"), col("released_total"))
+    }.reduce(_.unionByName(_)).orderBy("seq")
+  }
+
+  /**
+   * Q17 (r14): ε-budget ledger with PARALLEL composition — the
+   * accounting [[dpReleaseSuite]]'s fine print promises: releases
+   * over provably DISJOINT populations spend max(εᵢ), not Σεᵢ
+   * (McSherry, PINQ 2009 — each individual's data lives in exactly
+   * one partition, so it faces only that partition's mechanism).
+   * This is the commonest real datasheet shape — per-language /
+   * per-shard / per-tenant stats — and sequential accounting
+   * overcharges it by the partition count: five 0.8-ε per-shard
+   * counts sequentially spend 4.0ε but actually expose any single
+   * row to 0.8ε.
+   *
+   * DISJOINTNESS IS VERIFIED, NEVER TRUSTED: every release claiming
+   * a `parallelGroup` must declare its key `domain`; per group the
+   * declared domains are unioned and any key claimed by two releases
+   * REFUSES the whole suite (all-or-nothing, before any release
+   * thunk runs — same contract as the budget refusal). Domains are
+   * PUBLIC key sets (the Q10 domain rule), so the check costs one
+   * bounded aggregate per group and reveals nothing private.
+   *
+   * Accounting (exact integer micro-ε, declared order): an ungrouped
+   * release charges its ε; a grouped release charges the INCREMENT
+   * it adds to its group's running max — max(0, ε − max of the
+   * group's prior ε's) — so the group's total spend is exactly
+   * max(εᵢ) and the cumulative column stays monotone and
+   * prefix-correct. The budget check is data-free and runs FIRST
+   * (declared literals only), then disjointness verification, then
+   * the release thunks.
+   *
+   * Output: (seq, release, pgroup, eps_micro, charged_micro,
+   * cum_eps_micro, budget_micro, remaining_micro, n_rows,
+   * released_total), ordered by seq. `pgroup` NULL for ungrouped
+   * rows; `charged_micro` is the audit's key column — a grouped
+   * row charging 0 is parallel composition working.
+   */
+  def dpReleaseSuitePartitioned(
+      releases: Seq[DpDeclaredRelease],
+      budgetMicro: Long): DataFrame = {
+    require(releases.nonEmpty, "need at least one declared release")
+    require(budgetMicro > 0L,
+      s"budget must be positive, got $budgetMicro")
+    require(releases.map(_.name).distinct.size == releases.size,
+      "release names must be unique within a suite")
+    releases.foreach { r =>
+      require(r.epsilonMicro > 0L,
+        s"release '${r.name}' must declare a positive epsilon, got " +
+          s"${r.epsilonMicro}")
+      require(r.parallelGroup.isEmpty || r.domain.nonEmpty,
+        s"release '${r.name}' claims parallel group " +
+          s"'${r.parallelGroup.get}' without declaring its key " +
+          "domain — disjointness must be verifiable, not trusted")
+    }
+    // Exact integer accounting, declared order: grouped releases
+    // charge the increment to their group's running max.
+    val groupMax = scala.collection.mutable.Map.empty[String, Long]
+    val charges = releases.map { r =>
+      r.parallelGroup match {
+        case None => r.epsilonMicro
+        case Some(g) =>
+          val prior = groupMax.getOrElse(g, 0L)
+          val charge = math.max(0L, r.epsilonMicro - prior)
+          groupMax(g) = math.max(prior, r.epsilonMicro)
+          charge
+      }
+    }
+    val cums = charges.scanLeft(0L)(_ + _).tail
+    val total = cums.last
+    if (total > budgetMicro)
+      throw new IllegalStateException(
+        s"ε budget exceeded: declared suite spends $total µε under " +
+          s"parallel composition against a budget of $budgetMicro " +
+          "µε — refusing to run ANY release (all-or-nothing; trim " +
+          "the suite or raise the budget)")
+    // Disjointness verification: per group, a key declared by two
+    // releases voids the parallel claim — refuse before any release
+    // thunk runs.
+    releases.groupBy(_.parallelGroup).foreach {
+      case (Some(g), members) if members.size >= 2 =>
+        val keyed = members.map { r =>
+          val d = r.domain.get()
+          require(d.columns.length == 1,
+            s"release '${r.name}' domain must be a single key " +
+              s"column, got ${d.columns.toSeq}")
+          d.select(col(d.columns.head).cast("string").as("__pk"))
+            .distinct()
+        }.reduce(_.unionAll(_))
+        val clash = keyed.groupBy("__pk").agg(count(lit(1)).as("__n"))
+          .where(col("__n") > 1L)
+          .orderBy("__pk").limit(1)
+          .collect()
+        if (clash.nonEmpty)
+          throw new IllegalStateException(
+            s"parallel group '$g' is NOT a partition: key " +
+              s"'${clash.head.getString(0)}' is claimed by more " +
+              "than one release — parallel composition does not " +
+              "apply; refusing the suite")
+      case _ => ()
+    }
+    releases.zip(charges).zip(cums).zipWithIndex.map {
+      case (((r, charge), cum), i) =>
+        val totalAgg = r.totalCol
+          .map(c => sum(col(c).cast("long")))
+          .getOrElse(first(lit(null).cast("long")))
+        r.release()
+          .agg(count(lit(1)).as("n_rows"),
+            totalAgg.as("released_total"))
+          .select(
+            lit(i + 1).as("seq"),
+            lit(r.name).as("release"),
+            lit(r.parallelGroup.orNull).cast("string").as("pgroup"),
+            lit(r.epsilonMicro).as("eps_micro"),
+            lit(charge).as("charged_micro"),
+            lit(cum).as("cum_eps_micro"),
+            lit(budgetMicro).as("budget_micro"),
+            lit(budgetMicro - cum).as("remaining_micro"),
+            col("n_rows"), col("released_total"))
     }.reduce(_.unionByName(_)).orderBy("seq")
   }
 

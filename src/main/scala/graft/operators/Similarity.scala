@@ -1526,6 +1526,106 @@ object Similarity {
   }
 
   /**
+   * V33 (r14): retrain readout — ACT on [[ivfIngestAudit]]'s signal
+   * and PRICE the act, closing the detect→act loop the Q8→Q9 pair
+   * models: the audit runs first (same thresholds, same exact
+   * integer decisions); if ANY cell says retrain, the readout
+   * serves the updated corpus (existing ∪ arriving) through BOTH
+   * layouts — `seedsBefore` (the audited, drifted one) and
+   * `seedsAfter` (the caller's retrain: [[trainCentroids]] on the
+   * updated corpus, [[ivfSeeds]] re-seed, or an appended cell over
+   * the drifted region — composition, the V30 rule) — and prices
+   * each against ONE exact ground-truth pass. If no cell alerts,
+   * only the `before` row emits: the retrain was not performed, and
+   * the readout says so.
+   *
+   * Probes should represent CURRENT traffic (the arriving batch) —
+   * drift hurts exactly those; pricing with stale probes hides the
+   * loss the audit warned about.
+   *
+   * Execution: the audit's two scans, one exact ground-truth pass
+   * (Barrier-routed, consumed by both phases — the q290 rule), one
+   * corpus scan per phase (cell assignment against the literal
+   * seeds, probe fan-out broadcast, per-probe top-k via the shared
+   * [[rankTopK]] tie rule). The ONE driver scalar is the audit's
+   * max(retrain) — a bounded contract like the louvain trace.
+   *
+   * Output: (phase, retrain_triggered, nlist, n_probes, exact_pairs,
+   * hit_pairs, recall) — `before` always, `after` only when the
+   * audit triggered; ordered by phase ('after' < 'before' keeps the
+   * order total).
+   */
+  def ivfRetrainReadout(
+      existing: DataFrame, arriving: DataFrame,
+      idCol: String, vecCol: String,
+      seedsBefore: Seq[Seq[Double]], seedsAfter: Seq[Seq[Double]],
+      probes: DataFrame, nprobe: Int, k: Int,
+      growthAlertPerMille: Long,
+      driftAlertPerMille: Long): DataFrame = {
+    require(nprobe >= 1 && nprobe <= seedsBefore.size &&
+      nprobe <= seedsAfter.size,
+      s"nprobe must be in [1, min(nlists)], got $nprobe vs " +
+        s"${seedsBefore.size}/${seedsAfter.size}")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = existing.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val audit = ivfIngestAudit(existing, arriving, idCol, vecCol,
+      seedsBefore, growthAlertPerMille, driftAlertPerMille)
+    val retrain = audit
+      .agg(coalesce(max(col("retrain")), lit(false)))
+      .collect()(0).getBoolean(0) // the one bounded driver scalar
+    val full = existing.select(col(idCol), col(vecCol))
+      .unionByName(arriving.select(col(idCol), col(vecCol)))
+    val exact = Barrier.barrier(
+      cosineTopK(full, probes, idCol, vecCol, k)
+        .select(col("probe_id"), col("vec_id")))
+    val exactTotals = exact.agg(
+      count(lit(1)).as("exact_pairs"),
+      countDistinct(col("probe_id")).as("n_probes"))
+    def phaseRow(phase: String, seeds: Seq[Seq[Double]]): DataFrame = {
+      val c = full.select(
+        col(idCol).as("vec_id"), toDoubleVec(col(vecCol)).as("__v"))
+        .withColumn("__cell", ivfCell(col("__v"), seeds))
+        .withColumn("__vnorm", norm(col("__v")))
+      val p = probes.select(
+        col(idCol).as("probe_id"), toDoubleVec(col(vecCol)).as("__p"))
+        .withColumn("__pnorm", norm(col("__p")))
+        .select(col("probe_id"), col("__p"), col("__pnorm"),
+          explode(transform(
+            slice(sort_array(cellRanking(col("__p"), seeds)), 1,
+              nprobe),
+            s => s.getField("cell"))).as("__cell"))
+      val w = Window.partitionBy("probe_id").orderBy(
+        when(!isnan(col("__cos")), col("__cos")).desc_nulls_last,
+        col("vec_id").asc)
+      val approx = c.join(broadcast(p), Seq("__cell"))
+        .where(col("vec_id") =!= col("probe_id"))
+        .withColumn("__cos",
+          dot(col("__v"), col("__p"))
+            / (col("__vnorm") * col("__pnorm")))
+        .withColumn("__rk", row_number().over(w))
+        .where(col("__rk") <= k)
+        .select(col("probe_id"), col("vec_id"))
+      approx.join(exact, Seq("probe_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("hit_pairs"))
+        .crossJoin(exactTotals)
+        .select(
+          lit(phase).as("phase"),
+          lit(retrain).as("retrain_triggered"),
+          lit(seeds.size).as("nlist"),
+          col("n_probes"), col("exact_pairs"), col("hit_pairs"),
+          round(col("hit_pairs").cast("double")
+            / when(col("exact_pairs") > 0L,
+              col("exact_pairs").cast("double")), 6).as("recall"))
+    }
+    val before = phaseRow("before", seedsBefore)
+    val out =
+      if (retrain) before.unionByName(phaseRow("after", seedsAfter))
+      else before
+    out.orderBy("phase")
+  }
+
+  /**
    * Bucketed near-duplicate candidates: vectors sharing an SRP bucket
    * form (a < b) pairs scored with exact cosine; pairs at or above
    * `minCosine` survive.

@@ -1,0 +1,249 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import Barrier.barrier
+
+/**
+ * T60 (r14): unigram-LM tokenizer trainer — the SentencePiece-style
+ * EM/pruning complement of [[Bpe]] (Kudo 2018, "Subword
+ * Regularization"): where BPE GROWS a vocabulary bottom-up by
+ * merging, the unigram LM starts from an over-complete substring
+ * seed and SHRINKS it by likelihood — the model most modern LM
+ * tokenizers actually ship. This implementation is the
+ * deterministic hard-EM (Viterbi) variant: the E-step segments every
+ * vocabulary word by its single best piece decomposition, the M-step
+ * re-estimates piece probabilities from those segmentations, and
+ * unused pieces drop out; Viterbi-EM is coordinate ascent on the
+ * Viterbi likelihood, so the trace is monotone by construction, and
+ * an explicit accept gate (the Louvain/q318 discipline) stops on the
+ * first non-improving round so 6-dp rounding slop can never smuggle
+ * a worse model through.
+ *
+ * ENGINE-EXACT arithmetic (the q190/q267 disciplines): piece
+ * log-probs are round(ln(count/total), 6) DECIMAL(18,6) — computed
+ * by the ENGINE's ln on identical doubles, then carried as exact
+ * integer MICRO units (×10⁶ longs), so every Viterbi sum, tie
+ * compare, and corpus log-likelihood is exact long arithmetic with
+ * zero fold-order hazard; the one per-value ln-rounding exposure is
+ * the documented ~1e-9 tie probability. Viterbi ties break (score
+ * max, then LONGER piece at the current position) — total, and on
+ * exact longs engine-independent. Magnitude bound: |score| ≤
+ * maxWordLen·|min logp| ≈ 12·20·10⁶, and Σ freq·score stays far
+ * under 2⁶³ at any realistic corpus (ANSI throws, never corrupts).
+ *
+ * TRAINING REGIME (all documented, all mirrored by the oracle):
+ * words LONGER than `maxWordLen` are excluded from training (the
+ * audioSpectralProbe fixed-size-basis rule — the unrolled replay
+ * needs a bounded DP); seed = every corpus CHARACTER plus the top
+ * `multiKeep` substrings of length 2..`seedMaxPieceLen` with
+ * frequency-weighted occurrence count ≥ `minCount`, ranked
+ * (count desc, piece asc); pieces whose Viterbi count hits zero drop
+ * from the model (safe during training: every word's accepted path
+ * only uses pieces with positive counts, so reachability is
+ * preserved — apply-time encoding of UNSEEN text still needs a char
+ * fallback, which is the encoder's concern, not the trainer's).
+ *
+ * Scale: one corpus-sized shuffle (the [[Bpe.wordVocab]] word/freq
+ * table, Heaps'-law bounded); seeding is one explode+partial-agg
+ * exchange over that vocab; each EM round is one shuffle-free
+ * mapPartitions segmentation against the BROADCAST piece table
+ * (model-bounded literals — the k-means/BPE driver-loop contract),
+ * one partial-aggregated piece-count exchange, and one single-row
+ * log-likelihood aggregate; the driver only ever holds the piece
+ * table (≤ alphabet + multiKeep rows) and the one LL scalar per
+ * round. Rounds barrier via the shared [[Barrier]] contract.
+ */
+object UnigramLm {
+
+  /** One model piece: the surface string, its count under the
+    * current segmentation (seed occurrence count in round 1), and
+    * its log-prob in exact micro units (round(ln(p),6)·10⁶). */
+  final case class Piece(piece: String, count: Long, logpMicro: Long)
+
+  /** One accepted round: 1-based round, model size entering the
+    * round, and the exact corpus Viterbi log-likelihood in micro
+    * units (Σ freq · best-path score). */
+  final case class Round(round: Int, nPieces: Int, llMicro: Long)
+
+  /** A trained tokenizer: final accepted pieces (ranked by count
+    * desc, piece asc) and the accepted-round trace. */
+  final case class Model(pieces: Seq[Piece], trace: Seq[Round])
+
+  private val dec = DecimalType(18, 6)
+
+  /** Engine-ln scores for a bounded piece-count table: logp =
+    * round(ln(cnt/total), 6) as exact micro longs. Runs as ONE tiny
+    * Spark job so the ln comes from the same engine function the
+    * oracle's DuckDB ln mirrors at 6 dp (q190 rule). */
+  private def scorePieces(
+      spark: SparkSession, counts: Seq[(String, Long)]): Seq[Piece] = {
+    import spark.implicits._
+    val total = counts.map(_._2).sum
+    counts.toDF("piece", "cnt")
+      .select(col("piece"), col("cnt"),
+        (round(log(col("cnt").cast("double") / lit(total.toDouble)), 6)
+          .cast(dec) * lit(1000000)).cast("long").as("lp"))
+      .as[(String, Long, Long)].collect()
+      .map { case (p, c, lp) => Piece(p, c, lp) }
+      .sortBy(p => (-p.count, p.piece))
+  }
+
+  /** Viterbi DP over one word against the piece map: returns
+    * (bestScoreMicro, pieces on the best path). Ties prefer the
+    * LONGER piece at each position (resolved right-to-left in the
+    * backtrack, matching the oracle's per-position argmax). */
+  private[graft] def viterbi(
+      word: String, maxPieceLen: Int,
+      lp: scala.collection.Map[String, Long]): Option[(Long, List[String])] = {
+    val n = word.length
+    val best = Array.fill[Long](n + 1)(Long.MinValue)
+    val bl = new Array[Int](n + 1)
+    best(0) = 0L
+    var i = 1
+    while (i <= n) {
+      var l = 1
+      while (l <= math.min(maxPieceLen, i)) {
+        if (best(i - l) != Long.MinValue) {
+          lp.get(word.substring(i - l, i)) match {
+            case Some(s) =>
+              val cand = best(i - l) + s
+              // strict > keeps the first (SMALLEST l) winner, so
+              // prefer-longer needs >=; ties on exact longs resolve
+              // to the larger l exactly as the oracle's
+              // (score DESC, l DESC) row_number.
+              if (cand > best(i) || (cand == best(i) && l > bl(i))) {
+                best(i) = cand; bl(i) = l
+              }
+            case None => ()
+          }
+        }
+        l += 1
+      }
+      i += 1
+    }
+    if (best(n) == Long.MinValue) None
+    else {
+      var pos = n
+      var acc = List.empty[String]
+      while (pos > 0) {
+        val l = bl(pos)
+        acc = word.substring(pos - l, pos) :: acc
+        pos -= l
+      }
+      Some((best(n), acc))
+    }
+  }
+
+  /**
+   * Train a unigram-LM piece vocabulary over `textCol`'s whitespace
+   * words. `rounds` Viterbi-EM rounds with the strict-improvement
+   * accept gate; returns the last ACCEPTED model and the trace.
+   */
+  def train(
+      corpus: DataFrame, textCol: String,
+      seedMaxPieceLen: Int = 4, multiKeep: Int = 24,
+      maxWordLen: Int = 12, minCount: Long = 2L,
+      rounds: Int = 3): Model = {
+    require(seedMaxPieceLen >= 2,
+      s"seedMaxPieceLen must be >= 2, got $seedMaxPieceLen")
+    require(multiKeep >= 1, s"multiKeep must be >= 1, got $multiKeep")
+    require(maxWordLen >= seedMaxPieceLen,
+      s"maxWordLen must be >= seedMaxPieceLen, got $maxWordLen")
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vocab = barrier(
+      Bpe.wordVocab(corpus, textCol)
+        .where(length(col("word")) <= maxWordLen))
+    // Seed counts: one explode+partial-agg exchange. Chars are the
+    // coverage floor (all kept); multi-char substrings compete for
+    // the top multiKeep slots.
+    val sub = vocab.select(col("freq"), col("word"),
+        explode(sequence(lit(1), lit(seedMaxPieceLen))).as("l"))
+      .where(length(col("word")) >= col("l"))
+      .select(col("freq"), col("word"), col("l"),
+        explode(sequence(lit(1), length(col("word")) - col("l") + 1))
+          .as("i"))
+      .select(col("word").substr(col("i"), col("l")).as("piece"),
+        col("freq"), col("l"))
+      .groupBy("piece").agg(
+        sum(col("freq")).as("cnt"),
+        first(length(col("piece"))).as("len"))
+    val chars = sub.where(col("len") === 1)
+      .orderBy(col("cnt").desc, col("piece").asc)
+      .select(col("piece"), col("cnt"))
+      .as[(String, Long)].collect().toSeq
+    val multis = sub.where(col("len") >= 2 && col("cnt") >= minCount)
+      .orderBy(col("cnt").desc, col("piece").asc)
+      .limit(multiKeep)
+      .select(col("piece"), col("cnt"))
+      .as[(String, Long)].collect().toSeq
+    var pieces = scorePieces(spark, chars ++ multis)
+    val trace = scala.collection.mutable.ArrayBuffer.empty[Round]
+    var llPrev = Long.MinValue
+    var accepted = pieces
+    var r = 1
+    var go = true
+    while (go && r <= rounds) {
+      val lpMap = pieces.map(p => p.piece -> p.logpMicro).toMap
+      val bc = spark.sparkContext.broadcast(lpMap)
+      val maxL = pieces.map(_.piece.length).max
+      // E-step: shuffle-free segmentation; one partial-agg exchange
+      // for the piece counts, one single-row LL aggregate.
+      val seg = barrier(vocab.select(col("word"), col("freq"))
+        .as[(String, Long)]
+        .mapPartitions { rows =>
+          val m = bc.value
+          rows.flatMap { case (w, f) =>
+            viterbi(w, maxL, m).map { case (s, ps) => (w, f, s, ps) }
+          }
+        }
+        .toDF("word", "freq", "score", "pieces"))
+      val ll = seg.agg(coalesce(sum(col("freq") * col("score")),
+          lit(Long.MinValue))).collect()(0).getLong(0)
+      if (ll > llPrev) {
+        trace += Round(r, pieces.size, ll)
+        accepted = pieces
+        llPrev = ll
+        // M-step: counts under the accepted segmentation; zero-count
+        // pieces drop (reachability preserved — see scaladoc).
+        val counts = seg
+          .select(col("freq"), explode(col("pieces")).as("piece"))
+          .groupBy("piece").agg(sum(col("freq")).as("cnt"))
+          .as[(String, Long)].collect().toSeq
+          .sortBy { case (p, c) => (-c, p) }
+        Barrier.free(seg)
+        pieces = scorePieces(spark, counts)
+        r += 1
+      } else {
+        Barrier.free(seg)
+        go = false
+      }
+    }
+    Barrier.free(vocab)
+    Model(accepted, trace.toSeq)
+  }
+
+  /** The final piece table as a DataFrame: (rank, piece,
+    * piece_count, logp_micro) — rank by (count desc, piece asc), all
+    * exact integers (the q189 discipline needs no strings here:
+    * micros fit comfortably in BIGINT). */
+  def pieceTable(spark: SparkSession, model: Model): DataFrame = {
+    import spark.implicits._
+    model.pieces.zipWithIndex
+      .map { case (p, i) => (i + 1, p.piece, p.count, p.logpMicro) }
+      .toDF("rank", "piece", "piece_count", "logp_micro")
+  }
+
+  /** The accepted-round trace as a DataFrame: (round, n_pieces,
+    * ll_micro) — exact integers. */
+  def traceTable(spark: SparkSession, model: Model): DataFrame = {
+    import spark.implicits._
+    model.trace.map(t => (t.round, t.nPieces, t.llMicro))
+      .toDF("round", "n_pieces", "ll_micro")
+  }
+}

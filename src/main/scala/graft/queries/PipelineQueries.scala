@@ -832,6 +832,149 @@ object PipelineQueries {
        |) ORDER BY rank""".stripMargin
   }
 
+  /**
+   * q330 oracle generator: the T60 unigram-LM trainer replayed in
+   * full — seed substring counts, engine-ln micro scores (q190
+   * discipline), then per EM round the Viterbi DP unrolled over word
+   * positions (argmax per position as row_number over (score DESC,
+   * piece-length DESC) — exact long arithmetic, the operator's tie
+   * rule), the backtrack chain, M-step recounts, and the
+   * strict-improvement accept gate as a prefix-min with the final
+   * model CASE-selected by the last accepted round (the q322 rule).
+   */
+  private def unigramLmOracleSql(
+      rounds: Int, multiKeep: Int, maxWordLen: Int,
+      seedMaxPieceLen: Int, minCount: Long): String = {
+    val L = seedMaxPieceLen
+    def roundChain(r: Int): String = {
+      val dp0 =
+        s""", u${r}dp0 AS MATERIALIZED (
+           |  SELECT word, CAST(0 AS BIGINT) AS score, 0 AS l FROM wv
+           |)""".stripMargin
+      val dps = (1 to maxWordLen).map { i =>
+        val branches = (1 to math.min(L, i)).map { l =>
+          s"""SELECT d.word, d.score + p.lp AS score, $l AS l
+             |      FROM u${r}dp${i - l} d
+             |      JOIN p$r p ON p.piece = substr(d.word, ${i - l + 1}, $l)
+             |      WHERE length(d.word) >= $i""".stripMargin
+        }.mkString("\n      UNION ALL\n      ")
+        s""", u${r}dp$i AS MATERIALIZED (
+           |  SELECT word, score, l FROM (
+           |    SELECT word, score, l, row_number() OVER (
+           |      PARTITION BY word ORDER BY score DESC, l DESC) AS rn
+           |    FROM (
+           |      $branches
+           |    )) WHERE rn = 1
+           |)""".stripMargin
+      }.mkString("\n")
+      val finUnion = (1 to maxWordLen).map { i =>
+        s"""SELECT w.word, w.freq, d.score, d.l, $i AS pos
+           |  FROM u${r}dp$i d
+           |  JOIN wv w ON w.word = d.word AND length(w.word) = $i"""
+          .stripMargin
+      }.mkString("\n  UNION ALL\n  ")
+      val dpallUnion = (1 to maxWordLen)
+        .map(i => s"SELECT word, $i AS pos, score, l FROM u${r}dp$i")
+        .mkString("\n  UNION ALL\n  ")
+      val bts = (2 to maxWordLen).map { j =>
+        s""", u${r}bt$j AS MATERIALIZED (
+           |  SELECT b.word, b.freq, b.pos - b.l AS pos, d.l
+           |  FROM u${r}bt${j - 1} b
+           |  JOIN u${r}dpall d
+           |    ON d.word = b.word AND d.pos = b.pos - b.l
+           |  WHERE b.pos - b.l > 0
+           |)""".stripMargin
+      }.mkString("\n")
+      val pieceUnion = (1 to maxWordLen).map { j =>
+        s"""SELECT freq, substr(word, pos - l + 1, l) AS piece
+           |  FROM u${r}bt$j""".stripMargin
+      }.mkString("\n  UNION ALL\n  ")
+      s"""$dp0
+         |$dps
+         |, u${r}fin AS MATERIALIZED (
+         |  $finUnion
+         |), u${r}dpall AS MATERIALIZED (
+         |  $dpallUnion
+         |), u${r}bt1 AS MATERIALIZED (
+         |  SELECT word, freq, pos, l FROM u${r}fin
+         |)
+         |$bts
+         |, u${r}cnt AS MATERIALIZED (
+         |  SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+         |  $pieceUnion
+         |  ) GROUP BY piece
+         |), p${r + 1} AS MATERIALIZED (
+         |  SELECT piece, cnt,
+         |    CAST(CAST(round(ln(CAST(cnt AS DOUBLE) /
+         |      CAST((SELECT SUM(cnt) FROM u${r}cnt) AS DOUBLE)), 6)
+         |      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS lp
+         |  FROM u${r}cnt
+         |)""".stripMargin
+    }
+    val chains = (1 to rounds).map(roundChain).mkString("\n")
+    val trUnion = (1 to rounds).map { r =>
+      s"""SELECT $r AS round,
+         |    (SELECT CAST(SUM(freq * score) AS BIGINT) FROM u${r}fin)
+         |      AS ll""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    val pfinUnion = (1 to rounds)
+      .map(r => s"SELECT * FROM p$r WHERE (SELECT lastr FROM accx) = $r")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH wv AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(string_split_regex(text, '\\s+')) AS word
+       |    FROM documents)
+       |  WHERE word <> '' AND length(word) <= $maxWordLen
+       |  GROUP BY word
+       |), sub0 AS (
+       |  SELECT w.word, w.freq, ll.l,
+       |    unnest(generate_series(1, length(w.word) - ll.l + 1)) AS i
+       |  FROM wv w, (SELECT unnest(range(1, ${L + 1})) AS l) ll
+       |  WHERE length(w.word) >= ll.l
+       |), pc AS MATERIALIZED (
+       |  SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+       |    SELECT substr(word, i, l) AS piece, freq FROM sub0
+       |  ) GROUP BY piece
+       |), seed AS MATERIALIZED (
+       |  SELECT piece, cnt FROM pc WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, cnt FROM (
+       |    SELECT piece, cnt,
+       |      row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rn
+       |    FROM pc WHERE length(piece) >= 2 AND cnt >= $minCount)
+       |  WHERE rn <= $multiKeep
+       |), p1 AS MATERIALIZED (
+       |  SELECT piece, cnt,
+       |    CAST(CAST(round(ln(CAST(cnt AS DOUBLE) /
+       |      CAST((SELECT SUM(cnt) FROM seed) AS DOUBLE)), 6)
+       |      AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS lp
+       |  FROM seed
+       |)
+       |$chains
+       |, trx AS (
+       |  $trUnion
+       |), accx AS MATERIALIZED (
+       |  SELECT CAST(MAX(round) AS BIGINT) AS lastr FROM (
+       |    SELECT round, MIN(f) OVER (ORDER BY round
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ok
+       |    FROM (
+       |      SELECT round, CASE WHEN round = 1 THEN 1
+       |        WHEN ll > lag(ll) OVER (ORDER BY round) THEN 1
+       |        ELSE 0 END AS f
+       |      FROM trx)
+       |  ) WHERE ok = 1
+       |), pfin AS (
+       |  $pfinUnion
+       |)
+       |SELECT CAST(rn AS INT) AS rank, piece, cnt AS piece_count,
+       |  lp AS logp_micro
+       |FROM (
+       |  SELECT piece, cnt, lp,
+       |    row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rn
+       |  FROM pfin)
+       |ORDER BY rank""".stripMargin
+  }
+
   /** q299 re-mint corpus: deterministic single-letter runs derived
     * from doc_id — the BpeSpec symbol-run shape where one
     * concatenation is reachable from DIFFERENT decompositions across
@@ -4100,6 +4243,22 @@ object PipelineQueries {
     // different decompositions across rounds, so batched training
     // hits accept-and-stop mid-batch — and must still equal the
     // SEQUENTIAL replay oracle merge for merge.
+    // T60 (round 14): unigram-LM tokenizer trainer — the
+    // SentencePiece-style EM/pruning complement of T44's BPE. Seed =
+    // corpus alphabet + top-24 substrings (len 2..4, count ≥ 2);
+    // three Viterbi-EM rounds under the strict-improvement accept
+    // gate; output = the final accepted piece table, all exact
+    // integers (counts + micro log-probs). Words over 12 chars are
+    // excluded from training (documented regime — the bounded-DP
+    // replay contract).
+    "q330_unigram_lm" -> ((s, dir) => {
+      val model = graft.operators.UnigramLm.train(
+        t(s, dir, "documents").select(col("text")), "text",
+        seedMaxPieceLen = 4, multiKeep = 24, maxWordLen = 12,
+        minCount = 2L, rounds = 3)
+      graft.operators.UnigramLm.pieceTable(s, model).orderBy("rank")
+    }),
+
     "q299_bpe_remint" -> ((s, dir) => {
       val corpus = t(s, dir, "documents").select(
         expr("CASE WHEN doc_id % 3 = 0" +
@@ -4283,6 +4442,38 @@ object PipelineQueries {
         driftAlertPerMille = 1100L)
     }),
 
+    // V33 (round 14): ACT on the V31 retrain signal and price it —
+    // arrivals drift into the BOUNDARY CONE between the first two
+    // trained cells (twin id -(id+1) per the r13 range rule; vector
+    // s1 + s2 + 0.5·x, so the batch splits ~50/50 across cells 0/1
+    // and a one-probe search misses the half in the other cell:
+    // recall ~0.7 before). The audit fires on the planted drift;
+    // the composed retrain appends ONE cell seeded at the batch
+    // (ivfSeeds(arriving, 1) — the grow-the-codebook move V31's
+    // growth alert models), and the after-phase reads recall 1.0 at
+    // every gate scale: the drifted cone now has its own cell.
+    "q328_ivf_retrain" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val seedsBefore = Similarity.ivfSeeds(e, "vec_id", "embedding",
+        nlist = 8)
+      val s1 = seedsBefore(0)
+      val s2 = seedsBefore(1)
+      val arriving = e.select(
+        (-(col("vec_id") + 1)).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          element_at(typedLit(s1), (i + 1).cast("int")) +
+            element_at(typedLit(s2), (i + 1).cast("int")) +
+            lit(0.5) * x.cast("double")).as("embedding"))
+      val seedsAfter = seedsBefore ++
+        Similarity.ivfSeeds(arriving, "vec_id", "embedding", 1)
+      Similarity.ivfRetrainReadout(
+        e, arriving, "vec_id", "embedding",
+        seedsBefore, seedsAfter,
+        probes = arriving.where(col("vec_id") >= -6),
+        nprobe = 1, k = 5,
+        growthAlertPerMille = 300L, driftAlertPerMille = 1100L)
+    }),
+
     // M15 (round 13): audio spectral probe — exact-integer DFT power
     // at 6 declared bins over the first 64 decoded PCM samples of
     // every part's synthetic WAV; a too-short clip and a corrupt
@@ -4302,6 +4493,33 @@ object PipelineQueries {
           wavs.unionByName(short).unionByName(corrupt), "id",
           "payload", n = 64, bins = Seq(0, 1, 3, 8, 16, 31))
         .orderBy("id", "bin")
+    }),
+
+    // M16 (round 14): windowed spectral sweep — 192-sample two-tone
+    // clips (bin-5 cosine for the first 96 samples, bin-11 after;
+    // tone values from the SAME dftTable literals the analysis
+    // uses), swept at n = 64 / hop = 64 → 3 windows per clip:
+    // window 0 is pure tone A, window 2 pure tone B, window 1
+    // straddles the switch — the separation the first-n probe
+    // (q319's shape) structurally cannot see. maxWindows = 8 is
+    // INACTIVE at every gate scale (3 windows; the cap is the
+    // long-clip fan-out bound). Short + corrupt clips exercise the
+    // triage rows.
+    "q329_audio_sweep" -> ((s, dir) => {
+      import s.implicits._
+      val ids = t(s, dir, "part").select(col("p_partkey").as("id"))
+      val wavs = Multimodal.withSyntheticToneWav(
+        ids, "id", nSamples = 192, sampleRate = 16000,
+        n = 64, binFirst = 5, binSecond = 11)
+      val short = Seq((-1L, Multimodal.syntheticWav(-1L, 32, 16000)))
+        .toDF("id", "payload")
+      val corrupt = Seq((-2L, "RIFF....not a wav".getBytes("UTF-8")))
+        .toDF("id", "payload")
+      Multimodal.audioSpectralSweep(
+          wavs.unionByName(short).unionByName(corrupt), "id",
+          "payload", n = 64, hop = 64, bins = Seq(0, 5, 11),
+          maxWindows = 8)
+        .orderBy("id", "win_idx", "bin")
     }),
 
     // Q15 capstone (round 13): the FIVE-mechanism release suite —
@@ -4338,6 +4556,50 @@ object PipelineQueries {
         Q.DpDeclaredRelease("top_langs", 450000L,
           () => Q.dpTopKRelease(docs, col("lang"), domain, "lang",
             k = 3, epsilon = 0.45, seed = 65L))),
+        budgetMicro = 2000000L)
+    }),
+
+    // Q17 (round 14): parallel-composition ledger — three 0.8-ε
+    // per-language-shard count releases over DISJOINT lang domains
+    // (verified, not trusted) charge max(ε) = 0.8ε as a group
+    // (charged_micro 800000/0/0 — the zeros ARE parallel composition
+    // working), plus two ungrouped releases at 0.5ε + 0.6ε: total
+    // 1.9ε fits the 2.0ε budget that SEQUENTIAL accounting (3.5ε)
+    // refuses — QualitySpec pins that refusal golden on the same
+    // five releases. clampK per the Q12 rule (counts: 40/ε; sums:
+    // 20·Δ/ε).
+    "q331_dp_parallel_ledger" -> ((s, dir) => {
+      import s.implicits._
+      val Q = graft.operators.Quality
+      val docs = t(s, dir, "documents")
+      val ev = t(s, dir, "events")
+      def langDom(ks: String*) = ks.toDF("lang")
+      Q.dpReleaseSuitePartitioned(Seq(
+        Q.DpDeclaredRelease("counts_de_en", 800000L,
+          () => Q.dpCountReleaseOverDomain(docs, langDom("de", "en"),
+            Seq("lang"), epsilon = 0.8, seed = 71L, clampK = 50),
+          Some("released_count"), Some("lang_shards"),
+          Some(() => langDom("de", "en"))),
+        Q.DpDeclaredRelease("counts_es_fr", 800000L,
+          () => Q.dpCountReleaseOverDomain(docs, langDom("es", "fr"),
+            Seq("lang"), epsilon = 0.8, seed = 72L, clampK = 50),
+          Some("released_count"), Some("lang_shards"),
+          Some(() => langDom("es", "fr"))),
+        Q.DpDeclaredRelease("counts_zh_xx_yy", 800000L,
+          () => Q.dpCountReleaseOverDomain(docs,
+            langDom("zh", "xx", "yy"), Seq("lang"),
+            epsilon = 0.8, seed = 73L, clampK = 50),
+          Some("released_count"), Some("lang_shards"),
+          Some(() => langDom("zh", "xx", "yy"))),
+        Q.DpDeclaredRelease("value_sums", 500000L,
+          () => Q.dpSumRelease(ev, Seq("event_type"), col("value"),
+            epsilon = 0.5, seed = 74L, clampHi = 8L, clampK = 320),
+          Some("released_sum")),
+        Q.DpDeclaredRelease("value_hist", 600000L,
+          () => Q.dpHistogramRelease(ev, col("value"),
+            edges = (0L to 500L by 50L), epsilon = 0.6, seed = 75L,
+            clampK = 67),
+          Some("released_count"))),
         budgetMicro = 2000000L)
     }),
 
@@ -6626,6 +6888,9 @@ object PipelineQueries {
     // join) — see bpeOracleChain; numMerges MUST match the q202/q203
     // query entries (12).
     "q202_bpe_merges" -> bpeMergesOracleSql(numMerges = 12),
+    "q330_unigram_lm" -> unigramLmOracleSql(rounds = 3,
+      multiKeep = 24, maxWordLen = 12, seedMaxPieceLen = 4,
+      minCount = 2L),
     // q262 = trainBatched vs the SAME sequential replay: the batched
     // trainer's exactness guard is the claim under test.
     "q262_bpe_batched" -> bpeMergesOracleSql(numMerges = 12),
@@ -8220,6 +8485,186 @@ object PipelineQueries {
     // per-vector floor-grid d² to the assigned seed, side-split
     // aggregates over the literal cell list, HUGEINT cross-multiplied
     // alert decisions.
+    // V33: full replay — the drifted-cone fixture regenerated from
+    // the two lowest-id embeddings, the q321 audit arithmetic for
+    // the retrain decision, one exact ground-truth pass, then the
+    // q290 cell-rank/candidate/top-k recall pipeline per phase
+    // (before = 8 trained seeds; after = those + the appended cell
+    // at the lowest-aid arrival). The after row emits only under
+    // the replayed decision.
+    "q328_ivf_retrain" ->
+      """WITH el AS MATERIALIZED (
+        |  SELECT vec_id, CAST(generate_subscripts(embedding,1) AS INT)
+        |    AS d, CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings
+        |), low2 AS (
+        |  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id)
+        |    AS INT) AS rn
+        |  FROM embeddings ORDER BY vec_id LIMIT 2
+        |), ael AS MATERIALIZED (
+        |  SELECT -(e.vec_id + 1) AS vec_id, e.d,
+        |    s1.x + s2.x + 0.5 * e.x AS x
+        |  FROM el e
+        |  JOIN (SELECT d, x FROM el WHERE vec_id =
+        |    (SELECT vec_id FROM low2 WHERE rn = 1)) s1 ON s1.d = e.d
+        |  JOIN (SELECT d, x FROM el WHERE vec_id =
+        |    (SELECT vec_id FROM low2 WHERE rn = 2)) s2 ON s2.d = e.d
+        |), fel AS MATERIALIZED (
+        |  SELECT * FROM el UNION ALL SELECT * FROM ael
+        |), sb_ids AS (
+        |  SELECT vec_id AS cell_vid,
+        |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+        |      AS cell
+        |  FROM embeddings ORDER BY vec_id LIMIT 8
+        |), selb AS MATERIALIZED (
+        |  SELECT s.cell, e.d, e.x
+        |  FROM sb_ids s JOIN el e ON e.vec_id = s.cell_vid
+        |), sela AS MATERIALIZED (
+        |  SELECT * FROM selb
+        |  UNION ALL
+        |  SELECT CAST(8 AS INT) AS cell, d, x FROM ael
+        |  WHERE vec_id = (SELECT MIN(vec_id) FROM ael)
+        |), nrmb AS (
+        |  SELECT cell, sqrt(SUM(x*x)) AS n FROM selb GROUP BY cell
+        |), nrma AS (
+        |  SELECT cell, sqrt(SUM(x*x)) AS n FROM sela GROUP BY cell
+        |), vcb AS MATERIALIZED (
+        |  SELECT f.vec_id, s.cell, SUM(f.x * s.x) / any_value(n.n)
+        |    AS cosn
+        |  FROM fel f JOIN selb s ON s.d = f.d
+        |  JOIN nrmb n ON n.cell = s.cell
+        |  GROUP BY f.vec_id, s.cell
+        |), vca AS MATERIALIZED (
+        |  SELECT f.vec_id, s.cell, SUM(f.x * s.x) / any_value(n.n)
+        |    AS cosn
+        |  FROM fel f JOIN sela s ON s.d = f.d
+        |  JOIN nrma n ON n.cell = s.cell
+        |  GROUP BY f.vec_id, s.cell
+        |), assignb AS MATERIALIZED (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY cosn DESC, cell) AS rn
+        |    FROM vcb) WHERE rn = 1
+        |), assigna AS MATERIALIZED (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY cosn DESC, cell) AS rn
+        |    FROM vca) WHERE rn = 1
+        |), d2 AS (
+        |  SELECT a.vec_id, a.cell,
+        |    CAST(floor(SUM((f.x - s.x) * (f.x - s.x)) * 1000000.0)
+        |      AS BIGINT) AS d2u
+        |  FROM assignb a
+        |  JOIN fel f ON f.vec_id = a.vec_id
+        |  JOIN selb s ON s.cell = a.cell AND s.d = f.d
+        |  GROUP BY 1, 2
+        |), aagg AS (
+        |  SELECT cell,
+        |    CAST(SUM(CASE WHEN vec_id >= 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_base,
+        |    CAST(SUM(CASE WHEN vec_id < 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_new,
+        |    CAST(SUM(CASE WHEN vec_id >= 0 THEN d2u ELSE 0 END)
+        |      AS HUGEINT) AS sb,
+        |    CAST(SUM(CASE WHEN vec_id < 0 THEN d2u ELSE 0 END)
+        |      AS HUGEINT) AS sn
+        |  FROM d2 GROUP BY cell
+        |), ret AS MATERIALIZED (
+        |  SELECT COALESCE(MAX(CASE WHEN n_new * 1000 > n_base * 300
+        |    OR sn * n_base::HUGEINT * 1000 >
+        |       sb * n_new::HUGEINT * 1100
+        |    THEN TRUE ELSE FALSE END), FALSE) AS rt
+        |  FROM aagg
+        |), fnrm AS MATERIALIZED (
+        |  SELECT vec_id, sqrt(SUM(x*x)) AS n FROM fel GROUP BY vec_id
+        |), pel AS MATERIALIZED (
+        |  SELECT * FROM ael WHERE vec_id >= -6
+        |), gt AS MATERIALIZED (
+        |  SELECT probe_id, vec_id FROM (
+        |    SELECT dd.probe_id, dd.vec_id,
+        |      row_number() OVER (PARTITION BY dd.probe_id
+        |        ORDER BY dd.dp / (np.n * nv.n) DESC, dd.vec_id) AS r
+        |    FROM (
+        |      SELECT p.vec_id AS probe_id, f.vec_id, SUM(p.x * f.x)
+        |        AS dp
+        |      FROM pel p JOIN fel f
+        |        ON f.d = p.d AND f.vec_id <> p.vec_id
+        |      GROUP BY 1, 2) dd
+        |    JOIN fnrm np ON np.vec_id = dd.probe_id
+        |    JOIN fnrm nv ON nv.vec_id = dd.vec_id)
+        |  WHERE r <= 5
+        |), gtot AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS exact_pairs,
+        |    CAST(COUNT(DISTINCT probe_id) AS BIGINT) AS n_probes
+        |  FROM gt
+        |), pcb AS (
+        |  SELECT vec_id AS probe_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY cosn DESC, cell) AS rn
+        |    FROM vcb WHERE vec_id >= -6 AND vec_id < 0) WHERE rn <= 1
+        |), pca AS (
+        |  SELECT vec_id AS probe_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY cosn DESC, cell) AS rn
+        |    FROM vca WHERE vec_id >= -6 AND vec_id < 0) WHERE rn <= 1
+        |), dotb AS (
+        |  SELECT c.probe_id, c.vec_id, SUM(pe.x * fe.x) AS dp
+        |  FROM (SELECT p.probe_id, a.vec_id
+        |        FROM pcb p JOIN assignb a ON a.cell = p.cell
+        |        WHERE a.vec_id <> p.probe_id) c
+        |  JOIN pel pe ON pe.vec_id = c.probe_id
+        |  JOIN fel fe ON fe.vec_id = c.vec_id AND fe.d = pe.d
+        |  GROUP BY 1, 2
+        |), dota AS (
+        |  SELECT c.probe_id, c.vec_id, SUM(pe.x * fe.x) AS dp
+        |  FROM (SELECT p.probe_id, a.vec_id
+        |        FROM pca p JOIN assigna a ON a.cell = p.cell
+        |        WHERE a.vec_id <> p.probe_id) c
+        |  JOIN pel pe ON pe.vec_id = c.probe_id
+        |  JOIN fel fe ON fe.vec_id = c.vec_id AND fe.d = pe.d
+        |  GROUP BY 1, 2
+        |), apxb AS (
+        |  SELECT probe_id, vec_id FROM (
+        |    SELECT d.probe_id, d.vec_id, row_number() OVER (
+        |      PARTITION BY d.probe_id
+        |      ORDER BY d.dp / (np.n * nv.n) DESC, d.vec_id) AS r
+        |    FROM dotb d JOIN fnrm np ON np.vec_id = d.probe_id
+        |    JOIN fnrm nv ON nv.vec_id = d.vec_id) WHERE r <= 5
+        |), apxa AS (
+        |  SELECT probe_id, vec_id FROM (
+        |    SELECT d.probe_id, d.vec_id, row_number() OVER (
+        |      PARTITION BY d.probe_id
+        |      ORDER BY d.dp / (np.n * nv.n) DESC, d.vec_id) AS r
+        |    FROM dota d JOIN fnrm np ON np.vec_id = d.probe_id
+        |    JOIN fnrm nv ON nv.vec_id = d.vec_id) WHERE r <= 5
+        |), hitb AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS hit_pairs
+        |  FROM apxb a JOIN gt g
+        |    ON g.probe_id = a.probe_id AND g.vec_id = a.vec_id
+        |), hita AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS hit_pairs
+        |  FROM apxa a JOIN gt g
+        |    ON g.probe_id = a.probe_id AND g.vec_id = a.vec_id
+        |)
+        |SELECT phase, retrain_triggered, nlist, n_probes, exact_pairs,
+        |  hit_pairs, recall FROM (
+        |  SELECT 'before' AS phase, (SELECT rt FROM ret)
+        |      AS retrain_triggered,
+        |    CAST(8 AS INT) AS nlist, g.n_probes, g.exact_pairs,
+        |    h.hit_pairs,
+        |    CASE WHEN g.exact_pairs > 0 THEN
+        |      round(CAST(h.hit_pairs AS DOUBLE)
+        |        / CAST(g.exact_pairs AS DOUBLE), 6) END AS recall
+        |  FROM gtot g, hitb h
+        |  UNION ALL
+        |  SELECT 'after', (SELECT rt FROM ret), CAST(9 AS INT),
+        |    g.n_probes, g.exact_pairs, h.hit_pairs,
+        |    CASE WHEN g.exact_pairs > 0 THEN
+        |      round(CAST(h.hit_pairs AS DOUBLE)
+        |        / CAST(g.exact_pairs AS DOUBLE), 6) END
+        |  FROM gtot g, hita h WHERE (SELECT rt FROM ret)
+        |) ORDER BY phase""".stripMargin,
+
     "q321_ivf_ingest_audit" ->
       """WITH el AS (
         |  SELECT vec_id, CAST(generate_subscripts(embedding,1)-1 AS INT)
@@ -8337,6 +8782,62 @@ object PipelineQueries {
          |)
          |SELECT CAST(r.seq AS INT) AS seq, r.release,
          |  CAST(r.eps_micro AS BIGINT) AS eps_micro,
+         |  CAST(r.cum_eps_micro AS BIGINT) AS cum_eps_micro,
+         |  CAST(2000000 AS BIGINT) AS budget_micro,
+         |  CAST(2000000 - r.cum_eps_micro AS BIGINT)
+         |    AS remaining_micro,
+         |  n.n_rows, n.released_total
+         |FROM rel r JOIN nr n ON n.release = r.release
+         |ORDER BY seq""".stripMargin
+    },
+
+    // Q17: the parallel-composition ledger literals (charged_micro
+    // replays the group-max increment arithmetic) + each mechanism's
+    // replay over its own shard domain.
+    "q331_dp_parallel_ledger" -> {
+      val deEn = dpDomainOracle(domain = Seq("de", "en"),
+        epsilon = 0.8, seed = 71L, clampK = 50)
+      val esFr = dpDomainOracle(domain = Seq("es", "fr"),
+        epsilon = 0.8, seed = 72L, clampK = 50)
+      val zhXxYy = dpDomainOracle(domain = Seq("zh", "xx", "yy"),
+        epsilon = 0.8, seed = 73L, clampK = 50)
+      val sums = dpSumOracle(
+        epsilon = 0.5, seed = 74L, clampHi = 8L, clampK = 320)
+      val hist = dpHistOracle(
+        edges = (0L to 500L by 50L), epsilon = 0.6, seed = 75L,
+        clampK = 67)
+      s"""WITH rel(seq, release, pgroup, eps_micro, charged_micro,
+         |    cum_eps_micro) AS (VALUES
+         |  (1, 'counts_de_en', 'lang_shards', 800000, 800000, 800000),
+         |  (2, 'counts_es_fr', 'lang_shards', 800000, 0, 800000),
+         |  (3, 'counts_zh_xx_yy', 'lang_shards', 800000, 0, 800000),
+         |  (4, 'value_sums', NULL, 500000, 500000, 1300000),
+         |  (5, 'value_hist', NULL, 600000, 600000, 1900000)
+         |), nr AS (
+         |  SELECT 'counts_de_en' AS release,
+         |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |    CAST(SUM(released_count) AS BIGINT) AS released_total
+         |  FROM ($deEn)
+         |  UNION ALL
+         |  SELECT 'counts_es_fr', CAST(COUNT(*) AS BIGINT),
+         |    CAST(SUM(released_count) AS BIGINT)
+         |  FROM ($esFr)
+         |  UNION ALL
+         |  SELECT 'counts_zh_xx_yy', CAST(COUNT(*) AS BIGINT),
+         |    CAST(SUM(released_count) AS BIGINT)
+         |  FROM ($zhXxYy)
+         |  UNION ALL
+         |  SELECT 'value_sums', CAST(COUNT(*) AS BIGINT),
+         |    CAST(SUM(released_sum) AS BIGINT)
+         |  FROM ($sums)
+         |  UNION ALL
+         |  SELECT 'value_hist', CAST(COUNT(*) AS BIGINT),
+         |    CAST(SUM(released_count) AS BIGINT)
+         |  FROM ($hist)
+         |)
+         |SELECT CAST(r.seq AS INT) AS seq, r.release, r.pgroup,
+         |  CAST(r.eps_micro AS BIGINT) AS eps_micro,
+         |  CAST(r.charged_micro AS BIGINT) AS charged_micro,
          |  CAST(r.cum_eps_micro AS BIGINT) AS cum_eps_micro,
          |  CAST(2000000 AS BIGINT) AS budget_micro,
          |  CAST(2000000 - r.cum_eps_micro AS BIGINT)
@@ -8476,6 +8977,62 @@ object PipelineQueries {
         |)
         |SELECT * FROM ok UNION ALL SELECT * FROM triage
         |ORDER BY id, bin""".stripMargin
+    },
+
+    // M16: the two-tone fixture regenerated from the SAME dftTable
+    // literals (tone table for synthesis, dft table for analysis),
+    // then the 3 per-window exact integer DFT sums; triage rows for
+    // the short/corrupt ids.
+    "q329_audio_sweep" -> {
+      val M = graft.operators.Multimodal
+      val toneRows = M.dftTable(64, Seq(5, 11))
+        .map { case (t, k, c, _) => s"($t, $k, $c)" }
+        .mkString(",\n        |    ")
+      val dftRows = M.dftTable(64, Seq(0, 5, 11))
+        .map { case (t, k, c, s) => s"($t, $k, $c, $s)" }
+        .mkString(",\n        |    ")
+      s"""WITH ids AS (
+        |  SELECT CAST(p_partkey AS BIGINT) AS id,
+        |    CAST(p_partkey AS BIGINT) AS seed FROM part
+        |), tone(t, k, c) AS (
+        |  VALUES
+        |    $toneRows
+        |), dft(t, k, c, s) AS (
+        |  VALUES
+        |    $dftRows
+        |), smp AS MATERIALIZED (
+        |  SELECT id, ii.i,
+        |    tn.c + CAST((seed * 31 + 7 * ii.i) % 41 - 20 AS BIGINT)
+        |      AS x
+        |  FROM ids, (SELECT unnest(range(0, 192)) AS i) ii
+        |  JOIN tone tn ON tn.t = ii.i % 64
+        |    AND tn.k = CASE WHEN ii.i < 96 THEN 5 ELSE 11 END
+        |), win AS (SELECT unnest(range(0, 3)) AS w
+        |), spec AS (
+        |  SELECT m.id, win.w AS wi, CAST(win.w * 64 AS BIGINT)
+        |      AS start_sample, d.k AS bin,
+        |    CAST(SUM(m.x * d.c) AS BIGINT) AS re,
+        |    CAST(-SUM(m.x * d.s) AS BIGINT) AS im
+        |  FROM smp m
+        |  JOIN win ON m.i >= win.w * 64 AND m.i < win.w * 64 + 64
+        |  JOIN dft d ON d.t = m.i - win.w * 64
+        |  GROUP BY 1, 2, 3, 4
+        |), ok AS (
+        |  SELECT id, TRUE AS decode_ok, CAST(wi AS INT) AS win_idx,
+        |    start_sample, bin, re, im,
+        |    CAST(re::HUGEINT * re::HUGEINT + im::HUGEINT * im::HUGEINT
+        |      AS VARCHAR) AS power
+        |  FROM spec
+        |), triage AS (
+        |  SELECT CAST(t.id AS BIGINT) AS id, FALSE AS decode_ok,
+        |    CAST(0 AS INT) AS win_idx, CAST(NULL AS BIGINT)
+        |      AS start_sample, d.k AS bin, CAST(NULL AS BIGINT) AS re,
+        |    CAST(NULL AS BIGINT) AS im, CAST(NULL AS VARCHAR) AS power
+        |  FROM (SELECT -1 AS id UNION ALL SELECT -2) t,
+        |    (SELECT DISTINCT k FROM dft) d
+        |)
+        |SELECT * FROM ok UNION ALL SELECT * FROM triage
+        |ORDER BY id, win_idx, bin""".stripMargin
     },
 
     // M14: both perceptual pipelines replayed from the pixel formula

@@ -1554,6 +1554,34 @@ object RelationalQueries {
         .orderBy("level", "round")
     }),
 
+    // G16 (round 14): weighted shortest-path distances over the
+    // bigram word graph — edge weight 1 + (count % 9) (deterministic
+    // small-integer variation both engines replay), single seed =
+    // the lexicographically smallest node, 6 Bellman–Ford rounds.
+    // Emits BOTH the weighted distance and the hop distance from the
+    // same relaxation — the nodes where they disagree are exactly
+    // where a hop-radius quarantine (q246's shape) would evict the
+    // wrong set. Distances exact for paths of ≤ 6 edges (the
+    // bounded-round regime; documented in the operator scaladoc).
+    "q332_weighted_paths" -> ((s, dir) => {
+      val bg = t(s, dir, "documents")
+        .select(split(col("text"), " ").as("t"))
+        .where(size(col("t")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(t) - 1), " +
+            "i -> struct(element_at(t, i) AS a, element_at(t, i + 1) AS b))"))
+          .as("bg"))
+        .select(col("bg.a").as("a"), col("bg.b").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n"))
+        .where(col("a") =!= col("b"))
+        .select(col("a"), col("b"), (col("n") % 9 + 1).as("w"))
+      val seeds = bg
+        .agg(min(least(col("a"), col("b"))).as("seed"))
+      graft.operators.Graph.weightedDistances(
+          bg, "a", "b", "w", seeds, "seed", rounds = 6)
+        .orderBy("node")
+    }),
+
     // Benford first-digit audit of order totals: observed vs
     // log10(1+1/d) with per-digit chi-square contribution — the
     // fabricated-data screen; one 9-group aggregate.
@@ -1942,9 +1970,61 @@ object RelationalQueries {
        |FROM acc WHERE ok = 1 ORDER BY level, round""".stripMargin
   }
 
+  /** q332 oracle generator: Bellman–Ford unrolled — the bigram graph
+    * with 1 + (count % 9) weights, symmetrized keeping MIN weight per
+    * direction pair, then `rounds` min-merge CTEs. The oracle relaxes
+    * from the FULL state each round where the operator relaxes from
+    * the changed-rows frontier — value-identical (an unchanged node's
+    * candidates are already ≥ the merged minimum), and all integer,
+    * so the replay is exact. */
+  private def weightedPathsOracle(rounds: Int): String = {
+    val base =
+      """WITH toks AS (
+        |  SELECT string_split(text, ' ') AS w FROM documents
+        |), bgl AS (
+        |  SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+        |  FROM toks WHERE len(w) >= 2
+        |), bg AS (
+        |  SELECT w[i] AS a, w[i+1] AS b, count(*) AS cab
+        |  FROM bgl GROUP BY 1, 2
+        |), dir AS (
+        |  SELECT a, b, CAST(cab % 9 + 1 AS BIGINT) AS w
+        |  FROM bg WHERE a <> b
+        |), und AS MATERIALIZED (
+        |  SELECT a, b, CAST(MIN(w) AS BIGINT) AS w FROM (
+        |    SELECT a, b, w FROM dir
+        |    UNION ALL
+        |    SELECT b AS a, a AS b, w FROM dir
+        |  ) GROUP BY 1, 2
+        |), d0 AS MATERIALIZED (
+        |  SELECT MIN(a) AS node, CAST(0 AS BIGINT) AS dist,
+        |    CAST(0 AS BIGINT) AS hops
+        |  FROM und
+        |)""".stripMargin
+    val rnds = (1 to rounds).map { r =>
+      s""", d$r AS MATERIALIZED (
+         |  SELECT node, MIN(dist) AS dist, MIN(hops) AS hops FROM (
+         |    SELECT node, dist, hops FROM d${r - 1}
+         |    UNION ALL
+         |    SELECT e.b AS node, d.dist + e.w AS dist,
+         |      d.hops + 1 AS hops
+         |    FROM d${r - 1} d JOIN und e ON e.a = d.node
+         |  ) GROUP BY 1
+         |)""".stripMargin
+    }.mkString("\n")
+    s"""$base
+       |$rnds
+       |SELECT n.node, d.dist, d.hops
+       |FROM (SELECT DISTINCT a AS node FROM und
+       |      UNION SELECT node FROM d0) n
+       |LEFT JOIN d$rounds d ON d.node = n.node
+       |ORDER BY n.node""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q318_louvain" -> louvainOracle(3),
     "q322_louvain_two_level" -> louvainTwoLevelOracle(2, 2),
+    "q332_weighted_paths" -> weightedPathsOracle(6),
 
 
     "q123_pagerank" -> pageRankOracle(10),

@@ -370,6 +370,58 @@ class GraphSpec extends AnyFunSuite {
       "coarse round 0 must replay the last ACCEPTED level-1 Q")
   }
 
+  test("weightedDistances: weighted and hop distances disagree on the " +
+      "planted short-hop/long-path fixture; min-weight parallel edges; " +
+      "bounded rounds; unreached NULLs; negative weight refused") {
+    // a—z direct edge costs 10; the a—b—c—z detour costs 3: the
+    // weighted shortest path takes THREE hops past the heavy direct
+    // edge, so dist(z) = 3 while hops(z) = 1 — exactly the case
+    // where a hop-radius quarantine misjudges closeness.
+    val edges = Seq(
+      ("a", "z", 10L), ("a", "b", 1L), ("b", "c", 1L), ("c", "z", 1L),
+      ("z", "a", 12L), // parallel reverse edge: min weight must win
+      ("u", "v", 2L)) // component unreachable from a
+      .toDF("src", "dst", "w")
+    val seeds = Seq("a").toDF("seed")
+    val got = Graph.weightedDistances(edges, "src", "dst", "w",
+        seeds, "seed", rounds = 6)
+      .as[(String, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("a") === ((Some(0L), Some(0L))))
+    assert(got("z") === ((Some(3L), Some(1L))),
+      "weighted distance takes the 3-hop detour; hop distance is 1")
+    assert(got("b") === ((Some(1L), Some(1L))))
+    assert(got("c") === ((Some(2L), Some(2L))))
+    assert(got("u") === ((None, None)) && got("v") === ((None, None)),
+      "unreached component carries NULLs")
+    // bounded rounds: with rounds = 1 the detour can't complete, so
+    // the direct edge's weight stands
+    val r1 = Graph.weightedDistances(edges, "src", "dst", "w",
+        seeds, "seed", rounds = 1)
+      .as[(String, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(r1("z") === Some(10L))
+    // isolated seed (not in the graph) still emits at distance 0
+    val iso = Graph.weightedDistances(edges, "src", "dst", "w",
+        Seq("q").toDF("seed"), "seed", rounds = 2)
+      .as[(String, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(iso("q") === Some(0L) && iso("a").isEmpty)
+    // negative weights refuse loudly
+    val ex = intercept[IllegalArgumentException] {
+      Graph.weightedDistances(
+        Seq(("a", "b", -1L)).toDF("src", "dst", "w"),
+        "src", "dst", "w", seeds, "seed", rounds = 2)
+    }
+    assert(ex.getMessage.contains("non-negative"))
+    // determinism
+    val again = Graph.weightedDistances(edges, "src", "dst", "w",
+        seeds, "seed", rounds = 6)
+      .as[(String, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(again === got)
+  }
+
   test("linkPredict: path and 4-cycle goldens (CN / AA / Jaccard)") {
     // path a-b-c-d: (a,c) via b, (b,d) via c; (a,d) shares nothing.
     val path = lp(Seq(("a", "b"), ("b", "c"), ("c", "d")))

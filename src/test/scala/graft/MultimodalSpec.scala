@@ -469,6 +469,65 @@ class MultimodalSpec extends AnyFunSuite {
     assert(byIdBin((1L, 0))._5.contains(0L))
   }
 
+  test("audioSpectralSweep: per-window replay parity, tone switch " +
+      "separates windows where the first-n probe cannot, cap + triage") {
+    val wav = Multimodal.syntheticToneWav(9L, 192, 16000,
+      n = 64, binFirst = 5, binSecond = 11)
+    val df = Seq(
+      (1L, wav),
+      (2L, Multimodal.syntheticWav(2L, 32, 16000)), // too short
+      (3L, Array[Byte](9, 9, 9)))
+      .toDF("id", "payload")
+    val bins = Seq(0, 5, 11)
+    val got = Multimodal.audioSpectralSweep(df, "id", "payload",
+        n = 64, hop = 64, bins = bins, maxWindows = 8)
+      .as[(Long, Boolean, Int, Option[Long], Int, Option[Long],
+        Option[Long], Option[String])].collect()
+    // 3 windows x 3 bins for the good clip, 1 triage row per bin each
+    // for the short and corrupt clips
+    assert(got.count(_._1 == 1L) === 9)
+    assert(got.count(r => r._1 == 2L || r._1 == 3L) === 6)
+    got.filter(r => r._1 != 1L).foreach { r =>
+      assert(!r._2 && r._3 == 0 && r._4.isEmpty && r._8.isEmpty)
+    }
+    val byWinBin = got.filter(_._1 == 1L)
+      .map(r => (r._3, r._5) -> r).toMap
+    // independent arithmetic replay: regenerate samples from the
+    // fixture formula and fold the shared dft literals per window
+    val tone = Multimodal.dftTable(64, Seq(5, 11))
+      .map { case (t, k, c, _) => (t, k) -> c }.toMap
+    val samples = (0 until 192).map { i =>
+      val bin = if (i < 96) 5 else 11
+      tone((i % 64, bin)) + (Math.floorMod(9L * 31 + 7L * i, 41L) - 20L)
+    }
+    val d64 = Multimodal.dftTable(64, bins)
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    for (w <- 0 until 3; k <- bins) {
+      val re = (0 until 64).map(t => samples(w * 64 + t) * d64((t, k))._1).sum
+      val im = -(0 until 64).map(t => samples(w * 64 + t) * d64((t, k))._2).sum
+      val r = byWinBin((w, k))
+      assert(r._2 && r._4.contains(w * 64L) &&
+        r._6.contains(re) && r._7.contains(im), s"w=$w k=$k")
+    }
+    def pw(w: Int, k: Int) = BigInt(byWinBin((w, k))._8.get)
+    // window 0 is pure tone A (bin 5), window 2 pure tone B (bin 11)
+    assert(pw(0, 5) > pw(0, 11) * 100, "window 0 concentrates at bin 5")
+    assert(pw(2, 11) > pw(2, 5) * 100, "window 2 concentrates at bin 11")
+    // the first-n probe sees ONLY tone A — bin 11 reads as noise
+    val probe = Multimodal.audioSpectralProbe(
+        df.where(col("id") === 1L), "id", "payload", n = 64, bins = bins)
+      .as[(Long, Boolean, Int, Option[Long], Option[Long],
+        Option[String])].collect()
+      .map(r => r._3 -> BigInt(r._6.get)).toMap
+    assert(probe(5) > probe(11) * 100,
+      "first-n probe cannot see the mid-clip switch to tone B")
+    // maxWindows cap is real: cap at 2 drops window 2
+    val capped = Multimodal.audioSpectralSweep(df.where(col("id") === 1L),
+        "id", "payload", n = 64, hop = 64, bins = bins, maxWindows = 2)
+      .select("win_idx").as[Int].collect()
+    assert(capped.toSet === Set(0, 1))
+  }
+
   test("imagePerceptualHashes: fused pass is byte-identical to the " +
       "single-hash operators; tiered triage") {
     val df = Seq(

@@ -1498,6 +1498,92 @@ class QualitySpec extends AnyFunSuite {
     }
   }
 
+  test("dpReleaseSuitePartitioned: disjoint-shard releases charge " +
+      "max(eps) where sequential accounting refuses; overlap and " +
+      "undeclared domains refuse; ledger arithmetic exact") {
+    val df = Seq(("a", 5.0d), ("a", 3.0d), ("b", 2.0d), ("c", 1.0d))
+      .toDF("k", "v")
+    def dom(ks: String*) = ks.toDF("k")
+    def shard(name: String, keys: Seq[String], seed: Long) =
+      Quality.DpDeclaredRelease(name, 800000L,
+        () => Quality.dpCountReleaseOverDomain(df,
+          keys.toDF("k"), Seq("k"), epsilon = 0.8, seed = seed,
+          clampK = 50),
+        Some("released_count"), Some("g"),
+        Some(() => dom(keys: _*)))
+    val releases = Seq(
+      shard("s_ab", Seq("a", "b"), 7L),
+      shard("s_c", Seq("c"), 8L),
+      shard("s_d", Seq("d"), 9L),
+      Quality.DpDeclaredRelease("hist", 500000L,
+        () => Quality.dpHistogramRelease(df, col("v"),
+          edges = Seq(0L, 4L, 8L), epsilon = 0.5, seed = 10L)))
+    // SEQUENTIAL accounting: 3·0.8 + 0.5 = 2.9ε > 2.0ε → refuses...
+    val seqEx = intercept[IllegalStateException] {
+      Quality.dpReleaseSuite(releases, budgetMicro = 2000000L)
+    }
+    assert(seqEx.getMessage.contains("budget exceeded"))
+    // ...while PARALLEL accounting fits: max(0.8) + 0.5 = 1.3ε.
+    val got = Quality.dpReleaseSuitePartitioned(releases,
+        budgetMicro = 2000000L)
+      .as[(Int, String, Option[String], Long, Long, Long, Long, Long,
+        Long, Option[Long])].collect()
+    assert(got.map(_._2).toSeq === Seq("s_ab", "s_c", "s_d", "hist"))
+    assert(got.map(_._3).toSeq ===
+      Seq(Some("g"), Some("g"), Some("g"), None))
+    // charged: 0.8ε then two zeros (parallel composition working),
+    // then the ungrouped 0.5ε
+    assert(got.map(_._5).toSeq ===
+      Seq(800000L, 0L, 0L, 500000L))
+    assert(got.map(_._6).toSeq ===
+      Seq(800000L, 800000L, 800000L, 1300000L))
+    assert(got.map(_._8).toSeq ===
+      Seq(1200000L, 1200000L, 1200000L, 700000L))
+    // a LARGER grouped epsilon later charges only its increment
+    val grew = Quality.dpReleaseSuitePartitioned(Seq(
+        shard("s_ab", Seq("a", "b"), 7L),
+        shard("s_c", Seq("c"), 8L).copy(epsilonMicro = 1100000L)),
+        budgetMicro = 2000000L)
+      .as[(Int, String, Option[String], Long, Long, Long, Long, Long,
+        Long, Option[Long])].collect()
+    assert(grew.map(_._5).toSeq === Seq(800000L, 300000L))
+    assert(grew.map(_._6).toSeq === Seq(800000L, 1100000L))
+    // overlapping domains void the parallel claim: refuse before
+    // any release thunk runs
+    var invoked = false
+    val ovEx = intercept[IllegalStateException] {
+      Quality.dpReleaseSuitePartitioned(Seq(
+        Quality.DpDeclaredRelease("r1", 100000L,
+          () => { invoked = true; df }, None, Some("g"),
+          Some(() => dom("a", "b"))),
+        Quality.DpDeclaredRelease("r2", 100000L,
+          () => { invoked = true; df }, None, Some("g"),
+          Some(() => dom("b", "c")))),
+        budgetMicro = 2000000L)
+    }
+    assert(ovEx.getMessage.contains("NOT a partition") &&
+      ovEx.getMessage.contains("'b'"))
+    assert(!invoked)
+    // a grouped release without a declared domain refuses
+    val noDom = intercept[IllegalArgumentException] {
+      Quality.dpReleaseSuitePartitioned(Seq(
+        Quality.DpDeclaredRelease("r1", 100000L, () => df, None,
+          Some("g"), None)),
+        budgetMicro = 2000000L)
+    }
+    assert(noDom.getMessage.contains("without declaring"))
+    // parallel budget refusal is still all-or-nothing and data-free
+    val parEx = intercept[IllegalStateException] {
+      Quality.dpReleaseSuitePartitioned(Seq(
+        Quality.DpDeclaredRelease("big", 2500000L,
+          () => { invoked = true; df })),
+        budgetMicro = 2000000L)
+    }
+    assert(parEx.getMessage.contains("parallel composition") ||
+      parEx.getMessage.contains("budget exceeded"))
+    assert(!invoked)
+  }
+
   test("dpTopKRelease: high-epsilon concentration peels the exact " +
       "top-k in order; zero-count domain keys are candidates; " +
       "k > domain refuses; deterministic") {

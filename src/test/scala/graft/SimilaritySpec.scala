@@ -865,6 +865,58 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("ivfRetrainReadout: drifted boundary batch triggers the audit " +
+      "and the appended cell restores recall; quiet batch emits only " +
+      "the before row with retrain_triggered = false") {
+    // two tight direction clusters; seeds = vectors of ids 0 and 1
+    // (one per cluster)
+    val ex = (0L until 10L).map { i =>
+      if (i % 2 == 0)
+        (i, Seq(10.0f, (i % 5).toFloat * 0.1f, 0.0f, 0.0f))
+      else
+        (i, Seq((i % 5).toFloat * 0.1f, 10.0f, 0.0f, 0.0f))
+    }.toDF("vec_id", "embedding")
+    val seedsBefore = Similarity.ivfSeeds(ex, "vec_id", "embedding", 2)
+    // four arrivals in the boundary cone: two lean cell-0, two lean
+    // cell-1; each probe's exact top-3 is the OTHER THREE arrivals
+    // (inter-arrival cosine ~0.9999 vs ~0.71 to any original), so a
+    // one-probe search under the old layout finds only its own
+    // cell's sibling: recall 1/3 before, 1 after.
+    val arr = Seq(
+      (-1L, Seq(10.0f, 9.9f, 0.1f, 0.0f)),
+      (-2L, Seq(10.0f, 9.9f, 0.2f, 0.0f)),
+      (-3L, Seq(9.9f, 10.0f, 0.1f, 0.0f)),
+      (-4L, Seq(9.9f, 10.0f, 0.2f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val seedsAfter = seedsBefore ++
+      Similarity.ivfSeeds(arr, "vec_id", "embedding", 1)
+    val got = Similarity.ivfRetrainReadout(ex, arr, "vec_id",
+        "embedding", seedsBefore, seedsAfter,
+        probes = arr, nprobe = 1, k = 3,
+        growthAlertPerMille = 300L, driftAlertPerMille = 1100L)
+      .as[(String, Boolean, Int, Long, Long, Long, Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got.keySet === Set("before", "after"))
+    assert(got("before")._2 && got("after")._2, "audit must trigger")
+    assert(got("before")._3 === 2 && got("after")._3 === 3)
+    assert(got("before")._5 === 12L && got("before")._6 === 4L,
+      s"each probe finds only its cell-sibling before: $got")
+    assert(got("after")._6 === 12L && got("after")._7 === Some(1.0),
+      s"appended cell must restore recall: $got")
+    // quiet batch: two exact copies of the seeds — zero drift, no
+    // growth past the threshold → no retrain, single before row
+    val quiet = ex.where(col("vec_id") < 2).select(
+      (-(col("vec_id") + 1)).as("vec_id"), col("embedding"))
+    val one = Similarity.ivfRetrainReadout(ex, quiet, "vec_id",
+        "embedding", seedsBefore, seedsAfter,
+        probes = quiet, nprobe = 1, k = 3,
+        growthAlertPerMille = 300L, driftAlertPerMille = 1100L)
+      .as[(String, Boolean, Int, Long, Long, Long, Option[Double])]
+      .collect()
+    assert(one.length === 1 && one.head._1 === "before" &&
+      !one.head._2, s"quiet batch must not retrain: ${one.toSeq}")
+  }
+
   test("recall sweeps: undersized corpus (rows < nlist) fails loudly " +
       "instead of aliasing tail sweep points to the full scan") {
     val tiny = (0L until 4L)

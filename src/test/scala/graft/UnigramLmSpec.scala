@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.UnigramLm
+
+/** T60 goldens: Viterbi segmentation determinism (incl. the
+  * prefer-longer tie rule the oracle's (score DESC, l DESC) argmax
+  * replays), monotone accepted-round log-likelihood, zero-count
+  * pruning, the maxWordLen training regime, and rerun determinism. */
+class UnigramLmSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def corpus(texts: String*) =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+
+  test("viterbi: best path, prefer-longer tie rule, unreachable None") {
+    val lp = Map("a" -> -10L, "b" -> -10L, "ab" -> -15L, "abc" -> -18L,
+      "c" -> -12L)
+    // "abc": char path -32, ab+c -27, abc -18 -> abc wins
+    assert(UnigramLm.viterbi("abc", 3, lp) ===
+      Some((-18L, List("abc"))))
+    // tie: "ab" via a+b = -20 vs "ab" = -15 -> no tie; force one:
+    val tie = Map("a" -> -10L, "b" -> -10L, "ab" -> -20L)
+    // a+b = -20 == ab = -20: prefer the LONGER piece at the position
+    assert(UnigramLm.viterbi("ab", 2, tie) ===
+      Some((-20L, List("ab"))))
+    // unreachable: missing char
+    assert(UnigramLm.viterbi("ax", 2, Map("a" -> -1L)).isEmpty)
+  }
+
+  test("train: deterministic, monotone accepted LL, pruning drops " +
+      "unused seeds, maxWordLen excludes long words") {
+    val c = corpus(
+      "abab abab cd cd cd ababcd",
+      "abab cd abab extraordinarilylong",
+      "ab ab cd abab")
+    val m = UnigramLm.train(c, "text", seedMaxPieceLen = 4,
+      multiKeep = 8, maxWordLen = 12, minCount = 2L, rounds = 3)
+    // trace: rounds contiguous from 1, LL strictly increasing
+    assert(m.trace.nonEmpty)
+    assert(m.trace.map(_.round) === (1 to m.trace.size))
+    m.trace.map(_.llMicro).sliding(2).foreach {
+      case Seq(a, b) => assert(b > a, s"LL must strictly improve: ${m.trace}")
+      case _ => ()
+    }
+    // the 16-char word is excluded from training: no piece of the
+    // final model is a substring seen only there
+    assert(!m.pieces.exists(_.piece.contains("x")))
+    assert(!m.pieces.exists(_.piece.contains("l")))
+    // every surviving piece has a positive Viterbi count
+    assert(m.pieces.forall(_.count > 0L))
+    // ranks are (count desc, piece asc)
+    val resorted = m.pieces.sortBy(p => (-p.count, p.piece))
+    assert(m.pieces === resorted)
+    // "abab"-heavy corpus: a multi-char piece must survive training
+    assert(m.pieces.exists(_.piece.length >= 2),
+      s"expected multi-char pieces, got ${m.pieces}")
+    // determinism
+    val again = UnigramLm.train(c, "text", seedMaxPieceLen = 4,
+      multiKeep = 8, maxWordLen = 12, minCount = 2L, rounds = 3)
+    assert(again.pieces === m.pieces && again.trace === m.trace)
+  }
+
+  test("train: EM re-estimation concentrates mass — after round 1 " +
+      "the dominant multi-char piece's count reflects its Viterbi " +
+      "usage, not its raw substring occurrences") {
+    // 'ababab' x4: seed count of 'ab' counts overlapping substring
+    // positions (3 per word), Viterbi usage is exactly 3 per word
+    // too, but 'ba' (2 per word raw) gets ZERO Viterbi usage and
+    // must be pruned from the final model.
+    val m = UnigramLm.train(corpus("ababab ababab ababab ababab"),
+      "text", seedMaxPieceLen = 2, multiKeep = 4, maxWordLen = 12,
+      minCount = 2L, rounds = 3)
+    assert(!m.pieces.exists(_.piece == "ba"),
+      s"'ba' is never on a best path and must be pruned: ${m.pieces}")
+    val ab = m.pieces.find(_.piece == "ab")
+    assert(ab.nonEmpty && ab.get.count === 12L,
+      s"'ab' used 3x in each of 4 words: ${m.pieces}")
+  }
+}
