@@ -1198,4 +1198,72 @@ object TextAnalysis {
         col("n_replacement") === 0L && col("n_control") === 0L &&
           col("n_mojibake") === 0L)
   }
+
+  /** The T61 repair table: each [[encMojibake]] marker with its
+    * intended character, applied as literal replaces in THIS order
+    * (longer markers are disjoint from shorter ones here, but the
+    * fixed order is the cross-engine contract regardless). Shared
+    * verbatim with the oracle. */
+  private[graft] val encRepairs: Seq[(String, String)] = Seq(
+    "Ã©" -> "é", "Ã¨" -> "è", "Ã¡" -> "á", "Ã³" -> "ó",
+    "Ãº" -> "ú", "Ã±" -> "ñ", "Ã¤" -> "ä", "Ã¶" -> "ö",
+    "Ã¼" -> "ü", "â€™" -> "’", "â€œ" -> "“", "â€“" -> "–",
+    "â€”" -> "—", "Â°" -> "°", "Â·" -> "·")
+
+  /**
+   * T61 (r14): encoding repair — ACT on [[encodingQuality]]'s
+   * signal, the T59 detect→act completion (the ftfy move): the
+   * UTF-8-read-as-Latin-1 digraphs are INVERTIBLE (each marker maps
+   * to exactly the character whose UTF-8 bytes were misread), so
+   * repair restores the intended text; C0 controls and U+FFFD carry
+   * no recoverable content (the original bytes are gone) and STRIP.
+   * Order: mojibake repairs first (on the text as decoded), then the
+   * control strip, then the replacement-char strip — a fixed chain
+   * of literal `replace`/anchored `regexp_replace` steps both
+   * engines share (the BPE replace-semantics contract).
+   *
+   * Per document the output carries the repaired text's length and
+   * md5 (pinning the exact repaired string without shipping it), the
+   * three before-counts, and `clean_after` — [[encodingQuality]]'s
+   * three counters re-run on the repaired text. It is MEASURED, not
+   * assumed: stripping a character can splice its neighbors into a
+   * brand-new marker ("Ã�©" → "Ã©"), and such documents
+   * honestly read clean_after = false (send them round again or
+   * quarantine).
+   *
+   * Heuristic caveat inherited from T59: a legitimate "Ã©"-bearing
+   * text gets "repaired" too — run this where the T59 rate audit
+   * says corruption, not unconditionally (the scaladoc IS the
+   * runbook line).
+   *
+   * Scale: pure per-row projection, one scan, no shuffle.
+   *
+   * Output: (idCol, n_fixed_mojibake, n_stripped_control,
+   * n_stripped_replacement, repaired_len, repaired_md5,
+   * clean_after).
+   */
+  def encodingRepair(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def cnt(c: Column, pat: String) =
+      size(regexp_extract_all(c, lit(pat), lit(0))).cast("long")
+    val fixed = encRepairs.foldLeft(col(textCol)) {
+      case (c, (bad, good)) => replace(c, lit(bad), lit(good))
+    }
+    val stripped = regexp_replace(
+      regexp_replace(fixed, encControl, ""), encReplacement, "")
+    docs
+      .where(col(textCol).isNotNull)
+      .select(col(idCol),
+        cnt(col(textCol), encMojibake).as("n_fixed_mojibake"),
+        cnt(col(textCol), encControl).as("n_stripped_control"),
+        cnt(col(textCol), encReplacement).as("n_stripped_replacement"),
+        stripped.as("__t"))
+      .select(col(idCol), col("n_fixed_mojibake"),
+        col("n_stripped_control"), col("n_stripped_replacement"),
+        length(col("__t")).cast("long").as("repaired_len"),
+        md5(col("__t")).as("repaired_md5"),
+        (cnt(col("__t"), encMojibake) === 0L &&
+          cnt(col("__t"), encControl) === 0L &&
+          cnt(col("__t"), encReplacement) === 0L).as("clean_after"))
+  }
 }

@@ -239,6 +239,63 @@ object UnigramLm {
       .toDF("rank", "piece", "piece_count", "logp_micro")
   }
 
+  /**
+   * Encode a corpus with a trained model — the T45 counterpart for
+   * T60: per document, words segment by Viterbi under the FINAL
+   * accepted pieces (identical arithmetic to the last accepted
+   * training round, so the oracle reuses that round's backtrack
+   * counts); words longer than `maxWordLen` — the training regime's
+   * exclusion — and any word Viterbi cannot reach (unseen chars at
+   * apply time) fall back to CHAR count, the q203 COALESCE rule.
+   *
+   * Plan is q203's dictionary-join shape: the per-word token count
+   * is computed ONCE over the DISTINCT word table (Heaps'-law
+   * bounded, shuffle-free mapPartitions against the broadcast piece
+   * map), then joined back to the per-document word stream — the
+   * corpus-sized side never runs the DP.
+   *
+   * Output: (idCol, n_words, n_chars, n_tokens, compression) with
+   * compression on the floor(·10⁶) grid (the q203 contract).
+   */
+  def encode(
+      corpus: DataFrame, idCol: String, textCol: String,
+      model: Model, maxWordLen: Int = 12): DataFrame = {
+    require(model.pieces.nonEmpty, "model has no pieces")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val lpMap = model.pieces.map(p => p.piece -> p.logpMicro).toMap
+    val bc = spark.sparkContext.broadcast(lpMap)
+    val maxL = model.pieces.map(_.piece.length).max
+    val dw = corpus
+      .select(col(idCol),
+        explode(split(col(textCol), "\\s+")).as("word"))
+      .where(col("word") =!= "")
+    val tok = dw.select("word").distinct()
+      .as[String]
+      .mapPartitions { words =>
+        val m = bc.value
+        words.map { w =>
+          val t =
+            if (w.length > maxWordLen) w.length.toLong
+            else viterbi(w, maxL, m)
+              .map(_._2.size.toLong).getOrElse(w.length.toLong)
+          (w, t)
+        }
+      }
+      .toDF("word", "__tok")
+    dw.join(tok, Seq("word"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(length(col("word")).cast("long")).as("n_chars"),
+        sum(coalesce(col("__tok"),
+          length(col("word")).cast("long"))).as("n_tokens"))
+      .withColumn("compression",
+        floor(col("n_chars").cast("double")
+          / col("n_tokens").cast("double") * lit(1000000.0))
+          / lit(1000000.0))
+  }
+
   /** The accepted-round trace as a DataFrame: (round, n_pieces,
     * ll_micro) — exact integers. */
   def traceTable(spark: SparkSession, model: Model): DataFrame = {

@@ -842,7 +842,7 @@ object PipelineQueries {
    * strict-improvement accept gate as a prefix-min with the final
    * model CASE-selected by the last accepted round (the q322 rule).
    */
-  private def unigramLmOracleSql(
+  private def unigramLmChain(
       rounds: Int, multiKeep: Int, maxWordLen: Int,
       seedMaxPieceLen: Int, minCount: Long): String = {
     val L = seedMaxPieceLen
@@ -920,7 +920,7 @@ object PipelineQueries {
     val pfinUnion = (1 to rounds)
       .map(r => s"SELECT * FROM p$r WHERE (SELECT lastr FROM accx) = $r")
       .mkString("\n  UNION ALL\n  ")
-    s"""WITH wv AS MATERIALIZED (
+    s"""wv AS MATERIALIZED (
        |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
        |    SELECT unnest(string_split_regex(text, '\\s+')) AS word
        |    FROM documents)
@@ -965,7 +965,15 @@ object PipelineQueries {
        |  ) WHERE ok = 1
        |), pfin AS (
        |  $pfinUnion
-       |)
+       |)""".stripMargin
+  }
+
+  private def unigramLmOracleSql(
+      rounds: Int, multiKeep: Int, maxWordLen: Int,
+      seedMaxPieceLen: Int, minCount: Long): String = {
+    val chain = unigramLmChain(rounds, multiKeep, maxWordLen,
+      seedMaxPieceLen, minCount)
+    s"""WITH $chain
        |SELECT CAST(rn AS INT) AS rank, piece, cnt AS piece_count,
        |  lp AS logp_micro
        |FROM (
@@ -973,6 +981,55 @@ object PipelineQueries {
        |    row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rn
        |  FROM pfin)
        |ORDER BY rank""".stripMargin
+  }
+
+  /** q333 oracle: encode under the final accepted model — per-word
+    * token counts REUSE the last accepted round's backtrack tables
+    * (encode's Viterbi under the final model IS that round's
+    * segmentation), CASE-gated by lastr; words outside the training
+    * vocab (longer than maxWordLen) fall back to char count via the
+    * q203 COALESCE rule; q203's floor-grid compression finish. */
+  private def unigramLmEncodeOracleSql(
+      rounds: Int, multiKeep: Int, maxWordLen: Int,
+      seedMaxPieceLen: Int, minCount: Long): String = {
+    val chain = unigramLmChain(rounds, multiKeep, maxWordLen,
+      seedMaxPieceLen, minCount)
+    val tokcs = (1 to rounds).map { r =>
+      val pu = (1 to maxWordLen)
+        .map(j => s"SELECT word FROM u${r}bt$j")
+        .mkString("\n    UNION ALL\n    ")
+      s""", u${r}tokc AS (
+         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS tok FROM (
+         |    $pu
+         |  ) GROUP BY word
+         |)""".stripMargin
+    }.mkString("\n")
+    val tokUnion = (1 to rounds)
+      .map(r =>
+        s"SELECT word, tok FROM u${r}tokc\n  " +
+          s"WHERE (SELECT lastr FROM accx) = $r")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH $chain
+       |$tokcs
+       |, utok AS (
+       |  $tokUnion
+       |), dw AS (
+       |  SELECT doc_id, word FROM (
+       |    SELECT doc_id,
+       |      unnest(string_split_regex(text, '\\s+')) AS word
+       |    FROM documents
+       |  ) WHERE word <> ''
+       |)
+       |SELECT dw.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(length(dw.word)) AS BIGINT) AS n_chars,
+       |  CAST(SUM(COALESCE(u.tok, length(dw.word))) AS BIGINT)
+       |    AS n_tokens,
+       |  floor(CAST(SUM(length(dw.word)) AS DOUBLE)
+       |      / CAST(SUM(COALESCE(u.tok, length(dw.word))) AS DOUBLE)
+       |      * 1000000.0) / 1000000.0 AS compression
+       |FROM dw LEFT JOIN utok u USING (word)
+       |GROUP BY 1 ORDER BY doc_id""".stripMargin
   }
 
   /** q299 re-mint corpus: deterministic single-letter runs derived
@@ -4259,6 +4316,37 @@ object PipelineQueries {
       graft.operators.UnigramLm.pieceTable(s, model).orderBy("rank")
     }),
 
+    // T60 companion (round 14): encode the corpus with the trained
+    // unigram model — the T45-for-T60 symmetry; q203's
+    // dictionary-join shape and floor-grid compression.
+    "q333_unigram_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = graft.operators.UnigramLm.train(
+        docs.select(col("text")), "text",
+        seedMaxPieceLen = 4, multiKeep = 24, maxWordLen = 12,
+        minCount = 2L, rounds = 3)
+      graft.operators.UnigramLm.encode(docs, "doc_id", "text", model,
+          maxWordLen = 12)
+        .orderBy("doc_id")
+    }),
+
+    // T61 (round 14): encoding REPAIR — act on q325's signal over
+    // the same injected corruption; output pins the exact repaired
+    // text via md5 + length, and clean_after re-measures.
+    "q334_encoding_repair" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .where(col("text").isNotNull)
+        .withColumn("text",
+          when(col("doc_id") % 50 === 0,
+            concat(col("text"), lit("Ã©"), lit(""),
+              lit("�")))
+            .when(col("doc_id") % 25 === 0,
+              concat(col("text"), lit("Ã©"), lit("")))
+            .otherwise(col("text")))
+      TextAnalysis.encodingRepair(d, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     "q299_bpe_remint" -> ((s, dir) => {
       val corpus = t(s, dir, "documents").select(
         expr("CASE WHEN doc_id % 3 = 0" +
@@ -6891,6 +6979,9 @@ object PipelineQueries {
     "q330_unigram_lm" -> unigramLmOracleSql(rounds = 3,
       multiKeep = 24, maxWordLen = 12, seedMaxPieceLen = 4,
       minCount = 2L),
+    "q333_unigram_encode" -> unigramLmEncodeOracleSql(rounds = 3,
+      multiKeep = 24, maxWordLen = 12, seedMaxPieceLen = 4,
+      minCount = 2L),
     // q262 = trainBatched vs the SAME sequential replay: the batched
     // trainer's exactness guard is the claim under test.
     "q262_bpe_batched" -> bpeMergesOracleSql(numMerges = 12),
@@ -8845,6 +8936,46 @@ object PipelineQueries {
          |  n.n_rows, n.released_total
          |FROM rel r JOIN nr n ON n.release = r.release
          |ORDER BY seq""".stripMargin
+    },
+
+    // T61: the same q325 injection, then the repair chain — the
+    // encRepairs literal replaces in table order, the control strip,
+    // the U+FFFD strip — with md5/length pinning the exact repaired
+    // text and clean_after re-measured.
+    "q334_encoding_repair" -> {
+      val moji = graft.operators.TextAnalysis.encMojibake
+      val ctrl = graft.operators.TextAnalysis.encControl
+      val fixedExpr = graft.operators.TextAnalysis.encRepairs
+        .foldLeft("text") { case (e, (bad, good)) =>
+          s"replace($e, '$bad', '$good')"
+        }
+      s"""WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 50 = 0
+        |           THEN text || 'Ã©' || chr(7) || '�'
+        |         WHEN doc_id % 25 = 0 THEN text || 'Ã©' || chr(7)
+        |         ELSE text END AS text
+        |  FROM documents WHERE text IS NOT NULL
+        |), r AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(regexp_replace($fixedExpr,
+        |      '$ctrl', '', 'g'), '�', '', 'g') AS t
+        |  FROM d
+        |)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '$moji')) AS BIGINT)
+        |    AS n_fixed_mojibake,
+        |  CAST(len(regexp_extract_all(text, '$ctrl')) AS BIGINT)
+        |    AS n_stripped_control,
+        |  CAST(len(regexp_extract_all(text, '�')) AS BIGINT)
+        |    AS n_stripped_replacement,
+        |  CAST(length(t) AS BIGINT) AS repaired_len,
+        |  md5(t) AS repaired_md5,
+        |  (len(regexp_extract_all(t, '$moji')) = 0
+        |    AND len(regexp_extract_all(t, '$ctrl')) = 0
+        |    AND len(regexp_extract_all(t, '�')) = 0)
+        |    AS clean_after
+        |FROM r ORDER BY doc_id""".stripMargin
     },
 
     // T59: injection replay (mojibake digraph + chr(7) + U+FFFD) and

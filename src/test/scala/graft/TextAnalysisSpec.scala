@@ -537,4 +537,34 @@ class TextAnalysisSpec extends AnyFunSuite {
         Option[Double], Option[Double], Boolean)].collect().head
     assert(g2._4 === 0L && g2._9)
   }
+
+  test("encodingRepair: mojibake inverts, controls and U+FFFD strip, " +
+      "repaired text pinned by md5, splice case stays honest") {
+    import org.apache.spark.sql.functions.md5
+    val docs = Seq(
+      (1L, "cafÃ© menu lost�"),
+      (2L, "already clean"),
+      // stripping U+FFFD splices "Ã" + "©" into a fresh marker
+      (3L, "cafÃ�©"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .encodingRepair(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, String, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    // doc 1: one digraph fixed, one control + one FFFD stripped;
+    // repaired text is exactly "café menu lost"
+    val want1 = "café menu lost"
+    val wantMd5 = Seq(want1).toDF("t")
+      .select(md5($"t")).as[String].collect().head
+    assert(got(1L)._2 === 1L && got(1L)._3 === 1L && got(1L)._4 === 1L)
+    assert(got(1L)._5 === want1.length.toLong &&
+      got(1L)._6 === wantMd5 && got(1L)._7)
+    // clean doc: zero counts, text untouched, clean_after
+    assert(got(2L)._2 === 0L && got(2L)._3 === 0L &&
+      got(2L)._4 === 0L && got(2L)._7)
+    // splice: the FFFD strip creates "Ã©" AFTER repairs ran —
+    // clean_after must honestly read false
+    assert(got(3L)._4 === 1L && !got(3L)._7,
+      s"spliced marker must be measured, got ${got(3L)}")
+  }
 }

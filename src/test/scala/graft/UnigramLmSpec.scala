@@ -64,6 +64,40 @@ class UnigramLmSpec extends AnyFunSuite {
     assert(again.pieces === m.pieces && again.trace === m.trace)
   }
 
+  test("encode: dictionary-join counts match per-word Viterbi; " +
+      "long words char-fallback; compression on the floor grid") {
+    val c = corpus(
+      "abab abab cd cd",
+      "abab cd extraordinarilylong",
+      "ab cd abab")
+    val m = UnigramLm.train(c, "text", seedMaxPieceLen = 4,
+      multiKeep = 8, maxWordLen = 12, minCount = 2L, rounds = 3)
+    val lp = m.pieces.map(p => p.piece -> p.logpMicro).toMap
+    val maxL = m.pieces.map(_.piece.length).max
+    def tokOf(w: String): Long =
+      if (w.length > 12) w.length.toLong
+      else UnigramLm.viterbi(w, maxL, lp)
+        .map(_._2.size.toLong).getOrElse(w.length.toLong)
+    val got = UnigramLm.encode(c, "doc_id", "text", m, maxWordLen = 12)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val docs = Seq(
+      0L -> "abab abab cd cd", 1L -> "abab cd extraordinarilylong",
+      2L -> "ab cd abab")
+    for ((id, text) <- docs) {
+      val ws = text.split("\\s+").filter(_.nonEmpty)
+      val chars = ws.map(_.length.toLong).sum
+      val toks = ws.map(tokOf).sum
+      val r = got(id)
+      assert(r._2 === ws.length.toLong && r._3 === chars &&
+        r._4 === toks, s"doc $id: $r")
+      assert(r._5 ===
+        math.floor(chars.toDouble / toks.toDouble * 1e6) / 1e6)
+    }
+    // the 19-char word fell back to char count (tokens = chars)
+    assert(tokOf("extraordinarilylong") === 19L)
+  }
+
   test("train: EM re-estimation concentrates mass — after round 1 " +
       "the dominant multi-char piece's count reflects its Viterbi " +
       "usage, not its raw substring occurrences") {
