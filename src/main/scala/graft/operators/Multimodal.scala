@@ -833,6 +833,120 @@ object Multimodal {
   }
 
   /**
+   * M17 (r14): video-shaped scene-change detection — the composition
+   * [[frames]] was built for, finally feeding a real decoder: a
+   * fixed-frame-size container (the honest stand-in for video in a
+   * container with no codecs — each frame is a self-contained BMP,
+   * so the byte slice [[frames]] emits IS decodable, unlike the WAV
+   * case where a slice loses its header) is sliced into frames,
+   * every complete frame decodes ONCE and fingerprints with the M14
+   * DCT pHash, and consecutive frames compare by hamming — a
+   * boundary (hamming ≥ threshold) is a scene change, the
+   * frame-dedup/keyframe-selection primitive a video curation pass
+   * keys on (static scenes collapse to one keyframe; cuts survive).
+   *
+   * Per clip: one [[frames]] slice (codegen'd substr fan-out,
+   * shuffle-free), one decode+pHash pass per COMPLETE frame (partial
+   * tails drop — a truncated trailing frame is not a scene), one
+   * per-clip window over frame_idx for the lag hamming (bounded by
+   * frames-per-clip, never corpus-wide). The hamming is a 63-position
+   * exact character fold (HOF — 63 elements, not a hot kernel);
+   * everything is integer/string, zero float anywhere.
+   *
+   * Output: (idCol, frame_idx, decode_ok, phash, hamming,
+   * scene_change) — hamming NULL on the first frame and around
+   * undecodable frames (scene_change NULL there too: unknown is not
+   * false); frame 0 is scene_change = true by convention (a clip
+   * starts a scene).
+   */
+  def videoSceneChanges(
+      df: DataFrame, idCol: String, payloadCol: String,
+      frameBytes: Int, grid: Int = 16, threshold: Int = 10): DataFrame = {
+    require(frameBytes >= 62,
+      s"frameBytes must cover at least a BMP header, got $frameBytes")
+    require(grid >= 8 && grid <= 64, s"grid must be in [8, 64], got $grid")
+    require(threshold >= 1 && threshold <= 63,
+      s"threshold must be in [1, 63], got $threshold")
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val n = grid
+    val c = Array.ofDim[Long](n, 8)
+    phashDctTable(n).foreach { case (i, u, v) => c(i)(u) = v }
+    val fr = frames(df, idCol, payloadCol, frameBytes, frameBytes)
+      .where(length(col("frame")) === frameBytes)
+    val hashed = fr
+      .select(col(idCol).cast("long"), col("frame_idx"), col("frame"))
+      .as[(Long, Int, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.grouped(64).flatMap { batch =>
+          batch.map { case (id, fi, bytes) =>
+            val img =
+              try {
+                javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(bytes))
+              } catch { case scala.util.control.NonFatal(_) => null }
+            if (img == null || img.getWidth < n || img.getHeight < n)
+              (id, fi, false, Option.empty[String])
+            else (id, fi, true, Some(phashOfImage(img, n, c)))
+          }
+        }
+      }
+      .toDF(idCol, "frame_idx", "decode_ok", "phash")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("frame_idx"))
+    val prev = lag(col("phash"), 1).over(w)
+    val prevIdx = lag(col("frame_idx"), 1).over(w)
+    val ham = when(col("phash").isNotNull && prev.isNotNull,
+      aggregate(sequence(lit(1), lit(63)), lit(0),
+        (acc, i) => acc + when(
+          col("phash").substr(i, lit(1)) === prev.substr(i, lit(1)),
+          0).otherwise(1)))
+    hashed
+      .withColumn("hamming", ham)
+      .withColumn("scene_change",
+        when(col("frame_idx") === 0, lit(true))
+          .when(col("hamming").isNotNull && prevIdx.isNotNull &&
+            prevIdx === col("frame_idx") - 1,
+            col("hamming") >= threshold))
+  }
+
+  /** M17 fixture: a fixed-frame-size "video" — `nFrames` concatenated
+    * [[syntheticBmpTextured]] BMPs of `w`×`h`; frames before
+    * `switchAt` render scene seed·31+1, the rest seed·31+2 (two
+    * totally different textures — the planted cut). Frame size is
+    * 54 + 3·w·h bytes exactly (w multiple of 4 ⇒ no row padding). */
+  def syntheticVideo(
+      seed: Long, nFrames: Int, w: Int, h: Int,
+      switchAt: Int): Array[Byte] = {
+    require(nFrames >= 1 && switchAt >= 0 && switchAt <= nFrames,
+      s"bad frame plan: n=$nFrames switch=$switchAt")
+    val a = syntheticBmpTextured(seed * 31 + 1, w, h)
+    val b = syntheticBmpTextured(seed * 31 + 2, w, h)
+    val out = new Array[Byte](a.length * nFrames)
+    var f = 0
+    while (f < nFrames) {
+      val src = if (f < switchAt) a else b
+      System.arraycopy(src, 0, out, f * a.length, a.length)
+      f += 1
+    }
+    out
+  }
+
+  /** `(idCol, payload)` frame carrying one [[syntheticVideo]] per
+    * id. */
+  def withSyntheticVideo(
+      df: DataFrame, idCol: String, nFrames: Int, w: Int, h: Int,
+      switchAt: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id =>
+        (id, syntheticVideo(id, nFrames, w, h, switchAt))))
+      .toDF(idCol, "payload")
+  }
+
+  /**
    * Overlapping byte-shingle token string: hex(payload) sliced into
    * `widthBytes`-byte grams every `strideBytes` bytes, space-joined —
    * the binary analogue of word shingles, feeding the same SimHash

@@ -4610,6 +4610,35 @@ object PipelineQueries {
         .orderBy("id", "win_idx", "bin")
     }),
 
+    // M17 (round 14): video-shaped scene-change detection — every
+    // 10th part id carries a 6-frame fixed-frame-size "video" (each
+    // frame a self-contained 16×16 BMP, 822 bytes) with a planted
+    // cut at frame 3; frames() slices, each complete frame decodes
+    // once into the M14 pHash, and consecutive-frame hamming marks
+    // the boundary. A partial-tail clip (id -2, seeds decoupled from
+    // the row id so the oracle's modular arithmetic stays
+    // non-negative) pins the incomplete-frame drop; a corrupt clip
+    // (id -1) pins decode triage.
+    "q335_video_scenes" -> ((s, dir) => {
+      import s.implicits._
+      val ids = t(s, dir, "part")
+        .where(col("p_partkey") % 10 === 0)
+        .select(col("p_partkey").as("id"))
+      val vids = Multimodal.withSyntheticVideo(
+        ids, "id", nFrames = 6, w = 16, h = 16, switchAt = 3)
+      val partial = Seq((-2L,
+        Multimodal.syntheticVideo(5L, 2, 16, 16, 1) ++
+          Array.fill[Byte](100)(9)))
+        .toDF("id", "payload")
+      val corrupt = Seq((-1L, Array.fill[Byte](822 * 2)(3)))
+        .toDF("id", "payload")
+      Multimodal.videoSceneChanges(
+          vids.unionByName(partial).unionByName(corrupt),
+          "id", "payload", frameBytes = 822, grid = 16,
+          threshold = 10)
+        .orderBy("id", "frame_idx")
+    }),
+
     // Q15 capstone (round 13): the FIVE-mechanism release suite —
     // counts + sums + histogram + quantiles + top-k over one dataset
     // under ONE 2.0ε budget (spend 1.7ε), every mechanism family the
@@ -9164,6 +9193,101 @@ object PipelineQueries {
         |)
         |SELECT * FROM ok UNION ALL SELECT * FROM triage
         |ORDER BY id, win_idx, bin""".stripMargin
+    },
+
+    // M17: per-SCENE pHash replay (frames within a scene are
+    // identical, so the q317 DCT pipeline runs once per (clip,
+    // scene) seed and frames join by scene), then the lag hamming
+    // and threshold. Triage rows replay as literal false/NULLs.
+    "q335_video_scenes" -> {
+      val dctRows = graft.operators.Multimodal.phashDctTable(16)
+        .map { case (i, u, c) => s"($i, $u, $c)" }
+        .mkString(",\n        |    ")
+      s"""WITH fr AS MATERIALIZED (
+        |  SELECT CAST(p.p_partkey AS BIGINT) AS id,
+        |    CAST(f.f AS INT) AS frame_idx,
+        |    CASE WHEN f.f < 3 THEN p.p_partkey * 31 + 1
+        |         ELSE p.p_partkey * 31 + 2 END AS seed,
+        |    TRUE AS ok
+        |  FROM part p, (SELECT unnest(range(0, 6)) AS f) f
+        |  WHERE p.p_partkey % 10 = 0
+        |  UNION ALL
+        |  SELECT -2, CAST(f.f AS INT),
+        |    CASE WHEN f.f < 1 THEN 156 ELSE 157 END, TRUE
+        |  FROM (SELECT unnest(range(0, 2)) AS f) f
+        |  UNION ALL
+        |  SELECT -1, CAST(f.f AS INT), NULL, FALSE
+        |  FROM (SELECT unnest(range(0, 2)) AS f) f
+        |), sseed AS MATERIALIZED (
+        |  SELECT DISTINCT seed FROM fr WHERE ok
+        |), lum AS MATERIALIZED (
+        |  SELECT s.seed, x.x, y.y,
+        |    299 * ((s.seed * 7 + (1 + s.seed % 11) * x.x +
+        |      (2 + s.seed % 13) * y.y + (1 + s.seed % 7) * x.x * y.y)
+        |      % 256)
+        |  + 587 * ((s.seed * 11 + (3 + s.seed % 13) * x.x +
+        |      (1 + s.seed % 11) * y.y + (2 + s.seed % 7) * x.x * y.y)
+        |      % 256)
+        |  + 114 * ((s.seed * 13 + (2 + s.seed % 11) * x.x +
+        |      (3 + s.seed % 13) * y.y + (3 + s.seed % 7) * x.x * y.y)
+        |      % 256) AS luma
+        |  FROM sseed s,
+        |    (SELECT unnest(range(0, 16)) AS x) x,
+        |    (SELECT unnest(range(0, 16)) AS y) y
+        |), dct(i, u, c) AS (
+        |  VALUES
+        |    $dctRows
+        |), st1 AS (
+        |  SELECT l.seed, l.x, d.u AS v, SUM(l.luma * d.c) AS s1
+        |  FROM lum l JOIN dct d ON d.i = l.y
+        |  GROUP BY 1, 2, 3
+        |), coef AS (
+        |  SELECT s.seed, d.u, s.v, CAST(SUM(s.s1 * d.c) AS BIGINT)
+        |    AS cf
+        |  FROM st1 s JOIN dct d ON d.i = s.x
+        |  GROUP BY 1, 2, 3
+        |), ac AS (
+        |  SELECT seed, u * 8 + v AS idx, cf FROM coef
+        |  WHERE NOT (u = 0 AND v = 0)
+        |), med AS (
+        |  SELECT seed, cf AS m FROM (
+        |    SELECT seed, cf, row_number() OVER (
+        |      PARTITION BY seed ORDER BY cf) AS rn
+        |    FROM ac) WHERE rn = 32
+        |), ph AS MATERIALIZED (
+        |  SELECT a.seed,
+        |    string_agg(CASE WHEN a.cf > m.m THEN '1' ELSE '0' END,
+        |      '' ORDER BY a.idx) AS phash
+        |  FROM ac a JOIN med m USING (seed) GROUP BY a.seed
+        |), fh AS (
+        |  SELECT f.id, f.frame_idx, f.ok AS decode_ok,
+        |    CASE WHEN f.ok THEN p.phash END AS phash
+        |  FROM fr f LEFT JOIN ph p ON p.seed = f.seed
+        |), lagd AS MATERIALIZED (
+        |  SELECT id, frame_idx, decode_ok, phash,
+        |    lag(phash) OVER (PARTITION BY id ORDER BY frame_idx)
+        |      AS prev,
+        |    lag(frame_idx) OVER (PARTITION BY id ORDER BY frame_idx)
+        |      AS pidx
+        |  FROM fh
+        |), hamd AS (
+        |  SELECT l.id, l.frame_idx,
+        |    CAST(SUM(CASE WHEN substr(l.phash, ii.i, 1) <>
+        |      substr(l.prev, ii.i, 1) THEN 1 ELSE 0 END) AS INT)
+        |      AS hamming
+        |  FROM lagd l, (SELECT unnest(range(1, 64)) AS i) ii
+        |  WHERE l.phash IS NOT NULL AND l.prev IS NOT NULL
+        |  GROUP BY 1, 2
+        |)
+        |SELECT l.id, l.frame_idx, l.decode_ok, l.phash, h.hamming,
+        |  CASE WHEN l.frame_idx = 0 THEN TRUE
+        |       WHEN h.hamming IS NOT NULL
+        |         AND l.pidx = l.frame_idx - 1
+        |         THEN h.hamming >= 10
+        |       END AS scene_change
+        |FROM lagd l LEFT JOIN hamd h
+        |  ON h.id = l.id AND h.frame_idx = l.frame_idx
+        |ORDER BY l.id, l.frame_idx""".stripMargin
     },
 
     // M14: both perceptual pipelines replayed from the pixel formula

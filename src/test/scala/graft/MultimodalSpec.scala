@@ -528,6 +528,55 @@ class MultimodalSpec extends AnyFunSuite {
     assert(capped.toSet === Set(0, 1))
   }
 
+  test("videoSceneChanges: planted cut flags at the boundary, static " +
+      "frames read hamming 0, per-frame pHash parity with the fused " +
+      "operator, partial tails drop, corrupt frames triage") {
+    val clip = Multimodal.syntheticVideo(9L, 6, 16, 16, switchAt = 3)
+    assert(clip.length === 822 * 6)
+    val partial = Multimodal.syntheticVideo(5L, 2, 16, 16, 1) ++
+      Array.fill[Byte](100)(7)
+    val corrupt = Array.fill[Byte](822 * 2)(3)
+    val df = Seq((1L, clip), (2L, partial), (3L, corrupt))
+      .toDF("id", "payload")
+    val got = Multimodal.videoSceneChanges(df, "id", "payload",
+        frameBytes = 822, grid = 16, threshold = 10)
+      .as[(Long, Int, Boolean, Option[String], Option[Int],
+        Option[Boolean])].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // clip 1: 6 frames; 0 starts a scene; 1-2 identical to 0;
+    // 3 is the cut; 4-5 identical to 3
+    assert(got.keySet.count(_._1 == 1L) === 6)
+    assert(got((1L, 0)) === ((1L, 0, true,
+      got((1L, 0))._4, None, Some(true))))
+    for (f <- Seq(1, 2, 4, 5))
+      assert(got((1L, f))._5 === Some(0) &&
+        got((1L, f))._6 === Some(false), s"static frame $f")
+    val cut = got((1L, 3))
+    assert(cut._5.exists(_ >= 10) && cut._6 === Some(true),
+      s"planted cut must flag: $cut")
+    // per-frame pHash parity with the fused single-image operator
+    val sceneHashes = Multimodal.imagePerceptualHashes(
+        Seq((0L, Multimodal.syntheticBmpTextured(9L * 31 + 1, 16, 16)),
+          (1L, Multimodal.syntheticBmpTextured(9L * 31 + 2, 16, 16)))
+          .toDF("id", "payload"), "id", "payload")
+      .as[(Long, Boolean, Option[String], Option[String])]
+      .collect().map(r => r._1 -> r._4.get).toMap
+    assert(got((1L, 0))._4 === Some(sceneHashes(0L)))
+    assert(got((1L, 3))._4 === Some(sceneHashes(1L)))
+    // the cut hamming equals the direct hash comparison
+    val direct = sceneHashes(0L).zip(sceneHashes(1L))
+      .count { case (a, b) => a != b }
+    assert(cut._5 === Some(direct))
+    // clip 2: 100-byte tail dropped -> exactly 2 frames, cut at 1
+    assert(got.keySet.count(_._1 == 2L) === 2)
+    assert(got((2L, 1))._5.exists(_ >= 10) &&
+      got((2L, 1))._6 === Some(true))
+    // clip 3: complete frames that don't decode -> triage rows,
+    // frame 0 still opens a scene, frame 1 unknown (NULL)
+    assert(got((3L, 0)) === ((3L, 0, false, None, None, Some(true))))
+    assert(got((3L, 1)) === ((3L, 1, false, None, None, None)))
+  }
+
   test("imagePerceptualHashes: fused pass is byte-identical to the " +
       "single-hash operators; tiered triage") {
     val df = Seq(
