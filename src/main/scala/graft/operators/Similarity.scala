@@ -1526,6 +1526,136 @@ object Similarity {
   }
 
   /**
+   * V34 (r14): SQ8 scale-calibration audit — the [[pqReconstructionError]]
+   * counterpart for the scalar-quantized family (V29/V30/V32 serve
+   * and sweep SQ8 but nothing AUDITS the scale choice): the
+   * corpus-global r = 127/max|x| scale is OUTLIER-HOSTAGE — one huge
+   * component shrinks every other component onto a handful of int8
+   * levels — and the standard production fix clips the scale at a
+   * high percentile, trading a bounded clipped fraction for a finer
+   * step on the bulk. This audit prices that trade per candidate
+   * clip level: the exact nearest-rank |component| percentile (the
+   * q108/q183 integer-rank discipline on the floor(|x|·10⁶) grid),
+   * the resulting scale, the clipped-component count/rate, and the
+   * reconstruction MSE of encode→decode under that scale —
+   * per-component squared error on the floor(d²·10⁶) grid summed in
+   * exact DECIMAL(38,0) (the q321 d² discipline), so both engines
+   * replay the whole table bit-identically. clip = 1000‰ is exactly
+   * [[sq8Search]]'s max-abs scale and must read zero clipped.
+   *
+   * Encode/decode replayed: q = clamp(⌊x·r + 0.5⌋, ±127), x̂ = q/r —
+   * one IEEE multiply+floor and one division per component, both
+   * fixed chains on identical doubles (q195 floor-grid rule; ties
+   * measure-zero).
+   *
+   * Scale: one component explode feeds a distinct-|value| cumulative
+   * table (bounded by the value domain — the q183 weighted-quantile
+   * contract; the un-partitioned window rides the distinct-value
+   * table, never the corpus), then one per-level scan computes clip
+   * and error sums with partial aggregation. Levels are a literal
+   * handful.
+   *
+   * Output: (clip_per_mille, v_abs, scale, n_components, n_clipped,
+   * clip_rate, mse, mse_unclipped), ascending by clip_per_mille —
+   * `mse` is the whole-corpus number (the clipped outliers' large
+   * errors INCLUDED, so it prices what clipping destroys), while
+   * `mse_unclipped` averages the surviving components only (the
+   * finer step the clip BUYS for the bulk); the calibration read is
+   * their joint movement, and at 1000‰ they coincide. Degenerate
+   * corpus (all-zero vectors → v = 0) emits NULL scale/mse rows
+   * rather than dividing by zero.
+   */
+  def sq8CalibrationAudit(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      clipPerMilles: Seq[Int]): DataFrame = {
+    require(clipPerMilles.nonEmpty, "need at least one clip level")
+    require(clipPerMilles.forall(p => p >= 1 && p <= 1000),
+      s"clip levels are per-mille in [1, 1000], got $clipPerMilles")
+    require(clipPerMilles.distinct.size == clipPerMilles.size,
+      "clip levels must be distinct")
+    val spark = corpus.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    // Deliberately NOT barriered: materializing the exploded
+    // component table would cache corpus×dims rows; each consumer is
+    // one column-pruned scan of the source, and re-scanning beats
+    // caching at any real corpus size.
+    val comps = corpus
+      .select(toDoubleVec(col(vecCol)).as("__v"))
+      .select(explode(col("__v")).as("__x"))
+    val u = floor(abs(col("__x")) * lit(1000000.0)).cast("long")
+    val dist = comps.select(u.as("__u"))
+      .groupBy("__u").agg(count(lit(1)).as("__c"))
+    // bounded-domain cumulative frame (q183 contract)
+    val wCum = Window.orderBy(col("__u"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = dist
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .crossJoin(broadcast(
+        dist.agg(coalesce(sum(col("__c")), lit(0L)).as("__n"))))
+    val levels = clipPerMilles.sorted
+    // v_p = the k-th smallest |x| on the micro grid, k = ceil(p·n/1000)
+    // in pure integer arithmetic (q220 div discipline)
+    val thresholds = levels.map { p =>
+      val vRow = cum
+        .where(col("__cum") * lit(1000L) >=
+          col("__n") * lit(p.toLong))
+        .agg(min(col("__u")).as("__vu"),
+          first(col("__n")).as("__n"))
+        .collect()(0) // one bounded row per level
+      val n = if (vRow.isNullAt(1)) 0L else vRow.getLong(1)
+      val vu = if (vRow.isNullAt(0)) 0L else vRow.getLong(0)
+      (p, vu, n)
+    }
+    val rows = thresholds.map { case (p, vu, n) =>
+      if (n == 0L || vu == 0L) {
+        // empty or all-zero corpus at this level: no scale exists
+        import spark.implicits._
+        Seq((p, vu / 1000000.0, Option.empty[Double], n, 0L,
+          Option.empty[Double], Option.empty[Double],
+          Option.empty[Double]))
+          .toDF("clip_per_mille", "v_abs", "scale", "n_components",
+            "n_clipped", "clip_rate", "mse", "mse_unclipped")
+      } else {
+        val v = vu / 1000000.0
+        val r = 127.0 / v
+        val q = greatest(lit(-127L),
+          least(lit(127L),
+            floor(col("__x") * lit(r) + lit(0.5)).cast("long")))
+        val xhat = q.cast("double") / lit(r)
+        val d = col("__x") - xhat
+        comps.select(
+            (abs(col("__x")) > lit(v)).cast("long").as("__clip"),
+            floor(d * d * lit(1000000.0)).cast("long").as("__e"))
+          .agg(count(lit(1)).as("n_components"),
+            sum(col("__clip")).as("n_clipped"),
+            sum(col("__e").cast(dec)).as("__se"),
+            sum(when(col("__clip") === 0L, col("__e"))
+              .otherwise(0L).cast(dec)).as("__seu"))
+          .select(
+            lit(p).as("clip_per_mille"),
+            lit(v).as("v_abs"),
+            lit(r).as("scale"),
+            col("n_components"), col("n_clipped"),
+            round(col("n_clipped").cast("double") /
+              when(col("n_components") > 0L,
+                col("n_components").cast("double")), 6)
+              .as("clip_rate"),
+            round(col("__se").cast("double") /
+              when(col("n_components") > 0L,
+                col("n_components").cast("double")) /
+              lit(1000000.0), 6).as("mse"),
+            round(col("__seu").cast("double") /
+              when(col("n_components") - col("n_clipped") > 0L,
+                (col("n_components") - col("n_clipped"))
+                  .cast("double")) /
+              lit(1000000.0), 6).as("mse_unclipped"))
+      }
+    }
+    rows.reduce(_.unionByName(_)).orderBy("clip_per_mille")
+  }
+
+  /**
    * V33 (r14): retrain readout — ACT on [[ivfIngestAudit]]'s signal
    * and PRICE the act, closing the detect→act loop the Q8→Q9 pair
    * models: the audit runs first (same thresholds, same exact

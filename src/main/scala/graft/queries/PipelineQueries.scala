@@ -4514,6 +4514,17 @@ object PipelineQueries {
         nprobes = Seq(1, 2, 4, 8), k = 5)
     }),
 
+    // V34 (round 14): SQ8 scale-calibration audit — exact
+    // nearest-rank |component| percentiles at 950/990/1000‰, the
+    // resulting scales, clipped fractions, and floor-grid
+    // reconstruction MSE per candidate; 1000‰ IS sq8Search's
+    // max-abs scale and must read zero clipped.
+    "q336_sq8_calibration" -> ((s, dir) => {
+      Similarity.sq8CalibrationAudit(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        clipPerMilles = Seq(950, 990, 1000))
+    }),
+
     // V31 (round 13): incremental IVF ingest audit — every 5th
     // vec_id plays the arriving batch against an index trained on
     // the rest; per trained cell the audit reads growth and
@@ -8784,6 +8795,63 @@ object PipelineQueries {
         |        / CAST(g.exact_pairs AS DOUBLE), 6) END
         |  FROM gtot g, hita h WHERE (SELECT rt FROM ret)
         |) ORDER BY phase""".stripMargin,
+
+    // V34: distinct-|value| cumulative table, integer nearest-rank
+    // thresholds, then per level the clamp/floor encode-decode chain
+    // with floor-grid squared errors summed HUGEINT.
+    "q336_sq8_calibration" ->
+      """WITH el AS MATERIALIZED (
+        |  SELECT CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings
+        |), dist AS MATERIALIZED (
+        |  SELECT CAST(floor(abs(x) * 1000000.0) AS BIGINT) AS u,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM el GROUP BY 1
+        |), cum AS MATERIALIZED (
+        |  SELECT u, SUM(c) OVER (ORDER BY u ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS cum,
+        |    (SELECT CAST(SUM(c) AS BIGINT) FROM dist) AS n
+        |  FROM dist
+        |), lv(p) AS (VALUES (950), (990), (1000)),
+        |vt AS MATERIALIZED (
+        |  SELECT l.p, CAST(MIN(c.u) AS BIGINT) AS vu,
+        |    CAST(any_value(c.n) AS BIGINT) AS n
+        |  FROM lv l JOIN cum c ON c.cum * 1000 >= c.n * l.p
+        |  GROUP BY l.p
+        |), errc AS (
+        |  SELECT v.p,
+        |    CASE WHEN abs(e.x) > v.vu / 1000000.0
+        |      THEN 1 ELSE 0 END AS clip,
+        |    e.x - (LEAST(127, GREATEST(-127,
+        |      CAST(floor(e.x * (127.0 / (v.vu / 1000000.0)) + 0.5)
+        |        AS BIGINT)))
+        |      / (127.0 / (v.vu / 1000000.0))) AS d
+        |  FROM el e, vt v
+        |  WHERE v.vu > 0
+        |), err AS (
+        |  SELECT p, CAST(COUNT(*) AS BIGINT) AS n_components,
+        |    CAST(SUM(clip) AS BIGINT) AS n_clipped,
+        |    CAST(SUM(CAST(floor(d * d * 1000000.0) AS BIGINT))
+        |      AS HUGEINT) AS se,
+        |    CAST(SUM(CASE WHEN clip = 0
+        |      THEN CAST(floor(d * d * 1000000.0) AS BIGINT)
+        |      ELSE 0 END) AS HUGEINT) AS seu
+        |  FROM errc GROUP BY p
+        |)
+        |SELECT CAST(v.p AS INT) AS clip_per_mille,
+        |  v.vu / 1000000.0 AS v_abs,
+        |  127.0 / (v.vu / 1000000.0) AS scale,
+        |  r.n_components, r.n_clipped,
+        |  round(CAST(r.n_clipped AS DOUBLE)
+        |    / CAST(r.n_components AS DOUBLE), 6) AS clip_rate,
+        |  round(CAST(r.se AS DOUBLE)
+        |    / CAST(r.n_components AS DOUBLE) / 1000000.0, 6) AS mse,
+        |  round(CAST(r.seu AS DOUBLE)
+        |    / CASE WHEN r.n_components - r.n_clipped > 0
+        |        THEN CAST(r.n_components - r.n_clipped AS DOUBLE)
+        |        END / 1000000.0, 6) AS mse_unclipped
+        |FROM vt v JOIN err r ON r.p = v.p
+        |ORDER BY clip_per_mille""".stripMargin,
 
     "q321_ivf_ingest_audit" ->
       """WITH el AS (

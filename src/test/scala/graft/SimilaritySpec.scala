@@ -865,6 +865,55 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("sq8CalibrationAudit: max-abs level clips nothing, clipping " +
+      "the outlier shrinks bulk reconstruction error, exact " +
+      "nearest-rank thresholds, degenerate corpus stays NULL") {
+    // 99 bulk components near ±1 plus one 100.0 outlier: the
+    // max-abs scale (127/100) squeezes the bulk onto ±1 levels
+    val vecs = ((0L until 24L).map { i =>
+      (i, Seq(1.0f + (i % 5) * 0.01f, -1.0f - (i % 3) * 0.01f,
+        0.5f, -0.25f))
+    } :+ (24L, Seq(100.0f, 1.0f, -1.0f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.sq8CalibrationAudit(vecs, "vec_id",
+        "embedding", clipPerMilles = Seq(950, 1000))
+      .as[(Int, Double, Option[Double], Long, Long, Option[Double],
+        Option[Double], Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    val full = got(1000)
+    // 1000 permille = the exact max |component| = sq8Search's scale;
+    // nothing clips, so mse and mse_unclipped coincide
+    assert(full._2 === 100.0 && full._5 === 0L &&
+      full._6 === Some(0.0))
+    assert(full._7 === full._8)
+    // 950 permille over 100 components: rank ceil(95) = 95th value;
+    // only the 100.0 outlier exceeds it
+    val clipped = got(950)
+    assert(clipped._4 === 100L && clipped._5 >= 1L)
+    assert(clipped._2 < 2.0, s"bulk threshold, got ${clipped._2}")
+    // the trade, both sides priced: clipping buys the BULK a far
+    // finer step (mse_unclipped collapses) while the clipped
+    // outlier's error dominates the overall mse
+    assert(clipped._8.get * 100 < full._7.get,
+      s"bulk mse ${clipped._8} must be << max-abs mse ${full._7}")
+    assert(clipped._7.get > full._7.get,
+      "overall mse must carry the clipped outlier's error")
+    // degenerate: all-zero corpus emits NULL scale/mse, no throw
+    val zero = Seq((1L, Seq(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val z = Similarity.sq8CalibrationAudit(zero, "vec_id",
+        "embedding", clipPerMilles = Seq(1000))
+      .as[(Int, Double, Option[Double], Long, Long, Option[Double],
+        Option[Double], Option[Double])].collect().head
+    assert(z._3.isEmpty && z._7.isEmpty && z._8.isEmpty)
+    // determinism
+    val again = Similarity.sq8CalibrationAudit(vecs, "vec_id",
+        "embedding", clipPerMilles = Seq(950, 1000))
+      .as[(Int, Double, Option[Double], Long, Long, Option[Double],
+        Option[Double], Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(again === got)
+  }
+
   test("ivfRetrainReadout: drifted boundary batch triggers the audit " +
       "and the appended cell restores recall; quiet batch emits only " +
       "the before row with retrain_triggered = false") {
