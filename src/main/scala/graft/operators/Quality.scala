@@ -2776,14 +2776,21 @@ object Quality {
     * MUST also declare `domain` (a one-column frame of the partition
     * keys its mechanism touches) for
     * [[dpReleaseSuitePartitioned]] to VERIFY the disjointness before
-    * anything runs. */
+    * anything runs. `keyCol` (r15, ADVICE fix) names the OUTPUT
+    * column carrying the release's partition keys (e.g.
+    * [[dpCountReleaseOverDomain]]'s key column) — when declared on a
+    * grouped release, the ledger additionally asserts the released
+    * keys ⊆ the declared domain AFTER running the thunk, catching a
+    * mechanism that was mis-declared (grouping over keys outside its
+    * claimed domain). */
   final case class DpDeclaredRelease(
       name: String,
       epsilonMicro: Long,
       release: () => DataFrame,
       totalCol: Option[String] = None,
       parallelGroup: Option[String] = None,
-      domain: Option[() => DataFrame] = None)
+      domain: Option[() => DataFrame] = None,
+      keyCol: Option[String] = None)
 
   /**
    * Q15 (r13): ε-budget composition ledger — the accounting layer
@@ -2879,13 +2886,23 @@ object Quality {
    * counts sequentially spend 4.0ε but actually expose any single
    * row to 0.8ε.
    *
-   * DISJOINTNESS IS VERIFIED, NEVER TRUSTED: every release claiming
-   * a `parallelGroup` must declare its key `domain`; per group the
-   * declared domains are unioned and any key claimed by two releases
-   * REFUSES the whole suite (all-or-nothing, before any release
-   * thunk runs — same contract as the budget refusal). Domains are
-   * PUBLIC key sets (the Q10 domain rule), so the check costs one
-   * bounded aggregate per group and reveals nothing private.
+   * DECLARED-DOMAIN DISJOINTNESS IS VERIFIED, NEVER TRUSTED: every
+   * release claiming a `parallelGroup` must declare its key
+   * `domain`; per group the declared domains are unioned and any key
+   * claimed by two releases REFUSES the whole suite (all-or-nothing,
+   * before any release thunk runs — same contract as the budget
+   * refusal). Domains are PUBLIC key sets (the Q10 domain rule), so
+   * the check costs one bounded aggregate per group and reveals
+   * nothing private. The declarations themselves are additionally
+   * checked against the MECHANISM where possible (r15, ADVICE fix):
+   * a grouped release that also declares `keyCol` has its actual
+   * output keys asserted ⊆ its declared domain after the thunk runs
+   * — a release grouping over keys outside its claimed domain is a
+   * mis-declaration that would otherwise silently earn max-ε
+   * accounting it isn't entitled to. Releases whose output carries
+   * no key column (scalars) can't be mechanism-checked; for those
+   * the verification remains declaration-level, and the guarantee is
+   * only as good as the declaration.
    *
    * Accounting (exact integer micro-ε, declared order): an ungrouped
    * release charges its ε; a grouped release charges the INCREMENT
@@ -2964,6 +2981,35 @@ object Quality {
               "than one release — parallel composition does not " +
               "apply; refusing the suite")
       case _ => ()
+    }
+    // Mechanism-vs-declaration check (r15, ADVICE fix): a grouped
+    // release declaring its output key column must have actually
+    // confined itself to its declared domain — one bounded anti-join
+    // probe per keyed release (release output is domain-sized, the
+    // domain broadcasts; mechanisms are deterministic per the Q10
+    // contract, so the ledger's later aggregate re-runs identically).
+    releases.foreach { r =>
+      (r.parallelGroup, r.keyCol, r.domain) match {
+        case (Some(g), Some(kc), Some(domThunk)) =>
+          val d = domThunk()
+          require(d.columns.length == 1,
+            s"release '${r.name}' domain must be a single key " +
+              s"column, got ${d.columns.toSeq}")
+          val escaped = r.release()
+            .select(col(kc).cast("string").as("__rk")).distinct()
+            .join(broadcast(d.select(col(d.columns.head)
+                .cast("string").as("__rk")).distinct()),
+              Seq("__rk"), "left_anti")
+            .orderBy("__rk").limit(1)
+            .collect()
+          if (escaped.nonEmpty)
+            throw new IllegalStateException(
+              s"release '${r.name}' in parallel group '$g' released " +
+                s"key '${escaped.head.getString(0)}' OUTSIDE its " +
+                "declared domain — the parallel-composition claim " +
+                "is mis-declared; refusing the suite")
+        case _ => ()
+      }
     }
     releases.zip(charges).zip(cums).zipWithIndex.map {
       case (((r, charge), cum), i) =>

@@ -1540,8 +1540,19 @@ object Similarity {
    * reconstruction MSE of encode→decode under that scale —
    * per-component squared error on the floor(d²·10⁶) grid summed in
    * exact DECIMAL(38,0) (the q321 d² discipline), so both engines
-   * replay the whole table bit-identically. clip = 1000‰ is exactly
-   * [[sq8Search]]'s max-abs scale and must read zero clipped.
+   * replay the whole table bit-identically.
+   *
+   * CLIP FLAG IS ON THE MICRO GRID (r14 ADVICE fix): a component
+   * counts as clipped iff floor(|x|·10⁶) > vu, the same grid the
+   * threshold itself lives on — comparing raw |x| against the
+   * FLOORED percentile vu/10⁶ would count the max component itself
+   * as clipped whenever max|x|·10⁶ is non-integral (verified on the
+   * shipped sf0.1 embeddings: 1 false clip at 1000‰ under the raw
+   * compare). On the grid, the 1000‰ row reads zero clipped by
+   * construction. NOTE the audited scale is 127/(vu/10⁶), the
+   * grid-floored threshold — at 1000‰ this is ≥ sq8Search's exact
+   * 127/max|x| by at most one part in 10⁶·v; the grid is the audit's
+   * stated resolution.
    *
    * Encode/decode replayed: q = clamp(⌊x·r + 0.5⌋, ±127), x̂ = q/r —
    * one IEEE multiply+floor and one division per component, both
@@ -1561,9 +1572,16 @@ object Similarity {
    * errors INCLUDED, so it prices what clipping destroys), while
    * `mse_unclipped` averages the surviving components only (the
    * finer step the clip BUYS for the bulk); the calibration read is
-   * their joint movement, and at 1000‰ they coincide. Degenerate
-   * corpus (all-zero vectors → v = 0) emits NULL scale/mse rows
-   * rather than dividing by zero.
+   * their joint movement, and at 1000‰ they coincide.
+   *
+   * DEGENERATE PATHS (r14 ADVICE fix, two distinguished cases): an
+   * EMPTY corpus or an ALL-ZERO corpus (max grid unit 0) truly has
+   * no scale — those emit a NULL scale/mse row per level. A
+   * SUB-MICRO percentile over a non-zero corpus (vu = 0 but
+   * max|x| > 0 — a low clip level on tiny-magnitude components) is
+   * NOT scale-less: the threshold clamps UP to one grid unit
+   * (vu = 1, the audit's stated 1e-6 resolution) and the row
+   * computes normally with that conservative scale.
    */
   def sq8CalibrationAudit(
       corpus: DataFrame, idCol: String, vecCol: String,
@@ -1594,6 +1612,11 @@ object Similarity {
       .crossJoin(broadcast(
         dist.agg(coalesce(sum(col("__c")), lit(0L)).as("__n"))))
     val levels = clipPerMilles.sorted
+    // max grid unit distinguishes an all-zero corpus (no scale
+    // exists) from a sub-micro percentile (clamp up to the grid) —
+    // one bounded single-row job (r14 ADVICE fix).
+    val maxU = dist.agg(coalesce(max(col("__u")), lit(0L)))
+      .collect()(0).getLong(0)
     // v_p = the k-th smallest |x| on the micro grid, k = ceil(p·n/1000)
     // in pure integer arithmetic (q220 div discipline)
     val thresholds = levels.map { p =>
@@ -1607,16 +1630,18 @@ object Similarity {
       val vu = if (vRow.isNullAt(0)) 0L else vRow.getLong(0)
       (p, vu, n)
     }
-    val rows = thresholds.map { case (p, vu, n) =>
-      if (n == 0L || vu == 0L) {
-        // empty or all-zero corpus at this level: no scale exists
+    val rows = thresholds.map { case (p, vu0, n) =>
+      if (n == 0L || maxU == 0L) {
+        // empty or all-zero corpus: no scale exists at any level
         import spark.implicits._
-        Seq((p, vu / 1000000.0, Option.empty[Double], n, 0L,
+        Seq((p, vu0 / 1000000.0, Option.empty[Double], n, 0L,
           Option.empty[Double], Option.empty[Double],
           Option.empty[Double]))
           .toDF("clip_per_mille", "v_abs", "scale", "n_components",
             "n_clipped", "clip_rate", "mse", "mse_unclipped")
       } else {
+        // sub-micro percentile clamps UP to the grid resolution
+        val vu = math.max(vu0, 1L)
         val v = vu / 1000000.0
         val r = 127.0 / v
         val q = greatest(lit(-127L),
@@ -1625,7 +1650,8 @@ object Similarity {
         val xhat = q.cast("double") / lit(r)
         val d = col("__x") - xhat
         comps.select(
-            (abs(col("__x")) > lit(v)).cast("long").as("__clip"),
+            (floor(abs(col("__x")) * lit(1000000.0)).cast("long")
+              > lit(vu)).cast("long").as("__clip"),
             floor(d * d * lit(1000000.0)).cast("long").as("__e"))
           .agg(count(lit(1)).as("n_components"),
             sum(col("__clip")).as("n_clipped"),

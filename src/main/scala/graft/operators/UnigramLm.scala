@@ -177,6 +177,14 @@ object UnigramLm {
       .orderBy(col("cnt").desc, col("piece").asc)
       .select(col("piece"), col("cnt"))
       .as[(String, Long)].collect().toSeq
+    // Fail fast (r14 ADVICE): an empty word vocabulary (empty or
+    // whitespace-only corpus, or every word longer than maxWordLen)
+    // would otherwise surface as an opaque empty.max inside the EM
+    // loop and a 0/0 in scorePieces.
+    require(chars.nonEmpty,
+      s"unigram-LM training corpus has no trainable words: every " +
+        s"'$textCol' word is empty/whitespace-only or longer than " +
+        s"maxWordLen=$maxWordLen")
     val multis = sub.where(col("len") >= 2 && col("cnt") >= minCount)
       .orderBy(col("cnt").desc, col("piece").asc)
       .limit(multiKeep)

@@ -4517,8 +4517,11 @@ object PipelineQueries {
     // V34 (round 14): SQ8 scale-calibration audit — exact
     // nearest-rank |component| percentiles at 950/990/1000‰, the
     // resulting scales, clipped fractions, and floor-grid
-    // reconstruction MSE per candidate; 1000‰ IS sq8Search's
-    // max-abs scale and must read zero clipped.
+    // reconstruction MSE per candidate. The clip flag lives on the
+    // floor(|x|·1e6) grid (r15 fix), so the 1000‰ row reads zero
+    // clipped by construction; its scale is the grid-floored
+    // 127/(vu/1e6), within one part in 1e6·v of sq8Search's exact
+    // 127/max|x|.
     "q336_sq8_calibration" -> ((s, dir) => {
       Similarity.sq8CalibrationAudit(
         t(s, dir, "embeddings"), "vec_id", "embedding",
@@ -4707,18 +4710,18 @@ object PipelineQueries {
           () => Q.dpCountReleaseOverDomain(docs, langDom("de", "en"),
             Seq("lang"), epsilon = 0.8, seed = 71L, clampK = 50),
           Some("released_count"), Some("lang_shards"),
-          Some(() => langDom("de", "en"))),
+          Some(() => langDom("de", "en")), Some("lang")),
         Q.DpDeclaredRelease("counts_es_fr", 800000L,
           () => Q.dpCountReleaseOverDomain(docs, langDom("es", "fr"),
             Seq("lang"), epsilon = 0.8, seed = 72L, clampK = 50),
           Some("released_count"), Some("lang_shards"),
-          Some(() => langDom("es", "fr"))),
+          Some(() => langDom("es", "fr")), Some("lang")),
         Q.DpDeclaredRelease("counts_zh_xx_yy", 800000L,
           () => Q.dpCountReleaseOverDomain(docs,
             langDom("zh", "xx", "yy"), Seq("lang"),
             epsilon = 0.8, seed = 73L, clampK = 50),
           Some("released_count"), Some("lang_shards"),
-          Some(() => langDom("zh", "xx", "yy"))),
+          Some(() => langDom("zh", "xx", "yy")), Some("lang")),
         Q.DpDeclaredRelease("value_sums", 500000L,
           () => Q.dpSumRelease(ev, Seq("event_type"), col("value"),
             epsilon = 0.5, seed = 74L, clampHi = 8L, clampK = 320),
@@ -8798,7 +8801,10 @@ object PipelineQueries {
 
     // V34: distinct-|value| cumulative table, integer nearest-rank
     // thresholds, then per level the clamp/floor encode-decode chain
-    // with floor-grid squared errors summed HUGEINT.
+    // with floor-grid squared errors summed HUGEINT. Clip flag on
+    // the micro grid (floor(|x|·1e6) > vu) and sub-micro thresholds
+    // clamp up to vu = 1; empty/all-zero corpus emits NULL rows —
+    // all mirroring the Spark side (r14 ADVICE fixes).
     "q336_sq8_calibration" ->
       """WITH el AS MATERIALIZED (
         |  SELECT CAST(unnest(embedding) AS DOUBLE) AS x
@@ -8807,6 +8813,8 @@ object PipelineQueries {
         |  SELECT CAST(floor(abs(x) * 1000000.0) AS BIGINT) AS u,
         |    CAST(COUNT(*) AS BIGINT) AS c
         |  FROM el GROUP BY 1
+        |), mx AS (
+        |  SELECT COALESCE(CAST(MAX(u) AS BIGINT), 0) AS maxu FROM dist
         |), cum AS MATERIALIZED (
         |  SELECT u, SUM(c) OVER (ORDER BY u ROWS BETWEEN UNBOUNDED
         |      PRECEDING AND CURRENT ROW) AS cum,
@@ -8814,20 +8822,27 @@ object PipelineQueries {
         |  FROM dist
         |), lv(p) AS (VALUES (950), (990), (1000)),
         |vt AS MATERIALIZED (
-        |  SELECT l.p, CAST(MIN(c.u) AS BIGINT) AS vu,
-        |    CAST(any_value(c.n) AS BIGINT) AS n
-        |  FROM lv l JOIN cum c ON c.cum * 1000 >= c.n * l.p
+        |  SELECT l.p,
+        |    COALESCE(CAST(MIN(c.u) AS BIGINT), 0) AS vu0,
+        |    COALESCE(CAST(any_value(c.n) AS BIGINT), 0) AS n,
+        |    (SELECT maxu FROM mx) AS maxu
+        |  FROM lv l LEFT JOIN cum c ON c.cum * 1000 >= c.n * l.p
         |  GROUP BY l.p
+        |), vte AS MATERIALIZED (
+        |  SELECT p, n, maxu, GREATEST(vu0, 1) AS vu,
+        |    CAST(vu0 AS DOUBLE) / 1000000.0 AS v_abs0
+        |  FROM vt
         |), errc AS (
         |  SELECT v.p,
-        |    CASE WHEN abs(e.x) > v.vu / 1000000.0
+        |    CASE WHEN CAST(floor(abs(e.x) * 1000000.0) AS BIGINT)
+        |        > v.vu
         |      THEN 1 ELSE 0 END AS clip,
         |    e.x - (LEAST(127, GREATEST(-127,
         |      CAST(floor(e.x * (127.0 / (v.vu / 1000000.0)) + 0.5)
         |        AS BIGINT)))
         |      / (127.0 / (v.vu / 1000000.0))) AS d
-        |  FROM el e, vt v
-        |  WHERE v.vu > 0
+        |  FROM el e, vte v
+        |  WHERE v.n > 0 AND v.maxu > 0
         |), err AS (
         |  SELECT p, CAST(COUNT(*) AS BIGINT) AS n_components,
         |    CAST(SUM(clip) AS BIGINT) AS n_clipped,
@@ -8839,9 +8854,12 @@ object PipelineQueries {
         |  FROM errc GROUP BY p
         |)
         |SELECT CAST(v.p AS INT) AS clip_per_mille,
-        |  v.vu / 1000000.0 AS v_abs,
-        |  127.0 / (v.vu / 1000000.0) AS scale,
-        |  r.n_components, r.n_clipped,
+        |  CASE WHEN v.n > 0 AND v.maxu > 0
+        |    THEN v.vu / 1000000.0 ELSE v.v_abs0 END AS v_abs,
+        |  CASE WHEN v.n > 0 AND v.maxu > 0
+        |    THEN 127.0 / (v.vu / 1000000.0) END AS scale,
+        |  COALESCE(r.n_components, v.n) AS n_components,
+        |  COALESCE(r.n_clipped, 0) AS n_clipped,
         |  round(CAST(r.n_clipped AS DOUBLE)
         |    / CAST(r.n_components AS DOUBLE), 6) AS clip_rate,
         |  round(CAST(r.se AS DOUBLE)
@@ -8850,7 +8868,7 @@ object PipelineQueries {
         |    / CASE WHEN r.n_components - r.n_clipped > 0
         |        THEN CAST(r.n_components - r.n_clipped AS DOUBLE)
         |        END / 1000000.0, 6) AS mse_unclipped
-        |FROM vt v JOIN err r ON r.p = v.p
+        |FROM vte v LEFT JOIN err r ON r.p = v.p
         |ORDER BY clip_per_mille""".stripMargin,
 
     "q321_ivf_ingest_audit" ->

@@ -1584,6 +1584,49 @@ class QualitySpec extends AnyFunSuite {
     assert(!invoked)
   }
 
+  test("dpReleaseSuitePartitioned (r15 ADVICE): a keyed grouped " +
+      "release whose MECHANISM escapes its declared domain is " +
+      "refused; an honest keyed release passes") {
+    val df = Seq(("a", 1), ("b", 1), ("c", 1)).toDF("k", "n")
+    def dom(ks: String*) = ks.toDF("k")
+    // mis-declared: the mechanism releases over {a, b, c} (observed
+    // groups) while declaring only {a} — the declared domains are
+    // disjoint, so pre-r15 this silently earned parallel accounting
+    val misEx = intercept[IllegalStateException] {
+      Quality.dpReleaseSuitePartitioned(Seq(
+        Quality.DpDeclaredRelease("escapee", 800000L,
+          () => Quality.dpCountRelease(df, Seq("k"),
+            epsilon = 0.8, seed = 1L),
+          Some("released_count"), Some("g"),
+          Some(() => dom("a")), Some("k")),
+        Quality.DpDeclaredRelease("other", 800000L,
+          () => Quality.dpCountReleaseOverDomain(df, dom("z"),
+            Seq("k"), epsilon = 0.8, seed = 2L),
+          Some("released_count"), Some("g"),
+          Some(() => dom("z")), Some("k"))),
+        budgetMicro = 2000000L)
+    }
+    assert(misEx.getMessage.contains("OUTSIDE its declared domain"))
+    assert(misEx.getMessage.contains("escapee"))
+    // honest: same shape with domain-confined mechanisms passes and
+    // charges max(eps)
+    val ok = Quality.dpReleaseSuitePartitioned(Seq(
+        Quality.DpDeclaredRelease("s_ab", 800000L,
+          () => Quality.dpCountReleaseOverDomain(df, dom("a", "b"),
+            Seq("k"), epsilon = 0.8, seed = 1L),
+          Some("released_count"), Some("g"),
+          Some(() => dom("a", "b")), Some("k")),
+        Quality.DpDeclaredRelease("s_c", 800000L,
+          () => Quality.dpCountReleaseOverDomain(df, dom("c"),
+            Seq("k"), epsilon = 0.8, seed = 2L),
+          Some("released_count"), Some("g"),
+          Some(() => dom("c")), Some("k"))),
+        budgetMicro = 2000000L)
+      .as[(Int, String, Option[String], Long, Long, Long, Long, Long,
+        Long, Option[Long])].collect()
+    assert(ok.map(_._5).toSeq === Seq(800000L, 0L))
+  }
+
   test("dpTopKRelease: high-epsilon concentration peels the exact " +
       "top-k in order; zero-count domain keys are candidates; " +
       "k > domain refuses; deterministic") {

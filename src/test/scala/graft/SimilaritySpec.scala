@@ -914,6 +914,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(again === got)
   }
 
+  test("sq8CalibrationAudit (r15 ADVICE): non-grid-exact max reads " +
+      "zero clipped at 1000 permille; sub-micro percentile clamps " +
+      "to one grid unit instead of declaring no scale") {
+    // max|x| = 1/3 — ·1e6 is non-integral, so the pre-fix raw
+    // compare (|x| > floor(max|x|·1e6)/1e6) would count the max
+    // component itself as clipped at the 1000‰ level
+    val vecs = Seq(
+      (1L, Seq(1.0f / 3.0f, 0.1f)),
+      (2L, Seq(0.2f, -0.25f))).toDF("vec_id", "embedding")
+    val full = Similarity.sq8CalibrationAudit(vecs, "vec_id",
+        "embedding", clipPerMilles = Seq(1000))
+      .as[(Int, Double, Option[Double], Long, Long, Option[Double],
+        Option[Double], Option[Double])].collect().head
+    assert(full._5 === 0L, s"grid clip flag must read zero, got $full")
+    assert(full._6 === Some(0.0))
+    // sub-micro percentile over a non-zero corpus: two components
+    // floor to grid 0, one to 500000; at 333 permille the
+    // nearest-rank threshold floors to 0 but a scale still exists —
+    // the threshold clamps UP to vu = 1 (1e-6) and only the large
+    // component counts clipped
+    val tiny = Seq((1L, Seq(1.0e-8f, 2.0e-8f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val sub = Similarity.sq8CalibrationAudit(tiny, "vec_id",
+        "embedding", clipPerMilles = Seq(333))
+      .as[(Int, Double, Option[Double], Long, Long, Option[Double],
+        Option[Double], Option[Double])].collect().head
+    assert(sub._2 === 1.0e-6 && sub._3 === Some(127.0 / 1.0e-6))
+    assert(sub._4 === 3L && sub._5 === 1L)
+  }
+
   test("ivfRetrainReadout: drifted boundary batch triggers the audit " +
       "and the appended cell restores recall; quiet batch emits only " +
       "the before row with retrain_triggered = false") {

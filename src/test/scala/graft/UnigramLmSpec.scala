@@ -64,6 +64,22 @@ class UnigramLmSpec extends AnyFunSuite {
     assert(again.pieces === m.pieces && again.trace === m.trace)
   }
 
+  test("train (r15 ADVICE): empty vocabulary fails fast with a " +
+      "descriptive message, not an opaque empty.max") {
+    // whitespace-only corpus
+    val blank = intercept[IllegalArgumentException] {
+      UnigramLm.train(corpus("   ", "\t  "), "text")
+    }
+    assert(blank.getMessage.contains("no trainable words"))
+    // every word longer than maxWordLen
+    val long = intercept[IllegalArgumentException] {
+      UnigramLm.train(
+        corpus("extraordinarilylong anotherverylongword"), "text",
+        maxWordLen = 12)
+    }
+    assert(long.getMessage.contains("maxWordLen=12"))
+  }
+
   test("encode: dictionary-join counts match per-word Viterbi; " +
       "long words char-fallback; compression on the floor grid") {
     val c = corpus(
