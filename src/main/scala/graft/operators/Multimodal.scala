@@ -894,6 +894,17 @@ object Multimodal {
         }
       }
       .toDF(idCol, "frame_idx", "decode_ok", "phash")
+    sceneChangeWindow(hashed, idCol, threshold)
+  }
+
+  /** Shared scene-change finish for the per-frame pHash table
+    * (M17 [[videoSceneChanges]] and M18 [[gifSceneChanges]]): per-clip
+    * lag window over frame_idx, 63-position exact hamming, boundary =
+    * hamming ≥ threshold (NULL around undecodable frames — unknown is
+    * not false); frame 0 is scene_change = true by convention. */
+  private def sceneChangeWindow(
+      hashed: DataFrame, idCol: String, threshold: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(idCol)).orderBy(col("frame_idx"))
     val prev = lag(col("phash"), 1).over(w)
     val prevIdx = lag(col("frame_idx"), 1).over(w)
@@ -909,6 +920,98 @@ object Multimodal {
           .when(col("hamming").isNotNull && prevIdx.isNotNull &&
             prevIdx === col("frame_idx") - 1,
             col("hamming") >= threshold))
+  }
+
+  /**
+   * M18 (r15): animated-GIF multi-frame scene-change detection — the
+   * REAL variable-frame container closing M17's documented stand-in
+   * caveat: [[videoSceneChanges]] slices fixed-size byte frames
+   * because no JDK video codec exists, but the JDK's own GIF codec
+   * DOES carry a real frame directory — `ImageReader
+   * .getNumImages(true)` walks the container's image descriptors and
+   * `read(i)` LZW-decodes each frame, so frame boundaries come from
+   * the CODEC, not from byte arithmetic (per-frame byte lengths vary
+   * with content; a fixed-stride `substr` could never find them).
+   * Downstream is the same M14/M17 pipeline: per-frame DCT pHash,
+   * per-clip lag window, hamming ≥ threshold marks a cut.
+   *
+   * Decode semantics (documented): frames are read as STORED — each
+   * image descriptor's own raster, not composited over prior frames
+   * per GIF disposal; full-frame GIFs (every animation this engine
+   * fingerprints for dedup, and both fixtures) are unaffected.
+   * Triage: a payload with no image reader or an unreadable frame
+   * directory emits ONE (frame_idx 0, decode_ok false) row —
+   * undecodable is visible, never silently dropped (the M12 rule); a
+   * readable container with one bad frame triages just that frame.
+   *
+   * Scale: one decode pass per clip inside `mapPartitions`
+   * (partition-local, no shuffle, `ImageIO.setUseCache(false)` per
+   * the q283 temp-file rule), frame fan-out bounded by the
+   * container's own directory; then one per-clip window (bounded by
+   * frames-per-clip, never corpus-wide). Zero float anywhere.
+   *
+   * Output: (idCol, frame_idx, decode_ok, phash, hamming,
+   * scene_change) — the M17 shape exactly.
+   */
+  def gifSceneChanges(
+      df: DataFrame, idCol: String, payloadCol: String,
+      grid: Int = 16, threshold: Int = 10): DataFrame = {
+    require(grid >= 8 && grid <= 64, s"grid must be in [8, 64], got $grid")
+    require(threshold >= 1 && threshold <= 63,
+      s"threshold must be in [1, 63], got $threshold")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = grid
+    val c = Array.ofDim[Long](n, 8)
+    phashDctTable(n).foreach { case (i, u, v) => c(i)(u) = v }
+    val hashed = df
+      .select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.flatMap { case (id, bytes) =>
+          val frames = readGifFrames(bytes)
+          if (frames.isEmpty)
+            Seq((id, 0, false, Option.empty[String]))
+          else frames.map {
+            case (fi, img) if img != null &&
+                img.getWidth >= n && img.getHeight >= n =>
+              (id, fi, true, Some(phashOfImage(img, n, c)))
+            case (fi, _) => (id, fi, false, Option.empty[String])
+          }
+        }
+      }
+      .toDF(idCol, "frame_idx", "decode_ok", "phash")
+    sceneChangeWindow(hashed, idCol, threshold)
+  }
+
+  /** Walk a container's frame directory with the JDK codec: Nil when
+    * no reader claims the bytes or the directory is unreadable; a
+    * null image marks a per-frame decode failure. */
+  private def readGifFrames(
+      bytes: Array[Byte]): Seq[(Int, java.awt.image.BufferedImage)] = {
+    import scala.util.control.NonFatal
+    val iis =
+      try javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch { case NonFatal(_) => null }
+    if (iis == null) return Nil
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return Nil
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, false, true)
+        val nImg =
+          try reader.getNumImages(true)
+          catch { case NonFatal(_) => 0 }
+        (0 until nImg).map { i =>
+          (i,
+            try reader.read(i)
+            catch { case NonFatal(_) => null })
+        }
+      } finally reader.dispose()
+    } finally iis.close()
   }
 
   /** M17 fixture: a fixed-frame-size "video" — `nFrames` concatenated
@@ -943,6 +1046,89 @@ object Multimodal {
     df.select(col(idCol).cast("long")).as[Long]
       .mapPartitions(_.map(id =>
         (id, syntheticVideo(id, nFrames, w, h, switchAt))))
+      .toDF(idCol, "payload")
+  }
+
+  /** M18 fixture pixel formula: the [[syntheticBmpTextured]]
+    * cross-term discipline on ONE channel — palette index at (x, y
+    * from the top) = floorMod(seed·7 + (1+seed%11)·x + (2+seed%13)·y
+    * + (1+seed%7)·x·y, 256). The GIF palette is the identity gray
+    * ramp (entry i = rgb(i, i, i)), so the DECODED pixel's luma is
+    * exactly 1000·index and the oracle replays pixels arithmetically
+    * with no GIF decode (the q283 discipline). */
+  private[graft] def gifPixelIndex(seed: Long, x: Int, y: Int): Int = {
+    val s11 = Math.floorMod(seed, 11)
+    val s13 = Math.floorMod(seed, 13)
+    val s7 = Math.floorMod(seed, 7)
+    Math.floorMod(
+      seed * 7 + (1 + s11) * x + (2 + s13) * y + (1 + s7) * x.toLong * y,
+      256).toInt
+  }
+
+  /** M18 fixture: a REAL animated GIF written by the JDK's own GIF
+    * codec (`ImageIO` write sequence → LZW frames + image
+    * descriptors; per-frame byte lengths vary with content, so only
+    * a real frame directory can find the boundaries). Frames before
+    * `switchAt` render scene seed·31+1, the rest seed·31+2 (the
+    * planted cut — the [[syntheticVideo]] plan); pixels per
+    * [[gifPixelIndex]] over a 256-gray `IndexColorModel`. Indexed
+    * sources round-trip BIT-EXACTLY through GIF's lossless LZW
+    * (pinned in MultimodalSpec), and the writer output is
+    * deterministic — no timestamps in GIF89a. */
+  def syntheticGif(
+      seed: Long, nFrames: Int, w: Int, h: Int,
+      switchAt: Int): Array[Byte] = {
+    require(nFrames >= 1 && switchAt >= 0 && switchAt <= nFrames,
+      s"bad frame plan: n=$nFrames switch=$switchAt")
+    import javax.imageio.ImageIO
+    import java.awt.image.{BufferedImage, IndexColorModel}
+    ImageIO.setUseCache(false)
+    val ramp = (0 until 256).map(_.toByte).toArray
+    val cm = new IndexColorModel(8, 256, ramp, ramp, ramp)
+    def frame(s: Long): BufferedImage = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, cm)
+      val r = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          r.setSample(x, y, 0, gifPixelIndex(s, x, y))
+          x += 1
+        }
+        y += 1
+      }
+      img
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(baos)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val s = if (f < switchAt) seed * 31 + 1 else seed * 31 + 2
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(frame(s), null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    baos.toByteArray
+  }
+
+  /** `(idCol, payload)` frame carrying one [[syntheticGif]] per id. */
+  def withSyntheticGif(
+      df: DataFrame, idCol: String, nFrames: Int, w: Int, h: Int,
+      switchAt: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id =>
+        (id, syntheticGif(id, nFrames, w, h, switchAt))))
       .toDF(idCol, "payload")
   }
 

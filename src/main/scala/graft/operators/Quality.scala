@@ -2382,6 +2382,71 @@ object Quality {
   }
 
   /**
+   * Q18 (r15): USER-LEVEL ε-DP count release over a public key
+   * domain — the privacy unit LLM pipelines actually promise: the
+   * record-level Q-family mechanisms bound what one ROW can move
+   * (Δ = 1), but a user contributes MANY rows, and "your data is
+   * protected" means USER adjacency (add/remove every row of one
+   * user). The standard construction (Amin et al. 2019's bounded
+   * user contribution): deterministically CAP each user's rows at
+   * `userCap` (the T22 [[Sampling.capPerKey]] machinery — md5
+   * id-hash order, engine-replayable), then release the per-key
+   * domain counts with the cap as the sensitivity.
+   *
+   * PRIVACY ARGUMENT (documented, standard): capPerKey is a STABLE
+   * transform under user adjacency — one user's kept set is a
+   * function of that user's rows alone (per-user hash order; other
+   * users' ranks are untouched), so removing a user changes the
+   * capped frame by at most `userCap` rows, i.e. the count vector
+   * moves by at most `userCap` in L1 across the disjoint domain
+   * cells. Per-cell discrete Laplace at ε/userCap then prices the
+   * whole vector at Σ|Δ_cell|·(ε/userCap) ≤ ε — user-level ε-DP.
+   * clampK must scale with the widened tail (the Q12 rule:
+   * K ≥ 20·userCap/ε). A NULL user id groups as ONE pseudo-user
+   * (SQL window semantics) — the bound still holds for it.
+   *
+   * REFUSAL SEMANTICS: `userCap = None` (an uncapped release
+   * claiming user-level accounting) REFUSES — one unbounded user
+   * can move every released count arbitrarily, so no finite
+   * sensitivity (hence no ε guarantee) exists. The refusal is
+   * data-free and happens before any scan.
+   *
+   * Scale: one per-user window over the corpus (the capPerKey
+   * shuffle — user-keyed, no skew beyond the heaviest user, which is
+   * exactly what the cap bounds), then the Q10b domain-count path
+   * (one partial-aggregated groupBy + the bounded (2K+1)-row
+   * broadcast threshold join).
+   *
+   * Output: (keyCols…, released_count) — max(0, n_capped + noise).
+   */
+  def dpUserCountReleaseOverDomain(
+      df: DataFrame, userCol: String, rowIdCol: String,
+      domain: DataFrame, keyCols: Seq[String],
+      epsilon: Double, seed: Long, userCap: Option[Int],
+      clampK: Int): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    val cap = userCap.getOrElse(
+      throw new IllegalStateException(
+        "user-level ε-DP release refused: no per-user contribution " +
+          "bound declared — one unbounded user can move every " +
+          "released count arbitrarily, so no finite sensitivity " +
+          "(hence no ε guarantee) exists; declare userCap"))
+    require(cap >= 1, s"userCap must be >= 1, got $cap")
+    val capped = Sampling
+      .capPerKey(df, userCol, rowIdCol, cap)
+      .drop("pick_rank")
+    val dom = domain.select(keyCols.map(col): _*).distinct()
+    val counts = capped
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+    val full = dom.join(counts, keyCols, "left")
+      .select(keyCols.map(col) :+
+        coalesce(col("__c"), lit(0L)).as("__n"): _*)
+    geometricRelease(full, keyCols, epsilon / cap, seed, clampK,
+      "released_count")
+  }
+
+  /**
    * Q12 (r12): ε-DP SUM release with bounded per-row contribution —
    * the mechanism a pipeline needs to publish per-group token
    * totals / byte masses, where one record can move the sum by more
@@ -3030,6 +3095,118 @@ object Quality {
             lit(budgetMicro - cum).as("remaining_micro"),
             col("n_rows"), col("released_total"))
     }.reduce(_.unionByName(_)).orderBy("seq")
+  }
+
+  /**
+   * Q19 (r15): ρ-zCDP ledger — ADVANCED composition for the release
+   * suite: basic Σεᵢ accounting (the [[dpReleaseSuite]] worst case)
+   * is loose once a datasheet refreshes the same stats week after
+   * week; zero-concentrated DP (Bun & Steinke 2016) composes
+   * QUADRATICALLY instead: a pure ε-DP mechanism is (ε²/2)-zCDP
+   * (their Prop 1.4), zCDP parameters ADD under composition, and
+   * Σρ converts back to (ε(δ), δ)-DP at any declared δ via
+   * ε(δ) = ρ + 2√(ρ·ln(1/δ)) (Prop 1.3). For k releases at small ε
+   * the converted spend grows like √k, not k — the accounting real
+   * DP deployments run once release counts grow.
+   *
+   * EXACT-REPLAY ARITHMETIC (the ledger discipline): ε stays in
+   * integer micro units; ρ_micro = ⌈ε_micro²/(2·10⁶)⌉ (ceiling —
+   * accounting rounds AGAINST the publisher); cumulative ρ is an
+   * exact long sum; δ is declared as a power of ten (`deltaPow10`,
+   * δ = 10^−d) so ln(1/δ) = d·ln(10) is one driver-side literal
+   * rounded to the micro grid; the conversion
+   * ε(δ)_micro = cumρ + ⌈2·√(cumρ·ln(1/δ)_micro)⌉ multiplies two
+   * longs whose product stays far below 2⁵³, so the IEEE √ is taken
+   * on an exactly-represented integer — bit-identical on any
+   * engine, and the oracle pins every ledger cell as a literal.
+   *
+   * REFUSAL SEMANTICS (inherited from [[dpReleaseSuite]]): if the
+   * suite's final converted ε(δ) exceeds the budget the suite
+   * throws BEFORE invoking any release thunk — data-free, all-or-
+   * nothing. Parallel-group claims are NOT honored here (ρ
+   * accounting below is sequential; combining McSherry partitioning
+   * with zCDP is documented future work) — a release declaring a
+   * `parallelGroup` refuses, so a caller cannot silently lose the
+   * parallel discount by switching suites.
+   *
+   * Scale: identical to [[dpReleaseSuite]] — driver-side arithmetic
+   * over the bounded declared list, one aggregate per release
+   * output.
+   *
+   * Output: (seq, release, eps_micro, rho_micro, cum_rho_micro,
+   * eps_at_delta_micro, delta_pow10, budget_micro, remaining_micro,
+   * n_rows, released_total), ordered by seq; remaining_micro =
+   * budget − ε(δ) after this release (the converted spend, not Σε).
+   */
+  def dpReleaseSuiteZcdp(
+      releases: Seq[DpDeclaredRelease],
+      budgetMicro: Long,
+      deltaPow10: Int): DataFrame = {
+    require(releases.nonEmpty, "need at least one declared release")
+    require(budgetMicro > 0L,
+      s"budget must be positive, got $budgetMicro")
+    require(deltaPow10 >= 1 && deltaPow10 <= 18,
+      s"deltaPow10 must be in [1, 18], got $deltaPow10")
+    require(releases.map(_.name).distinct.size == releases.size,
+      "release names must be unique within a suite")
+    releases.foreach { r =>
+      require(r.epsilonMicro > 0L,
+        s"release '${r.name}' must declare a positive epsilon, got " +
+          s"${r.epsilonMicro}")
+      require(r.parallelGroup.isEmpty,
+        s"release '${r.name}' claims parallel group " +
+          s"'${r.parallelGroup.get}' — zCDP accounting here is " +
+          "sequential-only; use dpReleaseSuitePartitioned for the " +
+          "parallel discount")
+    }
+    val acct = zcdpAccounting(
+      releases.map(_.epsilonMicro), deltaPow10)
+    val total = acct.last._3
+    if (total > budgetMicro)
+      throw new IllegalStateException(
+        s"ε budget exceeded: declared suite spends $total µε at " +
+          s"δ = 1e-$deltaPow10 under zCDP composition against a " +
+          s"budget of $budgetMicro µε — refusing to run ANY release " +
+          "(all-or-nothing; trim the suite or raise the budget)")
+    releases.zip(acct).zipWithIndex.map {
+      case ((r, (rho, cumRho, epsD)), i) =>
+        val totalAgg = r.totalCol
+          .map(c => sum(col(c).cast("long")))
+          .getOrElse(first(lit(null).cast("long")))
+        r.release()
+          .agg(count(lit(1)).as("n_rows"),
+            totalAgg.as("released_total"))
+          .select(
+            lit(i + 1).as("seq"),
+            lit(r.name).as("release"),
+            lit(r.epsilonMicro).as("eps_micro"),
+            lit(rho).as("rho_micro"),
+            lit(cumRho).as("cum_rho_micro"),
+            lit(epsD).as("eps_at_delta_micro"),
+            lit(deltaPow10).as("delta_pow10"),
+            lit(budgetMicro).as("budget_micro"),
+            lit(budgetMicro - epsD).as("remaining_micro"),
+            col("n_rows"), col("released_total"))
+    }.reduce(_.unionByName(_)).orderBy("seq")
+  }
+
+  /** The Q19 ledger arithmetic, shared with the oracle generator:
+    * per release (ρ_micro, cumulative ρ_micro, converted
+    * ε(δ)_micro). Pure integer except the one √ over an
+    * exactly-represented long product (< 2⁵³). */
+  private[graft] def zcdpAccounting(
+      epsMicros: Seq[Long],
+      deltaPow10: Int): Seq[(Long, Long, Long)] = {
+    val lnInvDeltaMicro =
+      math.round(deltaPow10 * math.log(10.0) * 1e6)
+    var cum = 0L
+    epsMicros.map { e =>
+      val rho = (e * e + 1999999L) / 2000000L // ceiling division
+      cum += rho
+      val epsD = cum + math.ceil(
+        2.0 * math.sqrt((cum * lnInvDeltaMicro).toDouble)).toLong
+      (rho, cum, epsD)
+    }
   }
 
   def aaSequentialBattery(

@@ -311,4 +311,138 @@ object UnigramLm {
     model.trace.map(t => (t.round, t.nPieces, t.llMicro))
       .toDF("round", "n_pieces", "ll_micro")
   }
+
+  /**
+   * T62 support: ALL in-vocab segmentations of one word, as
+   * (scoreMicro, revtb) where `revtb` is the REVERSED piece-length
+   * digit string (last piece's length first — piece lengths ≤ 9 by
+   * the caller's contract, so one digit per piece and the token
+   * count is `revtb.length`). A segmentation is uniquely determined
+   * by its length sequence, so (score DESC, revtb DESC) is a TOTAL
+   * order — and it is exactly [[viterbi]]'s tie rule unrolled: the
+   * backtrack prefers the longer piece at the LAST position first,
+   * then recursively, which is lexicographic DESC on the reversed
+   * digits (pinned in UnigramLmSpec: rank 1 IS the Viterbi path).
+   * Memoized DFS; bounded by the training regime's maxWordLen (≤ 12
+   * chars ⇒ ≤ tribonacci-ish hundreds of paths, enumerated only on
+   * the Heaps'-law-bounded distinct-word table).
+   */
+  private[graft] def allSegmentations(
+      word: String, maxPieceLen: Int,
+      lp: scala.collection.Map[String, Long]): List[(Long, String)] = {
+    val n = word.length
+    val memo = Array.fill[List[(Long, String)]](n + 1)(null)
+    def go(i: Int): List[(Long, String)] = {
+      if (i == n) List((0L, ""))
+      else if (memo(i) != null) memo(i)
+      else {
+        var acc = List.empty[(Long, String)]
+        var l = 1
+        while (l <= math.min(maxPieceLen, n - i)) {
+          lp.get(word.substring(i, i + l)) match {
+            case Some(s) =>
+              acc = go(i + l).map { case (sc, tb) =>
+                (sc + s, tb + l.toString)
+              } ::: acc
+            case None => ()
+          }
+          l += 1
+        }
+        memo(i) = acc
+        acc
+      }
+    }
+    go(0)
+  }
+
+  /**
+   * T62 (r15): n-best SUBWORD REGULARIZATION encoding — the
+   * augmentation Kudo 2018 is named for: instead of always emitting
+   * the single Viterbi segmentation (q333), each word draws one of
+   * its `nBest` highest-scoring segmentations, so repeated epochs
+   * see varied tokenizations of the same text (the LM-training
+   * regularizer). This is the DETERMINISTIC α→0 variant: candidates
+   * are the exact-long score-ranked n-best (total order — see
+   * [[allSegmentations]]; rank 1 is bit-identically the q333
+   * Viterbi path, so nBest = 1 reduces to the plain encoder), and
+   * the draw is UNIFORM over the candidate list via the md5-uniform
+   * of (word, seed) — the Q10 determinism contract: one epoch's
+   * sampling is reproducible and oracle-replayable; vary `seed` per
+   * epoch for fresh draws (Kudo's α-weighted posterior sampling
+   * needs cross-engine exp(), deliberately out of scope —
+   * documented).
+   *
+   * Plan: q203's dictionary-join shape — enumeration runs ONCE per
+   * DISTINCT word (shuffle-free mapPartitions against the broadcast
+   * piece map, the bounded-model contract), the corpus-sized side
+   * only joins and aggregates. Words longer than `maxWordLen` (the
+   * training regime's exclusion) and Viterbi-unreachable words fall
+   * back to CHAR count as a single candidate (the q333 COALESCE
+   * rule).
+   *
+   * Output: (idCol, n_words, n_tokens_best, n_tokens_sampled,
+   * n_multi_words) — `n_tokens_best` the Viterbi floor,
+   * `n_tokens_sampled` the drawn-epoch count (≥ best by
+   * construction), `n_multi_words` how many word occurrences had
+   * more than one candidate (the regularization surface).
+   */
+  def encodeNbest(
+      corpus: DataFrame, idCol: String, textCol: String,
+      model: Model, nBest: Int, seed: Long,
+      maxWordLen: Int = 12): DataFrame = {
+    require(model.pieces.nonEmpty, "model has no pieces")
+    require(nBest >= 1 && nBest <= 64,
+      s"nBest must be in [1, 64], got $nBest")
+    val maxL = model.pieces.map(_.piece.length).max
+    require(maxL <= 9,
+      s"digit tiebreak needs piece length <= 9, got $maxL")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val lpMap = model.pieces.map(p => p.piece -> p.logpMicro).toMap
+    val bc = spark.sparkContext.broadcast(lpMap)
+    val dw = corpus
+      .select(col(idCol),
+        explode(split(col(textCol), "\\s+")).as("word"))
+      .where(col("word") =!= "")
+    val ord = Ordering.Tuple2(
+      Ordering.Long, Ordering.String.reverse)
+    val tok = dw.select("word").distinct()
+      .as[String]
+      .mapPartitions { words =>
+        val m = bc.value
+        words.map { w =>
+          val toks: Seq[Long] =
+            if (w.length > maxWordLen) Seq(w.length.toLong)
+            else {
+              val segs = allSegmentations(w, maxL, m)
+              if (segs.isEmpty) Seq(w.length.toLong)
+              else segs
+                .sortBy { case (sc, tb) => (-sc, tb) }(ord)
+                .take(nBest)
+                .map(_._2.length.toLong)
+            }
+          (w, toks)
+        }
+      }
+      .toDF("word", "__toks")
+    // the q288 md5-uniform draw keyed by (word, seed) — uniform over
+    // the candidate list (1-based element_at)
+    val uu = coalesce(
+      conv(substring(md5(concat_ws("|",
+        md5(col("word")), lit(seed.toString))), 1, 7), 16, 10)
+        .cast("long"),
+      lit(0L))
+    dw.join(tok, Seq("word"), "left")
+      .select(col(idCol), col("__toks"),
+        (lit(1) + pmod(uu, size(col("__toks")).cast("long")))
+          .cast("int").as("__pick"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(element_at(col("__toks"), 1)).as("n_tokens_best"),
+        sum(element_at(col("__toks"), col("__pick")))
+          .as("n_tokens_sampled"),
+        sum(when(size(col("__toks")) > 1, 1L).otherwise(0L))
+          .as("n_multi_words"))
+  }
 }

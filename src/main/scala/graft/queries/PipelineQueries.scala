@@ -331,6 +331,208 @@ object PipelineQueries {
        |ORDER BY bin_lo""".stripMargin
   }
 
+  /** q338 oracle generator: the user-level bounded-contribution
+    * count release replay — capPerKey as a per-user row_number over
+    * (md5(id), id), the Q10b domain-count path, thresholds at
+    * ε/userCap from the same Scala function the operator uses. */
+  private def dpUserDomainOracle(
+      domain: Seq[String], epsilon: Double, seed: Long,
+      userCap: Int, clampK: Int): String = {
+    val rows = graft.operators.Quality
+      .dpNoiseThresholds(epsilon / userCap, clampK)
+      .map { case (k, lo, hi) => s"($k, $lo, $hi)" }
+      .mkString(",\n    ")
+    val dom = domain.map(v => s"('$v')").mkString(", ")
+    s"""WITH capped AS (
+       |  SELECT event_type FROM (
+       |    SELECT event_type, row_number() OVER (
+       |      PARTITION BY user_id
+       |      ORDER BY md5(CAST(event_id AS VARCHAR)), event_id)
+       |      AS rn
+       |    FROM events) WHERE rn <= $userCap
+       |), dom(event_type) AS (VALUES $dom),
+       |counts AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM capped GROUP BY 1
+       |), full0 AS (
+       |  SELECT d.event_type, COALESCE(c.c, CAST(0 AS BIGINT)) AS n
+       |  FROM dom d LEFT JOIN counts c ON c.event_type = d.event_type
+       |), thr(noise, lo, hi) AS (
+       |  VALUES
+       |    $rows
+       |), u AS (
+       |  SELECT event_type, n,
+       |    ('0x' || substr(md5(concat_ws('|',
+       |      coalesce(md5(event_type), 'null'), '$seed')),
+       |      1, 7))::BIGINT AS uu
+       |  FROM full0
+       |)
+       |SELECT event_type, GREATEST(0, n + noise) AS released_count,
+       |  TRUE AS uncapped_refused
+       |FROM u JOIN thr ON u.uu >= thr.lo AND u.uu < thr.hi
+       |ORDER BY event_type""".stripMargin
+  }
+
+  /** T62 shared literal model (the q269 seed-derived-literal
+    * pattern): a DECLARED unigram piece table — lowercase letters as
+    * the coverage floor plus common English digraphs/trigraphs —
+    * with logp = round(ln(cnt/total)·1e6) computed driver-side ONCE,
+    * so the operator and the oracle consume identical longs and no
+    * engine ln is involved anywhere (this gate tests ENCODING under
+    * n-best sampling; trained-model encoding is q333's gate). */
+  private[graft] def t62Pieces: Seq[(String, Long, Long)] = {
+    val chars = ('a' to 'z').map(c => (c.toString, 40L))
+    val multis = Seq(
+      "th" -> 220L, "he" -> 180L, "in" -> 170L, "er" -> 160L,
+      "an" -> 150L, "re" -> 140L, "on" -> 130L, "at" -> 120L,
+      "en" -> 110L, "nd" -> 100L, "es" -> 90L, "or" -> 80L,
+      "te" -> 70L, "ti" -> 60L, "the" -> 300L, "ing" -> 250L,
+      "and" -> 200L, "ion" -> 150L, "ent" -> 100L)
+    val all = chars ++ multis
+    val total = all.map(_._2).sum.toDouble
+    all.map { case (p, c) =>
+      (p, c, math.round(math.log(c / total) * 1e6))
+    }
+  }
+
+  /** q340 oracle generator: the n-best subword-regularization replay
+    * — a recursive CTE enumerates every in-vocab segmentation of
+    * each distinct word (bounded by maxWordLen = 12), ranks by
+    * (score DESC, reversed-length-digits DESC — exactly the Viterbi
+    * tie rule unrolled), keeps nBest, draws the md5-uniform pick,
+    * and falls back to char counts for unreachable/over-long words. */
+  private def nbestEncodeOracle(nBest: Int, seed: Long): String = {
+    val pieceRows = t62Pieces
+      .map { case (p, _, lp) => s"('$p', $lp, ${p.length})" }
+      .mkString(",\n       |    ")
+    s"""WITH RECURSIVE pieces(piece, lp, plen) AS (
+       |  VALUES
+       |    $pieceRows
+       |), dw AS MATERIALIZED (
+       |  SELECT doc_id, word FROM (
+       |    SELECT doc_id,
+       |      unnest(string_split_regex(lower(text), '\\s+')) AS word
+       |    FROM documents WHERE text IS NOT NULL)
+       |  WHERE word <> ''
+       |), words AS MATERIALIZED (
+       |  SELECT DISTINCT word FROM dw
+       |), seg AS (
+       |  SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS score,
+       |    '' AS revtb
+       |  FROM words WHERE length(word) <= 12
+       |  UNION ALL
+       |  SELECT s.word, s.pos + p.plen, s.score + p.lp,
+       |    CAST(p.plen AS VARCHAR) || s.revtb
+       |  FROM seg s JOIN pieces p
+       |    ON substr(s.word, s.pos + 1, p.plen) = p.piece
+       |  WHERE s.pos + p.plen <= length(s.word)
+       |), done AS MATERIALIZED (
+       |  SELECT word, score, revtb FROM seg
+       |  WHERE pos = length(word)
+       |), top AS MATERIALIZED (
+       |  SELECT word, revtb, rn FROM (
+       |    SELECT word, revtb, row_number() OVER (
+       |      PARTITION BY word ORDER BY score DESC, revtb DESC)
+       |      AS rn
+       |    FROM done) WHERE rn <= $nBest
+       |), cand AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS n_cands,
+       |    MAX(CASE WHEN rn = 1
+       |      THEN CAST(length(revtb) AS BIGINT) END) AS tok_best
+       |  FROM top GROUP BY 1
+       |), wsel AS (
+       |  SELECT word, n_cands, tok_best,
+       |    1 + (('0x' || substr(md5(concat_ws('|', md5(word),
+       |      '$seed')), 1, 7))::BIGINT % n_cands) AS pick
+       |  FROM cand
+       |), wtok AS (
+       |  SELECT w.word, w.tok_best, w.n_cands,
+       |    CAST(length(t.revtb) AS BIGINT) AS tok_sampled
+       |  FROM wsel w JOIN top t ON t.word = w.word AND t.rn = w.pick
+       |), wfull AS MATERIALIZED (
+       |  SELECT a.word,
+       |    COALESCE(w.tok_best, CAST(length(a.word) AS BIGINT))
+       |      AS tok_best,
+       |    COALESCE(w.tok_sampled, CAST(length(a.word) AS BIGINT))
+       |      AS tok_sampled,
+       |    COALESCE(w.n_cands, CAST(1 AS BIGINT)) AS n_cands
+       |  FROM words a LEFT JOIN wtok w ON w.word = a.word
+       |)
+       |SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(f.tok_best) AS BIGINT) AS n_tokens_best,
+       |  CAST(SUM(f.tok_sampled) AS BIGINT) AS n_tokens_sampled,
+       |  CAST(SUM(CASE WHEN f.n_cands > 1 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_multi_words
+       |FROM dw d JOIN wfull f ON f.word = d.word
+       |GROUP BY 1 ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** q339 oracle generator: the zCDP ledger replay — the accounting
+    * literals re-derived INLINE (ceiling ρ = ⌈ε²/2e6⌉, exact
+    * cumulative, ε(δ) = cumρ + ⌈2√(cumρ·ln(1/δ)_micro)⌉ over an
+    * exactly-represented long product), the seed-parametric count
+    * mechanism replayed once per refresh via a seed VALUES table. */
+  private def dpZcdpOracle(
+      nReleases: Int, epsMicro: Long, seedBase: Long,
+      budgetMicro: Long, deltaPow10: Int, domain: Seq[String],
+      epsilon: Double, clampK: Int): String = {
+    val lnInvDeltaMicro =
+      math.round(deltaPow10 * math.log(10.0) * 1e6)
+    var cum = 0L
+    val acctRows = (1 to nReleases).map { i =>
+      val rho = (epsMicro * epsMicro + 1999999L) / 2000000L
+      cum += rho
+      val epsD = cum + math.ceil(
+        2.0 * math.sqrt((cum * lnInvDeltaMicro).toDouble)).toLong
+      s"($i, 'refresh_${"%02d".format(i)}', '${seedBase + i}', " +
+        s"$epsMicro, $rho, $cum, $epsD, ${budgetMicro - epsD})"
+    }.mkString(",\n       |    ")
+    val thrRows = graft.operators.Quality
+      .dpNoiseThresholds(epsilon, clampK)
+      .map { case (k, lo, hi) => s"($k, $lo, $hi)" }
+      .mkString(",\n       |    ")
+    val dom = domain.map(v => s"('$v')").mkString(", ")
+    s"""WITH rel(seq, release, seed, eps_micro, rho_micro,
+       |    cum_rho_micro, eps_at_delta_micro, remaining_micro) AS (
+       |  VALUES
+       |    $acctRows
+       |), dom(lang) AS (VALUES $dom),
+       |counts AS (
+       |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM documents GROUP BY 1
+       |), full0 AS (
+       |  SELECT d.lang, COALESCE(c.c, CAST(0 AS BIGINT)) AS n
+       |  FROM dom d LEFT JOIN counts c ON c.lang = d.lang
+       |), thr(noise, lo, hi) AS (
+       |  VALUES
+       |    $thrRows
+       |), ru AS (
+       |  SELECT r.seq, f.n,
+       |    ('0x' || substr(md5(concat_ws('|',
+       |      coalesce(md5(f.lang), 'null'), r.seed)),
+       |      1, 7))::BIGINT AS uu
+       |  FROM rel r, full0 f
+       |), rc AS (
+       |  SELECT u.seq, GREATEST(0, u.n + t.noise) AS released
+       |  FROM ru u JOIN thr t ON u.uu >= t.lo AND u.uu < t.hi
+       |), nr AS (
+       |  SELECT seq, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |    CAST(SUM(released) AS BIGINT) AS released_total
+       |  FROM rc GROUP BY 1
+       |)
+       |SELECT CAST(r.seq AS INT) AS seq, r.release,
+       |  CAST(r.eps_micro AS BIGINT) AS eps_micro,
+       |  CAST(r.rho_micro AS BIGINT) AS rho_micro,
+       |  CAST(r.cum_rho_micro AS BIGINT) AS cum_rho_micro,
+       |  CAST(r.eps_at_delta_micro AS BIGINT) AS eps_at_delta_micro,
+       |  CAST($deltaPow10 AS INT) AS delta_pow10,
+       |  CAST($budgetMicro AS BIGINT) AS budget_micro,
+       |  CAST(r.remaining_micro AS BIGINT) AS remaining_micro,
+       |  n.n_rows, n.released_total, TRUE AS basic_refused
+       |FROM rel r JOIN nr n ON n.seq = r.seq
+       |ORDER BY seq""".stripMargin
+  }
+
   private def dpDomainOracle(
       domain: Seq[String], epsilon: Double, seed: Long,
       clampK: Int): String = {
@@ -4651,6 +4853,113 @@ object PipelineQueries {
           "id", "payload", frameBytes = 822, grid = 16,
           threshold = 10)
         .orderBy("id", "frame_idx")
+    }),
+
+    // M18 (round 15): animated-GIF multi-frame scene detection — the
+    // REAL variable-frame container closing q335's stand-in caveat:
+    // frame boundaries come from the JDK GIF codec's frame directory
+    // (getNumImages(true) + per-frame LZW read), not byte slicing;
+    // planted cut at frame 3, same pHash/lag-window finish. Corrupt
+    // bytes (id -1, no reader) and a truncated container (id -2, a
+    // real GIF cut mid-color-table — directory reads empty) pin the
+    // single-triage-row path; a one-frame GIF (id -3) pins the
+    // no-hamming path.
+    "q337_gif_scenes" -> ((s, dir) => {
+      import s.implicits._
+      val ids = t(s, dir, "part")
+        .where(col("p_partkey") % 10 === 0)
+        .select(col("p_partkey").as("id"))
+      val gifs = Multimodal.withSyntheticGif(
+        ids, "id", nFrames = 6, w = 16, h = 16, switchAt = 3)
+      val corrupt = Seq((-1L, Array.fill[Byte](120)(7)))
+        .toDF("id", "payload")
+      val trunc = Seq((-2L,
+        Multimodal.syntheticGif(5L, 2, 16, 16, 1).take(20)))
+        .toDF("id", "payload")
+      val single = Seq((-3L, Multimodal.syntheticGif(9L, 1, 16, 16, 0)))
+        .toDF("id", "payload")
+      Multimodal.gifSceneChanges(
+          gifs.unionByName(corrupt).unionByName(trunc)
+            .unionByName(single),
+          "id", "payload", grid = 16, threshold = 10)
+        .orderBy("id", "frame_idx")
+    }),
+
+    // Q18 (round 15): USER-LEVEL ε-DP count release — per-user
+    // contribution capped at 8 by deterministic id-hash order (the
+    // cap genuinely bites: users carry tens of events), counts over
+    // the public event-type domain, noise at ε/cap (Δ = cap under
+    // user adjacency), K = 200 per the 20·Δ/ε rule. The same release
+    // WITHOUT a declared cap is refused (no finite user-level
+    // sensitivity exists) — the refusal is probed and emitted as the
+    // uncapped_refused column.
+    "q338_dp_user_level" -> ((s, dir) => {
+      import s.implicits._
+      val Q = graft.operators.Quality
+      val ev = t(s, dir, "events")
+      val dom = Seq("click", "error", "purchase", "signup", "view")
+        .toDF("event_type")
+      val refused =
+        try {
+          Q.dpUserCountReleaseOverDomain(ev, "user_id", "event_id",
+            dom, Seq("event_type"), epsilon = 0.8, seed = 81L,
+            userCap = None, clampK = 200)
+          false
+        } catch { case _: IllegalStateException => true }
+      Q.dpUserCountReleaseOverDomain(ev, "user_id", "event_id",
+          dom, Seq("event_type"), epsilon = 0.8, seed = 81L,
+          userCap = Some(8), clampK = 200)
+        .withColumn("uncapped_refused", lit(refused))
+        .orderBy("event_type")
+    }),
+
+    // Q19 (round 15): ρ-zCDP ledger — 36 weekly refreshes of the
+    // 5-language count release at ε = 0.1 under rotating seeds (the
+    // documented re-release shape: determinism is per (data, seed),
+    // so each refresh spends budget). Basic Σε = 3.6ε REFUSES the
+    // 3.45ε budget (probed, emitted as basic_refused); zCDP charges
+    // Σρ = 36·ε²/2 = 0.18 → ε(δ=1e-6) ≈ 3.33ε and PASSES — the √k
+    // composition advantage, every ledger cell exact-integer and
+    // oracle-pinned.
+    "q339_dp_zcdp_ledger" -> ((s, dir) => {
+      import s.implicits._
+      val Q = graft.operators.Quality
+      val docs = t(s, dir, "documents")
+      val dom = Seq("de", "en", "es", "fr", "zh").toDF("lang")
+      val releases = (1 to 36).map { i =>
+        Q.DpDeclaredRelease(f"refresh_$i%02d", 100000L,
+          () => Q.dpCountReleaseOverDomain(docs, dom, Seq("lang"),
+            epsilon = 0.1, seed = 100L + i, clampK = 200),
+          Some("released_count"))
+      }
+      val basicRefused =
+        try {
+          Q.dpReleaseSuite(releases, budgetMicro = 3450000L)
+          false
+        } catch { case _: IllegalStateException => true }
+      Q.dpReleaseSuiteZcdp(releases, budgetMicro = 3450000L,
+          deltaPow10 = 6)
+        .withColumn("basic_refused", lit(basicRefused))
+        .orderBy("seq")
+    }),
+
+    // T62 (round 15): n-best subword-regularization encoding — the
+    // Kudo-2018 augmentation over a DECLARED literal piece table
+    // (the q269 pattern; trained-model encoding is q333): per word
+    // the exact-long score-ranked 4 best segmentations, one drawn by
+    // the md5-uniform of (word, seed); n_tokens_best is the Viterbi
+    // floor (UnigramLmSpec pins nBest = 1 ≡ q333's encoder
+    // bit-identically).
+    "q340_nbest_encode" -> ((s, dir) => {
+      val U = graft.operators.UnigramLm
+      val docs = t(s, dir, "documents")
+        .where(col("text").isNotNull)
+        .select(col("doc_id"), lower(col("text")).as("text"))
+      val model = U.Model(
+        t62Pieces.map { case (p, c, lp) => U.Piece(p, c, lp) }, Nil)
+      U.encodeNbest(docs, "doc_id", "text", model, nBest = 4,
+          seed = 340L, maxWordLen = 12)
+        .orderBy("doc_id")
     }),
 
     // Q15 capstone (round 13): the FIVE-mechanism release suite —
@@ -9375,6 +9684,116 @@ object PipelineQueries {
         |  ON h.id = l.id AND h.frame_idx = l.frame_idx
         |ORDER BY l.id, l.frame_idx""".stripMargin
     },
+
+    // M18: the q335 replay with the GIF fixture's one-channel pixel
+    // formula — decoded RGB is (idx, idx, idx), so luma = 1000·idx;
+    // the GIF round-trip is lossless for indexed sources, so the
+    // oracle needs no decode. Corrupt/truncated clips are single
+    // triage rows; the one-frame clip exercises the NULL-hamming
+    // path.
+    "q337_gif_scenes" -> {
+      val dctRows = graft.operators.Multimodal.phashDctTable(16)
+        .map { case (i, u, c) => s"($i, $u, $c)" }
+        .mkString(",\n        |    ")
+      s"""WITH fr AS MATERIALIZED (
+        |  SELECT CAST(p.p_partkey AS BIGINT) AS id,
+        |    CAST(f.f AS INT) AS frame_idx,
+        |    CASE WHEN f.f < 3 THEN p.p_partkey * 31 + 1
+        |         ELSE p.p_partkey * 31 + 2 END AS seed,
+        |    TRUE AS ok
+        |  FROM part p, (SELECT unnest(range(0, 6)) AS f) f
+        |  WHERE p.p_partkey % 10 = 0
+        |  UNION ALL SELECT -1, 0, NULL, FALSE
+        |  UNION ALL SELECT -2, 0, NULL, FALSE
+        |  UNION ALL SELECT -3, 0, 281, TRUE
+        |), sseed AS MATERIALIZED (
+        |  SELECT DISTINCT seed FROM fr WHERE ok
+        |), lum AS MATERIALIZED (
+        |  SELECT s.seed, x.x, y.y,
+        |    1000 * ((s.seed * 7 + (1 + s.seed % 11) * x.x +
+        |      (2 + s.seed % 13) * y.y + (1 + s.seed % 7) * x.x * y.y)
+        |      % 256) AS luma
+        |  FROM sseed s,
+        |    (SELECT unnest(range(0, 16)) AS x) x,
+        |    (SELECT unnest(range(0, 16)) AS y) y
+        |), dct(i, u, c) AS (
+        |  VALUES
+        |    $dctRows
+        |), st1 AS (
+        |  SELECT l.seed, l.x, d.u AS v, SUM(l.luma * d.c) AS s1
+        |  FROM lum l JOIN dct d ON d.i = l.y
+        |  GROUP BY 1, 2, 3
+        |), coef AS (
+        |  SELECT s.seed, d.u, s.v, CAST(SUM(s.s1 * d.c) AS BIGINT)
+        |    AS cf
+        |  FROM st1 s JOIN dct d ON d.i = s.x
+        |  GROUP BY 1, 2, 3
+        |), ac AS (
+        |  SELECT seed, u * 8 + v AS idx, cf FROM coef
+        |  WHERE NOT (u = 0 AND v = 0)
+        |), med AS (
+        |  SELECT seed, cf AS m FROM (
+        |    SELECT seed, cf, row_number() OVER (
+        |      PARTITION BY seed ORDER BY cf) AS rn
+        |    FROM ac) WHERE rn = 32
+        |), ph AS MATERIALIZED (
+        |  SELECT a.seed,
+        |    string_agg(CASE WHEN a.cf > m.m THEN '1' ELSE '0' END,
+        |      '' ORDER BY a.idx) AS phash
+        |  FROM ac a JOIN med m USING (seed) GROUP BY a.seed
+        |), fh AS (
+        |  SELECT f.id, f.frame_idx, f.ok AS decode_ok,
+        |    CASE WHEN f.ok THEN p.phash END AS phash
+        |  FROM fr f LEFT JOIN ph p ON p.seed = f.seed
+        |), lagd AS MATERIALIZED (
+        |  SELECT id, frame_idx, decode_ok, phash,
+        |    lag(phash) OVER (PARTITION BY id ORDER BY frame_idx)
+        |      AS prev,
+        |    lag(frame_idx) OVER (PARTITION BY id ORDER BY frame_idx)
+        |      AS pidx
+        |  FROM fh
+        |), hamd AS (
+        |  SELECT l.id, l.frame_idx,
+        |    CAST(SUM(CASE WHEN substr(l.phash, ii.i, 1) <>
+        |      substr(l.prev, ii.i, 1) THEN 1 ELSE 0 END) AS INT)
+        |      AS hamming
+        |  FROM lagd l, (SELECT unnest(range(1, 64)) AS i) ii
+        |  WHERE l.phash IS NOT NULL AND l.prev IS NOT NULL
+        |  GROUP BY 1, 2
+        |)
+        |SELECT l.id, l.frame_idx, l.decode_ok, l.phash, h.hamming,
+        |  CASE WHEN l.frame_idx = 0 THEN TRUE
+        |       WHEN h.hamming IS NOT NULL
+        |         AND l.pidx = l.frame_idx - 1
+        |         THEN h.hamming >= 10
+        |       END AS scene_change
+        |FROM lagd l LEFT JOIN hamd h
+        |  ON h.id = l.id AND h.frame_idx = l.frame_idx
+        |ORDER BY l.id, l.frame_idx""".stripMargin
+    },
+
+    // Q18: user-level bounded-contribution release — the capPerKey
+    // window replay, domain counts, thresholds at ε/cap; the refusal
+    // column is a constant TRUE (the operator's data-free refusal,
+    // probed by the Spark side).
+    "q338_dp_user_level" -> dpUserDomainOracle(
+      Seq("click", "error", "purchase", "signup", "view"),
+      epsilon = 0.8, seed = 81L, userCap = 8, clampK = 200),
+
+    // Q19: the zCDP ledger replay — accounting literals re-derived
+    // inline, 36 seed-rotated count releases replayed through one
+    // seed VALUES table; basic_refused TRUE is the probed Σε
+    // refusal.
+    "q339_dp_zcdp_ledger" -> dpZcdpOracle(
+      nReleases = 36, epsMicro = 100000L, seedBase = 100L,
+      budgetMicro = 3450000L, deltaPow10 = 6,
+      domain = Seq("de", "en", "es", "fr", "zh"),
+      epsilon = 0.1, clampK = 200),
+
+    // T62: recursive-CTE enumeration of every in-vocab segmentation,
+    // Viterbi-tie ranking, md5-uniform pick — the shared literal
+    // piece table, char fallback via the left-join COALESCE.
+    "q340_nbest_encode" -> nbestEncodeOracle(nBest = 4, seed = 340L),
 
     // M14: both perceptual pipelines replayed from the pixel formula
     // — aHash via the q304 block CTEs, pHash via the literal

@@ -577,6 +577,74 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got((3L, 1)) === ((3L, 1, false, None, None, None)))
   }
 
+  test("gifSceneChanges (M18): real codec frame directory — lossless " +
+      "indexed round-trip, planted cut flags, triage rows for " +
+      "corrupt/truncated containers, single-frame clip, determinism") {
+    // the fixture's GIF encode→decode round-trip is BIT-EXACT: the
+    // decoded raster reproduces gifPixelIndex (the oracle's contract)
+    val bytes = Multimodal.syntheticGif(9L, 4, 16, 16, switchAt = 2)
+    assert(new String(bytes.take(6), "US-ASCII") === "GIF89a")
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val reader = javax.imageio.ImageIO.getImageReaders(iis).next()
+    reader.setInput(iis, false, true)
+    assert(reader.getNumImages(true) === 4)
+    for (f <- 0 until 4) {
+      val img = reader.read(f)
+      val seed = if (f < 2) 9L * 31 + 1 else 9L * 31 + 2
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val idx = Multimodal.gifPixelIndex(seed, x, y)
+        assert(img.getRGB(x, y) === (0xff000000 | (idx << 16) |
+          (idx << 8) | idx), s"f=$f x=$x y=$y")
+      }
+    }
+    reader.dispose(); iis.close()
+    // frame byte spans differ per content (LZW) — a fixed stride
+    // could not slice this container; only the directory can
+    val clip = Multimodal.syntheticGif(1L, 6, 16, 16, switchAt = 3)
+    val df = Seq(
+      (1L, clip),
+      (2L, Array.fill[Byte](120)(7)),           // no reader claims it
+      (3L, clip.take(20)),                      // header, cut mid-table
+      (4L, Multimodal.syntheticGif(5L, 1, 16, 16, 0)))
+      .toDF("id", "payload")
+    val got = Multimodal.gifSceneChanges(df, "id", "payload",
+        grid = 16, threshold = 10)
+      .as[(Long, Int, Boolean, Option[String], Option[Int],
+        Option[Boolean])].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // clip 1: 6 decoded frames, static until the cut at 3
+    assert(got.keySet.count(_._1 == 1L) === 6)
+    assert(got((1L, 0))._6 === Some(true))
+    for (f <- Seq(1, 2, 4, 5))
+      assert(got((1L, f))._5 === Some(0) &&
+        got((1L, f))._6 === Some(false), s"static frame $f")
+    assert(got((1L, 3))._5.exists(_ >= 10) &&
+      got((1L, 3))._6 === Some(true))
+    // the GIF pHash equals the BMP pHash of the same pixel formula's
+    // gray image (luma 1000·idx both ways) — cross-codec parity
+    val gray = Multimodal.bmpFrom(16, 16)((x, y) => {
+      val i = Multimodal.gifPixelIndex(1L * 31 + 1, x, y); (i, i, i)
+    })
+    val bmpHash = Multimodal.imagePHash(
+        Seq((0L, gray)).toDF("id", "payload"), "id", "payload",
+        grid = 16)
+      .as[(Long, Boolean, Option[String])].collect().head._3
+    assert(got((1L, 0))._4 === bmpHash)
+    // corrupt + truncated: ONE triage row each, scene at 0 by
+    // convention, everything else NULL
+    assert(got((2L, 0)) === ((2L, 0, false, None, None, Some(true))))
+    assert(got((3L, 0)) === ((3L, 0, false, None, None, Some(true))))
+    assert(got.keySet.count(_._1 == 2L) === 1)
+    assert(got.keySet.count(_._1 == 3L) === 1)
+    // single-frame clip: one decoded row, no hamming
+    assert(got((4L, 0))._3 === true && got((4L, 0))._5 === None &&
+      got((4L, 0))._6 === Some(true))
+    // encoder determinism (no timestamps in GIF89a)
+    assert(java.util.Arrays.equals(bytes,
+      Multimodal.syntheticGif(9L, 4, 16, 16, switchAt = 2)))
+  }
+
   test("imagePerceptualHashes: fused pass is byte-identical to the " +
       "single-hash operators; tiered triage") {
     val df = Seq(

@@ -1627,6 +1627,92 @@ class QualitySpec extends AnyFunSuite {
     assert(ok.map(_._5).toSeq === Seq(800000L, 0L))
   }
 
+  test("dpReleaseSuiteZcdp (Q19): 36 small releases pass under zCDP " +
+      "where basic sequential accounting refuses; exact ceiling " +
+      "arithmetic; blown converted budget and parallel claims " +
+      "refuse data-free") {
+    val df = Seq("a", "b").toDF("k")
+    val dom = Seq("a", "b").toDF("k")
+    def mkRel(i: Int) = Quality.DpDeclaredRelease(f"r$i%02d", 100000L,
+      () => Quality.dpCountReleaseOverDomain(df, dom, Seq("k"),
+        epsilon = 0.1, seed = i.toLong, clampK = 200),
+      Some("released_count"))
+    val releases = (1 to 36).map(mkRel)
+    // basic Σε = 3.6 > 3.45 refuses...
+    intercept[IllegalStateException] {
+      Quality.dpReleaseSuite(releases, budgetMicro = 3450000L)
+    }
+    // ...zCDP fits: ρ = ⌈0.1²/2·10⁶⌉ = 5000 µ each, Σρ = 180000 µ,
+    // ε(1e-6) = 180000 + ⌈2√(180000·13815511)⌉
+    val got = Quality.dpReleaseSuiteZcdp(releases,
+        budgetMicro = 3450000L, deltaPow10 = 6)
+      .as[(Int, String, Long, Long, Long, Long, Int, Long, Long,
+        Long, Option[Long])].collect()
+    assert(got.length === 36)
+    assert(got.forall(_._4 === 5000L))
+    assert(got.last._5 === 180000L)
+    val expected = 180000L + math.ceil(
+      2.0 * math.sqrt((180000L * 13815511L).toDouble)).toLong
+    assert(got.last._6 === expected && expected <= 3450000L,
+      s"converted spend $expected must fit the budget")
+    // converted spend strictly monotone across the suite
+    got.map(_._6).sliding(2).foreach {
+      case Array(a, b) => assert(b > a)
+      case _ => ()
+    }
+    // one big release whose CONVERTED spend blows the budget refuses
+    // before any thunk runs (ε = 3 → ρ = 4.5e6 µ alone)
+    var invoked = false
+    intercept[IllegalStateException] {
+      Quality.dpReleaseSuiteZcdp(Seq(
+        Quality.DpDeclaredRelease("big", 3000000L,
+          () => { invoked = true; df })),
+        budgetMicro = 3450000L, deltaPow10 = 6)
+    }
+    assert(!invoked)
+    // parallel-group claims refuse (no silent loss of the discount)
+    val pEx = intercept[IllegalArgumentException] {
+      Quality.dpReleaseSuiteZcdp(Seq(
+        Quality.DpDeclaredRelease("p", 1L, () => df, None, Some("g"),
+          Some(() => dom))),
+        budgetMicro = 10L, deltaPow10 = 6)
+    }
+    assert(pEx.getMessage.contains("sequential-only"))
+  }
+
+  test("dpUserCountReleaseOverDomain (Q18): a million-row whale user " +
+      "moves the capped release by exactly the cap; uncapped " +
+      "user-level accounting refuses; deterministic") {
+    val dom = Seq("a").toDF("k")
+    // 10 users x 10 rows each, all in domain cell 'a'
+    val base = spark.range(100).select(
+      col("id").as("rid"), (col("id") % 10).as("user"),
+      lit("a").as("k"))
+    def release(df: org.apache.spark.sql.DataFrame) =
+      Quality.dpUserCountReleaseOverDomain(df, "user", "rid", dom,
+          Seq("k"), epsilon = 0.8, seed = 5L, userCap = Some(8),
+          clampK = 200)
+        .as[(String, Long)].collect().head._2
+    val r1 = release(base)
+    // one user with 10^6 rows joins; same (key, seed) => identical
+    // noise draw, so the released delta IS the capped contribution
+    val whale = spark.range(1000000L).select(
+      (col("id") + 1000L).as("rid"), lit(9999L).as("user"),
+      lit("a").as("k"))
+    val r2 = release(base.unionByName(whale))
+    assert(r2 - r1 === 8L,
+      s"whale must move the release by exactly userCap: $r1 -> $r2")
+    // determinism
+    assert(release(base) === r1)
+    // uncapped user-level accounting refuses, data-free
+    val ex = intercept[IllegalStateException] {
+      Quality.dpUserCountReleaseOverDomain(base, "user", "rid", dom,
+        Seq("k"), epsilon = 0.8, seed = 5L, userCap = None,
+        clampK = 200)
+    }
+    assert(ex.getMessage.contains("no per-user contribution bound"))
+  }
+
   test("dpTopKRelease: high-epsilon concentration peels the exact " +
       "top-k in order; zero-count domain keys are candidates; " +
       "k > domain refuses; deterministic") {

@@ -80,6 +80,66 @@ class UnigramLmSpec extends AnyFunSuite {
     assert(long.getMessage.contains("maxWordLen=12"))
   }
 
+  test("encodeNbest (T62): nBest=1 reduces bit-identically to the " +
+      "q333 encoder; rank 1 is the Viterbi path; sampled >= best; " +
+      "multi-candidate words counted; deterministic") {
+    val c = corpus(
+      "abab abab cd cd cd ababcd",
+      "abab cd abab extraordinarilylong",
+      "ab ab cd abab xq")
+    val m = UnigramLm.train(c, "text",
+      seedMaxPieceLen = 4, multiKeep = 8, maxWordLen = 12,
+      minCount = 2L, rounds = 3)
+    val docs = c
+    // nBest = 1: best == sampled == the plain encoder's n_tokens,
+    // for every document
+    val plain = UnigramLm.encode(docs, "doc_id", "text", m)
+      .select("doc_id", "n_tokens").as[(Long, Long)]
+      .collect().toMap
+    val one = UnigramLm.encodeNbest(docs, "doc_id", "text", m,
+        nBest = 1, seed = 7L)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    for ((id, _, best, sampled, multi) <- one) {
+      assert(best === plain(id), s"doc $id best vs viterbi")
+      assert(sampled === best, s"doc $id nBest=1 must sample rank 1")
+      assert(multi === 0L)
+    }
+    // rank 1 IS the Viterbi path (not just the same count): the
+    // enumeration tiebreak (score DESC, reversed-length digits DESC)
+    // unrolls viterbi's prefer-longer backtrack
+    val lp = m.pieces.map(p => p.piece -> p.logpMicro).toMap
+    val maxL = m.pieces.map(_.piece.length).max
+    for (w <- Seq("abab", "ababcd", "cd", "ab", "abcd")) {
+      val vit = UnigramLm.viterbi(w, maxL, lp)
+      val segs = UnigramLm.allSegmentations(w, maxL, lp)
+      if (vit.isEmpty) assert(segs.isEmpty, s"word $w")
+      else {
+        val best = segs.sortBy { case (sc, tb) => (-sc, tb) }(
+          Ordering.Tuple2(Ordering.Long, Ordering.String.reverse))
+          .head
+        assert(best._1 === vit.get._1, s"word $w score")
+        assert(best._2 ===
+          vit.get._2.reverse.map(_.length).mkString(""),
+          s"word $w path")
+      }
+    }
+    // nBest = 4: sampled is never below the Viterbi floor, and the
+    // regularization surface is visible (some word has >1 candidate)
+    val four = UnigramLm.encodeNbest(docs, "doc_id", "text", m,
+        nBest = 4, seed = 7L)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    four.foreach { case (id, _, best, sampled, _) =>
+      assert(sampled >= best, s"doc $id sampled below Viterbi floor")
+      assert(best === plain(id))
+    }
+    assert(four.map(_._5).sum > 0L, "no multi-candidate words seen")
+    // determinism
+    val again = UnigramLm.encodeNbest(docs, "doc_id", "text", m,
+        nBest = 4, seed = 7L)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(again.sortBy(_._1).toSeq === four.sortBy(_._1).toSeq)
+  }
+
   test("encode: dictionary-join counts match per-word Viterbi; " +
       "long words char-fallback; compression on the floor grid") {
     val c = corpus(
