@@ -779,6 +779,85 @@ object Multimodal {
         "re", "im", "power")
   }
 
+  /** M19 support: triangular mel filterbank weights as fixed-point
+    * literals — mel(f) = 2595·log10(1 + f/700), `nMels` triangles
+    * with mel-equidistant centers over [0, sampleRate/2], weight at
+    * DFT bin k (center frequency k·sr/n) floored to the 1e4 grid,
+    * zero-weight cells dropped. Computed driver-side ONCE and handed
+    * to BOTH engines as literals (the q269/dftTable pattern) — the
+    * mel/log10/pow floats never cross an engine boundary. */
+  private[graft] def melWeights(
+      n: Int, nMels: Int, sampleRate: Int): Seq[(Int, Int, Long)] = {
+    val nBins = n / 2 + 1
+    def mel(f: Double) = 2595.0 * math.log10(1.0 + f / 700.0)
+    val mMax = mel(sampleRate / 2.0)
+    val fc = (0 to nMels + 1).map(i =>
+      700.0 * (math.pow(10.0, i * mMax / (nMels + 1) / 2595.0) - 1.0))
+    for {
+      m <- 1 to nMels
+      k <- 0 until nBins
+      f = k.toDouble * sampleRate / n
+      w = if (f <= fc(m - 1) || f >= fc(m + 1)) 0.0
+        else if (f <= fc(m)) (f - fc(m - 1)) / (fc(m) - fc(m - 1))
+        else (fc(m + 1) - f) / (fc(m + 1) - fc(m))
+      wq = math.floor(w * 10000.0).toLong
+      if wq > 0L
+    } yield (m - 1, k, wq)
+  }
+
+  /**
+   * M19 (r15): mel-filterbank energies — the audio feature
+   * ASR/audio-dedup pipelines actually key on: raw DFT bins weight
+   * every frequency equally, but perception (and every practical
+   * audio fingerprint from Shazam-style landmarks to MFCC front
+   * ends) is log-frequency — triangular filters mel-spaced over
+   * [0, sr/2] pool the per-window power spectrum into `nMels`
+   * bands. COMPOSED from existing ops (the preference order's first
+   * rung): one [[audioSpectralSweep]] pass over ALL bins 0..n/2
+   * (one decode per clip, exact integer re/im), then one
+   * partial-aggregated weighted sum against the broadcast
+   * [[melWeights]] literal table — band energy =
+   * Σ_k w[m,k]·power[k] in exact DECIMAL(38,0) (power ≤ ~4.4e26 at
+   * n = 64, × 1e4 weight × 33 bins ≈ 1.5e32 — headroom documented),
+   * emitted as STRING digits (the q189 >2⁶³ rule).
+   *
+   * Triage inherits the sweep's contract: an undecodable/short clip
+   * carries NULL power, so every mel band of its window-0 row reads
+   * NULL energy — visible, never dropped.
+   *
+   * Scale: decode cost identical to the sweep (bins add integer
+   * MACs, not decodes); the mel pooling is one broadcast join + one
+   * partial-agg exchange keyed by (clip, window, mel) — bounded
+   * fan-in of n/2+1 rows per output row.
+   *
+   * Output: (idCol, decode_ok, win_idx, mel, energy) — order at the
+   * call site.
+   */
+  def melEnergies(
+      df: DataFrame, idCol: String, payloadCol: String,
+      n: Int, hop: Int, nMels: Int, sampleRate: Int,
+      maxWindows: Int): DataFrame = {
+    require(nMels >= 2 && nMels <= 128,
+      s"nMels must be in [2, 128], got $nMels")
+    val spark = df.sparkSession
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val sweep = audioSpectralSweep(df, idCol, payloadCol, n, hop,
+      bins = 0 to n / 2, maxWindows = maxWindows)
+    val w = melWeights(n, nMels, sampleRate)
+    require(
+      (0 until nMels).forall(m => w.exists(_._1 == m)),
+      s"mel filter with no positive-weight bin at n=$n, " +
+        s"nMels=$nMels, sr=$sampleRate — widen bands or raise n")
+    val wdf = broadcast(
+      spark.createDataFrame(w).toDF("bin_mel", "bin", "w"))
+    sweep
+      .join(wdf, Seq("bin"))
+      .groupBy(col(idCol), col("decode_ok"), col("win_idx"),
+        col("bin_mel").as("mel"))
+      .agg(sum(col("power").cast(dec) * col("w")).cast("string")
+        .as("energy"))
+  }
+
   /**
    * M16 fixture: a two-tone WAV whose content CHANGES mid-clip —
    * samples 0 until nSamples/2 carry the fixed-point cosine of

@@ -1324,6 +1324,108 @@ object Similarity {
   }
 
   /**
+   * V35 (r15): retrieve-then-rerank — THE production ANN serving
+   * shape (FAISS/ScaNN deployments, every two-stage retrieval
+   * stack): a cheap quantized first stage OVER-FETCHES `candidates`
+   * per probe ([[ivfSq8Search]] — IVF routing + exact int8 inner
+   * product), then an exact second stage re-scores ONLY those
+   * candidates with the full-precision cosine and cuts to k. The
+   * quantization/metric loss the V32 sweep prices is mostly an
+   * ORDERING loss inside the near-neighborhood — re-ranking the
+   * over-fetched set recovers it at per-probe cost `candidates`
+   * instead of corpus-sized ([[retrieveRerankReadout]] measures
+   * exactly that recovery).
+   *
+   * Scale: stage 1 is ivfSq8Search's documented shape; the candidate
+   * set (probes × candidates rows — bounded, serving-side small)
+   * BROADCASTS back onto one corpus scan for the exact vectors, so
+   * stage 2 never shuffles the corpus; scoring and the k-cut reuse
+   * [[cosineTopK]]'s exact-fold dot and the shared [[rankTopK]] tie
+   * rule (probe norms broadcast with the probe set).
+   *
+   * Output: (probe_id, vec_id, rank, cosine) — [[cosineTopK]]'s
+   * shape, so a caller can swap exact search for serve-and-rerank
+   * without touching downstream code.
+   */
+  def retrieveRerank(
+      corpus: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      seeds: Seq[Seq[Double]],
+      nprobe: Int,
+      candidates: Int,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(candidates >= k,
+      s"candidates must be >= k, got $candidates < $k")
+    val cand = ivfSq8Search(corpus, probes, idCol, vecCol, seeds,
+        nprobe, candidates)
+      .select(col("probe_id"), col("vec_id"))
+    val c = corpus.select(
+      col(idCol).as("vec_id"), toDoubleVec(col(vecCol)).as("__v"))
+      .withColumn("__vnorm", norm(col("__v")))
+    val p = probes.select(
+      col(idCol).as("probe_id"), toDoubleVec(col(vecCol)).as("__p"))
+      .withColumn("__pnorm", norm(col("__p")))
+    val scored = c
+      .join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(p), Seq("probe_id"))
+      .withColumn("__cos",
+        dot(col("__v"), col("__p")) /
+          (col("__vnorm") * col("__pnorm")))
+      .select("probe_id", "vec_id", "__cos")
+    rankTopK(scored, k)
+  }
+
+  /**
+   * V35 readout: what the rerank BUYS — recall@k against one exact
+   * [[cosineTopK]] ground-truth pass (Barrier-routed, the q290
+   * rule) for the quantized stage alone vs the reranked pipeline at
+   * the same (nprobe, candidates). The rerank can only recover loss
+   * INSIDE the retrieved set (routing misses stay missed — that is
+   * nprobe's dial, V32's sweep); this readout isolates the ordering
+   * loss the exact re-score removes.
+   *
+   * Output: (stage, n_probes, exact_pairs, hit_pairs, recall),
+   * stage ∈ {'sq8_top_k', 'rerank'} ordered by stage.
+   */
+  def retrieveRerankReadout(
+      corpus: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      seeds: Seq[Seq[Double]],
+      nprobe: Int,
+      candidates: Int,
+      k: Int): DataFrame = {
+    val exact = Barrier.barrier(
+      cosineTopK(corpus, probes, idCol, vecCol, k)
+        .select(col("probe_id"), col("vec_id")))
+    val totals = exact.agg(
+      count(lit(1)).as("exact_pairs"),
+      countDistinct(col("probe_id")).as("n_probes"))
+    def stageRow(stage: String, approx: DataFrame): DataFrame =
+      approx.select(col("probe_id"), col("vec_id"))
+        .join(exact, Seq("probe_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("hit_pairs"))
+        .crossJoin(broadcast(totals))
+        .select(
+          lit(stage).as("stage"),
+          col("n_probes"), col("exact_pairs"), col("hit_pairs"),
+          round(col("hit_pairs").cast("double") /
+            when(col("exact_pairs") > 0L,
+              col("exact_pairs").cast("double")), 6).as("recall"))
+    val out = stageRow("sq8_top_k",
+      ivfSq8Search(corpus, probes, idCol, vecCol, seeds, nprobe, k))
+      .unionByName(stageRow("rerank",
+        retrieveRerank(corpus, probes, idCol, vecCol, seeds, nprobe,
+          candidates, k)))
+      .orderBy("stage")
+    out
+  }
+
+  /**
    * V32 (r13): recall sweep for the IVF+SQ8 path — the tuning
    * readout that completes the serving-audit symmetry: V26 reads
    * IVF routing loss with exact scoring, V28 reads the IVF+PQ

@@ -1266,4 +1266,73 @@ object TextAnalysis {
           cnt(col("__t"), encControl) === 0L &&
           cnt(col("__t"), encReplacement) === 0L).as("clean_after"))
   }
+
+  /**
+   * T64 (r15): repeated-run COLLAPSE — act on [[repetitionSignals]]'
+   * signal the way T61 acts on T59's: the MassiveText/Gopher family
+   * measures in-document repetition and FILTERS; the in-between
+   * repair every production cleaner also ships is collapsing
+   * consecutive duplicate runs (stutter from scraping artifacts,
+   * boilerplate echo, template loops) so a document with salvageable
+   * content is repaired instead of dropped. Whitespace tokens; a run
+   * is a maximal block of consecutive IDENTICAL tokens; every run
+   * keeps its first `maxRun` occurrences (maxRun = 1 collapses runs
+   * to a single token). NON-consecutive repetition is deliberately
+   * untouched — natural language repeats words at distance; only
+   * adjacency is scraping stutter (the honesty caveat, mirrored from
+   * langId).
+   *
+   * Exactness: repaired text is pinned by md5 + length without
+   * shipping it (the T61 contract); counts are exact longs. Per doc:
+   * one posexplode, one per-doc lag/prefix-sum window (run ids), one
+   * per-(doc, run) rank window, one ordered re-join of the kept
+   * tokens — all bounded by tokens-per-doc, never corpus-wide.
+   *
+   * Output: (idCol, n_tokens_before, n_tokens_after,
+   * n_runs_collapsed, repaired_len, repaired_md5), docs with no
+   * tokens drop (nothing to repair, mirrored by the oracle's
+   * token-grouped aggregate).
+   */
+  def collapseTokenRuns(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxRun: Int = 1): DataFrame = {
+    require(maxRun >= 1, s"maxRun must be >= 1, got $maxRun")
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs
+      .where(col(textCol).isNotNull)
+      .select(col(idCol),
+        posexplode(split(col(textCol), "\\s+")).as(Seq("pos", "w")))
+      .where(col("w") =!= "")
+    val wDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val prev = lag(col("w"), 1).over(wDoc)
+    val runs = tok
+      .withColumn("__rs",
+        when(prev.isNull || prev =!= col("w"), 1L).otherwise(0L))
+      .withColumn("__run", sum(col("__rs")).over(
+        wDoc.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+    val ranked = runs.withColumn("__rr",
+      row_number().over(
+        Window.partitionBy(col(idCol), col("__run"))
+          .orderBy(col("pos"))))
+    ranked
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens_before"),
+        sum(when(col("__rr") <= maxRun, 1L).otherwise(0L))
+          .as("n_tokens_after"),
+        countDistinct(when(col("__rr") > maxRun, col("__run")))
+          .as("n_runs_collapsed"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("__rr") <= maxRun,
+                struct(col("pos"), col("w"))))),
+            x => x.getField("w")),
+          " ").as("__t"))
+      .select(col(idCol), col("n_tokens_before"),
+        col("n_tokens_after"), col("n_runs_collapsed"),
+        length(col("__t")).cast("long").as("repaired_len"),
+        md5(col("__t")).as("repaired_md5"))
+  }
 }

@@ -467,6 +467,126 @@ object PipelineQueries {
        |GROUP BY 1 ORDER BY d.doc_id""".stripMargin
   }
 
+  /** q341/q342 oracle generator: the batch-perceptron replay —
+    * unrolled per-epoch CTEs over the (doc, bucket, count) integer
+    * design matrix: margins from the previous epoch's weight table
+    * (LEFT JOIN — absent buckets are weight 0), ties count as
+    * errors, batch updates merge by UNION ALL + SUM. `confusion`
+    * selects the final-weights margin-sign cells instead of the
+    * trace. */
+  private def perceptronOracle(
+      buckets: Int, epochs: Int, stopwords: Seq[String],
+      minHits: Int, confusion: Boolean): String = {
+    val sw = stopwords.map(s => s"'$s'").mkString(", ")
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH tok AS MATERIALIZED (
+         |  SELECT doc_id, word FROM (
+         |    SELECT doc_id, unnest(string_split_regex(lower(text),
+         |      '\\s+')) AS word
+         |    FROM documents WHERE text IS NOT NULL)
+         |  WHERE word <> ''
+         |), lab AS MATERIALIZED (
+         |  SELECT doc_id, CASE WHEN SUM(CASE WHEN word IN ($sw)
+         |      THEN 1 ELSE 0 END) >= $minHits
+         |    THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y
+         |  FROM tok GROUP BY 1
+         |), db AS MATERIALIZED (
+         |  SELECT t.doc_id, l.y,
+         |    ('0x' || substr(md5(t.word), 1, 7))::BIGINT % $buckets
+         |      AS b,
+         |    CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM tok t JOIN lab l ON l.doc_id = t.doc_id
+         |  GROUP BY 1, 2, 3
+         |)""".stripMargin)
+    for (e <- 1 to epochs) {
+      val m =
+        if (e == 1)
+          s""", m1 AS (
+             |  SELECT doc_id, y, CAST(0 AS BIGINT) AS m FROM lab
+             |)""".stripMargin
+        else
+          s""", m$e AS (
+             |  SELECT d.doc_id, any_value(d.y) AS y,
+             |    (SELECT bias FROM bias${e - 1})
+             |      + COALESCE(SUM(w.w * d.c), 0) AS m
+             |  FROM db d LEFT JOIN w${e - 1} w ON w.b = d.b
+             |  GROUP BY d.doc_id
+             |)""".stripMargin
+      val wE =
+        if (e == 1)
+          s""", w1 AS MATERIALIZED (
+             |  SELECT d.b, CAST(SUM(d.y * d.c) AS BIGINT) AS w
+             |  FROM db d JOIN mis1 mm ON mm.doc_id = d.doc_id
+             |  GROUP BY 1
+             |)""".stripMargin
+        else
+          s""", dw$e AS (
+             |  SELECT d.b, CAST(SUM(d.y * d.c) AS BIGINT) AS w
+             |  FROM db d JOIN mis$e mm ON mm.doc_id = d.doc_id
+             |  GROUP BY 1
+             |), w$e AS MATERIALIZED (
+             |  SELECT b, CAST(SUM(w) AS BIGINT) AS w FROM (
+             |    SELECT b, w FROM w${e - 1}
+             |    UNION ALL SELECT b, w FROM dw$e)
+             |  GROUP BY 1
+             |)""".stripMargin
+      val biasPrev =
+        if (e == 1) "CAST(0 AS BIGINT)"
+        else s"(SELECT bias FROM bias${e - 1})"
+      sb.append(m)
+      sb.append(
+        s""", mis$e AS MATERIALIZED (
+           |  SELECT doc_id, y FROM m$e WHERE y * m <= 0
+           |)""".stripMargin)
+      sb.append(wE)
+      sb.append(
+        s""", bias$e AS (
+           |  SELECT $biasPrev
+           |    + COALESCE((SELECT SUM(y) FROM mis$e), 0) AS bias
+           |)""".stripMargin)
+    }
+    if (!confusion) {
+      val rows = (1 to epochs).map { e =>
+        s"""  SELECT $e AS epoch,
+           |    (SELECT CAST(COUNT(*) AS BIGINT) FROM lab) AS n_docs,
+           |    (SELECT CAST(COUNT(*) AS BIGINT) FROM mis$e)
+           |      AS n_misclassified,
+           |    (SELECT CAST(bias AS BIGINT) FROM bias$e)
+           |      AS bias_after,
+           |    (SELECT CAST(COALESCE(SUM(ABS(w)), 0) AS BIGINT)
+           |      FROM w$e) AS w_l1_after,
+           |    (SELECT CAST(COALESCE(SUM(w * (b + 1)), 0) AS BIGINT)
+           |      FROM w$e) AS w_checksum_after""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      sb.append(
+        s"""
+           |SELECT CAST(epoch AS INT) AS epoch, n_docs,
+           |  n_misclassified, bias_after, w_l1_after,
+           |  w_checksum_after
+           |FROM (
+           |$rows
+           |) ORDER BY epoch""".stripMargin)
+    } else {
+      sb.append(
+        s""", mfin AS (
+           |  SELECT d.doc_id, any_value(d.y) AS y,
+           |    (SELECT bias FROM bias$epochs)
+           |      + COALESCE(SUM(w.w * d.c), 0) AS m
+           |  FROM db d LEFT JOIN w$epochs w ON w.b = d.b
+           |  GROUP BY d.doc_id
+           |)
+           |SELECT y AS y_true,
+           |  CASE WHEN m > 0 THEN CAST(1 AS BIGINT)
+           |    ELSE CAST(-1 AS BIGINT) END AS y_pred,
+           |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(m) AS BIGINT) AS margin_sum
+           |FROM mfin GROUP BY 1, 2
+           |ORDER BY y_true, y_pred""".stripMargin)
+    }
+    sb.toString
+  }
+
   /** q339 oracle generator: the zCDP ledger replay — the accounting
     * literals re-derived INLINE (ceiling ρ = ⌈ε²/2e6⌉, exact
     * cumulative, ε(δ) = cumρ + ⌈2√(cumρ·ln(1/δ)_micro)⌉ over an
@@ -4716,6 +4836,42 @@ object PipelineQueries {
         nprobes = Seq(1, 2, 4, 8), k = 5)
     }),
 
+    // V35 (round 15): retrieve-then-rerank — the production serving
+    // shape: ivfSq8Search over-fetches 30 candidates per probe
+    // (nlist 4, nprobe 2), the exact cosine re-scores only those and
+    // cuts to 10; output is cosineTopK-shaped so downstream code
+    // can't tell it isn't exact search.
+    "q345_retrieve_rerank" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val seeds = Similarity.ivfSeeds(e, "vec_id", "embedding",
+        nlist = 4)
+      Similarity.retrieveRerank(e, e.where(col("vec_id") < 5),
+          "vec_id", "embedding", seeds, nprobe = 2,
+          candidates = 30, k = 10)
+        .withColumn("cosine", round(col("cosine"), 6))
+        .orderBy("probe_id", "rank")
+    }),
+
+    // V35 readout: what the rerank buys — recall@5 of the quantized
+    // stage alone vs the reranked pipeline at the same routing
+    // (nlist 8, nprobe 2, 25 candidates), both against one exact
+    // ground-truth pass. Routing misses stay missed (nprobe's dial);
+    // the delta isolates the ordering loss the exact re-score
+    // removes. On these near-isotropic synthetic embeddings the SQ8
+    // ordering loss is ~zero, so the two stages read EQUAL recall
+    // (the loss is all routing) — that equality is itself the
+    // measurement; SimilaritySpec's outlier-crushed fixture pins the
+    // regime where rerank recovers 0 → 1.
+    "q346_rerank_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val seeds = Similarity.ivfSeeds(e, "vec_id", "embedding",
+        nlist = 8)
+      Similarity.retrieveRerankReadout(
+        e, e.where(col("vec_id") >= 8 && col("vec_id") < 16),
+        "vec_id", "embedding", seeds, nprobe = 2,
+        candidates = 25, k = 5)
+    }),
+
     // V34 (round 14): SQ8 scale-calibration audit — exact
     // nearest-rank |component| percentiles at 950/990/1000‰, the
     // resulting scales, clipped fractions, and floor-grid
@@ -4824,6 +4980,32 @@ object PipelineQueries {
           "payload", n = 64, hop = 64, bins = Seq(0, 5, 11),
           maxWindows = 8)
         .orderBy("id", "win_idx", "bin")
+    }),
+
+    // M19 (round 15): mel-filterbank energies — the q329 two-tone
+    // fixture pooled into 6 mel bands (every 2nd part id — the
+    // full-spectrum sweep runs 33-bin MACs per window, so the gate
+    // halves the clip count and states it): window 0's 1250 Hz tone
+    // lands its energy in band 2, window 2's 2750 Hz in band 3 —
+    // the log-frequency separation raw bins don't give; short +
+    // corrupt clips triage as NULL-energy rows per band.
+    "q344_mel_energies" -> ((s, dir) => {
+      import s.implicits._
+      val ids = t(s, dir, "part")
+        .where(col("p_partkey") % 2 === 0)
+        .select(col("p_partkey").as("id"))
+      val wavs = Multimodal.withSyntheticToneWav(
+        ids, "id", nSamples = 192, sampleRate = 16000,
+        n = 64, binFirst = 5, binSecond = 11)
+      val short = Seq((-1L, Multimodal.syntheticWav(-1L, 32, 16000)))
+        .toDF("id", "payload")
+      val corrupt = Seq((-2L, "RIFF....not a wav".getBytes("UTF-8")))
+        .toDF("id", "payload")
+      Multimodal.melEnergies(
+          wavs.unionByName(short).unionByName(corrupt), "id",
+          "payload", n = 64, hop = 64, nMels = 6,
+          sampleRate = 16000, maxWindows = 8)
+        .orderBy("id", "win_idx", "mel")
     }),
 
     // M17 (round 14): video-shaped scene-change detection — every
@@ -4941,6 +5123,49 @@ object PipelineQueries {
           deltaPow10 = 6)
         .withColumn("basic_refused", lit(basicRefused))
         .orderBy("seq")
+    }),
+
+    // T64 (round 15): repeated-run collapse — act on q43's
+    // repetition signal the way T61 acts on T59's: consecutive
+    // duplicate token runs collapse to their first occurrence
+    // (scraping stutter), non-consecutive repetition deliberately
+    // untouched; repaired text pinned by md5 + length.
+    "q343_collapse_runs" -> ((s, dir) => {
+      TextAnalysis.collapseTokenRuns(
+          t(s, dir, "documents"), "doc_id", "text", maxRun = 1)
+        .orderBy("doc_id")
+    }),
+
+    // T63 (round 15): batch-perceptron quality classifier — the
+    // model-based filtering stage (GPT-3 LR filter / CCNet fastText
+    // shape) distilling a declared stopword-fluency heuristic into a
+    // linear model over hashed token buckets; every weight, margin,
+    // and update is an exact integer, so the 4-epoch trajectory
+    // replays bit-identically as unrolled oracle CTEs. Trace rows:
+    // errors entering each epoch + the weight-state checksums after
+    // its batch update.
+    "q341_quality_perceptron" -> ((s, dir) => {
+      val QC = graft.operators.QualityClassifier
+      val sw = graft.operators.TextAnalysis.langProfiles.toMap
+        .apply("en")
+      val m = QC.train(t(s, dir, "documents"), "doc_id", "text",
+        buckets = 256, epochs = 4, stopwords = sw, minHits = 2)
+      QC.traceTable(s, m).orderBy("epoch")
+    }),
+
+    // T63 companion: the distillation-fidelity readout — confusion
+    // cells of heuristic label vs the trained model's margin sign
+    // (margin 0 predicts -1, the training tie rule), with exact
+    // integer margin sums per cell.
+    "q342_perceptron_confusion" -> ((s, dir) => {
+      val QC = graft.operators.QualityClassifier
+      val docs = t(s, dir, "documents")
+      val sw = graft.operators.TextAnalysis.langProfiles.toMap
+        .apply("en")
+      val m = QC.train(docs, "doc_id", "text",
+        buckets = 256, epochs = 4, stopwords = sw, minHits = 2)
+      QC.confusion(docs, "doc_id", "text", m, stopwords = sw,
+        minHits = 2)
     }),
 
     // T62 (round 15): n-best subword-regularization encoding — the
@@ -9590,6 +9815,71 @@ object PipelineQueries {
         |ORDER BY id, win_idx, bin""".stripMargin
     },
 
+    // M19: the q329 sample/spectrum replay over ALL 33 bins, pooled
+    // by the shared melWeights literals — HUGEINT power × weight
+    // sums rendered VARCHAR; triage rows one per (clip, band).
+    "q344_mel_energies" -> {
+      val M = graft.operators.Multimodal
+      val toneRows = M.dftTable(64, Seq(5, 11))
+        .map { case (t, k, c, _) => s"($t, $k, $c)" }
+        .mkString(",\n        |    ")
+      val dftRows = M.dftTable(64, 0 to 32)
+        .map { case (t, k, c, s) => s"($t, $k, $c, $s)" }
+        .mkString(",\n        |    ")
+      val melRows = M.melWeights(64, 6, 16000)
+        .map { case (m, k, w) => s"($m, $k, $w)" }
+        .mkString(",\n        |    ")
+      s"""WITH ids AS (
+        |  SELECT CAST(p_partkey AS BIGINT) AS id,
+        |    CAST(p_partkey AS BIGINT) AS seed FROM part
+        |  WHERE p_partkey % 2 = 0
+        |), tone(t, k, c) AS (
+        |  VALUES
+        |    $toneRows
+        |), dft(t, k, c, s) AS (
+        |  VALUES
+        |    $dftRows
+        |), melw(mel, bin, w) AS (
+        |  VALUES
+        |    $melRows
+        |), smp AS MATERIALIZED (
+        |  SELECT id, ii.i,
+        |    tn.c + CAST((seed * 31 + 7 * ii.i) % 41 - 20 AS BIGINT)
+        |      AS x
+        |  FROM ids, (SELECT unnest(range(0, 192)) AS i) ii
+        |  JOIN tone tn ON tn.t = ii.i % 64
+        |    AND tn.k = CASE WHEN ii.i < 96 THEN 5 ELSE 11 END
+        |), win AS (SELECT unnest(range(0, 3)) AS w
+        |), spec AS (
+        |  SELECT m.id, win.w AS wi, d.k AS bin,
+        |    CAST(SUM(m.x * d.c) AS BIGINT) AS re,
+        |    CAST(-SUM(m.x * d.s) AS BIGINT) AS im
+        |  FROM smp m
+        |  JOIN win ON m.i >= win.w * 64 AND m.i < win.w * 64 + 64
+        |  JOIN dft d ON d.t = m.i - win.w * 64
+        |  GROUP BY 1, 2, 3
+        |), okp AS (
+        |  SELECT id, wi, bin,
+        |    re::HUGEINT * re::HUGEINT + im::HUGEINT * im::HUGEINT
+        |      AS p
+        |  FROM spec
+        |), oke AS (
+        |  SELECT o.id, TRUE AS decode_ok, CAST(o.wi AS INT)
+        |      AS win_idx, m.mel,
+        |    CAST(SUM(o.p * m.w) AS VARCHAR) AS energy
+        |  FROM okp o JOIN melw m ON m.bin = o.bin
+        |  GROUP BY 1, 2, 3, 4
+        |), triage AS (
+        |  SELECT CAST(t.id AS BIGINT) AS id, FALSE AS decode_ok,
+        |    CAST(0 AS INT) AS win_idx, m.mel,
+        |    CAST(NULL AS VARCHAR) AS energy
+        |  FROM (SELECT -1 AS id UNION ALL SELECT -2) t,
+        |    (SELECT DISTINCT mel FROM melw) m
+        |)
+        |SELECT * FROM oke UNION ALL SELECT * FROM triage
+        |ORDER BY id, win_idx, mel""".stripMargin
+    },
+
     // M17: per-SCENE pHash replay (frames within a scene are
     // identical, so the q317 DCT pipeline runs once per (clip,
     // scene) seed and frames join by scene), then the lag hamming
@@ -9795,6 +10085,61 @@ object PipelineQueries {
     // piece table, char fallback via the left-join COALESCE.
     "q340_nbest_encode" -> nbestEncodeOracle(nBest = 4, seed = 340L),
 
+    // T64: the run-collapse replay — lag run starts, prefix-sum run
+    // ids, per-run ranks, NULL-skipping ordered string_agg of the
+    // kept tokens.
+    "q343_collapse_runs" ->
+      """WITH t AS MATERIALIZED (
+        |  SELECT doc_id, w, pos FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(text, '\s+')) AS w,
+        |      generate_subscripts(string_split_regex(text, '\s+'), 1)
+        |        AS pos
+        |    FROM documents WHERE text IS NOT NULL)
+        |  WHERE w <> ''
+        |), l AS (
+        |  SELECT doc_id, w, pos,
+        |    CASE WHEN lag(w) OVER (PARTITION BY doc_id ORDER BY pos)
+        |      IS DISTINCT FROM w THEN 1 ELSE 0 END AS rs
+        |  FROM t
+        |), r AS (
+        |  SELECT doc_id, w, pos,
+        |    SUM(rs) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS run
+        |  FROM l
+        |), rr AS (
+        |  SELECT doc_id, w, pos, run, row_number() OVER (
+        |    PARTITION BY doc_id, run ORDER BY pos) AS rr
+        |  FROM r
+        |)
+        |SELECT doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_tokens_before,
+        |  CAST(SUM(CASE WHEN rr <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_tokens_after,
+        |  CAST(COUNT(DISTINCT CASE WHEN rr > 1 THEN run END)
+        |    AS BIGINT) AS n_runs_collapsed,
+        |  CAST(length(string_agg(CASE WHEN rr <= 1 THEN w END, ' '
+        |    ORDER BY pos)) AS BIGINT) AS repaired_len,
+        |  md5(string_agg(CASE WHEN rr <= 1 THEN w END, ' '
+        |    ORDER BY pos)) AS repaired_md5
+        |FROM rr GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // T63: unrolled batch-perceptron epochs — integer design matrix,
+    // LEFT-JOIN margins, tie-counts-as-error, UNION-merged weights.
+    "q341_quality_perceptron" -> perceptronOracle(
+      buckets = 256, epochs = 4,
+      stopwords = graft.operators.TextAnalysis.langProfiles.toMap
+        .apply("en"),
+      minHits = 2, confusion = false),
+
+    // T63 companion: final-weights margin-sign confusion cells.
+    "q342_perceptron_confusion" -> perceptronOracle(
+      buckets = 256, epochs = 4,
+      stopwords = graft.operators.TextAnalysis.langProfiles.toMap
+        .apply("en"),
+      minHits = 2, confusion = true),
+
     // M14: both perceptual pipelines replayed from the pixel formula
     // — aHash via the q304 block CTEs, pHash via the literal
     // fixed-point cosine table (two exact integer matrix passes +
@@ -9932,6 +10277,195 @@ object PipelineQueries {
     // q313 SQ8 encode/integer-dot replay — candidates restricted to
     // the probe's 2 routed cells; integer sums are order-free so the
     // composed rank is exact with zero float hazard.
+    // V35: the q315 candidate chain over-fetched to 30, then the
+    // exact-cosine re-rank on the candidate set only (the q19
+    // round(6)+0.0 output discipline; ranking on unrounded values).
+    "q345_retrieve_rerank" ->
+      """WITH el AS MATERIALIZED (
+        |  SELECT vec_id, generate_subscripts(embedding,1) AS d,
+        |         unnest(embedding)::DOUBLE AS x
+        |  FROM embeddings
+        |), seed_ids AS (
+        |  SELECT vec_id AS cell_vid,
+        |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
+        |  FROM embeddings ORDER BY vec_id LIMIT 4
+        |), snrm AS (
+        |  SELECT s.cell, sqrt(SUM(e.x * e.x)) AS n
+        |  FROM seed_ids s JOIN el e ON e.vec_id = s.cell_vid
+        |  GROUP BY s.cell
+        |), vc AS (
+        |  SELECT e.vec_id, s.cell, SUM(e.x * se.x) / any_value(sn.n)
+        |    AS cosn
+        |  FROM el e
+        |  JOIN seed_ids s ON TRUE
+        |  JOIN el se ON se.vec_id = s.cell_vid AND se.d = e.d
+        |  JOIN snrm sn ON sn.cell = s.cell
+        |  GROUP BY e.vec_id, s.cell
+        |), assign AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY cosn DESC, cell) AS rn
+        |    FROM vc) WHERE rn = 1
+        |), pcells AS (
+        |  SELECT vec_id AS probe_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY cosn DESC, cell) AS rn
+        |    FROM vc WHERE vec_id < 5) WHERE rn <= 2
+        |), m AS (
+        |  SELECT 127.0 / (CASE WHEN MAX(abs(x)) > 0.0
+        |    THEN MAX(abs(x)) END) AS r FROM el
+        |), enc AS (
+        |  SELECT vec_id, d, CAST(floor(x * m.r + 0.5) AS BIGINT) AS c
+        |  FROM el, m
+        |), dots AS (
+        |  SELECT p.probe_id, e.vec_id,
+        |    CAST(SUM(pe.c * e.c) AS BIGINT) AS s
+        |  FROM pcells p
+        |  JOIN assign a ON a.cell = p.cell
+        |  JOIN enc e ON e.vec_id = a.vec_id AND e.vec_id <> p.probe_id
+        |  JOIN enc pe ON pe.vec_id = p.probe_id AND pe.d = e.d
+        |  GROUP BY 1, 2
+        |), cand AS MATERIALIZED (
+        |  SELECT probe_id, vec_id FROM (
+        |    SELECT probe_id, vec_id, row_number() OVER (
+        |      PARTITION BY probe_id ORDER BY s DESC, vec_id) AS rnk
+        |    FROM dots) WHERE rnk <= 30
+        |), nrm AS (
+        |  SELECT vec_id, sqrt(SUM(x * x)) AS n FROM el GROUP BY 1
+        |), cosd AS (
+        |  SELECT c.probe_id, c.vec_id,
+        |    SUM(e.x * pe.x) / (any_value(nv.n) * any_value(np.n))
+        |      AS cosine
+        |  FROM cand c
+        |  JOIN el e ON e.vec_id = c.vec_id
+        |  JOIN el pe ON pe.vec_id = c.probe_id AND pe.d = e.d
+        |  JOIN nrm nv ON nv.vec_id = c.vec_id
+        |  JOIN nrm np ON np.vec_id = c.probe_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT probe_id, vec_id, CAST(rank AS INT) AS rank,
+        |  round(cosine, 6) + 0.0 AS cosine
+        |FROM (
+        |  SELECT probe_id, vec_id, cosine,
+        |    row_number() OVER (PARTITION BY probe_id
+        |                       ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM cosd)
+        |WHERE rank <= 10
+        |ORDER BY probe_id, rank""".stripMargin,
+
+    // V35 readout: sq8 top-5 and reranked top-5 hit counts against
+    // one exact ground-truth pass — the same chain at nlist 8,
+    // nprobe 2, 25 candidates, probes 8..16.
+    "q346_rerank_recall" ->
+      """WITH el AS MATERIALIZED (
+        |  SELECT vec_id, generate_subscripts(embedding,1) AS d,
+        |         unnest(embedding)::DOUBLE AS x
+        |  FROM embeddings
+        |), seed_ids AS (
+        |  SELECT vec_id AS cell_vid,
+        |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
+        |  FROM embeddings ORDER BY vec_id LIMIT 8
+        |), snrm AS (
+        |  SELECT s.cell, sqrt(SUM(e.x * e.x)) AS n
+        |  FROM seed_ids s JOIN el e ON e.vec_id = s.cell_vid
+        |  GROUP BY s.cell
+        |), vc AS (
+        |  SELECT e.vec_id, s.cell, SUM(e.x * se.x) / any_value(sn.n)
+        |    AS cosn
+        |  FROM el e
+        |  JOIN seed_ids s ON TRUE
+        |  JOIN el se ON se.vec_id = s.cell_vid AND se.d = e.d
+        |  JOIN snrm sn ON sn.cell = s.cell
+        |  GROUP BY e.vec_id, s.cell
+        |), assign AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY cosn DESC, cell) AS rn
+        |    FROM vc) WHERE rn = 1
+        |), pcells AS (
+        |  SELECT vec_id AS probe_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY cosn DESC, cell) AS rn
+        |    FROM vc WHERE vec_id >= 8 AND vec_id < 16)
+        |  WHERE rn <= 2
+        |), m AS (
+        |  SELECT 127.0 / (CASE WHEN MAX(abs(x)) > 0.0
+        |    THEN MAX(abs(x)) END) AS r FROM el
+        |), enc AS (
+        |  SELECT vec_id, d, CAST(floor(x * m.r + 0.5) AS BIGINT) AS c
+        |  FROM el, m
+        |), dots AS (
+        |  SELECT p.probe_id, e.vec_id,
+        |    CAST(SUM(pe.c * e.c) AS BIGINT) AS s
+        |  FROM pcells p
+        |  JOIN assign a ON a.cell = p.cell
+        |  JOIN enc e ON e.vec_id = a.vec_id AND e.vec_id <> p.probe_id
+        |  JOIN enc pe ON pe.vec_id = p.probe_id AND pe.d = e.d
+        |  GROUP BY 1, 2
+        |), ranked AS MATERIALIZED (
+        |  SELECT probe_id, vec_id, row_number() OVER (
+        |    PARTITION BY probe_id ORDER BY s DESC, vec_id) AS rnk
+        |  FROM dots
+        |), sq8top AS (
+        |  SELECT probe_id, vec_id FROM ranked WHERE rnk <= 5
+        |), cand AS (
+        |  SELECT probe_id, vec_id FROM ranked WHERE rnk <= 25
+        |), nrm AS MATERIALIZED (
+        |  SELECT vec_id, sqrt(SUM(x * x)) AS n FROM el GROUP BY 1
+        |), pr AS (
+        |  SELECT vec_id AS probe_id, d, x FROM el
+        |  WHERE vec_id >= 8 AND vec_id < 16
+        |), gdots AS (
+        |  SELECT p.probe_id, e.vec_id, SUM(p.x * e.x) AS dp
+        |  FROM pr p JOIN el e ON e.d = p.d AND e.vec_id <> p.probe_id
+        |  GROUP BY 1, 2
+        |), gcs AS (
+        |  SELECT g.probe_id, g.vec_id, g.dp / (np.n * nv.n) AS cosine
+        |  FROM gdots g
+        |  JOIN nrm np ON np.vec_id = g.probe_id
+        |  JOIN nrm nv ON nv.vec_id = g.vec_id
+        |), exact AS MATERIALIZED (
+        |  SELECT probe_id, vec_id FROM (
+        |    SELECT probe_id, vec_id, row_number() OVER (
+        |      PARTITION BY probe_id ORDER BY cosine DESC, vec_id)
+        |      AS rnk
+        |    FROM gcs) WHERE rnk <= 5
+        |), gtot AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS exact_pairs,
+        |    CAST(COUNT(DISTINCT probe_id) AS BIGINT) AS n_probes
+        |  FROM exact
+        |), rcs AS (
+        |  SELECT c.probe_id, c.vec_id,
+        |    SUM(e.x * pe.x) / (any_value(nv.n) * any_value(np.n))
+        |      AS cosine
+        |  FROM cand c
+        |  JOIN el e ON e.vec_id = c.vec_id
+        |  JOIN el pe ON pe.vec_id = c.probe_id AND pe.d = e.d
+        |  JOIN nrm nv ON nv.vec_id = c.vec_id
+        |  JOIN nrm np ON np.vec_id = c.probe_id
+        |  GROUP BY 1, 2
+        |), rtop AS (
+        |  SELECT probe_id, vec_id FROM (
+        |    SELECT probe_id, vec_id, row_number() OVER (
+        |      PARTITION BY probe_id ORDER BY cosine DESC, vec_id)
+        |      AS rnk
+        |    FROM rcs) WHERE rnk <= 5
+        |), hits AS (
+        |  SELECT 'sq8_top_k' AS stage,
+        |    CAST(COUNT(*) AS BIGINT) AS hit_pairs
+        |  FROM sq8top s JOIN exact x
+        |    ON x.probe_id = s.probe_id AND x.vec_id = s.vec_id
+        |  UNION ALL
+        |  SELECT 'rerank', CAST(COUNT(*) AS BIGINT)
+        |  FROM rtop r JOIN exact x
+        |    ON x.probe_id = r.probe_id AND x.vec_id = r.vec_id
+        |)
+        |SELECT h.stage, g.n_probes, g.exact_pairs, h.hit_pairs,
+        |  round(CAST(h.hit_pairs AS DOUBLE)
+        |    / CASE WHEN g.exact_pairs > 0
+        |        THEN CAST(g.exact_pairs AS DOUBLE) END, 6) AS recall
+        |FROM hits h, gtot g ORDER BY stage""".stripMargin,
+
     "q315_ivf_sq8_search" ->
       """WITH el AS (
         |  SELECT vec_id, generate_subscripts(embedding,1) AS d,

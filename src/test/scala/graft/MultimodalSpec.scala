@@ -528,6 +528,53 @@ class MultimodalSpec extends AnyFunSuite {
     assert(capped.toSet === Set(0, 1))
   }
 
+  test("melEnergies (M19): band pooling matches a manual " +
+      "weight-sum over the sweep; the two tones land in different " +
+      "argmax bands; triage rows NULL per band; deterministic") {
+    val wav = Multimodal.syntheticToneWav(3L, 192, 16000, 64, 5, 11)
+    val df = Seq(
+      (1L, wav),
+      (2L, "RIFF....not a wav".getBytes("UTF-8")))
+      .toDF("id", "payload")
+    val got = Multimodal.melEnergies(df, "id", "payload",
+        n = 64, hop = 64, nMels = 6, sampleRate = 16000,
+        maxWindows = 8)
+      .as[(Long, Boolean, Int, Int, Option[String])].collect()
+    // manual replay: sweep power × melWeights, summed as BigInt
+    val sweep = Multimodal.audioSpectralSweep(df.where($"id" === 1L),
+        "id", "payload", n = 64, hop = 64, bins = 0 to 32,
+        maxWindows = 8)
+      .as[(Long, Boolean, Int, Option[Long], Int, Option[Long],
+        Option[Long], Option[String])].collect()
+      .map(r => (r._3, r._5) -> BigInt(r._8.get)).toMap
+    val mw = Multimodal.melWeights(64, 6, 16000)
+    for ((id, ok, w, m, e) <- got if id == 1L) {
+      assert(ok)
+      val want = mw.filter(_._1 == m)
+        .map { case (_, k, wq) => sweep((w, k)) * wq }.sum
+      assert(BigInt(e.get) === want, s"win $w mel $m")
+    }
+    // tone separation: 1250 Hz (win 0) peaks in band 2, 2750 Hz
+    // (win 2) in band 3 — the log-frequency read
+    def argmax(w: Int) = got.filter(r => r._1 == 1L && r._3 == w)
+      .maxBy(r => BigInt(r._5.get))._4
+    assert(argmax(0) === 2 && argmax(2) === 3,
+      s"band separation: ${argmax(0)} vs ${argmax(2)}")
+    // every decoded window carries all 6 bands
+    assert(got.count(r => r._1 == 1L && r._3 == 0) === 6)
+    // corrupt clip: one NULL-energy row per band at window 0
+    val tri = got.filter(_._1 == 2L)
+    assert(tri.length === 6 &&
+      tri.forall(r => !r._2 && r._3 == 0 && r._5.isEmpty))
+    // determinism
+    val again = Multimodal.melEnergies(df, "id", "payload",
+        n = 64, hop = 64, nMels = 6, sampleRate = 16000,
+        maxWindows = 8)
+      .as[(Long, Boolean, Int, Int, Option[String])].collect()
+    assert(again.sortBy(r => (r._1, r._3, r._4)).toSeq ===
+      got.sortBy(r => (r._1, r._3, r._4)).toSeq)
+  }
+
   test("videoSceneChanges: planted cut flags at the boundary, static " +
       "frames read hamming 0, per-frame pHash parity with the fused " +
       "operator, partial tails drop, corrupt frames triage") {

@@ -865,6 +865,64 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("retrieveRerank (V35): full-fetch rerank equals exact " +
+      "cosineTopK bit-for-bit; rerank recovers SQ8 ordering loss " +
+      "the readout prices; deterministic") {
+    // quantization-hostile corpus: a 200-magnitude outlier crushes
+    // the int8 grid, so every near-cluster vector encodes to the
+    // same codes (sq8 ranking degenerates to id order and the
+    // outlier's dot dominates), while exact cosine ranks the near
+    // cluster by its fine per-id structure
+    val near = (0L until 10L).map { i =>
+      val a = 0.002f * (9 - i)
+      (i, Seq(1.0f + a, 1.0f - a))
+    }
+    val far = (10L until 20L).map(i => (i, Seq(1.0f, -1.0f)))
+    val outlier = Seq((99L, Seq(200.0f, 0.0f)))
+    val corpus = (near ++ far ++ outlier).toDF("vec_id", "embedding")
+    val probes = Seq((1000L, Seq(1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val seeds = Similarity.ivfSeeds(corpus, "vec_id", "embedding",
+      nlist = 1)
+    // exact top-5: the balanced end of the near cluster
+    val exact = Similarity.cosineTopK(corpus, probes, "vec_id",
+        "embedding", k = 5)
+      .as[(Long, Long, Int, Double)].collect().sortBy(_._3)
+    assert(exact.map(_._2).toSeq === Seq(9L, 8L, 7L, 6L, 5L))
+    // sq8 alone: the outlier's integer dot dominates and the near
+    // cluster ties to id order — zero overlap with exact
+    val sq8 = Similarity.ivfSq8Search(corpus, probes, "vec_id",
+        "embedding", seeds, nprobe = 1, k = 5)
+      .select("vec_id").as[Long].collect().toSet
+    assert((sq8 intersect exact.map(_._2).toSet).isEmpty,
+      s"fixture must make sq8 miss: $sq8")
+    // rerank over 11 candidates recovers the exact top-5 exactly
+    val rr = Similarity.retrieveRerank(corpus, probes, "vec_id",
+        "embedding", seeds, nprobe = 1, candidates = 11, k = 5)
+      .as[(Long, Long, Int, Double)].collect().sortBy(_._3)
+    assert(rr.map(_._2).toSeq === exact.map(_._2).toSeq)
+    // full fetch ≡ exact search bit-for-bit (scores included)
+    val full = Similarity.retrieveRerank(corpus, probes, "vec_id",
+        "embedding", seeds, nprobe = 1, candidates = 21, k = 5)
+      .as[(Long, Long, Int, Double)].collect().sortBy(_._3)
+    assert(full.toSeq === exact.toSeq)
+    // the readout prices the recovery
+    val ro = Similarity.retrieveRerankReadout(corpus, probes,
+        "vec_id", "embedding", seeds, nprobe = 1, candidates = 11,
+        k = 5)
+      .as[(String, Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(ro("sq8_top_k")._4 === 0L &&
+      ro("sq8_top_k")._5 === Some(0.0))
+    assert(ro("rerank")._4 === 5L && ro("rerank")._5 === Some(1.0))
+    assert(ro.values.forall(r => r._2 === 1L && r._3 === 5L))
+    // determinism
+    val again = Similarity.retrieveRerank(corpus, probes, "vec_id",
+        "embedding", seeds, nprobe = 1, candidates = 11, k = 5)
+      .as[(Long, Long, Int, Double)].collect().sortBy(_._3)
+    assert(again.toSeq === rr.toSeq)
+  }
+
   test("sq8CalibrationAudit: max-abs level clips nothing, clipping " +
       "the outlier shrinks bulk reconstruction error, exact " +
       "nearest-rank thresholds, degenerate corpus stays NULL") {

@@ -567,4 +567,38 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(3L)._4 === 1L && !got(3L)._7,
       s"spliced marker must be measured, got ${got(3L)}")
   }
+
+  test("collapseTokenRuns (T64): consecutive runs collapse to " +
+      "maxRun, non-consecutive repetition untouched, repaired text " +
+      "md5-pinned, tokenless docs drop") {
+    val docs = Seq(
+      (1L, "a a a b c c"),
+      (2L, "a b a"),            // distance repetition — untouched
+      (3L, "x"),
+      (4L, "  "),               // whitespace-only — drops
+      (5L, "go go go go stop go"))
+      .toDF("doc_id", "text")
+    def run(maxRun: Int) = graft.operators.TextAnalysis
+      .collapseTokenRuns(docs, "doc_id", "text", maxRun)
+      .as[(Long, Long, Long, Long, Long, String)]
+      .collect().map(r => r._1 -> r).toMap
+    val got = run(1)
+    def md5Of(s: String) = Seq(s).toDF("t")
+      .select(md5($"t")).as[String].collect().head
+    // doc 1: "a a a b c c" -> "a b c"; 2 runs collapsed
+    assert(got(1L) === ((1L, 6L, 3L, 2L, 5L, md5Of("a b c"))))
+    // doc 2: untouched — zero collapsed, text identical
+    assert(got(2L) === ((2L, 3L, 3L, 0L, 5L, md5Of("a b a"))))
+    // doc 3: single token untouched
+    assert(got(3L)._4 === 0L && got(3L)._6 === md5Of("x"))
+    // doc 4: no tokens -> no row
+    assert(!got.contains(4L))
+    // doc 5: "go go go go stop go" -> "go stop go" (the trailing
+    // lone "go" is a NEW run — distance repetition stays)
+    assert(got(5L) === ((5L, 6L, 3L, 1L, 10L, md5Of("go stop go"))))
+    // maxRun = 2 keeps two of each run
+    val two = run(2)
+    assert(two(1L)._3 === 5L && two(1L)._6 === md5Of("a a b c c"))
+    assert(two(5L)._6 === md5Of("go go stop go"))
+  }
 }
