@@ -2382,6 +2382,69 @@ object Quality {
   }
 
   /**
+   * Q20 (r15): ε-DP count release over a SUBSAMPLE, with privacy
+   * amplification — the accounting trick DP-SGD lives on (Li/
+   * Kasiviswanathan; Balle–Barthe–Gaboardi 2018): when the mechanism
+   * only ever sees a rate-q per-row subsample, an (ε, 0)-DP release
+   * on the subsample is (ln(1 + q·(e^ε − 1)), 0)-DP on the FULL
+   * data — a record absent from the sample (probability 1−q) leaks
+   * nothing, so small rates buy large discounts (ε = 1 at q = 5%
+   * amplifies to ≈ 0.083). Pipelines SAMPLE constantly (q112/q84's
+   * machinery); this prices the privacy they were already buying.
+   *
+   * The subsample is the house deterministic Poisson-style draw:
+   * row included iff md5-uniform(rowId, sampleSeed)·1000 <
+   * rate‰·2²⁸ — per-row independent inclusion, exact integer
+   * compare, both engines replay the exact sample. DETERMINISM
+   * CAVEAT (the Q10 contract, inherited twice): the sample AND the
+   * noise are deterministic per (data, seed) — the amplified ε is
+   * spent once per (sampleSeed, mechanismSeed) pair; rotate both
+   * per release.
+   *
+   * The mechanism itself runs at the FULL declared ε on the
+   * subsample (amplification is pure accounting — the noise is not
+   * re-scaled); [[amplifiedEpsilonMicro]] computes the ledger entry,
+   * CEILING-rounded on the micro grid (accounting rounds against
+   * the publisher). Subsampled counts are biased low by q — the
+   * release is of the SAMPLE's counts (callers rescale publicly if
+   * they need population estimates; the noise already dominates at
+   * any rate worth amplifying).
+   *
+   * Scale: one pruned scan with the inclusion predicate (pushes to
+   * the scan — a hash of one column vs a literal), then the Q10b
+   * domain-count path.
+   */
+  def dpSubsampledCountReleaseOverDomain(
+      df: DataFrame, rowIdCol: String, domain: DataFrame,
+      keyCols: Seq[String], epsilon: Double, mechanismSeed: Long,
+      sampleSeed: Long, ratePerMille: Int,
+      clampK: Int = 39): DataFrame = {
+    require(ratePerMille >= 1 && ratePerMille <= 999,
+      s"ratePerMille must be in [1, 999], got $ratePerMille")
+    val u = keyedUniform(Seq(rowIdCol), sampleSeed)
+    val sub = df.where(
+      u * lit(1000L) < lit(ratePerMille.toLong) * lit(268435456L))
+    dpCountReleaseOverDomain(sub, domain, keyCols, epsilon,
+      mechanismSeed, clampK)
+  }
+
+  /** Q20 accounting: the amplified ε for a rate-q‰ subsampled pure
+    * ε-DP release — ⌈ln(1 + q·(e^ε − 1))·10⁶⌉ micro units (log1p/
+    * expm1 keep the small-ε regime precise; ceiling rounds against
+    * the publisher). Driver-side literal arithmetic — the ledger and
+    * the oracle consume the same long. */
+  def amplifiedEpsilonMicro(
+      epsilonMicro: Long, ratePerMille: Int): Long = {
+    require(epsilonMicro > 0L,
+      s"epsilon must be positive, got $epsilonMicro")
+    require(ratePerMille >= 1 && ratePerMille <= 999,
+      s"ratePerMille must be in [1, 999], got $ratePerMille")
+    math.ceil(math.log1p(
+      ratePerMille / 1000.0 * math.expm1(epsilonMicro / 1.0e6))
+      * 1e6).toLong
+  }
+
+  /**
    * Q18 (r15): USER-LEVEL ε-DP count release over a public key
    * domain — the privacy unit LLM pipelines actually promise: the
    * record-level Q-family mechanisms bound what one ROW can move

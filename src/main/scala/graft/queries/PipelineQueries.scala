@@ -587,6 +587,74 @@ object PipelineQueries {
     sb.toString
   }
 
+  /** q347 oracle generator: the subsampling-amplification ledger
+    * replay — amplified ε re-derived inline (⌈ln(1+q(e^ε−1))·1e6⌉),
+    * per-release deterministic subsample via the (rowId, sampleSeed)
+    * md5 draw, the Q10b domain-count mechanism per (lang,
+    * mechanismSeed), Q15 ledger literals. */
+  private def dpAmplifiedOracle(
+      nReleases: Int, epsMicro: Long, ratePerMille: Int,
+      mSeedBase: Long, sSeedBase: Long, budgetMicro: Long,
+      domain: Seq[String], epsilon: Double, clampK: Int): String = {
+    val ampl = math.ceil(math.log1p(
+      ratePerMille / 1000.0 * math.expm1(epsMicro / 1.0e6))
+      * 1e6).toLong
+    var cum = 0L
+    val acctRows = (1 to nReleases).map { i =>
+      cum += ampl
+      s"($i, 'sub_${"%02d".format(i)}', '${mSeedBase + i}', " +
+        s"'${sSeedBase + i}', $ampl, $cum, ${budgetMicro - cum})"
+    }.mkString(",\n       |    ")
+    val thrRows = graft.operators.Quality
+      .dpNoiseThresholds(epsilon, clampK)
+      .map { case (k, lo, hi) => s"($k, $lo, $hi)" }
+      .mkString(",\n       |    ")
+    val dom = domain.map(v => s"('$v')").mkString(", ")
+    s"""WITH rel(seq, release, mseed, sseed, eps_micro,
+       |    cum_eps_micro, remaining_micro) AS (
+       |  VALUES
+       |    $acctRows
+       |), dom(lang) AS (VALUES $dom),
+       |counts AS MATERIALIZED (
+       |  SELECT r.seq, d.lang, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM rel r, documents d
+       |  WHERE (('0x' || substr(md5(concat_ws('|',
+       |      coalesce(md5(CAST(d.doc_id AS VARCHAR)), 'null'),
+       |      r.sseed)), 1, 7))::BIGINT) * 1000
+       |    < CAST($ratePerMille AS BIGINT) * 268435456
+       |  GROUP BY 1, 2
+       |), full0 AS (
+       |  SELECT r.seq, r.mseed, d.lang,
+       |    COALESCE(c.c, CAST(0 AS BIGINT)) AS n
+       |  FROM rel r CROSS JOIN dom d
+       |  LEFT JOIN counts c ON c.seq = r.seq AND c.lang = d.lang
+       |), thr(noise, lo, hi) AS (
+       |  VALUES
+       |    $thrRows
+       |), u AS (
+       |  SELECT seq, lang, n,
+       |    ('0x' || substr(md5(concat_ws('|',
+       |      coalesce(md5(lang), 'null'), mseed)),
+       |      1, 7))::BIGINT AS uu
+       |  FROM full0
+       |), rc AS (
+       |  SELECT u.seq, GREATEST(0, u.n + t.noise) AS released
+       |  FROM u JOIN thr t ON u.uu >= t.lo AND u.uu < t.hi
+       |), nr AS (
+       |  SELECT seq, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |    CAST(SUM(released) AS BIGINT) AS released_total
+       |  FROM rc GROUP BY 1
+       |)
+       |SELECT CAST(r.seq AS INT) AS seq, r.release,
+       |  CAST(r.eps_micro AS BIGINT) AS eps_micro,
+       |  CAST(r.cum_eps_micro AS BIGINT) AS cum_eps_micro,
+       |  CAST($budgetMicro AS BIGINT) AS budget_micro,
+       |  CAST(r.remaining_micro AS BIGINT) AS remaining_micro,
+       |  n.n_rows, n.released_total, TRUE AS unamplified_refused
+       |FROM rel r JOIN nr n ON n.seq = r.seq
+       |ORDER BY seq""".stripMargin
+  }
+
   /** q339 oracle generator: the zCDP ledger replay — the accounting
     * literals re-derived INLINE (ceiling ρ = ⌈ε²/2e6⌉, exact
     * cumulative, ε(δ) = cumρ + ⌈2√(cumρ·ln(1/δ)_micro)⌉ over an
@@ -5166,6 +5234,38 @@ object PipelineQueries {
         buckets = 256, epochs = 4, stopwords = sw, minHits = 2)
       QC.confusion(docs, "doc_id", "text", m, stopwords = sw,
         minHits = 2)
+    }),
+
+    // Q20 (round 15): subsampling amplification — four count
+    // releases, each run at full ε = 1.0 on its OWN deterministic 5%
+    // subsample (rotated sample + mechanism seeds), declared to the
+    // ledger at the amplified ln(1 + 0.05·(e − 1)) ≈ 0.0824ε each:
+    // Σ ≈ 0.33ε fits the 0.5ε budget that the UNAMPLIFIED Σ = 4ε
+    // declaration refuses (probed, emitted as unamplified_refused).
+    "q347_dp_amplified_ledger" -> ((s, dir) => {
+      val Q = graft.operators.Quality
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val dom = Seq("de", "en", "es", "fr", "zh").toDF("lang")
+      val epsMicro = 1000000L
+      val ampl = Q.amplifiedEpsilonMicro(epsMicro, ratePerMille = 50)
+      val rel = (1 to 4).map { i =>
+        Q.DpDeclaredRelease(f"sub_$i%02d", ampl,
+          () => Q.dpSubsampledCountReleaseOverDomain(docs, "doc_id",
+            dom, Seq("lang"), epsilon = 1.0,
+            mechanismSeed = 400L + i, sampleSeed = 500L + i,
+            ratePerMille = 50, clampK = 39),
+          Some("released_count"))
+      }
+      val unamplRefused =
+        try {
+          Q.dpReleaseSuite(rel.map(_.copy(epsilonMicro = epsMicro)),
+            budgetMicro = 500000L)
+          false
+        } catch { case _: IllegalStateException => true }
+      Q.dpReleaseSuite(rel, budgetMicro = 500000L)
+        .withColumn("unamplified_refused", lit(unamplRefused))
+        .orderBy("seq")
     }),
 
     // T62 (round 15): n-best subword-regularization encoding — the
@@ -10124,6 +10224,15 @@ object PipelineQueries {
         |  md5(string_agg(CASE WHEN rr <= 1 THEN w END, ' '
         |    ORDER BY pos)) AS repaired_md5
         |FROM rr GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Q20: the amplified ledger replay — inline ⌈ln(1+q(e^ε−1))⌉
+    // accounting literals, per-release deterministic 5% subsample,
+    // the Q10b mechanism per rotated seed pair.
+    "q347_dp_amplified_ledger" -> dpAmplifiedOracle(
+      nReleases = 4, epsMicro = 1000000L, ratePerMille = 50,
+      mSeedBase = 400L, sSeedBase = 500L, budgetMicro = 500000L,
+      domain = Seq("de", "en", "es", "fr", "zh"),
+      epsilon = 1.0, clampK = 39),
 
     // T63: unrolled batch-perceptron epochs — integer design matrix,
     // LEFT-JOIN margins, tie-counts-as-error, UNION-merged weights.

@@ -1627,6 +1627,54 @@ class QualitySpec extends AnyFunSuite {
     assert(ok.map(_._5).toSeq === Seq(800000L, 0L))
   }
 
+  test("dpSubsampledCountReleaseOverDomain (Q20): deterministic " +
+      "subsample at the declared rate, amplification arithmetic " +
+      "exact and monotone, amplified suite fits where unamplified " +
+      "refuses") {
+    // amplification golden: ε = 1, q = 5% → ln(1 + 0.05·(e−1)),
+    // ceiling on the micro grid
+    val a = Quality.amplifiedEpsilonMicro(1000000L, 50)
+    val want = math.ceil(math.log1p(0.05 * math.expm1(1.0)) * 1e6)
+      .toLong
+    assert(a === want && a < 90000L && a > 80000L, s"got $a")
+    // monotone in rate, never above the full ε
+    val amps = Seq(10, 50, 200, 999)
+      .map(r => Quality.amplifiedEpsilonMicro(1000000L, r))
+    assert(amps === amps.sorted && amps.last <= 1000000L)
+    // the subsample is deterministic and concentrates near the rate
+    val df = spark.range(10000L).toDF("rid")
+      .withColumn("k", lit("a"))
+    val dom = Seq("a").toDF("k")
+    def rel(sSeed: Long) =
+      Quality.dpSubsampledCountReleaseOverDomain(df, "rid", dom,
+          Seq("k"), epsilon = 50.0, mechanismSeed = 1L,
+          sampleSeed = sSeed, ratePerMille = 50, clampK = 39)
+        .as[(String, Long)].collect().head._2
+    val r1 = rel(7L)
+    // ε = 50 → noise is ±0 for all practical draws; the released
+    // count IS the subsample size: expect ~500 of 10000 (±5 sd)
+    assert(r1 > 350L && r1 < 650L, s"5% of 10k, got $r1")
+    assert(rel(7L) === r1)
+    assert(rel(8L) !== r1) // seed rotation resamples
+    // suite accounting: 4 amplified declarations fit 0.5ε; the same
+    // releases declared unamplified refuse, thunks untouched
+    var invoked = false
+    val rels = (1 to 4).map { i =>
+      Quality.DpDeclaredRelease(s"s$i", a,
+        () => { invoked = true; df })
+    }
+    intercept[IllegalStateException] {
+      Quality.dpReleaseSuite(
+        rels.map(_.copy(epsilonMicro = 1000000L)),
+        budgetMicro = 500000L)
+    }
+    assert(!invoked)
+    val led = Quality.dpReleaseSuite(rels, budgetMicro = 500000L)
+      .as[(Int, String, Long, Long, Long, Long, Long, Option[Long])]
+      .collect()
+    assert(led.length === 4 && led.last._4 === 4 * a)
+  }
+
   test("dpReleaseSuiteZcdp (Q19): 36 small releases pass under zCDP " +
       "where basic sequential accounting refuses; exact ceiling " +
       "arithmetic; blown converted budget and parallel claims " +
