@@ -858,6 +858,94 @@ object Multimodal {
         .as("energy"))
   }
 
+  /** M20 support: milli-log10 of a 3-digit mantissa — ⌊log10⌋ made
+    * exact-replayable: the table maps every m ∈ [100, 999] to
+    * round(1000·log10(m)) ∈ [2000, 3000), computed driver-side ONCE
+    * and handed to BOTH engines as literals (the melWeights /
+    * dftTable pattern) — the transcendental log never crosses an
+    * engine boundary; the bounded quantized domain (900 rows) is
+    * what makes a log table possible at all. */
+  private[graft] def milliLog10Table: Seq[(Int, Long)] =
+    (100 to 999).map(m =>
+      (m, math.round(1000.0 * math.log10(m.toDouble))))
+
+  /** M20 support: DCT-II cosine literals for the cepstral stage —
+    * c[j][m] = round(10⁴·cos(π·j·(2m+1)/(2·nMels))), j ∈
+    * [0, nCoefs), m ∈ [0, nMels) — the [[phashDctTable]] fixed-point
+    * discipline (no orthonormalization factors; a fingerprint keys
+    * on relative shape, and the scale is one public constant). */
+  private[graft] def mfccDctTable(
+      nCoefs: Int, nMels: Int): Seq[(Int, Int, Long)] =
+    for {
+      j <- 0 until nCoefs
+      m <- 0 until nMels
+    } yield (j, m, math.round(
+      10000.0 * math.cos(math.Pi * j * (2 * m + 1) / (2.0 * nMels))))
+
+  /**
+   * M20 (r16): MFCC — the log + DCT-II cepstral stage over [[
+   * melEnergies]], completing the audio-feature ladder M15 (DFT
+   * probe) → M16 (windowed sweep) → M19 (mel pooling) → this (the
+   * canonical feature ASR front ends and audio fingerprints ship):
+   * mel band energies span orders of magnitude, so perception-like
+   * features take the LOG first; correlated adjacent bands then
+   * decorrelate through a DCT-II, and the first `nCoefs`
+   * coefficients are the clip's spectral-envelope signature.
+   *
+   * EXACT-REPLAY ARITHMETIC (both transcendental stages ride
+   * driver-literal tables over bounded quantized domains — the
+   * unigram-LM micro-log-prob discipline): the log quantizes each
+   * energy (an exact DECIMAL(38,0) digit string) to (digit count d,
+   * 3-digit truncated mantissa m) — pure string ops both engines
+   * share — and reads log-energy L = 1000·(d−3) + [[
+   * milliLog10Table]](m) in EXACT milli-log10 units (mantissa
+   * truncation ⇒ L is the floor of the true milli-log within one
+   * table step; zero energy defines L = −3000, one grid decade
+   * below E = 1, documented). The DCT-II is then exact long MACs
+   * against [[mfccDctTable]]: mfcc[j] = Σ_m L_m·c[j][m] — |L| ≤
+   * ~3.2·10⁴ × 10⁴ × 128 mels ≈ 4·10¹⁰, far inside Long.
+   *
+   * Triage inherits M19's contract: NULL energies (undecodable /
+   * short clips) make every coefficient of that window NULL —
+   * visible, never dropped.
+   *
+   * Scale: the sweep+pool cost is M19's (one decode per clip); the
+   * cepstral stage adds two bounded broadcast joins (900-row log
+   * table, nCoefs·nMels cosine table) and one partial-aggregated
+   * groupBy keyed (clip, window, coef) — fan-in nMels per output
+   * row, shuffle bounded by windows × nCoefs, never samples.
+   *
+   * Output: (idCol, decode_ok, win_idx, coef, mfcc) — order at the
+   * call site.
+   */
+  def mfcc(
+      df: DataFrame, idCol: String, payloadCol: String,
+      n: Int, hop: Int, nMels: Int, sampleRate: Int,
+      maxWindows: Int, nCoefs: Int = 13): DataFrame = {
+    require(nCoefs >= 1 && nCoefs <= nMels,
+      s"nCoefs must be in [1, nMels=$nMels], got $nCoefs")
+    val spark = df.sparkSession
+    val me = melEnergies(df, idCol, payloadCol, n, hop, nMels,
+      sampleRate, maxWindows)
+    val logT = broadcast(
+      spark.createDataFrame(milliLog10Table).toDF("__m3", "__lv"))
+    val dctT = broadcast(
+      spark.createDataFrame(mfccDctTable(nCoefs, nMels))
+        .toDF("__coef", "mel", "__c"))
+    me
+      .withColumn("__m3", rpad(col("energy"), 3, "0").cast("int"))
+      .join(logT, Seq("__m3"), "left")
+      .withColumn("__lq",
+        when(col("energy").isNull, lit(null).cast("long"))
+          .when(col("energy") === "0", lit(-3000L))
+          .otherwise(lit(1000L) * (length(col("energy")) - lit(3)) +
+            col("__lv")))
+      .join(dctT, Seq("mel"))
+      .groupBy(col(idCol), col("decode_ok"), col("win_idx"),
+        col("__coef").as("coef"))
+      .agg(sum(col("__lq") * col("__c")).as("mfcc"))
+  }
+
   /**
    * M16 fixture: a two-tone WAV whose content CHANGES mid-clip —
    * samples 0 until nSamples/2 carry the fixed-point cosine of
@@ -1014,14 +1102,21 @@ object Multimodal {
    * Downstream is the same M14/M17 pipeline: per-frame DCT pHash,
    * per-clip lag window, hamming ≥ threshold marks a cut.
    *
-   * Decode semantics (documented): frames are read as STORED — each
-   * image descriptor's own raster, not composited over prior frames
-   * per GIF disposal; full-frame GIFs (every animation this engine
-   * fingerprints for dedup, and both fixtures) are unaffected.
-   * Triage: a payload with no image reader or an unreadable frame
-   * directory emits ONE (frame_idx 0, decode_ok false) row —
-   * undecodable is visible, never silently dropped (the M12 rule); a
-   * readable container with one bad frame triages just that frame.
+   * Decode semantics (r16, M18b): frames COMPOSITE per the frame
+   * directory's disposal metadata — each raster draws at its
+   * descriptor offset onto the logical-screen canvas, and
+   * doNotDispose / restoreToBackgroundColor / restoreToPrevious
+   * apply between frames (see [[readGifFrames]]; background is
+   * defined BLACK), so delta-encoded GIFs hash the frames a viewer
+   * shows, not partial rasters; full-frame GIFs composite to exactly
+   * their stored rasters (the r15 fixtures are bit-unchanged).
+   * Triage: a payload without the GIF magic (r15 ADVICE — a BMP/PNG
+   * payload must not sneak through as a one-frame "clip"), with no
+   * image reader, or with an unreadable logical-screen descriptor
+   * emits ONE (frame_idx 0, decode_ok false) row — undecodable is
+   * visible, never silently dropped (the M12 rule); a frame failing
+   * mid-container triages and HALTS the walk (compositing is
+   * stateful — frames after a hole would be silently wrong).
    *
    * Scale: one decode pass per clip inside `mapPartitions`
    * (partition-local, no shuffle, `ImageIO.setUseCache(false)` per
@@ -1064,12 +1159,42 @@ object Multimodal {
     sceneChangeWindow(hashed, idCol, threshold)
   }
 
-  /** Walk a container's frame directory with the JDK codec: Nil when
-    * no reader claims the bytes or the directory is unreadable; a
-    * null image marks a per-frame decode failure. */
+  /** True iff the payload leads with the GIF87a/GIF89a magic — the
+    * r15 ADVICE gate: without it ANY ImageIO-readable payload (BMP/
+    * PNG/JPEG) would decode as a one-frame "clip" with decode_ok =
+    * true instead of triaging, despite the operator's documented
+    * GIF frame-directory semantics. */
+  private def isGifMagic(bytes: Array[Byte]): Boolean =
+    bytes.length >= 6 &&
+      bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' &&
+      bytes(3) == '8' && (bytes(4) == '7' || bytes(4) == '9') &&
+      bytes(5) == 'a'
+
+  /** Walk a GIF's frame directory with the JDK codec and COMPOSITE
+    * each frame per its disposal metadata (M18b, r16 — real scraped
+    * GIFs are delta-encoded; reading frames as STORED pHashes
+    * partial rasters): each frame's raster draws at its descriptor's
+    * (left, top) onto a logical-screen canvas; after emitting, the
+    * disposal method applies — `doNotDispose`/`none` keep the
+    * canvas, `restoreToBackgroundColor` clears the frame's rect to
+    * the defined background (BLACK — GIF background rendering is
+    * viewer-defined; black is deterministic and matches the zero
+    * luma the oracle replays), `restoreToPrevious` reverts to the
+    * canvas as it stood before the frame drew. Full-frame GIFs
+    * (every frame full-screen at (0,0)) composite to exactly their
+    * STORED rasters, so the r15 q337 fixtures are bit-unchanged.
+    *
+    * Triage: Nil when the payload lacks the GIF magic, no reader
+    * claims the bytes, or the stream's LogicalScreenDescriptor is
+    * unreadable (one visible triage row at the call site — the M12
+    * rule). A frame whose raster or metadata fails mid-container
+    * emits as (frame_idx, null) and STOPS the walk — compositing is
+    * stateful, so frames after a hole would be silently wrong. */
   private def readGifFrames(
       bytes: Array[Byte]): Seq[(Int, java.awt.image.BufferedImage)] = {
     import scala.util.control.NonFatal
+    import java.awt.image.BufferedImage
+    if (!isGifMagic(bytes)) return Nil
     val iis =
       try javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
@@ -1080,17 +1205,97 @@ object Multimodal {
       if (!readers.hasNext) return Nil
       val reader = readers.next()
       try {
-        reader.setInput(iis, false, true)
+        reader.setInput(iis, false, false)
+        val screen =
+          try {
+            val tree = reader.getStreamMetadata.getAsTree(
+              "javax_imageio_gif_stream_1.0")
+              .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+            val lsd = tree.getElementsByTagName(
+              "LogicalScreenDescriptor")
+            if (lsd.getLength < 1) null
+            else {
+              val n = lsd.item(0)
+                .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+              (n.getAttribute("logicalScreenWidth").toInt,
+                n.getAttribute("logicalScreenHeight").toInt)
+            }
+          } catch { case NonFatal(_) => null }
+        if (screen == null) return Nil
+        val (sw, sh) = screen
+        if (sw < 1 || sh < 1) return Nil
         val nImg =
           try reader.getNumImages(true)
           catch { case NonFatal(_) => 0 }
-        (0 until nImg).map { i =>
-          (i,
-            try reader.read(i)
-            catch { case NonFatal(_) => null })
+        var canvas = new BufferedImage(sw, sh,
+          BufferedImage.TYPE_INT_RGB)
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Int, BufferedImage)]
+        var i = 0
+        var halted = false
+        while (i < nImg && !halted) {
+          val frame =
+            try {
+              val img = reader.read(i)
+              val md = reader.getImageMetadata(i).getAsTree(
+                "javax_imageio_gif_image_1.0")
+                .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+              def one(tag: String) = {
+                val nl = md.getElementsByTagName(tag)
+                if (nl.getLength < 1) null
+                else nl.item(0)
+                  .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+              }
+              val desc = one("ImageDescriptor")
+              val gce = one("GraphicControlExtension")
+              if (img == null || desc == null) null
+              else (img,
+                desc.getAttribute("imageLeftPosition").toInt,
+                desc.getAttribute("imageTopPosition").toInt,
+                if (gce == null) "none"
+                else gce.getAttribute("disposalMethod"))
+            } catch { case NonFatal(_) => null }
+          if (frame == null) {
+            out += ((i, null))
+            halted = true
+          } else {
+            val (img, left, top, disposal) = frame
+            val prev =
+              if (disposal == "restoreToPrevious") deepCopy(canvas)
+              else null
+            val g = canvas.createGraphics()
+            try g.drawImage(img, left, top, null)
+            finally g.dispose()
+            out += ((i, deepCopy(canvas)))
+            disposal match {
+              case "restoreToBackgroundColor" =>
+                val g2 = canvas.createGraphics()
+                try {
+                  g2.setColor(java.awt.Color.BLACK)
+                  g2.fillRect(left, top, img.getWidth, img.getHeight)
+                } finally g2.dispose()
+              case "restoreToPrevious" => canvas = prev
+              case _ => ()
+            }
+          }
+          i += 1
         }
+        out.toSeq
       } finally reader.dispose()
     } finally iis.close()
+  }
+
+  /** Opaque RGB deep copy of a canvas (emitted frames must not alias
+    * the mutable compositing state). */
+  private def deepCopy(
+      img: java.awt.image.BufferedImage): java.awt.image.BufferedImage = {
+    val c = new java.awt.image.BufferedImage(
+      img.getWidth, img.getHeight,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = c.createGraphics()
+    try g.drawImage(img, 0, 0, null)
+    finally g.dispose()
+    c
   }
 
   /** M17 fixture: a fixed-frame-size "video" — `nFrames` concatenated
@@ -1208,6 +1413,145 @@ object Multimodal {
     df.select(col(idCol).cast("long")).as[Long]
       .mapPartitions(_.map(id =>
         (id, syntheticGif(id, nFrames, w, h, switchAt))))
+      .toDF(idCol, "payload")
+  }
+
+  /** M18b fixture frame plan: (seed offset, left, top, width,
+    * height, disposal) per frame over a `w`×`h` logical screen —
+    * frame 0 is the full-screen base; 1 is a patch disposed
+    * restore-to-BACKGROUND (its rect goes black before frame 2);
+    * 2 a kept patch; 3 a patch disposed restore-to-PREVIOUS (gone
+    * by frame 4 even though frame 4 doesn't cover it); 4 a final
+    * kept patch. Shared by the fixture writer, the oracle
+    * generator, and the spec's expected-pixel replay. */
+  private[graft] def gifDeltaPlan(
+      w: Int, h: Int): Seq[(Long, Int, Int, Int, Int, String)] = Seq(
+    (1L, 0, 0, w, h, "doNotDispose"),
+    (2L, w / 2, 0, w / 2, h / 2, "restoreToBackgroundColor"),
+    (3L, 0, h / 2, w / 2, h / 2, "doNotDispose"),
+    (4L, w / 4, h / 4, w / 2, h / 2, "restoreToPrevious"),
+    (5L, 3 * w / 4, 3 * h / 4, w / 4, h / 4, "doNotDispose"))
+
+  /** M18b expected COMPOSITED palette index at (x, y) of frame
+    * `fi` — the pure-arithmetic replay both the oracle and the spec
+    * pin against the codec walk: applies [[gifDeltaPlan]]'s draw +
+    * disposal state machine over [[gifPixelIndex]] patches; −1
+    * encodes the defined-black background (luma 0, off the
+    * 1000·index ramp). */
+  private[graft] def gifDeltaExpectedIndex(
+      seed: Long, w: Int, h: Int, fi: Int, x: Int, y: Int): Int = {
+    val plan = gifDeltaPlan(w, h)
+    // canvas state as Option[index] per pixel; None = black
+    var canvas: (Int, Int) => Int = (_, _) => -1
+    var out = -1
+    var i = 0
+    while (i <= fi) {
+      val (so, l, t, pw, ph, disp) = plan(i)
+      val prev = canvas
+      val drawn: (Int, Int) => Int = (px, py) =>
+        if (px >= l && px < l + pw && py >= t && py < t + ph)
+          gifPixelIndex(seed * 31 + so, px - l, py - t)
+        else prev(px, py)
+      if (i == fi) out = drawn(x, y)
+      canvas = disp match {
+        case "restoreToBackgroundColor" => (px, py) =>
+          if (px >= l && px < l + pw && py >= t && py < t + ph) -1
+          else drawn(px, py)
+        case "restoreToPrevious" => prev
+        case _ => drawn
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** M18b fixture: a DELTA-encoded animated GIF written by the JDK
+    * codec — per-frame IIOMetadata carries the image descriptor
+    * offsets and disposal methods of [[gifDeltaPlan]], so only a
+    * disposal-aware composite (not a STORED read) reproduces what a
+    * viewer shows: frame 1's rect goes black before frame 2
+    * (restore-to-background), frame 3 vanishes by frame 4
+    * (restore-to-previous). Pixels per [[gifPixelIndex]] over the
+    * same 256-gray identity palette as [[syntheticGif]] — indexed
+    * LZW round-trips bit-exactly and the composited luma is
+    * 1000·[[gifDeltaExpectedIndex]] (0 for defined-black). */
+  def syntheticGifDelta(seed: Long, w: Int, h: Int): Array[Byte] = {
+    require(w >= 8 && h >= 8 && w % 4 == 0 && h % 4 == 0,
+      s"screen must be >= 8 and divisible by 4, got ${w}x$h")
+    import javax.imageio.{ImageIO, ImageTypeSpecifier, IIOImage}
+    import javax.imageio.metadata.IIOMetadataNode
+    import java.awt.image.{BufferedImage, IndexColorModel}
+    ImageIO.setUseCache(false)
+    val ramp = (0 until 256).map(_.toByte).toArray
+    val cm = new IndexColorModel(8, 256, ramp, ramp, ramp)
+    def patch(s: Long, pw: Int, ph: Int): BufferedImage = {
+      val img = new BufferedImage(pw, ph,
+        BufferedImage.TYPE_BYTE_INDEXED, cm)
+      val r = img.getRaster
+      var y = 0
+      while (y < ph) {
+        var x = 0
+        while (x < pw) {
+          r.setSample(x, y, 0, gifPixelIndex(s, x, y))
+          x += 1
+        }
+        y += 1
+      }
+      img
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(baos)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      gifDeltaPlan(w, h).foreach { case (so, l, t, pw, ph, disp) =>
+        val img = patch(seed * 31 + so, pw, ph)
+        val md = writer.getDefaultImageMetadata(
+          new ImageTypeSpecifier(img), null)
+        val fmt = "javax_imageio_gif_image_1.0"
+        val root = md.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+        def node(tag: String): IIOMetadataNode = {
+          val nl = root.getElementsByTagName(tag)
+          if (nl.getLength >= 1)
+            nl.item(0).asInstanceOf[IIOMetadataNode]
+          else {
+            val n = new IIOMetadataNode(tag)
+            root.appendChild(n)
+            n
+          }
+        }
+        val desc = node("ImageDescriptor")
+        desc.setAttribute("imageLeftPosition", l.toString)
+        desc.setAttribute("imageTopPosition", t.toString)
+        desc.setAttribute("imageWidth", pw.toString)
+        desc.setAttribute("imageHeight", ph.toString)
+        desc.setAttribute("interlaceFlag", "FALSE")
+        val gce = node("GraphicControlExtension")
+        gce.setAttribute("disposalMethod", disp)
+        gce.setAttribute("userInputFlag", "FALSE")
+        gce.setAttribute("transparentColorFlag", "FALSE")
+        gce.setAttribute("delayTime", "10")
+        gce.setAttribute("transparentColorIndex", "0")
+        md.setFromTree(fmt, root)
+        writer.writeToSequence(new IIOImage(img, null, md), null)
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    baos.toByteArray
+  }
+
+  /** `(idCol, payload)` frame carrying one [[syntheticGifDelta]]
+    * per id. */
+  def withSyntheticGifDelta(
+      df: DataFrame, idCol: String, w: Int, h: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(_.map(id => (id, syntheticGifDelta(id, w, h))))
       .toDF(idCol, "payload")
   }
 

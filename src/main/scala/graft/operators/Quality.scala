@@ -2510,6 +2510,72 @@ object Quality {
   }
 
   /**
+   * Q22 (r16): USER-LEVEL ε-DP SUM release over a public key domain
+   * — [[dpUserCountReleaseOverDomain]]'s companion for the release
+   * shape datasheets actually need for token/byte totals (VERDICT
+   * r15 ask #6): Q18 bounds what one user moves in a COUNT; here
+   * each of a user's rows also carries a VALUE, so the sensitivity
+   * composes BOTH bounds — cap each user at `userCap` rows (the
+   * Q18 [[Sampling.capPerKey]] stability argument: one user's kept
+   * set is a function of that user's rows alone) AND clamp each
+   * row's value into [0, clampHi] (the Q12 bounded-contribution
+   * trick), so removing a user moves the per-key sum vector by at
+   * most Δ = userCap·clampHi in L1 across the disjoint domain
+   * cells. Per-cell discrete Laplace at ε/Δ prices the whole
+   * vector at ≤ ε — user-level ε-DP for sums.
+   *
+   * clampK must scale with the doubly-widened tail (the Q12 rule:
+   * K ≥ 20·Δ/ε = 20·userCap·clampHi/ε — user-level sums are where
+   * the threshold table earns its bounded-broadcast contract).
+   * NULL/negative values contribute 0 (the lower clamp); a NULL
+   * user id groups as one pseudo-user (the Q18 note).
+   *
+   * REFUSAL SEMANTICS (Q18's, verbatim): `userCap = None` refuses
+   * data-free — an uncapped user-level sum claim has no finite
+   * sensitivity; so would an unclamped value column, which the
+   * required `clampHi` makes unrepresentable.
+   *
+   * Scale: one per-user window (the capPerKey shuffle), one
+   * partial-aggregated domain groupBy, the bounded (2K+1)-row
+   * broadcast threshold join — the Q18 shape exactly.
+   *
+   * Output: (keyCols…, released_sum) — max(0, Σclamped + noise).
+   */
+  def dpUserSumReleaseOverDomain(
+      df: DataFrame, userCol: String, rowIdCol: String,
+      domain: DataFrame, keyCols: Seq[String], valueCol: Column,
+      epsilon: Double, seed: Long, userCap: Option[Int],
+      clampHi: Long, clampK: Int): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    require(clampHi >= 1L, s"clampHi must be >= 1, got $clampHi")
+    val cap = userCap.getOrElse(
+      throw new IllegalStateException(
+        "user-level ε-DP sum release refused: no per-user " +
+          "contribution bound declared — one unbounded user can " +
+          "move every released sum arbitrarily, so no finite " +
+          "sensitivity (hence no ε guarantee) exists; declare " +
+          "userCap"))
+    require(cap >= 1, s"userCap must be >= 1, got $cap")
+    val capped = Sampling
+      .capPerKey(df, userCol, rowIdCol, cap)
+      .drop("pick_rank")
+    val contrib = least(
+      greatest(coalesce(floor(valueCol).cast("long"), lit(0L)),
+        lit(0L)),
+      lit(clampHi))
+    val dom = domain.select(keyCols.map(col): _*).distinct()
+    val sums = capped
+      .groupBy(keyCols.map(col): _*)
+      .agg(coalesce(sum(contrib), lit(0L)).as("__c"))
+    val full = dom.join(sums, keyCols, "left")
+      .select(keyCols.map(col) :+
+        coalesce(col("__c"), lit(0L)).as("__n"): _*)
+    geometricRelease(full, keyCols,
+      epsilon / (cap.toLong * clampHi).toDouble, seed, clampK,
+      "released_sum")
+  }
+
+  /**
    * Q12 (r12): ε-DP SUM release with bounded per-row contribution —
    * the mechanism a pipeline needs to publish per-group token
    * totals / byte masses, where one record can move the sum by more
@@ -3110,54 +3176,101 @@ object Quality {
               "apply; refusing the suite")
       case _ => ()
     }
-    // Mechanism-vs-declaration check (r15, ADVICE fix): a grouped
-    // release declaring its output key column must have actually
-    // confined itself to its declared domain — one bounded anti-join
-    // probe per keyed release (release output is domain-sized, the
-    // domain broadcasts; mechanisms are deterministic per the Q10
-    // contract, so the ledger's later aggregate re-runs identically).
-    releases.foreach { r =>
-      (r.parallelGroup, r.keyCol, r.domain) match {
-        case (Some(g), Some(kc), Some(domThunk)) =>
-          val d = domThunk()
-          require(d.columns.length == 1,
-            s"release '${r.name}' domain must be a single key " +
-              s"column, got ${d.columns.toSeq}")
-          val escaped = r.release()
-            .select(col(kc).cast("string").as("__rk")).distinct()
-            .join(broadcast(d.select(col(d.columns.head)
-                .cast("string").as("__rk")).distinct()),
-              Seq("__rk"), "left_anti")
-            .orderBy("__rk").limit(1)
-            .collect()
-          if (escaped.nonEmpty)
-            throw new IllegalStateException(
-              s"release '${r.name}' in parallel group '$g' released " +
-                s"key '${escaped.head.getString(0)}' OUTSIDE its " +
-                "declared domain — the parallel-composition claim " +
-                "is mis-declared; refusing the suite")
-        case _ => ()
+    // Mechanism-vs-declaration check (r15 ADVICE; tightened r16):
+    // a grouped release declaring its output key column must have
+    // actually confined itself to its declared domain — one bounded
+    // anti-join COUNT per keyed release (release output is
+    // domain-sized, the domain broadcasts). The refusal discloses
+    // only the release name and the COUNT of escaped keys: the keys
+    // themselves are the mechanism's grouped output — for a
+    // mis-declared data-grouped mechanism they are private values,
+    // and surfacing one in the exception would leak data on the
+    // refusal path without any ε being charged (r15 ADVICE).
+    //
+    // Each release thunk is invoked exactly ONCE (r16 ADVICE: the
+    // r15 shape ran keyed mechanisms twice — once for the probe,
+    // once for the ledger aggregate): outputs build here, keyed
+    // grouped ones persist across probe + ledger aggregate, and the
+    // BOUNDED ledger (one row per release, pure declared literals +
+    // one tiny aggregate each) materializes eagerly so the cache
+    // drops before returning.
+    val outs = releases.map(r => r.name -> r.release()).toMap
+    val probed = releases.filter(r =>
+      r.parallelGroup.nonEmpty && r.keyCol.nonEmpty &&
+        r.domain.nonEmpty)
+    probed.foreach(r => outs(r.name).persist())
+    try {
+      probed.foreach { r =>
+        val d = r.domain.get()
+        require(d.columns.length == 1,
+          s"release '${r.name}' domain must be a single key " +
+            s"column, got ${d.columns.toSeq}")
+        val nEscaped = outs(r.name)
+          .select(col(r.keyCol.get).cast("string").as("__rk"))
+          .distinct()
+          .join(broadcast(d.select(col(d.columns.head)
+              .cast("string").as("__rk")).distinct()),
+            Seq("__rk"), "left_anti")
+          .count()
+        if (nEscaped > 0L)
+          throw new IllegalStateException(
+            s"release '${r.name}' in parallel group " +
+              s"'${r.parallelGroup.get}' released $nEscaped " +
+              "key(s) OUTSIDE its declared domain — the " +
+              "parallel-composition claim is mis-declared; " +
+              "refusing the suite (escaped key values are " +
+              "data-derived and are not disclosed)")
       }
-    }
-    releases.zip(charges).zip(cums).zipWithIndex.map {
-      case (((r, charge), cum), i) =>
-        val totalAgg = r.totalCol
-          .map(c => sum(col(c).cast("long")))
-          .getOrElse(first(lit(null).cast("long")))
-        r.release()
-          .agg(count(lit(1)).as("n_rows"),
-            totalAgg.as("released_total"))
-          .select(
-            lit(i + 1).as("seq"),
-            lit(r.name).as("release"),
-            lit(r.parallelGroup.orNull).cast("string").as("pgroup"),
-            lit(r.epsilonMicro).as("eps_micro"),
-            lit(charge).as("charged_micro"),
-            lit(cum).as("cum_eps_micro"),
-            lit(budgetMicro).as("budget_micro"),
-            lit(budgetMicro - cum).as("remaining_micro"),
-            col("n_rows"), col("released_total"))
-    }.reduce(_.unionByName(_)).orderBy("seq")
+      dpLedgerFrame(
+        releases.zip(charges).zip(cums).zipWithIndex.map {
+          case (((r, charge), cum), i) =>
+            val (nRows, relTotal) = dpLedgerAudit(outs(r.name), r)
+            org.apache.spark.sql.Row(
+              i + 1, r.name, r.parallelGroup.orNull, r.epsilonMicro,
+              charge, cum, budgetMicro, budgetMicro - cum,
+              nRows, relTotal)
+        },
+        Seq("seq" -> false, "release" -> false, "pgroup" -> true,
+          "eps_micro" -> false, "charged_micro" -> false,
+          "cum_eps_micro" -> false, "budget_micro" -> false,
+          "remaining_micro" -> false, "n_rows" -> false,
+          "released_total" -> true),
+        outs(releases.head.name).sparkSession)
+    } finally probed.foreach(r => outs(r.name).unpersist(false))
+  }
+
+  /** One ledger audit aggregate over a release output: (n_rows,
+    * released_total) — released_total null when no `totalCol` is
+    * declared or the output is empty. Bounded: one row back. */
+  private def dpLedgerAudit(
+      out: DataFrame, r: DpDeclaredRelease): (Long, Any) = {
+    val totalAgg = r.totalCol
+      .map(c => sum(col(c).cast("long")))
+      .getOrElse(first(lit(null).cast("long")))
+    val row = out
+      .agg(count(lit(1)).as("n_rows"), totalAgg.as("released_total"))
+      .collect().head
+    (row.getLong(0), if (row.isNullAt(1)) null else row.getLong(1))
+  }
+
+  /** Materialize a bounded ledger as a local DataFrame: `fields` is
+    * (name, nullable); `seq` is INT, `release`/`pgroup` STRING,
+    * everything else BIGINT. */
+  private def dpLedgerFrame(
+      rows: Seq[org.apache.spark.sql.Row],
+      fields: Seq[(String, Boolean)],
+      spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(fields.map { case (n, nullable) =>
+      val dt = n match {
+        case "seq" | "delta_pow10" => IntegerType
+        case "release" | "pgroup" => StringType
+        case _ => LongType
+      }
+      StructField(n, dt, nullable)
+    })
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema).orderBy("seq")
   }
 
   /**
@@ -3219,8 +3332,8 @@ object Quality {
       require(r.parallelGroup.isEmpty,
         s"release '${r.name}' claims parallel group " +
           s"'${r.parallelGroup.get}' — zCDP accounting here is " +
-          "sequential-only; use dpReleaseSuitePartitioned for the " +
-          "parallel discount")
+          "sequential-only; use dpReleaseSuiteZcdpPartitioned for " +
+          "the combined parallel + zCDP discount")
     }
     val acct = zcdpAccounting(
       releases.map(_.epsilonMicro), deltaPow10)
@@ -3264,11 +3377,223 @@ object Quality {
       math.round(deltaPow10 * math.log(10.0) * 1e6)
     var cum = 0L
     epsMicros.map { e =>
-      val rho = (e * e + 1999999L) / 2000000L // ceiling division
+      val rho = zcdpRhoMicro(e)
       cum += rho
       val epsD = cum + math.ceil(
         2.0 * math.sqrt((cum * lnInvDeltaMicro).toDouble)).toLong
       (rho, cum, epsD)
+    }
+  }
+
+  /** ρ_micro = ⌈ε_micro²/(2·10⁶)⌉ for one pure-ε release (Bun &
+    * Steinke Prop 1.4, ceiling rounds against the publisher).
+    * ε_micro is bounded at 3·10⁹ (ε ≤ 3000 — far beyond any sane
+    * declaration) so `e·e` stays below 2⁶³ — an unchecked square
+    * would overflow SILENTLY into a negative ρ that SHRINKS the
+    * cumulative spend (r15 ADVICE). */
+  private[graft] def zcdpRhoMicro(epsilonMicro: Long): Long = {
+    require(epsilonMicro > 0L && epsilonMicro <= 3000000000L,
+      s"epsilonMicro must be in (0, 3e9] (ε ≤ 3000) — got " +
+        s"$epsilonMicro; the squared micro-ε would overflow Long " +
+        "and corrupt the ρ ledger")
+    (epsilonMicro * epsilonMicro + 1999999L) / 2000000L
+  }
+
+  /**
+   * Q21 (r16): ρ-zCDP ledger WITH parallel composition — the
+   * composition real partitioned datasheets need and neither parent
+   * could give alone (VERDICT r15 ask #1): [[dpReleaseSuiteZcdp]]
+   * (Q19) prices k refreshes at √k but refuses parallel claims;
+   * [[dpReleaseSuitePartitioned]] (Q17) prices disjoint shards at
+   * max(ε) but treats a shard refreshed twice as a domain CLASH. A
+   * per-shard weekly release suite — the commonest production shape
+   * — therefore had to pick one discount and forfeit the other.
+   *
+   * COMPOSITION RULE (both classical): within a parallel group
+   * (one shard, refreshed k times over the SAME population) zCDP
+   * parameters ADD — Σρ per group (Bun & Steinke Lemma 1.7 /
+   * sequential composition); ACROSS groups whose key domains are
+   * provably disjoint, an adjacent record lives in at most one
+   * shard, so only that shard's mechanisms see the change and the
+   * whole suite is max-over-groups zCDP (McSherry partitioning
+   * lifted to zCDP — the standard argument: the released transcript
+   * over every OTHER group is identically distributed on adjacent
+   * inputs). Ungrouped releases see the full data and add
+   * sequentially on top:
+   *
+   *   ρ_eff = Σρ(ungrouped) + max over groups g of Σρ(members of g)
+   *
+   * converted at the declared δ via the Q19 grid arithmetic
+   * (ε(δ) = ρ_eff + ⌈2·√(ρ_eff·ln(1/δ)_micro)⌉, every cell exact).
+   *
+   * DISJOINTNESS VERIFIED, NEVER TRUSTED — with the polarity
+   * INVERTED from Q17: members of ONE group may (and for refreshes
+   * do) share keys — that overlap is exactly why they compose
+   * sequentially; what must be disjoint is one GROUP's key domain
+   * against another's, so the check unions each group's declared
+   * domains and refuses if any key is claimed by two distinct
+   * groups (domains are PUBLIC key sets — the Q10 domain rule — so
+   * naming the clashing key reveals nothing). Keyed grouped
+   * releases additionally get the Q17 mechanism-vs-declaration
+   * containment probe (count-only refusal; r16 ADVICE discipline),
+   * with each release thunk invoked exactly once and persisted
+   * across probe + ledger aggregate.
+   *
+   * REFUSAL SEMANTICS: budget check FIRST and data-free (pure
+   * declared-literal arithmetic — if the suite's final converted
+   * ε(δ) exceeds the budget, no thunk ever runs), all-or-nothing;
+   * grouped releases must declare their domain.
+   *
+   * Ledger semantics: releases charge in DECLARED ORDER the
+   * INCREMENT of ρ_eff — a grouped release whose group's new Σρ
+   * still sits below the current max-group charges 0 (the zeros ARE
+   * parallel composition working, the Q17 audit rule), and the
+   * converted ε(δ) column is monotone in seq because ρ_eff is.
+   *
+   * Scale: identical to Q17/Q19 — driver-side integer accounting
+   * over the bounded declared list; per release one bounded
+   * aggregate over its own (domain-sized) output; the disjointness
+   * check is one bounded aggregate over the unioned PUBLIC domains.
+   *
+   * Output: (seq, release, pgroup, eps_micro, rho_micro,
+   * scope_cum_rho_micro, charged_rho_micro, eff_rho_micro,
+   * eps_at_delta_micro, delta_pow10, budget_micro, remaining_micro,
+   * n_rows, released_total), ordered by seq; scope_cum_rho_micro is
+   * the release's own scope (its group's Σρ, or the ungrouped Σρ)
+   * after it runs; remaining_micro = budget − ε(δ) so far.
+   */
+  def dpReleaseSuiteZcdpPartitioned(
+      releases: Seq[DpDeclaredRelease],
+      budgetMicro: Long,
+      deltaPow10: Int): DataFrame = {
+    require(releases.nonEmpty, "need at least one declared release")
+    require(budgetMicro > 0L,
+      s"budget must be positive, got $budgetMicro")
+    require(deltaPow10 >= 1 && deltaPow10 <= 18,
+      s"deltaPow10 must be in [1, 18], got $deltaPow10")
+    require(releases.map(_.name).distinct.size == releases.size,
+      "release names must be unique within a suite")
+    releases.foreach { r =>
+      require(r.parallelGroup.isEmpty || r.domain.nonEmpty,
+        s"release '${r.name}' claims parallel group " +
+          s"'${r.parallelGroup.get}' without declaring its key " +
+          "domain — disjointness must be verifiable, not trusted")
+    }
+    // Data-free budget check FIRST: declared-literal arithmetic.
+    val acct = zcdpParallelAccounting(
+      releases.map(r => (r.parallelGroup, r.epsilonMicro)),
+      deltaPow10)
+    val total = acct.last._5
+    if (total > budgetMicro)
+      throw new IllegalStateException(
+        s"ε budget exceeded: declared suite spends $total µε at " +
+          s"δ = 1e-$deltaPow10 under zCDP parallel composition " +
+          s"against a budget of $budgetMicro µε — refusing to run " +
+          "ANY release (all-or-nothing; trim the suite or raise " +
+          "the budget)")
+    // CROSS-GROUP disjointness: a key in two distinct groups'
+    // declared domains voids max-over-groups. Public domains only.
+    val groups = releases
+      .filter(_.parallelGroup.nonEmpty)
+      .groupBy(_.parallelGroup.get)
+    if (groups.size >= 2) {
+      val tagged = groups.toSeq.map { case (g, members) =>
+        members.map { r =>
+          val d = r.domain.get()
+          require(d.columns.length == 1,
+            s"release '${r.name}' domain must be a single key " +
+              s"column, got ${d.columns.toSeq}")
+          d.select(col(d.columns.head).cast("string").as("__pk"))
+        }.reduce(_.unionAll(_)).distinct()
+          .select(col("__pk"), lit(g).as("__g"))
+      }.reduce(_.unionAll(_))
+      val clash = tagged
+        .groupBy("__pk")
+        .agg(countDistinct(col("__g")).as("__ng"))
+        .where(col("__ng") > 1L)
+        .orderBy("__pk").limit(1)
+        .collect()
+      if (clash.nonEmpty)
+        throw new IllegalStateException(
+          s"parallel groups are NOT a partition: key " +
+            s"'${clash.head.getString(0)}' is claimed by more than " +
+            "one group's declared domain — max-over-groups zCDP " +
+            "does not apply; refusing the suite")
+    }
+    // Thunks run only now: once each; keyed grouped outputs persist
+    // across containment probe + ledger aggregate (r16 ADVICE).
+    val outs = releases.map(r => r.name -> r.release()).toMap
+    val probed = releases.filter(r =>
+      r.parallelGroup.nonEmpty && r.keyCol.nonEmpty &&
+        r.domain.nonEmpty)
+    probed.foreach(r => outs(r.name).persist())
+    try {
+      probed.foreach { r =>
+        val d = r.domain.get()
+        val nEscaped = outs(r.name)
+          .select(col(r.keyCol.get).cast("string").as("__rk"))
+          .distinct()
+          .join(broadcast(d.select(col(d.columns.head)
+              .cast("string").as("__rk")).distinct()),
+            Seq("__rk"), "left_anti")
+          .count()
+        if (nEscaped > 0L)
+          throw new IllegalStateException(
+            s"release '${r.name}' in parallel group " +
+              s"'${r.parallelGroup.get}' released $nEscaped " +
+              "key(s) OUTSIDE its declared domain — the " +
+              "parallel-composition claim is mis-declared; " +
+              "refusing the suite (escaped key values are " +
+              "data-derived and are not disclosed)")
+      }
+      dpLedgerFrame(
+        releases.zip(acct).zipWithIndex.map {
+          case ((r, (rho, scopeCum, charged, eff, epsD)), i) =>
+            val (nRows, relTotal) = dpLedgerAudit(outs(r.name), r)
+            org.apache.spark.sql.Row(
+              i + 1, r.name, r.parallelGroup.orNull, r.epsilonMicro,
+              rho, scopeCum, charged, eff, epsD, deltaPow10,
+              budgetMicro, budgetMicro - epsD, nRows, relTotal)
+        },
+        Seq("seq" -> false, "release" -> false, "pgroup" -> true,
+          "eps_micro" -> false, "rho_micro" -> false,
+          "scope_cum_rho_micro" -> false,
+          "charged_rho_micro" -> false, "eff_rho_micro" -> false,
+          "eps_at_delta_micro" -> false, "delta_pow10" -> false,
+          "budget_micro" -> false, "remaining_micro" -> true,
+          "n_rows" -> false, "released_total" -> true),
+        outs(releases.head.name).sparkSession)
+    } finally probed.foreach(r => outs(r.name).unpersist(false))
+  }
+
+  /** The Q21 ledger arithmetic, shared with the oracle generator:
+    * per release (ρ, scope-cum ρ, charged Δρ_eff, ρ_eff, converted
+    * ε(δ)) — ρ_eff = Σρ(ungrouped) + max over groups of the group's
+    * running Σρ, every cell exact on the micro grid. */
+  private[graft] def zcdpParallelAccounting(
+      entries: Seq[(Option[String], Long)],
+      deltaPow10: Int): Seq[(Long, Long, Long, Long, Long)] = {
+    val lnInvDeltaMicro =
+      math.round(deltaPow10 * math.log(10.0) * 1e6)
+    val groupCum = scala.collection.mutable.Map.empty[String, Long]
+    var ungroupedCum = 0L
+    var effPrev = 0L
+    entries.map { case (group, epsMicro) =>
+      val rho = zcdpRhoMicro(epsMicro)
+      val scopeCum = group match {
+        case None =>
+          ungroupedCum += rho; ungroupedCum
+        case Some(g) =>
+          val c = groupCum.getOrElse(g, 0L) + rho
+          groupCum(g) = c; c
+      }
+      val eff = ungroupedCum +
+        (if (groupCum.isEmpty) 0L else groupCum.values.max)
+      val charged = eff - effPrev
+      effPrev = eff
+      val epsD = eff + math.ceil(
+        2.0 * math.sqrt((eff * lnInvDeltaMicro).toDouble)).toLong
+      (rho, scopeCum, charged, eff, epsD)
     }
   }
 

@@ -1426,6 +1426,89 @@ object Similarity {
   }
 
   /**
+   * V36 (r16): rerank candidate-budget sweep — the production dial
+   * [[retrieveRerank]] fixes at one value (VERDICT r15 ask #7):
+   * stage-2 cost is LINEAR in `candidates` (each candidate is one
+   * exact re-score), so a deployment prices recall@k against the
+   * candidate budget — the V32 sweep pattern applied to the rerank
+   * stage. Per budget C: recall of the reranked top-k vs ONE shared
+   * exact ground-truth pass, plus `stage2_pairs` — the actual
+   * number of exact re-scores that budget bought (< probes×C when
+   * routed cells run dry), the cost axis of the curve.
+   *
+   * Execution is the V26/V32 one-pass sweep shape composed twice:
+   * stage 1 runs ONCE at max(C) (the ivfSq8 candidate ranking is
+   * prefix-consistent — rank ≤ C IS the C-budget candidate set);
+   * the exact re-score runs ONCE over the max(C) candidate set
+   * (candidates broadcast onto one corpus scan, the V35 rule); each
+   * sweep point is then a cand_rank filter + a bounded per-probe
+   * re-rank — no per-point corpus work at all. Ground truth is one
+   * Barrier-routed [[cosineTopK]] pass (the q290 rule).
+   *
+   * Output: (candidates, n_probes, exact_pairs, hit_pairs, recall,
+   * stage2_pairs), ascending by candidates.
+   */
+  def rerankCandidateSweep(
+      corpus: DataFrame,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      seeds: Seq[Seq[Double]],
+      nprobe: Int,
+      candidateBudgets: Seq[Int],
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(candidateBudgets.nonEmpty,
+      "candidateBudgets must be non-empty")
+    require(candidateBudgets.forall(_ >= k),
+      s"every candidate budget must be >= k=$k, " +
+        s"got $candidateBudgets")
+    val cs = candidateBudgets.distinct.sorted
+    val maxC = cs.max
+    val cand = Barrier.barrier(
+      ivfSq8Search(corpus, probes, idCol, vecCol, seeds, nprobe,
+          maxC)
+        .select(col("probe_id"), col("vec_id"),
+          col("rank").as("cand_rank")))
+    val c = corpus.select(
+      col(idCol).as("vec_id"), toDoubleVec(col(vecCol)).as("__v"))
+      .withColumn("__vnorm", norm(col("__v")))
+    val p = probes.select(
+      col(idCol).as("probe_id"), toDoubleVec(col(vecCol)).as("__p"))
+      .withColumn("__pnorm", norm(col("__p")))
+    val scored = Barrier.barrier(
+      c.join(broadcast(cand), Seq("vec_id"))
+        .join(broadcast(p), Seq("probe_id"))
+        .withColumn("__cos",
+          dot(col("__v"), col("__p")) /
+            (col("__vnorm") * col("__pnorm")))
+        .select("probe_id", "vec_id", "cand_rank", "__cos"))
+    val exact = Barrier.barrier(
+      cosineTopK(corpus, probes, idCol, vecCol, k)
+        .select(col("probe_id"), col("vec_id")))
+    val totals = exact.agg(
+      count(lit(1)).as("exact_pairs"),
+      countDistinct(col("probe_id")).as("n_probes"))
+    cs.map { cb =>
+      val sub = scored.where(col("cand_rank") <= cb)
+      val stage2 = sub.agg(count(lit(1)).as("stage2_pairs"))
+      rankTopK(sub.select("probe_id", "vec_id", "__cos"), k)
+        .select(col("probe_id"), col("vec_id"))
+        .join(exact, Seq("probe_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("hit_pairs"))
+        .crossJoin(broadcast(totals))
+        .crossJoin(broadcast(stage2))
+        .select(
+          lit(cb).as("candidates"),
+          col("n_probes"), col("exact_pairs"), col("hit_pairs"),
+          round(col("hit_pairs").cast("double") /
+            when(col("exact_pairs") > 0L,
+              col("exact_pairs").cast("double")), 6).as("recall"),
+          col("stage2_pairs"))
+    }.reduce(_.unionByName(_)).orderBy("candidates")
+  }
+
+  /**
    * V32 (r13): recall sweep for the IVF+SQ8 path — the tuning
    * readout that completes the serving-audit symmetry: V26 reads
    * IVF routing loss with exact scoring, V28 reads the IVF+PQ

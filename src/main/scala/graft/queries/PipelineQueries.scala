@@ -721,6 +721,136 @@ object PipelineQueries {
        |ORDER BY seq""".stripMargin
   }
 
+  /** q348 oracle generator: the zCDP-PARALLEL ledger replay — the
+    * accounting literals come from the SAME Scala function the
+    * operator runs ([[graft.operators.Quality.zcdpParallelAccounting]]
+    * — Σρ per shard, ρ_eff = max over shards, converted at δ on the
+    * micro grid), the seed-rotated shard count mechanisms replay
+    * through one (seq, shard, seed) VALUES table. Shards are
+    * (tag, langs) pairs refreshed `nWeeks` times each, declared
+    * INTERLEAVED (the gate's order). */
+  private def dpZcdpParallelOracle(
+      shards: Seq[(String, Seq[String], Long)], nWeeks: Int,
+      epsMicro: Long, budgetMicro: Long, deltaPow10: Int,
+      epsilon: Double, clampK: Int): String = {
+    val entries = (1 to nWeeks).flatMap { i =>
+      shards.map { case (tag, _, seedBase) =>
+        (tag, f"${tag}_w$i%02d", seedBase + i)
+      }
+    }
+    val acct = graft.operators.Quality.zcdpParallelAccounting(
+      entries.map { case (tag, _, _) =>
+        (Some(s"shard_$tag"): Option[String], epsMicro)
+      }, deltaPow10)
+    val acctRows = entries.zip(acct).zipWithIndex.map {
+      case (((tag, name, seed), (rho, scope, charged, eff, epsD)),
+          i) =>
+        s"(${i + 1}, '$name', 'shard_$tag', '$tag', '$seed', " +
+          s"$epsMicro, $rho, $scope, $charged, $eff, $epsD, " +
+          s"${budgetMicro - epsD})"
+    }.mkString(",\n       |    ")
+    val domRows = shards.flatMap { case (tag, langs, _) =>
+      langs.map(l => s"('$tag', '$l')")
+    }.mkString(", ")
+    val thrRows = graft.operators.Quality
+      .dpNoiseThresholds(epsilon, clampK)
+      .map { case (k, lo, hi) => s"($k, $lo, $hi)" }
+      .mkString(",\n       |    ")
+    s"""WITH rel(seq, release, pgroup, shard, seed, eps_micro,
+       |    rho_micro, scope_cum_rho_micro, charged_rho_micro,
+       |    eff_rho_micro, eps_at_delta_micro, remaining_micro) AS (
+       |  VALUES
+       |    $acctRows
+       |), dom(shard, lang) AS (VALUES $domRows),
+       |counts AS (
+       |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM documents GROUP BY 1
+       |), full0 AS (
+       |  SELECT d.shard, d.lang, COALESCE(c.c, CAST(0 AS BIGINT))
+       |    AS n
+       |  FROM dom d LEFT JOIN counts c ON c.lang = d.lang
+       |), thr(noise, lo, hi) AS (
+       |  VALUES
+       |    $thrRows
+       |), ru AS (
+       |  SELECT r.seq, f.n,
+       |    ('0x' || substr(md5(concat_ws('|',
+       |      coalesce(md5(f.lang), 'null'), r.seed)),
+       |      1, 7))::BIGINT AS uu
+       |  FROM rel r JOIN full0 f ON f.shard = r.shard
+       |), rc AS (
+       |  SELECT u.seq, GREATEST(0, u.n + t.noise) AS released
+       |  FROM ru u JOIN thr t ON u.uu >= t.lo AND u.uu < t.hi
+       |), nr AS (
+       |  SELECT seq, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |    CAST(SUM(released) AS BIGINT) AS released_total
+       |  FROM rc GROUP BY 1
+       |)
+       |SELECT CAST(r.seq AS INT) AS seq, r.release, r.pgroup,
+       |  CAST(r.eps_micro AS BIGINT) AS eps_micro,
+       |  CAST(r.rho_micro AS BIGINT) AS rho_micro,
+       |  CAST(r.scope_cum_rho_micro AS BIGINT)
+       |    AS scope_cum_rho_micro,
+       |  CAST(r.charged_rho_micro AS BIGINT) AS charged_rho_micro,
+       |  CAST(r.eff_rho_micro AS BIGINT) AS eff_rho_micro,
+       |  CAST(r.eps_at_delta_micro AS BIGINT) AS eps_at_delta_micro,
+       |  CAST($deltaPow10 AS INT) AS delta_pow10,
+       |  CAST($budgetMicro AS BIGINT) AS budget_micro,
+       |  CAST(r.remaining_micro AS BIGINT) AS remaining_micro,
+       |  n.n_rows, n.released_total,
+       |  TRUE AS basic_seq_refused, TRUE AS basic_parallel_refused,
+       |  TRUE AS zcdp_seq_refused
+       |FROM rel r JOIN nr n ON n.seq = r.seq
+       |ORDER BY seq""".stripMargin
+  }
+
+  /** q349 oracle generator: the user-level bounded-contribution SUM
+    * release replay — capPerKey as the per-user row_number window,
+    * per-row values floored and clamped into [0, clampHi], domain
+    * sums, thresholds at ε/(cap·clampHi) from the same Scala
+    * function the operator uses. */
+  private def dpUserSumDomainOracle(
+      domain: Seq[String], epsilon: Double, seed: Long,
+      userCap: Int, clampHi: Long, clampK: Int): String = {
+    val rows = graft.operators.Quality
+      .dpNoiseThresholds(epsilon / (userCap * clampHi), clampK)
+      .map { case (k, lo, hi) => s"($k, $lo, $hi)" }
+      .mkString(",\n    ")
+    val dom = domain.map(v => s"('$v')").mkString(", ")
+    s"""WITH capped AS (
+       |  SELECT event_type, "value" FROM (
+       |    SELECT event_type, "value", row_number() OVER (
+       |      PARTITION BY user_id
+       |      ORDER BY md5(CAST(event_id AS VARCHAR)), event_id)
+       |      AS rn
+       |    FROM events) WHERE rn <= $userCap
+       |), dom(event_type) AS (VALUES $dom),
+       |sums AS (
+       |  SELECT event_type,
+       |    CAST(SUM(LEAST(GREATEST(
+       |      COALESCE(CAST(floor("value") AS BIGINT),
+       |        CAST(0 AS BIGINT)),
+       |      CAST(0 AS BIGINT)), $clampHi)) AS BIGINT) AS c
+       |  FROM capped GROUP BY 1
+       |), full0 AS (
+       |  SELECT d.event_type, COALESCE(s.c, CAST(0 AS BIGINT)) AS n
+       |  FROM dom d LEFT JOIN sums s ON s.event_type = d.event_type
+       |), thr(noise, lo, hi) AS (
+       |  VALUES
+       |    $rows
+       |), u AS (
+       |  SELECT event_type, n,
+       |    ('0x' || substr(md5(concat_ws('|',
+       |      coalesce(md5(event_type), 'null'), '$seed')),
+       |      1, 7))::BIGINT AS uu
+       |  FROM full0
+       |)
+       |SELECT event_type, GREATEST(0, n + noise) AS released_sum,
+       |  TRUE AS uncapped_refused
+       |FROM u JOIN thr ON u.uu >= thr.lo AND u.uu < thr.hi
+       |ORDER BY event_type""".stripMargin
+  }
+
   private def dpDomainOracle(
       domain: Seq[String], epsilon: Double, seed: Long,
       clampK: Int): String = {
@@ -5266,6 +5396,154 @@ object PipelineQueries {
       Q.dpReleaseSuite(rel, budgetMicro = 500000L)
         .withColumn("unamplified_refused", lit(unamplRefused))
         .orderBy("seq")
+    }),
+
+    // Q21 (round 16): ρ-zCDP ledger WITH parallel composition — the
+    // partitioned weekly datasheet neither parent prices right: TWO
+    // language shards, each refreshed 36 times at ε = 0.1 (q339's
+    // cadence, now per shard; rotating seeds, interleaved
+    // declaration order so the charged-Δρ column alternates ρ, 0 —
+    // the zeros ARE the parallel discount). ρ_eff = max(Σρ per
+    // shard) = 36·ε²/2 → ε(δ=1e-6) ≈ 3.33ε PASSES the 3.45ε budget
+    // that zCDP-sequential over all 72 (≈ 4.82ε), basic sequential
+    // (7.2ε), and even basic-WITH-the-parallel-discount (max-shard
+    // Σε = 3.6ε) refuse; Q17's basic-parallel ledger refuses the
+    // CLAIM itself (a refreshed shard is not a partition). Each
+    // refusal probed data-free and emitted.
+    "q348_dp_zcdp_parallel" -> ((s, dir) => {
+      import s.implicits._
+      val Q = graft.operators.Quality
+      val docs = t(s, dir, "documents")
+      def langDom(ks: String*) = ks.toDF("lang")
+      def shard(tag: String, langs: Seq[String], seedBase: Long,
+          i: Int) =
+        Q.DpDeclaredRelease(f"${tag}_w$i%02d", 100000L,
+          () => Q.dpCountReleaseOverDomain(docs,
+            langs.toDF("lang"), Seq("lang"),
+            epsilon = 0.1, seed = seedBase + i, clampK = 200),
+          Some("released_count"), Some(s"shard_$tag"),
+          Some(() => langDom(langs: _*)), Some("lang"))
+      val releases = (1 to 36).flatMap { i =>
+        Seq(shard("de_en", Seq("de", "en"), 610L, i),
+          shard("es_fr_zh", Seq("es", "fr", "zh"), 710L, i))
+      }
+      val budget = 3450000L
+      def refused(run: => DataFrame): Boolean =
+        try { run; false }
+        catch { case _: IllegalStateException => true }
+      val stripped = releases.map(_.copy(parallelGroup = None,
+        domain = None, keyCol = None))
+      val basicSeq = refused(Q.dpReleaseSuite(stripped, budget))
+      // Q17's basic-parallel ledger cannot legally grant the
+      // discount here at ALL: a shard refreshed twice claims the
+      // same keys twice within its group, so the CLAIM refuses
+      // (disjointness verified, never trusted).
+      val basicPar = refused(
+        Q.dpReleaseSuitePartitioned(releases, budget))
+      val zcdpSeq = refused(
+        Q.dpReleaseSuiteZcdp(stripped, budget, deltaPow10 = 6))
+      Q.dpReleaseSuiteZcdpPartitioned(releases, budget,
+          deltaPow10 = 6)
+        .withColumn("basic_seq_refused", lit(basicSeq))
+        .withColumn("basic_parallel_refused", lit(basicPar))
+        .withColumn("zcdp_seq_refused", lit(zcdpSeq))
+        .orderBy("seq")
+    }),
+
+    // Q22 (round 16): USER-LEVEL ε-DP SUM release — per-user
+    // contribution capped at 4 rows by deterministic id-hash order
+    // AND each row's value clamped into [0, 4], so Δ = cap·clampHi
+    // = 16 under user adjacency; sums over the public event-type
+    // domain, noise at ε/16, K = 400 per the 20·Δ/ε rule. The same
+    // release WITHOUT a declared cap refuses data-free (probed,
+    // emitted as uncapped_refused).
+    "q349_dp_user_sum" -> ((s, dir) => {
+      import s.implicits._
+      val Q = graft.operators.Quality
+      val ev = t(s, dir, "events")
+      val dom = Seq("click", "error", "purchase", "signup", "view")
+        .toDF("event_type")
+      val refused =
+        try {
+          Q.dpUserSumReleaseOverDomain(ev, "user_id", "event_id",
+            dom, Seq("event_type"), col("value"), epsilon = 0.8,
+            seed = 91L, userCap = None, clampHi = 4L, clampK = 400)
+          false
+        } catch { case _: IllegalStateException => true }
+      Q.dpUserSumReleaseOverDomain(ev, "user_id", "event_id",
+          dom, Seq("event_type"), col("value"), epsilon = 0.8,
+          seed = 91L, userCap = Some(4), clampHi = 4L, clampK = 400)
+        .withColumn("uncapped_refused", lit(refused))
+        .orderBy("event_type")
+    }),
+
+    // M20 (round 16): MFCC — the log + DCT-II cepstral stage over
+    // q344's mel energies (every 4th part id — the cepstral joins
+    // ride on the same full-spectrum sweep, so the gate quarters
+    // the clip count and states it): band energies quantize to
+    // (digit count, 3-digit mantissa) and read exact milli-log10
+    // from the 900-row driver-literal table, then 4 DCT-II
+    // coefficients as exact long MACs against the fixed-point
+    // cosine table; triage clips carry NULL coefficients.
+    "q350_audio_mfcc" -> ((s, dir) => {
+      import s.implicits._
+      val ids = t(s, dir, "part")
+        .where(col("p_partkey") % 4 === 0)
+        .select(col("p_partkey").as("id"))
+      val wavs = Multimodal.withSyntheticToneWav(
+        ids, "id", nSamples = 192, sampleRate = 16000,
+        n = 64, binFirst = 5, binSecond = 11)
+      val short = Seq((-1L, Multimodal.syntheticWav(-1L, 32, 16000)))
+        .toDF("id", "payload")
+      val corrupt = Seq((-2L, "RIFF....not a wav".getBytes("UTF-8")))
+        .toDF("id", "payload")
+      Multimodal.mfcc(
+          wavs.unionByName(short).unionByName(corrupt), "id",
+          "payload", n = 64, hop = 64, nMels = 6,
+          sampleRate = 16000, maxWindows = 8, nCoefs = 4)
+        .orderBy("id", "win_idx", "coef")
+    }),
+
+    // V36 (round 16): rerank candidate-budget sweep — recall@5 vs
+    // the candidate budget C ∈ {5, 10, 25, 50} at fixed routing
+    // (nlist 8, nprobe 2, probes 8..16), every point against ONE
+    // exact ground-truth pass, with stage2_pairs pricing the exact
+    // re-scores each budget actually bought (the V32 sweep pattern
+    // applied to V35's rerank stage; stage 1 ranks once at max C).
+    "q351_rerank_budget_sweep" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val seeds = Similarity.ivfSeeds(e, "vec_id", "embedding",
+        nlist = 8)
+      Similarity.rerankCandidateSweep(
+        e, e.where(col("vec_id") >= 8 && col("vec_id") < 16),
+        "vec_id", "embedding", seeds, nprobe = 2,
+        candidateBudgets = Seq(5, 10, 25, 50), k = 5)
+    }),
+
+    // M18b (round 16): DELTA-encoded GIF scene detection — the
+    // disposal-compositing gate: five frames (full base, a patch
+    // disposed restore-to-BACKGROUND, a kept patch, a patch
+    // disposed restore-to-PREVIOUS, a final kept patch) whose
+    // composited pixels the oracle replays arithmetically from the
+    // frame plan's rect state machine — a STORED read would hash
+    // raw patch rasters and every row would differ. Corrupt bytes
+    // (id -1) and a real BMP payload (id -4, ImageIO-readable but
+    // NOT a GIF — the r15 ADVICE magic gate) pin the triage path.
+    "q352_gif_delta_scenes" -> ((s, dir) => {
+      import s.implicits._
+      val ids = t(s, dir, "part")
+        .where(col("p_partkey") % 10 === 0)
+        .select(col("p_partkey").as("id"))
+      val gifs = Multimodal.withSyntheticGifDelta(ids, "id",
+        w = 16, h = 16)
+      val corrupt = Seq((-1L, Array.fill[Byte](120)(7)))
+        .toDF("id", "payload")
+      val bmp = Seq((-4L, Multimodal.syntheticBmpTextured(3L, 16, 16)))
+        .toDF("id", "payload")
+      Multimodal.gifSceneChanges(
+          gifs.unionByName(corrupt).unionByName(bmp),
+          "id", "payload", grid = 16, threshold = 10)
+        .orderBy("id", "frame_idx")
     }),
 
     // T62 (round 15): n-best subword-regularization encoding — the
@@ -9980,6 +10258,99 @@ object PipelineQueries {
         |ORDER BY id, win_idx, mel""".stripMargin
     },
 
+    // M20: the q344 mel-energy replay continued through the
+    // cepstral stage — energies quantize to (digit count, 3-digit
+    // mantissa) and read milli-log10 from the shared 900-row
+    // literal table, then exact BIGINT MACs against the shared
+    // DCT-II cosine literals; triage clips carry NULL coefficients.
+    "q350_audio_mfcc" -> {
+      val M = graft.operators.Multimodal
+      val toneRows = M.dftTable(64, Seq(5, 11))
+        .map { case (t, k, c, _) => s"($t, $k, $c)" }
+        .mkString(",\n        |    ")
+      val dftRows = M.dftTable(64, 0 to 32)
+        .map { case (t, k, c, s) => s"($t, $k, $c, $s)" }
+        .mkString(",\n        |    ")
+      val melRows = M.melWeights(64, 6, 16000)
+        .map { case (m, k, w) => s"($m, $k, $w)" }
+        .mkString(",\n        |    ")
+      val logRows = M.milliLog10Table
+        .map { case (m, lv) => s"($m, $lv)" }
+        .mkString(",\n        |    ")
+      val dct2Rows = M.mfccDctTable(4, 6)
+        .map { case (j, m, c) => s"($j, $m, $c)" }
+        .mkString(",\n        |    ")
+      s"""WITH ids AS (
+        |  SELECT CAST(p_partkey AS BIGINT) AS id,
+        |    CAST(p_partkey AS BIGINT) AS seed FROM part
+        |  WHERE p_partkey % 4 = 0
+        |), tone(t, k, c) AS (
+        |  VALUES
+        |    $toneRows
+        |), dft(t, k, c, s) AS (
+        |  VALUES
+        |    $dftRows
+        |), melw(mel, bin, w) AS (
+        |  VALUES
+        |    $melRows
+        |), logt(m3, lv) AS (
+        |  VALUES
+        |    $logRows
+        |), dct2(coef, mel, c) AS (
+        |  VALUES
+        |    $dct2Rows
+        |), smp AS MATERIALIZED (
+        |  SELECT id, ii.i,
+        |    tn.c + CAST((seed * 31 + 7 * ii.i) % 41 - 20 AS BIGINT)
+        |      AS x
+        |  FROM ids, (SELECT unnest(range(0, 192)) AS i) ii
+        |  JOIN tone tn ON tn.t = ii.i % 64
+        |    AND tn.k = CASE WHEN ii.i < 96 THEN 5 ELSE 11 END
+        |), win AS (SELECT unnest(range(0, 3)) AS w
+        |), spec AS (
+        |  SELECT m.id, win.w AS wi, d.k AS bin,
+        |    CAST(SUM(m.x * d.c) AS BIGINT) AS re,
+        |    CAST(-SUM(m.x * d.s) AS BIGINT) AS im
+        |  FROM smp m
+        |  JOIN win ON m.i >= win.w * 64 AND m.i < win.w * 64 + 64
+        |  JOIN dft d ON d.t = m.i - win.w * 64
+        |  GROUP BY 1, 2, 3
+        |), okp AS (
+        |  SELECT id, wi, bin,
+        |    re::HUGEINT * re::HUGEINT + im::HUGEINT * im::HUGEINT
+        |      AS p
+        |  FROM spec
+        |), oke AS (
+        |  SELECT o.id, TRUE AS decode_ok, CAST(o.wi AS INT)
+        |      AS win_idx, m.mel,
+        |    CAST(SUM(o.p * m.w) AS VARCHAR) AS energy
+        |  FROM okp o JOIN melw m ON m.bin = o.bin
+        |  GROUP BY 1, 2, 3, 4
+        |), triage AS (
+        |  SELECT CAST(t.id AS BIGINT) AS id, FALSE AS decode_ok,
+        |    CAST(0 AS INT) AS win_idx, m.mel,
+        |    CAST(NULL AS VARCHAR) AS energy
+        |  FROM (SELECT -1 AS id UNION ALL SELECT -2) t,
+        |    (SELECT DISTINCT mel FROM melw) m
+        |), me AS (
+        |  SELECT * FROM oke UNION ALL SELECT * FROM triage
+        |), lq AS (
+        |  SELECT e.id, e.decode_ok, e.win_idx, e.mel,
+        |    CASE WHEN e.energy IS NULL THEN CAST(NULL AS BIGINT)
+        |         WHEN e.energy = '0' THEN CAST(-3000 AS BIGINT)
+        |         ELSE CAST(1000 * (length(e.energy) - 3) + l.lv
+        |           AS BIGINT) END AS lv
+        |  FROM me e LEFT JOIN logt l
+        |    ON l.m3 = CAST(rpad(e.energy, 3, '0') AS INT)
+        |)
+        |SELECT q.id, q.decode_ok, q.win_idx,
+        |  CAST(d.coef AS INT) AS coef,
+        |  CAST(SUM(q.lv * d.c) AS BIGINT) AS mfcc
+        |FROM lq q JOIN dct2 d ON d.mel = q.mel
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY id, win_idx, coef""".stripMargin
+    },
+
     // M17: per-SCENE pHash replay (frames within a scene are
     // identical, so the q317 DCT pipeline runs once per (clip,
     // scene) seed and frames join by scene), then the lag hamming
@@ -10162,6 +10533,112 @@ object PipelineQueries {
         |ORDER BY l.id, l.frame_idx""".stripMargin
     },
 
+    // M18b: the delta-GIF composite replay — per (clip, frame) the
+    // disposal state machine unrolls to rect CASEs over the patch
+    // pixel formulas (restore-to-background rects read luma 0;
+    // frame 3's patch is absent from frame 4 — restore-to-previous),
+    // then the q337 DCT/pHash/lag chain keyed (id, frame). Triage
+    // rows: corrupt bytes and the BMP payload (GIF-magic refused).
+    "q352_gif_delta_scenes" -> {
+      val dctRows = graft.operators.Multimodal.phashDctTable(16)
+        .map { case (i, u, c) => s"($i, $u, $c)" }
+        .mkString(",\n        |    ")
+      def pf(k: Int, xe: String, ye: String): String = {
+        val s = s"(i.id * 31 + $k)"
+        s"(($s * 7 + (1 + $s % 11) * ($xe) + (2 + $s % 13) * ($ye)" +
+          s" + (1 + $s % 7) * ($xe) * ($ye)) % 256)"
+      }
+      // frame-2 steady state: patch2 kept, patch1's rect
+      // backgrounded to 0, base elsewhere
+      val f2 =
+        s"CASE WHEN g.x < 8 AND g.y >= 8 THEN 1000 * " +
+          s"${pf(3, "g.x", "g.y - 8")} WHEN g.x >= 8 AND g.y < 8 " +
+          s"THEN 0 ELSE 1000 * ${pf(1, "g.x", "g.y")} END"
+      val lumaCase =
+        s"CASE fr.fi WHEN 0 THEN 1000 * ${pf(1, "g.x", "g.y")} " +
+          s"WHEN 1 THEN CASE WHEN g.x >= 8 AND g.y < 8 THEN 1000 * " +
+          s"${pf(2, "g.x - 8", "g.y")} ELSE 1000 * " +
+          s"${pf(1, "g.x", "g.y")} END " +
+          s"WHEN 2 THEN $f2 " +
+          s"WHEN 3 THEN CASE WHEN g.x >= 4 AND g.x < 12 AND " +
+          s"g.y >= 4 AND g.y < 12 THEN 1000 * " +
+          s"${pf(4, "g.x - 4", "g.y - 4")} ELSE $f2 END " +
+          s"WHEN 4 THEN CASE WHEN g.x >= 12 AND g.y >= 12 THEN " +
+          s"1000 * ${pf(5, "g.x - 12", "g.y - 12")} ELSE $f2 END END"
+      s"""WITH ids AS (
+        |  SELECT CAST(p_partkey AS BIGINT) AS id FROM part
+        |  WHERE p_partkey % 10 = 0
+        |), dct(i, u, c) AS (
+        |  VALUES
+        |    $dctRows
+        |), lum AS MATERIALIZED (
+        |  SELECT i.id, fr.fi AS frame_idx, g.x, g.y,
+        |    $lumaCase AS luma
+        |  FROM ids i,
+        |    (SELECT unnest(range(0, 5)) AS fi) fr,
+        |    (SELECT x.x, y.y FROM
+        |      (SELECT unnest(range(0, 16)) AS x) x,
+        |      (SELECT unnest(range(0, 16)) AS y) y) g
+        |), st1 AS (
+        |  SELECT l.id, l.frame_idx, l.x, d.u AS v,
+        |    SUM(l.luma * d.c) AS s1
+        |  FROM lum l JOIN dct d ON d.i = l.y
+        |  GROUP BY 1, 2, 3, 4
+        |), coef AS (
+        |  SELECT s.id, s.frame_idx, d.u, s.v,
+        |    CAST(SUM(s.s1 * d.c) AS BIGINT) AS cf
+        |  FROM st1 s JOIN dct d ON d.i = s.x
+        |  GROUP BY 1, 2, 3, 4
+        |), ac AS (
+        |  SELECT id, frame_idx, u * 8 + v AS idx, cf FROM coef
+        |  WHERE NOT (u = 0 AND v = 0)
+        |), med AS (
+        |  SELECT id, frame_idx, cf AS m FROM (
+        |    SELECT id, frame_idx, cf, row_number() OVER (
+        |      PARTITION BY id, frame_idx ORDER BY cf) AS rn
+        |    FROM ac) WHERE rn = 32
+        |), ph AS MATERIALIZED (
+        |  SELECT a.id, a.frame_idx,
+        |    string_agg(CASE WHEN a.cf > m.m THEN '1' ELSE '0' END,
+        |      '' ORDER BY a.idx) AS phash
+        |  FROM ac a JOIN med m
+        |    ON m.id = a.id AND m.frame_idx = a.frame_idx
+        |  GROUP BY a.id, a.frame_idx
+        |), fh AS (
+        |  SELECT id, CAST(frame_idx AS INT) AS frame_idx,
+        |    TRUE AS decode_ok, phash
+        |  FROM ph
+        |  UNION ALL
+        |  SELECT -1, 0, FALSE, NULL
+        |  UNION ALL
+        |  SELECT -4, 0, FALSE, NULL
+        |), lagd AS MATERIALIZED (
+        |  SELECT id, frame_idx, decode_ok, phash,
+        |    lag(phash) OVER (PARTITION BY id ORDER BY frame_idx)
+        |      AS prev,
+        |    lag(frame_idx) OVER (PARTITION BY id ORDER BY frame_idx)
+        |      AS pidx
+        |  FROM fh
+        |), hamd AS (
+        |  SELECT l.id, l.frame_idx,
+        |    CAST(SUM(CASE WHEN substr(l.phash, ii.i, 1) <>
+        |      substr(l.prev, ii.i, 1) THEN 1 ELSE 0 END) AS INT)
+        |      AS hamming
+        |  FROM lagd l, (SELECT unnest(range(1, 64)) AS i) ii
+        |  WHERE l.phash IS NOT NULL AND l.prev IS NOT NULL
+        |  GROUP BY 1, 2
+        |)
+        |SELECT l.id, l.frame_idx, l.decode_ok, l.phash, h.hamming,
+        |  CASE WHEN l.frame_idx = 0 THEN TRUE
+        |       WHEN h.hamming IS NOT NULL
+        |         AND l.pidx = l.frame_idx - 1
+        |         THEN h.hamming >= 10
+        |       END AS scene_change
+        |FROM lagd l LEFT JOIN hamd h
+        |  ON h.id = l.id AND h.frame_idx = l.frame_idx
+        |ORDER BY l.id, l.frame_idx""".stripMargin
+    },
+
     // Q18: user-level bounded-contribution release — the capPerKey
     // window replay, domain counts, thresholds at ε/cap; the refusal
     // column is a constant TRUE (the operator's data-free refusal,
@@ -10233,6 +10710,26 @@ object PipelineQueries {
       mSeedBase = 400L, sSeedBase = 500L, budgetMicro = 500000L,
       domain = Seq("de", "en", "es", "fr", "zh"),
       epsilon = 1.0, clampK = 39),
+
+    // Q21: the zCDP-parallel ledger replay — accounting literals
+    // from the operator's own zcdpParallelAccounting, shard count
+    // mechanisms replayed per (shard, week, seed); the three
+    // comparator refusals are constant TRUE (data-free, probed by
+    // the Spark side).
+    "q348_dp_zcdp_parallel" -> dpZcdpParallelOracle(
+      shards = Seq(
+        ("de_en", Seq("de", "en"), 610L),
+        ("es_fr_zh", Seq("es", "fr", "zh"), 710L)),
+      nWeeks = 36, epsMicro = 100000L, budgetMicro = 3450000L,
+      deltaPow10 = 6, epsilon = 0.1, clampK = 200),
+
+    // Q22: user-level bounded-contribution SUM release — the
+    // capPerKey window + value clamp replay, domain sums,
+    // thresholds at ε/(cap·clampHi).
+    "q349_dp_user_sum" -> dpUserSumDomainOracle(
+      Seq("click", "error", "purchase", "signup", "view"),
+      epsilon = 0.8, seed = 91L, userCap = 4, clampHi = 4L,
+      clampK = 400),
 
     // T63: unrolled batch-perceptron epochs — integer design matrix,
     // LEFT-JOIN margins, tie-counts-as-error, UNION-merged weights.
@@ -10574,6 +11071,127 @@ object PipelineQueries {
         |    / CASE WHEN g.exact_pairs > 0
         |        THEN CAST(g.exact_pairs AS DOUBLE) END, 6) AS recall
         |FROM hits h, gtot g ORDER BY stage""".stripMargin,
+
+    // V36: the q346 chain swept over candidate budgets — stage-1
+    // ranking materialized ONCE at max C, exact candidate cosines
+    // scored once, each budget a rnk filter + per-probe re-rank;
+    // stage2_pairs counts the re-scores that budget bought.
+    "q351_rerank_budget_sweep" ->
+      """WITH el AS MATERIALIZED (
+        |  SELECT vec_id, generate_subscripts(embedding,1) AS d,
+        |         unnest(embedding)::DOUBLE AS x
+        |  FROM embeddings
+        |), seed_ids AS (
+        |  SELECT vec_id AS cell_vid,
+        |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell
+        |  FROM embeddings ORDER BY vec_id LIMIT 8
+        |), snrm AS (
+        |  SELECT s.cell, sqrt(SUM(e.x * e.x)) AS n
+        |  FROM seed_ids s JOIN el e ON e.vec_id = s.cell_vid
+        |  GROUP BY s.cell
+        |), vc AS (
+        |  SELECT e.vec_id, s.cell, SUM(e.x * se.x) / any_value(sn.n)
+        |    AS cosn
+        |  FROM el e
+        |  JOIN seed_ids s ON TRUE
+        |  JOIN el se ON se.vec_id = s.cell_vid AND se.d = e.d
+        |  JOIN snrm sn ON sn.cell = s.cell
+        |  GROUP BY e.vec_id, s.cell
+        |), assign AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY cosn DESC, cell) AS rn
+        |    FROM vc) WHERE rn = 1
+        |), pcells AS (
+        |  SELECT vec_id AS probe_id, cell FROM (
+        |    SELECT vec_id, cell, row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY cosn DESC, cell) AS rn
+        |    FROM vc WHERE vec_id >= 8 AND vec_id < 16)
+        |  WHERE rn <= 2
+        |), m AS (
+        |  SELECT 127.0 / (CASE WHEN MAX(abs(x)) > 0.0
+        |    THEN MAX(abs(x)) END) AS r FROM el
+        |), enc AS (
+        |  SELECT vec_id, d, CAST(floor(x * m.r + 0.5) AS BIGINT) AS c
+        |  FROM el, m
+        |), dots AS (
+        |  SELECT p.probe_id, e.vec_id,
+        |    CAST(SUM(pe.c * e.c) AS BIGINT) AS s
+        |  FROM pcells p
+        |  JOIN assign a ON a.cell = p.cell
+        |  JOIN enc e ON e.vec_id = a.vec_id AND e.vec_id <> p.probe_id
+        |  JOIN enc pe ON pe.vec_id = p.probe_id AND pe.d = e.d
+        |  GROUP BY 1, 2
+        |), ranked AS MATERIALIZED (
+        |  SELECT probe_id, vec_id, row_number() OVER (
+        |    PARTITION BY probe_id ORDER BY s DESC, vec_id) AS rnk
+        |  FROM dots
+        |), nrm AS MATERIALIZED (
+        |  SELECT vec_id, sqrt(SUM(x * x)) AS n FROM el GROUP BY 1
+        |), pr AS (
+        |  SELECT vec_id AS probe_id, d, x FROM el
+        |  WHERE vec_id >= 8 AND vec_id < 16
+        |), gdots AS (
+        |  SELECT p.probe_id, e.vec_id, SUM(p.x * e.x) AS dp
+        |  FROM pr p JOIN el e ON e.d = p.d AND e.vec_id <> p.probe_id
+        |  GROUP BY 1, 2
+        |), gcs AS (
+        |  SELECT g.probe_id, g.vec_id, g.dp / (np.n * nv.n) AS cosine
+        |  FROM gdots g
+        |  JOIN nrm np ON np.vec_id = g.probe_id
+        |  JOIN nrm nv ON nv.vec_id = g.vec_id
+        |), exact AS MATERIALIZED (
+        |  SELECT probe_id, vec_id FROM (
+        |    SELECT probe_id, vec_id, row_number() OVER (
+        |      PARTITION BY probe_id ORDER BY cosine DESC, vec_id)
+        |      AS rnk
+        |    FROM gcs) WHERE rnk <= 5
+        |), gtot AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS exact_pairs,
+        |    CAST(COUNT(DISTINCT probe_id) AS BIGINT) AS n_probes
+        |  FROM exact
+        |), rcs AS MATERIALIZED (
+        |  SELECT c.probe_id, c.vec_id, c.rnk,
+        |    SUM(e.x * pe.x) / (any_value(nv.n) * any_value(np.n))
+        |      AS cosine
+        |  FROM (SELECT probe_id, vec_id, rnk FROM ranked
+        |        WHERE rnk <= 50) c
+        |  JOIN el e ON e.vec_id = c.vec_id
+        |  JOIN el pe ON pe.vec_id = c.probe_id AND pe.d = e.d
+        |  JOIN nrm nv ON nv.vec_id = c.vec_id
+        |  JOIN nrm np ON np.vec_id = c.probe_id
+        |  GROUP BY 1, 2, 3
+        |), buds(b) AS (VALUES (5), (10), (25), (50)),
+        |sub AS MATERIALIZED (
+        |  SELECT b.b, r.probe_id, r.vec_id, r.cosine
+        |  FROM buds b JOIN rcs r ON r.rnk <= b.b
+        |), s2 AS (
+        |  SELECT b, CAST(COUNT(*) AS BIGINT) AS stage2_pairs
+        |  FROM sub GROUP BY 1
+        |), rtop AS (
+        |  SELECT b, probe_id, vec_id FROM (
+        |    SELECT b, probe_id, vec_id, row_number() OVER (
+        |      PARTITION BY b, probe_id ORDER BY cosine DESC, vec_id)
+        |      AS rnk
+        |    FROM sub) WHERE rnk <= 5
+        |), hits AS (
+        |  SELECT r.b, CAST(COUNT(*) AS BIGINT) AS hit_pairs
+        |  FROM rtop r JOIN exact x
+        |    ON x.probe_id = r.probe_id AND x.vec_id = r.vec_id
+        |  GROUP BY 1
+        |)
+        |SELECT CAST(b.b AS INT) AS candidates, g.n_probes,
+        |  g.exact_pairs,
+        |  COALESCE(h.hit_pairs, CAST(0 AS BIGINT)) AS hit_pairs,
+        |  round(CAST(COALESCE(h.hit_pairs, 0) AS DOUBLE)
+        |    / CASE WHEN g.exact_pairs > 0
+        |        THEN CAST(g.exact_pairs AS DOUBLE) END, 6) AS recall,
+        |  s.stage2_pairs
+        |FROM buds b
+        |CROSS JOIN gtot g
+        |JOIN s2 s ON s.b = b.b
+        |LEFT JOIN hits h ON h.b = b.b
+        |ORDER BY candidates""".stripMargin,
 
     "q315_ivf_sq8_search" ->
       """WITH el AS (
