@@ -1190,7 +1190,7 @@ object Multimodal {
     * rule). A frame whose raster or metadata fails mid-container
     * emits as (frame_idx, null) and STOPS the walk — compositing is
     * stateful, so frames after a hole would be silently wrong. */
-  private def readGifFrames(
+  private[graft] def readGifFrames(
       bytes: Array[Byte]): Seq[(Int, java.awt.image.BufferedImage)] = {
     import scala.util.control.NonFatal
     import java.awt.image.BufferedImage

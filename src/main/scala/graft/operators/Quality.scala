@@ -3368,8 +3368,11 @@ object Quality {
 
   /** The Q19 ledger arithmetic, shared with the oracle generator:
     * per release (ρ_micro, cumulative ρ_micro, converted
-    * ε(δ)_micro). Pure integer except the one √ over an
-    * exactly-represented long product (< 2⁵³). */
+    * ε(δ)_micro). Pure integer except the one √; its product is
+    * taken in DOUBLE (overflow-proof for any guarded ε — r16) and
+    * is bit-exact whenever cumρ·ln(1/δ)µ < 2⁵³ (every sane budget;
+    * beyond it the conversion stays monotone and conservative-
+    * enormous, so refusal semantics hold regardless). */
   private[graft] def zcdpAccounting(
       epsMicros: Seq[Long],
       deltaPow10: Int): Seq[(Long, Long, Long)] = {
@@ -3380,7 +3383,7 @@ object Quality {
       val rho = zcdpRhoMicro(e)
       cum += rho
       val epsD = cum + math.ceil(
-        2.0 * math.sqrt((cum * lnInvDeltaMicro).toDouble)).toLong
+        2.0 * math.sqrt(cum.toDouble * lnInvDeltaMicro)).toLong
       (rho, cum, epsD)
     }
   }
@@ -3592,7 +3595,7 @@ object Quality {
       val charged = eff - effPrev
       effPrev = eff
       val epsD = eff + math.ceil(
-        2.0 * math.sqrt((eff * lnInvDeltaMicro).toDouble)).toLong
+        2.0 * math.sqrt(eff.toDouble * lnInvDeltaMicro)).toLong
       (rho, scopeCum, charged, eff, epsD)
     }
   }

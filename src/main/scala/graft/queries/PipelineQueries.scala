@@ -671,7 +671,7 @@ object PipelineQueries {
       val rho = (epsMicro * epsMicro + 1999999L) / 2000000L
       cum += rho
       val epsD = cum + math.ceil(
-        2.0 * math.sqrt((cum * lnInvDeltaMicro).toDouble)).toLong
+        2.0 * math.sqrt(cum.toDouble * lnInvDeltaMicro)).toLong
       s"($i, 'refresh_${"%02d".format(i)}', '${seedBase + i}', " +
         s"$epsMicro, $rho, $cum, $epsD, ${budgetMicro - epsD})"
     }.mkString(",\n       |    ")

@@ -797,4 +797,140 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ah.keys.count(k => ph(k) < ah(k)) >= 18)
     assert(ph.values.max <= 8)
   }
+  test("readGifFrames (M18b): delta-encoded GIF composites per " +
+      "disposal metadata — restore-to-background blacks the rect, " +
+      "restore-to-previous reverts; full-frame GIFs composite to " +
+      "their stored rasters; non-GIF magic triages (r15 ADVICE)") {
+    val seed = 7L
+    val bytes = Multimodal.syntheticGifDelta(seed, 16, 16)
+    assert(new String(bytes.take(6), "US-ASCII") === "GIF89a")
+    val frames = Multimodal.readGifFrames(bytes)
+    assert(frames.size === 5 && frames.forall(_._2 != null))
+    // every composited pixel equals the frame plan's arithmetic
+    // replay (the oracle's contract): luma 1000·idx, black = 0
+    frames.foreach { case (fi, img) =>
+      assert(img.getWidth === 16 && img.getHeight === 16)
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val idx = Multimodal.gifDeltaExpectedIndex(
+          seed, 16, 16, fi, x, y)
+        val want =
+          if (idx < 0) 0xff000000
+          else 0xff000000 | (idx << 16) | (idx << 8) | idx
+        assert(img.getRGB(x, y) === want, s"f=$fi x=$x y=$y")
+      }
+    }
+    // frame 1's rect reads BLACK from frame 2 on (restore-to-
+    // background applied after frame 1 emitted)
+    assert(Multimodal.gifDeltaExpectedIndex(
+      seed, 16, 16, 1, 10, 3) >= 0)
+    assert(Multimodal.gifDeltaExpectedIndex(
+      seed, 16, 16, 2, 10, 3) === -1)
+    // frame 3's patch is GONE by frame 4 (restore-to-previous):
+    // frame 4 == frame 2 everywhere outside frame 4's own patch
+    for (y <- 0 until 16; x <- 0 until 16
+         if !(x >= 12 && y >= 12)) {
+      assert(Multimodal.gifDeltaExpectedIndex(
+        seed, 16, 16, 4, x, y) ===
+        Multimodal.gifDeltaExpectedIndex(seed, 16, 16, 2, x, y))
+    }
+    assert((4 until 12).exists(x => (4 until 12).exists(y =>
+      Multimodal.gifDeltaExpectedIndex(seed, 16, 16, 3, x, y) !==
+        Multimodal.gifDeltaExpectedIndex(seed, 16, 16, 2, x, y))),
+      "frame 3 must visibly differ from frame 2 inside its patch")
+    // full-frame GIFs composite to exactly their stored rasters —
+    // the r15 q337 fixtures are bit-unchanged by the M18b rewrite
+    val full = Multimodal.readGifFrames(
+      Multimodal.syntheticGif(9L, 3, 16, 16, 2))
+    assert(full.size === 3 && full.forall(_._2 != null))
+    full.foreach { case (fi, img) =>
+      val s2 = if (fi < 2) 9L * 31 + 1 else 9L * 31 + 2
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val idx = Multimodal.gifPixelIndex(s2, x, y)
+        assert(img.getRGB(x, y) ===
+          (0xff000000 | (idx << 16) | (idx << 8) | idx))
+      }
+    }
+    // an ImageIO-readable NON-GIF payload (BMP) triages instead of
+    // decoding as a one-frame clip
+    val bmp = Multimodal.syntheticBmpTextured(3L, 16, 16)
+    assert(Multimodal.readGifFrames(bmp).isEmpty)
+    val got = Multimodal.gifSceneChanges(
+        Seq((1L, bmp)).toDF("id", "payload"), "id", "payload",
+        grid = 16, threshold = 10)
+      .as[(Long, Int, Boolean, Option[String], Option[Int],
+        Option[Boolean])].collect()
+    assert(got.toSeq === Seq((1L, 0, false, None, None, Some(true))))
+    // fixture determinism
+    assert(java.util.Arrays.equals(bytes,
+      Multimodal.syntheticGifDelta(seed, 16, 16)))
+  }
+
+  test("mfcc (M20): coefficients replay from mel energies via the " +
+      "mantissa log table + integer DCT-II; triage rows NULL; an " +
+      "all-silence clip takes the zero-energy log floor") {
+    val ids = Seq(2L, 4L).toDF("id")
+    val wavs = Multimodal.withSyntheticToneWav(
+      ids, "id", nSamples = 192, sampleRate = 16000, n = 64,
+      binFirst = 5, binSecond = 11)
+    val corrupt = Seq((-2L, "RIFF....not a wav".getBytes("UTF-8")))
+      .toDF("id", "payload")
+    val df = wavs.unionByName(corrupt)
+    // independent replay: melEnergies → string log-quantize → DCT
+    val me = Multimodal.melEnergies(df, "id", "payload", 64, 64, 6,
+        16000, 8)
+      .as[(Long, Boolean, Int, Int, Option[String])].collect()
+    val logT = Multimodal.milliLog10Table.toMap
+    def lq(e: Option[String]): Option[Long] = e.map { s =>
+      if (s == "0") -3000L
+      else 1000L * (s.length - 3) +
+        logT(s.padTo(3, '0').take(3).toInt)
+    }
+    val dct = Multimodal.mfccDctTable(4, 6)
+    val expected = me.groupBy(r => (r._1, r._2, r._3)).flatMap {
+      case ((id, ok, w), rows) =>
+        (0 until 4).map { j =>
+          val cs = dct.filter(_._1 == j)
+            .map(t => t._2 -> t._3).toMap
+          val terms = rows.toSeq.map(r =>
+            lq(r._5).map(_ * cs(r._4)))
+          val v =
+            if (terms.forall(_.isEmpty)) None
+            else Some(terms.flatten.sum)
+          (id, ok, w, j) -> v
+        }
+    }
+    val got = Multimodal.mfcc(df, "id", "payload", 64, 64, 6,
+        16000, 8, nCoefs = 4)
+      .as[(Long, Boolean, Int, Int, Option[Long])].collect()
+      .map(r => (r._1, r._2, r._3, r._4) -> r._5).toMap
+    assert(got.size === expected.size)
+    expected.foreach { case (k, v) =>
+      assert(got(k) === v, s"cell $k") }
+    // triage clip: every coefficient NULL
+    assert((0 until 4).forall(j => got((-2L, false, 0, j)).isEmpty))
+    // all-silence WAV: every band energy 0 → L = −3000 (the defined
+    // floor, one grid decade below E = 1) → mfcc_j = −3000·Σ_m c_jm
+    val dataLen = 192 * 2
+    val silence = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    silence.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    silence.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(16000).putInt(32000)
+      .putShort(2).putShort(16)
+    silence.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    val sgot = Multimodal.mfcc(
+        Seq((5L, silence.array())).toDF("id", "payload"),
+        "id", "payload", 64, 64, 6, 16000, 8, nCoefs = 4)
+      .as[(Long, Boolean, Int, Int, Option[Long])].collect()
+      .map(r => (r._3, r._4) -> r._5).toMap
+    for (j <- 0 until 4; w <- 0 until 3) {
+      val want = -3000L *
+        dct.filter(_._1 == j).map(_._3).sum
+      assert(sgot((w, j)) === Some(want), s"silence w=$w j=$j")
+    }
+    // log-table endpoints and size (the bounded quantized domain)
+    assert(logT(100) === 2000L && logT(999) === 3000L)
+    assert(Multimodal.milliLog10Table.size === 900)
+  }
 }

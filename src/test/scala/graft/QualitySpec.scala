@@ -2095,4 +2095,222 @@ class QualitySpec extends AnyFunSuite {
         grid, 2, 2, 1.0, 1L)
     }
   }
+  test("dpReleaseSuiteZcdpPartitioned (Q21): per-group Σρ with " +
+      "max-across-groups, charged increments zero for the non-max " +
+      "group, converted spend fits where zCDP-sequential refuses; " +
+      "within-group domain overlap is the refresh semantics") {
+    val df = Seq(("a", 1), ("b", 1), ("c", 1)).toDF("k", "n")
+    def dom(ks: String*) = ks.toDF("k")
+    def mech(name: String, g: String, langs: Seq[String],
+        seed: Long) =
+      Quality.DpDeclaredRelease(name, 500000L,
+        () => Quality.dpCountReleaseOverDomain(df,
+          langs.toDF("k"), Seq("k"), epsilon = 0.5, seed = seed,
+          clampK = 80),
+        Some("released_count"), Some(g),
+        Some(() => dom(langs: _*)), Some("k"))
+    // 3 refreshes of shard {a}, 3 of shard {b, c} (SAME domain per
+    // refresh — exactly what Q17 refuses as a clash), 1 ungrouped
+    val releases = Seq(
+      mech("g1_w1", "g1", Seq("a"), 1L),
+      mech("g1_w2", "g1", Seq("a"), 2L),
+      mech("g1_w3", "g1", Seq("a"), 3L),
+      mech("g2_w1", "g2", Seq("b", "c"), 4L),
+      mech("g2_w2", "g2", Seq("b", "c"), 5L),
+      mech("g2_w3", "g2", Seq("b", "c"), 6L),
+      Quality.DpDeclaredRelease("plain", 500000L,
+        () => Quality.dpCountRelease(df, Seq("k"), 0.5, 7L, 80),
+        Some("released_count")))
+    // ρ(0.5ε) = 125000 µρ; eff = max(375000, 375000) + 125000
+    val L = math.round(6 * math.log(10.0) * 1e6)
+    val effFinal = 500000L
+    val epsPar = effFinal + math.ceil(
+      2.0 * math.sqrt(effFinal.toDouble * L)).toLong
+    val budget = epsPar + 1000L
+    val got = Quality.dpReleaseSuiteZcdpPartitioned(
+        releases, budget, deltaPow10 = 6)
+      .as[(Int, String, Option[String], Long, Long, Long, Long,
+        Long, Long, Int, Long, Long, Long, Option[Long])]
+      .collect().sortBy(_._1)
+    assert(got.length === 7)
+    assert(got.forall(_._5 === 125000L), "per-release ρ")
+    assert(got.map(_._6).toSeq ===
+      Seq(125000L, 250000L, 375000L, 125000L, 250000L, 375000L,
+        125000L), "scope cums")
+    assert(got.map(_._7).toSeq ===
+      Seq(125000L, 125000L, 125000L, 0L, 0L, 0L, 125000L),
+      "charged: the zeros ARE the parallel discount")
+    assert(got.map(_._8).toSeq ===
+      Seq(125000L, 250000L, 375000L, 375000L, 375000L, 375000L,
+        500000L), "effective ρ")
+    // converted ε(δ) matches the grid formula row by row, monotone
+    got.foreach { r =>
+      val want = r._8 + math.ceil(
+        2.0 * math.sqrt(r._8.toDouble * L)).toLong
+      assert(r._9 === want && r._12 === budget - want, r._2)
+    }
+    assert(got.last._9 === epsPar)
+    // the SAME releases stripped of group claims refuse this budget
+    // under zCDP-sequential (Σρ = 875000) — data-free
+    var invoked = false
+    val stripped = releases.map(r => r.copy(
+      parallelGroup = None, domain = None, keyCol = None,
+      release = () => { invoked = true; df }))
+    intercept[IllegalStateException] {
+      Quality.dpReleaseSuiteZcdp(stripped, budget, deltaPow10 = 6)
+    }
+    assert(!invoked)
+    // ... and under Q21 itself with a blown budget, also data-free
+    intercept[IllegalStateException] {
+      Quality.dpReleaseSuiteZcdpPartitioned(
+        releases.map(r => r.copy(release =
+          () => { invoked = true; df })),
+        budgetMicro = 1000L, deltaPow10 = 6)
+    }
+    assert(!invoked)
+    // CROSS-group overlap voids the partition claim (key 'b' in two
+    // groups' domains), thunks untouched
+    val clashEx = intercept[IllegalStateException] {
+      Quality.dpReleaseSuiteZcdpPartitioned(Seq(
+        mech("x1", "g1", Seq("a", "b"), 1L).copy(release =
+          () => { invoked = true; df }),
+        mech("x2", "g2", Seq("b", "c"), 2L).copy(release =
+          () => { invoked = true; df })),
+        budget, deltaPow10 = 6)
+    }
+    assert(clashEx.getMessage.contains("NOT a partition") &&
+      clashEx.getMessage.contains("'b'"))
+    assert(!invoked)
+    // a grouped release without a declared domain refuses
+    val noDom = intercept[IllegalArgumentException] {
+      Quality.dpReleaseSuiteZcdpPartitioned(Seq(
+        Quality.DpDeclaredRelease("r1", 100000L, () => df, None,
+          Some("g"), None)),
+        budget, deltaPow10 = 6)
+    }
+    assert(noDom.getMessage.contains("without declaring"))
+    // determinism: the ledger is a pure function of (data, seeds)
+    val again = Quality.dpReleaseSuiteZcdpPartitioned(
+        releases, budget, deltaPow10 = 6)
+      .as[(Int, String, Option[String], Long, Long, Long, Long,
+        Long, Long, Int, Long, Long, Long, Option[Long])]
+      .collect().sortBy(_._1)
+    assert(again.toSeq === got.toSeq)
+  }
+
+  test("release-suite containment refusal (r15 ADVICE): a " +
+      "mis-declared mechanism refuses with the COUNT of escaped " +
+      "keys only — the key values are private data and never " +
+      "surface in the exception") {
+    val df = Seq(("a", 1), ("b", 1), ("c", 1)).toDF("k", "n")
+    def dom(ks: String*) = ks.toDF("k")
+    def escapee(seed: Long) =
+      Quality.DpDeclaredRelease("escapee", 500000L,
+        () => Quality.dpCountRelease(df, Seq("k"), 0.5, seed),
+        Some("released_count"), Some("g"),
+        Some(() => dom("a")), Some("k"))
+    def other(g: String) =
+      Quality.DpDeclaredRelease("other", 500000L,
+        () => Quality.dpCountReleaseOverDomain(df, dom("z"),
+          Seq("k"), 0.5, 2L),
+        Some("released_count"), Some(g),
+        Some(() => dom("z")), Some("k"))
+    // Q17 basic-parallel ledger (groups must be disjoint → both in
+    // 'g' is fine here: domains {a} and {z} ARE disjoint; the
+    // escapee's MECHANISM releases {a,b,c})
+    val mis17 = intercept[IllegalStateException] {
+      Quality.dpReleaseSuitePartitioned(
+        Seq(escapee(1L), other("g")), budgetMicro = 2000000L)
+    }
+    assert(mis17.getMessage.contains("OUTSIDE its declared domain"))
+    assert(mis17.getMessage.contains("escapee"))
+    assert(mis17.getMessage.contains("2 key(s)"),
+      s"count-only disclosure: ${mis17.getMessage}")
+    assert(!mis17.getMessage.contains("'b'") &&
+      !mis17.getMessage.contains("'c'"),
+      "escaped key VALUES must never surface in the refusal")
+    // the Q21 zCDP-parallel ledger applies the same probe
+    val mis21 = intercept[IllegalStateException] {
+      Quality.dpReleaseSuiteZcdpPartitioned(
+        Seq(escapee(1L), other("h")), budgetMicro = 20000000L,
+        deltaPow10 = 6)
+    }
+    assert(mis21.getMessage.contains("2 key(s)") &&
+      !mis21.getMessage.contains("'b'"))
+  }
+
+  test("dpReleaseSuitePartitioned (r16 ADVICE): each release thunk " +
+      "invokes exactly once — probe and ledger audit share one " +
+      "cached output") {
+    val df = Seq(("a", 1), ("b", 1)).toDF("k", "n")
+    def dom(ks: String*) = ks.toDF("k")
+    var n1 = 0
+    var n2 = 0
+    val rows = Quality.dpReleaseSuitePartitioned(Seq(
+        Quality.DpDeclaredRelease("s_ab", 800000L,
+          () => { n1 += 1
+            Quality.dpCountReleaseOverDomain(df, dom("a", "b"),
+              Seq("k"), 0.8, 1L, 50) },
+          Some("released_count"), Some("g"),
+          Some(() => dom("a", "b")), Some("k")),
+        Quality.DpDeclaredRelease("plain", 500000L,
+          () => { n2 += 1; df })),
+        budgetMicro = 2000000L)
+      .collect()
+    assert(rows.length === 2)
+    assert(n1 === 1, s"keyed grouped thunk ran $n1 times")
+    assert(n2 === 1, s"plain thunk ran $n2 times")
+  }
+
+  test("zcdpRhoMicro (r15 ADVICE): ε beyond the Long-safe bound " +
+      "refuses instead of overflowing into a negative ρ that " +
+      "shrinks the ledger") {
+    // the bound itself is exact: ρ(3000ε) = 9e18/2e6
+    assert(Quality.zcdpRhoMicro(3000000000L) === 4500000000000L)
+    val ex = intercept[IllegalArgumentException] {
+      Quality.zcdpRhoMicro(3000000001L)
+    }
+    assert(ex.getMessage.contains("overflow"))
+    // the guard fires through the suite surface, before any thunk
+    var invoked = false
+    intercept[IllegalArgumentException] {
+      Quality.dpReleaseSuiteZcdp(Seq(
+        Quality.DpDeclaredRelease("huge", 4000000000L,
+          () => { invoked = true
+            Seq(("a", 1)).toDF("k", "n") })),
+        budgetMicro = Long.MaxValue, deltaPow10 = 6)
+    }
+    assert(!invoked)
+  }
+
+  test("dpUserSumReleaseOverDomain (Q22): a whale user with huge " +
+      "values moves the release by exactly userCap·clampHi; " +
+      "uncapped user-level sum claims refuse; deterministic") {
+    val dom = Seq("a").toDF("k")
+    // 10 users x 10 rows, value 2.5 → clamped contribution 2 each
+    val base = spark.range(100).select(
+      col("id").as("rid"), (col("id") % 10).as("user"),
+      lit("a").as("k"), lit(2.5).as("v"))
+    def release(df: org.apache.spark.sql.DataFrame) =
+      Quality.dpUserSumReleaseOverDomain(df, "user", "rid", dom,
+          Seq("k"), col("v"), epsilon = 0.8, seed = 7L,
+          userCap = Some(3), clampHi = 5L, clampK = 400)
+        .as[(String, Long)].collect().head._2
+    val r1 = release(base)
+    // a user with 10^5 rows of value 10^9 joins; same (key, seed) ⇒
+    // identical noise, so the delta IS the capped+clamped bound
+    val whale = spark.range(100000L).select(
+      (col("id") + 1000L).as("rid"), lit(9999L).as("user"),
+      lit("a").as("k"), lit(1.0e9).as("v"))
+    val r2 = release(base.unionByName(whale))
+    assert(r2 - r1 === 15L,
+      s"whale must move the sum by exactly cap·clamp: $r1 -> $r2")
+    assert(release(base) === r1)
+    val ex = intercept[IllegalStateException] {
+      Quality.dpUserSumReleaseOverDomain(base, "user", "rid", dom,
+        Seq("k"), col("v"), epsilon = 0.8, seed = 7L,
+        userCap = None, clampHi = 5L, clampK = 400)
+    }
+    assert(ex.getMessage.contains("no per-user contribution bound"))
+  }
 }

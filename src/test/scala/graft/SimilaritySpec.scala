@@ -1323,4 +1323,51 @@ class SimilaritySpec extends AnyFunSuite {
       .as[(Long, Long, Int, Option[Long])].collect()
     assert(g3.forall(_._4.isEmpty))
   }
+  test("rerankCandidateSweep (V36): recall climbs with candidate " +
+      "budget on the quantization-hostile corpus; stage2_pairs " +
+      "prices each budget; single-budget row matches the V35 " +
+      "readout") {
+    // the V35 fixture: a 200-magnitude outlier crushes the int8
+    // grid so sq8's top-5 has ZERO overlap with the exact top-5 —
+    // budget k buys nothing, budget 11 recovers everything
+    val near = (0L until 10L).map { i =>
+      val a = 0.002f * (9 - i)
+      (i, Seq(1.0f + a, 1.0f - a))
+    }
+    val far = (10L until 20L).map(i => (i, Seq(1.0f, -1.0f)))
+    val outlier = Seq((99L, Seq(200.0f, 0.0f)))
+    val corpus = (near ++ far ++ outlier).toDF("vec_id", "embedding")
+    val probes = Seq((1000L, Seq(1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val seeds = Similarity.ivfSeeds(corpus, "vec_id", "embedding",
+      nlist = 1)
+    val sw = Similarity.rerankCandidateSweep(corpus, probes,
+        "vec_id", "embedding", seeds, nprobe = 1,
+        candidateBudgets = Seq(5, 11, 21), k = 5)
+      .as[(Int, Long, Long, Long, Option[Double], Long)]
+      .collect().sortBy(_._1)
+    assert(sw.map(_._1).toSeq === Seq(5, 11, 21))
+    assert(sw.forall(r => r._2 === 1L && r._3 === 5L))
+    // stage-2 cost axis: exactly the candidates each budget bought
+    assert(sw.map(_._6).toSeq === Seq(5L, 11L, 21L))
+    // recall 0 at budget k (re-ranking a wrong set cannot help),
+    // 1.0 once the over-fetch spans the ordering loss
+    assert(sw(0)._4 === 0L && sw(0)._5 === Some(0.0))
+    assert(sw(1)._5 === Some(1.0) && sw(2)._5 === Some(1.0))
+    // one-budget sweep == the V35 readout's rerank row
+    val ro = Similarity.retrieveRerankReadout(corpus, probes,
+        "vec_id", "embedding", seeds, nprobe = 1, candidates = 11,
+        k = 5)
+      .as[(String, Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(ro("rerank")._4 === sw(1)._4 &&
+      ro("rerank")._5 === sw(1)._5)
+    // determinism
+    val again = Similarity.rerankCandidateSweep(corpus, probes,
+        "vec_id", "embedding", seeds, nprobe = 1,
+        candidateBudgets = Seq(5, 11, 21), k = 5)
+      .as[(Int, Long, Long, Long, Option[Double], Long)]
+      .collect().sortBy(_._1)
+    assert(again.toSeq === sw.toSeq)
+  }
 }
