@@ -368,9 +368,10 @@ object UnigramLm {
    * the draw is UNIFORM over the candidate list via the md5-uniform
    * of (word, seed) — the Q10 determinism contract: one epoch's
    * sampling is reproducible and oracle-replayable; vary `seed` per
-   * epoch for fresh draws (Kudo's α-weighted posterior sampling
-   * needs cross-engine exp(), deliberately out of scope —
-   * documented).
+   * epoch for fresh draws. The α-weighted posterior the paper's
+   * best results use is [[encodeNbestAlpha]] (r16) — the
+   * cross-engine exp() lives there as a driver-literal weight table
+   * over a bounded quantized Δscore grid.
    *
    * Plan: q203's dictionary-join shape — enumeration runs ONCE per
    * DISTINCT word (shuffle-free mapPartitions against the broadcast
@@ -444,5 +445,140 @@ object UnigramLm {
           .as("n_tokens_sampled"),
         sum(when(size(col("__toks")) > 1, 1L).otherwise(0L))
           .as("n_multi_words"))
+  }
+  /** T65 support: the α-posterior weight table — W(j) =
+    * round(10⁹·exp(−j·gridMicro/10⁶)) for j ∈ [0, jMax], where jMax
+    * is the first index whose weight rounds to 0 (exp < 5·10⁻¹⁰).
+    * Computed driver-side ONCE and handed to BOTH engines as
+    * literals (the milliLog10Table discipline) — the transcendental
+    * exp never crosses an engine boundary; the bounded quantized
+    * Δscore domain is what makes a weight table possible at all. */
+  private[graft] def alphaWeightTable(
+      gridMicro: Long): Seq[(Int, Long)] = {
+    require(gridMicro >= 1000L && gridMicro <= 1000000L,
+      s"gridMicro must be in [1e3, 1e6], got $gridMicro")
+    val jMax = math.ceil(
+      math.log(2.0e9) / (gridMicro / 1.0e6)).toInt
+    (0 to jMax).map(j =>
+      (j, math.round(1.0e9 * math.exp(-j * (gridMicro / 1.0e6)))))
+  }
+
+  /**
+   * T65 (r16): α-weighted POSTERIOR n-best sampling — the sampling
+   * Kudo 2018's best results actually use (VERDICT r15 "missing"
+   * #5): [[encodeNbest]] draws uniformly over the n-best (the α→0
+   * limit); the paper samples segmentation i with probability
+   * ∝ P(i)^α — sharper α favors the Viterbi path, α→0 flattens to
+   * uniform — so the regularization STRENGTH becomes a dial.
+   *
+   * EXACT-REPLAY ARITHMETIC (the unigram-LM micro-log discipline
+   * end to end): scores are exact micro-log longs, so
+   * P(i)^α/P(best)^α = exp(−α·Δᵢ) with Δᵢ = score_best − score_i
+   * ≥ 0 — a function of a BOUNDED quantized domain once Δ lands on
+   * the `gridMicro` grid: jᵢ = min(⌊α_milli·Δᵢ/(1000·gridMicro)⌋,
+   * jMax) (floor — integer division, both engines), and the weight
+   * is [[alphaWeightTable]](jᵢ), a 10⁹-scaled driver literal (the
+   * best candidate always takes weight 10⁹, so the total is never
+   * 0). The draw is the q301 exponential-mechanism comparison: pick
+   * the smallest rank i with u·W_total < Cᵢ·2²⁸ over the exact
+   * cumulative longs (u the md5-uniform of (word, seed); all
+   * products < 2⁶¹ — documented bound: W_total ≤ 64·10⁹). α_milli =
+   * 0 reduces to [[encodeNbest]]'s uniform weighting (every j = 0);
+   * a huge α_milli degenerates to Viterbi (every non-best weight
+   * rounds to 0) — both regimes spec-pinned.
+   *
+   * Plan: identical to [[encodeNbest]] — one enumeration per
+   * DISTINCT word (broadcast piece map, bounded-model contract)
+   * emitting the cumulative-weight array; the corpus side joins and
+   * aggregates; the pick is a bounded codegen'd array fold (nBest ≤
+   * 64 elements, not a hot kernel).
+   *
+   * Output: (idCol, n_words, n_tokens_best, n_tokens_sampled,
+   * n_multi_words, n_words_shifted) — `n_words_shifted` counts word
+   * occurrences whose draw left the Viterbi path (the
+   * augmentation's measured diversity, the dial's readout).
+   */
+  def encodeNbestAlpha(
+      corpus: DataFrame, idCol: String, textCol: String,
+      model: Model, nBest: Int, seed: Long, alphaMilli: Long,
+      gridMicro: Long = 20000L, maxWordLen: Int = 12): DataFrame = {
+    require(model.pieces.nonEmpty, "model has no pieces")
+    require(nBest >= 1 && nBest <= 64,
+      s"nBest must be in [1, 64], got $nBest")
+    require(alphaMilli >= 0L && alphaMilli <= 100000000L,
+      s"alphaMilli must be in [0, 1e8], got $alphaMilli")
+    val maxL = model.pieces.map(_.piece.length).max
+    require(maxL <= 9,
+      s"digit tiebreak needs piece length <= 9, got $maxL")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val lpMap = model.pieces.map(p => p.piece -> p.logpMicro).toMap
+    val bc = spark.sparkContext.broadcast(lpMap)
+    val wTab = alphaWeightTable(gridMicro)
+    val wArr = wTab.map(_._2).toArray
+    val jMax = wTab.last._1
+    val dw = corpus
+      .select(col(idCol),
+        explode(split(col(textCol), "\\s+")).as("word"))
+      .where(col("word") =!= "")
+    val ord = Ordering.Tuple2(
+      Ordering.Long, Ordering.String.reverse)
+    val tok = dw.select("word").distinct()
+      .as[String]
+      .mapPartitions { words =>
+        val m = bc.value
+        words.map { w =>
+          // fallback (over-long / unreachable): ONE candidate of
+          // char-count tokens — the q333 COALESCE rule
+          val ranked: Option[Seq[(Long, String)]] =
+            if (w.length > maxWordLen) None
+            else {
+              val segs = allSegmentations(w, maxL, m)
+              if (segs.isEmpty) None
+              else Some(segs
+                .sortBy { case (sc, tb) => (-sc, tb) }(ord)
+                .take(nBest))
+            }
+          val toks: Seq[Long] = ranked match {
+            case None => Seq(w.length.toLong)
+            case Some(r) => r.map(_._2.length.toLong)
+          }
+          val cum: Seq[Long] = ranked match {
+            case None => Seq(wArr(0))
+            case Some(r) =>
+              val best = r.head._1
+              var c = 0L
+              r.map { case (sc, _) =>
+                val j = math.min(
+                  alphaMilli * (best - sc) / (1000L * gridMicro),
+                  jMax.toLong).toInt
+                c += wArr(j)
+                c
+              }
+          }
+          (w, toks, cum)
+        }
+      }
+      .toDF("word", "__toks", "__cum")
+    val uu = coalesce(
+      conv(substring(md5(concat_ws("|",
+        md5(col("word")), lit(seed.toString))), 1, 7), 16, 10)
+        .cast("long"),
+      lit(0L))
+    val tot = element_at(col("__cum"), size(col("__cum")))
+    val pick = (lit(1) + size(filter(col("__cum"),
+      c => c * lit(268435456L) <= uu * tot))).cast("int")
+    dw.join(tok, Seq("word"), "left")
+      .select(col(idCol), col("__toks"), pick.as("__pick"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(element_at(col("__toks"), 1)).as("n_tokens_best"),
+        sum(element_at(col("__toks"), col("__pick")))
+          .as("n_tokens_sampled"),
+        sum(when(size(col("__toks")) > 1, 1L).otherwise(0L))
+          .as("n_multi_words"),
+        sum(when(col("__pick") > 1, 1L).otherwise(0L))
+          .as("n_words_shifted"))
   }
 }

@@ -467,6 +467,106 @@ object PipelineQueries {
        |GROUP BY 1 ORDER BY d.doc_id""".stripMargin
   }
 
+  /** q353 oracle generator: the α-weighted posterior n-best replay
+    * — the q340 recursive segmentation/ranking chain, then the
+    * weight table lookup over the quantized Δscore grid (integer
+    * floor division both engines), exact cumulative longs, and the
+    * q301 exponential-mechanism pick comparison u·W_total <
+    * Cᵢ·2²⁸. */
+  private def alphaNbestEncodeOracle(
+      nBest: Int, seed: Long, alphaMilli: Long,
+      gridMicro: Long): String = {
+    val pieceRows = t62Pieces
+      .map { case (p, _, lp) => s"('$p', $lp, ${p.length})" }
+      .mkString(",\n       |    ")
+    val wTab = graft.operators.UnigramLm.alphaWeightTable(gridMicro)
+    val jMax = wTab.last._1
+    val expRows = wTab.map { case (j, w) => s"($j, $w)" }
+      .mkString(",\n       |    ")
+    s"""WITH RECURSIVE pieces(piece, lp, plen) AS (
+       |  VALUES
+       |    $pieceRows
+       |), expt(j, wv) AS (
+       |  VALUES
+       |    $expRows
+       |), dw AS MATERIALIZED (
+       |  SELECT doc_id, word FROM (
+       |    SELECT doc_id,
+       |      unnest(string_split_regex(lower(text), '\\s+')) AS word
+       |    FROM documents WHERE text IS NOT NULL)
+       |  WHERE word <> ''
+       |), words AS MATERIALIZED (
+       |  SELECT DISTINCT word FROM dw
+       |), seg AS (
+       |  SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS score,
+       |    '' AS revtb
+       |  FROM words WHERE length(word) <= 12
+       |  UNION ALL
+       |  SELECT s.word, s.pos + p.plen, s.score + p.lp,
+       |    CAST(p.plen AS VARCHAR) || s.revtb
+       |  FROM seg s JOIN pieces p
+       |    ON substr(s.word, s.pos + 1, p.plen) = p.piece
+       |  WHERE s.pos + p.plen <= length(s.word)
+       |), done AS MATERIALIZED (
+       |  SELECT word, score, revtb FROM seg
+       |  WHERE pos = length(word)
+       |), top AS MATERIALIZED (
+       |  SELECT word, revtb, score, rn FROM (
+       |    SELECT word, revtb, score, row_number() OVER (
+       |      PARTITION BY word ORDER BY score DESC, revtb DESC)
+       |      AS rn
+       |    FROM done) WHERE rn <= $nBest
+       |), wj AS (
+       |  SELECT t.word, t.rn, t.revtb,
+       |    LEAST((CAST($alphaMilli AS BIGINT) * (mx.smax - t.score))
+       |      // CAST(${1000L * gridMicro} AS BIGINT),
+       |      CAST($jMax AS BIGINT)) AS j
+       |  FROM top t JOIN (
+       |    SELECT word, MAX(score) AS smax FROM top GROUP BY 1) mx
+       |    ON mx.word = t.word
+       |), cw AS MATERIALIZED (
+       |  SELECT w.word, w.rn, w.revtb,
+       |    SUM(e.wv) OVER (PARTITION BY w.word ORDER BY w.rn) AS c,
+       |    SUM(e.wv) OVER (PARTITION BY w.word) AS tot
+       |  FROM wj w JOIN expt e ON e.j = w.j
+       |), cand AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS n_cands,
+       |    MAX(CASE WHEN rn = 1
+       |      THEN CAST(length(revtb) AS BIGINT) END) AS tok_best
+       |  FROM top GROUP BY 1
+       |), wsel AS (
+       |  SELECT c.word, c.n_cands, c.tok_best,
+       |    1 + CAST(SUM(CASE WHEN w.c * 268435456 <=
+       |      (('0x' || substr(md5(concat_ws('|', md5(w.word),
+       |        '$seed')), 1, 7))::BIGINT) * w.tot
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS pick
+       |  FROM cand c JOIN cw w ON w.word = c.word
+       |  GROUP BY 1, 2, 3
+       |), wtok AS (
+       |  SELECT w.word, w.tok_best, w.n_cands, w.pick,
+       |    CAST(length(t.revtb) AS BIGINT) AS tok_sampled
+       |  FROM wsel w JOIN top t ON t.word = w.word AND t.rn = w.pick
+       |), wfull AS MATERIALIZED (
+       |  SELECT a.word,
+       |    COALESCE(w.tok_best, CAST(length(a.word) AS BIGINT))
+       |      AS tok_best,
+       |    COALESCE(w.tok_sampled, CAST(length(a.word) AS BIGINT))
+       |      AS tok_sampled,
+       |    COALESCE(w.n_cands, CAST(1 AS BIGINT)) AS n_cands,
+       |    COALESCE(w.pick, CAST(1 AS BIGINT)) AS pick
+       |  FROM words a LEFT JOIN wtok w ON w.word = a.word
+       |)
+       |SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(f.tok_best) AS BIGINT) AS n_tokens_best,
+       |  CAST(SUM(f.tok_sampled) AS BIGINT) AS n_tokens_sampled,
+       |  CAST(SUM(CASE WHEN f.n_cands > 1 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_multi_words,
+       |  CAST(SUM(CASE WHEN f.pick > 1 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_words_shifted
+       |FROM dw d JOIN wfull f ON f.word = d.word
+       |GROUP BY 1 ORDER BY d.doc_id""".stripMargin
+  }
+
   /** q341/q342 oracle generator: the batch-perceptron replay —
     * unrolled per-epoch CTEs over the (doc, bucket, count) integer
     * design matrix: margins from the previous epoch's weight table
@@ -5544,6 +5644,26 @@ object PipelineQueries {
           gifs.unionByName(corrupt).unionByName(bmp),
           "id", "payload", grid = 16, threshold = 10)
         .orderBy("id", "frame_idx")
+    }),
+
+    // T65 (round 16): α-weighted posterior n-best sampling — the
+    // sampling Kudo 2018's best results use, closing the q340
+    // variant's documented α→0 caveat: candidate i draws with
+    // weight ∝ exp(−α·Δscore) read from the driver-literal weight
+    // table over the quantized Δ grid (α = 0.5, 0.02-nat grid),
+    // picked by the q301 exact cumulative-weight comparison;
+    // n_words_shifted reads the augmentation's actual diversity.
+    "q353_alpha_nbest_encode" -> ((s, dir) => {
+      val U = graft.operators.UnigramLm
+      val docs = t(s, dir, "documents")
+        .where(col("text").isNotNull)
+        .select(col("doc_id"), lower(col("text")).as("text"))
+      val model = U.Model(
+        t62Pieces.map { case (p, c, lp) => U.Piece(p, c, lp) }, Nil)
+      U.encodeNbestAlpha(docs, "doc_id", "text", model, nBest = 4,
+          seed = 353L, alphaMilli = 500L, gridMicro = 20000L,
+          maxWordLen = 12)
+        .orderBy("doc_id")
     }),
 
     // T62 (round 15): n-best subword-regularization encoding — the
@@ -10661,6 +10781,11 @@ object PipelineQueries {
     // Viterbi-tie ranking, md5-uniform pick — the shared literal
     // piece table, char fallback via the left-join COALESCE.
     "q340_nbest_encode" -> nbestEncodeOracle(nBest = 4, seed = 340L),
+
+    // T65: the q340 chain + the α-posterior weight lookup over the
+    // quantized Δscore grid and the exact cumulative-weight pick.
+    "q353_alpha_nbest_encode" -> alphaNbestEncodeOracle(
+      nBest = 4, seed = 353L, alphaMilli = 500L, gridMicro = 20000L),
 
     // T64: the run-collapse replay — lag run starts, prefix-sum run
     // ids, per-run ranks, NULL-skipping ordered string_agg of the

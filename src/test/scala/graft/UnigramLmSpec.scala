@@ -190,4 +190,58 @@ class UnigramLmSpec extends AnyFunSuite {
     assert(ab.nonEmpty && ab.get.count === 12L,
       s"'ab' used 3x in each of 4 words: ${m.pieces}")
   }
+  test("encodeNbestAlpha (T65): huge α degenerates to Viterbi, " +
+      "α = 0 weights uniformly, shift count is monotone " +
+      "nonincreasing in α; weight table endpoints; deterministic") {
+    val c = corpus(
+      "abab abab cd cd cd ababcd",
+      "abab cd abab extraordinarilylong",
+      "ab ab cd abab xq")
+    val m = UnigramLm.train(c, "text",
+      seedMaxPieceLen = 4, multiKeep = 8, maxWordLen = 12,
+      minCount = 2L, rounds = 3)
+    def run(alphaMilli: Long) =
+      UnigramLm.encodeNbestAlpha(c, "doc_id", "text", m,
+          nBest = 4, seed = 9L, alphaMilli = alphaMilli)
+        .as[(Long, Long, Long, Long, Long, Long)].collect()
+        .sortBy(_._1)
+    // α → ∞: every non-best weight rounds to 0, so the draw IS the
+    // Viterbi path — sampled == best, zero shifts
+    val sharp = run(100000000L)
+    sharp.foreach { case (id, _, best, sampled, _, shifted) =>
+      assert(sampled === best, s"doc $id sharp α must take rank 1")
+      assert(shifted === 0L)
+    }
+    // the Viterbi floor holds at every α, and the multi-candidate
+    // surface matches encodeNbest's
+    val mid = run(500L)
+    val flat = run(0L)
+    val uni = UnigramLm.encodeNbest(c, "doc_id", "text", m,
+        nBest = 4, seed = 9L)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    for (((f, u), s2) <- flat.zip(uni).zip(sharp)) {
+      assert(f._3 === u._3 && f._5 === u._5, "floor + multi parity")
+      assert(f._4 >= f._3 && s2._4 >= s2._3)
+    }
+    // per fixed (word, seed) the pick is monotone toward rank 1 as
+    // α rises, so total shifts are nonincreasing: flat ≥ mid ≥ 0
+    assert(flat.map(_._6).sum >= mid.map(_._6).sum)
+    assert(mid.map(_._6).sum >= 0L)
+    // with 4 candidates per several words, the flat draw must
+    // actually leave the Viterbi path somewhere
+    assert(flat.map(_._6).sum > 0L, "α = 0 never shifted — fixture" +
+      " has no sampling surface")
+    // weight table: W(0) = 1e9 exactly, strictly decreasing to a
+    // final 0, bounded domain
+    val tab = UnigramLm.alphaWeightTable(20000L)
+    assert(tab.head === ((0, 1000000000L)))
+    assert(tab.last._2 === 0L)
+    assert(tab.sliding(2).forall {
+      case Seq(a, b) => b._2 <= a._2
+      case _ => true
+    })
+    assert(tab.size === tab.last._1 + 1)
+    // determinism
+    assert(run(500L).toSeq === mid.toSeq)
+  }
 }
