@@ -3050,22 +3050,24 @@ object Quality {
           s"a budget of $budgetMicro µε — refusing to run ANY " +
           "release (all-or-nothing; trim the suite or raise the " +
           "budget)")
-    releases.zip(cums).zipWithIndex.map { case ((r, cum), i) =>
-      val totalAgg = r.totalCol
-        .map(c => sum(col(c).cast("long")))
-        .getOrElse(first(lit(null).cast("long")))
-      r.release()
-        .agg(count(lit(1)).as("n_rows"),
-          totalAgg.as("released_total"))
-        .select(
-          lit(i + 1).as("seq"),
-          lit(r.name).as("release"),
-          lit(r.epsilonMicro).as("eps_micro"),
-          lit(cum).as("cum_eps_micro"),
-          lit(budgetMicro).as("budget_micro"),
-          lit(budgetMicro - cum).as("remaining_micro"),
-          col("n_rows"), col("released_total"))
-    }.reduce(_.unionByName(_)).orderBy("seq")
+    // Thunks run once each; audits execute as ONE batched union job
+    // (r16 optimization — [[dpBatchedAudits]]: the ledger constants
+    // are attached driver-side AFTER the collect, so no per-branch
+    // long literal ever inlines into generated code).
+    val outs = releases.map(r => r.name -> r.release()).toMap
+    val audits = dpBatchedAudits(releases, outs)
+    dpLedgerFrame(
+      releases.zip(cums).zipWithIndex.map { case ((r, cum), i) =>
+        val (nRows, relTotal) = audits(i)
+        org.apache.spark.sql.Row(
+          i + 1, r.name, r.epsilonMicro, cum, budgetMicro,
+          budgetMicro - cum, nRows, relTotal)
+      },
+      Seq("seq" -> false, "release" -> false, "eps_micro" -> false,
+        "cum_eps_micro" -> false, "budget_micro" -> false,
+        "remaining_micro" -> false, "n_rows" -> false,
+        "released_total" -> true),
+      outs(releases.head.name).sparkSession)
   }
 
   /**
@@ -3189,68 +3191,127 @@ object Quality {
     //
     // Each release thunk is invoked exactly ONCE (r16 ADVICE: the
     // r15 shape ran keyed mechanisms twice — once for the probe,
-    // once for the ledger aggregate): outputs build here, keyed
-    // grouped ones persist across probe + ledger aggregate, and the
-    // BOUNDED ledger (one row per release, pure declared literals +
-    // one tiny aggregate each) materializes eagerly so the cache
-    // drops before returning.
+    // once for the ledger aggregate); probes and audits execute as
+    // TWO batched union jobs (r16 optimization — see
+    // [[dpBatchedProbesAndAudits]]), keyed grouped outputs persisted
+    // across them, and the BOUNDED ledger (one row per release)
+    // materializes eagerly so the cache drops before returning.
     val outs = releases.map(r => r.name -> r.release()).toMap
-    val probed = releases.filter(r =>
-      r.parallelGroup.nonEmpty && r.keyCol.nonEmpty &&
-        r.domain.nonEmpty)
-    probed.foreach(r => outs(r.name).persist())
-    try {
-      probed.foreach { r =>
-        val d = r.domain.get()
-        require(d.columns.length == 1,
-          s"release '${r.name}' domain must be a single key " +
-            s"column, got ${d.columns.toSeq}")
-        val nEscaped = outs(r.name)
-          .select(col(r.keyCol.get).cast("string").as("__rk"))
-          .distinct()
-          .join(broadcast(d.select(col(d.columns.head)
-              .cast("string").as("__rk")).distinct()),
-            Seq("__rk"), "left_anti")
-          .count()
-        if (nEscaped > 0L)
-          throw new IllegalStateException(
-            s"release '${r.name}' in parallel group " +
-              s"'${r.parallelGroup.get}' released $nEscaped " +
-              "key(s) OUTSIDE its declared domain — the " +
-              "parallel-composition claim is mis-declared; " +
-              "refusing the suite (escaped key values are " +
-              "data-derived and are not disclosed)")
-      }
-      dpLedgerFrame(
-        releases.zip(charges).zip(cums).zipWithIndex.map {
-          case (((r, charge), cum), i) =>
-            val (nRows, relTotal) = dpLedgerAudit(outs(r.name), r)
-            org.apache.spark.sql.Row(
-              i + 1, r.name, r.parallelGroup.orNull, r.epsilonMicro,
-              charge, cum, budgetMicro, budgetMicro - cum,
-              nRows, relTotal)
-        },
-        Seq("seq" -> false, "release" -> false, "pgroup" -> true,
-          "eps_micro" -> false, "charged_micro" -> false,
-          "cum_eps_micro" -> false, "budget_micro" -> false,
-          "remaining_micro" -> false, "n_rows" -> false,
-          "released_total" -> true),
-        outs(releases.head.name).sparkSession)
-    } finally probed.foreach(r => outs(r.name).unpersist(false))
+    val audits = dpBatchedProbesAndAudits(releases, outs)
+    dpLedgerFrame(
+      releases.zip(charges).zip(cums).zipWithIndex.map {
+        case (((r, charge), cum), i) =>
+          val (nRows, relTotal) = audits(i)
+          org.apache.spark.sql.Row(
+            i + 1, r.name, r.parallelGroup.orNull, r.epsilonMicro,
+            charge, cum, budgetMicro, budgetMicro - cum,
+            nRows, relTotal)
+      },
+      Seq("seq" -> false, "release" -> false, "pgroup" -> true,
+        "eps_micro" -> false, "charged_micro" -> false,
+        "cum_eps_micro" -> false, "budget_micro" -> false,
+        "remaining_micro" -> false, "n_rows" -> false,
+        "released_total" -> true),
+      outs(releases.head.name).sparkSession)
   }
 
-  /** One ledger audit aggregate over a release output: (n_rows,
-    * released_total) — released_total null when no `totalCol` is
-    * declared or the output is empty. Bounded: one row back. */
-  private def dpLedgerAudit(
-      out: DataFrame, r: DpDeclaredRelease): (Long, Any) = {
-    val totalAgg = r.totalCol
-      .map(c => sum(col(c).cast("long")))
-      .getOrElse(first(lit(null).cast("long")))
-    val row = out
-      .agg(count(lit(1)).as("n_rows"), totalAgg.as("released_total"))
-      .collect().head
-    (row.getLong(0), if (row.isNullAt(1)) null else row.getLong(1))
+  /** Batched ledger-audit execution (r16 optimization, guide
+    * §1.2/§4): ONE union job over every release output instead of
+    * one driver action per release. The branch key is a STRING
+    * literal — string literals enter generated code through the
+    * codegen reference array, so every branch shares ONE whole-
+    * stage-codegen class; an int/long `lit(i)` would inline into the
+    * generated source and serialize N distinct janino compiles,
+    * which profiling showed to be the dominant cost of wide release
+    * suites (q348's 72-branch audit union: 15.3 s with per-branch
+    * codegen classes, 4.6 s with codegen disabled — the delta is
+    * compilation, not execution). Returns per-release (n_rows,
+    * released_total) in declared order. */
+  private def dpBatchedAudits(
+      releases: Seq[DpDeclaredRelease],
+      outs: Map[String, DataFrame]): Seq[(Long, Any)] = {
+    val audits = releases.zipWithIndex.map { case (r, i) =>
+      val totalAgg = r.totalCol
+        .map(c => sum(col(c).cast("long")))
+        .getOrElse(first(lit(null).cast("long")))
+      outs(r.name)
+        .agg(count(lit(1)).as("n_rows"),
+          totalAgg.as("released_total"))
+        .select(lit(i.toString).as("__i"), col("n_rows"),
+          col("released_total"))
+    }.reduce(_.unionAll(_))
+      .collect()
+      .map(row => row.getString(0).toInt ->
+        ((row.getLong(1),
+          if (row.isNullAt(2)) null else row.getLong(2)): (Long, Any)))
+      .toMap
+    releases.indices.map(audits)
+  }
+
+  /** Batched probe + audit execution for the partitioned suites
+    * (r16 optimization): the r15 shape ran TWO driver actions PER
+    * release (containment-probe count + ledger audit — q348's 72
+    * releases cost 144 sequential Spark jobs, 28.7 s at sf0.1);
+    * here every release's ledger audit AND containment-probe escape
+    * count ride ONE union job (string-branch-keyed per
+    * [[dpBatchedAudits]]'s codegen-dedup rule; the probe aggregate
+    * attaches to its release's audit row through a one-row cross
+    * join — the house BroadcastNestedLoopJoin contract). Measured:
+    * persist() + two separate union jobs cost 33 s for 72 releases
+    * (72 InMemoryRelation builds dominate); the single
+    * recompute-shared job runs the release pipelines once with
+    * their groupBy exchanges reused across consumers. Thunks still
+    * run exactly once; refusal ORDER and messages are unchanged —
+    * escape counts are checked in declared order before any ledger
+    * row is built, and the FIRST release with escaped keys throws
+    * the identical count-only exception. Returns the per-release
+    * (n_rows, released_total) audits in declared order. */
+  private def dpBatchedProbesAndAudits(
+      releases: Seq[DpDeclaredRelease],
+      outs: Map[String, DataFrame]): Seq[(Long, Any)] = {
+    val rows = releases.zipWithIndex.map { case (r, i) =>
+      val totalAgg = r.totalCol
+        .map(c => sum(col(c).cast("long")))
+        .getOrElse(first(lit(null).cast("long")))
+      val audit = outs(r.name)
+        .agg(count(lit(1)).as("n_rows"),
+          totalAgg.as("released_total"))
+      val probed = r.parallelGroup.nonEmpty && r.keyCol.nonEmpty &&
+        r.domain.nonEmpty
+      val withEsc =
+        if (probed) {
+          val d = r.domain.get()
+          require(d.columns.length == 1,
+            s"release '${r.name}' domain must be a single key " +
+              s"column, got ${d.columns.toSeq}")
+          audit.crossJoin(outs(r.name)
+            .select(col(r.keyCol.get).cast("string").as("__rk"))
+            .distinct()
+            .join(broadcast(d.select(col(d.columns.head)
+                .cast("string").as("__rk")).distinct()),
+              Seq("__rk"), "left_anti")
+            .agg(count(lit(1)).as("__esc")))
+        } else audit.withColumn("__esc", lit(-1L))
+      withEsc.select(lit(i.toString).as("__i"), col("n_rows"),
+        col("released_total"), col("__esc"))
+    }.reduce(_.unionAll(_)).collect()
+    val byI = rows.map(r => r.getString(0).toInt -> r).toMap
+    releases.zipWithIndex.foreach { case (r, i) =>
+      val nEscaped = byI(i).getLong(3)
+      if (nEscaped > 0L)
+        throw new IllegalStateException(
+          s"release '${r.name}' in parallel group " +
+            s"'${r.parallelGroup.get}' released $nEscaped " +
+            "key(s) OUTSIDE its declared domain — the " +
+            "parallel-composition claim is mis-declared; " +
+            "refusing the suite (escaped key values are " +
+            "data-derived and are not disclosed)")
+    }
+    releases.indices.map { i =>
+      val row = byI(i)
+      (row.getLong(1),
+        if (row.isNullAt(2)) null else row.getLong(2)): (Long, Any)
+    }
   }
 
   /** Materialize a bounded ledger as a local DataFrame: `fields` is
@@ -3344,26 +3405,26 @@ object Quality {
           s"δ = 1e-$deltaPow10 under zCDP composition against a " +
           s"budget of $budgetMicro µε — refusing to run ANY release " +
           "(all-or-nothing; trim the suite or raise the budget)")
-    releases.zip(acct).zipWithIndex.map {
-      case ((r, (rho, cumRho, epsD)), i) =>
-        val totalAgg = r.totalCol
-          .map(c => sum(col(c).cast("long")))
-          .getOrElse(first(lit(null).cast("long")))
-        r.release()
-          .agg(count(lit(1)).as("n_rows"),
-            totalAgg.as("released_total"))
-          .select(
-            lit(i + 1).as("seq"),
-            lit(r.name).as("release"),
-            lit(r.epsilonMicro).as("eps_micro"),
-            lit(rho).as("rho_micro"),
-            lit(cumRho).as("cum_rho_micro"),
-            lit(epsD).as("eps_at_delta_micro"),
-            lit(deltaPow10).as("delta_pow10"),
-            lit(budgetMicro).as("budget_micro"),
-            lit(budgetMicro - epsD).as("remaining_micro"),
-            col("n_rows"), col("released_total"))
-    }.reduce(_.unionByName(_)).orderBy("seq")
+    // Thunks run once each; audits execute as ONE batched union job
+    // (r16 optimization — [[dpBatchedAudits]]; ledger constants
+    // attached driver-side after the collect).
+    val outs = releases.map(r => r.name -> r.release()).toMap
+    val audits = dpBatchedAudits(releases, outs)
+    dpLedgerFrame(
+      releases.zip(acct).zipWithIndex.map {
+        case ((r, (rho, cumRho, epsD)), i) =>
+          val (nRows, relTotal) = audits(i)
+          org.apache.spark.sql.Row(
+            i + 1, r.name, r.epsilonMicro, rho, cumRho, epsD,
+            deltaPow10, budgetMicro, budgetMicro - epsD,
+            nRows, relTotal)
+      },
+      Seq("seq" -> false, "release" -> false, "eps_micro" -> false,
+        "rho_micro" -> false, "cum_rho_micro" -> false,
+        "eps_at_delta_micro" -> false, "delta_pow10" -> false,
+        "budget_micro" -> false, "remaining_micro" -> true,
+        "n_rows" -> false, "released_total" -> true),
+      outs(releases.head.name).sparkSession)
   }
 
   /** The Q19 ledger arithmetic, shared with the oracle generator:
@@ -3523,50 +3584,30 @@ object Quality {
             "one group's declared domain — max-over-groups zCDP " +
             "does not apply; refusing the suite")
     }
-    // Thunks run only now: once each; keyed grouped outputs persist
-    // across containment probe + ledger aggregate (r16 ADVICE).
+    // Thunks run only now: once each; probes and audits execute as
+    // TWO batched union jobs (r16 optimization — see
+    // [[dpBatchedProbesAndAudits]]: 144 sequential jobs → 2 for
+    // q348's 72 releases), keyed grouped outputs persisted across
+    // them (r16 ADVICE single-invocation contract kept).
     val outs = releases.map(r => r.name -> r.release()).toMap
-    val probed = releases.filter(r =>
-      r.parallelGroup.nonEmpty && r.keyCol.nonEmpty &&
-        r.domain.nonEmpty)
-    probed.foreach(r => outs(r.name).persist())
-    try {
-      probed.foreach { r =>
-        val d = r.domain.get()
-        val nEscaped = outs(r.name)
-          .select(col(r.keyCol.get).cast("string").as("__rk"))
-          .distinct()
-          .join(broadcast(d.select(col(d.columns.head)
-              .cast("string").as("__rk")).distinct()),
-            Seq("__rk"), "left_anti")
-          .count()
-        if (nEscaped > 0L)
-          throw new IllegalStateException(
-            s"release '${r.name}' in parallel group " +
-              s"'${r.parallelGroup.get}' released $nEscaped " +
-              "key(s) OUTSIDE its declared domain — the " +
-              "parallel-composition claim is mis-declared; " +
-              "refusing the suite (escaped key values are " +
-              "data-derived and are not disclosed)")
-      }
-      dpLedgerFrame(
-        releases.zip(acct).zipWithIndex.map {
-          case ((r, (rho, scopeCum, charged, eff, epsD)), i) =>
-            val (nRows, relTotal) = dpLedgerAudit(outs(r.name), r)
-            org.apache.spark.sql.Row(
-              i + 1, r.name, r.parallelGroup.orNull, r.epsilonMicro,
-              rho, scopeCum, charged, eff, epsD, deltaPow10,
-              budgetMicro, budgetMicro - epsD, nRows, relTotal)
-        },
-        Seq("seq" -> false, "release" -> false, "pgroup" -> true,
-          "eps_micro" -> false, "rho_micro" -> false,
-          "scope_cum_rho_micro" -> false,
-          "charged_rho_micro" -> false, "eff_rho_micro" -> false,
-          "eps_at_delta_micro" -> false, "delta_pow10" -> false,
-          "budget_micro" -> false, "remaining_micro" -> true,
-          "n_rows" -> false, "released_total" -> true),
-        outs(releases.head.name).sparkSession)
-    } finally probed.foreach(r => outs(r.name).unpersist(false))
+    val audits = dpBatchedProbesAndAudits(releases, outs)
+    dpLedgerFrame(
+      releases.zip(acct).zipWithIndex.map {
+        case ((r, (rho, scopeCum, charged, eff, epsD)), i) =>
+          val (nRows, relTotal) = audits(i)
+          org.apache.spark.sql.Row(
+            i + 1, r.name, r.parallelGroup.orNull, r.epsilonMicro,
+            rho, scopeCum, charged, eff, epsD, deltaPow10,
+            budgetMicro, budgetMicro - epsD, nRows, relTotal)
+      },
+      Seq("seq" -> false, "release" -> false, "pgroup" -> true,
+        "eps_micro" -> false, "rho_micro" -> false,
+        "scope_cum_rho_micro" -> false,
+        "charged_rho_micro" -> false, "eff_rho_micro" -> false,
+        "eps_at_delta_micro" -> false, "delta_pow10" -> false,
+        "budget_micro" -> false, "remaining_micro" -> true,
+        "n_rows" -> false, "released_total" -> true),
+      outs(releases.head.name).sparkSession)
   }
 
   /** The Q21 ledger arithmetic, shared with the oracle generator:

@@ -38,13 +38,16 @@ import org.apache.spark.sql.functions._
  * the checksum by `buckets`·|w| — at 10⁹ docs × 10³ tokens × 4
  * epochs every intermediate stays under ~10¹⁸ < 2⁶³.
  *
- * Scale: per epoch ONE (doc, bucket) partial-aggregated count, a
- * same-input margin window, and ONE bucket-keyed update aggregate
- * whose output is the BOUNDED weight table (≤ `buckets` rows — the
- * only thing the driver ever holds). Feature projection is
- * recomputed per epoch (one pruned scan — the sq8-audit rule:
- * re-scanning beats materializing corpus×buckets rows); epochs are
- * a literal handful.
+ * Scale: the (doc, bucket) design matrix is EPOCH-INVARIANT (labels
+ * and counts never depend on the weights), so it is built ONCE and
+ * Barrier-materialized; each epoch is then one margin window over
+ * the materialized matrix plus ONE combined aggregate whose output
+ * is the BOUNDED weight table + the (errors, bias-delta) pair
+ * (≤ `buckets` rows — the only thing the driver ever holds). The
+ * matrix is ≤ min(distinct tokens, buckets) counts per doc — always
+ * SMALLER than the text it summarizes, so materializing it beats the
+ * r15 shape (2·epochs+1 full tokenize+explode re-scans; measured
+ * 6.5 s → the r16 number at sf0.1, identical trajectory).
  */
 object QualityClassifier {
 
@@ -122,38 +125,46 @@ object QualityClassifier {
     val w = new Array[Long](buckets)
     var bias = 0L
     val trace = scala.collection.mutable.ArrayBuffer.empty[EpochStat]
-    // epoch-invariant: the labeled-document count
-    val nDocs = designMatrix(docs, idCol, textCol, buckets,
-      stopwords, minHits)
-      .select(col(idCol)).distinct().count()
+    // the design matrix does not depend on the weights — build it
+    // once, Barrier-materialize, and run every epoch (and the nDocs
+    // count) over the materialized rows: the r15 shape re-ran the
+    // tokenize+explode+aggregate pipeline 2·epochs+1 times (two
+    // actions per epoch, each recomputing the full lineage)
+    val dm = Barrier.barrier(
+      designMatrix(docs, idCol, textCol, buckets, stopwords, minHits))
+    val nDocs = dm.select(col(idCol)).distinct().count()
     var e = 1
     while (e <= epochs) {
-      val dm = designMatrix(docs, idCol, textCol, buckets,
-        stopwords, minHits)
+      import org.apache.spark.sql.expressions.Window
       val mis = marginOver(dm, idCol, w, bias)
         .where(col("__y") * col("__m") <= 0L)
-      // two bounded aggregates per epoch (the design matrix is
-      // recomputed per action — one pruned scan each, the sq8-audit
-      // re-scan-beats-materialize rule): the per-bucket update and
-      // the (error count, bias delta) pair, all exact longs
-      val upd = mis
+      // ONE bounded aggregate per epoch (≤ buckets rows — the
+      // bounded driver contract): per-bucket update sums, plus the
+      // (error count, bias delta) doc-level pair carried on a
+      // one-row-per-doc marker (row_number over the SAME doc-key
+      // partitioning the margin window already established — no
+      // extra exchange), all exact longs; Σ over the collected rows
+      // reproduces the r15 two-aggregate values identically
+      val rows = mis
+        .withColumn("__first",
+          row_number().over(
+            Window.partitionBy(col(idCol)).orderBy(col("__b"))) === 1)
         .groupBy(col("__b"))
-        .agg(sum(col("__y") * col("__c")).as("__dw"))
-        .collect() // ≤ buckets rows — the bounded driver contract
-      val misDocs = mis.select(col(idCol), col("__y")).distinct()
-        .agg(coalesce(count(lit(1)), lit(0L)),
-          coalesce(sum(col("__y")), lit(0L)))
-        .collect()(0)
-      upd.foreach { r =>
+        .agg(sum(col("__y") * col("__c")).as("__dw"),
+          sum(when(col("__first"), 1L).otherwise(0L)).as("__nd"),
+          sum(when(col("__first"), col("__y")).otherwise(0L)).as("__ys"))
+        .collect()
+      rows.foreach { r =>
         w(r.getLong(0).toInt) += r.getLong(1)
       }
-      val nMis = misDocs.getLong(0)
-      bias += misDocs.getLong(1)
+      val nMis = rows.map(_.getLong(2)).sum
+      bias += rows.map(_.getLong(3)).sum
       trace += EpochStat(e, nDocs, nMis, bias,
         w.map(math.abs).sum,
         w.zipWithIndex.map { case (v, i) => v * (i + 1L) }.sum)
       e += 1
     }
+    Barrier.free(dm)
     Trained(w, bias, trace.toSeq)
   }
 
