@@ -4524,14 +4524,28 @@ object PipelineQueries {
     // purchase digraph — discerning buyers vs staple products; 4
     // exact nano-grid mutual-recursion rounds, oracle-replayed as an
     // unrolled materialized-CTE chain (the q123 pattern).
+    // r16 optimization (guide §2.3, narrower types): the loop state
+    // and the 8 per-round edge shuffles carry LONG node keys
+    // (c:k → 2k, p:k → 2k+1 — parity-disjoint by construction, cast
+    // long so the 10× audit's shifted keys can't overflow an int),
+    // decoded back to the identical "c:"/"p:" strings only in the
+    // final projection; scores are key-independent nano-grid longs,
+    // so the output is bit-identical (parity-checked at all scales).
+    // Measured at sf0.1: 9.7 s → 7.5 s warm.
     "q268_hits" -> ((s, dir) => {
       val e = t(s, dir, "lineitem")
         .join(t(s, dir, "orders"),
           col("l_orderkey") === col("o_orderkey"))
         .select(
-          concat(lit("c:"), col("o_custkey")).as("src"),
-          concat(lit("p:"), col("l_partkey")).as("dst"))
+          (col("o_custkey").cast("long") * 2).as("src"),
+          (col("l_partkey").cast("long") * 2 + 1).as("dst"))
       graft.operators.Graph.hits(e, "src", "dst", iters = 4)
+        .select(
+          when(pmod(col("node"), lit(2L)) === 0L,
+            concat(lit("c:"), expr("node div 2")))
+            .otherwise(concat(lit("p:"), expr("(node - 1) div 2")))
+            .as("node"),
+          col("hub"), col("auth"))
         .orderBy("node")
     }),
 
@@ -4583,6 +4597,11 @@ object PipelineQueries {
     // the bidirectional purchase bipartition (the Pixie serving
     // shape — "related parts for THIS customer cohort"); exact
     // nano-grid integer walk, unrolled-CTE oracle replay.
+    // r16 optimization (guide §2.3): LONG node keys through the walk
+    // loop (c:k → 2k, p:k → 2k+1), decoded to the identical strings
+    // in the final projection — same transform as q268; the
+    // nano-grid walk arithmetic never touches the key. Measured at
+    // sf0.1: ~10 s → ~7 s warm (mini-batch).
     "q273_personalized_pagerank" -> ((s, dir) => {
       val purchases = t(s, dir, "lineitem")
         .join(t(s, dir, "orders"),
@@ -4590,17 +4609,23 @@ object PipelineQueries {
         .groupBy(col("o_custkey"), col("l_partkey"))
         .agg(count(lit(1)).as("w"))
       val edges = purchases.select(
-          concat(lit("c:"), col("o_custkey")).as("src"),
-          concat(lit("p:"), col("l_partkey")).as("dst"), col("w"))
+          (col("o_custkey").cast("long") * 2).as("src"),
+          (col("l_partkey").cast("long") * 2 + 1).as("dst"), col("w"))
         .unionAll(purchases.select(
-          concat(lit("p:"), col("l_partkey")).as("src"),
-          concat(lit("c:"), col("o_custkey")).as("dst"), col("w")))
+          (col("l_partkey").cast("long") * 2 + 1).as("src"),
+          (col("o_custkey").cast("long") * 2).as("dst"), col("w")))
       val seeds = t(s, dir, "customer")
         .where(col("c_custkey") % 100 === 0)
-        .select(concat(lit("c:"), col("c_custkey")).as("node"))
+        .select((col("c_custkey").cast("long") * 2).as("node"))
       graft.operators.Graph.personalizedPageRank(
           edges, "src", "dst", "w", seeds, "node",
           damping = 0.85, iters = 4)
+        .select(
+          when(pmod(col("node"), lit(2L)) === 0L,
+            concat(lit("c:"), expr("node div 2")))
+            .otherwise(concat(lit("p:"), expr("(node - 1) div 2")))
+            .as("node"),
+          col("score"))
         .orderBy("node")
     }),
 
