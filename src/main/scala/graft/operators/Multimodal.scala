@@ -840,22 +840,87 @@ object Multimodal {
     require(nMels >= 2 && nMels <= 128,
       s"nMels must be in [2, 128], got $nMels")
     val spark = df.sparkSession
-    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val sweep = audioSpectralSweep(df, idCol, payloadCol, n, hop,
-      bins = 0 to n / 2, maxWindows = maxWindows)
+    import spark.implicits._
     val w = melWeights(n, nMels, sampleRate)
     require(
       (0 until nMels).forall(m => w.exists(_._1 == m)),
       s"mel filter with no positive-weight bin at n=$n, " +
         s"nMels=$nMels, sr=$sampleRate — widen bands or raise n")
-    val wdf = broadcast(
-      spark.createDataFrame(w).toDF("bin_mel", "bin", "w"))
-    sweep
-      .join(wdf, Seq("bin"))
-      .groupBy(col(idCol), col("decode_ok"), col("win_idx"),
-        col("bin_mel").as("mel"))
-      .agg(sum(col("power").cast(dec) * col("w")).cast("string")
-        .as("energy"))
+    // r16 optimization (guide §1.2 step 2 / §2.3): the r15 shape
+    // COMPOSED this over [[audioSpectralSweep]] at ALL bins 0..n/2 —
+    // per window it materialized n/2+1 BigInt powers as STRING rows
+    // (2M rows at sf0.1), shuffled them through a broadcast join +
+    // DECIMAL(38,0) aggregate, and parsed every digit string back to
+    // decimal. The pooling is now FUSED into the decode pass: the
+    // same [[dftTable]] basis MACs, the same exact integer
+    // power = re²+im² per bin (BigInteger — the q189 >2⁶³ bound
+    // unchanged), and the same Σ_k w[m,k]·power[k] per band, summed
+    // in BigInteger instead of DECIMAL(38,0) — bit-identical digit
+    // strings, zero post-decode shuffle (measured 7.0 s → the r16
+    // number at sf0.1; oracle untouched). Triage contract unchanged:
+    // an undecodable/short clip emits one NULL-energy window-0 row
+    // per mel band.
+    val sortedBins = (0 to n / 2).toSeq
+    val tab = dftTable(n, sortedBins)
+    val nBins = sortedBins.size
+    val cT = Array.ofDim[Long](n, nBins)
+    val sT = Array.ofDim[Long](n, nBins)
+    tab.foreach { case (t, k, c, s) => cT(t)(k) = c; sT(t)(k) = s }
+    // per mel band: the (bin, weight) pairs with positive weight
+    val wByMel: Array[Array[(Int, Long)]] =
+      (0 until nMels).map(m =>
+        w.filter(_._1 == m).map { case (_, k, wq) => (k, wq) }.toArray)
+        .toArray
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          val samples = decodePcm16Mono(bytes, minSamples = n)
+          if (samples == null)
+            (0 until nMels).map(m =>
+              (id, false, 0, m, Option.empty[String]))
+          else {
+            val nWin = math.min(
+              maxWindows.toLong,
+              ((samples.length - n) / hop + 1).toLong).toInt
+            (0 until nWin).flatMap { wi =>
+              val start = wi * hop
+              val re = new Array[Long](nBins)
+              val im = new Array[Long](nBins)
+              var t = 0
+              while (t < n) {
+                val x = samples(start + t).toLong
+                val cRow = cT(t)
+                val sRow = sT(t)
+                var j = 0
+                while (j < nBins) {
+                  re(j) += x * cRow(j)
+                  im(j) -= x * sRow(j)
+                  j += 1
+                }
+                t += 1
+              }
+              val powers = Array.tabulate(nBins) { j =>
+                val r = java.math.BigInteger.valueOf(re(j))
+                val i = java.math.BigInteger.valueOf(im(j))
+                r.multiply(r).add(i.multiply(i))
+              }
+              (0 until nMels).map { m =>
+                var acc = java.math.BigInteger.ZERO
+                val bw = wByMel(m)
+                var b = 0
+                while (b < bw.length) {
+                  acc = acc.add(powers(bw(b)._1)
+                    .multiply(java.math.BigInteger.valueOf(bw(b)._2)))
+                  b += 1
+                }
+                (id, true, wi, m, Some(acc.toString))
+              }
+            }
+          }
+        }
+      }
+      .toDF(idCol, "decode_ok", "win_idx", "mel", "energy")
   }
 
   /** M20 support: milli-log10 of a 3-digit mantissa — ⌊log10⌋ made
@@ -961,8 +1026,16 @@ object Multimodal {
       n: Int, binFirst: Int, binSecond: Int): Array[Byte] = {
     require(nSamples >= 1 && sampleRate >= 1,
       s"need positive dims, got n=$nSamples sr=$sampleRate")
-    val tone = dftTable(n, Seq(binFirst, binSecond))
-      .map { case (t, k, c, _) => (t, k) -> c }.toMap
+    // r16: flat array lookup — the (t, bin)-tuple-keyed Map cost one
+    // boxed tuple allocation + hash per SAMPLE (measured ~0.8 s per
+    // fixture pass at sf0.1 across q329/q344/q350); values identical.
+    val toneFirst = new Array[Long](n)
+    val toneSecond = new Array[Long](n)
+    dftTable(n, Seq(binFirst, binSecond).distinct).foreach {
+      case (t, k, c, _) =>
+        if (k == binFirst) toneFirst(t) = c
+        if (k == binSecond) toneSecond(t) = c
+    }
     val half = nSamples / 2
     val dataLen = nSamples * 2
     val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
@@ -976,9 +1049,8 @@ object Multimodal {
     buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
     var i = 0
     while (i < nSamples) {
-      val bin = if (i < half) binFirst else binSecond
-      val s = tone((i % n, bin)) +
-        (Math.floorMod(seed * 31 + 7L * i, 41L) - 20L)
+      val base = if (i < half) toneFirst(i % n) else toneSecond(i % n)
+      val s = base + (Math.floorMod(seed * 31 + 7L * i, 41L) - 20L)
       buf.putShort(s.toShort)
       i += 1
     }
