@@ -201,25 +201,47 @@ object Bpe {
     var exhausted = false
     while (merges.size < numMerges && !exhausted) {
       val want = math.min(batchSize, numMerges - merges.size)
+      // No persist: the pair table is consumed three times WITHIN the
+      // single union job below, and its groupBy exchange is shared by
+      // the consumers — a cache build + unpersist round-trip cost
+      // more than the recompute at every scale tested (r16).
       val pc = adjacentPairCounts(vocab)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // Bounded driver round-trips: `want` candidate rows + ≤2·want
-      // maxima rows; the pair table itself never leaves the cluster.
-      val cand = pc
+      // Bounded driver round-trip: `want` candidate rows + ≤2·want
+      // maxima rows, all in ONE union job (r16 optimization — the
+      // r15 shape ran three sequential collects per round, and with
+      // remint-heavy corpora forcing small batches the per-job
+      // overhead dominated: q299 measured 5.4 s for ~10 tiny
+      // rounds); the pair table itself never leaves the cluster.
+      // maxIn/maxOut join against the top-K subplan's own symbol
+      // sets — row-for-row the isin(candL)/isin(candR) filters of
+      // the three-collect shape.
+      val topk = pc
         .orderBy(col("cnt").desc, col("lhs").asc, col("rhs").asc)
         .limit(want)
+      val batchRows = topk
+        .select(lit(0).as("__tag"), col("lhs"), col("rhs"), col("cnt"))
+        .unionAll(pc.join(
+            topk.select(col("lhs").as("__sym")).distinct(),
+            col("rhs") === col("__sym"), "left_semi")
+          .groupBy(col("rhs")).agg(max(col("cnt")).as("m"))
+          .select(lit(1).as("__tag"), col("rhs").as("lhs"),
+            lit(null).cast("string").as("rhs"), col("m").as("cnt")))
+        .unionAll(pc.join(
+            topk.select(col("rhs").as("__sym")).distinct(),
+            col("lhs") === col("__sym"), "left_semi")
+          .groupBy(col("lhs")).agg(max(col("cnt")).as("m"))
+          .select(lit(2).as("__tag"), col("lhs"),
+            lit(null).cast("string").as("rhs"), col("m").as("cnt")))
         .collect()
-        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val cand = batchRows.filter(_.getInt(0) == 0)
+        .map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+        .sortBy(c => (-c._3, c._1, c._2))
       if (cand.isEmpty) exhausted = true
       else {
-        val candL = cand.map(_._1).distinct.toSeq
-        val candR = cand.map(_._2).distinct.toSeq
-        val maxIn = pc.where(col("rhs").isin(candL: _*))
-          .groupBy("rhs").agg(max(col("cnt")).as("m"))
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-        val maxOut = pc.where(col("lhs").isin(candR: _*))
-          .groupBy("lhs").agg(max(col("cnt")).as("m"))
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val maxIn = batchRows.filter(_.getInt(0) == 1)
+          .map(r => r.getString(1) -> r.getLong(3)).toMap
+        val maxOut = batchRows.filter(_.getInt(0) == 2)
+          .map(r => r.getString(1) -> r.getLong(3)).toMap
         val used = scala.collection.mutable.Set.empty[String]
         // Symbols that ALREADY exist when a candidate would mint them
         // again — from any prior round's merge or earlier in this
@@ -268,7 +290,6 @@ object Bpe {
           lastBarrier = vocab
         }
       }
-      pc.unpersist()
     }
     (Model(merges.toSeq, vocab), round)
   }
