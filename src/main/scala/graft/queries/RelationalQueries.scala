@@ -1010,9 +1010,18 @@ object RelationalQueries {
     // hard as 5000.
     "q157_binary_ingest" -> ((s, dir) => {
       val dest = scratchDir("layout_q157").toString
-      t(s, dir, "documents")
+      val sel = t(s, dir, "documents")
         .where(col("doc_id") % 20 === 0)
         .select(col("text"), col("doc_id"))
+      // r16 optimization (guide §6): a one-file-per-value dynamic
+      // partition write pays per-(task × dir) writer/commit overhead,
+      // so spreading 250 dirs across 32 round-robin tasks cost 3.5 s
+      // where ~64-dirs-per-writer costs 1.4 s; key-hash repartition
+      // keeps exactly one file per dir (identical read-back bytes)
+      // and the writer count scales with the dir count instead of
+      // the core count.
+      val nDirs = sel.count()
+      sel.repartition(math.max(1L, nDirs / 64L).toInt, col("doc_id"))
         .write.mode("overwrite").partitionBy("doc_id").text(dest)
       graft.sources.FormatSources.readBinaryFiles(s, dest, glob = "*.txt")
         .select(
