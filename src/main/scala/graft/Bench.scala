@@ -79,7 +79,10 @@ object Bench {
     // passes only — a transient failure's time-to-exception would
     // otherwise report as the query's official time — and a query is
     // only a failure when NO pass produced a valid measurement.
-    def timedPass(): Seq[(String, Double, Boolean)] = qs.map {
+    // SPARK_GRAFT_TRACE=1: per-(pass, query) wall times to stderr —
+    // measurement aid only (r16); the metric line is unchanged.
+    val trace = sys.env.get("SPARK_GRAFT_TRACE").contains("1")
+    def timedPass(passNo: Int): Seq[(String, Double, Boolean)] = qs.map {
       case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
@@ -89,16 +92,19 @@ object Bench {
               System.err.println(s"[bench] $name failed: ${e.getMessage}")
               false
           }
-        (name, (System.nanoTime() - t0) / 1e9, ok)
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (trace)
+          System.err.println(f"[bench-trace] pass$passNo $name%s $dt%.3f")
+        (name, dt, ok)
     }
     val sentinel1 = sentinelProbe(spark)
-    val pass1 = timedPass()
+    val pass1 = timedPass(1)
     // Drop anything pass 1 leaked into the block manager and settle
     // the heap so the clean pass starts from a quiet JVM.
     spark.catalog.clearCache()
     System.gc()
     val sentinel2 = sentinelProbe(spark)
-    val pass2 = timedPass()
+    val pass2 = timedPass(2)
     // Pass-1's sentinel includes JIT warmup; the min (in practice
     // pass 2's) is the ambient number. The pin lives in
     // BENCH_BASELINE.json under "__sentinel" (the q-name regexes
