@@ -2382,6 +2382,74 @@ object Quality {
   }
 
   /**
+   * r17 optimization (guide §2/§4 — VERDICT r16 ask #1): a FAMILY of
+   * [[dpCountReleaseOverDomain]] releases that share one source
+   * frame, one key column, one ε and one clampK — differing only in
+   * (declared domain, seed) — computed as ONE data-driven plan:
+   * the releases become ROWS (release, key, seed) of a bounded local
+   * frame, the corpus is scanned and aggregated ONCE (one groupBy
+   * over the key column instead of one per release), and the noise
+   * draw + threshold lookup run over the bounded (release × domain
+   * key) table. Row-for-row identical to running each release
+   * through [[dpCountReleaseOverDomain]] (QualitySpec asserts it):
+   * the per-(key, seed) md5-uniform draw and the shared
+   * [[dpNoiseThresholds]] literal table are the same expressions —
+   * a release's noise depends only on (key value, seed), never on
+   * which plan computed it.
+   *
+   * The r16 shape ran q348's 72 releases as a 72-branch union whose
+   * audit job carried 144 aggregate subtrees (13.1 s at sf0.1 on the
+   * driver's run, planner/execution bound); this plan has ONE
+   * aggregate subtree regardless of family size.
+   *
+   * Output: (__rel, keyCol, released_count) — every release's rows
+   * tagged by release name, unordered (callers select/filter).
+   */
+  def dpCountReleaseFamilyOverDomain(
+      df: DataFrame, keyCol: String,
+      specs: Seq[(String, Seq[String], Long)],
+      epsilon: Double, clampK: Int): DataFrame = {
+    require(specs.nonEmpty, "need at least one release spec")
+    require(specs.map(_._1).distinct.size == specs.size,
+      "release names must be unique within a family")
+    specs.foreach { case (name, keys, _) =>
+      require(keys.nonEmpty,
+        s"release '$name' must declare a non-empty key domain") }
+    val spark = df.sparkSession
+    // The ONLY corpus-sized work for the whole family: one
+    // partial-aggregated groupBy over the key column.
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__c"))
+    // Releases as rows: (release, domain key, seed's decimal string
+    // — exactly the lit(seed.toString) the per-release keyedUniform
+    // concatenates, so the md5 draw is bit-identical).
+    val declared = spark.createDataFrame(
+      specs.flatMap { case (name, keys, seed) =>
+        keys.distinct.map(k => (name, k, seed.toString)) })
+      .toDF("__rel", keyCol, "__seed")
+    val thr = spark
+      .createDataFrame(dpNoiseThresholds(epsilon, clampK))
+      .toDF("__noise", "__lo", "__hi")
+    // keyedUniform with the seed as a COLUMN: same per-value md5,
+    // same "|" join, same 7-hex-digit window, same zero coalesce.
+    val u = coalesce(
+      conv(
+        substring(md5(concat_ws("|",
+          coalesce(md5(col(keyCol).cast("string")), lit("null")),
+          col("__seed"))), 1, 7),
+        16, 10).cast("long"),
+      lit(0L))
+    declared
+      .join(broadcast(counts), Seq(keyCol), "left")
+      .select(col("__rel"), col(keyCol),
+        coalesce(col("__c"), lit(0L)).as("__n"), u.as("__u"))
+      .join(broadcast(thr), col("__u") >= col("__lo") &&
+        col("__u") < col("__hi"))
+      .select(col("__rel"), col(keyCol),
+        greatest(lit(0L), col("__n") + col("__noise"))
+          .as("released_count"))
+  }
+
+  /**
    * Q20 (r15): ε-DP count release over a SUBSAMPLE, with privacy
    * amplification — the accounting trick DP-SGD lives on (Li/
    * Kasiviswanathan; Balle–Barthe–Gaboardi 2018): when the mechanism
@@ -3379,6 +3447,23 @@ object Quality {
       releases: Seq[DpDeclaredRelease],
       budgetMicro: Long,
       deltaPow10: Int): DataFrame = {
+    val acct = zcdpSuitePreflight(releases, budgetMicro, deltaPow10)
+    // Thunks run once each; audits execute as ONE batched union job
+    // (r16 optimization — [[dpBatchedAudits]]; ledger constants
+    // attached driver-side after the collect).
+    val outs = releases.map(r => r.name -> r.release()).toMap
+    val audits = dpBatchedAudits(releases, outs)
+    zcdpLedger(releases, acct, audits, budgetMicro, deltaPow10,
+      outs(releases.head.name).sparkSession)
+  }
+
+  /** The Q19 pre-thunk phase, shared by the generic and the r17
+    * batched-family paths: declaration requires + the data-free
+    * budget refusal. Returns the per-release accounting. */
+  private def zcdpSuitePreflight(
+      releases: Seq[DpDeclaredRelease],
+      budgetMicro: Long,
+      deltaPow10: Int): Seq[(Long, Long, Long)] = {
     require(releases.nonEmpty, "need at least one declared release")
     require(budgetMicro > 0L,
       s"budget must be positive, got $budgetMicro")
@@ -3405,11 +3490,17 @@ object Quality {
           s"δ = 1e-$deltaPow10 under zCDP composition against a " +
           s"budget of $budgetMicro µε — refusing to run ANY release " +
           "(all-or-nothing; trim the suite or raise the budget)")
-    // Thunks run once each; audits execute as ONE batched union job
-    // (r16 optimization — [[dpBatchedAudits]]; ledger constants
-    // attached driver-side after the collect).
-    val outs = releases.map(r => r.name -> r.release()).toMap
-    val audits = dpBatchedAudits(releases, outs)
+    acct
+  }
+
+  /** The Q19 ledger assembly, shared by both execution paths. */
+  private def zcdpLedger(
+      releases: Seq[DpDeclaredRelease],
+      acct: Seq[(Long, Long, Long)],
+      audits: Seq[(Long, Any)],
+      budgetMicro: Long,
+      deltaPow10: Int,
+      spark: org.apache.spark.sql.SparkSession): DataFrame =
     dpLedgerFrame(
       releases.zip(acct).zipWithIndex.map {
         case ((r, (rho, cumRho, epsD)), i) =>
@@ -3424,7 +3515,30 @@ object Quality {
         "eps_at_delta_micro" -> false, "delta_pow10" -> false,
         "budget_micro" -> false, "remaining_micro" -> true,
         "n_rows" -> false, "released_total" -> true),
-      outs(releases.head.name).sparkSession)
+      spark)
+
+  /**
+   * r17 optimization (VERDICT r16 ask #2 — q339): [[dpReleaseSuiteZcdp]]
+   * with the audits computed from ONE combined family frame (the
+   * [[dpCountReleaseFamilyOverDomain]] output) instead of a
+   * per-release-branch union — refusal semantics, accounting and the
+   * ledger are IDENTICAL (shared preflight + assembly; QualitySpec
+   * asserts row equality against the generic path); only the
+   * execution shape changes: the bounded combined rows barrier once
+   * and the per-release audits ride one tiny groupBy. Release thunks
+   * are NOT invoked — `combined` must carry every declared release's
+   * full output tagged by `__rel`, and all releases must share one
+   * `totalCol` (both verified).
+   */
+  def dpReleaseSuiteZcdpBatched(
+      releases: Seq[DpDeclaredRelease],
+      budgetMicro: Long,
+      deltaPow10: Int,
+      combined: DataFrame): DataFrame = {
+    val acct = zcdpSuitePreflight(releases, budgetMicro, deltaPow10)
+    val audits = dpFamilyAuditsFromCombined(releases, combined)
+    zcdpLedger(releases, acct, audits, budgetMicro, deltaPow10,
+      combined.sparkSession)
   }
 
   /** The Q19 ledger arithmetic, shared with the oracle generator:
@@ -3530,6 +3644,27 @@ object Quality {
       releases: Seq[DpDeclaredRelease],
       budgetMicro: Long,
       deltaPow10: Int): DataFrame = {
+    val acct = zcdpPartitionedPreflight(releases, budgetMicro,
+      deltaPow10)
+    // Thunks run only now: once each; probes and audits execute as
+    // TWO batched union jobs (r16 optimization — see
+    // [[dpBatchedProbesAndAudits]]: 144 sequential jobs → 2 for
+    // q348's 72 releases), keyed grouped outputs persisted across
+    // them (r16 ADVICE single-invocation contract kept).
+    val outs = releases.map(r => r.name -> r.release()).toMap
+    val audits = dpBatchedProbesAndAudits(releases, outs)
+    zcdpPartitionedLedger(releases, acct, audits, budgetMicro,
+      deltaPow10, outs(releases.head.name).sparkSession)
+  }
+
+  /** The Q21 pre-thunk phase, shared by the generic and the r17
+    * batched-family paths: declaration requires, the data-free
+    * budget refusal, and the cross-group disjointness refusal.
+    * Returns the per-release accounting. */
+  private def zcdpPartitionedPreflight(
+      releases: Seq[DpDeclaredRelease],
+      budgetMicro: Long,
+      deltaPow10: Int): Seq[(Long, Long, Long, Long, Long)] = {
     require(releases.nonEmpty, "need at least one declared release")
     require(budgetMicro > 0L,
       s"budget must be positive, got $budgetMicro")
@@ -3584,13 +3719,17 @@ object Quality {
             "one group's declared domain — max-over-groups zCDP " +
             "does not apply; refusing the suite")
     }
-    // Thunks run only now: once each; probes and audits execute as
-    // TWO batched union jobs (r16 optimization — see
-    // [[dpBatchedProbesAndAudits]]: 144 sequential jobs → 2 for
-    // q348's 72 releases), keyed grouped outputs persisted across
-    // them (r16 ADVICE single-invocation contract kept).
-    val outs = releases.map(r => r.name -> r.release()).toMap
-    val audits = dpBatchedProbesAndAudits(releases, outs)
+    acct
+  }
+
+  /** The Q21 ledger assembly, shared by both execution paths. */
+  private def zcdpPartitionedLedger(
+      releases: Seq[DpDeclaredRelease],
+      acct: Seq[(Long, Long, Long, Long, Long)],
+      audits: Seq[(Long, Any)],
+      budgetMicro: Long,
+      deltaPow10: Int,
+      spark: org.apache.spark.sql.SparkSession): DataFrame =
     dpLedgerFrame(
       releases.zip(acct).zipWithIndex.map {
         case ((r, (rho, scopeCum, charged, eff, epsD)), i) =>
@@ -3607,7 +3746,123 @@ object Quality {
         "eps_at_delta_micro" -> false, "delta_pow10" -> false,
         "budget_micro" -> false, "remaining_micro" -> true,
         "n_rows" -> false, "released_total" -> true),
-      outs(releases.head.name).sparkSession)
+      spark)
+
+  /**
+   * r17 optimization (VERDICT r16 ask #1 — q348): the Q21 suite with
+   * audits + containment probes computed from ONE combined family
+   * frame (the [[dpCountReleaseFamilyOverDomain]] output) instead of
+   * a union job carrying two aggregate subtrees per release — the
+   * r16 q348 residual (13.1 s driver-measured at sf0.1) was exactly
+   * that 144-subtree plan. Refusal semantics (budget first,
+   * data-free; cross-group disjointness; per-release containment in
+   * declared order with count-only disclosure), accounting and the
+   * ledger are IDENTICAL to [[dpReleaseSuiteZcdpPartitioned]]
+   * (shared preflight + assembly; QualitySpec asserts row equality).
+   * Release thunks are NOT invoked — `combined` must carry every
+   * declared release's full output tagged by `__rel`, and all
+   * releases must share one `totalCol` (both verified).
+   */
+  def dpReleaseSuiteZcdpPartitionedBatched(
+      releases: Seq[DpDeclaredRelease],
+      budgetMicro: Long,
+      deltaPow10: Int,
+      combined: DataFrame): DataFrame = {
+    val acct = zcdpPartitionedPreflight(releases, budgetMicro,
+      deltaPow10)
+    val audits = dpFamilyAuditsFromCombined(releases, combined)
+    zcdpPartitionedLedger(releases, acct, audits, budgetMicro,
+      deltaPow10, combined.sparkSession)
+  }
+
+  /**
+   * Audits + Q17 containment probes for a uniform release family,
+   * computed from ONE combined frame (r17 — guide §1.2/§4): the
+   * bounded (release × domain key) rows barrier once (one job), then
+   * the per-release ledger audit rides one tiny groupBy and the
+   * containment probe one tiny anti-join — 3 bounded jobs total for
+   * ANY family size. Refusal order and messages match
+   * [[dpBatchedProbesAndAudits]] exactly: escape counts are checked
+   * in declared order before any ledger row is built, count-only
+   * disclosure. Returns per-release (n_rows, released_total) in
+   * declared order.
+   */
+  private def dpFamilyAuditsFromCombined(
+      releases: Seq[DpDeclaredRelease],
+      combined: DataFrame): Seq[(Long, Any)] = {
+    val totalCols = releases.map(_.totalCol).distinct
+    require(totalCols.size == 1,
+      "a batched release family must share one totalCol, got " +
+        totalCols.mkString(", "))
+    require(combined.columns.contains("__rel"),
+      "combined family frame must tag rows with __rel")
+    val cp = Barrier.barrier(combined)
+    try {
+      val totalAgg = totalCols.head
+        .map(c => sum(col(c).cast("long")))
+        .getOrElse(first(lit(null).cast("long")))
+      val byRel = cp.groupBy(col("__rel"))
+        .agg(count(lit(1)).as("n_rows"),
+          totalAgg.as("released_total"))
+        .collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1),
+            if (r.isNullAt(2)) null else r.getLong(2)): (Long, Any)))
+        .toMap
+      releases.foreach(r => require(byRel.contains(r.name),
+        s"combined family frame carries no rows for declared " +
+          s"release '${r.name}'"))
+      // Containment probe (grouped keyed releases only): released
+      // keys ⊆ declared domain, verified against the combined rows.
+      val probed = releases.filter(r =>
+        r.parallelGroup.nonEmpty && r.keyCol.nonEmpty &&
+          r.domain.nonEmpty)
+      val escByRel: Map[String, Long] =
+        if (probed.isEmpty) Map.empty
+        else {
+          val keyCols = probed.map(_.keyCol.get).distinct
+          require(keyCols.size == 1,
+            "a batched release family must share one keyCol, got " +
+              keyCols.mkString(", "))
+          // Declared domains are PUBLIC bounded key sets (the Q10
+          // domain rule) — collected driver-side into one local
+          // (release, key) relation.
+          val declRows = probed.flatMap { r =>
+            val d = r.domain.get()
+            require(d.columns.length == 1,
+              s"release '${r.name}' domain must be a single key " +
+                s"column, got ${d.columns.toSeq}")
+            d.select(col(d.columns.head).cast("string").as("__pk"))
+              .collect().map(_.getString(0)).distinct
+              .map(k => (r.name, k))
+          }
+          val declDf = combined.sparkSession
+            .createDataFrame(declRows).toDF("__rel", "__pk")
+          cp.select(col("__rel"),
+              col(keyCols.head).cast("string").as("__pk"))
+            .where(col("__rel").isin(probed.map(_.name): _*))
+            .distinct()
+            .join(broadcast(declDf), Seq("__rel", "__pk"),
+              "left_anti")
+            .groupBy("__rel").agg(count(lit(1)).as("__esc"))
+            .collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toMap
+        }
+      releases.foreach { r =>
+        val probedR = r.parallelGroup.nonEmpty &&
+          r.keyCol.nonEmpty && r.domain.nonEmpty
+        val nEscaped = escByRel.getOrElse(r.name, 0L)
+        if (probedR && nEscaped > 0L)
+          throw new IllegalStateException(
+            s"release '${r.name}' in parallel group " +
+              s"'${r.parallelGroup.get}' released $nEscaped " +
+              "key(s) OUTSIDE its declared domain — the " +
+              "parallel-composition claim is mis-declared; " +
+              "refusing the suite (escaped key values are " +
+              "data-derived and are not disclosed)")
+      }
+      releases.map(r => byRel(r.name))
+    } finally Barrier.free(cp)
   }
 
   /** The Q21 ledger arithmetic, shared with the oracle generator:

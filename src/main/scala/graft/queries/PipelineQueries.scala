@@ -5442,8 +5442,16 @@ object PipelineQueries {
           Q.dpReleaseSuite(releases, budgetMicro = 3450000L)
           false
         } catch { case _: IllegalStateException => true }
-      Q.dpReleaseSuiteZcdp(releases, budgetMicro = 3450000L,
-          deltaPow10 = 6)
+      // r17 (VERDICT ask #2): the 36 refreshes become ROWS of ONE
+      // combined plan — one corpus groupBy + one noise join instead
+      // of a 36-branch audit union (identical per-release outputs;
+      // QualitySpec).
+      val combined = Q.dpCountReleaseFamilyOverDomain(docs, "lang",
+        (1 to 36).map(i => (f"refresh_$i%02d",
+          Seq("de", "en", "es", "fr", "zh"), 100L + i)),
+        epsilon = 0.1, clampK = 200)
+      Q.dpReleaseSuiteZcdpBatched(releases, budgetMicro = 3450000L,
+          deltaPow10 = 6, combined)
         .withColumn("basic_refused", lit(basicRefused))
         .orderBy("seq")
     }),
@@ -5540,6 +5548,8 @@ object PipelineQueries {
       val Q = graft.operators.Quality
       val docs = t(s, dir, "documents")
       def langDom(ks: String*) = ks.toDF("lang")
+      val shards = Seq(("de_en", Seq("de", "en"), 610L),
+        ("es_fr_zh", Seq("es", "fr", "zh"), 710L))
       def shard(tag: String, langs: Seq[String], seedBase: Long,
           i: Int) =
         Q.DpDeclaredRelease(f"${tag}_w$i%02d", 100000L,
@@ -5549,8 +5559,8 @@ object PipelineQueries {
           Some("released_count"), Some(s"shard_$tag"),
           Some(() => langDom(langs: _*)), Some("lang"))
       val releases = (1 to 36).flatMap { i =>
-        Seq(shard("de_en", Seq("de", "en"), 610L, i),
-          shard("es_fr_zh", Seq("es", "fr", "zh"), 710L, i))
+        shards.map { case (tag, langs, base) =>
+          shard(tag, langs, base, i) }
       }
       val budget = 3450000L
       def refused(run: => DataFrame): Boolean =
@@ -5567,8 +5577,18 @@ object PipelineQueries {
         Q.dpReleaseSuitePartitioned(releases, budget))
       val zcdpSeq = refused(
         Q.dpReleaseSuiteZcdp(stripped, budget, deltaPow10 = 6))
-      Q.dpReleaseSuiteZcdpPartitioned(releases, budget,
-          deltaPow10 = 6)
+      // r17 (VERDICT ask #1): the 72 releases become ROWS of ONE
+      // combined plan — one corpus groupBy + one noise join for the
+      // whole family (identical per-release outputs; QualitySpec) —
+      // and the suite audits read that frame instead of a
+      // 144-aggregate-subtree union.
+      val combined = Q.dpCountReleaseFamilyOverDomain(docs, "lang",
+        (1 to 36).flatMap { i =>
+          shards.map { case (tag, langs, base) =>
+            (f"${tag}_w$i%02d", langs, base + i) } },
+        epsilon = 0.1, clampK = 200)
+      Q.dpReleaseSuiteZcdpPartitionedBatched(releases, budget,
+          deltaPow10 = 6, combined)
         .withColumn("basic_seq_refused", lit(basicSeq))
         .withColumn("basic_parallel_refused", lit(basicPar))
         .withColumn("zcdp_seq_refused", lit(zcdpSeq))

@@ -2198,6 +2198,86 @@ class QualitySpec extends AnyFunSuite {
     assert(again.toSeq === got.toSeq)
   }
 
+  test("dpCountReleaseFamilyOverDomain + batched suites (r17): the " +
+      "data-driven single plan is row-identical to the per-release " +
+      "mechanisms and both batched ledgers equal their generic " +
+      "parents cell for cell") {
+    val df = Seq(("a", 1), ("b", 1), ("b", 2), ("c", 1), ("d", 9))
+      .toDF("k", "n")
+    def dom(ks: String*) = ks.toDF("k")
+    val specs = Seq(
+      ("g1_w1", Seq("a"), 11L), ("g1_w2", Seq("a"), 12L),
+      ("g2_w1", Seq("b", "c"), 21L), ("g2_w2", Seq("b", "c"), 22L))
+    // 1. the combined frame reproduces every per-release mechanism
+    //    output exactly (keys AND released counts)
+    val fam = Quality.dpCountReleaseFamilyOverDomain(df, "k", specs,
+      epsilon = 0.5, clampK = 80)
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.map(r => (r._2, r._3)).sortBy(_._1).toSeq).toMap
+    specs.foreach { case (name, ks, seed) =>
+      val want = Quality.dpCountReleaseOverDomain(df,
+        ks.toDF("k"), Seq("k"), epsilon = 0.5, seed = seed,
+        clampK = 80)
+        .as[(String, Long)].collect().sortBy(_._1).toSeq
+      assert(fam(name) === want, s"family vs mechanism: $name")
+    }
+    // 2. batched partitioned ledger == generic partitioned ledger
+    def mech(name: String, g: String, ks: Seq[String], seed: Long) =
+      Quality.DpDeclaredRelease(name, 500000L,
+        () => Quality.dpCountReleaseOverDomain(df, ks.toDF("k"),
+          Seq("k"), epsilon = 0.5, seed = seed, clampK = 80),
+        Some("released_count"), Some(g),
+        Some(() => dom(ks: _*)), Some("k"))
+    val releases = specs.map { case (n, ks, s) =>
+      mech(n, n.take(2), ks, s) }
+    val combined = Quality.dpCountReleaseFamilyOverDomain(df, "k",
+      specs, epsilon = 0.5, clampK = 80)
+    val budget = 5000000L
+    val generic = Quality.dpReleaseSuiteZcdpPartitioned(
+      releases, budget, deltaPow10 = 6).collect().toSeq
+    val batched = Quality.dpReleaseSuiteZcdpPartitionedBatched(
+      releases, budget, deltaPow10 = 6, combined).collect().toSeq
+    assert(batched === generic, "partitioned: batched vs generic")
+    // 3. batched zcdp-sequential ledger == generic (Σρ = 500000 µρ
+    //    converts to ≈5.76M µε at δ=1e-6, so the sequential budget
+    //    must sit above that)
+    val seqRel = releases.map(_.copy(parallelGroup = None,
+      domain = None, keyCol = None))
+    val seqBudget = 6000000L
+    val genericSeq = Quality.dpReleaseSuiteZcdp(
+      seqRel, seqBudget, deltaPow10 = 6).collect().toSeq
+    val batchedSeq = Quality.dpReleaseSuiteZcdpBatched(
+      seqRel, seqBudget, deltaPow10 = 6, combined).collect().toSeq
+    assert(batchedSeq === genericSeq, "zcdp: batched vs generic")
+    // 4. refusal semantics survive the batching: a combined frame
+    //    whose rows escape a release's declared domain refuses with
+    //    the count-only message (no key values disclosed), and the
+    //    budget refusal stays data-free (thunks never invoked)
+    val escaped = combined.unionAll(
+      Seq(("g1_w1", "zz", 7L)).toDF("__rel", "k", "released_count"))
+    val escEx = intercept[IllegalStateException] {
+      Quality.dpReleaseSuiteZcdpPartitionedBatched(
+        releases, budget, deltaPow10 = 6, escaped)
+    }
+    assert(escEx.getMessage.contains("1 key(s) OUTSIDE") &&
+      !escEx.getMessage.contains("zz"))
+    var invoked = false
+    intercept[IllegalStateException] {
+      Quality.dpReleaseSuiteZcdpPartitionedBatched(
+        releases.map(r => r.copy(release =
+          () => { invoked = true; df })),
+        budgetMicro = 1000L, deltaPow10 = 6, combined)
+    }
+    assert(!invoked)
+    // 5. a combined frame missing a declared release refuses
+    val missing = combined.where(col("__rel") =!= "g2_w2")
+    intercept[IllegalArgumentException] {
+      Quality.dpReleaseSuiteZcdpPartitionedBatched(
+        releases, budget, deltaPow10 = 6, missing)
+    }
+  }
+
   test("release-suite containment refusal (r15 ADVICE): a " +
       "mis-declared mechanism refuses with the COUNT of escaped " +
       "keys only — the key values are private data and never " +
